@@ -1,0 +1,65 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Sinks + collection projections (SURVEY §2.1 S2–S6, §2.2 P14;
+  * `/root/reference/Project.py:331-395`).
+  *
+  * The reference's Mongo/Excel consumption layer is out of process; the
+  * engine contract is the projected frames and line-delimited JSON / CSV /
+  * parquet sinks. `df.write.json` IS JSONL (one object per line, nulls
+  * dropped-vs-kept configurable, timestamps ISO-8601) — the reference's
+  * 21-line row-loop serializer (`Project.py:341-361`) is the built-in sink.
+  */
+object Sinks {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S3 — line-delimited JSON with null preservation (the reference emits
+    * explicit `null`s, `Project.py:349`; Spark drops null fields by default,
+    * so `ignoreNullFields=false`).
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("ignoreNullFields", "false").json(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** P14 — the reference's per-collection column lists
+    * (`Project.py:367-395`); projection takes the intersection with the
+    * actual schema, exactly like `[c for c in cols if c in df.columns]`.
+    */
+  val SalesLinesColumns: Seq[String] = Seq(
+    "doc_number", "customer_number", "product_code", "product_desc",
+    "brand_desc", "region_code", "region_desc", "quantity",
+    "total_line_price", "last_cost", "asp", "cogs", "gross_margin",
+    "gm_pct", "transtype_code", "transtype_desc", "inventory_code",
+    "rep_code", "event_date", "fin_week_label", "fin_month_label",
+    "fin_month_start", "fin_month_end", "fin_quarter")
+
+  val ReceivablesColumns: Seq[String] = Seq(
+    "customer_number", "cust_desc", "total_due", "amt_current",
+    "amt_30_days", "amt_60_days", "amt_90_days", "amt_120_days",
+    "amt_150_days", "amt_180_days", "amt_210_days", "amt_240_days",
+    "fin_month_label", "fin_month_start", "fin_month_end", "region_desc")
+
+  val PaymentsColumns: Seq[String] = Seq(
+    "doc_number", "customer_number", "tot_payment", "bank_amt",
+    "deposit_date", "event_date", "fin_week_label", "fin_month_label",
+    "fin_quarter", "region_desc")
+
+  def projectCollection(df: DataFrame, wanted: Seq[String]): DataFrame =
+    df.select(wanted.filter(df.columns.contains).map(col): _*)
+
+  /** S4's 31-char sheet-name sanitization (`Project.py:303`) as a filename
+    * sanitizer: `replace('_',' ').title()[:31]`.
+    */
+  def sanitizeSheetName(name: String): String =
+    name.replace('_', ' ')
+      .split(" ", -1)
+      .map(w => if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1).toLowerCase)
+      .mkString(" ")
+      .take(31)
+}
