@@ -1,13 +1,81 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{BiQueries, Merged, OperatorQueries, OracleSql}
+import graft.sinks.Sinks
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 is registered here with a
+  * DuckDB oracle twin; the driver runs both at sf0.01 and hash-compares
+  * (column names must match exactly between the two dialects — the compare
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY §7.3): revenue + gross margin by financial
+    * month over the full cleaned star join at sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    BiQueries.revenueByMonth(Merged.cleaned(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BI aggregations over the cleaned merged frame (SURVEY §2.5-2.7)
+    "q1_revenue_by_month" -> ((s, dir) =>
+      BiQueries.revenueByMonth(Merged.cleaned(s, dir))),
+    "q1b_gm_join" -> ((s, dir) =>
+      BiQueries.revenueByMonthJoined(Merged.cleaned(s, dir))),
+    "q2_top_products" -> ((s, dir) =>
+      BiQueries.topProducts(Merged.cleaned(s, dir))),
+    "q3_sales_region_brand" -> ((s, dir) =>
+      BiQueries.salesByRegionBrand(Merged.cleaned(s, dir))),
+    "q4_ar_by_region" -> ((s, dir) =>
+      BiQueries.arByRegion(Merged.cleaned(s, dir))),
+    "q5_summary" -> ((s, dir) =>
+      BiQueries.summary(Merged.cleaned(s, dir))),
+    // Cleaning / metric / projection operator demos (SURVEY §2.2)
+    "p3_null_normalize" -> OperatorQueries.nullNormalizeDemo _,
+    "p4_cast_coerce" -> OperatorQueries.castCoerceDemo _,
+    "p5_date_parse" -> OperatorQueries.dateParseDemo _,
+    "p6_event_date" -> OperatorQueries.eventDateDemo _,
+    "p11_quality_flags" -> OperatorQueries.qualityFlagsDemo _,
+    "p12_quality_filter" -> OperatorQueries.qualityFilterDemo _,
+    "p13_display_name" -> OperatorQueries.displayNameDemo _,
+    // P14 collection projections (SURVEY §2.1 S6 / §2.2 P14)
+    "p14_sales_lines" -> ((s, dir) =>
+      Sinks.projectCollection(Merged.cleaned(s, dir), Sinks.SalesLinesColumns)),
+    "p14_receivables" -> ((s, dir) =>
+      Sinks.projectCollection(Merged.cleaned(s, dir), Sinks.ReceivablesColumns)),
+    "p14_payments" -> ((s, dir) =>
+      Sinks.projectCollection(Merged.cleaned(s, dir), Sinks.PaymentsColumns)),
+    // Fiscal calendar (SURVEY §2.4) — the cross-dialect parity queries
+    "c4_fincal_columns" -> OperatorQueries.fincalColumns _,
+    "c7_fincal_null_labels" -> OperatorQueries.fincalNullLabels _
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_revenue_by_month" -> OracleSql.q1RevenueByMonth,
+    "q1b_gm_join" -> OracleSql.q1bGmJoin,
+    "q2_top_products" -> OracleSql.q2TopProducts,
+    "q3_sales_region_brand" -> OracleSql.q3SalesByRegionBrand,
+    "q4_ar_by_region" -> OracleSql.q4ArByRegion,
+    "q5_summary" -> OracleSql.q5Summary,
+    "p3_null_normalize" -> OracleSql.p3NullNormalize,
+    "p4_cast_coerce" -> OracleSql.p4CastCoerce,
+    "p5_date_parse" -> OracleSql.p5DateParse,
+    "p6_event_date" -> OracleSql.p6EventDate,
+    "p11_quality_flags" -> OracleSql.p11QualityFlags,
+    "p12_quality_filter" -> OracleSql.p12QualityFilter,
+    "p13_display_name" -> OracleSql.p13DisplayName,
+    "p14_sales_lines" -> OracleSql.p14SalesLines,
+    "p14_receivables" -> OracleSql.p14Receivables,
+    "p14_payments" -> OracleSql.p14Payments,
+    "c4_fincal_columns" -> OracleSql.c4FincalColumns,
+    "c7_fincal_null_labels" -> OracleSql.c7FincalNullLabels
+  )
 }

@@ -28,7 +28,8 @@ object BiQueries {
         col("fin_month_label"),
         round(col("_rev"), 2).as("revenue"),
         round(col("_gm"), 2).as("gross_margin"),
-        round(col("_gm") / col("_rev"), 6).as("gm_pct"))
+        round(when(abs(col("_rev")) > 1e-9, col("_gm") / col("_rev")), 6)
+          .as("gm_pct"))
 
   /** Q1b literal join form (`Project.py:187-190`) — kept as the operator
     * demonstration of the reference's one join: two aggregates of the same
@@ -45,7 +46,8 @@ object BiQueries {
         col("fin_month_label"),
         round(col("revenue"), 2).as("revenue"),
         round(col("gross_margin"), 2).as("gross_margin"),
-        round(col("gross_margin") / col("revenue"), 6).as("gm_pct"))
+        round(when(abs(col("revenue")) > 1e-9,
+          col("gross_margin") / col("revenue")), 6).as("gm_pct"))
   }
 
   /** Q2 — top-k products by revenue (`Project.py:193-202`), P7-resolved
@@ -57,7 +59,10 @@ object BiQueries {
       .getOrElse(sys.error("no product column resolved"))
     df.groupBy(col(p).as("product_desc"))
       .agg(sum("total_line_price").as("_rev"))
-      .orderBy(col("_rev").desc, col("product_desc").asc)
+      // rank on the rounded sum so the deterministic tiebreaker engages
+      // whenever 2-dp revenues tie (partial-agg summation order can differ
+      // from the oracle's by less than the float error)
+      .orderBy(round(col("_rev"), 2).desc, col("product_desc").asc)
       .limit(k)
       .select(
         col("product_desc"),

@@ -38,7 +38,7 @@ object OracleSql {
 ), fc1 AS (
   SELECT *, last_day(_d) AS _ld FROM fc0
 ), fc2 AS (
-  SELECT *, CASE WHEN _d <= _ld - ((dayofweek(_ld) + 2) % 7)
+  SELECT *, CASE WHEN _d <= _ld - CAST((dayofweek(_ld) + 2) % 7 AS INTEGER)
                  THEN date_trunc('month', _d)
                  ELSE CAST(date_trunc('month', _d) + INTERVAL 1 MONTH AS DATE)
             END AS _fm
@@ -50,14 +50,14 @@ object OracleSql {
 ), enriched AS (
   SELECT *,
     COALESCE(strftime(_fm, '%Y-%m'), 'None') AS fin_month_label,
-    _pld - ((dayofweek(_pld) + 1) % 7) AS fin_month_start,
-    _fld - ((dayofweek(_fld) + 2) % 7) AS fin_month_end,
+    _pld - CAST((dayofweek(_pld) + 1) % 7 AS INTEGER) AS fin_month_start,
+    _fld - CAST((dayofweek(_fld) + 2) % 7 AS INTEGER) AS fin_month_end,
     year(_fm) AS fin_year,
     month(_fm) AS fin_month_num,
     CASE WHEN _fm IS NOT NULL THEN 'FY' || CAST(year(_fm) AS VARCHAR)
          || ' Q' || CAST(quarter(_fm) AS VARCHAR) END AS fin_quarter,
     CASE WHEN _fm IS NOT NULL THEN strftime(_fm, '%Y-%m') || '-W'
-         || CAST(CAST(floor((_d - (_pld - ((dayofweek(_pld) + 1) % 7))) / 7.0)
+         || CAST(CAST(floor((_d - (_pld - CAST((dayofweek(_pld) + 1) % 7 AS INTEGER))) / 7.0)
                  AS INT) + 1 AS VARCHAR) END AS fin_week_label,
     CASE WHEN COALESCE(quantity, 0) <> 0
          THEN total_line_price / quantity END AS asp,
@@ -77,7 +77,8 @@ object OracleSql {
 SELECT fin_month_label,
        ROUND(SUM(total_line_price), 2) AS revenue,
        ROUND(SUM(gross_margin), 2) AS gross_margin,
-       ROUND(SUM(gross_margin) / SUM(total_line_price), 6) AS gm_pct
+       ROUND(CASE WHEN abs(SUM(total_line_price)) > 1e-9
+                  THEN SUM(gross_margin) / SUM(total_line_price) END, 6) AS gm_pct
 FROM enriched GROUP BY 1"""
 
   /** Q1b's join form produces identical values to q1. */
@@ -88,7 +89,7 @@ SELECT product_desc, ROUND(_rev, 2) AS revenue,
        substr(product_desc, 1, 30) || '...' AS product_short
 FROM (SELECT product_desc, SUM(total_line_price) AS _rev
       FROM enriched GROUP BY 1
-      ORDER BY _rev DESC, product_desc ASC LIMIT 15)"""
+      ORDER BY ROUND(_rev, 2) DESC, product_desc ASC LIMIT 15)"""
 
   val q3SalesByRegionBrand: String = EnrichedCte + """
 SELECT fin_month_label, region_desc, brand_desc,
@@ -225,7 +226,7 @@ FROM enriched"""
 ), d1 AS (
   SELECT event_date, last_day(event_date) AS _ld FROM d0
 ), d2 AS (
-  SELECT *, CASE WHEN event_date <= _ld - ((dayofweek(_ld) + 2) % 7)
+  SELECT *, CASE WHEN event_date <= _ld - CAST((dayofweek(_ld) + 2) % 7 AS INTEGER)
                  THEN date_trunc('month', event_date)
                  ELSE CAST(date_trunc('month', event_date) + INTERVAL 1 MONTH AS DATE)
             END AS _fm
@@ -235,12 +236,12 @@ FROM enriched"""
             last_day(_fm) AS _fld
   FROM d2
 ), d4 AS (
-  SELECT *, _pld - ((dayofweek(_pld) + 1) % 7) AS fin_month_start FROM d3
+  SELECT *, _pld - CAST((dayofweek(_pld) + 1) % 7 AS INTEGER) AS fin_month_start FROM d3
 )
 SELECT event_date,
        COALESCE(strftime(_fm, '%Y-%m'), 'None') AS fin_month_label,
        fin_month_start,
-       _fld - ((dayofweek(_fld) + 2) % 7) AS fin_month_end,
+       _fld - CAST((dayofweek(_fld) + 2) % 7 AS INTEGER) AS fin_month_end,
        year(_fm) AS fin_year,
        month(_fm) AS fin_month_num,
        'FY' || CAST(year(_fm) AS VARCHAR) || ' Q'
@@ -257,7 +258,7 @@ FROM d4"""
 ), d1 AS (
   SELECT d, last_day(d) AS _ld FROM d0
 ), d2 AS (
-  SELECT *, CASE WHEN d <= _ld - ((dayofweek(_ld) + 2) % 7)
+  SELECT *, CASE WHEN d <= _ld - CAST((dayofweek(_ld) + 2) % 7 AS INTEGER)
                  THEN date_trunc('month', d)
                  ELSE CAST(date_trunc('month', d) + INTERVAL 1 MONTH AS DATE)
             END AS _fm
