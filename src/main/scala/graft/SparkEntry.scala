@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ext.{ExtOracleSql, ExtQueries}
 import graft.queries.{BiQueries, Merged, OperatorQueries, OracleSql}
 import graft.sinks.Sinks
 
@@ -52,7 +53,24 @@ object SparkEntry {
       Sinks.projectCollection(Merged.cleaned(s, dir), Sinks.PaymentsColumns)),
     // Fiscal calendar (SURVEY §2.4) — the cross-dialect parity queries
     "c4_fincal_columns" -> OperatorQueries.fincalColumns _,
-    "c7_fincal_null_labels" -> OperatorQueries.fincalNullLabels _
+    "c7_fincal_null_labels" -> OperatorQueries.fincalNullLabels _,
+    // LLM-data-pipeline extensions (north star): dedup, text analysis,
+    // similarity search, multimodal plumbing, stream windows
+    "d1_exact_dedup" -> ExtQueries.exactDedup _,
+    "d2_minhash_lsh_pairs" -> ExtQueries.minHashLshPairs _,
+    "d3_simhash_fingerprints" -> ExtQueries.simHashFingerprints _,
+    "d4_jaccard_ground_truth" -> ExtQueries.jaccardGroundTruth _,
+    "t1_token_stats" -> ExtQueries.tokenStats _,
+    "t2_lang_stats" -> ExtQueries.langStats _,
+    "t3_quality_scores" -> ExtQueries.qualityScores _,
+    "t4_lang_id" -> ExtQueries.langId _,
+    "t5_fingerprints" -> ExtQueries.fingerprints _,
+    "s1_cosine_topk" -> ExtQueries.cosineTopK _,
+    "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
+    "m1_media_metadata" -> ExtQueries.mediaMetadata _,
+    "w1_hourly_by_type" -> ExtQueries.hourlyByType _,
+    "w2_sliding_hourly" -> ExtQueries.slidingHourly _,
+    "w3_user_sessions" -> ExtQueries.userSessions _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,6 +94,21 @@ object SparkEntry {
     "p14_receivables" -> OracleSql.p14Receivables,
     "p14_payments" -> OracleSql.p14Payments,
     "c4_fincal_columns" -> OracleSql.c4FincalColumns,
-    "c7_fincal_null_labels" -> OracleSql.c7FincalNullLabels
+    "c7_fincal_null_labels" -> OracleSql.c7FincalNullLabels,
+    "d1_exact_dedup" -> ExtOracleSql.d1ExactDedup,
+    "d2_minhash_lsh_pairs" -> ExtOracleSql.d2MinHashLshPairs,
+    "d3_simhash_fingerprints" -> ExtOracleSql.d3SimHashFingerprints,
+    "d4_jaccard_ground_truth" -> ExtOracleSql.d4JaccardGroundTruth,
+    "t1_token_stats" -> ExtOracleSql.t1TokenStats,
+    "t2_lang_stats" -> ExtOracleSql.t2LangStats,
+    "t3_quality_scores" -> ExtOracleSql.t3QualityScores,
+    "t4_lang_id" -> ExtOracleSql.t4LangId,
+    "t5_fingerprints" -> ExtOracleSql.t5Fingerprints,
+    "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
+    "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
+    "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,
+    "w1_hourly_by_type" -> ExtOracleSql.w1HourlyByType,
+    "w2_sliding_hourly" -> ExtOracleSql.w2SlidingHourly,
+    "w3_user_sessions" -> ExtOracleSql.w3UserSessions
   )
 }

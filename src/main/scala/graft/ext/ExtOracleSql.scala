@@ -1,0 +1,287 @@
+package graft.ext
+
+/** DuckDB twins for [[ExtQueries]]. Repetitive fragments (the k MinHash
+  * minima, the 32 SimHash bit votes) are generated so they cannot drift
+  * from the Spark expressions.
+  *
+  * Dialect traps (beyond OracleSql's):
+  *  - DuckDB `regexp_replace` needs the 'g' flag (Spark replaces all);
+  *  - DuckDB list lambdas index 1-based (Spark's `(x, i)` is 0-based);
+  *  - `len()`/`length()` return BIGINT (Spark sizes cast to long);
+  *  - the shared 56-bit hash is `CAST('0x'||substr(md5(s),1,14) AS BIGINT)`.
+  */
+object ExtOracleSql {
+
+  private def h64(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 14)) AS BIGINT)"
+
+  private val Norm = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+
+  /** 3-shingle list from a toks list expression. */
+  private def sh3(toks: String, whole: String): String =
+    s"""CASE WHEN len($toks) >= 3
+       THEN list_transform(generate_series(1, len($toks) - 2),
+              i -> array_to_string(($toks)[i:i+2], ' '))
+       ELSE [$whole] END"""
+
+  val d1ExactDedup: String = s"""WITH base AS (
+  SELECT doc_id, text FROM documents
+), corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 200000, text FROM base WHERE doc_id % 5 = 0
+)
+SELECT md5($Norm) AS group_hash,
+       COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+FROM corpus GROUP BY 1"""
+
+  /** Shared near-dup corpus + shingles (mirrors ExtQueries.nearDupCorpus:
+    * normalized text, every 13th token dropped in the +100000 copies).
+    */
+  private val NearDupCtes: String = s"""WITH base AS (
+  SELECT doc_id, $Norm AS text FROM documents
+), corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_filter(string_split(text, ' '),
+           (t, i) -> i % 13 <> 0), ' ')
+  FROM base WHERE doc_id % 7 = 0
+), shing AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         ${sh3("string_split(text, ' ')", "text")} AS sh
+  FROM corpus
+)"""
+
+  /** The k=8 seeded minima, bands of 2 → 4 band keys. */
+  private val sigCols: String = (0 until 8).map(i =>
+    s"list_min(list_transform(sh, s -> ${h64(s"'$i|' || s")})) AS s$i")
+    .mkString(",\n         ")
+
+  private val bandSelects: String = (0 until 4).map { j =>
+    val a = 2 * j; val b = 2 * j + 1
+    s"SELECT doc_id, $j AS band, md5(CAST(s$a AS VARCHAR) || ',' || CAST(s$b AS VARCHAR)) AS key FROM sig"
+  }.mkString("\n  UNION ALL\n  ")
+
+  private def jaccardExpr(a: String, b: String): String =
+    s"""round(CASE WHEN len(list_distinct(list_concat($a, $b))) > 0
+       THEN CAST(len(list_intersect($a, $b)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE)
+       END, 6)"""
+
+  val d2MinHashLshPairs: String = NearDupCtes + s""", sig AS (
+  SELECT doc_id, $sigCols
+  FROM shing
+), bands AS (
+  $bandSelects
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), ver AS (
+  SELECT id_a, id_b, ${jaccardExpr("sa.sh", "sb.sh")} AS jaccard
+  FROM cand
+  JOIN shing sa ON cand.id_a = sa.doc_id
+  JOIN shing sb ON cand.id_b = sb.doc_id
+)
+SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5"""
+
+  /** 32 per-bit majority votes over the distinct-token hashes `hh`. */
+  private def simhashExpr(hh: String): String = (0 until 32).map { b =>
+    s"""(CASE WHEN list_aggregate(list_transform($hh,
+       h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+       THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"""
+  }.mkString(" + ")
+
+  val d3SimHashFingerprints: String = NearDupCtes + s""", hs AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+           t -> ${h64("t")}) AS hh
+  FROM corpus
+)
+SELECT doc_id, ${simhashExpr("hh")} AS simhash32 FROM hs"""
+
+  val d4JaccardGroundTruth: String = NearDupCtes + s""", hs AS (
+  SELECT doc_id, list_transform(list_distinct(toks), t -> ${h64("t")}) AS hh
+  FROM shing
+), fps AS (
+  SELECT doc_id, ${simhashExpr("hh")} AS fp FROM hs
+), enriched AS (
+  SELECT s.doc_id, s.sh, f.fp FROM shing s JOIN fps f ON s.doc_id = f.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ${jaccardExpr("a.sh", "b.sh")} AS jaccard,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming_dist
+FROM enriched a JOIN enriched b ON b.doc_id = a.doc_id + 100000"""
+
+  private val ToksCte: String = s"""WITH t AS (
+  SELECT doc_id, text, lang, string_split($Norm, ' ') AS toks FROM documents
+)"""
+
+  val t1TokenStats: String = ToksCte + """
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+       round(list_aggregate(list_transform(toks,
+               tk -> CAST(length(tk) AS DOUBLE)), 'sum')
+             / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
+       CAST(length(text) AS BIGINT) AS n_chars_raw
+FROM t"""
+
+  val t2LangStats: String = ToksCte + """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+       round(AVG(length(text)), 2) AS avg_chars
+FROM t GROUP BY 1"""
+
+  val t3QualityScores: String = ToksCte + """, c AS (
+  SELECT doc_id, len(toks) AS n_tokens_i,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_char,
+         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+              AS DOUBLE) AS punct,
+         CAST(len(list_filter(toks,
+           tk -> tk IN ('the','a','of','and','is','to'))) AS DOUBLE) AS stop_n
+  FROM t
+), r AS (
+  SELECT doc_id, n_tokens_i,
+         CASE WHEN n_char > 0 THEN punct / n_char ELSE 0.0 END AS pr,
+         CASE WHEN n_tok > 0 THEN stop_n / n_tok ELSE 0.0 END AS sr,
+         n_tok
+  FROM c
+)
+SELECT doc_id, CAST(n_tokens_i AS BIGINT) AS n_tokens,
+       round(pr, 6) AS punct_ratio,
+       round(sr, 6) AS stopword_ratio,
+       round(least(n_tok / 100.0, 1.0) * 0.5 + (1.0 - pr) * 0.3
+             + least(sr * 5.0, 1.0) * 0.2, 6) AS quality_score
+FROM r"""
+
+  private val LangLists: Seq[(String, String)] = Seq(
+    "de" -> "('der','die','das','und','ist','nicht')",
+    "en" -> "('the','a','of','and','is','to')",
+    "es" -> "('el','la','de','los','y','es')",
+    "fr" -> "('le','la','de','les','et','est')",
+    "zh" -> "('de_zh','shi','le_zh','zai','he','you')")
+
+  val t4LangId: String = ToksCte + s""", sc AS (
+  SELECT doc_id,
+         ${LangLists.map { case (l, set) =>
+            s"CAST(len(list_filter(toks, tk -> tk IN $set)) AS BIGINT) AS s_$l"
+          }.mkString(",\n         ")}
+  FROM t
+), mx AS (
+  SELECT *, greatest(${LangLists.map("s_" + _._1).mkString(", ")}) AS m FROM sc
+)
+SELECT doc_id,
+       CASE ${LangLists.map { case (l, _) =>
+          s"WHEN s_$l = m AND m > 0 THEN '$l'"
+        }.mkString(" ")} ELSE 'und' END AS lang_pred,
+       m AS n_marker_hits
+FROM mx"""
+
+  val t5Fingerprints: String = s"""WITH t AS (
+  SELECT doc_id, $Norm AS ntext FROM documents
+), tk AS (
+  SELECT doc_id, ntext, string_split(ntext, ' ') AS toks FROM t
+), hs AS (
+  SELECT doc_id, ntext,
+         ${sh3("toks", "ntext")} AS sh3,
+         list_transform(list_distinct(toks), tok -> ${h64("tok")}) AS hh
+  FROM tk
+)
+SELECT doc_id, md5(ntext) AS content_md5,
+       list_min(list_transform(sh3, s -> ${h64("s")})) AS min_shingle_hash,
+       ${simhashExpr("hh")} AS simhash32
+FROM hs"""
+
+  private def dotExpr(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), p -> p[1] * p[2]), 'sum')"
+
+  val s1CosineTopK: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM v
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CASE WHEN q.nm * c.nm > 0
+               THEN ${dotExpr("q.e", "c.e")} / (q.nm * c.nm) END, 6) AS cosine
+  FROM n q CROSS JOIN n c
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 5"""
+
+  val s2EmbeddingNearDups: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), corpus AS (
+  SELECT vec_id, e FROM v
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(list_zip(e, list_reverse(e)),
+           p -> p[1] * 0.9 + p[2] * 0.1)
+  FROM v WHERE vec_id % 11 = 0
+), n AS (
+  SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM corpus
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(CASE WHEN a.nm * b.nm > 0
+               THEN ${dotExpr("a.e", "b.e")} / (a.nm * b.nm) END, 6) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
+
+  val m1MediaMetadata: String = """WITH m AS (
+  SELECT doc_id,
+         lpad(hex(64 + doc_id % 192), 4, '0')
+           || lpad(hex(64 + doc_id % 128), 4, '0') || text AS payload_str
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(payload_str, 1, 4)) AS INTEGER) AS width,
+       CAST(('0x' || substr(payload_str, 5, 4)) AS INTEGER) AS height,
+       CAST(octet_length(encode(payload_str)) AS BIGINT) AS n_bytes,
+       md5(payload_str) AS content_md5
+FROM m"""
+
+  val w1HourlyByType: String = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type, COUNT(*) AS n_events,
+       round(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2, 3"""
+
+  val w2SlidingHourly: String = """WITH s AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts)
+           - to_minutes(CAST(j * 30 AS BIGINT)) AS window_start,
+         value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j)
+)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value
+FROM s GROUP BY 1, 2"""
+
+  /** Spark session semantics: window = [first, last + gap); a new session
+    * starts when the gap to the previous event is >= the gap duration.
+    */
+  val w3UserSessions: String = """WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '5 minutes' AS session_end,
+       user_id, COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value
+FROM s GROUP BY user_id, sess"""
+}

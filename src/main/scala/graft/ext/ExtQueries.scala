@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Registered queries for the LLM-data-pipeline extension operators
+  * (dedup, similarity, text analysis, multimodal, stream windows), each
+  * mirrored 1:1 by DuckDB SQL in [[ExtOracleSql]].
+  *
+  * The corpus has no duplicates/near-duplicates of its own, so the dedup
+  * queries inject deterministic ones (same construction on both
+  * dialects): exact copies for `doc_id % 5 == 0`, token-dropped mutations
+  * for `doc_id % 7 == 0`, and perturbed embedding copies for
+  * `vec_id % 11 == 0`.
+  */
+object ExtQueries {
+
+  /** documents ∪ exact copies (doc_id + 200000) of every 5th doc. */
+  def exactDupCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+  }
+
+  /** Normalized documents ∪ near-dup mutations (doc_id + 100000) of every
+    * 7th doc: every 13th token (1-based) dropped — Jaccard ≈ 0.85 vs the
+    * original.
+    */
+  def nearDupCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextOps.normText(col("text")).as("text"))
+    val mut = base.filter(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", filter(split(col("text"), " "),
+        (t, i) => (i + 1) % 13 =!= 0)).as("text"))
+    base.unionByName(mut)
+  }
+
+  /** embeddings ∪ perturbed copies (vec_id + 100000) of every 11th
+    * vector: 0.9·v + 0.1·reverse(v) — cosine ≈ 0.99 vs the original.
+    */
+  def nearDupVectors(vecs: DataFrame): DataFrame = {
+    val base = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    base.unionByName(
+      base.filter(col("vec_id") % 11 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x * 0.9 + y * 0.1).as("embedding")))
+  }
+
+  // ---- dedup ----
+
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Dedup.exactGroups(exactDupCorpus(Tables.documents(spark, sfDir)))
+  }
+
+  /** Full MinHash→LSH→verify pipeline: 3-shingles, k=8 permutations,
+    * 4 bands × 2 rows, Jaccard ≥ 0.5 verification.
+    */
+  def minHashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
+    val withSh = corpus.select(col("doc_id"),
+      TextOps.shingles(split(col("text"), " "), 3).as("sh"))
+    val withBands = withSh.select(col("doc_id"), col("sh"),
+      Dedup.lshBandKeys(Dedup.minHashSignature(col("sh"), 8), 8, 4).as("bands"))
+    val cands = Dedup.lshCandidatePairs(withBands)
+    Dedup.verifiedNearDups(cands, withSh, 0.5)
+  }
+
+  def simHashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    nearDupCorpus(Tables.documents(spark, sfDir)).select(
+      col("doc_id"),
+      Dedup.simHash32(split(col("text"), " ")).as("simhash32"))
+  }
+
+  /** Ground-truth injected pairs (orig, orig+100000) with their n-gram
+    * Jaccard and SimHash Hamming distance — the kernel check.
+    */
+  def jaccardGroundTruth(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
+    val enriched = corpus.select(col("doc_id"),
+      TextOps.shingles(split(col("text"), " "), 3).as("sh"),
+      Dedup.simHash32(split(col("text"), " ")).as("fp"))
+    val a = enriched.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+      col("fp").as("fp_a"))
+    val b = enriched.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+      col("fp").as("fp_b"))
+    a.join(b, col("id_b") === col("id_a") + 100000)
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"),
+        Dedup.hamming(col("fp_a"), col("fp_b")).cast("long").as("hamming_dist"))
+  }
+
+  // ---- text analysis ----
+
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.tokenStats(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("n_tokens").cast("long"),
+        col("n_uniq_tokens").cast("long"), col("avg_token_len"),
+        col("n_chars_raw").cast("long"))
+  }
+
+  def langStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.langStats(Tables.documents(spark, sfDir))
+  }
+
+  def qualityScores(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.qualityScore(Tables.documents(spark, sfDir))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+  }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val toks = TextOps.tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      TextAnalysis.predictedLang(toks).as("lang_pred"),
+      greatest(TextAnalysis.langScores(toks).map(_._2): _*).cast("long")
+        .as("n_marker_hits"))
+  }
+
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.fingerprints(Tables.documents(spark, sfDir))
+  }
+
+  // ---- similarity ----
+
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 20), vecs, 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine"))
+  }
+
+  def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.nearDupPairs(
+      nearDupVectors(Tables.embeddings(spark, sfDir)), 0.97)
+  }
+
+  // ---- multimodal ----
+
+  def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Media.extractMeta(Media.synthCorpus(Tables.documents(spark, sfDir)))
+      .withColumn("n_bytes", col("n_bytes").cast("long"))
+  }
+
+  // ---- stream windows (batch-equivalent forms; the streaming variants
+  //      run the same functions after readStream — see StreamingSpec) ----
+
+  def hourlyByType(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    StreamingOps.hourlyByType(Tables.events(spark, sfDir))
+  }
+
+  def slidingHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    StreamingOps.slidingHourly(Tables.events(spark, sfDir))
+  }
+
+  def userSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    StreamingOps.userSessions(Tables.events(spark, sfDir))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads plus a
+  * typed metadata struct, with decode/feature/resize/frame-sample
+  * operators.
+  *
+  * The decode step itself is STUBBED deterministically (no image/audio
+  * codecs in this environment): [[decodeFeatureStub]] derives a fake
+  * feature vector from the payload hash, and [[resizeStub]] models
+  * resize as metadata rewrite + payload truncation. Everything around
+  * the stub — the schema (binary + struct), per-row expressions, batch
+  * shape, partition-by-content-hash — is the real plumbing a decode UDF
+  * would slot into. A production build replaces the stub body with a
+  * `mapInPandas`/JNI decoder with the SAME signature: binary in,
+  * array<double> (features) or binary (pixels) out, one row per frame.
+  *
+  * Scale notes: payloads never enter a shuffle key (all keys are ids or
+  * 128-bit digests); frame sampling explodes to `ceil(len/chunk)` rows
+  * with binary slices — size the chunk so a partition of frames fits in
+  * executor memory.
+  */
+object Media {
+
+  /** Synthesize a media corpus from the documents table: an 8-hex-char
+    * header (4 width + 4 height) followed by the text bytes, as one
+    * UTF-8 binary payload. Deterministic stand-in for real image bytes.
+    */
+  def synthCorpus(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = (lit(64) + col("doc_id") % 192).cast("int")
+    val h = (lit(64) + col("doc_id") % 128).cast("int")
+    val payloadStr = concat(
+      lpad(hex(w), 4, "0"), lpad(hex(h), 4, "0"), col(textCol))
+    docs.select(
+      col("doc_id"),
+      encode(payloadStr, "UTF-8").as("payload"),
+      struct(w.as("width"), h.as("height"), lit("synth/v1").as("codec"))
+        .as("meta"))
+  }
+
+  /** Parse the header back out of the raw payload (as a consumer that
+    * only has bytes would): width/height from the 8-byte hex header,
+    * byte length, and a content digest of the payload.
+    */
+  def extractMeta(media: DataFrame): DataFrame = {
+    val headerStr = decode(substring(col("payload"), 1, 8), "UTF-8")
+    media.select(
+      col("doc_id"),
+      conv(substring(headerStr, 1, 4), 16, 10).cast("int").as("width"),
+      conv(substring(headerStr, 5, 4), 16, 10).cast("int").as("height"),
+      length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("content_md5"))
+  }
+
+  /** Deterministic fake of the decode+featurize step: an 8-dim feature
+    * vector derived from the payload digest. Real decode goes here.
+    */
+  def decodeFeatureStub(payload: Column, dims: Int = 8): Column =
+    transform(sequence(lit(0), lit(dims - 1)), i =>
+      (TextOps.hash64(concat(md5(payload), lit("_"), i.cast("string")))
+        % 1000L).cast("double") / 1000.0)
+
+  /** Resize stub: metadata rewrite + proportional payload truncation —
+    * the schema/flow of a real resampler without the codec.
+    */
+  def resizeStub(media: DataFrame, targetWidth: Int): DataFrame = {
+    val scale = lit(targetWidth).cast("double") / col("meta.width").cast("double")
+    val newLen = greatest(lit(9),
+      (length(col("payload")).cast("double") * scale).cast("int"))
+    media.select(
+      col("doc_id"),
+      col("payload").substr(lit(1), newLen).as("payload"),
+      struct(lit(targetWidth).as("width"),
+        (col("meta.height").cast("double") * scale).cast("int").as("height"),
+        col("meta.codec").as("codec")).as("meta"))
+  }
+
+  /** Frame sampling: split the payload into fixed-size binary chunks,
+    * one row per frame (`posexplode` → (frame_no, frame_bytes)).
+    */
+  def sampleFrames(media: DataFrame, chunkBytes: Int): DataFrame = {
+    val nChunks = ceil(length(col("payload")).cast("double") / chunkBytes)
+      .cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      substring(col("payload"), (i * chunkBytes + 1).cast("int"),
+        lit(chunkBytes)))
+    media.select(col("doc_id"), posexplode(chunks).as(Seq("frame_no", "frame")))
+  }
+
+  /** Feature extraction over the corpus (stub decode + real plumbing):
+    * repartition by content digest so identical payloads co-locate
+    * (dedupe-friendly), then the per-row feature expression.
+    */
+  def featurize(media: DataFrame, dims: Int = 8): DataFrame =
+    media.select(col("doc_id"),
+      decodeFeatureStub(col("payload"), dims).as("features"))
+}

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] / [[nearDupPairs]] — exact; the dot product is a
+  *    `zip_with` + sequential-fold expression (codegen, no explode, no
+  *    UDF). Query side is broadcast; cost is |queries| × |corpus| — the
+  *    correct baseline, and the verification kernel for the ANN path.
+  *  - [[withLshBuckets]] + [[lshTopK]] — the 100 TB path: sign-random-
+  *    projection LSH over deterministic hyperplanes; candidates only
+  *    within matching buckets (shuffle keyed on 16-bit bucket ids, never
+  *    a cross join). Recall is probabilistic — it is unit-tested against
+  *    brute force, not oracle-gated.
+  */
+object Similarity {
+
+  /** Dot product with deterministic (left-fold) summation order —
+    * matches DuckDB's `list_aggregate(list_transform(list_zip(..)),'sum')`
+    * exactly, so cosine values are reproducible cross-engine.
+    */
+  def dot(a: Column, b: Column): Column =
+    TextOps.foldSumDouble(zip_with(a, b, (x, y) => x * y))
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = l2Norm(a) * l2Norm(b)
+    when(d > 0, dot(a, b) / d)
+  }
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * `queries` and `corpus`: (idCol, vecCol) with array<float> vectors.
+    * The query side is explicitly broadcast: at scale the corpus streams
+    * partition-parallel past an in-memory query table, and the final
+    * per-query top-k is a window over |queries| × |corpus| scored rows
+    * pre-filtered per partition (rank on the ROUNDED cosine with an id
+    * tiebreak — same determinism discipline as Q2).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Exact near-duplicate pairs (cosine ≥ threshold, id_a < id_b).
+    * Quadratic by construction — the verification kernel. Use the LSH
+    * path to *generate* candidates at scale, this to verify them.
+    */
+  def nearDupPairs(vectors: DataFrame, threshold: Double,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"),
+      col(vecCol).cast("array<double>").as("va"))
+    val b = vectors.select(col(idCol).as("id_b"),
+      col(vecCol).cast("array<double>").as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * hash-derived uniform in [-0.5, 0.5). Reproducible across engines
+    * and runs — no RNG state.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (TextOps.hash64(concat(lit(s"plane$plane|"), dim.cast("string"))) % 10000L)
+      .cast("double") / 10000.0 - 0.5
+
+  /** Sign-random-projection bucket id over `nPlanes` hyperplanes: bit p =
+    * sign(v · h_p). 16 planes → 65k buckets; near-identical vectors land
+    * in the same bucket with high probability.
+    */
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = TextOps.foldSumDouble(
+        transform(vec, (x, i) => x * planeComponent(p, i)))
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def withLshBuckets(vectors: DataFrame, nPlanes: Int = 16,
+                     vecCol: String = "embedding"): DataFrame =
+    vectors.withColumn("bucket",
+      lshBucket(col(vecCol).cast("array<double>"), nPlanes))
+
+  /** ANN near-dup pairs: candidates share an LSH bucket (equi-join on
+    * the bucket id — shuffle, not cross join), then exact-cosine verify.
+    */
+  def lshNearDupPairs(vectors: DataFrame, threshold: Double,
+                      nPlanes: Int = 16, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val bv = withLshBuckets(vectors, nPlanes, vecCol)
+      .select(col(idCol), col("bucket"), col(vecCol).cast("array<double>").as("v"))
+    val a = bv.select(col(idCol).as("id_a"), col("bucket"), col("v").as("va"))
+    val b = bv.select(col(idCol).as("id_b"), col("bucket"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+}

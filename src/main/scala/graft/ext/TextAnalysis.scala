@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document corpus: token statistics,
+  * quality scoring, n-gram-marker language ID, content fingerprints.
+  * All per-row `Column` expressions + one optional aggregate — the shape
+  * that survives 100 TB (the row-level pass is embarrassingly parallel;
+  * the per-language rollup shuffles ~5 keys with partial aggregation).
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram-heuristic language ID.
+    * Deterministic and tiny by design — a real deployment swaps in
+    * fastText-style profiles; the *operator shape* (per-row argmax over
+    * k marker scores) is what scales.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "de", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "les", "et", "est"),
+    "zh" -> Seq("de_zh", "shi", "le_zh", "zai", "he", "you"))
+
+  /** Tokens matching a marker list. */
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(m => m: Any): _*)))
+
+  /** Language-ID scores + argmax with deterministic alphabetical
+    * tiebreak (first language in [[LangMarkers]] order wins ties).
+    */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, ms) => lang -> markerCount(toks, ms) }
+
+  def predictedLang(toks: Column): Column = {
+    val scores = langScores(toks)
+    // lang_i wins if its score >= every later score and > every earlier
+    // one it didn't already lose to; expressed as a foldRight CASE chain:
+    // pick the first lang whose score equals the row maximum.
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Per-document token statistics. */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq_tokens"),
+      round(TextOps.foldSumDouble(
+          transform(toks, t => length(t).cast("double"))) /
+        size(toks).cast("double"), 6).as("avg_token_len"),
+      length(col(textCol)).as("n_chars_raw"))
+  }
+
+  /** Heuristic quality score in [0,1]: length saturation + low-punctuation
+    * + stopword presence (the classic pre-training quality gates, each as
+    * a guarded ratio).
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = TextOps.tokens(t)
+    val nTok = size(toks).cast("double")
+    val nChar = length(t).cast("double")
+    val punct = nChar - length(regexp_replace(t, "[^\\w\\s]", "")).cast("double")
+    val punctRatio = when(nChar > 0, punct / nChar).otherwise(0.0)
+    val stopRatio = when(nTok > 0,
+      markerCount(toks, LangMarkers.toMap.apply("en")).cast("double") / nTok)
+      .otherwise(0.0)
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(
+        least(nTok / 100.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - punctRatio) * 0.3 +
+          least(stopRatio * 5.0, lit(1.0)) * 0.2, 6).as("quality_score"))
+  }
+
+  /** Per-language rollup — the aggregate view a corpus curator reads. */
+  def langStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(textCol)))).as("total_tokens"),
+        round(avg(length(col(textCol))), 2).as("avg_chars"))
+
+  /** Content fingerprints: md5 of normalized text, the 1-permutation
+    * min-shingle hash (cheap containment sketch), and the 32-bit SimHash.
+    */
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      md5(TextOps.normText(col(textCol))).as("content_md5"),
+      array_min(transform(TextOps.shingles(toks, 3), s => TextOps.hash64(s)))
+        .as("min_shingle_hash"),
+      Dedup.simHash32(toks).as("simhash32"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Shared text primitives for the LLM-data-pipeline operators (dedup,
+  * text analysis, fingerprinting). Everything here is a pure Catalyst
+  * `Column` expression — per-row, no shuffle, whole-stage codegen.
+  *
+  * Determinism contract: every primitive has an exact DuckDB twin (see
+  * [[graft.queries.ExtOracleSql]]). That rules out `xxhash64`/`hash`
+  * (Spark-private seeds) — the cross-engine 64-bit hash is the first 56
+  * bits of md5, which both engines compute identically. md5 is ~3× the
+  * cost of xxhash64 in the hot path; for a production deployment swap
+  * [[hash64]]'s body for `xxhash64` (the operators only need *a* stable
+  * hash, the oracle needs a *shared* one).
+  */
+object TextOps {
+
+  /** 56-bit non-negative hash from md5 — identical in DuckDB via
+    * `CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)`.
+    */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast(LongType)
+
+  /** Seed-prefixed hash — the "k independent permutations" of MinHash. */
+  def hash64Seeded(seed: Int, c: Column): Column =
+    hash64(concat(lit(s"$seed|"), c))
+
+  /** Whitespace-collapsed, trimmed, lowercased text. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Word n-shingles (1-based slices of the token array); a document
+    * shorter than `n` tokens contributes its whole text as one shingle.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** Sum of an array<long> via a sequential left fold (deterministic
+    * summation order, unlike a shuffle aggregate).
+    */
+  def foldSumLong(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, v) => acc + v)
+
+  /** Sequential left-fold sum of array<double> — deterministic float
+    * summation order; the DuckDB twin (`list_aggregate(.., 'sum')`) folds
+    * in the same element order.
+    */
+  def foldSumDouble(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, v) => acc + v)
+}

@@ -17,7 +17,18 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "events")
+  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's reader
+    * rejects; read the nanos as long and convert via integer division
+    * (micros fit a long; double division would lose precision at 1e18).
+    * The corpus has no sub-microsecond components, so this matches
+    * DuckDB's TIMESTAMP_NS→TIMESTAMP coercion exactly.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 

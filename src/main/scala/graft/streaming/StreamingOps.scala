@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream window aggregations (extension target — the reference
+  * has no streaming at all, SURVEY §2.8). The aggregation bodies are
+  * plain DataFrame code, so the SAME function serves batch (oracle-
+  * checkable against DuckDB `time_bucket`) and Structured Streaming
+  * (applied after `readStream` + [[withWatermarked]]) — the point of
+  * DataFrame-first design.
+  *
+  * Scale: tumbling/sliding windows shuffle on (window, type) — bounded
+  * key space, partial aggregation absorbs volume. Session windows key on
+  * (user_id, session) — Spark's `session_window` state store handles the
+  * merge; watermark bounds state size.
+  */
+object StreamingOps {
+
+  /** Attach the watermark used by every streaming variant. */
+  def withWatermarked(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Tumbling 1-hour windows by event type. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user session windows with a 5-minute inactivity gap. Spark
+    * session semantics: window = [first event, last event + gap).
+    */
+  def userSessions(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+}

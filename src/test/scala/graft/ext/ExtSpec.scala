@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.Tables
+
+/** Tests for the extension paths the DuckDB oracle can't gate: the
+  * probabilistic LSH candidate generation (recall vs brute force), the
+  * dedup keep-first operator, and the multimodal plumbing.
+  */
+class ExtSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("dropExactDuplicates keeps exactly one survivor per text, smallest id") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c"), (4L, " A  B "))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropExactDuplicates(docs).collect().map(_.getLong(0)).sorted
+    // "a b", "a b", " A  B " normalize identically → survivor 1; plus 3
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("MinHash LSH recall on injected near-dup pairs (probabilistic, ≥90%)") {
+    val pairs = ExtQueries.minHashLshPairs(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = ExtQueries.jaccardGroundTruth(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    // banding with 4 bands × 2 rows misses a J=0.85 pair with p≈0.6%;
+    // demand ≥90% recall, not perfection (the oracle compare stays exact
+    // because the DuckDB twin mirrors the banding, misses and all)
+    val found = (expected & pairs).size.toDouble / expected.size
+    assert(found >= 0.9,
+      s"LSH recall $found: missed ${(expected -- pairs).size} of ${expected.size}")
+  }
+
+  test("embedding LSH near-dups recall vs brute force") {
+    val vecs = ExtQueries.nearDupVectors(Tables.embeddings(spark, sfDir))
+    val exact = Similarity.nearDupPairs(vecs, 0.97)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(vecs, 0.97, nPlanes = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // every LSH pair is exact-verified (precision 1 by construction) …
+    assert(lsh.subsetOf(exact))
+    // … and 8-plane recall on 0.99-cosine pairs should be high
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("brute-force top-k is deterministic and self-free") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 5), vecs, 3)
+      .collect()
+    assert(out.length == 15)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    val ranks = out.groupBy(_.getLong(0)).values.map(_.map(_.getInt(2)).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1, 2, 3)))
+  }
+
+  test("media: synth → extractMeta round-trips the header") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val meta = Media.extractMeta(Media.synthCorpus(docs)).collect()
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 64 + (id % 192).toInt, "width")
+      assert(r.getInt(2) == 64 + (id % 128).toInt, "height")
+      assert(r.getInt(3) > 8, "payload has body beyond header")
+    }
+  }
+
+  test("media: sampleFrames chunks cover the payload exactly") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    val media = Media.synthCorpus(docs)
+    val frames = Media.sampleFrames(media, chunkBytes = 32)
+    val reassembled = frames.groupBy("doc_id")
+      .agg(sum(length(col("frame"))).as("total"),
+        count(lit(1)).as("n_frames"))
+    val orig = media.select(col("doc_id"), length(col("payload")).as("len"))
+    val joined = reassembled.join(orig, "doc_id").collect()
+    joined.foreach { r =>
+      assert(r.getLong(r.fieldIndex("total")) == r.getInt(r.fieldIndex("len")).toLong)
+      assert(r.getLong(r.fieldIndex("n_frames")) ==
+        math.ceil(r.getInt(r.fieldIndex("len")) / 32.0).toLong)
+    }
+  }
+
+  test("media: resizeStub scales metadata and truncates payload") {
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") === 10)
+    val media = Media.synthCorpus(docs)
+    val resized = Media.resizeStub(media, targetWidth = 32).head()
+    val origLen = media.head().getAs[Array[Byte]]("payload").length
+    val meta = resized.getStruct(resized.fieldIndex("meta"))
+    assert(meta.getInt(0) == 32)
+    val w0 = 64 + 10 % 192
+    assert(meta.getInt(1) == ((64 + 10 % 128) * (32.0 / w0)).toInt)
+    val newLen = resized.getAs[Array[Byte]]("payload").length
+    assert(newLen == math.max(9, (origLen * (32.0 / w0)).toInt))
+  }
+
+  test("media: decodeFeatureStub is deterministic with stable dims") {
+    val docs = Tables.documents(spark, sfDir).limit(10)
+    val f1 = Media.featurize(Media.synthCorpus(docs)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val f2 = Media.featurize(Media.synthCorpus(docs)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(v => v.length == 8 && v.forall(x => x >= -1 && x <= 1)))
+  }
+
+  test("langid prefers the marker-richest language deterministically") {
+    val docs = Seq(
+      (1L, "the cat and the dog is a pet"),       // en markers
+      (2L, "el la de los y es"),                  // es markers
+      (3L, "xyz qwerty")                          // none → und
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      TextAnalysis.predictedLang(TextOps.tokens(col("text"))).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "es"); assert(got(3L) == "und")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.Tables
+
+/** Real Structured Streaming smoke: the SAME aggregation function that
+  * the batch oracle validates, run through readStream → watermark →
+  * memory sink, must produce the batch answer once the stream drains
+  * (complete output mode over a finite file source).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("hourlyByType over readStream equals the batch result") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, sfDir)
+    val expected = StreamingOps.hourlyByType(batchEvents)
+      .collect().map(_.toSeq).toSet
+
+    // stage the events as micro-batchable parquet (normalized micros
+    // timestps so readStream needs no nanos shim)
+    val stage = Files.createTempDirectory("stream_src").toString
+    batchEvents.write.mode("overwrite").parquet(stage)
+
+    val streamIn = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val agg = StreamingOps.hourlyByType(
+      StreamingOps.withWatermarked(streamIn, "2 hours"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("hourly_smoke")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_smoke").collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"stream/batch divergence: ${got.size} vs ${expected.size} rows")
+    } finally q.stop()
+  }
+
+  test("userSessions sessionizes with the 5-minute gap (batch form)") {
+    import spark.implicits._
+    val ts = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:03:00"),
+      (1L, "2024-01-01 00:07:59"), // 4:59 gap → same session
+      (1L, "2024-01-01 00:13:00"), // 5:01 gap → new session
+      (2L, "2024-01-01 00:00:00")
+    ).toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"),
+        lit(1.0).as("value"))
+    val got = StreamingOps.userSessions(ts).collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")),
+        r.getLong(r.fieldIndex("n_events")))).toSeq.sorted
+    assert(got == Seq((1L, 1L), (1L, 3L), (2L, 1L)))
+  }
+}
