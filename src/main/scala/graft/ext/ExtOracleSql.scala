@@ -53,10 +53,13 @@ FROM corpus GROUP BY 1"""
   FROM corpus
 )"""
 
-  /** The k=8 seeded minima, bands of 2 → 4 band keys. */
-  private val sigCols: String = (0 until 8).map(i =>
-    s"list_min(list_transform(sh, s -> ${h64(s"'$i|' || s")})) AS s$i")
-    .mkString(",\n         ")
+  /** The k=8 lane-hash minima (4 × 32-bit lanes per seeded md5 — mirrors
+    * Dedup.laneHash), bands of 2 → 4 band keys.
+    */
+  private val sigCols: String = (0 until 8).map { i =>
+    val seed = i / 4; val pos = (i % 4) * 8 + 1
+    s"list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('$seed|' || s), $pos, 8)) AS BIGINT))) AS s$i"
+  }.mkString(",\n         ")
 
   private val bandSelects: String = (0 until 4).map { j =>
     val a = 2 * j; val b = 2 * j + 1

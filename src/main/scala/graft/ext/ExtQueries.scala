@@ -68,17 +68,16 @@ object ExtQueries {
     val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
     val withSh = corpus.select(col("doc_id"),
       TextOps.shingles(split(col("text"), " "), 3).as("sh"))
-    val withBands = withSh.select(col("doc_id"), col("sh"),
-      Dedup.lshBandKeys(Dedup.minHashSignature(col("sh"), 8), 8, 4).as("bands"))
-    val cands = Dedup.lshCandidatePairs(withBands)
+    val sigs = Dedup.minHashSignatures(withSh, 8)
+    val cands = Dedup.lshCandidatePairs(sigs, 8, 4)
     Dedup.verifiedNearDups(cands, withSh, 0.5)
   }
 
   def simHashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    nearDupCorpus(Tables.documents(spark, sfDir)).select(
-      col("doc_id"),
-      Dedup.simHash32(split(col("text"), " ")).as("simhash32"))
+    Dedup.simHash32Agg(
+      nearDupCorpus(Tables.documents(spark, sfDir))
+        .select(col("doc_id"), split(col("text"), " ").as("toks")))
   }
 
   /** Ground-truth injected pairs (orig, orig+100000) with their n-gram
@@ -87,13 +86,15 @@ object ExtQueries {
   def jaccardGroundTruth(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
-    val enriched = corpus.select(col("doc_id"),
-      TextOps.shingles(split(col("text"), " "), 3).as("sh"),
-      Dedup.simHash32(split(col("text"), " ")).as("fp"))
+    val withSh = corpus.select(col("doc_id"),
+      TextOps.shingles(split(col("text"), " "), 3).as("sh"))
+    val fps = Dedup.simHash32Agg(
+      corpus.select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val enriched = withSh.join(fps, "doc_id")
     val a = enriched.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
-      col("fp").as("fp_a"))
+      col("simhash32").as("fp_a"))
     val b = enriched.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
-      col("fp").as("fp_b"))
+      col("simhash32").as("fp_b"))
     a.join(b, col("id_b") === col("id_a") + 100000)
       .select(col("id_a"), col("id_b"),
         round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"),

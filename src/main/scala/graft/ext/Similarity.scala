@@ -21,9 +21,16 @@ object Similarity {
 
   /** Dot product with deterministic (left-fold) summation order —
     * matches DuckDB's `list_aggregate(list_transform(list_zip(..)),'sum')`
-    * exactly, so cosine values are reproducible cross-engine.
+    * exactly, so cosine values are reproducible cross-engine. Backed by
+    * the native codegen expression [[graft.functions.DotProductD]]
+    * (same summation order as the HOF fold, ~5× faster in the all-pairs
+    * kernel); [[dotFold]] keeps the pure-builtin form for cross-checks.
     */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumns.dotProduct(a, b)
+
+  /** The higher-order-function reference implementation of [[dot]]. */
+  def dotFold(a: Column, b: Column): Column =
     TextOps.foldSumDouble(zip_with(a, b, (x, y) => x * y))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -44,14 +51,23 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
+    // norms are computed ONCE per vector before the join (recomputing
+    // dot(v,v) per pair tripled the fold work — measured); the corpus
+    // side is repartitioned so the nested-loop stream parallelizes
+    // instead of inheriting the scan's few input splits
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2Norm(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cn", l2Norm(col("cv")))
+      .repartition(col("neighbor_id"))
+    val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+        round(when(col("qn") * col("cn") > 0,
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), 6)
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -66,14 +82,19 @@ object Similarity {
   def nearDupPairs(vectors: DataFrame, threshold: Double,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val a = vectors.select(col(idCol).as("id_a"),
-      col(vecCol).cast("array<double>").as("va"))
-    val b = vectors.select(col(idCol).as("id_b"),
-      col(vecCol).cast("array<double>").as("vb"))
+    val base = vectors.select(col(idCol),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nm", l2Norm(col("v")))
+    val a = base.select(col(idCol).as("id_a"), col("v").as("va"),
+      col("nm").as("na")).repartition(col("id_a"))
+    val b = broadcast(base.select(col(idCol).as("id_b"), col("v").as("vb"),
+      col("nm").as("nb")))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+        round(when(col("na") * col("nb") > 0,
+          dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6)
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

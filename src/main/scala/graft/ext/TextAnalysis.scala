@@ -91,15 +91,19 @@ object TextAnalysis {
         round(avg(length(col(textCol))), 2).as("avg_chars"))
 
   /** Content fingerprints: md5 of normalized text, the 1-permutation
-    * min-shingle hash (cheap containment sketch), and the 32-bit SimHash.
+    * min-shingle hash (cheap containment sketch), and the 32-bit SimHash
+    * (aggregate form, joined back by doc id — one hash per token instead
+    * of 32 under projection collapse).
     */
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    docs.select(
+    val rowLevel = docs.select(
       col("doc_id"),
       md5(TextOps.normText(col(textCol))).as("content_md5"),
       array_min(transform(TextOps.shingles(toks, 3), s => TextOps.hash64(s)))
-        .as("min_shingle_hash"),
-      Dedup.simHash32(toks).as("simhash32"))
+        .as("min_shingle_hash"))
+    val fps = Dedup.simHash32Agg(
+      docs.select(col("doc_id"), toks.as("toks")))
+    rowLevel.join(fps, "doc_id")
   }
 }

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.classic.ExpressionUtils
+
+import graft.functions.DotProductD
+
+/** Bridge for graft's native Catalyst expressions into the public
+  * `Column` API (Column↔Expression conversion is `private[sql]` in
+  * Spark 4, hence this object lives in `org.apache.spark.sql`).
+  */
+object GraftColumns {
+
+  /** Codegen'd dot product over array<double> — see [[DotProductD]]. */
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductD(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

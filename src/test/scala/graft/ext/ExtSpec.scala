@@ -113,6 +113,17 @@ class ExtSpec extends AnyFunSuite {
     assert(f1.values.forall(v => v.length == 8 && v.forall(x => x >= -1 && x <= 1)))
   }
 
+  test("native DotProductD is bit-identical to the HOF fold") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = vecs.select(
+      Similarity.dot(col("v"), col("v")).as("native"),
+      Similarity.dotFold(col("v"), col("v")).as("fold"))
+    // bitwise equality, not approximate: same summation order
+    assert(both.filter(col("native") =!= col("fold")).count() == 0)
+    assert(both.count() == 500)
+  }
+
   test("langid prefers the marker-richest language deterministically") {
     val docs = Seq(
       (1L, "the cat and the dog is a pet"),       // en markers
