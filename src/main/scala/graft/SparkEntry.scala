@@ -65,9 +65,11 @@ object SparkEntry {
     "t3_quality_scores" -> ExtQueries.qualityScores _,
     "t4_lang_id" -> ExtQueries.langId _,
     "t5_fingerprints" -> ExtQueries.fingerprints _,
+    "t6_bpe_token_counts" -> ExtQueries.bpeTokenCounts _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
+    "m2_media_frames" -> ExtQueries.mediaFrames _,
     "w1_hourly_by_type" -> ExtQueries.hourlyByType _,
     "w2_sliding_hourly" -> ExtQueries.slidingHourly _,
     "w3_user_sessions" -> ExtQueries.userSessions _
@@ -104,9 +106,11 @@ object SparkEntry {
     "t3_quality_scores" -> ExtOracleSql.t3QualityScores,
     "t4_lang_id" -> ExtOracleSql.t4LangId,
     "t5_fingerprints" -> ExtOracleSql.t5Fingerprints,
+    "t6_bpe_token_counts" -> ExtOracleSql.t6BpeTokenCounts,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,
+    "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
     "w1_hourly_by_type" -> ExtOracleSql.w1HourlyByType,
     "w2_sliding_hourly" -> ExtOracleSql.w2SlidingHourly,
     "w3_user_sessions" -> ExtOracleSql.w3UserSessions

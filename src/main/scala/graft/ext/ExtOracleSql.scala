@@ -238,6 +238,26 @@ FROM r WHERE rank <= 5"""
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
 
+  val t6BpeTokenCounts: String = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
+            - len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_punct_tokens
+FROM documents"""
+
+  val m2MediaFrames: String = """WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(
+           lpad(hex(64 + doc_id % 192), 4, '0')
+             || lpad(hex(64 + doc_id % 128), 4, '0') || text)) AS n_bytes
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ceil(n_bytes / 32.0) AS BIGINT) AS n_frames,
+       CAST(n_bytes AS BIGINT) AS total_bytes
+FROM m"""
+
   val m1MediaMetadata: String = """WITH m AS (
   SELECT doc_id,
          lpad(hex(64 + doc_id % 192), 4, '0')

@@ -138,6 +138,23 @@ object ExtQueries {
     TextAnalysis.fingerprints(Tables.documents(spark, sfDir))
   }
 
+  /** BPE-ish regex tokenization (word runs + single punctuation marks) —
+    * the pre-tokenizer shape of byte-pair encoders, as pure regex counts.
+    */
+  def bpeTokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val t = col("text")
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit("\\w+|[^\\w\\s]"), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      size(regexp_extract_all(t, lit("\\w+"), lit(0)))
+        .cast("long").as("n_word_tokens"),
+      (size(regexp_extract_all(t, lit("\\w+|[^\\w\\s]"), lit(0))) -
+        size(regexp_extract_all(t, lit("\\w+"), lit(0))))
+        .cast("long").as("n_punct_tokens"))
+  }
+
   // ---- similarity ----
 
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -160,6 +177,19 @@ object ExtQueries {
     Tables.tune(spark)
     Media.extractMeta(Media.synthCorpus(Tables.documents(spark, sfDir)))
       .withColumn("n_bytes", col("n_bytes").cast("long"))
+  }
+
+  /** Frame sampling rollup: per doc, how many 32-byte frames the payload
+    * splits into and their reassembled size (proves the binary chunking
+    * covers the payload exactly).
+    */
+  def mediaFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val media = Media.synthCorpus(Tables.documents(spark, sfDir))
+    Media.sampleFrames(media, chunkBytes = 32)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame"))).as("total_bytes"))
   }
 
   // ---- stream windows (batch-equivalent forms; the streaming variants

@@ -1,7 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed rows for the custom-state operator. */
+case class UserEvent(user_id: Long, value: Double)
+case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
 /** Event-stream window aggregations (extension target — the reference
   * has no streaming at all, SURVEY §2.8). The aggregation bodies are
@@ -38,6 +43,31 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("n_events"), col("sum_value"))
+
+  /** Custom streaming state via `flatMapGroupsWithState`: running
+    * per-user totals that survive across micro-batches (the
+    * `KeyValueGroupedDataset` state-store path the built-in aggregates
+    * can't express when update logic is arbitrary). Works identically on
+    * a batch Dataset (one pass, empty initial state) — tested for
+    * equivalence with the plain groupBy aggregate.
+    */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { e => n += 1; s += e.value }
+          val next = UserTotals(uid, n, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   /** Per-user session windows with a 5-minute inactivity gap. Spark
     * session semantics: window = [first event, last event + gap).

@@ -46,6 +46,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState running totals: batch form equals groupBy agg") {
+    val sfDir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sfDir)
+    val viaState = StreamingOps.runningUserTotals(events)
+      .collect().map(u => (u.user_id, u.n_events, math.round(u.sum_value * 100)))
+      .toSet
+    val viaAgg = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toSet
+    assert(viaState == viaAgg)
+  }
+
+  test("flatMapGroupsWithState accumulates across micro-batches") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, sfDir)
+    val stage = Files.createTempDirectory("state_src").toString
+    // two files → at least two micro-batches with maxFilesPerTrigger=1
+    batchEvents.repartition(2).write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = StreamingOps.runningUserTotals(streamIn)
+      .writeStream.format("memory").queryName("running_totals")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // the row with the highest n_events per user is the final state
+      // (n_events is strictly increasing; sum_value need not be)
+      val last = spark.table("running_totals")
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(col("n_events").desc)))
+        .filter(col("_rn") === 1)
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("user_id")),
+          r.getLong(r.fieldIndex("n_events")),
+          math.round(r.getDouble(r.fieldIndex("sum_value")) * 100)))
+        .toSet
+      val expected = batchEvents.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+        .toSet
+      assert(last == expected)
+    } finally q.stop()
+  }
+
   test("userSessions sessionizes with the 5-minute gap (batch form)") {
     import spark.implicits._
     val ts = Seq(
