@@ -122,6 +122,59 @@ object Similarity {
     vectors.withColumn("bucket",
       lshBucket(col(vecCol).cast("array<double>"), nPlanes))
 
+  /** Per-label centroid vectors (the IVF coarse quantizer): element-wise
+    * mean via posexplode + grouped avg — two small shuffles, centroid
+    * table is |labels| rows (broadcastable at any corpus size).
+    */
+  def centroids(corpus: DataFrame, labelCol: String = "label",
+                vecCol: String = "embedding"): DataFrame = {
+    val ex = corpus.select(col(labelCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_x")))
+    ex.groupBy(col(labelCol), col("_pos")).agg(avg(col("_x")).as("_m"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
+      .select(col(labelCol),
+        transform(col("_pm"), p => p.getField("_m")).as("centroid"))
+  }
+
+  /** IVF-style ANN top-k: probe the `nprobe` nearest centroids per query
+    * (tiny broadcast cross join), then exact-rank only within the probed
+    * inverted lists — the corpus-side join is an equi-join on the label,
+    * so at scale each query touches nprobe/|labels| of the data instead
+    * of all of it. Recall is probabilistic (unit-tested vs brute force).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              labelCol: String = "label"): DataFrame = {
+    val cents = broadcast(centroids(corpus, labelCol, vecCol)
+      .withColumn("cn", l2Norm(col("centroid"))))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_csim").desc, col(labelCol).asc)
+    val probed = q.crossJoin(cents)
+      .withColumn("_csim", when(col("qn") * col("cn") > 0,
+        dot(col("qv"), col("centroid")) / (col("qn") * col("cn"))))
+      .withColumn("_pr", row_number().over(probeW))
+      .filter(col("_pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col(labelCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val scored = probed.join(c, labelCol)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(when(col("qn") * col("cn") > 0,
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** ANN near-dup pairs: candidates share an LSH bucket (equi-join on
     * the bucket id — shuffle, not cross join), then exact-cosine verify.
     */

@@ -113,6 +113,29 @@ class ExtSpec extends AnyFunSuite {
     assert(f1.values.forall(v => v.length == 8 && v.forall(x => x >= -1 && x <= 1)))
   }
 
+  test("IVF top-k: high recall on clustered data at a fraction of the scan") {
+    // deterministic clustered corpus: 8 archetype directions + small
+    // perturbations (the driver's embeddings are isotropic random — no
+    // cluster structure for ANY coarse quantizer to exploit, so IVF is
+    // validated on data where inverted lists mean something)
+    def base(c: Int, d: Int): Double = math.sin(c * 13.7 + d * 0.31)
+    val rows = for (c <- 0 until 8; i <- 0 until 40) yield {
+      val vec = (0 until 16).map(d =>
+        (base(c, d) + 0.15 * math.sin(i * 7.3 + d * 1.9)).toFloat).toArray
+      (c.toLong * 100 + i, vec, c)
+    }
+    val corpus = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") % 100 < 3) // 3 per cluster
+    val exact = Similarity.bruteForceTopK(queries, corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, 3, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall (${(exact & ivf).size}/${exact.size})")
+    // every query still gets k results (probed lists are non-empty)
+    assert(ivf.size == exact.size)
+  }
+
   test("native DotProductD is bit-identical to the HOF fold") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
