@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.DotProductD
+
+/** Session-extension entry point: configure
+  * `spark.sql.extensions=graft.GraftExtensions` and the native
+  * expressions become SQL functions cluster-wide (the registration path
+  * for deployments that never touch the Scala API). For an
+  * already-running session use
+  * `org.apache.spark.sql.GraftColumns.registerFunctions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductD(children.head, children(1))))
+  }
+}

@@ -72,7 +72,8 @@ object SparkEntry {
     "m2_media_frames" -> ExtQueries.mediaFrames _,
     "w1_hourly_by_type" -> ExtQueries.hourlyByType _,
     "w2_sliding_hourly" -> ExtQueries.slidingHourly _,
-    "w3_user_sessions" -> ExtQueries.userSessions _
+    "w3_user_sessions" -> ExtQueries.userSessions _,
+    "x1_salted_revenue" -> ExtQueries.saltedRevenue _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,6 +114,7 @@ object SparkEntry {
     "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
     "w1_hourly_by_type" -> ExtOracleSql.w1HourlyByType,
     "w2_sliding_hourly" -> ExtOracleSql.w2SlidingHourly,
-    "w3_user_sessions" -> ExtOracleSql.w3UserSessions
+    "w3_user_sessions" -> ExtOracleSql.w3UserSessions,
+    "x1_salted_revenue" -> ExtOracleSql.x1SaltedRevenue
   )
 }

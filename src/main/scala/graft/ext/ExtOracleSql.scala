@@ -238,6 +238,13 @@ FROM r WHERE rank <= 5"""
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
 
+  /** x1's oracle is the UNSALTED aggregate — the salted two-stage form
+    * must be indistinguishable from a plain groupBy.
+    */
+  val x1SaltedRevenue: String = graft.queries.OracleSql.EnrichedCte + """
+SELECT fin_month_label, ROUND(SUM(total_line_price), 2) AS revenue
+FROM enriched GROUP BY 1"""
+
   val t6BpeTokenCounts: String = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens,

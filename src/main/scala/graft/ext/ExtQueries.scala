@@ -171,6 +171,19 @@ object ExtQueries {
       nearDupVectors(Tables.embeddings(spark, sfDir)), 0.97)
   }
 
+  /** Skew-safe salted aggregation (x1): revenue by fiscal month via the
+    * two-stage salted sum — result identical to the direct groupBy (the
+    * oracle is the plain SQL aggregate).
+    */
+  def saltedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    graft.std.Salt.saltedSum(
+      graft.queries.Merged.cleaned(spark, sfDir),
+      Seq("fin_month_label"), Seq("total_line_price"), buckets = 16)
+      .select(col("fin_month_label"),
+        round(col("total_line_price"), 2).as("revenue"))
+  }
+
   // ---- multimodal ----
 
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {

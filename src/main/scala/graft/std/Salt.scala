@@ -1,0 +1,35 @@
+package graft.std
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: two-stage salted aggregation. A hot group key (the
+  * classic case here: the `"None"` fiscal-month label absorbing every
+  * date-less row — SURVEY §2.4) funnels its entire group through one
+  * reducer; salting spreads it over `buckets` partial groups first, then
+  * combines the partials. Sums/counts re-aggregate losslessly.
+  *
+  * AQE's skew-join handling covers joins; this is the aggregation-side
+  * counterpart for when a single *group* outweighs a partition.
+  */
+object Salt {
+
+  /** Sum `valueCols` by `keys` with a salted first stage. The salt is
+    * derived from a row id, so same-key rows spread evenly; the second
+    * stage restores exact group totals (modulo double-summation order,
+    * which every aggregate query here already absorbs by rounding).
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCols: Seq[String],
+                buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    val stage1 = salted
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(sum(valueCols.head).as(valueCols.head),
+        valueCols.tail.map(c => sum(c).as(c)): _*)
+    stage1
+      .groupBy(keys.map(col): _*)
+      .agg(sum(valueCols.head).as(valueCols.head),
+        valueCols.tail.map(c => sum(c).as(c)): _*)
+  }
+}

@@ -14,4 +14,13 @@ object GraftColumns {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductD(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Register graft's native functions on an existing session so SQL
+    * users can call them (`SELECT graft_dot(a, b)`); the
+    * [[graft.GraftExtensions]] class does the same at session build time
+    * via `spark.sql.extensions`.
+    */
+  def registerFunctions(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProductD(exprs.head, exprs(1)), "built-in")
 }
