@@ -171,6 +171,16 @@ object ExtQueries {
       nearDupVectors(Tables.embeddings(spark, sfDir)), 0.97)
   }
 
+  /** Winnowing/rolling-hash sketch (t7): bottom-8 of the char-8-gram
+    * hashes per document.
+    */
+  def winnowingSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextAnalysis.charKgramSketch(col("text")).as("sketch"))
+  }
+
   /** Skew-safe salted aggregation (x1): revenue by fiscal month via the
     * two-stage salted sum — result identical to the direct groupBy (the
     * oracle is the plain SQL aggregate).

@@ -183,12 +183,17 @@ object Similarity {
                       vecCol: String = "embedding"): DataFrame = {
     val bv = withLshBuckets(vectors, nPlanes, vecCol)
       .select(col(idCol), col("bucket"), col(vecCol).cast("array<double>").as("v"))
-    val a = bv.select(col(idCol).as("id_a"), col("bucket"), col("v").as("va"))
-    val b = bv.select(col(idCol).as("id_b"), col("bucket"), col("v").as("vb"))
+      .withColumn("nm", l2Norm(col("v")))
+    val a = bv.select(col(idCol).as("id_a"), col("bucket"), col("v").as("va"),
+      col("nm").as("na"))
+    val b = bv.select(col(idCol).as("id_b"), col("bucket"), col("v").as("vb"),
+      col("nm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+        round(when(col("na") * col("nb") > 0,
+          dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6)
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

@@ -90,6 +90,21 @@ object TextAnalysis {
         sum(size(TextOps.tokens(col(textCol)))).as("total_tokens"),
         round(avg(length(col(textCol))), 2).as("avg_chars"))
 
+  /** Winnowing-style rolling sketch: hash every character k-gram of the
+    * normalized text, keep the bottom-m hashes — a containment sketch
+    * robust to local edits (two documents sharing most k-grams share
+    * most of the sketch). Pure per-row expression, single consumer, so
+    * it stays one pass under codegen.
+    */
+  def charKgramSketch(text: Column, k: Int = 8, m: Int = 8): Column = {
+    val norm = TextOps.normText(text)
+    val n = length(norm)
+    val grams = transform(sequence(lit(1), n - (k - 1)),
+      i => TextOps.hash64(norm.substr(i, lit(k))))
+    when(n >= k, slice(array_sort(grams), 1, m))
+      .otherwise(array(TextOps.hash64(norm)))
+  }
+
   /** Content fingerprints: md5 of normalized text, the 1-permutation
     * min-shingle hash (cheap containment sketch), and the 32-bit SimHash
     * (aggregate form, joined back by doc id — one hash per token instead
