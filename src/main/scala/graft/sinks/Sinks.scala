@@ -62,4 +62,37 @@ object Sinks {
       .map(w => if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1).toLowerCase)
       .mkString(" ")
       .take(31)
+
+  /** S4 replacement contract (SURVEY §2.1): the reference's multi-sheet
+    * Excel workbook (`Project.py:273-324`) as one directory of CSV
+    * "sheets", names sanitized the same way. Same information,
+    * oracle-checkable, and writable in parallel (xlsxwriter is a
+    * single-threaded driver-side bottleneck the engine shouldn't have).
+    */
+  def writeWorkbook(sheets: Seq[(String, DataFrame)], dir: String): Unit =
+    sheets.foreach { case (name, df) =>
+      writeCsv(df, s"$dir/${sanitizeSheetName(name).replace(' ', '_')}")
+    }
+
+  /** S5 replacement (SURVEY §2.1): the chart *inputs* (the reference
+    * renders matplotlib PNGs of Q1/Q2, `Project.py:226-267`) as
+    * chart-ready CSV — one ordered frame per chart.
+    */
+  def writeChartData(revenueByMonth: DataFrame, topProducts: DataFrame,
+                     dir: String): Unit = {
+    writeCsv(revenueByMonth.orderBy(col("fin_month_label")),
+      s"$dir/revenue_by_month_chart")
+    writeCsv(topProducts.orderBy(col("revenue").desc, col("product_desc")),
+      s"$dir/top_products_chart")
+  }
+
+  /** S6 end-to-end (`Project.py:367-423`): project + serialize all three
+    * MongoDB collections as JSONL directories, the exact mongoimport
+    * input contract.
+    */
+  def exportCollections(cleaned: DataFrame, dir: String): Unit = {
+    writeJsonl(projectCollection(cleaned, SalesLinesColumns), s"$dir/sales_lines")
+    writeJsonl(projectCollection(cleaned, ReceivablesColumns), s"$dir/receivables")
+    writeJsonl(projectCollection(cleaned, PaymentsColumns), s"$dir/payments")
+  }
 }

@@ -66,4 +66,58 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.sanitizeSheetName("revenue_by_month") == "Revenue By Month")
     assert(Sinks.sanitizeSheetName("a" * 40).length == 31)
   }
+
+  test("S4 replacement: workbook writes one CSV dir per sanitized sheet") {
+    val dir = tmp("workbook")
+    Sinks.writeWorkbook(Seq(
+      "summary" -> frame.select("id"),
+      "full_data" -> frame.select("id", "s")), dir)
+    val sheets = new java.io.File(dir).list().sorted
+    assert(sheets.toSeq == Seq("Full_Data", "Summary"))
+    val back = spark.read.option("header", "true").csv(s"$dir/Full_Data")
+    assert(back.columns.toSeq == Seq("id", "s"))
+  }
+
+  test("S6 end-to-end: three collection JSONL dirs with full row counts") {
+    import graft.queries.Merged
+    val dir = tmp("collections")
+    val cleaned = Merged.cleaned(spark, "/root/testdata/sf0.001")
+    Sinks.exportCollections(cleaned, dir)
+    val n = cleaned.count()
+    for (c <- Seq("sales_lines", "receivables", "payments")) {
+      val back = spark.read.json(s"$dir/$c")
+      assert(back.count() == n, s"collection $c row count")
+    }
+    // sales_lines keeps the P14 intersection schema (inventory_code and
+    // rep_code never existed upstream)
+    val sl = spark.read.json(s"$dir/sales_lines")
+    assert(!sl.columns.contains("inventory_code"))
+    assert(sl.columns.contains("fin_week_label"))
+  }
+
+  test("A-path end-to-end from CSV with inferSchema (the reference's input format)") {
+    import graft.queries.Merged
+    val dir = tmp("csv_src")
+    // messy headers exactly like a pandas-exported CSV
+    val csv = Seq(
+      "Unnamed: 0,Quantity,Total Line Price,Last Cost,Trans Date,TRANS-TYPE Code",
+      "0,2.0,10.0,3.0,2024-03-15,1",
+      "1,abc,20.0,4.0,not-a-date,2",
+      "2,-1.0,5.0,,2024-12-28,3").mkString("\n")
+    val f = java.nio.file.Files.createTempDirectory("raw").resolve("m.csv")
+    java.nio.file.Files.writeString(f, csv)
+    val raw = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(f.toString)
+    val out = Merged.clearvuePipeline(raw)
+    val rows = out.collect().sortBy(_.getAs[Int]("trans_type_code"))
+    assert(out.columns.contains("trans_type_code")) // snake_cased
+    assert(!out.columns.contains("unnamed_0")) // P2 artifact drop
+    // coerced cast: "abc" quantity → null; fiscal calendar applied
+    assert(rows(1).isNullAt(rows(1).fieldIndex("quantity")))
+    assert(rows(0).getString(rows(0).fieldIndex("fin_month_label")) == "2024-03")
+    // Dec 28 2024 is after Dec's last Friday (12-27) → FY rollover
+    assert(rows(2).getString(rows(2).fieldIndex("fin_month_label")) == "2025-01")
+    // flags present and non-null
+    assert(rows(2).getBoolean(rows(2).fieldIndex("flag_negative_qty")))
+  }
 }

@@ -96,6 +96,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed restart is exactly-once (no reprocessed rows)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, sfDir)
+    val srcDir = Files.createTempDirectory("ckpt_src").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val outDir = Files.createTempDirectory("ckpt_out").toString
+    val half = batchEvents.count() / 2
+
+    def startQuery() = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+
+    // batch 1 → process → stop (simulated crash/redeploy)
+    batchEvents.limit(half.toInt).write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    // batch 2 arrives while "down"; restart from the same checkpoint
+    batchEvents.write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(outDir).count()
+    // first half processed once, full set appended once → 1.5x, not 2x
+    assert(got == half + batchEvents.count(),
+      s"expected ${half + batchEvents.count()} rows, got $got (duplicates = reprocessing)")
+  }
+
   test("userSessions sessionizes with the 5-minute gap (batch form)") {
     import spark.implicits._
     val ts = Seq(
