@@ -54,14 +54,19 @@ object Sinks {
     df.select(wanted.filter(df.columns.contains).map(col): _*)
 
   /** S4's 31-char sheet-name sanitization (`Project.py:303`) as a filename
-    * sanitizer: `replace('_',' ').title()[:31]`.
+    * sanitizer: `replace('_',' ').title()[:31]`. Python `str.title()`
+    * capitalizes a letter after ANY non-letter (digits included:
+    * `"ab2cd"` → `"Ab2Cd"`), not just after spaces — reproduced exactly.
     */
-  def sanitizeSheetName(name: String): String =
-    name.replace('_', ' ')
-      .split(" ", -1)
-      .map(w => if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1).toLowerCase)
-      .mkString(" ")
-      .take(31)
+  def sanitizeSheetName(name: String): String = {
+    val sb = new StringBuilder
+    var prevLetter = false
+    name.replace('_', ' ').foreach { c =>
+      sb.append(if (prevLetter) c.toLower else c.toUpper)
+      prevLetter = c.isLetter
+    }
+    sb.result().take(31)
+  }
 
   /** S4 replacement contract (SURVEY §2.1): the reference's multi-sheet
     * Excel workbook (`Project.py:273-324`) as one directory of CSV

@@ -62,9 +62,13 @@ class SinksSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("cust_desc", "total_due"))
   }
 
-  test("S4 sheet-name sanitizer: title-case + 31-char cap (Project.py:303)") {
+  test("S4 sheet-name sanitizer: Python str.title() parity + 31-char cap") {
     assert(Sinks.sanitizeSheetName("revenue_by_month") == "Revenue By Month")
     assert(Sinks.sanitizeSheetName("a" * 40).length == 31)
+    // title() capitalizes after any non-letter, digits included
+    assert(Sinks.sanitizeSheetName("ab2cd") == "Ab2Cd")
+    assert(Sinks.sanitizeSheetName("q2_2025_sales") == "Q2 2025 Sales")
+    assert(Sinks.sanitizeSheetName("it's") == "It'S") // yes, Python does this
   }
 
   test("S4 replacement: workbook writes one CSV dir per sanitized sheet") {
