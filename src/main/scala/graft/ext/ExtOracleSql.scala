@@ -242,11 +242,12 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
   SELECT doc_id, $Norm AS ntext FROM documents
 )
 SELECT doc_id,
-       CASE WHEN length(ntext) >= 8
-            THEN (list_sort(list_transform(
-                    generate_series(1, length(ntext) - 7),
-                    i -> ${h64("substr(ntext, CAST(i AS INTEGER), 8)")})))[1:8]
-            ELSE [${h64("ntext")}] END AS sketch
+       array_to_string(
+         CASE WHEN length(ntext) >= 8
+              THEN (list_sort(list_transform(
+                      generate_series(1, length(ntext) - 7),
+                      i -> ${h64("substr(ntext, CAST(i AS INTEGER), 8)")})))[1:8]
+              ELSE [${h64("ntext")}] END, ',') AS sketch
 FROM t"""
 
   /** x1's oracle is the UNSALTED aggregate — the salted two-stage form

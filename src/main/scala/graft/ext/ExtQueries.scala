@@ -176,9 +176,12 @@ object ExtQueries {
     */
   def winnowingSketch(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
+    // serialized as a comma-joined string: scalar columns keep the
+    // cross-engine compare independent of array-normalization details
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
-      TextAnalysis.charKgramSketch(col("text")).as("sketch"))
+      concat_ws(",", TextAnalysis.charKgramSketch(col("text"))
+        .cast("array<string>")).as("sketch"))
   }
 
   /** Skew-safe salted aggregation (x1): revenue by fiscal month via the
