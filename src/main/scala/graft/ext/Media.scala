@@ -83,9 +83,14 @@ object Media {
   def sampleFrames(media: DataFrame, chunkBytes: Int): DataFrame = {
     val nChunks = ceil(length(col("payload")).cast("double") / chunkBytes)
       .cast("int")
-    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
-      substring(col("payload"), (i * chunkBytes + 1).cast("int"),
-        lit(chunkBytes)))
+    // sequence(0, -1) yields [0, -1] (Spark defaults to step -1 when
+    // start > stop), so an empty payload must map to an empty array,
+    // not two phantom frames
+    val chunks = when(nChunks > 0,
+      transform(sequence(lit(0), nChunks - 1), i =>
+        substring(col("payload"), (i * chunkBytes + 1).cast("int"),
+          lit(chunkBytes))))
+      .otherwise(array().cast("array<binary>"))
     media.select(col("doc_id"), posexplode(chunks).as(Seq("frame_no", "frame")))
   }
 

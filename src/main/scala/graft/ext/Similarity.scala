@@ -195,6 +195,5 @@ object Similarity {
           dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6)
           .as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 }

@@ -54,15 +54,21 @@ case class DotProductD(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed names: two DotProductD in one codegen scope
+      // (e.g. cosine's dot + two norms) would otherwise collide on the
+      // local variables and kick the stage out of codegen
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
       s"""
-         |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graftS = 0.0;
-         |for (int graftI = 0; graftI < graftN; graftI++) {
-         |  if (!$a.isNullAt(graftI) && !$b.isNullAt(graftI)) {
-         |    graftS += $a.getDouble(graftI) * $b.getDouble(graftI);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
          |}
-         |${ev.value} = graftS;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -21,7 +21,11 @@ object Tables {
     * rejects; read the nanos as long and convert via integer division
     * (micros fit a long; double division would lose precision at 1e18).
     * The corpus has no sub-microsecond components, so this matches
-    * DuckDB's TIMESTAMP_NS→TIMESTAMP coercion exactly.
+    * DuckDB's TIMESTAMP_NS→TIMESTAMP coercion exactly. The legacy flag is
+    * session-wide by design: every graft read goes through this loader,
+    * and a session that has touched events keeps typing nanos columns as
+    * long everywhere (consistent, if surprising — scoping the flag to one
+    * read isn't supported, it's consulted again at execution).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

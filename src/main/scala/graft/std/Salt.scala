@@ -21,8 +21,13 @@ object Salt {
     */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCols: Seq[String],
                 buckets: Int = 16): DataFrame = {
+    // salt from row CONTENT, not monotonically_increasing_id(): the id is
+    // nondeterministic across task retries, and a re-salted recompute of
+    // a map task after a fetch failure would corrupt the stage-1
+    // aggregate (the SPARK-23207 class of bug). Identical rows sharing a
+    // salt merely costs a little spread, never correctness.
     val salted = df.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+      pmod(hash(df.columns.map(col): _*), lit(buckets)))
     val stage1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(sum(valueCols.head).as(valueCols.head),
