@@ -82,6 +82,21 @@ object TextAnalysis {
           least(stopRatio * 5.0, lit(1.0)) * 0.2, 6).as("quality_score"))
   }
 
+  /** Approximate one-pass corpus profile: HLL distinct counts and
+    * approximate percentiles. Not oracle-gated (sketch internals differ
+    * per engine by design); unit-tested against exact counts. At 100 TB
+    * this replaces the exact-distinct shuffle with mergeable fixed-size
+    * state — the only way the profile stays one pass.
+    */
+  def corpusProfile(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(md5(TextOps.normText(col(textCol))))
+        .as("approx_uniq_texts"),
+      approx_count_distinct(col("lang")).as("approx_langs"),
+      expr("approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D))")
+        .as("chars_percentiles"))
+
   /** Per-language rollup — the aggregate view a corpus curator reads. */
   def langStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(col("lang"))

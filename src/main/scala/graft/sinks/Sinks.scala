@@ -27,6 +27,16 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Lake layout for the enriched frame: parquet partitioned by the
+    * fiscal-month label, so month-scoped queries (the dominant BI access
+    * pattern here) prune to one directory instead of scanning the fact
+    * table. At 100 TB this is the difference between reading ~1/84th of
+    * the data and all of it.
+    */
+  def writePartitionedByMonth(df: DataFrame, path: String,
+                              partCol: String = "fin_month_label"): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** P14 — the reference's per-collection column lists
     * (`Project.py:367-395`); projection takes the intersection with the
     * actual schema, exactly like `[c for c in cols if c in df.columns]`.

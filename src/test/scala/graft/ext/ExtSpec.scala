@@ -147,6 +147,18 @@ class ExtSpec extends AnyFunSuite {
     assert(both.count() == 500)
   }
 
+  test("approx corpus profile tracks exact counts within sketch error") {
+    val docs = Tables.documents(spark, sfDir)
+    val prof = TextAnalysis.corpusProfile(docs).head()
+    val exactUniq = docs.select(TextOps.normText(col("text"))).distinct().count()
+    val approxUniq = prof.getLong(prof.fieldIndex("approx_uniq_texts"))
+    assert(math.abs(approxUniq - exactUniq).toDouble / exactUniq < 0.05,
+      s"HLL $approxUniq vs exact $exactUniq")
+    assert(prof.getLong(prof.fieldIndex("approx_langs")) == 5L)
+    val pcts = prof.getSeq[Long](prof.fieldIndex("chars_percentiles"))
+    assert(pcts.length == 3 && pcts(0) <= pcts(1) && pcts(1) <= pcts(2))
+  }
+
   test("langid prefers the marker-richest language deterministically") {
     val docs = Seq(
       (1L, "the cat and the dog is a pet"),       // en markers

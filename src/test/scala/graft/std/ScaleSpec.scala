@@ -43,6 +43,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() == Tables.lineitem(spark, sfDir).count())
   }
 
+  test("month-partitioned lake layout prunes to the queried partition") {
+    import graft.queries.Merged
+    import graft.sinks.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("lake").resolve("enriched").toString
+    Sinks.writePartitionedByMonth(
+      Merged.cleaned(spark, sfDir)
+        .select("fin_month_label", "total_line_price", "quantity"), dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("fin_month_label") === "1995-06")
+      .agg(sum("total_line_price"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("fin_month_label"),
+      s"partition filter not pushed:\n$scan")
+    // the pruned scan still returns the right answer
+    val expected = Merged.cleaned(spark, sfDir)
+      .filter(col("fin_month_label") === "1995-06")
+      .agg(sum("total_line_price")).head().getDouble(0)
+    assert(math.abs(q.head().getDouble(0) - expected) < 1e-6)
+  }
+
   test("graft_dot is callable from SQL after registration") {
     org.apache.spark.sql.GraftColumns.registerFunctions(spark)
     val r = spark.sql(
