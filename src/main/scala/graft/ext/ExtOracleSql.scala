@@ -243,11 +243,10 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
 )
 SELECT doc_id,
        array_to_string(
-         CASE WHEN length(ntext) >= 8
-              THEN (list_sort(list_transform(
-                      generate_series(1, length(ntext) - 7),
-                      i -> ${h64("substr(ntext, CAST(i AS INTEGER), 8)")})))[1:8]
-              ELSE [${h64("ntext")}] END, ',') AS sketch
+         (list_sort(list_transform(
+            generate_series(1, greatest(length(ntext) - 7, 1)),
+            i -> ${h64("substr(ntext, CAST(i AS INTEGER), 8)")})))[1:8],
+         ',') AS sketch
 FROM t"""
 
   /** x1's oracle is the UNSALTED aggregate — the salted two-stage form

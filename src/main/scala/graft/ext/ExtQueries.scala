@@ -178,10 +178,9 @@ object ExtQueries {
     Tables.tune(spark)
     // serialized as a comma-joined string: scalar columns keep the
     // cross-engine compare independent of array-normalization details
-    Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      concat_ws(",", TextAnalysis.charKgramSketch(col("text"))
-        .cast("array<string>")).as("sketch"))
+    TextAnalysis.winnowingSketchAgg(Tables.documents(spark, sfDir))
+      .select(col("doc_id"),
+        concat_ws(",", col("sketch").cast("array<string>")).as("sketch"))
   }
 
   /** Skew-safe salted aggregation (x1): revenue by fiscal month via the

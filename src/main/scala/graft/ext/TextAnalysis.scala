@@ -108,8 +108,11 @@ object TextAnalysis {
   /** Winnowing-style rolling sketch: hash every character k-gram of the
     * normalized text, keep the bottom-m hashes — a containment sketch
     * robust to local edits (two documents sharing most k-grams share
-    * most of the sketch). Pure per-row expression, single consumer, so
-    * it stays one pass under codegen.
+    * most of the sketch). Inline expression form; prefer
+    * [[winnowingSketchAgg]] at corpus scale (referencing the normalized
+    * text inside the per-gram lambda re-evaluates the regex chain per
+    * gram — higher-order lambdas sit outside subexpression elimination;
+    * measured ~10×).
     */
   def charKgramSketch(text: Column, k: Int = 8, m: Int = 8): Column = {
     val norm = TextOps.normText(text)
@@ -118,6 +121,27 @@ object TextAnalysis {
       i => TextOps.hash64(norm.substr(i, lit(k))))
     when(n >= k, slice(array_sort(grams), 1, m))
       .otherwise(array(TextOps.hash64(norm)))
+  }
+
+  /** Corpus-scale form of [[charKgramSketch]]: normalize once per doc,
+    * explode gram offsets, hash per row, bottom-m via grouped
+    * collect+sort. A doc shorter than k contributes one truncated gram —
+    * `substr` past the end returns the whole text, so values equal the
+    * inline form's whole-text-hash fallback. Returns (doc_id, sketch
+    * array).
+    */
+  def winnowingSketchAgg(docs: DataFrame, textCol: String = "text",
+                         k: Int = 8, m: Int = 8): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextOps.normText(col(textCol)).as("_ntext"))
+    val grams = base.select(col("doc_id"),
+      explode(sequence(lit(1),
+        greatest(length(col("_ntext")) - (k - 1), lit(1)))).as("_i"),
+      col("_ntext"))
+      .select(col("doc_id"),
+        TextOps.hash64(col("_ntext").substr(col("_i"), lit(k))).as("_h"))
+    grams.groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_list(col("_h"))), 1, m).as("sketch"))
   }
 
   /** Content fingerprints: md5 of normalized text, the 1-permutation

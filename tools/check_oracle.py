@@ -45,6 +45,7 @@ for name in sorted(oracle):
     try:
         cur = con.execute(oracle[name])
         ocols = [d[0] for d in cur.description]
+        otypes = dict(zip(ocols, [d[1] for d in cur.description]))
         orows = cur.fetchall()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
@@ -57,7 +58,12 @@ for name in sorted(oracle):
         continue
     cur = con.execute(f"SELECT * FROM read_parquet({files!r})")
     scols = [d[0] for d in cur.description]
+    stypes = dict(zip(scols, [d[1] for d in cur.description]))
     srows = cur.fetchall()
+    typediff = {c: (stypes[c], otypes[c]) for c in set(scols) & set(ocols)
+                if stypes[c] != otypes[c]}
+    if typediff:
+        print(f"WARN {name}: type drift (spark vs oracle): {typediff}")
     oc, orw = canon(ocols, orows)
     sc, srw = canon(scols, srows)
     if sc != oc:
