@@ -94,9 +94,10 @@ object Media {
     media.select(col("doc_id"), posexplode(chunks).as(Seq("frame_no", "frame")))
   }
 
-  /** Feature extraction over the corpus (stub decode + real plumbing):
-    * repartition by content digest so identical payloads co-locate
-    * (dedupe-friendly), then the per-row feature expression.
+  /** Feature extraction over the corpus: the per-row stub-decode
+    * expression — embarrassingly parallel, no shuffle. A real decoder
+    * slots into [[decodeFeatureStub]]'s position with the same
+    * (binary → array<double>) signature.
     */
   def featurize(media: DataFrame, dims: Int = 8): DataFrame =
     media.select(col("doc_id"),

@@ -147,6 +147,35 @@ class ExtSpec extends AnyFunSuite {
     assert(both.count() == 500)
   }
 
+  test("edge cases: empty text, zero vector, short docs") {
+    import org.apache.spark.sql.functions.{col => c}
+    // empty text: normText("") = "" → tokens [""] (documented quirk,
+    // mirrored by DuckDB string_split('', ' ') = [''])
+    val stats = TextAnalysis.tokenStats(Seq((1L, "")).toDF("doc_id", "text"))
+      .head()
+    assert(stats.getInt(stats.fieldIndex("n_tokens")) == 1)
+    // doc shorter than the shingle width contributes its whole text
+    val sh = Seq((1L, "ab cd")).toDF("doc_id", "text")
+      .select(TextOps.shingles(TextOps.tokens(c("text")), 3).as("sh"))
+      .head().getSeq[String](0)
+    assert(sh == Seq("ab cd"))
+    // zero vector: cosine guard yields null, not NaN
+    val z = Seq((1L, Array(0.0, 0.0), Array(1.0, 2.0)))
+      .toDF("id", "a", "b")
+      .select(Similarity.cosine(c("a").cast("array<double>"),
+        c("b").cast("array<double>")).as("cos"))
+      .head()
+    assert(z.isNullAt(0))
+    // laneHash stays within 32 bits, non-negative
+    val lanes = Seq((1L, "token")).toDF("id", "t")
+      .select((0 until 8).map(i => Dedup.laneHash(i, c("t")).as(s"h$i")): _*)
+      .head()
+    (0 until 8).foreach { i =>
+      val v = lanes.getLong(i)
+      assert(v >= 0 && v < (1L << 32), s"lane $i out of range: $v")
+    }
+  }
+
   test("approx corpus profile tracks exact counts within sketch error") {
     val docs = Tables.documents(spark, sfDir)
     val prof = TextAnalysis.corpusProfile(docs).head()
