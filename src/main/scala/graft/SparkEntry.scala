@@ -74,7 +74,9 @@ object SparkEntry {
     "w1_hourly_by_type" -> ExtQueries.hourlyByType _,
     "w2_sliding_hourly" -> ExtQueries.slidingHourly _,
     "w3_user_sessions" -> ExtQueries.userSessions _,
-    "x1_salted_revenue" -> ExtQueries.saltedRevenue _
+    "x1_salted_revenue" -> ExtQueries.saltedRevenue _,
+    "x2_range_join" -> ExtQueries.rangeJoinAttribution _,
+    "x3_asof_join" -> ExtQueries.asOfJoin _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,6 +119,8 @@ object SparkEntry {
     "w1_hourly_by_type" -> ExtOracleSql.w1HourlyByType,
     "w2_sliding_hourly" -> ExtOracleSql.w2SlidingHourly,
     "w3_user_sessions" -> ExtOracleSql.w3UserSessions,
-    "x1_salted_revenue" -> ExtOracleSql.x1SaltedRevenue
+    "x1_salted_revenue" -> ExtOracleSql.x1SaltedRevenue,
+    "x2_range_join" -> ExtOracleSql.x2RangeJoinAttribution,
+    "x3_asof_join" -> ExtOracleSql.x3AsOfJoin
   )
 }

@@ -256,6 +256,29 @@ FROM t"""
 SELECT fin_month_label, ROUND(SUM(total_line_price), 2) AS revenue
 FROM enriched GROUP BY 1"""
 
+  val x2RangeJoinAttribution: String = """WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT click_id, COUNT(p_ts) AS n_purchases,
+       round(SUM(value), 2) AS attributed_value
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id
+ AND p.p_ts > c.click_ts
+ AND p.p_ts <= c.click_ts + INTERVAL '30 minutes'
+GROUP BY 1"""
+
+  val x3AsOfJoin: String = """WITH o AS (
+  SELECT *, last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS asof_ts
+  FROM events
+)
+SELECT event_id, user_id, ts AS event_ts, asof_ts
+FROM o WHERE event_type = 'error'"""
+
   val t6BpeTokenCounts: String = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens,

@@ -183,6 +183,22 @@ object ExtQueries {
         concat_ws(",", col("sketch").cast("array<string>")).as("sketch"))
   }
 
+  /** Range (interval) join (x2): click→purchase attribution within a
+    * 30-minute window, keyed on user.
+    */
+  def rangeJoinAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TemporalJoins.purchaseAttribution(Tables.events(spark, sfDir))
+  }
+
+  /** As-of join (x3): each error event paired with the user's latest
+    * preceding signup.
+    */
+  def asOfJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TemporalJoins.asOfLast(Tables.events(spark, sfDir))
+  }
+
   /** Skew-safe salted aggregation (x1): revenue by fiscal month via the
     * two-stage salted sum — result identical to the direct groupBy (the
     * oracle is the plain SQL aggregate).

@@ -96,6 +96,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream range join matches the batch inner form") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, sfDir)
+    // batch reference: inner form of the click→purchase pairing
+    val clicks = batchEvents.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = batchEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val expected = clicks.join(purchases,
+      col("user_id") === col("p_user") && col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES")).count()
+
+    val stage = Files.createTempDirectory("ssj_src").toString
+    batchEvents.write.mode("overwrite").parquet(stage)
+    def stream() = spark.readStream.schema(batchEvents.schema).parquet(stage)
+    val sClicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val sPurch = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = sClicks.join(sPurch,
+      col("user_id") === col("p_user") && col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_smoke")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ssj_smoke").count() == expected)
+    } finally q.stop()
+  }
+
   test("checkpointed restart is exactly-once (no reprocessed rows)") {
     val sfDir = "/root/testdata/sf0.001"
     val batchEvents = Tables.events(spark, sfDir)
