@@ -76,7 +76,9 @@ object SparkEntry {
     "w3_user_sessions" -> ExtQueries.userSessions _,
     "x1_salted_revenue" -> ExtQueries.saltedRevenue _,
     "x2_range_join" -> ExtQueries.rangeJoinAttribution _,
-    "x3_asof_join" -> ExtQueries.asOfJoin _
+    "x3_asof_join" -> ExtQueries.asOfJoin _,
+    "x4_rollup_sales" -> ExtQueries.rollupSales _,
+    "x5_moving_avg_revenue" -> ExtQueries.movingAvgRevenue _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -121,6 +123,8 @@ object SparkEntry {
     "w3_user_sessions" -> ExtOracleSql.w3UserSessions,
     "x1_salted_revenue" -> ExtOracleSql.x1SaltedRevenue,
     "x2_range_join" -> ExtOracleSql.x2RangeJoinAttribution,
-    "x3_asof_join" -> ExtOracleSql.x3AsOfJoin
+    "x3_asof_join" -> ExtOracleSql.x3AsOfJoin,
+    "x4_rollup_sales" -> ExtOracleSql.x4RollupSales,
+    "x5_moving_avg_revenue" -> ExtOracleSql.x5MovingAvgRevenue
   )
 }

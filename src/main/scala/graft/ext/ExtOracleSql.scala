@@ -279,6 +279,24 @@ GROUP BY 1"""
 SELECT event_id, user_id, ts AS event_ts, asof_ts
 FROM o WHERE event_type = 'error'"""
 
+  val x4RollupSales: String = graft.queries.OracleSql.EnrichedCte + """
+SELECT fin_month_label, region_desc, brand_desc,
+       ROUND(SUM(total_line_price), 2) AS revenue,
+       CAST(GROUPING(fin_month_label) * 4 + GROUPING(region_desc) * 2
+            + GROUPING(brand_desc) AS BIGINT) AS level_id
+FROM enriched
+GROUP BY ROLLUP (fin_month_label, region_desc, brand_desc)"""
+
+  val x5MovingAvgRevenue: String = graft.queries.OracleSql.EnrichedCte + """
+, daily AS (
+  SELECT CAST(event_date AS DATE) AS day, SUM(total_line_price) AS _rev
+  FROM enriched GROUP BY 1
+)
+SELECT day, round(_rev, 2) AS revenue,
+       round(AVG(_rev) OVER (ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS revenue_ma7
+FROM daily"""
+
   val t6BpeTokenCounts: String = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens,

@@ -212,6 +212,34 @@ object ExtQueries {
         round(col("total_line_price"), 2).as("revenue"))
   }
 
+  /** Hierarchical rollup (x4): revenue by month ⊃ region ⊃ brand with
+    * subtotal levels — the OLAP drill-down the reference's dashboards
+    * implied but its script recomputed per level. One pass, grouping-id
+    * tagged.
+    */
+  def rollupSales(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    graft.queries.Merged.cleaned(spark, sfDir)
+      .rollup(col("fin_month_label"), col("region_desc"), col("brand_desc"))
+      .agg(round(sum("total_line_price"), 2).as("revenue"),
+        grouping_id().cast("long").as("level_id"))
+  }
+
+  /** Moving-average window (x5): 7-row trailing mean of daily revenue
+    * ordered by event date — the rolling-frame window family.
+    */
+  def movingAvgRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.queries.Merged.cleaned(spark, sfDir)
+      .groupBy(to_date(col("event_date")).as("day"))
+      .agg(sum("total_line_price").as("_rev"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily.select(col("day"),
+      round(col("_rev"), 2).as("revenue"),
+      round(avg(col("_rev")).over(w), 2).as("revenue_ma7"))
+  }
+
   // ---- multimodal ----
 
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {

@@ -27,6 +27,9 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Lake layout for the enriched frame: parquet partitioned by the
     * fiscal-month label, so month-scoped queries (the dominant BI access
     * pattern here) prune to one directory instead of scanning the fact

@@ -56,6 +56,19 @@ class SinksSpec extends AnyFunSuite {
     assert(back.filter(col("id") === 1).head().getDouble(2) == 1.5)
   }
 
+  test("ORC round-trips with nulls and timestamps intact") {
+    val path = tmp("orc")
+    Sinks.writeOrc(frame, path)
+    val back = spark.read.orc(path)
+    assert(back.count() == 2)
+    // ORC reads everything back nullable; compare names + types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      frame.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.filter(col("s").isNull).count() == 1)
+    assert(back.filter(col("id") === 1).head()
+      .getTimestamp(3) == java.sql.Timestamp.valueOf("2024-03-01 12:30:00"))
+  }
+
   test("P14 projection takes schema intersection in wanted order") {
     val df = Seq((1, "x", 2.0)).toDF("doc_number", "cust_desc", "total_due")
     val got = Sinks.projectCollection(df, Sinks.ReceivablesColumns)
