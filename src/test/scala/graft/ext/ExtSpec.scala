@@ -176,6 +176,24 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("punct counting matches RE2 semantics on unicode/punct text") {
+    // the synthetic corpus is pure ASCII words, so the oracle never
+    // exercises [^\w\s]; these pin Java-regex counts to the values
+    // DuckDB RE2 produces on the same strings (verified out-of-band):
+    // both treat \w as ASCII [A-Za-z0-9_], so CJK chars count as punct
+    val docs = Seq(
+      (1L, "Hello, world! 你好."), // , ! 你 好 . → 5
+      (2L, "a_b c-d"),            // - → 1 (_ is \w)
+      (3L, "1+1=2")               // + = → 2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        math.round(r.getDouble(r.fieldIndex("punct_ratio")) *
+          Seq("Hello, world! 你好.", "a_b c-d", "1+1=2")(r.getLong(0).toInt - 1).length))
+      .toMap
+    assert(got == Map(1L -> 5L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("approx corpus profile tracks exact counts within sketch error") {
     val docs = Tables.documents(spark, sfDir)
     val prof = TextAnalysis.corpusProfile(docs).head()
