@@ -60,6 +60,7 @@ object SparkEntry {
     "d2_minhash_lsh_pairs" -> ExtQueries.minHashLshPairs _,
     "d3_simhash_fingerprints" -> ExtQueries.simHashFingerprints _,
     "d4_jaccard_ground_truth" -> ExtQueries.jaccardGroundTruth _,
+    "d5_dedup_clusters" -> ExtQueries.dedupClusters _,
     "t1_token_stats" -> ExtQueries.tokenStats _,
     "t2_lang_stats" -> ExtQueries.langStats _,
     "t3_quality_scores" -> ExtQueries.qualityScores _,
@@ -107,6 +108,7 @@ object SparkEntry {
     "d2_minhash_lsh_pairs" -> ExtOracleSql.d2MinHashLshPairs,
     "d3_simhash_fingerprints" -> ExtOracleSql.d3SimHashFingerprints,
     "d4_jaccard_ground_truth" -> ExtOracleSql.d4JaccardGroundTruth,
+    "d5_dedup_clusters" -> ExtOracleSql.d5DedupClusters,
     "t1_token_stats" -> ExtOracleSql.t1TokenStats,
     "t2_lang_stats" -> ExtOracleSql.t2LangStats,
     "t3_quality_scores" -> ExtOracleSql.t3QualityScores,

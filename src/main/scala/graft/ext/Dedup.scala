@@ -127,6 +127,41 @@ object Dedup {
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over the near-dup pair graph — the step that
+    * turns verified pairs into dedup groups (keep one doc per
+    * component). Iterative min-label propagation: each round every node
+    * takes the minimum label among itself and its neighbors; converges
+    * in O(graph diameter) rounds (near-dup components are shallow —
+    * chains of edits, not long paths). `localCheckpoint` truncates the
+    * growing lineage each round so the plan doesn't compound.
+    *
+    * At extreme scale swap in the large-star/small-star algorithm
+    * (Kiveris et al.) — same join shape, fewer rounds on skewed graphs.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20,
+                          idCol: String = "doc_id"): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = labels.join(sym, labels(idCol) === sym("src"))
+        .select(col("dst").as(idCol), col("label"))
+      val next = labels.unionByName(nbr)
+        .groupBy(col(idCol)).agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "_old"), idCol)
+        .filter(col("label") =!= col("_old")).count()
+      labels = next
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_rep")
+  }
+
   /** SimHash via explode + aggregate — the corpus-scale form. The inline
     * [[simHash32]] expression re-inlines the per-token md5 into each of
     * its 32 bit votes under projection collapse (32× the hash work —

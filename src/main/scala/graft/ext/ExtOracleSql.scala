@@ -89,6 +89,37 @@ FROM corpus GROUP BY 1"""
 )
 SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5"""
 
+  /** d5's oracle: the d2 pair pipeline + transitive closure via a
+    * recursive CTE (reach set per node, component rep = min reachable).
+    */
+  val d5DedupClusters: String =
+    NearDupCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""", sig AS (
+  SELECT doc_id, $sigCols
+  FROM shing
+), bands AS (
+  $bandSelects
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), ver AS (
+  SELECT id_a, id_b, ${jaccardExpr("sa.sh", "sb.sh")} AS jaccard
+  FROM cand
+  JOIN shing sa ON cand.id_a = sa.doc_id
+  JOIN shing sb ON cand.id_b = sb.doc_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ver WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT id_b, id_a FROM ver WHERE jaccard >= 0.5
+), reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM corpus
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_rep,
+       src = MIN(dst) AS is_keeper
+FROM reach GROUP BY src"""
+
   /** 32 per-bit majority votes over the distinct-token hashes `hh`. */
   private def simhashExpr(hh: String): String = (0 until 32).map { b =>
     s"""(CASE WHEN list_aggregate(list_transform($hh,

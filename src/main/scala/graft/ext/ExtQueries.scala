@@ -73,6 +73,24 @@ object ExtQueries {
     Dedup.verifiedNearDups(cands, withSh, 0.5)
   }
 
+  /** Full dedup resolution (d5): MinHash→LSH→verify pairs, then
+    * connected components — every corpus doc labeled with its cluster
+    * representative (min doc_id in component) and keep/drop decision.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
+    val withSh = corpus.select(col("doc_id"),
+      TextOps.shingles(split(col("text"), " "), 3).as("sh"))
+    val sigs = Dedup.minHashSignatures(withSh, 8)
+    val cands = Dedup.lshCandidatePairs(sigs, 8, 4)
+    val pairs = Dedup.verifiedNearDups(cands, withSh, 0.5)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(corpus.select("doc_id"), pairs)
+      .select(col("doc_id"), col("cluster_rep"),
+        (col("doc_id") === col("cluster_rep")).as("is_keeper"))
+  }
+
   def simHashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     Dedup.simHash32Agg(

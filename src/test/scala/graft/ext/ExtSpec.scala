@@ -39,6 +39,15 @@ class ExtSpec extends AnyFunSuite {
       s"LSH recall $found: missed ${(expected -- pairs).size} of ${expected.size}")
   }
 
+  test("connected components merge transitive chains to the min label") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 1-2-3 (diameter 2), pair 4-5, isolated 6
+    val edges = Seq((2L, 3L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("embedding LSH near-dups recall vs brute force") {
     val vecs = ExtQueries.nearDupVectors(Tables.embeddings(spark, sfDir))
     val exact = Similarity.nearDupPairs(vecs, 0.97)
