@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProductD
+import graft.functions.{DotProductD, NfcNormalize}
 
 /** Session-extension entry point: configure
   * `spark.sql.extensions=graft.GraftExtensions` and the native
@@ -20,5 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductD(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(children.head)))
   }
 }

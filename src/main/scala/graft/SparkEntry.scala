@@ -68,6 +68,7 @@ object SparkEntry {
     "t5_fingerprints" -> ExtQueries.fingerprints _,
     "t6_bpe_token_counts" -> ExtQueries.bpeTokenCounts _,
     "t7_winnowing_sketch" -> ExtQueries.winnowingSketch _,
+    "t8_nfc_fingerprints" -> ExtQueries.nfcFingerprints _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
@@ -116,6 +117,7 @@ object SparkEntry {
     "t5_fingerprints" -> ExtOracleSql.t5Fingerprints,
     "t6_bpe_token_counts" -> ExtOracleSql.t6BpeTokenCounts,
     "t7_winnowing_sketch" -> ExtOracleSql.t7WinnowingSketch,
+    "t8_nfc_fingerprints" -> ExtOracleSql.t8NfcFingerprints,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,

@@ -269,6 +269,12 @@ FROM r WHERE rank <= 5"""
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
 
+  val t8NfcFingerprints: String = """
+SELECT doc_id,
+       md5(nfc_normalize(text)) AS nfc_md5,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc
+FROM documents"""
+
   val t7WinnowingSketch: String = s"""WITH t AS (
   SELECT doc_id, $Norm AS ntext FROM documents
 )

@@ -189,6 +189,22 @@ object ExtQueries {
       nearDupVectors(Tables.embeddings(spark, sfDir)), 0.97)
   }
 
+  /** Unicode-canonical fingerprints (t8) via the native NFC expression:
+    * identical visible text hashes identically whether it arrived
+    * precomposed or decomposed. The synthetic corpus is ASCII (NFC is a
+    * no-op here — the decomposed path is unit-tested); the query proves
+    * the expression through the driver pipeline against DuckDB's
+    * nfc_normalize.
+    */
+  def nfcFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val n = org.apache.spark.sql.GraftColumns.nfc(col("text"))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      md5(n).as("nfc_md5"),
+      length(n).cast("long").as("n_chars_nfc"))
+  }
+
   /** Winnowing/rolling-hash sketch (t7): bottom-8 of the char-8-gram
     * hashes per document.
     */

@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.functions.DotProductD
+import graft.functions.{DotProductD, NfcNormalize}
 
 /** Bridge for graft's native Catalyst expressions into the public
   * `Column` API (Column↔Expression conversion is `private[sql]` in
@@ -15,12 +15,19 @@ object GraftColumns {
     ExpressionUtils.column(DotProductD(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Codegen'd Unicode NFC normalization — see [[NfcNormalize]]. */
+  def nfc(c: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
+
   /** Register graft's native functions on an existing session so SQL
     * users can call them (`SELECT graft_dot(a, b)`); the
     * [[graft.GraftExtensions]] class does the same at session build time
     * via `spark.sql.extensions`.
     */
-  def registerFunctions(spark: SparkSession): Unit =
+  def registerFunctions(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductD(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+  }
 }

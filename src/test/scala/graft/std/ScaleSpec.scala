@@ -72,6 +72,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(r == 11.0)
   }
 
+  test("graft_nfc canonicalizes decomposed unicode (e + combining acute)") {
+    org.apache.spark.sql.GraftColumns.registerFunctions(spark)
+    import spark.implicits._
+    val decomposed = "e\u0301"   // 2 codepoints
+    val precomposed = "\u00e9"   // 1 codepoint
+    val r = Seq(Tuple1(decomposed)).toDF("d")
+      .select(
+        org.apache.spark.sql.GraftColumns.nfc(col("d")).as("nd"),
+        length(col("d")).as("len_raw"),
+        length(org.apache.spark.sql.GraftColumns.nfc(col("d"))).as("len_nfc"))
+      .head()
+    assert(r.getString(0) == precomposed)
+    assert(r.getInt(1) == 2 && r.getInt(2) == 1)
+    // and through SQL
+    val viaSql = spark
+      .sql("SELECT graft_nfc('e\u0301') = '\u00e9'").head().getBoolean(0)
+    assert(viaSql)
+  }
+
   test("GraftExtensions applies cleanly to a fresh extension set") {
     // the shared test session is already built, so spark.sql.extensions
     // can't be exercised end-to-end here; the SQL surface itself is
