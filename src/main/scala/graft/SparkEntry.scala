@@ -69,6 +69,7 @@ object SparkEntry {
     "t6_bpe_token_counts" -> ExtQueries.bpeTokenCounts _,
     "t7_winnowing_sketch" -> ExtQueries.winnowingSketch _,
     "t8_nfc_fingerprints" -> ExtQueries.nfcFingerprints _,
+    "t9_train_test_split" -> ExtQueries.trainTestSplit _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
@@ -118,6 +119,7 @@ object SparkEntry {
     "t6_bpe_token_counts" -> ExtOracleSql.t6BpeTokenCounts,
     "t7_winnowing_sketch" -> ExtOracleSql.t7WinnowingSketch,
     "t8_nfc_fingerprints" -> ExtOracleSql.t8NfcFingerprints,
+    "t9_train_test_split" -> ExtOracleSql.t9TrainTestSplit,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,

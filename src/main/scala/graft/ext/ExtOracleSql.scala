@@ -269,6 +269,16 @@ FROM r WHERE rank <= 5"""
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
 
+  val t9TrainTestSplit: String = s"""WITH b AS (
+  SELECT lang, ${h64("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM b GROUP BY 1, 2"""
+
   val t8NfcFingerprints: String = """
 SELECT doc_id,
        md5(nfc_normalize(text)) AS nfc_md5,

@@ -189,6 +189,16 @@ object ExtQueries {
       nearDupVectors(Tables.embeddings(spark, sfDir)), 0.97)
   }
 
+  /** Deterministic train/valid/test split (t9): content-hash buckets, so
+    * both engines assign every doc identically.
+    */
+  def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.trainTestSplit(Tables.documents(spark, sfDir))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Unicode-canonical fingerprints (t8) via the native NFC expression:
     * identical visible text hashes identically whether it arrived
     * precomposed or decomposed. The synthetic corpus is ASCII (NFC is a

@@ -97,6 +97,29 @@ object TextAnalysis {
       expr("approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D))")
         .as("chars_percentiles"))
 
+  /** Deterministic train/valid/test assignment from the content-stable
+    * document hash — the leakage-free split: the same doc lands in the
+    * same split on every engine, every run, every re-shard (never use
+    * random() or row position, both of which reassign docs when the
+    * corpus is re-partitioned).
+    */
+  def trainTestSplit(docs: DataFrame, idCol: String = "doc_id",
+                     trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val bucket = TextOps.hash64(col(idCol).cast("string")) % 100
+    docs.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+
+  /** Stratified sampling by a key column (e.g. rebalancing languages),
+    * seeded for reproducibility within a Spark version.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double],
+                       seed: Long = 42L): DataFrame =
+    docs.stat.sampleBy(stratumCol, fractions, seed)
+
   /** Per-language rollup — the aggregate view a corpus curator reads. */
   def langStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(col("lang"))

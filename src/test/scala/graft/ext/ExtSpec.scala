@@ -203,6 +203,34 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Map(1L -> 5L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("train/test split is deterministic and roughly 80/10/10") {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = TextAnalysis.trainTestSplit(docs)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s2 = TextAnalysis.trainTestSplit(docs)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == s2) // same assignment every run
+    val total = s1.values.sum.toDouble
+    assert(s1("train") / total > 0.7 && s1("train") / total < 0.9)
+    assert(s1.keySet == Set("train", "valid", "test"))
+  }
+
+  test("stratified sample approximates requested per-language fractions") {
+    val docs = Tables.documents(spark, sfDir)
+    val sampled = TextAnalysis.stratifiedSample(docs, "lang",
+      Map("en" -> 0.5, "fr" -> 1.0, "es" -> 0.0, "de" -> 1.0, "zh" -> 1.0))
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("es", 0L) == 0L)
+    assert(byLang("fr") == full("fr") && byLang("zh") == full("zh"))
+    val enFrac = byLang("en").toDouble / full("en")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac")
+  }
+
   test("approx corpus profile tracks exact counts within sketch error") {
     val docs = Tables.documents(spark, sfDir)
     val prof = TextAnalysis.corpusProfile(docs).head()
