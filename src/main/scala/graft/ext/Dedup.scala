@@ -159,6 +159,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    // Partial labels are silently wrong (a diameter->maxIter component
+    // would split into several clusters in a data-dependent way); fail
+    // loudly instead of returning them.
+    require(changed == 0,
+      s"connectedComponents did not converge after $maxIter iterations " +
+        s"($changed labels still changing) — raise maxIter or switch to " +
+        "the large-star/small-star variant for deep components")
     labels.withColumnRenamed("label", "cluster_rep")
   }
 

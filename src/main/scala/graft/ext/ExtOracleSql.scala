@@ -270,7 +270,7 @@ FROM r WHERE rank <= 5"""
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
 
   val t9TrainTestSplit: String = s"""WITH b AS (
-  SELECT lang, ${h64("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  SELECT lang, ${h64(Norm)} % 100 AS bucket
   FROM documents
 )
 SELECT CASE WHEN bucket < 80 THEN 'train'
@@ -299,8 +299,12 @@ FROM t"""
   /** x1's oracle is the UNSALTED aggregate — the salted two-stage form
     * must be indistinguishable from a plain groupBy.
     */
+  // DECIMAL sum on both sides: exact, associative — immune to the
+  // two-stage-vs-one-stage float summation-order drift.
   val x1SaltedRevenue: String = graft.queries.OracleSql.EnrichedCte + """
-SELECT fin_month_label, ROUND(SUM(total_line_price), 2) AS revenue
+SELECT fin_month_label,
+       CAST(ROUND(SUM(CAST(total_line_price AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS revenue
 FROM enriched GROUP BY 1"""
 
   val x2RangeJoinAttribution: String = """WITH c AS (

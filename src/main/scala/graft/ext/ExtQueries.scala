@@ -62,13 +62,19 @@ object ExtQueries {
 
   /** Full MinHash→LSH→verify pipeline: 3-shingles, k=8 permutations,
     * 4 bands × 2 rows, Jaccard ≥ 0.5 verification.
+    *
+    * The shingle frame feeds three consumers (the signature aggregate and
+    * both verify-join sides) and the signatures feed both LSH self-join
+    * sides — both are pinned so the regex+shingle subtree runs exactly
+    * once regardless of whether exchange reuse fires (see
+    * [[graft.std.Materialize]]).
     */
   def minHashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
-    val withSh = corpus.select(col("doc_id"),
-      TextOps.shingles(split(col("text"), " "), 3).as("sh"))
-    val sigs = Dedup.minHashSignatures(withSh, 8)
+    val withSh = graft.std.Materialize.once(corpus.select(col("doc_id"),
+      TextOps.shingles(split(col("text"), " "), 3).as("sh")))
+    val sigs = graft.std.Materialize.once(Dedup.minHashSignatures(withSh, 8))
     val cands = Dedup.lshCandidatePairs(sigs, 8, 4)
     Dedup.verifiedNearDups(cands, withSh, 0.5)
   }
@@ -80,9 +86,9 @@ object ExtQueries {
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
-    val withSh = corpus.select(col("doc_id"),
-      TextOps.shingles(split(col("text"), " "), 3).as("sh"))
-    val sigs = Dedup.minHashSignatures(withSh, 8)
+    val withSh = graft.std.Materialize.once(corpus.select(col("doc_id"),
+      TextOps.shingles(split(col("text"), " "), 3).as("sh")))
+    val sigs = graft.std.Materialize.once(Dedup.minHashSignatures(withSh, 8))
     val cands = Dedup.lshCandidatePairs(sigs, 8, 4)
     val pairs = Dedup.verifiedNearDups(cands, withSh, 0.5)
       .select("id_a", "id_b")
@@ -108,7 +114,8 @@ object ExtQueries {
       TextOps.shingles(split(col("text"), " "), 3).as("sh"))
     val fps = Dedup.simHash32Agg(
       corpus.select(col("doc_id"), split(col("text"), " ").as("toks")))
-    val enriched = withSh.join(fps, "doc_id")
+    // pinned: `enriched` feeds both sides of the pair join below
+    val enriched = graft.std.Materialize.once(withSh.join(fps, "doc_id"))
     val a = enriched.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
       col("simhash32").as("fp_a"))
     val b = enriched.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
@@ -245,15 +252,21 @@ object ExtQueries {
 
   /** Skew-safe salted aggregation (x1): revenue by fiscal month via the
     * two-stage salted sum — result identical to the direct groupBy (the
-    * oracle is the plain SQL aggregate).
+    * oracle is the plain SQL aggregate). The money column is summed as
+    * DECIMAL: decimal addition is exact and associative, so the salted
+    * two-stage total equals the oracle's one-stage total bit-for-bit —
+    * a double sum would drift with summation order and only *usually*
+    * round away the difference.
     */
   def saltedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     graft.std.Salt.saltedSum(
-      graft.queries.Merged.cleaned(spark, sfDir),
+      graft.queries.Merged.cleaned(spark, sfDir)
+        .withColumn("total_line_price",
+          col("total_line_price").cast("decimal(38,6)")),
       Seq("fin_month_label"), Seq("total_line_price"), buckets = 16)
       .select(col("fin_month_label"),
-        round(col("total_line_price"), 2).as("revenue"))
+        round(col("total_line_price"), 2).cast("double").as("revenue"))
   }
 
   /** Hierarchical rollup (x4): revenue by month ⊃ region ⊃ brand with

@@ -97,15 +97,19 @@ object TextAnalysis {
       expr("approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D))")
         .as("chars_percentiles"))
 
-  /** Deterministic train/valid/test assignment from the content-stable
-    * document hash — the leakage-free split: the same doc lands in the
-    * same split on every engine, every run, every re-shard (never use
-    * random() or row position, both of which reassign docs when the
-    * corpus is re-partitioned).
+  /** Deterministic train/valid/test assignment bucketed on the CONTENT
+    * digest (hash of the normalized text), not the document id: two
+    * copies of the same text always land in the same split, so exact
+    * duplicates can never straddle train/test (id-bucketed splits leak
+    * exactly that way). Near-duplicates under different wording still
+    * require near-dup dedup ([[graft.ext.Dedup]]) before splitting.
+    * Content bucketing is also stable across engines, runs, and
+    * re-shards (never use random() or row position, both of which
+    * reassign docs when the corpus is re-partitioned).
     */
-  def trainTestSplit(docs: DataFrame, idCol: String = "doc_id",
+  def trainTestSplit(docs: DataFrame, textCol: String = "text",
                      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
-    val bucket = TextOps.hash64(col(idCol).cast("string")) % 100
+    val bucket = TextOps.hash64(TextOps.normText(col(textCol))) % 100
     docs.withColumn("split",
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + validPct, "valid")

@@ -21,14 +21,13 @@ object Tables {
     * rejects; read the nanos as long and convert via integer division
     * (micros fit a long; double division would lose precision at 1e18).
     * The corpus has no sub-microsecond components, so this matches
-    * DuckDB's TIMESTAMP_NS→TIMESTAMP coercion exactly. The legacy flag is
-    * session-wide by design: every graft read goes through this loader,
-    * and a session that has touched events keeps typing nanos columns as
-    * long everywhere (consistent, if surprising — scoping the flag to one
-    * read isn't supported, it's consulted again at execution).
+    * DuckDB's TIMESTAMP_NS→TIMESTAMP coercion exactly. The enabling
+    * legacy flag is part of [[tune]] (applied here too so a bare loader
+    * call still works), so the session types nanos columns consistently
+    * from construction instead of flipping mid-session on first touch.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tune(spark)
     apply(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
@@ -44,6 +43,10 @@ object Tables {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // TIMESTAMP(NANOS) parquet columns (events table) read as long; set
+    // here — not as a loader side effect — so typing is consistent for
+    // the whole session lifetime.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }

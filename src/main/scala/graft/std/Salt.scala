@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
 object Salt {
 
   /** Sum `valueCols` by `keys` with a salted first stage. The salt is
-    * derived from a row id, so same-key rows spread evenly; the second
-    * stage restores exact group totals (modulo double-summation order,
-    * which every aggregate query here already absorbs by rounding).
+    * derived from row content, so same-key rows spread evenly; the
+    * second stage restores exact group totals. For DOUBLE columns the
+    * two-stage total can drift from a one-stage sum by summation order —
+    * cast money columns to DECIMAL first (exact, associative) when the
+    * result must match a single-stage computation bit-for-bit.
     */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCols: Seq[String],
                 buckets: Int = 16): DataFrame = {
