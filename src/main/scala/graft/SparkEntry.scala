@@ -70,8 +70,12 @@ object SparkEntry {
     "t7_winnowing_sketch" -> ExtQueries.winnowingSketch _,
     "t8_nfc_fingerprints" -> ExtQueries.nfcFingerprints _,
     "t9_train_test_split" -> ExtQueries.trainTestSplit _,
+    "t10_char_percentiles" -> ExtQueries.charPercentiles _,
+    "t11_doc_chunks" -> ExtQueries.docChunks _,
+    "t12_sequence_packing" -> ExtQueries.sequencePacking _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
+    "s3_lang_centroids" -> ExtQueries.langCentroids _,
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
     "m2_media_frames" -> ExtQueries.mediaFrames _,
     "w1_hourly_by_type" -> ExtQueries.hourlyByType _,
@@ -81,7 +85,9 @@ object SparkEntry {
     "x2_range_join" -> ExtQueries.rangeJoinAttribution _,
     "x3_asof_join" -> ExtQueries.asOfJoin _,
     "x4_rollup_sales" -> ExtQueries.rollupSales _,
-    "x5_moving_avg_revenue" -> ExtQueries.movingAvgRevenue _
+    "x5_moving_avg_revenue" -> ExtQueries.movingAvgRevenue _,
+    "x6_pivot_regions" -> ExtQueries.pivotRegions _,
+    "x7_unpivot_regions" -> ExtQueries.unpivotRegions _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,8 +126,12 @@ object SparkEntry {
     "t7_winnowing_sketch" -> ExtOracleSql.t7WinnowingSketch,
     "t8_nfc_fingerprints" -> ExtOracleSql.t8NfcFingerprints,
     "t9_train_test_split" -> ExtOracleSql.t9TrainTestSplit,
+    "t10_char_percentiles" -> ExtOracleSql.t10CharPercentiles,
+    "t11_doc_chunks" -> ExtOracleSql.t11DocChunks,
+    "t12_sequence_packing" -> ExtOracleSql.t12SequencePacking,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
+    "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,
     "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
     "w1_hourly_by_type" -> ExtOracleSql.w1HourlyByType,
@@ -131,6 +141,8 @@ object SparkEntry {
     "x2_range_join" -> ExtOracleSql.x2RangeJoinAttribution,
     "x3_asof_join" -> ExtOracleSql.x3AsOfJoin,
     "x4_rollup_sales" -> ExtOracleSql.x4RollupSales,
-    "x5_moving_avg_revenue" -> ExtOracleSql.x5MovingAvgRevenue
+    "x5_moving_avg_revenue" -> ExtOracleSql.x5MovingAvgRevenue,
+    "x6_pivot_regions" -> ExtOracleSql.x6PivotRegions,
+    "x7_unpivot_regions" -> ExtOracleSql.x7UnpivotRegions
   )
 }

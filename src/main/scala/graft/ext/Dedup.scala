@@ -144,28 +144,37 @@ object Dedup {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+    // Convergence check: min-propagation only ever DECREASES a label, so
+    // the label sum is monotone non-increasing and an unchanged sum is a
+    // fixed point. One cheap aggregate per round instead of a
+    // join+filter+count; DECIMAL sum is exact at any node count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var labels = nodes.select(col(idCol), col(idCol).as("label"))
       .localCheckpoint(true)
-    var changed = 1L
+    var prevSum = labelSum(labels)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!converged && i < maxIter) {
       val nbr = labels.join(sym, labels(idCol) === sym("src"))
         .select(col("dst").as(idCol), col("label"))
       val next = labels.unionByName(nbr)
         .groupBy(col(idCol)).agg(min("label").as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "_old"), idCol)
-        .filter(col("label") =!= col("_old")).count()
+      val curSum = labelSum(next)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       labels = next
       i += 1
     }
     // Partial labels are silently wrong (a diameter->maxIter component
     // would split into several clusters in a data-dependent way); fail
     // loudly instead of returning them.
-    require(changed == 0,
-      s"connectedComponents did not converge after $maxIter iterations " +
-        s"($changed labels still changing) — raise maxIter or switch to " +
-        "the large-star/small-star variant for deep components")
+    require(converged,
+      s"connectedComponents did not converge after $maxIter iterations — " +
+        "raise maxIter or switch to the large-star/small-star variant " +
+        "for deep components")
     labels.withColumnRenamed("label", "cluster_rep")
   }
 

@@ -307,6 +307,77 @@ SELECT fin_month_label,
          AS revenue
 FROM enriched GROUP BY 1"""
 
+  /** x6/x7 share the region list with the Spark pivot (no drift). */
+  private val PivotRegions: Seq[String] =
+    graft.queries.BiQueries.RegionPivotValues
+
+  val x6PivotRegions: String = graft.queries.OracleSql.EnrichedCte + s"""
+SELECT fin_month_label,
+       ${PivotRegions.map(r =>
+        s"ROUND(SUM(CASE WHEN region_desc = '$r' THEN total_line_price END), 2)" +
+          s" AS ${r.toLowerCase.replace(' ', '_')}").mkString(",\n       ")}
+FROM enriched GROUP BY 1"""
+
+  val x7UnpivotRegions: String = graft.queries.OracleSql.EnrichedCte + s"""
+SELECT fin_month_label,
+       lower(replace(region_desc, ' ', '_')) AS region_key,
+       ROUND(SUM(total_line_price), 2) AS revenue
+FROM enriched
+WHERE region_desc IN (${PivotRegions.map(r => s"'$r'").mkString(", ")})
+GROUP BY 1, 2
+HAVING SUM(total_line_price) IS NOT NULL"""
+
+  val t10CharPercentiles: String = """
+SELECT lang, COUNT(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90
+FROM documents GROUP BY 1"""
+
+  val t11DocChunks: String = """WITH s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 50, 1), 150))
+           AS chunk_start
+  FROM documents
+)
+SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, CAST(chunk_start AS INTEGER), 200)) AS BIGINT)
+         AS chunk_len,
+       md5(substr(text, CAST(chunk_start AS INTEGER), 200)) AS chunk_md5
+FROM s"""
+
+  val t12SequencePacking: String = s"""WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split($Norm, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT lang,
+       CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc
+FROM c GROUP BY 1, 2"""
+
+  // DECIMAL elementwise sums: exact/associative, so the mean is immune
+  // to partial-aggregation order (same rationale as x1).
+  val s3LangCentroids: String = """WITH j AS (
+  SELECT d.lang,
+         unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
+         unnest(e.embedding) AS val
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+)
+SELECT lang, CAST(dim AS BIGINT) AS dim,
+       round(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+         AS centroid,
+       COUNT(*) AS n_vecs
+FROM j GROUP BY 1, 2"""
+
   val x2RangeJoinAttribution: String = """WITH c AS (
   SELECT user_id, event_id AS click_id, ts AS click_ts
   FROM events WHERE event_type = 'click'

@@ -297,6 +297,49 @@ object ExtQueries {
       round(avg(col("_rev")).over(w), 2).as("revenue_ma7"))
   }
 
+  /** Region cross-tab (x6): pivot with explicit values — static schema,
+    * no distinct-scan pre-pass.
+    */
+  def pivotRegions(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    graft.queries.BiQueries.revenuePivotByRegion(
+      graft.queries.Merged.cleaned(spark, sfDir))
+  }
+
+  /** Melt back to long form (x7): pivot→unpivot round trip, null cells
+    * dropped.
+    */
+  def unpivotRegions(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    graft.queries.BiQueries.revenueUnpivotByRegion(
+      graft.queries.Merged.cleaned(spark, sfDir))
+  }
+
+  /** Exact length percentiles per language (t10). */
+  def charPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.charPercentiles(Tables.documents(spark, sfDir))
+  }
+
+  /** Fixed-width overlapping character chunks (t11). */
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.chunkDocs(Tables.documents(spark, sfDir))
+  }
+
+  /** Token-budget sequence packing summary (t12). */
+  def sequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.sequencePacking(Tables.documents(spark, sfDir))
+  }
+
+  /** Per-language embedding centroids in long form (s3). */
+  def langCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.langCentroids(Tables.documents(spark, sfDir),
+      Tables.embeddings(spark, sfDir))
+  }
+
   // ---- multimodal ----
 
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {

@@ -137,6 +137,30 @@ object Similarity {
         transform(col("_pm"), p => p.getField("_m")).as("centroid"))
   }
 
+  /** Per-language centroid components in long form (lang, dim, centroid)
+    * — [[centroids]]' oracle-gated twin. The per-dimension sum runs in
+    * DECIMAL so the partial-aggregation order cannot move the mean (a
+    * double sum varies in the last ulps with shuffle order; decimal
+    * addition is exact and associative, and DuckDB folds the same
+    * values to the same total). Shuffle volume is rows × dim skinny
+    * (lang, dim, val) triples with map-side combine down to
+    * |langs| × dim groups.
+    */
+  def langCentroids(docs: DataFrame, vecs: DataFrame): DataFrame = {
+    val joined = docs.select(col("doc_id"), col("lang"))
+      .join(vecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("_emb")),
+        col("doc_id") === col("vec_id"))
+    joined
+      .select(col("lang"), posexplode(col("_emb")).as(Seq("dim", "_v")))
+      .select(col("lang"), col("dim").cast("long").as("dim"), col("_v"))
+      .groupBy(col("lang"), col("dim"))
+      .agg(
+        round(sum(col("_v").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 6).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+  }
+
   /** IVF-style ANN top-k: probe the `nprobe` nearest centroids per query
     * (tiny broadcast cross join), then exact-rank only within the probed
     * inverted lists — the corpus-side join is an equi-join on the label,

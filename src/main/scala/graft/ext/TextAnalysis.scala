@@ -116,6 +116,67 @@ object TextAnalysis {
         .otherwise("test"))
   }
 
+  /** Exact character-length percentiles per language — the distribution
+    * profile a curator reads before setting length filters. Exact
+    * `percentile` buffers each group's values (fine at per-language
+    * group counts); at 100 TB switch to `approx_percentile`
+    * ([[corpusProfile]] shows the sketch form) — the exact one exists
+    * because it is DuckDB-oracle-checkable and the approx one is not.
+    */
+  def charPercentiles(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      round(expr("percentile(n_chars, 0.25D)"), 6).as("p25"),
+      round(expr("percentile(n_chars, 0.5D)"), 6).as("p50"),
+      round(expr("percentile(n_chars, 0.75D)"), 6).as("p75"),
+      round(expr("percentile(n_chars, 0.9D)"), 6).as("p90"))
+
+  /** Fixed-width character chunking with overlap (width 200, stride 150
+    * ⇒ 50-char overlap) — the context-window slicing step of a training
+    * pipeline. Explode over the start offsets is a narrow generator: no
+    * shuffle, rows scale by ~len/stride. Every document yields at least
+    * one chunk (empty text ⇒ one empty chunk).
+    */
+  def chunkDocs(docs: DataFrame, width: Int = 200,
+                stride: Int = 150, textCol: String = "text"): DataFrame = {
+    // last start: the first one whose chunk reaches the end of the text
+    // (a start beyond len - (width - stride) would emit a tail chunk the
+    // previous chunk already fully covers)
+    val starts = sequence(lit(1),
+      greatest(length(col(textCol)) - (width - stride), lit(1)), lit(stride))
+    val chunk = col(textCol).substr(col("chunk_start").cast("int"), lit(width))
+    docs.select(col("doc_id"), col(textCol),
+        explode(starts).as("chunk_start"))
+      .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+        length(chunk).cast("long").as("chunk_len"),
+        md5(chunk).as("chunk_md5"))
+  }
+
+  /** Token-budget sequence packing (running-sum form): docs are laid out
+    * in (lang, doc_id) order and assigned to the pack their first token
+    * falls into (`floor(preceding_tokens / budget)`). Deterministic and
+    * windowed per language — each partition packs in parallel, unlike
+    * true first-fit-decreasing packing, which is sequential by nature
+    * and would serialize the corpus through one task. Docs longer than
+    * `budget` simply span packs (they get their own `ceil(n/budget)`
+    * slots downstream).
+    */
+  def sequencePacking(docs: DataFrame, budget: Int = 2048,
+                      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(budget.toDouble)))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("pack_tokens"),
+        min("doc_id").as("first_doc"))
+  }
+
   /** Stratified sampling by a key column (e.g. rebalancing languages),
     * seeded for reproducibility within a Spark version.
     */

@@ -112,6 +112,45 @@ object BiQueries {
       sum(when(col("flag_negative_price"), 1L).otherwise(0L)).as("neg_price_rows"),
       sum(when(col("flag_zero_price_nonzero_qty"), 1L).otherwise(0L)).as("zero_price_rows"))
 
+  /** The five TPC-H region names — the pivot column set. Passing the
+    * values explicitly matters twice over: it skips the
+    * distinct-values-collect job Spark otherwise runs before pivoting,
+    * and it makes the output schema static (a 100-TB pivot whose column
+    * set depends on a full scan of the data is a two-pass query with an
+    * unpredictable schema).
+    */
+  val RegionPivotValues: Seq[String] =
+    Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+  /** Pivot — revenue by fiscal month, one column per region (the
+    * cross-tab every BI dashboard draws from Q3's long form). Plans as a
+    * single hash aggregate over `fin_month_label` with one conditional
+    * sum per region: one shuffle, same cost as Q1.
+    */
+  def revenuePivotByRegion(df: DataFrame): DataFrame = {
+    val region = SchemaOps.findRegionColumn(df.columns.toIndexedSeq)
+      .getOrElse(sys.error("no region column"))
+    df.groupBy(col("fin_month_label"))
+      .pivot(region, RegionPivotValues)
+      .agg(round(sum("total_line_price"), 2))
+      .select(col("fin_month_label") +: RegionPivotValues.map(r =>
+        col(s"`$r`").as(r.toLowerCase.replace(' ', '_'))): _*)
+  }
+
+  /** Unpivot — melt the region cross-tab back to long form
+    * (fin_month_label, region_key, revenue), dropping the null cells the
+    * pivot introduced for absent (month, region) combos. Round-trips
+    * with [[revenuePivotByRegion]]; `Dataset.unpivot` is a zero-shuffle
+    * generator over the wide frame.
+    */
+  def revenueUnpivotByRegion(df: DataFrame): DataFrame = {
+    val wide = revenuePivotByRegion(df)
+    val valueCols = wide.columns.filterNot(_ == "fin_month_label")
+    wide.unpivot(Array(col("fin_month_label")), valueCols.map(col),
+        "region_key", "revenue")
+      .filter(col("revenue").isNotNull)
+  }
+
   /** P12 — quality-issue rows (`Project.py:307-309`). The reference takes
     * `head(1000)` (row identity nondeterministic); the oracle-checkable form
     * aggregates the filtered set instead (SURVEY §2.7).

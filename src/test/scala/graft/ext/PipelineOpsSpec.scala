@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.queries.{BiQueries, Merged}
+import graft.sources.Tables
+
+/** Unit tests for the round-3 pipeline operators: pivot/unpivot,
+  * percentiles, chunking, sequence packing, centroids, and the
+  * content-bucketed split's no-leakage guarantee.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("pivot→unpivot round-trips to the long-form group-by") {
+    val merged = Merged.cleaned(spark, sfDir)
+    val viaUnpivot = BiQueries.revenueUnpivotByRegion(merged)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val region = graft.std.SchemaOps
+      .findRegionColumn(merged.columns.toIndexedSeq).get
+    val direct = merged
+      .filter(col(region).isin(BiQueries.RegionPivotValues: _*))
+      .groupBy(col("fin_month_label"),
+        lower(regexp_replace(col(region), " ", "_")).as("region_key"))
+      .agg(round(sum("total_line_price"), 2).as("revenue"))
+      .filter(col("revenue").isNotNull)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(viaUnpivot == direct)
+    assert(viaUnpivot.nonEmpty)
+  }
+
+  test("exact percentile interpolates like quantile_cont (type 7)") {
+    val df = Seq(("en", 1L), ("en", 2L), ("en", 3L), ("en", 4L))
+      .toDF("lang", "n_chars")
+    val row = TextAnalysis.charPercentiles(df).collect().head
+    assert(row.getDouble(row.fieldIndex("p25")) == 1.75)
+    assert(row.getDouble(row.fieldIndex("p50")) == 2.5)
+    assert(row.getDouble(row.fieldIndex("p75")) == 3.25)
+  }
+
+  test("chunking covers each document exactly, with the configured overlap") {
+    val docs = Seq((1L, ""), (2L, "x" * 100), (3L, "y" * 200), (4L, "z" * 350))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // every doc yields ≥1 chunk; starts advance by the stride; the last
+    // chunk reaches the end of the text
+    assert(out(1L).map(c => (c._2, c._3)).toSeq == Seq((1L, 0L)))
+    assert(out(2L).map(c => (c._2, c._3)).toSeq == Seq((1L, 100L)))
+    assert(out(3L).map(c => (c._2, c._3)).toSeq == Seq((1L, 200L)))
+    // 350 chars: [1..200], [151..350] — the start at 301 is suppressed
+    // (chunk 2 already reaches the end)
+    assert(out(4L).map(c => (c._2, c._3)).toSeq ==
+      Seq((1L, 200L), (151L, 200L)))
+    assert(out(4L).map(c => c._2 + c._3 - 1).max == 350L)
+  }
+
+  test("sequence packing assigns docs to token-budget bins in id order") {
+    // 4-token docs against a budget of 10: cumulative starts 0,4,8,12 →
+    // packs 0,0,0,1
+    val docs = Seq(
+      (1L, "en", "a b c d"), (2L, "en", "a b c d"),
+      (3L, "en", "a b c d"), (4L, "en", "a b c d"),
+      (5L, "fr", "a b")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.sequencePacking(docs, budget = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      ("en", 0L) -> ((3L, 12L, 1L)),
+      ("en", 1L) -> ((1L, 4L, 4L)),
+      ("fr", 0L) -> ((1L, 2L, 5L))))
+  }
+
+  test("language centroids match the brute-force mean") {
+    val got = Similarity.langCentroids(
+      Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+      .filter(col("dim") === 0)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("centroid"))).toMap
+    val expect = Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .join(Tables.embeddings(spark, sfDir),
+        col("doc_id") === col("vec_id"))
+      .select(col("lang"),
+        element_at(col("embedding").cast("array<double>"), 1).as("v0"))
+      .groupBy("lang").agg(avg("v0").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    got.foreach { case (lang, c) =>
+      assert(math.abs(c - expect(lang)) < 1e-6, s"$lang: $c vs ${expect(lang)}")
+    }
+  }
+
+  test("content-bucketed split puts exact duplicates in the same split") {
+    val docs = Seq(
+      (1L, "the same document text"), (999999L, "the same document text"),
+      (2L, "THE  SAME   document text"), // normalizes identically
+      (3L, "a different text entirely")).toDF("doc_id", "text")
+    val splits = TextAnalysis.trainTestSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("split"))).toMap
+    assert(splits(1L) == splits(999999L))
+    assert(splits(1L) == splits(2L))
+  }
+}
