@@ -69,6 +69,22 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup on a content key: keep the first arrival of
+    * each `(event_type, user_id, value)` combination, dropping later
+    * duplicates for as long as the watermark keeps their key in the
+    * state store (`dropDuplicatesWithinWatermark` — the streaming
+    * counterpart of [[graft.ext.Dedup.dropExactDuplicates]]; a batch
+    * frame takes the plain bounded-state-free `dropDuplicates`). At
+    * scale the state store holds one entry per distinct key inside the
+    * watermark horizon — bounded by the delay, not the stream length.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame = {
+    val keyed = events.withColumn("dedup_key",
+      md5(concat_ws("|", col("event_type"), col("user_id"), col("value"))))
+    if (events.isStreaming) keyed.dropDuplicatesWithinWatermark("dedup_key")
+    else keyed.dropDuplicates("dedup_key")
+  }
+
   /** Per-user session windows with a 5-minute inactivity gap. Spark
     * session semantics: window = [first event, last event + gap).
     */

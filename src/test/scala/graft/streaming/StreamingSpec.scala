@@ -163,6 +163,36 @@ class StreamingSpec extends AnyFunSuite {
       s"expected ${half + batchEvents.count()} rows, got $got (duplicates = reprocessing)")
   }
 
+  test("streaming dedup emits each content key exactly once") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, sfDir)
+    // duplicate-heavy input: the corpus twice over
+    val doubled = batchEvents.unionByName(batchEvents)
+    val expectedKeys = StreamingOps.dedupedEvents(doubled)
+      .select("dedup_key").collect().map(_.getString(0)).toSet
+
+    val stage = Files.createTempDirectory("dedup_src").toString
+    doubled.repartition(4).write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    // wide watermark: no key expires mid-test, so the replay order the
+    // file source picks cannot re-admit a late duplicate
+    val q = StreamingOps.dedupedEvents(
+        StreamingOps.withWatermarked(streamIn, "30 days"))
+      .writeStream.format("memory").queryName("dedup_smoke")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_smoke")
+        .select("dedup_key").collect().map(_.getString(0))
+      assert(got.length == got.distinct.length,
+        s"streaming dedup re-emitted ${got.length - got.distinct.length} keys")
+      assert(got.toSet == expectedKeys)
+    } finally q.stop()
+  }
+
   test("userSessions sessionizes with the 5-minute gap (batch form)") {
     import spark.implicits._
     val ts = Seq(
