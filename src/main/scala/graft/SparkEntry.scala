@@ -61,6 +61,8 @@ object SparkEntry {
     "d3_simhash_fingerprints" -> ExtQueries.simHashFingerprints _,
     "d4_jaccard_ground_truth" -> ExtQueries.jaccardGroundTruth _,
     "d5_dedup_clusters" -> ExtQueries.dedupClusters _,
+    "d6_dedup_survivors" -> ExtQueries.dedupSurvivors _,
+    "d7_dedup_dropped" -> ExtQueries.dedupDropped _,
     "t1_token_stats" -> ExtQueries.tokenStats _,
     "t2_lang_stats" -> ExtQueries.langStats _,
     "t3_quality_scores" -> ExtQueries.qualityScores _,
@@ -117,6 +119,8 @@ object SparkEntry {
     "d3_simhash_fingerprints" -> ExtOracleSql.d3SimHashFingerprints,
     "d4_jaccard_ground_truth" -> ExtOracleSql.d4JaccardGroundTruth,
     "d5_dedup_clusters" -> ExtOracleSql.d5DedupClusters,
+    "d6_dedup_survivors" -> ExtOracleSql.d6DedupSurvivors,
+    "d7_dedup_dropped" -> ExtOracleSql.d7DedupDropped,
     "t1_token_stats" -> ExtOracleSql.t1TokenStats,
     "t2_lang_stats" -> ExtOracleSql.t2LangStats,
     "t3_quality_scores" -> ExtOracleSql.t3QualityScores,

@@ -89,10 +89,11 @@ FROM corpus GROUP BY 1"""
 )
 SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5"""
 
-  /** d5's oracle: the d2 pair pipeline + transitive closure via a
-    * recursive CTE (reach set per node, component rep = min reachable).
+  /** The d2 pair pipeline + transitive closure via a recursive CTE
+    * (reach set per node, component rep = min reachable) — shared by
+    * d5/d6/d7.
     */
-  val d5DedupClusters: String =
+  private val ClusterCtes: String =
     NearDupCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""", sig AS (
   SELECT doc_id, $sigCols
   FROM shing
@@ -115,10 +116,24 @@ SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5"""
   SELECT doc_id AS src, doc_id AS dst FROM corpus
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-)
-SELECT src AS doc_id, MIN(dst) AS cluster_rep,
-       src = MIN(dst) AS is_keeper
-FROM reach GROUP BY src"""
+), clusters AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_rep,
+         src = MIN(dst) AS is_keeper
+  FROM reach GROUP BY src
+)"""
+
+  val d5DedupClusters: String = ClusterCtes + """
+SELECT doc_id, cluster_rep, is_keeper FROM clusters"""
+
+  val d6DedupSurvivors: String = ClusterCtes + """
+SELECT c.doc_id, md5(c.text) AS text_md5
+FROM corpus c
+WHERE c.doc_id IN (SELECT doc_id FROM clusters WHERE is_keeper)"""
+
+  val d7DedupDropped: String = ClusterCtes + """
+SELECT c.doc_id, md5(c.text) AS text_md5
+FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM clusters WHERE is_keeper)"""
 
   /** 32 per-bit majority votes over the distinct-token hashes `hh`. */
   private def simhashExpr(hh: String): String = (0 until 32).map { b =>

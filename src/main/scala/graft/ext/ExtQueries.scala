@@ -83,9 +83,11 @@ object ExtQueries {
     * connected components — every corpus doc labeled with its cluster
     * representative (min doc_id in component) and keep/drop decision.
     */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.tune(spark)
-    val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
+  /** MinHash→LSH→verify→connected-components over a (doc_id, text)
+    * corpus: every doc labeled with its cluster representative (min
+    * doc_id in component) and keep/drop decision. Shared by d5/d6/d7.
+    */
+  private def clustersOf(corpus: DataFrame): DataFrame = {
     val withSh = graft.std.Materialize.once(corpus.select(col("doc_id"),
       TextOps.shingles(split(col("text"), " "), 3).as("sh")))
     val sigs = graft.std.Materialize.once(Dedup.minHashSignatures(withSh, 8))
@@ -95,6 +97,35 @@ object ExtQueries {
     Dedup.connectedComponents(corpus.select("doc_id"), pairs)
       .select(col("doc_id"), col("cluster_rep"),
         (col("doc_id") === col("cluster_rep")).as("is_keeper"))
+  }
+
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    clustersOf(nearDupCorpus(Tables.documents(spark, sfDir)))
+  }
+
+  /** The cleaned corpus (d6): LEFT SEMI join of the corpus to its
+    * cluster keepers — the semi-join form every dedup pipeline ends
+    * with (emit surviving rows, never materialize the join's right
+    * columns).
+    */
+  def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
+    val keepers = clustersOf(corpus).filter(col("is_keeper")).select("doc_id")
+    corpus.join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+  }
+
+  /** The dropped rows (d7): the LEFT ANTI complement of [[dedupSurvivors]]
+    * — the audit trail a curation pipeline keeps of what dedup removed.
+    */
+  def dedupDropped(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
+    val keepers = clustersOf(corpus).filter(col("is_keeper")).select("doc_id")
+    corpus.join(keepers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
   }
 
   def simHashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
@@ -284,6 +315,15 @@ object ExtQueries {
 
   /** Moving-average window (x5): 7-row trailing mean of daily revenue
     * ordered by event date — the rolling-frame window family.
+    *
+    * A globally-ordered window with no partitionBy funnels everything
+    * through ONE WindowExec partition; instead the window is partitioned
+    * by year and each partition is fed a copy of the previous year's
+    * last 6 rows (the "boundary carry"), so the trailing frame is exact
+    * at the year boundary and every year computes in parallel. Carry
+    * rows are dropped after the window. Assumes ≥6 daily rows per year
+    * (any daily-grained corpus); the carry depth always equals the
+    * frame's preceding-row count.
     */
   def movingAvgRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -291,10 +331,22 @@ object ExtQueries {
     val daily = graft.queries.Merged.cleaned(spark, sfDir)
       .groupBy(to_date(col("event_date")).as("day"))
       .agg(sum("total_line_price").as("_rev"))
-    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
-    daily.select(col("day"),
-      round(col("_rev"), 2).as("revenue"),
-      round(avg(col("_rev")).over(w), 2).as("revenue_ma7"))
+    val real = daily
+      .withColumn("_wy", year(col("day"))).withColumn("_carry", lit(false))
+    val lastOfYear = Window.partitionBy(year(col("day")))
+      .orderBy(col("day").desc)
+    val carry = daily
+      .withColumn("_rn", row_number().over(lastOfYear))
+      .filter(col("_rn") <= 6).drop("_rn")
+      .withColumn("_wy", year(col("day")) + 1).withColumn("_carry", lit(true))
+    val w = Window.partitionBy(col("_wy")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    real.unionByName(carry)
+      .withColumn("_ma", avg(col("_rev")).over(w))
+      .filter(!col("_carry"))
+      .select(col("day"),
+        round(col("_rev"), 2).as("revenue"),
+        round(col("_ma"), 2).as("revenue_ma7"))
   }
 
   /** Region cross-tab (x6): pivot with explicit values — static schema,
