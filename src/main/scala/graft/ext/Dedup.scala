@@ -149,7 +149,7 @@ object Dedup {
     // fixed point. One cheap aggregate per round instead of a
     // join+filter+count; DECIMAL sum is exact at any node count.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     var labels = nodes.select(col(idCol), col(idCol).as("label"))
       .localCheckpoint(true)

@@ -29,7 +29,7 @@ object Salt {
     // aggregate (the SPARK-23207 class of bug). Identical rows sharing a
     // salt merely costs a little spread, never correctness.
     val salted = df.withColumn("_salt",
-      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val stage1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(sum(valueCols.head).as(valueCols.head),

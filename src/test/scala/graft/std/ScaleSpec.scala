@@ -64,6 +64,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(q.head().getDouble(0) - expected) < 1e-6)
   }
 
+  test("top-k plans as TakeOrderedAndProject, never a global sort") {
+    import graft.queries.{BiQueries, Merged}
+    val plan = BiQueries.topProducts(Merged.cleaned(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to sort+limit:\n$plan")
+  }
+
+  test("documents scan prunes to the referenced columns") {
+    val plan = graft.ext.ExtQueries.tokenStats(spark, sfDir)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // t1 touches doc_id + text; lang/source/n_chars must not be read
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning lost:\n$plan")
+  }
+
+  test("star-join dimensions broadcast (no shuffle on the fact side)") {
+    import graft.queries.Merged
+    val plan = Merged.cleaned(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side shuffled through a sort-merge join:\n$plan")
+  }
+
+  test("row-group predicate pushes down to the parquet scan") {
+    val q = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").select("doc_id")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(lang,en)"),
+      s"filter not pushed to the scan:\n$scan")
+  }
+
   test("graft_dot is callable from SQL after registration") {
     org.apache.spark.sql.GraftColumns.registerFunctions(spark)
     val r = spark.sql(
