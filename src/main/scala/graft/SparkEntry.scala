@@ -75,6 +75,10 @@ object SparkEntry {
     "t10_char_percentiles" -> ExtQueries.charPercentiles _,
     "t11_doc_chunks" -> ExtQueries.docChunks _,
     "t12_sequence_packing" -> ExtQueries.sequencePacking _,
+    "t13_top_tokens" -> ExtQueries.topTokens _,
+    "t14_tfidf_terms" -> ExtQueries.tfIdfTerms _,
+    "t15_pii_scrub" -> ExtQueries.piiScrub _,
+    "t16_repetition" -> ExtQueries.repetitionStats _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -133,6 +137,10 @@ object SparkEntry {
     "t10_char_percentiles" -> ExtOracleSql.t10CharPercentiles,
     "t11_doc_chunks" -> ExtOracleSql.t11DocChunks,
     "t12_sequence_packing" -> ExtOracleSql.t12SequencePacking,
+    "t13_top_tokens" -> ExtOracleSql.t13TopTokens,
+    "t14_tfidf_terms" -> ExtOracleSql.t14TfIdfTerms,
+    "t15_pii_scrub" -> ExtOracleSql.t15PiiScrub,
+    "t16_repetition" -> ExtOracleSql.t16Repetition,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,

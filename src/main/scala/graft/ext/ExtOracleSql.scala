@@ -379,6 +379,79 @@ SELECT lang,
        MIN(doc_id) AS first_doc
 FROM c GROUP BY 1, 2"""
 
+  val t13TopTokens: String = ToksCte + """, ex AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+)
+SELECT token, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM ex GROUP BY 1
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 50"""
+
+  // the same log-free rational IDF as the Spark side (libm ln is not
+  // correctly-rounded and may differ across engines in the last ulp)
+  val t14TfIdfTerms: String = ToksCte + """, ex AS (
+  SELECT doc_id, unnest(toks) AS term FROM t
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM ex GROUP BY 1, 2
+), tfn AS (
+  SELECT doc_id, term, cnt,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS n_tok
+  FROM tf
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+), nd AS (
+  SELECT COUNT(*) AS n FROM documents
+), scored AS (
+  SELECT tfn.doc_id, tfn.term,
+         (CAST(tfn.cnt AS DOUBLE) / tfn.n_tok)
+           * (CAST(nd.n + 1 AS DOUBLE) / (dfreq.df + 1)) AS score
+  FROM tfn JOIN dfreq USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, CAST(rnk AS BIGINT) AS term_rank,
+       round(score, 6) AS tfidf
+FROM ranked WHERE rnk <= 5"""
+
+  val t15PiiScrub: String = {
+    val email = TextAnalysis.EmailPattern
+    val url = TextAnalysis.UrlPattern
+    s"""WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com at http://site' || doc_id
+                   || '.example/path'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+       md5(regexp_replace(regexp_replace(text, '$url', '<URL>', 'g'),
+                          '$email', '<EMAIL>', 'g')) AS scrubbed_md5
+FROM p"""
+  }
+
+  val t16Repetition: String = s"""WITH t AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks, $Norm AS ntext
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(${sh3("toks", "ntext")}) AS s FROM t
+), c AS (
+  SELECT doc_id, s, COUNT(*) AS cnt FROM sh GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_shingles,
+       COUNT(*) AS n_distinct_shingles,
+       CAST(MAX(cnt) AS BIGINT) AS max_shingle_count,
+       round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS repetition_ratio
+FROM c GROUP BY 1"""
+
   // DECIMAL elementwise sums: exact/associative, so the mean is immune
   // to partial-aggregation order (same rationale as x1).
   val s3LangCentroids: String = """WITH j AS (

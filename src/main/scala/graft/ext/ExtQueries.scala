@@ -349,6 +349,42 @@ object ExtQueries {
         round(col("_ma"), 2).as("revenue_ma7"))
   }
 
+  /** documents with deterministic synthetic PII appended to every 9th
+    * doc (the corpus itself has none — same construction on both
+    * dialects, like the dup injections above).
+    */
+  def piiCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com at http://site"), col("doc_id"),
+          lit(".example/path")))
+        .otherwise(col("text")).as("text"))
+
+  /** Corpus vocabulary head (t13): top-50 tokens. */
+  def topTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.topTokens(Tables.documents(spark, sfDir))
+  }
+
+  /** TF-IDF-style top terms per doc (t14). */
+  def tfIdfTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.tfIdfTopTerms(Tables.documents(spark, sfDir))
+  }
+
+  /** PII scrubbing over the injected corpus (t15). */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.piiScrub(piiCorpus(Tables.documents(spark, sfDir)))
+  }
+
+  /** Repetition/boilerplate profile (t16). */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.repetitionStats(Tables.documents(spark, sfDir))
+  }
+
   /** Region cross-tab (x6): pivot with explicit values — static schema,
     * no distinct-scan pre-pass.
     */

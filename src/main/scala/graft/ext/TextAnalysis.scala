@@ -177,6 +177,98 @@ object TextAnalysis {
         min("doc_id").as("first_doc"))
   }
 
+  /** Corpus vocabulary head: top-k tokens by occurrence count with
+    * document frequency — explode + two-level aggregate. The per-token
+    * partial aggregation absorbs the explode volume map-side; the final
+    * top-k is `TakeOrderedAndProject` with a deterministic (count desc,
+    * token asc) tiebreak.
+    */
+  def topTokens(docs: DataFrame, k: Int = 50,
+                textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+
+  /** TF-IDF-style term weighting, top-`k` terms per document. The
+    * inverse-document-frequency factor is the log-free rational
+    * `(N+1)/(df+1)` so both engines compute bit-identical doubles
+    * (libm `ln` is not correctly-rounded and can differ in the last
+    * ulp across engines — swap the log back in at deployment, where
+    * no cross-engine hash compare is at stake). Plan shape: one
+    * explode + (doc, term) count, a broadcastable |vocab| df table,
+    * and a per-doc window for the top-k — all partial-aggregated.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 5,
+                    textCol: String = "text"): DataFrame = {
+    val nDocs = docs.count()
+    val terms = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_n_tok",
+        sum(col("_cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+    val scored = tf.join(broadcast(df), "term")
+      .withColumn("_score",
+        (col("_cnt").cast("double") / col("_n_tok")) *
+          (lit((nDocs + 1).toDouble) / (col("_df") + 1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("_score").desc, col("term").asc)
+    scored.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .select(col("doc_id"), col("term"),
+        col("_rank").cast("long").as("term_rank"),
+        round(col("_score"), 6).as("tfidf"))
+  }
+
+  /** PII scrubbing: redact emails and URLs, reporting per-doc match
+    * counts and the scrubbed digest. Conservative patterns chosen to
+    * parse identically under Java regex and RE2 (no backtracking
+    * constructs). Pure per-row expressions: embarrassingly parallel.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(t, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(UrlPattern), lit(0)))
+        .cast("long").as("n_urls"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
+
+  /** Repetition profile: the share of a document's 3-shingles taken by
+    * its single most repeated shingle — the boilerplate/spam signal
+    * quality filters threshold on. Two aggregates over the exploded
+    * shingles ((doc, shingle) counts, then per-doc max/sum/distinct);
+    * both partial-aggregate, so the explode never crosses the wire raw.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), 3)).as("sh"))
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("_cnt")).as("n_shingles"),
+        count(lit(1)).as("n_distinct_shingles"),
+        max(col("_cnt")).as("max_shingle_count"),
+        round(max(col("_cnt")).cast("double") / sum(col("_cnt")), 6)
+          .as("repetition_ratio"))
+
   /** Stratified sampling by a key column (e.g. rebalancing languages),
     * seeded for reproducibility within a Spark version.
     */

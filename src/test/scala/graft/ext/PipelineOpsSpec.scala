@@ -98,6 +98,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PII scrub redacts emails and URLs and counts them") {
+    val docs = Seq(
+      (1L, "mail me at a.user+x@ex-ample.co.uk or b@x.io thanks"),
+      (2L, "see https://a.example/path?q=1 and http://b.example now"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((2L, 0L)), 2L -> ((0L, 2L)), 3L -> ((0L, 0L))))
+    // redaction removes every match (scrubbed text of doc 1 has no '@')
+    val scrubbed = docs.filter(col("doc_id") === 1)
+      .select(regexp_replace(regexp_replace(col("text"),
+        TextAnalysis.UrlPattern, "<URL>"),
+        TextAnalysis.EmailPattern, "<EMAIL>"))
+      .head().getString(0)
+    assert(!scrubbed.contains("@") && scrubbed.contains("<EMAIL>"))
+  }
+
+  test("repetition ratio flags the boilerplate document") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // one shingle repeated 4x
+      (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3),
+          r.getDouble(r.fieldIndex("repetition_ratio")))).toMap
+    assert(out(1L) == ((4L, 4L, 1.0)))   // all 4 shingles identical
+    assert(out(2L)._3 == 0.2)            // 5 distinct shingles, max 1
+  }
+
+  test("top tokens rank by count with an alphabetical tiebreak") {
+    val docs = Seq(
+      (1L, "zz aa zz"), (2L, "aa bb")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTokens(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // aa and zz both occur 2x → aa first alphabetically
+    assert(got == Seq(("aa", 2L, 2L), ("zz", 2L, 1L)))
+  }
+
+  test("tf-idf ranks a doc's distinctive term above the shared one") {
+    val docs = Seq(
+      (1L, "common rare1 rare1"), (2L, "common rare2"),
+      (3L, "common filler")).toDF("doc_id", "text")
+    val top1 = TextAnalysis.tfIdfTopTerms(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1 == Map(1L -> "rare1", 2L -> "rare2", 3L -> "filler"))
+  }
+
   test("content-bucketed split puts exact duplicates in the same split") {
     val docs = Seq(
       (1L, "the same document text"), (999999L, "the same document text"),
