@@ -93,7 +93,9 @@ object SparkEntry {
     "x4_rollup_sales" -> ExtQueries.rollupSales _,
     "x5_moving_avg_revenue" -> ExtQueries.movingAvgRevenue _,
     "x6_pivot_regions" -> ExtQueries.pivotRegions _,
-    "x7_unpivot_regions" -> ExtQueries.unpivotRegions _
+    "x7_unpivot_regions" -> ExtQueries.unpivotRegions _,
+    "x8_cube_sales" -> ExtQueries.cubeSales _,
+    "x9_set_ops_users" -> ExtQueries.setOpsUsers _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -155,6 +157,8 @@ object SparkEntry {
     "x4_rollup_sales" -> ExtOracleSql.x4RollupSales,
     "x5_moving_avg_revenue" -> ExtOracleSql.x5MovingAvgRevenue,
     "x6_pivot_regions" -> ExtOracleSql.x6PivotRegions,
-    "x7_unpivot_regions" -> ExtOracleSql.x7UnpivotRegions
+    "x7_unpivot_regions" -> ExtOracleSql.x7UnpivotRegions,
+    "x8_cube_sales" -> ExtOracleSql.x8CubeSales,
+    "x9_set_ops_users" -> ExtOracleSql.x9SetOpsUsers
   )
 }

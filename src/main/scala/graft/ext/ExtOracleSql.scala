@@ -466,6 +466,25 @@ SELECT lang, CAST(dim AS BIGINT) AS dim,
        COUNT(*) AS n_vecs
 FROM j GROUP BY 1, 2"""
 
+  val x8CubeSales: String = graft.queries.OracleSql.EnrichedCte + """
+SELECT region_desc, brand_desc,
+       ROUND(SUM(total_line_price), 2) AS revenue,
+       CAST(GROUPING(region_desc) * 2 + GROUPING(brand_desc) AS BIGINT)
+         AS level_id
+FROM enriched
+GROUP BY CUBE (region_desc, brand_desc)"""
+
+  val x9SetOpsUsers: String = """WITH c AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT
+  (SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p)) AS n_both,
+  (SELECT COUNT(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p)) AS n_click_only,
+  (SELECT COUNT(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM c)) AS n_purchase_only,
+  (SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM p)) AS n_any"""
+
   val x2RangeJoinAttribution: String = """WITH c AS (
   SELECT user_id, event_id AS click_id, ts AS click_ts
   FROM events WHERE event_type = 'click'

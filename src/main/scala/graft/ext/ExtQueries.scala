@@ -428,6 +428,41 @@ object ExtQueries {
       Tables.embeddings(spark, sfDir))
   }
 
+  /** Full cube (x8): revenue over every subset of {region, brand} —
+    * the grouping-sets completion of x4's rollup hierarchy. One pass;
+    * `grouping_id` disambiguates rolled-up NULLs from data NULLs.
+    */
+  def cubeSales(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    graft.queries.Merged.cleaned(spark, sfDir)
+      .cube(col("region_desc"), col("brand_desc"))
+      .agg(round(sum("total_line_price"), 2).as("revenue"),
+        grouping_id().cast("long").as("level_id"))
+  }
+
+  /** Set operations (x9): distinct click/purchase user populations
+    * combined with INTERSECT / EXCEPT / UNION, reduced to one row of
+    * counts. Each set op plans as a distinct-aggregate over a shuffle
+    * on user_id; the four 1-row aggregates cross-join for free.
+    */
+  def setOpsUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val ev = Tables.events(spark, sfDir)
+    val clickers = ev.filter(col("event_type") === "click")
+      .select("user_id").distinct()
+    val purchasers = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct()
+    val both = clickers.intersect(purchasers)
+      .agg(count(lit(1)).as("n_both"))
+    val clickOnly = clickers.except(purchasers)
+      .agg(count(lit(1)).as("n_click_only"))
+    val purchaseOnly = purchasers.except(clickers)
+      .agg(count(lit(1)).as("n_purchase_only"))
+    val any = clickers.union(purchasers).distinct()
+      .agg(count(lit(1)).as("n_any"))
+    both.crossJoin(clickOnly).crossJoin(purchaseOnly).crossJoin(any)
+  }
+
   // ---- multimodal ----
 
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {
