@@ -255,6 +255,10 @@ object TextAnalysis {
     * quality filters threshold on. Two aggregates over the exploded
     * shingles ((doc, shingle) counts, then per-doc max/sum/distinct);
     * both partial-aggregate, so the explode never crosses the wire raw.
+    * At cluster scale, group on `TextOps.hash64(sh)` instead of the
+    * shingle string — 8-byte shuffle keys instead of n-gram text, and
+    * still oracle-safe because both dialects share the hash (identical
+    * collisions ⇒ identical counts).
     */
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),

@@ -39,6 +39,17 @@ class ExtSpec extends AnyFunSuite {
       s"LSH recall $found: missed ${(expected -- pairs).size} of ${expected.size}")
   }
 
+  test("connected components fail loudly when maxIter is too small") {
+    // a 5-node path needs 4 propagation rounds + 1 stability round;
+    // maxIter=2 must throw, never return partial labels
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connected components merge transitive chains to the min label") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // chain 1-2-3 (diameter 2), pair 4-5, isolated 6
