@@ -63,6 +63,8 @@ object SparkEntry {
     "d5_dedup_clusters" -> ExtQueries.dedupClusters _,
     "d6_dedup_survivors" -> ExtQueries.dedupSurvivors _,
     "d7_dedup_dropped" -> ExtQueries.dedupDropped _,
+    "d8_decontamination" -> ExtQueries.decontamination _,
+    "t18_domain_mixture" -> ExtQueries.domainMixture _,
     "t1_token_stats" -> ExtQueries.tokenStats _,
     "t2_lang_stats" -> ExtQueries.langStats _,
     "t3_quality_scores" -> ExtQueries.qualityScores _,
@@ -127,6 +129,8 @@ object SparkEntry {
     "d5_dedup_clusters" -> ExtOracleSql.d5DedupClusters,
     "d6_dedup_survivors" -> ExtOracleSql.d6DedupSurvivors,
     "d7_dedup_dropped" -> ExtOracleSql.d7DedupDropped,
+    "d8_decontamination" -> ExtOracleSql.d8Decontamination,
+    "t18_domain_mixture" -> ExtOracleSql.t18DomainMixture,
     "t1_token_stats" -> ExtOracleSql.t1TokenStats,
     "t2_lang_stats" -> ExtOracleSql.t2LangStats,
     "t3_quality_scores" -> ExtOracleSql.t3QualityScores,

@@ -111,6 +111,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: per-document count of distinct shingles
+    * shared with a benchmark shingle set — the contamination audit every
+    * training pipeline runs before a model ships. The benchmark set is
+    * reduced to DISTINCT 64-bit shingle hashes and broadcast (8-byte
+    * keys, no n-gram text crosses the wire; identical hash both
+    * dialects ⇒ identical collisions ⇒ identical counts), so the
+    * corpus-side cost is one narrow explode + a broadcast-hash lookup +
+    * one partial-aggregated groupBy on doc_id.
+    *
+    * `corpusSh`/`benchSh` are (doc_id, sh: array<string>) frames.
+    */
+  def contaminationProfile(corpusSh: DataFrame, benchSh: DataFrame): DataFrame = {
+    val bench = benchSh
+      .select(explode(array_distinct(col("sh"))).as("_s"))
+      .select(TextOps.hash64(col("_s")).as("shash")).distinct()
+      .withColumn("_hit", lit(1L))
+    corpusSh
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("_s"))
+      .select(col("doc_id"), TextOps.hash64(col("_s")).as("shash"))
+      .join(broadcast(bench), Seq("shash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_contaminated"),
+        round(coalesce(sum(col("_hit")), lit(0L)).cast("double") /
+          count(lit(1)), 6).as("contamination_ratio"))
+  }
+
   /** 32-bit SimHash over the distinct token set: per-bit majority vote of
     * the token hashes, folded sequentially (deterministic). Pure per-row
     * expression — no explode, no shuffle.

@@ -379,6 +379,38 @@ SELECT lang,
        MIN(doc_id) AS first_doc
 FROM c GROUP BY 1, 2"""
 
+  val d8Decontamination: String = s"""WITH t AS (
+  SELECT doc_id, ${sh3(s"string_split($Norm, ' ')", Norm)} AS sh
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(list_distinct(sh)) AS s FROM t WHERE doc_id % 31 <> 0
+), exh AS (
+  SELECT doc_id, ${h64("s")} AS shash FROM ex
+), bench AS (
+  SELECT DISTINCT ${h64("s")} AS shash
+  FROM (SELECT unnest(list_distinct(sh)) AS s FROM t WHERE doc_id % 31 = 0)
+)
+SELECT e.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(COALESCE(SUM(CASE WHEN b.shash IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_contaminated,
+       round(CAST(COALESCE(SUM(CASE WHEN b.shash IS NOT NULL THEN 1 END), 0)
+                  AS DOUBLE) / COUNT(*), 6) AS contamination_ratio
+FROM exh e LEFT JOIN bench b ON e.shash = b.shash
+GROUP BY 1"""
+
+  val t18DomainMixture: String = s"""WITH d AS (
+  SELECT source,
+         ${h64("source")} % 81 + 10 AS rate,
+         ${h64(Norm)} % 100 AS bucket
+  FROM documents
+)
+SELECT source, CAST(MAX(rate) AS BIGINT) AS target_pct,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM d GROUP BY 1"""
+
   val t13TopTokens: String = ToksCte + """, ex AS (
   SELECT doc_id, unnest(toks) AS token FROM t
 )

@@ -128,6 +128,25 @@ object ExtQueries {
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
   }
 
+  /** Decontamination audit (d8): every 31st doc is the "benchmark"; the
+    * rest of the corpus is profiled for distinct-3-shingle overlap with
+    * it.
+    */
+  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val withSh = Tables.documents(spark, sfDir).select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    Dedup.contaminationProfile(
+      withSh.filter(col("doc_id") % 31 =!= 0),
+      withSh.filter(col("doc_id") % 31 === 0))
+  }
+
+  /** Deterministic domain mixing summary (t18). */
+  def domainMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.domainMixture(Tables.documents(spark, sfDir))
+  }
+
   def simHashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     Dedup.simHash32Agg(

@@ -273,6 +273,23 @@ object TextAnalysis {
         round(max(col("_cnt")).cast("double") / sum(col("_cnt")), 6)
           .as("repetition_ratio"))
 
+  /** Deterministic domain mixing: each source keeps a target share of
+    * its documents, selected by content-hash bucket — the corpus
+    * re-weighting step of a training mix. Content bucketing makes the
+    * sample stable across runs/engines/re-shards (and duplicate texts
+    * are kept or dropped together); the per-source rate here is derived
+    * from the source name (10–90%) so the operator needs no side-channel
+    * config — a real pipeline passes its mixture map instead.
+    */
+  def domainMixture(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val rate = TextOps.hash64(col("source")) % 81 + 10
+    val keep = TextOps.hash64(TextOps.normText(col(textCol))) % 100 < rate
+    docs.groupBy(col("source"))
+      .agg(max(rate).as("target_pct"),
+        count(lit(1)).as("n_total"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Stratified sampling by a key column (e.g. rebalancing languages),
     * seeded for reproducibility within a Spark version.
     */

@@ -145,6 +145,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top1 == Map(1L -> "rare1", 2L -> "rare2", 3L -> "filler"))
   }
 
+  test("contamination profile counts shared distinct shingles") {
+    val corpus = Seq(
+      (1L, Seq("a b c", "b c d")),          // both contaminated
+      (2L, Seq("x y z", "y z w", "z w v")), // clean
+      (3L, Seq("a b c", "q r s"))           // half contaminated
+    ).toDF("doc_id", "sh")
+    val bench = Seq((99L, Seq("a b c", "b c d", "m n o")))
+      .toDF("doc_id", "sh")
+    val out = Dedup.contaminationProfile(corpus, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(r.fieldIndex("contamination_ratio")))).toMap
+    assert(out == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((3L, 0L, 0.0)),
+      3L -> ((2L, 1L, 0.5))))
+  }
+
+  test("domain mixture keeps within-rate shares and is deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = TextAnalysis.domainMixture(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val b = TextAnalysis.domainMixture(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(a == b && a.nonEmpty)            // same assignment every run
+    a.foreach { case (src, (pct, total, kept)) =>
+      assert(pct >= 10 && pct <= 90, s"$src rate $pct out of range")
+      assert(kept <= total, s"$src kept $kept of $total")
+    }
+  }
+
   test("content-bucketed split puts exact duplicates in the same split") {
     val docs = Seq(
       (1L, "the same document text"), (999999L, "the same document text"),
