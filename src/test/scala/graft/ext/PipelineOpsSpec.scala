@@ -63,6 +63,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L).map(c => c._2 + c._3 - 1).max == 350L)
   }
 
+  test("chunking invariants hold for every length 0..450") {
+    val docs = (0 to 450).map(n => (n.toLong, "x" * n)).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.chunkDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(c => (c._2, c._3)).toSeq)
+      .toMap
+    (0 to 450).foreach { n =>
+      val chunks = byDoc(n.toLong)
+      assert(chunks.head._1 == 1L, s"len $n: first chunk not at 1")
+      // starts advance by exactly the stride
+      chunks.map(_._1).sliding(2).foreach {
+        case Seq(a, b) => assert(b - a == 150L, s"len $n: stride $a→$b")
+        case _ => ()
+      }
+      // full coverage: the last chunk reaches the end of the text
+      assert(chunks.map(c => c._1 + c._2 - 1).max == math.max(n.toLong, 0L)
+        || (n == 0 && chunks == Seq((1L, 0L))), s"len $n: coverage gap")
+      // every chunk extends coverage beyond the previous one (no
+      // fully-redundant tail chunks)
+      chunks.sliding(2).foreach {
+        case Seq((s1, l1), (s2, l2)) =>
+          assert(s2 + l2 - 1 > s1 + l1 - 1, s"len $n: redundant chunk at $s2")
+        case _ => ()
+      }
+    }
+  }
+
+  test("sequence packing conserves tokens and numbers packs contiguously") {
+    val out = TextAnalysis.sequencePacking(
+      Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = out.groupBy(_._1)
+    val totals = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(graft.ext.TextOps.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, packs) =>
+      // token conservation: every token lands in exactly one pack
+      assert(packs.map(_._4).sum == totals(lang), s"$lang: token loss")
+      // pack ids are contiguous from 0
+      val ids = packs.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length).map(identity),
+        s"$lang: pack gap in $ids")
+    }
+  }
+
   test("sequence packing assigns docs to token-budget bins in id order") {
     // 4-token docs against a budget of 10: cumulative starts 0,4,8,12 →
     // packs 0,0,0,1
