@@ -475,7 +475,8 @@ FROM p"""
 ), sh AS (
   SELECT doc_id, unnest(${sh3("toks", "ntext")}) AS s FROM t
 ), c AS (
-  SELECT doc_id, s, COUNT(*) AS cnt FROM sh GROUP BY 1, 2
+  SELECT doc_id, ${h64("s")} AS shash, COUNT(*) AS cnt
+  FROM sh GROUP BY 1, 2
 )
 SELECT doc_id,
        CAST(SUM(cnt) AS BIGINT) AS n_shingles,

