@@ -499,6 +499,23 @@ SELECT lang, CAST(dim AS BIGINT) AS dim,
        COUNT(*) AS n_vecs
 FROM j GROUP BY 1, 2"""
 
+  val w4ClickFunnel: String = """WITH fc AS (
+  SELECT user_id, MIN(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), conv AS (
+  SELECT COUNT(DISTINCT fc.user_id) AS n_converted
+  FROM fc JOIN events e
+    ON e.user_id = fc.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts >= fc.first_click
+   AND e.ts <= fc.first_click + INTERVAL '1 hour'
+)
+SELECT (SELECT COUNT(*) FROM fc) AS n_clickers,
+       n_converted,
+       round(CAST(n_converted AS DOUBLE) / (SELECT COUNT(*) FROM fc), 6)
+         AS conversion_rate
+FROM conv"""
+
   val x8CubeSales: String = graft.queries.OracleSql.EnrichedCte + """
 SELECT region_desc, brand_desc,
        ROUND(SUM(total_line_price), 2) AS revenue,

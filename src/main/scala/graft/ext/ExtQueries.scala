@@ -520,4 +520,10 @@ object ExtQueries {
     Tables.tune(spark)
     StreamingOps.userSessions(Tables.events(spark, sfDir))
   }
+
+  /** Conversion funnel over the event stream (w4). */
+  def clickFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    StreamingOps.clickFunnel(Tables.events(spark, sfDir))
+  }
 }

@@ -69,6 +69,28 @@ object StreamingOps {
       }
   }
 
+  /** Click→purchase conversion funnel: users who clicked, users whose
+    * first click was followed by a purchase within the hour, and the
+    * conversion share. Two filtered aggregates and one equi-join on
+    * user_id — shuffle keys are user ids, partial aggregation bounds
+    * the volume; no window over the raw stream.
+    */
+  def clickFunnel(events: DataFrame): DataFrame = {
+    val firstClick = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("_first_click"))
+    val converted = firstClick
+      .join(events.filter(col("event_type") === "purchase"), Seq("user_id"))
+      .filter(col("ts") >= col("_first_click") &&
+        col("ts") <= col("_first_click") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_converted"))
+    firstClick.agg(count(lit(1)).as("n_clickers"))
+      .crossJoin(converted)
+      .select(col("n_clickers"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_clickers"), 6)
+          .as("conversion_rate"))
+  }
+
   /** Streaming exact dedup on a content key: keep the first arrival of
     * each `(event_type, user_id, value)` combination, dropping later
     * duplicates for as long as the watermark keeps their key in the
