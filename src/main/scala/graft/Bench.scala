@@ -17,12 +17,15 @@ object Bench {
     // first entry's wall time)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // SPARK_GRAFT_ONLY=d2,q1 runs a comma-separated subset (local iteration)
+    // SPARK_GRAFT_ONLY=d2,q1 runs a comma-separated subset (local
+    // iteration). Match the exact key or a prefix up to an underscore —
+    // bare startsWith would make "t1" select t10..t18 too.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
       case Some(names) =>
-        SparkEntry.queries.filter { case (k, _) => names.exists(k.startsWith) }
+        SparkEntry.queries.filter { case (k, _) =>
+          names.exists(n => k == n || k.startsWith(n + "_")) }
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -111,7 +111,9 @@ object ExtQueries {
     */
   def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
+    // pinned: corpus feeds clustersOf AND the semi-join left side
+    val corpus = graft.std.Materialize.once(
+      nearDupCorpus(Tables.documents(spark, sfDir)))
     val keepers = clustersOf(corpus).filter(col("is_keeper")).select("doc_id")
     corpus.join(keepers, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
@@ -122,7 +124,9 @@ object ExtQueries {
     */
   def dedupDropped(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
+    // pinned: corpus feeds clustersOf AND the anti-join left side
+    val corpus = graft.std.Materialize.once(
+      nearDupCorpus(Tables.documents(spark, sfDir)))
     val keepers = clustersOf(corpus).filter(col("is_keeper")).select("doc_id")
     corpus.join(keepers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
@@ -347,9 +351,31 @@ object ExtQueries {
   def movingAvgRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     import org.apache.spark.sql.expressions.Window
-    val daily = graft.queries.Merged.cleaned(spark, sfDir)
-      .groupBy(to_date(col("event_date")).as("day"))
-      .agg(sum("total_line_price").as("_rev"))
+    // pinned: daily feeds the real rows, the carry rows, and the guard
+    val daily = graft.std.Materialize.once(
+      graft.queries.Merged.cleaned(spark, sfDir)
+        .groupBy(to_date(col("event_date")).as("day"))
+        .agg(sum("total_line_price").as("_rev")))
+    // The boundary carry silently mis-averages if a calendar year is
+    // absent (the carry lands in an empty partition and is dropped) or
+    // a non-final year has fewer rows than the frame depth. Fail loudly
+    // instead — same policy as connectedComponents' convergence guard.
+    // Cheap: the checks aggregate the pinned daily frame (≤ one row per
+    // present year).
+    val yc = daily.filter(col("day").isNotNull)
+      .groupBy(year(col("day")).as("_y")).agg(count(lit(1)).as("_n"))
+    val prof = yc.agg(min(col("_y")), max(col("_y")), count(lit(1))).head()
+    if (!prof.isNullAt(0)) {
+      val (y0, y1, ny) = (prof.getInt(0), prof.getInt(1), prof.getLong(2))
+      require(y1 - y0 + 1 == ny,
+        s"movingAvgRevenue: years $y0..$y1 have gaps ($ny present) — the " +
+          "year-partitioned carry would drop rows at the gap; densify or " +
+          "fall back to a global window")
+      val thin = yc.filter(col("_y") =!= y1 && col("_n") < 6).count()
+      require(thin == 0,
+        s"movingAvgRevenue: $thin non-final year(s) have fewer than 6 " +
+          "daily rows — the 6-row carry cannot span them")
+    }
     val real = daily
       .withColumn("_wy", year(col("day"))).withColumn("_carry", lit(false))
     val lastOfYear = Window.partitionBy(year(col("day")))

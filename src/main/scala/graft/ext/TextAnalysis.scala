@@ -204,9 +204,13 @@ object TextAnalysis {
     */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 5,
                     textCol: String = "text"): DataFrame = {
-    val nDocs = docs.count()
-    val terms = docs.select(col("doc_id"),
-        explode(TextOps.tokens(col(textCol))).as("term"))
+    // pinned: the exploded term frame feeds both the tf and df branches
+    // (the diamond class Materialize.once exists for); the corpus count
+    // rides along as a 1-row broadcast instead of an eager .count() job
+    val terms = graft.std.Materialize.once(
+      docs.select(col("doc_id"), explode(TextOps.tokens(col(textCol)))
+        .as("term")))
+    val nDocs = docs.agg(count(lit(1)).as("_n_docs"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_n_tok",
@@ -215,9 +219,10 @@ object TextAnalysis {
     val df = terms.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("_df"))
     val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("_score",
         (col("_cnt").cast("double") / col("_n_tok")) *
-          (lit((nDocs + 1).toDouble) / (col("_df") + 1)))
+          ((col("_n_docs") + 1).cast("double") / (col("_df") + 1)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("_score").desc, col("term").asc)

@@ -76,8 +76,10 @@ object StreamingOps {
     * the volume; no window over the raw stream.
     */
   def clickFunnel(events: DataFrame): DataFrame = {
-    val firstClick = events.filter(col("event_type") === "click")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("_first_click"))
+    // pinned: feeds both the conversion join and the n_clickers count
+    val firstClick = graft.std.Materialize.once(
+      events.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("_first_click")))
     val converted = firstClick
       .join(events.filter(col("event_type") === "purchase"), Seq("user_id"))
       .filter(col("ts") >= col("_first_click") &&
@@ -101,8 +103,13 @@ object StreamingOps {
     * watermark horizon — bounded by the delay, not the stream length.
     */
   def dedupedEvents(events: DataFrame): DataFrame = {
+    // JSON-encode the key fields: nulls drop the field NAME (so a null
+    // in one column can never collide with a value in another) and
+    // string values are quoted/escaped (a '|' in the data can't fake a
+    // separator) — concat_ws would silently skip nulls and merge
+    // distinct events onto one key
     val keyed = events.withColumn("dedup_key",
-      md5(concat_ws("|", col("event_type"), col("user_id"), col("value"))))
+      md5(to_json(struct(col("event_type"), col("user_id"), col("value")))))
     if (events.isStreaming) keyed.dropDuplicatesWithinWatermark("dedup_key")
     else keyed.dropDuplicates("dedup_key")
   }

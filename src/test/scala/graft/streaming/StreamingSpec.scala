@@ -177,10 +177,12 @@ class StreamingSpec extends AnyFunSuite {
       .schema(batchEvents.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage)
-    // wide watermark: no key expires mid-test, so the replay order the
-    // file source picks cannot re-admit a late duplicate
+    // watermark far beyond any plausible data span (the events corpus
+    // covers ~30 days — a 30-day delay would leave only a 43-minute
+    // margin before early keys expire mid-test and late duplicates
+    // re-emit as a silent flake)
     val q = StreamingOps.dedupedEvents(
-        StreamingOps.withWatermarked(streamIn, "30 days"))
+        StreamingOps.withWatermarked(streamIn, "3650 days"))
       .writeStream.format("memory").queryName("dedup_smoke")
       .outputMode("append").start()
     try {
