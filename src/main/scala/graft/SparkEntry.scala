@@ -81,6 +81,7 @@ object SparkEntry {
     "t14_tfidf_terms" -> ExtQueries.tfIdfTerms _,
     "t15_pii_scrub" -> ExtQueries.piiScrub _,
     "t16_repetition" -> ExtQueries.repetitionStats _,
+    "t17_quality_gate" -> ExtQueries.qualityGate _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -148,6 +149,7 @@ object SparkEntry {
     "t14_tfidf_terms" -> ExtOracleSql.t14TfIdfTerms,
     "t15_pii_scrub" -> ExtOracleSql.t15PiiScrub,
     "t16_repetition" -> ExtOracleSql.t16Repetition,
+    "t17_quality_gate" -> ExtOracleSql.t17QualityGate,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,

@@ -399,6 +399,37 @@ SELECT e.doc_id,
 FROM exh e LEFT JOIN bench b ON e.shash = b.shash
 GROUP BY 1"""
 
+  // mirrors t3's scoring CTEs with lang carried through, then gates on
+  // the same ROUNDED score both dialects compare in t3
+  val t17QualityGate: String = ToksCte + """, c AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens_i,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_char,
+         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+              AS DOUBLE) AS punct,
+         CAST(len(list_filter(toks,
+           tk -> tk IN ('the','a','of','and','is','to'))) AS DOUBLE) AS stop_n
+  FROM t
+), r AS (
+  SELECT doc_id, lang, n_tokens_i,
+         CASE WHEN n_char > 0 THEN punct / n_char ELSE 0.0 END AS pr,
+         CASE WHEN n_tok > 0 THEN stop_n / n_tok ELSE 0.0 END AS sr,
+         n_tok
+  FROM c
+), s AS (
+  SELECT lang, n_tokens_i,
+         round(least(n_tok / 100.0, 1.0) * 0.5 + (1.0 - pr) * 0.3
+               + least(sr * 5.0, 1.0) * 0.2, 6) AS q
+  FROM r
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN q >= 0.5 AND n_tokens_i BETWEEN 5 AND 5000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+       round(CAST(SUM(CASE WHEN q >= 0.5 AND n_tokens_i BETWEEN 5 AND 5000
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS pass_rate
+FROM s GROUP BY 1"""
+
   val t18DomainMixture: String = s"""WITH d AS (
   SELECT source,
          ${h64("source")} % 81 + 10 AS rate,

@@ -424,6 +424,12 @@ object ExtQueries {
     TextAnalysis.piiScrub(piiCorpus(Tables.documents(spark, sfDir)))
   }
 
+  /** Per-language quality-gate pass rates (t17). */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.qualityGate(Tables.documents(spark, sfDir))
+  }
+
   /** Repetition/boilerplate profile (t16). */
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

@@ -177,6 +177,25 @@ object TextAnalysis {
         min("doc_id").as("first_doc"))
   }
 
+  /** The corpus quality gate: the filter [[qualityScore]]'s signals
+    * feed — per language, how many documents clear the score threshold
+    * and the token-length band. The reduction every curation pipeline
+    * applies before training; kept as an aggregate so the oracle
+    * compares pass counts, not nondeterministic row subsets.
+    */
+  def qualityGate(docs: DataFrame, minScore: Double = 0.5,
+                  minTokens: Int = 5, maxTokens: Int = 5000): DataFrame = {
+    val scored = qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val pass = col("quality_score") >= minScore &&
+      col("n_tokens").between(minTokens, maxTokens)
+    val nPassed = sum(when(pass, 1L).otherwise(0L))
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        nPassed.as("n_passed"),
+        round(nPassed.cast("double") / count(lit(1)), 6).as("pass_rate"))
+  }
+
   /** Corpus vocabulary head: top-k tokens by occurrence count with
     * document frequency — explode + two-level aggregate. The per-token
     * partial aggregation absorbs the explode volume map-side; the final
