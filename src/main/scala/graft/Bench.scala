@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // releasing a localCheckpoint pin intentionally discards truncated
+    // lineage; the per-RDD WARN would spam the driver-captured tail
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // untimed warmup: JVM/codegen/parquet-reader startup otherwise lands
     // entirely on the alphabetically-first query (measured ~6s of the
     // first entry's wall time)
@@ -33,7 +38,7 @@ object Bench {
       // noop-format write forces full evaluation of every column; a bare
       // count() would let Catalyst prune projection-shaped queries down to
       // the scan (benching the reader, not the operator).
-      try {
+      val r = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
@@ -42,11 +47,25 @@ object Bench {
         // masquerade as a fast success
         name -> -1.0
       }
+      // drop the query's materialize-once pins before timing the next
+      // one — accumulated checkpoint blocks squeeze execution memory and
+      // made round-3's late dedup queries nondeterministically 10x slow
+      graft.std.Materialize.releaseAll()
+      r
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // JSON goes out FIRST and also to a file: the driver captures the
+    // tail of stdout, and round 3's 62-query line was long enough that
+    // trailing log noise truncated it mid-object
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/tmp/graft_bench.json")), json)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

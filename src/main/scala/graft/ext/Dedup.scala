@@ -159,8 +159,24 @@ object Dedup {
     * component). Iterative min-label propagation: each round every node
     * takes the minimum label among itself and its neighbors; converges
     * in O(graph diameter) rounds (near-dup components are shallow —
-    * chains of edits, not long paths). `localCheckpoint` truncates the
-    * growing lineage each round so the plan doesn't compound.
+    * chains of edits, not long paths).
+    *
+    * Driver-sync discipline: propagation rounds run in SUPERSTEPS of
+    * two — one eager `localCheckpoint` (truncates the growing lineage)
+    * and one convergence aggregate per two rounds, so the serial
+    * job-wave count is half that of the check-every-round form.
+    * Overshooting is free: min-propagation is monotone, so an extra
+    * round past the fixed point is a no-op. Each superstep unpersists
+    * the previous superstep's checkpoint blocks — without that a
+    * 10-round run leaves 10 generations of labels pinned in executor
+    * storage for the rest of the session (round-3's bench cliff).
+    *
+    * Convergence: for numeric ids, the label sum (exact DECIMAL) —
+    * min-propagation only ever decreases a label, so the sum is
+    * monotone non-increasing and an unchanged sum is a fixed point.
+    * For non-numeric ids the sum is meaningless (the cast nulls out and
+    * every round would look converged — silently wrong one-hop labels),
+    * so those fall back to an any-label-changed join probe.
     *
     * At extreme scale swap in the large-star/small-star algorithm
     * (Kiveris et al.) — same join shape, fewer rounds on skewed graphs.
@@ -171,30 +187,40 @@ object Dedup {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    // Convergence check: min-propagation only ever DECREASES a label, so
-    // the label sum is monotone non-increasing and an unchanged sum is a
-    // fixed point. One cheap aggregate per round instead of a
-    // join+filter+count; DECIMAL sum is exact at any node count.
+    val numericId = nodes.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
+    def propagate(l: DataFrame): DataFrame = {
+      val nbr = l.join(sym, l(idCol) === sym("src"))
+        .select(col("dst").as(idCol), col("label"))
+      l.unionByName(nbr).groupBy(col(idCol)).agg(min("label").as("label"))
+    }
     var labels = nodes.select(col(idCol), col(idCol).as("label"))
       .localCheckpoint(true)
-    var prevSum = labelSum(labels)
+    var prevSum = if (numericId) labelSum(labels) else null
     var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val nbr = labels.join(sym, labels(idCol) === sym("src"))
-        .select(col("dst").as(idCol), col("label"))
-      val next = labels.unionByName(nbr)
-        .groupBy(col(idCol)).agg(min("label").as("label"))
-        .localCheckpoint(true)
-      val curSum = labelSum(next)
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
+    var done = 0
+    while (!converged && done < maxIter) {
+      val rounds = math.min(2, maxIter - done)
+      var cur = labels
+      (0 until rounds).foreach(_ => cur = propagate(cur))
+      val next = cur.localCheckpoint(true)
+      if (numericId) {
+        val curSum = labelSum(next)
+        converged = curSum.compareTo(prevSum) == 0
+        prevSum = curSum
+      } else {
+        converged = next.as("n")
+          .join(labels.as("p"), col(s"n.$idCol") === col(s"p.$idCol"))
+          .filter(col("n.label") =!= col("p.label")).isEmpty
+      }
+      graft.std.Materialize.releaseCheckpoint(labels)
       labels = next
-      i += 1
+      done += rounds
     }
+    graft.std.Materialize.releaseCheckpoint(sym)
     // Partial labels are silently wrong (a diameter->maxIter component
     // would split into several clusters in a data-dependent way); fail
     // loudly instead of returning them.

@@ -79,10 +79,6 @@ object ExtQueries {
     Dedup.verifiedNearDups(cands, withSh, 0.5)
   }
 
-  /** Full dedup resolution (d5): MinHash→LSH→verify pairs, then
-    * connected components — every corpus doc labeled with its cluster
-    * representative (min doc_id in component) and keep/drop decision.
-    */
   /** MinHash→LSH→verify→connected-components over a (doc_id, text)
     * corpus: every doc labeled with its cluster representative (min
     * doc_id in component) and keep/drop decision. Shared by d5/d6/d7.
@@ -99,23 +95,45 @@ object ExtQueries {
         (col("doc_id") === col("cluster_rep")).as("is_keeper"))
   }
 
+  /** Session-scoped memo of [[clustersOf]] over the injected near-dup
+    * corpus, keyed by (session, sfDir). d5/d6/d7 are three oracle views
+    * of ONE resolution pipeline; without the memo a 62-query session
+    * runs the MinHash→LSH→verify→CC chain three times (~2/3 of the
+    * round-3 dedup bench block was exactly this). The memo'd frame is
+    * backed by connectedComponents' final checkpoint — self-contained
+    * (lineage truncated) and tiny (one (id, rep, bool) row per doc), so
+    * holding it for the session is deliberate; the pipeline's bulky
+    * intermediates (shingles, signatures) are registered pins that
+    * [[graft.std.Materialize.releaseAll]] frees after the query.
+    */
+  private val clusterMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clusterMemo.getOrElseUpdate((spark, sfDir),
+      clustersOf(nearDupCorpus(Tables.documents(spark, sfDir))))
+
+  /** Full dedup resolution (d5): MinHash→LSH→verify pairs, then
+    * connected components — every corpus doc labeled with its cluster
+    * representative (min doc_id in component) and keep/drop decision.
+    */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    clustersOf(nearDupCorpus(Tables.documents(spark, sfDir)))
+    sharedClusters(spark, sfDir)
   }
 
   /** The cleaned corpus (d6): LEFT SEMI join of the corpus to its
     * cluster keepers — the semi-join form every dedup pipeline ends
     * with (emit surviving rows, never materialize the join's right
-    * columns).
+    * columns). The corpus re-derives narrowly (per-row scan work, no
+    * shuffle) — only the cluster resolution is worth memoizing.
     */
   def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    // pinned: corpus feeds clustersOf AND the semi-join left side
-    val corpus = graft.std.Materialize.once(
-      nearDupCorpus(Tables.documents(spark, sfDir)))
-    val keepers = clustersOf(corpus).filter(col("is_keeper")).select("doc_id")
-    corpus.join(keepers, Seq("doc_id"), "left_semi")
+    val keepers = sharedClusters(spark, sfDir)
+      .filter(col("is_keeper")).select("doc_id")
+    nearDupCorpus(Tables.documents(spark, sfDir))
+      .join(keepers, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
   }
 
@@ -124,11 +142,10 @@ object ExtQueries {
     */
   def dedupDropped(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    // pinned: corpus feeds clustersOf AND the anti-join left side
-    val corpus = graft.std.Materialize.once(
-      nearDupCorpus(Tables.documents(spark, sfDir)))
-    val keepers = clustersOf(corpus).filter(col("is_keeper")).select("doc_id")
-    corpus.join(keepers, Seq("doc_id"), "left_anti")
+    val keepers = sharedClusters(spark, sfDir)
+      .filter(col("is_keeper")).select("doc_id")
+    nearDupCorpus(Tables.documents(spark, sfDir))
+      .join(keepers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
   }
 

@@ -1,6 +1,8 @@
 package graft.std
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Materialize-once barrier for diamond-shaped plans.
   *
@@ -14,15 +16,74 @@ import org.apache.spark.sql.DataFrame
   * fire. Pinning the frame makes the cost deterministic: compute once,
   * read N times.
   *
-  * `localCheckpoint(eager)` stores the partitions as executor-local
-  * blocks and truncates lineage. On a single-node runner that is strictly
-  * the right tool. On a 1000-executor cluster, truncated lineage means an
-  * executor loss is unrecoverable — there, swap this body for
-  * `df.persist(StorageLevel.DISK_ONLY)` + a materializing action, or
-  * write/read an intermediate parquet table (which also survives driver
-  * restarts and lets AQE re-derive statistics). The call sites only rely
-  * on the materialize-once contract, not on the mechanism.
+  * Two mechanisms, selected by the session conf
+  * `spark.graft.materialize.mode`:
+  *
+  *  - `local` (default): `localCheckpoint(eager)` — executor-local
+  *    blocks, lineage truncated. Fastest on a single-node runner, but a
+  *    lost executor is unrecoverable, so it is the LOCAL mode.
+  *  - `disk`: `persist(DISK_ONLY)` + a materializing action — lineage is
+  *    kept, so on a multi-executor cluster a lost executor's partitions
+  *    recompute from source instead of failing the job. This is the
+  *    cluster-safe mode (a parquet intermediate would additionally
+  *    survive driver restarts; DISK_ONLY keeps the same API surface).
+  *
+  * Call sites only rely on the materialize-once contract, not on the
+  * mechanism — `MaterializeModeSpec` proves the dedup pipeline emits
+  * identical rows under both.
+  *
+  * Every pin is REGISTERED, and the per-query drivers ([[graft.Bench]],
+  * [[graft.Verify]]) call [[releaseAll]] after each query's action:
+  * without that, eagerly-stored blocks accumulate across a 60-query
+  * session, the storage pool squeezes execution memory, and late
+  * queries nondeterministically spill (round-3 bench: two identical
+  * pipelines at 6 s and 69 s — the slow one ran last).
   */
 object Materialize {
-  def once(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  private val pins = scala.collection.mutable.ListBuffer.empty[() => Unit]
+
+  private def register(release: () => Unit): Unit =
+    synchronized { pins += release }
+
+  /** Compute `df` once and return a frame whose reads never re-execute
+    * the upstream plan. The pin is held until [[releaseAll]].
+    */
+  def once(df: DataFrame): DataFrame = {
+    val mode =
+      df.sparkSession.conf.get("spark.graft.materialize.mode", "local")
+    mode match {
+      case "disk" =>
+        val p = df.persist(StorageLevel.DISK_ONLY)
+        p.count() // scan every partition so the cache is fully built
+        register(() => { p.unpersist(false); () })
+        p
+      case _ =>
+        val cp = df.localCheckpoint(true)
+        register(() => releaseCheckpoint(cp))
+        cp
+    }
+  }
+
+  /** Drop the executor blocks behind a frame returned by
+    * `localCheckpoint` — `Dataset.unpersist` only covers CacheManager
+    * entries, so the checkpoint RDD must be unpersisted directly. After
+    * release the frame is unusable (lineage was truncated); only call
+    * once every consumer has run its action.
+    */
+  def releaseCheckpoint(cp: DataFrame): Unit =
+    cp.queryExecution.logical match {
+      case lr: LogicalRDD => lr.rdd.unpersist(false); ()
+      case _              => ()
+    }
+
+  /** Release every pin registered since the last call. The per-query
+    * harness calls this between queries; anything that must outlive a
+    * query (e.g. the d5/d6/d7 shared-clusters memo) materializes with a
+    * bare `localCheckpoint` instead of [[once]].
+    */
+  def releaseAll(): Unit = synchronized {
+    pins.foreach(p => try p() catch { case _: Throwable => () })
+    pins.clear()
+  }
 }

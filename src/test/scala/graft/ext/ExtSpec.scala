@@ -50,6 +50,21 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connected components converge correctly on NON-numeric ids") {
+    // the DECIMAL label-sum convergence probe nulls out on string labels
+    // (cast → null, sum → null) — before the type branch that silently
+    // declared convergence after one round with one-hop labels; string
+    // ids must take the any-label-changed join probe and still resolve
+    // the full chain to its lexicographic min
+    val nodes = Seq("d1", "d2", "d3", "d4", "d5").toDF("doc_id")
+    val edges = Seq(("d4", "d5"), ("d3", "d4"), ("d2", "d3"), ("d1", "d2"))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1",
+      "d4" -> "d1", "d5" -> "d1"))
+  }
+
   test("connected components merge transitive chains to the min label") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // chain 1-2-3 (diameter 2), pair 4-5, isolated 6

@@ -1,0 +1,46 @@
+package graft.std
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ext.ExtQueries
+
+/** The materialize-once contract must hold under BOTH mechanisms: the
+  * single-node `localCheckpoint` default and the cluster-safe
+  * `persist(DISK_ONLY)` mode (lineage kept ⇒ executor loss recomputes
+  * instead of failing). Call sites never see the difference — proven by
+  * running the heaviest pinned pipeline (MinHash→LSH→verify, two pins)
+  * end-to-end under each mode and comparing rows.
+  */
+class MaterializeModeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("dedup pipeline rows identical under local and disk modes") {
+    def run(): Set[(Long, Long, Double)] =
+      ExtQueries.minHashLshPairs(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.graft.materialize.mode", "local")
+    val local = try run() finally Materialize.releaseAll()
+    spark.conf.set("spark.graft.materialize.mode", "disk")
+    val disk = try run() finally {
+      Materialize.releaseAll()
+      spark.conf.unset("spark.graft.materialize.mode")
+    }
+    assert(local.nonEmpty)
+    assert(local == disk)
+  }
+
+  test("releaseAll drops localCheckpoint blocks") {
+    import spark.implicits._
+    val pinned = Materialize.once(Seq(1, 2, 3).toDF("v"))
+    val rddId = pinned.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddId))
+    Materialize.releaseAll()
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rddId))
+  }
+}
