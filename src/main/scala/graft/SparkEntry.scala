@@ -54,6 +54,7 @@ object SparkEntry {
     // Fiscal calendar (SURVEY §2.4) — the cross-dialect parity queries
     "c4_fincal_columns" -> OperatorQueries.fincalColumns _,
     "c7_fincal_null_labels" -> OperatorQueries.fincalNullLabels _,
+    "c8_fin_week_rollup" -> OperatorQueries.finWeekRollup _,
     // LLM-data-pipeline extensions (north star): dedup, text analysis,
     // similarity search, multimodal plumbing, stream windows
     "d1_exact_dedup" -> ExtQueries.exactDedup _,
@@ -85,6 +86,7 @@ object SparkEntry {
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
+    "s4_lsh_near_dups" -> ExtQueries.lshEmbeddingNearDups _,
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
     "m2_media_frames" -> ExtQueries.mediaFrames _,
     "w1_hourly_by_type" -> ExtQueries.hourlyByType _,
@@ -124,6 +126,7 @@ object SparkEntry {
     "p14_payments" -> OracleSql.p14Payments,
     "c4_fincal_columns" -> OracleSql.c4FincalColumns,
     "c7_fincal_null_labels" -> OracleSql.c7FincalNullLabels,
+    "c8_fin_week_rollup" -> OracleSql.c8FinWeekRollup,
     "d1_exact_dedup" -> ExtOracleSql.d1ExactDedup,
     "d2_minhash_lsh_pairs" -> ExtOracleSql.d2MinHashLshPairs,
     "d3_simhash_fingerprints" -> ExtOracleSql.d3SimHashFingerprints,
@@ -153,6 +156,7 @@ object SparkEntry {
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,
+    "s4_lsh_near_dups" -> ExtOracleSql.s4LshNearDups,
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,
     "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
     "w1_hourly_by_type" -> ExtOracleSql.w1HourlyByType,

@@ -284,6 +284,47 @@ FROM r WHERE rank <= 5"""
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
 
+  /** Deterministic hyperplane component for (plane p, 0-based dim i):
+    * hash-derived uniform in [-0.5, 0.5). DuckDB list lambdas index
+    * 1-based, so the twin hashes `i - 1` to match Spark's 0-based
+    * `transform` index (see `Similarity.planeComponent`).
+    */
+  private def planeComp(p: Int): String =
+    s"(CAST(${h64(s"'plane$p|' || CAST(i - 1 AS VARCHAR)")} % 10000 " +
+      "AS DOUBLE) / 10000.0 - 0.5)"
+
+  /** Sign bit of plane `p`'s projection, weighted 2^p — summed into the
+    * 16-bit sign-LSH bucket id. The projection folds left-to-right
+    * (`list_aggregate`), bit-identical to Spark's `aggregate` fold.
+    */
+  private def bucketExpr(e: String, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      s"""CASE WHEN list_aggregate(list_transform($e,
+         (x, i) -> x * ${planeComp(p)}), 'sum') >= 0
+         THEN ${1L << p} ELSE 0 END"""
+    }.mkString(" + ")
+
+  val s4LshNearDups: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), corpus AS (
+  SELECT vec_id, e FROM v
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(list_zip(e, list_reverse(e)),
+           p -> p[1] * 0.9 + p[2] * 0.1)
+  FROM v WHERE vec_id % 11 = 0
+), n AS (
+  SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm,
+         ${bucketExpr("e", 16)} AS bucket
+  FROM corpus
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(CASE WHEN a.nm * b.nm > 0
+               THEN ${dotExpr("a.e", "b.e")} / (a.nm * b.nm) END, 6) AS cosine
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
+
   val t9TrainTestSplit: String = s"""WITH b AS (
   SELECT lang, ${h64(Norm)} % 100 AS bucket
   FROM documents

@@ -267,6 +267,18 @@ object ExtQueries {
       nearDupVectors(Tables.embeddings(spark, sfDir)), 0.97)
   }
 
+  /** Bucketed (sign-LSH) embedding near-dups (s4) — the scale path, on
+    * the same injected corpus as s2. Recall vs s2 is deliberately < 1
+    * (a 0.99-cosine pair flips one of 16 plane signs with p ≈ 0.53
+    * overall); the oracle mirrors the deterministic hyperplanes exactly,
+    * misses and all, so the result is still hash-exact cross-engine.
+    */
+  def lshEmbeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.lshNearDupPairs(
+      nearDupVectors(Tables.embeddings(spark, sfDir)), 0.97)
+  }
+
   /** Deterministic train/valid/test split (t9): content-hash buckets, so
     * both engines assign every doc identically.
     */

@@ -201,13 +201,21 @@ object Similarity {
 
   /** ANN near-dup pairs: candidates share an LSH bucket (equi-join on
     * the bucket id — shuffle, not cross join), then exact-cosine verify.
+    * This is the 100 TB embedding-dedup path: shuffle volume is one
+    * (id, bucket, vector) row per vector keyed on the 16-bit bucket,
+    * and comparisons happen only inside buckets — [[nearDupPairs]]'
+    * all-pairs kernel exists to verify THIS one's recall.
+    *
+    * The bucketed frame feeds both self-join sides and the bucket
+    * projection costs nPlanes folds per vector — pinned so it computes
+    * once (the diamond class [[graft.std.Materialize]] exists for).
     */
   def lshNearDupPairs(vectors: DataFrame, threshold: Double,
                       nPlanes: Int = 16, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    val bv = withLshBuckets(vectors, nPlanes, vecCol)
+    val bv = graft.std.Materialize.once(withLshBuckets(vectors, nPlanes, vecCol)
       .select(col(idCol), col("bucket"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nm", l2Norm(col("v")))
+      .withColumn("nm", l2Norm(col("v"))))
     val a = bv.select(col(idCol).as("id_a"), col("bucket"), col("v").as("va"),
       col("nm").as("na"))
     val b = bv.select(col(idCol).as("id_b"), col("bucket"), col("v").as("vb"),

@@ -163,8 +163,13 @@ object TextAnalysis {
     */
   def sequencePacking(docs: DataFrame, budget: Int = 2048,
                       textCol: String = "text"): DataFrame = {
+    // ROWS frame pinned explicitly: the default RANGE frame gives tied
+    // ordering keys the same cumulative sum, which diverges from the
+    // oracle's ROWS UNBOUNDED PRECEDING whenever doc_id ever repeated
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     docs
       .select(col("doc_id"), col("lang"),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
@@ -235,9 +240,12 @@ object TextAnalysis {
       .withColumn("_n_tok",
         sum(col("_cnt")).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))))
+    // no broadcast hint on the df table: a real corpus vocabulary is
+    // unbounded (10^7+ terms easily), so a forced broadcast risks OOM at
+    // scale — AQE broadcasts from runtime stats when it actually fits
     val df = terms.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("_df"))
-    val scored = tf.join(broadcast(df), "term")
+    val scored = tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("_score",
         (col("_cnt").cast("double") / col("_n_tok")) *

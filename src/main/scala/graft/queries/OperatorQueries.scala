@@ -135,6 +135,20 @@ object OperatorQueries {
       FiscalCalendar.finWeekLabel(col("event_date")).as("fin_week_label"))
   }
 
+  /** C8 — the fiscal WEEK grain as an aggregation key over every
+    * lineitem row (c4 proves the label per distinct date; this proves
+    * the week partitions the full fact table consistently in both
+    * dialects — the grain a weekly dashboard groups on).
+    */
+  def finWeekRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Tables.lineitem(spark, sfDir)
+      .select(FiscalCalendar.finWeekLabel(to_date(col("l_shipdate")))
+        .as("fin_week_label"))
+      .groupBy(col("fin_week_label"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** C7 parity trap — dateless rows form a literal `"None"` group
     * (`Project.py:124`; SURVEY §2.4).
     */

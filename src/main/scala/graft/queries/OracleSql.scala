@@ -251,6 +251,27 @@ SELECT event_date,
                  AS VARCHAR) AS fin_week_label
 FROM d4"""
 
+  val c8FinWeekRollup: String = """WITH d0 AS (
+  SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem
+), d1 AS (
+  SELECT d, last_day(d) AS _ld FROM d0
+), d2 AS (
+  SELECT *, CASE WHEN d <= _ld - CAST((dayofweek(_ld) + 2) % 7 AS INTEGER)
+                 THEN date_trunc('month', d)
+                 ELSE CAST(date_trunc('month', d) + INTERVAL 1 MONTH AS DATE)
+            END AS _fm
+  FROM d1
+), d3 AS (
+  SELECT *, last_day(CAST(_fm - INTERVAL 1 MONTH AS DATE)) AS _pld FROM d2
+), d4 AS (
+  SELECT *, _pld - CAST((dayofweek(_pld) + 1) % 7 AS INTEGER) AS _fms FROM d3
+)
+SELECT strftime(_fm, '%Y-%m') || '-W'
+         || CAST(CAST(floor((d - _fms) / 7.0) AS INT) + 1 AS VARCHAR)
+         AS fin_week_label,
+       COUNT(*) AS n_rows
+FROM d4 GROUP BY 1"""
+
   val c7FincalNullLabels: String = """WITH d0 AS (
   SELECT CASE WHEN l_linenumber = 5 THEN NULL
               ELSE CAST(l_shipdate AS DATE) END AS d

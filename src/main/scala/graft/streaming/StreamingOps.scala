@@ -74,8 +74,18 @@ object StreamingOps {
     * conversion share. Two filtered aggregates and one equi-join on
     * user_id — shuffle keys are user ids, partial aggregation bounds
     * the volume; no window over the raw stream.
+    *
+    * BATCH form only (unlike [[dedupedEvents]], which branches): the
+    * materialize pin, the two separate final aggregates, and the cross
+    * join all reject a streaming frame at plan time anyway — this guard
+    * turns that late plan error into an immediate, named one. The
+    * streaming shape would be one watermarked `flatMapGroupsWithState`
+    * over user_id emitting (clicked, converted) state transitions.
     */
   def clickFunnel(events: DataFrame): DataFrame = {
+    require(!events.isStreaming,
+      "clickFunnel is the batch form — for a stream, aggregate " +
+        "per-user funnel state with flatMapGroupsWithState instead")
     // pinned: feeds both the conversion join and the n_clickers count
     val firstClick = graft.std.Materialize.once(
       events.filter(col("event_type") === "click")
