@@ -138,18 +138,26 @@ object Dedup {
           count(lit(1)), 6).as("contamination_ratio"))
   }
 
-  /** 32-bit SimHash over the distinct token set: per-bit majority vote of
-    * the token hashes, folded sequentially (deterministic). Pure per-row
-    * expression — no explode, no shuffle.
+  /** 32-bit SimHash from a PRE-HASHED token array: per-bit majority vote,
+    * folded sequentially (deterministic). Feed it an ATTRIBUTE (cross a
+    * [[TextOps.attrBarrier]] first): the 32 vote transforms each re-read
+    * the input column, so a non-attribute hash chain here re-runs its
+    * md5s 32× (the projection-collapse trap — measured).
     */
-  def simHash32(toksCol: Column): Column = {
-    val hs = transform(array_distinct(toksCol), t => TextOps.hash64(t))
+  def simHash32FromHashes(hs: Column): Column =
     (0 until 32).map { b =>
       val votes = transform(hs, h =>
         when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(TextOps.foldSumLong(votes) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** 32-bit SimHash over the distinct token set — the convenience form;
+    * prefer hashing into an attribute + [[simHash32FromHashes]] (or
+    * [[simHash32Agg]]) in anything corpus-scale.
+    */
+  def simHash32(toksCol: Column): Column =
+    simHash32FromHashes(transform(array_distinct(toksCol),
+      t => TextOps.hash64(t)))
 
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -60,6 +60,32 @@ object ExtQueries {
     Dedup.exactGroups(exactDupCorpus(Tables.documents(spark, sfDir)))
   }
 
+  /** Spread a small (often single-split) scan across the configured
+    * shuffle parallelism before a hash-heavy per-row kernel. The sf-test
+    * parquet files are one row group, so a narrow pipeline over them
+    * runs as ONE task no matter the core count — measured: the t7 gram
+    * hashing serialized at ~3.9 s while 31 cores idled. The explicit
+    * partition count keeps AQE from coalescing the (tiny) exchange back
+    * to one partition. At production scale the scan arrives in
+    * thousands of splits, and hashing on doc_id makes the exchange a
+    * reusable pre-partitioning (the MinHash signature groupBy's
+    * distribution is exactly this key, so it replaces — not adds to —
+    * that aggregate's shuffle).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col("doc_id"))
+
+  /** (doc_id, sh) shingle frame with the token array pushed through a
+    * generator barrier first — shingling's slice lambda captures the
+    * token column, and a non-attribute capture re-evaluates the split
+    * per shingle (O(tokens²) string work per doc).
+    */
+  private def shingled(corpus: DataFrame, toks: Column): DataFrame =
+    TextOps.attrBarrier(spread(corpus), Seq("doc_id"), "_toks", toks)
+      .select(col("doc_id"), TextOps.shingles(col("_toks"), 3).as("sh"))
+
   /** Full MinHash→LSH→verify pipeline: 3-shingles, k=8 permutations,
     * 4 bands × 2 rows, Jaccard ≥ 0.5 verification.
     *
@@ -72,8 +98,8 @@ object ExtQueries {
   def minHashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
-    val withSh = graft.std.Materialize.once(corpus.select(col("doc_id"),
-      TextOps.shingles(split(col("text"), " "), 3).as("sh")))
+    val withSh = graft.std.Materialize.once(
+      shingled(corpus, split(col("text"), " ")))
     val sigs = graft.std.Materialize.once(Dedup.minHashSignatures(withSh, 8))
     val cands = Dedup.lshCandidatePairs(sigs, 8, 4)
     Dedup.verifiedNearDups(cands, withSh, 0.5)
@@ -84,8 +110,8 @@ object ExtQueries {
     * doc_id in component) and keep/drop decision. Shared by d5/d6/d7.
     */
   private def clustersOf(corpus: DataFrame): DataFrame = {
-    val withSh = graft.std.Materialize.once(corpus.select(col("doc_id"),
-      TextOps.shingles(split(col("text"), " "), 3).as("sh")))
+    val withSh = graft.std.Materialize.once(
+      shingled(corpus, split(col("text"), " ")))
     val sigs = graft.std.Materialize.once(Dedup.minHashSignatures(withSh, 8))
     val cands = Dedup.lshCandidatePairs(sigs, 8, 4)
     val pairs = Dedup.verifiedNearDups(cands, withSh, 0.5)
@@ -155,8 +181,8 @@ object ExtQueries {
     */
   def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    val withSh = Tables.documents(spark, sfDir).select(col("doc_id"),
-      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val withSh = shingled(Tables.documents(spark, sfDir),
+      TextOps.tokens(col("text")))
     Dedup.contaminationProfile(
       withSh.filter(col("doc_id") % 31 =!= 0),
       withSh.filter(col("doc_id") % 31 === 0))
@@ -171,7 +197,7 @@ object ExtQueries {
   def simHashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     Dedup.simHash32Agg(
-      nearDupCorpus(Tables.documents(spark, sfDir))
+      spread(nearDupCorpus(Tables.documents(spark, sfDir)))
         .select(col("doc_id"), split(col("text"), " ").as("toks")))
   }
 
@@ -181,8 +207,7 @@ object ExtQueries {
   def jaccardGroundTruth(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
-    val withSh = corpus.select(col("doc_id"),
-      TextOps.shingles(split(col("text"), " "), 3).as("sh"))
+    val withSh = shingled(corpus, split(col("text"), " "))
     val fps = Dedup.simHash32Agg(
       corpus.select(col("doc_id"), split(col("text"), " ").as("toks")))
     // pinned: `enriched` feeds both sides of the pair join below
@@ -231,7 +256,7 @@ object ExtQueries {
 
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    TextAnalysis.fingerprints(Tables.documents(spark, sfDir))
+    TextAnalysis.fingerprints(spread(Tables.documents(spark, sfDir)))
   }
 
   /** BPE-ish regex tokenization (word runs + single punctuation marks) —
@@ -312,7 +337,7 @@ object ExtQueries {
     Tables.tune(spark)
     // serialized as a comma-joined string: scalar columns keep the
     // cross-engine compare independent of array-normalization details
-    TextAnalysis.winnowingSketchAgg(Tables.documents(spark, sfDir))
+    TextAnalysis.winnowingSketchAgg(spread(Tables.documents(spark, sfDir)))
       .select(col("doc_id"),
         concat_ws(",", col("sketch").cast("array<string>")).as("sketch"))
   }
@@ -462,7 +487,7 @@ object ExtQueries {
   /** Repetition/boilerplate profile (t16). */
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    TextAnalysis.repetitionStats(Tables.documents(spark, sfDir))
+    TextAnalysis.repetitionStats(spread(Tables.documents(spark, sfDir)))
   }
 
   /** Region cross-tab (x6): pivot with explicit values — static schema,

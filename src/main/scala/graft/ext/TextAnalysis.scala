@@ -284,28 +284,42 @@ object TextAnalysis {
 
   /** Repetition profile: the share of a document's 3-shingles taken by
     * its single most repeated shingle — the boilerplate/spam signal
-    * quality filters threshold on. Two aggregates over the exploded
-    * shingles ((doc, shingle-HASH) counts, then per-doc
-    * max/sum/distinct); both partial-aggregate, so the explode never
-    * crosses the wire raw. Grouping on the 64-bit shingle hash instead
-    * of the n-gram text shuffles 8-byte keys — measured 1.8× faster at
-    * a 500k-doc probe even on local[32]'s in-memory shuffle, and the
-    * gap widens on a real cluster where the exchange crosses the
-    * network. Oracle-exact because both dialects share the hash
-    * (identical collisions ⇒ identical counts).
+    * quality filters threshold on. Pure per-row form: sort the doc's
+    * 64-bit shingle hashes and take the longest equal run (equal hashes
+    * are adjacent after the sort, so the max run length IS the max
+    * per-hash count) — NO explode, NO shuffle, embarrassingly parallel.
+    * The earlier explode + double-groupBy form shuffled one row per
+    * distinct (doc, shingle) — mostly-unique shingles made that nearly
+    * the whole explode volume (5.2 s at sf0.1 vs ~1 s for this form).
+    * Hashing before the sort keeps 8-byte comparisons AND oracle
+    * exactness: both dialects share the hash, so collisions collide
+    * identically and counts match bit-for-bit.
     */
-  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"),
-        explode(TextOps.shingles(TextOps.tokens(col(textCol)), 3)).as("sh"))
-      .groupBy(col("doc_id"), TextOps.hash64(col("sh")).as("_sh"))
-      .agg(count(lit(1)).as("_cnt"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("_cnt")).as("n_shingles"),
-        count(lit(1)).as("n_distinct_shingles"),
-        max(col("_cnt")).as("max_shingle_count"),
-        round(max(col("_cnt")).cast("double") / sum(col("_cnt")), 6)
-          .as("repetition_ratio"))
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toksAttr = TextOps.attrBarrier(docs, Seq("doc_id"), "_toks",
+      TextOps.tokens(col(textCol)))
+    val hsAttr = TextOps.attrBarrier(toksAttr, Seq("doc_id"), "_hs",
+      array_sort(transform(TextOps.shingles(col("_toks"), 3),
+        s => TextOps.hash64(s))))
+    // longest equal run via a sequential fold over the sorted hashes:
+    // state = (prev hash, current run, best run); run>0 doubles as the
+    // has-previous flag (hashes are non-negative, runs start at 1)
+    val maxRun = aggregate(col("_hs"),
+      struct(lit(0L).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run2 = when(acc.getField("run") > 0 && acc.getField("prev") === x,
+          acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run2.as("run"),
+          greatest(acc.getField("best"), run2).as("best"))
+      },
+      acc => acc.getField("best"))
+    hsAttr.select(col("doc_id"),
+      size(col("_hs")).cast("long").as("n_shingles"),
+      size(array_distinct(col("_hs"))).cast("long").as("n_distinct_shingles"),
+      maxRun.as("max_shingle_count"),
+      round(maxRun.cast("double") / size(col("_hs")), 6)
+        .as("repetition_ratio"))
+  }
 
   /** Deterministic domain mixing: each source keeps a target share of
     * its documents, selected by content-hash bucket — the corpus
@@ -358,41 +372,49 @@ object TextAnalysis {
       .otherwise(array(TextOps.hash64(norm)))
   }
 
-  /** Corpus-scale form of [[charKgramSketch]]: normalize once per doc,
-    * explode gram offsets, hash per row, bottom-m via grouped
-    * collect+sort. A doc shorter than k contributes one truncated gram —
-    * `substr` past the end returns the whole text, so values equal the
-    * inline form's whole-text-hash fallback. Returns (doc_id, sketch
-    * array).
+  /** Corpus-scale form of [[charKgramSketch]]: normalize ONCE into an
+    * attribute (generator barrier — the inline form's per-gram lambda
+    * captured the regex chain and re-ran it per gram, measured ~10×),
+    * then hash/sort/slice per row. NO explode of the grams and NO
+    * shuffle — the earlier explode + collect_list form pushed every
+    * gram hash through an exchange (~len(text) rows per doc) just to
+    * sort them back per doc. A doc shorter than k contributes one
+    * truncated gram — `substr` past the end returns the whole text, so
+    * values equal the inline form's whole-text-hash fallback. Returns
+    * (doc_id, sketch array).
     */
   def winnowingSketchAgg(docs: DataFrame, textCol: String = "text",
                          k: Int = 8, m: Int = 8): DataFrame = {
-    val base = docs.select(col("doc_id"),
-      TextOps.normText(col(textCol)).as("_ntext"))
-    val grams = base.select(col("doc_id"),
-      explode(sequence(lit(1),
-        greatest(length(col("_ntext")) - (k - 1), lit(1)))).as("_i"),
-      col("_ntext"))
-      .select(col("doc_id"),
-        TextOps.hash64(col("_ntext").substr(col("_i"), lit(k))).as("_h"))
-    grams.groupBy(col("doc_id"))
-      .agg(slice(array_sort(collect_list(col("_h"))), 1, m).as("sketch"))
+    val base = TextOps.attrBarrier(docs, Seq("doc_id"), "_ntext",
+      TextOps.normText(col(textCol)))
+    base.select(col("doc_id"),
+      slice(array_sort(transform(
+        sequence(lit(1), greatest(length(col("_ntext")) - (k - 1), lit(1))),
+        i => TextOps.hash64(col("_ntext").substr(i, lit(k))))), 1, m)
+        .as("sketch"))
   }
 
   /** Content fingerprints: md5 of normalized text, the 1-permutation
-    * min-shingle hash (cheap containment sketch), and the 32-bit SimHash
-    * (aggregate form, joined back by doc id — one hash per token instead
-    * of 32 under projection collapse).
+    * min-shingle hash (cheap containment sketch), and the 32-bit SimHash.
+    * One generator barrier carries (normalized text, tokens, distinct
+    * token hashes) as a struct ATTRIBUTE, then everything is a per-row
+    * projection — no explode, no shuffle, no join. The earlier form ran
+    * a separate explode+aggregate SimHash and joined it back (one
+    * shuffle each side); with the hashes behind the barrier the 32 vote
+    * folds read an attribute, so the md5s run once per token, not 32×.
     */
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val rowLevel = docs.select(
+    val base = TextOps.attrBarrier(docs, Seq("doc_id"), "_b",
+      struct(
+        TextOps.normText(col(textCol)).as("nt"),
+        TextOps.tokens(col(textCol)).as("toks"),
+        transform(array_distinct(TextOps.tokens(col(textCol))),
+          t => TextOps.hash64(t)).as("hh")))
+    base.select(
       col("doc_id"),
-      md5(TextOps.normText(col(textCol))).as("content_md5"),
-      array_min(transform(TextOps.shingles(toks, 3), s => TextOps.hash64(s)))
-        .as("min_shingle_hash"))
-    val fps = Dedup.simHash32Agg(
-      docs.select(col("doc_id"), toks.as("toks")))
-    rowLevel.join(fps, "doc_id")
+      md5(col("_b").getField("nt")).as("content_md5"),
+      array_min(transform(TextOps.shingles(col("_b").getField("toks"), 3),
+        s => TextOps.hash64(s))).as("min_shingle_hash"),
+      Dedup.simHash32FromHashes(col("_b").getField("hh")).as("simhash32"))
   }
 }

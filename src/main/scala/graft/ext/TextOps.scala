@@ -56,4 +56,21 @@ object TextOps {
     */
   def foldSumDouble(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, v) => acc + v)
+
+  /** Generator barrier: `explode(array(e))` is a 1:1 Generate whose
+    * output is a real ATTRIBUTE. Higher-order-function lambdas sit
+    * outside codegen subexpression elimination, so a lambda that
+    * captures a non-attribute column (e.g. `slice(toks, i, n)` where
+    * `toks = split(regexp_replace(...))`) re-evaluates the whole
+    * captured chain once PER ELEMENT — O(tokens²) string work per
+    * document for shingling. Projections can't break this (CollapseProject
+    * merges them back); a Generate can't be collapsed into, so anything
+    * a downstream lambda captures should cross one of these first.
+    * Null-safe: `array(e)` is never null, so a null `e` yields one row
+    * with a null attribute — row counts are preserved, unlike a bare
+    * `explode` of a nullable array.
+    */
+  def attrBarrier(df: org.apache.spark.sql.DataFrame, keep: Seq[String],
+                  name: String, e: Column): org.apache.spark.sql.DataFrame =
+    df.select(keep.map(col) :+ explode(array(e)).as(name): _*)
 }
