@@ -71,9 +71,22 @@ object Dedup {
     * digests `s(j*r) .. s(j*r+r-1)`; explode the band keys, self-join on
     * (band, key), keep ordered distinct pairs. Shuffle volume is
     * docs × bands small rows — independent of document size.
+    *
+    * `maxBucketSize`: a bucket of n docs yields n·(n-1)/2 candidates, so
+    * one template/boilerplate clique of 10⁴ near-identical docs emits
+    * 5·10⁷ pairs from a single band key — the quadratic blowup a 100×
+    * clique-corpus probe measures. When set, buckets larger than the cap
+    * are DROPPED (the members are near-identical boilerplate whose
+    * resolution belongs to exact dedup + cluster representatives, not
+    * pairwise verification — the standard production guard). Default
+    * `None` keeps candidate generation exhaustive and the DuckDB oracle
+    * twin exact. The cap's count runs as a window over the same
+    * (band, key) exchange the self-join shuffles on, so it adds no
+    * extra shuffle.
     */
   def lshCandidatePairs(sigs: DataFrame, k: Int, bands: Int,
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id",
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
     val bandArr = array((0 until bands).map { j =>
@@ -83,8 +96,15 @@ object Dedup {
     }: _*)
     val exploded = sigs.select(col(idCol), explode(bandArr).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.key").as("key"))
-    val a = exploded.select(col(idCol).as("id_a"), col("band"), col("key"))
-    val b = exploded.select(col(idCol).as("id_b"), col("band"), col("key"))
+    val bucketed = maxBucketSize match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("band"), col("key"))
+        exploded.withColumn("_n", count(lit(1)).over(w))
+          .filter(col("_n") <= cap).drop("_n")
+      case None => exploded
+    }
+    val a = bucketed.select(col(idCol).as("id_a"), col("band"), col("key"))
+    val b = bucketed.select(col(idCol).as("id_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

@@ -8,6 +8,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class UserEvent(user_id: Long, value: Double)
 case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
+/** Typed rows/state for the streaming funnel. */
+case class FunnelEvent(user_id: Long, event_type: String,
+                       ts: java.sql.Timestamp)
+case class FunnelState(firstClick: Option[Long], converted: Boolean,
+                       pendingPurchases: List[Long])
+case class FunnelTransition(user_id: Long, stage: String)
+
 /** Event-stream window aggregations (extension target — the reference
   * has no streaming at all, SURVEY §2.8). The aggregation bodies are
   * plain DataFrame code, so the SAME function serves batch (oracle-
@@ -101,6 +108,64 @@ object StreamingOps {
       .select(col("n_clickers"), col("n_converted"),
         round(col("n_converted").cast("double") / col("n_clickers"), 6)
           .as("conversion_rate"))
+  }
+
+  /** The STREAMING funnel shape [[clickFunnel]]'s scaladoc promises:
+    * per-user conversion state via `flatMapGroupsWithState`, emitting a
+    * `clicked` transition on the user's first click and a `converted`
+    * transition on the first purchase within `windowMs` of it. The
+    * batch summary is then `transitions.groupBy(stage).count()`; on a
+    * stream the same call emits transitions incrementally per
+    * micro-batch (Append mode).
+    *
+    * Out-of-order handling: rows WITHIN a micro-batch are sorted by
+    * event time before folding; a purchase that ARRIVES before its
+    * user's first click is buffered in state (bounded: latest 64) and
+    * replayed when the click lands, so cross-batch purchase-first
+    * arrival still converts. Known approximation (documented, not
+    * silent): the anchor is the first click SEEN — a later-arriving
+    * click with an earlier event time does not re-anchor the window
+    * (exact re-anchoring needs full-event buffering until the
+    * watermark; the state here stays O(1) per user).
+    */
+  def funnelTransitions(events: DataFrame,
+                        windowMs: Long = 3600L * 1000): Dataset[FunnelTransition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"), col("ts")).as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelTransition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, false, Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelTransition]
+          def convert(): Unit = {
+            st = st.copy(converted = true, pendingPurchases = Nil)
+            out += FunnelTransition(uid, "converted")
+          }
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "click" if st.firstClick.isEmpty =>
+                st = st.copy(firstClick = Some(t))
+                out += FunnelTransition(uid, "clicked")
+                if (!st.converted &&
+                  st.pendingPurchases.exists(p => p >= t && p <= t + windowMs))
+                  convert()
+              case "purchase" if !st.converted =>
+                st.firstClick match {
+                  case Some(fc) if t >= fc && t <= fc + windowMs => convert()
+                  case None =>
+                    st = st.copy(
+                      pendingPurchases = (t :: st.pendingPurchases).take(64))
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
   }
 
   /** Streaming exact dedup on a content key: keep the first arrival of

@@ -50,6 +50,20 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("lshCandidatePairs maxBucketSize drops boilerplate cliques") {
+    // 40 identical texts → identical signatures → one bucket of 40 per
+    // band → 780 quadratic candidates; the cap drops the clique (its
+    // resolution belongs to exact dedup, not pairwise verification)
+    val docs = (1L to 40L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val withSh = docs.select(col("doc_id"),
+      TextOps.shingles(split(col("text"), " "), 3).as("sh"))
+    val sigs = Dedup.minHashSignatures(withSh, 8)
+    assert(Dedup.lshCandidatePairs(sigs, 8, 4).count() == 40L * 39 / 2)
+    assert(Dedup.lshCandidatePairs(sigs, 8, 4,
+      maxBucketSize = Some(10)).count() == 0L)
+  }
+
   test("connected components converge correctly on NON-numeric ids") {
     // the DECIMAL label-sum convergence probe nulls out on string labels
     // (cast → null, sum → null) — before the type branch that silently

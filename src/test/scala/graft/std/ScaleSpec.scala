@@ -97,6 +97,26 @@ class ScaleSpec extends AnyFunSuite {
       s"filter not pushed to the scan:\n$scan")
   }
 
+  test("winnowing sketch plans with no exchange (pure per-row kernel)") {
+    // t7's whole point post-rewrite: normalize → hash → sort-in-row;
+    // the only allowed exchange is the small-scan spread repartition
+    val plan = graft.ext.ExtQueries.winnowingSketch(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"per-row sketch grew $exchanges exchanges:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("HashAggregate"),
+      s"per-row sketch should not aggregate:\n$plan")
+  }
+
+  test("LSH embedding near-dups join on bucket equality, never cross join") {
+    val plan = graft.ext.ExtQueries.lshEmbeddingNearDups(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed path degenerated to all-pairs:\n$plan")
+    graft.std.Materialize.releaseAll()
+  }
+
   test("graft_dot is callable from SQL after registration") {
     org.apache.spark.sql.GraftColumns.registerFunctions(spark)
     val r = spark.sql(

@@ -195,6 +195,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel transitions (batch) reproduce clickFunnel's counts") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sfDir)
+    val counts = StreamingOps.funnelTransitions(ev).toDF()
+      .groupBy("stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val summary = StreamingOps.clickFunnel(ev).head()
+    graft.std.Materialize.releaseAll()
+    assert(counts.getOrElse("clicked", 0L) ==
+      summary.getLong(summary.fieldIndex("n_clickers")))
+    assert(counts.getOrElse("converted", 0L) ==
+      summary.getLong(summary.fieldIndex("n_converted")))
+  }
+
+  test("streaming funnel converts when the purchase ARRIVES before the click") {
+    import spark.implicits._
+    def ev(uid: Long, typ: String, t: String) =
+      (uid, typ, java.sql.Timestamp.valueOf(t))
+    val dir = Files.createTempDirectory("funnel_src").toFile
+    def stamp(m: Long): Unit = dir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.lastModified() > m)
+      .foreach(f => assert(f.setLastModified(m)))
+    // micro-batch 1 (arrives first): purchases only — user 1's is within
+    // the hour of a click it has not seen yet, user 2's is outside it
+    Seq(ev(1L, "purchase", "2024-01-01 10:30:00"),
+        ev(2L, "purchase", "2024-01-01 12:00:00"))
+      .toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(1000000L)
+    // micro-batch 2: the clicks, event-time EARLIER than batch 1
+    Seq(ev(1L, "click", "2024-01-01 10:00:00"),
+        ev(2L, "click", "2024-01-01 10:00:00"))
+      .toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(2000000L)
+
+    val streamIn = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = StreamingOps.funnelTransitions(streamIn)
+      .writeStream.format("memory").queryName("funnel_tr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("funnel_tr").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // user 1 converts via the pending-purchase buffer; user 2's
+      // purchase is outside the window → clicked only
+      assert(got == Set((1L, "clicked"), (1L, "converted"), (2L, "clicked")))
+    } finally q.stop()
+  }
+
   test("userSessions sessionizes with the 5-minute gap (batch form)") {
     import spark.implicits._
     val ts = Seq(
