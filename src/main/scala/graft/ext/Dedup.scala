@@ -259,6 +259,75 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_rep")
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14) — the deep-graph variant [[connectedComponents]]'s
+    * convergence guard points at. Min-label propagation needs O(diameter)
+    * rounds; the star rounds contract ANY component in O(log² n), so a
+    * 10⁶-doc boilerplate chain that would blow the propagation budget
+    * resolves in a dozen supersteps.
+    *
+    * One superstep = large-star (attach every LARGER neighbor of u to
+    * m(u) = min(Γ(u) ∪ u)) then small-star (attach u and its smaller
+    * neighbors to their min). Both preserve connectivity; the composite's
+    * only stable states are star forests rooted at component minima, so
+    * an unchanged edge set IS convergence (checked exactly via a set
+    * compare — the potential argument makes false positives impossible,
+    * no hashing involved). Per superstep: two groupBy+join rounds over
+    * the current edge set, each keyed on the node id; edge count never
+    * exceeds the input's, and the previous superstep's checkpoint is
+    * released like the sibling's.
+    */
+  def connectedComponentsStars(nodes: DataFrame, edges: DataFrame,
+                               maxIter: Int = 20,
+                               idCol: String = "doc_id"): DataFrame = {
+    def sym(e: DataFrame): DataFrame = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy(col("src")).agg(min(col("dst")).as("_mn"))
+        .select(col("src").as("_u"), least(col("_mn"), col("src")).as("_m"))
+      s.join(m, col("src") === col("_u"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e).where(col("dst") < col("src"))
+      val m = s.groupBy(col("src")).agg(min(col("dst")).as("_mn"))
+        .select(col("src").as("_u"), col("_mn").as("_m"))
+      val j = s.join(m, col("src") === col("_u"))
+      j.where(col("dst") =!= col("_m"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .unionByName(j.select(col("src"), col("_m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var cur = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var converged = cur.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      graft.std.Materialize.releaseCheckpoint(cur)
+      cur = next
+      i += 1
+    }
+    require(converged,
+      s"connectedComponentsStars did not converge after $maxIter " +
+        "supersteps — raise maxIter (expected O(log^2 n))")
+    // fixed point = star forest (child → component-min root); roots and
+    // isolated nodes label themselves
+    nodes.select(col(idCol))
+      .join(cur.select(col("src").as(idCol), col("dst").as("_root")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_root"), col(idCol)).as("cluster_rep"))
+  }
+
   /** SimHash via explode + aggregate — the corpus-scale form. The inline
     * [[simHash32]] expression re-inlines the per-token md5 into each of
     * its 32 bit votes under projection collapse (32× the hash work —

@@ -300,8 +300,10 @@ object ExtQueries {
     */
   def lshEmbeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
+    // dims=64 (the corpus' schema-level embedding width) switches the
+    // bucket projections to literal planes + the native dot kernel
     Similarity.lshNearDupPairs(
-      nearDupVectors(Tables.embeddings(spark, sfDir)), 0.97)
+      nearDupVectors(Tables.embeddings(spark, sfDir)), 0.97, dims = Some(64))
   }
 
   /** Deterministic train/valid/test split (t9): content-hash buckets, so

@@ -106,21 +106,48 @@ object Similarity {
     (TextOps.hash64(concat(lit(s"plane$plane|"), dim.cast("string"))) % 10000L)
       .cast("double") / 10000.0 - 0.5
 
+  /** Scala-side mirror of [[planeComponent]]: same md5 bits, computed at
+    * PLAN time so the plane vector can be a literal array (verified
+    * equal to the expression form in `ExtSpec`).
+    */
+  private def planeComponentValue(plane: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$plane|$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 14), 16) % 10000L)
+      .toDouble / 10000.0 - 0.5
+  }
+
   /** Sign-random-projection bucket id over `nPlanes` hyperplanes: bit p =
     * sign(v · h_p). 16 planes → 65k buckets; near-identical vectors land
     * in the same bucket with high probability.
+    *
+    * When `dims` is known (any production embedding column has a fixed,
+    * schema-level dimensionality), the planes become literal arrays and
+    * each projection is one native codegen [[dot]] — same left-fold
+    * summation order as the HOF form, so values are bit-identical, at a
+    * fraction of the interpreter cost (HOF lambdas don't codegen).
+    * Without `dims` the hyperplane components are derived per element in
+    * the expression itself.
     */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
+  def lshBucket(vec: Column, nPlanes: Int, dims: Option[Int] = None): Column =
     (0 until nPlanes).map { p =>
-      val proj = TextOps.foldSumDouble(
-        transform(vec, (x, i) => x * planeComponent(p, i)))
+      val proj = dims match {
+        case Some(n) =>
+          dot(vec, array((0 until n).map(d =>
+            lit(planeComponentValue(p, d))): _*))
+        case None =>
+          TextOps.foldSumDouble(
+            transform(vec, (x, i) => x * planeComponent(p, i)))
+      }
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   def withLshBuckets(vectors: DataFrame, nPlanes: Int = 16,
-                     vecCol: String = "embedding"): DataFrame =
+                     vecCol: String = "embedding",
+                     dims: Option[Int] = None): DataFrame =
     vectors.withColumn("bucket",
-      lshBucket(col(vecCol).cast("array<double>"), nPlanes))
+      lshBucket(col(vecCol).cast("array<double>"), nPlanes, dims))
 
   /** Per-label centroid vectors (the IVF coarse quantizer): element-wise
     * mean via posexplode + grouped avg — two small shuffles, centroid
@@ -212,10 +239,13 @@ object Similarity {
     */
   def lshNearDupPairs(vectors: DataFrame, threshold: Double,
                       nPlanes: Int = 16, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
-    val bv = graft.std.Materialize.once(withLshBuckets(vectors, nPlanes, vecCol)
-      .select(col(idCol), col("bucket"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nm", l2Norm(col("v"))))
+                      vecCol: String = "embedding",
+                      dims: Option[Int] = None): DataFrame = {
+    val bv = graft.std.Materialize.once(
+      withLshBuckets(vectors, nPlanes, vecCol, dims)
+        .select(col(idCol), col("bucket"),
+          col(vecCol).cast("array<double>").as("v"))
+        .withColumn("nm", l2Norm(col("v"))))
     val a = bv.select(col(idCol).as("id_a"), col("bucket"), col("v").as("va"),
       col("nm").as("na"))
     val b = bv.select(col(idCol).as("id_b"), col("bucket"), col("v").as("vb"),

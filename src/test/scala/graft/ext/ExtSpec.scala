@@ -50,6 +50,21 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("literal-plane LSH buckets equal the expression-derived ones") {
+    // the plan-time md5 mirror must reproduce the in-plan hash bits
+    // exactly, or the two forms would bucket (and the s4 oracle would
+    // hash) differently
+    val vecs = Tables(spark, sfDir, "embeddings")
+    val expr = Similarity.withLshBuckets(vecs, 16)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lit = Similarity.withLshBuckets(vecs, 16, dims = Some(64))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expr.nonEmpty)
+    assert(expr == lit)
+  }
+
   test("lshCandidatePairs maxBucketSize drops boilerplate cliques") {
     // 40 identical texts → identical signatures → one bucket of 40 per
     // band → 780 quadratic candidates; the cap drops the clique (its
@@ -77,6 +92,34 @@ class ExtSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(cc == Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1",
       "d4" -> "d1", "d5" -> "d1"))
+  }
+
+  test("star-rounds CC matches min-label propagation on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 400
+    val edges = (1 to 300)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val expected = Dedup.connectedComponents(nodes, edges, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.connectedComponentsStars(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("star-rounds CC resolves a path too deep for the same propagation budget") {
+    // a 60-node path has diameter 59: min-label propagation cannot finish
+    // in 10 rounds (fails loudly), star contraction needs only O(log² n)
+    val n = 60L
+    val nodes = (0L until n).toDF("doc_id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 10).collect()
+    }
+    val labels = Dedup.connectedComponentsStars(nodes, edges, maxIter = 10)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(labels == Set(0L))
   }
 
   test("connected components merge transitive chains to the min label") {
