@@ -1,0 +1,114 @@
+package graft.sinks
+
+import java.awt.{BasicStroke, Color, Font, Graphics2D, RenderingHints}
+import java.awt.image.BufferedImage
+import java.io.File
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** PNG chart rendering (SURVEY §2.1 S5 — the reference renders
+  * matplotlib bar charts of Q1 revenue-by-month and Q2 top-products,
+  * `/root/reference/Project.py:226-267`). Pure-JDK headless rendering
+  * (`java.awt.image` + `javax.imageio`): no plotting dependency, works
+  * in a server JRE.
+  *
+  * Driver-side BY NATURE like [[Xlsx]]: a chart consumes an aggregated
+  * report frame (≤ a few hundred bars), never fact data — enforced with
+  * a loud row cap, not a silent truncation.
+  */
+object Charts {
+
+  private val Bg = Color.WHITE
+  private val BarFill = new Color(31, 119, 180)  // matplotlib C0
+  private val AxisCol = Color.DARK_GRAY
+
+  /** Render a vertical bar chart to `path` (a `.png` FILE path). */
+  def writeBarChartPng(labels: Seq[String], values: Seq[Double],
+                       title: String, path: String,
+                       width: Int = 900, height: Int = 540,
+                       maxBars: Int = 500): Unit = {
+    require(labels.nonEmpty && labels.size == values.size,
+      s"writeBarChartPng: ${labels.size} labels vs ${values.size} values")
+    require(labels.size <= maxBars,
+      s"writeBarChartPng: ${labels.size} bars — charts render REPORT " +
+        "aggregates; reduce before plotting")
+    System.setProperty("java.awt.headless", "true")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics().asInstanceOf[Graphics2D]
+    try {
+      g.setRenderingHint(RenderingHints.KEY_ANTIALIASING,
+        RenderingHints.VALUE_ANTIALIAS_ON)
+      g.setColor(Bg); g.fillRect(0, 0, width, height)
+      val (l, r, top, bot) = (70, 20, 50, 90)
+      val plotW = width - l - r
+      val plotH = height - top - bot
+      val maxV = math.max(values.max, 0.0)
+      val minV = math.min(values.min, 0.0)
+      val span = if (maxV - minV == 0) 1.0 else maxV - minV
+      def y(v: Double): Int = top + ((maxV - v) / span * plotH).toInt
+      // axes + zero line
+      g.setColor(AxisCol)
+      g.setStroke(new BasicStroke(1.5f))
+      g.drawLine(l, top, l, top + plotH)
+      g.drawLine(l, y(0), l + plotW, y(0))
+      // y tick labels (min / 0 / max)
+      g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 11))
+      Seq(minV, 0.0, maxV).distinct.foreach { v =>
+        g.drawString(f"$v%,.0f", 4, y(v) + 4)
+      }
+      // bars
+      val n = values.size
+      val step = plotW.toDouble / n
+      val barW = math.max(1, (step * 0.8).toInt)
+      g.setColor(BarFill)
+      values.zipWithIndex.foreach { case (v, i) =>
+        val x = l + (i * step + step * 0.1).toInt
+        val (yTop, h) =
+          if (v >= 0) (y(v), y(0) - y(v)) else (y(0), y(v) - y(0))
+        g.fillRect(x, yTop, barW, math.max(1, h))
+      }
+      // x labels: rotated when crowded, every k-th so they stay legible
+      g.setColor(AxisCol)
+      val every = math.max(1, n / 24)
+      val oldTx = g.getTransform
+      labels.zipWithIndex.foreach { case (lab, i) =>
+        if (i % every == 0) {
+          val x = l + (i * step + step / 2).toInt
+          g.rotate(-Math.PI / 4, x.toDouble, (top + plotH + 12).toDouble)
+          g.drawString(lab.take(16), x - 30, top + plotH + 14)
+          g.setTransform(oldTx)
+        }
+      }
+      // title
+      g.setFont(new Font(Font.SANS_SERIF, Font.BOLD, 16))
+      g.drawString(title, l, 30)
+    } finally g.dispose()
+    val ok = ImageIO.write(img, "png", new File(path))
+    require(ok, "writeBarChartPng: no PNG writer available")
+  }
+
+  /** The reference's two report charts (`Project.py:226-267`) from their
+    * query frames: revenue per fiscal month and top-product revenue.
+    * Ordering matches [[Sinks.writeChartData]]'s chart-input contract.
+    */
+  def writeCharts(revenueByMonth: DataFrame, topProducts: DataFrame,
+                  dir: String): Unit = {
+    new File(dir).mkdirs()
+    val rev = revenueByMonth.orderBy(col("fin_month_label"))
+      .select(col("fin_month_label"), col("revenue")).collect()
+    writeBarChartPng(
+      rev.map(_.getString(0)).toSeq,
+      rev.map(r => r.getDouble(1)).toSeq,
+      "Revenue by financial month", s"$dir/revenue_by_month.png")
+    val top = topProducts
+      .orderBy(col("revenue").desc, col("product_desc"))
+      .select(col("product_desc"), col("revenue")).collect()
+    writeBarChartPng(
+      top.map(_.getString(0)).toSeq,
+      top.map(r => r.getDouble(1)).toSeq,
+      "Top products by revenue", s"$dir/top_products.png")
+  }
+}

@@ -81,20 +81,23 @@ object Sinks {
     sb.result().take(31)
   }
 
-  /** S4 replacement contract (SURVEY §2.1): the reference's multi-sheet
+  /** S4 parallel contract (SURVEY §2.1): the reference's multi-sheet
     * Excel workbook (`Project.py:273-324`) as one directory of CSV
     * "sheets", names sanitized the same way. Same information,
-    * oracle-checkable, and writable in parallel (xlsxwriter is a
-    * single-threaded driver-side bottleneck the engine shouldn't have).
+    * oracle-checkable, and writable in parallel (a workbook writer is a
+    * single-threaded driver-side bottleneck the engine shouldn't force
+    * on fact-scale data). For the real binary workbook — report-sized
+    * frames, opens in Excel — use [[Xlsx.writeXlsx]].
     */
   def writeWorkbook(sheets: Seq[(String, DataFrame)], dir: String): Unit =
     sheets.foreach { case (name, df) =>
       writeCsv(df, s"$dir/${sanitizeSheetName(name).replace(' ', '_')}")
     }
 
-  /** S5 replacement (SURVEY §2.1): the chart *inputs* (the reference
+  /** S5 data contract (SURVEY §2.1): the chart *inputs* (the reference
     * renders matplotlib PNGs of Q1/Q2, `Project.py:226-267`) as
-    * chart-ready CSV — one ordered frame per chart.
+    * chart-ready CSV — one ordered frame per chart. For the rendered
+    * PNGs themselves use [[Charts.writeCharts]].
     */
   def writeChartData(revenueByMonth: DataFrame, topProducts: DataFrame,
                      dir: String): Unit = {

@@ -95,6 +95,68 @@ class SinksSpec extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("id", "s"))
   }
 
+  test("S4 binary .xlsx: valid OOXML package, typed cells, dedup names") {
+    val path = tmp("xlsx") + ".xlsx"
+    new java.io.File(path).getParentFile.mkdirs()
+    Xlsx.writeXlsx(Seq(
+      "summary" -> frame,
+      "summary" -> frame.select("id")), path) // same name → suffixed
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val entries = {
+        val e = zf.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result().toSet
+      }
+      assert(entries == Set("[Content_Types].xml", "_rels/.rels",
+        "xl/workbook.xml", "xl/_rels/workbook.xml.rels",
+        "xl/worksheets/sheet1.xml", "xl/worksheets/sheet2.xml"))
+      def xml(name: String) = {
+        val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        f.setNamespaceAware(true)
+        f.newDocumentBuilder().parse(zf.getInputStream(zf.getEntry(name)))
+      }
+      // every part is well-formed XML (DocumentBuilder throws otherwise)
+      entries.foreach(xml)
+      val wb = xml("xl/workbook.xml").getElementsByTagNameNS("*", "sheet")
+      assert(wb.getLength == 2)
+      assert(wb.item(0).getAttributes.getNamedItem("name")
+        .getNodeValue == "Summary")
+      assert(wb.item(1).getAttributes.getNamedItem("name")
+        .getNodeValue != "Summary") // deduplicated
+      val s1 = xml("xl/worksheets/sheet1.xml")
+      // header row + 2 data rows; numeric cells as <v>, strings inline,
+      // null cells omitted
+      assert(s1.getElementsByTagNameNS("*", "row").getLength == 3)
+      val cells = s1.getElementsByTagNameNS("*", "c")
+      val a2 = (0 until cells.getLength).map(cells.item)
+        .find(_.getAttributes.getNamedItem("r").getNodeValue == "A2").get
+      assert(a2.getTextContent == "1")
+    } finally zf.close()
+  }
+
+  test("xlsx column refs follow A1 lettering past Z") {
+    assert(Seq(0, 25, 26, 27, 51, 52, 701, 702)
+      .map(Xlsx.colRef) == Seq("A", "Z", "AA", "AB", "AZ", "BA", "ZZ", "AAA"))
+  }
+
+  test("S5 PNG charts render headless with plotted pixels") {
+    import graft.queries.{BiQueries, Merged}
+    val dir = tmp("charts")
+    val cleaned = Merged.cleaned(spark, "/root/testdata/sf0.001")
+    Charts.writeCharts(BiQueries.revenueByMonth(cleaned),
+      BiQueries.topProducts(cleaned), dir)
+    Seq("revenue_by_month.png", "top_products.png").foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.File(s"$dir/$f"))
+      assert(img.getWidth == 900 && img.getHeight == 540)
+      // bar fill (matplotlib C0 blue) must appear — i.e. bars were drawn
+      val blue = new java.awt.Color(31, 119, 180).getRGB
+      val found = (0 until img.getWidth by 7).exists(x =>
+        (0 until img.getHeight by 7).exists(y => img.getRGB(x, y) == blue))
+      assert(found, s"$f has no plotted bars")
+    }
+  }
+
   test("S6 end-to-end: three collection JSONL dirs with full row counts") {
     import graft.queries.Merged
     val dir = tmp("collections")
