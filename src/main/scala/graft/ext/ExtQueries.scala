@@ -370,11 +370,17 @@ object ExtQueries {
     */
   def saltedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
+    // project to the salt discriminators + key + value BEFORE salting:
+    // hashing the whole enriched schema referenced all ~40 columns and
+    // held the scan unpruned (5s vs q1's 1.7s on the same aggregate)
     graft.std.Salt.saltedSum(
       graft.queries.Merged.cleaned(spark, sfDir)
-        .withColumn("total_line_price",
-          col("total_line_price").cast("decimal(38,6)")),
-      Seq("fin_month_label"), Seq("total_line_price"), buckets = 16)
+        .select(col("fin_month_label"), col("doc_number"),
+          col("product_code"),
+          col("total_line_price").cast("decimal(38,6)")
+            .as("total_line_price")),
+      Seq("fin_month_label"), Seq("total_line_price"), buckets = 16,
+      saltCols = Seq("doc_number", "product_code"))
       .select(col("fin_month_label"),
         round(col("total_line_price"), 2).cast("double").as("revenue"))
   }
