@@ -230,8 +230,13 @@ object Dedup {
     var prevSum = if (numericId) labelSum(labels) else null
     var converged = false
     var done = 0
-    while (!converged && done < maxIter) {
-      val rounds = math.min(2, maxIter - done)
+    // budget = maxIter PROGRESS rounds + 2 confirmation rounds: batching
+    // rounds into supersteps means convergence is only observed after a
+    // full no-change superstep, so without the allowance a graph of
+    // diameter maxIter-1 (which the per-round form handled) would throw.
+    // Deeper graphs still fail loudly, two rounds later.
+    while (!converged && done < maxIter + 2) {
+      val rounds = math.min(2, maxIter + 2 - done)
       var cur = labels
       (0 until rounds).foreach(_ => cur = propagate(cur))
       val next = cur.localCheckpoint(true)

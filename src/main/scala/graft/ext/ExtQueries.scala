@@ -60,22 +60,28 @@ object ExtQueries {
     Dedup.exactGroups(exactDupCorpus(Tables.documents(spark, sfDir)))
   }
 
-  /** Spread a small (often single-split) scan across the configured
-    * shuffle parallelism before a hash-heavy per-row kernel. The sf-test
-    * parquet files are one row group, so a narrow pipeline over them
-    * runs as ONE task no matter the core count — measured: the t7 gram
-    * hashing serialized at ~3.9 s while 31 cores idled. The explicit
-    * partition count keeps AQE from coalescing the (tiny) exchange back
-    * to one partition. At production scale the scan arrives in
-    * thousands of splits, and hashing on doc_id makes the exchange a
-    * reusable pre-partitioning (the MinHash signature groupBy's
-    * distribution is exactly this key, so it replaces — not adds to —
-    * that aggregate's shuffle).
+  /** Spread an UNDER-SPLIT scan across the configured shuffle
+    * parallelism before a hash-heavy per-row kernel. The sf-test
+    * parquet files are one row group — unsplittable below row-group
+    * granularity, so `maxPartitionBytes` can't help and a narrow
+    * pipeline over them runs as ONE task no matter the core count
+    * (measured: the t7 gram hashing serialized at ~3.9 s while 31
+    * cores idled). The explicit partition count keeps AQE from
+    * coalescing the (tiny) exchange back to one partition.
+    *
+    * CONDITIONAL on the scan actually being under-split: a production
+    * corpus arrives in thousands of splits, and there this is a no-op —
+    * a pure per-row kernel (t5/t7/t16) must not pay a full-corpus
+    * text shuffle it doesn't need. (For the MinHash path the exchange
+    * additionally pre-partitions on the signature groupBy's key, so
+    * even when it fires it replaces that aggregate's shuffle.)
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-      col("doc_id"))
+  private def spread(df: DataFrame): DataFrame = {
+    val target =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target, col("doc_id"))
+  }
 
   /** (doc_id, sh) shingle frame with the token array pushed through a
     * generator barrier first — shingling's slice lambda captures the

@@ -221,38 +221,13 @@ SELECT doc_number, customer_number, tot_payment, deposit_date, event_date,
        fin_week_label, fin_month_label, fin_quarter, region_desc
 FROM enriched"""
 
-  val c4FincalColumns: String = """WITH d0 AS (
-  SELECT DISTINCT CAST(l_shipdate AS DATE) AS event_date FROM lineitem
-), d1 AS (
-  SELECT event_date, last_day(event_date) AS _ld FROM d0
-), d2 AS (
-  SELECT *, CASE WHEN event_date <= _ld - CAST((dayofweek(_ld) + 2) % 7 AS INTEGER)
-                 THEN date_trunc('month', event_date)
-                 ELSE CAST(date_trunc('month', event_date) + INTERVAL 1 MONTH AS DATE)
-            END AS _fm
-  FROM d1
-), d3 AS (
-  SELECT *, last_day(CAST(_fm - INTERVAL 1 MONTH AS DATE)) AS _pld,
-            last_day(_fm) AS _fld
-  FROM d2
-), d4 AS (
-  SELECT *, _pld - CAST((dayofweek(_pld) + 1) % 7 AS INTEGER) AS fin_month_start FROM d3
-)
-SELECT event_date,
-       COALESCE(strftime(_fm, '%Y-%m'), 'None') AS fin_month_label,
-       fin_month_start,
-       _fld - CAST((dayofweek(_fld) + 2) % 7 AS INTEGER) AS fin_month_end,
-       year(_fm) AS fin_year,
-       month(_fm) AS fin_month_num,
-       'FY' || CAST(year(_fm) AS VARCHAR) || ' Q'
-         || CAST(quarter(_fm) AS VARCHAR) AS fin_quarter,
-       strftime(_fm, '%Y-%m') || '-W'
-         || CAST(CAST(floor((event_date - fin_month_start) / 7.0) AS INT) + 1
-                 AS VARCHAR) AS fin_week_label
-FROM d4"""
-
-  val c8FinWeekRollup: String = """WITH d0 AS (
-  SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem
+  /** Shared fiscal CTE chain from a `... AS d` date source to `d4`
+    * (with `_fm` fin-month, `_fld` its last day, `_fms` the start
+    * bound). ONE definition feeds c4 and c8 — two hand-maintained
+    * copies of the week rule would silently drift apart.
+    */
+  private def fiscalChain(srcSelect: String): String = s"""WITH d0 AS (
+  $srcSelect
 ), d1 AS (
   SELECT d, last_day(d) AS _ld FROM d0
 ), d2 AS (
@@ -262,13 +237,33 @@ FROM d4"""
             END AS _fm
   FROM d1
 ), d3 AS (
-  SELECT *, last_day(CAST(_fm - INTERVAL 1 MONTH AS DATE)) AS _pld FROM d2
+  SELECT *, last_day(CAST(_fm - INTERVAL 1 MONTH AS DATE)) AS _pld,
+            last_day(_fm) AS _fld
+  FROM d2
 ), d4 AS (
   SELECT *, _pld - CAST((dayofweek(_pld) + 1) % 7 AS INTEGER) AS _fms FROM d3
-)
-SELECT strftime(_fm, '%Y-%m') || '-W'
-         || CAST(CAST(floor((d - _fms) / 7.0) AS INT) + 1 AS VARCHAR)
-         AS fin_week_label,
+)"""
+
+  private val FinWeekLabelExpr: String =
+    """strftime(_fm, '%Y-%m') || '-W'
+         || CAST(CAST(floor((d - _fms) / 7.0) AS INT) + 1 AS VARCHAR)"""
+
+  val c4FincalColumns: String = fiscalChain(
+    "SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem") + s"""
+SELECT d AS event_date,
+       COALESCE(strftime(_fm, '%Y-%m'), 'None') AS fin_month_label,
+       _fms AS fin_month_start,
+       _fld - CAST((dayofweek(_fld) + 2) % 7 AS INTEGER) AS fin_month_end,
+       year(_fm) AS fin_year,
+       month(_fm) AS fin_month_num,
+       'FY' || CAST(year(_fm) AS VARCHAR) || ' Q'
+         || CAST(quarter(_fm) AS VARCHAR) AS fin_quarter,
+       $FinWeekLabelExpr AS fin_week_label
+FROM d4"""
+
+  val c8FinWeekRollup: String = fiscalChain(
+    "SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem") + s"""
+SELECT $FinWeekLabelExpr AS fin_week_label,
        COUNT(*) AS n_rows
 FROM d4 GROUP BY 1"""
 

@@ -95,20 +95,32 @@ object Charts {
     * Ordering matches [[Sinks.writeChartData]]'s chart-input contract.
     */
   def writeCharts(revenueByMonth: DataFrame, topProducts: DataFrame,
-                  dir: String): Unit = {
+                  dir: String, maxBars: Int = 500): Unit = {
     new File(dir).mkdirs()
-    val rev = revenueByMonth.orderBy(col("fin_month_label"))
-      .select(col("fin_month_label"), col("revenue")).collect()
+    // limit BEFORE collect: the bar cap must fire as a loud plan-side
+    // guard, not after a million-row collect has already OOMed the
+    // driver (limit maxBars+1 keeps the over-cap case detectable)
+    def capped(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+      val rows = df.limit(maxBars + 1).collect()
+      require(rows.length <= maxBars,
+        s"writeCharts: more than $maxBars bars — charts render REPORT " +
+          "aggregates; reduce before plotting")
+      rows
+    }
+    val rev = capped(revenueByMonth.orderBy(col("fin_month_label"))
+      .select(col("fin_month_label"), col("revenue")))
     writeBarChartPng(
       rev.map(_.getString(0)).toSeq,
       rev.map(r => r.getDouble(1)).toSeq,
-      "Revenue by financial month", s"$dir/revenue_by_month.png")
-    val top = topProducts
+      "Revenue by financial month", s"$dir/revenue_by_month.png",
+      maxBars = maxBars)
+    val top = capped(topProducts
       .orderBy(col("revenue").desc, col("product_desc"))
-      .select(col("product_desc"), col("revenue")).collect()
+      .select(col("product_desc"), col("revenue")))
     writeBarChartPng(
       top.map(_.getString(0)).toSeq,
       top.map(r => r.getDouble(1)).toSeq,
-      "Top products by revenue", s"$dir/top_products.png")
+      "Top products by revenue", s"$dir/top_products.png",
+      maxBars = maxBars)
   }
 }

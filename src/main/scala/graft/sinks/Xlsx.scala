@@ -62,24 +62,35 @@ object Xlsx {
     case n: Short   => s"""<c r="$ref"><v>$n</v></c>"""
     case n: Int     => s"""<c r="$ref"><v>$n</v></c>"""
     case n: Long    => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Float   => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Double  => s"""<c r="$ref"><v>$n</v></c>"""
+    // NaN/Infinity are not valid numeric cell content (Excel declares
+    // the workbook corrupt) — fall through to an inline string
+    case n: Float if java.lang.Float.isFinite(n) =>
+      s"""<c r="$ref"><v>$n</v></c>"""
+    case n: Double if java.lang.Double.isFinite(n) =>
+      s"""<c r="$ref"><v>$n</v></c>"""
     case n: java.math.BigDecimal => s"""<c r="$ref"><v>${n.toPlainString}</v></c>"""
     // dates/timestamps as their ISO-ish toString — no style table needed
     case other =>
       s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(other.toString)}</t></is></c>"""
   }
 
-  private def sheetXml(df: DataFrame, maxRows: Long): String = {
-    val sb = new StringBuilder
-    sb ++= s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<worksheet xmlns="$MainNs"><sheetData>"""
+  /** Stream one worksheet's XML straight into the zip: rows go from
+    * `toLocalIterator` to the compressed stream, so driver memory holds
+    * one partition of rows + one row's XML — never the sheet (a
+    * near-cap sheet would be multi-GB as a single string).
+    */
+  private def writeSheetEntry(zip: ZipOutputStream, df: DataFrame,
+                              maxRows: Long): Unit = {
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(zip, "UTF-8"))
+    w.write(s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="$MainNs"><sheetData>""")
     val cols = df.columns
-    sb ++= "<row r=\"1\">"
+    w.write("<row r=\"1\">")
     cols.zipWithIndex.foreach { case (c, i) =>
-      sb ++= cellXml(s"${colRef(i)}1", c)
+      w.write(cellXml(s"${colRef(i)}1", c))
     }
-    sb ++= "</row>"
+    w.write("</row>")
     var r = 1L
     val it = df.toLocalIterator()
     while (it.hasNext) {
@@ -88,14 +99,16 @@ object Xlsx {
       require(r <= maxRows + 1,
         s"writeXlsx: sheet exceeds $maxRows rows — a workbook is a " +
           "driver-side REPORT sink; write fact-scale data as parquet/CSV")
-      sb ++= s"""<row r="$r">"""
+      w.write(s"""<row r="$r">""")
       cols.indices.foreach { i =>
-        sb ++= cellXml(s"${colRef(i)}$r", row.get(i))
+        w.write(cellXml(s"${colRef(i)}$r", row.get(i)))
       }
-      sb ++= "</row>"
+      w.write("</row>")
     }
-    sb ++= "</sheetData></worksheet>"
-    sb.result()
+    w.write("</sheetData></worksheet>")
+    // flush through to the zip WITHOUT closing it (closing the writer
+    // would close the whole stream)
+    w.flush()
   }
 
   /** Write `sheets` as one `.xlsx` file at `path` (a FILE path, not a
@@ -149,7 +162,9 @@ object Xlsx {
             s"""<Relationship Id="rId$i" Type="$RelNs/worksheet" Target="worksheets/sheet$i.xml"/>"""
           ).mkString + "</Relationships>")
       named.zipWithIndex.foreach { case ((_, df), i) =>
-        part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df, maxRowsPerSheet))
+        zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
+        writeSheetEntry(zip, df, maxRowsPerSheet)
+        zip.closeEntry()
       }
     } finally zip.close()
   }

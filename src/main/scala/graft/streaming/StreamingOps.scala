@@ -127,44 +127,70 @@ object StreamingOps {
     * click with an earlier event time does not re-anchor the window
     * (exact re-anchoring needs full-event buffering until the
     * watermark; the state here stays O(1) per user).
+    *
+    * State is BOUNDED on a stream: a `stateRetention` watermark is
+    * attached and each user's state carries an event-time timeout past
+    * its last activity + the conversion window — idle users (incl. the
+    * purchase-only buffers) are evicted instead of accumulating
+    * forever. Batch execution has no timeouts (nor a need: the state
+    * dies with the single batch).
     */
   def funnelTransitions(events: DataFrame,
-                        windowMs: Long = 3600L * 1000): Dataset[FunnelTransition] = {
+                        windowMs: Long = 3600L * 1000,
+                        stateRetention: String = "24 hours"): Dataset[FunnelTransition] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("event_type"), col("ts")).as[FunnelEvent]
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", stateRetention)
+      else events
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src.select(col("user_id"), col("event_type"), col("ts")).as[FunnelEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelTransition](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(None, false, Nil))
-          val out = scala.collection.mutable.ListBuffer.empty[FunnelTransition]
-          def convert(): Unit = {
-            st = st.copy(converted = true, pendingPurchases = Nil)
-            out += FunnelTransition(uid, "converted")
-          }
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
-            e.event_type match {
-              case "click" if st.firstClick.isEmpty =>
-                st = st.copy(firstClick = Some(t))
-                out += FunnelTransition(uid, "clicked")
-                if (!st.converted &&
-                  st.pendingPurchases.exists(p => p >= t && p <= t + windowMs))
-                  convert()
-              case "purchase" if !st.converted =>
-                st.firstClick match {
-                  case Some(fc) if t >= fc && t <= fc + windowMs => convert()
-                  case None =>
-                    st = st.copy(
-                      pendingPurchases = (t :: st.pendingPurchases).take(64))
-                  case _ => ()
-                }
-              case _ => ()
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(None, false, Nil))
+            val out = scala.collection.mutable.ListBuffer.empty[FunnelTransition]
+            def convert(): Unit = {
+              st = st.copy(converted = true, pendingPurchases = Nil)
+              out += FunnelTransition(uid, "converted")
             }
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              e.event_type match {
+                case "click" if st.firstClick.isEmpty =>
+                  st = st.copy(firstClick = Some(t))
+                  out += FunnelTransition(uid, "clicked")
+                  if (!st.converted &&
+                    st.pendingPurchases.exists(p => p >= t && p <= t + windowMs))
+                    convert()
+                case "purchase" if !st.converted =>
+                  st.firstClick match {
+                    case Some(fc) if t >= fc && t <= fc + windowMs => convert()
+                    case None =>
+                      st = st.copy(
+                        pendingPurchases = (t :: st.pendingPurchases).take(64))
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+            }
+            state.update(st)
+            if (streaming) {
+              // evict once the watermark passes last activity + window
+              // (timeout timestamps must sit above the current watermark)
+              val lastTs = sorted.lastOption.map(_.ts.getTime).getOrElse(0L)
+              state.setTimeoutTimestamp(
+                math.max(lastTs, state.getCurrentWatermarkMs() + 1) + windowMs)
+            }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
