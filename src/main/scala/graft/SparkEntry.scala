@@ -93,6 +93,7 @@ object SparkEntry {
     "w2_sliding_hourly" -> ExtQueries.slidingHourly _,
     "w3_user_sessions" -> ExtQueries.userSessions _,
     "w4_click_funnel" -> ExtQueries.clickFunnel _,
+    "w5_funnel_transitions" -> ExtQueries.funnelTransitions _,
     "x1_salted_revenue" -> ExtQueries.saltedRevenue _,
     "x2_range_join" -> ExtQueries.rangeJoinAttribution _,
     "x3_asof_join" -> ExtQueries.asOfJoin _,
@@ -163,6 +164,7 @@ object SparkEntry {
     "w2_sliding_hourly" -> ExtOracleSql.w2SlidingHourly,
     "w3_user_sessions" -> ExtOracleSql.w3UserSessions,
     "w4_click_funnel" -> ExtOracleSql.w4ClickFunnel,
+    "w5_funnel_transitions" -> ExtOracleSql.w5FunnelTransitions,
     "x1_salted_revenue" -> ExtOracleSql.x1SaltedRevenue,
     "x2_range_join" -> ExtOracleSql.x2RangeJoinAttribution,
     "x3_asof_join" -> ExtOracleSql.x3AsOfJoin,

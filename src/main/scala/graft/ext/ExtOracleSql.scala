@@ -588,6 +588,26 @@ SELECT (SELECT COUNT(*) FROM fc) AS n_clickers,
          AS conversion_rate
 FROM conv"""
 
+  /** w5 — the per-user transition rows behind w4's summary: the batch
+    * run of the streaming `flatMapGroupsWithState` funnel. Anchored at
+    * MIN(click ts) per user, conversion = any purchase within the hour
+    * of it (inclusive at both ends, matching the state fold).
+    */
+  val w5FunnelTransitions: String = """WITH fc AS (
+  SELECT user_id, MIN(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), conv AS (
+  SELECT DISTINCT fc.user_id
+  FROM fc JOIN events e
+    ON e.user_id = fc.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts >= fc.first_click
+   AND e.ts <= fc.first_click + INTERVAL '1 hour'
+)
+SELECT user_id, 'clicked' AS stage FROM fc
+UNION ALL
+SELECT user_id, 'converted' AS stage FROM conv"""
+
   val x8CubeSales: String = graft.queries.OracleSql.EnrichedCte + """
 SELECT region_desc, brand_desc,
        ROUND(SUM(total_line_price), 2) AS revenue,

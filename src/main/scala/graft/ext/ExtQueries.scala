@@ -626,4 +626,15 @@ object ExtQueries {
     Tables.tune(spark)
     StreamingOps.clickFunnel(Tables.events(spark, sfDir))
   }
+
+  /** Per-user funnel transitions (w5): the `flatMapGroupsWithState`
+    * operator's batch run, oracle-gated — each clicking user emits a
+    * `clicked` row and, when a purchase lands within the hour of the
+    * first click, a `converted` row. Proves the custom-state path
+    * against SQL, not just unit tests.
+    */
+  def funnelTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    StreamingOps.funnelTransitions(Tables.events(spark, sfDir)).toDF()
+  }
 }
