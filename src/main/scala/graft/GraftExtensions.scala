@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductD, NfcNormalize}
+import graft.functions.{DotProductD, Md5Lane, NfcNormalize}
 
 /** Session-extension entry point: configure
   * `spark.sql.extensions=graft.GraftExtensions` and the native
@@ -20,6 +20,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductD(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5lane"),
+      new ExpressionInfo(classOf[Md5Lane].getName, "graft_md5lane"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // lane bounds arrive as SQL literals: graft_md5lane(x, 0, 7)
+        def toInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => other.eval().asInstanceOf[Number].intValue()
+          }
+        Md5Lane(children.head, toInt(children(1)), toInt(children(2)))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),

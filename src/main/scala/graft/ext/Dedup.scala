@@ -45,10 +45,13 @@ object Dedup {
     * md5 — lanes 0-3 share one md5 (seed i/4), so k=8 permutations cost
     * TWO md5 evaluations per shingle, not eight. DuckDB twin:
     * `CAST('0x' || substr(md5('{i/4}|' || s), (i%4)*8+1, 8) AS BIGINT)`.
+    * Native digest-lane kernel ([[graft.functions.Md5Lane]]): hex char
+    * offset (i%4)*8 = digest byte offset (i%4)*4, same value without
+    * the hex-string round trip.
     */
   def laneHash(i: Int, s: Column): Column =
-    conv(substring(md5(concat(lit(s"${i / 4}|"), s)), (i % 4) * 8 + 1, 8),
-      16, 10).cast("long")
+    org.apache.spark.sql.GraftColumns.md5Lane(
+      concat(lit(s"${i / 4}|"), s), (i % 4) * 4, 4)
 
   /** MinHash signatures as k min-columns `s0..s{k-1}` via explode +
     * partial-aggregated `min`. The aggregation is deliberate: it is a

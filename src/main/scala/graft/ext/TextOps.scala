@@ -19,10 +19,15 @@ import org.apache.spark.sql.types.LongType
 object TextOps {
 
   /** 56-bit non-negative hash from md5 — identical in DuckDB via
-    * `CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)`.
+    * `CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)`. Computed by the
+    * native [[graft.functions.Md5Lane]] kernel (digest bytes 0-7
+    * straight to a long); the builtin chain
+    * `conv(substring(md5(c), 1, 14), 16, 10)` produces the same value
+    * through three string allocations per hash — at shingle volume
+    * that chain IS the corpus pipeline's hottest allocation site.
     */
   def hash64(c: Column): Column =
-    conv(substring(md5(c), 1, 14), 16, 10).cast(LongType)
+    org.apache.spark.sql.GraftColumns.md5Lane(c, 0, 7)
 
   /** Seed-prefixed hash — the "k independent permutations" of MinHash. */
   def hash64Seeded(seed: Int, c: Column): Column =

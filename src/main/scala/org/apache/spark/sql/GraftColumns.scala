@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.functions.{DotProductD, NfcNormalize}
+import graft.functions.{DotProductD, Md5Lane, NfcNormalize}
 
 /** Bridge for graft's native Catalyst expressions into the public
   * `Column` API (Column↔Expression conversion is `private[sql]` in
@@ -19,6 +19,11 @@ object GraftColumns {
   def nfc(c: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
 
+  /** Codegen'd md5 digest lane as unsigned long — see [[Md5Lane]]. */
+  def md5Lane(c: Column, startByte: Int, numBytes: Int): Column =
+    ExpressionUtils.column(
+      Md5Lane(ExpressionUtils.expression(c), startByte, numBytes))
+
   /** Register graft's native functions on an existing session so SQL
     * users can call them (`SELECT graft_dot(a, b)`); the
     * [[graft.GraftExtensions]] class does the same at session build time
@@ -29,5 +34,9 @@ object GraftColumns {
       "graft_dot", exprs => DotProductD(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5lane", exprs => Md5Lane(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

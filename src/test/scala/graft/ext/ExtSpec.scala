@@ -50,6 +50,25 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("native Md5Lane equals the builtin conv(substring(md5)) chain") {
+    // the native kernel replaces the documented cross-engine hash
+    // contract's builtin form — any value drift would desync every
+    // DuckDB twin, so check all lanes over adversarial inputs
+    val rows = Seq("", "a", "plane3|17", "héllo wörld", "0|the quick fox",
+      "x" * 10000, "tab\tand\nnewline").toDF("s")
+    val checks = rows.select(
+      (0 until 8).map { i =>
+        val off = (i % 4) * 4
+        (org.apache.spark.sql.GraftColumns.md5Lane(col("s"), off, 4) ===
+          conv(substring(md5(col("s")), off * 2 + 1, 8), 16, 10)
+            .cast("long")).as(s"l$i")
+      } :+
+        (org.apache.spark.sql.GraftColumns.md5Lane(col("s"), 0, 7) ===
+          conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long"))
+          .as("h64"): _*)
+    assert(checks.collect().forall(r => (0 until 9).forall(r.getBoolean)))
+  }
+
   test("literal-plane LSH buckets equal the expression-derived ones") {
     // the plan-time md5 mirror must reproduce the in-plan hash bits
     // exactly, or the two forms would bucket (and the s4 oracle would
