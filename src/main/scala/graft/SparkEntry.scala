@@ -65,7 +65,13 @@ object SparkEntry {
     "d6_dedup_survivors" -> ExtQueries.dedupSurvivors _,
     "d7_dedup_dropped" -> ExtQueries.dedupDropped _,
     "d8_decontamination" -> ExtQueries.decontamination _,
+    "d9_incremental_dedup" -> ExtQueries.incrementalDedup _,
+    "d10_containment" -> ExtQueries.containmentDups _,
     "t18_domain_mixture" -> ExtQueries.domainMixture _,
+    "t19_boilerplate_ngrams" -> ExtQueries.boilerplateNgrams _,
+    "t20_stratified_sample" -> ExtQueries.stratifiedSample _,
+    "t21_domain_quota" -> ExtQueries.domainQuota _,
+    "t22_train_order" -> ExtQueries.trainOrder _,
     "t1_token_stats" -> ExtQueries.tokenStats _,
     "t2_lang_stats" -> ExtQueries.langStats _,
     "t3_quality_scores" -> ExtQueries.qualityScores _,
@@ -136,7 +142,13 @@ object SparkEntry {
     "d6_dedup_survivors" -> ExtOracleSql.d6DedupSurvivors,
     "d7_dedup_dropped" -> ExtOracleSql.d7DedupDropped,
     "d8_decontamination" -> ExtOracleSql.d8Decontamination,
+    "d9_incremental_dedup" -> ExtOracleSql.d9IncrementalDedup,
+    "d10_containment" -> ExtOracleSql.d10Containment,
     "t18_domain_mixture" -> ExtOracleSql.t18DomainMixture,
+    "t19_boilerplate_ngrams" -> ExtOracleSql.t19Boilerplate,
+    "t20_stratified_sample" -> ExtOracleSql.t20StratifiedSample,
+    "t21_domain_quota" -> ExtOracleSql.t21DomainQuota,
+    "t22_train_order" -> ExtOracleSql.t22TrainOrder,
     "t1_token_stats" -> ExtOracleSql.t1TokenStats,
     "t2_lang_stats" -> ExtOracleSql.t2LangStats,
     "t3_quality_scores" -> ExtOracleSql.t3QualityScores,

@@ -91,14 +91,7 @@ object Dedup {
                         idCol: String = "doc_id",
                         maxBucketSize: Option[Int] = None): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
-    val r = k / bands
-    val bandArr = array((0 until bands).map { j =>
-      val parts = (0 until r).map(x => col(s"s${j * r + x}").cast("string"))
-      struct(lit(j).as("band"),
-        md5(concat_ws(",", parts: _*)).as("key"))
-    }: _*)
-    val exploded = sigs.select(col(idCol), explode(bandArr).as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.key").as("key"))
+    val exploded = bandKeys(sigs, k, bands, idCol)
     val bucketed = maxBucketSize match {
       case Some(cap) =>
         val w = Window.partitionBy(col("band"), col("key"))
@@ -113,6 +106,39 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** The (id, band, key) LSH band-key frame both candidate forms join
+    * on: band j digests signature columns `s(j*r) .. s(j*r+r-1)`.
+    */
+  private def bandKeys(sigs: DataFrame, k: Int, bands: Int,
+                       idCol: String): DataFrame = {
+    val r = k / bands
+    val bandArr = array((0 until bands).map { j =>
+      val parts = (0 until r).map(x => col(s"s${j * r + x}").cast("string"))
+      struct(lit(j).as("band"),
+        md5(concat_ws(",", parts: _*)).as("key"))
+    }: _*)
+    sigs.select(col(idCol), explode(bandArr).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  /** Cross-corpus LSH candidates: batch signatures against an EXISTING
+    * corpus's signatures — the incremental-dedup shape (dedupe today's
+    * crawl against the accumulated corpus without re-pairing the corpus
+    * with itself). An equi-join on (band, key) between the two band-key
+    * frames; shuffle volume is (|A| + |B|) × bands small rows, and the
+    * existing side's band keys are exactly what a production pipeline
+    * keeps materialized between increments.
+    */
+  def lshCrossCandidates(sigsA: DataFrame, sigsB: DataFrame, k: Int,
+                         bands: Int, idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val a = bandKeys(sigsA, k, bands, idCol)
+      .select(col(idCol).as("id_a"), col("band"), col("key"))
+    val b = bandKeys(sigsB, k, bands, idCol)
+      .select(col(idCol).as("id_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).select("id_a", "id_b").distinct()
+  }
+
   /** Jaccard similarity of two shingle arrays (as sets). */
   def jaccard(shA: Column, shB: Column): Column = {
     val inter = size(array_intersect(shA, shB)).cast("double")
@@ -125,13 +151,44 @@ object Dedup {
     * above `threshold`.
     */
   def verifiedNearDups(candidates: DataFrame, docShingles: DataFrame,
-                       threshold: Double): DataFrame = {
-    val a = docShingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = docShingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+                       threshold: Double): DataFrame =
+    verifiedCrossNearDups(candidates, docShingles, docShingles, threshold)
+
+  /** [[verifiedNearDups]] with distinct shingle frames per pair side —
+    * the cross-corpus (incremental) form, where `id_a` resolves in the
+    * batch and `id_b` in the existing corpus.
+    */
+  def verifiedCrossNearDups(candidates: DataFrame, shinglesA: DataFrame,
+                            shinglesB: DataFrame,
+                            threshold: Double): DataFrame = {
+    val a = shinglesA.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = shinglesB.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     candidates.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Containment scoring over candidate pairs: `|A∩B| / |A|` (and the
+    * mirror) over DISTINCT shingles — the asymmetric complement of
+    * Jaccard that catches a short document embedded in a long one
+    * (quote farms, snippet mirrors), where Jaccard stays low because
+    * the union is dominated by the long side. Emits pairs whose larger
+    * direction clears `threshold`.
+    */
+  def containmentPairs(candidates: DataFrame, docShingles: DataFrame,
+                       threshold: Double): DataFrame = {
+    val a = docShingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docShingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val nA = size(array_distinct(col("sh_a"))).cast("double")
+    val nB = size(array_distinct(col("sh_b"))).cast("double")
+    candidates.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(inter / nA, 6).as("cont_a"),
+        round(inter / nB, 6).as("cont_b"),
+        round(greatest(inter / nA, inter / nB), 6).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** Benchmark decontamination: per-document count of distinct shingles

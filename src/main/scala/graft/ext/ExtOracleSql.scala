@@ -61,10 +61,12 @@ FROM corpus GROUP BY 1"""
     s"list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('$seed|' || s), $pos, 8)) AS BIGINT))) AS s$i"
   }.mkString(",\n         ")
 
-  private val bandSelects: String = (0 until 4).map { j =>
+  private def bandSelectsFrom(table: String): String = (0 until 4).map { j =>
     val a = 2 * j; val b = 2 * j + 1
-    s"SELECT doc_id, $j AS band, md5(CAST(s$a AS VARCHAR) || ',' || CAST(s$b AS VARCHAR)) AS key FROM sig"
+    s"SELECT doc_id, $j AS band, md5(CAST(s$a AS VARCHAR) || ',' || CAST(s$b AS VARCHAR)) AS key FROM $table"
   }.mkString("\n  UNION ALL\n  ")
+
+  private val bandSelects: String = bandSelectsFrom("sig")
 
   private def jaccardExpr(a: String, b: String): String =
     s"""round(CASE WHEN len(list_distinct(list_concat($a, $b))) > 0
@@ -439,6 +441,202 @@ SELECT e.doc_id,
                   AS DOUBLE) / COUNT(*), 6) AS contamination_ratio
 FROM exh e LEFT JOIN bench b ON e.shash = b.shash
 GROUP BY 1"""
+
+  /** d9: incremental dedup — existing corpus (doc_id % 3 = 0), batch =
+    * the rest + injected exact copies (+300000, every 6th existing) and
+    * near-dup mutations (+400000, every 9th existing, 11th tokens
+    * dropped). Exact digest hits first, then cross-corpus LSH + Jaccard.
+    */
+  val d9IncrementalDedup: String = s"""WITH base AS (
+  SELECT doc_id, $Norm AS text FROM documents
+), existing AS (
+  SELECT doc_id, text FROM base WHERE doc_id % 3 = 0
+), batch AS (
+  SELECT doc_id, text FROM base WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 300000, text FROM existing WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 400000,
+         array_to_string(list_filter(string_split(text, ' '),
+           (t, i) -> i % 11 <> 0), ' ')
+  FROM existing WHERE doc_id % 9 = 0
+), exdig AS (
+  SELECT DISTINCT md5(text) AS dig FROM existing
+), bd AS (
+  SELECT doc_id, text, md5(text) AS dig FROM batch
+), exact AS (
+  SELECT doc_id FROM bd WHERE dig IN (SELECT dig FROM exdig)
+), rest AS (
+  SELECT doc_id, text FROM bd WHERE dig NOT IN (SELECT dig FROM exdig)
+), rsh AS (
+  SELECT doc_id, ${sh3("string_split(text, ' ')", "text")} AS sh FROM rest
+), esh AS (
+  SELECT doc_id, ${sh3("string_split(text, ' ')", "text")} AS sh
+  FROM existing
+), rsig AS (
+  SELECT doc_id, $sigCols
+  FROM rsh
+), esig AS (
+  SELECT doc_id, $sigCols
+  FROM esh
+), rbands AS (
+  ${bandSelectsFrom("rsig")}
+), ebands AS (
+  ${bandSelectsFrom("esig")}
+), cand AS (
+  SELECT DISTINCT r.doc_id AS id_a, e.doc_id AS id_b
+  FROM rbands r JOIN ebands e ON r.band = e.band AND r.key = e.key
+), ver AS (
+  SELECT id_a, ${jaccardExpr("sa.sh", "sb.sh")} AS jaccard
+  FROM cand
+  JOIN rsh sa ON cand.id_a = sa.doc_id
+  JOIN esh sb ON cand.id_b = sb.doc_id
+), near AS (
+  SELECT DISTINCT id_a AS doc_id FROM ver WHERE jaccard >= 0.5
+), newids AS (
+  SELECT doc_id FROM rest
+  WHERE doc_id NOT IN (SELECT doc_id FROM near)
+)
+SELECT doc_id, 'exact_dup' AS status FROM exact
+UNION ALL
+SELECT doc_id, 'near_dup' AS status FROM near
+UNION ALL
+SELECT doc_id, 'new' AS status FROM newids"""
+
+  /** d10: containment pairs over the near-dup corpus + snippet docs
+    * (+500000: first max(3, 40%) tokens of every 17th doc).
+    */
+  val d10Containment: String = s"""WITH base AS (
+  SELECT doc_id, $Norm AS text FROM documents
+), corpus0 AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_filter(string_split(text, ' '),
+           (t, i) -> i % 13 <> 0), ' ')
+  FROM base WHERE doc_id % 7 = 0
+), corpus AS (
+  SELECT doc_id, text FROM corpus0
+  UNION ALL
+  SELECT doc_id + 500000,
+         array_to_string(string_split(text, ' ')[1:GREATEST(3,
+           CAST(floor(len(string_split(text, ' ')) * 0.4) AS INTEGER))], ' ')
+  FROM corpus0 WHERE doc_id % 17 = 0
+), shing AS (
+  SELECT doc_id, ${sh3("string_split(text, ' ')", "text")} AS sh
+  FROM corpus
+), sig AS (
+  SELECT doc_id, $sigCols
+  FROM shing
+), bands AS (
+  $bandSelects
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS ia,
+         CAST(len(list_distinct(sa.sh)) AS DOUBLE) AS na,
+         CAST(len(list_distinct(sb.sh)) AS DOUBLE) AS nb
+  FROM cand
+  JOIN shing sa ON cand.id_a = sa.doc_id
+  JOIN shing sb ON cand.id_b = sb.doc_id
+)
+SELECT id_a, id_b,
+       round(ia / na, 6) AS cont_a,
+       round(ia / nb, 6) AS cont_b,
+       round(greatest(ia / na, ia / nb), 6) AS containment
+FROM scored
+WHERE round(greatest(ia / na, ia / nb), 6) >= 0.6"""
+
+  /** t19: per-source boilerplate 3-shingles over the corpus with the
+    * injected per-source header on every even doc (mirrors
+    * ExtQueries.boilerplateNgrams): ≥ 5 docs AND ≥ 20% of the source.
+    */
+  val t19Boilerplate: String = s"""WITH withbp AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 2 = 0
+              THEN '(c) ' || source || ' terms apply. all rights reserved. '
+                   || text
+              ELSE text END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, source, string_split($Norm, ' ') AS toks FROM withbp
+), s AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(${sh3("toks", "array_to_string(toks, ' ')")}))
+           AS sh
+  FROM t
+), d AS (
+  SELECT source, sh, COUNT(DISTINCT doc_id) AS n_docs FROM s GROUP BY 1, 2
+), n AS (
+  SELECT source, COUNT(*) AS ndocs FROM withbp GROUP BY 1
+)
+SELECT d.source, d.sh, d.n_docs
+FROM d JOIN n ON d.source = n.source
+WHERE d.n_docs >= 5
+  AND CAST(d.n_docs AS DOUBLE) >= CAST(n.ndocs AS DOUBLE) * 0.2"""
+
+  /** t20: stratified content-hash sampling — en kept at 20%, the rest
+    * at 60%, salt 'strat1'.
+    */
+  val t20StratifiedSample: String = s"""WITH b AS (
+  SELECT doc_id, lang,
+         ${h64(s"'strat1|' || $Norm")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END"""
+
+  /** t21: per-source top-10 by the t3 quality score (same rounded
+    * double), doc_id tiebreak.
+    */
+  val t21DomainQuota: String = s"""WITH t AS (
+  SELECT doc_id, source, text, string_split($Norm, ' ') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_char,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+              AS DOUBLE) AS punct,
+         CAST(len(list_filter(toks,
+           tk -> tk IN ('the','a','of','and','is','to'))) AS DOUBLE) AS stop_n
+  FROM t
+), q AS (
+  SELECT source, doc_id,
+         round(least(n_tok / 100.0, 1.0) * 0.5
+               + (1.0 - CASE WHEN n_char > 0 THEN punct / n_char
+                             ELSE 0.0 END) * 0.3
+               + least(CASE WHEN n_tok > 0 THEN stop_n / n_tok
+                            ELSE 0.0 END * 5.0, 1.0) * 0.2, 6)
+           AS quality_score
+  FROM c
+), r AS (
+  SELECT source, doc_id, quality_score,
+         CAST(row_number() OVER (PARTITION BY source
+           ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM q
+)
+SELECT source, doc_id, quality_score, rank FROM r WHERE rank <= 10"""
+
+  /** t22: deterministic sharded training order — 2 epochs × 8 shards,
+    * epoch-salted id hash, dense row_number per (epoch, shard).
+    */
+  val t22TrainOrder: String = s"""WITH e AS (
+  SELECT 0 AS epoch, doc_id,
+         ${h64("'ord0|' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+  UNION ALL
+  SELECT 1 AS epoch, doc_id,
+         ${h64("'ord1|' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT epoch, doc_id, h % 8 AS shard,
+       CAST(row_number() OVER (PARTITION BY epoch, h % 8
+         ORDER BY h ASC, doc_id ASC) AS BIGINT) AS shard_pos
+FROM e"""
 
   // mirrors t3's scoring CTEs with lang carried through, then gates on
   // the same ROUNDED score both dialects compare in t3

@@ -194,6 +194,116 @@ object ExtQueries {
       withSh.filter(col("doc_id") % 31 === 0))
   }
 
+  /** Incremental (cross-corpus) dedup (d9): today's batch against the
+    * accumulated corpus. `doc_id % 3 == 0` plays the existing corpus;
+    * the batch is the remaining docs plus injected cross-corpus dups —
+    * exact copies (+300000) of every 6th existing doc and near-dup
+    * mutations (+400000, every 11th token dropped) of every 9th. The
+    * pipeline is the production shape: digest anti-join for exact hits
+    * first, then MinHash→LSH candidates joined ACROSS corpora (batch
+    * band keys ⋈ existing band keys — the existing side's keys are what
+    * an incremental pipeline keeps materialized), Jaccard-verified.
+    * Every batch doc gets a status: exact_dup / near_dup / new.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.normText(col("text")).as("text"))
+    // existing feeds the digest set + its shingle side; batch feeds the
+    // exact semi/anti pair — both diamonds, both pinned
+    val existing = graft.std.Materialize.once(
+      base.filter(col("doc_id") % 3 === 0))
+    val batch = graft.std.Materialize.once(
+      base.filter(col("doc_id") % 3 =!= 0)
+        .unionByName(existing.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+        .unionByName(existing.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat_ws(" ", filter(split(col("text"), " "),
+              (t, i) => (i + 1) % 11 =!= 0)).as("text")))
+        .withColumn("_dig", md5(col("text"))))
+    val exDig = existing.select(md5(col("text")).as("_dig")).distinct()
+    val exactDups = batch.join(exDig, Seq("_dig"), "left_semi")
+      .select("doc_id")
+    val rest = graft.std.Materialize.once(
+      batch.join(exDig, Seq("_dig"), "left_anti").select("doc_id", "text"))
+    val shB = graft.std.Materialize.once(
+      shingled(rest, split(col("text"), " ")))
+    val shE = graft.std.Materialize.once(
+      shingled(existing, split(col("text"), " ")))
+    val cands = Dedup.lshCrossCandidates(
+      Dedup.minHashSignatures(shB, 8), Dedup.minHashSignatures(shE, 8), 8, 4)
+    val near = Dedup.verifiedCrossNearDups(cands, shB, shE, 0.5)
+      .select(col("id_a").as("doc_id")).distinct()
+    val newIds = rest.select("doc_id").join(near, Seq("doc_id"), "left_anti")
+    exactDups.withColumn("status", lit("exact_dup"))
+      .unionByName(near.withColumn("status", lit("near_dup")))
+      .unionByName(newIds.withColumn("status", lit("new")))
+  }
+
+  /** Containment pairs (d10): the asymmetric near-dup check over the
+    * near-dup corpus EXTENDED with snippet documents (+500000: the
+    * first 40% of every 17th doc's tokens) — short-doc-inside-long-doc
+    * cases whose Jaccard stays far below the d2 threshold while their
+    * containment is ≈ 1. Same MinHash→LSH candidate generation, scored
+    * with `|A∩B|/|A|` (and mirror) instead of Jaccard.
+    */
+  def containmentDups(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val base = nearDupCorpus(Tables.documents(spark, sfDir))
+    val toks = split(col("text"), " ")
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest(lit(3), floor(size(toks) * 0.4).cast("int"))))
+            .as("text")))
+    val withSh = graft.std.Materialize.once(
+      shingled(corpus, split(col("text"), " ")))
+    val sigs = graft.std.Materialize.once(Dedup.minHashSignatures(withSh, 8))
+    val cands = Dedup.lshCandidatePairs(sigs, 8, 4)
+    Dedup.containmentPairs(cands, withSh, 0.6)
+  }
+
+  /** Boilerplate n-gram detection (t19) over a corpus with injected
+    * per-source boilerplate: every even doc carries its source's header
+    * line (the corpus has no organic boilerplate — same deterministic
+    * construction on both dialects). Organic shingles never exceed 3
+    * docs per source, so the (≥5 docs, ≥20%) rule flags exactly the
+    * injected chrome.
+    */
+  def boilerplateNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val withBp = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("(c) "), col("source"),
+          lit(" terms apply. all rights reserved. "), col("text")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.boilerplateNgrams(withBp)
+  }
+
+  /** Stratified content-hash sampling (t20): downsample the dominant
+    * language to 20%, keep 60% of the rest.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.stratifiedContentSample(Tables.documents(spark, sfDir),
+      Map("en" -> 20), defaultPct = 60)
+  }
+
+  /** Per-domain quality quota (t21): top-10 docs per source. */
+  def domainQuota(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.domainQuota(Tables.documents(spark, sfDir), 10)
+  }
+
+  /** Deterministic sharded training order (t22): 2 epochs × 8 shards. */
+  def trainOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.trainOrder(Tables.documents(spark, sfDir))
+  }
+
   /** Deterministic domain mixing summary (t18). */
   def domainMixture(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

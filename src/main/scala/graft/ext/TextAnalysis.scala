@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over a document corpus: token statistics,
@@ -64,22 +65,38 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = TextOps.tokens(t)
-    val nTok = size(toks).cast("double")
-    val nChar = length(t).cast("double")
-    val punct = nChar - length(regexp_replace(t, "[^\\w\\s]", "")).cast("double")
-    val punctRatio = when(nChar > 0, punct / nChar).otherwise(0.0)
-    val stopRatio = when(nTok > 0,
-      markerCount(toks, LangMarkers.toMap.apply("en")).cast("double") / nTok)
-      .otherwise(0.0)
     docs.select(
       col("doc_id"),
       size(toks).as("n_tokens"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(
-        least(nTok / 100.0, lit(1.0)) * 0.5 +
-          (lit(1.0) - punctRatio) * 0.3 +
-          least(stopRatio * 5.0, lit(1.0)) * 0.2, 6).as("quality_score"))
+      round(punctRatioExpr(t), 6).as("punct_ratio"),
+      round(stopRatioExpr(t), 6).as("stopword_ratio"),
+      qualityScoreExpr(t).as("quality_score"))
+  }
+
+  private def punctRatioExpr(t: Column): Column = {
+    val nChar = length(t).cast("double")
+    val punct = nChar - length(regexp_replace(t, "[^\\w\\s]", "")).cast("double")
+    when(nChar > 0, punct / nChar).otherwise(0.0)
+  }
+
+  private def stopRatioExpr(t: Column): Column = {
+    val toks = TextOps.tokens(t)
+    val nTok = size(toks).cast("double")
+    when(nTok > 0,
+      markerCount(toks, LangMarkers.toMap.apply("en")).cast("double") / nTok)
+      .otherwise(0.0)
+  }
+
+  /** The rounded composite quality score as a column expression, so
+    * rankers ([[domainQuota]]) order on the identical double the t3
+    * profile reports.
+    */
+  def qualityScoreExpr(t: Column): Column = {
+    val nTok = size(TextOps.tokens(t)).cast("double")
+    round(
+      least(nTok / 100.0, lit(1.0)) * 0.5 +
+        (lit(1.0) - punctRatioExpr(t)) * 0.3 +
+        least(stopRatioExpr(t) * 5.0, lit(1.0)) * 0.2, 6)
   }
 
   /** Approximate one-pass corpus profile: HLL distinct counts and
@@ -416,5 +433,109 @@ object TextAnalysis {
       array_min(transform(TextOps.shingles(col("_b").getField("toks"), 3),
         s => TextOps.hash64(s))).as("min_shingle_hash"),
       Dedup.simHash32FromHashes(col("_b").getField("hh")).as("simhash32"))
+  }
+
+  /** Boilerplate n-gram detection: 3-shingles that recur across many
+    * documents of the SAME source (site headers, license footers,
+    * navigation chrome — the text near-dedup never removes because the
+    * documents differ, yet a trained model memorizes first). A shingle
+    * is boilerplate for a source when it appears in ≥ `minDocs`
+    * documents AND ≥ `minFrac` of the source's documents — the absolute
+    * floor keeps tiny sources from flagging noise, the fraction keeps
+    * the rule scale-stable as sources grow.
+    *
+    * Shape at 100 TB: explode distinct shingles → one partial-aggregated
+    * count per (source, shingle) — the dominant shuffle carries one row
+    * per distinct (source, shingle), not per occurrence — joined to a
+    * tiny per-source doc-count frame (broadcast).
+    */
+  def boilerplateNgrams(docs: DataFrame, minDocs: Int = 5,
+                        minFrac: Double = 0.2,
+                        textCol: String = "text"): DataFrame = {
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("_n_docs_src"))
+    val shingleDf = docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), 3))).as("sh"))
+      .groupBy(col("source"), col("sh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    shingleDf.join(broadcast(perSource), "source")
+      .filter(col("n_docs") >= minDocs &&
+        col("n_docs").cast("double") >=
+          col("_n_docs_src").cast("double") * minFrac)
+      .select(col("source"), col("sh"), col("n_docs"))
+  }
+
+  /** Deterministic stratified sampling: per-stratum keep-rates (percent)
+    * applied by bucketing the CONTENT hash — the language-rebalancing
+    * step of corpus mixing (downsample the dominant language, keep the
+    * rest). Content bucketing (not ids, not `rand()`) makes the sample
+    * reproducible across runs, engines, and re-partitioning, and sends
+    * every copy of a duplicated text to the same side of the cut. The
+    * `salt` decorrelates this decision from every other content-bucketed
+    * decision (train/test split, other sample passes) — identical salt
+    * would sample exactly the training split's docs.
+    *
+    * Pure per-row filter: no shuffle, no state — the one sampling shape
+    * that is free at 100 TB.
+    */
+  def stratifiedContentSample(docs: DataFrame, ratePct: Map[String, Int],
+                              defaultPct: Int, salt: String = "strat1",
+                              strataCol: String = "lang",
+                              textCol: String = "text"): DataFrame = {
+    require(ratePct.values.forall(r => r >= 0 && r <= 100) &&
+      defaultPct >= 0 && defaultPct <= 100, "rates are percentages")
+    val rate = ratePct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val bucket =
+      TextOps.hash64(concat(lit(salt + "|"),
+        TextOps.normText(col(textCol)))) % 100
+    docs.filter(bucket < rate)
+      .select(col("doc_id"), col(strataCol), bucket.as("bucket"))
+  }
+
+  /** Per-domain quota: keep at most `quota` documents per source, best
+    * quality first (deterministic tiebreak on doc_id) — the cap every
+    * curation pipeline places on over-represented domains so one site
+    * cannot dominate the mixture. One rank-window per source partition;
+    * the window state is bounded by the source's documents, and skewed
+    * mega-sources are exactly what [[boilerplateNgrams]]' fraction rule
+    * and this cap exist to bound.
+    */
+  def domainQuota(docs: DataFrame, quota: Int,
+                  textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    docs.select(col("source"), col("doc_id"),
+        qualityScoreExpr(col(textCol)).as("quality_score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= quota)
+  }
+
+  /** Deterministic sharded training order: each epoch re-orders the
+    * corpus by an epoch-salted content-id hash into `shards` shards,
+    * positions dense within each shard — the "global shuffle" a trainer
+    * consumes shard-by-shard. Sharding is the scale design: a single
+    * global row_number is one window partition (serial), while per-shard
+    * positions parallelize and match how training data is actually laid
+    * out (N shard files, deterministic order within each). Everything
+    * derives from (epoch, doc_id), so any worker can recompute any
+    * shard independently — no global sort, no driver state.
+    */
+  def trainOrder(docs: DataFrame, epochs: Int = 2,
+                 shards: Int = 8): DataFrame = {
+    require(epochs >= 1 && shards >= 1, "epochs and shards are positive")
+    val byEpoch = (0 until epochs).map { e =>
+      docs.select(lit(e).as("epoch"), col("doc_id"),
+        TextOps.hash64(
+          concat(lit(s"ord$e|"), col("doc_id").cast("string"))).as("_h"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("_h").asc, col("doc_id").asc)
+    byEpoch.withColumn("shard", col("_h") % shards)
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select("epoch", "doc_id", "shard", "shard_pos")
   }
 }

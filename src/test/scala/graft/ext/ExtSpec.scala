@@ -356,4 +356,113 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "en"); assert(got(2L) == "es"); assert(got(3L) == "und")
   }
+
+  test("containment flags a snippet inside its source where Jaccard cannot") {
+    // doc 2 = strict prefix of doc 1: containment(2→1)=1.0, Jaccard low
+    val shingles = Seq(
+      (1L, (1 to 20).map(i => s"g$i")),
+      (2L, (1 to 5).map(i => s"g$i"))).toDF("doc_id", "sh")
+    val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val row = Dedup.containmentPairs(cands, shingles, 0.6).collect().head
+    assert(row.getDouble(row.fieldIndex("containment")) == 1.0)
+    assert(row.getDouble(row.fieldIndex("cont_b")) == 1.0) // snippet side
+    assert(row.getDouble(row.fieldIndex("cont_a")) == 0.25)
+    // the same pair fails the symmetric check: J = 5/20
+    assert(Dedup.verifiedNearDups(cands, shingles, 0.5).isEmpty)
+  }
+
+  test("incremental dedup statuses partition the batch correctly") {
+    val out = ExtQueries.incrementalDedup(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    graft.std.Materialize.releaseAll()
+    // each batch doc exactly once
+    assert(out.map(_._1).distinct.length == out.length)
+    val byStatus = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // every injected exact copy (+300000) is flagged exact_dup
+    val exactInjected = out.map(_._1).filter(_ >= 300000L).filter(_ < 400000L)
+    assert(exactInjected.nonEmpty &&
+      exactInjected.forall(byStatus("exact_dup").contains))
+    // mutated copies (+400000): dropping every 11th token leaves
+    // J ≈ 0.6, where 4×2 banding honestly misses ~15% of pairs —
+    // demand a 70% floor; the misses are deterministic (same hashes)
+    // so the DuckDB twin reproduces them exactly and the oracle stays
+    // green while this asserts the operator actually catches the bulk
+    val mutated = out.map(_._1).filter(_ >= 400000L)
+    val caught = mutated.count(byStatus("near_dup").contains)
+    assert(mutated.nonEmpty && caught.toDouble / mutated.length >= 0.7)
+    // every mutated doc is caught, an (LSH-miss) 'new', or — when the
+    // source doc had < 11 tokens so the mutation dropped nothing — a
+    // correctly-detected exact_dup
+    assert(mutated.forall(id => byStatus("near_dup").contains(id) ||
+      byStatus("new").contains(id) || byStatus("exact_dup").contains(id)))
+    // organic batch docs (no injected twin in existing) are 'new'
+    assert(byStatus("new").nonEmpty)
+  }
+
+  test("stratified content sample respects per-stratum rates and is stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextAnalysis.stratifiedContentSample(
+      docs, Map("en" -> 20), defaultPct = 60).collect()
+    assert(out.forall { r =>
+      val cap = if (r.getString(1) == "en") 20 else 60
+      r.getLong(2) < cap
+    })
+    // re-running samples the identical set (content-hash, no rand())
+    val again = TextAnalysis.stratifiedContentSample(
+      docs, Map("en" -> 20), defaultPct = 60).collect()
+    assert(out.map(_.getLong(0)).sorted.sameElements(
+      again.map(_.getLong(0)).sorted))
+    // and the en stratum is actually downsampled below the default
+    val nEn = out.count(_.getString(1) == "en")
+    val nAll = docs.count()
+    assert(nEn < out.length - nEn || nAll == 0)
+  }
+
+  test("domain quota keeps at most N per source, best quality first") {
+    val out = ExtQueries.domainQuota(spark, sfDir).collect()
+    val bySource = out.groupBy(_.getString(0))
+    assert(bySource.values.forall(_.length <= 10))
+    bySource.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      // ranks dense from 1 and quality non-increasing along them
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length).toSeq)
+      val qs = sorted.map(_.getDouble(2)).toSeq
+      assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("train order is a dense per-shard permutation that varies by epoch") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val out = ExtQueries.trainOrder(spark, sfDir).collect()
+    assert(out.length == 2 * n)
+    // each (epoch, doc) exactly once
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).distinct.length == out.length)
+    // positions dense 1..count within every (epoch, shard)
+    out.groupBy(r => (r.getInt(0), r.getLong(2))).values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the two epochs order the same docs differently (salted hash)
+    def orderOf(e: Int) = out.filter(_.getInt(0) == e)
+      .sortBy(r => (r.getLong(2), r.getLong(3))).map(_.getLong(1)).toSeq
+    assert(orderOf(0) != orderOf(1))
+  }
+
+  test("boilerplate detection flags shared headers, not organic text") {
+    // bodies share NO tokens across docs, so the only recurring
+    // shingles are the header's interior ones (bridge shingles into
+    // the body differ per doc and stay unflagged)
+    val docs = (1L to 12L).map { i =>
+      val body = s"b${i}x c${i}y d${i}z e${i}w f${i}v"
+      val text = if (i <= 8) s"site header all rights reserved $body" else body
+      (i, "siteA", text)
+    }.toDF("doc_id", "source", "text")
+    val flagged = TextAnalysis.boilerplateNgrams(docs, minDocs = 5,
+      minFrac = 0.2).collect()
+    // every flagged shingle is from the 8-doc header run
+    assert(flagged.nonEmpty)
+    assert(flagged.forall(_.getLong(2) == 8L))
+    assert(flagged.forall(r => Seq("site header all", "header all rights",
+      "all rights reserved").contains(r.getString(1))))
+  }
 }
