@@ -275,11 +275,11 @@ object ExtQueries {
   def boilerplateNgrams(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     val docs = Tables.documents(spark, sfDir)
-    val withBp = docs.select(col("doc_id"), col("source"),
+    val withBp = spread(docs.select(col("doc_id"), col("source"),
       when(col("doc_id") % 2 === 0,
         concat(lit("(c) "), col("source"),
           lit(" terms apply. all rights reserved. "), col("text")))
-        .otherwise(col("text")).as("text"))
+        .otherwise(col("text")).as("text")))
     TextAnalysis.boilerplateNgrams(withBp)
   }
 
