@@ -233,8 +233,11 @@ object ExtQueries {
       shingled(existing, split(col("text"), " ")))
     val cands = Dedup.lshCrossCandidates(
       Dedup.minHashSignatures(shB, 8), Dedup.minHashSignatures(shE, 8), 8, 4)
-    val near = Dedup.verifiedCrossNearDups(cands, shB, shE, 0.5)
-      .select(col("id_a").as("doc_id")).distinct()
+    // near feeds BOTH the near_dup union branch and the 'new' anti-join;
+    // unpinned, the whole sig+band+verify subtree executes twice
+    val near = graft.std.Materialize.once(
+      Dedup.verifiedCrossNearDups(cands, shB, shE, 0.5)
+        .select(col("id_a").as("doc_id")).distinct())
     val newIds = rest.select("doc_id").join(near, Seq("doc_id"), "left_anti")
     exactDups.withColumn("status", lit("exact_dup"))
       .unionByName(near.withColumn("status", lit("near_dup")))
