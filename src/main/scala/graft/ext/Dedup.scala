@@ -108,7 +108,20 @@ object Dedup {
 
   /** The (id, band, key) LSH band-key frame both candidate forms join
     * on: band j digests signature columns `s(j*r) .. s(j*r+r-1)`.
+    *
+    * Public because this IS the incremental-dedup state: a production
+    * pipeline persists the accumulated corpus's band keys (bucketed on
+    * (band, key)) between increments, so each new batch joins against
+    * a pre-partitioned table and only the batch side shuffles — the
+    * probe in `tools/incremental_dedup_scale_probe.scala` measures
+    * exactly that.
     */
+  def bandKeysOf(sigs: DataFrame, k: Int, bands: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    bandKeys(sigs, k, bands, idCol)
+  }
+
   private def bandKeys(sigs: DataFrame, k: Int, bands: Int,
                        idCol: String): DataFrame = {
     val r = k / bands

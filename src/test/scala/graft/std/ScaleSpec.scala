@@ -117,6 +117,32 @@ class ScaleSpec extends AnyFunSuite {
     graft.std.Materialize.releaseAll()
   }
 
+  test("stratified sample plans as a pure scan filter: zero exchanges") {
+    val plan = graft.ext.ExtQueries.stratifiedSample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"zero-shuffle sampling grew an exchange:\n$plan")
+  }
+
+  test("domain quota pushes the group limit below the shuffle") {
+    // row_number ≤ N must plan as WindowGroupLimit (partial top-N per
+    // map task BEFORE the exchange) — at 100 TB that is the difference
+    // between shuffling N rows per source and shuffling the corpus
+    val plan = graft.ext.ExtQueries.domainQuota(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"quota lost the group-limit pushdown:\n$plan")
+  }
+
+  test("incremental dedup joins on keys only, never nested-loop") {
+    val plan = graft.ext.ExtQueries.incrementalDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus dedup degenerated to all-pairs:\n$plan")
+    graft.std.Materialize.releaseAll()
+  }
+
   test("graft_dot is callable from SQL after registration") {
     org.apache.spark.sql.GraftColumns.registerFunctions(spark)
     val r = spark.sql(
