@@ -182,6 +182,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** (doc_id, sh) shingle frame for a (doc_id, text) corpus: the token
+    * split crosses a generator barrier (a shingle lambda capturing the
+    * raw split chain re-evaluates it per shingle — O(tokens²)), and an
+    * under-split scan is spread across the shuffle parallelism first
+    * (see ExtQueries.spread for the full rationale). Batch frames only —
+    * `rdd.getNumPartitions` is undefined on a streaming frame.
+    */
+  def shingleFrame(corpus: DataFrame, n: Int = 3): DataFrame = {
+    val target =
+      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val spread =
+      if (corpus.rdd.getNumPartitions >= math.max(2, target / 2)) corpus
+      else corpus.repartition(target, col("doc_id"))
+    TextOps.attrBarrier(spread, Seq("doc_id"), "_toks",
+        split(col("text"), " "))
+      .select(col("doc_id"), TextOps.shingles(col("_toks"), n).as("sh"))
+  }
+
+  /** Classify a batch of (doc_id, text) documents against an existing
+    * (doc_id, text) corpus: `exact_dup` on a content-digest hit,
+    * `near_dup` on a Jaccard-verified cross-corpus LSH hit, `new`
+    * otherwise — the per-increment body of incremental dedup (gated as
+    * d9; the streaming form applies it per micro-batch, see
+    * [[graft.streaming.StreamingOps.incrementalDedupStream]]).
+    * Classification consults only the static corpus, never other batch
+    * docs, so statuses are batch-partitioning invariant. Texts are
+    * compared as given — normalize upstream. Pins intermediates via
+    * [[graft.std.Materialize.once]]; callers release per query
+    * (`releaseAll`) or per micro-batch (`scoped`).
+    */
+  def incrementalClassify(batchRaw: DataFrame, existingRaw: DataFrame,
+                          k: Int = 8, bands: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    // existing feeds the digest set + its shingle side; batch feeds the
+    // exact semi/anti pair — both diamonds, both pinned
+    val existing = graft.std.Materialize.once(existingRaw)
+    val batch = graft.std.Materialize.once(
+      batchRaw.withColumn("_dig", md5(col("text"))))
+    val exDig = existing.select(md5(col("text")).as("_dig")).distinct()
+    val exactDups = batch.join(exDig, Seq("_dig"), "left_semi")
+      .select("doc_id")
+    val rest = graft.std.Materialize.once(
+      batch.join(exDig, Seq("_dig"), "left_anti").select("doc_id", "text"))
+    val shB = graft.std.Materialize.once(shingleFrame(rest))
+    val shE = graft.std.Materialize.once(shingleFrame(existing))
+    val cands = lshCrossCandidates(
+      minHashSignatures(shB, k), minHashSignatures(shE, k), k, bands)
+    // near feeds BOTH the near_dup union branch and the 'new' anti-join;
+    // unpinned, the whole sig+band+verify subtree executes twice
+    val near = graft.std.Materialize.once(
+      verifiedCrossNearDups(cands, shB, shE, threshold)
+        .select(col("id_a").as("doc_id")).distinct())
+    val newIds = rest.select("doc_id").join(near, Seq("doc_id"), "left_anti")
+    exactDups.withColumn("status", lit("exact_dup"))
+      .unionByName(near.withColumn("status", lit("near_dup")))
+      .unionByName(newIds.withColumn("status", lit("new")))
+  }
+
   /** Containment scoring over candidate pairs: `|A∩B| / |A|` (and the
     * mirror) over DISTINCT shingles — the asymmetric complement of
     * Jaccard that catches a short document embedded in a long one

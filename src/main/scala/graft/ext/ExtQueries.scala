@@ -209,39 +209,15 @@ object ExtQueries {
     Tables.tune(spark)
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.normText(col("text")).as("text"))
-    // existing feeds the digest set + its shingle side; batch feeds the
-    // exact semi/anti pair — both diamonds, both pinned
-    val existing = graft.std.Materialize.once(
-      base.filter(col("doc_id") % 3 === 0))
-    val batch = graft.std.Materialize.once(
-      base.filter(col("doc_id") % 3 =!= 0)
-        .unionByName(existing.filter(col("doc_id") % 6 === 0)
-          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
-        .unionByName(existing.filter(col("doc_id") % 9 === 0)
-          .select((col("doc_id") + 400000).as("doc_id"),
-            concat_ws(" ", filter(split(col("text"), " "),
-              (t, i) => (i + 1) % 11 =!= 0)).as("text")))
-        .withColumn("_dig", md5(col("text"))))
-    val exDig = existing.select(md5(col("text")).as("_dig")).distinct()
-    val exactDups = batch.join(exDig, Seq("_dig"), "left_semi")
-      .select("doc_id")
-    val rest = graft.std.Materialize.once(
-      batch.join(exDig, Seq("_dig"), "left_anti").select("doc_id", "text"))
-    val shB = graft.std.Materialize.once(
-      shingled(rest, split(col("text"), " ")))
-    val shE = graft.std.Materialize.once(
-      shingled(existing, split(col("text"), " ")))
-    val cands = Dedup.lshCrossCandidates(
-      Dedup.minHashSignatures(shB, 8), Dedup.minHashSignatures(shE, 8), 8, 4)
-    // near feeds BOTH the near_dup union branch and the 'new' anti-join;
-    // unpinned, the whole sig+band+verify subtree executes twice
-    val near = graft.std.Materialize.once(
-      Dedup.verifiedCrossNearDups(cands, shB, shE, 0.5)
-        .select(col("id_a").as("doc_id")).distinct())
-    val newIds = rest.select("doc_id").join(near, Seq("doc_id"), "left_anti")
-    exactDups.withColumn("status", lit("exact_dup"))
-      .unionByName(near.withColumn("status", lit("near_dup")))
-      .unionByName(newIds.withColumn("status", lit("new")))
+    val existing = base.filter(col("doc_id") % 3 === 0)
+    val batch = base.filter(col("doc_id") % 3 =!= 0)
+      .unionByName(existing.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      .unionByName(existing.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat_ws(" ", filter(split(col("text"), " "),
+            (t, i) => (i + 1) % 11 =!= 0)).as("text")))
+    Dedup.incrementalClassify(batch, existing)
   }
 
   /** Containment pairs (d10): the asymmetric near-dup check over the

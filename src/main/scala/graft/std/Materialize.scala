@@ -86,4 +86,30 @@ object Materialize {
     pins.foreach(p => try p() catch { case _: Throwable => () })
     pins.clear()
   }
+
+  /** Run `f` and release ONLY the pins it registered — the long-running
+    *-process form of [[releaseAll]]: a streaming `foreachBatch` that
+    * pins per micro-batch must not hold those blocks into the next
+    * batch, and must not drop pins owned by unrelated queries on the
+    * same session. Release happens after `f` returns, so every action
+    * inside `f` (the micro-batch's write) must complete inside it.
+    * Scopes assume one pinning pipeline at a time per JVM (same as the
+    * Bench/Verify releaseAll contract); concurrently-pinning queries
+    * would interleave registrations.
+    */
+  def scoped[T](f: => T): T = {
+    val before = synchronized { pins.length }
+    try f
+    finally {
+      val mine = synchronized {
+        val s = pins.drop(before).toList
+        pins.remove(before, pins.length - before)
+        s
+      }
+      mine.foreach(p => try p() catch { case _: Throwable => () })
+    }
+  }
+
+  /** Currently-held pin count (test hook). */
+  private[graft] def pinCount: Int = synchronized { pins.length }
 }

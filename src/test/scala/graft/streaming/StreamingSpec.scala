@@ -248,6 +248,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: micro-batched ≡ batch, pins released") {
+    val sfDir = "/root/testdata/sf0.001"
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"),
+      graft.ext.TextOps.normText(col("text")).as("text"))
+    val existing = base.filter(col("doc_id") % 3 === 0)
+    val batch = base.filter(col("doc_id") % 3 =!= 0)
+      .unionByName(existing.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    // batch-mode reference statuses
+    val expected = graft.ext.Dedup.incrementalClassify(batch, existing)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    graft.std.Materialize.releaseAll()
+    // the same docs arriving as ≥2 micro-batches
+    val stage = Files.createTempDirectory("inc_dedup_src").toString
+    batch.repartition(2).write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val got = scala.collection.mutable.Set.empty[(Long, String)]
+    val pinsBefore = graft.std.Materialize.pinCount
+    val q = StreamingOps.incrementalDedupStream(streamIn, existing,
+      df => got.synchronized {
+        got ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+      }).start()
+    try q.processAllAvailable() finally q.stop()
+    // micro-batch boundaries cannot change per-doc statuses
+    assert(got.toSet == expected)
+    // scoped release left no per-batch pins behind
+    assert(graft.std.Materialize.pinCount == pinsBefore)
+  }
+
   test("userSessions sessionizes with the 5-minute gap (batch form)") {
     import spark.implicits._
     val ts = Seq(
