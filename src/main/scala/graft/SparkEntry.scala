@@ -93,6 +93,7 @@ object SparkEntry {
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
     "s4_lsh_near_dups" -> ExtQueries.lshEmbeddingNearDups _,
+    "s5_quantized_vectors" -> ExtQueries.quantizedVectors _,
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
     "m2_media_frames" -> ExtQueries.mediaFrames _,
     "w1_hourly_by_type" -> ExtQueries.hourlyByType _,
@@ -170,6 +171,7 @@ object SparkEntry {
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,
     "s4_lsh_near_dups" -> ExtOracleSql.s4LshNearDups,
+    "s5_quantized_vectors" -> ExtOracleSql.s5QuantizedVectors,
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,
     "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
     "w1_hourly_by_type" -> ExtOracleSql.w1HourlyByType,

@@ -327,6 +327,29 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
 
+  /** s5: per-vector symmetric int8 quantization in long form. floor of
+    * the shifted ratio (not round()) — the engines disagree on banker's
+    * rounding; floor on IEEE doubles is bit-exact.
+    */
+  val s5QuantizedVectors: String = """WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings
+), u AS (
+  SELECT vec_id, mx,
+         unnest(list_transform(embedding,
+           (x, i) -> {'di': i - 1,
+                      'q': CASE WHEN mx > 0
+                           THEN CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx
+                                           + 0.5) AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END})) AS s
+  FROM m
+)
+SELECT vec_id, CAST(s.di AS BIGINT) AS dim_idx, s.q AS q,
+       round(mx / 127.0, 6) AS scale
+FROM u"""
+
   val t9TrainTestSplit: String = s"""WITH b AS (
   SELECT lang, ${h64(Norm)} % 100 AS bucket
   FROM documents

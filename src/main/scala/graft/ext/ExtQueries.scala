@@ -404,6 +404,12 @@ object ExtQueries {
   /** Deterministic train/valid/test split (t9): content-hash buckets, so
     * both engines assign every doc identically.
     */
+  /** Int8-quantized embeddings in long form (s5). */
+  def quantizedVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+  }
+
   def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     TextAnalysis.trainTestSplit(Tables.documents(spark, sfDir))

@@ -188,6 +188,32 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
   }
 
+  /** Symmetric per-vector int8 quantization — the embedding-compression
+    * step a vector store runs before indexing (4× smaller than float32,
+    * dot products stay rank-faithful at int8 for cosine search). Scale
+    * is per-vector (`max|v| / 127`); each component quantizes by
+    * `floor(x·127/max + 0.5)` — floor-of-shifted rather than `round()`
+    * because the two engines disagree on banker's rounding, while
+    * `floor` on IEEE doubles is bit-exact everywhere. Emitted in long
+    * form (vec_id, dim_idx, q, scale): integer codes hash-compare
+    * exactly, and the explode is the same generator barrier that keeps
+    * the per-vector max from re-inlining into every component.
+    */
+  def quantizeInt8(vecs: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val base = vecs.select(col(idCol), v.as("_v"),
+      array_max(transform(v, x => abs(x))).as("_m"))
+    base.select(col(idCol), col("_m"),
+        posexplode(col("_v")).as(Seq("_pos", "_x")))
+      .select(col(idCol),
+        col("_pos").cast("long").as("dim_idx"),
+        when(col("_m") > 0,
+          floor(col("_x") * 127.0 / col("_m") + 0.5))
+          .otherwise(lit(0L)).cast("long").as("q"),
+        round(col("_m") / 127.0, 6).as("scale"))
+  }
+
   /** IVF-style ANN top-k: probe the `nprobe` nearest centroids per query
     * (tiny broadcast cross join), then exact-rank only within the probed
     * inverted lists — the corpus-side join is an equi-join on the label,

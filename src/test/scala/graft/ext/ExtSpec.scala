@@ -448,6 +448,25 @@ class ExtSpec extends AnyFunSuite {
     assert(orderOf(0) != orderOf(1))
   }
 
+  test("int8 quantization bounds codes and reconstruction error") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val q = Similarity.quantizeInt8(vecs)
+    val joined = q.join(
+      vecs.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim_idx", "x"))),
+      Seq("vec_id", "dim_idx"))
+    // scale is emitted rounded to 6dp, so reconstruction via the
+    // emitted column carries up to 127·5e-7 extra absolute error on
+    // top of the half-step quantization bound
+    val bad = joined.filter(
+      col("q") > 127 || col("q") < -127 ||
+        abs(col("q") * col("scale") - col("x")) > col("scale") * 0.51 + 1e-4)
+    assert(bad.isEmpty, s"out-of-contract codes: ${bad.count()}")
+    // dim coverage: every (vec, dim) appears exactly once
+    assert(q.count() == joined.count())
+  }
+
   test("boilerplate detection flags shared headers, not organic text") {
     // bodies share NO tokens across docs, so the only recurring
     // shingles are the header's interior ones (bridge shingles into
