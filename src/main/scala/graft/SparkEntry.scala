@@ -96,11 +96,13 @@ object SparkEntry {
     "s5_quantized_vectors" -> ExtQueries.quantizedVectors _,
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
     "m2_media_frames" -> ExtQueries.mediaFrames _,
+    "m3_media_dedup" -> ExtQueries.mediaDedup _,
     "w1_hourly_by_type" -> ExtQueries.hourlyByType _,
     "w2_sliding_hourly" -> ExtQueries.slidingHourly _,
     "w3_user_sessions" -> ExtQueries.userSessions _,
     "w4_click_funnel" -> ExtQueries.clickFunnel _,
     "w5_funnel_transitions" -> ExtQueries.funnelTransitions _,
+    "w6_trending" -> ExtQueries.trendingByWindow _,
     "x1_salted_revenue" -> ExtQueries.saltedRevenue _,
     "x2_range_join" -> ExtQueries.rangeJoinAttribution _,
     "x3_asof_join" -> ExtQueries.asOfJoin _,
@@ -174,11 +176,13 @@ object SparkEntry {
     "s5_quantized_vectors" -> ExtOracleSql.s5QuantizedVectors,
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,
     "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
+    "m3_media_dedup" -> ExtOracleSql.m3MediaDedup,
     "w1_hourly_by_type" -> ExtOracleSql.w1HourlyByType,
     "w2_sliding_hourly" -> ExtOracleSql.w2SlidingHourly,
     "w3_user_sessions" -> ExtOracleSql.w3UserSessions,
     "w4_click_funnel" -> ExtOracleSql.w4ClickFunnel,
     "w5_funnel_transitions" -> ExtOracleSql.w5FunnelTransitions,
+    "w6_trending" -> ExtOracleSql.w6Trending,
     "x1_salted_revenue" -> ExtOracleSql.x1SaltedRevenue,
     "x2_range_join" -> ExtOracleSql.x2RangeJoinAttribution,
     "x3_asof_join" -> ExtOracleSql.x3AsOfJoin,

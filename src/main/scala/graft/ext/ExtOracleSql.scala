@@ -922,6 +922,38 @@ SELECT doc_id,
        md5(payload_str) AS content_md5
 FROM m"""
 
+  /** m3: binary media dedup over the m1 synthetic corpus + re-uploads
+    * (+700000, identical payload) — digest groups, keeper, bytes.
+    */
+  val m3MediaDedup: String = """WITH m AS (
+  SELECT doc_id,
+         lpad(hex(64 + doc_id % 192), 4, '0')
+           || lpad(hex(64 + doc_id % 128), 4, '0') || text AS payload_str
+  FROM documents
+), corpus AS (
+  SELECT doc_id, payload_str FROM m
+  UNION ALL
+  SELECT doc_id + 700000, payload_str FROM m WHERE doc_id % 4 = 0
+)
+SELECT md5(payload_str) AS content_md5,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper,
+       CAST(SUM(octet_length(encode(payload_str))) AS BIGINT) AS total_bytes
+FROM corpus GROUP BY 1"""
+
+  /** w6: top-3 trending event types per tumbling hour. */
+  val w6Trending: String = """WITH c AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT window_start, event_type, n_events,
+         CAST(row_number() OVER (PARTITION BY window_start
+           ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rank
+  FROM c
+)
+SELECT window_start, event_type, n_events, rank FROM r WHERE rank <= 3"""
+
   val w1HourlyByType: String = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,

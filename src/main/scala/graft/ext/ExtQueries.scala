@@ -677,7 +677,32 @@ object ExtQueries {
     both.crossJoin(clickOnly).crossJoin(purchaseOnly).crossJoin(any)
   }
 
+  /** Top-3 trending event types per hour (w6). */
+  def trendingByWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    StreamingOps.trendingByWindow(Tables.events(spark, sfDir))
+  }
+
   // ---- multimodal ----
+
+  /** Binary-payload media dedup (m3): every 4th media file re-uploaded
+    * under a new id (+700000, SAME payload bytes) — grouped by content
+    * digest like d1, but over binary, with the storage-reclaim bytes a
+    * media curator reads off the report. Payloads never shuffle: the
+    * group key is the 128-bit digest, byte sizes aggregate map-side.
+    */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val base = Media.synthCorpus(Tables.documents(spark, sfDir))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          col("payload"), col("meta")))
+    corpus.groupBy(md5(col("payload")).as("content_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper"),
+        sum(length(col("payload")).cast("long")).as("total_bytes"))
+  }
 
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

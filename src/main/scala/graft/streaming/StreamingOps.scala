@@ -215,6 +215,28 @@ object StreamingOps {
     else keyed.dropDuplicates("dedup_key")
   }
 
+  /** Top-k trending event types per tumbling hour — the "what's hot
+    * now" rollup a feed pipeline keeps. BATCH form (rank windows are
+    * not streamable); the streaming deployment runs [[hourlyByType]]
+    * continuously and ranks the materialized counts per window close —
+    * the count aggregate is the streamable 99% of the work, the rank a
+    * per-window top-k over ≤ |event types| rows.
+    */
+  def trendingByWindow(events: DataFrame, k: Int = 3): DataFrame = {
+    require(!events.isStreaming,
+      "batch form; rank hourlyByType's sink for the streaming shape")
+    val counts = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window"))
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("rank"))
+  }
+
   /** Streaming incremental dedup: every micro-batch of arriving
     * documents is classified against the STATIC accumulated corpus with
     * [[graft.ext.Dedup.incrementalClassify]] (exact digest hit →
