@@ -72,6 +72,7 @@ object SparkEntry {
     "t20_stratified_sample" -> ExtQueries.stratifiedSample _,
     "t21_domain_quota" -> ExtQueries.domainQuota _,
     "t22_train_order" -> ExtQueries.trainOrder _,
+    "t23_contamination_split" -> ExtQueries.contaminationSplit _,
     "t1_token_stats" -> ExtQueries.tokenStats _,
     "t2_lang_stats" -> ExtQueries.langStats _,
     "t3_quality_scores" -> ExtQueries.qualityScores _,
@@ -152,6 +153,7 @@ object SparkEntry {
     "t20_stratified_sample" -> ExtOracleSql.t20StratifiedSample,
     "t21_domain_quota" -> ExtOracleSql.t21DomainQuota,
     "t22_train_order" -> ExtOracleSql.t22TrainOrder,
+    "t23_contamination_split" -> ExtOracleSql.t23ContaminationSplit,
     "t1_token_stats" -> ExtOracleSql.t1TokenStats,
     "t2_lang_stats" -> ExtOracleSql.t2LangStats,
     "t3_quality_scores" -> ExtOracleSql.t3QualityScores,

@@ -465,6 +465,36 @@ SELECT e.doc_id,
 FROM exh e LEFT JOIN bench b ON e.shash = b.shash
 GROUP BY 1"""
 
+  /** t23: contamination-aware split — d8's per-doc benchmark-overlap
+    * profile composed with t9's content-hash buckets; ≥ 20% overlap
+    * (on the ROUNDED ratio both dialects emit) quarantines the doc.
+    */
+  val t23ContaminationSplit: String = s"""WITH t AS (
+  SELECT doc_id, ${h64(Norm)} % 100 AS bucket,
+         ${sh3(s"string_split($Norm, ' ')", Norm)} AS sh
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(list_distinct(sh)) AS s FROM t WHERE doc_id % 31 <> 0
+), exh AS (
+  SELECT doc_id, ${h64("s")} AS shash FROM ex
+), bench AS (
+  SELECT DISTINCT ${h64("s")} AS shash
+  FROM (SELECT unnest(list_distinct(sh)) AS s FROM t WHERE doc_id % 31 = 0)
+), prof AS (
+  SELECT e.doc_id,
+         round(CAST(COALESCE(SUM(CASE WHEN b.shash IS NOT NULL THEN 1 END), 0)
+                    AS DOUBLE) / COUNT(*), 6) AS cr
+  FROM exh e LEFT JOIN bench b ON e.shash = b.shash
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CASE WHEN p.cr >= 0.2 THEN 'quarantine'
+            WHEN t.bucket < 80 THEN 'train'
+            WHEN t.bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM t JOIN prof p ON t.doc_id = p.doc_id
+WHERE t.doc_id % 31 <> 0"""
+
   /** d9: incremental dedup — existing corpus (doc_id % 3 = 0), batch =
     * the rest + injected exact copies (+300000, every 6th existing) and
     * near-dup mutations (+400000, every 9th existing, 11th tokens

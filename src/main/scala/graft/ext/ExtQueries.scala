@@ -283,6 +283,32 @@ object ExtQueries {
     TextAnalysis.trainOrder(Tables.documents(spark, sfDir))
   }
 
+  /** Contamination-aware train/test split (t23): the composite every
+    * eval-honest pipeline runs — content-hash split (t9) EXCEPT that
+    * documents sharing ≥ 20% of their distinct shingles with the
+    * benchmark (d8's profile) are quarantined out of every split. The
+    * two component passes compose without a new shuffle shape: the
+    * profile is one explode + broadcast-lookup + groupBy(doc_id), the
+    * split a per-row hash, the merge an id equi-join.
+    */
+  def contaminationSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val withSh = graft.std.Materialize.once(
+      shingled(docs, TextOps.tokens(col("text"))))
+    val profile = Dedup.contaminationProfile(
+      withSh.filter(col("doc_id") % 31 =!= 0),
+      withSh.filter(col("doc_id") % 31 === 0))
+    val splits = TextAnalysis.trainTestSplit(
+        docs.filter(col("doc_id") % 31 =!= 0))
+      .select(col("doc_id"), col("split"))
+    splits.join(profile.select(col("doc_id"), col("contamination_ratio")),
+        "doc_id")
+      .select(col("doc_id"),
+        when(col("contamination_ratio") >= 0.2, lit("quarantine"))
+          .otherwise(col("split")).as("split"))
+  }
+
   /** Deterministic domain mixing summary (t18). */
   def domainMixture(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

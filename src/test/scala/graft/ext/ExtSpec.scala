@@ -448,6 +448,31 @@ class ExtSpec extends AnyFunSuite {
     assert(orderOf(0) != orderOf(1))
   }
 
+  test("stratified sample is monotone in rate: lower rate ⊆ higher rate") {
+    // content-hash bucketing means raising a rate only ADDS documents —
+    // rand()-based sampling has no such property, and it is what makes
+    // sample sizes tunable without churning the already-selected set
+    val docs = Tables.documents(spark, sfDir)
+    def ids(en: Int, rest: Int): Set[Long] =
+      TextAnalysis.stratifiedContentSample(docs, Map("en" -> en), rest)
+        .collect().map(_.getLong(0)).toSet
+    val small = ids(10, 30)
+    val big = ids(40, 80)
+    assert(small.subsetOf(big))
+    assert(small.size < big.size)
+  }
+
+  test("contamination split quarantines exactly the over-threshold docs") {
+    val out = ExtQueries.contaminationSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.std.Materialize.releaseAll()
+    assert(out.nonEmpty)
+    assert(out.values.toSet.subsetOf(
+      Set("train", "valid", "test", "quarantine")))
+    // no benchmark doc (doc_id % 31 == 0) ever receives a split
+    assert(out.keys.forall(_ % 31 != 0))
+  }
+
   test("int8 quantization bounds codes and reconstruction error") {
     val vecs = Tables.embeddings(spark, sfDir)
     val q = Similarity.quantizeInt8(vecs)
