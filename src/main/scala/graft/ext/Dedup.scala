@@ -183,21 +183,44 @@ object Dedup {
   }
 
   /** (doc_id, sh) shingle frame for a (doc_id, text) corpus: the token
-    * split crosses a generator barrier (a shingle lambda capturing the
-    * raw split chain re-evaluates it per shingle — O(tokens²)), and an
-    * under-split scan is spread across the shuffle parallelism first
-    * (see ExtQueries.spread for the full rationale). Batch frames only —
-    * `rdd.getNumPartitions` is undefined on a streaming frame.
+    * expression crosses a generator barrier (a shingle lambda capturing
+    * the raw split chain re-evaluates it per shingle — O(tokens²)), and
+    * an under-split scan is spread across the shuffle parallelism first
+    * ([[TextOps.spreadByKey]]). Batch frames only.
     */
-  def shingleFrame(corpus: DataFrame, n: Int = 3): DataFrame = {
-    val target =
-      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val spread =
-      if (corpus.rdd.getNumPartitions >= math.max(2, target / 2)) corpus
-      else corpus.repartition(target, col("doc_id"))
-    TextOps.attrBarrier(spread, Seq("doc_id"), "_toks",
-        split(col("text"), " "))
+  def shingleFrame(corpus: DataFrame, toks: Column = split(col("text"), " "),
+                   n: Int = 3): DataFrame =
+    TextOps.attrBarrier(TextOps.spreadByKey(corpus), Seq("doc_id"), "_toks",
+        toks)
       .select(col("doc_id"), TextOps.shingles(col("_toks"), n).as("sh"))
+
+  /** Precomputed corpus-side dedup state: what a production pipeline
+    * persists between increments (content digests, shingle arrays,
+    * MinHash signatures — [[bandKeysOf]] derives per-join). Frames are
+    * BARE eager checkpoints, deliberately outside the
+    * [[graft.std.Materialize]] pin registry so neither a per-query
+    * `releaseAll` nor a per-micro-batch `scoped` drops them while a
+    * stream is live; the owner calls [[IncrementalState.release]] when
+    * done.
+    */
+  final case class IncrementalState(k: Int, digests: DataFrame,
+                                    shingles: DataFrame,
+                                    signatures: DataFrame) {
+    def release(): Unit =
+      Seq(digests, shingles, signatures)
+        .foreach(graft.std.Materialize.releaseCheckpoint)
+  }
+
+  /** Build [[IncrementalState]] for an existing (doc_id, text) corpus. */
+  def corpusState(existingRaw: DataFrame, k: Int = 8): IncrementalState = {
+    val existing = existingRaw.localCheckpoint(true)
+    val digests = existing.select(md5(col("text")).as("_dig")).distinct()
+      .localCheckpoint(true)
+    val sh = shingleFrame(existing).localCheckpoint(true)
+    val sigs = minHashSignatures(sh, k).localCheckpoint(true)
+    // the raw corpus pin only fed the three derived frames
+    graft.std.Materialize.releaseCheckpoint(existing)
+    IncrementalState(k, digests, sh, sigs)
   }
 
   /** Classify a batch of (doc_id, text) documents against an existing
@@ -210,25 +233,45 @@ object Dedup {
     * docs, so statuses are batch-partitioning invariant. Texts are
     * compared as given — normalize upstream. Pins intermediates via
     * [[graft.std.Materialize.once]]; callers release per query
-    * (`releaseAll`) or per micro-batch (`scoped`).
+    * (`releaseAll`) or per micro-batch (`scoped`). One-shot form —
+    * repeated increments against the same corpus build
+    * [[corpusState]] once and use [[classifyIncrement]].
     */
   def incrementalClassify(batchRaw: DataFrame, existingRaw: DataFrame,
                           k: Int = 8, bands: Int = 4,
                           threshold: Double = 0.5): DataFrame = {
-    // existing feeds the digest set + its shingle side; batch feeds the
-    // exact semi/anti pair — both diamonds, both pinned
+    // existing feeds the digest set + its shingle side — a diamond, pinned
     val existing = graft.std.Materialize.once(existingRaw)
+    val exDig = existing.select(md5(col("text")).as("_dig")).distinct()
+    val shE = graft.std.Materialize.once(shingleFrame(existing))
+    classifyWith(batchRaw, exDig, shE, minHashSignatures(shE, k),
+      k, bands, threshold)
+  }
+
+  /** [[incrementalClassify]] against precomputed [[corpusState]] — the
+    * per-increment cost is O(batch) because the corpus side arrives
+    * materialized (the probe in
+    * `tools/incremental_dedup_scale_probe.scala` measures this form).
+    */
+  def classifyIncrement(state: IncrementalState, batchRaw: DataFrame,
+                        bands: Int = 4,
+                        threshold: Double = 0.5): DataFrame =
+    classifyWith(batchRaw, state.digests, state.shingles,
+      state.signatures, state.k, bands, threshold)
+
+  private def classifyWith(batchRaw: DataFrame, exDig: DataFrame,
+                           shE: DataFrame, sigE: DataFrame, k: Int,
+                           bands: Int, threshold: Double): DataFrame = {
+    // batch feeds the exact semi/anti pair — a diamond, pinned
     val batch = graft.std.Materialize.once(
       batchRaw.withColumn("_dig", md5(col("text"))))
-    val exDig = existing.select(md5(col("text")).as("_dig")).distinct()
     val exactDups = batch.join(exDig, Seq("_dig"), "left_semi")
       .select("doc_id")
     val rest = graft.std.Materialize.once(
       batch.join(exDig, Seq("_dig"), "left_anti").select("doc_id", "text"))
     val shB = graft.std.Materialize.once(shingleFrame(rest))
-    val shE = graft.std.Materialize.once(shingleFrame(existing))
     val cands = lshCrossCandidates(
-      minHashSignatures(shB, k), minHashSignatures(shE, k), k, bands)
+      minHashSignatures(shB, k), sigE, k, bands)
     // near feeds BOTH the near_dup union branch and the 'new' anti-join;
     // unpinned, the whole sig+band+verify subtree executes twice
     val near = graft.std.Materialize.once(

@@ -60,37 +60,19 @@ object ExtQueries {
     Dedup.exactGroups(exactDupCorpus(Tables.documents(spark, sfDir)))
   }
 
-  /** Spread an UNDER-SPLIT scan across the configured shuffle
-    * parallelism before a hash-heavy per-row kernel. The sf-test
-    * parquet files are one row group — unsplittable below row-group
-    * granularity, so `maxPartitionBytes` can't help and a narrow
-    * pipeline over them runs as ONE task no matter the core count
-    * (measured: the t7 gram hashing serialized at ~3.9 s while 31
-    * cores idled). The explicit partition count keeps AQE from
-    * coalescing the (tiny) exchange back to one partition.
-    *
-    * CONDITIONAL on the scan actually being under-split: a production
-    * corpus arrives in thousands of splits, and there this is a no-op —
-    * a pure per-row kernel (t5/t7/t16) must not pay a full-corpus
-    * text shuffle it doesn't need. (For the MinHash path the exchange
-    * additionally pre-partitions on the signature groupBy's key, so
-    * even when it fires it replaces that aggregate's shuffle.)
+  /** [[TextOps.spreadByKey]] — kept as a local alias for the hash-heavy
+    * query bodies below. (For the MinHash path the exchange additionally
+    * pre-partitions on the signature groupBy's key, so when it fires it
+    * replaces that aggregate's shuffle; measured: t7's gram hashing
+    * serialized at ~3.9 s on one core without it.)
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val target =
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
-    else df.repartition(target, col("doc_id"))
-  }
+  private def spread(df: DataFrame): DataFrame = TextOps.spreadByKey(df)
 
-  /** (doc_id, sh) shingle frame with the token array pushed through a
-    * generator barrier first — shingling's slice lambda captures the
-    * token column, and a non-attribute capture re-evaluates the split
-    * per shingle (O(tokens²) string work per doc).
+  /** [[Dedup.shingleFrame]] — generator barrier + spread, shared with
+    * the incremental classifier and the probe tooling.
     */
   private def shingled(corpus: DataFrame, toks: Column): DataFrame =
-    TextOps.attrBarrier(spread(corpus), Seq("doc_id"), "_toks", toks)
-      .select(col("doc_id"), TextOps.shingles(col("_toks"), 3).as("sh"))
+    Dedup.shingleFrame(corpus, toks)
 
   /** Full MinHash→LSH→verify pipeline: 3-shingles, k=8 permutations,
     * 4 bands × 2 rows, Jaccard ≥ 0.5 verification.

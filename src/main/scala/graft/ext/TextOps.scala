@@ -78,4 +78,26 @@ object TextOps {
   def attrBarrier(df: org.apache.spark.sql.DataFrame, keep: Seq[String],
                   name: String, e: Column): org.apache.spark.sql.DataFrame =
     df.select(keep.map(col) :+ explode(array(e)).as(name): _*)
+
+  /** Spread an UNDER-SPLIT scan across the configured shuffle
+    * parallelism before a hash-heavy per-row kernel. The sf-test
+    * parquet files are one row group — unsplittable below row-group
+    * granularity, so `maxPartitionBytes` can't help and a narrow
+    * pipeline over them runs as ONE task no matter the core count.
+    * The explicit partition count keeps AQE from coalescing the (tiny)
+    * exchange back to one partition.
+    *
+    * CONDITIONAL on the scan actually being under-split: a production
+    * corpus arrives in thousands of splits, and there this is a no-op —
+    * a pure per-row kernel must not pay a full-corpus shuffle it
+    * doesn't need. Batch frames only (`rdd.getNumPartitions` is
+    * undefined on a streaming frame).
+    */
+  def spreadByKey(df: org.apache.spark.sql.DataFrame,
+                  key: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val target =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target, col(key))
+  }
 }

@@ -101,9 +101,13 @@ object Materialize {
     val before = synchronized { pins.length }
     try f
     finally {
+      // clamp: releaseAll() inside/alongside the scope can shrink the
+      // list below the baseline — release nothing rather than throw
+      // from a finally (which would mask f's result / kill a stream)
       val mine = synchronized {
-        val s = pins.drop(before).toList
-        pins.remove(before, pins.length - before)
+        val from = math.min(before, pins.length)
+        val s = pins.drop(from).toList
+        pins.remove(from, pins.length - from)
         s
       }
       mine.foreach(p => try p() catch { case _: Throwable => () })

@@ -239,30 +239,34 @@ object StreamingOps {
 
   /** Streaming incremental dedup: every micro-batch of arriving
     * documents is classified against the STATIC accumulated corpus with
-    * [[graft.ext.Dedup.incrementalClassify]] (exact digest hit →
+    * [[graft.ext.Dedup.classifyIncrement]] (exact digest hit →
     * cross-corpus LSH → Jaccard verify), and the per-batch result is
     * handed to `write`. `foreachBatch` is the production shape here —
     * the classifier needs joins and pinned intermediates a continuous
     * query can't express, and classification consults only the static
     * corpus, so statuses are micro-batch-partitioning invariant (the
-    * spec asserts 2-batch ≡ 1-batch ≡ batch-mode). Per-batch pins are
-    * released via [[graft.std.Materialize.scoped]] once the write
-    * completes, so a long-running stream holds no block residue between
-    * batches. State at scale: the corpus side's digests/band keys are
-    * what a production pipeline keeps materialized ([[graft.ext.Dedup
-    * .bandKeysOf]]); the stream side only pays O(micro-batch).
+    * spec asserts 2-batch ≡ 1-batch ≡ batch-mode). The corpus-side
+    * state (digests, shingles, signatures) is built ONCE via
+    * [[graft.ext.Dedup.corpusState]] and rides outside the pin
+    * registry for the stream's lifetime — per micro-batch only the
+    * batch-side pins are taken, and [[graft.std.Materialize.scoped]]
+    * releases them once the write completes, so a long-running stream
+    * holds no per-batch block residue and pays O(micro-batch), not
+    * O(corpus), per trigger. The caller owns `state` (release after
+    * the stream stops).
     */
-  def incrementalDedupStream(newDocs: DataFrame, existing: DataFrame,
+  def incrementalDedupStream(newDocs: DataFrame,
+                             state: graft.ext.Dedup.IncrementalState,
                              write: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
     require(newDocs.isStreaming,
       "newDocs must be a streaming frame; batch callers use " +
-        "Dedup.incrementalClassify directly")
+        "Dedup.incrementalClassify/classifyIncrement directly")
     newDocs.writeStream.outputMode("update").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.std.Materialize.scoped {
-          write(graft.ext.Dedup.incrementalClassify(batch.toDF(), existing))
+          write(graft.ext.Dedup.classifyIncrement(state, batch.toDF()))
         }
     }
   }
