@@ -53,19 +53,23 @@ object Bench {
       graft.std.Materialize.releaseAll()
       r
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // JSON goes out FIRST and also to a file: the driver captures the
-    // tail of stdout, and round 3's 62-query line was long enough that
-    // trailing log noise truncated it mid-object
-    println(json)
+    // stdout gets 3-dp values: the driver captures only the last ~2.9 KB
+    // of output, and round 4's 76-query full-precision line (~3.3 KB)
+    // overflowed that window — its head was cut and the JSON never
+    // parsed. 3 dp keeps the line under ~2.2 KB with headroom for more
+    // queries; the file copy keeps full precision.
+    def jsonLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/tmp/graft_bench.json")), json)
+        "/tmp/graft_bench.json")), jsonLine(_.toString))
     catch { case _: Throwable => () }
+    println(jsonLine(v =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))))
     spark.stop()
   }
 }

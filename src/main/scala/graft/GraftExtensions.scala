@@ -24,13 +24,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_md5lane"),
       new ExpressionInfo(classOf[Md5Lane].getName, "graft_md5lane"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        // lane bounds arrive as SQL literals: graft_md5lane(x, 0, 7)
-        def toInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+        // lane bounds arrive as SQL literals: graft_md5lane(x, 0, 7).
+        // A non-foldable bound (column reference) must fail as a typed
+        // analysis error, not an opaque NPE from eval(null).
+        def toInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                  pos: Int): Int =
           e match {
             case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-            case other => other.eval().asInstanceOf[Number].intValue()
+            case other if other.foldable =>
+              other.eval() match {
+                case n: Number => n.intValue()
+                case bad => throw org.apache.spark.sql.GraftErrors
+                  .nonConstantArgument("graft_md5lane", pos,
+                    s"folded to non-integer value $bad")
+              }
+            case _ => throw org.apache.spark.sql.GraftErrors
+              .nonConstantArgument("graft_md5lane", pos,
+                "argument is not a constant (foldable) expression")
           }
-        Md5Lane(children.head, toInt(children(1)), toInt(children(2)))
+        Md5Lane(children.head, toInt(children(1), 1), toInt(children(2), 2))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_nfc"),

@@ -208,18 +208,24 @@ object Dedup {
                                     signatures: DataFrame) {
     def release(): Unit =
       Seq(digests, shingles, signatures)
-        .foreach(graft.std.Materialize.releaseCheckpoint)
+        .foreach(graft.std.Materialize.releasePin)
   }
 
-  /** Build [[IncrementalState]] for an existing (doc_id, text) corpus. */
+  /** Build [[IncrementalState]] for an existing (doc_id, text) corpus.
+    * Materialization honors `spark.graft.materialize.mode` (same switch
+    * as [[graft.std.Materialize.once]]): under `disk` the state frames
+    * keep lineage, so an executor lost mid-stream recomputes their
+    * partitions instead of killing the long-lived stream.
+    */
   def corpusState(existingRaw: DataFrame, k: Int = 8): IncrementalState = {
-    val existing = existingRaw.localCheckpoint(true)
-    val digests = existing.select(md5(col("text")).as("_dig")).distinct()
-      .localCheckpoint(true)
-    val sh = shingleFrame(existing).localCheckpoint(true)
-    val sigs = minHashSignatures(sh, k).localCheckpoint(true)
+    import graft.std.Materialize.{pinUnregistered, releasePin}
+    val existing = pinUnregistered(existingRaw)
+    val digests =
+      pinUnregistered(existing.select(md5(col("text")).as("_dig")).distinct())
+    val sh = pinUnregistered(shingleFrame(existing))
+    val sigs = pinUnregistered(minHashSignatures(sh, k))
     // the raw corpus pin only fed the three derived frames
-    graft.std.Materialize.releaseCheckpoint(existing)
+    releasePin(existing)
     IncrementalState(k, digests, sh, sigs)
   }
 

@@ -107,8 +107,10 @@ object Charts {
           "aggregates; reduce before plotting")
       rows
     }
+    // cast up front: a caller whose revenue is DecimalType (sum over
+    // decimals) must not hit a ClassCastException at getDouble
     val rev = capped(revenueByMonth.orderBy(col("fin_month_label"))
-      .select(col("fin_month_label"), col("revenue")))
+      .select(col("fin_month_label"), col("revenue").cast("double")))
     writeBarChartPng(
       rev.map(_.getString(0)).toSeq,
       rev.map(r => r.getDouble(1)).toSeq,
@@ -116,7 +118,7 @@ object Charts {
       maxBars = maxBars)
     val top = capped(topProducts
       .orderBy(col("revenue").desc, col("product_desc"))
-      .select(col("product_desc"), col("revenue")))
+      .select(col("product_desc"), col("revenue").cast("double")))
     writeBarChartPng(
       top.map(_.getString(0)).toSeq,
       top.map(r => r.getDouble(1)).toSeq,

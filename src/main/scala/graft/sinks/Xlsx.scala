@@ -124,7 +124,13 @@ object Xlsx {
       val base = Sinks.sanitizeSheetName(raw)
       var name = base
       var k = 2
-      while (!seen.add(name)) { name = s"${base.take(28)}_$k"; k += 1 }
+      while (!seen.add(name)) {
+        // truncate base so base+suffix never exceeds Excel's 31-char
+        // sheet-name limit, whatever width the counter reaches
+        val suffix = s"_$k"
+        name = base.take(31 - suffix.length) + suffix
+        k += 1
+      }
       (name, df)
     }
     val zip = new ZipOutputStream(new FileOutputStream(path))

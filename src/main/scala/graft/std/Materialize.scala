@@ -41,10 +41,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object Materialize {
 
-  private val pins = scala.collection.mutable.ListBuffer.empty[() => Unit]
+  /** Pins are tagged with the owner token of the [[scoped]] block active
+    * on the registering thread (null = unscoped). Scopes release only
+    * their own pins, so a streaming micro-batch pinning on its own
+    * thread can no longer drop an interactive query's still-in-use
+    * checkpoint blocks (and vice versa).
+    */
+  private val pins =
+    scala.collection.mutable.ListBuffer.empty[(AnyRef, () => Unit)]
+
+  private val owner = new ThreadLocal[AnyRef]
 
   private def register(release: () => Unit): Unit =
-    synchronized { pins += release }
+    synchronized { pins += ((owner.get(), release)) }
 
   /** Compute `df` once and return a frame whose reads never re-execute
     * the upstream plan. The pin is held until [[releaseAll]].
@@ -65,6 +74,32 @@ object Materialize {
     }
   }
 
+  /** Materialize `df` once WITHOUT registering in the pin registry —
+    * for state that must outlive per-query `releaseAll` / per-batch
+    * `scoped` release (e.g. the incremental-dedup corpus state held
+    * across a whole stream). Honors the same
+    * `spark.graft.materialize.mode` switch as [[once]]; the owner
+    * releases with [[releasePin]] when done.
+    */
+  def pinUnregistered(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.materialize.mode", "local") match {
+      case "disk" =>
+        val p = df.persist(StorageLevel.DISK_ONLY)
+        p.count()
+        p
+      case _ => df.localCheckpoint(true)
+    }
+
+  /** Release a frame pinned by [[pinUnregistered]], whichever mechanism
+    * built it: `unpersist` covers the DISK_ONLY cache entry,
+    * [[releaseCheckpoint]] the localCheckpoint blocks (each is a no-op
+    * for the other mode).
+    */
+  def releasePin(df: DataFrame): Unit = {
+    try { df.unpersist(false); () } catch { case _: Throwable => () }
+    releaseCheckpoint(df)
+  }
+
   /** Drop the executor blocks behind a frame returned by
     * `localCheckpoint` — `Dataset.unpersist` only covers CacheManager
     * entries, so the checkpoint RDD must be unpersisted directly. After
@@ -77,14 +112,20 @@ object Materialize {
       case _              => ()
     }
 
-  /** Release every pin registered since the last call. The per-query
-    * harness calls this between queries; anything that must outlive a
-    * query (e.g. the d5/d6/d7 shared-clusters memo) materializes with a
-    * bare `localCheckpoint` instead of [[once]].
+  /** Release every UNSCOPED pin registered since the last call. The
+    * per-query harness calls this between queries; anything that must
+    * outlive a query (e.g. the d5/d6/d7 shared-clusters memo)
+    * materializes with a bare `localCheckpoint` instead of [[once]].
+    * Pins owned by a live [[scoped]] block (a concurrent streaming
+    * micro-batch) are left for their scope to release.
     */
-  def releaseAll(): Unit = synchronized {
-    pins.foreach(p => try p() catch { case _: Throwable => () })
-    pins.clear()
+  def releaseAll(): Unit = {
+    val mine = synchronized {
+      val (scopedPins, unscoped) = pins.partition(_._1 != null)
+      pins.clear(); pins ++= scopedPins
+      unscoped.toList
+    }
+    mine.foreach(p => try p._2() catch { case _: Throwable => () })
   }
 
   /** Run `f` and release ONLY the pins it registered — the long-running
@@ -93,24 +134,26 @@ object Materialize {
     * batch, and must not drop pins owned by unrelated queries on the
     * same session. Release happens after `f` returns, so every action
     * inside `f` (the micro-batch's write) must complete inside it.
-    * Scopes assume one pinning pipeline at a time per JVM (same as the
-    * Bench/Verify releaseAll contract); concurrently-pinning queries
-    * would interleave registrations.
+    * Ownership is a per-thread token: pins registered on this thread
+    * while the scope is live belong to it, so two concurrently-pinning
+    * pipelines on different threads (a micro-batch alongside an
+    * interactive query) can no longer release each other's blocks.
+    * `once` calls that `f` dispatches to OTHER threads register as
+    * unscoped — keep pinning on the scope's own thread.
     */
   def scoped[T](f: => T): T = {
-    val before = synchronized { pins.length }
+    val token = new Object
+    val prev = owner.get()
+    owner.set(token)
     try f
     finally {
-      // clamp: releaseAll() inside/alongside the scope can shrink the
-      // list below the baseline — release nothing rather than throw
-      // from a finally (which would mask f's result / kill a stream)
+      owner.set(prev)
       val mine = synchronized {
-        val from = math.min(before, pins.length)
-        val s = pins.drop(from).toList
-        pins.remove(from, pins.length - from)
-        s
+        val (s, rest) = pins.partition(_._1 eq token)
+        pins.clear(); pins ++= rest
+        s.toList
       }
-      mine.foreach(p => try p() catch { case _: Throwable => () })
+      mine.foreach(p => try p._2() catch { case _: Throwable => () })
     }
   }
 

@@ -4,6 +4,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 
 import graft.functions.{DotProductD, Md5Lane, NfcNormalize}
 
+/** Typed analysis errors for graft's SQL function builders (the
+  * message-only `AnalysisException` constructor is `private[sql]`,
+  * hence this object lives in `org.apache.spark.sql`).
+  */
+object GraftErrors {
+  /** A function argument that must be a constant was not. */
+  def nonConstantArgument(fn: String, pos: Int, why: String): AnalysisException =
+    new AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> s"`$fn`",
+        "paramName" -> s"`arg$pos` ($why)",
+        "paramType" -> "\"INT\""))
+}
+
 /** Bridge for graft's native Catalyst expressions into the public
   * `Column` API (Column↔Expression conversion is `private[sql]` in
   * Spark 4, hence this object lives in `org.apache.spark.sql`).
@@ -34,9 +49,17 @@ object GraftColumns {
       "graft_dot", exprs => DotProductD(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+    def laneBound(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                  pos: Int): Int =
+      if (e.foldable) e.eval() match {
+        case n: Number => n.intValue()
+        case bad => throw GraftErrors.nonConstantArgument(
+          "graft_md5lane", pos, s"folded to non-integer value $bad")
+      }
+      else throw GraftErrors.nonConstantArgument(
+        "graft_md5lane", pos, "argument is not a constant expression")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5lane", exprs => Md5Lane(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+        laneBound(exprs(1), 1), laneBound(exprs(2), 2)), "built-in")
   }
 }
