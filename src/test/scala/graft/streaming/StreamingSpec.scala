@@ -266,16 +266,19 @@ class StreamingSpec extends AnyFunSuite {
     val streamIn = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
     val got = scala.collection.mutable.Set.empty[(Long, String)]
-    val pinsBefore = graft.std.Materialize.pinCount
-    val q = StreamingOps.incrementalDedupStream(streamIn, existing,
-      df => got.synchronized {
-        got ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
-      }).start()
-    try q.processAllAvailable() finally q.stop()
-    // micro-batch boundaries cannot change per-doc statuses
-    assert(got.toSet == expected)
-    // scoped release left no per-batch pins behind
-    assert(graft.std.Materialize.pinCount == pinsBefore)
+    val state = graft.ext.Dedup.corpusState(existing)
+    try {
+      val pinsBefore = graft.std.Materialize.pinCount
+      val q = StreamingOps.incrementalDedupStream(streamIn, state,
+        df => got.synchronized {
+          got ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+        }).start()
+      try q.processAllAvailable() finally q.stop()
+      // micro-batch boundaries cannot change per-doc statuses
+      assert(got.toSet == expected)
+      // scoped release left no per-batch pins behind
+      assert(graft.std.Materialize.pinCount == pinsBefore)
+    } finally state.release()
   }
 
   test("userSessions sessionizes with the 5-minute gap (batch form)") {
