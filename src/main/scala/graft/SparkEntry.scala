@@ -19,23 +19,23 @@ object SparkEntry {
     * month over the full cleaned star join at sf0.001.
     */
   def entry(spark: SparkSession): DataFrame =
-    BiQueries.revenueByMonth(Merged.cleaned(spark, "/root/testdata/sf0.001"))
+    BiQueries.revenueByMonth(Merged.cleanedShared(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BI aggregations over the cleaned merged frame (SURVEY §2.5-2.7)
     "q1_revenue_by_month" -> ((s, dir) =>
-      BiQueries.revenueByMonth(Merged.cleaned(s, dir))),
+      BiQueries.revenueByMonth(Merged.cleanedShared(s, dir))),
     "q1b_gm_join" -> ((s, dir) =>
-      BiQueries.revenueByMonthJoined(Merged.cleaned(s, dir))),
+      BiQueries.revenueByMonthJoined(Merged.cleanedShared(s, dir))),
     "q2_top_products" -> ((s, dir) =>
-      BiQueries.topProducts(Merged.cleaned(s, dir))),
+      BiQueries.topProducts(Merged.cleanedShared(s, dir))),
     "q3_sales_region_brand" -> ((s, dir) =>
-      BiQueries.salesByRegionBrand(Merged.cleaned(s, dir))),
+      BiQueries.salesByRegionBrand(Merged.cleanedShared(s, dir))),
     "q4_ar_by_region" -> ((s, dir) =>
-      BiQueries.arByRegion(Merged.cleaned(s, dir))),
+      BiQueries.arByRegion(Merged.cleanedShared(s, dir))),
     "q5_summary" -> ((s, dir) =>
-      BiQueries.summary(Merged.cleaned(s, dir))),
+      BiQueries.summary(Merged.cleanedShared(s, dir))),
     // Cleaning / metric / projection operator demos (SURVEY §2.2)
     "p3_null_normalize" -> OperatorQueries.nullNormalizeDemo _,
     "p4_cast_coerce" -> OperatorQueries.castCoerceDemo _,
@@ -46,11 +46,11 @@ object SparkEntry {
     "p13_display_name" -> OperatorQueries.displayNameDemo _,
     // P14 collection projections (SURVEY §2.1 S6 / §2.2 P14)
     "p14_sales_lines" -> ((s, dir) =>
-      Sinks.projectCollection(Merged.cleaned(s, dir), Sinks.SalesLinesColumns)),
+      Sinks.projectCollection(Merged.cleanedShared(s, dir), Sinks.SalesLinesColumns)),
     "p14_receivables" -> ((s, dir) =>
-      Sinks.projectCollection(Merged.cleaned(s, dir), Sinks.ReceivablesColumns)),
+      Sinks.projectCollection(Merged.cleanedShared(s, dir), Sinks.ReceivablesColumns)),
     "p14_payments" -> ((s, dir) =>
-      Sinks.projectCollection(Merged.cleaned(s, dir), Sinks.PaymentsColumns)),
+      Sinks.projectCollection(Merged.cleanedShared(s, dir), Sinks.PaymentsColumns)),
     // Fiscal calendar (SURVEY §2.4) — the cross-dialect parity queries
     "c4_fincal_columns" -> OperatorQueries.fincalColumns _,
     "c7_fincal_null_labels" -> OperatorQueries.fincalNullLabels _,

@@ -75,7 +75,39 @@ object Merged {
     Metrics.withAll(d5)
   }
 
-  /** The cleaned, enriched frame every BI query (Q1–Q5, P12) runs over. */
+  /** The cleaned, enriched frame every BI query (Q1–Q5, P12) runs over.
+    * Declarative (re-derives from the scan) — plan-shape tests and
+    * single-query consumers that want full scan pruning use this form.
+    */
   def cleaned(spark: SparkSession, sfDir: String): DataFrame =
     clearvuePipeline(merged(spark, sfDir))
+
+  /** Session-scoped memo of [[cleaned]], keyed (session, sfDir). A full
+    * query session (q1–q5, q1b, p12/p13, p14 ×3, x1/x4–x8) consumes the
+    * same cleaned star join ~12 times; re-deriving it from parquet per
+    * query was ~10 redundant 6-table joins per bench run. The memo'd
+    * frame is already the union column set every consumer projects
+    * from, so per-consumer pruning loses nothing downstream of the pin;
+    * it is pinned UNREGISTERED (outside [[graft.std.Materialize]]'s
+    * per-query release) and freed by [[releaseShared]] / session stop.
+    *
+    * 100-TB note: this is a single-session working-set optimization —
+    * `spark.graft.materialize.mode=disk` keeps it lineage-recoverable
+    * on a real cluster, and a one-shot query on a cluster simply calls
+    * [[cleaned]] and keeps full scan pruning.
+    */
+  private val cleanedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def cleanedShared(spark: SparkSession, sfDir: String): DataFrame =
+    cleanedMemo.getOrElseUpdate((spark, sfDir),
+      graft.std.Materialize.pinUnregistered(cleaned(spark, sfDir)))
+
+  /** Drop a session's memoized cleaned frames (test/benchmark hygiene;
+    * Bench/Verify sessions otherwise release them at `spark.stop()`).
+    */
+  def releaseShared(spark: SparkSession): Unit =
+    cleanedMemo.keys.filter(_._1 eq spark).foreach { k =>
+      cleanedMemo.remove(k).foreach(graft.std.Materialize.releasePin)
+    }
 }
