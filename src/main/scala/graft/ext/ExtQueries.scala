@@ -347,7 +347,7 @@ object ExtQueries {
 
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    TextAnalysis.tokenStats(Tables.documents(spark, sfDir))
+    TextAnalysis.tokenStats(spread(Tables.documents(spark, sfDir)))
       .select(col("doc_id"), col("n_tokens").cast("long"),
         col("n_uniq_tokens").cast("long"), col("avg_token_len"),
         col("n_chars_raw").cast("long"))

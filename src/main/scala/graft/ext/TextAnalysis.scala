@@ -45,17 +45,28 @@ object TextAnalysis {
     }
   }
 
-  /** Per-document token statistics. */
+  /** Per-document token statistics. The tokenize chain crosses an
+    * [[TextOps.attrBarrier]] so the four downstream stats (two sizes,
+    * the distinct count, the length-fold lambda) read a materialized
+    * array attribute instead of re-running the regex-normalize-split
+    * chain once per reference — the lambda sits outside codegen
+    * subexpression elimination, so without the barrier the chain is
+    * evaluated 4× per row.
+    */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    docs.select(
+    val base = docs.select(
+      col("doc_id"), length(col(textCol)).as("n_chars_raw"), col(textCol))
+    val barriered = TextOps.attrBarrier(base, Seq("doc_id", "n_chars_raw"),
+      "_toks", TextOps.tokens(col(textCol)))
+    val toks = col("_toks")
+    barriered.select(
       col("doc_id"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_uniq_tokens"),
       round(TextOps.foldSumDouble(
           transform(toks, t => length(t).cast("double"))) /
         size(toks).cast("double"), 6).as("avg_token_len"),
-      length(col(textCol)).as("n_chars_raw"))
+      col("n_chars_raw"))
   }
 
   /** Heuristic quality score in [0,1]: length saturation + low-punctuation
