@@ -90,7 +90,14 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // min-of-reps must not mask intermittent failures: a query that
+      // threw in some reps but succeeded once would otherwise report its
+      // min as a clean success. Empty list = every rep of every query ran.
+      val flaky = samples.collect {
+        case (k, runs) if runs.contains(-1.0) && runs.exists(_ >= 0) =>
+          "\"" + k + "\""
+      }.mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"flaky":$flaky,"sf":"$sfDir"}"""
     }
     def fileJson: String = {
       val all = samples.map { case (k, runs) =>
@@ -104,6 +111,9 @@ object Bench {
     catch { case _: Throwable => () }
     println(jsonLine(v =>
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))))
+    // free the session memos (cleaned star join, clusters, profile)
+    // before stop — keeps the pin lifecycle honest end-to-end
+    graft.std.SessionMemo.releaseSession(spark)
     spark.stop()
   }
 }

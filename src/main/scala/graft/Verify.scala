@@ -44,6 +44,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // free the session memos (see graft.std.SessionMemo) before stop
+    graft.std.SessionMemo.releaseSession(spark)
     spark.stop()
   }
 }

@@ -120,11 +120,10 @@ object ExtQueries {
     * intermediates (shingles, signatures) are registered pins that
     * [[graft.std.Materialize.releaseAll]] frees after the query.
     */
-  private val clusterMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val clusterMemo = new graft.std.SessionMemo()
 
   private def sharedClusters(spark: SparkSession, sfDir: String): DataFrame =
-    clusterMemo.getOrElseUpdate((spark, sfDir),
+    clusterMemo.getOrBuild(spark, sfDir)(
       clustersOf(nearDupCorpus(Tables.documents(spark, sfDir))))
 
   /** Full dedup resolution (d5): MinHash→LSH→verify pairs, then
@@ -172,23 +171,31 @@ object ExtQueries {
     * [[graft.std.Materialize.releaseAll]] can't drop it mid-session;
     * the shingle intermediates die with the materializing action.
     */
-  private val profileMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val profileMemo = new graft.std.SessionMemo()
+
+  /** Release this session's ext-query memos (cluster resolution +
+    * contamination profile) — see [[graft.std.SessionMemo]] for the
+    * lifecycle; also reachable via `SessionMemo.releaseSession`.
+    */
+  def releaseMemos(spark: SparkSession): Unit = {
+    clusterMemo.release(spark); profileMemo.release(spark)
+  }
 
   private def sharedContaminationProfile(
       spark: SparkSession, sfDir: String): DataFrame =
-    profileMemo.getOrElseUpdate((spark, sfDir), {
+    profileMemo.getOrBuild(spark, sfDir) {
       val withSh = shingled(Tables.documents(spark, sfDir),
         TextOps.tokens(col("text")))
       graft.std.Materialize.pinUnregistered(
         Dedup.contaminationProfile(
           withSh.filter(col("doc_id") % 31 =!= 0),
           withSh.filter(col("doc_id") % 31 === 0)))
-    })
+    }
 
   /** Decontamination audit (d8): every 31st doc is the "benchmark"; the
     * rest of the corpus is profiled for distinct-3-shingle overlap with
-    * it.
+    * it. SNAPSHOT SEMANTICS: memoized per (session, sfDir) — data as of
+    * the first call; see [[graft.std.SessionMemo]].
     */
   def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -290,7 +297,8 @@ object ExtQueries {
     * benchmark (d8's profile) are quarantined out of every split. The
     * two component passes compose without a new shuffle shape: the
     * profile is d8's memoized frame (computed once per session — see
-    * [[sharedContaminationProfile]]), the split a per-row hash, the
+    * [[sharedContaminationProfile]]; SNAPSHOT SEMANTICS, data as of the
+    * first call per (session, sfDir)), the split a per-row hash, the
     * merge an id equi-join.
     */
   def contaminationSplit(spark: SparkSession, sfDir: String): DataFrame = {

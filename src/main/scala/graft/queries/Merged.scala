@@ -96,18 +96,21 @@ object Merged {
     * on a real cluster, and a one-shot query on a cluster simply calls
     * [[cleaned]] and keeps full scan pruning.
     */
-  private val cleanedMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val cleanedMemo = new graft.std.SessionMemo()
 
+  /** SNAPSHOT SEMANTICS: returns the data as of the first call per
+    * (session, sfDir) — the pin truncates lineage, so later changes to
+    * the parquet under `sfDir` are invisible until [[releaseShared]] or
+    * session stop. Callers needing re-read-per-query semantics use
+    * [[cleaned]].
+    */
   def cleanedShared(spark: SparkSession, sfDir: String): DataFrame =
-    cleanedMemo.getOrElseUpdate((spark, sfDir),
+    cleanedMemo.getOrBuild(spark, sfDir)(
       graft.std.Materialize.pinUnregistered(cleaned(spark, sfDir)))
 
   /** Drop a session's memoized cleaned frames (test/benchmark hygiene;
-    * Bench/Verify sessions otherwise release them at `spark.stop()`).
+    * also reachable via [[graft.std.SessionMemo.releaseSession]], which
+    * Bench/Verify call at teardown).
     */
-  def releaseShared(spark: SparkSession): Unit =
-    cleanedMemo.keys.filter(_._1 eq spark).foreach { k =>
-      cleanedMemo.remove(k).foreach(graft.std.Materialize.releasePin)
-    }
+  def releaseShared(spark: SparkSession): Unit = cleanedMemo.release(spark)
 }

@@ -102,12 +102,16 @@ object Materialize {
 
   /** Drop the executor blocks behind a frame returned by
     * `localCheckpoint` — `Dataset.unpersist` only covers CacheManager
-    * entries, so the checkpoint RDD must be unpersisted directly. After
-    * release the frame is unusable (lineage was truncated); only call
-    * once every consumer has run its action.
+    * entries, so the checkpoint RDD must be unpersisted directly. The
+    * whole logical tree is traversed so a projection sitting on top of
+    * the checkpoint (e.g. the d5 cluster memo's select over the CC
+    * result) still releases the underlying RDD — every checkpoint in
+    * the tree is freed, so only call once every consumer of every
+    * pinned input has run its action. After release the frame is
+    * unusable (lineage was truncated).
     */
   def releaseCheckpoint(cp: DataFrame): Unit =
-    cp.queryExecution.logical match {
+    cp.queryExecution.logical.foreach {
       case lr: LogicalRDD => lr.rdd.unpersist(false); ()
       case _              => ()
     }
