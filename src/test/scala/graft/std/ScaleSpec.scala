@@ -170,6 +170,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaSql)
   }
 
+  test("few-query mode: Bench's ONLY rule counts keys, and the " +
+       "declarative BI path keeps per-query scan pruning") {
+    import graft.SparkEntry
+    // prefix matches up to an underscore: "q1" selects q1_revenue_by_month
+    // but not q1b_gm_join; "t1" must not sweep in t10..t19
+    assert(SparkEntry.selectedKeyCount("q1") == 1)
+    assert(SparkEntry.selectedKeyCount("q1,d2") == 2)
+    assert(SparkEntry.selectedKeyCount("t1") == 1)
+    assert(SparkEntry.selectedKeyCount("q") == 0)
+    // the ≤2-query path routes through Merged.cleaned: a one-shot q1 must
+    // prune every dimension scan to its join key instead of paying the
+    // memo's full ~40-column materialization (100-TB one-shot plan)
+    val plan = graft.queries.BiQueries.revenueByMonth(
+      graft.queries.Merged.cleaned(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("c_acctbal") && !plan.contains("p_brand"),
+      s"one-shot q1 lost scan pruning:\n${plan.take(4000)}")
+    assert(plan.contains("ReadSchema: struct<p_partkey:bigint>"),
+      s"part scan should read only its join key:\n${plan.take(4000)}")
+  }
+
   test("GraftExtensions applies cleanly to a fresh extension set") {
     // the shared test session is already built, so spark.sql.extensions
     // can't be exercised end-to-end here; the SQL surface itself is
