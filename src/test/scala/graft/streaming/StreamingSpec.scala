@@ -281,6 +281,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally state.release()
   }
 
+  test("live incremental-dedup stream survives a concurrent " +
+       "Materialize.releaseAll loop (owner-tagged pins)") {
+    // the unverified lifecycle claim of the owner-token design: a
+    // bench/verify loop calling releaseAll() on another thread while a
+    // stream's micro-batch holds scoped pins must neither drop the
+    // batch's pins mid-flight nor touch the unregistered corpus state
+    val sfDir = "/root/testdata/sf0.001"
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"),
+      graft.ext.TextOps.normText(col("text")).as("text"))
+    val existing = base.filter(col("doc_id") % 3 === 0)
+    val batch = base.filter(col("doc_id") % 3 =!= 0)
+    val expected = graft.ext.Dedup.incrementalClassify(batch, existing)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    graft.std.Materialize.releaseAll()
+    val stage = Files.createTempDirectory("inc_dedup_hammer").toString
+    batch.repartition(4).write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val got = scala.collection.mutable.Set.empty[(Long, String)]
+    val state = graft.ext.Dedup.corpusState(existing)
+    try {
+      val q = StreamingOps.incrementalDedupStream(streamIn, state,
+        df => got.synchronized {
+          got ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+        }).start()
+      // the concurrent bench/verify loop, as hostile as it gets
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val hammer = new Thread(() => {
+        while (!stop.get()) {
+          graft.std.Materialize.releaseAll(); Thread.sleep(1)
+        }
+      }, "releaseAll-hammer")
+      hammer.setDaemon(true); hammer.start()
+      try q.processAllAvailable()
+      finally { stop.set(true); hammer.join(5000); q.stop() }
+      assert(got.toSet == expected,
+        "statuses diverged under a concurrent releaseAll loop")
+      // the unregistered corpus state must still be usable afterwards
+      val again = graft.ext.Dedup.classifyIncrement(state, batch)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      graft.std.Materialize.releaseAll()
+      assert(again == expected, "corpus state lost its blocks")
+    } finally state.release()
+  }
+
   test("userSessions sessionizes with the 5-minute gap (batch form)") {
     import spark.implicits._
     val ts = Seq(
