@@ -95,6 +95,70 @@ class SinksSpec extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("id", "s"))
   }
 
+  test("S4 e2e: the reference's Excel deliverable — q5 summary + p14 " +
+       "trio as one workbook over sf0.01") {
+    // Project.py:273-324 writes the BI outputs as one multi-sheet
+    // workbook; this is that deliverable over the real sf0.01 star join
+    val sfDir = "/root/testdata/sf0.01"
+    val cleaned = graft.queries.Merged.cleanedShared(spark, sfDir)
+    try {
+      val sheets = Seq(
+        "summary" -> graft.queries.BiQueries.summary(cleaned),
+        "sales_lines" ->
+          Sinks.projectCollection(cleaned, Sinks.SalesLinesColumns),
+        "receivables" ->
+          Sinks.projectCollection(cleaned, Sinks.ReceivablesColumns),
+        "payments" ->
+          Sinks.projectCollection(cleaned, Sinks.PaymentsColumns))
+      val expect = sheets.map { case (n, df) => n -> df.count() }
+      assert(expect.head._2 == 1L) // q5 is one row of summary scalars
+      assert(expect.tail.forall(_._2 > 10000L),
+        "p14 sheets should carry the sf0.01 fact rows")
+      val path = tmp("wb_e2e") + "/report.xlsx"
+      new java.io.File(path).getParentFile.mkdirs()
+      Xlsx.writeXlsx(sheets, path)
+      val zf = new java.util.zip.ZipFile(path)
+      try {
+        // sheet names pass the Python-title sanitizer, in declared order
+        val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        f.setNamespaceAware(true)
+        val wb = f.newDocumentBuilder()
+          .parse(zf.getInputStream(zf.getEntry("xl/workbook.xml")))
+          .getElementsByTagNameNS("*", "sheet")
+        val names = (0 until wb.getLength).map(i =>
+          wb.item(i).getAttributes.getNamedItem("name").getNodeValue)
+        assert(names == Seq("Summary", "Sales Lines", "Receivables",
+          "Payments"))
+        // per-sheet row counts: header + every frame row (streamed count
+        // of "<row " — a DOM parse of a 60k-row sheet is needless heap)
+        def countRows(entry: String): Long = {
+          val pat = "<row ".getBytes("UTF-8")
+          val in = zf.getInputStream(zf.getEntry(entry))
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = 0L; var m = 0; var r = in.read(buf)
+            while (r > 0) {
+              var i = 0
+              while (i < r) {
+                if (buf(i) == pat(m)) {
+                  m += 1; if (m == pat.length) { n += 1; m = 0 }
+                } else m = if (buf(i) == pat(0)) 1 else 0
+                i += 1
+              }
+              r = in.read(buf)
+            }
+            n
+          } finally in.close()
+        }
+        expect.zipWithIndex.foreach { case ((name, rows), i) =>
+          val got = countRows(s"xl/worksheets/sheet${i + 1}.xml")
+          assert(got == rows + 1,
+            s"sheet '$name': expected ${rows + 1} rows incl header, got $got")
+        }
+      } finally zf.close()
+    } finally graft.queries.Merged.releaseShared(spark)
+  }
+
   test("S4 binary .xlsx: valid OOXML package, typed cells, dedup names") {
     val path = tmp("xlsx") + ".xlsx"
     new java.io.File(path).getParentFile.mkdirs()
