@@ -306,7 +306,10 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
          THEN ${1L << p} ELSE 0 END"""
     }.mkString(" + ")
 
-  val s4LshNearDups: String = s"""WITH v AS (
+  /** The s4 CTE chain (injected near-dup corpus → sign-LSH buckets →
+    * in-bucket cosine pairs) — shared by s4 and the d11 closure.
+    */
+  private val s4Ctes: String = s"""WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), corpus AS (
   SELECT vec_id, e FROM v
@@ -324,8 +327,30 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
          round(CASE WHEN a.nm * b.nm > 0
                THEN ${dotExpr("a.e", "b.e")} / (a.nm * b.nm) END, 6) AS cosine
   FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
+)"""
+
+  val s4LshNearDups: String = s4Ctes + """
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
+
+  /** d11: SemDeDup-style embedding-cluster dedup — s4's verified pairs
+    * as edges, transitive closure via the same recursive reach-set CTE
+    * the d5 text clusters use (component rep = min reachable id).
+    */
+  val d11SemanticClusters: String =
+    s4Ctes.replaceFirst("WITH ", "WITH RECURSIVE ") + """, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE cosine >= 0.97
+  UNION ALL
+  SELECT id_b, id_a FROM pairs WHERE cosine >= 0.97
+), reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM corpus
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), clusters AS (
+  SELECT src AS vec_id, MIN(dst) AS cluster_rep,
+         src = MIN(dst) AS is_keeper
+  FROM reach GROUP BY src
+)
+SELECT vec_id, cluster_rep, is_keeper FROM clusters"""
 
   /** s5: per-vector symmetric int8 quantization in long form. floor of
     * the shifted ratio (not round()) — the engines disagree on banker's

@@ -435,6 +435,28 @@ object ExtQueries {
       nearDupVectors(Tables.embeddings(spark, sfDir)), 0.97, dims = Some(64))
   }
 
+  /** SemDeDup-style semantic dedup (d11): s4's bucketed sign-LSH
+    * near-dup pairs (cosine ≥ 0.97) become edges, connected components
+    * resolve them transitively, and every vector is labeled with its
+    * cluster representative (min vec_id in component) and keep/drop
+    * decision — the embedding-space analogue of the d5 text-cluster
+    * resolution, which is exactly how a production pipeline prunes
+    * semantically duplicated documents (Abbas et al., "SemDeDup", 2023).
+    * 100-TB shape: candidate generation is s4's bucketed equi-join
+    * (never all-pairs) and the closure is d5's label-propagation CC
+    * with the monotone-sum convergence check.
+    */
+  def semanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = nearDupVectors(Tables.embeddings(spark, sfDir))
+    val pairs = Similarity.lshNearDupPairs(vecs, 0.97, dims = Some(64))
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(vecs.select(col("vec_id")), pairs,
+        idCol = "vec_id")
+      .select(col("vec_id"), col("cluster_rep"),
+        (col("vec_id") === col("cluster_rep")).as("is_keeper"))
+  }
+
   /** Deterministic train/valid/test split (t9): content-hash buckets, so
     * both engines assign every doc identically.
     */

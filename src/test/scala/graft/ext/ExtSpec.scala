@@ -150,6 +150,36 @@ class ExtSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("semantic clusters (d11): reps are keepers, members point at a " +
+       "keeper, near-dup edges land in one cluster") {
+    val clusters = ExtQueries.semanticClusters(spark, sfDir)
+    val rows = clusters.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    graft.std.Materialize.releaseAll()
+    val corpusSize = ExtQueries.nearDupVectors(
+      Tables.embeddings(spark, sfDir)).count()
+    assert(rows.length == corpusSize, "every vector must be labeled")
+    val rep = rows.map(r => r._1 -> r._2).toMap
+    // keeper ⇔ vector is its own representative; reps are cluster minima
+    rows.foreach { case (id, r, keeper) =>
+      assert(keeper == (id == r))
+      assert(r <= id, s"rep $r above member $id — not the component min")
+      assert(rep(r) == r, s"rep $r of $id is not itself a keeper")
+    }
+    // the injected near-dups produce at least one non-trivial cluster,
+    // and every verified near-dup pair resolves to one representative
+    val pairs = Similarity.lshNearDupPairs(ExtQueries.nearDupVectors(
+        Tables.embeddings(spark, sfDir)), 0.97, dims = Some(64))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.std.Materialize.releaseAll()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"edge ($a,$b) split across clusters")
+    }
+    assert(rows.count(!_._3) > 0, "injected dups should drop something")
+  }
+
   test("embedding LSH near-dups recall vs brute force") {
     val vecs = ExtQueries.nearDupVectors(Tables.embeddings(spark, sfDir))
     val exact = Similarity.nearDupPairs(vecs, 0.97)
