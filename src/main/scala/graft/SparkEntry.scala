@@ -122,6 +122,7 @@ object SparkEntry {
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
     "s4_lsh_near_dups" -> ExtQueries.lshEmbeddingNearDups _,
     "s5_quantized_vectors" -> ExtQueries.quantizedVectors _,
+    "s6_incremental_embedding_dedup" -> ExtQueries.incrementalEmbeddingDedup _,
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
     "m2_media_frames" -> ExtQueries.mediaFrames _,
     "m3_media_dedup" -> ExtQueries.mediaDedup _,
@@ -204,6 +205,8 @@ object SparkEntry {
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,
     "s4_lsh_near_dups" -> ExtOracleSql.s4LshNearDups,
     "s5_quantized_vectors" -> ExtOracleSql.s5QuantizedVectors,
+    "s6_incremental_embedding_dedup" ->
+      ExtOracleSql.s6IncrementalEmbeddingDedup,
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,
     "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
     "m3_media_dedup" -> ExtOracleSql.m3MediaDedup,

@@ -352,6 +352,28 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
 )
 SELECT vec_id, cluster_rep, is_keeper FROM clusters"""
 
+  /** s6: incremental embedding dedup — batch (vec_id % 3 != 0) vs
+    * corpus (% 3 == 0) over the injected near-dup vector set; candidates
+    * share a sign-LSH bucket, verified at cosine ≥ 0.97.
+    */
+  val s6IncrementalEmbeddingDedup: String = s4Ctes + """, b AS (
+  SELECT * FROM n WHERE vec_id % 3 <> 0
+), c AS (
+  SELECT * FROM n WHERE vec_id % 3 = 0
+), scored AS (
+  SELECT b.vec_id, c.vec_id AS cid,
+         round(CASE WHEN b.nm * c.nm > 0
+               THEN """ + dotExpr("b.e", "c.e") + """ / (b.nm * c.nm)
+               END, 6) AS cosine
+  FROM b LEFT JOIN c ON b.bucket = c.bucket
+)
+SELECT vec_id,
+       CASE WHEN max(CASE WHEN cosine >= 0.97 THEN cosine END) IS NOT NULL
+            THEN 'near_dup' ELSE 'unique' END AS status,
+       count(cid) AS n_candidates,
+       max(CASE WHEN cosine >= 0.97 THEN cosine END) AS best_cosine
+FROM scored GROUP BY vec_id"""
+
   /** s5: per-vector symmetric int8 quantization in long form. floor of
     * the shifted ratio (not round()) — the engines disagree on banker's
     * rounding; floor on IEEE doubles is bit-exact.

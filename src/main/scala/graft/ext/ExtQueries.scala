@@ -466,6 +466,21 @@ object ExtQueries {
     Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
   }
 
+  /** Incremental embedding dedup (s6): today's vector batch classified
+    * against the accumulated corpus — `vec_id % 3 == 0` plays the
+    * existing corpus, the rest (plus the injected near-dups) the batch.
+    * The embedding analogue of the d9 text increment: bucketed sign-LSH
+    * candidates, exact-cosine verify, O(batch) per increment.
+    */
+  def incrementalEmbeddingDedup(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val all = nearDupVectors(Tables.embeddings(spark, sfDir))
+    Similarity.incrementalEmbeddingDedup(
+      all.filter(col("vec_id") % 3 =!= 0),
+      all.filter(col("vec_id") % 3 === 0), 0.97, dims = Some(64))
+  }
+
   def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     TextAnalysis.trainTestSplit(Tables.documents(spark, sfDir))

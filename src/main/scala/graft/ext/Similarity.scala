@@ -149,6 +149,63 @@ object Similarity {
     vectors.withColumn("bucket",
       lshBucket(col(vecCol).cast("array<double>"), nPlanes, dims))
 
+  /** The accumulated-corpus side of the incremental embedding dedup,
+    * prepped once: bucketed, cast, pre-normed. A production pipeline
+    * persists this between increments (the embedding analogue of
+    * [[graft.ext.Dedup.corpusState]]); a stream pins it for the query's
+    * lifetime via [[graft.std.Materialize.pinUnregistered]].
+    */
+  def prepVectorCorpus(corpus: DataFrame, nPlanes: Int = 16,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       dims: Option[Int] = None): DataFrame =
+    withLshBuckets(corpus, nPlanes, vecCol, dims)
+      .select(col(idCol).as("cid"), col("bucket"),
+        col(vecCol).cast("array<double>").as("vc"))
+      .withColumn("nc", l2Norm(col("vc")))
+
+  /** Classify a batch of new vectors against a [[prepVectorCorpus]]
+    * frame: candidates share a sign-LSH bucket (equi-join on the bucket
+    * id — shuffle O(batch + corpus rows), never batch × corpus), matches
+    * are exact-cosine-verified at `threshold`. One row per batch vector:
+    * status (`near_dup`/`unique`), in-bucket corpus candidate count, and
+    * the best verified cosine (null when nothing verified). Per
+    * increment only the batch side is hashed — O(batch) work against a
+    * standing corpus, the embedding analogue of the d9 text increment.
+    */
+  def classifyVectors(corpusPrepped: DataFrame, batch: DataFrame,
+                      threshold: Double, nPlanes: Int = 16,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      dims: Option[Int] = None): DataFrame = {
+    val b = withLshBuckets(batch, nPlanes, vecCol, dims)
+      .select(col(idCol), col("bucket"),
+        col(vecCol).cast("array<double>").as("vb"))
+      .withColumn("nb", l2Norm(col("vb")))
+    b.join(corpusPrepped, Seq("bucket"), "left")
+      .select(col(idCol), col("cid"),
+        round(when(col("nb") * col("nc") > 0,
+          dot(col("vb"), col("vc")) / (col("nb") * col("nc"))), 6)
+          .as("cosine"))
+      .groupBy(col(idCol))
+      .agg(count(col("cid")).as("n_candidates"),
+        max(when(col("cosine") >= threshold, col("cosine")))
+          .as("best_cosine"))
+      .select(col(idCol),
+        when(col("best_cosine").isNotNull, lit("near_dup"))
+          .otherwise(lit("unique")).as("status"),
+        col("n_candidates"), col("best_cosine"))
+  }
+
+  /** One-shot incremental embedding dedup: [[prepVectorCorpus]] +
+    * [[classifyVectors]] without persisting the corpus side.
+    */
+  def incrementalEmbeddingDedup(batch: DataFrame, corpus: DataFrame,
+                                threshold: Double, nPlanes: Int = 16,
+                                dims: Option[Int] = None): DataFrame =
+    classifyVectors(prepVectorCorpus(corpus, nPlanes, dims = dims),
+      batch, threshold, nPlanes, dims = dims)
+
   /** Per-label centroid vectors (the IVF coarse quantizer): element-wise
     * mean via posexplode + grouped avg — two small shuffles, centroid
     * table is |labels| rows (broadcastable at any corpus size).

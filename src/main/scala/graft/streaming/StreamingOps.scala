@@ -271,6 +271,35 @@ object StreamingOps {
     }
   }
 
+  /** Streaming incremental EMBEDDING dedup — the vector analogue of
+    * [[incrementalDedupStream]]: each micro-batch of arriving vectors is
+    * classified against a standing prepped corpus
+    * ([[graft.ext.Similarity.prepVectorCorpus]], pinned by the caller
+    * with [[graft.std.Materialize.pinUnregistered]] so it outlives
+    * per-batch release) via the bucketed LSH join + cosine verify.
+    * Classification consults only the static corpus, so statuses are
+    * micro-batch-partitioning invariant; per-batch pins (none today,
+    * but the scoped block keeps that an implementation detail of
+    * [[graft.ext.Similarity.classifyVectors]]) release when the write
+    * completes. The caller owns the corpus frame (release after stop).
+    */
+  def embeddingDedupStream(newVecs: DataFrame, corpusPrepped: DataFrame,
+                           threshold: Double, write: DataFrame => Unit,
+                           dims: Option[Int] = None):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    require(newVecs.isStreaming,
+      "newVecs must be a streaming frame; batch callers use " +
+        "Similarity.classifyVectors directly")
+    newVecs.writeStream.outputMode("update").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.std.Materialize.scoped {
+          write(graft.ext.Similarity.classifyVectors(
+            corpusPrepped, batch.toDF(), threshold, dims = dims))
+        }
+    }
+  }
+
   /** Per-user session windows with a 5-minute inactivity gap. Spark
     * session semantics: window = [first event, last event + gap).
     */

@@ -281,6 +281,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally state.release()
   }
 
+  test("streaming embedding dedup: micro-batched ≡ batch, corpus pinned") {
+    val sfDir = "/root/testdata/sf0.001"
+    val all = graft.ext.ExtQueries.nearDupVectors(
+      Tables.embeddings(spark, sfDir))
+    val corpus = all.filter(col("vec_id") % 3 === 0)
+    val batch = all.filter(col("vec_id") % 3 =!= 0)
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.toString).orNull)).toSet
+    val expected = rowSet(graft.ext.Similarity.incrementalEmbeddingDedup(
+      batch, corpus, 0.97, dims = Some(64)))
+    graft.std.Materialize.releaseAll()
+    assert(expected.exists(_._2 == "near_dup"),
+      "the injected dups should produce near_dup statuses")
+    // the same vectors arriving as ≥2 micro-batches against a standing
+    // pinned corpus
+    val stage = Files.createTempDirectory("emb_dedup_src").toString
+    batch.repartition(2).write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val corpusPrepped = graft.std.Materialize.pinUnregistered(
+      graft.ext.Similarity.prepVectorCorpus(corpus, dims = Some(64)))
+    val got = scala.collection.mutable.Set
+      .empty[(Long, String, Long, String)]
+    try {
+      val pinsBefore = graft.std.Materialize.pinCount
+      val q = StreamingOps.embeddingDedupStream(streamIn, corpusPrepped,
+        0.97, df => got.synchronized { got ++= rowSet(df) },
+        dims = Some(64)).start()
+      try q.processAllAvailable() finally q.stop()
+      // micro-batch boundaries cannot change per-vector statuses
+      assert(got.toSet == expected)
+      assert(graft.std.Materialize.pinCount == pinsBefore)
+    } finally graft.std.Materialize.releasePin(corpusPrepped)
+  }
+
   test("live incremental-dedup stream survives a concurrent " +
        "Materialize.releaseAll loop (owner-tagged pins)") {
     // the unverified lifecycle claim of the owner-token design: a
