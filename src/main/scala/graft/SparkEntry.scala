@@ -117,12 +117,15 @@ object SparkEntry {
     "t15_pii_scrub" -> ExtQueries.piiScrub _,
     "t16_repetition" -> ExtQueries.repetitionStats _,
     "t17_quality_gate" -> ExtQueries.qualityGate _,
+    "t24_kmv_cardinality" -> ExtQueries.kmvCardinality _,
+    "t25_unigram_logprob" -> ExtQueries.unigramLogprob _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
     "s4_lsh_near_dups" -> ExtQueries.lshEmbeddingNearDups _,
     "s5_quantized_vectors" -> ExtQueries.quantizedVectors _,
     "s6_incremental_embedding_dedup" -> ExtQueries.incrementalEmbeddingDedup _,
+    "s7_embedding_outliers" -> ExtQueries.embeddingOutliers _,
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
     "m2_media_frames" -> ExtQueries.mediaFrames _,
     "m3_media_dedup" -> ExtQueries.mediaDedup _,
@@ -200,6 +203,8 @@ object SparkEntry {
     "t15_pii_scrub" -> ExtOracleSql.t15PiiScrub,
     "t16_repetition" -> ExtOracleSql.t16Repetition,
     "t17_quality_gate" -> ExtOracleSql.t17QualityGate,
+    "t24_kmv_cardinality" -> ExtOracleSql.t24KmvCardinality,
+    "t25_unigram_logprob" -> ExtOracleSql.t25UnigramLogprob,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,
@@ -207,6 +212,7 @@ object SparkEntry {
     "s5_quantized_vectors" -> ExtOracleSql.s5QuantizedVectors,
     "s6_incremental_embedding_dedup" ->
       ExtOracleSql.s6IncrementalEmbeddingDedup,
+    "s7_embedding_outliers" -> ExtOracleSql.s7EmbeddingOutliers,
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,
     "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
     "m3_media_dedup" -> ExtOracleSql.m3MediaDedup,

@@ -20,7 +20,17 @@ object Verify {
       "org.apache.spark.rdd.MapPartitionsRDD",
       org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=t24,s7 dumps a comma-separated subset (local
+    // iteration; same prefix-match rule as Bench). The oracle json is
+    // filtered to match so a subset compare doesn't report missing dirs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selectedKey(k: String): Boolean = only match {
+      case Some(names) => names.exists(n => k == n || k.startsWith(n + "_"))
+      case None => true
+    }
+    SparkEntry.queries.filter(e => selectedKey(e._1)).foreach {
+      case (name, fn) =>
       try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -41,7 +51,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(e => selectedKey(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // free the session memos (see graft.std.SessionMemo) before stop

@@ -374,6 +374,61 @@ SELECT vec_id,
        max(CASE WHEN cosine >= 0.97 THEN cosine END) AS best_cosine
 FROM scored GROUP BY vec_id"""
 
+  /** s7: per-language centroid-distance outliers. Centroids and the
+    * per-language moments run in DECIMAL (exact, order-free) and every
+    * double derived from them (mean, variance, z) repeats the Spark
+    * side's operation order exactly — IEEE arithmetic on identical
+    * inputs is identical, so the 4 dp z-scores hash-compare.
+    */
+  val s7EmbeddingOutliers: String = s"""WITH j AS (
+  SELECT e.vec_id, d.lang, CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), ex AS (
+  SELECT lang,
+         unnest(generate_series(0, len(emb) - 1)) AS dim,
+         unnest(emb) AS x
+  FROM j
+), cent AS (
+  SELECT lang, dim,
+         round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+           AS c
+  FROM ex GROUP BY 1, 2
+), cv AS (
+  SELECT lang, list(c ORDER BY dim) AS cvec FROM cent GROUP BY 1
+), scored AS (
+  SELECT j.vec_id, j.lang,
+         round(CASE WHEN sqrt(${dotExpr("j.emb", "j.emb")})
+                         * sqrt(${dotExpr("cv.cvec", "cv.cvec")}) > 0
+               THEN ${dotExpr("j.emb", "cv.cvec")}
+                    / (sqrt(${dotExpr("j.emb", "j.emb")})
+                       * sqrt(${dotExpr("cv.cvec", "cv.cvec")}))
+               END, 6) AS cos_centroid
+  FROM j JOIN cv USING (lang)
+), stats AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(CAST(cos_centroid AS DECIMAL(38,18))) AS s1,
+         SUM(CAST(cos_centroid * cos_centroid AS DECIMAL(38,18))) AS s2
+  FROM scored GROUP BY 1
+), zs AS (
+  SELECT s.vec_id, s.lang, s.cos_centroid,
+         CASE WHEN st.n > 1 AND sqrt(greatest(
+                (CAST(st.s2 AS DOUBLE) / st.n
+                 - (CAST(st.s1 AS DOUBLE) / st.n)
+                   * (CAST(st.s1 AS DOUBLE) / st.n))
+                * st.n / (st.n - 1.0), 0.0)) > 0
+              THEN round((s.cos_centroid - CAST(st.s1 AS DOUBLE) / st.n)
+                   / sqrt(greatest(
+                       (CAST(st.s2 AS DOUBLE) / st.n
+                        - (CAST(st.s1 AS DOUBLE) / st.n)
+                          * (CAST(st.s1 AS DOUBLE) / st.n))
+                       * st.n / (st.n - 1.0), 0.0)), 4)
+         END AS z_score
+  FROM scored s JOIN stats st USING (lang)
+)
+SELECT vec_id, lang, cos_centroid, z_score,
+       COALESCE(z_score <= -2.0, FALSE) AS is_outlier
+FROM zs"""
+
   /** s5: per-vector symmetric int8 quantization in long form. floor of
     * the shifted ratio (not round()) — the engines disagree on banker's
     * rounding; floor on IEEE doubles is bit-exact.
@@ -541,6 +596,69 @@ SELECT t.doc_id,
             ELSE 'test' END AS split
 FROM t JOIN prof p ON t.doc_id = p.doc_id
 WHERE t.doc_id % 31 <> 0"""
+
+  /** t24: KMV distinct-token cardinality per language — bottom-256 of
+    * the shared 56-bit token hashes; estimator (k-1)/U with U = kth
+    * minimum as a fraction of the 2^56 hash space. The estimate is
+    * deterministic cross-engine (same hashes, same IEEE int→double
+    * conversion and division), so it hash-compares exactly — unlike an
+    * HLL-based approx_count_distinct, which is engine-private.
+    */
+  val t24KmvCardinality: String = ToksCte + """, ex AS (
+  SELECT lang, unnest(toks) AS tok FROM t
+), h AS (
+  SELECT DISTINCT lang, CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT)
+    AS hv
+  FROM ex
+), mins AS (
+  SELECT lang, hv,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn
+  FROM h
+), kth AS (
+  SELECT lang, MAX(hv) AS kth, COUNT(*) AS k_used
+  FROM mins WHERE rn <= 256 GROUP BY 1
+), exact AS (
+  SELECT lang, COUNT(*) AS n_exact FROM h GROUP BY 1
+), est AS (
+  SELECT lang, k_used, n_exact,
+         round(CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+               ELSE CAST(k_used - 1 AS DOUBLE)
+                    / (CAST(kth AS DOUBLE) / 72057594037927936.0) END,
+               3) AS est_distinct
+  FROM kth JOIN exact USING (lang)
+)
+SELECT lang, k_used, n_exact, est_distinct,
+       round((est_distinct - CAST(n_exact AS DOUBLE))
+             / CAST(n_exact AS DOUBLE), 6) AS rel_err
+FROM est"""
+
+  /** t25: corpus-unigram-LM document scoring. Log-probs round to 9 dp
+    * (libm ln agrees cross-engine at that grain) and the per-doc total
+    * runs in DECIMAL — rounded-double → DECIMAL(28,9) recovers the
+    * exact 9 dp value, and decimal × small-int count and decimal
+    * addition are exact in both engines.
+    */
+  val t25UnigramLogprob: String = ToksCte + """, ex AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), dtf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt_d FROM ex GROUP BY 1, 2
+), vocab AS (
+  SELECT token, SUM(cnt_d) AS cnt FROM dtf GROUP BY 1
+), tot AS (
+  SELECT SUM(cnt) AS n_total FROM vocab
+), lm AS (
+  SELECT token,
+         round(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 9) AS lp
+  FROM vocab CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(SUM(cnt_d) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(lp AS DECIMAL(28,9))
+                      * CAST(cnt_d AS DECIMAL(9,0))) AS DOUBLE)
+             / CAST(SUM(cnt_d) AS DOUBLE), 6) AS avg_logprob,
+       MIN(lp) AS min_logprob
+FROM dtf JOIN lm USING (token)
+GROUP BY 1"""
 
   /** d9: incremental dedup — existing corpus (doc_id % 3 = 0), batch =
     * the rest + injected exact copies (+300000, every 6th existing) and

@@ -713,6 +713,27 @@ object ExtQueries {
       Tables.embeddings(spark, sfDir))
   }
 
+  /** Per-language centroid-distance outliers (s7). */
+  def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.centroidOutliers(Tables.documents(spark, sfDir),
+      Tables.embeddings(spark, sfDir))
+  }
+
+  /** KMV distinct-token cardinality sketch per language (t24). */
+  def kmvCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.kmvCardinality(
+      spread(Tables.documents(spark, sfDir)))
+  }
+
+  /** Corpus-unigram-LM per-document quality score (t25). */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.unigramLogprob(
+      spread(Tables.documents(spark, sfDir)))
+  }
+
   /** Full cube (x8): revenue over every subset of {region, brand} —
     * the grouping-sets completion of x4's rollup hierarchy. One pass;
     * `grouping_id` disambiguates rolled-up NULLs from data NULLs.

@@ -245,6 +245,63 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
   }
 
+  /** Per-language embedding outliers (s7): each vector's cosine to its
+    * language centroid, z-scored against the language's cosine
+    * distribution — the embedding-space mis-clustering / mislabeled-data
+    * detector a curation pipeline runs after language ID (a vector far
+    * from its own language's center is a labeling or extraction error
+    * candidate). Flags `z <= -zThreshold`.
+    *
+    * 100 TB shape: two broadcast joins against |langs|-sized frames
+    * (centroids, then moment statistics) — the corpus streams past both
+    * with no fact-side shuffle beyond the skinny centroid aggregation
+    * (same (lang, dim, val) partial-agg shape as [[langCentroids]]).
+    *
+    * Determinism: centroids use the s3 DECIMAL-sum trick and round to
+    * 6 dp, cosines round to 6 dp, and the per-language mean/variance
+    * derive from DECIMAL sums of those rounded cosines (and of their
+    * squares — a double×double product is IEEE-exact-rounded, hence
+    * identical cross-engine before the exact decimal cast), so the
+    * z-scores hash-compare exactly against the DuckDB twin.
+    */
+  def centroidOutliers(docs: DataFrame, vecs: DataFrame,
+                       zThreshold: Double = 2.0): DataFrame = {
+    val joined = docs.select(col("doc_id"), col("lang"))
+      .join(vecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("_emb")),
+        col("doc_id") === col("vec_id"))
+    val centVec = joined
+      .select(col("lang"), posexplode(col("_emb")).as(Seq("_dim", "_x")))
+      .groupBy(col("lang"), col("_dim"))
+      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)), 6).as("_c"))
+      .groupBy(col("lang"))
+      .agg(array_sort(collect_list(struct(col("_dim"), col("_c"))))
+        .as("_pm"))
+      .select(col("lang"),
+        transform(col("_pm"), p => p.getField("_c")).as("_cv"))
+    val scored = joined.join(broadcast(centVec), Seq("lang"))
+      .select(col("vec_id"), col("lang"),
+        round(cosine(col("_emb"), col("_cv")), 6).as("cos_centroid"))
+    val stats = scored.groupBy(col("lang")).agg(
+      count(lit(1)).as("_n"),
+      sum(col("cos_centroid").cast("decimal(38,18)")).as("_s1"),
+      sum((col("cos_centroid") * col("cos_centroid"))
+        .cast("decimal(38,18)")).as("_s2"))
+    val n = col("_n").cast("double")
+    val m = col("_s1").cast("double") / n
+    val msq = col("_s2").cast("double") / n
+    // sample variance from the exact moments; clamped at 0 against
+    // rounding of m*m (all inputs deterministic, so the clamp is too)
+    val std = sqrt(greatest((msq - m * m) * n / (n - lit(1.0)), lit(0.0)))
+    val z = when(col("_n") > 1 && std > 0,
+      round((col("cos_centroid") - m) / std, 4))
+    scored.join(broadcast(stats), Seq("lang"))
+      .select(col("vec_id"), col("lang"), col("cos_centroid"),
+        z.as("z_score"),
+        coalesce(z <= -zThreshold, lit(false)).as("is_outlier"))
+  }
+
   /** Symmetric per-vector int8 quantization — the embedding-compression
     * step a vector store runs before indexing (4× smaller than float32,
     * dot products stay rank-faithful at int8 for cosine search). Scale

@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Unit tests for the round-9 corpus-statistics operators: the KMV
+  * distinct-cardinality sketch (t24), the unigram-LM document scorer
+  * (t25), and the centroid-distance embedding outliers (s7).
+  */
+class CorpusStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("KMV is exact below k and within sketch error above it") {
+    // below k: 40 distinct tokens, k=64 → the sketch IS the exact count
+    val small = Seq((1L, "en", (1 to 40).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val sRow = TextAnalysis.kmvCardinality(small, k = 64).collect().head
+    assert(sRow.getAs[Long]("k_used") == 40L)
+    assert(sRow.getAs[Long]("n_exact") == 40L)
+    assert(sRow.getAs[Double]("est_distinct") == 40.0)
+    assert(sRow.getAs[Double]("rel_err") == 0.0)
+
+    // above k: 5000 distinct tokens, k=256 → (k-1)/U estimate; the
+    // standard error of the bottom-k estimator is ~1/sqrt(k-2) ≈ 6.3%,
+    // so 25% (4σ) is a deterministic-safe bound for this fixed corpus
+    val big = (1 to 50).map(d =>
+        (d.toLong, "en", ((d - 1) * 100 + 1 to d * 100)
+          .map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val bRow = TextAnalysis.kmvCardinality(big, k = 256).collect().head
+    assert(bRow.getAs[Long]("k_used") == 256L)
+    assert(bRow.getAs[Long]("n_exact") == 5000L)
+    val est = bRow.getAs[Double]("est_distinct")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25,
+      s"KMV estimate $est too far from 5000")
+  }
+
+  test("KMV two-stage min-k equals a single global min-k") {
+    val docs = (1 to 30).map(d =>
+        (d.toLong, if (d % 2 == 0) "en" else "de",
+          ((d - 1) * 50 + 1 to d * 50).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    // reference: exact bottom-k via a plain global sort per lang
+    val hashes = docs
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("t"))
+      .select(col("lang"), TextOps.hash64(col("t")).as("h")).distinct()
+    val expected = hashes.collect().groupBy(_.getString(0)).map {
+      case (lang, rows) =>
+        val mins = rows.map(_.getLong(1)).sorted.take(256)
+        lang -> (mins.last, mins.length)
+    }
+    TextAnalysis.kmvCardinality(docs, k = 256).collect().foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (kthRef, kUsedRef) = expected(lang)
+      assert(r.getAs[Long]("k_used") == kUsedRef.toLong)
+      // re-derive the estimate from the reference kth minimum
+      val frac = kthRef.toDouble / math.pow(2.0, 56)
+      val estRef = BigDecimal((kUsedRef - 1).toDouble / frac)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("est_distinct") == estRef,
+        s"$lang: two-stage kth != global kth")
+    }
+  }
+
+  test("unigram logprob: hand-computed scores, boilerplate ranks highest") {
+    // corpus: "the the the a" ×1 and "rare" ×1 → counts: the=3, a=1,
+    // rare=1, total=5
+    val docs = Seq((1L, "the the the a"), (2L, "rare"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogprob(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob"),
+          r.getAs[Double]("min_logprob"))).toMap
+    def lp(c: Int) = BigDecimal(math.log(c / 5.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val exp1 = ((lp(3) * 3 + lp(1)) / 4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = lp(1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 4L)
+    assert(out(1L)._2 == exp1)
+    assert(out(1L)._3 == lp(3).toDouble.min(lp(1).toDouble))
+    assert(out(2L)._1 == 1L)
+    assert(out(2L)._2 == exp2)
+    // the common-token doc scores strictly higher than the rare-token doc
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("unigram logprob covers every token (self-trained LM has no OOV)") {
+    val docs = Seq((1L, "x y z"), (2L, "x x"), (3L, "q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogprob(docs)
+    assert(out.count() == 3)
+    assert(out.agg(sum("n_tokens")).head.getLong(0) == 6L)
+  }
+
+  test("centroid outliers: the antipodal vector is flagged, others not") {
+    // 12 vectors near +e1, one vector at -e1 (the outlier); a second
+    // language with too few vectors exercises the null-z path
+    val near = (1 to 12).map { i =>
+      (i.toLong, Array(1.0f, 0.01f * i, 0.0f, 0.0f))
+    }
+    val out = Seq((13L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))
+    val lone = Seq((14L, Array(0.5f, 0.5f, 0.0f, 0.0f)))
+    val docs = ((1 to 13).map(i => (i.toLong, "en")) :+ (14L -> "de"))
+      .toDF("doc_id", "lang")
+    val vecs = (near ++ out ++ lone).toDF("vec_id", "embedding")
+    val res = Similarity.centroidOutliers(docs, vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(res(13L).getAs[Boolean]("is_outlier"),
+      "antipodal vector not flagged")
+    (1 to 12).foreach { i =>
+      assert(!res(i.toLong).getAs[Boolean]("is_outlier"),
+        s"inlier $i flagged")
+    }
+    // single-vector language: no distribution → null z, not flagged
+    assert(res(14L).isNullAt(res(14L).fieldIndex("z_score")))
+    assert(!res(14L).getAs[Boolean]("is_outlier"))
+    // the outlier's cosine to the centroid is strongly negative, the
+    // inliers' strongly positive
+    assert(res(13L).getAs[Double]("cos_centroid") < -0.9)
+    assert(res(1L).getAs[Double]("cos_centroid") > 0.9)
+  }
+}
