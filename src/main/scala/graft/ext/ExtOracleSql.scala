@@ -660,6 +660,50 @@ SELECT doc_id,
 FROM dtf JOIN lm USING (token)
 GROUP BY 1"""
 
+  /** t26: temperature-based (α = 0.5) domain resampling plan. sqrt is
+    * IEEE-exact cross-engine (libm pow is not), the weight normalizer
+    * sums 9 dp weights in DECIMAL, and the rate formula repeats the
+    * Spark side's operation order.
+    */
+  val t26TemperatureResample: String = s"""WITH perdoc AS (
+  SELECT doc_id, source,
+         CAST(len(string_split($Norm, ' ')) AS BIGINT) AS m,
+         CAST(${h64(Norm)} % 1000000 AS DOUBLE) / 1000000.0 AS u
+  FROM documents
+), bysrc AS (
+  SELECT source, COUNT(*) AS n_total, SUM(m) AS mass_tokens
+  FROM perdoc GROUP BY 1
+), tot AS (
+  SELECT SUM(mass_tokens) AS tot FROM bysrc
+), withw AS (
+  SELECT source, n_total, mass_tokens,
+         CAST(mass_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p,
+         round(sqrt(CAST(mass_tokens AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+           AS w,
+         tot
+  FROM bysrc CROSS JOIN tot
+), nrm AS (
+  SELECT SUM(CAST(w AS DECIMAL(28,9))) AS nw FROM withw
+), rates AS (
+  SELECT source, n_total, mass_tokens, p, w,
+         least(1.0, (0.5 * CAST(tot AS DOUBLE))
+                    * (w / CAST(nw AS DOUBLE))
+                    / CAST(mass_tokens AS DOUBLE)) AS rate
+  FROM withw CROSS JOIN nrm
+)
+SELECT r.source,
+       CAST(r.n_total AS BIGINT) AS n_total,
+       CAST(r.mass_tokens AS BIGINT) AS mass_tokens,
+       round(r.p * 100, 4) AS mix_pct,
+       r.w AS weight,
+       round(r.rate, 6) AS rate,
+       CAST(SUM(CASE WHEN d.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN d.u < r.rate THEN d.m ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM perdoc d JOIN rates r USING (source)
+GROUP BY 1, 2, 3, 4, 5, 6"""
+
   /** d9: incremental dedup — existing corpus (doc_id % 3 = 0), batch =
     * the rest + injected exact copies (+300000, every 6th existing) and
     * near-dup mutations (+400000, every 9th existing, 11th tokens

@@ -734,6 +734,13 @@ object ExtQueries {
       spread(Tables.documents(spark, sfDir)))
   }
 
+  /** Temperature-based (α = 0.5) domain resampling plan (t26). */
+  def temperatureResample(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.temperatureResample(
+      spread(Tables.documents(spark, sfDir)))
+  }
+
   /** Full cube (x8): revenue over every subset of {region, brand} —
     * the grouping-sets completion of x4's rollup hierarchy. One pass;
     * `grouping_id` disambiguates rolled-up NULLs from data NULLs.

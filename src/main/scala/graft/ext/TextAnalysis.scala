@@ -609,6 +609,54 @@ object TextAnalysis {
           col("n_exact").cast("double"), 6).as("rel_err"))
   }
 
+  /** Temperature-based domain resampling plan (t26): the data-mixing
+    * step between corpus stats and training. Per-source sampling rates
+    * reweight the observed token-mass mixture p_i to p_i^α (α = 0.5 —
+    * the exponent-smoothing multilingual training uses to upweight
+    * rare domains), normalized and scaled so the expected kept mass is
+    * `targetFrac` of the corpus; each document then keeps or drops by
+    * comparing its content-hash uniform against its source's rate —
+    * deterministic, re-runnable, no RNG state.
+    *
+    * 100 TB shape: two tiny aggregations (per-source mass, then the
+    * |sources|-row normalizer) and one broadcast join of the rate table
+    * back onto the corpus — the fact side never shuffles. Determinism:
+    * α = 0.5 is `sqrt` (IEEE-exact cross-engine, unlike libm `pow`),
+    * the weight normalizer sums 9 dp-rounded weights in DECIMAL, and
+    * every derived double repeats the same operation order both sides.
+    */
+  def temperatureResample(docs: DataFrame, targetFrac: Double = 0.5,
+                          textCol: String = "text"): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("_m"),
+      ((TextOps.hash64(TextOps.normText(col(textCol))) % 1000000L)
+        .cast("double") / lit(1e6)).as("_u"))
+    val bySrc = perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_total"), sum(col("_m")).as("mass_tokens"))
+    val tot = bySrc.agg(sum(col("mass_tokens")).as("_tot"))
+    val withW = bySrc.crossJoin(broadcast(tot))
+      .withColumn("_p",
+        col("mass_tokens").cast("double") / col("_tot").cast("double"))
+      .withColumn("_w", round(sqrt(col("_p")), 9))
+    val norm = withW.agg(sum(col("_w").cast("decimal(28,9)")).as("_norm"))
+    val rates = withW.crossJoin(broadcast(norm))
+      .withColumn("_rate", least(lit(1.0),
+        (lit(targetFrac) * col("_tot").cast("double")) *
+          (col("_w") / col("_norm").cast("double")) /
+          col("mass_tokens").cast("double")))
+    perDoc.join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_total")).as("n_total"),
+        max(col("mass_tokens")).as("mass_tokens"),
+        round(max(col("_p")) * 100, 4).as("mix_pct"),
+        max(col("_w")).as("weight"),
+        round(max(col("_rate")), 6).as("rate"),
+        sum(when(col("_u") < col("_rate"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_u") < col("_rate"), col("_m")).otherwise(0L))
+          .as("kept_tokens"))
+  }
+
   /** Corpus-unigram-LM document scoring (t25): every document scored by
     * the average log-probability of its tokens under the corpus' own
     * unigram distribution — the operator shape of a CCNet/KenLM-style

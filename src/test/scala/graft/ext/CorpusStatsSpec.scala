@@ -65,6 +65,60 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketches merge: bottom-k of shard bottom-ks = corpus bottom-k") {
+    // the distributed-union property that makes the sketch 100-TB-able:
+    // merging per-shard sketches must equal sketching the whole corpus
+    val docs = (1 to 40).map(d =>
+        (d.toLong, "en", ((d - 1) * 40 + 1 to d * 40)
+          .map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    def bottomK(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .select(TextOps.hash64(col("t")).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted.take(256).toSeq
+    val shardA = bottomK(docs.filter(col("doc_id") % 2 === 0))
+    val shardB = bottomK(docs.filter(col("doc_id") % 2 =!= 0))
+    val merged = (shardA ++ shardB).distinct.sorted.take(256)
+    val whole = bottomK(docs)
+    assert(merged == whole, "sketch union != whole-corpus sketch")
+    // and the query's estimate derives from exactly that kth minimum
+    val row = TextAnalysis.kmvCardinality(docs, k = 256).collect().head
+    val estRef = BigDecimal(255.0 / (merged.last.toDouble / math.pow(2.0, 56)))
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("est_distinct") == estRef)
+  }
+
+  test("temperature resample upweights rare domains toward target mass") {
+    // skewed corpus: 'big' has 16x the token mass of 'small'
+    val docs = ((1 to 32).map(i => (i.toLong, "big",
+        (1 to 50).map(j => s"b$i-$j").mkString(" "))) ++
+      (33 to 34).map(i => (i.toLong, "small",
+        (1 to 50).map(j => s"s$i-$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.temperatureResample(docs, targetFrac = 0.5)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val big = out("big"); val small = out("small")
+    assert(big.getAs[Long]("mass_tokens") == 1600L)
+    assert(small.getAs[Long]("mass_tokens") == 100L)
+    // α=0.5 compresses the mixture: the rare domain's sampling rate
+    // must exceed the common domain's (upweighting), and every rate
+    // stays within [0, 1]
+    assert(small.getAs[Double]("rate") > big.getAs[Double]("rate"))
+    out.values.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+    }
+    // with no rate capped at 1, the rates are calibrated so the
+    // EXPECTED kept mass is targetFrac of the corpus
+    if (out.values.forall(_.getAs[Double]("rate") < 1.0)) {
+      val expected = out.values.map(r =>
+        r.getAs[Double]("rate") * r.getAs[Long]("mass_tokens")).sum
+      assert(math.abs(expected - 0.5 * 1700) < 1.0,
+        s"rate calibration off: expected kept mass $expected vs 850")
+    }
+  }
+
   test("unigram logprob: hand-computed scores, boilerplate ranks highest") {
     // corpus: "the the the a" ×1 and "rare" ×1 → counts: the=3, a=1,
     // rare=1, total=5
