@@ -266,10 +266,15 @@ object Similarity {
     */
   def centroidOutliers(docs: DataFrame, vecs: DataFrame,
                        zThreshold: Double = 2.0): DataFrame = {
-    val joined = docs.select(col("doc_id"), col("lang"))
-      .join(vecs.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("_emb")),
-        col("doc_id") === col("vec_id"))
+    // pinned: the labeled-vector frame feeds the centroid pass and the
+    // scoring pass, and the scored frame feeds the moment rollup and
+    // the output join — unpinned, each branch re-reads both tables and
+    // re-runs the upstream joins (plan-audited)
+    val joined = graft.std.Materialize.once(
+      docs.select(col("doc_id"), col("lang"))
+        .join(vecs.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("_emb")),
+          col("doc_id") === col("vec_id")))
     val centVec = joined
       .select(col("lang"), posexplode(col("_emb")).as(Seq("_dim", "_x")))
       .groupBy(col("lang"), col("_dim"))
@@ -280,9 +285,10 @@ object Similarity {
         .as("_pm"))
       .select(col("lang"),
         transform(col("_pm"), p => p.getField("_c")).as("_cv"))
-    val scored = joined.join(broadcast(centVec), Seq("lang"))
-      .select(col("vec_id"), col("lang"),
-        round(cosine(col("_emb"), col("_cv")), 6).as("cos_centroid"))
+    val scored = graft.std.Materialize.once(
+      joined.join(broadcast(centVec), Seq("lang"))
+        .select(col("vec_id"), col("lang"),
+          round(cosine(col("_emb"), col("_cv")), 6).as("cos_centroid")))
     val stats = scored.groupBy(col("lang")).agg(
       count(lit(1)).as("_n"),
       sum(col("cos_centroid").cast("decimal(38,18)")).as("_s1"),

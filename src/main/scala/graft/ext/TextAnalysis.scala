@@ -580,10 +580,13 @@ object TextAnalysis {
   def kmvCardinality(docs: DataFrame, k: Int = 256,
                      textCol: String = "text"): DataFrame = {
     require(k >= 2, "KMV needs k >= 2 for the (k-1)/U estimator")
-    val hashes = docs
+    // pinned: the sketch and the n_exact readout both consume the
+    // distinct (lang, hash) frame — without the pin each branch re-scans
+    // and re-tokenizes the corpus (2x the dominant cost; plan-audited)
+    val hashes = graft.std.Materialize.once(docs
       .select(col("lang"), explode(TextOps.tokens(col(textCol))).as("_tok"))
       .select(col("lang"), TextOps.hash64(col("_tok")).as("_h"))
-      .distinct()
+      .distinct())
     val wLocal = Window.partitionBy(col("lang"), col("_b"))
       .orderBy(col("_h").asc)
     val local = hashes.withColumn("_b", pmod(col("_h"), lit(32L)))
@@ -627,10 +630,14 @@ object TextAnalysis {
     */
   def temperatureResample(docs: DataFrame, targetFrac: Double = 0.5,
                           textCol: String = "text"): DataFrame = {
-    val perDoc = docs.select(col("doc_id"), col("source"),
-      size(TextOps.tokens(col(textCol))).cast("long").as("_m"),
-      ((TextOps.hash64(TextOps.normText(col(textCol))) % 1000000L)
-        .cast("double") / lit(1e6)).as("_u"))
+    // pinned: the thin (id, source, mass, uniform) frame feeds the
+    // mass rollup AND the final keep/drop join — unpinned, the corpus
+    // is scanned and tokenized once per consumer (plan-audited)
+    val perDoc = graft.std.Materialize.once(
+      docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("_m"),
+        ((TextOps.hash64(TextOps.normText(col(textCol))) % 1000000L)
+          .cast("double") / lit(1e6)).as("_u")))
     val bySrc = perDoc.groupBy(col("source")).agg(
       count(lit(1)).as("n_total"), sum(col("_m")).as("mass_tokens"))
     val tot = bySrc.agg(sum(col("mass_tokens")).as("_tot"))
@@ -678,10 +685,13 @@ object TextAnalysis {
     * engines, so summation order cannot move the total.
     */
   def unigramLogprob(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val dtf = docs
+    // pinned: the per-doc term-frequency frame feeds the vocab rollup,
+    // the total, and the scoring join — unpinned, each consumer re-scans
+    // and re-tokenizes the corpus (3 scans; plan-audited)
+    val dtf = graft.std.Materialize.once(docs
       .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("_cnt_d"))
+      .agg(count(lit(1)).as("_cnt_d")))
     val vocab = dtf.groupBy(col("token")).agg(sum(col("_cnt_d")).as("_cnt"))
     val total = vocab.agg(sum(col("_cnt")).as("_n_total"))
     // vocabulary-sized LM table; only the 1-row total broadcasts — at
