@@ -8,6 +8,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class UserEvent(user_id: Long, value: Double)
 case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
+/** Typed rows/state for the streaming KMV cardinality sketch. */
+case class LangHash(lang: String, h: Long)
+case class KmvSketch(mins: List[Long], seen: Long)
+case class KmvEstimate(lang: String, k_used: Long, est_distinct: Double,
+                       n_hashes_seen: Long)
+
 /** Typed rows/state for the streaming funnel. */
 case class FunnelEvent(user_id: Long, event_type: String,
                        ts: java.sql.Timestamp)
@@ -73,6 +79,63 @@ object StreamingOps {
           val next = UserTotals(uid, n, s)
           state.update(next)
           Iterator.single(next)
+      }
+  }
+
+  /** Streaming KMV distinct-token cardinality — the running form of
+    * [[graft.ext.TextAnalysis.kmvCardinality]]: per-language bottom-k
+    * state folded across micro-batches via `mapGroupsWithState`, one
+    * updated estimate row per language per trigger. The sketch's
+    * shard-merge property (bottom-k of a union = bottom-k of the
+    * bottom-ks, proven in `CorpusStatsSpec`) is exactly what makes the
+    * state fold correct regardless of how documents split across
+    * micro-batches.
+    *
+    * State is O(k) longs per language — bounded forever, no watermark
+    * needed (the sketch only shrinks toward smaller hashes).
+    * `n_hashes_seen` is cumulative and strictly increasing per updated
+    * group, so "latest row per language" is selectable downstream.
+    * Works identically on a batch Dataset (one pass, empty state) —
+    * the estimate then equals the batch operator's (same rounding).
+    */
+  def kmvCardinalityStream(docs: DataFrame, k: Int = 256):
+      Dataset[KmvEstimate] = {
+    require(k >= 2, "KMV needs k >= 2 for the (k-1)/U estimator")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("lang"),
+        explode(graft.ext.TextOps.tokens(col("text"))).as("_t"))
+      .select(col("lang"), graft.ext.TextOps.hash64(col("_t")).as("h"))
+      .as[LangHash]
+      .groupByKey(_.lang)
+      .mapGroupsWithState[KmvSketch, KmvEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[LangHash],
+         state: GroupState[KmvSketch]) =>
+          // bounded fold: a TreeSet capped at k — never holds the
+          // micro-batch, only the running bottom-k (set semantics
+          // absorb duplicate hashes, mirroring the batch op's distinct)
+          val mins = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(s => mins ++= s.mins)
+          var seen = 0L
+          rows.foreach { r =>
+            seen += 1
+            if (mins.size < k) mins += r.h
+            else if (r.h < mins.last) {
+              mins += r.h
+              if (mins.size > k) mins -= mins.last
+            }
+          }
+          val totalSeen = state.getOption.map(_.seen).getOrElse(0L) + seen
+          state.update(KmvSketch(mins.toList, totalSeen))
+          val kUsed = mins.size.toLong
+          // identical arithmetic + rounding to the batch operator
+          val est =
+            if (kUsed < k) kUsed.toDouble
+            else java.math.BigDecimal.valueOf(
+              (kUsed - 1).toDouble / (mins.last.toDouble / math.pow(2.0, 56)))
+              .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+          KmvEstimate(lang, kUsed, est, totalSeen)
       }
   }
 

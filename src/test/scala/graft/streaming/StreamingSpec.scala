@@ -377,4 +377,36 @@ class StreamingSpec extends AnyFunSuite {
         r.getLong(r.fieldIndex("n_events")))).toSeq.sorted
     assert(got == Seq((1L, 1L), (1L, 3L), (2L, 1L)))
   }
+
+  test("streaming KMV sketch: micro-batched ≡ batch estimate") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+    val stage = Files.createTempDirectory("kmv_src").toString
+    // three files → three micro-batches; the state fold must merge the
+    // per-batch bottom-ks into exactly the whole-corpus bottom-k
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = StreamingOps.kmvCardinalityStream(streamIn, k = 64)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // n_hashes_seen is cumulative, so max-per-lang selects the final emit
+    val last = spark.table("kmv_stream")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("n_hashes_seen").desc)))
+      .filter(col("_rn") === 1)
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("lang")),
+        r.getLong(r.fieldIndex("k_used")),
+        r.getDouble(r.fieldIndex("est_distinct")))).toSet
+    val batch = graft.ext.TextAnalysis
+      .kmvCardinality(docs, k = 64).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("k_used"),
+        r.getAs[Double]("est_distinct"))).toSet
+    graft.std.Materialize.releaseAll()
+    assert(last == batch,
+      s"streaming sketch diverged: $last vs $batch")
+  }
 }
