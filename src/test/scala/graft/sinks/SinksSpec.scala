@@ -159,6 +159,50 @@ class SinksSpec extends AnyFunSuite {
     } finally graft.queries.Merged.releaseShared(spark)
   }
 
+  test("S4 e2e: curation report — mixture plan + cardinality + lang " +
+       "stats as one workbook over sf0.01") {
+    // the LLM-pipeline analogue of the reference's Excel deliverable:
+    // the curation-planning outputs (t26 sampling rates, t24 vocabulary
+    // sketch, t2 per-language stats) as one multi-sheet workbook
+    val sfDir = "/root/testdata/sf0.01"
+    try {
+      val sheets = Seq(
+        "mixture_plan" ->
+          graft.ext.ExtQueries.temperatureResample(spark, sfDir),
+        "token_cardinality" ->
+          graft.ext.ExtQueries.kmvCardinality(spark, sfDir),
+        "lang_stats" -> graft.ext.ExtQueries.langStats(spark, sfDir))
+      val expect = sheets.map { case (n, df) => n -> df.count() }
+      assert(expect(0)._2 == 20L, "one mixture row per source")
+      assert(expect(1)._2 == 5L, "one sketch row per language")
+      assert(expect(2)._2 == 5L, "one stats row per language")
+      val path = tmp("wb_curation") + "/curation.xlsx"
+      new java.io.File(path).getParentFile.mkdirs()
+      Xlsx.writeXlsx(sheets, path)
+      val zf = new java.util.zip.ZipFile(path)
+      try {
+        val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        f.setNamespaceAware(true)
+        val wb = f.newDocumentBuilder()
+          .parse(zf.getInputStream(zf.getEntry("xl/workbook.xml")))
+          .getElementsByTagNameNS("*", "sheet")
+        val names = (0 until wb.getLength).map(i =>
+          wb.item(i).getAttributes.getNamedItem("name").getNodeValue)
+        assert(names == Seq("Mixture Plan", "Token Cardinality",
+          "Lang Stats"))
+        // each sheet carries header + every frame row (tiny — DOM parse
+        // is fine here, but reuse the entry count for symmetry)
+        expect.zipWithIndex.foreach { case ((name, rows), i) =>
+          val sheet = f.newDocumentBuilder().parse(
+            zf.getInputStream(zf.getEntry(s"xl/worksheets/sheet${i + 1}.xml")))
+          val got = sheet.getElementsByTagNameNS("*", "row").getLength
+          assert(got == rows + 1,
+            s"sheet '$name': expected ${rows + 1} rows incl header, got $got")
+        }
+      } finally zf.close()
+    } finally graft.std.Materialize.releaseAll()
+  }
+
   test("S4 binary .xlsx: valid OOXML package, typed cells, dedup names") {
     val path = tmp("xlsx") + ".xlsx"
     new java.io.File(path).getParentFile.mkdirs()
