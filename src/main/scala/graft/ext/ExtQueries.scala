@@ -427,12 +427,28 @@ object ExtQueries {
     * overall); the oracle mirrors the deterministic hyperplanes exactly,
     * misses and all, so the result is still hash-exact cross-engine.
     */
+  /** Session-scoped memo of the s4 verified sign-LSH pair frame over
+    * the injected vector corpus — s4 and the d11 closure are two oracle
+    * views of ONE candidate+verify pass, so a full session should run
+    * the bucketed join once. Same [[graft.std.SessionMemo]] lifecycle
+    * and snapshot semantics as [[clusterMemo]]; the pinned frame is
+    * thin (id_a, id_b, cosine).
+    */
+  private val pairsMemo = new graft.std.SessionMemo()
+
+  private def sharedLshPairs(spark: SparkSession, sfDir: String): DataFrame =
+    pairsMemo.getOrBuild(spark, sfDir)(
+      graft.std.Materialize.pinUnregistered(
+        // dims=64 (the corpus' schema-level embedding width) switches
+        // the bucket projections to literal planes + the native dot
+        // kernel
+        Similarity.lshNearDupPairs(
+          nearDupVectors(Tables.embeddings(spark, sfDir)), 0.97,
+          dims = Some(64))))
+
   def lshEmbeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    // dims=64 (the corpus' schema-level embedding width) switches the
-    // bucket projections to literal planes + the native dot kernel
-    Similarity.lshNearDupPairs(
-      nearDupVectors(Tables.embeddings(spark, sfDir)), 0.97, dims = Some(64))
+    sharedLshPairs(spark, sfDir)
   }
 
   /** SemDeDup-style semantic dedup (d11): s4's bucketed sign-LSH
@@ -449,8 +465,7 @@ object ExtQueries {
   def semanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     val vecs = nearDupVectors(Tables.embeddings(spark, sfDir))
-    val pairs = Similarity.lshNearDupPairs(vecs, 0.97, dims = Some(64))
-      .select(col("id_a"), col("id_b"))
+    val pairs = sharedLshPairs(spark, sfDir).select(col("id_a"), col("id_b"))
     Dedup.connectedComponents(vecs.select(col("vec_id")), pairs,
         idCol = "vec_id")
       .select(col("vec_id"), col("cluster_rep"),
