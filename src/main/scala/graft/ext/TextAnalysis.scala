@@ -567,37 +567,34 @@ object TextAnalysis {
     * cross-engine — both sides hash with the md5-derived
     * [[TextOps.hash64]], so the estimate itself is oracle-gated.
     *
-    * 100 TB shape: the distinct on (lang, hash) is bounded by vocabulary
-    * (map-side partial distinct — 12-byte rows, never raw tokens), and
-    * the min-k runs two-stage: a windowed top-k per (lang, hash-salt
-    * bucket) in parallel, then the final top-k per language over the
-    * S×k survivors — a single-stage window would sort each language's
-    * whole vocabulary in one task. `n_exact` (the full distinct count,
-    * for the accuracy readout) is the test-scale luxury the sketch
-    * replaces at 100 TB; production drops that column and the sketch
-    * side never materializes the vocabulary per language.
+    * 100 TB shape: the sketch runs as the native bottom-k aggregate
+    * [[graft.functions.KmvMins]] over the RAW token-hash stream — each
+    * map task folds its partition into an O(k) buffer, the shuffle
+    * moves ≤ k longs per (language, partition), and merges are bottom-k
+    * unions (the shard-union property proven in `CorpusStatsSpec`).
+    * Nothing materializes or sorts a vocabulary anywhere on the sketch
+    * path. `n_exact` (the full distinct count, for the accuracy
+    * readout) is the test-scale luxury the sketch replaces at 100 TB;
+    * production drops that column — and with it the only
+    * vocabulary-sized shuffle in the query.
     */
   def kmvCardinality(docs: DataFrame, k: Int = 256,
                      textCol: String = "text"): DataFrame = {
     require(k >= 2, "KMV needs k >= 2 for the (k-1)/U estimator")
-    // pinned: the sketch and the n_exact readout both consume the
-    // distinct (lang, hash) frame — without the pin each branch re-scans
-    // and re-tokenizes the corpus (2x the dominant cost; plan-audited)
+    // pinned: the sketch and the n_exact readout both consume the raw
+    // (lang, hash) stream — without the pin each branch re-scans and
+    // re-tokenizes the corpus (2x the dominant cost; plan-audited)
     val hashes = graft.std.Materialize.once(docs
       .select(col("lang"), explode(TextOps.tokens(col(textCol))).as("_tok"))
-      .select(col("lang"), TextOps.hash64(col("_tok")).as("_h"))
-      .distinct())
-    val wLocal = Window.partitionBy(col("lang"), col("_b"))
-      .orderBy(col("_h").asc)
-    val local = hashes.withColumn("_b", pmod(col("_h"), lit(32L)))
-      .withColumn("_rn", row_number().over(wLocal))
-      .filter(col("_rn") <= k).drop("_rn", "_b")
-    val wGlobal = Window.partitionBy(col("lang")).orderBy(col("_h").asc)
-    val mins = local.withColumn("_rn", row_number().over(wGlobal))
-      .filter(col("_rn") <= k)
-    val kth = mins.groupBy(col("lang"))
-      .agg(max(col("_h")).as("_kth"), count(lit(1)).as("k_used"))
-    val exact = hashes.groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+      .select(col("lang"), TextOps.hash64(col("_tok")).as("_h")))
+    val kth = hashes.groupBy(col("lang"))
+      .agg(org.apache.spark.sql.GraftColumns.kmvMins(col("_h"), k)
+        .as("_mins"))
+      .select(col("lang"),
+        element_at(col("_mins"), size(col("_mins"))).as("_kth"),
+        size(col("_mins")).cast("long").as("k_used"))
+    val exact = hashes.distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
     // hash-space fraction of the k-th minimum; 2^56 is exact in double
     // and the 56-bit -> double conversion rounds identically (IEEE) in
     // both engines, so the estimate hash-compares exactly

@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.functions.{DotProductD, Md5Lane, NfcNormalize}
+import graft.functions.{DotProductD, KmvMins, Md5Lane, NfcNormalize}
 
 /** Typed analysis errors for graft's SQL function builders (the
   * message-only `AnalysisException` constructor is `private[sql]`,
@@ -39,6 +39,11 @@ object GraftColumns {
     ExpressionUtils.column(
       Md5Lane(ExpressionUtils.expression(c), startByte, numBytes))
 
+  /** Bottom-k sketch aggregate over a long column — see [[KmvMins]]. */
+  def kmvMins(c: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KmvMins(ExpressionUtils.expression(c), k).toAggregateExpression())
+
   /** Register graft's native functions on an existing session so SQL
     * users can call them (`SELECT graft_dot(a, b)`); the
     * [[graft.GraftExtensions]] class does the same at session build time
@@ -61,5 +66,17 @@ object GraftColumns {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5lane", exprs => Md5Lane(exprs.head,
         laneBound(exprs(1), 1), laneBound(exprs(2), 2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_mins", exprs => {
+        val k =
+          if (exprs(1).foldable) exprs(1).eval() match {
+            case n: Number => n.intValue()
+            case bad => throw GraftErrors.nonConstantArgument(
+              "graft_kmv_mins", 1, s"folded to non-integer value $bad")
+          }
+          else throw GraftErrors.nonConstantArgument(
+            "graft_kmv_mins", 1, "argument is not a constant expression")
+        KmvMins(exprs.head, k)
+      }, "built-in")
   }
 }

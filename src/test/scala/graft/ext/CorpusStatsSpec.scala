@@ -38,7 +38,7 @@ class CorpusStatsSpec extends AnyFunSuite {
       s"KMV estimate $est too far from 5000")
   }
 
-  test("KMV two-stage min-k equals a single global min-k") {
+  test("native KMV aggregate equals a global sort's bottom-k") {
     val docs = (1 to 30).map(d =>
         (d.toLong, if (d % 2 == 0) "en" else "de",
           ((d - 1) * 50 + 1 to d * 50).map(i => s"w$i").mkString(" ")))
@@ -61,7 +61,7 @@ class CorpusStatsSpec extends AnyFunSuite {
       val estRef = BigDecimal((kUsedRef - 1).toDouble / frac)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getAs[Double]("est_distinct") == estRef,
-        s"$lang: two-stage kth != global kth")
+        s"$lang: aggregate kth != global-sort kth")
     }
   }
 

@@ -170,6 +170,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaSql)
   }
 
+  test("graft_kmv_mins: bounded buffer, duplicate absorption, " +
+       "partition-invariant merge, SQL registration") {
+    org.apache.spark.sql.GraftColumns.registerFunctions(spark)
+    import spark.implicits._
+    // 1000 values with duplicates, shuffled deterministically; bottom-8
+    // must be 0..7 regardless of partitioning
+    val vals = ((0L until 1000L) ++ (0L until 1000L))
+      .sortBy(v => (v * 2654435761L) % 1997)
+    for (parts <- Seq(1, 7)) {
+      val got = vals.toDF("v").repartition(parts)
+        .agg(org.apache.spark.sql.GraftColumns.kmvMins(col("v"), 8)
+          .as("m"))
+        .head().getSeq[Long](0)
+      assert(got == (0L until 8L), s"parts=$parts: $got")
+    }
+    // grouped + via SQL: per-group bottom-2 of interleaved longs
+    Seq(("a", 5L), ("a", 1L), ("a", 3L), ("b", 9L), ("b", 2L), ("a", 1L))
+      .toDF("g", "v").createOrReplaceTempView("kmv_in")
+    val rows = spark.sql(
+      "SELECT g, graft_kmv_mins(v, 2) AS m FROM kmv_in GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rows("a") == Seq(1L, 3L) && rows("b") == Seq(2L, 9L))
+    // fewer distinct values than k: the sketch IS the distinct set
+    val small = Seq(4L, 4L, 2L).toDF("v")
+      .agg(org.apache.spark.sql.GraftColumns.kmvMins(col("v"), 8))
+      .head().getSeq[Long](0)
+    assert(small == Seq(2L, 4L))
+  }
+
   test("few-query mode: Bench's ONLY rule counts keys, and the " +
        "declarative BI path keeps per-query scan pruning") {
     import graft.SparkEntry
