@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductD, Md5Lane, NfcNormalize}
+import graft.functions.{DotProductD, KmvMins, Md5Lane, NfcNormalize}
 
 /** Session-extension entry point: configure
   * `spark.sql.extensions=graft.GraftExtensions` and the native
@@ -49,5 +49,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NfcNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_mins"),
+      new ExpressionInfo(classOf[KmvMins].getName, "graft_kmv_mins"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other if other.foldable =>
+            other.eval() match {
+              case n: Number => n.intValue()
+              case bad => throw org.apache.spark.sql.GraftErrors
+                .nonConstantArgument("graft_kmv_mins", 1,
+                  s"folded to non-integer value $bad")
+            }
+          case _ => throw org.apache.spark.sql.GraftErrors
+            .nonConstantArgument("graft_kmv_mins", 1,
+              "argument is not a constant (foldable) expression")
+        }
+        KmvMins(children.head, k)
+      }))
   }
 }
