@@ -472,9 +472,6 @@ object ExtQueries {
         (col("vec_id") === col("cluster_rep")).as("is_keeper"))
   }
 
-  /** Deterministic train/valid/test split (t9): content-hash buckets, so
-    * both engines assign every doc identically.
-    */
   /** Int8-quantized embeddings in long form (s5). */
   def quantizedVectors(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -496,6 +493,9 @@ object ExtQueries {
       all.filter(col("vec_id") % 3 === 0), 0.97, dims = Some(64))
   }
 
+  /** Deterministic train/valid/test split (t9): content-hash buckets, so
+    * both engines assign every doc identically.
+    */
   def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     TextAnalysis.trainTestSplit(Tables.documents(spark, sfDir))

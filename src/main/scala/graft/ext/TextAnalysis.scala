@@ -661,6 +661,27 @@ object TextAnalysis {
           .as("kept_tokens"))
   }
 
+  /** Apply a published [[temperatureResample]] plan to a document
+    * frame: the plan (per-source `rate`) is computed once on a corpus
+    * snapshot; enforcement is a pure per-row decision — the document's
+    * content-hash uniform against its source's broadcast rate — with no
+    * state and no fact-side shuffle. Stateless, so the SAME function
+    * serves batch backfill and the live ingest stream (the production
+    * split: plan on snapshots, enforce on arrival; proven batch ≡
+    * stream in `StreamingSpec`). The plan's published 6 dp `rate`
+    * column is the authoritative contract here — re-deriving rates
+    * per batch would let the mixture drift with arrival order.
+    */
+  def applyResamplePlan(docs: DataFrame, plan: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    val u = (TextOps.hash64(TextOps.normText(col(textCol))) % 1000000L)
+      .cast("double") / lit(1e6)
+    docs.join(broadcast(plan.select(col("source"), col("rate"))),
+        Seq("source"))
+      .filter(u < col("rate"))
+      .drop("rate")
+  }
+
   /** Corpus-unigram-LM document scoring (t25): every document scored by
     * the average log-probability of its tokens under the corpus' own
     * unigram distribution — the operator shape of a CCNet/KenLM-style

@@ -409,4 +409,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == batch,
       s"streaming sketch diverged: $last vs $batch")
   }
+
+  test("resample plan applies identically to batch and stream") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+    // plan once on the snapshot; enforcement must be order-independent
+    val plan = graft.ext.TextAnalysis.temperatureResample(docs)
+    val batchKept = graft.ext.TextAnalysis
+      .applyResamplePlan(docs, plan)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && batchKept.size < 500,
+      s"degenerate resample: kept ${batchKept.size} of 500")
+    val stage = Files.createTempDirectory("resample_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = graft.ext.TextAnalysis.applyResamplePlan(streamIn, plan)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("resample_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamKept = spark.table("resample_stream")
+      .collect().map(_.getLong(0)).toSet
+    graft.std.Materialize.releaseAll()
+    assert(streamKept == batchKept,
+      "stream-applied plan diverged from batch application")
+  }
 }
