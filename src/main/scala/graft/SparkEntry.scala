@@ -94,6 +94,7 @@ object SparkEntry {
     "d9_incremental_dedup" -> ExtQueries.incrementalDedup _,
     "d10_containment" -> ExtQueries.containmentDups _,
     "d11_semantic_clusters" -> ExtQueries.semanticClusters _,
+    "d12_best_keeper" -> ExtQueries.bestKeeperClusters _,
     "t18_domain_mixture" -> ExtQueries.domainMixture _,
     "t19_boilerplate_ngrams" -> ExtQueries.boilerplateNgrams _,
     "t20_stratified_sample" -> ExtQueries.stratifiedSample _,
@@ -181,6 +182,7 @@ object SparkEntry {
     "d9_incremental_dedup" -> ExtOracleSql.d9IncrementalDedup,
     "d10_containment" -> ExtOracleSql.d10Containment,
     "d11_semantic_clusters" -> ExtOracleSql.d11SemanticClusters,
+    "d12_best_keeper" -> ExtOracleSql.d12BestKeeper,
     "t18_domain_mixture" -> ExtOracleSql.t18DomainMixture,
     "t19_boilerplate_ngrams" -> ExtOracleSql.t19Boilerplate,
     "t20_stratified_sample" -> ExtOracleSql.t20StratifiedSample,

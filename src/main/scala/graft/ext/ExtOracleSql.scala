@@ -137,6 +137,38 @@ SELECT c.doc_id, md5(c.text) AS text_md5
 FROM corpus c
 WHERE c.doc_id NOT IN (SELECT doc_id FROM clusters WHERE is_keeper)"""
 
+  /** d12: quality-ranked keeper per cluster — the t3 composite score
+    * (over the normalized corpus text; the expressions are the t3 twins
+    * verbatim) ranked within each cluster, doc_id tiebreak.
+    */
+  val d12BestKeeper: String = ClusterCtes + """, qc AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_char,
+         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+              AS DOUBLE) AS punct,
+         CAST(len(list_filter(string_split(text, ' '),
+           tk -> tk IN ('the','a','of','and','is','to'))) AS DOUBLE) AS stop_n
+  FROM corpus
+), q AS (
+  SELECT doc_id,
+         round(least(n_tok / 100.0, 1.0) * 0.5
+               + (1.0 - CASE WHEN n_char > 0 THEN punct / n_char
+                             ELSE 0.0 END) * 0.3
+               + least(CASE WHEN n_tok > 0 THEN stop_n / n_tok
+                            ELSE 0.0 END * 5.0, 1.0) * 0.2, 6)
+           AS quality_score
+  FROM qc
+), ranked AS (
+  SELECT cl.doc_id, cl.cluster_rep, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY cl.cluster_rep
+                            ORDER BY q.quality_score DESC, cl.doc_id ASC)
+           AS rn
+  FROM clusters cl JOIN q USING (doc_id)
+)
+SELECT doc_id, cluster_rep, quality_score, rn = 1 AS is_best_keeper
+FROM ranked"""
+
   /** 32 per-bit majority votes over the distinct-token hashes `hh`. */
   private def simhashExpr(hh: String): String = (0 until 32).map { b =>
     s"""(CASE WHEN list_aggregate(list_transform($hh,

@@ -162,6 +162,31 @@ object ExtQueries {
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
   }
 
+  /** Quality-ranked keeper selection (d12): within each near-dup
+    * cluster, keep the HIGHEST-QUALITY document instead of d5's min-id
+    * representative — what a production dedup actually does (the first
+    * crawl of a page is not necessarily the best extraction of it).
+    * Reuses the session's one cluster resolution ([[clusterMemo]]) and
+    * ranks by the same composite score t3 reports
+    * ([[TextAnalysis.qualityScoreExpr]], rounded 6 dp so the ranking is
+    * cross-engine deterministic; doc_id breaks ties). The window
+    * partitions by cluster representative — cluster sizes are small by
+    * construction (near-dup groups), so no partition is hot at scale.
+    */
+  def bestKeeperClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
+    val scored = corpus.select(col("doc_id"),
+      TextAnalysis.qualityScoreExpr(col("text")).as("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_rep"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    sharedClusters(spark, sfDir).join(scored, Seq("doc_id"))
+      .withColumn("_rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_rep"), col("quality_score"),
+        (col("_rn") === 1).as("is_best_keeper"))
+  }
+
   /** Session-scoped memo of the d8 contamination profile, keyed
     * (session, sfDir) — same pattern as [[clusterMemo]]. d8 and t23 are
     * two views of ONE profile pass (t23 quarantines exactly the docs d8

@@ -539,4 +539,25 @@ class ExtSpec extends AnyFunSuite {
     assert(flagged.forall(r => Seq("site header all", "header all rights",
       "all rights reserved").contains(r.getString(1))))
   }
+
+  test("best-keeper selection keeps exactly the top-quality doc per cluster") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = ExtQueries.bestKeeperClusters(spark, sfDir).collect()
+    graft.std.Materialize.releaseAll()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_rep"))
+    // exactly one best keeper per cluster, and it attains the cluster's
+    // maximum quality (doc_id tiebreak -> lowest id among the maxima)
+    byCluster.foreach { case (rep, members) =>
+      val best = members.filter(_.getAs[Boolean]("is_best_keeper"))
+      assert(best.length == 1, s"cluster $rep: ${best.length} best keepers")
+      val maxQ = members.map(_.getAs[Double]("quality_score")).max
+      val winner = best.head
+      assert(winner.getAs[Double]("quality_score") == maxQ)
+      assert(members.filter(_.getAs[Double]("quality_score") == maxQ)
+        .map(_.getAs[Long]("doc_id")).min == winner.getAs[Long]("doc_id"))
+    }
+    // every corpus doc is labeled (clusters partition the corpus)
+    assert(rows.length == byCluster.values.map(_.length).sum)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+  }
 }
