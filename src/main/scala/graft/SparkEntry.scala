@@ -121,6 +121,7 @@ object SparkEntry {
     "t24_kmv_cardinality" -> ExtQueries.kmvCardinality _,
     "t25_unigram_logprob" -> ExtQueries.unigramLogprob _,
     "t26_temperature_resample" -> ExtQueries.temperatureResample _,
+    "t27_cms_heavy_hitters" -> ExtQueries.cmsHeavyHitters _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -209,6 +210,7 @@ object SparkEntry {
     "t24_kmv_cardinality" -> ExtOracleSql.t24KmvCardinality,
     "t25_unigram_logprob" -> ExtOracleSql.t25UnigramLogprob,
     "t26_temperature_resample" -> ExtOracleSql.t26TemperatureResample,
+    "t27_cms_heavy_hitters" -> ExtOracleSql.t27CmsHeavyHitters,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,

@@ -736,6 +736,39 @@ SELECT r.source,
 FROM perdoc d JOIN rates r USING (source)
 GROUP BY 1, 2, 3, 4, 5, 6"""
 
+  /** t27: Count-Min-sketch heavy hitters — the seeded cell hashes are
+    * md5-derived, so every counter cell and every MIN-over-rows point
+    * estimate is reproduced exactly.
+    */
+  val t27CmsHeavyHitters: String = {
+    def cell(r: Int, tok: String): String =
+      s"CAST(${h64(s"'$r|' || $tok")} % 1024 AS BIGINT)"
+    val occ = (0 until 4).map(r =>
+      s"SELECT $r AS r, ${cell(r, "token")} AS cell FROM ex")
+      .mkString("\n  UNION ALL ")
+    val probes = (0 until 4).map(r =>
+      s"SELECT token, true_count, $r AS r, ${cell(r, "token")} AS cell " +
+        "FROM top")
+      .mkString("\n  UNION ALL ")
+    ToksCte + s""", ex AS (
+  SELECT unnest(toks) AS token FROM t
+), occ AS (
+  $occ
+), cells AS (
+  SELECT r, cell, COUNT(*) AS cnt FROM occ GROUP BY 1, 2
+), top AS (
+  SELECT token, COUNT(*) AS true_count FROM ex GROUP BY 1
+  ORDER BY true_count DESC, token ASC LIMIT 20
+), probes AS (
+  $probes
+)
+SELECT p.token, CAST(p.true_count AS BIGINT) AS true_count,
+       MIN(c.cnt) AS cms_estimate,
+       MIN(c.cnt) - CAST(p.true_count AS BIGINT) AS overestimate
+FROM probes p JOIN cells c USING (r, cell)
+GROUP BY 1, 2"""
+  }
+
   /** d9: incremental dedup — existing corpus (doc_id % 3 = 0), batch =
     * the rest + injected exact copies (+300000, every 6th existing) and
     * near-dup mutations (+400000, every 9th existing, 11th tokens

@@ -774,6 +774,13 @@ object ExtQueries {
       spread(Tables.documents(spark, sfDir)))
   }
 
+  /** Count-Min-sketch heavy hitters (t27). */
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.cmsHeavyHitters(
+      spread(Tables.documents(spark, sfDir)))
+  }
+
   /** Temperature-based (α = 0.5) domain resampling plan (t26). */
   def temperatureResample(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

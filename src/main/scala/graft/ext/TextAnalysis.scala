@@ -661,6 +661,53 @@ object TextAnalysis {
           .as("kept_tokens"))
   }
 
+  /** Count-Min-sketch heavy hitters (t27): token frequencies estimated
+    * from a fixed `depth × width` counter grid (Cormode & Muthukrishnan
+    * 2005) — the frequency-sketch companion to t24's cardinality
+    * sketch. Each occurrence increments one cell per row (cell =
+    * seeded-hash mod width); a point estimate is the MIN over rows of
+    * the token's cells, always ≥ the true count (one-sided error). The
+    * readout estimates the exact top-`topK` tokens and emits the
+    * overestimate, so sketch accuracy is itself oracle-gated — the
+    * seeded hashes are md5-derived ([[TextOps.hash64Seeded]]), making
+    * every cell index, and therefore every estimate, identical in
+    * DuckDB.
+    *
+    * 100 TB shape: the sketch is `depth × width` counters regardless of
+    * corpus size — the grid aggregation groups on (row, cell) with
+    * map-side combine into ≤ 4096 cells, and the estimate join touches
+    * |topK| × depth rows. Nothing vocabulary-sized exists on the sketch
+    * path; the exact `true_count` readout is the test-scale accuracy
+    * luxury (same caveat as t24's `n_exact`).
+    */
+  def cmsHeavyHitters(docs: DataFrame, width: Int = 1024, depth: Int = 4,
+                      topK: Int = 20, textCol: String = "text"): DataFrame = {
+    require(width >= 2 && depth >= 1 && topK >= 1,
+      "CMS needs positive width/depth/topK")
+    // pinned: the token stream feeds the sketch build and the exact
+    // top-k readout (one scan, two consumers)
+    val stream = graft.std.Materialize.once(
+      docs.select(explode(TextOps.tokens(col(textCol))).as("token")))
+    def cellOf(r: Int, tok: Column): Column =
+      pmod(TextOps.hash64Seeded(r, tok), lit(width.toLong))
+    val cells = stream
+      .select(posexplode(array((0 until depth).map(r =>
+        cellOf(r, col("token"))): _*)).as(Seq("r", "cell")))
+      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("_cnt"))
+    val top = stream.groupBy(col("token"))
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("token").asc).limit(topK)
+    val probes = (0 until depth).map { r =>
+      top.select(col("token"), col("true_count"), lit(r).as("r"),
+        cellOf(r, col("token")).as("cell"))
+    }.reduce(_ unionByName _)
+    probes.join(cells, Seq("r", "cell"))
+      .groupBy(col("token"), col("true_count"))
+      .agg(min(col("_cnt")).as("cms_estimate"))
+      .select(col("token"), col("true_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("true_count")).as("overestimate"))
+  }
+
   /** Apply a published [[temperatureResample]] plan to a document
     * frame: the plan (per-source `rate`) is computed once on a corpus
     * snapshot; enforcement is a pure per-row decision — the document's

@@ -119,6 +119,31 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS estimates are one-sided and exact without collisions") {
+    // tiny vocab (3 tokens ≪ 1024 cells): near-certainly collision-free,
+    // so every estimate equals the true count; with md5-derived cells
+    // this is deterministic for this fixed corpus, not flaky
+    val docs = Seq((1L, "alpha alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.cmsHeavyHitters(docs, topK = 3).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("true_count"), r.getAs[Long]("cms_estimate"))).toMap
+    graft.std.Materialize.releaseAll()
+    assert(out("alpha") == ((3L, 3L)))
+    assert(out("beta") == ((1L, 1L)))
+    assert(out("gamma") == ((1L, 1L)))
+
+    // on the real corpus: the one-sided guarantee (estimate >= true)
+    // holds for every probed token, by construction of the MIN readout
+    val real = ExtQueries.cmsHeavyHitters(spark, "/root/testdata/sf0.001")
+      .collect()
+    graft.std.Materialize.releaseAll()
+    assert(real.length == 20)
+    assert(real.forall(_.getAs[Long]("overestimate") >= 0L))
+    assert(real.exists(_.getAs[Long]("true_count") > 100L),
+      "top-20 of the corpus should contain genuinely heavy tokens")
+  }
+
   test("unigram logprob: hand-computed scores, boilerplate ranks highest") {
     // corpus: "the the the a" ×1 and "rare" ×1 → counts: the=3, a=1,
     // rare=1, total=5
