@@ -31,16 +31,12 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=d2,q1 runs a comma-separated subset (local
-    // iteration). Match the exact key or a prefix up to an underscore —
-    // bare startsWith would make "t1" select t10..t18 too.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) =>
-        SparkEntry.queries.filter { case (k, _) =>
-          names.exists(n => k == n || k.startsWith(n + "_")) }
-      case None => SparkEntry.queries
-    }
+    // iteration; SparkEntry.keyMatcher is the shared rule — exact key
+    // or prefix up to an underscore, so "t1" never selects t10..t18).
+    val selectedKey: String => Boolean =
+      sys.env.get("SPARK_GRAFT_ONLY").map(SparkEntry.keyMatcher)
+        .getOrElse(_ => true)
+    val selected = SparkEntry.queries.filter(e => selectedKey(e._1))
     def storageUsedMb: Long = {
       val s = spark.sparkContext.getExecutorMemoryStatus.values
         .map { case (max, rem) => max - rem }.sum

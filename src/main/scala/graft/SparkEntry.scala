@@ -21,13 +21,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     BiQueries.revenueByMonth(Merged.cleanedShared(spark, "/root/testdata/sf0.001"))
 
-  /** [[graft.Bench]]'s `SPARK_GRAFT_ONLY` match rule (exact key or
-    * prefix up to an underscore) applied to the registered query keys.
+  /** The `SPARK_GRAFT_ONLY` match rule — exact key, or prefix up to an
+    * underscore ("t1" selects t1_token_stats, never t10..t19) — the ONE
+    * definition shared by Bench's selection, Verify's dump filter, and
+    * [[fewQueryRun]], so the three consumers cannot drift.
     */
-  private[graft] def selectedKeyCount(onlySpec: String): Int = {
+  private[graft] def keyMatcher(onlySpec: String): String => Boolean = {
     val names = onlySpec.split(",").map(_.trim).filter(_.nonEmpty).toSet
-    queries.keySet.count(k => names.exists(n => k == n || k.startsWith(n + "_")))
+    k => names.exists(n => k == n || k.startsWith(n + "_"))
   }
+
+  private[graft] def selectedKeyCount(onlySpec: String): Int =
+    queries.keySet.count(keyMatcher(onlySpec))
 
   /** True when this JVM was launched to run at most two queries
     * (`SPARK_GRAFT_ONLY` narrows the selection — local iteration,

@@ -21,14 +21,12 @@ object Verify {
       org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=t24,s7 dumps a comma-separated subset (local
-    // iteration; same prefix-match rule as Bench). The oracle json is
-    // filtered to match so a subset compare doesn't report missing dirs.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def selectedKey(k: String): Boolean = only match {
-      case Some(names) => names.exists(n => k == n || k.startsWith(n + "_"))
-      case None => true
-    }
+    // iteration; SparkEntry.keyMatcher is the shared rule). The oracle
+    // json is filtered to match so a subset compare doesn't report
+    // missing dirs.
+    val selectedKey: String => Boolean =
+      sys.env.get("SPARK_GRAFT_ONLY").map(SparkEntry.keyMatcher)
+        .getOrElse(_ => true)
     SparkEntry.queries.filter(e => selectedKey(e._1)).foreach {
       case (name, fn) =>
       try fn(spark, sfDir).write.mode("overwrite")

@@ -718,9 +718,9 @@ GROUP BY 1"""
   SELECT SUM(CAST(w AS DECIMAL(28,9))) AS nw FROM withw
 ), rates AS (
   SELECT source, n_total, mass_tokens, p, w,
-         least(1.0, (0.5 * CAST(tot AS DOUBLE))
+         round(least(1.0, (0.5 * CAST(tot AS DOUBLE))
                     * (w / CAST(nw AS DOUBLE))
-                    / CAST(mass_tokens AS DOUBLE)) AS rate
+                    / CAST(mass_tokens AS DOUBLE)), 6) AS rate
   FROM withw CROSS JOIN nrm
 )
 SELECT r.source,
@@ -728,7 +728,7 @@ SELECT r.source,
        CAST(r.mass_tokens AS BIGINT) AS mass_tokens,
        round(r.p * 100, 4) AS mix_pct,
        r.w AS weight,
-       round(r.rate, 6) AS rate,
+       r.rate AS rate,
        CAST(SUM(CASE WHEN d.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
          AS n_kept,
        CAST(SUM(CASE WHEN d.u < r.rate THEN d.m ELSE 0 END) AS BIGINT)

@@ -176,8 +176,11 @@ object ExtQueries {
   def bestKeeperClusters(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
-    val scored = corpus.select(col("doc_id"),
-      TextAnalysis.qualityScoreExpr(col("text")).as("quality_score"))
+    val scored = TextOps.attrBarrier(corpus, Seq("doc_id", "text"),
+        "_toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreFromToks(col("_toks"), col("text"))
+          .as("quality_score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_rep"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)

@@ -102,12 +102,24 @@ object TextAnalysis {
     * rankers ([[domainQuota]]) order on the identical double the t3
     * profile reports.
     */
-  def qualityScoreExpr(t: Column): Column = {
-    val nTok = size(TextOps.tokens(t)).cast("double")
+  def qualityScoreExpr(t: Column): Column =
+    qualityScoreFromToks(TextOps.tokens(t), t)
+
+  /** [[qualityScoreExpr]] over a PRECOMPUTED token array: whole-frame
+    * scorers (d12) route tokens through [[TextOps.attrBarrier]] first so
+    * the stopword filter lambda reads an attribute — a lambda capturing
+    * the raw tokenize chain re-runs the regex-normalize-split once per
+    * reference (the t1 defect; see the barrier's doc).
+    */
+  private[ext] def qualityScoreFromToks(toks: Column, t: Column): Column = {
+    val nTok = size(toks).cast("double")
+    val stopRatio = when(nTok > 0,
+      markerCount(toks, LangMarkers.toMap.apply("en")).cast("double") / nTok)
+      .otherwise(0.0)
     round(
       least(nTok / 100.0, lit(1.0)) * 0.5 +
         (lit(1.0) - punctRatioExpr(t)) * 0.3 +
-        least(stopRatioExpr(t) * 5.0, lit(1.0)) * 0.2, 6)
+        least(stopRatio * 5.0, lit(1.0)) * 0.2, 6)
   }
 
   /** Approximate one-pass corpus profile: HLL distinct counts and
@@ -643,11 +655,15 @@ object TextAnalysis {
         col("mass_tokens").cast("double") / col("_tot").cast("double"))
       .withColumn("_w", round(sqrt(col("_p")), 9))
     val norm = withW.agg(sum(col("_w").cast("decimal(28,9)")).as("_norm"))
+    // the PUBLISHED 6 dp rate is the plan's contract (applyResamplePlan
+    // enforces it), so the keep/drop readout here must use the same
+    // rounded value — filtering on the raw rate would let n_kept
+    // disagree with what applying the plan actually keeps
     val rates = withW.crossJoin(broadcast(norm))
-      .withColumn("_rate", least(lit(1.0),
+      .withColumn("_rate", round(least(lit(1.0),
         (lit(targetFrac) * col("_tot").cast("double")) *
           (col("_w") / col("_norm").cast("double")) /
-          col("mass_tokens").cast("double")))
+          col("mass_tokens").cast("double")), 6))
     perDoc.join(broadcast(rates), Seq("source"))
       .groupBy(col("source"))
       .agg(
@@ -655,7 +671,7 @@ object TextAnalysis {
         max(col("mass_tokens")).as("mass_tokens"),
         round(max(col("_p")) * 100, 4).as("mix_pct"),
         max(col("_w")).as("weight"),
-        round(max(col("_rate")), 6).as("rate"),
+        max(col("_rate")).as("rate"),
         sum(when(col("_u") < col("_rate"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("_u") < col("_rate"), col("_m")).otherwise(0L))
           .as("kept_tokens"))
@@ -697,10 +713,12 @@ object TextAnalysis {
     val top = stream.groupBy(col("token"))
       .agg(count(lit(1)).as("true_count"))
       .orderBy(col("true_count").desc, col("token").asc).limit(topK)
-    val probes = (0 until depth).map { r =>
-      top.select(col("token"), col("true_count"), lit(r).as("r"),
-        cellOf(r, col("token")).as("cell"))
-    }.reduce(_ unionByName _)
+    // one pass over top: a depth-way union would embed the
+    // vocabulary-sized groupBy+sort subtree once per branch (exchange
+    // reuse across union branches is not guaranteed under AQE)
+    val probes = top.select(col("token"), col("true_count"),
+      posexplode(array((0 until depth).map(r =>
+        cellOf(r, col("token"))): _*)).as(Seq("r", "cell")))
     probes.join(cells, Seq("r", "cell"))
       .groupBy(col("token"), col("true_count"))
       .agg(min(col("_cnt")).as("cms_estimate"))

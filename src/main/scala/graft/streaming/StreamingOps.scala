@@ -348,17 +348,22 @@ object StreamingOps {
     */
   def embeddingDedupStream(newVecs: DataFrame, corpusPrepped: DataFrame,
                            threshold: Double, write: DataFrame => Unit,
+                           nPlanes: Int = 16,
                            dims: Option[Int] = None):
       org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
     require(newVecs.isStreaming,
       "newVecs must be a streaming frame; batch callers use " +
         "Similarity.classifyVectors directly")
+    // nPlanes MUST match the corpus prep: batch-side buckets hashed
+    // with a different plane count than corpusPrepped's would share no
+    // valid buckets and silently classify every vector 'unique'
     newVecs.writeStream.outputMode("update").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.std.Materialize.scoped {
           write(graft.ext.Similarity.classifyVectors(
-            corpusPrepped, batch.toDF(), threshold, dims = dims))
+            corpusPrepped, batch.toDF(), threshold, nPlanes = nPlanes,
+            dims = dims))
         }
     }
   }
