@@ -696,6 +696,28 @@ object TextAnalysis {
     * path; the exact `true_count` readout is the test-scale accuracy
     * luxury (same caveat as t24's `n_exact`).
     */
+  /** The CMS counter grid over a (token) frame — shared by the batch
+    * heavy-hitters readout and the streaming form. The aggregation keys
+    * on (row, cell) with at most depth × width groups, so the SAME code
+    * runs under Structured Streaming (update/complete mode) with
+    * permanently bounded state and no watermark — this grid aggregation
+    * IS the streaming sketch (proven grid-equal to batch in
+    * `StreamingSpec`); a consumer reads point estimates off the stored
+    * grid exactly as [[cmsHeavyHitters]]'s readout does.
+    */
+  def cmsCells(tokens: DataFrame, width: Int = 1024,
+               depth: Int = 4): DataFrame =
+    tokens.select(posexplode(array((0 until depth).map(r =>
+        pmod(TextOps.hash64Seeded(r, col("token")), lit(width.toLong))): _*))
+        .as(Seq("r", "cell")))
+      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("_cnt"))
+
+  /** [[cmsCells]] from a documents frame (batch or streaming). */
+  def cmsCellsOfDocs(docs: DataFrame, width: Int = 1024, depth: Int = 4,
+                     textCol: String = "text"): DataFrame =
+    cmsCells(docs.select(explode(TextOps.tokens(col(textCol))).as("token")),
+      width, depth)
+
   def cmsHeavyHitters(docs: DataFrame, width: Int = 1024, depth: Int = 4,
                       topK: Int = 20, textCol: String = "text"): DataFrame = {
     require(width >= 2 && depth >= 1 && topK >= 1,
@@ -706,10 +728,7 @@ object TextAnalysis {
       docs.select(explode(TextOps.tokens(col(textCol))).as("token")))
     def cellOf(r: Int, tok: Column): Column =
       pmod(TextOps.hash64Seeded(r, tok), lit(width.toLong))
-    val cells = stream
-      .select(posexplode(array((0 until depth).map(r =>
-        cellOf(r, col("token"))): _*)).as(Seq("r", "cell")))
-      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("_cnt"))
+    val cells = cmsCells(stream, width, depth)
     val top = stream.groupBy(col("token"))
       .agg(count(lit(1)).as("true_count"))
       .orderBy(col("true_count").desc, col("token").asc).limit(topK)

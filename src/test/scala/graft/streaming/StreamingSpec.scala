@@ -410,6 +410,26 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming sketch diverged: $last vs $batch")
   }
 
+  test("streaming CMS grid equals the batch grid (bounded state)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+    val batchGrid = graft.ext.TextAnalysis.cmsCellsOfDocs(docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val stage = Files.createTempDirectory("cms_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    // complete mode: the sink always holds the whole (<= 4096-cell) grid
+    val q = graft.ext.TextAnalysis.cmsCellsOfDocs(streamIn)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamGrid = spark.table("cms_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamGrid == batchGrid,
+      s"grids differ: ${streamGrid.size} vs ${batchGrid.size} cells")
+  }
+
   test("resample plan applies identically to batch and stream") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sfDir)
