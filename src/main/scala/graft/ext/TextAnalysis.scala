@@ -489,7 +489,11 @@ object TextAnalysis {
           explode(array_distinct(
             TextOps.shingles(col("_toks"), 3))).as("sh"))
         .groupBy(col("source"), col("sh"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        // array_distinct above guarantees each doc contributes each
+        // shingle at most once, so every doc_id in a (source, sh) group
+        // is unique — plain count equals countDistinct(doc_id) without
+        // the Expand-based distinct aggregate (one less exchange phase)
+        .agg(count(lit(1)).as("n_docs"))
     shingleDf.join(broadcast(perSource), "source")
       .filter(col("n_docs") >= minDocs &&
         col("n_docs").cast("double") >=
