@@ -275,16 +275,20 @@ object TextAnalysis {
       docs.select(col("doc_id"), explode(TextOps.tokens(col(textCol)))
         .as("term")))
     val nDocs = docs.agg(count(lit(1)).as("_n_docs"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
+    val tfBase = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("_cnt"))
+    val tf = tfBase
       .withColumn("_n_tok",
         sum(col("_cnt")).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))))
     // no broadcast hint on the df table: a real corpus vocabulary is
     // unbounded (10^7+ terms easily), so a forced broadcast risks OOM at
-    // scale — AQE broadcasts from runtime stats when it actually fits
-    val df = terms.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("_df"))
+    // scale — AQE broadcasts from runtime stats when it actually fits.
+    // df counts rows of the per-(doc, term) frame — already one row per
+    // doc there, so no Expand-based countDistinct is needed, and the
+    // identical tfBase subtree is exchange-reusable with the tf branch
+    val df = tfBase.groupBy(col("term"))
+      .agg(count(lit(1)).as("_df"))
     val scored = tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("_score",
