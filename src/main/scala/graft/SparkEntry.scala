@@ -127,6 +127,7 @@ object SparkEntry {
     "t25_unigram_logprob" -> ExtQueries.unigramLogprob _,
     "t26_temperature_resample" -> ExtQueries.temperatureResample _,
     "t27_cms_heavy_hitters" -> ExtQueries.cmsHeavyHitters _,
+    "t28_segment_dedup" -> ExtQueries.segmentDedup _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -216,6 +217,7 @@ object SparkEntry {
     "t25_unigram_logprob" -> ExtOracleSql.t25UnigramLogprob,
     "t26_temperature_resample" -> ExtOracleSql.t26TemperatureResample,
     "t27_cms_heavy_hitters" -> ExtOracleSql.t27CmsHeavyHitters,
+    "t28_segment_dedup" -> ExtOracleSql.t28SegmentDedup,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,

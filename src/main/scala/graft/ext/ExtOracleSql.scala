@@ -769,6 +769,44 @@ FROM probes p JOIN cells c USING (r, cell)
 GROUP BY 1, 2"""
   }
 
+  /** t28: segment-level dedup — the 8-token header injected on even
+    * docs (mirrors ExtQueries.segmentDedup) recurs in half the corpus,
+    * exceeds the 3-doc cap, and is removed; the cleaned text is the
+    * surviving segments re-joined in `seg_idx` order. The two same-level
+    * `unnest`s zip positionally (DuckDB semantics), giving the
+    * `posexplode` twin; `string_agg` skips the removed (NULLed)
+    * segments and coalesces to '' for an all-boilerplate doc, matching
+    * Spark's `concat_ws` over an empty array.
+    */
+  val t28SegmentDedup: String = s"""WITH withh AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'nav home about contact privacy terms login search '
+                   || text
+              ELSE text END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks FROM withh
+), segs AS (
+  SELECT doc_id,
+         unnest(generate_series(0, (len(toks) - 1) // 8)) AS seg_idx,
+         unnest(list_transform(generate_series(0, (len(toks) - 1) // 8),
+           i -> array_to_string(toks[(i*8+1):(i*8+8)], ' '))) AS seg
+  FROM t
+), hashed AS (
+  SELECT doc_id, seg_idx, seg, ${h64("seg")} AS h FROM segs
+), counts AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM hashed GROUP BY 1
+)
+SELECT s.doc_id,
+       COALESCE(string_agg(CASE WHEN c.n_docs <= 3 THEN s.seg END, ' '
+                           ORDER BY s.seg_idx), '') AS clean_text,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN c.n_docs > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM hashed s JOIN counts c USING (h)
+GROUP BY 1"""
+
   /** d9: incremental dedup — existing corpus (doc_id % 3 = 0), batch =
     * the rest + injected exact copies (+300000, every 6th existing) and
     * near-dup mutations (+400000, every 9th existing, 11th tokens

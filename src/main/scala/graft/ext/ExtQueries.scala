@@ -784,6 +784,25 @@ object ExtQueries {
       spread(Tables.documents(spark, sfDir)))
   }
 
+  /** Segment-level dedup (t28) over a corpus with injected chrome:
+    * every even doc is prepended an 8-token site header (exactly one
+    * segment wide, so the original content stays segment-aligned — the
+    * same deterministic-injection device as t19, because the organic
+    * corpus has no repeated 8-token runs). The header segment lands in
+    * half the corpus, far above the 3-doc cap, and is removed from
+    * every even doc; organic segments survive untouched.
+    */
+  def segmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val withHdr = spread(docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("nav home about contact privacy terms login search "),
+          col("text")))
+        .otherwise(col("text")).as("text")))
+    TextAnalysis.segmentDedup(withHdr)
+  }
+
   /** Temperature-based (α = 0.5) domain resampling plan (t26). */
   def temperatureResample(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

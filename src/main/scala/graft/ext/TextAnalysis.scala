@@ -821,4 +821,63 @@ object TextAnalysis {
             sum(col("_cnt_d")).cast("double"), 6).as("avg_logprob"),
         min(col("_lp")).as("min_logprob"))
   }
+
+  /** Segment-level dedup (t28): remove fixed-width token segments that
+    * recur across more than `maxDocs` documents and rebuild the cleaned
+    * text — the *removal* counterpart of [[boilerplateNgrams]] (which
+    * only reports chrome) and the CCNet line-dedup shape (their "line"
+    * is our `segTokens`-token segment, since this corpus is single-line
+    * text). Surgical by construction: document-level near-dedup never
+    * touches these documents (the bodies differ), yet the repeated
+    * header/footer segments are exactly what a trained model memorizes.
+    *
+    * 100 TB shape: tokens cross a generator barrier once; segments
+    * shuffle as 64-bit hashes, never text — the count pass partial-aggs
+    * `(hash → n_docs)` map-side and the filter frame that joins back is
+    * vocabulary-of-segments sized. The rebuild is one `groupBy(doc_id)`
+    * whose state is the document's own segments (bounded by doc length).
+    * Every doc survives with `n_segments`/`n_removed` accounting; a doc
+    * that was ALL boilerplate comes back as an empty string, not a
+    * dropped row.
+    *
+    * Determinism: segment order is restored by sorting `(seg_idx, seg)`
+    * structs — `seg_idx` is unique per doc, so the rebuild order is
+    * total and the DuckDB twin's `string_agg(... ORDER BY seg_idx)`
+    * matches exactly. `array_distinct` before the count means a segment
+    * repeated WITHIN one doc still counts that doc once.
+    */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 8, maxDocs: Int = 3,
+                   textCol: String = "text"): DataFrame = {
+    require(segTokens >= 1 && maxDocs >= 1, "positive segment width/cap")
+    val base = TextOps.attrBarrier(docs.select(col("doc_id"), col(textCol)),
+      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
+    // (doc_id, seg_idx, seg): consecutive segTokens-wide slices; the
+    // last segment keeps the remainder (slice past the end truncates)
+    val segs = graft.std.Materialize.once(base.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("_toks")) - 1) / lit(segTokens)).cast("int")),
+          i => concat_ws(" ",
+            slice(col("_toks"), i * segTokens + 1, lit(segTokens))))))
+      .select(col("doc_id"), col("pos").as("seg_idx"),
+        TextOps.hash64(col("col")).as("_h"), col("col").as("seg")))
+    // docs-per-segment on the 64-bit hash — one shingle-free shuffle of
+    // (hash) keys with map-side partial counts; count(distinct) is safe
+    // to flatten because each (doc, hash) pair enters once per doc via
+    // the groupBy below
+    val counts = segs.select(col("doc_id"), col("_h")).distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_n_docs"))
+    segs.join(counts, Seq("_h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("_n_docs") > maxDocs, 1L).otherwise(0L))
+          .as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("_n_docs") <= maxDocs,
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg"))).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"), col("n_segments"),
+        col("n_removed"))
+  }
 }

@@ -235,4 +235,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(splits(1L) == splits(999999L))
     assert(splits(1L) == splits(2L))
   }
+
+  test("segment dedup removes cross-doc chrome, keeps within-doc repeats") {
+    val hdr = "a b c d e f g h" // exactly one 8-token segment
+    val docs = Seq(
+      (1L, s"$hdr one two three four five six seven eight nine"),
+      (2L, s"$hdr ten eleven twelve"),
+      (3L, s"$hdr unique3"),
+      (4L, s"$hdr unique4"),
+      (5L, "free standing text with no chrome"),
+      (6L, hdr), // all boilerplate → empty survivor
+      (7L, "p q r s t u v w p q r s t u v w") // self-repeat, one doc
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.segmentDedup(docs, segTokens = 8, maxDocs = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // header is in docs 1,2,3,4,6 = 5 docs > cap 3 → removed everywhere
+    assert(out(1L) ==
+      (("one two three four five six seven eight nine", 3L, 1L)))
+    assert(out(2L) == (("ten eleven twelve", 2L, 1L)))
+    assert(out(5L) == (("free standing text with no chrome", 1L, 0L)))
+    assert(out(6L) == (("", 1L, 1L)))
+    // the repeated segment lives in ONE doc (distinct-doc count = 1):
+    // both copies survive, in order
+    assert(out(7L) == (("p q r s t u v w p q r s t u v w", 2L, 0L)))
+    assert(out.size == 7) // every doc survives with accounting
+  }
 }
