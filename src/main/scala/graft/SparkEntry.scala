@@ -128,6 +128,7 @@ object SparkEntry {
     "t26_temperature_resample" -> ExtQueries.temperatureResample _,
     "t27_cms_heavy_hitters" -> ExtQueries.cmsHeavyHitters _,
     "t28_segment_dedup" -> ExtQueries.segmentDedup _,
+    "t29_bm25_topk" -> ExtQueries.bm25Search _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -218,6 +219,7 @@ object SparkEntry {
     "t26_temperature_resample" -> ExtOracleSql.t26TemperatureResample,
     "t27_cms_heavy_hitters" -> ExtOracleSql.t27CmsHeavyHitters,
     "t28_segment_dedup" -> ExtOracleSql.t28SegmentDedup,
+    "t29_bm25_topk" -> ExtOracleSql.t29Bm25TopK,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,

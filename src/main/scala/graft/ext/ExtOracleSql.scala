@@ -807,6 +807,64 @@ SELECT s.doc_id,
 FROM hashed s JOIN counts c USING (h)
 GROUP BY 1"""
 
+  /** t29: BM25 top-10 retrieval over the four literal probe queries
+    * (mirrors ExtQueries.bm25Search). The t25 discipline: idf's `ln`
+    * rounds to 9 dp before use, each term weight is IEEE double
+    * arithmetic in the exact operation order of the Spark expression
+    * then rounds to 9 dp, and per-(query, doc) totals sum in DECIMAL.
+    * Ranking orders by the exact decimal total, doc_id tiebreak — never
+    * the displayed 6 dp score. df is computed on the query-vocabulary
+    * cut of the posting lists (identical values; the Spark side never
+    * builds a full-vocabulary rollup).
+    */
+  val t29Bm25TopK: String = s"""WITH q(query_id, qtext) AS (
+  VALUES (CAST(1 AS BIGINT), 'spark join merge'),
+         (2, 'window stream batch'),
+         (3, 'customer order line'),
+         (4, 'vector hash table scan')
+), t AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks FROM documents
+), ex AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), dtf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM dtf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+), qt AS (
+  SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS token
+  FROM q
+), dfq AS (
+  SELECT token, COUNT(*) AS df FROM dtf
+  WHERE token IN (SELECT token FROM qt) GROUP BY 1
+), scored AS (
+  SELECT qt.query_id, d.doc_id,
+         round(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(l.dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+               9) AS w
+  FROM dtf d
+  JOIN qt ON d.token = qt.token
+  JOIN dfq ON d.token = dfq.token
+  JOIN dl l ON d.doc_id = l.doc_id
+  CROSS JOIN stats
+), agg AS (
+  SELECT query_id, doc_id, SUM(CAST(w AS DECIMAL(28,9))) AS s
+  FROM scored GROUP BY 1, 2
+), rk AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rank
+  FROM agg
+)
+SELECT query_id, doc_id, round(CAST(s AS DOUBLE), 6) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 10"""
+
   /** d9: incremental dedup — existing corpus (doc_id % 3 = 0), batch =
     * the rest + injected exact copies (+300000, every 6th existing) and
     * near-dup mutations (+400000, every 9th existing, 11th tokens

@@ -803,6 +803,22 @@ object ExtQueries {
     TextAnalysis.segmentDedup(withHdr)
   }
 
+  /** BM25 top-10 retrieval (t29) over four fixed probe queries drawn
+    * from the corpus vocabulary — the dataset-search / eval-mining
+    * surface. Query strings are literals so both dialects rank the
+    * identical query set.
+    */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    import spark.implicits._
+    val qs = Seq(
+      (1L, "spark join merge"),
+      (2L, "window stream batch"),
+      (3L, "customer order line"),
+      (4L, "vector hash table scan")).toDF("query_id", "qtext")
+    Search.bm25TopK(spread(Tables.documents(spark, sfDir)), qs)
+  }
+
   /** Temperature-based (α = 0.5) domain resampling plan (t26). */
   def temperatureResample(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

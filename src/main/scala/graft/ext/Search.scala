@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over the document corpus — the query side of a
+  * training-data pipeline (dataset search, eval-set mining, targeted
+  * decontamination probes). The reference has no search surface; this is
+  * part of the beyond-reference curation tier.
+  */
+object Search {
+
+  /** BM25 top-k retrieval (t29): score every document against a small
+    * query table with Okapi BM25 (k1 = 1.2, b = 0.75 — the standard
+    * Robertson parameters) and keep the `k` best per query.
+    *
+    * 100 TB shape — an inverted-index probe expressed relationally:
+    * the per-(doc, token) term-frequency frame is the posting list, and
+    * the query only ever touches postings whose token appears in some
+    * query (`dtf ⋈ broadcast(query tokens)` — the corpus-wide frame is
+    * scanned once and immediately cut to the query vocabulary, so the
+    * expensive joins move `docs-containing-query-terms` rows, not the
+    * corpus). Document frequency is computed on that cut (equivalent:
+    * df only matters for query terms), so no full-vocabulary rollup
+    * exists anywhere. Corpus-level stats (N, avgdl) are one broadcast
+    * row; the query side is always broadcast.
+    *
+    * Determinism (the t25 discipline): `ln` agrees cross-engine at
+    * 9 dp, so idf is rounded to 9 dp BEFORE use; each term weight is
+    * IEEE arithmetic over that rounded idf (multiply/divide/add are
+    * exactly rounded, so identical operation order ⇒ identical
+    * doubles), itself rounded to 9 dp; per-(query, doc) totals sum in
+    * DECIMAL(28,9) — order-free. Ranking orders by the exact decimal
+    * total (doc_id tiebreak), never the displayed 6 dp score.
+    *
+    * @param queries (query_id: long, qtext: string); tokenized with the
+    *                corpus normalizer, duplicate query terms count once.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+               textCol: String = "text"): DataFrame = {
+    // posting lists: one row per (doc, token) with its term frequency.
+    // Pinned: feeds document lengths, the query-vocabulary cut, and
+    // (via the cut) document frequencies — one tokenize pass total.
+    val dtf = graft.std.Materialize.once(docs
+      .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("_tf")))
+    val dl = dtf.groupBy(col("doc_id")).agg(sum(col("_tf")).as("_dl"))
+    val stats = dl.agg(count(lit(1)).as("_n_docs"), sum(col("_dl")).as("_sum_dl"))
+    val qtok = queries.select(col("query_id"),
+      explode(array_distinct(TextOps.tokens(col("qtext")))).as("token"))
+    // corpus → query-vocabulary cut; df computed on the cut (each
+    // (doc, token) row appears once, so count(*) = docs containing it)
+    val dtfq = graft.std.Materialize.once(
+      dtf.join(broadcast(qtok.select(col("token")).distinct()), "token"))
+    val dfq = dtfq.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    val idf = round(
+      log((col("_n_docs").cast("double") - col("_df").cast("double") + 0.5) /
+        (col("_df").cast("double") + 0.5) + 1.0), 9)
+    val avgdl = col("_sum_dl").cast("double") / col("_n_docs").cast("double")
+    val w = round(
+      idf * (col("_tf").cast("double") * lit(2.2)) /
+        (col("_tf").cast("double") +
+          lit(1.2) * (lit(1.0) - lit(0.75) +
+            lit(0.75) * (col("_dl").cast("double") / avgdl))), 9)
+    val scored = dtfq
+      .join(broadcast(qtok), "token")
+      .join(broadcast(dfq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        w.cast("decimal(28,9)").as("_w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_w")).as("_s"))
+    val rk = Window.partitionBy(col("query_id"))
+      .orderBy(col("_s").desc, col("doc_id").asc)
+    scored
+      .select(col("query_id"), col("doc_id"),
+        round(col("_s").cast("double"), 6).as("score"),
+        row_number().over(rk).cast("long").as("rank"))
+      .filter(col("rank") <= k)
+  }
+}
