@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductD, KmvMins, Md5Lane, NfcNormalize}
+import graft.functions.{BloomBits, BloomContains, DotProductD, KmvMins, Md5Lane, NfcNormalize}
 
 /** Session-extension entry point: configure
   * `spark.sql.extensions=graft.GraftExtensions` and the native
@@ -68,5 +68,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvMins(children.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomBits].getName, "graft_bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomBits(children.head,
+          GraftExtensions.constInt("graft_bloom_agg", children(1), 1),
+          GraftExtensions.constInt("graft_bloom_agg", children(2), 2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName,
+        "graft_bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomContains(children.head, children(1),
+          GraftExtensions.constInt("graft_bloom_contains", children(2), 2),
+          GraftExtensions.constInt("graft_bloom_contains", children(3), 3))))
+  }
+}
+
+object GraftExtensions {
+  /** Plan-time constant int argument (the kmv/md5lane extraction rule,
+    * shared): a literal or foldable expression; anything else is a
+    * typed analysis error, not an NPE from `eval(null)`.
+    */
+  private[graft] def constInt(
+      fn: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      pos: Int): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other if other.foldable =>
+      other.eval() match {
+        case n: Number => n.intValue()
+        case bad => throw org.apache.spark.sql.GraftErrors
+          .nonConstantArgument(fn, pos, s"folded to non-integer value $bad")
+      }
+    case _ => throw org.apache.spark.sql.GraftErrors
+      .nonConstantArgument(fn, pos,
+        "argument is not a constant (foldable) expression")
   }
 }

@@ -338,6 +338,42 @@ object Dedup {
           count(lit(1)), 6).as("contamination_ratio"))
   }
 
+  /** Bloom-filter decontamination profile (t30): [[contaminationProfile]]
+    * with the benchmark side compressed into a fixed-size
+    * [[graft.functions.BloomBits]] membership filter instead of an
+    * exact distinct-hash broadcast. At 100 TB this is the pre-filter
+    * shape: the broadcast payload is m/8 bytes REGARDLESS of benchmark
+    * size (d8's exact set grows linearly), misses are definitive
+    * (one-sided error), and only bloom-hit docs need the exact pass.
+    * Note what is NOT here: no `.distinct()` on the bench side — the
+    * bitwise-OR aggregate absorbs duplicates, so the filter build is
+    * one shuffle-free partial aggregation over raw shingle hashes.
+    *
+    * Oracle-gateable (library bloom filters are not) because positions
+    * are Kirsch–Mitzenmacher double hashing over the shared md5 hash —
+    * pure integer arithmetic DuckDB replays exactly, so even the false
+    * positives match bit-for-bit.
+    */
+  def bloomContaminationProfile(corpusSh: DataFrame, benchSh: DataFrame,
+                                m: Int = 1 << 16, k: Int = 4): DataFrame = {
+    val bloom = benchSh
+      .select(explode(array_distinct(col("sh"))).as("_s"))
+      .agg(org.apache.spark.sql.GraftColumns
+        .bloomAgg(TextOps.hash64(col("_s")), m, k).as("_bloom"))
+    corpusSh
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("_s"))
+      .select(col("doc_id"), TextOps.hash64(col("_s")).as("shash"))
+      .crossJoin(broadcast(bloom))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(org.apache.spark.sql.GraftColumns
+            .bloomContains(col("_bloom"), col("shash"), m, k), 1L)
+          .otherwise(0L)).as("n_bloom_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+        round(col("n_bloom_hits").cast("double") /
+          col("n_shingles").cast("double"), 6).as("bloom_ratio"))
+  }
+
   /** 32-bit SimHash from a PRE-HASHED token array: per-bit majority vote,
     * folded sequentially (deterministic). Feed it an ATTRIBUTE (cross a
     * [[TextOps.attrBarrier]] first): the 32 vote transforms each re-read

@@ -807,6 +807,46 @@ SELECT s.doc_id,
 FROM hashed s JOIN counts c USING (h)
 GROUP BY 1"""
 
+  /** t30: bloom-filter decontamination — replays the
+    * Kirsch–Mitzenmacher positions (`h1 = h % m`,
+    * `h2 = 1 + (h // m) % (m-1)`, `pos_j = (h1 + j*h2) % m`, m = 2^16,
+    * k = 4) in pure BIGINT arithmetic: the occupied-position set IS the
+    * bit array, and a probe hits iff all 4 of its positions are
+    * occupied — so even false positives match the Spark filter
+    * bit-for-bit. Mirrors d8's corpus split (doc_id % 31).
+    */
+  val t30BloomDecontamination: String = {
+    val posOf = (h: String) =>
+      s"(($h % 65536 + j * (1 + ($h // 65536) % 65535)) % 65536)"
+    s"""WITH t AS (
+  SELECT doc_id, ${sh3(s"string_split($Norm, ' ')", Norm)} AS sh
+  FROM documents
+), ks AS (
+  SELECT unnest(generate_series(0, 3)) AS j
+), bh AS (
+  SELECT ${h64("s")} AS h
+  FROM (SELECT unnest(list_distinct(sh)) AS s FROM t WHERE doc_id % 31 = 0)
+), occ AS (
+  SELECT DISTINCT ${posOf("h")} AS p FROM bh CROSS JOIN ks
+), exh AS (
+  SELECT doc_id, ${h64("s")} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM t
+        WHERE doc_id % 31 <> 0)
+), probe AS (
+  SELECT doc_id, h, ${posOf("h")} AS p FROM exh CROSS JOIN ks
+), hit AS (
+  SELECT doc_id, h, COUNT(occ.p) = 4 AS is_hit
+  FROM probe LEFT JOIN occ ON probe.p = occ.p
+  GROUP BY 1, 2
+)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN is_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       round(CAST(SUM(CASE WHEN is_hit THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bloom_ratio
+FROM hit GROUP BY 1"""
+  }
+
   /** t29: BM25 top-10 retrieval over the four literal probe queries
     * (mirrors ExtQueries.bm25Search). The t25 discipline: idf's `ln`
     * rounds to 9 dp before use, each term weight is IEEE double

@@ -230,6 +230,23 @@ object ExtQueries {
     sharedContaminationProfile(spark, sfDir)
   }
 
+  /** Bloom-filter decontamination (t30): d8's corpus split (every 31st
+    * doc is the benchmark) probed through the fixed-size bloom filter
+    * instead of the exact broadcast set — see
+    * [[Dedup.bloomContaminationProfile]]. m = 2^16 bits (8 KiB
+    * broadcast), k = 4; at the sf0.01 benchmark's ~7k distinct shingles
+    * the false-positive rate is ~2%, and every false positive is
+    * reproduced bit-for-bit by the DuckDB twin.
+    */
+  def bloomDecontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val withSh = graft.std.Materialize.once(
+      shingled(Tables.documents(spark, sfDir), TextOps.tokens(col("text"))))
+    Dedup.bloomContaminationProfile(
+      withSh.filter(col("doc_id") % 31 =!= 0),
+      withSh.filter(col("doc_id") % 31 === 0))
+  }
+
   /** Incremental (cross-corpus) dedup (d9): today's batch against the
     * accumulated corpus. `doc_id % 3 == 0` plays the existing corpus;
     * the batch is the remaining docs plus injected cross-corpus dups —

@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.functions.{DotProductD, KmvMins, Md5Lane, NfcNormalize}
+import graft.functions.{BloomBits, BloomContains, DotProductD, KmvMins, Md5Lane, NfcNormalize}
 
 /** Typed analysis errors for graft's SQL function builders (the
   * message-only `AnalysisException` constructor is `private[sql]`,
@@ -44,6 +44,16 @@ object GraftColumns {
     ExpressionUtils.column(
       KmvMins(ExpressionUtils.expression(c), k).toAggregateExpression())
 
+  /** Bloom bit-array aggregate over a long column — see [[BloomBits]]. */
+  def bloomAgg(c: Column, m: Int, k: Int): Column =
+    ExpressionUtils.column(
+      BloomBits(ExpressionUtils.expression(c), m, k).toAggregateExpression())
+
+  /** Codegen'd bloom membership probe — see [[BloomContains]]. */
+  def bloomContains(bloom: Column, v: Column, m: Int, k: Int): Column =
+    ExpressionUtils.column(BloomContains(
+      ExpressionUtils.expression(bloom), ExpressionUtils.expression(v), m, k))
+
   /** Register graft's native functions on an existing session so SQL
     * users can call them (`SELECT graft_dot(a, b)`); the
     * [[graft.GraftExtensions]] class does the same at session build time
@@ -54,29 +64,30 @@ object GraftColumns {
       "graft_dot", exprs => DotProductD(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
-    def laneBound(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                  pos: Int): Int =
+    def constInt(fn: String,
+                 e: org.apache.spark.sql.catalyst.expressions.Expression,
+                 pos: Int): Int =
       if (e.foldable) e.eval() match {
         case n: Number => n.intValue()
         case bad => throw GraftErrors.nonConstantArgument(
-          "graft_md5lane", pos, s"folded to non-integer value $bad")
+          fn, pos, s"folded to non-integer value $bad")
       }
       else throw GraftErrors.nonConstantArgument(
-        "graft_md5lane", pos, "argument is not a constant expression")
+        fn, pos, "argument is not a constant expression")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5lane", exprs => Md5Lane(exprs.head,
-        laneBound(exprs(1), 1), laneBound(exprs(2), 2)), "built-in")
+        constInt("graft_md5lane", exprs(1), 1),
+        constInt("graft_md5lane", exprs(2), 2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_kmv_mins", exprs => {
-        val k =
-          if (exprs(1).foldable) exprs(1).eval() match {
-            case n: Number => n.intValue()
-            case bad => throw GraftErrors.nonConstantArgument(
-              "graft_kmv_mins", 1, s"folded to non-integer value $bad")
-          }
-          else throw GraftErrors.nonConstantArgument(
-            "graft_kmv_mins", 1, "argument is not a constant expression")
-        KmvMins(exprs.head, k)
-      }, "built-in")
+      "graft_kmv_mins", exprs => KmvMins(exprs.head,
+        constInt("graft_kmv_mins", exprs(1), 1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", exprs => BloomBits(exprs.head,
+        constInt("graft_bloom_agg", exprs(1), 1),
+        constInt("graft_bloom_agg", exprs(2), 2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains", exprs => BloomContains(exprs.head, exprs(1),
+        constInt("graft_bloom_contains", exprs(2), 2),
+        constInt("graft_bloom_contains", exprs(3), 3)), "built-in")
   }
 }
