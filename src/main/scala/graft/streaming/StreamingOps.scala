@@ -14,6 +14,11 @@ case class KmvSketch(mins: List[Long], seen: Long)
 case class KmvEstimate(lang: String, k_used: Long, est_distinct: Double,
                        n_hashes_seen: Long)
 
+/** Typed rows/state for the streaming bloom dedup. */
+case class BloomedDoc(doc_id: Long, shard: Int, h: Long)
+case class BloomShardState(bits: Array[Byte], n_inserted: Long)
+case class BloomSeen(doc_id: Long, probably_seen: Boolean)
+
 /** Typed rows/state for the streaming funnel. */
 case class FunnelEvent(user_id: Long, event_type: String,
                        ts: java.sql.Timestamp)
@@ -276,6 +281,62 @@ object StreamingOps {
       md5(to_json(struct(col("event_type"), col("user_id"), col("value")))))
     if (events.isStreaming) keyed.dropDuplicatesWithinWatermark("dedup_key")
     else keyed.dropDuplicates("dedup_key")
+  }
+
+  /** Bounded-memory FOREVER-window approximate dedup: every incoming
+    * document is tagged `probably_seen` against a sharded
+    * [[graft.functions.BloomBits]] bloom filter accumulated in stream
+    * state. The complement of [[dedupedEvents]]: that one is EXACT but
+    * only within the watermark horizon (state grows with distinct keys
+    * inside the window); this one never forgets and never grows — state
+    * is `shards × m/8` bytes for the stream's lifetime, the trade being
+    * a one-sided false-positive rate (a `probably_seen=false` verdict
+    * is definitive; `true` may be a collision, at the engineered rate).
+    * That is the production pattern for "have we EVER crawled this?"
+    * over unbounded corpus history.
+    *
+    * Sharding: content hashes group by `h % shards`, each shard owning
+    * an independent filter — state update parallelism without a global
+    * bottleneck task; at scale `shards` is sized to executor count.
+    * Within a micro-batch each shard processes rows in doc_id order, so
+    * an intra-batch duplicate pair resolves deterministically (the
+    * lower doc_id inserts, the higher one reports seen). No watermark
+    * and no timeout — forgetting is exactly what this operator refuses
+    * to do. Works identically on a batch frame (one batch, empty
+    * initial state).
+    */
+  def bloomDedupStream(docs: DataFrame, m: Int = 1 << 16, k: Int = 4,
+                       shards: Int = 8): Dataset[BloomSeen] = {
+    require(shards >= 1, "at least one shard")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        graft.ext.TextOps.hash64(
+          graft.ext.TextOps.normText(col("text"))).as("h"))
+      .select(col("doc_id"), (col("h") % shards).cast("int").as("shard"),
+        col("h"))
+      .as[BloomedDoc]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[BloomShardState, BloomSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[BloomedDoc],
+         state: GroupState[BloomShardState]) =>
+          val st = state.getOption
+            .getOrElse(BloomShardState(new Array[Byte](m / 8), 0L))
+          // clone: GroupState contents must not be mutated in place
+          val bits = st.bits.clone()
+          var inserted = st.n_inserted
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val seen = graft.functions.BloomBits.contains(bits, r.h, m, k)
+            if (!seen) {
+              graft.functions.BloomBits.set(bits, r.h, m, k)
+              inserted += 1
+            }
+            BloomSeen(r.doc_id, seen)
+          }
+          state.update(BloomShardState(bits, inserted))
+          out.iterator
+      }
   }
 
   /** Top-k trending event types per tumbling hour — the "what's hot

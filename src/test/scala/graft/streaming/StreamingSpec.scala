@@ -455,4 +455,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamKept == batchKept,
       "stream-applied plan diverged from batch application")
   }
+
+  test("streaming bloom dedup: never forgets, matches a local replay") {
+    import spark.implicits._
+    val m = 1 << 16; val k = 4; val shards = 8
+    val b1 = (1L to 200L).map(i => (i, s"alpha text number $i"))
+    val dupOfB1 = (1001L to 1100L).map(i => (i, s"alpha text number ${i - 1000}"))
+    val fresh = (2001L to 2100L).map(i => (i, s"omega fresh text $i"))
+    val b2 = dupOfB1 ++ fresh
+
+    val stage = Files.createTempDirectory("bloom_src").toString
+    b1.toDF("doc_id", "text").write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = StreamingOps.bloomDedupStream(streamIn, m, k, shards)
+      .writeStream.format("memory").queryName("bloom_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1 fully folded into state…
+      b2.toDF("doc_id", "text").write.mode("append").parquet(stage)
+      q.processAllAvailable() // …before any batch-2 file arrives
+    } finally q.stop()
+    val got = spark.table("bloom_dedup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+    // local replay with the operator's own kernels: same hashes, same
+    // shard split, same per-batch doc_id order → exact expected output,
+    // false positives included
+    val hashOf = (b1 ++ b2).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ext.TextOps.hash64(
+        graft.ext.TextOps.normText(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val filters = Array.fill(shards)(new Array[Byte](m / 8))
+    val expected = scala.collection.mutable.Map.empty[Long, Boolean]
+    Seq(b1, b2).foreach { batch =>
+      batch.map(_._1).groupBy(id => (hashOf(id) % shards).toInt)
+        .foreach { case (shard, ids) =>
+          ids.sorted.foreach { id =>
+            val h = hashOf(id)
+            val seen = graft.functions.BloomBits.contains(filters(shard), h, m, k)
+            if (!seen) graft.functions.BloomBits.set(filters(shard), h, m, k)
+            expected(id) = seen
+          }
+        }
+    }
+    assert(got == expected.toMap)
+    // one-sided semantics on top of the exact replay: every true dup
+    // flagged, fresh content almost never (fp rate ~0.1% at this load)
+    assert(dupOfB1.forall { case (id, _) => got(id) })
+    assert(fresh.count { case (id, _) => got(id) } < 5)
+  }
+
+  test("bloom dedup on a batch frame flags intra-batch duplicates") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "other text"), (3L, "same text"))
+      .toDF("doc_id", "text")
+    val got = StreamingOps.bloomDedupStream(docs).collect()
+      .map(r => r.doc_id -> r.probably_seen).toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true))
+  }
 }
