@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storage-layout operators — the other half of the write-time-work
+  * story next to [[Bucketing]]: bucketing kills the JOIN shuffle,
+  * partition + sort layout kills the SCAN. At 100 TB the difference
+  * between "read 100 TB and filter" and "read the 3 partitions the
+  * predicate selects" is the whole query budget, and it is decided
+  * entirely by how the data was written.
+  *
+  *  - [[writePartitioned]]: Hive-style directory partitioning on a
+  *    low-cardinality key (date, language, source). A filter on the
+  *    partition column becomes a `PartitionFilters` entry — pruned at
+  *    PLANNING time from the file listing; unselected partitions are
+  *    never opened, never even stat'ed into the scan.
+  *  - [[writeRangeSorted]]: range-repartition + in-file sort on a
+  *    high-cardinality key. Every file then covers a disjoint key
+  *    range, so parquet footer min/max statistics let pushed-down
+  *    range predicates skip whole files/row-groups — the poor man's
+  *    Z-order, right for the one-dimensional sort keys that dominate
+  *    (time, id).
+  *
+  * The assertion helpers see through the AQE wrapper like
+  * [[Bucketing.exchangeCount]] — a plain `collect` on the executed plan
+  * reports nothing.
+  */
+object Layout {
+
+  /** Hive-style partitioned parquet write. Partition values become
+    * directory names, so keep cardinality bounded (dates, languages —
+    * not user ids: a million directories IS the anti-pattern this
+    * API's scaladoc exists to warn about).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** Range-partitioned, within-file-sorted parquet write: `numFiles`
+    * files with disjoint, sorted key ranges (min/max footer stats
+    * become selective).
+    */
+  def writeRangeSorted(df: DataFrame, path: String, sortCol: String,
+                       numFiles: Int): Unit = {
+    require(numFiles >= 1, "need at least one output file")
+    df.repartitionByRange(numFiles, df(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The scan's partition filters (pretty-printed) — non-empty proves
+    * the predicate reached the file listing instead of a post-scan
+    * Filter node.
+    */
+  def partitionFilters(df: DataFrame): Seq[String] =
+    scans(df).flatMap(_.partitionFilters.map(_.sql))
+
+  /** Data filters pushed into the parquet reader (footer-stats
+    * pruning + row-group skipping operate on these).
+    */
+  def pushedFilters(df: DataFrame): Seq[String] =
+    scans(df).flatMap(_.dataFilters.map(_.sql))
+
+  /** Files the frame's scans will read, from the PRUNED file listing
+    * (`location.listFiles(partitionFilters, dataFilters)` — the same
+    * call the scan's RDD construction makes). Computed at planning
+    * time: no action needed, and unlike the scan's `numFiles` metric
+    * it cannot be confused by `df.count()` building its own separate
+    * QueryExecution.
+    */
+  def filesRead(df: DataFrame): Long =
+    scans(df).map(s =>
+      s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+        .map(_.files.size.toLong).sum).sum
+
+  private def scans(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+}
