@@ -275,6 +275,16 @@ object Dedup {
       .select("doc_id")
     val rest = graft.std.Materialize.once(
       batch.join(exDig, Seq("_dig"), "left_anti").select("doc_id", "text"))
+    finishClassification(exactDups, rest, shE, sigE, k, bands, threshold)
+  }
+
+  /** The near-dup + new tail shared by the exact and bloom-prefiltered
+    * classifiers: `rest` is whatever survived exact dedup.
+    */
+  private def finishClassification(exactDups: DataFrame, rest: DataFrame,
+                                   shE: DataFrame, sigE: DataFrame, k: Int,
+                                   bands: Int,
+                                   threshold: Double): DataFrame = {
     val shB = graft.std.Materialize.once(shingleFrame(rest))
     val cands = lshCrossCandidates(
       minHashSignatures(shB, k), sigE, k, bands)
@@ -287,6 +297,52 @@ object Dedup {
     exactDups.withColumn("status", lit("exact_dup"))
       .unionByName(near.withColumn("status", lit("near_dup")))
       .unionByName(newIds.withColumn("status", lit("new")))
+  }
+
+  /** Bloom bit array over the corpus digest set — build once per corpus
+    * next to [[corpusState]], reuse across increments. m/8 bytes total
+    * (default 128 KiB), independent of corpus size.
+    */
+  def corpusDigestBloom(state: IncrementalState, m: Int = 1 << 20,
+                        kHashes: Int = 4): Array[Byte] =
+    state.digests
+      .agg(org.apache.spark.sql.GraftColumns
+        .bloomAgg(TextOps.hash64(col("_dig")), m, kHashes).as("_b"))
+      .head().getAs[Array[Byte]]("_b")
+
+  /** [[classifyIncrement]] with a bloom pre-filter on the exact-dup
+    * path: batch rows whose digest the filter has DEFINITELY never seen
+    * (no false negatives) skip the corpus digest join entirely and go
+    * straight to the near-dup stage; only the "maybe seen" slice joins.
+    * Results are IDENTICAL to [[classifyIncrement]] — the bloom only
+    * pre-selects join candidates, the exact join still decides, so a
+    * false positive costs one wasted lookup, never a wrong status
+    * (equivalence proven in `ExtSpec`). The 100 TB point: on a mostly
+    * fresh batch the digest join's batch side shrinks to the
+    * false-positive slice, and the per-row probe against the
+    * broadcast-literal filter is free (codegen, no shuffle) — this is
+    * the standard "bloom the build side" join optimization expressed at
+    * the operator level.
+    */
+  def classifyIncrementBloom(state: IncrementalState, bloom: Array[Byte],
+                             batchRaw: DataFrame, m: Int = 1 << 20,
+                             kHashes: Int = 4, bands: Int = 4,
+                             threshold: Double = 0.5): DataFrame = {
+    require(bloom.length == m / 8,
+      s"bloom byte length ${bloom.length} does not match m=$m")
+    val batch = graft.std.Materialize.once(
+      batchRaw.withColumn("_dig", md5(col("text"))))
+    val probe = org.apache.spark.sql.GraftColumns.bloomContains(
+      lit(bloom), TextOps.hash64(col("_dig")), m, kHashes)
+    val maybeSeen = batch.filter(probe)
+    val exactDups = maybeSeen.join(state.digests, Seq("_dig"), "left_semi")
+      .select("doc_id")
+    val rest = graft.std.Materialize.once(
+      batch.filter(!probe).select("doc_id", "text").unionByName(
+        maybeSeen.join(state.digests, Seq("_dig"), "left_anti")
+          .select("doc_id", "text")))
+    finishClassification(exactDups, rest, state.shingles, state.signatures,
+      state.k, bands, threshold)
   }
 
   /** Containment scoring over candidate pairs: `|A∩B| / |A|` (and the

@@ -429,6 +429,31 @@ class ExtSpec extends AnyFunSuite {
     assert(byStatus("new").nonEmpty)
   }
 
+  test("bloom-prefiltered incremental classify ≡ exact classify") {
+    val docs = Tables.documents(spark, sfDir)
+    val existing = docs.filter(col("doc_id") % 3 === 0)
+    // batch: fresh docs + exact copies of corpus docs (new ids) —
+    // exercises both sides of the bloom cut (definitely-new skips the
+    // digest join; maybe-seen goes through it)
+    val batch = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(existing.limit(50)
+        .select((col("doc_id") + 700000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    val state = Dedup.corpusState(existing)
+    val exact = Dedup.classifyIncrement(state, batch)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // small m forces real false positives through the maybe-seen path
+    val m = 1 << 10
+    val bloom = Dedup.corpusDigestBloom(state, m = m)
+    val viaBloom = Dedup.classifyIncrementBloom(state, bloom, batch, m = m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.std.Materialize.releaseAll()
+    assert(viaBloom == exact,
+      "bloom pre-filter changed classification results")
+    assert(exact.values.exists(_ == "exact_dup") &&
+      exact.values.exists(_ == "new")) // both paths actually exercised
+  }
+
   test("stratified content sample respects per-stratum rates and is stable") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextAnalysis.stratifiedContentSample(
