@@ -332,8 +332,12 @@ object Dedup {
       s"bloom byte length ${bloom.length} does not match m=$m")
     val batch = graft.std.Materialize.once(
       batchRaw.withColumn("_dig", md5(col("text"))))
-    val probe = org.apache.spark.sql.GraftColumns.bloomContains(
-      lit(bloom), TextOps.hash64(col("_dig")), m, kHashes)
+    // coalesce to false: a NULL text gives a NULL digest and a NULL
+    // probe, and three-valued logic would drop the row from BOTH filter
+    // branches — the exact path's anti-join keeps such rows (null never
+    // equals), so they must take the definitely-new branch here too
+    val probe = coalesce(org.apache.spark.sql.GraftColumns.bloomContains(
+      lit(bloom), TextOps.hash64(col("_dig")), m, kHashes), lit(false))
     val maybeSeen = batch.filter(probe)
     val exactDups = maybeSeen.join(state.digests, Seq("_dig"), "left_semi")
       .select("doc_id")

@@ -780,10 +780,13 @@ GROUP BY 1, 2"""
     */
   val t28SegmentDedup: String = s"""WITH withh AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0
+         -- the operator coalesces AFTER injection ('' on null), and
+         -- hdr || NULL is NULL in both dialects — so the whole CASE
+         -- coalesces, exactly like the Spark side
+         COALESCE(CASE WHEN doc_id % 2 = 0
               THEN 'nav home about contact privacy terms login search '
                    || text
-              ELSE text END AS text
+              ELSE text END, '') AS text
   FROM documents
 ), t AS (
   SELECT doc_id, string_split($Norm, ' ') AS toks FROM withh

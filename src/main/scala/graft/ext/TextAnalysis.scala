@@ -849,7 +849,12 @@ object TextAnalysis {
   def segmentDedup(docs: DataFrame, segTokens: Int = 8, maxDocs: Int = 3,
                    textCol: String = "text"): DataFrame = {
     require(segTokens >= 1 && maxDocs >= 1, "positive segment width/cap")
-    val base = TextOps.attrBarrier(docs.select(col("doc_id"), col(textCol)),
+    // NULL text → '' (one empty segment), not a vanished doc_id: a null
+    // tokenizes to a null array, posexplode emits no row, and the doc
+    // would silently drop from the output — breaking the every-doc-
+    // survives contract the accounting columns promise
+    val base = TextOps.attrBarrier(
+      docs.select(col("doc_id"), coalesce(col(textCol), lit("")).as(textCol)),
       Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
     // (doc_id, seg_idx, seg): consecutive segTokens-wide slices; the
     // last segment keeps the remainder (slice past the end truncates)

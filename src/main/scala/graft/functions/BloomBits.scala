@@ -92,10 +92,17 @@ case class BloomBits(
 
 object BloomBits {
 
-  /** Kirsch–Mitzenmacher position j for value v in an m-bit filter. */
+  /** Kirsch–Mitzenmacher position j for value v in an m-bit filter.
+    * `floorMod`, not `%`: the library contract feeds non-negative
+    * [[Md5Lane]] hashes (where the two agree, keeping the DuckDB twin
+    * exact), but the SQL functions are registered for arbitrary
+    * columns — a signed hash (e.g. `xxhash64`) must degrade to a
+    * well-defined position, not an executor-side
+    * ArrayIndexOutOfBoundsException from a negative index.
+    */
   def pos(v: Long, j: Int, m: Int): Int = {
-    val h1 = v % m
-    val h2 = 1L + (v / m) % (m - 1)
+    val h1 = java.lang.Math.floorMod(v, m.toLong)
+    val h2 = 1L + java.lang.Math.floorMod(v / m, (m - 1).toLong)
     ((h1 + j * h2) % m).toInt
   }
 

@@ -49,30 +49,11 @@ object Bucketing {
     spark.table(left).join(spark.table(right), Seq(key))
 
   /** Number of shuffle exchanges in a frame's physical plan — the
-    * metric bucketing exists to drive to zero. AQE wraps the real plan
-    * in an `AdaptiveSparkPlanExec` whose children a plain `collect`
-    * never reaches (it reports 0 for EVERY query — vacuously "clean"),
-    * so the walk descends through the adaptive wrapper's input plan
-    * explicitly.
+    * metric bucketing exists to drive to zero (AQE-aware via
+    * [[graft.std.Plans.collect]]).
     */
-  def exchangeCount(df: DataFrame): Int = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def walk(p: SparkPlan): Int = {
-      val here = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
-      val kids = p match {
-        // NOT `inputPlan` — that is the plan before EnsureRequirements,
-        // i.e. before exchanges are inserted, so it always reports 0.
-        // `a.executedPlan` is the current physical plan: the initial
-        // post-EnsureRequirements plan before any action, the
-        // stage-substituted final plan after.
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      here + kids.map(walk).sum
-    }
-    walk(df.queryExecution.executedPlan)
-  }
+  def exchangeCount(df: DataFrame): Int =
+    graft.std.Plans.collect(df) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
 }

@@ -76,16 +76,8 @@ object Layout {
         .map(_.files.size.toLong).sum).sum
 
   private def scans(df: DataFrame)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def walk(p: SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: QueryStageExec => walk(q.plan)
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-      case other => other.children.flatMap(walk)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    graft.std.Plans.collect(df) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
-    walk(df.queryExecution.executedPlan)
-  }
 }

@@ -308,6 +308,12 @@ object StreamingOps {
   def bloomDedupStream(docs: DataFrame, m: Int = 1 << 16, k: Int = 4,
                        shards: Int = 8): Dataset[BloomSeen] = {
     require(shards >= 1, "at least one shard")
+    // same bounds the BloomBits aggregate enforces — a non-byte-aligned
+    // m would allocate m/8 (floored) bytes and index past the end on a
+    // fraction of hashes, failing the query only after state committed
+    require(m >= 64 && m <= (1 << 26) && m % 8 == 0,
+      s"bloom m must be in [64, 2^26] and byte-aligned, got $m")
+    require(k >= 1 && k <= 16, s"bloom k must be in [1, 16], got $k")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"),

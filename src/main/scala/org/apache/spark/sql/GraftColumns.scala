@@ -54,6 +54,27 @@ object GraftColumns {
     ExpressionUtils.column(BloomContains(
       ExpressionUtils.expression(bloom), ExpressionUtils.expression(v), m, k))
 
+  /** Plan-time constant int argument for the SQL function builders —
+    * THE extraction rule, shared by [[registerFunctions]] and
+    * [[graft.GraftExtensions]] (two registration surfaces, one
+    * behavior): a literal or foldable expression folds to its int
+    * value; anything else is a typed analysis error, not an NPE from
+    * `eval(null)` on a column reference.
+    */
+  def constInt(fn: String,
+               e: org.apache.spark.sql.catalyst.expressions.Expression,
+               pos: Int): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other if other.foldable =>
+      other.eval() match {
+        case n: Number => n.intValue()
+        case bad => throw GraftErrors.nonConstantArgument(
+          fn, pos, s"folded to non-integer value $bad")
+      }
+    case _ => throw GraftErrors.nonConstantArgument(
+      fn, pos, "argument is not a constant (foldable) expression")
+  }
+
   /** Register graft's native functions on an existing session so SQL
     * users can call them (`SELECT graft_dot(a, b)`); the
     * [[graft.GraftExtensions]] class does the same at session build time
@@ -64,16 +85,6 @@ object GraftColumns {
       "graft_dot", exprs => DotProductD(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
-    def constInt(fn: String,
-                 e: org.apache.spark.sql.catalyst.expressions.Expression,
-                 pos: Int): Int =
-      if (e.foldable) e.eval() match {
-        case n: Number => n.intValue()
-        case bad => throw GraftErrors.nonConstantArgument(
-          fn, pos, s"folded to non-integer value $bad")
-      }
-      else throw GraftErrors.nonConstantArgument(
-        fn, pos, "argument is not a constant expression")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5lane", exprs => Md5Lane(exprs.head,
         constInt("graft_md5lane", exprs(1), 1),

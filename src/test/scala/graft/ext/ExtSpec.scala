@@ -439,6 +439,13 @@ class ExtSpec extends AnyFunSuite {
       .unionByName(existing.limit(50)
         .select((col("doc_id") + 700000).as("doc_id"), col("text"),
           col("lang"), col("source"), col("n_chars")))
+      // a NULL text must classify identically on both paths (the bloom
+      // probe is three-valued: un-coalesced it drops the row entirely)
+      .unionByName(spark.range(1).select(lit(999999L).as("doc_id"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("n_chars")))
     val state = Dedup.corpusState(existing)
     val exact = Dedup.classifyIncrement(state, batch)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

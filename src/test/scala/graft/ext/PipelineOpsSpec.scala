@@ -247,6 +247,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       (6L, hdr), // all boilerplate → empty survivor
       (7L, "p q r s t u v w p q r s t u v w") // self-repeat, one doc
     ).toDF("doc_id", "text")
+      // null text must survive as an accounted empty row, not vanish
+      .unionByName(Seq(8L).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
     val out = TextAnalysis.segmentDedup(docs, segTokens = 8, maxDocs = 3)
       .collect()
       .map(r => r.getLong(0) ->
@@ -260,6 +263,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the repeated segment lives in ONE doc (distinct-doc count = 1):
     // both copies survive, in order
     assert(out(7L) == (("p q r s t u v w p q r s t u v w", 2L, 0L)))
-    assert(out.size == 7) // every doc survives with accounting
+    assert(out(8L) == (("", 1L, 0L))) // null text: kept, one '' segment
+    assert(out.size == 8) // every doc survives with accounting
   }
 }

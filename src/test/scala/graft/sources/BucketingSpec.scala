@@ -45,9 +45,14 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("groupBy on the bucket key needs no exchange either") {
-    // written by the previous test; bucketed scan satisfies the
-    // aggregation's required distribution directly
-    val agg = spark.table("b_lineitem")
+    // self-sufficient: writes its own table so the spec survives
+    // filtering/reordering; bucketed scan satisfies the aggregation's
+    // required distribution directly
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "b_li_agg", "o_orderkey", 4)
+    val agg = spark.table("b_li_agg")
       .groupBy("o_orderkey").agg(sum("l_quantity"))
     assert(Bucketing.exchangeCount(agg) == 0,
       s"expected exchange-free agg:\n${agg.queryExecution.executedPlan}")
