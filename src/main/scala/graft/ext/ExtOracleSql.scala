@@ -810,6 +810,53 @@ SELECT s.doc_id,
 FROM hashed s JOIN counts c USING (h)
 GROUP BY 1"""
 
+  /** t31: bigram-LM document scoring — `ln P(w1) + Σ ln P(wi|wi-1)`
+    * averaged over n_tokens, t25's rounding discipline (9 dp ln,
+    * DECIMAL term sums, 6 dp average). The two same-level `unnest`s
+    * zip positionally: `toks[1:n-1]` with `toks[2:n]` IS the
+    * consecutive-pair stream.
+    */
+  val t31BigramLogprob: String = ToksCte + """, ex AS (
+  SELECT doc_id, unnest(toks) AS w FROM t
+), uni AS (
+  SELECT w, COUNT(*) AS c1 FROM ex GROUP BY 1
+), tot AS (
+  SELECT SUM(c1) AS n FROM uni
+), bg AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM t
+), dbg AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3
+), bglm AS (
+  SELECT w1, w2, SUM(cnt) AS c12 FROM dbg GROUP BY 1, 2
+), bgsc AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) * CAST(cnt AS DECIMAL(9,0)) AS contrib
+  FROM dbg
+  JOIN bglm USING (w1, w2)
+  JOIN uni ON dbg.w1 = uni.w
+), hsc AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS contrib
+  FROM (SELECT doc_id, toks[1] AS w FROM t) h
+  JOIN uni USING (w)
+  CROSS JOIN tot
+), terms AS (
+  SELECT doc_id, contrib FROM bgsc
+  UNION ALL SELECT doc_id, contrib FROM hsc
+), nt AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+)
+SELECT doc_id, n_tokens,
+       round(CAST(SUM(contrib) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS avg_logprob
+FROM terms JOIN nt USING (doc_id)
+GROUP BY 1, 2"""
+
   /** t30: bloom-filter decontamination — replays the
     * Kirsch–Mitzenmacher positions (`h1 = h % m`,
     * `h2 = 1 + (h // m) % (m-1)`, `pos_j = (h1 + j*h2) % m`, m = 2^16,

@@ -794,6 +794,13 @@ object ExtQueries {
       spread(Tables.documents(spark, sfDir)))
   }
 
+  /** Bigram-LM document scoring (t31). */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.bigramLogprob(
+      spread(Tables.documents(spark, sfDir)))
+  }
+
   /** Count-Min-sketch heavy hitters (t27). */
   def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

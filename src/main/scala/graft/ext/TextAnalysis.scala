@@ -822,6 +822,70 @@ object TextAnalysis {
         min(col("_lp")).as("min_logprob"))
   }
 
+  /** Bigram-LM document scoring (t31): every document scored by the
+    * average log-probability of its token SEQUENCE under the corpus'
+    * own bigram model — `ln P(w1) + Σ ln P(wi | wi-1)`, averaged over
+    * n_tokens. The contextual-fluency upgrade of [[unigramLogprob]]:
+    * unigram scoring cannot see scrambled word order, a bigram LM
+    * punishes it (the two operators bracket the CCNet-style LM-filter
+    * family). Self-scoring keeps every bigram in-vocabulary, so no
+    * backoff path is needed; production swaps the two LM frames for
+    * pre-trained tables.
+    *
+    * 100 TB shape: the per-doc bigram frame `(doc_id, w1, w2, cnt)` is
+    * the only corpus-sized shuffle; the bigram LM rolls up from it
+    * (corpus-bigram-sized, ≪ data) and scoring is equi-joins on
+    * `(w1, w2)` / `w1` — no cross joins, the 1-row total broadcasts.
+    * Determinism is t25's discipline: each `ln` rounds to 9 dp, term
+    * contributions sum in DECIMAL (order-free), the average rounds to
+    * 6 dp.
+    */
+  def bigramLogprob(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = graft.std.Materialize.once(TextOps.attrBarrier(
+      docs.select(col("doc_id"), col(textCol)),
+      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol))))
+    // (doc_id, w1, w2, cnt): element_at past the end is null (ANSI
+    // off), so the i = n pair self-filters — no when/otherwise typing
+    // dance for 1-token docs
+    val dbg = graft.std.Materialize.once(base
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("_toks"))),
+        i => struct(element_at(col("_toks"), i).as("w1"),
+          element_at(col("_toks"), i + 1).as("w2")))).as("_bg"))
+      .filter(col("_bg.w2").isNotNull)
+      .groupBy(col("doc_id"), col("_bg.w1").as("w1"),
+        col("_bg.w2").as("w2"))
+      .agg(count(lit(1)).as("_cnt")))
+    val uni = graft.std.Materialize.once(base
+      .select(col("doc_id"), explode(col("_toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("_c1")))
+    val total = uni.agg(sum(col("_c1")).as("_n"))
+    val bgLm = dbg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("_cnt")).as("_c12"))
+    val bgScore = dbg
+      .join(bgLm, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .select(col("doc_id"),
+        (round(log(col("_c12").cast("double") / col("_c1").cast("double")), 9)
+          .cast("decimal(28,9)") *
+          col("_cnt").cast("decimal(9,0)")).as("_contrib"))
+    val headScore = base
+      .select(col("doc_id"), element_at(col("_toks"), 1).as("w"))
+      .join(uni, Seq("w"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("_c1").cast("double") / col("_n").cast("double")), 9)
+          .cast("decimal(28,9)").as("_contrib"))
+    val nTok = base.select(col("doc_id"),
+      size(col("_toks")).cast("long").as("n_tokens"))
+    bgScore.unionByName(headScore)
+      .groupBy(col("doc_id")).agg(sum(col("_contrib")).as("_s"))
+      .join(nTok, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_s").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("avg_logprob"))
+  }
+
   /** Segment-level dedup (t28): remove fixed-width token segments that
     * recur across more than `maxDocs` documents and rebuild the cleaned
     * text — the *removal* counterpart of [[boilerplateNgrams]] (which

@@ -236,6 +236,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(splits(1L) == splits(2L))
   }
 
+  test("bigram LM scores match hand computation; word order matters") {
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogprob(docs).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getDouble(2))))
+      .toMap
+    // uni: a=3 b=2 c=1, N=6; bigrams: (a,b)=2, (a,c)=1; C(a)=3
+    def avg(terms: Double*) = r(
+      terms.map(t => BigDecimal(r(t, 9).toString)).sum.toDouble / terms.size,
+      6)
+    assert(got(1L) == ((2L, avg(math.log(3.0 / 6), math.log(2.0 / 3)))))
+    assert(got(2L) == got(1L))
+    assert(got(3L) == ((2L, avg(math.log(3.0 / 6), math.log(1.0 / 3)))))
+    // the fluency property t25's unigram model cannot have: a scrambled
+    // doc shares its unigram score but loses its bigram score
+    val corpus = Seq((1L, "x y x y x y"), (2L, "x y x y x y"),
+      (3L, "y y x x y x")).toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramLogprob(corpus).collect()
+      .map(row => row.getLong(0) -> row.getDouble(2)).toMap
+    assert(scores(3L) < scores(1L))
+  }
+
   test("segment dedup removes cross-doc chrome, keeps within-doc repeats") {
     val hdr = "a b c d e f g h" // exactly one 8-token segment
     val docs = Seq(
