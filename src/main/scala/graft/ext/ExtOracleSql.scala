@@ -299,6 +299,24 @@ FROM hs"""
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
 FROM r WHERE rank <= 5"""
 
+  /** s8: MIPS top-5 for the s1 probe set — raw dot product, no
+    * normalization; rank by exact 6 dp score, neighbor_id tiebreak.
+    */
+  val s8MipsTopK: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(${dotExpr("q.e", "c.e")}, 6) AS inner_product
+  FROM v q CROSS JOIN v c
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY inner_product DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, inner_product
+FROM r WHERE rank <= 5"""
+
   val s2EmbeddingNearDups: String = s"""WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), corpus AS (

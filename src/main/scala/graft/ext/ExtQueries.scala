@@ -460,6 +460,15 @@ object ExtQueries {
         col("rank").cast("long").as("rank"), col("cosine"))
   }
 
+  /** MIPS top-k (s8): same probe set as s1, ranked by raw inner
+    * product — magnitude-sensitive retrieval.
+    */
+  def mipsTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    Similarity.mipsTopK(vecs.filter(col("vec_id") < 20), vecs, 5)
+  }
+
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     Similarity.nearDupPairs(

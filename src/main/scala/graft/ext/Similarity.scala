@@ -75,6 +75,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Maximum-inner-product top-k (s8): rank corpus vectors by raw
+    * `dot(q, x)` — NOT cosine. The retrieval mode of recommender /
+    * two-tower models, where vector MAGNITUDE is signal (a popular
+    * item's long embedding should outrank an obscure near-parallel
+    * one); normalizing would erase exactly that.
+    *
+    * Same kernel shape as [[bruteForceTopK]] minus the norms: broadcast
+    * query side, repartitioned corpus stream, native [[dot]] inside
+    * codegen, rank window per query. This is the exact kernel; at scale
+    * MIPS reduces to cosine ANN by norm augmentation (append
+    * `sqrt(M² − ‖x‖²)` to each corpus vector, a zero to each query —
+    * the classic asymmetric transform), after which [[signLshBuckets]]
+    * is the candidate path, with this kernel verifying — the same
+    * division of labor as s2/s4.
+    */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .repartition(col("neighbor_id"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")), 6).as("inner_product"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("inner_product").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("inner_product"))
+  }
+
   /** Exact near-duplicate pairs (cosine ≥ threshold, id_a < id_b).
     * Quadratic by construction — the verification kernel. Use the LSH
     * path to *generate* candidates at scale, this to verify them.

@@ -194,6 +194,22 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("MIPS ranks by magnitude where cosine would not") {
+    // q=(1,0): the long 45° vector wins on inner product (10 vs 0.9),
+    // the short near-parallel one wins on cosine (0.994 vs 0.707)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (10L, Seq(10.0f, 10.0f)),
+      (20L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val mips = Similarity.mipsTopK(queries, corpus, 2).collect()
+      .sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+    val cos = Similarity.bruteForceTopK(queries, corpus, 2).collect()
+      .sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+    assert(mips == Seq(10L, 20L))
+    assert(cos == Seq(20L, 10L))
+  }
+
   test("brute-force top-k is deterministic and self-free") {
     val vecs = Tables.embeddings(spark, sfDir)
     val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 5), vecs, 3)
