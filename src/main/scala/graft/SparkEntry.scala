@@ -142,6 +142,7 @@ object SparkEntry {
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
     "m2_media_frames" -> ExtQueries.mediaFrames _,
     "m3_media_dedup" -> ExtQueries.mediaDedup _,
+    "m4_media_chunk_dedup" -> ExtQueries.mediaChunkDedup _,
     "w1_hourly_by_type" -> ExtQueries.hourlyByType _,
     "w2_sliding_hourly" -> ExtQueries.slidingHourly _,
     "w3_user_sessions" -> ExtQueries.userSessions _,
@@ -237,6 +238,7 @@ object SparkEntry {
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,
     "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
     "m3_media_dedup" -> ExtOracleSql.m3MediaDedup,
+    "m4_media_chunk_dedup" -> ExtOracleSql.m4MediaChunkDedup,
     "w1_hourly_by_type" -> ExtOracleSql.w1HourlyByType,
     "w2_sliding_hourly" -> ExtOracleSql.w2SlidingHourly,
     "w3_user_sessions" -> ExtOracleSql.w3UserSessions,

@@ -1449,6 +1449,37 @@ SELECT md5(payload_str) AS content_md5,
        CAST(SUM(octet_length(encode(payload_str))) AS BIGINT) AS total_bytes
 FROM corpus GROUP BY 1"""
 
+  /** m4: chunk-level media dedup — the m3 synthetic corpus plus
+    * appended-tail re-uploads (+700000), 64-char chunks (payloads are
+    * pure ASCII, so char offsets ARE byte offsets and `md5(string)`
+    * equals Spark's `md5(binary)` of the UTF-8 bytes). The zipped
+    * unnests mirror `posexplode`; `ceil(len/64)` chunks with the last
+    * one short, exactly like `Media.sampleFrames`.
+    */
+  val m4MediaChunkDedup: String = """WITH m AS (
+  SELECT doc_id,
+         lpad(hex(64 + doc_id % 192), 4, '0')
+           || lpad(hex(64 + doc_id % 128), 4, '0') || text AS payload_str
+  FROM documents
+), corpus AS (
+  SELECT doc_id, payload_str FROM m
+  UNION ALL
+  SELECT doc_id + 700000, payload_str || ' v2 reupload tail'
+  FROM m WHERE doc_id % 4 = 0
+), ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST(ceil(length(payload_str) / 64.0)
+                                   AS INTEGER) - 1),
+           i -> substr(payload_str, CAST(i * 64 + 1 AS INTEGER), 64)))
+           AS chunk
+  FROM corpus
+)
+SELECT md5(chunk) AS chunk_md5,
+       COUNT(*) AS n_refs,
+       CAST(MAX(length(chunk)) AS BIGINT) AS chunk_bytes
+FROM ch GROUP BY 1"""
+
   /** w6: top-3 trending event types per tumbling hour. */
   val w6Trending: String = """WITH c AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

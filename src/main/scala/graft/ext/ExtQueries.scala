@@ -921,6 +921,23 @@ object ExtQueries {
         sum(length(col("payload")).cast("long")).as("total_bytes"))
   }
 
+  /** Chunk-level media dedup (m4): every 4th media file re-uploaded
+    * with an appended tail (+700000 — new whole-file digest, so m3's
+    * file-grain dedup reclaims NOTHING from it), chunked at 64 bytes
+    * and reference-counted by chunk digest. The shared full prefix
+    * chunks surface as `n_refs > 1` — the sub-file win.
+    */
+  def mediaChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val base = Media.synthCorpus(Tables.documents(spark, sfDir))
+    val corpus = base.select(col("doc_id"), col("payload")).unionByName(
+      base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(col("payload"),
+            encode(lit(" v2 reupload tail"), "UTF-8")).as("payload")))
+    Media.chunkDedup(spread(corpus), chunkBytes = 64)
+  }
+
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     Media.extractMeta(Media.synthCorpus(Tables.documents(spark, sfDir)))

@@ -102,4 +102,28 @@ object Media {
   def featurize(media: DataFrame, dims: Int = 8): DataFrame =
     media.select(col("doc_id"),
       decodeFeatureStub(col("payload"), dims).as("features"))
+
+  /** Chunk-level payload dedup (m4): fixed-offset `chunkBytes` chunks
+    * ([[sampleFrames]]) digested and reference-counted across the
+    * corpus — content-addressable-storage accounting at the SUB-file
+    * grain, where [[graft.ext.ExtQueries.mediaDedup]]'s whole-file
+    * digests see nothing (an appended watermark or re-encode tail
+    * changes the file hash but leaves every full prefix chunk shared).
+    * `n_refs > 1` rows are the dedup win: each such chunk stores once
+    * and saves `(n_refs − 1) × chunk_bytes`.
+    *
+    * Scale shape: the shuffle moves (128-bit digest, byte-count) pairs
+    * with map-side partial counts — payload bytes are digested where
+    * they are read and never cross the wire; this is the fixed-offset
+    * half of a CDC (content-defined chunking) store, the right grain
+    * for codec-framed media (frames/GOPs sit at stable offsets).
+    */
+  def chunkDedup(media: DataFrame, chunkBytes: Int = 64): DataFrame = {
+    require(chunkBytes >= 1, "positive chunk size")
+    sampleFrames(media, chunkBytes)
+      .select(md5(col("frame")).as("chunk_md5"),
+        length(col("frame")).cast("long").as("_len"))
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_refs"), max(col("_len")).as("chunk_bytes"))
+  }
 }

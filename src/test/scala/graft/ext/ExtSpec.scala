@@ -247,6 +247,26 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("media: chunk dedup reclaims from appended-tail re-uploads") {
+    // two files sharing a 128-byte prefix, one with an appended tail:
+    // whole-file digests differ (m3 reclaims nothing), but both full
+    // prefix chunks dedup at the 64-byte grain
+    val prefix = "x" * 128
+    val media = Seq(
+      (1L, prefix.getBytes("UTF-8")),
+      (2L, (prefix + " tail").getBytes("UTF-8")),
+      (3L, "completely different content".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    assert(media.select(md5(col("payload"))).distinct().count() == 3)
+    val chunks = Media.chunkDedup(media, chunkBytes = 64).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the 64-byte "x"*64 chunk appears twice in EACH of docs 1 and 2:
+    // one digest, 4 refs; the 5-byte " tail" and doc 3's 28 bytes are
+    // singletons
+    assert(chunks.values.toSet == Set((4L, 64L), (1L, 5L), (1L, 28L)))
+    assert(chunks.size == 3)
+  }
+
   test("media: resizeStub scales metadata and truncates payload") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") === 10)
     val media = Media.synthCorpus(docs)
