@@ -110,6 +110,58 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("inner_product"))
   }
 
+  /** Bucketed MIPS ANN — [[mipsTopK]]'s scale path, the norm
+    * augmentation made concrete: every corpus vector gains one
+    * coordinate `sqrt(M² − ‖x‖²)` (M = corpus max norm) and queries
+    * gain a 0, so `dot(q', x') = dot(q, x)` while every augmented
+    * corpus vector has norm M — inner-product order becomes angular
+    * order, which sign-LSH buckets preserve. Candidates come from a
+    * bucket equi-join with Hamming-1 multi-probe on the query side
+    * (shuffle O(batch × (nPlanes+1) + corpus), never batch × corpus);
+    * scores are exact dots over the ORIGINAL vectors, so any
+    * candidate the buckets surface is ranked exactly — approximation
+    * shows up only as recall, never as a wrong score (recall-tested
+    * against [[mipsTopK]] like the IVF path).
+    */
+  def mipsTopKAnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                  nPlanes: Int = 8, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val c0 = graft.std.Materialize.once(
+      corpus.select(col(idCol).as("neighbor_id"),
+          col(vecCol).cast("array<double>").as("cv"))
+        .withColumn("cn", l2Norm(col("cv"))))
+    val mRow = c0.agg(max(col("cn")).as("_m"))
+    val cAug = c0.crossJoin(broadcast(mRow))
+      .withColumn("bucket", lshBucket(concat(col("cv"), array(
+        sqrt(greatest(col("_m") * col("_m") - col("cn") * col("cn"),
+          lit(0.0))))), nPlanes, None))
+      .select(col("neighbor_id"), col("bucket"), col("cv"))
+    // multi-probe: the home bucket plus every Hamming-1 neighbor (one
+    // tolerated plane disagreement). Query-side only and broadcast, so
+    // the fan-out costs nPlanes+1 probe rows per query, not corpus work;
+    // a neighbor lives in exactly one bucket, so probes never produce
+    // duplicate (query, neighbor) pairs
+    val qHome = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("_b0",
+        lshBucket(concat(col("qv"), array(lit(0.0))), nPlanes, None))
+    val probes = array(
+      (col("_b0") +: (0 until nPlanes).map(p =>
+        col("_b0").bitwiseXOR(lit(1L << p)))): _*)
+    val qAug = broadcast(qHome
+      .select(col("query_id"), col("qv"), explode(probes).as("bucket")))
+    val scored = cAug.join(qAug, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")), 6).as("inner_product"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("inner_product").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("inner_product"))
+  }
+
   /** Exact near-duplicate pairs (cosine ≥ threshold, id_a < id_b).
     * Quadratic by construction — the verification kernel. Use the LSH
     * path to *generate* candidates at scale, this to verify them.

@@ -210,6 +210,30 @@ class ExtSpec extends AnyFunSuite {
     assert(cos == Seq(20L, 10L))
   }
 
+  test("norm-augmented MIPS ANN: recall vs the exact kernel") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val queries = vecs.filter(col("vec_id") < 20)
+    val exact = Similarity.mipsTopK(queries, vecs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 planes → 16 buckets: wide buckets, decent recall; scores of
+    // surfaced candidates are exact dots, so any overlap is correctly
+    // ranked by construction
+    val ann = Similarity.mipsTopKAnn(queries, vecs, 3, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.std.Materialize.releaseAll()
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"MIPS ANN recall $recall")
+    // augmentation must not invent scores: ANN results for a query are
+    // a subset of the full exact ranking over its bucket — spot-check
+    // one (query, neighbor) score equality
+    val exactScores = Similarity.mipsTopK(queries, vecs, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val annScores = Similarity.mipsTopKAnn(queries, vecs, 3, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+    graft.std.Materialize.releaseAll()
+    assert(annScores.forall { case (k2, v) => exactScores(k2) == v })
+  }
+
   test("brute-force top-k is deterministic and self-free") {
     val vecs = Tables.embeddings(spark, sfDir)
     val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 5), vecs, 3)
