@@ -35,6 +35,19 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 
+  /** Read a parquet directory written across SCHEMA REVISIONS:
+    * `mergeSchema` unions every file footer's schema (an O(files)
+    * planning cost the default reader skips — which is why this is a
+    * separate entry point, not the default), and columns absent from
+    * older files surface as nulls. Compose with
+    * [[graft.std.SchemaOps.conformTo]] to land on one declared schema —
+    * together they are the scale form of the reference's defensive
+    * column probing (`Project.py:33,48,54,158-164`): at 100 TB the
+    * "does this column exist" question is per-FILE, not per-table.
+    */
+  def readEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Session knobs every entry point applies. ANSI must be OFF for
     * pandas-parity coerce-to-null casts (SURVEY §1.3); AQE handles runtime
     * re-planning (skew, small-partition coalescing) at scale.

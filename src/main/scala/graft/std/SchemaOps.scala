@@ -57,4 +57,25 @@ object SchemaOps {
 
   def findBrandColumn(columns: Seq[String]): Option[String] =
     findColumn(Seq("brand_desc", "brand", "brand_name"), columns)
+
+  /** Conform a frame to a target schema — the 100-TB form of the
+    * reference's per-column `if col in df.columns` probing
+    * (`Project.py:33,48,54`): a corpus written across months of
+    * pipeline revisions has files with missing and drifted columns,
+    * and every consumer wants ONE declared schema. Missing columns
+    * materialize as typed nulls, present ones cast (ANSI off →
+    * coerce-to-null, the reference's error model), extras drop,
+    * order normalizes. Pure projection: no shuffle, codegen-friendly,
+    * and safe to apply per-file-schema via the evolving reader
+    * ([[graft.sources.Tables.readEvolving]]).
+    */
+  def conformTo(df: DataFrame,
+                target: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(target.fields.toIndexedSeq.map { f =>
+      (if (have.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+  }
 }
