@@ -39,6 +39,21 @@ object BloomBitsPropSpec extends Properties("BloomBits") {
       vals.forall(v => BloomBits.contains(bits, v, M, K))
     }
 
+  property("signed inputs: defined positions, still no false negatives") =
+    Prop.forAll(Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))) { vals =>
+      // the SQL surface accepts any long column (e.g. xxhash64 is
+      // signed); positions must stay in [0, M) — floorMod, not a crash
+      val a = agg
+      val b = a.createAggregationBuffer()
+      vals.foreach(v => a.update(b, InternalRow(v)))
+      val bits = a.eval(b).asInstanceOf[Array[Byte]]
+      vals.forall(v => BloomBits.contains(bits, v, M, K)) &&
+      vals.forall(v =>
+        (0 until K).forall(j => {
+          val p = BloomBits.pos(v, j, M); p >= 0 && p < M
+        }))
+    }
+
   property("merge ≡ single-pass build (OR is order/dup-insensitive)") =
     Prop.forAll(genCase) { case (vals, cut) =>
       val a = agg
