@@ -40,6 +40,20 @@ object Similarity {
     when(d > 0, dot(a, b) / d)
   }
 
+  /** Per-query rank-and-cut tail shared by every top-k kernel: rank
+    * over (score desc, neighbor_id asc) — the deterministic tiebreak
+    * discipline — keep `rank <= k`. Callers select their own output
+    * schema (score column name and rank type are part of each oracle
+    * contract).
+    */
+  private def rankTopK(scored: DataFrame, scoreCol: String,
+                       k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact top-k cosine neighbors of each query vector.
     * `queries` and `corpus`: (idCol, vecCol) with array<float> vectors.
     * The query side is explicitly broadcast: at scale the corpus streams
@@ -68,10 +82,7 @@ object Similarity {
         round(when(col("qn") * col("cn") > 0,
           dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), 6)
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, "cosine", k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
@@ -102,10 +113,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")), 6).as("inner_product"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("inner_product").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, "inner_product", k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("inner_product"))
   }
@@ -154,10 +162,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")), 6).as("inner_product"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("inner_product").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, "inner_product", k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("inner_product"))
   }
@@ -452,10 +457,7 @@ object Similarity {
         round(when(col("qn") * col("cn") > 0,
           dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), 6)
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, "cosine", k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 

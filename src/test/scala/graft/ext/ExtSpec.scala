@@ -226,12 +226,17 @@ class ExtSpec extends AnyFunSuite {
     // augmentation must not invent scores: ANN results for a query are
     // a subset of the full exact ranking over its bucket — spot-check
     // one (query, neighbor) score equality
-    val exactScores = Similarity.mipsTopK(queries, vecs, 1000).collect()
+    val exactScores = Similarity.mipsTopK(queries, vecs, Int.MaxValue)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     val annScores = Similarity.mipsTopKAnn(queries, vecs, 3, nPlanes = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
     graft.std.Materialize.releaseAll()
-    assert(annScores.forall { case (k2, v) => exactScores(k2) == v })
+    // .get + contains: a pair missing from the exact ranking must fail
+    // the assert readably, not throw NoSuchElementException
+    assert(annScores.forall { case (k2, v) =>
+      exactScores.get(k2).contains(v)
+    })
   }
 
   test("brute-force top-k is deterministic and self-free") {

@@ -22,7 +22,13 @@
 //
 // Run: /opt/spark/bin/spark-shell --master "local[32]" --driver-memory 24g \
 //        --driver-class-path target/scala-2.13/classes \
-//        --conf spark.ui.enabled=false -I tools/layout_probe.scala
+//        --conf spark.ui.enabled=false \
+//        --conf spark.sql.warehouse.dir=/tmp/layout_probe/wh \
+//        --conf spark.sql.catalogImplementation=in-memory \
+//        -I tools/layout_probe.scala
+// (warehouse.dir is a STATIC conf: a runtime spark.conf.set throws and
+// the bucketed tables would land in ./spark-warehouse + a Derby
+// metastore in the launch directory — pass it at startup.)
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.sources.{Bucketing, Layout, Tables}
@@ -67,7 +73,6 @@ time("write 10x plain parquet (orders+lineitem)") {
   orders10.write.mode("overwrite").parquet("/tmp/layout_probe/orders_plain")
   li10.write.mode("overwrite").parquet("/tmp/layout_probe/li_plain")
 }
-spark.conf.set("spark.sql.warehouse.dir", "/tmp/layout_probe/wh")
 time("write 10x bucketed tables (32 buckets)") {
   Bucketing.writeBucketed(orders10, "probe_orders_b", "o_orderkey", 32)
   Bucketing.writeBucketed(li10, "probe_li_b", "o_orderkey", 32)
