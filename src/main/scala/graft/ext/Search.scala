@@ -81,4 +81,80 @@ object Search {
         row_number().over(rk).cast("long").as("rank"))
       .filter(col("rank") <= k)
   }
+
+  /** Frozen per-term BM25 weights for a fixed query set — the standing-
+    * query index [[bm25Alert]] scores against. Collected driver-side:
+    * the map is bounded by the QUERY vocabulary (a handful of terms),
+    * never the corpus vocabulary, so freezing is a tiny bounded
+    * collect no matter the corpus size. idf uses [[bm25TopK]]'s exact
+    * discipline (9 dp-rounded ln over the query-vocabulary df cut).
+    */
+  case class Bm25Index(termIdf: Map[String, Map[String, Double]],
+                       avgdl: Double)
+
+  def bm25Freeze(corpus: DataFrame,
+                 queries: Seq[(String, String)],
+                 textCol: String = "text"): Bm25Index = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dtf = graft.std.Materialize.once(corpus
+      .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("_tf")))
+    val dl = dtf.groupBy(col("doc_id")).agg(sum(col("_tf")).as("_dl"))
+    val Array(nDocs, sumDl) = dl
+      .agg(count(lit(1)).cast("double"), sum(col("_dl")).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val qtok = queries.map { case (qid, qtext) =>
+      qid -> qtext.toLowerCase.trim.split("\\s+").distinct.toSeq
+    }
+    val allTerms = qtok.flatMap(_._2).distinct
+    val dfByTerm = dtf
+      .join(broadcast(allTerms.toDF("token")), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("_df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idf(df: Long): Double = BigDecimal(
+      math.log((nDocs - df.toDouble + 0.5) / (df.toDouble + 0.5) + 1.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Bm25Index(
+      qtok.map { case (qid, terms) =>
+        qid -> terms.map(t => t -> idf(dfByTerm.getOrElse(t, 0L))).toMap
+      }.toMap,
+      sumDl / nDocs)
+  }
+
+  /** Standing-query BM25 alerting (streaming search): score every
+    * incoming document against a [[bm25Freeze]] index and emit
+    * `(doc_id, query_id, score)` rows clearing `threshold`. The
+    * streamable complement of [[bm25TopK]]: top-k needs a global rank
+    * (not streamable in append mode), an alert threshold does not —
+    * and because the index is FROZEN, scoring is a pure per-row
+    * expression over the document's own tokens (tf via `array` filter
+    * counts, dl via `size`) — no state, no watermark, no shuffle,
+    * whole-stage codegen; works identically on a batch frame (the spec
+    * proves batch ≡ stream). Production swaps the frozen index
+    * per-deploy, exactly like the resample-plan and LM operators.
+    */
+  def bm25Alert(docs: DataFrame, index: Bm25Index, threshold: Double,
+                k1: Double = 1.2, b: Double = 0.75,
+                textCol: String = "text"): DataFrame = {
+    val base = TextOps.attrBarrier(
+      docs.select(col("doc_id"), col(textCol)),
+      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
+    val dl = size(col("_toks")).cast("double")
+    val norm = lit(1.0) - lit(b) + lit(b) * (dl / lit(index.avgdl))
+    val perQuery = index.termIdf.toSeq.sortBy(_._1).map { case (qid, terms) =>
+      val score = terms.toSeq.sortBy(_._1).map { case (t, idf) =>
+        val tf = size(filter(col("_toks"), x => x === lit(t))).cast("double")
+        round(lit(idf) * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * norm), 9).cast("decimal(28,9)")
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"),
+        score.cast("double").as("score"))
+    }
+    base.select(col("doc_id"), explode(array(perQuery: _*)).as("_q"))
+      .select(col("doc_id"), col("_q.query_id"),
+        round(col("_q.score"), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
 }

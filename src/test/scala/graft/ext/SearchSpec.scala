@@ -41,6 +41,41 @@ class SearchSpec extends AnyFunSuite {
     assert(dup == single)
   }
 
+  test("standing-query alert: batch ≡ stream, scores match bm25TopK") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val qs = Seq("q1" -> "spark join merge", "q2" -> "vector hash table scan")
+    val idx = Search.bm25Freeze(docs, qs)
+    graft.std.Materialize.releaseAll()
+    assert(idx.termIdf("q1").size == 3 && idx.avgdl > 0)
+
+    val threshold = 0.5
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val batch = rows(Search.bm25Alert(docs, idx, threshold))
+    assert(batch.nonEmpty && batch.exists(_._2 == "q1"))
+
+    // stream: same docs in 3 micro-batches through the SAME operator
+    val stage = java.nio.file.Files.createTempDirectory("bm25_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = Search.bm25Alert(streamIn, idx, threshold)
+      .writeStream.format("memory").queryName("bm25_alert")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows(spark.table("bm25_alert")) == batch)
+
+    // the frozen-index scores agree with the batch ranker's: absent
+    // query terms contribute an exact decimal 0, so per-(query, doc)
+    // totals coincide
+    val topk = Search.bm25TopK(docs,
+        Seq((1L, qs.head._2)).toDF("query_id", "qtext"), k = Int.MaxValue)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2))
+      .filter(_._2 >= threshold).toSet
+    graft.std.Materialize.releaseAll()
+    assert(batch.collect { case (d, "q1", s) => d -> s } == topk)
+  }
+
   test("top-k cut and deterministic doc_id tiebreak") {
     // 5 identical docs score identically → rank by doc_id; k=3 keeps 3
     val docs = (1L to 5L).map(i => (i, "same text here"))
