@@ -875,6 +875,34 @@ SELECT doc_id, n_tokens,
 FROM terms JOIN nt USING (doc_id)
 GROUP BY 1, 2"""
 
+  /** t32: hashed-feature linear classifier — unigram + 2-shingle
+    * features hashed into 4096 buckets, md5-derived stub milli-weights
+    * summed as exact BIGINTs (order-free), logit = sum/1000/n at 6 dp.
+    */
+  val t32HashedClassifier: String = {
+    val wMilli =
+      s"${h64(s"'w|' || CAST(${h64("x")} % 4096 AS VARCHAR)")} % 2001 - 1000"
+    ToksCte + s""", f AS (
+  SELECT doc_id,
+         list_concat(toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+1], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS feats
+  FROM t
+), m AS (
+  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
+         list_aggregate(list_transform(feats, x -> $wMilli), 'sum') AS milli
+  FROM f
+), s AS (
+  SELECT doc_id, n_features,
+         round((CAST(milli AS DOUBLE) / 1000.0)
+               / CAST(n_features AS DOUBLE), 6) AS logit
+  FROM m
+)
+SELECT doc_id, n_features, logit, logit > 0 AS keep FROM s"""
+  }
+
   /** t30: bloom-filter decontamination — replays the
     * Kirsch–Mitzenmacher positions (`h1 = h % m`,
     * `h2 = 1 + (h // m) % (m-1)`, `pos_j = (h1 + j*h2) % m`, m = 2^16,

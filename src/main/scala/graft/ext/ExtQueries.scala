@@ -803,6 +803,13 @@ object ExtQueries {
       spread(Tables.documents(spark, sfDir)))
   }
 
+  /** Hashed-feature classifier scoring (t32). */
+  def hashedClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.hashedClassifier(
+      spread(Tables.documents(spark, sfDir)))
+  }
+
   /** Bigram-LM document scoring (t31). */
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

@@ -886,6 +886,53 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Hashed-feature linear classifier scoring (t32): every document
+    * scored by a linear model over HASHED n-gram features — the
+    * fastText-style quality/domain filter every LLM pipeline runs
+    * (features = unigrams + token 2-shingles, hashed into `dim`
+    * buckets; score = count-weighted sum of bucket weights; keep =
+    * positive logit). The weights here are a deterministic STUB
+    * (md5-derived, exact multiples of 0.001 — the [[Media]] stub
+    * discipline): a real deployment broadcast-joins a `dim`-row
+    * pretrained weight table, which changes the plan from
+    * zero-shuffle to one broadcast join and nothing else.
+    *
+    * 100 TB shape: with hash-derived weights the ENTIRE operator is a
+    * per-row expression behind one generator barrier — no explode, no
+    * join, no shuffle, whole-stage codegen; feature hashing is what
+    * makes the model table O(dim) instead of O(vocabulary), which is
+    * the reason production filters hash in the first place.
+    * Determinism: weights are exact milli-units summed in LONG
+    * (order-free, overflow-safe); the logit converts once to double,
+    * divides by the feature count, and rounds to 6 dp.
+    */
+  def hashedClassifier(docs: DataFrame, dim: Int = 4096,
+                       textCol: String = "text"): DataFrame = {
+    require(dim >= 2, "need at least two buckets")
+    // one barrier carries (unigram+bigram features) as an attribute;
+    // the weight lambda reads it without re-running the tokenize chain
+    val base = TextOps.attrBarrier(
+      docs.select(col("doc_id"), col(textCol)),
+      Seq("doc_id"), "_feats",
+      concat(TextOps.tokens(col(textCol)),
+        TextOps.shingles(TextOps.tokens(col(textCol)), 2)))
+    // stub weights are exact multiples of 0.001, so they sum as LONG
+    // milli-units — order-free and overflow-safe (|w| ≤ 1000 milli ×
+    // docs' feature counts), no decimal-widening fights with aggregate()
+    val milliWeightOf = (f: Column) =>
+      (TextOps.hash64(concat(lit("w|"),
+        (TextOps.hash64(f) % dim).cast("string"))) % 2001L) - 1000L
+    val sumMilli =
+      TextOps.foldSumLong(transform(col("_feats"), milliWeightOf))
+    base.select(col("doc_id"),
+        size(col("_feats")).cast("long").as("n_features"),
+        sumMilli.as("_milli"))
+      .select(col("doc_id"), col("n_features"),
+        round((col("_milli").cast("double") / 1000.0) /
+          col("n_features").cast("double"), 6).as("logit"))
+      .withColumn("keep", col("logit") > 0)
+  }
+
   /** Segment-level dedup (t28): remove fixed-width token segments that
     * recur across more than `maxDocs` documents and rebuild the cleaned
     * text — the *removal* counterpart of [[boilerplateNgrams]] (which

@@ -236,6 +236,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(splits(1L) == splits(2L))
   }
 
+  test("hashed classifier: per-row shape, deterministic, feature count") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedClassifier(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // n tokens → n unigrams + (n-1) bigrams; 1 token → token twice
+    // (the whole-text shingle fallback)
+    assert(out(1L)._1 == 5L)
+    assert(out(2L)._1 == 2L)
+    assert(out(3L) == out(1L)) // same text, same score — content-pure
+    assert(out.values.forall(v => v._2 >= -1.0 && v._2 <= 1.0))
+    assert(out.values.forall(v => v._3 == (v._2 > 0)))
+    // the stub weights are centered: a larger corpus keeps roughly half
+    val big = TextAnalysis.hashedClassifier(
+      graft.sources.Tables.documents(spark, sfDir))
+    val keepFrac = big.filter(col("keep")).count().toDouble / big.count()
+    assert(keepFrac > 0.2 && keepFrac < 0.8, s"keep fraction $keepFrac")
+  }
+
   test("bigram LM scores match hand computation; word order matters") {
     def r(x: Double, s: Int) =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
