@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.functions.lit
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** BPE merge training: the textbook example hand-computed, plus
+  * determinism and encode round-trip on the real corpus.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("learns the textbook merge sequence") {
+    // Sennrich et al.'s example vocabulary: low×5 lower×2 newest×6
+    // widest×3. Hand-computed: (e,s)=9 ties (s,t)=9 → lexicographic;
+    // then (es,t)=9; then (l,o)=7 ties (o,w) → lexicographic; (lo,w)=7.
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, 4)
+    assert(merges == Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w"))
+    // encode applies greedily left-to-right
+    val enc = docs.select(Bpe.encodeWord(lit("lowest"), merges).as("e"))
+      .head().getSeq[String](0)
+    assert(enc == Seq("low", "est"))
+    // overlapping-pair greediness: aaa under (a,a) → [aa, a]
+    val aa = docs.select(
+        Bpe.encodeWord(lit("aaa"), Seq("a" -> "a")).as("e"))
+      .head().getSeq[String](0)
+    assert(aa == Seq("aa", "a"))
+  }
+
+  test("corpus training is deterministic and pin-clean") {
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val before = graft.std.Materialize.pinCount
+    val a = Bpe.trainMerges(docs, 8)
+    val b = Bpe.trainMerges(docs, 8)
+    assert(a == b && a.length == 8)
+    assert(a.distinct.length == 8) // merges never repeat
+    assert(graft.std.Materialize.pinCount == before) // loop released all
+  }
+}
