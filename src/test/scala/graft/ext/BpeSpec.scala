@@ -32,6 +32,34 @@ class BpeSpec extends AnyFunSuite {
     assert(aa == Seq("aa", "a"))
   }
 
+  test("encode fold matches a plain-Scala greedy reference on random input") {
+    // property-style over a seeded generator (no ScalaCheck Spark
+    // session plumbing needed): the Column fold must equal the obvious
+    // sequential implementation for every (word, merge) combination
+    def refMerge(syms: List[String], a: String, b: String): List[String] =
+      syms.foldLeft(List.empty[String]) {
+        case (acc, s) if acc.nonEmpty && acc.last == a && s == b =>
+          acc.init :+ (a + b)
+        case (acc, s) => acc :+ s
+      }
+    val rnd = new scala.util.Random(42)
+    val alphabet = Seq("a", "b", "c")
+    val cases = (1 to 60).map { _ =>
+      val word = (1 to (1 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(3))).mkString
+      val m = (alphabet(rnd.nextInt(3)), alphabet(rnd.nextInt(3)))
+      (word, m)
+    }
+    val got = cases.map { case (w, (a, b)) =>
+      spark.range(1).select(Bpe.encodeWord(lit(w), Seq(a -> b)).as("e"))
+        .head().getSeq[String](0).toList
+    }
+    val want = cases.map { case (w, (a, b)) =>
+      refMerge(w.split("").toList, a, b)
+    }
+    assert(got == want)
+  }
+
   test("corpus training is deterministic and pin-clean") {
     val docs = graft.sources.Tables
       .documents(spark, "/root/testdata/sf0.001")
