@@ -54,9 +54,14 @@ object Bpe {
       while (i < nMerges && !exhausted) {
         // frequency-weighted adjacent-pair counts over the vocabulary
         val best = vocab
+          // greatest(.., 0): an empty/whitespace-only document yields
+          // word "" with ZERO symbols, and slice rejects length -1 at
+          // runtime — empty arrays must contribute no pairs, not crash
           .select(col("freq"), explode(zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            slice(col("syms"), lit(1),
+              greatest(size(col("syms")) - 1, lit(0))),
+            slice(col("syms"), lit(2),
+              greatest(size(col("syms")) - 1, lit(0))),
             (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
           .groupBy(col("p.l"), col("p.r"))
           .agg(sum(col("freq")).as("n"))

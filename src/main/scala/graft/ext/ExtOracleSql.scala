@@ -882,7 +882,15 @@ GROUP BY 1, 2"""
   val t32HashedClassifier: String = {
     val wMilli =
       s"${h64(s"'w|' || CAST(${h64("x")} % 4096 AS VARCHAR)")} % 2001 - 1000"
-    ToksCte + s""", f AS (
+    // own toks CTE, NOT the shared one: the Spark side coalesces NULL
+    // text to '' (the t28 survive-with-accounting rule), so the twin
+    // must tokenize COALESCE(text, '') too
+    s"""WITH t AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(COALESCE(text, ''),
+           '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+), f AS (
   SELECT doc_id,
          list_concat(toks,
            CASE WHEN len(toks) >= 2

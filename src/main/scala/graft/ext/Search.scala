@@ -139,8 +139,12 @@ object Search {
                 k1: Double = 1.2, b: Double = 0.75,
                 textCol: String = "text"): DataFrame = {
     val base = TextOps.attrBarrier(
-      docs.select(col("doc_id"), col(textCol)),
-      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
+        docs.select(col("doc_id"), col(textCol)),
+        Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
+      // NULL text → _toks null → size/filter give -1, which would turn
+      // into a large POSITIVE score alerting on every query; bm25TopK
+      // drops such docs (no postings), so the alert path must too
+      .filter(col("_toks").isNotNull)
     val dl = size(col("_toks")).cast("double")
     val norm = lit(1.0) - lit(b) + lit(b) * (dl / lit(index.avgdl))
     val perQuery = index.termIdf.toSeq.sortBy(_._1).map { case (qid, terms) =>

@@ -909,13 +909,18 @@ object TextAnalysis {
   def hashedClassifier(docs: DataFrame, dim: Int = 4096,
                        textCol: String = "text"): DataFrame = {
     require(dim >= 2, "need at least two buckets")
-    // one barrier carries (unigram+bigram features) as an attribute;
-    // the weight lambda reads it without re-running the tokenize chain
-    val base = TextOps.attrBarrier(
-      docs.select(col("doc_id"), col(textCol)),
-      Seq("doc_id"), "_feats",
-      concat(TextOps.tokens(col(textCol)),
-        TextOps.shingles(TextOps.tokens(col(textCol)), 2)))
+    // TWO barriers: tokens first (else the shingle slice-lambda
+    // captures the raw tokenize chain and re-runs it per bigram — the
+    // O(tokens²) trap), then the feature array itself (else the weight
+    // lambda re-runs the shingle transform per feature). NULL text
+    // coalesces to '' up front — the t28 rule: a null must survive as
+    // an accounted row, and size(null) = -1 would poison n_features
+    val toksB = TextOps.attrBarrier(
+      docs.select(col("doc_id"),
+        coalesce(col(textCol), lit("")).as(textCol)),
+      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
+    val base = TextOps.attrBarrier(toksB, Seq("doc_id"), "_feats",
+      concat(col("_toks"), TextOps.shingles(col("_toks"), 2)))
     // stub weights are exact multiples of 0.001, so they sum as LONG
     // milli-units — order-free and overflow-safe (|w| ≤ 1000 milli ×
     // docs' feature counts), no decimal-widening fights with aggregate()

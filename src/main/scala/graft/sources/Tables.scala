@@ -44,9 +44,30 @@ object Tables {
     * together they are the scale form of the reference's defensive
     * column probing (`Project.py:33,48,54,158-164`): at 100 TB the
     * "does this column exist" question is per-FILE, not per-table.
+    *
+    * LIMIT: added/removed/renamed columns only. A column whose TYPE
+    * drifted under the SAME name makes parquet's schema merge throw at
+    * planning time — that case needs per-revision directories and
+    * [[readConformed]], which casts each revision before the union.
     */
   def readEvolving(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Read per-revision output directories onto one declared schema:
+    * each revision is read with its own footer schema, conformed
+    * ([[graft.std.SchemaOps.conformTo]] — missing columns null, drifted
+    * TYPES cast, extras dropped), then unioned. Handles the same-name
+    * type drift [[readEvolving]] cannot (string amount → double
+    * amount), at the cost of requiring the pipeline's natural
+    * revision-directory layout.
+    */
+  def readConformed(spark: SparkSession, revisionDirs: Seq[String],
+                    target: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(revisionDirs.nonEmpty, "need at least one revision directory")
+    revisionDirs
+      .map(p => graft.std.SchemaOps.conformTo(spark.read.parquet(p), target))
+      .reduce(_ unionByName _)
+  }
 
   /** Session knobs every entry point applies. ANSI must be OFF for
     * pandas-parity coerce-to-null casts (SURVEY §1.3); AQE handles runtime

@@ -72,10 +72,20 @@ object SchemaOps {
   def conformTo(df: DataFrame,
                 target: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val have = df.columns.toSet
+    // case-INSENSITIVE match, like Spark's own default resolution: a
+    // writer that emitted 'Region' must conform to target 'region' as
+    // a cast, not silently become nulls. Exact-case match wins when
+    // both exist; otherwise the first case-variant in column order.
+    val exact = df.columns.toSet
+    val byLower = df.columns.groupBy(_.toLowerCase)
     df.select(target.fields.toIndexedSeq.map { f =>
-      (if (have.contains(f.name)) col(f.name).cast(f.dataType)
-       else lit(null).cast(f.dataType)).as(f.name)
+      val source =
+        if (exact.contains(f.name)) Some(f.name)
+        else byLower.get(f.name.toLowerCase).map(_.head)
+      (source match {
+        case Some(c) => df(c).cast(f.dataType)
+        case None => lit(null).cast(f.dataType)
+      }).as(f.name)
     }: _*)
   }
 }

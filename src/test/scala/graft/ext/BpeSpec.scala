@@ -18,7 +18,10 @@ class BpeSpec extends AnyFunSuite {
     // then (es,t)=9; then (l,o)=7 ties (o,w) → lexicographic; (lo,w)=7.
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
-    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    // the empty doc contributes word "" with ZERO symbols — it must
+    // yield no pairs, not a negative-length slice crash
+    val docs = Seq((1L, words.mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text")
     val merges = Bpe.trainMerges(docs, 4)
     assert(merges == Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w"))
     // encode applies greedily left-to-right
@@ -63,11 +66,14 @@ class BpeSpec extends AnyFunSuite {
   test("corpus training is deterministic and pin-clean") {
     val docs = graft.sources.Tables
       .documents(spark, "/root/testdata/sf0.001")
-    val before = graft.std.Materialize.pinCount
+    // pinUnregistered never touches the pins registry, so pinCount
+    // cannot see a leak here — count the actual persisted RDDs instead
+    val before = spark.sparkContext.getPersistentRDDs.size
     val a = Bpe.trainMerges(docs, 8)
     val b = Bpe.trainMerges(docs, 8)
     assert(a == b && a.length == 8)
     assert(a.distinct.length == 8) // merges never repeat
-    assert(graft.std.Materialize.pinCount == before) // loop released all
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "trainMerges leaked checkpoint RDDs")
   }
 }

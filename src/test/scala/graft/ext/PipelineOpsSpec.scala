@@ -239,6 +239,8 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("hashed classifier: per-row shape, deterministic, feature count") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha"),
       (3L, "alpha beta gamma")).toDF("doc_id", "text")
+      .unionByName(Seq(4L).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
     val out = TextAnalysis.hashedClassifier(docs).collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
@@ -247,6 +249,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1L)._1 == 5L)
     assert(out(2L)._1 == 2L)
     assert(out(3L) == out(1L)) // same text, same score — content-pure
+    // null text coalesces to '': one token + the whole-text fallback
+    // shingle, a real accounted row (never n_features = -1)
+    assert(out(4L)._1 == 2L)
     assert(out.values.forall(v => v._2 >= -1.0 && v._2 <= 1.0))
     assert(out.values.forall(v => v._3 == (v._2 > 0)))
     // the stub weights are centered: a larger corpus keeps roughly half

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -74,6 +75,20 @@ class SearchSpec extends AnyFunSuite {
       .filter(_._2 >= threshold).toSet
     graft.std.Materialize.releaseAll()
     assert(batch.collect { case (d, "q1", s) => d -> s } == topk)
+  }
+
+  test("alert skips null-text docs instead of spuriously firing") {
+    // size(null) = -1 would make every per-term denominator small and
+    // every score large-positive — the null row must not alert at all
+    val docs = Seq((1L, "apple pie")).toDF("doc_id", "text")
+      .unionByName(Seq(2L).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    val idx = Search.bm25Freeze(docs.filter(col("doc_id") === 1L),
+      Seq("q" -> "apple"))
+    graft.std.Materialize.releaseAll()
+    val got = Search.bm25Alert(docs, idx, threshold = -1000.0).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L))
   }
 
   test("top-k cut and deterministic doc_id tiebreak") {

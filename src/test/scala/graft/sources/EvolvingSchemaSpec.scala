@@ -48,4 +48,29 @@ class EvolvingSchemaSpec extends AnyFunSuite {
     assert(byId(3L).getString(2) == "north")
     assert(byId.values.forall(_.isNullAt(3))) // brand: typed null
   }
+
+  test("conformTo resolves case variants; readConformed handles type drift") {
+    // a writer that emitted 'Region' must conform to target 'region'
+    // as a cast, not silently become nulls
+    val caseDf = Seq((1L, "north")).toDF("id", "Region")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("region", StringType)))
+    val row = graft.std.SchemaOps.conformTo(caseDf, target).head()
+    assert(row.getString(1) == "north")
+
+    // same-name TYPE drift across revisions: mergeSchema throws on
+    // this, readConformed casts each revision before the union
+    val v1 = Files.createTempDirectory("rev1").toString
+    val v2 = Files.createTempDirectory("rev2").toString
+    Seq((1L, "10.5"), (2L, "oops")).toDF("id", "amount")
+      .write.mode("overwrite").parquet(v1)
+    Seq((3L, 20.25)).toDF("id", "amount")
+      .write.mode("overwrite").parquet(v2)
+    val t2 = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType)))
+    val got = Tables.readConformed(spark, Seq(v1, v2), t2).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1L -> Some(10.5), 2L -> None, 3L -> Some(20.25)))
+  }
 }
