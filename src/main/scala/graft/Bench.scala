@@ -82,6 +82,13 @@ object Bench {
     // (~3.3 KB) overflowed that window — its head was cut and the JSON
     // never parsed. 3 dp keeps the line under ~2.2 KB; the file copy
     // keeps full precision plus every sample.
+    // full-precision copy with every sample lands INSIDE the repo so the
+    // round archives it: the driver keeps only the trailing ~2.9 KB of
+    // stdout, which cut 17 of r9's 90 per-query timings off the JSON
+    // tail — the stdout line names this path under "full" so the
+    // complete per-query record is always recoverable.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
     def jsonLine(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -93,7 +100,7 @@ object Bench {
         case (k, runs) if runs.contains(-1.0) && runs.exists(_ >= 0) =>
           "\"" + k + "\""
       }.mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"flaky":$flaky,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"flaky":$flaky,"full":"$outPath","sf":"$sfDir"}"""
     }
     def fileJson: String = {
       val all = samples.map { case (k, runs) =>
@@ -102,8 +109,7 @@ object Bench {
         s""","reps":$reps,"samples":$all}"""
     }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/tmp/graft_bench.json")), fileJson)
+      java.nio.file.Paths.get(outPath), fileJson)
     catch { case _: Throwable => () }
     println(jsonLine(v =>
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))))

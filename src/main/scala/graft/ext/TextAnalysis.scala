@@ -72,16 +72,27 @@ object TextAnalysis {
   /** Heuristic quality score in [0,1]: length saturation + low-punctuation
     * + stopword presence (the classic pre-training quality gates, each as
     * a guarded ratio).
+    *
+    * The tokenize chain crosses a [[TextOps.attrBarrier]] exactly like
+    * [[tokenStats]]: the three token consumers (`size`, the stopword
+    * filter lambda, the composite score) read one materialized array
+    * attribute instead of re-running the regex-normalize-split chain per
+    * reference — the filter lambda sits outside codegen subexpression
+    * elimination, so the un-barriered form evaluates the chain ~4× per
+    * row on the full-corpus scoring pass.
     */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("doc_id"), col(textCol))
+    val barriered = TextOps.attrBarrier(base, Seq("doc_id", textCol),
+      "_toks", TextOps.tokens(col(textCol)))
     val t = col(textCol)
-    val toks = TextOps.tokens(t)
-    docs.select(
+    val toks = col("_toks")
+    barriered.select(
       col("doc_id"),
       size(toks).as("n_tokens"),
       round(punctRatioExpr(t), 6).as("punct_ratio"),
-      round(stopRatioExpr(t), 6).as("stopword_ratio"),
-      qualityScoreExpr(t).as("quality_score"))
+      round(stopRatioFromToks(toks), 6).as("stopword_ratio"),
+      qualityScoreFromToks(toks, t).as("quality_score"))
   }
 
   private def punctRatioExpr(t: Column): Column = {
@@ -90,8 +101,10 @@ object TextAnalysis {
     when(nChar > 0, punct / nChar).otherwise(0.0)
   }
 
-  private def stopRatioExpr(t: Column): Column = {
-    val toks = TextOps.tokens(t)
+  /** English-stopword ratio over a PRECOMPUTED token array (see
+    * [[qualityScoreFromToks]] for why callers barrier the array first).
+    */
+  private def stopRatioFromToks(toks: Column): Column = {
     val nTok = size(toks).cast("double")
     when(nTok > 0,
       markerCount(toks, LangMarkers.toMap.apply("en")).cast("double") / nTok)
@@ -113,9 +126,7 @@ object TextAnalysis {
     */
   private[ext] def qualityScoreFromToks(toks: Column, t: Column): Column = {
     val nTok = size(toks).cast("double")
-    val stopRatio = when(nTok > 0,
-      markerCount(toks, LangMarkers.toMap.apply("en")).cast("double") / nTok)
-      .otherwise(0.0)
+    val stopRatio = stopRatioFromToks(toks)
     round(
       least(nTok / 100.0, lit(1.0)) * 0.5 +
         (lit(1.0) - punctRatioExpr(t)) * 0.3 +

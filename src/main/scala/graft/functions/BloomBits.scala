@@ -127,6 +127,25 @@ object BloomBits {
     }
     true
   }
+
+  /** [[contains]] plus a length≡m/8 guard — the [[BloomContains]] probe
+    * kernel. The SQL/Column surface takes the bit array as an arbitrary
+    * binary column, so an m mismatched against the filter's build-time m
+    * must fail with a descriptive error naming both sizes: a larger
+    * build-m silently returns wrong membership answers, a smaller one
+    * throws an opaque executor-side ArrayIndexOutOfBoundsException —
+    * the exact error class the constInt/GraftErrors discipline exists
+    * to avoid. Internal callers that already validate the length
+    * ([[graft.ext.Dedup.classifyIncrementBloom]], the stream shards)
+    * stay on the unchecked kernel.
+    */
+  def containsChecked(buf: Array[Byte], v: Long, m: Int, k: Int): Boolean = {
+    if (buf.length != m / 8) throw new IllegalArgumentException(
+      s"graft_bloom_contains: filter has ${buf.length * 8} bits but the " +
+        s"probe was built for m=$m — build and probe must share m " +
+        s"(filter bytes=${buf.length}, expected ${m / 8})")
+    contains(buf, v, m, k)
+  }
 }
 
 /** Membership probe against a [[BloomBits]] bit array, with codegen —
@@ -158,12 +177,12 @@ case class BloomContains(left: Expression, right: Expression, m: Int, k: Int)
 
   override protected def nullSafeEval(bloom: Any, v: Any): Any = {
     val h = v match { case l: Long => l; case i: Int => i.toLong }
-    BloomBits.contains(bloom.asInstanceOf[Array[Byte]], h, m, k)
+    BloomBits.containsChecked(bloom.asInstanceOf[Array[Byte]], h, m, k)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (b, v) =>
-      s"${ev.value} = graft.functions.BloomBits.contains($b, $v, $m, $k);")
+      s"${ev.value} = graft.functions.BloomBits.containsChecked($b, $v, $m, $k);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

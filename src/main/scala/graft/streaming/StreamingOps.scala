@@ -316,9 +316,13 @@ object StreamingOps {
     require(k >= 1 && k <= 16, s"bloom k must be in [1, 16], got $k")
     val spark = docs.sparkSession
     import spark.implicits._
+    // null text coalesces to "" before hashing (the t28 segment rule):
+    // a null-text crawl record must not poison the forever-running
+    // stream — hash64(normText(null)) is null, and decoding that into
+    // BloomedDoc's non-nullable Long would fail the micro-batch
     docs.select(col("doc_id"),
         graft.ext.TextOps.hash64(
-          graft.ext.TextOps.normText(col("text"))).as("h"))
+          graft.ext.TextOps.normText(coalesce(col("text"), lit("")))).as("h"))
       .select(col("doc_id"), (col("h") % shards).cast("int").as("shard"),
         col("h"))
       .as[BloomedDoc]

@@ -93,6 +93,25 @@ class BloomBitsSpec extends AnyFunSuite {
     assert(memberHits == members.size) // one-sided: no false negatives
   }
 
+  test("probe with mismatched m fails with a descriptive error, not AIOOBE") {
+    // a filter built at one m probed at another must name both sizes:
+    // a larger build-m silently returns wrong answers, a smaller one
+    // would throw an opaque executor-side ArrayIndexOutOfBoundsException
+    val bloom = Seq(11L, 22L).toDF("h")
+      .agg(GraftColumns.bloomAgg(col("h"), 2048, 4).as("bloom"))
+    val probed = Seq(22L).toDF("h").crossJoin(broadcast(bloom))
+      .select(GraftColumns.bloomContains(col("bloom"), col("h"), 1024, 4))
+    val e = intercept[Exception](probed.collect())
+    val msg = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msg.contains("graft_bloom_contains") && msg.contains("m=1024"),
+      s"expected a descriptive m-mismatch error, got: $msg")
+    // interpreted path hits the same guard
+    val e2 = intercept[IllegalArgumentException](
+      BloomBits.containsChecked(new Array[Byte](2048 / 8), 22L, 1024, 4))
+    assert(e2.getMessage.contains("expected 128"))
+  }
+
   test("SQL registration: graft_bloom_agg / graft_bloom_contains") {
     GraftColumns.registerFunctions(spark)
     Seq(11L, 22L, 33L).toDF("h").createOrReplaceTempView("bloom_in")

@@ -80,6 +80,19 @@ class ScaleSpec extends AnyFunSuite {
       s"column pruning lost:\n$plan")
   }
 
+  test("quality scorer tokenizes once (attrBarrier Generate in the plan)") {
+    // the t3 defect class: a lambda capturing the raw tokenize chain
+    // re-evaluates regex-normalize-split per reference (~4× per row on
+    // the full-corpus scoring pass). Barriered, the chain appears in
+    // exactly one Generate and every consumer reads the _toks attribute.
+    val qe = graft.ext.ExtQueries.qualityScores(spark, sfDir).queryExecution
+    val optimized = qe.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(optimized).length
+    assert(splits == 1, s"tokenize chain appears $splits times:\n$optimized")
+    assert(optimized.contains("Generate"),
+      s"attrBarrier Generate collapsed out of the plan:\n$optimized")
+  }
+
   test("star-join dimensions broadcast (no shuffle on the fact side)") {
     import graft.queries.Merged
     val plan = Merged.cleaned(spark, sfDir).queryExecution.executedPlan.toString

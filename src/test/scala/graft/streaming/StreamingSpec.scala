@@ -515,4 +515,16 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.doc_id -> r.probably_seen).toMap
     assert(got == Map(1L -> false, 2L -> false, 3L -> true))
   }
+
+  test("bloom dedup survives null-text documents (hashes as empty, t28 rule)") {
+    import spark.implicits._
+    // a null-text crawl record must not kill the forever-running stream:
+    // hash64(normText(null)) is null and BloomedDoc.h is non-nullable —
+    // the operator coalesces to "" first, so nulls dedup against empty
+    val docs = Seq((1L, null: String), (2L, "real text"), (3L, null: String),
+      (4L, "")).toDF("doc_id", "text")
+    val got = StreamingOps.bloomDedupStream(docs).collect()
+      .map(r => r.doc_id -> r.probably_seen).toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true))
+  }
 }
