@@ -125,4 +125,24 @@ object Charts {
       "Top products by revenue", s"$dir/top_products.png",
       maxBars = maxBars)
   }
+
+  /** The reference's complete Excel deliverable
+    * (`/root/reference/Project.py:273-324`): the report sheets PLUS two
+    * dedicated chart sheets (`Revenue_Chart`, `Top_Products_Chart`) with
+    * the rendered PNGs embedded at A1, 0.8 scale — the images live
+    * inside the workbook, not beside it. Charts render to
+    * `<path>.charts/` first (kept: they double as the standalone S5
+    * deliverable), then embed via the OOXML drawing parts.
+    */
+  def writeReportXlsx(sheets: Seq[(String, DataFrame)],
+                      revenueByMonth: DataFrame, topProducts: DataFrame,
+                      path: String, maxBars: Int = 500): Unit = {
+    val chartsDir = s"$path.charts"
+    writeCharts(revenueByMonth, topProducts, chartsDir, maxBars)
+    Xlsx.writeXlsx(sheets, path, imageSheets = Seq(
+      "Revenue_Chart" ->
+        Xlsx.imageFromPng(s"$chartsDir/revenue_by_month.png", scale = 0.8),
+      "Top_Products_Chart" ->
+        Xlsx.imageFromPng(s"$chartsDir/top_products.png", scale = 0.8)))
+  }
 }

@@ -34,6 +34,33 @@ object Xlsx {
     "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
   private val PkgRelNs =
     "http://schemas.openxmlformats.org/package/2006/relationships"
+  private val XdrNs =
+    "http://schemas.openxmlformats.org/drawingml/2006/spreadsheetDrawing"
+  private val DrawNs =
+    "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+  /** A PNG to anchor at A1 of a dedicated chart sheet — the reference's
+    * `worksheet.insert_image("A1", png, x_scale/y_scale)`
+    * (`/root/reference/Project.py:311-318`). EMU sizing: OOXML drawings
+    * measure in English Metric Units, 9 525 EMU per 96-dpi pixel.
+    */
+  final case class XlsxImage(png: Array[Byte], widthPx: Int, heightPx: Int,
+                             scale: Double = 1.0) {
+    require(widthPx > 0 && heightPx > 0 && scale > 0,
+      s"XlsxImage: non-positive dimensions ${widthPx}x$heightPx @ $scale")
+    private[sinks] def cx: Long = math.round(widthPx * scale * 9525.0)
+    private[sinks] def cy: Long = math.round(heightPx * scale * 9525.0)
+  }
+
+  /** Read a rendered PNG file (e.g. a [[Charts]] output) into an
+    * [[XlsxImage]], taking pixel dimensions from the image itself.
+    */
+  def imageFromPng(path: String, scale: Double = 1.0): XlsxImage = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"imageFromPng: $path is not a decodable image")
+    XlsxImage(bytes, img.getWidth, img.getHeight, scale)
+  }
 
   private def xmlEscape(s: String): String = s.flatMap {
     case '&' => "&amp;"
@@ -111,16 +138,42 @@ object Xlsx {
     w.flush()
   }
 
+  /** One-picture drawing part: the image stretched over a oneCellAnchor
+    * at A1 sized cx×cy EMU — the minimal `xdr:wsDr` Excel accepts.
+    */
+  private def drawingXml(img: XlsxImage, name: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<xdr:wsDr xmlns:xdr="$XdrNs" xmlns:a="$DrawNs" xmlns:r="$RelNs">
+<xdr:oneCellAnchor>
+<xdr:from><xdr:col>0</xdr:col><xdr:colOff>0</xdr:colOff><xdr:row>0</xdr:row><xdr:rowOff>0</xdr:rowOff></xdr:from>
+<xdr:ext cx="${img.cx}" cy="${img.cy}"/>
+<xdr:pic>
+<xdr:nvPicPr><xdr:cNvPr id="1" name="${xmlEscape(name)}"/><xdr:cNvPicPr/></xdr:nvPicPr>
+<xdr:blipFill><a:blip r:embed="rId1"/><a:stretch><a:fillRect/></a:stretch></xdr:blipFill>
+<xdr:spPr><a:xfrm><a:off x="0" y="0"/><a:ext cx="${img.cx}" cy="${img.cy}"/></a:xfrm><a:prstGeom prst="rect"><a:avLst/></a:prstGeom></xdr:spPr>
+</xdr:pic>
+<xdr:clientData/>
+</xdr:oneCellAnchor>
+</xdr:wsDr>"""
+
   /** Write `sheets` as one `.xlsx` file at `path` (a FILE path, not a
     * directory). Sheet names pass the reference's 31-char sanitizer and
     * are de-duplicated with a numeric suffix (Excel rejects duplicate
     * names).
+    *
+    * `imageSheets` appends dedicated chart sheets after the data sheets,
+    * each holding one picture anchored at A1 — the reference's
+    * `add_worksheet` + `insert_image` deliverable
+    * (`/root/reference/Project.py:311-318`): the rendered PNG lives
+    * INSIDE the workbook (`xl/media/` + a drawing part + relationships),
+    * not beside it.
     */
   def writeXlsx(sheets: Seq[(String, DataFrame)], path: String,
-                maxRowsPerSheet: Long = 1048575L): Unit = {
+                maxRowsPerSheet: Long = 1048575L,
+                imageSheets: Seq[(String, XlsxImage)] = Nil): Unit = {
     require(sheets.nonEmpty, "writeXlsx: no sheets")
     val seen = scala.collection.mutable.Set.empty[String]
-    val named = sheets.map { case (raw, df) =>
+    def dedupName(raw: String): String = {
       val base = Sinks.sanitizeSheetName(raw)
       var name = base
       var k = 2
@@ -131,8 +184,11 @@ object Xlsx {
         name = base.take(31 - suffix.length) + suffix
         k += 1
       }
-      (name, df)
+      name
     }
+    val named = sheets.map { case (raw, df) => (dedupName(raw), df) }
+    val namedImgs = imageSheets.map { case (raw, img) => (dedupName(raw), img) }
+    val allNames = named.map(_._1) ++ namedImgs.map(_._1)
     val zip = new ZipOutputStream(new FileOutputStream(path))
     def part(name: String, content: String): Unit = {
       zip.putNextEntry(new ZipEntry(name))
@@ -141,15 +197,21 @@ object Xlsx {
     }
     try {
       val n = named.size
+      val m = namedImgs.size
       part("[Content_Types].xml",
         s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
 <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
 <Default Extension="xml" ContentType="application/xml"/>
-<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-""" + (1 to n).map(i =>
+""" + (if (m > 0) "<Default Extension=\"png\" ContentType=\"image/png\"/>\n"
+       else "") +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+""" + (1 to n + m).map(i =>
           s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>"""
-        ).mkString("\n") + "\n</Types>")
+        ).mkString("\n") +
+        (1 to m).map(j => "\n" +
+          s"""<Override PartName="/xl/drawings/drawing$j.xml" ContentType="application/vnd.openxmlformats-officedocument.drawing+xml"/>"""
+        ).mkString + "\n</Types>")
       part("_rels/.rels",
         s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Relationships xmlns="$PkgRelNs">
@@ -158,18 +220,39 @@ object Xlsx {
       part("xl/workbook.xml",
         s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <workbook xmlns="$MainNs" xmlns:r="$RelNs"><sheets>""" +
-          named.zipWithIndex.map { case ((name, _), i) =>
+          allNames.zipWithIndex.map { case (name, i) =>
             s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
           }.mkString + "</sheets></workbook>")
       part("xl/_rels/workbook.xml.rels",
         s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Relationships xmlns="$PkgRelNs">""" +
-          (1 to n).map(i =>
+          (1 to n + m).map(i =>
             s"""<Relationship Id="rId$i" Type="$RelNs/worksheet" Target="worksheets/sheet$i.xml"/>"""
           ).mkString + "</Relationships>")
       named.zipWithIndex.foreach { case ((_, df), i) =>
         zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
         writeSheetEntry(zip, df, maxRowsPerSheet)
+        zip.closeEntry()
+      }
+      namedImgs.zipWithIndex.foreach { case ((name, img), j0) =>
+        val j = j0 + 1      // 1-based drawing/media index
+        val si = n + j      // overall sheet index
+        part(s"xl/worksheets/sheet$si.xml",
+          s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="$MainNs" xmlns:r="$RelNs"><sheetData/><drawing r:id="rId1"/></worksheet>""")
+        part(s"xl/worksheets/_rels/sheet$si.xml.rels",
+          s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="$PkgRelNs">
+<Relationship Id="rId1" Type="$RelNs/drawing" Target="../drawings/drawing$j.xml"/>
+</Relationships>""")
+        part(s"xl/drawings/drawing$j.xml", drawingXml(img, name))
+        part(s"xl/drawings/_rels/drawing$j.xml.rels",
+          s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="$PkgRelNs">
+<Relationship Id="rId1" Type="$RelNs/image" Target="../media/image$j.png"/>
+</Relationships>""")
+        zip.putNextEntry(new ZipEntry(s"xl/media/image$j.png"))
+        zip.write(img.png)
         zip.closeEntry()
       }
     } finally zip.close()

@@ -243,6 +243,72 @@ class SinksSpec extends AnyFunSuite {
     } finally zf.close()
   }
 
+  test("S4 xlsx embeds the chart PNGs as OOXML drawing parts") {
+    import graft.queries.{BiQueries, Merged}
+    val path = tmp("xlsx_img") + "/report.xlsx"
+    new java.io.File(path).getParentFile.mkdirs()
+    val cleaned = Merged.cleaned(spark, "/root/testdata/sf0.001")
+    Charts.writeReportXlsx(
+      Seq("summary" -> BiQueries.summary(cleaned)),
+      BiQueries.revenueByMonth(cleaned), BiQueries.topProducts(cleaned),
+      path)
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      def xml(name: String) = {
+        val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        f.setNamespaceAware(true)
+        f.newDocumentBuilder().parse(zf.getInputStream(zf.getEntry(name)))
+      }
+      // the image parts are real decodable PNGs inside the package
+      Seq("xl/media/image1.png", "xl/media/image2.png").foreach { p =>
+        assert(zf.getEntry(p) != null, s"missing $p")
+        val img = javax.imageio.ImageIO.read(zf.getInputStream(zf.getEntry(p)))
+        assert(img != null && img.getWidth == 900 && img.getHeight == 540)
+      }
+      // content types declare png + both drawing parts
+      val ct = scala.io.Source.fromInputStream(
+        zf.getInputStream(zf.getEntry("[Content_Types].xml"))).mkString
+      assert(ct.contains("Extension=\"png\"") &&
+        ct.contains("/xl/drawings/drawing1.xml") &&
+        ct.contains("/xl/drawings/drawing2.xml"))
+      // chart sheets follow the data sheet and carry a <drawing r:id>
+      val wb = xml("xl/workbook.xml").getElementsByTagNameNS("*", "sheet")
+      val names = (0 until wb.getLength).map(i =>
+        wb.item(i).getAttributes.getNamedItem("name").getNodeValue)
+      assert(names == Seq("Summary", "Revenue Chart", "Top Products Chart"))
+      val sheet2 = xml("xl/worksheets/sheet2.xml")
+      assert(sheet2.getElementsByTagNameNS("*", "drawing").getLength == 1)
+      // drawing part: one picture whose blip embed resolves through the
+      // drawing rels to the media part
+      val d1 = xml("xl/drawings/drawing1.xml")
+      assert(d1.getElementsByTagNameNS("*", "pic").getLength == 1)
+      val blip = d1.getElementsByTagNameNS("*", "blip").item(0)
+      val embedId = blip.getAttributes.getNamedItemNS(
+        "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+        "embed").getNodeValue
+      val rels = xml("xl/drawings/_rels/drawing1.xml.rels")
+        .getElementsByTagNameNS("*", "Relationship")
+      val rel = (0 until rels.getLength).map(rels.item)
+        .find(_.getAttributes.getNamedItem("Id").getNodeValue == embedId).get
+      assert(rel.getAttributes.getNamedItem("Target").getNodeValue ==
+        "../media/image1.png")
+      assert(rel.getAttributes.getNamedItem("Type").getNodeValue
+        .endsWith("/image"))
+      // sheet→drawing relationship is valid too
+      val srel = xml("xl/worksheets/_rels/sheet2.xml.rels")
+        .getElementsByTagNameNS("*", "Relationship").item(0)
+      assert(srel.getAttributes.getNamedItem("Target").getNodeValue ==
+        "../drawings/drawing1.xml")
+      // 0.8 scale in EMU: 900px*0.8*9525 = 6 858 000
+      val ext = d1.getElementsByTagNameNS("*", "ext").item(0)
+      assert(ext.getAttributes.getNamedItem("cx").getNodeValue == "6858000")
+      // every new part is well-formed XML
+      Seq("xl/drawings/drawing2.xml", "xl/worksheets/sheet3.xml",
+        "xl/worksheets/_rels/sheet3.xml.rels",
+        "xl/drawings/_rels/drawing2.xml.rels").foreach(xml)
+    } finally zf.close()
+  }
+
   test("xlsx column refs follow A1 lettering past Z") {
     assert(Seq(0, 25, 26, 27, 51, 52, 701, 702)
       .map(Xlsx.colRef) == Seq("A", "Z", "AA", "AB", "AZ", "BA", "ZZ", "AAA"))
