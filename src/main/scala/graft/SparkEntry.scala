@@ -132,6 +132,7 @@ object SparkEntry {
     "t30_bloom_decontamination" -> ExtQueries.bloomDecontamination _,
     "t31_bigram_logprob" -> ExtQueries.bigramLogprob _,
     "t32_hashed_classifier" -> ExtQueries.hashedClassifier _,
+    "t33_weighted_classifier" -> ExtQueries.weightedClassifier _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -228,6 +229,7 @@ object SparkEntry {
     "t30_bloom_decontamination" -> ExtOracleSql.t30BloomDecontamination,
     "t31_bigram_logprob" -> ExtOracleSql.t31BigramLogprob,
     "t32_hashed_classifier" -> ExtOracleSql.t32HashedClassifier,
+    "t33_weighted_classifier" -> ExtOracleSql.t33WeightedClassifier,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,

@@ -911,6 +911,46 @@ GROUP BY 1, 2"""
 SELECT doc_id, n_features, logit, logit > 0 AS keep FROM s"""
   }
 
+  /** t33: the t32 classifier scored against a weight TABLE — the twin
+    * builds the same (bucket → milli-weight) table the Spark side packs
+    * (`TextAnalysis.stubWeights`), lists it bucket-ordered, and scores
+    * by 1-based list index per hashed feature. Values are identical to
+    * t32 by construction; what t33 verifies is the table→lookup path.
+    */
+  val t33WeightedClassifier: String = {
+    s"""WITH wt AS (
+  SELECT b AS bucket,
+         ${h64("'w|' || CAST(b AS VARCHAR)")} % 2001 - 1000 AS wm
+  FROM generate_series(0, 4095) g(b)
+), wl AS (
+  SELECT list(wm ORDER BY bucket) AS w FROM wt
+), t AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(COALESCE(text, ''),
+           '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         list_concat(toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+1], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS feats
+  FROM t
+), m AS (
+  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
+         list_aggregate(list_transform(feats,
+           x -> w[(${h64("x")} % 4096) + 1]), 'sum') AS milli
+  FROM f CROSS JOIN wl
+), s AS (
+  SELECT doc_id, n_features,
+         round((CAST(milli AS DOUBLE) / 1000.0)
+               / CAST(n_features AS DOUBLE), 6) AS logit
+  FROM m
+)
+SELECT doc_id, n_features, logit, logit > 0 AS keep FROM s"""
+  }
+
   /** t30: bloom-filter decontamination — replays the
     * Kirsch–Mitzenmacher positions (`h1 = h % m`,
     * `h2 = 1 + (h // m) % (m-1)`, `pos_j = (h1 + j*h2) % m`, m = 2^16,

@@ -129,6 +129,10 @@ object ExtQueries {
   /** Full dedup resolution (d5): MinHash→LSH→verify pairs, then
     * connected components — every corpus doc labeled with its cluster
     * representative (min doc_id in component) and keep/drop decision.
+    *
+    * SNAPSHOT SEMANTICS: reads the session's memoized cluster
+    * resolution ([[clusterMemo]]) — data as of its first build per
+    * (session, sfDir); release via [[releaseMemos]].
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -140,6 +144,10 @@ object ExtQueries {
     * with (emit surviving rows, never materialize the join's right
     * columns). The corpus re-derives narrowly (per-row scan work, no
     * shuffle) — only the cluster resolution is worth memoizing.
+    *
+    * SNAPSHOT SEMANTICS: reads the session's memoized cluster
+    * resolution ([[clusterMemo]]) — data as of its first build per
+    * (session, sfDir); release via [[releaseMemos]].
     */
   def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -152,6 +160,10 @@ object ExtQueries {
 
   /** The dropped rows (d7): the LEFT ANTI complement of [[dedupSurvivors]]
     * — the audit trail a curation pipeline keeps of what dedup removed.
+    *
+    * SNAPSHOT SEMANTICS: reads the session's memoized cluster
+    * resolution ([[clusterMemo]]) — data as of its first build per
+    * (session, sfDir); release via [[releaseMemos]].
     */
   def dedupDropped(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -172,6 +184,10 @@ object ExtQueries {
     * cross-engine deterministic; doc_id breaks ties). The window
     * partitions by cluster representative — cluster sizes are small by
     * construction (near-dup groups), so no partition is hot at scale.
+    *
+    * SNAPSHOT SEMANTICS: reads the session's memoized cluster
+    * resolution ([[clusterMemo]]) — data as of its first build per
+    * (session, sfDir); release via [[releaseMemos]].
     */
   def bestKeeperClusters(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -608,6 +624,10 @@ object ExtQueries {
     * two-stage total equals the oracle's one-stage total bit-for-bit —
     * a double sum would drift with summation order and only *usually*
     * round away the difference.
+    *
+    * SNAPSHOT SEMANTICS: reads the session's memoized
+    * [[graft.queries.Merged.cleanedShared]] frame — data as of its
+    * first build per (session, sfDir).
     */
   def saltedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -630,6 +650,10 @@ object ExtQueries {
     * subtotal levels — the OLAP drill-down the reference's dashboards
     * implied but its script recomputed per level. One pass, grouping-id
     * tagged.
+    *
+    * SNAPSHOT SEMANTICS: reads the session's memoized
+    * [[graft.queries.Merged.cleanedShared]] frame — data as of its
+    * first build per (session, sfDir).
     */
   def rollupSales(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -650,6 +674,10 @@ object ExtQueries {
     * rows are dropped after the window. Assumes ≥6 daily rows per year
     * (any daily-grained corpus); the carry depth always equals the
     * frame's preceding-row count.
+    *
+    * SNAPSHOT SEMANTICS: reads the session's memoized
+    * [[graft.queries.Merged.cleanedShared]] frame — data as of its
+    * first build per (session, sfDir).
     */
   def movingAvgRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -741,6 +769,10 @@ object ExtQueries {
 
   /** Region cross-tab (x6): pivot with explicit values — static schema,
     * no distinct-scan pre-pass.
+    *
+    * SNAPSHOT SEMANTICS: reads the session's memoized
+    * [[graft.queries.Merged.cleanedShared]] frame — data as of its
+    * first build per (session, sfDir).
     */
   def pivotRegions(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -750,6 +782,10 @@ object ExtQueries {
 
   /** Melt back to long form (x7): pivot→unpivot round trip, null cells
     * dropped.
+    *
+    * SNAPSHOT SEMANTICS: reads the session's memoized
+    * [[graft.queries.Merged.cleanedShared]] frame — data as of its
+    * first build per (session, sfDir).
     */
   def unpivotRegions(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -808,6 +844,18 @@ object ExtQueries {
     Tables.tune(spark)
     TextAnalysis.hashedClassifier(
       spread(Tables.documents(spark, sfDir)))
+  }
+
+  /** Classifier scored against a broadcast weight TABLE (t33) — the
+    * production form of t32: same scores, but the weights arrive as a
+    * `(bucket, weight_milli)` frame (here the stub table, so the oracle
+    * can twin it) packed to one dense array row and broadcast.
+    */
+  def weightedClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.hashedClassifierWithWeights(
+      spread(Tables.documents(spark, sfDir)),
+      TextAnalysis.stubWeights(spark))
   }
 
   /** Bigram-LM document scoring (t31). */
@@ -869,6 +917,10 @@ object ExtQueries {
   /** Full cube (x8): revenue over every subset of {region, brand} —
     * the grouping-sets completion of x4's rollup hierarchy. One pass;
     * `grouping_id` disambiguates rolled-up NULLs from data NULLs.
+    *
+    * SNAPSHOT SEMANTICS: reads the session's memoized
+    * [[graft.queries.Merged.cleanedShared]] frame — data as of its
+    * first build per (session, sfDir).
     */
   def cubeSales(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

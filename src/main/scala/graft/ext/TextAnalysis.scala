@@ -920,24 +920,97 @@ object TextAnalysis {
   def hashedClassifier(docs: DataFrame, dim: Int = 4096,
                        textCol: String = "text"): DataFrame = {
     require(dim >= 2, "need at least two buckets")
-    // TWO barriers: tokens first (else the shingle slice-lambda
-    // captures the raw tokenize chain and re-runs it per bigram — the
-    // O(tokens²) trap), then the feature array itself (else the weight
-    // lambda re-runs the shingle transform per feature). NULL text
-    // coalesces to '' up front — the t28 rule: a null must survive as
-    // an accounted row, and size(null) = -1 would poison n_features
-    val toksB = TextOps.attrBarrier(
-      docs.select(col("doc_id"),
-        coalesce(col(textCol), lit("")).as(textCol)),
-      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
-    val base = TextOps.attrBarrier(toksB, Seq("doc_id"), "_feats",
-      concat(col("_toks"), TextOps.shingles(col("_toks"), 2)))
     // stub weights are exact multiples of 0.001, so they sum as LONG
     // milli-units — order-free and overflow-safe (|w| ≤ 1000 milli ×
     // docs' feature counts), no decimal-widening fights with aggregate()
     val milliWeightOf = (f: Column) =>
       (TextOps.hash64(concat(lit("w|"),
         (TextOps.hash64(f) % dim).cast("string"))) % 2001L) - 1000L
+    classifierScore(classifierFeatures(docs, textCol), milliWeightOf)
+  }
+
+  /** [[hashedClassifier]] scored against a PRETRAINED weight table —
+    * the production form of t32, proving the design claim on the stub:
+    * swapping real weights in changes the plan from zero-shuffle to ONE
+    * broadcast (nested-loop, 1-row build side) join and nothing else.
+    *
+    * `weights` must hold `(bucket, weight_milli)` for every bucket in
+    * `[0, dim)` exactly once (weights in exact milli-units, the same
+    * LONG-summation discipline as the stub). The table is packed into a
+    * single dense bucket-ordered array row — O(dim) bytes broadcast
+    * once, so the per-row kernel does an array index per feature, never
+    * a per-feature join probe. A malformed table (missing/duplicate/
+    * out-of-range buckets) fails loudly via `raise_error` naming the
+    * defect, not with silently-zero weights.
+    */
+  def hashedClassifierWithWeights(docs: DataFrame, weights: DataFrame,
+                                  dim: Int = 4096,
+                                  textCol: String = "text"): DataFrame = {
+    require(dim >= 2, "need at least two buckets")
+    val packed = weights
+      .select(col("bucket").cast("long").as("bucket"),
+        col("weight_milli").cast("long").as("weight_milli"))
+      .agg(
+        count(lit(1)).as("_n"),
+        count_distinct(col("bucket")).as("_nd"),
+        min(col("bucket")).as("_lo"),
+        max(col("bucket")).as("_hi"),
+        transform(
+          array_sort(collect_list(struct(col("bucket"), col("weight_milli")))),
+          s => s.getField("weight_milli")).as("_wraw"))
+      .select(
+        when(col("_n") === dim && col("_nd") === dim &&
+            col("_lo") === 0 && col("_hi") === dim - 1, col("_wraw"))
+          .otherwise(raise_error(concat(
+            lit(s"hashedClassifierWithWeights: weight table must hold " +
+              s"buckets 0..${dim - 1} exactly once; got rows="),
+            col("_n").cast("string"),
+            lit(" distinct="), col("_nd").cast("string"),
+            lit(" range=["), col("_lo").cast("string"),
+            lit(","), col("_hi").cast("string"), lit("]"))))
+          .as("_w"))
+    val milliWeightOf = (f: Column) =>
+      element_at(col("_w"), (TextOps.hash64(f) % dim).cast("int") + 1)
+    classifierScore(
+      classifierFeatures(docs, textCol).crossJoin(broadcast(packed)),
+      milliWeightOf)
+  }
+
+  /** The t32 stub weight table AS a `(bucket, weight_milli)` DataFrame —
+    * bucket `b` carries the identical md5-derived milli-weight the
+    * inline stub computes, so
+    * `hashedClassifierWithWeights(docs, stubWeights(spark, dim), dim)`
+    * must equal `hashedClassifier(docs, dim)` row-for-row (the spec
+    * asserts it). A real deployment replaces this frame with its
+    * pretrained weights and nothing else changes.
+    */
+  def stubWeights(spark: org.apache.spark.sql.SparkSession,
+                  dim: Int = 4096): DataFrame =
+    spark.range(dim.toLong).select(
+      col("id").as("bucket"),
+      ((TextOps.hash64(concat(lit("w|"), col("id").cast("string")))
+        % 2001L) - 1000L).as("weight_milli"))
+
+  /** t32's doc→hashed-feature-array frame. TWO barriers: tokens first
+    * (else the shingle slice-lambda captures the raw tokenize chain and
+    * re-runs it per bigram — the O(tokens²) trap), then the feature
+    * array itself (else the weight lambda re-runs the shingle transform
+    * per feature). NULL text coalesces to '' up front — the t28 rule: a
+    * null must survive as an accounted row, and size(null) = -1 would
+    * poison n_features.
+    */
+  private def classifierFeatures(docs: DataFrame, textCol: String): DataFrame = {
+    val toksB = TextOps.attrBarrier(
+      docs.select(col("doc_id"),
+        coalesce(col(textCol), lit("")).as(textCol)),
+      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
+    TextOps.attrBarrier(toksB, Seq("doc_id"), "_feats",
+      concat(col("_toks"), TextOps.shingles(col("_toks"), 2)))
+  }
+
+  /** Count-weighted milli-unit sum over `_feats` → per-token logit. */
+  private def classifierScore(base: DataFrame,
+                              milliWeightOf: Column => Column): DataFrame = {
     val sumMilli =
       TextOps.foldSumLong(transform(col("_feats"), milliWeightOf))
     base.select(col("doc_id"),

@@ -261,6 +261,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(keepFrac > 0.2 && keepFrac < 0.8, s"keep fraction $keepFrac")
   }
 
+  test("weight-table classifier ≡ stub; one broadcast join, no shuffle") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val viaTable = TextAnalysis.hashedClassifierWithWeights(
+      docs, TextAnalysis.stubWeights(spark))
+    // the design claim: swapping the inline stub for a pretrained
+    // (bucket, weight_milli) table changes NOTHING about the scores
+    val stub = TextAnalysis.hashedClassifier(docs).collect().toSet
+    assert(viaTable.collect().toSet == stub)
+    // …and the only plan delta is one broadcast of the packed 1-row
+    // weight array: no extra exchange on the corpus side
+    val plan = viaTable.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"weight table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"weight join shuffled the corpus:\n$plan")
+    val corpusExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(corpusExchanges == 0,
+      s"corpus side grew $corpusExchanges hash exchanges:\n$plan")
+  }
+
+  test("weight-table classifier rejects a malformed table loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    // bucket 7 missing → counts/range named in the error, not silent zeros
+    val holey = TextAnalysis.stubWeights(spark).filter(col("bucket") =!= 7)
+    val e = intercept[Exception](
+      TextAnalysis.hashedClassifierWithWeights(docs, holey).collect())
+    val msg = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msg.contains("buckets 0..4095") && msg.contains("rows=4095"),
+      s"expected a descriptive weight-table error, got: $msg")
+  }
+
   test("bigram LM scores match hand computation; word order matters") {
     def r(x: Double, s: Int) =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
