@@ -34,52 +34,216 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
+  /** The one corpus-sized pass: word frequencies, words as char-symbol
+    * arrays — everything after this runs on the word vocabulary.
+    */
+  private def charVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        filter(split(col("word"), ""), s => s =!= "").as("syms"))
+
+  /** Frequency-weighted adjacent-pair counts over the vocabulary,
+    * sorted by the canonical (n desc, l asc, r asc) pick order.
+    */
+  private def rankedPairs(vocab: DataFrame): DataFrame =
+    vocab
+      // greatest(.., 0): an empty/whitespace-only document yields
+      // word "" with ZERO symbols, and slice rejects length -1 at
+      // runtime — empty arrays must contribute no pairs, not crash
+      .select(col("freq"), explode(zip_with(
+        slice(col("syms"), lit(1),
+          greatest(size(col("syms")) - 1, lit(0))),
+        slice(col("syms"), lit(2),
+          greatest(size(col("syms")) - 1, lit(0))),
+        (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+      .groupBy(col("p.l"), col("p.r"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("l").asc, col("r").asc)
+
   /** Learn up to `nMerges` BPE merges from the corpus' whitespace
     * words. Returns the ordered merge table — (left, right) pairs, the
-    * artifact a tokenizer ships.
+    * artifact a tokenizer ships. One pair-count job + one rewrite per
+    * MERGE — the didactic sequential form; [[trainMergesBatched]] is
+    * the production loop (identical output, ~batch× fewer jobs).
     */
   def trainMerges(docs: DataFrame, nMerges: Int,
-                  textCol: String = "text"): Seq[(String, String)] = {
+                  textCol: String = "text"): Seq[(String, String)] =
+    trainMergesBatched(docs, nMerges, maxBatch = 1, textCol)
+
+  /** [[trainMerges]] with BOUNDED-ITERATION BATCHING: each round counts
+    * pairs ONCE, then commits a BATCH of merges in one vocabulary
+    * rewrite — at a real 32k-merge vocabulary the sequential loop is
+    * 32k Spark-job round-trips of driver latency, and this is the
+    * standard fix (commuting merges batch).
+    *
+    * PROVABLY identical to the sequential table (spec-checked), via two
+    * guards on the candidate list sorted in canonical pick order:
+    *
+    *  1. *Disjoint prefix*: walk candidates in order, selecting while
+    *     the pair shares no symbol with — and neither side equals the
+    *     produced `l+r` string of — any already-selected merge; STOP
+    *     the batch at the first violation. Selected merges therefore
+    *     can neither lose occurrences (they'd need to share a symbol
+    *     with an earlier merge) nor gain them (gaining requires a side
+    *     equal to an earlier merge's product), so their counts — and
+    *     hence their sequential pick order — are exactly the counted
+    *     ones. The prefix rule also means every conflicting pair ranks
+    *     at-or-below the stop candidate.
+    *  2. *Strict-majority trim*: let S = the count of the first
+    *     NON-selected candidate (the stop, or the first beyond the
+    *     window; 0 if the candidate list is exhausted). Keep only
+    *     selected merges with count > S. Any pair the batch does NOT
+    *     commit — including pairs newly CREATED by a committed merge,
+    *     whose count is bounded by the conflicting (x, l)/(r, y) pair
+    *     they descend from, itself ≤ S by guard 1 — has updated count
+    *     ≤ S, so it cannot overtake (or tie-break against) any kept
+    *     merge mid-batch. If the trim empties the batch, the top
+    *     candidate alone is committed (the sequential pick is always
+    *     exact).
+    *
+    * Worst case (every adjacent candidate conflicting) degenerates to
+    * the sequential 1-merge round; typical corpora commit most of
+    * `maxBatch` per round (probed: see README).
+    */
+  def trainMergesBatched(docs: DataFrame, nMerges: Int, maxBatch: Int = 64,
+                         textCol: String = "text"): Seq[(String, String)] = {
     require(nMerges >= 1, "need at least one merge")
-    // the one corpus-sized pass: word frequencies, words as char symbols
+    require(maxBatch >= 1, "need a positive batch bound")
     var vocab = graft.std.Materialize.pinUnregistered(
-      docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .select(col("freq"),
-          filter(split(col("word"), ""), s => s =!= "").as("syms")))
+      charVocab(docs, textCol))
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
     try {
-      var i = 0
       var exhausted = false
-      while (i < nMerges && !exhausted) {
-        // frequency-weighted adjacent-pair counts over the vocabulary
-        val best = vocab
-          // greatest(.., 0): an empty/whitespace-only document yields
-          // word "" with ZERO symbols, and slice rejects length -1 at
-          // runtime — empty arrays must contribute no pairs, not crash
-          .select(col("freq"), explode(zip_with(
-            slice(col("syms"), lit(1),
-              greatest(size(col("syms")) - 1, lit(0))),
-            slice(col("syms"), lit(2),
-              greatest(size(col("syms")) - 1, lit(0))),
-            (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
-          .groupBy(col("p.l"), col("p.r"))
-          .agg(sum(col("freq")).as("n"))
-          .orderBy(col("n").desc, col("l").asc, col("r").asc)
-          .head(1)
-        if (best.isEmpty) exhausted = true
+      while (merges.size < nMerges && !exhausted) {
+        val want = math.min(maxBatch, nMerges - merges.size)
+        val cands = rankedPairs(vocab).head(want + 1)
+        if (cands.isEmpty) exhausted = true
         else {
-          val (l, r) = (best(0).getString(0), best(0).getString(1))
-          merges += ((l, r))
+          val used = scala.collection.mutable.Set.empty[String]
+          val selected =
+            scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+          var stopped = false
+          var idx = 0
+          while (!stopped && idx < cands.length && selected.size < want) {
+            val c = cands(idx)
+            val (l, r) = (c.getString(0), c.getString(1))
+            if (used(l) || used(r)) stopped = true
+            else {
+              selected += ((l, r, c.getLong(2)))
+              used ++= Seq(l, r, l + r)
+              idx += 1
+            }
+          }
+          val sBound = if (idx < cands.length) cands(idx).getLong(2) else 0L
+          val exact = selected.takeWhile(_._3 > sBound).toList match {
+            case Nil => selected.take(1).toList
+            case kept => kept
+          }
+          merges ++= exact.map(t => (t._1, t._2))
           val next = graft.std.Materialize.pinUnregistered(
-            vocab.select(col("freq"), mergePair(col("syms"), l, r).as("syms")))
+            vocab.select(col("freq"),
+              exact.foldLeft(col("syms")) { case (sy, (a, b, _)) =>
+                mergePair(sy, a, b)
+              }.as("syms")))
           graft.std.Materialize.releasePin(vocab)
           vocab = next
-          i += 1
         }
       }
       merges.toList
     } finally graft.std.Materialize.releasePin(vocab)
+  }
+
+  /** [[trainMerges]] with the merge loop on the DRIVER — the production
+    * shape at 100 TB. The corpus-sized work is exactly ONE Spark job
+    * (the word-frequency pass, shuffled once with partial aggregation);
+    * the merge loop then runs over the collected word vocabulary with
+    * INCREMENTAL pair counts (only words containing the winning pair
+    * are rewritten, classic single-machine BPE), so 32k merges cost
+    * zero additional Spark jobs instead of 64k driver round-trips.
+    *
+    * `maxVocab` bounds driver memory: the vocabulary is capped to the
+    * top-`maxVocab` words by (freq desc, word asc) — a deterministic
+    * frequency floor, the standard practice (sub-floor words are
+    * singleton-rare; their absence can only affect merges whose counts
+    * are below the floor). With no truncation the table is IDENTICAL
+    * to [[trainMerges]] (spec-checked). Distributed fallback
+    * ([[trainMergesBatched]]) exists for vocabularies that genuinely
+    * exceed driver memory; the probe (`tools/bpe_scale_probe.scala`)
+    * shows why this local form is the default — real pair
+    * distributions are conflict-dense at the head, so exactness-
+    * preserving distributed batching rarely commits more than one
+    * merge per round.
+    */
+  def trainMergesLocal(docs: DataFrame, nMerges: Int,
+                       maxVocab: Int = 1 << 20,
+                       textCol: String = "text"): Seq[(String, String)] = {
+    require(nMerges >= 1, "need at least one merge")
+    require(maxVocab >= 1, "need a positive vocabulary cap")
+    val rows = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(maxVocab)
+      .collect()
+    val syms = rows.map(r =>
+      scala.collection.mutable.ArrayBuffer.from(
+        r.getString(0).split("").filter(_.nonEmpty)))
+    val freq = rows.map(_.getLong(1))
+
+    // pair → (count, word indices containing it), plus a pick-ordered
+    // view for O(log P) best-pair extraction
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    val where = scala.collection.mutable
+      .Map.empty[(String, String), scala.collection.mutable.Set[Int]]
+    val ordered = scala.collection.mutable
+      .TreeSet.empty[(Long, String, String)](
+        Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String))
+    def pairsOf(ss: scala.collection.Seq[String]): Iterator[(String, String)] =
+      if (ss.length < 2) Iterator.empty
+      else ss.iterator.zip(ss.iterator.drop(1))
+    def bump(p: (String, String), d: Long, idx: Int, present: Boolean): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) ordered.remove((old, p._1, p._2))
+      val now = old + d
+      if (now != 0L) { counts(p) = now; ordered.add((now, p._1, p._2)) }
+      else counts.remove(p)
+      val set = where.getOrElseUpdate(p, scala.collection.mutable.Set.empty)
+      if (present) set.add(idx) else set.remove(idx)
+      if (set.isEmpty) where.remove(p)
+      ()
+    }
+    syms.indices.foreach { i =>
+      pairsOf(syms(i)).toSeq.groupBy(identity).foreach { case (p, occ) =>
+        bump(p, occ.size * freq(i), i, present = true)
+      }
+    }
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    while (merges.size < nMerges && ordered.nonEmpty) {
+      val (_, a, b) = ordered.head
+      merges += ((a, b))
+      val affected = where.get((a, b)).map(_.toArray).getOrElse(Array.empty)
+      affected.foreach { i =>
+        val before = pairsOf(syms(i)).toSeq.groupBy(identity)
+        // greedy left-to-right in place
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms(i).foreach { s =>
+          if (out.nonEmpty && out.last == a && s == b)
+            out(out.length - 1) = a + b
+          else out += s
+        }
+        syms(i) = out
+        val after = pairsOf(out).toSeq.groupBy(identity)
+        (before.keySet ++ after.keySet).foreach { p =>
+          val d = after.get(p).map(_.size).getOrElse(0) -
+            before.get(p).map(_.size).getOrElse(0)
+          val present = after.contains(p)
+          if (d != 0 || before.contains(p) != present)
+            bump(p, d.toLong * freq(i), i, present)
+        }
+      }
+    }
+    merges.toList
   }
 
   /** Apply a learned merge table to a token column — chars → learned

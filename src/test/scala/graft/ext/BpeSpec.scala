@@ -63,6 +63,81 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("batched training ≡ sequential on the textbook example") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    // round 1 exercises the conflict stop: (e,s)=9 then (s,t)=9 share
+    // 's', so the batch commits (e,s) alone exactly like sequential
+    val batched = Bpe.trainMergesBatched(docs, 4, maxBatch = 4)
+    assert(batched == Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w"))
+    assert(batched == Bpe.trainMerges(docs, 4))
+  }
+
+  test("batched training ≡ sequential ≡ plain-Scala BPE on the corpus") {
+    // independent ground truth: textbook BPE over a word-frequency map
+    // in plain Scala — same (count desc, pair asc) pick order
+    def refTrain(freqs: Map[String, Long], n: Int): Seq[(String, String)] = {
+      var vocab = freqs.toSeq.map { case (w, f) =>
+        (w.split("").filter(_.nonEmpty).toList, f) }
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      var done = false
+      while (out.size < n && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.zip(syms.drop(1)).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + f) }
+        if (counts.isEmpty) done = true
+        else {
+          val (l, r) = counts.toSeq
+            .minBy { case ((l, r), c) => (-c, l, r) }._1
+          out += ((l, r))
+          vocab = vocab.map { case (syms, f) =>
+            (syms.foldLeft(List.empty[String]) {
+              case (acc, s) if acc.nonEmpty && acc.last == l && s == r =>
+                acc.init :+ (l + r)
+              case (acc, s) => acc :+ s
+            }, f)
+          }
+        }
+      }
+      out.toList
+    }
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val freqs = docs
+      .select(org.apache.spark.sql.functions.explode(
+        TextOps.tokens(org.apache.spark.sql.functions.col("text"))).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refTrain(freqs, 24)
+    assert(Bpe.trainMerges(docs, 24) == want)
+    // batched must commit the identical table at every batch bound
+    assert(Bpe.trainMergesBatched(docs, 24, maxBatch = 8) == want)
+    assert(Bpe.trainMergesBatched(docs, 24, maxBatch = 64) == want)
+    // the driver-loop form (one Spark job total) — identical table
+    assert(Bpe.trainMergesLocal(docs, 24) == want)
+  }
+
+  test("driver-loop training ≡ sequential, including exhaustion + cap") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "")).toDF("doc_id", "text")
+    assert(Bpe.trainMergesLocal(docs, 4) ==
+      Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w"))
+    // asking past exhaustion stops cleanly at the full merge set
+    val all = Bpe.trainMergesLocal(docs, 1000)
+    assert(all.size < 1000 && all.take(4) ==
+      Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w"))
+    assert(Bpe.trainMerges(docs, 1000) == all)
+    // the vocab cap is a deterministic frequency floor: top-2 words by
+    // (freq desc, word asc) = newest(6), low(5) — the capped table must
+    // equal training on exactly those two words
+    val twoWords = Seq((1L, (Seq.fill(6)("newest") ++ Seq.fill(5)("low"))
+      .mkString(" "))).toDF("doc_id", "text")
+    assert(Bpe.trainMergesLocal(docs, 3, maxVocab = 2) ==
+      Bpe.trainMerges(twoWords, 3))
+  }
+
   test("corpus training is deterministic and pin-clean") {
     val docs = graft.sources.Tables
       .documents(spark, "/root/testdata/sf0.001")
