@@ -123,43 +123,72 @@ object Similarity {
     * coordinate `sqrt(M² − ‖x‖²)` (M = corpus max norm) and queries
     * gain a 0, so `dot(q', x') = dot(q, x)` while every augmented
     * corpus vector has norm M — inner-product order becomes angular
-    * order, which sign-LSH buckets preserve. Candidates come from a
-    * bucket equi-join with Hamming-1 multi-probe on the query side
-    * (shuffle O(batch × (nPlanes+1) + corpus), never batch × corpus);
-    * scores are exact dots over the ORIGINAL vectors, so any
+    * order, which sign-LSH buckets preserve.
+    *
+    * Candidates come from `nTables` INDEPENDENT hash tables (disjoint
+    * plane ranges of the deterministic family), each a bucket
+    * equi-join with Hamming-1 multi-probe on the query side — the
+    * classic LSH recall dial: one table at 10× corpus recalls ~0.45,
+    * the default 4 tables ~0.9+ (probed:
+    * `tools/ann_recall_probe.scala`). Shuffle is
+    * O(nTables × (batch × (nPlanes+1) + corpus)) — linear in corpus,
+    * never batch × corpus; cross-table duplicate candidates dedupe
+    * BEFORE scoring (a candidate-sized exchange, not a corpus-sized
+    * one). Scores are exact dots over the ORIGINAL vectors, so any
     * candidate the buckets surface is ranked exactly — approximation
     * shows up only as recall, never as a wrong score (recall-tested
     * against [[mipsTopK]] like the IVF path).
     */
   def mipsTopKAnn(queries: DataFrame, corpus: DataFrame, k: Int,
-                  nPlanes: Int = 8, idCol: String = "vec_id",
+                  nPlanes: Int = 8, nTables: Int = 4,
+                  idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62, "nPlanes in [1, 62]")
+    require(nTables >= 1, "need at least one hash table")
+    val tables = 0 until nTables
     val c0 = graft.std.Materialize.once(
       corpus.select(col(idCol).as("neighbor_id"),
           col(vecCol).cast("array<double>").as("cv"))
         .withColumn("cn", l2Norm(col("cv"))))
     val mRow = c0.agg(max(col("cn")).as("_m"))
-    val cAug = c0.crossJoin(broadcast(mRow))
-      .withColumn("bucket", lshBucket(concat(col("cv"), array(
-        sqrt(greatest(col("_m") * col("_m") - col("cn") * col("cn"),
-          lit(0.0))))), nPlanes, None))
-      .select(col("neighbor_id"), col("bucket"), col("cv"))
-    // multi-probe: the home bucket plus every Hamming-1 neighbor (one
+    val cAugVec = concat(col("cv"), array(
+      sqrt(greatest(col("_m") * col("_m") - col("cn") * col("cn"),
+        lit(0.0)))))
+    val cBuckets = c0.crossJoin(broadcast(mRow))
+      .select(col("neighbor_id"), col("cv"), explode(array(tables.map(t =>
+        struct(lit(t).as("t"),
+          lshBucket(cAugVec, nPlanes, None, t * nPlanes).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("neighbor_id"), col("cv"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // per table: the home bucket plus every Hamming-1 neighbor (one
     // tolerated plane disagreement). Query-side only and broadcast, so
-    // the fan-out costs nPlanes+1 probe rows per query, not corpus work;
-    // a neighbor lives in exactly one bucket, so probes never produce
-    // duplicate (query, neighbor) pairs
-    val qHome = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("_b0",
-        lshBucket(concat(col("qv"), array(lit(0.0))), nPlanes, None))
-    val probes = array(
-      (col("_b0") +: (0 until nPlanes).map(p =>
-        col("_b0").bitwiseXOR(lit(1L << p)))): _*)
+    // the fan-out costs nTables × (nPlanes+1) probe rows per query,
+    // not corpus work
+    val qHome = tables.foldLeft(
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))) { (df, t) =>
+      df.withColumn(s"_b$t",
+        lshBucket(concat(col("qv"), array(lit(0.0))), nPlanes, None,
+          t * nPlanes))
+    }
+    val probeStructs = tables.flatMap { t =>
+      (col(s"_b$t") +: (0 until nPlanes).map(p =>
+        col(s"_b$t").bitwiseXOR(lit(1L << p))))
+        .map(b => struct(lit(t).as("t"), b.as("bucket")))
+    }
     val qAug = broadcast(qHome
-      .select(col("query_id"), col("qv"), explode(probes).as("bucket")))
-    val scored = cAug.join(qAug, Seq("bucket"))
+      .select(col("query_id"), col("qv"),
+        explode(array(probeStructs: _*)).as("tb"))
+      .select(col("query_id"), col("qv"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket")))
+    val scored = cBuckets.join(qAug, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // a pair surfacing in several tables must score ONCE: within one
+      // table a neighbor lives in exactly one bucket, across tables it
+      // can collide — dedupe while the frame is still candidate-sized
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")), 6).as("inner_product"))
     rankTopK(scored, "inner_product", k)
@@ -222,15 +251,19 @@ object Similarity {
     * Without `dims` the hyperplane components are derived per element in
     * the expression itself.
     */
-  def lshBucket(vec: Column, nPlanes: Int, dims: Option[Int] = None): Column =
+  def lshBucket(vec: Column, nPlanes: Int, dims: Option[Int] = None,
+                planeOffset: Int = 0): Column =
     (0 until nPlanes).map { p =>
+      // planeOffset selects a disjoint plane range — how multi-table
+      // LSH (mipsTopKAnn's nTables) gets INDEPENDENT hash tables from
+      // the same deterministic plane family
       val proj = dims match {
         case Some(n) =>
           dot(vec, array((0 until n).map(d =>
-            lit(planeComponentValue(p, d))): _*))
+            lit(planeComponentValue(p + planeOffset, d))): _*))
         case None =>
           TextOps.foldSumDouble(
-            transform(vec, (x, i) => x * planeComponent(p, i)))
+            transform(vec, (x, i) => x * planeComponent(p + planeOffset, i)))
       }
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
