@@ -133,6 +133,10 @@ object SparkEntry {
     "t31_bigram_logprob" -> ExtQueries.bigramLogprob _,
     "t32_hashed_classifier" -> ExtQueries.hashedClassifier _,
     "t33_weighted_classifier" -> ExtQueries.weightedClassifier _,
+    "t34_pii_redact" -> ExtQueries.piiRedact _,
+    "t35_gopher_rules" -> ExtQueries.gopherRules _,
+    "t36_bpe_encode" -> ExtQueries.bpeEncode _,
+    "t37_corpus_diff" -> ExtQueries.corpusDiff _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -230,6 +234,10 @@ object SparkEntry {
     "t31_bigram_logprob" -> ExtOracleSql.t31BigramLogprob,
     "t32_hashed_classifier" -> ExtOracleSql.t32HashedClassifier,
     "t33_weighted_classifier" -> ExtOracleSql.t33WeightedClassifier,
+    "t34_pii_redact" -> ExtOracleSql.t34PiiRedact,
+    "t35_gopher_rules" -> ExtOracleSql.t35GopherRules,
+    "t36_bpe_encode" -> ExtOracleSql.t36BpeEncode,
+    "t37_corpus_diff" -> ExtOracleSql.t37CorpusDiff,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,

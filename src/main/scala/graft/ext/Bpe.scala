@@ -255,4 +255,113 @@ object Bpe {
     merges.foldLeft(filter(split(word, ""), s => s =!= "")) {
       case (syms, (a, b)) => mergePair(syms, a, b)
     }
+
+  /** A frozen demo merge table: the first 24 merges
+    * [[trainMergesLocal]] learns from the sf0.01 documents corpus,
+    * committed as a constant so the t36 oracle twin can unroll the
+    * identical table into SQL. Any fixed table exercises the encode
+    * path; this one being the corpus' own head makes the compression
+    * realistic (≈2.9 chars/token at sf0.01).
+    */
+  val DemoMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
+    "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u")
+
+  /** Corpus-wide BPE ENCODE (t36) — apply a learned merge table to
+    * every document, the map step that turns curated text into token
+    * sequences. Per doc: whitespace words, each encoded char→subword
+    * by [[encodeWord]], flattened in word order; reports word/token
+    * counts and a digest of the token stream.
+    *
+    * 100-TB shape: pure per-row expressions over a barriered token
+    * attribute — NO shuffle, NO join, scan-once; the whole encode is
+    * one codegen'd map pass, which is the only shape a corpus-sized
+    * tokenize can afford. Expression nesting grows with the merge
+    * table (one fold per merge), so this form is for demo-sized
+    * tables; [[encodeDocsPartitioned]] is the same semantics for
+    * production table sizes.
+    */
+  def encodeDocs(docs: DataFrame, merges: Seq[(String, String)],
+                 textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("doc_id"), col(textCol))
+    val b = TextOps.attrBarrier(base, Seq("doc_id"),
+      "_toks", TextOps.tokens(col(textCol)))
+    // barrier the piece array too: it is referenced twice below (size +
+    // digest) and lambdas sit outside codegen subexpression elimination
+    val b2 = TextOps.attrBarrier(b, Seq("doc_id", "_toks"),
+      "_pieces", flatten(transform(col("_toks"),
+        w => encodeWord(w, merges))))
+    b2.select(
+      col("doc_id"),
+      size(col("_toks")).cast("long").as("n_words"),
+      size(col("_pieces")).cast("long").as("n_tokens"),
+      md5(concat_ws(" ", col("_pieces"))).as("tokens_md5"))
+  }
+
+  /** [[encodeDocs]] for PRODUCTION merge-table sizes (32k+): the
+    * expression form nests one fold per merge, which is fine at demo
+    * size but not at a real vocabulary — here the table ships to
+    * executors once as a broadcast and each partition encodes
+    * imperatively. Semantics are IDENTICAL to the fold (in-table-order
+    * greedy left-to-right passes — spec-proven equal on the corpus):
+    * a rank-priority encoder would be faster per word but is only
+    * equivalent under the trained-table invariant (pairs over a merged
+    * symbol always rank later), which an arbitrary table needn't obey.
+    * One of the rare genuine `mapPartitions` cases (SURVEY §2:
+    * imperative per-row kernel no expression can host at this size).
+    */
+  def encodeDocsPartitioned(docs: DataFrame,
+                            merges: Seq[(String, String)],
+                            textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val base = docs.select(col("doc_id").cast("long"),
+      TextOps.normText(col(textCol)).as("_nt"))
+    base.as[(Long, String)].mapPartitions { it =>
+      val table = bc.value
+      // Zipf makes word repeats the common case: memoize word→pieces
+      // per partition, capped so executor memory stays bounded on an
+      // adversarially diverse vocabulary (past the cap, encode raw).
+      val cache = new java.util.HashMap[String, Array[String]]()
+      val cacheCap = 1 << 16
+      def encode(word: String): Array[String] = {
+        val hit = cache.get(word)
+        if (hit != null) return hit
+        val syms = scala.collection.mutable.ArrayBuffer
+          .from(word.split("").filter(_.nonEmpty))
+        var m = 0
+        while (m < table.length && syms.length > 1) {
+          val (a, b) = table(m)
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == a && syms(i + 1) == b) {
+              syms(i) = a + b
+              syms.remove(i + 1)
+            } else i += 1
+          }
+          m += 1
+        }
+        val arr = syms.toArray
+        if (cache.size < cacheCap) cache.put(word, arr)
+        arr
+      }
+      it.map { case (id, nt) =>
+        val words = Option(nt).getOrElse("").split(" ", -1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var w = 0
+        while (w < words.length) {
+          out ++= encode(words(w))
+          w += 1
+        }
+        (id, words.length.toLong, out.length.toLong,
+          out.mkString(" "))
+      }
+    }.toDF("doc_id", "n_words", "n_tokens", "_joined")
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        md5(col("_joined")).as("tokens_md5"))
+  }
 }

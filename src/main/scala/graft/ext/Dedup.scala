@@ -30,6 +30,36 @@ object Dedup {
     docs.groupBy(md5(TextOps.normText(col(textCol))).as("group_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
 
+  /** Corpus SNAPSHOT DIFF (t37) — the dataset-versioning delta between
+    * two corpus versions: per doc_id, `added` / `removed` / `changed` /
+    * `unchanged`, with both content digests. The audit artifact a
+    * curation pipeline publishes alongside every refresh (what moved
+    * between crawl N and crawl N+1), and the input to incremental
+    * downstream recompute (only `added`+`changed` need re-scoring).
+    *
+    * 100-TB shape: each side collapses to (doc_id, 16-byte digest)
+    * BEFORE the full-outer join — text never shuffles, join volume is
+    * two digest columns. Snapshots written bucketed by doc_id
+    * ([[graft.sources.Bucketing]]) make the join exchange-free; AQE
+    * handles the rest. Null text digests as the empty string on both
+    * dialects (the t28 rule).
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    def digested(df: DataFrame, name: String) =
+      df.select(col(idCol),
+        md5(TextOps.normText(coalesce(col(textCol), lit("")))).as(name))
+    digested(v1, "old_digest")
+      .join(digested(v2, "new_digest"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") === col("new_digest"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_digest"), col("new_digest"))
+  }
+
   /** Exact dedup keeping the smallest id per group (deterministic
     * survivor). One shuffle (window over the digest key).
     */

@@ -1605,4 +1605,156 @@ SELECT MIN(ts) AS session_start,
        MAX(ts) + INTERVAL '5 minutes' AS session_end,
        user_id, COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value
 FROM s GROUP BY user_id, sess"""
+
+  /** t34: the t15 email/URL injection plus the extended shapes (IP,
+    * phone, SSN-shaped id) on every 6th doc; counts on the raw text,
+    * digest of the sequentially redacted text in the Spark side's
+    * pattern order (URL, email, SSN, phone, IP).
+    */
+  val t34PiiRedact: String = {
+    val email = TextAnalysis.EmailPattern
+    val url = TextAnalysis.UrlPattern
+    val ip = TextAnalysis.Ipv4Pattern
+    val ssn = TextAnalysis.SsnPattern
+    val phone = TextAnalysis.PhonePattern
+    s"""WITH p0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com at http://site' || doc_id
+                   || '.example/path'
+              ELSE text END AS text
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0
+              THEN text || ' ip 192.168.' || CAST(doc_id % 250 AS VARCHAR)
+                   || '.17 call 555-010-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' ssn 987-65-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM p0
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '$ssn')) AS BIGINT) AS n_ids,
+       CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(text, '$url', '<URL>', 'g'),
+             '$email', '<EMAIL>', 'g'),
+             '$ssn', '<ID>', 'g'),
+             '$phone', '<PHONE>', 'g'),
+             '$ip', '<IP>', 'g')) AS redacted_md5
+FROM p"""
+  }
+
+  /** t35: Gopher rules — the stopword literal is generated from the
+    * same [[TextAnalysis.LangMarkers]] list the Spark side reads, so
+    * the two dialects cannot drift.
+    */
+  val t35GopherRules: String = {
+    val stops = TextAnalysis.LangMarkers.toMap.apply("en")
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+  SELECT doc_id, text, string_split($Norm, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_aggregate(list_transform(toks, w -> len(w)),
+                        'sum') AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks,
+                        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                   / len(toks)
+              ELSE 0.0 END AS alpha_frac,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                        AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS symbol_ratio,
+         CAST(len(list_intersect(toks, [$stops])) AS BIGINT) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_words,
+       round(mean_len, 6) AS mean_word_len,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       n_stop AS n_stop_distinct,
+       n_words >= 50 AS r_word_count,
+       mean_len >= 3.0 AND mean_len <= 10.0 AS r_mean_len,
+       alpha_frac >= 0.8 AS r_alpha,
+       symbol_ratio < 0.1 AS r_symbol,
+       n_stop >= 2 AS r_stop,
+       (n_words >= 50 AND mean_len >= 3.0 AND mean_len <= 10.0
+        AND alpha_frac >= 0.8 AND symbol_ratio < 0.1 AND n_stop >= 2)
+         AS passes
+FROM m"""
+  }
+
+  /** t37: snapshot diff — both sides digest before the full-outer
+    * join; v2 mirrors ExtQueries.corpusV2's drop/revise/add mix.
+    */
+  val t37CorpusDiff: String = {
+    val normOf = (e: String) =>
+      s"lower(trim(regexp_replace($e, '\\s+', ' ', 'g')))"
+    s"""WITH v1 AS (
+  SELECT doc_id, md5(${normOf("COALESCE(text, '')")}) AS old_digest
+  FROM documents
+), v2raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' revised v2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 8 = 0
+), v2 AS (
+  SELECT doc_id, md5(${normOf("COALESCE(text, '')")}) AS new_digest
+  FROM v2raw
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN old_digest = new_digest THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_digest, new_digest
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id"""
+  }
+
+  /** t36: corpus BPE encode — the frozen [[Bpe.DemoMerges]] table
+    * unrolled into one `list_reduce` greedy left-to-right pass per
+    * merge (generated from the same Scala constant, so SQL and Spark
+    * cannot drift). The fold mirrors `Bpe.mergePair` exactly: merge
+    * when the accumulator's last symbol is `a` and the next is `b`,
+    * so "aaa" under (a,a) becomes [aa, a]. Per-level lambda variable
+    * names are uniqued (s0/acc0/x0, …) — DuckDB nested lambdas shadow
+    * otherwise.
+    */
+  val t36BpeEncode: String = {
+    val chars = "list_transform(generate_series(1, len(w)), " +
+      "i -> substr(w, i, 1))"
+    val enc = Bpe.DemoMerges.zipWithIndex.foldLeft(chars) {
+      case (inner, ((a, b), m)) =>
+        s"""list_reduce(list_transform($inner, s$m -> [s$m]),
+   (acc$m, x$m) -> CASE WHEN acc$m[-1] = '$a' AND x$m[1] = '$b'
+     THEN list_concat(acc$m[1:len(acc$m)-1], ['${a + b}'])
+     ELSE list_concat(acc$m, x$m) END)"""
+    }
+    s"""WITH t AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks FROM documents
+), e AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         flatten(list_transform(toks, w ->
+           CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE $enc END)) AS pieces
+  FROM t
+)
+SELECT doc_id, n_words,
+       CAST(len(pieces) AS BIGINT) AS n_tokens,
+       md5(array_to_string(pieces, ' ')) AS tokens_md5
+FROM e"""
+  }
 }

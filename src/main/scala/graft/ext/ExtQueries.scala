@@ -755,6 +755,70 @@ object ExtQueries {
     TextAnalysis.piiScrub(piiCorpus(Tables.documents(spark, sfDir)))
   }
 
+  /** [[piiCorpus]] widened with the extended-PII shapes (t34): every
+    * 6th doc additionally gets a deterministic IPv4 address, phone
+    * number and SSN-shaped id appended (doc_id-derived, same
+    * construction on both dialects). Every 18th doc therefore carries
+    * BOTH injections — the multi-category case.
+    */
+  def piiCorpusExt(docs: DataFrame): DataFrame =
+    piiCorpus(docs).select(col("doc_id"),
+      when(col("doc_id") % 6 === 0,
+        concat(col("text"),
+          lit(" ip 192.168."), col("doc_id") % 250,
+          lit(".17 call 555-010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ssn 987-65-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")).as("text"))
+
+  /** Extended PII redaction over the injected corpus (t34). */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.piiRedact(piiCorpusExt(Tables.documents(spark, sfDir)))
+  }
+
+  /** Gopher-rule quality gate (t35). */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.gopherRules(Tables.documents(spark, sfDir))
+  }
+
+  /** The "next crawl" of the documents corpus for t37: every 13th doc
+    * dropped, every 10th surviving doc's text revised, plus re-crawled
+    * copies (+300000) of every 8th doc — deterministic on both
+    * dialects like the dup injections.
+    */
+  def corpusV2(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" revised v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+
+  /** Snapshot diff between the corpus and its next crawl (t37). */
+  def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.snapshotDiff(docs, corpusV2(docs))
+  }
+
+  /** Corpus BPE encode with the frozen demo merge table (t36). The
+    * PARTITIONED encoder runs here — 8.5× the expression form at sf0.1
+    * (1.6 s vs 13.7 s: the fold allocates per-symbol array copies, the
+    * kernel rewrites one buffer in place and memoizes word→pieces per
+    * partition) and the only form whose cost doesn't grow with merge-
+    * table size. The two are equality-proven in BpeSpec; the oracle
+    * mirrors the shared fold semantics.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Bpe.encodeDocsPartitioned(spread(Tables.documents(spark, sfDir)),
+      Bpe.DemoMerges)
+  }
+
   /** Per-language quality-gate pass rates (t17). */
   def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

@@ -337,6 +337,108 @@ object TextAnalysis {
       md5(scrubbed).as("scrubbed_md5"))
   }
 
+  /** Extended-PII patterns (t34). Like [[EmailPattern]]/[[UrlPattern]],
+    * chosen to compile to the same automaton under Java regex and RE2:
+    * fixed digit-run shapes, `\b` ASCII word boundaries, no alternation
+    * whose match could differ between leftmost-first engines.
+    */
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Extended PII redaction (t34): [[piiScrub]] widened to the masking a
+    * pre-training pipeline actually ships — emails, URLs, IPv4
+    * addresses, phone numbers and SSN-shaped ids, each replaced by a
+    * typed placeholder. Counts are taken on the RAW text; the digest is
+    * of the sequentially redacted text, in an order that keeps the
+    * patterns from half-eating each other: URL first (addresses and ids
+    * can appear inside URLs), then email, then the 3-2-4 SSN shape
+    * BEFORE the 3-3-4 phone shape (so neither nibbles the other's
+    * digit runs), then IPv4.
+    *
+    * Pure per-row regex expressions — embarrassingly parallel, no
+    * shuffle, scan-once; the 100-TB cost is exactly one codegen'd pass
+    * over the text column.
+    */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t, UrlPattern, "<URL>"),
+              EmailPattern, "<EMAIL>"),
+            SsnPattern, "<ID>"),
+          PhonePattern, "<PHONE>"),
+        Ipv4Pattern, "<IP>")
+    def n(p: String) =
+      size(regexp_extract_all(t, lit(p), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      n(EmailPattern).as("n_emails"),
+      n(UrlPattern).as("n_urls"),
+      n(Ipv4Pattern).as("n_ips"),
+      n(SsnPattern).as("n_ids"),
+      n(PhonePattern).as("n_phones"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** Gopher-style document-quality rules (t35) — the composite
+    * pre-training gate of Rae et al. 2021 (arXiv:2112.11446, table A1),
+    * the rules a curation pipeline applies before any model-based
+    * scoring: word-count bounds, mean-word-length bounds, a
+    * symbol-to-word ceiling, a minimum fraction of alphabetic words,
+    * and a minimum stopword presence. Reported per rule (the audit
+    * view: WHICH rule kills a document matters as much as the verdict)
+    * plus the conjunction.
+    *
+    * Thresholds are the paper's where the synthetic corpus can
+    * exercise them (mean word length 3–10, alpha fraction 0.8,
+    * symbol ratio 0.1) and scaled to the corpus where it can't (word
+    * count ≥ 50 with no upper bound binding at test scale; stopword
+    * rule over the [[LangMarkers]] "en" list — ≥ 2 DISTINCT markers
+    * present, the paper's rule shape with the repo's deterministic
+    * list).
+    *
+    * Tokens cross an [[TextOps.attrBarrier]] once; every rule below it
+    * is a per-row expression over that attribute — no shuffle,
+    * scan-once, same 100-TB shape as [[qualityScore]].
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("doc_id"), col(textCol))
+    val b = TextOps.attrBarrier(base, Seq("doc_id", textCol),
+      "_toks", TextOps.tokens(col(textCol)))
+    val toks = col("_toks")
+    val nWords = size(toks).cast("long")
+    val meanLen = when(size(toks) > 0,
+      TextOps.foldSumLong(transform(toks, w => length(w).cast("long")))
+        .cast("double") / size(toks)).otherwise(0.0)
+    val alphaFrac = when(size(toks) > 0,
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
+        / size(toks)).otherwise(0.0)
+    val symbolRatio = when(size(toks) > 0,
+      size(regexp_extract_all(col(textCol), lit("#|\\.\\.\\."), lit(0)))
+        .cast("double") / size(toks)).otherwise(0.0)
+    val stopDistinct = size(array_intersect(toks,
+      array(LangMarkers.toMap.apply("en").map(lit): _*))).cast("long")
+    b.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      stopDistinct.as("n_stop_distinct"),
+      (nWords >= 50).as("r_word_count"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_len"),
+      (alphaFrac >= 0.8).as("r_alpha"),
+      (symbolRatio < 0.1).as("r_symbol"),
+      (stopDistinct >= 2).as("r_stop"))
+      .withColumn("passes",
+        col("r_word_count") && col("r_mean_len") && col("r_alpha") &&
+          col("r_symbol") && col("r_stop"))
+  }
+
   /** Repetition profile: the share of a document's 3-shingles taken by
     * its single most repeated shingle — the boilerplate/spam signal
     * quality filters threshold on. Pure per-row form: sort the doc's

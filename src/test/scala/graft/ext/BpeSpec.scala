@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{length, lit, regexp_replace, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -150,5 +150,36 @@ class BpeSpec extends AnyFunSuite {
     assert(a.distinct.length == 8) // merges never repeat
     assert(spark.sparkContext.getPersistentRDDs.size == before,
       "trainMerges leaked checkpoint RDDs")
+  }
+
+  test("corpus encode: expression and mapPartitions forms agree") {
+    val corpus = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      // edge rows: empty text, overlapping-merge bait, repeated words
+      .unionByName(Seq(
+        (9001L, ""), (9002L, "aaa aaa"), (9003L, "join join join"))
+        .toDF("doc_id", "text"))
+    val merges = Bpe.DemoMerges ++ Seq("a" -> "a")
+    val expr = Bpe.encodeDocs(corpus, merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val part = Bpe.encodeDocsPartitioned(corpus, merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(expr == part && expr.size > 500)
+    // the trained table compresses the corpus: fewer tokens than chars
+    val chars = corpus.select(
+        sum(length(regexp_replace($"text", " ", ""))).cast("long"))
+      .head().getLong(0)
+    val toks = expr.values.map(_._2).sum
+    assert(toks < chars && toks > 0)
+    // greedy left-to-right: "aaa aaa" under (a,a) → [aa, a] twice
+    assert(expr(9002L) == ((2L, 4L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("aa a aa a".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+    // empty doc: one empty word, zero tokens
+    assert(expr(9001L)._2 == 0L)
   }
 }

@@ -657,4 +657,30 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.length == byCluster.values.map(_.length).sum)
     assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
   }
+
+  test("snapshot diff labels added/removed/changed/unchanged per doc") {
+    val v1 = Seq(
+      (1L, "alpha beta"), (2L, "gamma"), (3L, "delta epsilon"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "alpha beta"),          // unchanged
+      (2L, "gamma revised"),       // changed
+      (4L, null.asInstanceOf[String]), // null ≡ null → unchanged
+      (5L, "brand new")            // added; 3 removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "unchanged", 5L -> "added"))
+    // whitespace/case normalization applies before digesting
+    val norm = Dedup.snapshotDiff(
+      Seq((1L, "Alpha  Beta ")).toDF("doc_id", "text"),
+      Seq((1L, "alpha beta")).toDF("doc_id", "text")).collect()
+    assert(norm.head.getString(1) == "unchanged")
+    // digests travel with the verdict (the audit artifact)
+    val row = Dedup.snapshotDiff(v1, v2)
+      .filter(col("doc_id") === 2L).head()
+    assert(row.getString(2) != row.getString(3) &&
+      row.getString(2).length == 32)
+  }
 }

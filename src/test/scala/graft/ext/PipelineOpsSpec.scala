@@ -349,4 +349,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(8L) == (("", 1L, 0L))) // null text: kept, one '' segment
     assert(out.size == 8) // every doc survives with accounting
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("extended PII redaction masks IPs, phones and SSN-shaped ids") {
+    val docs = Seq(
+      (1L, "ping 10.0.0.1 or call 555-123-4567"),
+      (2L, "ssn 987-65-4320 mail c@d.io at https://x.example/y"),
+      (3L, "plain text")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(r.fieldIndex("n_ips")),
+        r.getLong(r.fieldIndex("n_phones")),
+        r.getLong(r.fieldIndex("n_ids")),
+        r.getLong(r.fieldIndex("n_emails")),
+        r.getLong(r.fieldIndex("n_urls")),
+        r.getString(r.fieldIndex("redacted_md5"))))
+    }.toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 0)
+    // the 3-2-4 SSN shape is NOT also counted as a 3-3-4 phone
+    assert(out(2L) == ((0L, 0L, 1L, 1L, 1L,
+      md5Hex("ssn <ID> mail <EMAIL> at <URL>"))))
+    assert(out(1L)._6 == md5Hex("ping <IP> or call <PHONE>"))
+    assert(out(3L)._6 == md5Hex("plain text"))
+  }
+
+  test("gopher rules fire independently and conjoin into passes") {
+    val good = (Seq.fill(5)(
+      "the quick brown fox jumps over a lazy dog and runs to it")
+      .mkString(" "))                          // 60 words, 4 stopwords
+    val numeric = (Seq.fill(60)("12345") ++ Seq("the", "a"))
+      .mkString(" ")                           // alpha frac 2/62
+    val symbols = (Seq.fill(10)("#") ++ Seq.fill(10)("word"))
+      .mkString(" ")                           // symbol ratio 0.5
+    val docs = Seq(
+      (1L, good), (2L, "short doc"), (3L, numeric), (4L, symbols))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getBoolean(r.fieldIndex("r_word_count")),
+        r.getBoolean(r.fieldIndex("r_mean_len")),
+        r.getBoolean(r.fieldIndex("r_alpha")),
+        r.getBoolean(r.fieldIndex("r_symbol")),
+        r.getBoolean(r.fieldIndex("r_stop")),
+        r.getBoolean(r.fieldIndex("passes"))))
+    }.toMap
+    assert(out(1L) == ((true, true, true, true, true, true)))
+    // short: fails word count and stopwords, not the shape rules
+    assert(out(2L) == ((false, true, true, true, false, false)))
+    // numeric: only the alphabetic-word rule fails
+    assert(out(3L) == ((true, true, false, true, true, false)))
+    // symbol-heavy: '#' tokens sink the symbol ratio AND alpha fraction
+    assert(out(4L)._4 == false && out(4L)._6 == false)
+    // the reported measures carry the evidence
+    val m = TextAnalysis.gopherRules(docs).collect().map { r =>
+      r.getLong(0) -> r.getDouble(r.fieldIndex("alpha_word_frac"))
+    }.toMap
+    assert(m(3L) < 0.1 && m(1L) == 1.0)
+  }
 }
