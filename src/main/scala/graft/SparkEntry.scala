@@ -137,6 +137,7 @@ object SparkEntry {
     "t35_gopher_rules" -> ExtQueries.gopherRules _,
     "t36_bpe_encode" -> ExtQueries.bpeEncode _,
     "t37_corpus_diff" -> ExtQueries.corpusDiff _,
+    "t38_diff_severity" -> ExtQueries.diffSeverity _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -238,6 +239,7 @@ object SparkEntry {
     "t35_gopher_rules" -> ExtOracleSql.t35GopherRules,
     "t36_bpe_encode" -> ExtOracleSql.t36BpeEncode,
     "t37_corpus_diff" -> ExtOracleSql.t37CorpusDiff,
+    "t38_diff_severity" -> ExtOracleSql.t38DiffSeverity,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,

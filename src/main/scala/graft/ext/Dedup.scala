@@ -60,6 +60,45 @@ object Dedup {
         col("old_digest"), col("new_digest"))
   }
 
+  /** Diff SEVERITY (t38) — for docs whose content changed between two
+    * snapshots, classify HOW MUCH: 3-shingle Jaccard between the old
+    * and new text, `revised` (≥ threshold — boilerplate drift, small
+    * edits) vs `rewritten` (below — effectively a new document). The
+    * distinction drives incremental recompute: a revised doc keeps its
+    * embeddings/scores with a cheap refresh, a rewritten one re-enters
+    * the pipeline as new.
+    *
+    * Scale: the id-join carries text, so this pairs with bucketed-by-
+    * doc_id snapshots (exchange-free join); the digest filter then cuts
+    * to the changed subset before any shingling. Shingle arrays cross
+    * an [[TextOps.attrBarrier]] — the transform lambda would otherwise
+    * re-evaluate the tokenize chain per shingle (the t1 defect).
+    */
+  def diffSeverity(v1: DataFrame, v2: DataFrame,
+                   textCol: String = "text",
+                   threshold: Double = 0.5): DataFrame = {
+    def side(df: DataFrame, name: String) =
+      df.select(col("doc_id"),
+        TextOps.normText(coalesce(col(textCol), lit(""))).as(name))
+    val changed = side(v1, "_t1").join(side(v2, "_t2"), "doc_id")
+      .filter(md5(col("_t1")) =!= md5(col("_t2")))
+    val b1 = TextOps.attrBarrier(changed, Seq("doc_id", "_t2"),
+      "_toks1", split(col("_t1"), " "))
+    val b2 = TextOps.attrBarrier(b1, Seq("doc_id", "_toks1"),
+      "_toks2", split(col("_t2"), " "))
+    // shingle arrays are read twice each (intersect + union): barrier
+    // them as well, or the transform runs 2× per row
+    val b3 = TextOps.attrBarrier(b2, Seq("doc_id", "_toks2"),
+      "_s1", TextOps.shingles(col("_toks1"), 3))
+    val b4 = TextOps.attrBarrier(b3, Seq("doc_id", "_s1"),
+      "_s2", TextOps.shingles(col("_toks2"), 3))
+    b4.select(col("doc_id"),
+      round(jaccard(col("_s1"), col("_s2")), 6).as("jaccard"))
+      .withColumn("severity",
+        when(col("jaccard") >= threshold, "revised")
+          .otherwise("rewritten"))
+  }
+
   /** Exact dedup keeping the smallest id per group (deterministic
     * survivor). One shuffle (window over the digest key).
     */

@@ -1695,8 +1695,22 @@ SELECT doc_id, n_words,
 FROM m"""
   }
 
+  /** Shared v2-crawl CTE body for t37/t38 — mirrors
+    * ExtQueries.corpusV2's drop/rewrite/revise/add mix.
+    */
+  private val V2Raw: String = s"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 30 = 0
+              THEN array_to_string(
+                     list_reverse(string_split($Norm, ' ')), ' ')
+              WHEN doc_id % 10 = 0 THEN text || ' revised v2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 8 = 0"""
+
   /** t37: snapshot diff — both sides digest before the full-outer
-    * join; v2 mirrors ExtQueries.corpusV2's drop/revise/add mix.
+    * join.
     */
   val t37CorpusDiff: String = {
     val normOf = (e: String) =>
@@ -1704,13 +1718,7 @@ FROM m"""
     s"""WITH v1 AS (
   SELECT doc_id, md5(${normOf("COALESCE(text, '')")}) AS old_digest
   FROM documents
-), v2raw AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 10 = 0 THEN text || ' revised v2'
-              ELSE text END AS text
-  FROM documents WHERE doc_id % 13 <> 0
-  UNION ALL
-  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 8 = 0
+), v2raw AS ($V2Raw
 ), v2 AS (
   SELECT doc_id, md5(${normOf("COALESCE(text, '')")}) AS new_digest
   FROM v2raw
@@ -1723,6 +1731,31 @@ SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
        old_digest, new_digest
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id"""
   }
+
+  /** t38: severity of the t37 changes — 3-shingle Jaccard between the
+    * old and new normalized text of every changed doc.
+    */
+  val t38DiffSeverity: String = s"""WITH v2raw AS ($V2Raw
+), a AS (
+  SELECT doc_id, $Norm AS t1 FROM documents
+), b AS (
+  SELECT doc_id, $Norm AS t2 FROM v2raw
+), ch AS (
+  SELECT a.doc_id AS doc_id, t1, t2
+  FROM a JOIN b USING (doc_id)
+  WHERE md5(t1) <> md5(t2)
+), sh AS (
+  SELECT doc_id,
+         ${sh3("string_split(t1, ' ')", "t1")} AS s1,
+         ${sh3("string_split(t2, ' ')", "t2")} AS s2
+  FROM ch
+), sc AS (
+  SELECT doc_id, ${jaccardExpr("s1", "s2")} AS jaccard FROM sh
+)
+SELECT doc_id, jaccard,
+       CASE WHEN jaccard >= 0.5 THEN 'revised'
+            ELSE 'rewritten' END AS severity
+FROM sc"""
 
   /** t36: corpus BPE encode — the frozen [[Bpe.DemoMerges]] table
     * unrolled into one `list_reduce` greedy left-to-right pass per

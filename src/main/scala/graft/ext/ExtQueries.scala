@@ -784,16 +784,19 @@ object ExtQueries {
     TextAnalysis.gopherRules(Tables.documents(spark, sfDir))
   }
 
-  /** The "next crawl" of the documents corpus for t37: every 13th doc
-    * dropped, every 10th surviving doc's text revised, plus re-crawled
-    * copies (+300000) of every 8th doc — deterministic on both
-    * dialects like the dup injections.
+  /** The "next crawl" of the documents corpus for t37/t38: every 13th
+    * doc dropped, every 30th fully REWRITTEN (token order reversed —
+    * same vocabulary, new document), every other 10th lightly REVISED
+    * (suffix appended), plus re-crawled copies (+300000) of every 8th
+    * doc — deterministic on both dialects like the dup injections.
     */
   def corpusV2(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"),
-        when(col("doc_id") % 10 === 0,
-          concat(col("text"), lit(" revised v2")))
+        when(col("doc_id") % 30 === 0,
+          concat_ws(" ", reverse(TextOps.tokens(col("text")))))
+          .when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" revised v2")))
           .otherwise(col("text")).as("text"))
       .unionByName(docs.filter(col("doc_id") % 8 === 0)
         .select((col("doc_id") + 300000).as("doc_id"), col("text")))
@@ -803,6 +806,13 @@ object ExtQueries {
     Tables.tune(spark)
     val docs = Tables.documents(spark, sfDir)
     Dedup.snapshotDiff(docs, corpusV2(docs))
+  }
+
+  /** Severity of the t37 changes (t38): revised vs rewritten. */
+  def diffSeverity(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.diffSeverity(docs, corpusV2(docs))
   }
 
   /** Corpus BPE encode with the frozen demo merge table (t36). The

@@ -683,4 +683,24 @@ class ExtSpec extends AnyFunSuite {
     assert(row.getString(2) != row.getString(3) &&
       row.getString(2).length == 32)
   }
+
+  test("diff severity separates light revision from a rewrite") {
+    val base = "one two three four five six seven eight nine ten"
+    val v1 = Seq(
+      (1L, base), (2L, base), (3L, base)).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, base),                      // unchanged: not reported
+      (2L, base + " eleven"),          // one appended token: revised
+      (3L, "alpha beta gamma delta")   // full rewrite
+    ).toDF("doc_id", "text")
+    val out = Dedup.diffSeverity(v1, v2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getString(2)))).toMap
+    assert(out.keySet == Set(2L, 3L)) // only changed docs scored
+    assert(out(2L)._2 == "revised" && out(2L)._1 > 0.8)
+    assert(out(3L)._2 == "rewritten" && out(3L)._1 == 0.0)
+    // severity threshold reads the ROUNDED jaccard (oracle parity)
+    val j2 = out(2L)._1
+    assert(j2 == math.rint(j2 * 1e6) / 1e6)
+  }
 }

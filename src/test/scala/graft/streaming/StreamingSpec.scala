@@ -456,6 +456,38 @@ class StreamingSpec extends AnyFunSuite {
       "stream-applied plan diverged from batch application")
   }
 
+  test("stateless curation gates apply identically to batch and stream") {
+    // piiRedact / gopherRules / encodeDocsPartitioned are pure per-row
+    // transforms — the streaming form IS the batch function on a
+    // streaming frame. This pins that: same rows out, any micro-batch
+    // partitioning (maxFilesPerTrigger=1 over 3 files).
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+    val stage = Files.createTempDirectory("gates_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    def streamIn = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    def run(name: String, f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Set[String] = {
+      val q = f(streamIn).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect().map(_.mkString("|")).toSet
+    }
+    val redact = (d: org.apache.spark.sql.DataFrame) =>
+      graft.ext.TextAnalysis.piiRedact(d)
+    val gopher = (d: org.apache.spark.sql.DataFrame) =>
+      graft.ext.TextAnalysis.gopherRules(d)
+    val encode = (d: org.apache.spark.sql.DataFrame) =>
+      graft.ext.Bpe.encodeDocsPartitioned(d, graft.ext.Bpe.DemoMerges)
+    assert(run("gate_pii", redact) ==
+      redact(docs).collect().map(_.mkString("|")).toSet)
+    assert(run("gate_gopher", gopher) ==
+      gopher(docs).collect().map(_.mkString("|")).toSet)
+    assert(run("gate_bpe", encode) ==
+      encode(docs).collect().map(_.mkString("|")).toSet)
+  }
+
   test("streaming bloom dedup: never forgets, matches a local replay") {
     import spark.implicits._
     val m = 1 << 16; val k = 4; val shards = 8
