@@ -138,6 +138,7 @@ object SparkEntry {
     "t36_bpe_encode" -> ExtQueries.bpeEncode _,
     "t37_corpus_diff" -> ExtQueries.corpusDiff _,
     "t38_diff_severity" -> ExtQueries.diffSeverity _,
+    "t39_source_report" -> ExtQueries.sourceReport _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -240,6 +241,7 @@ object SparkEntry {
     "t36_bpe_encode" -> ExtOracleSql.t36BpeEncode,
     "t37_corpus_diff" -> ExtOracleSql.t37CorpusDiff,
     "t38_diff_severity" -> ExtOracleSql.t38DiffSeverity,
+    "t39_source_report" -> ExtOracleSql.t39SourceReport,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,

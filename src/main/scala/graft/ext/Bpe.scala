@@ -286,7 +286,10 @@ object Bpe {
     */
   def encodeDocs(docs: DataFrame, merges: Seq[(String, String)],
                  textCol: String = "text"): DataFrame = {
-    val base = docs.select(col("doc_id"), col(textCol))
+    // null text encodes like the empty document (the t28 rule) — the
+    // partitioned form's Option guard, as an expression
+    val base = docs.select(col("doc_id"),
+      coalesce(col(textCol), lit("")).as(textCol))
     val b = TextOps.attrBarrier(base, Seq("doc_id"),
       "_toks", TextOps.tokens(col(textCol)))
     // barrier the piece array too: it is referenced twice below (size +

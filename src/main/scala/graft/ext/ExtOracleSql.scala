@@ -1757,6 +1757,93 @@ SELECT doc_id, jaccard,
             ELSE 'rewritten' END AS severity
 FROM sc"""
 
+  /** t39: per-source report card — every per-doc signal (t3 quality,
+    * t35 gates, t34 PII patterns) computed in one scan of the injected
+    * corpus, rolled up by source. Mean quality via DECIMAL sums (the
+    * x1/s3 order-free discipline); rates are integer ratios.
+    */
+  val t39SourceReport: String = {
+    val email = TextAnalysis.EmailPattern
+    val url = TextAnalysis.UrlPattern
+    val ip = TextAnalysis.Ipv4Pattern
+    val ssn = TextAnalysis.SsnPattern
+    val phone = TextAnalysis.PhonePattern
+    val stops = TextAnalysis.LangMarkers.toMap.apply("en")
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH p0 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 9 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com at http://site' || doc_id
+                   || '.example/path'
+              ELSE text END AS text
+  FROM documents
+), p AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 6 = 0
+              THEN text || ' ip 192.168.' || CAST(doc_id % 250 AS VARCHAR)
+                   || '.17 call 555-010-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' ssn 987-65-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM p0
+), t AS (
+  SELECT source, text, string_split($Norm, ' ') AS toks FROM p
+), m AS (
+  SELECT source,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(len(toks) AS DOUBLE) AS n_tok_d,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(
+                     regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                   AS DOUBLE) / length(text)
+              ELSE 0.0 END AS pr,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks,
+                     tk -> tk IN ($stops))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS sr,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_aggregate(list_transform(toks, w -> len(w)),
+                     'sum') AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks,
+                     w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                   / len(toks)
+              ELSE 0.0 END AS alpha_frac,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                        AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS sym_ratio,
+         CAST(len(list_intersect(toks, [$stops])) AS BIGINT) AS n_stop,
+         (len(regexp_extract_all(text, '$email'))
+          + len(regexp_extract_all(text, '$url'))
+          + len(regexp_extract_all(text, '$ip'))
+          + len(regexp_extract_all(text, '$ssn'))
+          + len(regexp_extract_all(text, '$phone'))) > 0 AS pii
+  FROM t
+), d AS (
+  SELECT source, n_tok,
+         round(least(n_tok_d / 100.0, 1.0) * 0.5 + (1.0 - pr) * 0.3
+               + least(sr * 5.0, 1.0) * 0.2, 6) AS q,
+         CASE WHEN n_tok >= 50 AND mean_len >= 3.0 AND mean_len <= 10.0
+                   AND alpha_frac >= 0.8 AND sym_ratio < 0.1
+                   AND n_stop >= 2
+              THEN 1 ELSE 0 END AS pass,
+         CASE WHEN pii THEN 1 ELSE 0 END AS pii_i
+  FROM m
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(q AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*),
+             6) AS mean_quality,
+       round(CAST(SUM(pass) AS DOUBLE) / COUNT(*), 6)
+         AS gopher_pass_rate,
+       round(CAST(SUM(pii_i) AS DOUBLE) / COUNT(*), 6) AS pii_rate
+FROM d GROUP BY source"""
+  }
+
   /** t36: corpus BPE encode — the frozen [[Bpe.DemoMerges]] table
     * unrolled into one `list_reduce` greedy left-to-right pass per
     * merge (generated from the same Scala constant, so SQL and Spark

@@ -730,12 +730,14 @@ object ExtQueries {
     * dialects, like the dup injections above).
     */
   def piiCorpus(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // withColumn (not select): downstream consumers keep the other
+    // corpus columns (t39 groups the injected corpus by source)
+    docs.withColumn("text",
       when(col("doc_id") % 9 === 0,
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com at http://site"), col("doc_id"),
           lit(".example/path")))
-        .otherwise(col("text")).as("text"))
+        .otherwise(col("text")))
 
   /** Corpus vocabulary head (t13): top-50 tokens. */
   def topTokens(spark: SparkSession, sfDir: String): DataFrame = {
@@ -762,7 +764,7 @@ object ExtQueries {
     * BOTH injections — the multi-category case.
     */
   def piiCorpusExt(docs: DataFrame): DataFrame =
-    piiCorpus(docs).select(col("doc_id"),
+    piiCorpus(docs).withColumn("text",
       when(col("doc_id") % 6 === 0,
         concat(col("text"),
           lit(" ip 192.168."), col("doc_id") % 250,
@@ -770,7 +772,7 @@ object ExtQueries {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
           lit(" ssn 987-65-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-        .otherwise(col("text")).as("text"))
+        .otherwise(col("text")))
 
   /** Extended PII redaction over the injected corpus (t34). */
   def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
@@ -782,6 +784,12 @@ object ExtQueries {
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     TextAnalysis.gopherRules(Tables.documents(spark, sfDir))
+  }
+
+  /** Per-source corpus report card over the injected corpus (t39). */
+  def sourceReport(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.sourceReport(piiCorpusExt(Tables.documents(spark, sfDir)))
   }
 
   /** The "next crawl" of the documents corpus for t37/t38: every 13th

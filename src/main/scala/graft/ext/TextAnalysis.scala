@@ -361,7 +361,9 @@ object TextAnalysis {
     * over the text column.
     */
   def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+    // null text scans as '' (the t28 rule): zero counts and the digest
+    // of the empty string, not -1 sizes and a null digest
+    val t = coalesce(col(textCol), lit(""))
     val redacted =
       regexp_replace(
         regexp_replace(
@@ -406,22 +408,17 @@ object TextAnalysis {
     * scan-once, same 100-TB shape as [[qualityScore]].
     */
   def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val base = docs.select(col("doc_id"), col(textCol))
+    // null text gates like the empty document (the t28 rule)
+    val base = docs.select(col("doc_id"),
+      coalesce(col(textCol), lit("")).as(textCol))
     val b = TextOps.attrBarrier(base, Seq("doc_id", textCol),
       "_toks", TextOps.tokens(col(textCol)))
     val toks = col("_toks")
     val nWords = size(toks).cast("long")
-    val meanLen = when(size(toks) > 0,
-      TextOps.foldSumLong(transform(toks, w => length(w).cast("long")))
-        .cast("double") / size(toks)).otherwise(0.0)
-    val alphaFrac = when(size(toks) > 0,
-      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
-        / size(toks)).otherwise(0.0)
-    val symbolRatio = when(size(toks) > 0,
-      size(regexp_extract_all(col(textCol), lit("#|\\.\\.\\."), lit(0)))
-        .cast("double") / size(toks)).otherwise(0.0)
-    val stopDistinct = size(array_intersect(toks,
-      array(LangMarkers.toMap.apply("en").map(lit): _*))).cast("long")
+    val meanLen = gopherMeanLen(toks)
+    val alphaFrac = gopherAlphaFrac(toks)
+    val symbolRatio = gopherSymbolRatio(toks, col(textCol))
+    val stopDistinct = gopherStopDistinct(toks)
     b.select(
       col("doc_id"),
       nWords.as("n_words"),
@@ -437,6 +434,73 @@ object TextAnalysis {
       .withColumn("passes",
         col("r_word_count") && col("r_mean_len") && col("r_alpha") &&
           col("r_symbol") && col("r_stop"))
+  }
+
+  // The individual Gopher measures over a barriered token attribute —
+  // shared by gopherRules and sourceReport so the gates cannot drift.
+  private def gopherMeanLen(toks: Column): Column =
+    when(size(toks) > 0,
+      TextOps.foldSumLong(transform(toks, w => length(w).cast("long")))
+        .cast("double") / size(toks)).otherwise(0.0)
+  private def gopherAlphaFrac(toks: Column): Column =
+    when(size(toks) > 0,
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
+        / size(toks)).otherwise(0.0)
+  private def gopherSymbolRatio(toks: Column, t: Column): Column =
+    when(size(toks) > 0,
+      size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+        .cast("double") / size(toks)).otherwise(0.0)
+  private def gopherStopDistinct(toks: Column): Column =
+    size(array_intersect(toks,
+      array(LangMarkers.toMap.apply("en").map(lit): _*))).cast("long")
+
+  /** The conjunction of the five Gopher gates (same thresholds as
+    * [[gopherRules]]), as one boolean over a barriered token attribute.
+    */
+  private def gopherPasses(toks: Column, t: Column): Column =
+    size(toks).cast("long") >= 50 &&
+      gopherMeanLen(toks) >= 3.0 && gopherMeanLen(toks) <= 10.0 &&
+      gopherAlphaFrac(toks) >= 0.8 &&
+      gopherSymbolRatio(toks, t) < 0.1 &&
+      gopherStopDistinct(toks) >= 2
+
+  /** Per-source corpus REPORT CARD (t39) — the audit table a curation
+    * run publishes: per source, doc and token volume, mean quality
+    * score, Gopher pass rate, and PII incidence. The point is the
+    * SHAPE: every per-doc signal (tokens, quality, gates, PII counts)
+    * is a per-row expression computed in ONE scan over the corpus,
+    * then rolled up in one tiny aggregation keyed by source — not four
+    * separate jobs re-reading 100 TB. DECIMAL sums keep the mean
+    * order-free (the x1/s3 discipline); rates are exact integer
+    * ratios.
+    */
+  def sourceReport(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val b = TextOps.attrBarrier(docs.select(
+      col("doc_id"), col("source"),
+      coalesce(col(textCol), lit("")).as(textCol)),
+      Seq("doc_id", "source", textCol),
+      "_toks", TextOps.tokens(col(textCol)))
+    val t = col(textCol)
+    val toks = col("_toks")
+    def nPii(p: String) =
+      size(regexp_extract_all(t, lit(p), lit(0)))
+    val perDoc = b.select(
+      col("source"),
+      size(toks).cast("long").as("_n_tok"),
+      qualityScoreFromToks(toks, t).as("_q"),
+      gopherPasses(toks, t).cast("int").as("_pass"),
+      ((nPii(EmailPattern) + nPii(UrlPattern) + nPii(Ipv4Pattern) +
+        nPii(SsnPattern) + nPii(PhonePattern)) > 0)
+        .cast("int").as("_pii"))
+    perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_n_tok")).as("total_tokens"),
+      round(sum(col("_q").cast("decimal(38,18)")).cast("double")
+        / count(lit(1)), 6).as("mean_quality"),
+      round(sum(col("_pass")).cast("double") / count(lit(1)), 6)
+        .as("gopher_pass_rate"),
+      round(sum(col("_pii")).cast("double") / count(lit(1)), 6)
+        .as("pii_rate"))
   }
 
   /** Repetition profile: the share of a document's 3-shingles taken by

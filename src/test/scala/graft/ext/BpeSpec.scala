@@ -158,7 +158,8 @@ class BpeSpec extends AnyFunSuite {
       .select($"doc_id", $"text")
       // edge rows: empty text, overlapping-merge bait, repeated words
       .unionByName(Seq(
-        (9001L, ""), (9002L, "aaa aaa"), (9003L, "join join join"))
+        (9001L, ""), (9002L, "aaa aaa"), (9003L, "join join join"),
+        (9004L, null.asInstanceOf[String]))
         .toDF("doc_id", "text"))
     val merges = Bpe.DemoMerges ++ Seq("a" -> "a")
     val expr = Bpe.encodeDocs(corpus, merges)

@@ -358,7 +358,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "ping 10.0.0.1 or call 555-123-4567"),
       (2L, "ssn 987-65-4320 mail c@d.io at https://x.example/y"),
-      (3L, "plain text")).toDF("doc_id", "text")
+      (3L, "plain text"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val out = TextAnalysis.piiRedact(docs).collect().map { r =>
       r.getLong(0) -> ((r.getLong(r.fieldIndex("n_ips")),
         r.getLong(r.fieldIndex("n_phones")),
@@ -373,6 +374,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       md5Hex("ssn <ID> mail <EMAIL> at <URL>"))))
     assert(out(1L)._6 == md5Hex("ping <IP> or call <PHONE>"))
     assert(out(3L)._6 == md5Hex("plain text"))
+    // null text: zero counts + the empty digest, not -1s (t28 rule)
+    assert(out(4L) == ((0L, 0L, 0L, 0L, 0L, md5Hex(""))))
   }
 
   test("gopher rules fire independently and conjoin into passes") {
@@ -384,7 +387,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val symbols = (Seq.fill(10)("#") ++ Seq.fill(10)("word"))
       .mkString(" ")                           // symbol ratio 0.5
     val docs = Seq(
-      (1L, good), (2L, "short doc"), (3L, numeric), (4L, symbols))
+      (1L, good), (2L, "short doc"), (3L, numeric), (4L, symbols),
+      (5L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val out = TextAnalysis.gopherRules(docs).collect().map { r =>
       r.getLong(0) -> ((r.getBoolean(r.fieldIndex("r_word_count")),
@@ -401,10 +405,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((true, true, false, true, true, false)))
     // symbol-heavy: '#' tokens sink the symbol ratio AND alpha fraction
     assert(out(4L)._4 == false && out(4L)._6 == false)
+    // null text gates like the empty doc, it does not crash (t28 rule)
+    assert(out(5L)._6 == false)
     // the reported measures carry the evidence
     val m = TextAnalysis.gopherRules(docs).collect().map { r =>
       r.getLong(0) -> r.getDouble(r.fieldIndex("alpha_word_frac"))
     }.toMap
     assert(m(3L) < 0.1 && m(1L) == 1.0)
+  }
+
+  test("source report equals the per-doc operators, in one scan") {
+    val docs = graft.ext.ExtQueries.piiCorpusExt(
+      Tables.documents(spark, sfDir))
+    val rep = TextAnalysis.sourceReport(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // cross-check one source against the standalone per-doc operators
+    val src = rep.keySet.min
+    val ofSrc = docs.filter(col("source") === src)
+    val n = ofSrc.count()
+    assert(rep(src).getLong(1) == n)
+    val toks = TextAnalysis.tokenStats(ofSrc)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(rep(src).getLong(2) == toks)
+    val qs = TextAnalysis.qualityScore(ofSrc)
+      .select("quality_score").collect().map(_.getDouble(0))
+    val meanQ = math.rint(qs.sum / n * 1e6) / 1e6
+    assert(math.abs(rep(src).getDouble(3) - meanQ) < 1e-6)
+    val passRate = TextAnalysis.gopherRules(ofSrc)
+      .filter(col("passes")).count().toDouble / n
+    assert(rep(src).getDouble(4) == math.rint(passRate * 1e6) / 1e6)
+    val piiRate = TextAnalysis.piiRedact(ofSrc)
+      .filter(col("n_emails") + col("n_urls") + col("n_ips")
+        + col("n_ids") + col("n_phones") > 0).count().toDouble / n
+    assert(rep(src).getDouble(5) == math.rint(piiRate * 1e6) / 1e6)
+    // the scale claim: ONE aggregation exchange, nothing else
+    val exchanges = graft.std.Plans.collect(
+      TextAnalysis.sourceReport(docs)) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges")
   }
 }
