@@ -139,6 +139,8 @@ object SparkEntry {
     "t37_corpus_diff" -> ExtQueries.corpusDiff _,
     "t38_diff_severity" -> ExtQueries.diffSeverity _,
     "t39_source_report" -> ExtQueries.sourceReport _,
+    "t40_domain_stats" -> ExtQueries.domainStats _,
+    "t41_blocklist_filter" -> ExtQueries.blocklistFilter _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -242,6 +244,8 @@ object SparkEntry {
     "t37_corpus_diff" -> ExtOracleSql.t37CorpusDiff,
     "t38_diff_severity" -> ExtOracleSql.t38DiffSeverity,
     "t39_source_report" -> ExtOracleSql.t39SourceReport,
+    "t40_domain_stats" -> ExtOracleSql.t40DomainStats,
+    "t41_blocklist_filter" -> ExtOracleSql.t41BlocklistFilter,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,

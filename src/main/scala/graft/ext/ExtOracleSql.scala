@@ -1844,6 +1844,54 @@ SELECT source, COUNT(*) AS n_docs,
 FROM d GROUP BY source"""
   }
 
+  /** Shared t40/t41 CTEs: the URL-injected corpus and its per-doc
+    * extracted hosts (group 1 of the host pattern per URL mention).
+    */
+  private val UrlCtes: String = {
+    val url = TextAnalysis.UrlPattern
+    val host = Web.HostPattern
+    s"""WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example/p' || doc_id
+              ELSE text END AS text
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '$url'),
+           u -> regexp_extract(u, '$host', 1)) AS hosts
+  FROM p
+)"""
+  }
+
+  /** t40: per-domain doc/mention counts. */
+  val t40DomainStats: String = UrlCtes + s""", h AS (
+  SELECT doc_id, unnest(hosts) AS domain FROM hs
+)
+SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
+FROM h GROUP BY domain"""
+
+  /** t41: blocklist filter — one null mention per URL-less doc mirrors
+    * the Spark `explode_outer`.
+    */
+  val t41BlocklistFilter: String = {
+    val blocked = ExtQueries.BlockedDomains
+      .map(d => s"'$d'").mkString(", ")
+    UrlCtes + s""", m AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(hosts) = 0 THEN [NULL] ELSE hosts END)
+           AS domain
+  FROM hs
+)
+SELECT doc_id,
+       COUNT(domain) AS n_urls,
+       CAST(SUM(CASE WHEN domain IN ($blocked) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked_urls,
+       SUM(CASE WHEN domain IN ($blocked) THEN 1 ELSE 0 END) = 0 AS kept
+FROM m GROUP BY doc_id"""
+  }
+
   /** t36: corpus BPE encode — the frozen [[Bpe.DemoMerges]] table
     * unrolled into one `list_reduce` greedy left-to-right pass per
     * merge (generated from the same Scala constant, so SQL and Spark

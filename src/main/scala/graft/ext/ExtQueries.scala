@@ -792,6 +792,34 @@ object ExtQueries {
     TextAnalysis.sourceReport(piiCorpusExt(Tables.documents(spark, sfDir)))
   }
 
+  /** documents with a deterministic URL appended to every 3rd doc —
+    * host `site{doc_id % 7}.example`, so the 7 domains carry real
+    * count distributions (same construction on both dialects).
+    */
+  def urlCorpus(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" see http://site"), col("doc_id") % 7,
+          lit(".example/p"), col("doc_id")))
+        .otherwise(col("text")))
+
+  /** The t41 provenance blocklist — shared with the oracle twin. */
+  val BlockedDomains: Seq[String] = Seq("site0.example", "site1.example")
+
+  /** Per-domain analytics over the injected URL corpus (t40). */
+  def domainStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Web.domainStats(urlCorpus(Tables.documents(spark, sfDir)))
+  }
+
+  /** Domain-blocklist filtering over the injected URL corpus (t41). */
+  def blocklistFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    import spark.implicits._
+    Web.blocklistFilter(urlCorpus(Tables.documents(spark, sfDir)),
+      BlockedDomains.toDF("domain"))
+  }
+
   /** The "next crawl" of the documents corpus for t37/t38: every 13th
     * doc dropped, every 30th fully REWRITTEN (token order reversed —
     * same vocabulary, new document), every other 10th lightly REVISED

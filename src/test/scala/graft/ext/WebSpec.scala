@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** URL → domain extraction and blocklist filtering. */
+class WebSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "see https://a.example/x and http://b.example/y plus http://a.example/z"),
+    (2L, "only http://b.example here"),
+    (3L, "no urls at all"),
+    (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+
+  test("domain stats count docs and mentions per extracted host") {
+    val out = Web.domainStats(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a.example: 2 mentions in one doc; b.example: 2 docs, 2 mentions
+    assert(out == Map(
+      "a.example" -> ((1L, 2L)),
+      "b.example" -> ((2L, 2L))))
+  }
+
+  test("blocklist filter keeps URL-less docs and counts blocked mentions") {
+    val bl = Seq("a.example", "a.example").toDF("domain") // dupes deduped
+    val out = Web.blocklistFilter(docs, bl).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3L, 2L, false))) // both a.example mentions hit
+    assert(out(2L) == ((1L, 0L, true)))
+    assert(out(3L) == ((0L, 0L, true))) // no URLs: survives
+    assert(out(4L) == ((0L, 0L, true))) // null text: survives
+    assert(out.size == 4)               // every doc gets a verdict
+  }
+
+  test("blocklist join broadcasts; verdict shuffle carries no text") {
+    val bl = Seq("a.example").toDF("domain")
+    val frame = Web.blocklistFilter(docs, bl)
+    frame.collect()
+    val bcasts = graft.std.Plans.collect(frame) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.length
+    assert(bcasts == 1, s"expected the blocklist broadcast, saw $bcasts")
+  }
+}
