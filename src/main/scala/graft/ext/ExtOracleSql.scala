@@ -1892,6 +1892,67 @@ SELECT doc_id,
 FROM m GROUP BY doc_id"""
   }
 
+  /** t42: end-to-end curation decision — the t40 URL injection, the d1
+    * duplicate injection, the dedup-keeper window, the t35 gates and
+    * the t41 blocklist composed into one verdict per doc.
+    */
+  val t42CurationPipeline: String = {
+    val url = TextAnalysis.UrlPattern
+    val host = Web.HostPattern
+    val stops = TextAnalysis.LangMarkers.toMap.apply("en")
+      .map(s => s"'$s'").mkString(", ")
+    val blocked = ExtQueries.BlockedDomains
+      .map(d => s"'$d'").mkString(", ")
+    s"""WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example/p' || doc_id
+              ELSE text END AS text
+  FROM documents
+), corpus AS (
+  SELECT doc_id, text FROM p
+  UNION ALL
+  SELECT doc_id + 200000, text FROM p WHERE doc_id % 5 = 0
+), k AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5($Norm)
+                            ORDER BY doc_id) = 1 AS is_keeper,
+         string_split($Norm, ' ') AS toks,
+         list_transform(regexp_extract_all(text, '$url'),
+           u -> regexp_extract(u, '$host', 1)) AS hosts
+  FROM corpus
+), m AS (
+  SELECT doc_id, is_keeper,
+         (CAST(len(toks) AS BIGINT) >= 50
+          AND (CASE WHEN len(toks) > 0
+                    THEN CAST(list_aggregate(list_transform(toks,
+                           w -> len(w)), 'sum') AS DOUBLE) / len(toks)
+                    ELSE 0.0 END) >= 3.0
+          AND (CASE WHEN len(toks) > 0
+                    THEN CAST(list_aggregate(list_transform(toks,
+                           w -> len(w)), 'sum') AS DOUBLE) / len(toks)
+                    ELSE 0.0 END) <= 10.0
+          AND (CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks,
+                           w -> regexp_matches(w, '[A-Za-z]')))
+                         AS DOUBLE) / len(toks)
+                    ELSE 0.0 END) >= 0.8
+          AND (CASE WHEN len(toks) > 0
+                    THEN CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                         AS DOUBLE) / len(toks)
+                    ELSE 0.0 END) < 0.1
+          AND CAST(len(list_intersect(toks, [$stops])) AS BIGINT) >= 2)
+           AS passes_gopher,
+         CAST(len(list_filter(hosts, h -> h IN ($blocked)))
+              AS BIGINT) AS n_blocked_urls
+  FROM k
+)
+SELECT doc_id, is_keeper, passes_gopher, n_blocked_urls,
+       (is_keeper AND passes_gopher AND n_blocked_urls = 0) AS kept
+FROM m"""
+  }
+
   /** t36: corpus BPE encode — the frozen [[Bpe.DemoMerges]] table
     * unrolled into one `list_reduce` greedy left-to-right pass per
     * merge (generated from the same Scala constant, so SQL and Spark

@@ -820,6 +820,17 @@ object ExtQueries {
       BlockedDomains.toDF("domain"))
   }
 
+  /** End-to-end curation decision (t42) over a corpus with both
+    * injected duplicates and injected URLs: dedup keeper × Gopher gate
+    * × blocklist, one verdict row per doc.
+    */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Curation.curate(
+      exactDupCorpus(urlCorpus(Tables.documents(spark, sfDir))),
+      BlockedDomains)
+  }
+
   /** The "next crawl" of the documents corpus for t37/t38: every 13th
     * doc dropped, every 30th fully REWRITTEN (token order reversed —
     * same vocabulary, new document), every other 10th lightly REVISED

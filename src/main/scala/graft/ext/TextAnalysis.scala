@@ -456,8 +456,10 @@ object TextAnalysis {
 
   /** The conjunction of the five Gopher gates (same thresholds as
     * [[gopherRules]]), as one boolean over a barriered token attribute.
+    * `private[ext]`: [[sourceReport]] and [[Curation.curate]] compose
+    * it into their single-scan pipelines.
     */
-  private def gopherPasses(toks: Column, t: Column): Column =
+  private[ext] def gopherPasses(toks: Column, t: Column): Column =
     size(toks).cast("long") >= 50 &&
       gopherMeanLen(toks) >= 3.0 && gopherMeanLen(toks) <= 10.0 &&
       gopherAlphaFrac(toks) >= 0.8 &&
