@@ -23,9 +23,13 @@ object Curation {
 
   def curate(docs: DataFrame, blockedDomains: Seq[String],
              textCol: String = "text"): DataFrame = {
-    val digest = md5(TextOps.normText(coalesce(col(textCol), lit(""))))
+    // null text curates like the empty document (the t28 rule) — the
+    // coalesce happens once, so the digest, gates and hosts all read
+    // the same non-null attribute
+    val digest = md5(TextOps.normText(col(textCol)))
     val w = Window.partitionBy(digest).orderBy(col("doc_id"))
-    val withKeeper = docs.select(col("doc_id"), col(textCol))
+    val withKeeper = docs.select(col("doc_id"),
+      coalesce(col(textCol), lit("")).as(textCol))
       .withColumn("is_keeper", row_number().over(w) === 1)
     val b = TextOps.attrBarrier(withKeeper,
       Seq("doc_id", textCol, "is_keeper"),

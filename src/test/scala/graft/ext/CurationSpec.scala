@@ -17,6 +17,9 @@ class CurationSpec extends AnyFunSuite {
 
   private def corpus = ExtQueries.exactDupCorpus(
     ExtQueries.urlCorpus(Tables.documents(spark, sfDir)))
+    // null text must curate like the empty doc, not crash or go null
+    .unionByName(Seq(990001L).toDF("doc_id")
+      .withColumn("text", lit(null).cast("string")))
 
   test("composed verdicts equal the standalone operators'") {
     val got = Curation.curate(corpus, ExtQueries.BlockedDomains)
