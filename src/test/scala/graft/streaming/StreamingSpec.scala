@@ -488,6 +488,29 @@ class StreamingSpec extends AnyFunSuite {
       encode(docs).collect().map(_.mkString("|")).toSet)
   }
 
+  test("source report streams in complete mode with bounded state") {
+    // the curation health monitor: the SAME sourceReport aggregation
+    // runs on a micro-batched stream — state is one row per source
+    // (bounded by |sources|, not the corpus), and the completed report
+    // equals the batch report bit-for-bit.
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+    val stage = Files.createTempDirectory("report_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = graft.ext.TextAnalysis.sourceReport(streamIn)
+      .writeStream.format("memory").queryName("report_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("report_stream")
+      .collect().map(_.mkString("|")).toSet
+    val batch = graft.ext.TextAnalysis.sourceReport(docs)
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed == batch,
+      "streamed complete-mode report diverged from the batch report")
+  }
+
   test("streaming bloom dedup: never forgets, matches a local replay") {
     import spark.implicits._
     val m = 1 << 16; val k = 4; val shards = 8
