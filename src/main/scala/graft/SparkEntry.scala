@@ -142,6 +142,7 @@ object SparkEntry {
     "t40_domain_stats" -> ExtQueries.domainStats _,
     "t41_blocklist_filter" -> ExtQueries.blocklistFilter _,
     "t42_curation_pipeline" -> ExtQueries.curationPipeline _,
+    "t43_quality_budget" -> ExtQueries.qualityBudget _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -248,6 +249,7 @@ object SparkEntry {
     "t40_domain_stats" -> ExtOracleSql.t40DomainStats,
     "t41_blocklist_filter" -> ExtOracleSql.t41BlocklistFilter,
     "t42_curation_pipeline" -> ExtOracleSql.t42CurationPipeline,
+    "t43_quality_budget" -> ExtOracleSql.t43QualityBudget,
     "s1_cosine_topk" -> ExtOracleSql.s1CosineTopK,
     "s2_embedding_near_dups" -> ExtOracleSql.s2EmbeddingNearDups,
     "s3_lang_centroids" -> ExtOracleSql.s3LangCentroids,

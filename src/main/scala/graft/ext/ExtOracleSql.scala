@@ -1892,6 +1892,43 @@ SELECT doc_id,
 FROM m GROUP BY doc_id"""
   }
 
+  /** t43: fractional quality budget — the t3 quality score ranked by
+    * percent_rank within each source; verdicts on the unrounded rank.
+    */
+  val t43QualityBudget: String = {
+    val stops = TextAnalysis.LangMarkers.toMap.apply("en")
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+  SELECT doc_id, source, text, string_split($Norm, ' ') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_char,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '',
+              'g')) AS DOUBLE) AS punct,
+         CAST(len(list_filter(toks, tk -> tk IN ($stops)))
+              AS DOUBLE) AS stop_n
+  FROM t
+), q AS (
+  SELECT doc_id, source,
+         round(least(n_tok / 100.0, 1.0) * 0.5
+               + (1.0 - CASE WHEN n_char > 0 THEN punct / n_char
+                             ELSE 0.0 END) * 0.3
+               + least(CASE WHEN n_tok > 0 THEN stop_n / n_tok
+                            ELSE 0.0 END * 5.0, 1.0) * 0.2, 6) AS q
+  FROM c
+), r AS (
+  SELECT doc_id, source, q,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY q DESC, doc_id ASC) AS pr
+  FROM q
+)
+SELECT doc_id, source, q AS quality_score,
+       round(pr, 6) AS pct_rank, pr <= 0.5 AS kept
+FROM r"""
+  }
+
   /** t42: end-to-end curation decision — the t40 URL injection, the d1
     * duplicate injection, the dedup-keeper window, the t35 gates and
     * the t41 blocklist composed into one verdict per doc.

@@ -820,6 +820,12 @@ object ExtQueries {
       BlockedDomains.toDF("domain"))
   }
 
+  /** Per-source fractional quality budget (t43). */
+  def qualityBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.qualityBudget(Tables.documents(spark, sfDir))
+  }
+
   /** End-to-end curation decision (t42) over a corpus with both
     * injected duplicates and injected URLs: dedup keeper × Gopher gate
     * × blocklist, one verdict row per doc.

@@ -466,6 +466,40 @@ object TextAnalysis {
       gopherSymbolRatio(toks, t) < 0.1 &&
       gopherStopDistinct(toks) >= 2
 
+  /** Fractional QUALITY BUDGET per source (t43) — keep the top `frac`
+    * of each source's documents by quality score: the rate-based
+    * sibling of [[domainQuota]] (which caps absolute counts). A
+    * curation run uses the count cap against flooding and the fraction
+    * cap to equalize quality bars across sources of very different
+    * sizes. Deterministic total order (score desc, doc_id asc);
+    * verdicts read the UNROUNDED percent_rank, the reported rank is
+    * rounded for display.
+    *
+    * Scale: one shuffle, partitioned by source — the window state per
+    * task is one source's docs; a pathologically dominant source skews
+    * the task like any per-key window, at which point the count-capped
+    * [[domainQuota]] path (rank ≤ k needs no full-partition rank
+    * denominator) or salted pre-aggregation is the escape hatch.
+    */
+  def qualityBudget(docs: DataFrame, frac: Double = 0.5,
+                    textCol: String = "text"): DataFrame = {
+    val b = TextOps.attrBarrier(docs.select(
+      col("doc_id"), col("source"),
+      coalesce(col(textCol), lit("")).as(textCol)),
+      Seq("doc_id", "source", textCol),
+      "_toks", TextOps.tokens(col(textCol)))
+    val scored = b.select(col("doc_id"), col("source"),
+      qualityScoreFromToks(col("_toks"), col(textCol))
+        .as("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    scored.withColumn("_pr", percent_rank().over(w))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        round(col("_pr"), 6).as("pct_rank"),
+        (col("_pr") <= frac).as("kept"))
+  }
+
   /** Per-source corpus REPORT CARD (t39) — the audit table a curation
     * run publishes: per source, doc and token volume, mean quality
     * score, Gopher pass rate, and PII incidence. The point is the

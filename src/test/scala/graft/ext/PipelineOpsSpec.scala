@@ -414,6 +414,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m(3L) < 0.1 && m(1L) == 1.0)
   }
 
+  test("quality budget keeps each source's top fraction by score") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextAnalysis.qualityBudget(docs, frac = 0.5).collect()
+    val bySource = out.groupBy(_.getString(1))
+    bySource.foreach { case (src, rows) =>
+      val kept = rows.filter(_.getBoolean(4))
+      val dropped = rows.filterNot(_.getBoolean(4))
+      // every kept doc scores >= every dropped doc (ties broken by id)
+      if (kept.nonEmpty && dropped.nonEmpty) {
+        val minKept = kept.map(_.getDouble(2)).min
+        val maxDropped = dropped.map(_.getDouble(2)).max
+        assert(minKept >= maxDropped, s"$src: budget order violated")
+      }
+      // percent_rank <= 0.5 keeps the top half plus the boundary doc
+      val n = rows.length
+      assert(kept.length >= n / 2 && kept.length <= n / 2 + 2,
+        s"$src: kept ${kept.length} of $n")
+    }
+    // deterministic across runs
+    val again = TextAnalysis.qualityBudget(docs, frac = 0.5).collect()
+    assert(out.map(_.mkString("|")).sorted.toSeq ==
+      again.map(_.mkString("|")).sorted.toSeq)
+  }
+
   test("source report equals the per-doc operators, in one scan") {
     val docs = graft.ext.ExtQueries.piiCorpusExt(
       Tables.documents(spark, sfDir))
