@@ -436,6 +436,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = TextAnalysis.qualityBudget(docs, frac = 0.5).collect()
     assert(out.map(_.mkString("|")).sorted.toSeq ==
       again.map(_.mkString("|")).sorted.toSeq)
+    // one shuffle: the source-partitioned window, nothing else
+    val frame = TextAnalysis.qualityBudget(docs, frac = 0.5)
+    frame.collect()
+    val shuffles = graft.std.Plans.collect(frame) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length
+    assert(shuffles == 1, s"expected the window shuffle only, saw $shuffles")
   }
 
   test("source report equals the per-doc operators, in one scan") {
