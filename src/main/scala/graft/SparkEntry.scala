@@ -151,6 +151,7 @@ object SparkEntry {
     "s6_incremental_embedding_dedup" -> ExtQueries.incrementalEmbeddingDedup _,
     "s7_embedding_outliers" -> ExtQueries.embeddingOutliers _,
     "s8_mips_topk" -> ExtQueries.mipsTopK _,
+    "s9_ivf_topk" -> ExtQueries.ivfTopK _,
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
     "m2_media_frames" -> ExtQueries.mediaFrames _,
     "m3_media_dedup" -> ExtQueries.mediaDedup _,
@@ -259,6 +260,7 @@ object SparkEntry {
       ExtOracleSql.s6IncrementalEmbeddingDedup,
     "s7_embedding_outliers" -> ExtOracleSql.s7EmbeddingOutliers,
     "s8_mips_topk" -> ExtOracleSql.s8MipsTopK,
+    "s9_ivf_topk" -> ExtOracleSql.s9IvfTopK,
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,
     "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
     "m3_media_dedup" -> ExtOracleSql.m3MediaDedup,

@@ -317,6 +317,64 @@ FROM r WHERE rank <= 5"""
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, inner_product
 FROM r WHERE rank <= 5"""
 
+  /** s9: IVF ANN top-5 — language-label coarse quantizer. Centroid
+    * components are DECIMAL-summed and rounded to 6 dp (the s3
+    * discipline), the probe similarity ranks on the rounded 6 dp cosine
+    * with a lang-ascending tiebreak (nprobe=2), and the final exact
+    * cosines rank like s1. Every ranking input is a rounded value on
+    * identical doubles, so the probed lists — and the result set —
+    * match the Spark plan bit-for-bit.
+    */
+  val s9IvfTopK: String = s"""WITH v AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS e, d.lang
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+), cl AS (
+  SELECT lang, unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS val
+  FROM v
+), cg AS (
+  SELECT lang, dim,
+         round(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+           AS m
+  FROM cl GROUP BY 1, 2
+), cent AS (
+  SELECT lang, list(m ORDER BY dim) AS c FROM cg GROUP BY 1
+), cn AS (
+  SELECT lang, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
+), q AS (
+  SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
+  FROM v WHERE vec_id < 20
+), probe AS (
+  SELECT q.query_id, q.qv, q.qn, cn.lang,
+         round(CASE WHEN q.qn * cn.nm > 0
+               THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
+           AS csim
+  FROM q CROSS JOIN cn
+), pr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY csim DESC NULLS LAST, lang ASC) AS prn
+  FROM probe
+), probed AS (
+  SELECT query_id, qv, qn, lang FROM pr WHERE prn <= 2
+), inv AS (
+  SELECT vec_id AS neighbor_id, lang, e AS cv,
+         sqrt(${dotExpr("e", "e")}) AS cm
+  FROM v
+), scored AS (
+  SELECT p.query_id, inv.neighbor_id,
+         round(CASE WHEN p.qn * inv.cm > 0
+               THEN ${dotExpr("p.qv", "inv.cv")} / (p.qn * inv.cm) END, 6)
+           AS cosine
+  FROM probed p JOIN inv ON p.lang = inv.lang
+  WHERE p.query_id <> inv.neighbor_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 5"""
+
   val s2EmbeddingNearDups: String = s"""WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), corpus AS (

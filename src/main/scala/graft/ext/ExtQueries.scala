@@ -945,6 +945,24 @@ object ExtQueries {
       Tables.embeddings(spark, sfDir))
   }
 
+  /** IVF ANN top-k (s9): language labels as the coarse quantizer's
+    * inverted lists, the s1 probe set as queries. Each query scores
+    * only the nprobe=2 nearest languages' vectors — at scale that is
+    * nprobe/|cells| of the corpus instead of all of it, with the
+    * |cells|-row centroid table broadcast.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    val corpus = vecs.join(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+      col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("lang").as("label"))
+    Similarity.ivfTopK(vecs.filter(col("vec_id") < 20), corpus, 5, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine"))
+  }
+
   /** Per-language centroid-distance outliers (s7). */
   def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

@@ -332,14 +332,22 @@ object Similarity {
       batch, threshold, nPlanes, dims = dims)
 
   /** Per-label centroid vectors (the IVF coarse quantizer): element-wise
-    * mean via posexplode + grouped avg — two small shuffles, centroid
-    * table is |labels| rows (broadcastable at any corpus size).
+    * mean via posexplode + grouped DECIMAL sum — two small shuffles,
+    * centroid table is |labels| rows (broadcastable at any corpus size).
+    * Components are exact-summed in DECIMAL and rounded to 6 dp (the s3
+    * discipline): a double mean varies in the last ulps with partial-
+    * aggregation order, which would make [[ivfTopK]]'s probe ranking —
+    * and therefore its RESULT SET — depend on shuffle order; decimal
+    * addition is exact and associative, so the centroid is one value on
+    * every run and every engine.
     */
   def centroids(corpus: DataFrame, labelCol: String = "label",
                 vecCol: String = "embedding"): DataFrame = {
     val ex = corpus.select(col(labelCol),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_x")))
-    ex.groupBy(col(labelCol), col("_pos")).agg(avg(col("_x")).as("_m"))
+    ex.groupBy(col(labelCol), col("_pos"))
+      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)), 6).as("_m"))
       .groupBy(col(labelCol))
       .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
       .select(col(labelCol),
@@ -464,6 +472,13 @@ object Similarity {
     * inverted lists — the corpus-side join is an equi-join on the label,
     * so at scale each query touches nprobe/|labels| of the data instead
     * of all of it. Recall is probabilistic (unit-tested vs brute force).
+    *
+    * Determinism (s9 oracle contract): the probe similarity ranks on the
+    * ROUNDED 6 dp cosine with a label-ascending tiebreak, over DECIMAL-
+    * exact rounded centroids ([[centroids]]) — so which inverted lists
+    * get probed, and hence the result set, is identical across runs,
+    * partitionings, and engines. Final scores are exact cosines on the
+    * surfaced candidates, same rank discipline as [[bruteForceTopK]].
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding",
@@ -476,8 +491,8 @@ object Similarity {
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("_csim").desc, col(labelCol).asc)
     val probed = q.crossJoin(cents)
-      .withColumn("_csim", when(col("qn") * col("cn") > 0,
-        dot(col("qv"), col("centroid")) / (col("qn") * col("cn"))))
+      .withColumn("_csim", round(when(col("qn") * col("cn") > 0,
+        dot(col("qv"), col("centroid")) / (col("qn") * col("cn"))), 6))
       .withColumn("_pr", row_number().over(probeW))
       .filter(col("_pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col(labelCol))

@@ -340,6 +340,17 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall (${(exact & ivf).size}/${exact.size})")
     // every query still gets k results (probed lists are non-empty)
     assert(ivf.size == exact.size)
+    // plan shape: the centroid table reaches the probe as a broadcast
+    // (never a shuffled join) — the property that keeps the probe
+    // corpus-size-free at scale
+    val frame = Similarity.ivfTopK(queries, corpus, 3, nprobe = 2)
+    frame.collect()
+    val bcasts = graft.std.Plans.collect(frame) {
+      case b: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => b
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.length
+    assert(bcasts >= 1, s"expected the centroid broadcast, saw $bcasts")
   }
 
   test("native DotProductD is bit-identical to the HOF fold") {
