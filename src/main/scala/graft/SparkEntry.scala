@@ -152,6 +152,9 @@ object SparkEntry {
     "s7_embedding_outliers" -> ExtQueries.embeddingOutliers _,
     "s8_mips_topk" -> ExtQueries.mipsTopK _,
     "s9_ivf_topk" -> ExtQueries.ivfTopK _,
+    "v1_column_profile" -> ExtQueries.columnProfile _,
+    "v2_ref_integrity" -> ExtQueries.refIntegrity _,
+    "v3_constraint_audit" -> ExtQueries.constraintAudit _,
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
     "m2_media_frames" -> ExtQueries.mediaFrames _,
     "m3_media_dedup" -> ExtQueries.mediaDedup _,
@@ -261,6 +264,9 @@ object SparkEntry {
     "s7_embedding_outliers" -> ExtOracleSql.s7EmbeddingOutliers,
     "s8_mips_topk" -> ExtOracleSql.s8MipsTopK,
     "s9_ivf_topk" -> ExtOracleSql.s9IvfTopK,
+    "v1_column_profile" -> ExtOracleSql.v1ColumnProfile,
+    "v2_ref_integrity" -> ExtOracleSql.v2RefIntegrity,
+    "v3_constraint_audit" -> ExtOracleSql.v3ConstraintAudit,
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,
     "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
     "m3_media_dedup" -> ExtOracleSql.m3MediaDedup,

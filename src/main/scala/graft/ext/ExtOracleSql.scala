@@ -375,6 +375,86 @@ FROM r WHERE rank <= 5"""
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
 FROM r WHERE rank <= 5"""
 
+  /** One v1 profile row: exact counts; numeric min/max + DECIMAL-exact
+    * mean rounded to 6 dp (null for non-numeric columns).
+    */
+  private def profileRow(c: String, numeric: Boolean): String = {
+    val (mn, mx, mean) =
+      if (numeric) (
+        s"round(MIN(CAST($c AS DOUBLE)), 6)",
+        s"round(MAX(CAST($c AS DOUBLE)), 6)",
+        s"round(CAST(SUM(CAST($c AS DECIMAL(38,18))) AS DOUBLE) / COUNT($c), 6)")
+      else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+        "CAST(NULL AS DOUBLE)")
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT($c) AS n_null,
+       round(CAST(COUNT(*) - COUNT($c) AS DOUBLE) / COUNT(*), 6) AS null_frac,
+       COUNT(DISTINCT $c) AS n_distinct,
+       $mn AS min_num, $mx AS max_num, $mean AS mean_num
+  FROM orders"""
+  }
+
+  val v1ColumnProfile: String = Seq(
+    "o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+    "o_totalprice" -> true, "o_orderdate" -> false,
+    "o_orderpriority" -> false)
+    .map { case (c, num) => profileRow(c, num) }.mkString("\nUNION ALL\n")
+
+  /** One v2 verdict: orphans via NOT EXISTS (anti-join semantics — a
+    * duplicate parent key must not double-count the child).
+    */
+  private def fkRow(name: String, child: String, ck: String,
+                    parent: String, pk: String): String =
+    s"""SELECT '$name' AS "constraint",
+       (SELECT COUNT(*) FROM $child) AS n_child,
+       (SELECT COUNT(*) FROM $child c
+         WHERE c.$ck IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))
+         AS n_orphans,
+       (SELECT COUNT(*) FROM $child c
+         WHERE c.$ck IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) = 0
+         AS ok"""
+
+  val v2RefIntegrity: String = Seq(
+    ("lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("embeddings_vec_id", "embeddings", "vec_id", "documents", "doc_id"))
+    .map { case (n, c, ck, p, pk) => fkRow(n, c, ck, p, pk) }
+    .mkString("\nUNION ALL\n")
+
+  /** v3: violation predicates mirror the Spark null-safe form
+    * (`COALESCE(NOT pred, TRUE)` — a NULL measure violates its range
+    * check). DuckDB SUM(int) is HUGEINT, hence the BIGINT casts.
+    */
+  val v3ConstraintAudit: String = {
+    val checks = Seq(
+      "qty_positive" -> "COALESCE(NOT(l_quantity > 0), TRUE)",
+      "discount_in_unit" ->
+        "COALESCE(NOT(l_discount >= 0 AND l_discount <= 1), TRUE)",
+      "tax_nonneg" -> "COALESCE(NOT(l_tax >= 0), TRUE)",
+      "price_positive" -> "COALESCE(NOT(l_extendedprice > 0), TRUE)",
+      "linenumber_positive" -> "COALESCE(NOT(l_linenumber >= 1), TRUE)",
+      "shipdate_present" -> "l_shipdate IS NULL")
+    val sums = checks.map { case (n, p) =>
+      s"SUM(CASE WHEN $p THEN 1 ELSE 0 END) AS v_$n"
+    }.mkString(",\n         ")
+    val rows = checks.map { case (n, _) =>
+      s"""SELECT '$n' AS "constraint", n AS n_rows,
+       CAST(v_$n AS BIGINT) AS n_violations,
+       round(CAST(v_$n AS DOUBLE) / n, 6) AS violation_frac,
+       v_$n = 0 AS ok FROM a"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (
+  SELECT COUNT(*) AS n,
+         $sums
+  FROM lineitem
+)
+$rows"""
+  }
+
   val s2EmbeddingNearDups: String = s"""WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), corpus AS (

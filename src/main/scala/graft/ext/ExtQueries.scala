@@ -945,6 +945,52 @@ object ExtQueries {
       Tables.embeddings(spark, sfDir))
   }
 
+  /** Column profile of the orders table (v1): the audit report a
+    * warehouse runs before trusting a load.
+    */
+  def columnProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val o = Tables.orders(spark, sfDir)
+    Validation.columnProfile(o, o.columns.toSeq)
+  }
+
+  /** Referential-integrity audit across the star schema + the
+    * document/embedding pairing (v2).
+    */
+  def refIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    import Validation.FkCheck
+    val li = Tables.lineitem(spark, sfDir)
+    Validation.refIntegrity(Seq(
+      FkCheck("lineitem_orderkey", li, "l_orderkey",
+        Tables.orders(spark, sfDir), "o_orderkey"),
+      FkCheck("orders_custkey", Tables.orders(spark, sfDir), "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey"),
+      FkCheck("lineitem_partkey", li, "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"),
+      FkCheck("lineitem_suppkey", li, "l_suppkey",
+        Tables.supplier(spark, sfDir), "s_suppkey"),
+      FkCheck("embeddings_vec_id", Tables.embeddings(spark, sfDir),
+        "vec_id", Tables.documents(spark, sfDir), "doc_id")))
+  }
+
+  /** Domain/range constraint audit over lineitem (v3) — one scan, all
+    * verdicts. Violation predicates are null-safe: a NULL measure
+    * violates its range check, a NULL ship date violates presence.
+    */
+  def constraintAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    def viol(pred: Column): Column = coalesce(!pred, lit(true))
+    Validation.constraintAudit(Tables.lineitem(spark, sfDir), Seq(
+      "qty_positive" -> viol(col("l_quantity") > 0),
+      "discount_in_unit" ->
+        viol(col("l_discount") >= 0 && col("l_discount") <= 1),
+      "tax_nonneg" -> viol(col("l_tax") >= 0),
+      "price_positive" -> viol(col("l_extendedprice") > 0),
+      "linenumber_positive" -> viol(col("l_linenumber") >= 1),
+      "shipdate_present" -> col("l_shipdate").isNull))
+  }
+
   /** IVF ANN top-k (s9): language labels as the coarse quantizer's
     * inverted lists, the s1 probe set as queries. Each query scores
     * only the nprobe=2 nearest languages' vectors — at scale that is

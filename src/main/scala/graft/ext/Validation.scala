@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality validation: column profiling, referential-integrity
+  * audit, and declarative constraint checks — the audit-report tier a
+  * warehouse runs before trusting a load (the reference bakes its
+  * checks into cleaning as per-row quality flags,
+  * `/root/reference/Project.py:158-166`; this generalizes them into
+  * table-level reports a pipeline can gate on).
+  *
+  * 100 TB shape, per operator:
+  *  - [[columnProfile]]: one corpus scan exploded to skinny
+  *    (column, value) pairs, then TWO-LEVEL aggregation — the
+  *    per-(column, value) partial collapse happens map-side, and the
+  *    second level sees |columns| × |distinct| groups, never rows. No
+  *    `Expand`-based multi-distinct (which would replay the scan once
+  *    per profiled column through the shuffle).
+  *  - [[refIntegrity]]: one LEFT ANTI join per constraint — Spark
+  *    broadcasts the parent side when it is dimension-sized, and each
+  *    verdict is a single-row aggregate, so the union of constraints
+  *    is a union of scalars.
+  *  - [[constraintAudit]]: ONE scan, all constraints as conditional
+  *    sums in a single aggregate — adding a constraint adds a column,
+  *    not a pass.
+  */
+object Validation {
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** Per-column profile in long form: row/null/distinct counts for
+    * every column, min/max/mean for numeric ones (null otherwise).
+    *
+    * Determinism: the mean runs as a DECIMAL(38,18) sum over the
+    * numeric value (exact + associative — shuffle order cannot move
+    * it; the s3 discipline), and min/max/mean/null_frac round to 6 dp.
+    * `n_distinct` counts distinct non-null values exactly via the
+    * two-level groupBy — the cast to string is round-trip injective
+    * for every profiled type, so the count equals the raw column's.
+    * At 100 TB swap the exact distinct for the KMV/HLL sketch
+    * ([[TextAnalysis.kmvCardinality]] / `approx_count_distinct`) if
+    * the per-column value space itself is corpus-sized; counts,
+    * null fractions, and moments are sketch-free either way.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val entries = cols.map { c =>
+      val num =
+        if (isNumeric(fields(c))) col(c).cast("double")
+        else lit(null).cast("double")
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"),
+        num.as("num"))
+    }
+    df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.col_name"), col("e.v"), col("e.num"))
+      .groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col("num").cast("decimal(38,18)")).as("_sum"),
+        min(col("num")).as("_min"), max(col("num")).as("_max"))
+      .groupBy(col("col_name"))
+      .agg(
+        sum(col("_cnt")).as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("_cnt"))), lit(0L))
+          .as("n_null"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        round(min(col("_min")), 6).as("min_num"),
+        round(max(col("_max")), 6).as("max_num"),
+        // _min is the group's (constant) numeric value — its null-ness
+        // stands in for num's at this level
+        round(sum(col("_sum")).cast("double") /
+          sum(when(col("_min").isNotNull, col("_cnt"))), 6).as("mean_num"))
+      .withColumn("null_frac",
+        round(col("n_null").cast("double") / col("n_rows"), 6))
+      .select("col_name", "n_rows", "n_null", "null_frac", "n_distinct",
+        "min_num", "max_num", "mean_num")
+  }
+
+  /** One referential-integrity constraint: child rows whose non-null
+    * `childKey` has no match in `parentKey` (SQL FK semantics — a NULL
+    * child key never violates).
+    */
+  case class FkCheck(name: String, child: DataFrame, childKey: String,
+                     parent: DataFrame, parentKey: String)
+
+  /** Orphan audit for a set of FK constraints: per constraint, the
+    * child row count, how many non-null keys are orphaned, and the
+    * verdict. Each check is a LEFT ANTI join (broadcast when the
+    * parent is dimension-sized) collapsed to one row; the report is
+    * the union of those single-row aggregates.
+    */
+  def refIntegrity(checks: Seq[FkCheck]): DataFrame = {
+    require(checks.nonEmpty, "need at least one FK check")
+    checks.map { fk =>
+      val keyed = fk.child.select(col(fk.childKey).as("_k"))
+      val orphans = keyed.filter(col("_k").isNotNull)
+        .join(fk.parent.select(col(fk.parentKey).as("_p")),
+          col("_k") === col("_p"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val totals = keyed.agg(count(lit(1)).as("n_child"))
+      totals.crossJoin(orphans).select(
+        lit(fk.name).as("constraint"), col("n_child"), col("n_orphans"),
+        (col("n_orphans") === 0).as("ok"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Declarative row-constraint audit: `constraints` maps a name to a
+    * VIOLATION predicate (write it null-safe — e.g.
+    * `coalesce(!(col > 0), lit(true))` if a NULL should violate).
+    * One scan, every constraint a conditional sum in a single
+    * aggregate; the long-form report explodes from the one-row result.
+    */
+  def constraintAudit(df: DataFrame,
+                      constraints: Seq[(String, Column)]): DataFrame = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    val aggs = count(lit(1)).as("_n") +:
+      constraints.map { case (name, viol) =>
+        coalesce(sum(when(viol, 1L)), lit(0L)).as(s"_v_$name")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = constraints.map { case (name, _) =>
+      struct(lit(name).as("constraint"), col(s"_v_$name").as("n_violations"))
+    }
+    one.select(col("_n"), explode(array(entries: _*)).as("e"))
+      .select(
+        col("e.constraint"),
+        col("_n").as("n_rows"),
+        col("e.n_violations"),
+        round(col("e.n_violations").cast("double") / col("_n"), 6)
+          .as("violation_frac"),
+        (col("e.n_violations") === 0).as("ok"))
+  }
+}
