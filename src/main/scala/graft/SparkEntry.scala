@@ -173,7 +173,9 @@ object SparkEntry {
     "x6_pivot_regions" -> ExtQueries.pivotRegions _,
     "x7_unpivot_regions" -> ExtQueries.unpivotRegions _,
     "x8_cube_sales" -> ExtQueries.cubeSales _,
-    "x9_set_ops_users" -> ExtQueries.setOpsUsers _
+    "x9_set_ops_users" -> ExtQueries.setOpsUsers _,
+    "x10_hourly_anomalies" -> ExtQueries.hourlyAnomalies _,
+    "x11_price_histogram" -> ExtQueries.priceHistogram _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -285,6 +287,8 @@ object SparkEntry {
     "x6_pivot_regions" -> ExtOracleSql.x6PivotRegions,
     "x7_unpivot_regions" -> ExtOracleSql.x7UnpivotRegions,
     "x8_cube_sales" -> ExtOracleSql.x8CubeSales,
-    "x9_set_ops_users" -> ExtOracleSql.x9SetOpsUsers
+    "x9_set_ops_users" -> ExtOracleSql.x9SetOpsUsers,
+    "x10_hourly_anomalies" -> ExtOracleSql.x10HourlyAnomalies,
+    "x11_price_histogram" -> ExtOracleSql.x11PriceHistogram
   )
 }

@@ -375,6 +375,48 @@ FROM r WHERE rank <= 5"""
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
 FROM r WHERE rank <= 5"""
 
+  /** x10: exact integer window sums, every double derived from them by
+    * the identical expression tree (see `Timeseries.hourlyAnomalies`);
+    * the verdict compares the ROUNDED z. DuckDB SUM(BIGINT) is
+    * HUGEINT, hence the DOUBLE casts before any arithmetic.
+    */
+  val x10HourlyAnomalies: String = {
+    val varE = "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
+      " / 24.0) / 23.0"
+    val zE = s"CASE WHEN $varE > 0 THEN round((CAST(n AS DOUBLE) - " +
+      s"CAST(s AS DOUBLE) / 24.0) / sqrt($varE), 6) END"
+    s"""WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), wd AS (
+  SELECT event_type, hour, n,
+         COUNT(n) OVER win AS hist,
+         SUM(n) OVER win AS s,
+         SUM(n * n) OVER win AS ss
+  FROM h
+  WINDOW win AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n,
+       round(CAST(s AS DOUBLE) / 24.0, 6) AS trailing_mean,
+       $zE AS zscore,
+       COALESCE($zE >= 3.0 OR $zE <= -3.0, FALSE) AS is_anomaly
+FROM wd WHERE hist = 24"""
+  }
+
+  /** x11: floor-binned fixed-width histogram — floor on IEEE doubles
+    * is bit-exact cross-engine, so bins and counts match exactly.
+    */
+  val x11PriceHistogram: String = """WITH b AS (
+  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT)
+           AS bin,
+         COUNT(*) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+)
+SELECT bin, round(CAST(bin AS DOUBLE) * 25000.0, 6) AS bin_lo,
+       n, round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS frac
+FROM b"""
+
   /** One v1 profile row: exact counts; numeric min/max + DECIMAL-exact
     * mean rounded to 6 dp (null for non-numeric columns).
     */

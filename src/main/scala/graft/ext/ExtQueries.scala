@@ -991,6 +991,21 @@ object ExtQueries {
       "shipdate_present" -> col("l_shipdate").isNull))
   }
 
+  /** Hourly event-count anomaly monitor (x10): each (type, hour)
+    * z-scored against its trailing 24 observed hours.
+    */
+  def hourlyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.hourlyAnomalies(Tables.events(spark, sfDir))
+      .withColumnRenamed("key", "event_type")
+  }
+
+  /** Order-value histogram (x11): 25k-wide bins over o_totalprice. */
+  def priceHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Validation.histogram(Tables.orders(spark, sfDir), "o_totalprice", 25000.0)
+  }
+
   /** IVF ANN top-k (s9): language labels as the coarse quantizer's
     * inverted lists, the s1 probe set as queries. Each query scores
     * only the nprobe=2 nearest languages' vectors — at scale that is

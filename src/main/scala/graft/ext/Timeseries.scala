@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series monitoring over event streams: trailing-window z-score
+  * anomaly detection — the "did this metric just spike?" report a BI
+  * deployment runs on its operational counters.
+  */
+object Timeseries {
+
+  /** Per-(key, hour) event counts z-scored against the TRAILING
+    * `trailing` observed hours (rows-frame: the previous `trailing`
+    * hours that had events, which for a dense stream is the previous
+    * `trailing` wall-clock hours). Rows only where the full history
+    * exists; `is_anomaly` flags |z| >= `zThreshold`.
+    *
+    * 100 TB shape: the corpus collapses to |keys| × |hours| count rows
+    * via partial aggregation BEFORE the window — the window itself
+    * runs over the tiny counter frame, so partition-by-key skew is
+    * skew over counters, never over events.
+    *
+    * Determinism: counts are exact longs, the window sums (`Σn`,
+    * `Σn²`) are exact longs, and every double derives from those
+    * integers by the same expression tree both engines evaluate —
+    * mean/z round to 6 dp, the anomaly verdict compares the ROUNDED z
+    * so the boolean matches the printed score.
+    */
+  def hourlyAnomalies(events: DataFrame, tsCol: String = "ts",
+                      keyCol: String = "event_type", trailing: Int = 24,
+                      zThreshold: Double = 3.0): DataFrame = {
+    require(trailing >= 2, "need at least 2 trailing observations")
+    val hourly = events
+      .groupBy(col(keyCol).as("key"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("hour"))
+      .rowsBetween(-trailing, -1)
+    val t = lit(trailing.toDouble)
+    val nD = col("n").cast("double")
+    val sD = col("_s").cast("double")
+    val ssD = col("_ss").cast("double")
+    val variance = (ssD - sD * sD / t) / lit((trailing - 1).toDouble)
+    val z = when(variance > 0,
+      round((nD - sD / t) / sqrt(variance), 6))
+    hourly
+      .withColumn("_hist", count(col("n")).over(w))
+      .withColumn("_s", sum(col("n")).over(w))
+      .withColumn("_ss", sum(col("n") * col("n")).over(w))
+      .filter(col("_hist") === trailing)
+      .select(col("key"), col("hour"), col("n"),
+        round(sD / t, 6).as("trailing_mean"),
+        z.as("zscore"),
+        coalesce(z >= zThreshold || z <= -zThreshold, lit(false))
+          .as("is_anomaly"))
+  }
+}

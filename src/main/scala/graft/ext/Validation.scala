@@ -108,6 +108,31 @@ object Validation {
     }.reduce(_ unionAll _)
   }
 
+  /** Fixed-width histogram of a numeric column: bin index, its lower
+    * bound, count, and fraction of non-null rows. NULLs are excluded
+    * (the profile reports them separately — [[columnProfile]]).
+    *
+    * 100 TB shape: one scan, partial-agg collapse to |bins| rows; the
+    * total joins back as a broadcast scalar (never a single-partition
+    * window over the corpus). `floor` on IEEE doubles is bit-exact
+    * cross-engine (the quantizeInt8 rationale), so bin assignment —
+    * and therefore every count — is deterministic.
+    */
+  def histogram(df: DataFrame, valueCol: String,
+                binWidth: Double): DataFrame = {
+    require(binWidth > 0, "need a positive bin width")
+    val bins = df.filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol).cast("double") / binWidth).cast("long")
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val total = bins.agg(sum(col("n")).as("_total"))
+    bins.crossJoin(broadcast(total)).select(
+      col("bin"),
+      round(col("bin").cast("double") * binWidth, 6).as("bin_lo"),
+      col("n"),
+      round(col("n").cast("double") / col("_total"), 6).as("frac"))
+  }
+
   /** Declarative row-constraint audit: `constraints` maps a name to a
     * VIOLATION predicate (write it null-safe — e.g.
     * `coalesce(!(col > 0), lit(true))` if a NULL should violate).

@@ -1,0 +1,56 @@
+package graft.ext
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Trailing-window anomaly detection on a hand-built series. */
+class TimeseriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val t0 = Instant.parse("2024-01-01T00:00:00Z")
+  private def at(hour: Int, minute: Int): Timestamp =
+    Timestamp.from(t0.plusSeconds(hour * 3600L + minute * 60L))
+
+  test("a spike after 24 flat hours is flagged; flat hours are not") {
+    // hours 0..23: exactly 2 events each; hour 24: 12 events (spike);
+    // hour 25: 2 events again (history now contains the spike)
+    val rows = (for (h <- 0 until 24; i <- 0 until 2)
+      yield ("click", at(h, i))) ++
+      (0 until 12).map(i => ("click", at(24, i))) ++
+      (0 until 2).map(i => ("click", at(25, i)))
+    val events = rows.toDF("event_type", "ts")
+    val out = Timeseries.hourlyAnomalies(events).collect()
+      .map(r => r.getTimestamp(1) -> r).toMap
+    // only hours 24 and 25 have a full 24-hour history
+    assert(out.size == 2)
+    val spike = out(at(24, 0))
+    assert(spike.getLong(2) == 12)
+    assert(spike.getDouble(3) == 2.0)          // trailing mean of flat 2s
+    // flat history has zero variance -> z is null, verdict still false…
+    assert(spike.isNullAt(4) && !spike.getBoolean(5))
+    // …so ALSO prove a nonzero-variance spike flags: perturb one hour
+    val events2 = events.union(
+      Seq(("click", at(5, 30))).toDF("event_type", "ts"))
+    val out2 = Timeseries.hourlyAnomalies(events2).collect()
+      .map(r => r.getTimestamp(1) -> r).toMap
+    val spike2 = out2(at(24, 0))
+    assert(!spike2.isNullAt(4) && spike2.getDouble(4) > 3)
+    assert(spike2.getBoolean(5))
+    // the calm hour after the spike is not flagged
+    assert(!out2(at(25, 0)).getBoolean(5))
+  }
+
+  test("partial history rows are suppressed, per key") {
+    val events = ((0 until 30).map(h => ("a", at(h, 0))) :+
+      (("b", at(0, 0)))).toDF("event_type", "ts")
+    val out = Timeseries.hourlyAnomalies(events).collect()
+    // key a: 30 hours -> 6 full-history rows; key b: 1 hour -> none
+    assert(out.count(_.getString(0) == "a") == 6)
+    assert(!out.exists(_.getString(0) == "b"))
+  }
+}

@@ -73,6 +73,18 @@ class ValidationSpec extends AnyFunSuite {
     assert(d.getLong(2) == 2)                        // 2.0 and null
   }
 
+  test("histogram: floor bins, null exclusion, fractions sum to 1") {
+    val df = Seq[java.lang.Double](0.0, 5.0, 9.99, 10.0, 25.0, null)
+      .toDF("v")
+    val out = Validation.histogram(df, "v", 10.0).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out == Map(
+      0L -> ((0.0, 3L, 0.6)),     // 0, 5, 9.99
+      1L -> ((10.0, 1L, 0.2)),    // 10.0 lands in [10,20)
+      2L -> ((20.0, 1L, 0.2))))   // null excluded from count AND total
+  }
+
   test("constraint audit is one scan: no shuffle beyond the scalar agg") {
     val df = Seq((1.0, 0.1)).toDF("qty", "disc")
     def viol(pred: org.apache.spark.sql.Column) =
