@@ -155,6 +155,7 @@ object SparkEntry {
     "v1_column_profile" -> ExtQueries.columnProfile _,
     "v2_ref_integrity" -> ExtQueries.refIntegrity _,
     "v3_constraint_audit" -> ExtQueries.constraintAudit _,
+    "v4_key_uniqueness" -> ExtQueries.keyUniqueness _,
     "m1_media_metadata" -> ExtQueries.mediaMetadata _,
     "m2_media_frames" -> ExtQueries.mediaFrames _,
     "m3_media_dedup" -> ExtQueries.mediaDedup _,
@@ -269,6 +270,7 @@ object SparkEntry {
     "v1_column_profile" -> ExtOracleSql.v1ColumnProfile,
     "v2_ref_integrity" -> ExtOracleSql.v2RefIntegrity,
     "v3_constraint_audit" -> ExtOracleSql.v3ConstraintAudit,
+    "v4_key_uniqueness" -> ExtOracleSql.v4KeyUniqueness,
     "m1_media_metadata" -> ExtOracleSql.m1MediaMetadata,
     "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
     "m3_media_dedup" -> ExtOracleSql.m3MediaDedup,

@@ -467,6 +467,32 @@ FROM b"""
     .map { case (n, c, ck, p, pk) => fkRow(n, c, ck, p, pk) }
     .mkString("\nUNION ALL\n")
 
+  /** One v4 verdict: duplicate groups over non-null keys (SQL UNIQUE
+    * ignores null keys — they are reported, not folded into a group).
+    */
+  private def pkRow(name: String, table: String, keys: Seq[String]): String = {
+    val nonNull = keys.map(k => s"$k IS NOT NULL").mkString(" AND ")
+    val anyNull = keys.map(k => s"$k IS NULL").mkString(" OR ")
+    val dupGroups =
+      s"""(SELECT COUNT(*) AS c FROM $table WHERE $nonNull
+          GROUP BY ${keys.mkString(", ")} HAVING COUNT(*) > 1)"""
+    s"""SELECT '$name' AS check_name,
+       (SELECT COUNT(*) FROM $table) AS n_rows,
+       (SELECT COUNT(*) FROM $table WHERE $anyNull) AS n_null_keys,
+       (SELECT COUNT(*) FROM $dupGroups t) AS n_dup_keys,
+       COALESCE((SELECT CAST(SUM(c) AS BIGINT) FROM $dupGroups t), 0)
+         AS n_dup_rows,
+       (SELECT COUNT(*) FROM $dupGroups t) = 0 AS ok"""
+  }
+
+  val v4KeyUniqueness: String = Seq(
+    ("orders_pk", "orders", Seq("o_orderkey")),
+    ("customer_pk", "customer", Seq("c_custkey")),
+    ("lineitem_pk", "lineitem", Seq("l_orderkey", "l_linenumber")),
+    ("documents_pk", "documents", Seq("doc_id")),
+    ("events_pk", "events", Seq("event_id")))
+    .map { case (n, t, ks) => pkRow(n, t, ks) }.mkString("\nUNION ALL\n")
+
   /** v3: violation predicates mirror the Spark null-safe form
     * (`COALESCE(NOT pred, TRUE)` — a NULL measure violates its range
     * check). DuckDB SUM(int) is HUGEINT, hence the BIGINT casts.

@@ -974,6 +974,23 @@ object ExtQueries {
         "vec_id", Tables.documents(spark, sfDir), "doc_id")))
   }
 
+  /** Candidate-key uniqueness audit (v4): the star schema's primary
+    * keys plus the composite lineitem key.
+    */
+  def keyUniqueness(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    import Validation.KeyCheck
+    Validation.keyUniqueness(Seq(
+      KeyCheck("orders_pk", Tables.orders(spark, sfDir), Seq("o_orderkey")),
+      KeyCheck("customer_pk", Tables.customer(spark, sfDir),
+        Seq("c_custkey")),
+      KeyCheck("lineitem_pk", Tables.lineitem(spark, sfDir),
+        Seq("l_orderkey", "l_linenumber")),
+      KeyCheck("documents_pk", Tables.documents(spark, sfDir),
+        Seq("doc_id")),
+      KeyCheck("events_pk", Tables.events(spark, sfDir), Seq("event_id"))))
+  }
+
   /** Domain/range constraint audit over lineitem (v3) — one scan, all
     * verdicts. Violation predicates are null-safe: a NULL measure
     * violates its range check, a NULL ship date violates presence.

@@ -108,6 +108,41 @@ object Validation {
     }.reduce(_ unionAll _)
   }
 
+  /** One uniqueness (candidate-key) check: table + the columns that
+    * should jointly identify a row.
+    */
+  case class KeyCheck(name: String, table: DataFrame, keyCols: Seq[String])
+
+  /** Candidate-key audit: per check, how many key values occur more
+    * than once and how many rows sit under them. Rows with a NULL in
+    * the key are reported separately (`n_null_keys`) — SQL UNIQUE
+    * ignores them, and silently folding them into one "null" group
+    * would fabricate duplicates.
+    *
+    * 100 TB shape: groupBy the key with map-side combine, then the
+    * duplicate groups collapse to one scalar verdict — shuffle volume
+    * is distinct keys, the report is |checks| rows.
+    */
+  def keyUniqueness(checks: Seq[KeyCheck]): DataFrame = {
+    require(checks.nonEmpty, "need at least one key check")
+    checks.map { kc =>
+      val key = kc.keyCols.map(col)
+      val nonNull = kc.keyCols.map(col(_).isNotNull).reduce(_ && _)
+      val grouped = kc.table.groupBy(key: _*).agg(count(lit(1)).as("_n"))
+        .filter(nonNull)
+      val dups = grouped.filter(col("_n") > 1)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_dup_keys"),
+          coalesce(sum(col("_n")), lit(0L)).as("n_dup_rows"))
+      val totals = kc.table.agg(count(lit(1)).as("n_rows"),
+        sum(when(!nonNull, 1L)).as("_nn"))
+      totals.crossJoin(dups).select(
+        lit(kc.name).as("check_name"), col("n_rows"),
+        coalesce(col("_nn"), lit(0L)).as("n_null_keys"),
+        col("n_dup_keys"), col("n_dup_rows"),
+        (col("n_dup_keys") === 0).as("ok"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Fixed-width histogram of a numeric column: bin index, its lower
     * bound, count, and fraction of non-null rows. NULLs are excluded
     * (the profile reports them separately — [[columnProfile]]).

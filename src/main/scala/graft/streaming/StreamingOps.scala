@@ -19,6 +19,13 @@ case class BloomedDoc(doc_id: Long, shard: Int, h: Long)
 case class BloomShardState(bits: Array[Byte], n_inserted: Long)
 case class BloomSeen(doc_id: Long, probably_seen: Boolean)
 
+/** Typed rows/state for the streaming anomaly monitor. */
+case class KeyedHourEvent(key: String, hourMs: Long)
+case class AnomalyState(ring: List[(Long, Long)], open: Map[Long, Long])
+case class AnomalyVerdict(key: String, hour: java.sql.Timestamp, n: Long,
+                          trailing_mean: Double, zscore: Option[Double],
+                          is_anomaly: Boolean)
+
 /** Typed rows/state for the streaming funnel. */
 case class FunnelEvent(user_id: Long, event_type: String,
                        ts: java.sql.Timestamp)
@@ -259,6 +266,80 @@ object StreamingOps {
             }
             out.iterator
           }
+      }
+  }
+
+  /** The STREAMING form of [[graft.ext.Timeseries.hourlyAnomalies]]:
+    * per-key state holds the trailing `trailing` CLOSED hourly counts
+    * (a ring) plus the still-open frontier hour; when a later hour
+    * arrives, every earlier open hour closes, gets z-scored against the
+    * ring with the IDENTICAL arithmetic and rounding as the batch
+    * operator, and joins the ring. A monitor never scores an hour still
+    * in flight — so on a bounded input the stream emits exactly the
+    * batch verdicts for all hours before each key's final (open) one.
+    *
+    * State is BOUNDED: `trailing` ring pairs + one open hour per key,
+    * forever, no timeout needed (the ring only rotates). Late events
+    * for an already-closed hour are DROPPED — same bound the watermark
+    * enforces for built-in windows; the 2-hour watermark attached on
+    * streams keeps Spark's own bookkeeping consistent with that rule.
+    * Micro-batch rows fold into per-hour counts as they stream past
+    * (O(hours-in-batch) memory, never the rows).
+    */
+  def anomalyStream(events: DataFrame, trailing: Int = 24,
+                    zThreshold: Double = 3.0, tsCol: String = "ts",
+                    keyCol: String = "event_type"): Dataset[AnomalyVerdict] = {
+    require(trailing >= 2, "need at least 2 trailing observations")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val src = if (events.isStreaming) withWatermarked(events) else events
+    src.select(col(keyCol).as("key"),
+        (date_trunc("hour", col(tsCol)).cast("long") * 1000L).as("hourMs"))
+      .as[KeyedHourEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AnomalyState, AnomalyVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedHourEvent],
+         state: GroupState[AnomalyState]) =>
+          val st = state.getOption.getOrElse(AnomalyState(Nil, Map.empty))
+          val lastClosed = st.ring.lastOption.map(_._1).getOrElse(Long.MinValue)
+          val merged = scala.collection.mutable.Map.empty[Long, Long]
+          st.open.foreach { case (h, n) => merged(h) = n }
+          rows.foreach { r =>
+            // late-beyond-frontier rows dropped (see scaladoc)
+            if (r.hourMs > lastClosed)
+              merged(r.hourMs) = merged.getOrElse(r.hourMs, 0L) + 1L
+          }
+          val out = scala.collection.mutable.ListBuffer.empty[AnomalyVerdict]
+          if (merged.nonEmpty) {
+            val frontier = merged.keys.max
+            var ring = st.ring
+            merged.keys.filter(_ < frontier).toSeq.sorted.foreach { h =>
+              val n = merged.remove(h).get
+              if (ring.size == trailing) {
+                // identical expression tree to the batch operator
+                val s = ring.iterator.map(_._2).sum
+                val ss = ring.iterator.map(c => c._2 * c._2).sum
+                val t = trailing.toDouble
+                val mean = s.toDouble / t
+                val variance =
+                  (ss.toDouble - s.toDouble * s.toDouble / t) /
+                    (trailing - 1).toDouble
+                val z = if (variance > 0)
+                  Some(round6((n.toDouble - mean) / math.sqrt(variance)))
+                else None
+                out += AnomalyVerdict(key, new java.sql.Timestamp(h), n,
+                  round6(mean), z,
+                  z.exists(zz => zz >= zThreshold || zz <= -zThreshold))
+              }
+              ring = (ring :+ ((h, n))).takeRight(trailing)
+            }
+            state.update(AnomalyState(ring, merged.toMap))
+          } else state.update(st)
+          out.iterator
       }
   }
 

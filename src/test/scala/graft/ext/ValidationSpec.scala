@@ -73,6 +73,26 @@ class ValidationSpec extends AnyFunSuite {
     assert(d.getLong(2) == 2)                        // 2.0 and null
   }
 
+  test("key uniqueness: dup groups counted, null keys reported apart") {
+    val t = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (null, 1L), (3L, null))
+      .toDF("a", "b")
+    val out = Validation.keyUniqueness(Seq(
+      Validation.KeyCheck("composite", t, Seq("a", "b")))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 6)           // n_rows
+    assert(r.getLong(2) == 2)           // the two null-key rows
+    assert(r.getLong(3) == 1)           // one duplicated key: (1,1)
+    assert(r.getLong(4) == 2)           // under it, two rows
+    assert(!r.getBoolean(5))
+    // a clean key over the same table
+    val clean = Validation.keyUniqueness(Seq(
+      Validation.KeyCheck("b_only", t.select(col("b")).distinct(),
+        Seq("b")))).collect().head
+    assert(clean.getLong(3) == 0 && clean.getBoolean(5))
+  }
+
   test("histogram: floor bins, null exclusion, fractions sum to 1") {
     val df = Seq[java.lang.Double](0.0, 5.0, 9.99, 10.0, 25.0, null)
       .toDF("v")

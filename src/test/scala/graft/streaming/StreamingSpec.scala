@@ -511,6 +511,51 @@ class StreamingSpec extends AnyFunSuite {
       "streamed complete-mode report diverged from the batch report")
   }
 
+  test("anomaly monitor: stream verdicts equal batch on closed hours") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sfDir)
+    // the batch operator scores every full-history hour including each
+    // key's final one; a monitor never scores an hour still in flight,
+    // so the comparable domain is hours strictly before each key's max
+    val lastHour = events.groupBy(col("event_type").as("k"))
+      .agg(max(date_trunc("hour", col("ts"))).as("last_hour"))
+    val expected = graft.ext.Timeseries.hourlyAnomalies(events)
+      .join(lastHour, col("key") === col("k") &&
+        col("hour") < col("last_hour"))
+      .drop("k", "last_hour")
+      .collect().map(_.mkString("|")).toSet
+
+    // batch-mode execution of the stateful op: arithmetic parity
+    val batchRun = StreamingOps.anomalyStream(events)
+      .collect().map(r => Seq(r.key, r.hour, r.n, r.trailing_mean,
+        r.zscore.map(_.toString).orNull, r.is_anomaly).mkString("|")).toSet
+    assert(batchRun == expected,
+      s"batch-mode anomalyStream diverged: ${batchRun.size} vs ${expected.size}")
+
+    // real micro-batched stream: chronological file chunks (sequential
+    // writes -> increasing mod times, the file source's replay order)
+    val stage = Files.createTempDirectory("anomaly_src").toString
+    val sorted = events.orderBy("ts").withColumn(
+      "chunk", ntile(3).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    (1 to 3).foreach { c =>
+      sorted.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(stage)
+      Thread.sleep(20)
+    }
+    val streamIn = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = StreamingOps.anomalyStream(streamIn)
+      .writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("anomaly_stream")
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed == expected,
+      s"streamed anomaly verdicts diverged: ${streamed.size} vs ${expected.size}")
+  }
+
   test("streaming bloom dedup: never forgets, matches a local replay") {
     import spark.implicits._
     val m = 1 << 16; val k = 4; val shards = 8
