@@ -176,7 +176,9 @@ object SparkEntry {
     "x8_cube_sales" -> ExtQueries.cubeSales _,
     "x9_set_ops_users" -> ExtQueries.setOpsUsers _,
     "x10_hourly_anomalies" -> ExtQueries.hourlyAnomalies _,
-    "x11_price_histogram" -> ExtQueries.priceHistogram _
+    "x11_price_histogram" -> ExtQueries.priceHistogram _,
+    "x12_retention_cohorts" -> ExtQueries.retentionCohorts _,
+    "x13_price_quantiles" -> ExtQueries.priceQuantiles _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -291,6 +293,8 @@ object SparkEntry {
     "x8_cube_sales" -> ExtOracleSql.x8CubeSales,
     "x9_set_ops_users" -> ExtOracleSql.x9SetOpsUsers,
     "x10_hourly_anomalies" -> ExtOracleSql.x10HourlyAnomalies,
-    "x11_price_histogram" -> ExtOracleSql.x11PriceHistogram
+    "x11_price_histogram" -> ExtOracleSql.x11PriceHistogram,
+    "x12_retention_cohorts" -> ExtOracleSql.x12RetentionCohorts,
+    "x13_price_quantiles" -> ExtOracleSql.x13PriceQuantiles
   )
 }

@@ -404,6 +404,41 @@ SELECT event_type, hour, n,
 FROM wd WHERE hist = 24"""
   }
 
+  /** x12: pure integer counts over distinct (user, day) pairs; every
+    * cohort has an offset-0 row by construction, so the size join is
+    * total.
+    */
+  val x12RetentionCohorts: String = """WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), coh AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1
+), counts AS (
+  SELECT c.cohort_day,
+         CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+         COUNT(*) AS n_active
+  FROM days d JOIN coh c USING (user_id)
+  GROUP BY 1, 2
+), sz AS (
+  SELECT cohort_day, n_active AS cohort_size FROM counts WHERE day_offset = 0
+)
+SELECT c.cohort_day, c.day_offset, c.n_active, s.cohort_size,
+       round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM counts c JOIN sz s USING (cohort_day)"""
+
+  /** x13: exact interpolated quantiles — both engines place the
+    * quantile at p*(n-1) over the sorted group and interpolate
+    * lower + (upper-lower)*frac on identical doubles; round 6 dp.
+    */
+  val x13PriceQuantiles: String = """WITH q AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9]) AS qv
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority,
+       unnest(CAST([0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS quantile,
+       round(unnest(qv), 6) AS value
+FROM q"""
+
   /** x11: floor-binned fixed-width histogram — floor on IEEE doubles
     * is bit-exact cross-engine, so bins and counts match exactly.
     */

@@ -1017,6 +1017,22 @@ object ExtQueries {
       .withColumnRenamed("key", "event_type")
   }
 
+  /** Retention cohort matrix over the event stream (x12). */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.retentionCohorts(Tables.events(spark, sfDir))
+  }
+
+  /** Per-priority order-value quantiles (x13) — the EXACT kernel as
+    * the oracle contract; production uses the approx sketch mode.
+    */
+  def priceQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Validation.quantileReport(Tables.orders(spark, sfDir),
+      "o_orderpriority", "o_totalprice", Seq(0.25, 0.5, 0.75, 0.9),
+      exact = true)
+  }
+
   /** Order-value histogram (x11): 25k-wide bins over o_totalprice. */
   def priceHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

@@ -27,6 +27,43 @@ object Timeseries {
     * mean/z round to 6 dp, the anomaly verdict compares the ROUNDED z
     * so the boolean matches the printed score.
     */
+  /** Retention cohort matrix: users grouped by first-activity day, the
+    * count (and fraction) of each cohort still active at each day
+    * offset. The classic product-analytics report.
+    *
+    * 100 TB shape: the event corpus collapses FIRST to distinct
+    * (user, day) pairs — partial aggregation absorbs the per-user
+    * event volume before any join — then to per-user cohort minima,
+    * and the (cohort, offset) matrix is |days|² rows at most. The
+    * cohort-size join is a broadcast against that tiny matrix. The
+    * only corpus-sized shuffles carry (user_id, day) pairs, nothing
+    * wider.
+    *
+    * Determinism: pure integer counts; `retention` is the rounded
+    * ratio of two exact longs.
+    */
+  def retentionCohorts(events: DataFrame, tsCol: String = "ts",
+                       userCol: String = "user_id"): DataFrame = {
+    val days = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val counts = days.join(cohorts, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, day) pairs are distinct
+    val sizes = counts.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_active").as("cohort_size"))
+    counts.join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
   def hourlyAnomalies(events: DataFrame, tsCol: String = "ts",
                       keyCol: String = "event_type", trailing: Int = 24,
                       zThreshold: Double = 3.0): DataFrame = {

@@ -143,6 +143,33 @@ object Validation {
     }.reduce(_ unionAll _)
   }
 
+  /** Per-group quantile report in long form: (group, quantile, value).
+    *
+    * `exact = true` uses Spark's exact interpolated `percentile` — the
+    * VERIFICATION KERNEL (it buffers each group's values, so it is the
+    * test-scale oracle twin, not the 100 TB path — the t24 discipline).
+    * `exact = false` is the production path: `approx_percentile`, a
+    * mergeable fixed-size sketch per group, one pass at any scale
+    * (same estimator family as [[TextAnalysis.corpusProfile]]).
+    * Both emit the identical schema so a pipeline swaps modes with one
+    * flag.
+    */
+  def quantileReport(df: DataFrame, groupCol: String, valueCol: String,
+                     quantiles: Seq[Double],
+                     exact: Boolean = false): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val qArr = quantiles.map(q => s"${q}D").mkString("array(", ",", ")")
+    val agg =
+      if (exact) expr(s"percentile($valueCol, $qArr)")
+      else expr(s"approx_percentile($valueCol, $qArr, 10000)")
+    df.groupBy(col(groupCol)).agg(agg.as("_qv"))
+      .select(col(groupCol), posexplode(col("_qv")).as(Seq("_i", "_v")))
+      .select(col(groupCol),
+        element_at(
+          array(quantiles.map(lit): _*), col("_i") + 1).as("quantile"),
+        round(col("_v"), 6).as("value"))
+  }
+
   /** Fixed-width histogram of a numeric column: bin index, its lower
     * bound, count, and fraction of non-null rows. NULLs are excluded
     * (the profile reports them separately — [[columnProfile]]).

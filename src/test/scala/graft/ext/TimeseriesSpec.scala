@@ -45,6 +45,22 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(!out2(at(25, 0)).getBoolean(5))
   }
 
+  test("retention cohorts: hand-built matrix, same-day events collapse") {
+    // u1: days 0,1,2; u2: days 0,2 (two events on day 0); u3: day 1 only
+    val events = Seq(
+      (1L, at(1, 0)), (1L, at(25, 0)), (1L, at(49, 0)),
+      (2L, at(2, 0)), (2L, at(2, 30)), (2L, at(50, 0)),
+      (3L, at(26, 0))).toDF("user_id", "ts")
+    val out = Timeseries.retentionCohorts(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 1L) -> ((1L, 2L, 0.5)),
+      ("2024-01-01", 2L) -> ((2L, 2L, 1.0)),
+      ("2024-01-02", 0L) -> ((1L, 1L, 1.0))))
+  }
+
   test("partial history rows are suppressed, per key") {
     val events = ((0 until 30).map(h => ("a", at(h, 0))) :+
       (("b", at(0, 0)))).toDF("event_type", "ts")

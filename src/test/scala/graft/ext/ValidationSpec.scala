@@ -105,6 +105,23 @@ class ValidationSpec extends AnyFunSuite {
       2L -> ((20.0, 1L, 0.2))))   // null excluded from count AND total
   }
 
+  test("quantile report: exact interpolation, approx within tolerance") {
+    // group g: 1..5 -> p25 = 2, p50 = 3, p75 = 4 (positions p*(n-1))
+    val df = (1 to 5).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val exact = Validation.quantileReport(df, "grp", "v",
+      Seq(0.25, 0.5, 0.75), exact = true).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(exact == Map(0.25 -> 2.0, 0.5 -> 3.0, 0.75 -> 4.0))
+    // interpolated position: p90 over 1..5 sits at 0.9*4 = 3.6 -> 4.6
+    val p90 = Validation.quantileReport(df, "grp", "v", Seq(0.9),
+      exact = true).collect().head.getDouble(2)
+    assert(p90 == 4.6)
+    // approx mode: same schema, close on this tiny input
+    val approx = Validation.quantileReport(df, "grp", "v", Seq(0.5))
+      .collect().head
+    assert(approx.getDouble(1) == 0.5 && math.abs(approx.getDouble(2) - 3.0) <= 1.0)
+  }
+
   test("constraint audit is one scan: no shuffle beyond the scalar agg") {
     val df = Seq((1.0, 0.1)).toDF("qty", "disc")
     def viol(pred: org.apache.spark.sql.Column) =
