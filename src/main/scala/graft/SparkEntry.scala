@@ -178,7 +178,9 @@ object SparkEntry {
     "x10_hourly_anomalies" -> ExtQueries.hourlyAnomalies _,
     "x11_price_histogram" -> ExtQueries.priceHistogram _,
     "x12_retention_cohorts" -> ExtQueries.retentionCohorts _,
-    "x13_price_quantiles" -> ExtQueries.priceQuantiles _
+    "x13_price_quantiles" -> ExtQueries.priceQuantiles _,
+    "x14_props_rollup" -> ExtQueries.propsRollup _,
+    "x15_scd2_intervals" -> ExtQueries.scd2Intervals _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -295,6 +297,8 @@ object SparkEntry {
     "x10_hourly_anomalies" -> ExtOracleSql.x10HourlyAnomalies,
     "x11_price_histogram" -> ExtOracleSql.x11PriceHistogram,
     "x12_retention_cohorts" -> ExtOracleSql.x12RetentionCohorts,
-    "x13_price_quantiles" -> ExtOracleSql.x13PriceQuantiles
+    "x13_price_quantiles" -> ExtOracleSql.x13PriceQuantiles,
+    "x14_props_rollup" -> ExtOracleSql.x14PropsRollup,
+    "x15_scd2_intervals" -> ExtOracleSql.x15Scd2Intervals
   )
 }

@@ -425,6 +425,47 @@ SELECT c.cohort_day, c.day_offset, c.n_active, s.cohort_size,
        round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
 FROM counts c JOIN sz s USING (cohort_day)"""
 
+  /** x14: JSON extraction — malformed/missing payloads yield NULL k
+    * (the from_json PERMISSIVE contract), guarded here with
+    * json_valid + TRY_CAST.
+    */
+  val x14PropsRollup: String = """WITH e AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+       COALESCE(CAST(SUM(k) AS BIGINT), 0) AS sum_k,
+       round(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS mean_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM e GROUP BY 1"""
+
+  /** x15: SCD2 intervals — change points via null-safe lag compare
+    * (IS DISTINCT FROM ≡ Spark's !(a <=> b)), half-open intervals
+    * closed by the next change, (ts, event_id) total order.
+    */
+  val x15Scd2Intervals: String = """WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), chg AS (
+  SELECT * FROM flagged WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+), v AS (
+  SELECT user_id, event_type,
+         CAST(row_number() OVER w2 AS BIGINT) AS version,
+         ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to
+  FROM chg
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_type, version, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM v"""
+
   /** x13: exact interpolated quantiles — both engines place the
     * quantile at p*(n-1) over the sorted group and interpolate
     * lower + (upper-lower)*frac on identical doubles; round 6 dp.

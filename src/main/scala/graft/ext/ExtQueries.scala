@@ -1033,6 +1033,24 @@ object ExtQueries {
       exact = true)
   }
 
+  /** JSON-props extraction + rollup (x14): schema-on-read of the
+    * event payload inside the scan pass.
+    */
+  def propsRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    SemiStructured.propsRollup(Tables.events(spark, sfDir))
+  }
+
+  /** SCD2 dimension build (x15): per-user event_type observation log
+    * collapsed into validity intervals.
+    */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Scd.scd2FromLog(Tables.events(spark, sfDir),
+      keyCol = "user_id", valueCol = "event_type",
+      tsCol = "ts", tiebreakCol = "event_id")
+  }
+
   /** Order-value histogram (x11): 25k-wide bins over o_totalprice. */
   def priceHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

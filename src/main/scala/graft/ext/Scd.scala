@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension maintenance: build SCD Type-2 validity
+  * intervals from an observation log — the warehouse operation that
+  * turns "we saw key K with value V at time T" streams into
+  * (key, value, valid_from, valid_to, is_current) dimension rows.
+  */
+object Scd {
+
+  /** SCD2 intervals from a change/observation log. Consecutive
+    * observations of the SAME value collapse into one interval; a
+    * value change closes the previous interval at the change's
+    * timestamp (valid_to = next valid_from, half-open intervals) and
+    * the latest interval per key is `is_current` with a NULL
+    * valid_to.
+    *
+    * Determinism: observations order by (ts, tiebreakCol) — two
+    * observations in the same instant resolve by the tiebreak, so the
+    * interval set is identical across runs and engines.
+    *
+    * 100 TB shape: everything is windows partitioned by the dimension
+    * KEY — one shuffle of (key, ts, value) triples, each key's history
+    * processed independently (dimension histories are short; the fact
+    * volume never enters — callers feed the OBSERVATION log, e.g. the
+    * already-collapsed per-day attribute snapshot, not raw facts).
+    */
+  def scd2FromLog(log: DataFrame, keyCol: String, valueCol: String,
+                  tsCol: String, tiebreakCol: String): DataFrame = {
+    val byTime = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tiebreakCol).asc)
+    // change points: first observation, or value differs from previous
+    // (null-safe: a null value is a real observed state)
+    val flagged = log
+      .select(col(keyCol), col(valueCol), col(tsCol), col(tiebreakCol))
+      .withColumn("_prev", lag(col(valueCol), 1).over(byTime))
+      .withColumn("_first", row_number().over(byTime) === 1)
+      .withColumn("_chg",
+        col("_first") || !(col(valueCol) <=> col("_prev")))
+      .filter(col("_chg"))
+    // one row per (key, version): the change observation itself
+    val byVersion = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tiebreakCol).asc)
+    flagged
+      .withColumn("valid_to", lead(col(tsCol), 1).over(byVersion))
+      .withColumn("version", row_number().over(byVersion).cast("long"))
+      .select(col(keyCol), col(valueCol), col("version"),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** SCD2 interval build on a hand-written observation log. */
+class ScdSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  test("consecutive repeats collapse; changes close half-open intervals") {
+    val log = Seq(
+      ("A", "v1", t(0), 1L), ("A", "v1", t(1), 2L), // repeat collapses
+      ("A", "v2", t(2), 3L),                        // change
+      ("A", "v1", t(3), 4L),                        // change BACK: new row
+      ("B", "solo", t(5), 5L))
+      .toDF("k", "v", "ts", "id")
+    val out = Scd.scd2FromLog(log, "k", "v", "ts", "id").collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getString(1), r.getTimestamp(3), Option(r.getTimestamp(4)),
+          r.getBoolean(5)))).toMap
+    assert(out == Map(
+      ("A", 1L) -> (("v1", t(0), Some(t(2)), false)),
+      ("A", 2L) -> (("v2", t(2), Some(t(3)), false)),
+      ("A", 3L) -> (("v1", t(3), None, true)),
+      ("B", 1L) -> (("solo", t(5), None, true))))
+  }
+
+  test("a NULL value is a real observed state, not a missing row") {
+    val log = Seq(
+      ("C", null.asInstanceOf[String], t(0), 1L),
+      ("C", null.asInstanceOf[String], t(1), 2L), // null repeat collapses
+      ("C", "v", t(2), 3L))
+      .toDF("k", "v", "ts", "id")
+    val out = Scd.scd2FromLog(log, "k", "v", "ts", "id").collect()
+      .sortBy(_.getLong(2))
+    assert(out.length == 2)
+    assert(out(0).isNullAt(1) && out(0).getTimestamp(3) == t(0) &&
+      out(0).getTimestamp(4) == t(2) && !out(0).getBoolean(5))
+    assert(out(1).getString(1) == "v" && out(1).getBoolean(5))
+  }
+
+  test("same-instant observations resolve by the tiebreak column") {
+    val log = Seq(
+      ("D", "x", t(0), 2L), ("D", "y", t(0), 1L)) // y first by id
+      .toDF("k", "v", "ts", "id")
+    val out = Scd.scd2FromLog(log, "k", "v", "ts", "id").collect()
+      .sortBy(_.getLong(2))
+    assert(out.map(_.getString(1)).toSeq == Seq("y", "x"))
+    assert(out(1).getBoolean(5) && !out(0).getBoolean(5))
+  }
+}
