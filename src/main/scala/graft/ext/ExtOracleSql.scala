@@ -386,8 +386,9 @@ FROM r WHERE rank <= 5"""
     val zE = s"CASE WHEN $varE > 0 THEN round((CAST(n AS DOUBLE) - " +
       s"CAST(s AS DOUBLE) / 24.0) / sqrt($varE), 6) END"
     s"""WITH h AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
-  FROM events GROUP BY 1, 2
+  SELECT COALESCE(event_type, '') AS event_type,
+         date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), wd AS (
   SELECT event_type, hour, n,
          COUNT(n) OVER win AS hist,
@@ -450,7 +451,7 @@ FROM e GROUP BY 1"""
   SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER w AS prev,
          row_number() OVER w AS rn
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), chg AS (
   SELECT * FROM flagged WHERE rn = 1 OR event_type IS DISTINCT FROM prev

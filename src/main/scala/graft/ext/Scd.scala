@@ -33,8 +33,13 @@ object Scd {
     val byTime = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(tiebreakCol).asc)
     // change points: first observation, or value differs from previous
-    // (null-safe: a null value is a real observed state)
+    // (null-safe: a null value is a real observed state).
+    // Observations with a NULL timestamp or tiebreak are dropped — they
+    // have no place on a timeline, and the engines disagree on where
+    // nulls sort (Spark first ascending, DuckDB last), so keeping them
+    // would make the interval set engine-dependent.
     val flagged = log
+      .filter(col(tsCol).isNotNull && col(tiebreakCol).isNotNull)
       .select(col(keyCol), col(valueCol), col(tsCol), col(tiebreakCol))
       .withColumn("_prev", lag(col(valueCol), 1).over(byTime))
       .withColumn("_first", row_number().over(byTime) === 1)

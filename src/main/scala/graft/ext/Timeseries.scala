@@ -68,8 +68,13 @@ object Timeseries {
                       keyCol: String = "event_type", trailing: Int = 24,
                       zThreshold: Double = 3.0): DataFrame = {
     require(trailing >= 2, "need at least 2 trailing observations")
+    // contract shared with the streaming form: a NULL timestamp has no
+    // hour (dropped), a NULL key monitors as the "" series — and NULL
+    // ordering inside the window never arises, which matters because
+    // Spark sorts nulls first ascending while DuckDB defaults last
     val hourly = events
-      .groupBy(col(keyCol).as("key"),
+      .filter(col(tsCol).isNotNull)
+      .groupBy(coalesce(col(keyCol), lit("")).as("key"),
         date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("key")).orderBy(col("hour"))

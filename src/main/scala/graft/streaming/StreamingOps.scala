@@ -296,7 +296,12 @@ object StreamingOps {
       java.math.BigDecimal.valueOf(x)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val src = if (events.isStreaming) withWatermarked(events) else events
-    src.select(col(keyCol).as("key"),
+    // a NULL timestamp has no hour: drop it BEFORE the non-nullable
+    // decode (the bloomDedupStream lesson — one null row must not kill
+    // a forever-running monitor), and normalize a NULL key to "" so it
+    // monitors as its own series instead of crashing groupByKey
+    src.filter(col(tsCol).isNotNull)
+      .select(coalesce(col(keyCol), lit("")).as("key"),
         (date_trunc("hour", col(tsCol)).cast("long") * 1000L).as("hourMs"))
       .as[KeyedHourEvent]
       .groupByKey(_.key)

@@ -45,6 +45,17 @@ class ScdSpec extends AnyFunSuite {
     assert(out(1).getString(1) == "v" && out(1).getBoolean(5))
   }
 
+  test("observations without a timestamp have no place on the timeline") {
+    val log = Seq(
+      ("E", "v1", t(0), 1L),
+      ("E", "v2", null.asInstanceOf[Timestamp], 2L), // dropped
+      ("E", "v1", t(1), 3L))                         // still a repeat
+      .toDF("k", "v", "ts", "id")
+    val out = Scd.scd2FromLog(log, "k", "v", "ts", "id").collect()
+    assert(out.length == 1)
+    assert(out.head.getString(1) == "v1" && out.head.getBoolean(5))
+  }
+
   test("same-instant observations resolve by the tiebreak column") {
     val log = Seq(
       ("D", "x", t(0), 2L), ("D", "y", t(0), 1L)) // y first by id

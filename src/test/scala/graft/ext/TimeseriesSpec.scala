@@ -69,4 +69,21 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out.count(_.getString(0) == "a") == 6)
     assert(!out.exists(_.getString(0) == "b"))
   }
+
+  test("null timestamps drop, null keys monitor as the empty series") {
+    val base = (0 until 26).map(h => ("a", at(h, 0)))
+    val dirty = base ++ Seq(
+      ("a", null.asInstanceOf[Timestamp]),          // no hour: dropped
+      (null.asInstanceOf[String], at(27, 0)))       // "" series, alone
+    val out = Timeseries.hourlyAnomalies(dirty.toDF("event_type", "ts"))
+      .collect()
+    assert(out.map(_.getString(0)).toSet == Set("a")) // "" lacks history
+    assert(out.length ==
+      Timeseries.hourlyAnomalies(base.toDF("event_type", "ts"))
+        .collect().length)
+    // the streaming form survives the same rows (batch-mode execution)
+    val streamed = graft.streaming.StreamingOps
+      .anomalyStream(dirty.toDF("event_type", "ts")).collect()
+    assert(streamed.forall(_.key == "a"))
+  }
 }
