@@ -2,6 +2,7 @@ package graft.ext
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -64,5 +65,41 @@ class ScdSpec extends AnyFunSuite {
       .sortBy(_.getLong(2))
     assert(out.map(_.getString(1)).toSeq == Seq("y", "x"))
     assert(out(1).getBoolean(5) && !out(0).getBoolean(5))
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("incremental merge equals the full-log rebuild (hand case)") {
+    val log1 = Seq(
+      ("A", "v1", t(0), 1L), ("A", "v2", t(2), 2L), // A: two intervals
+      ("B", "b1", t(1), 3L),                        // B: one, current
+      ("C", "c1", t(1), 4L))                        // C: untouched later
+      .toDF("k", "v", "ts", "id")
+    val log2 = Seq(
+      ("A", "v2", t(4), 5L),  // repeat of A's current: absorbs
+      ("A", "v3", t(5), 6L),  // closes v2, opens v3
+      ("B", "b2", t(6), 7L),  // closes b1
+      ("D", "d1", t(6), 8L))  // brand-new key
+      .toDF("k", "v", "ts", "id")
+    val dim = Scd.scd2FromLog(log1, "k", "v", "ts", "id")
+    val merged = Scd.scd2Merge(dim, log2, "k", "v", "ts", "id")
+    val rebuilt = Scd.scd2FromLog(log1.union(log2), "k", "v", "ts", "id")
+    assert(canon(merged) == canon(rebuilt))
+  }
+
+  test("incremental merge equals the full-log rebuild (event stream)") {
+    val events = graft.sources.Tables.events(
+      spark, "/root/testdata/sf0.001")
+      .select(col("user_id").as("k"), col("event_type").as("v"),
+        col("ts"), col("event_id").as("id"))
+    val cut = Timestamp.valueOf("2024-01-20 00:00:00")
+    val part1 = events.filter(col("ts") < cut)
+    val part2 = events.filter(col("ts") >= cut)
+    val merged = Scd.scd2Merge(
+      Scd.scd2FromLog(part1, "k", "v", "ts", "id"),
+      part2, "k", "v", "ts", "id")
+    val rebuilt = Scd.scd2FromLog(events, "k", "v", "ts", "id")
+    assert(canon(merged) == canon(rebuilt))
   }
 }
