@@ -180,7 +180,8 @@ object SparkEntry {
     "x12_retention_cohorts" -> ExtQueries.retentionCohorts _,
     "x13_price_quantiles" -> ExtQueries.priceQuantiles _,
     "x14_props_rollup" -> ExtQueries.propsRollup _,
-    "x15_scd2_intervals" -> ExtQueries.scd2Intervals _
+    "x15_scd2_intervals" -> ExtQueries.scd2Intervals _,
+    "x16_drift_psi" -> ExtQueries.driftPsi _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -299,6 +300,7 @@ object SparkEntry {
     "x12_retention_cohorts" -> ExtOracleSql.x12RetentionCohorts,
     "x13_price_quantiles" -> ExtOracleSql.x13PriceQuantiles,
     "x14_props_rollup" -> ExtOracleSql.x14PropsRollup,
-    "x15_scd2_intervals" -> ExtOracleSql.x15Scd2Intervals
+    "x15_scd2_intervals" -> ExtOracleSql.x15Scd2Intervals,
+    "x16_drift_psi" -> ExtOracleSql.x16DriftPsi
   )
 }

@@ -467,6 +467,44 @@ SELECT user_id, event_type, version, valid_from, valid_to,
        valid_to IS NULL AS is_current
 FROM v"""
 
+  /** x16: PSI drift — exact integer bin counts, Laplace-smoothed
+    * double fractions, 9 dp `(p-q)·ln(p/q)` terms (libm agreement at
+    * that grain, the t25 discipline), DECIMAL(28,9) order-free total.
+    */
+  val x16DriftPsi: String = """WITH rb AS (
+  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT)
+           AS bin, COUNT(*) AS c
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), cb AS (
+  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT)
+           AS bin, COUNT(*) AS c
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), j AS (
+  SELECT COALESCE(rb.bin, cb.bin) AS bin,
+         COALESCE(rb.c, 0) AS rc, COALESCE(cb.c, 0) AS cc
+  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+), t AS (
+  SELECT SUM(rc) AS rt, SUM(cc) AS ct, COUNT(*) AS nb FROM j
+), s AS (
+  SELECT bin, rc, cc,
+         CAST(rc + 1 AS DOUBLE) / CAST(rt + nb AS DOUBLE) AS p,
+         CAST(cc + 1 AS DOUBLE) / CAST(ct + nb AS DOUBLE) AS q
+  FROM j CROSS JOIN t
+), e AS (
+  SELECT bin, rc AS n_ref, cc AS n_cur,
+         round(p, 9) AS p_ref, round(q, 9) AS p_cur,
+         round((p - q) * ln(p / q), 9) AS psi_term
+  FROM s
+)
+SELECT *,
+       CAST(round(SUM(CAST(psi_term AS DECIMAL(28,9))) OVER (), 9)
+            AS DOUBLE) AS total_psi
+FROM e"""
+
   /** x13: exact interpolated quantiles — both engines place the
     * quantile at p*(n-1) over the sorted group and interpolate
     * lower + (upper-lower)*frac on identical doubles; round 6 dp.

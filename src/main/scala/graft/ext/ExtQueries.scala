@@ -1051,6 +1051,19 @@ object ExtQueries {
       tsCol = "ts", tiebreakCol = "event_id")
   }
 
+  /** Order-value drift (x16): PSI of the o_totalprice distribution,
+    * pre-1998 reference vs 1998-onward current.
+    */
+  def driftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val o = Tables.orders(spark, sfDir)
+    val cut = lit("1998-01-01").cast("timestamp")
+    Validation.driftPsi(
+      o.filter(col("o_orderdate") < cut),
+      o.filter(col("o_orderdate") >= cut),
+      "o_totalprice", 25000.0)
+  }
+
   /** Order-value histogram (x11): 25k-wide bins over o_totalprice. */
   def priceHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

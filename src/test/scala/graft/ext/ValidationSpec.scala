@@ -105,6 +105,23 @@ class ValidationSpec extends AnyFunSuite {
       2L -> ((20.0, 1L, 0.2))))   // null excluded from count AND total
   }
 
+  test("drift PSI: zero for identical snapshots, finite for new bins") {
+    val ref = Seq(1.0, 2.0, 11.0, 12.0, 21.0).toDF("v")
+    // identical distribution -> every p equals q -> PSI exactly 0
+    val same = Validation.driftPsi(ref, ref, "v", 10.0).collect()
+    assert(same.forall(_.getDouble(5) == 0.0))
+    assert(same.head.getDouble(6) == 0.0)
+    // mass moves up + a bin that exists only in `cur`: PSI positive,
+    // every term finite (the +1 smoothing), new bin has n_ref = 0
+    val cur = Seq(21.0, 22.0, 23.0, 31.0, 32.0).toDF("v")
+    val out = Validation.driftPsi(ref, cur, "v", 10.0).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(3L).getLong(1) == 0 && out(3L).getLong(2) == 2)
+    assert(out.values.forall(r => !r.getDouble(5).isNaN &&
+      !r.getDouble(5).isInfinite))
+    assert(out.values.head.getDouble(6) > 0.25) // a real shift reads as one
+  }
+
   test("quantile report: exact interpolation, approx within tolerance") {
     // group g: 1..5 -> p25 = 2, p50 = 3, p75 = 4 (positions p*(n-1))
     val df = (1 to 5).map(v => ("g", v.toDouble)).toDF("grp", "v")
