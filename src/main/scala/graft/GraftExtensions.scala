@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumns, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BloomBits, BloomContains, DotProductD, KmvMins, Md5Lane, NfcNormalize}
+import graft.functions.{BloomBits, BloomContains, DeflateRatio, DotProductD, KmvMins, Md5Lane, NfcNormalize}
 
 /** Session-extension entry point: configure
   * `spark.sql.extensions=graft.GraftExtensions` and the native
@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NfcNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName,
+        "graft_deflate_ratio"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DeflateRatio(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_kmv_mins"),
       new ExpressionInfo(classOf[KmvMins].getName, "graft_kmv_mins"),

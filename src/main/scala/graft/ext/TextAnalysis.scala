@@ -466,6 +466,45 @@ object TextAnalysis {
       gopherSymbolRatio(toks, t) < 0.1 &&
       gopherStopDistinct(toks) >= 2
 
+  /** zlib redundancy profile — the compression-ratio quality gate of
+    * the web-scale curation pipelines (CCNet's "well-compressing pages
+    * are boilerplate" observation; RefinedWeb and Dolma both threshold
+    * on it): per document, the DEFLATE-level-6 compressed/raw byte
+    * ratio of the text via the native codegen expression
+    * [[graft.functions.DeflateRatio]], plus the band verdict —
+    * template spam and repeated boilerplate compress far below prose
+    * (`r_too_repetitive`), while base64 blobs, minified bundles, and
+    * encrypted noise compress at or above prose and trip
+    * `r_too_random`. `passes` is the keep band `[lo, hi)`.
+    *
+    * A null or empty document has no bytes to compress — its ratio is
+    * null and it fails the band (an empty doc is a quality reject, the
+    * t28 rule restated for this gate).
+    *
+    * Scale: one scan, zero shuffles — the ratio is a per-row codegen'd
+    * expression (one `Deflater` per evaluation, no broadcast state), so
+    * the gate pipelines into the same pass as the Gopher rules. Cost is
+    * O(bytes) per document like every other text gate. Spec-gated
+    * (`CorpusStatsSpec`): DuckDB has no zlib, so the oracle cannot
+    * express it; the spec pins exact ratios against a direct
+    * `java.util.zip.Deflater` run and the band semantics.
+    */
+  def compressionStats(docs: DataFrame, textCol: String = "text",
+                       lo: Double = 0.25, hi: Double = 0.95): DataFrame = {
+    val ratio = org.apache.spark.sql.GraftColumns.deflateRatio(col(textCol))
+    docs.select(
+        col("doc_id"),
+        length(col(textCol)).as("n_chars"),
+        ratio.as("deflate_ratio"))
+      .withColumn("r_too_repetitive",
+        coalesce(col("deflate_ratio") < lo, lit(false)))
+      .withColumn("r_too_random",
+        coalesce(col("deflate_ratio") >= hi, lit(false)))
+      .withColumn("passes",
+        coalesce(col("deflate_ratio") >= lo && col("deflate_ratio") < hi,
+          lit(false)))
+  }
+
   /** Fractional QUALITY BUDGET per source (t43) — keep the top `frac`
     * of each source's documents by quality score: the rate-based
     * sibling of [[domainQuota]] (which caps absolute counts). A

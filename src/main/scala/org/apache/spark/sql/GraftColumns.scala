@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.functions.{BloomBits, BloomContains, DotProductD, KmvMins, Md5Lane, NfcNormalize}
+import graft.functions.{BloomBits, BloomContains, DeflateRatio, DotProductD, KmvMins, Md5Lane, NfcNormalize}
 
 /** Typed analysis errors for graft's SQL function builders (the
   * message-only `AnalysisException` constructor is `private[sql]`,
@@ -49,6 +49,10 @@ object GraftColumns {
     ExpressionUtils.column(
       BloomBits(ExpressionUtils.expression(c), m, k).toAggregateExpression())
 
+  /** Codegen'd zlib compression ratio — see [[DeflateRatio]]. */
+  def deflateRatio(c: Column): Column =
+    ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(c)))
+
   /** Codegen'd bloom membership probe — see [[BloomContains]]. */
   def bloomContains(bloom: Column, v: Column, m: Int, k: Int): Column =
     ExpressionUtils.column(BloomContains(
@@ -85,6 +89,9 @@ object GraftColumns {
       "graft_dot", exprs => DotProductD(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_deflate_ratio",
+      exprs => DeflateRatio(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5lane", exprs => Md5Lane(exprs.head,
         constInt("graft_md5lane", exprs(1), 1),

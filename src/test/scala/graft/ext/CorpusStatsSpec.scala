@@ -202,4 +202,81 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(res(13L).getAs[Double]("cos_centroid") < -0.9)
     assert(res(1L).getAs[Double]("cos_centroid") > 0.9)
   }
+
+  /** Oracle-in-miniature for the deflate gate: DuckDB has no zlib, so
+    * the exact-parity check against a direct `java.util.zip.Deflater`
+    * run IS the gate (the BPE precedent for non-SQL-expressible ops).
+    */
+  private def zlibRatio(s: String): Double = {
+    val raw = s.getBytes("UTF-8")
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    java.math.BigDecimal.valueOf(n.toDouble / raw.length)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  test("deflate ratio: exact java.util.zip parity and the band verdicts") {
+    val repetitive = "spam ham " * 200                  // boilerplate
+    val prose = "The quarterly revenue grew modestly across the " +
+      "northern region while operating costs declined, a pattern the " +
+      "finance team attributes to seasonal demand and slow hiring. " * 3
+    // deterministic high-entropy text: chained MD5 hex (~4 bits/char,
+    // zlib ratio ≈ 0.55 — no repeats for LZ77 to exploit)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val noise = (1 to 25).map(i =>
+      md.digest(s"seed$i".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString).mkString
+    val docs = Seq(
+      (1L, repetitive), (2L, prose), (3L, noise),
+      (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+
+    // explicit band: hex noise carries ~4 bits/char, so its ratio
+    // (~0.55) sits under the production default hi (0.95, tuned for
+    // binary-in-text); the band semantics are what's under test
+    val res = TextAnalysis.compressionStats(docs, lo = 0.25, hi = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // exact parity with a direct Deflater run, through codegen
+    for ((id, s) <- Seq(1L -> repetitive, 2L -> prose, 3L -> noise))
+      assert(res(id).getAs[Double]("deflate_ratio") == zlibRatio(s),
+        s"doc $id ratio != direct zlib")
+    // the ordering the gate exists for
+    val (r1, r2, r3) = (zlibRatio(repetitive), zlibRatio(prose),
+      zlibRatio(noise))
+    assert(r1 < r2 && r2 < r3, s"expected $r1 < $r2 < $r3")
+    assert(res(1L).getAs[Boolean]("r_too_repetitive"))
+    assert(!res(1L).getAs[Boolean]("passes"))
+    assert(res(2L).getAs[Boolean]("passes"))
+    assert(res(3L).getAs[Boolean]("r_too_random"))
+    assert(!res(3L).getAs[Boolean]("passes"))
+    // empty + null text: null ratio, fails the band, trips no flag
+    for (id <- Seq(4L, 5L)) {
+      assert(res(id).isNullAt(res(id).fieldIndex("deflate_ratio")))
+      assert(!res(id).getAs[Boolean]("passes"))
+      assert(!res(id).getAs[Boolean]("r_too_repetitive"))
+      assert(!res(id).getAs[Boolean]("r_too_random"))
+    }
+  }
+
+  test("deflate ratio: SQL surface and interpreted/codegen agreement") {
+    org.apache.spark.sql.GraftColumns.registerFunctions(spark)
+    val s = "alpha beta gamma " * 40
+    Seq(Tuple1(s)).toDF("t").createOrReplaceTempView("deflate_in")
+    val sqlVal = spark.sql(
+      "SELECT graft_deflate_ratio(t) AS r FROM deflate_in")
+      .head().getDouble(0)
+    assert(sqlVal == zlibRatio(s))
+    // interpreted path (eval, no codegen) matches
+    val interp = graft.functions.DeflateRatio(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      .eval(null).asInstanceOf[Double]
+    assert(interp == sqlVal)
+  }
 }
