@@ -181,7 +181,11 @@ object SparkEntry {
     "x13_price_quantiles" -> ExtQueries.priceQuantiles _,
     "x14_props_rollup" -> ExtQueries.propsRollup _,
     "x15_scd2_intervals" -> ExtQueries.scd2Intervals _,
-    "x16_drift_psi" -> ExtQueries.driftPsi _
+    "x16_drift_psi" -> ExtQueries.driftPsi _,
+    "x17_key_skew" -> ExtQueries.keySkew _,
+    "v5_k_anonymity" -> ExtQueries.kAnonymity _,
+    // spec-gated (no DuckDB zlib): rows-only check by design
+    "t44_compression_stats" -> ExtQueries.compressionStats _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -301,6 +305,8 @@ object SparkEntry {
     "x13_price_quantiles" -> ExtOracleSql.x13PriceQuantiles,
     "x14_props_rollup" -> ExtOracleSql.x14PropsRollup,
     "x15_scd2_intervals" -> ExtOracleSql.x15Scd2Intervals,
-    "x16_drift_psi" -> ExtOracleSql.x16DriftPsi
+    "x16_drift_psi" -> ExtOracleSql.x16DriftPsi,
+    "x17_key_skew" -> ExtOracleSql.x17KeySkew,
+    "v5_k_anonymity" -> ExtOracleSql.v5KAnonymity
   )
 }

@@ -505,6 +505,30 @@ SELECT *,
             AS DOUBLE) AS total_psi
 FROM e"""
 
+  /** x17: key-skew report — exact long counts, double ratios of exact
+    * integers rounded 6 dp, top-N order fully determined by
+    * (count DESC, key ASC).
+    */
+  val x17KeySkew: String = """WITH k AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n_rows
+  FROM events GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n_rows) AS DOUBLE) AS total, COUNT(*) AS n_keys FROM k
+)
+SELECT key, n_rows,
+       round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+       round(CAST(n_rows AS DOUBLE) * n_keys / total, 6) AS skew_ratio
+FROM k CROSS JOIN t
+ORDER BY n_rows DESC, key ASC
+LIMIT 20"""
+
+  /** v5: k-anonymity — exact class sizes, post-aggregate HAVING. */
+  val v5KAnonymity: String = """SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS class_size
+FROM customer
+GROUP BY 1, 2
+HAVING COUNT(*) < 10"""
+
   /** x13: exact interpolated quantiles — both engines place the
     * quantile at p*(n-1) over the sorted group and interpolate
     * lower + (upper-lower)*frac on identical doubles; round 6 dp.

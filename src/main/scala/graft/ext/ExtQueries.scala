@@ -1008,6 +1008,37 @@ object ExtQueries {
       "shipdate_present" -> col("l_shipdate").isNull))
   }
 
+  /** Key-skew diagnostic over the event stream's user key (x17):
+    * top-20 users by event volume with share and skew ratio — the
+    * pre-shuffle report that decides whether a user-keyed join needs
+    * the x1 salting device.
+    */
+  def keySkew(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Validation.keySkew(Tables.events(spark, sfDir), "user_id", topN = 20)
+  }
+
+  /** k-anonymity audit of the customer table (v5): equivalence classes
+    * of (nation, market segment) with fewer than 10 members — the
+    * re-identifiable slices a release gate must empty.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Validation.kAnonymity(Tables.customer(spark, sfDir),
+      Seq("c_nationkey", "c_mktsegment"), k = 10)
+  }
+
+  /** zlib compression-ratio quality gate over the corpus (t44).
+    * Spec-gated, not oracle-gated: DuckDB has no zlib, so the DuckDB
+    * twin cannot express the ratio — exact `java.util.zip` parity and
+    * the band semantics are pinned in `CorpusStatsSpec` instead, and
+    * the driver records the rows-only check.
+    */
+  def compressionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.compressionStats(spread(Tables.documents(spark, sfDir)))
+  }
+
   /** Hourly event-count anomaly monitor (x10): each (type, hour)
     * z-scored against its trailing 24 observed hours.
     */

@@ -242,6 +242,68 @@ object Validation {
         .cast("double"))
   }
 
+  /** Key-skew diagnostic (x17): the report a pipeline runs BEFORE
+    * shuffling on a key to decide whether the join/agg needs salting
+    * ([[graft.std.Salt]], the x1 device) or AQE skew splitting. Top
+    * `topN` keys by row count with, per key: exact count, share of all
+    * rows, and `skew_ratio` = count ÷ mean-rows-per-key (1.0 = flat;
+    * the conventional alarm is a handful of keys ≫ 1 while the rest
+    * sit ≪ 1 — those are the straggler partitions).
+    *
+    * 100 TB shape: ONE shuffle — the corpus collapses map-side to
+    * |keys| partial counts; the scalar totals (row total, key count)
+    * broadcast back over the tiny per-key frame, and the top-N runs as
+    * `TakeOrderedAndProject` (per-partition heads, never a global
+    * sort). Nothing downstream of the first aggregate sees row volume.
+    *
+    * Determinism: counts are exact longs; `share`/`skew_ratio` are
+    * double ratios of exact integers rounded to 6 dp; ties in the
+    * top-N order break on the key string ascending. A NULL key groups
+    * as its own class and reports with `key` NULL (skew hiding in a
+    * null-heavy column is exactly what this catches).
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN >= 1, "need a positive topN")
+    val perKey = df.select(col(keyCol).cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n_rows"))
+    val tot = perKey.agg(sum(col("n_rows")).cast("double").as("_total"),
+      count(lit(1)).as("_n_keys"))
+    perKey.crossJoin(broadcast(tot))
+      .select(
+        col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("_total"), 6).as("share"),
+        round(col("n_rows").cast("double") * col("_n_keys") / col("_total"),
+          6).as("skew_ratio"))
+      // NULLS LAST explicitly: Spark's asc defaults nulls FIRST while
+      // SQL engines (the oracle twin included) default them LAST — a
+      // count tie against the null class must cut identically
+      .orderBy(col("n_rows").desc, col("key").asc_nulls_last)
+      .limit(topN)
+  }
+
+  /** k-anonymity audit (v5): equivalence classes of the quasi-identifier
+    * columns with fewer than `k` members — the classes whose rows a
+    * linker could re-identify (Sweeney's criterion; the release gate is
+    * "this result set is empty"). Returns the violating classes with
+    * their sizes; callers needing a banded quasi-identifier (e.g.
+    * an account-balance bucket) derive the band column first.
+    *
+    * 100 TB shape: one shuffle collapsing the corpus to |classes|
+    * partially-aggregated rows; the `< k` filter runs post-aggregate
+    * (HAVING), so output is bounded by the violating-class count —
+    * at-risk classes are by definition the SMALL ones, so the result
+    * stays tiny even when the audit fails badly. NULL quasi values
+    * group as their own class (a NULL segment is still a linkable
+    * signature).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, "k-anonymity below 2 is vacuous")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
+
   /** Declarative row-constraint audit: `constraints` maps a name to a
     * VIOLATION predicate (write it null-safe — e.g.
     * `coalesce(!(col > 0), lit(true))` if a NULL should violate).

@@ -139,6 +139,53 @@ class ValidationSpec extends AnyFunSuite {
     assert(approx.getDouble(1) == 0.5 && math.abs(approx.getDouble(2) - 3.0) <= 1.0)
   }
 
+  test("key skew: counts, shares, skew ratio, null key, tiebreak") {
+    // key a: 4 rows, b: 2, c: 1, null: 1 -> 8 rows over 4 keys (avg 2)
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c") ++
+      Seq(null.asInstanceOf[String])).toDF("k")
+    val out = Validation.keySkew(df, "k", topN = 3).collect()
+    assert(out.length == 3)
+    // order: count desc, then key asc NULLS LAST (the oracle's default),
+    // so the 1-row tie resolves to "c" and the null class falls off
+    assert(out(0).getString(0) == "a" && out(0).getLong(1) == 4)
+    assert(out(0).getDouble(2) == 0.5)        // share 4/8
+    assert(out(0).getDouble(3) == 2.0)        // 4 / (8/4 keys)
+    assert(out(1).getString(0) == "b" && out(1).getDouble(3) == 1.0)
+    assert(out(2).getString(0) == "c" && out(2).getDouble(3) == 0.5)
+    // null key reports as its own class when topN admits it
+    val all = Validation.keySkew(df, "k", topN = 10).collect()
+    assert(all.length == 4 && all(3).isNullAt(0) && all(3).getLong(1) == 1)
+  }
+
+  test("key skew: top-N runs as TakeOrderedAndProject, not a global sort") {
+    val df = Seq("a", "a", "b").toDF("k")
+    val frame = Validation.keySkew(df, "k", topN = 2)
+    frame.collect()
+    val topK = graft.std.Plans.collect(frame) {
+      case e: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => e
+    }.length
+    val sorts = graft.std.Plans.collect(frame) {
+      case e: org.apache.spark.sql.execution.SortExec if e.global => e
+    }.length
+    assert(topK == 1 && sorts == 0,
+      s"want TakeOrderedAndProject (got $topK) and no global sort ($sorts)")
+  }
+
+  test("k-anonymity: only sub-k classes report; nulls form a class") {
+    val df = (Seq.fill(5)(("us", "a")) ++ Seq.fill(2)(("us", "b")) ++
+      Seq(("de", "a")) ++ Seq((null.asInstanceOf[String], "a")))
+      .toDF("country", "seg")
+    val out = Validation.kAnonymity(df, Seq("country", "seg"), k = 3)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // (us, a) has 5 >= 3: absent; the three small classes report
+    assert(out == Map(
+      (Some("us"), "b") -> 2L,
+      (Some("de"), "a") -> 1L,
+      (None, "a") -> 1L))
+  }
+
   test("constraint audit is one scan: no shuffle beyond the scalar agg") {
     val df = Seq((1.0, 0.1)).toDF("qty", "disc")
     def viol(pred: org.apache.spark.sql.Column) =
