@@ -183,6 +183,7 @@ object SparkEntry {
     "x15_scd2_intervals" -> ExtQueries.scd2Intervals _,
     "x16_drift_psi" -> ExtQueries.driftPsi _,
     "x17_key_skew" -> ExtQueries.keySkew _,
+    "x18_fuzzy_linkage" -> ExtQueries.fuzzyLinkage _,
     "v5_k_anonymity" -> ExtQueries.kAnonymity _,
     // spec-gated (no DuckDB zlib): rows-only check by design
     "t44_compression_stats" -> ExtQueries.compressionStats _
@@ -307,6 +308,7 @@ object SparkEntry {
     "x15_scd2_intervals" -> ExtOracleSql.x15Scd2Intervals,
     "x16_drift_psi" -> ExtOracleSql.x16DriftPsi,
     "x17_key_skew" -> ExtOracleSql.x17KeySkew,
+    "x18_fuzzy_linkage" -> ExtOracleSql.x18FuzzyLinkage,
     "v5_k_anonymity" -> ExtOracleSql.v5KAnonymity
   )
 }

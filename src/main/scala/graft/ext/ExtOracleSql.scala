@@ -522,6 +522,33 @@ FROM k CROSS JOIN t
 ORDER BY n_rows DESC, key ASC
 LIMIT 20"""
 
+  /** x18: fuzzy linkage — deliberately UNBLOCKED (all-pairs + filter):
+    * identical results prove the Spark side's length-bucket blocking
+    * lossless. Unit-cost Levenshtein and the (dist, name) argmin rank
+    * are exact ints, engine-independent.
+    */
+  val x18FuzzyLinkage: String = """WITH names AS (
+  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+), probes AS (
+  SELECT p_partkey AS probe_id,
+         CASE WHEN p_partkey % 3 = 0 THEN substr(p_name, 2)
+              WHEN p_partkey % 3 = 1 THEN p_name || 'x'
+              ELSE replace(p_name, ' ', '_') END AS probe_name
+  FROM part WHERE p_partkey % 5 = 0
+), cand AS (
+  SELECT probe_id, name, levenshtein(probe_name, name) AS dist
+  FROM probes CROSS JOIN names
+  WHERE levenshtein(probe_name, name) <= 2
+), best AS (
+  SELECT probe_id, name, dist,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY dist ASC, name ASC) AS rn
+  FROM cand
+)
+SELECT p.probe_id, p.probe_name, b.name AS matched_name, b.dist
+FROM probes p
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON p.probe_id = b.probe_id"""
+
   /** v5: k-anonymity — exact class sizes, post-aggregate HAVING. */
   val v5KAnonymity: String = """SELECT c_nationkey, c_mktsegment,
        COUNT(*) AS class_size

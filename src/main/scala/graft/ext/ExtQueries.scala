@@ -1039,6 +1039,26 @@ object ExtQueries {
     TextAnalysis.compressionStats(spread(Tables.documents(spark, sfDir)))
   }
 
+  /** Blocked fuzzy record linkage (x18): a deterministically corrupted
+    * part-name feed (every 5th part; drop-first-char / append / space
+    * swap by key residue) matched back against the clean catalog at
+    * edit distance ≤ 2. The oracle twin runs the UNBLOCKED all-pairs
+    * form, so a blocking bug that dropped a candidate pair would
+    * hash-mismatch — the completeness proof rides in the gate itself.
+    */
+  def fuzzyLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val part = Tables.part(spark, sfDir)
+    val probes = part.filter(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey").as("probe_id"),
+        when(col("p_partkey") % 3 === 0, expr("substring(p_name, 2)"))
+          .when(col("p_partkey") % 3 === 1, concat(col("p_name"), lit("x")))
+          .otherwise(regexp_replace(col("p_name"), " ", "_"))
+          .as("probe_name"))
+    Linkage.fuzzyBestMatch(probes, part, "probe_id", "probe_name",
+      "p_name", maxDist = 2)
+  }
+
   /** Hourly event-count anomaly monitor (x10): each (type, hour)
     * z-scored against its trailing 24 observed hours.
     */
