@@ -143,6 +143,7 @@ object SparkEntry {
     "t41_blocklist_filter" -> ExtQueries.blocklistFilter _,
     "t42_curation_pipeline" -> ExtQueries.curationPipeline _,
     "t43_quality_budget" -> ExtQueries.qualityBudget _,
+    "t45_url_dedup" -> ExtQueries.urlDedup _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -309,6 +310,7 @@ object SparkEntry {
     "x16_drift_psi" -> ExtOracleSql.x16DriftPsi,
     "x17_key_skew" -> ExtOracleSql.x17KeySkew,
     "x18_fuzzy_linkage" -> ExtOracleSql.x18FuzzyLinkage,
+    "t45_url_dedup" -> ExtOracleSql.t45UrlDedup,
     "v5_k_anonymity" -> ExtOracleSql.v5KAnonymity
   )
 }

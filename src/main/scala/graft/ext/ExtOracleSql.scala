@@ -549,6 +549,48 @@ SELECT p.probe_id, p.probe_name, b.name AS matched_name, b.dist
 FROM probes p
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON p.probe_id = b.probe_id"""
 
+  /** t45: canonical-URL dedup — the identical normalization chain
+    * under RE2 (DuckDB needs the explicit 'g' flag only where multiple
+    * matches exist, and `\1` backrefs where Java uses `$1`); byte-equal
+    * canonicals make the window-min keeper engine-independent.
+    */
+  val t45UrlDedup: String = """WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'https://WWW.Example.COM:443'
+              ELSE 'https://www.example.com' END
+         || '/Docs/' || CAST(doc_id % 100 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=x'
+                 WHEN doc_id % 5 = 1 THEN '?ref=1&utm_medium=email'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END AS url
+  FROM documents
+), s1 AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag FROM u
+), s2 AS (
+  SELECT *, regexp_extract(nofrag, '^(https?://[^/?#]*)', 1) AS prefix
+  FROM s1
+), s3 AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(lower(prefix), '^(https://[^:/]*):443$', '\1'),
+           '^(http://[^:/]*):80$', '\1')
+         || substr(nofrag, length(prefix) + 1) AS base
+  FROM s2
+), s4 AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(base,
+               '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+             '[?&]$', ''),
+           '/$', '') AS canonical_url
+  FROM s3
+)
+SELECT doc_id, url, canonical_url,
+       doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep
+FROM s4"""
+
   /** v5: k-anonymity — exact class sizes, post-aggregate HAVING. */
   val v5KAnonymity: String = """SELECT c_nationkey, c_mktsegment,
        COUNT(*) AS class_size

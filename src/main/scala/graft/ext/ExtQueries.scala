@@ -1059,6 +1059,28 @@ object ExtQueries {
       "p_name", maxDist = 2)
   }
 
+  /** Canonical-URL dedup (t45): a deterministic fetch-list — per doc a
+    * URL whose host case, explicit :443, trailing slash, tracking
+    * params, and fragment vary by key residue — collapses under
+    * [[Web.canonicalUrl]] to one canonical per (doc_id % 100) class
+    * (the ref=1 param survives, but 5 | 100 makes it class-constant),
+    * and first-fetch-wins keeps the minimum doc_id.
+    */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val url = concat(
+      when(col("doc_id") % 4 === 0, lit("https://WWW.Example.COM:443"))
+        .otherwise(lit("https://www.example.com")),
+      lit("/Docs/"), (col("doc_id") % 100).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("?utm_source=feed&utm_campaign=x"))
+        .when(col("doc_id") % 5 === 1, lit("?ref=1&utm_medium=email"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+    Web.urlDedup(
+      Tables.documents(spark, sfDir).select(col("doc_id"), url.as("url")))
+  }
+
   /** Hourly event-count anomaly monitor (x10): each (type, hour)
     * z-scored against its trailing 24 observed hours.
     */

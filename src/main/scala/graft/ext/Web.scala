@@ -41,6 +41,57 @@ object Web {
         count(lit(1)).as("n_urls"))
   }
 
+  /** Canonical URL form (t45) — the normalization a crawl pipeline
+    * applies before URL-keyed dedup, where raw-string identity would
+    * miss most duplicates (CCNet/RefinedWeb both dedup fetch lists this
+    * way). Rules, in order:
+    *
+    *   1. drop the fragment (`#...` — client-side only);
+    *   2. lowercase the scheme+host prefix (case-insensitive by RFC
+    *      3986; the PATH stays case-sensitive and untouched);
+    *   3. drop an explicit default port (`https://h:443`, `http://h:80`);
+    *   4. drop tracking query params (`utm_*`, `fbclid`, `gclid`) and
+    *      tidy the orphaned `?`/`&`;
+    *   5. drop a trailing slash.
+    *
+    * Every rule is a `lower`/`regexp_extract`/`regexp_replace` over
+    * RE2-safe patterns (no backtracking constructs), so the identical
+    * chain runs under Java regex and the oracle's RE2 — byte-equal
+    * outputs, which is what lets the canonical string BE the dedup key
+    * cross-engine. NULL propagates.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val prefix = regexp_extract(noFrag, "^(https?://[^/?#]*)", 1)
+    val rest = noFrag.substr(length(prefix) + 1, lit(1000000))
+    val hostLower = lower(prefix)
+    val noPort = regexp_replace(
+      regexp_replace(hostLower, "^(https://[^:/]*):443$", "$1"),
+      "^(http://[^:/]*):80$", "$1")
+    val noTrack = regexp_replace(concat(noPort, rest),
+      "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    regexp_replace(regexp_replace(noTrack, "[?&]$", ""), "/$", "")
+  }
+
+  /** URL-keyed dedup (t45): per document, its canonical URL and the
+    * keep verdict — the group's minimum doc_id survives (first-fetch-
+    * wins; the d6 keeper rule on the URL key instead of content).
+    *
+    * 100 TB shape: ONE shuffle on the canonical string over a skinny
+    * (doc_id, url) projection — text never moves; the per-group min
+    * runs as a window on that key (equivalently a groupBy + join-back,
+    * but one pass). Canonicalization itself is a per-row codegen
+    * expression chain, zero extra passes.
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_url"))
+    docs.select(col("doc_id"), col(urlCol),
+        canonicalUrl(col(urlCol)).as("canonical_url"))
+      .withColumn("keep",
+        col("doc_id") === min(col("doc_id")).over(w))
+  }
+
   /** Blocklist filter (t41): docs that mention NO blocked domain
     * survive, with the verdict and evidence per doc. The blocklist is
     * a DataFrame (`domain` column — deduped defensively) BROADCAST to

@@ -37,6 +37,41 @@ class WebSpec extends AnyFunSuite {
     assert(out.size == 4)               // every doc gets a verdict
   }
 
+  test("canonical URL: each rule fires and path case survives") {
+    val cases = Seq(
+      // fragment + tracking + trailing slash + host case + default port
+      (1L, "https://WWW.Ex.COM:443/A/B/?utm_source=f&utm_campaign=x#top"),
+      (2L, "https://www.ex.com/A/B"),          // already canonical
+      (3L, "http://h.ex:80/p?ref=1&utm_medium=m"), // keep ref, drop utm
+      (4L, "http://h.ex:8080/p"),              // NON-default port survives
+      (5L, "https://a.ex/?utm_a=1&utm_b=2"),   // all params drop, ? tidied
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url")
+    val out = cases.select(col("doc_id"),
+        Web.canonicalUrl(col("url")).as("c")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(out(1L) == "https://www.ex.com/A/B")  // path case PRESERVED
+    assert(out(2L) == "https://www.ex.com/A/B")
+    assert(out(3L) == "http://h.ex/p?ref=1")
+    assert(out(4L) == "http://h.ex:8080/p")
+    assert(out(5L) == "https://a.ex")
+    assert(out(6L) == null)
+  }
+
+  test("url dedup: min doc_id survives per canonical class") {
+    val docs = Seq(
+      (10L, "https://A.ex/x/"),
+      (3L, "https://a.ex/x?utm_source=s"),
+      (7L, "https://a.ex/y"))
+      .toDF("doc_id", "url")
+    val out = Web.urlDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(3L) == (("https://a.ex/x", true)))   // min of {3, 10}
+    assert(out(10L) == (("https://a.ex/x", false)))
+    assert(out(7L) == (("https://a.ex/y", true)))
+  }
+
   test("blocklist join broadcasts; verdict shuffle carries no text") {
     val bl = Seq("a.example").toDF("domain")
     val frame = Web.blocklistFilter(docs, bl)
