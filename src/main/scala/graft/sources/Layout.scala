@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Storage-layout operators — the other half of the write-time-work
   * story next to [[Bucketing]]: bucketing kills the JOIN shuffle,
@@ -47,6 +47,67 @@ object Layout {
     require(numFiles >= 1, "need at least one output file")
     df.repartitionByRange(numFiles, df(sortCol))
       .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Z-ordered parquet write: bit-interleaved multi-dimensional
+    * clustering, for the workloads [[writeRangeSorted]] can't serve —
+    * a linear sort on `x` leaves every file spanning the FULL range of
+    * `y`, so `y` predicates skip nothing. Interleaving the dimensions'
+    * bits makes each file a small hyper-rectangle in (x, y, ...) space:
+    * footer min/max stats become selective on EVERY z-dimension at
+    * once (at modest per-dimension resolution — the classic Z-order
+    * trade, same as Delta/Iceberg's OPTIMIZE ZORDER).
+    *
+    * Mechanics: each (numeric) column is scaled to a `bits`-wide
+    * bucket via its global min/max (ONE tiny aggregate — the only
+    * driver-side data, 2 scalars per column), buckets are bit-
+    * interleaved into a single long, and the write range-partitions +
+    * sorts on that z-value (`repartitionByRange` samples, so no global
+    * sort). NULLs bucket to 0 — they cluster at the z-origin instead
+    * of spraying across files.
+    *
+    * 100 TB shape: scan → per-row arithmetic → one range exchange on
+    * the z long. The min/max aggregate is a second scan of only the z
+    * columns (column-pruned); pass `stats` to skip it when the bounds
+    * are known (e.g. from table metadata).
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    numFiles: Int, bits: Int = 8,
+                    stats: Option[Map[String, (Double, Double)]] = None)
+      : Unit = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size >= 2, "z-order needs at least two dimensions")
+    require(numFiles >= 1, "need at least one output file")
+    require(bits >= 1 && bits * zCols.size <= 62,
+      s"bits*dims must fit a long, got $bits*${zCols.size}")
+    val bounds: Map[String, (Double, Double)] = stats.getOrElse {
+      val aggs = zCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"_min_$c"),
+        max(col(c).cast("double")).as(s"_max_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      zCols.map(c => c -> ((r.getAs[Double](s"_min_$c"),
+        r.getAs[Double](s"_max_$c")))).toMap
+    }
+    val nBuckets = 1L << bits
+    val buckets = zCols.map { c =>
+      val (lo, hi) = bounds(c)
+      val span = if (hi > lo) hi - lo else 1.0
+      least(
+        greatest(floor((coalesce(col(c).cast("double"), lit(lo)) - lo)
+          / span * nBuckets), lit(0L)),
+        lit(nBuckets - 1)).cast("long")
+    }
+    val n = buckets.size
+    var z: Column = lit(0L)
+    for (i <- 0 until bits; j <- 0 until n) {
+      val bit = shiftright(buckets(j), i).bitwiseAND(lit(1L))
+      z = z.bitwiseOR(shiftleft(bit, i * n + (n - 1 - j)))
+    }
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
 

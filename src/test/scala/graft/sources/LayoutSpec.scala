@@ -36,6 +36,52 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("z-order clusters BOTH dimensions; linear sort only one") {
+    import spark.implicits._
+    // a 64x64 grid: under a linear sort on x, every file spans all of
+    // y; under z-order every file is a small (x, y) rectangle
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toDouble, y.toDouble)).toDF("x", "y")
+    val nFiles = 16
+
+    def meanSpan(path: String, dim: String): Double = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col(dim)) - min(col(dim))).as("span"))
+      perFile.agg(avg("span")).head().getDouble(0)
+    }
+
+    val zPath = Files.createTempDirectory("layout_z").toString
+    Layout.writeZOrdered(grid, zPath, Seq("x", "y"), nFiles)
+    val linPath = Files.createTempDirectory("layout_lin").toString
+    Layout.writeRangeSorted(grid, linPath, "x", nFiles)
+
+    // linear layout: x clusters, y spans the whole 0..63 range per file
+    assert(meanSpan(linPath, "x") < 16.0)
+    assert(meanSpan(linPath, "y") > 60.0)
+    // z-order: BOTH dims confined to a fraction of their global span —
+    // this per-file min/max narrowing is exactly what parquet footer
+    // stats expose to the reader's range-predicate skipping
+    assert(meanSpan(zPath, "x") < 32.0,
+      s"x span ${meanSpan(zPath, "x")} not clustered")
+    assert(meanSpan(zPath, "y") < 32.0,
+      s"y span ${meanSpan(zPath, "y")} not clustered")
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(zPath).count() == 64L * 64L)
+  }
+
+  test("z-order write: nulls cluster at origin, bounds can be supplied") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (null, 5.0), (1.0, 1.0), (9.0, 9.0)).toDF("x", "y")
+    val path = Files.createTempDirectory("layout_znull").toString
+    Layout.writeZOrdered(df, path, Seq("x", "y"), 1,
+      stats = Some(Map("x" -> ((0.0, 10.0)), "y" -> ((0.0, 10.0)))))
+    val back = spark.read.parquet(path).collect()
+    assert(back.length == 3) // null row survives the rewrite
+    assert(back.count(_.isNullAt(0)) == 1)
+  }
+
   test("range-sorted write pushes range predicates to the reader") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity"))
