@@ -185,6 +185,7 @@ object SparkEntry {
     "x16_drift_psi" -> ExtQueries.driftPsi _,
     "x17_key_skew" -> ExtQueries.keySkew _,
     "x18_fuzzy_linkage" -> ExtQueries.fuzzyLinkage _,
+    "x19_bloom_join" -> ExtQueries.bloomJoin _,
     "v5_k_anonymity" -> ExtQueries.kAnonymity _,
     // spec-gated (no DuckDB zlib): rows-only check by design
     "t44_compression_stats" -> ExtQueries.compressionStats _
@@ -311,6 +312,7 @@ object SparkEntry {
     "x17_key_skew" -> ExtOracleSql.x17KeySkew,
     "x18_fuzzy_linkage" -> ExtOracleSql.x18FuzzyLinkage,
     "t45_url_dedup" -> ExtOracleSql.t45UrlDedup,
+    "x19_bloom_join" -> ExtOracleSql.x19BloomJoin,
     "v5_k_anonymity" -> ExtOracleSql.v5KAnonymity
   )
 }

@@ -591,6 +591,15 @@ SELECT doc_id, url, canonical_url,
        doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep
 FROM s4"""
 
+  /** x19: bloom-pruned join — the oracle is the PLAIN join; equality
+    * proves the bloom prefilter dropped nothing it shouldn't.
+    */
+  val x19BloomJoin: String = """SELECT o_orderkey, o_custkey,
+       c_mktsegment, o_totalprice
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey = 1"""
+
   /** v5: k-anonymity — exact class sizes, post-aggregate HAVING. */
   val v5KAnonymity: String = """SELECT c_nationkey, c_mktsegment,
        COUNT(*) AS class_size

@@ -1081,6 +1081,25 @@ object ExtQueries {
       Tables.documents(spark, sfDir).select(col("doc_id"), url.as("url")))
   }
 
+  /** Bloom-pruned selective join (x19): orders joined to the nation-1
+    * customer slice — the fact side is cut by the m/8-byte membership
+    * filter before any join machinery runs. The oracle twin is the
+    * plain SQL join: identical results prove the bloom pass lossless
+    * (no false negatives; false positives die in the real join).
+    */
+  def bloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val dim = Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey") === 1)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.std.BloomJoin.bloomPrunedJoin(
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        dim, "o_custkey", "c_custkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+        col("o_totalprice"))
+  }
+
   /** Hourly event-count anomaly monitor (x10): each (type, hour)
     * z-scored against its trailing 24 observed hours.
     */
