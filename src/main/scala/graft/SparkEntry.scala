@@ -186,6 +186,7 @@ object SparkEntry {
     "x17_key_skew" -> ExtQueries.keySkew _,
     "x18_fuzzy_linkage" -> ExtQueries.fuzzyLinkage _,
     "x19_bloom_join" -> ExtQueries.bloomJoin _,
+    "x20_pagerank" -> ExtQueries.pageRank _,
     "v5_k_anonymity" -> ExtQueries.kAnonymity _,
     // spec-gated (no DuckDB zlib): rows-only check by design
     "t44_compression_stats" -> ExtQueries.compressionStats _
@@ -313,6 +314,7 @@ object SparkEntry {
     "x18_fuzzy_linkage" -> ExtOracleSql.x18FuzzyLinkage,
     "t45_url_dedup" -> ExtOracleSql.t45UrlDedup,
     "x19_bloom_join" -> ExtOracleSql.x19BloomJoin,
+    "x20_pagerank" -> ExtOracleSql.x20PageRank,
     "v5_k_anonymity" -> ExtOracleSql.v5KAnonymity
   )
 }

@@ -600,6 +600,53 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 WHERE c_nationkey = 1"""
 
+  /** x20: PageRank, 3 unrolled iterations in FIXED-POINT — ranks are
+    * BIGINTs in 1e-9 units, `//` floor-division everywhere (operands
+    * positive, so it equals Spark's truncating `div`), exact long
+    * sums. No float op exists until the final display division, so no
+    * rounding mode can disagree (9-dp double rounding provably did, at
+    * .5-ulp boundaries).
+    */
+  val x20PageRank: String = """WITH seq AS (
+  SELECT l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
+r0 AS (
+  SELECT node, 1000000000 // n AS rank_e9 FROM nodes CROSS JOIN nn
+), c1 AS (
+  SELECT e.dst AS node, r0.rank_e9 // outdeg.odeg AS c
+  FROM e JOIN r0 ON e.src = r0.node JOIN outdeg ON e.src = outdeg.src
+), s1 AS (SELECT node, SUM(c) AS s FROM c1 GROUP BY 1),
+r1 AS (
+  SELECT nodes.node,
+         150000000 // n + COALESCE(s1.s, 0) * 850 // 1000 AS rank_e9
+  FROM nodes CROSS JOIN nn LEFT JOIN s1 ON nodes.node = s1.node
+), c2 AS (
+  SELECT e.dst AS node, r1.rank_e9 // outdeg.odeg AS c
+  FROM e JOIN r1 ON e.src = r1.node JOIN outdeg ON e.src = outdeg.src
+), s2 AS (SELECT node, SUM(c) AS s FROM c2 GROUP BY 1),
+r2 AS (
+  SELECT nodes.node,
+         150000000 // n + COALESCE(s2.s, 0) * 850 // 1000 AS rank_e9
+  FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.node = s2.node
+), c3 AS (
+  SELECT e.dst AS node, r2.rank_e9 // outdeg.odeg AS c
+  FROM e JOIN r2 ON e.src = r2.node JOIN outdeg ON e.src = outdeg.src
+), s3 AS (SELECT node, SUM(c) AS s FROM c3 GROUP BY 1)
+SELECT nodes.node,
+       150000000 // n + COALESCE(s3.s, 0) * 850 // 1000 AS rank_e9,
+       CAST(150000000 // n + COALESCE(s3.s, 0) * 850 // 1000 AS DOUBLE)
+         / CAST(1000000000 AS DOUBLE) AS rank
+FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node"""
+
   /** v5: k-anonymity — exact class sizes, post-aggregate HAVING. */
   val v5KAnonymity: String = """SELECT c_nationkey, c_mktsegment,
        COUNT(*) AS class_size

@@ -1100,6 +1100,27 @@ object ExtQueries {
         col("o_totalprice"))
   }
 
+  /** PageRank over the co-purchase chain graph (x20): edges link each
+    * line item to the NEXT one in its order by line-number ORDER (the
+    * corpus's line numbers are gappy, so "next row", not "+1") — the
+    * "bought together next" relation; 3 iterations at damping 0.85.
+    * Both engines derive edges with the identical `lead` window.
+    * (l_orderkey, l_linenumber) is NOT unique in this corpus, so the
+    * ordering appends l_partkey: remaining ties are between rows with
+    * EQUAL partkeys, which cannot change the partkey sequence — the
+    * edge set is total-order-determined in both engines.
+    */
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    Graph.pageRank(edges, iterations = 3, dampingPerMille = 850)
+  }
+
   /** Hourly event-count anomaly monitor (x10): each (type, hour)
     * z-scored against its trailing 24 observed hours.
     */

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-analysis over edge lists — the graph tier of the curation
+  * stack: domain authority for crawl prioritization, co-purchase
+  * influence, citation weighting. Complements [[Dedup]]'s connected
+  * components (cluster EXTRACTION) with importance SCORING.
+  *
+  * 100 TB shape: the classic Pregel-as-joins loop. Per iteration the
+  * rank frame (|V| rows, two skinny columns) joins the edge list
+  * shuffled on `src`, contributions aggregate on `dst` with map-side
+  * partial sums, and the dangling-node left join restores zero-indegree
+  * vertices. Nothing driver-side but the node count (one long); edge
+  * and rank frames never collect. Iterations are a fixed small k —
+  * each one a self-contained shuffle stage pair, which is how every
+  * production PageRank runs (convergence-to-epsilon is a driver loop
+  * over the same stages).
+  *
+  * Determinism (what makes an ITERATIVE float computation
+  * oracle-gateable at all): the 9-dp-round-and-DECIMAL-sum discipline
+  * (t25/x16) is NOT enough here — iterating pushes values onto round's
+  * .5-ulp boundaries, where Spark's BigDecimal HALF_UP and a pure-
+  * floating-point `round(x*1e9)/1e9` disagree in the last digit (seen
+  * live: 3 of 2000 nodes off by 1e-9 after 3 iterations). So ranks run
+  * in FIXED-POINT: longs in units of 1e-9, truncating integer division
+  * for the out-degree split and the damping multiply, exact long sums.
+  * Positive operands make Spark's `div` (truncate) and the oracle's
+  * `//` (floor) identical, so every intermediate is the same integer
+  * in both engines — no rounding mode exists to disagree about. The
+  * one float op is the final display division, identical IEEE on
+  * identical longs.
+  */
+object Graph {
+
+  /** PageRank over a directed edge list (`src`, `dst` columns;
+    * duplicates and self-loops are dropped). Dangling mass (nodes with
+    * no out-edges) is not redistributed — the standard simplification
+    * when ranking within a corpus slice; ranks then sum to < 1 (the
+    * fixed-point truncation shaves at most 1e-9 per term, same side).
+    *
+    * `damping` is a per-mille integer (850 = 0.85) so the damping
+    * multiply stays in exact long arithmetic.
+    *
+    * Returns (node, rank_e9, rank): the exact fixed-point rank in 1e-9
+    * units and its double form for human consumption.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+               dampingPerMille: Int = 850): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(dampingPerMille > 0 && dampingPerMille < 1000,
+      "damping must be in (0, 1000) per-mille")
+    val U = 1000000000L // 1e-9 fixed-point unit
+    val e = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    val nodes = graft.std.Materialize.once(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count() // the one driver scalar
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("_outdeg"))
+    val baseU = lit((1000L - dampingPerMille) * U / 1000L / n)
+    var ranks = nodes.select(col("node"), lit(U / n).as("rank_e9"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_e9 div _outdeg").as("_c"))
+      val sums = contribs.groupBy("node").agg(sum(col("_c")).as("_s"))
+      ranks = graft.std.Materialize.once(
+        nodes.join(sums, Seq("node"), "left_outer")
+          .select(col("node"),
+            (baseU + expr(s"coalesce(_s, 0L) * $dampingPerMille div 1000"))
+              .as("rank_e9")))
+    }
+    ranks.select(col("node"), col("rank_e9"),
+      (col("rank_e9").cast("double") / lit(U.toDouble)).as("rank"))
+  }
+}
