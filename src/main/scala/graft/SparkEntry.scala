@@ -187,6 +187,7 @@ object SparkEntry {
     "x18_fuzzy_linkage" -> ExtQueries.fuzzyLinkage _,
     "x19_bloom_join" -> ExtQueries.bloomJoin _,
     "x20_pagerank" -> ExtQueries.pageRank _,
+    "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "v5_k_anonymity" -> ExtQueries.kAnonymity _,
     // spec-gated (no DuckDB zlib): rows-only check by design
     "t44_compression_stats" -> ExtQueries.compressionStats _
@@ -315,6 +316,7 @@ object SparkEntry {
     "t45_url_dedup" -> ExtOracleSql.t45UrlDedup,
     "x19_bloom_join" -> ExtOracleSql.x19BloomJoin,
     "x20_pagerank" -> ExtOracleSql.x20PageRank,
+    "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "v5_k_anonymity" -> ExtOracleSql.v5KAnonymity
   )
 }

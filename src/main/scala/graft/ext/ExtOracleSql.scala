@@ -647,6 +647,20 @@ SELECT nodes.node,
          / CAST(1000000000 AS DOUBLE) AS rank
 FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node"""
 
+  /** x21: incremental rollup — the oracle recomputes from scratch;
+    * equality proves the state+delta merge timeline exact. DECIMAL
+    * sums make both engines' totals order-free.
+    */
+  val x21IncrementalRollup: String = """SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6) AS DOUBLE)
+         AS sum_o_totalprice,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_o_totalprice,
+       COUNT(*) AS n_rows
+FROM orders
+GROUP BY 1, 2"""
+
   /** v5: k-anonymity — exact class sizes, post-aggregate HAVING. */
   val v5KAnonymity: String = """SELECT c_nationkey, c_mktsegment,
        COUNT(*) AS class_size

@@ -1121,6 +1121,27 @@ object ExtQueries {
     Graph.pageRank(edges, iterations = 3, dampingPerMille = 850)
   }
 
+  /** Incremental rollup maintenance (x21): the order-value summary by
+    * (priority, status), maintained as history-state + 1998 delta
+    * batch — the merge path whose cost is O(batch + keys). The oracle
+    * is the FULL recompute over everything: equality proves the
+    * incremental timeline exact (the scd2Merge discipline applied to
+    * aggregates; DECIMAL state is what makes merge order immaterial).
+    */
+  def incrementalRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val o = Tables.orders(spark, sfDir)
+    val cut = lit("1998-01-01").cast("timestamp")
+    val keys = Seq("o_orderpriority", "o_orderstatus")
+    val measures = Seq("o_totalprice")
+    val state = Rollup.additiveRollup(
+      o.filter(col("o_orderdate") < cut), keys, measures)
+    val merged = Rollup.mergeAdditive(state,
+      Rollup.additiveRollup(o.filter(col("o_orderdate") >= cut),
+        keys, measures), keys, measures)
+    Rollup.report(merged, keys, measures)
+  }
+
   /** Hourly event-count anomaly monitor (x10): each (type, hour)
     * z-scored against its trailing 24 observed hours.
     */
