@@ -61,7 +61,8 @@ object Graph {
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count() // the one driver scalar
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("_outdeg"))
+    val outdeg = graft.std.Materialize.once(
+      e.groupBy("src").agg(count(lit(1)).as("_outdeg")))
     val baseU = lit((1000L - dampingPerMille) * U / 1000L / n)
     var ranks = nodes.select(col("node"), lit(U / n).as("rank_e9"))
     for (_ <- 1 to iterations) {
