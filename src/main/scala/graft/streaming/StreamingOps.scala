@@ -392,7 +392,44 @@ object StreamingOps {
     * initial state).
     */
   def bloomDedupStream(docs: DataFrame, m: Int = 1 << 16, k: Int = 4,
-                       shards: Int = 8): Dataset[BloomSeen] = {
+                       shards: Int = 8): Dataset[BloomSeen] =
+    // null text coalesces to "" before hashing (the t28 segment rule):
+    // a null-text crawl record must not poison the forever-running
+    // stream — hash64(normText(null)) is null, and decoding that into
+    // BloomedDoc's non-nullable Long would fail the micro-batch
+    bloomSeenByHash(
+      docs.select(col("doc_id"),
+        graft.ext.TextOps.hash64(
+          graft.ext.TextOps.normText(coalesce(col("text"), lit(""))))
+          .as("h")),
+      m, k, shards)
+
+  /** [[bloomDedupStream]] keyed on the CANONICAL URL instead of the
+    * content hash — "have we EVER fetched this address?", the crawl-
+    * frontier filter that runs ahead of the fetch itself (t45's batch
+    * dedup as a forever-window stream). Raw variants that normalize to
+    * the same [[graft.ext.Web.canonicalUrl]] form (tracking params,
+    * host case, default port, fragment, trailing slash) dedup against
+    * each other; a NULL url hashes as empty and dedups with other
+    * nulls rather than failing the stream. Same state bound: `shards ×
+    * m/8` bytes forever.
+    */
+  def urlDedupStream(docs: DataFrame, urlCol: String = "url",
+                     m: Int = 1 << 16, k: Int = 4,
+                     shards: Int = 8): Dataset[BloomSeen] =
+    bloomSeenByHash(
+      docs.select(col("doc_id"),
+        graft.ext.TextOps.hash64(
+          coalesce(graft.ext.Web.canonicalUrl(col(urlCol)), lit("")))
+          .as("h")),
+      m, k, shards)
+
+  /** Shared forever-window membership kernel over a prepared
+    * (doc_id, h) frame — `h` non-null (callers coalesce their key to a
+    * sentinel first).
+    */
+  private def bloomSeenByHash(keyed: DataFrame, m: Int, k: Int,
+                              shards: Int): Dataset[BloomSeen] = {
     require(shards >= 1, "at least one shard")
     // same bounds the BloomBits aggregate enforces — a non-byte-aligned
     // m would allocate m/8 (floored) bytes and index past the end on a
@@ -400,15 +437,9 @@ object StreamingOps {
     require(m >= 64 && m <= (1 << 26) && m % 8 == 0,
       s"bloom m must be in [64, 2^26] and byte-aligned, got $m")
     require(k >= 1 && k <= 16, s"bloom k must be in [1, 16], got $k")
-    val spark = docs.sparkSession
+    val spark = keyed.sparkSession
     import spark.implicits._
-    // null text coalesces to "" before hashing (the t28 segment rule):
-    // a null-text crawl record must not poison the forever-running
-    // stream — hash64(normText(null)) is null, and decoding that into
-    // BloomedDoc's non-nullable Long would fail the micro-batch
-    docs.select(col("doc_id"),
-        graft.ext.TextOps.hash64(
-          graft.ext.TextOps.normText(coalesce(col("text"), lit("")))).as("h"))
+    keyed
       .select(col("doc_id"), (col("h") % shards).cast("int").as("shard"),
         col("h"))
       .as[BloomedDoc]

@@ -616,6 +616,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> false, 2L -> false, 3L -> true))
   }
 
+  test("url dedup stream: raw variants of one canonical address collide") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://A.ex/x/?utm_source=s#frag"),  // canonical https://a.ex/x
+      (2L, "https://a.ex/x"),                     // same address -> seen
+      (3L, "https://a.ex/y"),                     // different path -> fresh
+      (4L, null: String),                         // null url: empty key
+      (5L, null: String))                         // second null -> seen
+      .toDF("doc_id", "url")
+    val got = StreamingOps.urlDedupStream(docs).collect()
+      .map(r => r.doc_id -> r.probably_seen).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true))
+  }
+
+  test("url dedup stream accumulates across micro-batches") {
+    import spark.implicits._
+    val stage = java.nio.file.Files
+      .createTempDirectory("url_dedup_stage").toString
+    Seq((1L, "http://h.ex:80/p?utm_a=1"))
+      .toDF("doc_id", "url").write.mode("append").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = StreamingOps.urlDedupStream(streamIn)
+      .writeStream.format("memory").queryName("url_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1 folded into state…
+      Seq((2L, "http://h.ex/p"), (3L, "http://h.ex/q"))
+        .toDF("doc_id", "url").write.mode("append").parquet(stage)
+      q.processAllAvailable() // …before batch 2 arrives
+    } finally q.stop()
+    val got = spark.table("url_dedup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // :80 + utm param normalize to batch-2's bare form -> 2 is seen
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
   test("bloom dedup survives null-text documents (hashes as empty, t28 rule)") {
     import spark.implicits._
     // a null-text crawl record must not kill the forever-running stream:
