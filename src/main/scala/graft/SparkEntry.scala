@@ -188,6 +188,7 @@ object SparkEntry {
     "x19_bloom_join" -> ExtQueries.bloomJoin _,
     "x20_pagerank" -> ExtQueries.pageRank _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
+    "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "v5_k_anonymity" -> ExtQueries.kAnonymity _,
     // spec-gated (no DuckDB zlib): rows-only check by design
     "t44_compression_stats" -> ExtQueries.compressionStats _
@@ -317,6 +318,7 @@ object SparkEntry {
     "x19_bloom_join" -> ExtOracleSql.x19BloomJoin,
     "x20_pagerank" -> ExtOracleSql.x20PageRank,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
+    "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "v5_k_anonymity" -> ExtOracleSql.v5KAnonymity
   )
 }

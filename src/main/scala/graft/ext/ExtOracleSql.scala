@@ -661,6 +661,72 @@ FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node"""
 FROM orders
 GROUP BY 1, 2"""
 
+  /** x22: join-size estimate — the t24 KMV twin applied to both key
+    * sets and their union; estimates are double ratios of exact ints
+    * in the identical operation order, rounded 3/6 dp.
+    */
+  val x22JoinEstimate: String = """WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+), ha AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 14)) AS BIGINT)
+      AS hv
+  FROM orders WHERE o_custkey IS NOT NULL
+), hb AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 14)) AS BIGINT)
+      AS hv
+  FROM dim WHERE c_custkey IS NOT NULL
+), side_a AS (
+  SELECT COUNT(*) AS n_probe, COUNT(DISTINCT o_custkey) AS d_probe_exact
+  FROM orders
+), side_b AS (
+  SELECT COUNT(*) AS n_build, COUNT(DISTINCT c_custkey) AS d_build_exact
+  FROM dim
+), ka AS (
+  SELECT COUNT(*) AS ka, MAX(hv) AS kth_a
+  FROM (SELECT hv FROM ha ORDER BY hv LIMIT 256)
+), kb AS (
+  SELECT COUNT(*) AS kb, MAX(hv) AS kth_b
+  FROM (SELECT hv FROM hb ORDER BY hv LIMIT 256)
+), u AS (
+  SELECT hv, MAX(ia) AS ia, MAX(ib) AS ib
+  FROM (SELECT hv, 1 AS ia, 0 AS ib FROM ha
+        UNION ALL SELECT hv, 0, 1 FROM hb)
+  GROUP BY hv
+), ku AS (
+  SELECT COUNT(*) AS ku, MAX(hv) AS kth_u, SUM(ia * ib) AS nb
+  FROM (SELECT * FROM u ORDER BY hv LIMIT 256)
+), je AS (
+  SELECT COUNT(*) AS join_exact
+  FROM orders JOIN dim ON o_custkey = c_custkey
+), est AS (
+  SELECT n_probe, n_build, d_probe_exact, d_build_exact,
+         round(CASE WHEN ka < 256 THEN CAST(ka AS DOUBLE)
+               ELSE CAST(ka - 1 AS DOUBLE)
+                    / (CAST(kth_a AS DOUBLE) / 72057594037927936.0) END,
+               3) AS d_probe_est,
+         round(CASE WHEN kb < 256 THEN CAST(kb AS DOUBLE)
+               ELSE CAST(kb - 1 AS DOUBLE)
+                    / (CAST(kth_b AS DOUBLE) / 72057594037927936.0) END,
+               3) AS d_build_est,
+         round(CAST(nb AS DOUBLE) / ku, 6) AS jaccard_est,
+         round(CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+               ELSE CAST(ku - 1 AS DOUBLE)
+                    / (CAST(kth_u AS DOUBLE) / 72057594037927936.0) END,
+               3) AS d_union_est,
+         join_exact
+  FROM side_a CROSS JOIN side_b CROSS JOIN ka CROSS JOIN kb
+       CROSS JOIN ku CROSS JOIN je
+)
+SELECT n_probe, n_build, d_probe_exact, d_build_exact,
+       d_probe_est, d_build_est, jaccard_est,
+       round(jaccard_est * d_union_est, 3) AS inter_est,
+       round(round(jaccard_est * d_union_est, 3)
+             * (CAST(n_probe AS DOUBLE) / d_probe_est), 3) AS join_est,
+       join_exact
+FROM est"""
+
   /** v5: k-anonymity — exact class sizes, post-aggregate HAVING. */
   val v5KAnonymity: String = """SELECT c_nationkey, c_mktsegment,
        COUNT(*) AS class_size

@@ -1142,6 +1142,20 @@ object ExtQueries {
     Rollup.report(merged, keys, measures)
   }
 
+  /** Pre-join size estimate (x22): orders × the AUTOMOBILE customer
+    * slice, estimated from KMV sketches without running the join — the
+    * broadcast/bloom/salt decision input. The exact columns are the
+    * test-scale quality readout (t24 discipline).
+    */
+  def joinEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Validation.joinSizeEstimate(
+      Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir)
+        .filter(col("c_mktsegment") === "AUTOMOBILE"),
+      "o_custkey", "c_custkey")
+  }
+
   /** Hourly event-count anomaly monitor (x10): each (type, hour)
     * z-scored against its trailing 24 observed hours.
     */

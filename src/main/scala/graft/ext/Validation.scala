@@ -304,6 +304,77 @@ object Validation {
       .filter(col("class_size") < k)
   }
 
+  /** Join-size estimate (x22) — the planning diagnostic that runs
+    * BEFORE an expensive join, from the same family as [[keySkew]]:
+    * KMV bottom-k sketches of both key sets, the union sketch's
+    * Jaccard → distinct-key-overlap estimate, and the join-row
+    * estimate under the uniform-multiplicity assumption
+    * (`overlap × n_probe / d_probe` — System-R's formula with the
+    * sketch supplying the distincts). This is what decides broadcast
+    * vs bloom-prune (x19) vs salt (x1) without paying for the join.
+    *
+    * 100 TB shape: each side collapses to its DISTINCT key hashes
+    * (partial-agg), the bottom-k cuts run as `TakeOrderedAndProject`
+    * (per-partition heads, k rows survive), and every downstream
+    * combination is a crossJoin of broadcast one-row aggregates. The
+    * `*_exact` columns (exact distincts, the materialized join count)
+    * are the TEST-SCALE quality readout — the t24 discipline — and are
+    * dropped in production, where they'd cost what the estimator
+    * exists to avoid.
+    *
+    * Determinism: hashes are the repo's 56-bit md5 lane; bottom-k on
+    * exact longs; estimates are double ratios of exact ints in pinned
+    * operation order, rounded 3 dp (counts) / 6 dp (ratios).
+    */
+  def joinSizeEstimate(probe: DataFrame, build: DataFrame,
+                       probeKey: String, buildKey: String,
+                       k: Int = 256): DataFrame = {
+    require(k >= 16, "sketch needs at least 16 minima")
+    val two56 = lit(72057594037927936.0) // 2^56, the hash domain
+    def est(kUsed: Column, kth: Column): Column =
+      round(when(kUsed < k, kUsed.cast("double"))
+        .otherwise((kUsed - 1).cast("double") /
+          (kth.cast("double") / two56)), 3)
+    def hashes(df: DataFrame, key: String) =
+      df.select(TextOps.hash64(col(key).cast("string")).as("hv"))
+        .filter(col("hv").isNotNull).distinct()
+    val hA = hashes(probe, probeKey)
+    val hB = hashes(build, buildKey)
+    val sideA = probe.agg(count(lit(1)).as("n_probe"),
+      countDistinct(col(probeKey)).as("d_probe_exact"))
+    val sideB = build.agg(count(lit(1)).as("n_build"),
+      countDistinct(col(buildKey)).as("d_build_exact"))
+    val kA = hA.orderBy(col("hv").asc).limit(k)
+      .agg(count(lit(1)).as("_ka"), max(col("hv")).as("_kth_a"))
+    val kB = hB.orderBy(col("hv").asc).limit(k)
+      .agg(count(lit(1)).as("_kb"), max(col("hv")).as("_kth_b"))
+    val union = hA.select(col("hv"), lit(1).as("_a"), lit(0).as("_b"))
+      .unionByName(hB.select(col("hv"), lit(0).as("_a"), lit(1).as("_b")))
+      .groupBy("hv").agg(max(col("_a")).as("_ia"), max(col("_b")).as("_ib"))
+    val kU = union.orderBy(col("hv").asc).limit(k)
+      .agg(count(lit(1)).as("_ku"), max(col("hv")).as("_kth_u"),
+        sum(col("_ia") * col("_ib")).as("_both"))
+    val joinExact = probe
+      .join(build, probe(probeKey) === build(buildKey))
+      .agg(count(lit(1)).as("join_exact"))
+    val dProbeEst = est(col("_ka"), col("_kth_a"))
+    val dUnionEst = est(col("_ku"), col("_kth_u"))
+    val jacc = round(col("_both").cast("double") / col("_ku"), 6)
+    sideA.crossJoin(broadcast(sideB)).crossJoin(broadcast(kA))
+      .crossJoin(broadcast(kB)).crossJoin(broadcast(kU))
+      .crossJoin(broadcast(joinExact))
+      .select(
+        col("n_probe"), col("n_build"),
+        col("d_probe_exact"), col("d_build_exact"),
+        dProbeEst.as("d_probe_est"),
+        est(col("_kb"), col("_kth_b")).as("d_build_est"),
+        jacc.as("jaccard_est"),
+        round(jacc * dUnionEst, 3).as("inter_est"),
+        round(round(jacc * dUnionEst, 3) *
+          (col("n_probe").cast("double") / dProbeEst), 3).as("join_est"),
+        col("join_exact"))
+  }
+
   /** Declarative row-constraint audit: `constraints` maps a name to a
     * VIOLATION predicate (write it null-safe — e.g.
     * `coalesce(!(col > 0), lit(true))` if a NULL should violate).

@@ -186,6 +186,28 @@ class ValidationSpec extends AnyFunSuite {
       (None, "a") -> 1L))
   }
 
+  test("join estimate: below-k sketches are exact and the formula holds") {
+    // probe: keys 1..50, each appearing twice; build: keys 26..75 once.
+    // overlap = 25 keys; join rows = 25 * 2 = 50. All cardinalities
+    // sit below k=256, so every estimate collapses to the exact value
+    // and the uniform-multiplicity formula is checkable by hand.
+    val probe = ((1 to 50) ++ (1 to 50)).map(i => (i.toLong, "p"))
+      .toDF("k", "tag")
+    val build = (26 to 75).map(i => (i.toLong, "b")).toDF("bk", "tag")
+    val r = Validation.joinSizeEstimate(probe, build, "k", "bk").head()
+    assert(r.getAs[Long]("n_probe") == 100 &&
+      r.getAs[Long]("n_build") == 50)
+    assert(r.getAs[Long]("d_probe_exact") == 50 &&
+      r.getAs[Double]("d_probe_est") == 50.0)
+    assert(r.getAs[Double]("d_build_est") == 50.0)
+    // union = 75 distinct, intersection 25 -> jaccard 25/75
+    assert(math.abs(r.getAs[Double]("jaccard_est") - 25.0 / 75) < 1e-4)
+    assert(r.getAs[Double]("inter_est") == 25.0)
+    // join_est = inter * n_probe / d_probe = 25 * 100/50 = 50 = exact
+    assert(r.getAs[Double]("join_est") == 50.0)
+    assert(r.getAs[Long]("join_exact") == 50)
+  }
+
   test("constraint audit is one scan: no shuffle beyond the scalar agg") {
     val df = Seq((1.0, 0.1)).toDF("qty", "disc")
     def viol(pred: org.apache.spark.sql.Column) =
