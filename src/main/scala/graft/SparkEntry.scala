@@ -144,6 +144,7 @@ object SparkEntry {
     "t42_curation_pipeline" -> ExtQueries.curationPipeline _,
     "t43_quality_budget" -> ExtQueries.qualityBudget _,
     "t45_url_dedup" -> ExtQueries.urlDedup _,
+    "t46_weighted_sample" -> ExtQueries.weightedSample _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -315,6 +316,7 @@ object SparkEntry {
     "x17_key_skew" -> ExtOracleSql.x17KeySkew,
     "x18_fuzzy_linkage" -> ExtOracleSql.x18FuzzyLinkage,
     "t45_url_dedup" -> ExtOracleSql.t45UrlDedup,
+    "t46_weighted_sample" -> ExtOracleSql.t46WeightedSample,
     "x19_bloom_join" -> ExtOracleSql.x19BloomJoin,
     "x20_pagerank" -> ExtOracleSql.x20PageRank,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,

@@ -727,6 +727,23 @@ SELECT n_probe, n_build, d_probe_exact, d_build_exact,
        join_exact
 FROM est"""
 
+  /** t46: weighted sample — identical deterministic draw: md5-lane
+    * uniform, ln-key at 9 dp, (key DESC, id ASC) cut.
+    */
+  val t46WeightedSample: String = """WITH keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         round(ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                        1, 14)) AS BIGINT) + 1)
+                  / 72057594037927936.0)
+               / CAST(o_totalprice AS DOUBLE), 9) AS sample_key
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+)
+SELECT o_orderkey, o_totalprice, sample_key
+FROM keyed
+ORDER BY sample_key DESC, o_orderkey ASC
+LIMIT 100"""
+
   /** v5: k-anonymity — exact class sizes, post-aggregate HAVING. */
   val v5KAnonymity: String = """SELECT c_nationkey, c_mktsegment,
        COUNT(*) AS class_size

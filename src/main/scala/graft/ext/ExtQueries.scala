@@ -1156,6 +1156,18 @@ object ExtQueries {
       "o_custkey", "c_custkey")
   }
 
+  /** Weighted sample without replacement (t46): 100 orders drawn with
+    * probability proportional to order value — Efraimidis–Spirakis
+    * with deterministic md5-lane uniforms and the ln-transformed key
+    * (see [[graft.std.Sampling]]); the oracle reruns the identical
+    * draw.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    graft.std.Sampling.weightedSample(
+      Tables.orders(spark, sfDir), "o_orderkey", "o_totalprice", n = 100)
+  }
+
   /** Hourly event-count anomaly monitor (x10): each (type, hour)
     * z-scored against its trailing 24 observed hours.
     */
