@@ -190,6 +190,8 @@ object SparkEntry {
     "x20_pagerank" -> ExtQueries.pageRank _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
+    "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
+    "x24_zscore_events" -> ExtQueries.zscoreEvents _,
     "v5_k_anonymity" -> ExtQueries.kAnonymity _,
     // spec-gated (no DuckDB zlib): rows-only check by design
     "t44_compression_stats" -> ExtQueries.compressionStats _
@@ -321,6 +323,8 @@ object SparkEntry {
     "x20_pagerank" -> ExtOracleSql.x20PageRank,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
+    "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,
+    "x24_zscore_events" -> ExtOracleSql.x24ZscoreEvents,
     "v5_k_anonymity" -> ExtOracleSql.v5KAnonymity
   )
 }

@@ -744,6 +744,46 @@ FROM keyed
 ORDER BY sample_key DESC, o_orderkey ASC
 LIMIT 100"""
 
+  /** x23: equal-frequency binning — quantile_cont boundaries (the x13
+    * agreement), 6-dp rounded, counted with list_filter.
+    */
+  val x23EqualFreqBins: String = """WITH b AS (
+  SELECT list_transform(
+           quantile_cont(o_totalprice,
+             [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+           x -> round(x, 6)) AS bounds
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN o_totalprice IS NULL THEN NULL
+            ELSE len(list_filter(b.bounds, x -> o_totalprice >= x)) END
+         AS bin
+FROM orders CROSS JOIN b"""
+
+  /** x24: z-score standardization — DECIMAL(18,6) moment sums (the
+    * square stays in-precision under both engines' rules), pinned
+    * double arithmetic, 6-dp mean/std/score.
+    */
+  val x24ZscoreEvents: String = """WITH m AS (
+  SELECT event_type,
+         COUNT(value) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+           AS ss
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT event_type,
+         round(CAST(s AS DOUBLE) / n, 6) AS mean,
+         round(sqrt(greatest(round((CAST(ss AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                      / n)
+                                   / n, 6), 0)), 6) AS std
+  FROM m
+)
+SELECT event_id, events.event_type, value,
+       CASE WHEN std > 0 THEN round((value - mean) / std, 6) END AS zscore
+FROM events JOIN stats ON events.event_type = stats.event_type"""
+
   /** v5: k-anonymity — exact class sizes, post-aggregate HAVING. */
   val v5KAnonymity: String = """SELECT c_nationkey, c_mktsegment,
        COUNT(*) AS class_size

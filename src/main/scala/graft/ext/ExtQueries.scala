@@ -1168,6 +1168,30 @@ object ExtQueries {
       Tables.orders(spark, sfDir), "o_orderkey", "o_totalprice", n = 100)
   }
 
+  /** Equal-frequency binning of order values into 8 buckets (x23):
+    * exact interpolated boundaries (cut literals i/8 are exact binary
+    * doubles), boundary assignment per row.
+    */
+  def equalFreqBins(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Features.equalFreqBins(
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", bins = 8)
+      .select(col("o_orderkey"), col("o_totalprice"), col("bin"))
+  }
+
+  /** Per-event-type z-score standardization of event values (x24). */
+  def zscoreEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Features.zscore(
+        Tables.events(spark, sfDir)
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("zscore"))
+  }
+
   /** Hourly event-count anomaly monitor (x10): each (type, hour)
     * z-scored against its trailing 24 observed hours.
     */

@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature preparation for model training — the transforms a training
+  * pipeline applies between the warehouse and the trainer: bucketized
+  * and standardized numeric features. Both are two-phase at 100 TB:
+  * a tiny statistics aggregate (boundaries, moments) broadcast back
+  * over one full scan — the fact side never shuffles.
+  */
+object Features {
+
+  /** Equal-frequency (quantile) binning: each row's value is assigned
+    * the bucket cut by the exact interpolated percentile boundaries
+    * (the x13 kernel — `percentile(value, i/bins)` for i = 1..bins-1,
+    * 6-dp rounded), `bin = #{boundaries <= value}` ∈ [0, bins-1].
+    * Boundary assignment — not `ntile` — so the per-row verdict is a
+    * pure function of (value, boundaries): engine-independent, and at
+    * scale a BROADCAST of bins-1 doubles over one scan instead of the
+    * single-partition global-rank window ntile needs.
+    *
+    * `exact = false` swaps the boundary source for `approx_percentile`
+    * (mergeable sketch, one pass at any scale, same schema) — the x13
+    * dual-mode discipline; bucket populations then deviate only where
+    * the sketch's boundary estimate does.
+    *
+    * NULL values get NULL bins (a missing feature stays missing).
+    */
+  def equalFreqBins(df: DataFrame, valueCol: String, bins: Int,
+                    exact: Boolean = true): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val cuts = (1 until bins).map(i => i.toDouble / bins)
+    val qArr = cuts.map(q => s"${q}D").mkString("array(", ",", ")")
+    val agg =
+      if (exact) expr(s"percentile($valueCol, $qArr)")
+      else expr(s"approx_percentile($valueCol, $qArr, 10000)")
+    val bounds = df.agg(agg.as("_raw"))
+      .select(transform(col("_raw"), b => round(b, 6)).as("_bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col(valueCol).isNull, lit(null).cast("int"))
+          .otherwise(aggregate(col("_bounds"), lit(0),
+            (acc, b) => acc + when(col(valueCol) >= b, 1).otherwise(0))))
+      .drop("_bounds")
+  }
+
+  /** Per-group z-score standardization: `(v - mean) / stddev` with
+    * POPULATION moments, the global-feature complement of the trailing
+    * z-score monitor (x10). Moments come from DECIMAL(38,6) sums of
+    * `v` and `v²` — exact and associative, so shuffle order cannot
+    * move the mean or the variance (doubles would); mean, std, and
+    * the score each round to 6 dp so the division runs on identical
+    * doubles in both engines. Zero-variance groups (and NULL values)
+    * produce NULL scores — a constant feature has no z.
+    *
+    * 100 TB shape: one partial-agg shuffle to |groups| moment rows,
+    * broadcast join back, per-row arithmetic in the same scan.
+    */
+  def zscore(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    // (18,6): the square stays (37,12) under BOTH engines' decimal
+    // multiplication rules — at (38,6) the two engines overflow-handle
+    // the product differently
+    val v = col(valueCol).cast("decimal(18,6)")
+    val moments = df.groupBy(col(groupCol)).agg(
+      count(col(valueCol)).as("_n"),
+      sum(v).as("_s"),
+      sum(v * v).as("_ss"))
+    val mean = round(col("_s").cast("double") / col("_n"), 6)
+    val variance =
+      round((col("_ss").cast("double") -
+        col("_s").cast("double") * col("_s").cast("double") / col("_n"))
+        / col("_n"), 6)
+    // greatest(…, 0): the ss − s²/n cancellation can land an epsilon
+    // below zero in doubles; sqrt of that must not NaN the group
+    val withStats = moments.select(col(groupCol),
+      mean.as("_mean"),
+      round(sqrt(greatest(variance, lit(0.0))), 6).as("_std"))
+    df.join(broadcast(withStats), Seq(groupCol))
+      .withColumn("zscore",
+        when(col("_std") > 0,
+          round((col(valueCol) - col("_mean")) / col("_std"), 6)))
+      .drop("_mean", "_std")
+  }
+}

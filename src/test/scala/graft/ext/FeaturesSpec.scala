@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Feature prep: quantile binning and z-score standardization on
+  * hand-checkable inputs.
+  */
+class FeaturesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("equal-frequency bins: 1..8 into 4 buckets of 2; nulls stay null") {
+    val df = ((1 to 8).map(i => (i.toLong, java.lang.Double.valueOf(i))) :+
+      ((9L, null.asInstanceOf[java.lang.Double]))).toDF("id", "v")
+    val out = Features.equalFreqBins(df, "v", bins = 4).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else Integer.valueOf(r.getInt(2)))).toMap
+    // interpolated boundaries over 1..8: 2.75, 4.5, 6.25
+    assert(out == Map(
+      1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 3, 8L -> 3, 9L -> null))
+  }
+
+  test("approx mode keeps the schema and lands near the exact buckets") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val exact = Features.equalFreqBins(df, "v", 4, exact = true)
+    val approx = Features.equalFreqBins(df, "v", 4, exact = false)
+    assert(exact.schema.fieldNames.sameElements(approx.schema.fieldNames))
+    val drift = exact.select(col("id"), col("bin").as("eb"))
+      .join(approx.select(col("id"), col("bin").as("ab")), "id")
+      .filter(col("eb") =!= col("ab")).count()
+    assert(drift < 50, s"approx bins drifted on $drift of 1000 rows")
+  }
+
+  test("z-score: hand moments, constant group null, null value null") {
+    val df = Seq(
+      (1L, "g", java.lang.Double.valueOf(1.0)),
+      (2L, "g", java.lang.Double.valueOf(2.0)),
+      (3L, "g", java.lang.Double.valueOf(3.0)),
+      (4L, "c", java.lang.Double.valueOf(5.0)),   // constant group
+      (5L, "c", java.lang.Double.valueOf(5.0)),
+      (6L, "g", null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "grp", "v")
+    val out = Features.zscore(df, "grp", "v").collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("zscore"))) null
+         else java.lang.Double.valueOf(
+           r.getDouble(r.fieldIndex("zscore"))))).toMap
+    // g: mean 2, pop var 2/3 -> 0.666667, std 0.816497
+    assert(out(1L) == -1.224744 && out(2L) == 0.0 && out(3L) == 1.224744)
+    assert(out(4L) == null && out(5L) == null) // zero variance
+    assert(out(6L) == null)                    // missing stays missing
+  }
+
+  test("z-score stats broadcast back over the scan") {
+    val df = spark.range(1L, 100L).select(col("id"),
+      (col("id") % 3).cast("string").as("grp"),
+      col("id").cast("double").as("v"))
+    val frame = Features.zscore(df, "grp", "v")
+    frame.collect()
+    val bcasts = graft.std.Plans.collect(frame) {
+      case e: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => e
+    }.length
+    assert(bcasts >= 1, "per-group moments should broadcast")
+  }
+}
