@@ -55,6 +55,19 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out(6L) == null)                    // missing stays missing
   }
 
+  test("binning is monotone: a larger value never gets a smaller bin") {
+    val df = (1 to 400).map(i => (i.toLong, (i * 37 % 101).toDouble))
+      .toDF("id", "v")
+    val out = Features.equalFreqBins(df, "v", bins = 7)
+      .select(col("v"), col("bin")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).sortBy(_._1)
+    out.sliding(2).foreach { case Array((v1, b1), (v2, b2)) =>
+      assert(b1 <= b2, s"bin dropped from $b1@$v1 to $b2@$v2")
+    }
+    // and every bin in range is populated on this dense input
+    assert(out.map(_._2).distinct.sorted.sameElements(0 until 7))
+  }
+
   test("z-score stats broadcast back over the scan") {
     val df = spark.range(1L, 100L).select(col("id"),
       (col("id") % 3).cast("string").as("grp"),

@@ -59,6 +59,27 @@ class WebSpec extends AnyFunSuite {
     assert(out(6L) == null)
   }
 
+  test("canonicalization is idempotent over varied url shapes") {
+    // a canonicalizer that keeps normalizing on re-application would
+    // give different dedup keys depending on how many times a pipeline
+    // stage happened to run — fixpoint after one pass is the contract
+    val shapes = (for {
+      host <- Seq("A.Ex", "a.ex", "WWW.B.Ex")
+      port <- Seq("", ":443", ":8080")
+      path <- Seq("", "/", "/P/q", "/P/q/")
+      query <- Seq("", "?utm_a=1", "?r=2&utm_b=x&s=3", "?utm_a=1&utm_b=2")
+      frag <- Seq("", "#f")
+    } yield s"https://$host$port$path$query$frag").zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }
+    val df = shapes.toDF("id", "url")
+    val once = Web.canonicalUrl(col("url"))
+    val twice = Web.canonicalUrl(once)
+    val diffs = df.select(col("url"), once.as("c1"), twice.as("c2"))
+      .filter(col("c1") =!= col("c2")).collect()
+    assert(diffs.isEmpty,
+      s"not idempotent for: ${diffs.map(_.getString(0)).mkString(", ")}")
+  }
+
   test("url dedup: min doc_id survives per canonical class") {
     val docs = Seq(
       (10L, "https://A.ex/x/"),
