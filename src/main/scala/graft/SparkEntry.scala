@@ -145,6 +145,7 @@ object SparkEntry {
     "t43_quality_budget" -> ExtQueries.qualityBudget _,
     "t45_url_dedup" -> ExtQueries.urlDedup _,
     "t46_weighted_sample" -> ExtQueries.weightedSample _,
+    "t47_source_entropy" -> ExtQueries.sourceEntropy _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -192,6 +193,7 @@ object SparkEntry {
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
     "x24_zscore_events" -> ExtQueries.zscoreEvents _,
+    "x26_robust_outliers" -> ExtQueries.robustOutliers _,
     "v5_k_anonymity" -> ExtQueries.kAnonymity _,
     // spec-gated (no DuckDB zlib): rows-only check by design
     "t44_compression_stats" -> ExtQueries.compressionStats _
@@ -319,12 +321,14 @@ object SparkEntry {
     "x18_fuzzy_linkage" -> ExtOracleSql.x18FuzzyLinkage,
     "t45_url_dedup" -> ExtOracleSql.t45UrlDedup,
     "t46_weighted_sample" -> ExtOracleSql.t46WeightedSample,
+    "t47_source_entropy" -> ExtOracleSql.t47SourceEntropy,
     "x19_bloom_join" -> ExtOracleSql.x19BloomJoin,
     "x20_pagerank" -> ExtOracleSql.x20PageRank,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,
     "x24_zscore_events" -> ExtOracleSql.x24ZscoreEvents,
+    "x26_robust_outliers" -> ExtOracleSql.x26RobustOutliers,
     "v5_k_anonymity" -> ExtOracleSql.v5KAnonymity
   )
 }

@@ -784,6 +784,58 @@ SELECT event_id, events.event_type, value,
        CASE WHEN std > 0 THEN round((value - mean) / std, 6) END AS zscore
 FROM events JOIN stats ON events.event_type = stats.event_type"""
 
+  /** t47: source entropy — 9-dp `-p·ln p` terms (t25 grain),
+    * DECIMAL(28,9) order-free sum, 9-dp normalizer.
+    */
+  val t47SourceEntropy: String = s"""WITH t AS (
+  SELECT doc_id, source, string_split($Norm, ' ') AS toks FROM documents
+), ex AS (
+  SELECT source, unnest(toks) AS tok FROM t
+), counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2
+), totals AS (
+  SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_distinct_tokens
+  FROM counts GROUP BY 1
+), terms AS (
+  SELECT counts.source,
+         round(-(c / n_tokens) * ln(c / n_tokens), 9) AS h
+  FROM counts JOIN totals ON counts.source = totals.source
+), hs AS (
+  SELECT source, SUM(CAST(h AS DECIMAL(28,9))) AS hsum
+  FROM terms GROUP BY 1
+)
+SELECT totals.source, n_tokens, n_distinct_tokens,
+       CAST(hsum AS DOUBLE) AS entropy,
+       CASE WHEN n_distinct_tokens > 1
+            THEN round(CAST(hsum AS DOUBLE)
+                       / round(ln(n_distinct_tokens), 9), 6)
+            ELSE CAST(0 AS DOUBLE) END AS norm_entropy
+FROM hs JOIN totals ON hs.source = totals.source"""
+
+  /** x26: robust outliers — exact interpolated medians (the x13
+    * agreement) twice, pinned double chain.
+    */
+  val x26RobustOutliers: String = """WITH med AS (
+  SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.5), 6) AS m
+  FROM orders GROUP BY 1
+), dev AS (
+  SELECT o_orderkey, orders.o_orderpriority, o_totalprice, m,
+         abs(o_totalprice - m) AS d
+  FROM orders JOIN med ON orders.o_orderpriority = med.o_orderpriority
+), mad AS (
+  SELECT o_orderpriority, round(quantile_cont(d, 0.5), 6) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT o_orderkey, dev.o_orderpriority, o_totalprice,
+       CASE WHEN mad > 0
+            THEN round((o_totalprice - m) / (1.4826 * mad), 6) END
+         AS robust_z,
+       COALESCE(CASE WHEN mad > 0
+                     THEN abs(round((o_totalprice - m) / (1.4826 * mad), 6))
+                          > 3.5 END, false) AS is_outlier
+FROM dev JOIN mad ON dev.o_orderpriority = mad.o_orderpriority"""
+
   /** v5: k-anonymity — exact class sizes, post-aggregate HAVING. */
   val v5KAnonymity: String = """SELECT c_nationkey, c_mktsegment,
        COUNT(*) AS class_size

@@ -1192,6 +1192,24 @@ object ExtQueries {
         col("zscore"))
   }
 
+  /** Per-source token-entropy diversity report (t47). */
+  def sourceEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.sourceEntropy(spread(Tables.documents(spark, sfDir)))
+  }
+
+  /** Robust (median/MAD) per-priority order-value outliers (x26). */
+  def robustOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Features.robustZscore(
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+        "o_orderpriority", "o_totalprice")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("robust_z"), col("is_outlier"))
+  }
+
   /** Hourly event-count anomaly monitor (x10): each (type, hour)
     * z-scored against its trailing 24 observed hours.
     */

@@ -45,6 +45,41 @@ object Features {
       .drop("_bounds")
   }
 
+  /** Robust per-group outlier score (x26): the modified z-score
+    * `(v - median) / (1.4826 · MAD)` with `MAD = median(|v - median|)`
+    * — immune to the outliers it hunts, unlike [[zscore]]'s moments
+    * (one extreme row inflates stddev and hides itself). `is_outlier`
+    * applies the Iglewicz–Hoaglin |score| > 3.5 rule.
+    *
+    * `exact = true` uses the exact interpolated median (the x13 oracle
+    * kernel); `exact = false` swaps both medians for the
+    * `approx_percentile` sketch — one pass at any scale, same schema.
+    * Two stats passes either way (the second median is of deviations
+    * from the first), each a tiny per-group aggregate broadcast back.
+    * Zero-MAD groups (≥ half the values at the median) and NULL values
+    * produce NULL scores.
+    */
+  def robustZscore(df: DataFrame, groupCol: String, valueCol: String,
+                   exact: Boolean = true): DataFrame = {
+    def med(c: String) =
+      if (exact) expr(s"percentile($c, 0.5D)")
+      else expr(s"approx_percentile($c, 0.5D, 10000)")
+    val medians = df.groupBy(col(groupCol))
+      .agg(round(med(valueCol), 6).as("_med"))
+    val withDev = df.join(broadcast(medians), Seq(groupCol))
+      .withColumn("_dev", abs(col(valueCol) - col("_med")))
+    val mads = withDev.groupBy(col(groupCol))
+      .agg(round(med("_dev"), 6).as("_mad"))
+    withDev.join(broadcast(mads), Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("_mad") > 0,
+          round((col(valueCol) - col("_med")) /
+            (lit(1.4826) * col("_mad")), 6)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > 3.5, lit(false)))
+      .drop("_med", "_dev", "_mad")
+  }
+
   /** Per-group z-score standardization: `(v - mean) / stddev` with
     * POPULATION moments, the global-feature complement of the trailing
     * z-score monitor (x10). Moments come from DECIMAL(38,6) sums of

@@ -505,6 +505,43 @@ object TextAnalysis {
           lit(false)))
   }
 
+  /** Per-source token-distribution DIVERSITY report (t47): Shannon
+    * entropy of each source's token histogram plus the normalized form
+    * (H / ln(distinct) ∈ [0, 1]) — the mixture-health metric next to
+    * t18's volume shares: a source whose entropy collapses is
+    * template spam even when its volume looks fine (the t19/t44
+    * signals aggregated to source granularity).
+    *
+    * 100 TB shape: corpus → (source, token) counts in ONE partial-agg
+    * shuffle (the t13 shape); everything downstream runs on the
+    * |sources| × |vocab| count frame, with per-source totals broadcast
+    * back. Determinism: each `-p·ln p` term rounds to 9 dp (the t25
+    * libm grain) and sums as DECIMAL(28,9), order-free; the normalizer
+    * `ln(distinct)` rounds to 9 dp before the division.
+    */
+  def sourceEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val b = TextOps.attrBarrier(
+      docs.select(col("doc_id"), col("source"), col(textCol)),
+      Seq("doc_id", "source"), "_toks", TextOps.tokens(col(textCol)))
+    val counts = b.select(col("source"), explode(col("_toks")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct_tokens"))
+    val p = col("c") / col("n_tokens")
+    val terms = counts.join(broadcast(totals), Seq("source"))
+      .select(col("source"), round(negate(p) * log(p), 9).as("_h"))
+    terms.groupBy(col("source"))
+      .agg(sum(col("_h").cast("decimal(28,9)")).as("_hs"))
+      .join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
+        round(col("_hs"), 9).cast("double").as("entropy"),
+        when(col("n_distinct_tokens") > 1,
+          round(col("_hs").cast("double") /
+            round(log(col("n_distinct_tokens")), 9), 6))
+          .otherwise(0.0).as("norm_entropy"))
+  }
+
   /** Fractional QUALITY BUDGET per source (t43) — keep the top `frac`
     * of each source's documents by quality score: the rate-based
     * sibling of [[domainQuota]] (which caps absolute counts). A

@@ -203,6 +203,25 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(res(1L).getAs[Double]("cos_centroid") > 0.9)
   }
 
+  test("source entropy: uniform vocab -> 1, one-token spam -> 0") {
+    val docs = Seq(
+      (1L, "diverse", "a b c d"),          // 4 tokens, all distinct
+      (2L, "diverse", "e f g h"),          // 8 distinct over 8 tokens
+      (3L, "spam", "buy buy buy buy buy"), // one token repeated
+      (4L, "tiny", "x"))                   // single token: H = 0, d = 1
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceEntropy(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val (nT, nD, h, nh) = out("diverse")
+    assert(nT == 8 && nD == 8)
+    assert(math.abs(h - math.log(8.0)) < 1e-6) // uniform: H = ln(d)
+    assert(math.abs(nh - 1.0) < 1e-6)
+    assert(out("spam") == ((5L, 1L, 0.0, 0.0)))
+    assert(out("tiny") == ((1L, 1L, 0.0, 0.0)))
+  }
+
   /** Oracle-in-miniature for the deflate gate: DuckDB has no zlib, so
     * the exact-parity check against a direct `java.util.zip.Deflater`
     * run IS the gate (the BPE precedent for non-SQL-expressible ops).

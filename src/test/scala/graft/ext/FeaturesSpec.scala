@@ -68,6 +68,35 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out.map(_._2).distinct.sorted.sameElements(0 until 7))
   }
 
+  test("robust z: median/MAD by hand, outlier flagged, zero-MAD null") {
+    // group g: 1,2,3,4,100 -> median 3, |dev| = {2,1,0,1,97} -> MAD 1
+    // robust_z(100) = (100-3)/1.4826 = 65.42... -> outlier; the moment
+    // z-score of the same row is ~1.79 (the outlier inflates its own
+    // stddev) — which is why this operator exists
+    val df = Seq(
+      (1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0), (4L, "g", 4.0),
+      (5L, "g", 100.0),
+      (6L, "c", 7.0), (7L, "c", 7.0), (8L, "c", 7.0)) // MAD = 0
+      .toDF("id", "grp", "v")
+    val out = Features.robustZscore(df, "grp", "v").collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        ((if (r.isNullAt(r.fieldIndex("robust_z"))) null
+          else java.lang.Double.valueOf(
+            r.getDouble(r.fieldIndex("robust_z")))),
+          r.getBoolean(r.fieldIndex("is_outlier")))).toMap
+    assert(out(3L) == ((java.lang.Double.valueOf(0.0), false)))
+    assert(out(5L)._1.asInstanceOf[java.lang.Double] > 60.0 &&
+      out(5L)._2)
+    assert(out(1L)._2 == false && out(4L)._2 == false)
+    // zero-MAD group: no score, and crucially NOT flagged
+    for (id <- Seq(6L, 7L, 8L)) assert(out(id) == ((null, false)))
+    // contrast: the moment z-score never flags row 5 at |z| > 3.5
+    val mz = Features.zscore(df.filter(col("grp") === "g"), "grp", "v")
+      .collect().map(r => math.abs(
+        r.getDouble(r.fieldIndex("zscore")))).max
+    assert(mz < 3.5, s"moment z unexpectedly reached $mz")
+  }
+
   test("z-score stats broadcast back over the scan") {
     val df = spark.range(1L, 100L).select(col("id"),
       (col("id") % 3).cast("string").as("grp"),
