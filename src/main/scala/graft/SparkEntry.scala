@@ -163,6 +163,7 @@ object SparkEntry {
     "m2_media_frames" -> ExtQueries.mediaFrames _,
     "m3_media_dedup" -> ExtQueries.mediaDedup _,
     "m4_media_chunk_dedup" -> ExtQueries.mediaChunkDedup _,
+    "m5_media_near_dups" -> ExtQueries.mediaNearDups _,
     "w1_hourly_by_type" -> ExtQueries.hourlyByType _,
     "w2_sliding_hourly" -> ExtQueries.slidingHourly _,
     "w3_user_sessions" -> ExtQueries.userSessions _,
@@ -295,6 +296,7 @@ object SparkEntry {
     "m2_media_frames" -> ExtOracleSql.m2MediaFrames,
     "m3_media_dedup" -> ExtOracleSql.m3MediaDedup,
     "m4_media_chunk_dedup" -> ExtOracleSql.m4MediaChunkDedup,
+    "m5_media_near_dups" -> ExtOracleSql.m5MediaNearDups,
     "w1_hourly_by_type" -> ExtOracleSql.w1HourlyByType,
     "w2_sliding_hourly" -> ExtOracleSql.w2SlidingHourly,
     "w3_user_sessions" -> ExtOracleSql.w3UserSessions,

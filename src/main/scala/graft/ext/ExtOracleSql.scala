@@ -2215,6 +2215,51 @@ SELECT md5(chunk) AS chunk_md5,
        CAST(MAX(length(chunk)) AS BIGINT) AS chunk_bytes
 FROM ch GROUP BY 1"""
 
+  /** m5: media near-dup pairs — the m4 chunk CTE, distinct per-doc
+    * digests, shared-chunk candidates (refs ≤ 64), Jaccard ≥ 0.5.
+    */
+  val m5MediaNearDups: String = """WITH m AS (
+  SELECT doc_id,
+         lpad(hex(64 + doc_id % 192), 4, '0')
+           || lpad(hex(64 + doc_id % 128), 4, '0') || text AS payload_str
+  FROM documents
+), corpus AS (
+  SELECT doc_id, payload_str FROM m
+  UNION ALL
+  SELECT doc_id + 700000, payload_str || ' v2 reupload tail'
+  FROM m WHERE doc_id % 4 = 0
+), ch AS (
+  SELECT DISTINCT doc_id, md5(chunk) AS chunk_md5
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(0, CAST(ceil(length(payload_str) / 64.0)
+                                     AS INTEGER) - 1),
+             i -> substr(payload_str, CAST(i * 64 + 1 AS INTEGER), 64)))
+             AS chunk
+    FROM corpus
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY 1
+), ok AS (
+  SELECT chunk_md5 FROM ch GROUP BY 1 HAVING COUNT(*) <= 64
+), elig AS (
+  SELECT ch.doc_id, ch.chunk_md5 FROM ch JOIN ok USING (chunk_md5)
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM elig a JOIN elig b
+    ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a, id_b, n_shared,
+         round(CAST(n_shared AS DOUBLE)
+               / (sa.n_chunks + sb.n_chunks - n_shared), 6) AS jaccard
+  FROM shared
+  JOIN sizes sa ON shared.id_a = sa.doc_id
+  JOIN sizes sb ON shared.id_b = sb.doc_id
+)
+SELECT * FROM scored WHERE jaccard >= 0.5"""
+
   /** w6: top-3 trending event types per tumbling hour. */
   val w6Trending: String = """WITH c AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -1469,6 +1469,21 @@ object ExtQueries {
     Media.chunkDedup(spread(corpus), chunkBytes = 64)
   }
 
+  /** Media near-dup pairs (m5) over the m4 reupload corpus: every
+    * (original, +tail-reupload) pair shares all original chunks and
+    * surfaces with high Jaccard; unrelated files share none.
+    */
+  def mediaNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val base = Media.synthCorpus(Tables.documents(spark, sfDir))
+    val corpus = base.select(col("doc_id"), col("payload")).unionByName(
+      base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(col("payload"),
+            encode(lit(" v2 reupload tail"), "UTF-8")).as("payload")))
+    Media.nearDupPairs(spread(corpus), chunkBytes = 64, threshold = 0.5)
+  }
+
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     Media.extractMeta(Media.synthCorpus(Tables.documents(spark, sfDir)))

@@ -126,4 +126,59 @@ object Media {
       .groupBy(col("chunk_md5"))
       .agg(count(lit(1)).as("n_refs"), max(col("_len")).as("chunk_bytes"))
   }
+
+  /** Media NEAR-dup pairs (m5): Jaccard over the DISTINCT chunk-digest
+    * sets of two files — the d4 similarity kernel at the sub-file
+    * grain, where m3's whole-file digest and even m4's per-chunk
+    * refcounts stop short of a PAIRWISE verdict. A re-encoded tail or
+    * appended watermark leaves most chunks shared: the pair surfaces
+    * here with its similarity, ready for a keep/drop policy.
+    *
+    * Candidate generation is a SHARED-CHUNK self-join (two files that
+    * share zero chunks cannot clear any threshold > 0 — no all-pairs
+    * term), with chunks referenced by more than `maxRefs` files
+    * EXCLUDED from candidate generation (the d2 `maxBucketSize`
+    * discipline: a boilerplate header chunk shared by the whole corpus
+    * would otherwise go quadratic). Excluded chunks still count in the
+    * Jaccard DENOMINATOR sets, so similarity is not inflated; a pair
+    * sharing ONLY over-cap chunks is missed by construction —
+    * documented recall trade, same as every blocked dedup here.
+    *
+    * Scale: shuffle carries (digest, doc_id) pairs and the per-pair
+    * counts — payload bytes never move; output is bounded by genuinely
+    * similar pairs.
+    */
+  def nearDupPairs(media: DataFrame, chunkBytes: Int = 64,
+                   threshold: Double = 0.5,
+                   maxRefs: Int = 64): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    require(maxRefs >= 2, "maxRefs must allow at least a pair")
+    val chunks = graft.std.Materialize.once(
+      sampleFrames(media, chunkBytes)
+        .select(col("doc_id"), md5(col("frame")).as("chunk_md5"))
+        .distinct())
+    val sizes = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val eligible = chunks.join(
+      chunks.groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("_refs"))
+        .filter(col("_refs") <= maxRefs)
+        .select(col("chunk_md5")),
+      Seq("chunk_md5"))
+    val shared = eligible.select(col("chunk_md5"), col("doc_id").as("id_a"))
+      .join(eligible.select(col("chunk_md5"), col("doc_id").as("id_b")),
+        Seq("chunk_md5"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"),
+        col("n_chunks").as("_na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"),
+        col("n_chunks").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("_na") + col("_nb") - col("n_shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

@@ -296,6 +296,26 @@ class ExtSpec extends AnyFunSuite {
     assert(chunks.size == 3)
   }
 
+  test("media: near-dup pairs score shared-chunk files, cap popular chunks") {
+    // docs 1/2: same two distinct 64-byte chunks + doc 2's extra tail
+    // -> jaccard 2/3; doc 3 shares nothing; docs 4..9 all share ONE
+    // popular chunk that exceeds maxRefs=4 and must not go quadratic
+    val a = "a" * 64; val b = "b" * 64; val p = "p" * 64
+    val media = (Seq(
+      (1L, a + b),
+      (2L, a + b + " tail"),
+      (3L, "other content entirely")) ++
+      (4L to 9L).map(i => (i, p + i.toString * 3)))
+      .map { case (id, s) => (id, s.getBytes("UTF-8")) }
+      .toDF("doc_id", "payload")
+    val pairs = Media.nearDupPairs(media, chunkBytes = 64,
+        threshold = 0.5, maxRefs = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // only the (1, 2) pair: 2 shared of (2 + 3 - 2) = 3 -> 0.666667
+    assert(pairs == Map((1L, 2L) -> ((2L, 0.666667))))
+  }
+
   test("media: resizeStub scales metadata and truncates payload") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") === 10)
     val media = Media.synthCorpus(docs)
