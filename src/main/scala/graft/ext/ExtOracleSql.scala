@@ -2260,6 +2260,17 @@ FROM ch GROUP BY 1"""
 )
 SELECT * FROM scored WHERE jaccard >= 0.5"""
 
+  /** w7: attribution interval join — the plain-SQL form of the
+    * stream-stream join's condition.
+    */
+  val w7AttributionJoin: String = """SELECT v.user_id,
+       v.event_id AS from_id, v.ts AS from_ts,
+       p.event_id AS to_id, p.ts AS to_ts
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE"""
+
   /** w6: top-3 trending event types per tumbling hour. */
   val w6Trending: String = """WITH c AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -1527,6 +1527,19 @@ object ExtQueries {
     StreamingOps.clickFunnel(Tables.events(spark, sfDir))
   }
 
+  /** View→purchase attribution interval join (w7): the stream-stream
+    * join's batch run, oracle-gated like w5 — proves the join-
+    * condition semantics against SQL; the streaming deployment adds
+    * only the watermarks.
+    */
+  def attributionJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val e = Tables.events(spark, sfDir)
+    StreamingOps.attributionJoin(
+      e.filter(col("event_type") === "view"),
+      e.filter(col("event_type") === "purchase"))
+  }
+
   /** Per-user funnel transitions (w5): the `flatMapGroupsWithState`
     * operator's batch run, oracle-gated — each clicking user emits a
     * `clicked` row and, when a purchase lands within the hour of the

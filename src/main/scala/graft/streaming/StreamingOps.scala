@@ -466,6 +466,38 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join (w7): every `toType` event paired
+    * with the SAME user's `fromType` events in the preceding
+    * `horizonMinutes` — view→purchase attribution, impression→click
+    * matching, the canonical two-stream correlation. On STREAMING
+    * inputs both sides carry watermarks (horizon + slack) and the
+    * time-bound join condition, which is exactly what lets Spark BOUND
+    * the join state: a buffered view older than the watermark can no
+    * longer match any future purchase and is evicted — state is
+    * O(events inside the horizon window), forever. On batch frames the
+    * identical condition runs as a plain interval join (the oracle
+    * form); same results on closed windows (spec-pinned).
+    */
+  def attributionJoin(from: DataFrame, to: DataFrame,
+                      horizonMinutes: Int = 60,
+                      watermarkSlackMinutes: Int = 60): DataFrame = {
+    require(horizonMinutes >= 1, "need a positive horizon")
+    val wm = s"${horizonMinutes + watermarkSlackMinutes} minutes"
+    val v0 = from.select(col("user_id"), col("event_id").as("from_id"),
+      col("ts").as("from_ts"))
+    val p0 = to.select(col("user_id").as("_uid"),
+      col("event_id").as("to_id"), col("ts").as("to_ts"))
+    val v = if (from.isStreaming) v0.withWatermark("from_ts", wm) else v0
+    val p = if (to.isStreaming) p0.withWatermark("to_ts", wm) else p0
+    v.join(p,
+      col("user_id") === col("_uid") &&
+        col("from_ts") <= col("to_ts") &&
+        col("from_ts") >= col("to_ts") -
+          expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("from_id"), col("from_ts"),
+        col("to_id"), col("to_ts"))
+  }
+
   /** Top-k trending event types per tumbling hour — the "what's hot
     * now" rollup a feed pipeline keeps. BATCH form (rank windows are
     * not streamable); the streaming deployment runs [[hourlyByType]]

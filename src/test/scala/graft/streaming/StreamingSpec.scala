@@ -655,6 +655,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> false, 2L -> true, 3L -> false))
   }
 
+  test("attribution join: stream-stream run equals the batch interval join") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-06-01T10:00:00Z")
+    def ts(min: Int) = java.sql.Timestamp.from(base.plusSeconds(min * 60L))
+    val views = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(30)),   // both within u1's purchase hour
+      (2L, 20L, ts(0)),                       // u2: purchase 2h later - no match
+      (3L, 30L, ts(5)))                       // u3: no purchase at all
+      .toDF("user_id", "event_id", "ts")
+    val purchases = Seq(
+      (1L, 90L, ts(45)), (2L, 91L, ts(125)))
+      .toDF("user_id", "event_id", "ts")
+
+    val batch = StreamingOps.attributionJoin(views, purchases).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(batch == Set((10L, 90L), (11L, 90L)))
+
+    val stage = java.nio.file.Files
+      .createTempDirectory("attr_join_stage").toString
+    views.withColumn("event_type", lit("view"))
+      .unionByName(purchases.withColumn("event_type", lit("purchase")))
+      .write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = StreamingOps.attributionJoin(
+        streamIn.filter(col("event_type") === "view"),
+        streamIn.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("attr_join")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attr_join").collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(streamed == batch, "stream-stream result diverged from batch")
+  }
+
   test("bloom dedup survives null-text documents (hashes as empty, t28 rule)") {
     import spark.implicits._
     // a null-text crawl record must not kill the forever-running stream:
