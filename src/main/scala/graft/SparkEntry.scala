@@ -155,6 +155,7 @@ object SparkEntry {
     "s7_embedding_outliers" -> ExtQueries.embeddingOutliers _,
     "s8_mips_topk" -> ExtQueries.mipsTopK _,
     "s9_ivf_topk" -> ExtQueries.ivfTopK _,
+    "s10_centroid_drift" -> ExtQueries.centroidDrift _,
     "v1_column_profile" -> ExtQueries.columnProfile _,
     "v2_ref_integrity" -> ExtQueries.refIntegrity _,
     "v3_constraint_audit" -> ExtQueries.constraintAudit _,
@@ -289,6 +290,7 @@ object SparkEntry {
     "s7_embedding_outliers" -> ExtOracleSql.s7EmbeddingOutliers,
     "s8_mips_topk" -> ExtOracleSql.s8MipsTopK,
     "s9_ivf_topk" -> ExtOracleSql.s9IvfTopK,
+    "s10_centroid_drift" -> ExtOracleSql.s10CentroidDrift,
     "v1_column_profile" -> ExtOracleSql.v1ColumnProfile,
     "v2_ref_integrity" -> ExtOracleSql.v2RefIntegrity,
     "v3_constraint_audit" -> ExtOracleSql.v3ConstraintAudit,

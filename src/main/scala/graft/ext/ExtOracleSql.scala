@@ -2035,6 +2035,54 @@ SELECT lang, CAST(dim AS BIGINT) AS dim,
        COUNT(*) AS n_vecs
 FROM j GROUP BY 1, 2"""
 
+  /** s10: centroid drift — two s3 centroid CTEs, DECIMAL(38,18) sums
+    * of exact double products, pinned cosine/l2 chain.
+    */
+  val s10CentroidDrift: String = """WITH jr AS (
+  SELECT d.lang,
+         unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
+         unnest(e.embedding) AS val
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.doc_id % 2 = 0
+), rc AS (
+  SELECT lang, dim,
+         round(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM jr GROUP BY 1, 2
+), jc AS (
+  SELECT d.lang,
+         unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
+         unnest(e.embedding) AS val
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.doc_id % 2 = 1
+), cc AS (
+  SELECT lang, dim,
+         round(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM jc GROUP BY 1, 2
+), agg AS (
+  SELECT rc.lang,
+         COUNT(*) AS n_dims,
+         SUM(CAST(rc.c * cc.c AS DECIMAL(38,18))) AS dot,
+         SUM(CAST(rc.c * rc.c AS DECIMAL(38,18))) AS rr,
+         SUM(CAST(cc.c * cc.c AS DECIMAL(38,18))) AS cs,
+         SUM(CAST((rc.c - cc.c) * (rc.c - cc.c) AS DECIMAL(38,18))) AS d2
+  FROM rc JOIN cc ON rc.lang = cc.lang AND rc.dim = cc.dim
+  GROUP BY 1
+)
+SELECT lang, n_dims,
+       CASE WHEN rr > 0 AND cs > 0
+            THEN round(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(rr AS DOUBLE))
+                          * sqrt(CAST(cs AS DOUBLE))), 6) END AS cos_sim,
+       round(sqrt(CAST(d2 AS DOUBLE)), 6) AS l2_shift,
+       COALESCE(CASE WHEN rr > 0 AND cs > 0
+                     THEN round(CAST(dot AS DOUBLE)
+                                / (sqrt(CAST(rr AS DOUBLE))
+                                   * sqrt(CAST(cs AS DOUBLE))), 6)
+                          < 0.98 END, true) AS drifted
+FROM agg"""
+
   val w4ClickFunnel: String = """WITH fc AS (
   SELECT user_id, MIN(ts) AS first_click
   FROM events WHERE event_type = 'click' GROUP BY 1

@@ -1290,6 +1290,19 @@ object ExtQueries {
         col("rank").cast("long").as("rank"), col("cosine"))
   }
 
+  /** Embedding-centroid drift between the even/odd doc_id snapshots
+    * (s10) — the deterministic ref/cur split of one corpus, so the
+    * expected verdict is "no drift" with cos ≈ 1 per language.
+    */
+  def centroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+    Similarity.centroidDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      Tables.embeddings(spark, sfDir))
+  }
+
   /** Per-language centroid-distance outliers (s7). */
   def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

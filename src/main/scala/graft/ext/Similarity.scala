@@ -378,6 +378,48 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
   }
 
+  /** Embedding-space drift monitor (s10): per-language centroid shift
+    * between a reference and a current snapshot — the x16 PSI idea
+    * carried into the representation space, where a scraper change or
+    * extraction bug shows up as a centroid MOVE long before token
+    * statistics notice. Per language: cosine between the two
+    * centroids, the L2 shift, and the `drifted` verdict
+    * (`cos < threshold`).
+    *
+    * 100 TB shape: each snapshot collapses to |langs| × dims centroid
+    * rows via the s3 partial-agg kernel; everything after runs on
+    * those tiny frames. Determinism: centroids are the s3 6-dp
+    * DECIMAL-mean values; cross/self products of those doubles are
+    * IEEE-exact-rounded and sum as DECIMAL(38,18) (the s7 device), so
+    * the cosine is order-free; cos and l2 round to 6 dp.
+    */
+  def centroidDrift(refDocs: DataFrame, curDocs: DataFrame,
+                    vecs: DataFrame, threshold: Double = 0.98)
+      : DataFrame = {
+    val ref = langCentroids(refDocs, vecs)
+      .select(col("lang"), col("dim"), col("centroid").as("_rc"))
+    val cur = langCentroids(curDocs, vecs)
+      .select(col("lang"), col("dim"), col("centroid").as("_cc"))
+    val dec = "decimal(38,18)"
+    ref.join(cur, Seq("lang", "dim"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum((col("_rc") * col("_cc")).cast(dec)).as("_dot"),
+        sum((col("_rc") * col("_rc")).cast(dec)).as("_rr"),
+        sum((col("_cc") * col("_cc")).cast(dec)).as("_cs"),
+        sum(((col("_rc") - col("_cc")) *
+          (col("_rc") - col("_cc"))).cast(dec)).as("_d2"))
+      .select(col("lang"), col("n_dims"),
+        when(col("_rr") > 0 && col("_cs") > 0,
+          round(col("_dot").cast("double") /
+            (sqrt(col("_rr").cast("double")) *
+              sqrt(col("_cs").cast("double"))), 6)).as("cos_sim"),
+        round(sqrt(col("_d2").cast("double")), 6).as("l2_shift"))
+      .withColumn("drifted",
+        coalesce(col("cos_sim") < threshold, lit(true)))
+  }
+
   /** Per-language embedding outliers (s7): each vector's cosine to its
     * language centroid, z-scored against the language's cosine
     * distribution — the embedding-space mis-clustering / mislabeled-data

@@ -203,6 +203,27 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(res(1L).getAs[Double]("cos_centroid") > 0.9)
   }
 
+  test("centroid drift: identical halves stable, moved half drifts") {
+    // lang "en": identical vectors in both halves -> cos 1, l2 0.
+    // lang "de": the odd half is the even half rotated 90° -> cos 0.
+    val docs = Seq(
+      (0L, "en"), (1L, "en"), (2L, "de"), (3L, "de"))
+      .toDF("doc_id", "lang")
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(1.0, 0.0)),
+      (2L, Array(0.0, 1.0)), (3L, Array(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), vecs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out("en") == ((1.0, 0.0, false)))
+    val (cosDe, l2De, driftedDe) = out("de")
+    assert(cosDe == 0.0 && driftedDe)
+    assert(math.abs(l2De - math.sqrt(2.0)) < 1e-6)
+  }
+
   test("source entropy: uniform vocab -> 1, one-token spam -> 0") {
     val docs = Seq(
       (1L, "diverse", "a b c d"),          // 4 tokens, all distinct
