@@ -304,6 +304,32 @@ object Validation {
       .filter(col("class_size") < k)
   }
 
+  /** Schema-drift audit (v6): column-level diff between a reference
+    * and a current snapshot's schemas — the contract check a pipeline
+    * runs before pointing jobs at a refreshed upstream (the
+    * complement of [[graft.sources.Tables]]' evolution-tolerant READ:
+    * this one REPORTS what changed instead of silently absorbing it).
+    * One row per changed column: `added`, `removed`, or
+    * `type_changed` with both type strings; empty result = contract
+    * intact. Pure metadata — schemas are driver-side already, no job
+    * runs.
+    */
+  def schemaDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val r = ref.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val c = cur.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (c.keySet -- r.keySet).toSeq.sorted.map(n =>
+        (n, "added", null: String, c(n))) ++
+      (r.keySet -- c.keySet).toSeq.sorted.map(n =>
+        (n, "removed", r(n), null: String)) ++
+      (r.keySet & c.keySet).toSeq.sorted.collect {
+        case n if r(n) != c(n) => (n, "type_changed", r(n), c(n))
+      }
+    rows.toDF("col_name", "change", "ref_type", "cur_type")
+  }
+
   /** Join-size estimate (x22) — the planning diagnostic that runs
     * BEFORE an expensive join, from the same family as [[keySkew]]:
     * KMV bottom-k sketches of both key sets, the union sketch's

@@ -186,6 +186,42 @@ class ValidationSpec extends AnyFunSuite {
       (None, "a") -> 1L))
   }
 
+  test("schema drift: added/removed/type changes reported, clean is empty") {
+    val ref = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val cur = Seq((1L, 1, true)).toDF("id", "name", "flag")
+    val out = Validation.schemaDrift(ref, cur).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(out == Map(
+      "flag" -> (("added", null, "boolean")),
+      "score" -> (("removed", "double", null)),
+      "name" -> (("type_changed", "string", "int"))))
+    assert(Validation.schemaDrift(ref, ref).isEmpty)
+  }
+
+  test("plan health counts the shapes the scaladocs assert by hand") {
+    val dir = java.nio.file.Files.createTempDirectory("health").toString
+    spark.range(0, 1000)
+      .selectExpr("id", "id % 7 AS k").write.mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir).filter(col("id") > 10)
+    val dim = Seq((0L, "x"), (1L, "y")).toDF("k", "tag")
+    val frame = fact.join(broadcast(dim), "k")
+    frame.collect()
+    val h = graft.std.Plans.health(frame)
+    assert(h.broadcastJoins == 1 && h.sortMergeJoins == 0)
+    assert(h.scans == 1 && h.scansWithPushedFilters == 1)
+    assert(h.globalSorts == 0 && h.wholeStageSpans >= 1)
+    assert(h.warnings.isEmpty)
+    // and an unfiltered full-scan self sort-merge join trips warnings
+    val a = spark.read.parquet(dir)
+    val ugly = a.join(a.withColumnRenamed("id", "id2")
+        .hint("merge"), "k")
+      .orderBy("id")
+    ugly.collect()
+    val hu = graft.std.Plans.health(ugly)
+    assert(hu.warnings.nonEmpty)
+  }
+
   test("join estimate: below-k sketches are exact and the formula holds") {
     // probe: keys 1..50, each appearing twice; build: keys 26..75 once.
     // overlap = 25 keys; join rows = 25 * 2 = 50. All cardinalities
