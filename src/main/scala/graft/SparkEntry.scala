@@ -172,6 +172,7 @@ object SparkEntry {
     "w5_funnel_transitions" -> ExtQueries.funnelTransitions _,
     "w6_trending" -> ExtQueries.trendingByWindow _,
     "w7_attribution_join" -> ExtQueries.attributionJoin _,
+    "x27_attribution_credit" -> ExtQueries.attributionCredit _,
     "x1_salted_revenue" -> ExtQueries.saltedRevenue _,
     "x2_range_join" -> ExtQueries.rangeJoinAttribution _,
     "x3_asof_join" -> ExtQueries.asOfJoin _,
@@ -307,6 +308,7 @@ object SparkEntry {
     "w5_funnel_transitions" -> ExtOracleSql.w5FunnelTransitions,
     "w6_trending" -> ExtOracleSql.w6Trending,
     "w7_attribution_join" -> ExtOracleSql.w7AttributionJoin,
+    "x27_attribution_credit" -> ExtOracleSql.x27AttributionCredit,
     "x1_salted_revenue" -> ExtOracleSql.x1SaltedRevenue,
     "x2_range_join" -> ExtOracleSql.x2RangeJoinAttribution,
     "x3_asof_join" -> ExtOracleSql.x3AsOfJoin,

@@ -2319,6 +2319,30 @@ FROM events v JOIN events p
  AND v.event_type = 'view' AND p.event_type = 'purchase'
  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE"""
 
+  /** x27: attribution credit — the w7 pairs with per-conversion
+    * windows; (ts, id) tiebreaks pin both rank directions.
+    */
+  val x27AttributionCredit: String = """WITH pairs AS (
+  SELECT v.user_id,
+         v.event_id AS from_id, v.ts AS from_ts,
+         p.event_id AS to_id, p.ts AS to_ts
+  FROM events v JOIN events p
+    ON v.user_id = p.user_id
+   AND v.event_type = 'view' AND p.event_type = 'purchase'
+   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE
+)
+SELECT user_id, from_id, from_ts, to_id, to_ts,
+       COUNT(*) OVER (PARTITION BY to_id) AS n_touches,
+       row_number() OVER (PARTITION BY to_id
+                          ORDER BY from_ts ASC, from_id ASC) = 1
+         AS is_first,
+       row_number() OVER (PARTITION BY to_id
+                          ORDER BY from_ts DESC, from_id DESC) = 1
+         AS is_last,
+       round(CAST(1.0 AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY to_id), 6) AS linear_credit
+FROM pairs"""
+
   /** w6: top-3 trending event types per tumbling hour. */
   val w6Trending: String = """WITH c AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

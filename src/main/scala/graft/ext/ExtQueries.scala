@@ -1540,6 +1540,14 @@ object ExtQueries {
     StreamingOps.clickFunnel(Tables.events(spark, sfDir))
   }
 
+  /** First/last-touch + linear attribution credit (x27) over the w7
+    * pair set.
+    */
+  def attributionCredit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    StreamingOps.attributionCredit(attributionJoin(spark, sfDir))
+  }
+
   /** View→purchase attribution interval join (w7): the stream-stream
     * join's batch run, oracle-gated like w5 — proves the join-
     * condition semantics against SQL; the streaming deployment adds

@@ -498,6 +498,30 @@ object StreamingOps {
         col("to_id"), col("to_ts"))
   }
 
+  /** Attribution credit assignment (x27) over [[attributionJoin]]'s
+    * pairs: per conversion, every contributing touch with the three
+    * standard marketing models at once — first-touch and last-touch
+    * flags (tiebreak on event id, fully deterministic) and linear
+    * credit `1/n` (6 dp). BATCH form — the window partitions by
+    * conversion over its (bounded: touches-within-horizon) group; the
+    * streaming deployment runs [[attributionJoin]] continuously and
+    * credits each conversion's pair group at watermark close.
+    */
+  def attributionCredit(pairs: DataFrame): DataFrame = {
+    require(!pairs.isStreaming,
+      "batch form; run attributionJoin's stream and credit per close")
+    val byConv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("to_id"))
+    val asc = byConv.orderBy(col("from_ts").asc, col("from_id").asc)
+    val desc = byConv.orderBy(col("from_ts").desc, col("from_id").desc)
+    pairs
+      .withColumn("n_touches", count(lit(1)).over(byConv))
+      .withColumn("is_first", row_number().over(asc) === 1)
+      .withColumn("is_last", row_number().over(desc) === 1)
+      .withColumn("linear_credit",
+        round(lit(1.0) / col("n_touches"), 6))
+  }
+
   /** Top-k trending event types per tumbling hour — the "what's hot
     * now" rollup a feed pipeline keeps. BATCH form (rank windows are
     * not streamable); the streaming deployment runs [[hourlyByType]]

@@ -691,6 +691,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "stream-stream result diverged from batch")
   }
 
+  test("attribution credit: first/last flags and linear split by hand") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-06-01T10:00:00Z")
+    def ts(min: Int) = java.sql.Timestamp.from(base.plusSeconds(min * 60L))
+    // purchase 90 has touches 10 (t0), 11 (t30); purchase 91 has one
+    val pairs = Seq(
+      (1L, 10L, ts(0), 90L, ts(45)),
+      (1L, 11L, ts(30), 90L, ts(45)),
+      (2L, 20L, ts(0), 91L, ts(10)))
+      .toDF("user_id", "from_id", "from_ts", "to_id", "to_ts")
+    val out = StreamingOps.attributionCredit(pairs).collect()
+      .map(r => r.getLong(r.fieldIndex("from_id")) ->
+        ((r.getLong(r.fieldIndex("n_touches")),
+          r.getBoolean(r.fieldIndex("is_first")),
+          r.getBoolean(r.fieldIndex("is_last")),
+          r.getDouble(r.fieldIndex("linear_credit"))))).toMap
+    assert(out(10L) == ((2L, true, false, 0.5)))
+    assert(out(11L) == ((2L, false, true, 0.5)))
+    assert(out(20L) == ((1L, true, true, 1.0)))
+  }
+
   test("bloom dedup survives null-text documents (hashes as empty, t28 rule)") {
     import spark.implicits._
     // a null-text crawl record must not kill the forever-running stream:
