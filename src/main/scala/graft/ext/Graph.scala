@@ -61,6 +61,11 @@ object Graph {
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count() // the one driver scalar
+    // an empty graph must yield an empty ranking, not a division by
+    // zero in the U/n seed below
+    if (n == 0)
+      return nodes.select(col("node"), lit(0L).as("rank_e9"),
+        lit(0.0).as("rank"))
     val outdeg = graft.std.Materialize.once(
       e.groupBy("src").agg(count(lit(1)).as("_outdeg")))
     val baseU = lit((1000L - dampingPerMille) * U / 1000L / n)

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Empty-input sweep over the round-10 operators: an empty partition
+  * or a filtered-to-nothing snapshot is routine at 100 TB, and no
+  * operator may turn it into a crash (the PageRank U/0 seed was a live
+  * instance — pinned in GraphSpec).
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+
+  test("diagnostics: key skew, k-anonymity, join estimate") {
+    val kv = Seq.empty[(String, Long)].toDF("k", "v")
+    assert(Validation.keySkew(kv, "k").collect().isEmpty)
+    assert(Validation.kAnonymity(kv, Seq("k"), 5).collect().isEmpty)
+    val r = Validation.joinSizeEstimate(kv, kv, "v", "v").head()
+    assert(r.getAs[Long]("n_probe") == 0 &&
+      r.getAs[Long]("join_exact") == 0)
+  }
+
+  test("linkage, url dedup, weighted sample") {
+    val probes = Seq.empty[(Long, String)].toDF("id", "name")
+    val cat = Seq(("red bolt")).map(Tuple1(_)).toDF("name")
+    assert(Linkage.fuzzyBestMatch(probes, cat, "id", "name", "name")
+      .collect().isEmpty)
+    // and an empty CATALOG: probes all report unmatched, no crash
+    val p2 = Seq((1L, "x")).toDF("id", "name")
+    val out = Linkage.fuzzyBestMatch(p2, probes.select(col("name")),
+      "id", "name", "name").collect()
+    assert(out.length == 1 && out.head.isNullAt(2))
+    val urls = Seq.empty[(Long, String)].toDF("doc_id", "url")
+    assert(Web.urlDedup(urls).collect().isEmpty)
+    val w = Seq.empty[(Long, Double)].toDF("id", "w")
+    assert(graft.std.Sampling.weightedSample(w, "id", "w", 5)
+      .collect().isEmpty)
+  }
+
+  test("feature prep and text stats") {
+    val v = Seq.empty[(String, java.lang.Double)].toDF("g", "v")
+    assert(Features.equalFreqBins(v, "v", 4).collect().isEmpty)
+    assert(Features.zscore(v, "g", "v").collect().isEmpty)
+    assert(Features.robustZscore(v, "g", "v").collect().isEmpty)
+    assert(TextAnalysis.sourceEntropy(emptyDocs).collect().isEmpty)
+    assert(TextAnalysis.compressionStats(
+      emptyDocs.select(col("doc_id"), col("text"))).collect().isEmpty)
+  }
+
+  test("media near-dups, bloom join, rollup with an empty delta") {
+    val media = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
+    assert(Media.nearDupPairs(media).collect().isEmpty)
+    val probe = Seq((1L, "x")).toDF("k", "p")
+    val build = Seq.empty[(Long, String)].toDF("bk", "t")
+    assert(graft.std.BloomJoin.bloomPrunedJoin(probe, build, "k", "bk")
+      .collect().isEmpty)
+    // merging an EMPTY delta must be the identity on the state
+    val hist = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val state = Rollup.additiveRollup(hist, Seq("k"), Seq("v"))
+    val merged = Rollup.mergeAdditive(state,
+      Rollup.additiveRollup(
+        Seq.empty[(String, Double)].toDF("k", "v").filter(lit(true)),
+        Seq("k"), Seq("v")),
+      Seq("k"), Seq("v"))
+    assert(Rollup.report(merged, Seq("k"), Seq("v")).collect()
+      .map(_.toSeq).toSet ==
+      Rollup.report(state, Seq("k"), Seq("v")).collect()
+        .map(_.toSeq).toSet)
+  }
+}

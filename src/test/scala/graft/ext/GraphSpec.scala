@@ -28,6 +28,14 @@ class GraphSpec extends AnyFunSuite {
     assert(r.values.sum <= 1000000000L)
   }
 
+  test("degenerate inputs: empty and self-loop-only graphs rank empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(empty, iterations = 3).collect().isEmpty)
+    // self-loops drop, leaving zero REAL edges -> also empty, no 1/0
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(Graph.pageRank(loops, iterations = 3).collect().isEmpty)
+  }
+
   test("self-loops and duplicate edges are dropped before ranking") {
     val dirty = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L))
       .toDF("src", "dst")
