@@ -47,6 +47,34 @@ class RollupSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("a micro-batched streaming aggregate equals the batch rollup") {
+    // the x21 scaladoc claims Structured Streaming's aggregations ARE
+    // this merge run continuously — pin it: stream the same rows in
+    // two micro-batches through the identical agg expressions
+    import org.apache.spark.sql.functions._
+    val rows = Seq(("a", 1.5), ("a", 2.5), ("b", 10.0), ("c", 7.0))
+    val stage = java.nio.file.Files
+      .createTempDirectory("rollup_stream").toString
+    rows.take(2).toDF("k", "v").write.mode("append").parquet(stage)
+    rows.drop(2).toDF("k", "v").write.mode("append").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = streamIn.groupBy(col("k"))
+      .agg(sum(col("v").cast("decimal(38,6)")).as("sum_v"),
+        count(lit(1)).as("n_rows"))
+      .writeStream.format("memory").queryName("rollup_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("rollup_stream").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDecimal(1).doubleValue(), r.getLong(2)))).toMap
+    val batch = Rollup.additiveRollup(rows.toDF("k", "v"), keys, measures)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDecimal(1).doubleValue(), r.getLong(2)))).toMap
+    assert(streamed == batch)
+  }
+
   test("a three-way merge chain still equals the rebuild (associativity)") {
     val parts = Seq(
       Seq(("a", 1.1), ("b", 2.2)),
