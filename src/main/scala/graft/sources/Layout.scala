@@ -111,6 +111,51 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file report for a parquet directory: file count, total
+    * bytes, and how many files sit under `smallBytes` — the listing a
+    * compaction policy triggers on. Driver-side file metadata only
+    * (the same listing a scan does); no data job runs.
+    */
+  def fileReport(spark: SparkSession, path: String,
+                 smallBytes: Long = 32L << 20): (Long, Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (files.length.toLong, files.map(_.getLen).sum,
+      files.count(_.getLen < smallBytes).toLong)
+  }
+
+  /** Compact a parquet directory to ~`targetBytes` files (x28's op —
+    * the small-files problem is THE silent 100-TB scan killer: a
+    * million 1 MB files costs a million open/footer/close round trips
+    * and a million-entry listing before byte one). Rewrites to
+    * `ceil(total / targetBytes)` files via a round-robin repartition
+    * (no key skew — this is layout, not clustering; use
+    * [[writeRangeSorted]] / [[writeZOrdered]] when the rewrite should
+    * also SORT) into a sibling temp dir, then swaps atomically-enough
+    * for a batch pipeline (rename after successful write).
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): (Long, Long) = {
+    require(targetBytes >= (1L << 20),
+      "target below 1 MiB is not compaction")
+    val (nBefore, totalBytes, _) = fileReport(spark, path, targetBytes)
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + "_compact_tmp"
+    df.repartition(nFiles.toInt).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
+    val (nAfter, _, _) = fileReport(spark, path, targetBytes)
+    (nBefore, nAfter)
+  }
+
   /** The scan's partition filters (pretty-printed) — non-empty proves
     * the predicate reached the file listing instead of a post-scan
     * Filter node.

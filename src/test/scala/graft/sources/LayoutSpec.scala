@@ -82,6 +82,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.count(_.isNullAt(0)) == 1)
   }
 
+  test("compaction collapses a small-file explosion, data intact") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("layout_compact").toString
+    // 64 tiny files — the scan-killer layout
+    (1L to 2048L).map(i => (i, s"row$i")).toDF("id", "payload")
+      .repartition(64).write.mode("overwrite").parquet(path)
+    val (before, bytes, small) = Layout.fileReport(spark, path)
+    assert(before == 64 && small == 64 && bytes > 0)
+    // target sized so the rewrite lands on a handful of files
+    val (nBefore, nAfter) = Layout.compact(spark, path,
+      targetBytes = math.max(1L << 20, bytes / 4))
+    assert(nBefore == 64 && nAfter <= 4, s"still $nAfter files")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 2048)
+    assert(back.agg(sum("id")).head().getLong(0) == 2048L * 2049 / 2)
+  }
+
   test("range-sorted write pushes range predicates to the reader") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity"))
