@@ -173,6 +173,7 @@ object SparkEntry {
     "w6_trending" -> ExtQueries.trendingByWindow _,
     "w7_attribution_join" -> ExtQueries.attributionJoin _,
     "x27_attribution_credit" -> ExtQueries.attributionCredit _,
+    "x28_price_delay_corr" -> ExtQueries.priceDelayCorr _,
     "x1_salted_revenue" -> ExtQueries.saltedRevenue _,
     "x2_range_join" -> ExtQueries.rangeJoinAttribution _,
     "x3_asof_join" -> ExtQueries.asOfJoin _,
@@ -309,6 +310,7 @@ object SparkEntry {
     "w6_trending" -> ExtOracleSql.w6Trending,
     "w7_attribution_join" -> ExtOracleSql.w7AttributionJoin,
     "x27_attribution_credit" -> ExtOracleSql.x27AttributionCredit,
+    "x28_price_delay_corr" -> ExtOracleSql.x28PriceDelayCorr,
     "x1_salted_revenue" -> ExtOracleSql.x1SaltedRevenue,
     "x2_range_join" -> ExtOracleSql.x2RangeJoinAttribution,
     "x3_asof_join" -> ExtOracleSql.x3AsOfJoin,

@@ -836,6 +836,43 @@ SELECT o_orderkey, dev.o_orderpriority, o_totalprice,
                           > 3.5 END, false) AS is_outlier
 FROM dev JOIN mad ON dev.o_orderpriority = mad.o_orderpriority"""
 
+  /** x28: per-group Pearson r from DECIMAL moment sums — never the
+    * engines' running-double `corr` aggregates, which are shuffle-
+    * order-dependent and disagree in the last digits.
+    */
+  val x28PriceDelayCorr: String = """WITH fs AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS ship FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o_orderpriority,
+         o_totalprice,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(ship AS DATE)) AS DOUBLE) AS delay_days
+  FROM orders JOIN fs ON o_orderkey = l_orderkey
+  WHERE o_totalprice IS NOT NULL
+), m AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sx,
+         SUM(CAST(delay_days AS DECIMAL(18,6))) AS sy,
+         SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,12))) AS sxx,
+         SUM(CAST(delay_days * delay_days AS DECIMAL(38,12))) AS syy,
+         SUM(CAST(o_totalprice * delay_days AS DECIMAL(38,12))) AS sxy
+  FROM j GROUP BY 1
+)
+SELECT o_orderpriority, n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE))), 6)
+       END AS pearson_r
+FROM m"""
+
   /** v5: k-anonymity — exact class sizes, post-aggregate HAVING. */
   val v5KAnonymity: String = """SELECT c_nationkey, c_mktsegment,
        COUNT(*) AS class_size

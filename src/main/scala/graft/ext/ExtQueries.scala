@@ -1181,6 +1181,25 @@ object ExtQueries {
       .select(col("o_orderkey"), col("o_totalprice"), col("bin"))
   }
 
+  /** Per-priority Pearson correlation between order value and shipping
+    * delay (x28): does a bigger order ship slower? The measure pair
+    * joins once (order → its first line-item ship date), collapses to
+    * DECIMAL moments per priority.
+    */
+  def priceDelayCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val firstShip = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_shipdate")).as("_ship"))
+    val joined = Tables.orders(spark, sfDir)
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        datediff(col("_ship"), col("o_orderdate"))
+          .cast("double").as("delay_days"))
+    Features.pearson(joined, "o_orderpriority", "o_totalprice",
+      "delay_days")
+  }
+
   /** Per-event-type z-score standardization of event values (x24). */
   def zscoreEvents(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

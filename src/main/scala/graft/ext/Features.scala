@@ -80,6 +80,42 @@ object Features {
       .drop("_med", "_dev", "_mad")
   }
 
+  /** Per-group Pearson correlation (x28): the relationship screen a
+    * warehouse runs across measure pairs (does price predict delay?
+    * does length predict quality?) — one partial-agg pass to five
+    * moment sums per group. Linear sums run as DECIMAL(18,6); the
+    * cross/square moments use the s7/s10 device — the double×double
+    * product is IEEE-exact-rounded (deterministic), and its
+    * DECIMAL(38,12) cast sums order-free. (Squaring IN decimal is a
+    * trap: DuckDB's DECIMAL(18)×DECIMAL(18) multiplies in int64 and
+    * overflows on price-sized values, and the 38-cap rescaling rules
+    * differ between engines.) Zero-variance sides produce NULL r, not
+    * ±∞; the built-in `corr` aggregate is a running double —
+    * shuffle-order-dependent — which is why this never uses it.
+    */
+  def pearson(df: DataFrame, groupCol: String, xCol: String,
+              yCol: String): DataFrame = {
+    val xd = col(xCol).cast("double")
+    val yd = col(yCol).cast("double")
+    val dec = "decimal(38,12)"
+    val m = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(col(xCol).cast("decimal(18,6)")).as("_sx"),
+        sum(col(yCol).cast("decimal(18,6)")).as("_sy"),
+        sum((xd * xd).cast(dec)).as("_sxx"),
+        sum((yd * yd).cast(dec)).as("_syy"),
+        sum((xd * yd).cast(dec)).as("_sxy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN = n * d("_sxy") - d("_sx") * d("_sy")
+    val varX = n * d("_sxx") - d("_sx") * d("_sx")
+    val varY = n * d("_syy") - d("_sy") * d("_sy")
+    m.select(col(groupCol), col("n"),
+      when(varX > 0 && varY > 0,
+        round(covN / (sqrt(varX) * sqrt(varY)), 6)).as("pearson_r"))
+  }
+
   /** Per-group z-score standardization: `(v - mean) / stddev` with
     * POPULATION moments, the global-feature complement of the trailing
     * z-score monitor (x10). Moments come from DECIMAL(38,6) sums of

@@ -97,6 +97,26 @@ class FeaturesSpec extends AnyFunSuite {
     assert(mz < 3.5, s"moment z unexpectedly reached $mz")
   }
 
+  test("pearson: perfect, inverted, and constant-side correlations") {
+    val df = Seq(
+      ("up", 1.0, 10.0), ("up", 2.0, 20.0), ("up", 3.0, 30.0),
+      ("down", 1.0, 30.0), ("down", 2.0, 20.0), ("down", 3.0, 10.0),
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0), ("flat", 3.0, 5.0))
+      .toDF("grp", "x", "y")
+    val out = Features.pearson(df, "grp", "x", "y").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) null
+         else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+    assert(out("up") == 1.0 && out("down") == -1.0)
+    assert(out("flat") == null) // zero variance: no r, not a NaN
+    // null measures are excluded, not zero-filled
+    val withNulls = df.unionByName(
+      Seq(("up", null.asInstanceOf[java.lang.Double],
+        java.lang.Double.valueOf(99.0))).toDF("grp", "x", "y"))
+    assert(Features.pearson(withNulls, "grp", "x", "y").collect()
+      .find(_.getString(0) == "up").get.getDouble(2) == 1.0)
+  }
+
   test("z-score stats broadcast back over the scan") {
     val df = spark.range(1L, 100L).select(col("id"),
       (col("id") % 3).cast("string").as("grp"),
