@@ -174,6 +174,7 @@ object SparkEntry {
     "w7_attribution_join" -> ExtQueries.attributionJoin _,
     "x27_attribution_credit" -> ExtQueries.attributionCredit _,
     "x28_price_delay_corr" -> ExtQueries.priceDelayCorr _,
+    "x29_modal_hour" -> ExtQueries.modalHour _,
     "x1_salted_revenue" -> ExtQueries.saltedRevenue _,
     "x2_range_join" -> ExtQueries.rangeJoinAttribution _,
     "x3_asof_join" -> ExtQueries.asOfJoin _,
@@ -311,6 +312,7 @@ object SparkEntry {
     "w7_attribution_join" -> ExtOracleSql.w7AttributionJoin,
     "x27_attribution_credit" -> ExtOracleSql.x27AttributionCredit,
     "x28_price_delay_corr" -> ExtOracleSql.x28PriceDelayCorr,
+    "x29_modal_hour" -> ExtOracleSql.x29ModalHour,
     "x1_salted_revenue" -> ExtOracleSql.x1SaltedRevenue,
     "x2_range_join" -> ExtOracleSql.x2RangeJoinAttribution,
     "x3_asof_join" -> ExtOracleSql.x3AsOfJoin,

@@ -873,6 +873,25 @@ SELECT o_orderpriority, n,
        END AS pearson_r
 FROM m"""
 
+  /** x29: per-group mode — (count DESC, value ASC NULLS LAST) rank
+    * pins the tie deterministically in both engines.
+    */
+  val x29ModalHour: String = """WITH c AS (
+  SELECT event_type, CAST(hour(ts) AS VARCHAR) AS v, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, SUM(n) AS total FROM c GROUP BY 1
+), r AS (
+  SELECT event_type, v, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, v ASC NULLS LAST) AS rn
+  FROM c
+)
+SELECT r.event_type, v AS mode_value, n AS n_mode,
+       round(CAST(n AS DOUBLE) / total, 6) AS mode_share
+FROM r JOIN t ON r.event_type = t.event_type
+WHERE rn = 1"""
+
   /** v5: k-anonymity — exact class sizes, post-aggregate HAVING. */
   val v5KAnonymity: String = """SELECT c_nationkey, c_mktsegment,
        COUNT(*) AS class_size

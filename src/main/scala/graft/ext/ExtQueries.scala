@@ -1181,6 +1181,17 @@ object ExtQueries {
       .select(col("o_orderkey"), col("o_totalprice"), col("bin"))
   }
 
+  /** Modal event hour per event type (x29): each type's busiest
+    * hour-of-day with its traffic share.
+    */
+  def modalHour(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Validation.groupMode(
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), hour(col("ts")).as("hour_of_day")),
+      "event_type", "hour_of_day")
+  }
+
   /** Per-priority Pearson correlation between order value and shipping
     * delay (x28): does a bigger order ship slower? The measure pair
     * joins once (order → its first line-item ship date), collapses to

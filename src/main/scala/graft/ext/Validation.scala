@@ -330,6 +330,37 @@ object Validation {
     rows.toDF("col_name", "change", "ref_type", "cur_type")
   }
 
+  /** Per-group mode (x29): the most frequent value of a column within
+    * each group, with the share it carries — the categorical summary
+    * statistic Spark has no native aggregate for (and whose naive
+    * `groupBy().agg(max_by(...))` form is nondeterministic on count
+    * ties). Two-level: (group, value) counts collapse map-side first
+    * — the shuffle carries distinct pairs, never rows — then a
+    * per-group rank with the (count DESC, value ASC) total order picks
+    * one winner deterministically. NULL values form their own class
+    * (a null-dominated column SHOULD report null as its mode — that
+    * is the data-quality signal).
+    */
+  def groupMode(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val counts = df.select(col(groupCol), col(valueCol).cast("string")
+        .as("_v"))
+      .groupBy(col(groupCol), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("_c").desc, col("_v").asc_nulls_last)
+    counts.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("_v").as("mode_value"),
+        col("_c").as("n_mode"),
+        round(col("_c").cast("double") / col("_total"), 6)
+          .as("mode_share"))
+  }
+
   /** Join-size estimate (x22) — the planning diagnostic that runs
     * BEFORE an expensive join, from the same family as [[keySkew]]:
     * KMV bottom-k sketches of both key sets, the union sketch's

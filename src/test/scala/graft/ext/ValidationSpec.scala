@@ -186,6 +186,20 @@ class ValidationSpec extends AnyFunSuite {
       (None, "a") -> 1L))
   }
 
+  test("group mode: winner, tie broken on value, null class counts") {
+    val df = (Seq.fill(3)(("a", "x")) ++ Seq.fill(3)(("a", "w")) ++
+      Seq(("a", "z")) ++
+      Seq.fill(2)(("b", null.asInstanceOf[String])) ++ Seq(("b", "y")))
+      .toDF("g", "v")
+    val out = Validation.groupMode(df, "g", "v").collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getDouble(3)))).toMap
+    // a: x and w tie at 3 -> "w" wins (value ASC); share 3/7
+    assert(out("a") == ((Some("w"), 3L, 0.428571)))
+    // b: the null class dominates and reports AS null
+    assert(out("b") == ((None, 2L, 0.666667)))
+  }
+
   test("schema drift: added/removed/type changes reported, clean is empty") {
     val ref = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
     val cur = Seq((1L, 1, true)).toDF("id", "name", "flag")
