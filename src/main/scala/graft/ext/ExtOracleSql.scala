@@ -605,7 +605,10 @@ WHERE c_nationkey = 1"""
     * positive, so it equals Spark's truncating `div`), exact long
     * sums. No float op exists until the final display division, so no
     * rounding mode can disagree (9-dp double rounding provably did, at
-    * .5-ulp boundaries).
+    * .5-ulp boundaries). The output `rank_e9` is CAST back to BIGINT:
+    * DuckDB's SUM over BIGINT widens to HUGEINT, and the driver's
+    * fetch path renders HUGEINT as a float (`75000.0` vs Spark's
+    * `75000`) — the r10 hash mismatch was the TYPE, not the values.
     */
   val x20PageRank: String = """WITH seq AS (
   SELECT l_partkey,
@@ -642,7 +645,8 @@ r2 AS (
   FROM e JOIN r2 ON e.src = r2.node JOIN outdeg ON e.src = outdeg.src
 ), s3 AS (SELECT node, SUM(c) AS s FROM c3 GROUP BY 1)
 SELECT nodes.node,
-       150000000 // n + COALESCE(s3.s, 0) * 850 // 1000 AS rank_e9,
+       CAST(150000000 // n + COALESCE(s3.s, 0) * 850 // 1000 AS BIGINT)
+         AS rank_e9,
        CAST(150000000 // n + COALESCE(s3.s, 0) * 850 // 1000 AS DOUBLE)
          / CAST(1000000000 AS DOUBLE) AS rank
 FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node"""
@@ -728,14 +732,20 @@ SELECT n_probe, n_build, d_probe_exact, d_build_exact,
 FROM est"""
 
   /** t46: weighted sample — identical deterministic draw: md5-lane
-    * uniform, ln-key at 9 dp, (key DESC, id ASC) cut.
+    * uniform, ln-key at 9 dp, (key DESC, id ASC) cut. The `+ 0.0` on
+    * the key canonicalizes negative zero: a key in (-5e-10, 0) rounds
+    * to `-0.0` under DuckDB's float round but to `+0.0` under Spark's
+    * BigDecimal HALF_UP (which has no signed zero) — the values are
+    * equal, the sign bit is not, and the driver's hash sees the sign
+    * (the r10 t46 mismatch was exactly one such row). `x + 0.0` is
+    * exact for every double and maps -0.0 to +0.0.
     */
   val t46WeightedSample: String = """WITH keyed AS (
   SELECT o_orderkey, o_totalprice,
          round(ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
                                         1, 14)) AS BIGINT) + 1)
                   / 72057594037927936.0)
-               / CAST(o_totalprice AS DOUBLE), 9) AS sample_key
+               / CAST(o_totalprice AS DOUBLE), 9) + 0.0 AS sample_key
   FROM orders
   WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
 )
@@ -785,7 +795,10 @@ SELECT event_id, events.event_type, value,
 FROM events JOIN stats ON events.event_type = stats.event_type"""
 
   /** t47: source entropy — 9-dp `-p·ln p` terms (t25 grain),
-    * DECIMAL(28,9) order-free sum, 9-dp normalizer.
+    * DECIMAL(28,9) order-free sum, 9-dp normalizer. `n_tokens` is
+    * CAST to BIGINT because DuckDB's SUM(BIGINT) widens to HUGEINT,
+    * which the driver's fetch renders as a float — the r10 hash
+    * mismatch was the type, not the values (see x20).
     */
   val t47SourceEntropy: String = s"""WITH t AS (
   SELECT doc_id, source, string_split($Norm, ' ') AS toks FROM documents
@@ -794,7 +807,8 @@ FROM events JOIN stats ON events.event_type = stats.event_type"""
 ), counts AS (
   SELECT source, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2
 ), totals AS (
-  SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_distinct_tokens
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct_tokens
   FROM counts GROUP BY 1
 ), terms AS (
   SELECT counts.source,

@@ -6,7 +6,22 @@ Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
 For each query dir under outDir: load the Spark parquet result, run the
 oracle SQL from oracle_sql.json in DuckDB (tables = views over the sf
 parquet), sort columns by name and rows by all columns, and compare
-row count, column names, and values (floats to 9 significant digits).
+row count, column names, and values.
+
+The compare is deliberately STRICTER than it looks, because the r10
+round taught us the driver's hash is sensitive to two things a naive
+float compare forgives:
+
+  1. Signed zero. Floats compare by full repr(), so `-0.0 != 0.0`.
+     DuckDB's float round keeps the sign bit on a tiny negative;
+     Spark's BigDecimal HALF_UP round has no signed zero. An oracle
+     whose rounded column can hit (-5e-10, 0) must canonicalize with
+     `+ 0.0` (see t46 in ExtOracleSql.scala).
+  2. Output column TYPES. DuckDB widens SUM(BIGINT) to HUGEINT and
+     the driver's fetch path renders HUGEINT as a float ("75000.0"
+     vs Spark's "75000") — values equal, hash not. HUGEINT or
+     DECIMAL oracle output columns are therefore a FAIL here, not a
+     warning: CAST them (see t47/x20 in ExtOracleSql.scala).
 """
 import sys, json, math, glob
 import duckdb
@@ -23,9 +38,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0:
-            return "0"
-        return f"{v:.9g}"
+        return repr(v)  # full precision; repr(-0.0) = '-0.0' on purpose
     if isinstance(v, bool):
         return "T" if v else "F"
     return str(v)
@@ -64,6 +77,16 @@ for name in sorted(oracle):
                 if stypes[c] != otypes[c]}
     if typediff:
         print(f"WARN {name}: type drift (spark vs oracle): {typediff}")
+    # the driver's fetch renders HUGEINT/DECIMAL columns as floats, so
+    # an oracle emitting one hash-mismatches even when values agree
+    rel = con.sql(oracle[name])
+    badtypes = {c: str(t) for c, t in zip(rel.columns, rel.types)
+                if str(t) == "HUGEINT" or str(t).startswith("DECIMAL")}
+    if badtypes:
+        print(f"FAIL {name}: oracle output type needs CAST: {badtypes}")
+        fails += 1
+        con.close()
+        continue
     oc, orw = canon(ocols, orows)
     sc, srw = canon(scols, srows)
     if sc != oc:
