@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumns, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BloomBits, BloomContains, DeflateRatio, DotProductD, KmvMins, Md5Lane, NfcNormalize}
+import graft.functions.{BloomBits, BloomContains, DeflateRatio, DotProductD, KmvMins, Md5Lane, NfcNormalize, TopSample}
 
 /** Session-extension entry point: configure
   * `spark.sql.extensions=graft.GraftExtensions` and the native
@@ -62,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomContains(children.head, children(1),
           GraftColumns.constInt("graft_bloom_contains", children(2), 2),
           GraftColumns.constInt("graft_bloom_contains", children(3), 3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_sample"),
+      new ExpressionInfo(classOf[TopSample].getName, "graft_top_sample"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopSample(children.head, children(1), children(2),
+          GraftColumns.constInt("graft_top_sample", children(3), 3))))
   }
 }
 

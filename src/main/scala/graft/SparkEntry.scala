@@ -146,6 +146,7 @@ object SparkEntry {
     "t45_url_dedup" -> ExtQueries.urlDedup _,
     "t46_weighted_sample" -> ExtQueries.weightedSample _,
     "t47_source_entropy" -> ExtQueries.sourceEntropy _,
+    "t48_stratified_sample" -> ExtQueries.stratifiedWeighted _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -334,6 +335,7 @@ object SparkEntry {
     "t45_url_dedup" -> ExtOracleSql.t45UrlDedup,
     "t46_weighted_sample" -> ExtOracleSql.t46WeightedSample,
     "t47_source_entropy" -> ExtOracleSql.t47SourceEntropy,
+    "t48_stratified_sample" -> ExtOracleSql.t48StratifiedSample,
     "x19_bloom_join" -> ExtOracleSql.x19BloomJoin,
     "x20_pagerank" -> ExtOracleSql.x20PageRank,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,

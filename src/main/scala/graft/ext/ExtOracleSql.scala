@@ -754,6 +754,28 @@ FROM keyed
 ORDER BY sample_key DESC, o_orderkey ASC
 LIMIT 100"""
 
+  /** t48: stratified weighted sample — the t46 draw cut per priority
+    * class by a `row_number` window (the oracle may shuffle-everything;
+    * the Spark side must not — see Sampling.stratifiedWeightedSample).
+    * Same `+ 0.0` signed-zero canonicalization as t46.
+    */
+  val t48StratifiedSample: String = """WITH keyed AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         round(ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                        1, 14)) AS BIGINT) + 1)
+                  / 72057594037927936.0)
+               / CAST(o_totalprice AS DOUBLE), 9) + 0.0 AS sample_key
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY sample_key DESC, o_orderkey ASC)
+              AS rn
+  FROM keyed
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice, sample_key
+FROM ranked WHERE rn <= 20"""
+
   /** x23: equal-frequency binning — quantile_cont boundaries (the x13
     * agreement), 6-dp rounded, counted with list_filter.
     */

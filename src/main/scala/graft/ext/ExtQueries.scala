@@ -1168,6 +1168,19 @@ object ExtQueries {
       Tables.orders(spark, sfDir), "o_orderkey", "o_totalprice", n = 100)
   }
 
+  /** Stratified weighted sample (t48): 20 orders per priority class,
+    * probability ∝ order value — the per-stratum form of t46, run as
+    * the bounded native [[graft.functions.TopSample]] aggregate (the
+    * oracle reruns the identical draw as a `row_number` window, which
+    * is exactly the shuffle-everything plan the aggregate avoids).
+    */
+  def stratifiedWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    graft.std.Sampling.stratifiedWeightedSample(
+      Tables.orders(spark, sfDir), "o_orderpriority", "o_orderkey",
+      "o_totalprice", nPerGroup = 20)
+  }
+
   /** Equal-frequency binning of order values into 8 buckets (x23):
     * exact interpolated boundaries (cut literals i/8 are exact binary
     * doubles), boundary assignment per row.

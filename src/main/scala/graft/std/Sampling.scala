@@ -1,6 +1,6 @@
 package graft.std
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Weighted sampling without replacement — Efraimidis–Spirakis A-RES:
@@ -34,13 +34,56 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      n: Int): DataFrame = {
     require(n >= 1, "need a positive sample size")
-    val hv = org.apache.spark.sql.GraftColumns
-      .md5Lane(col(idCol).cast("string"), 0, 7)
-    val u = (hv + lit(1L)).cast("double") / lit(72057594037927936.0)
-    val key = round(log(u) / col(weightCol).cast("double"), 9)
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .select(col(idCol), col(weightCol), key.as("sample_key"))
+      .select(col(idCol), col(weightCol),
+        esKey(col(idCol), col(weightCol)).as("sample_key"))
       .orderBy(col("sample_key").desc, col(idCol).asc)
       .limit(n)
+  }
+
+  /** The Efraimidis–Spirakis selection key `ln(u)/w` at 9 dp, with the
+    * deterministic md5-lane uniform (see class doc). Spark's
+    * BigDecimal-backed `round` yields `+0.0` for a tiny negative key —
+    * no signed zero — so oracle twins must canonicalize theirs with
+    * `+ 0.0` (DuckDB's float round keeps the sign bit).
+    */
+  private def esKey(id: Column, w: Column): Column = {
+    val hv = org.apache.spark.sql.GraftColumns
+      .md5Lane(id.cast("string"), 0, 7)
+    val u = (hv + lit(1L)).cast("double") / lit(72057594037927936.0)
+    round(log(u) / w.cast("double"), 9)
+  }
+
+  /** Per-group (stratified) top-`nPerGroup` weighted sample: the
+    * [[weightedSample]] draw run independently within every value of
+    * `groupCol` — per-domain or per-language quality-weighted corpus
+    * subsampling, where a global draw would let one giant stratum
+    * crowd out the rest.
+    *
+    * 100 TB shape: NOT a `row_number` window (which shuffles and sorts
+    * the entire corpus by group) — the per-group top-n runs as the
+    * native bounded aggregate [[graft.functions.TopSample]], so each
+    * map task reduces its partition to ≤ groups × n survivors before
+    * the exchange, and the shuffle carries survivors only. One
+    * aggregation shuffle on `groupCol`, then a 1:n explode of the
+    * winners.
+    *
+    * `idCol` must be long-castable and unique; null/non-positive
+    * weights are rejected rows, as in [[weightedSample]].
+    */
+  def stratifiedWeightedSample(df: DataFrame, groupCol: String,
+                               idCol: String, weightCol: String,
+                               nPerGroup: Int): DataFrame = {
+    require(nPerGroup >= 1, "need a positive per-group sample size")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(groupCol), col(idCol).cast("long").as("_id"),
+        col(weightCol).cast("double").as("_w"),
+        esKey(col(idCol), col(weightCol)).as("_k"))
+      .groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.GraftColumns
+        .topSample(col("_k"), col("_id"), col("_w"), nPerGroup).as("_top"))
+      .select(col(groupCol), explode(col("_top")).as("_s"))
+      .select(col(groupCol), col("_s.id").as(idCol),
+        col("_s.payload").as(weightCol), col("_s.sample_key").as("sample_key"))
   }
 }

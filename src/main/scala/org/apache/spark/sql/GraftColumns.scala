@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.functions.{BloomBits, BloomContains, DeflateRatio, DotProductD, KmvMins, Md5Lane, NfcNormalize}
+import graft.functions.{BloomBits, BloomContains, DeflateRatio, DotProductD, KmvMins, Md5Lane, NfcNormalize, TopSample}
 
 /** Typed analysis errors for graft's SQL function builders (the
   * message-only `AnalysisException` constructor is `private[sql]`,
@@ -48,6 +48,12 @@ object GraftColumns {
   def bloomAgg(c: Column, m: Int, k: Int): Column =
     ExpressionUtils.column(
       BloomBits(ExpressionUtils.expression(c), m, k).toAggregateExpression())
+
+  /** Bounded top-n-by-key aggregate — see [[TopSample]]. */
+  def topSample(key: Column, id: Column, payload: Column, n: Int): Column =
+    ExpressionUtils.column(TopSample(
+      ExpressionUtils.expression(key), ExpressionUtils.expression(id),
+      ExpressionUtils.expression(payload), n).toAggregateExpression())
 
   /** Codegen'd zlib compression ratio — see [[DeflateRatio]]. */
   def deflateRatio(c: Column): Column =
@@ -107,5 +113,8 @@ object GraftColumns {
       "graft_bloom_contains", exprs => BloomContains(exprs.head, exprs(1),
         constInt("graft_bloom_contains", exprs(2), 2),
         constInt("graft_bloom_contains", exprs(3), 3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_sample", exprs => TopSample(exprs.head, exprs(1), exprs(2),
+        constInt("graft_top_sample", exprs(3), 3)), "built-in")
   }
 }
