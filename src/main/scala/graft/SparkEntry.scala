@@ -147,6 +147,7 @@ object SparkEntry {
     "t46_weighted_sample" -> ExtQueries.weightedSample _,
     "t47_source_entropy" -> ExtQueries.sourceEntropy _,
     "t48_stratified_sample" -> ExtQueries.stratifiedWeighted _,
+    "t49_repeated_ngrams" -> ExtQueries.repeatedNgrams _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -336,6 +337,7 @@ object SparkEntry {
     "t46_weighted_sample" -> ExtOracleSql.t46WeightedSample,
     "t47_source_entropy" -> ExtOracleSql.t47SourceEntropy,
     "t48_stratified_sample" -> ExtOracleSql.t48StratifiedSample,
+    "t49_repeated_ngrams" -> ExtOracleSql.t49RepeatedNgrams,
     "x19_bloom_join" -> ExtOracleSql.x19BloomJoin,
     "x20_pagerank" -> ExtOracleSql.x20PageRank,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,

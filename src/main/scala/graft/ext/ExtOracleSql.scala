@@ -848,6 +848,52 @@ SELECT totals.source, n_tokens, n_distinct_tokens,
             ELSE CAST(0 AS DOUBLE) END AS norm_entropy
 FROM hs JOIN totals ON hs.source = totals.source"""
 
+  /** t49: repeated n-gram spans — the near-dup corpus (NearDupCtes'
+    * construction, text pre-normalized so a bare string_split matches
+    * Spark's tokens), 5-token windows hashed with the shared md5 lane,
+    * per-doc occurrence counts joined to corpus document frequency.
+    * Aggregate outputs CAST to BIGINT (HUGEINT discipline, see x20).
+    */
+  val t49RepeatedNgrams: String = s"""WITH base AS (
+  SELECT doc_id, $Norm AS text FROM documents
+), corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_filter(string_split(text, ' '),
+           (t, i) -> i % 13 <> 0), ' ')
+  FROM base WHERE doc_id % 7 = 0
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+), w AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+           THEN list_transform(generate_series(1, len(toks) - 4),
+                  i -> ${h64("array_to_string(toks[i:i+4], ' ')")})
+           ELSE CAST([] AS BIGINT[]) END AS gs
+  FROM t
+), ex AS (
+  SELECT doc_id, unnest(gs) AS g FROM w
+), pairs AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM ex GROUP BY 1, 2
+), dfg AS (
+  SELECT g, COUNT(*) AS n_docs FROM pairs GROUP BY 1
+), rep AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_repeated
+  FROM pairs JOIN dfg USING (g) WHERE n_docs >= 2 GROUP BY 1
+), b2 AS (
+  SELECT doc_id,
+         CAST(greatest(COALESCE(len(toks) - 4, 0), 0) AS BIGINT)
+           AS n_windows
+  FROM t
+)
+SELECT b2.doc_id, n_windows,
+       COALESCE(n_repeated, 0) AS n_repeated,
+       CASE WHEN n_windows > 0
+            THEN round(CAST(COALESCE(n_repeated, 0) AS DOUBLE)
+                       / CAST(n_windows AS DOUBLE), 6) END AS repeated_frac
+FROM b2 LEFT JOIN rep ON b2.doc_id = rep.doc_id"""
+
   /** x26: robust outliers — exact interpolated medians (the x13
     * agreement) twice, pinned double chain.
     */

@@ -1241,6 +1241,17 @@ object ExtQueries {
     TextAnalysis.sourceEntropy(spread(Tables.documents(spark, sfDir)))
   }
 
+  /** Repeated 5-gram span fractions (t49) over the injected near-dup
+    * corpus — the mutated copies share almost all their windows with
+    * their originals, so the signal separates injected pairs from the
+    * unique base docs.
+    */
+  def repeatedNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.repeatedNgramSpans(
+      spread(nearDupCorpus(Tables.documents(spark, sfDir))))
+  }
+
   /** Robust (median/MAD) per-priority order-value outliers (x26). */
   def robustOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

@@ -1363,4 +1363,55 @@ object TextAnalysis {
       .select(col("doc_id"), col("clean_text"), col("n_segments"),
         col("n_removed"))
   }
+
+  /** Repeated n-gram span fraction (t49): for every document, the
+    * share of its `n`-token windows whose content also occurs in at
+    * least one OTHER document — the corpus-level exact-substring
+    * duplication signal (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better": memorized spans survive document
+    * near-dedup because the containing documents differ). Documents
+    * with a high `repeated_frac` are candidates for span-level
+    * removal; t28's segment dedup is the surgical follow-up.
+    *
+    * Differs from [[boilerplateNgrams]] in grain and scope: per-DOC
+    * fractions (not per-source shingle lists), every window position
+    * counted (not distinct shingles), corpus-wide (not within-source).
+    *
+    * 100 TB shape: windows travel as 56-bit md5-lane hashes, never
+    * text. Three bounded shuffles on 16-byte rows: (doc, gram) →
+    * occurrence counts; gram → document frequency; the pair frame
+    * re-keyed by gram for the DF join, then a per-doc rollup.
+    * `n_windows` comes straight from the token count — the explode
+    * never needs re-counting. A gram hash collision (2^-56) would
+    * merge two windows; acceptable for a scoring signal, and the
+    * oracle hashes identically so the scores still match.
+    */
+  def repeatedNgramSpans(docs: DataFrame, n: Int = 5,
+                         textCol: String = "text"): DataFrame = {
+    require(n >= 2, "window size must be at least 2 tokens")
+    val b = TextOps.attrBarrier(
+      docs.select(col("doc_id"), col(textCol)),
+      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
+    val base = b.select(col("doc_id"),
+      greatest(coalesce(size(col("_toks")) - (n - 1), lit(0)), lit(0))
+        .cast("long").as("n_windows"))
+    val grams = b.select(col("doc_id"),
+      explode(when(size(col("_toks")) >= n,
+        transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+          i => TextOps.hash64(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))).as("g"))
+    // diamond: the pair frame feeds both the gram-DF aggregate and the
+    // DF join — pinned so the token explode runs once (Materialize doc)
+    val pairs = graft.std.Materialize.once(
+      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("_c")))
+    val dfg = pairs.groupBy(col("g")).agg(count(lit(1)).as("_n_docs"))
+    val rep = pairs.join(dfg.filter(col("_n_docs") >= 2), Seq("g"))
+      .groupBy(col("doc_id")).agg(sum(col("_c")).as("_rep"))
+    base.join(rep, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("_rep"), lit(0L)).as("n_repeated"),
+        when(col("n_windows") > 0,
+          round(coalesce(col("_rep"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"), 6)).as("repeated_frac"))
+  }
 }

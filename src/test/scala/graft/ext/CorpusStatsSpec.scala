@@ -243,6 +243,47 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out("tiny") == ((1L, 1L, 0.0, 0.0)))
   }
 
+  test("repeated n-gram spans: shared windows flag, short docs zero") {
+    val docs = Seq(
+      // docs 1 and 2 share the 5-token prefix "a b c d e" (their only
+      // common 5-gram run: windows [a..e] and [b..f] differ at f/g)
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),
+      (3L, "h i j k l m n"),   // unique: 3 windows, none repeated
+      (4L, "x y"),             // shorter than the window: 0 windows
+      (5L, null.asInstanceOf[String])) // null text: 0 windows
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedNgramSpans(docs, n = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    graft.std.Materialize.releaseAll()
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    assert(out(4L)._1 == 0L && out(4L)._2 == 0L && out(4L)._3.isNaN)
+    assert(out(5L)._1 == 0L && out(5L)._2 == 0L && out(5L)._3.isNaN)
+    assert(out.size == 5)
+  }
+
+  test("repeated n-gram spans count every occurrence, not distinct grams") {
+    // doc 6 contains the shared window TWICE (positions 1 and 6);
+    // both window positions count toward n_repeated
+    val docs = Seq(
+      (6L, "a b c d e a b c d e"), // windows: 6, the repeated gram at 2 positions
+      (7L, "a b c d e z z z z z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedNgramSpans(docs, n = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.std.Materialize.releaseAll()
+    // doc 6: "a b c d e" appears at positions 1 and 6 (and in doc 7);
+    // those 2 of its 6 windows are corpus-repeated
+    assert(out(6L) == ((6L, 2L)))
+    // doc 7's first window is the shared gram; "z z z z z" etc. are
+    // unique to doc 7 (single doc -> not repeated)
+    assert(out(7L) == ((6L, 1L)))
+  }
+
   /** Oracle-in-miniature for the deflate gate: DuckDB has no zlib, so
     * the exact-parity check against a direct `java.util.zip.Deflater`
     * run IS the gate (the BPE precedent for non-SQL-expressible ops).
