@@ -197,6 +197,7 @@ object SparkEntry {
     "x18_fuzzy_linkage" -> ExtQueries.fuzzyLinkage _,
     "x19_bloom_join" -> ExtQueries.bloomJoin _,
     "x20_pagerank" -> ExtQueries.pageRank _,
+    "x30_hits" -> ExtQueries.hitsScores _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -340,6 +341,7 @@ object SparkEntry {
     "t49_repeated_ngrams" -> ExtOracleSql.t49RepeatedNgrams,
     "x19_bloom_join" -> ExtOracleSql.x19BloomJoin,
     "x20_pagerank" -> ExtOracleSql.x20PageRank,
+    "x30_hits" -> ExtOracleSql.x30Hits,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

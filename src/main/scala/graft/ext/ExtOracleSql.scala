@@ -651,6 +651,48 @@ SELECT nodes.node,
          / CAST(1000000000 AS DOUBLE) AS rank
 FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node"""
 
+  /** x30: HITS, 2 unrolled iterations in exact integer arithmetic —
+    * unnormalized longs (seeds 1, integer sums; DuckDB's run in
+    * HUGEINT, Spark's in longs, identical values inside the long
+    * range the Spark side guards), normalized once at the end to
+    * 1e-9 fixed point with the same truncating `//`. Outputs CAST to
+    * BIGINT (HUGEINT discipline, see x20).
+    */
+  val x30Hits: String = """WITH seq AS (
+  SELECT l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), a1 AS (
+  SELECT dst AS node, COUNT(*) AS v FROM e GROUP BY 1
+), h1 AS (
+  SELECT e.src AS node, SUM(a1.v) AS v
+  FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1
+), a2 AS (
+  SELECT e.dst AS node, SUM(h1.v) AS v
+  FROM e JOIN h1 ON e.src = h1.node GROUP BY 1
+), h2 AS (
+  SELECT e.src AS node, SUM(a2.v) AS v
+  FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1
+), sums AS (
+  SELECT (SELECT SUM(v) FROM a2) AS sa, (SELECT SUM(v) FROM h2) AS sh
+)
+SELECT nodes.node,
+       CAST(COALESCE(a2.v, 0) * 1000000000 // sa AS BIGINT) AS auth_e9,
+       CAST(COALESCE(h2.v, 0) * 1000000000 // sh AS BIGINT) AS hub_e9,
+       CAST(CAST(COALESCE(a2.v, 0) * 1000000000 // sa AS BIGINT)
+            AS DOUBLE) / 1000000000.0 AS auth,
+       CAST(CAST(COALESCE(h2.v, 0) * 1000000000 // sh AS BIGINT)
+            AS DOUBLE) / 1000000000.0 AS hub
+FROM nodes CROSS JOIN sums
+LEFT JOIN a2 ON nodes.node = a2.node
+LEFT JOIN h2 ON nodes.node = h2.node"""
+
   /** x21: incremental rollup — the oracle recomputes from scratch;
     * equality proves the state+delta merge timeline exact. DECIMAL
     * sums make both engines' totals order-free.

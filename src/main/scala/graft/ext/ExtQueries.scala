@@ -1121,6 +1121,21 @@ object ExtQueries {
     Graph.pageRank(edges, iterations = 3, dampingPerMille = 850)
   }
 
+  /** HITS over the same co-purchase graph as x20 (x30): authorities =
+    * parts good sequences converge on, hubs = parts that open them;
+    * 2 exact-integer iterations, end-normalized (see [[Graph.hits]]).
+    */
+  def hitsScores(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    Graph.hits(edges, iterations = 2)
+  }
+
   /** Incremental rollup maintenance (x21): the order-value summary by
     * (priority, status), maintained as history-state + 1998 delta
     * batch — the merge path whose cost is O(batch + keys). The oracle
