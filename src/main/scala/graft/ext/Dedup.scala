@@ -263,6 +263,59 @@ object Dedup {
         toks)
       .select(col("doc_id"), TextOps.shingles(col("_toks"), n).as("sh"))
 
+  /** LSH band-configuration tuning report: for each band count over
+    * the SAME k-minima signatures, the candidate volume, the
+    * verified-pair yield, and recall against a labeled truth set —
+    * the sweep every production dedup runs before fixing (bands,
+    * rows): more bands → higher recall at lower per-band specificity
+    * (more candidates to verify), fewer bands → the reverse. The
+    * S-curve P(candidate) = 1 − (1 − j^r)^b only says where the knee
+    * sits; this measures the actual cost/recall trade on the actual
+    * corpus.
+    *
+    * `truthPairs` is (id_a, id_b) labeled positives (id_a < id_b, the
+    * candidate orientation). Output per config: bands, rows_per_band,
+    * n_candidates, n_verified (true Jaccard ≥ threshold), n_truth,
+    * n_truth_found (truth pairs surfaced as candidates),
+    * pair_precision = n_verified / n_candidates, pair_recall =
+    * n_truth_found / n_truth (null when the denominator is 0).
+    *
+    * Scale shape: signatures and shingles are computed once by the
+    * caller (pinned); per config one banded self-join and three
+    * single-row aggregates — the report costs |configs| candidate
+    * generations, each the same bounded shape as [[lshCandidatePairs]].
+    */
+  def lshTuningReport(docShingles: DataFrame, sigs: DataFrame, k: Int,
+                      bandConfigs: Seq[Int], threshold: Double,
+                      truthPairs: DataFrame): DataFrame = {
+    require(bandConfigs.nonEmpty, "need at least one band configuration")
+    val truth = graft.std.Materialize.once(
+      truthPairs.select(col("id_a"), col("id_b")))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val perConfig = bandConfigs.map { bands =>
+      val cands = graft.std.Materialize.once(
+        lshCandidatePairs(sigs, k, bands))
+      val nc = cands.agg(count(lit(1)).as("n_candidates"))
+      val nv = verifiedNearDups(cands, docShingles, threshold)
+        .agg(count(lit(1)).as("n_verified"))
+      val nf = cands.join(truth, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_truth_found"))
+      nc.crossJoin(nv).crossJoin(nt).crossJoin(nf)
+        .select(lit(bands).as("bands"), lit(k / bands).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"), col("n_truth"),
+          col("n_truth_found"))
+    }
+    perConfig.reduce(_ unionByName _)
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_verified"), col("n_truth"), col("n_truth_found"),
+        when(col("n_candidates") > 0,
+          round(col("n_verified").cast("double") /
+            col("n_candidates").cast("double"), 6)).as("pair_precision"),
+        when(col("n_truth") > 0,
+          round(col("n_truth_found").cast("double") /
+            col("n_truth").cast("double"), 6)).as("pair_recall"))
+  }
+
   /** Precomputed corpus-side dedup state: what a production pipeline
     * persists between increments (content digests, shingle arrays,
     * MinHash signatures — [[bandKeysOf]] derives per-join). Frames are

@@ -91,6 +91,70 @@ FROM corpus GROUP BY 1"""
 )
 SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5"""
 
+  /** Band selects for an arbitrary band count over the 8 minima —
+    * mirrors Dedup.bandKeys: band j digests s(j·r)..s(j·r+r−1) joined
+    * with ',' (concat_ws), md5'd.
+    */
+  private def bandSelectsCfg(bands: Int): String = {
+    val r = 8 / bands
+    (0 until bands).map { j =>
+      val parts = (0 until r)
+        .map(x => s"CAST(s${j * r + x} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band, md5($parts) AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+  }
+
+  /** t50: LSH tuning report — the d2 signature space re-banded at
+    * 2/4/8 bands, each config's candidate/verified/truth-found counts
+    * via scalar subqueries (COUNT(*) stays BIGINT — no HUGEINT).
+    */
+  val t50LshTuning: String = {
+    val configs = Seq(2, 4, 8)
+    val perCfg = configs.map { bands =>
+      s"""bands$bands AS (
+  ${bandSelectsCfg(bands)}
+), cand$bands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands$bands a JOIN bands$bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), ver$bands AS (
+  SELECT id_a, id_b
+  FROM cand$bands c
+  JOIN shing sa ON c.id_a = sa.doc_id
+  JOIN shing sb ON c.id_b = sb.doc_id
+  WHERE ${jaccardExpr("sa.sh", "sb.sh")} >= 0.5
+), rep$bands AS (
+  SELECT $bands AS bands, ${8 / bands} AS rows_per_band,
+         (SELECT COUNT(*) FROM cand$bands) AS n_candidates,
+         (SELECT COUNT(*) FROM ver$bands) AS n_verified,
+         (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM cand$bands c
+          JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b)
+           AS n_truth_found
+)"""
+    }.mkString(", ")
+    NearDupCtes + s""", sig AS (
+  SELECT doc_id, $sigCols
+  FROM shing
+), truth AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+  FROM shing sa JOIN shing sb ON sb.doc_id = sa.doc_id + 100000
+  WHERE ${jaccardExpr("sa.sh", "sb.sh")} >= 0.5
+), $perCfg
+SELECT bands, rows_per_band, n_candidates, n_verified, n_truth,
+       n_truth_found,
+       CASE WHEN n_candidates > 0
+            THEN round(CAST(n_verified AS DOUBLE)
+                       / CAST(n_candidates AS DOUBLE), 6) END
+         AS pair_precision,
+       CASE WHEN n_truth > 0
+            THEN round(CAST(n_truth_found AS DOUBLE)
+                       / CAST(n_truth AS DOUBLE), 6) END AS pair_recall
+FROM (SELECT * FROM rep2 UNION ALL SELECT * FROM rep4
+      UNION ALL SELECT * FROM rep8)"""
+  }
+
   /** The d2 pair pipeline + transitive closure via a recursive CTE
     * (reach set per node, component rep = min reachable) — shared by
     * d5/d6/d7.

@@ -1256,6 +1256,27 @@ object ExtQueries {
     TextAnalysis.sourceEntropy(spread(Tables.documents(spark, sfDir)))
   }
 
+  /** LSH band-tuning report (t50): the d2 signature space swept at
+    * bands ∈ {2, 4, 8} (rows 4/2/1) against the injected-pair truth
+    * set — the candidate-volume vs recall trade measured on the real
+    * corpus before fixing a production (bands, rows) choice.
+    */
+  def lshTuning(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val corpus = nearDupCorpus(Tables.documents(spark, sfDir))
+    val withSh = graft.std.Materialize.once(
+      shingled(corpus, split(col("text"), " ")))
+    val sigs = graft.std.Materialize.once(Dedup.minHashSignatures(withSh, 8))
+    // labeled positives: the injected (orig, orig+100000) pairs whose
+    // exact shingle Jaccard clears the verify threshold
+    val a = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.join(b, col("id_b") === col("id_a") + 100000)
+      .filter(round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    Dedup.lshTuningReport(withSh, sigs, 8, Seq(2, 4, 8), 0.5, truth)
+  }
+
   /** Repeated 5-gram span fractions (t49) over the injected near-dup
     * corpus — the mutated copies share almost all their windows with
     * their originals, so the signal separates injected pairs from the

@@ -98,6 +98,44 @@ class ExtSpec extends AnyFunSuite {
       maxBucketSize = Some(10)).count() == 0L)
   }
 
+  test("lshTuningReport: nested band configs trade precision for recall") {
+    // 30 unique docs + 10 mutated copies (every 4th token dropped) —
+    // some truth pairs LSH finds only at finer band configs
+    val base = (1L to 30L).map { i =>
+      (i, (0 until 12).map(t => s"w${i}_$t").mkString(" "))
+    }
+    val muts = base.take(10).map { case (i, t) =>
+      (i + 1000L,
+        t.split(" ").zipWithIndex.filter(_._2 % 4 != 0).map(_._1)
+          .mkString(" "))
+    }
+    val docs = (base ++ muts).toDF("doc_id", "text")
+    val withSh = Dedup.shingleFrame(docs)
+    val sigs = Dedup.minHashSignatures(withSh, 8)
+    val truth = (1L to 10L).map(i => (i, i + 1000L)).toDF("id_a", "id_b")
+    val rep = Dedup.lshTuningReport(withSh, sigs, 8, Seq(2, 4, 8), 0.3,
+        truth).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap.toSeq.sortBy(_._1)
+    graft.std.Materialize.releaseAll()
+    val counts = rep.map(_._2)
+    // band boundaries nest (r halves), so the candidate set only grows
+    // with more bands — and with it the truth pairs found
+    assert(counts.map(_._1) == counts.map(_._1).sorted)
+    assert(counts.map(_._4) == counts.map(_._4).sorted)
+    counts.foreach { case (nc, nv, nt, nf) =>
+      assert(nv <= nc && nf <= nt && nt == 10L)
+    }
+    // at 8 bands of 1 row a single shared minimum suffices, so the
+    // finest config finds most pairs — but NOT all: the ~25% token
+    // mutation leaves shingle Jaccard ≈ 0.2, and with 8 lanes
+    // P(no lane agrees) ≈ 0.8^8 ≈ 0.17, so a couple of pairs
+    // deterministically share no minimum (it's 8 of 10 on this
+    // md5-fixed corpus). That gap is exactly what the report exists
+    // to surface.
+    assert(counts.last._4 >= 8L && counts.last._4 > counts.head._4)
+  }
+
   test("connected components converge correctly on NON-numeric ids") {
     // the DECIMAL label-sum convergence probe nulls out on string labels
     // (cast → null, sum → null) — before the type branch that silently
