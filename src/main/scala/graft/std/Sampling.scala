@@ -47,7 +47,7 @@ object Sampling {
     * no signed zero — so oracle twins must canonicalize theirs with
     * `+ 0.0` (DuckDB's float round keeps the sign bit).
     */
-  private def esKey(id: Column, w: Column): Column = {
+  private[graft] def esKey(id: Column, w: Column): Column = {
     val hv = org.apache.spark.sql.GraftColumns
       .md5Lane(id.cast("string"), 0, 7)
     val u = (hv + lit(1L)).cast("double") / lit(72057594037927936.0)

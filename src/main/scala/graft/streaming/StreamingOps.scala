@@ -33,6 +33,12 @@ case class FunnelState(firstClick: Option[Long], converted: Boolean,
                        pendingPurchases: List[Long])
 case class FunnelTransition(user_id: Long, stage: String)
 
+/** Typed rows/state for the streaming weighted sample. */
+case class WeightedRow(g: String, id: Long, w: Double, key: Double)
+case class SampleHeap(entries: List[(Double, Long, Double)], seen: Long)
+case class SampleMember(g: String, id: Long, w: Double, sample_key: Double,
+                        n_seen: Long)
+
 /** Event-stream window aggregations (extension target — the reference
   * has no streaming at all, SURVEY §2.8). The aggregation bodies are
   * plain DataFrame code, so the SAME function serves batch (oracle-
@@ -148,6 +154,78 @@ object StreamingOps {
               (kUsed - 1).toDouble / (mins.last.toDouble / math.pow(2.0, 56)))
               .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
           KmvEstimate(lang, kUsed, est, totalSeen)
+      }
+  }
+
+  /** Standing weighted sample: the [[graft.std.Sampling]] draw kept
+    * live over a stream — per group, the current top-`nPerGroup` rows
+    * by the deterministic Efraimidis–Spirakis key, folded across
+    * micro-batches via `flatMapGroupsWithState`. The crawl-pipeline
+    * use: maintain a quality-weighted per-domain sample of everything
+    * ingested so far without ever re-scanning the corpus.
+    *
+    * Why the fold is exact: the draw is a pure per-row function (the
+    * md5-lane uniform), and "top-n of a union = top-n of top-ns" — the
+    * same bounded-merge property [[graft.functions.TopSample]] relies
+    * on — so ANY split of the rows into micro-batches yields the same
+    * standing sample as one batch pass (`StreamingEquivalenceSpec`).
+    *
+    * State is O(nPerGroup) per group — bounded forever, no watermark
+    * (a new row either displaces the current minimum or is dropped).
+    * Each trigger re-emits the group's full current sample (Update
+    * mode) tagged with the cumulative `n_seen`, strictly increasing
+    * per group, so "latest sample per group" is selectable downstream
+    * exactly like [[kmvCardinalityStream]]'s estimates. Rows with
+    * null/non-positive weights are rejected upstream of the state op,
+    * as in the batch form.
+    */
+  def weightedSampleStream(rows: DataFrame, groupCol: String,
+                           idCol: String, weightCol: String,
+                           nPerGroup: Int): Dataset[SampleMember] = {
+    require(nPerGroup >= 1, "need a positive per-group sample size")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import graft.functions.TopSample
+    rows.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("double").as("w"),
+        graft.std.Sampling.esKey(col(idCol), col(weightCol)).as("key"))
+      .as[WeightedRow]
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[SampleHeap, SampleMember](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[WeightedRow],
+         state: GroupState[SampleHeap]) =>
+          val heap = new java.util.TreeSet[TopSample.Entry](TopSample.order)
+          def add(e: TopSample.Entry): Unit = {
+            if (heap.size < nPerGroup) { heap.add(e); () }
+            else if (TopSample.order.compare(e, heap.last()) < 0) {
+              if (heap.add(e) && heap.size > nPerGroup) {
+                heap.remove(heap.last()); ()
+              }
+            }
+          }
+          state.getOption.foreach(_.entries.foreach { case (k, id, w) =>
+            add(TopSample.Entry(k, id, w, hasPayload = true))
+          })
+          var seen = state.getOption.map(_.seen).getOrElse(0L)
+          it.foreach { r =>
+            seen += 1
+            add(TopSample.Entry(r.key, r.id, r.w, hasPayload = true))
+          }
+          val entries = {
+            val b = List.newBuilder[(Double, Long, Double)]
+            val hit = heap.iterator()
+            while (hit.hasNext) {
+              val e = hit.next(); b += ((e.key, e.id, e.payload))
+            }
+            b.result()
+          }
+          state.update(SampleHeap(entries, seen))
+          entries.iterator.map { case (k, id, w) =>
+            SampleMember(g, id, w, k, seen)
+          }
       }
   }
 

@@ -410,6 +410,38 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming sketch diverged: $last vs $batch")
   }
 
+  test("streaming weighted sample: micro-batched ≡ batch stratified draw") {
+    val sfDir = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, sfDir)
+    val stage = Files.createTempDirectory("wsamp_src").toString
+    // three files → three micro-batches; top-n of top-ns must equal
+    // the one-pass top-n regardless of the split
+    orders.repartition(3).write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = StreamingOps.weightedSampleStream(streamIn, "o_orderpriority",
+        "o_orderkey", "o_totalprice", nPerGroup = 15)
+      .writeStream.format("memory").queryName("wsamp_stream")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // n_seen is cumulative per group: its max tags the final sample
+    val perG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val last = spark.table("wsamp_stream")
+      .withColumn("_mx", max(col("n_seen")).over(perG))
+      .filter(col("n_seen") === col("_mx"))
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("g")),
+        r.getLong(r.fieldIndex("id")),
+        r.getDouble(r.fieldIndex("w")),
+        r.getDouble(r.fieldIndex("sample_key")))).toSet
+    val batch = graft.std.Sampling.stratifiedWeightedSample(orders,
+        "o_orderpriority", "o_orderkey", "o_totalprice", 15)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(last == batch, s"standing sample diverged from batch")
+  }
+
   test("streaming CMS grid equals the batch grid (bounded state)") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sfDir)
