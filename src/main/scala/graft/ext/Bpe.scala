@@ -270,6 +270,45 @@ object Bpe {
     "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
     "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u")
 
+  /** Tokenizer fertility report (t51): per language, tokens-per-word
+    * and chars-per-token under a merge table — the standard check that
+    * a tokenizer trained on one distribution doesn't tax another (a
+    * language at 2-3× the fertility of the training language pays that
+    * multiple in sequence length, training cost, and effective context
+    * at inference; the fix is retraining or vocabulary extension, and
+    * this report is how the problem is SEEN).
+    *
+    * 100-TB shape: the same scan-once expression encode as
+    * [[encodeDocs]] (tokens and pieces each cross a generator barrier
+    * once), then one partially-aggregated shuffle down to |languages|
+    * rows — no join: language rides the scan. Char counts are of the
+    * normalized text (what the encoder actually consumed).
+    */
+  def fertilityByLang(docs: DataFrame, merges: Seq[(String, String)],
+                      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("lang"),
+      coalesce(col(textCol), lit("")).as(textCol))
+    val b = TextOps.attrBarrier(base, Seq("lang"),
+      "_toks", TextOps.tokens(col(textCol)))
+    val b2 = TextOps.attrBarrier(b, Seq("lang", "_toks"),
+      "_pieces", flatten(transform(col("_toks"),
+        w => encodeWord(w, merges))))
+    b2.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("_toks")).cast("long")).as("total_words"),
+        sum(size(col("_pieces")).cast("long")).as("total_tokens"),
+        sum(length(concat_ws(" ", col("_toks"))).cast("long"))
+          .as("total_chars"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_tokens"), col("total_chars"),
+        when(col("total_words") > 0,
+          round(col("total_tokens").cast("double") /
+            col("total_words").cast("double"), 6)).as("fertility"),
+        when(col("total_tokens") > 0,
+          round(col("total_chars").cast("double") /
+            col("total_tokens").cast("double"), 6)).as("chars_per_token"))
+  }
+
   /** Corpus-wide BPE ENCODE (t36) — apply a learned merge table to
     * every document, the map step that turns curated text into token
     * sequences. Per doc: whitespace words, each encoded char→subword

@@ -3031,22 +3031,13 @@ FROM m"""
     * otherwise.
     */
   val t36BpeEncode: String = {
-    val chars = "list_transform(generate_series(1, len(w)), " +
-      "i -> substr(w, i, 1))"
-    val enc = Bpe.DemoMerges.zipWithIndex.foldLeft(chars) {
-      case (inner, ((a, b), m)) =>
-        s"""list_reduce(list_transform($inner, s$m -> [s$m]),
-   (acc$m, x$m) -> CASE WHEN acc$m[-1] = '$a' AND x$m[1] = '$b'
-     THEN list_concat(acc$m[1:len(acc$m)-1], ['${a + b}'])
-     ELSE list_concat(acc$m, x$m) END)"""
-    }
     s"""WITH t AS (
   SELECT doc_id, string_split($Norm, ' ') AS toks FROM documents
 ), e AS (
   SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
          flatten(list_transform(toks, w ->
            CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
-                ELSE $enc END)) AS pieces
+                ELSE $demoEncode END)) AS pieces
   FROM t
 )
 SELECT doc_id, n_words,
@@ -3054,4 +3045,49 @@ SELECT doc_id, n_words,
        md5(array_to_string(pieces, ' ')) AS tokens_md5
 FROM e"""
   }
+
+  /** The t36 per-word encode fold (the DemoMerges table unrolled into
+    * nested list_reduce) — shared with t51.
+    */
+  private lazy val demoEncode: String = {
+    val chars = "list_transform(generate_series(1, len(w)), " +
+      "i -> substr(w, i, 1))"
+    Bpe.DemoMerges.zipWithIndex.foldLeft(chars) {
+      case (inner, ((a, b), m)) =>
+        s"""list_reduce(list_transform($inner, s$m -> [s$m]),
+   (acc$m, x$m) -> CASE WHEN acc$m[-1] = '$a' AND x$m[1] = '$b'
+     THEN list_concat(acc$m[1:len(acc$m)-1], ['${a + b}'])
+     ELSE list_concat(acc$m, x$m) END)"""
+    }
+  }
+
+  /** t51: per-language tokenizer fertility — the t36 encode fold with
+    * language carried through, summed per language (CAST to BIGINT,
+    * HUGEINT discipline), pinned double ratios at 6 dp.
+    */
+  val t51BpeFertility: String = s"""WITH t AS (
+  SELECT lang, string_split($Norm, ' ') AS toks FROM documents
+), e AS (
+  SELECT lang, CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(flatten(list_transform(toks, w ->
+           CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE $demoEncode END))) AS BIGINT) AS n_tokens,
+         CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS n_chars
+  FROM t
+), s AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS total_words,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM e GROUP BY 1
+)
+SELECT lang, n_docs, total_words, total_tokens, total_chars,
+       CASE WHEN total_words > 0
+            THEN round(CAST(total_tokens AS DOUBLE)
+                       / CAST(total_words AS DOUBLE), 6) END AS fertility,
+       CASE WHEN total_tokens > 0
+            THEN round(CAST(total_chars AS DOUBLE)
+                       / CAST(total_tokens AS DOUBLE), 6) END
+         AS chars_per_token
+FROM s"""
 }

@@ -882,6 +882,17 @@ object ExtQueries {
       Bpe.DemoMerges)
   }
 
+  /** Per-language tokenizer fertility under the demo merge table
+    * (t51): tokens/word and chars/token by language — the
+    * cross-language tax report for a tokenizer (see
+    * [[Bpe.fertilityByLang]]).
+    */
+  def bpeFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Bpe.fertilityByLang(spread(Tables.documents(spark, sfDir)),
+      Bpe.DemoMerges)
+  }
+
   /** Per-language quality-gate pass rates (t17). */
   def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

@@ -183,4 +183,22 @@ class BpeSpec extends AnyFunSuite {
     // empty doc: one empty word, zero tokens
     assert(expr(9001L)._2 == 0L)
   }
+
+  test("fertility report: hand-computed per-language ratios") {
+    val docs = Seq(
+      (1L, "x", "ab ab"), // (a,b) merges: 2 words -> 2 tokens, 5 chars
+      (2L, "y", "cd"),    // no merge applies: 1 word -> 2 tokens, 2 chars
+      (3L, "z", null.asInstanceOf[String])) // empty: 1 word, 0 tokens
+      .toDF("doc_id", "lang", "text")
+    val out = Bpe.fertilityByLang(docs, Seq("a" -> "b")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+        if (r.isNullAt(6)) Double.NaN else r.getDouble(6)))).toMap
+    assert(out("x") == ((1L, 2L, 2L, 5L, 1.0, 2.5)))
+    assert(out("y") == ((1L, 1L, 2L, 2L, 2.0, 1.0)))
+    val z = out("z")
+    assert(z._1 == 1L && z._2 == 1L && z._3 == 0L && z._4 == 0L)
+    assert(z._5 == 0.0 && z._6.isNaN) // 0 tokens: chars/token undefined
+  }
 }
