@@ -278,27 +278,36 @@ object Bpe {
     * at inference; the fix is retraining or vocabulary extension, and
     * this report is how the problem is SEEN).
     *
-    * 100-TB shape: the same scan-once expression encode as
-    * [[encodeDocs]] (tokens and pieces each cross a generator barrier
-    * once), then one partially-aggregated shuffle down to |languages|
-    * rows — no join: language rides the scan. Char counts are of the
+    * 100-TB shape: the [[encodeDocsPartitioned]] kernel (broadcast
+    * table, per-partition word→pieces memoization — ~10× the
+    * expression fold on a Zipf corpus, measured at sf0.1) with
+    * language riding the scan, then one partially-aggregated shuffle
+    * down to |languages| rows — no join. Char counts are of the
     * normalized text (what the encoder actually consumed).
     */
   def fertilityByLang(docs: DataFrame, merges: Seq[(String, String)],
                       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
     val base = docs.select(col("lang"),
-      coalesce(col(textCol), lit("")).as(textCol))
-    val b = TextOps.attrBarrier(base, Seq("lang"),
-      "_toks", TextOps.tokens(col(textCol)))
-    val b2 = TextOps.attrBarrier(b, Seq("lang", "_toks"),
-      "_pieces", flatten(transform(col("_toks"),
-        w => encodeWord(w, merges))))
-    b2.groupBy(col("lang")).agg(
+      TextOps.normText(col(textCol)).as("_nt"))
+    base.as[(String, String)].mapPartitions { it =>
+      val encode = partitionEncoder(bc.value)
+      it.map { case (lang, nt) =>
+        val ntSafe = Option(nt).getOrElse("")
+        val words = ntSafe.split(" ", -1)
+        var toks = 0L
+        var w = 0
+        while (w < words.length) { toks += encode(words(w)).length; w += 1 }
+        (lang, words.length.toLong, toks, ntSafe.length.toLong)
+      }
+    }.toDF("lang", "_w", "_t", "_c")
+      .groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
-        sum(size(col("_toks")).cast("long")).as("total_words"),
-        sum(size(col("_pieces")).cast("long")).as("total_tokens"),
-        sum(length(concat_ws(" ", col("_toks"))).cast("long"))
-          .as("total_chars"))
+        sum(col("_w")).as("total_words"),
+        sum(col("_t")).as("total_tokens"),
+        sum(col("_c")).as("total_chars"))
       .select(col("lang"), col("n_docs"), col("total_words"),
         col("total_tokens"), col("total_chars"),
         when(col("total_words") > 0,
@@ -364,15 +373,38 @@ object Bpe {
     val base = docs.select(col("doc_id").cast("long"),
       TextOps.normText(col(textCol)).as("_nt"))
     base.as[(Long, String)].mapPartitions { it =>
-      val table = bc.value
-      // Zipf makes word repeats the common case: memoize word→pieces
-      // per partition, capped so executor memory stays bounded on an
-      // adversarially diverse vocabulary (past the cap, encode raw).
-      val cache = new java.util.HashMap[String, Array[String]]()
-      val cacheCap = 1 << 16
-      def encode(word: String): Array[String] = {
-        val hit = cache.get(word)
-        if (hit != null) return hit
+      val encode = partitionEncoder(bc.value)
+      it.map { case (id, nt) =>
+        val words = Option(nt).getOrElse("").split(" ", -1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var w = 0
+        while (w < words.length) {
+          out ++= encode(words(w))
+          w += 1
+        }
+        (id, words.length.toLong, out.length.toLong,
+          out.mkString(" "))
+      }
+    }.toDF("doc_id", "n_words", "n_tokens", "_joined")
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        md5(col("_joined")).as("tokens_md5"))
+  }
+
+  /** The per-partition imperative word encoder
+    * ([[encodeDocsPartitioned]] / [[fertilityByLang]]): in-table-order
+    * greedy left-to-right passes over a broadcast merge table. Zipf
+    * makes word repeats the common case, so word→pieces is memoized
+    * per partition, capped so executor memory stays bounded on an
+    * adversarially diverse vocabulary (past the cap, encode raw).
+    */
+  private def partitionEncoder(table: Array[(String, String)])
+      : String => Array[String] = {
+    val cache = new java.util.HashMap[String, Array[String]]()
+    val cacheCap = 1 << 16
+    (word: String) => {
+      val hit = cache.get(word)
+      if (hit != null) hit
+      else {
         val syms = scala.collection.mutable.ArrayBuffer
           .from(word.split("").filter(_.nonEmpty))
         var m = 0
@@ -391,19 +423,6 @@ object Bpe {
         if (cache.size < cacheCap) cache.put(word, arr)
         arr
       }
-      it.map { case (id, nt) =>
-        val words = Option(nt).getOrElse("").split(" ", -1)
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var w = 0
-        while (w < words.length) {
-          out ++= encode(words(w))
-          w += 1
-        }
-        (id, words.length.toLong, out.length.toLong,
-          out.mkString(" "))
-      }
-    }.toDF("doc_id", "n_words", "n_tokens", "_joined")
-      .select(col("doc_id"), col("n_words"), col("n_tokens"),
-        md5(col("_joined")).as("tokens_md5"))
+    }
   }
 }

@@ -281,38 +281,98 @@ object Dedup {
     * n_truth_found / n_truth (null when the denominator is 0).
     *
     * Scale shape: signatures and shingles are computed once by the
-    * caller (pinned); per config one banded self-join and three
-    * single-row aggregates — the report costs |configs| candidate
-    * generations, each the same bounded shape as [[lshCandidatePairs]].
+    * caller (pinned); the sweep itself is ONE candidate generation at
+    * the finest config plus one verify pass — coarser configs are
+    * per-pair signature predicates (see the nesting argument inline),
+    * so adding a config to the sweep costs an expression, not a join.
+    * Configs must form a divisibility chain (2, 4, 8, ...).
     */
   def lshTuningReport(docShingles: DataFrame, sigs: DataFrame, k: Int,
                       bandConfigs: Seq[Int], threshold: Double,
                       truthPairs: DataFrame): DataFrame = {
-    require(bandConfigs.nonEmpty, "need at least one band configuration")
+    val cfgs = bandConfigs.distinct.sorted
+    require(cfgs.nonEmpty, "need at least one band configuration")
+    cfgs.foreach(b => require(k % b == 0, s"k=$k not divisible by $b"))
+    cfgs.sliding(2).foreach {
+      case Seq(a, b) => require(b % a == 0,
+        s"band configs must nest (each divides the next): $a, $b")
+      case _ => ()
+    }
+    // Nesting makes the sweep ONE pipeline, not |configs|: a pair
+    // agreeing on a coarse band agrees on every finer band inside it,
+    // so cand(coarse) ⊆ cand(finest) — generate candidates once at the
+    // finest config, and test coarser membership as a pure per-pair
+    // predicate over the joined signature columns (band j matches iff
+    // all its rows match). One banded self-join, one verify, one
+    // aggregate — the r11 rewrite took the sf0.1 sweep from 8.1 s
+    // (3 generations + 3 verifies) to ~2 s.
+    val finest = cfgs.last
     val truth = graft.std.Materialize.once(
       truthPairs.select(col("id_a"), col("id_b")))
     val nt = truth.agg(count(lit(1)).as("n_truth"))
-    val perConfig = bandConfigs.map { bands =>
-      val cands = graft.std.Materialize.once(
-        lshCandidatePairs(sigs, k, bands))
-      val nc = cands.agg(count(lit(1)).as("n_candidates"))
-      val nv = verifiedNearDups(cands, docShingles, threshold)
-        .agg(count(lit(1)).as("n_verified"))
-      val nf = cands.join(truth, Seq("id_a", "id_b"))
-        .agg(count(lit(1)).as("n_truth_found"))
-      nc.crossJoin(nv).crossJoin(nt).crossJoin(nf)
-        .select(lit(bands).as("bands"), lit(k / bands).as("rows_per_band"),
-          col("n_candidates"), col("n_verified"), col("n_truth"),
-          col("n_truth_found"))
+    val sigA = sigs.select(col("doc_id").as("id_a") +:
+      (0 until k).map(i => col(s"s$i").as(s"_a$i")): _*)
+    val sigB = sigs.select(col("doc_id").as("id_b") +:
+      (0 until k).map(i => col(s"s$i").as(s"_b$i")): _*)
+    def member(bands: Int): Column = {
+      val r = k / bands
+      (0 until bands).map { j =>
+        (0 until r).map(x => col(s"_a${j * r + x}") === col(s"_b${j * r + x}"))
+          .reduce(_ && _)
+      }.reduce(_ || _)
     }
-    perConfig.reduce(_ unionByName _)
-      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
-        col("n_verified"), col("n_truth"), col("n_truth_found"),
-        when(col("n_candidates") > 0,
-          round(col("n_verified").cast("double") /
-            col("n_candidates").cast("double"), 6)).as("pair_precision"),
+    // The verify flag runs on pre-distincted HASHED shingle sets, not
+    // the string arrays: the per-doc distinct+hash amortizes over all
+    // of a doc's pairs, the per-pair work is one long-array intersect,
+    // and |A∪B| = |A|+|B| − |A∩B| replaces the union-array build
+    // entirely (measured 8.1 s → ~3 s on the sf0.1 sweep, where the
+    // low-specificity finest config emits ~100k candidates — which is
+    // the finding, not a defect). The oracle hashes with the same md5
+    // lane, so even a hash collision cannot diverge the engines.
+    val hsh = docShingles.select(col("doc_id"),
+      array_distinct(transform(col("sh"),
+        s => TextOps.hash64(s))).as("_hsh"))
+    val hA = hsh.select(col("doc_id").as("id_a"), col("_hsh").as("_ha"),
+      size(col("_hsh")).as("_na"))
+    val hB = hsh.select(col("doc_id").as("id_b"), col("_hsh").as("_hb"),
+      size(col("_hsh")).as("_nb"))
+    val inter = size(array_intersect(col("_ha"), col("_hb")))
+    val denom = col("_na") + col("_nb") - inter
+    val flagged = lshCandidatePairs(sigs, k, finest)
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .join(hA, "id_a").join(hB, "id_b")
+      .join(truth.withColumn("_is_truth", lit(true)),
+        Seq("id_a", "id_b"), "left_outer")
+      .select(cfgs.map(b => member(b).as(s"_m_$b")) ++ Seq(
+        (when(denom > 0, round(inter.cast("double") /
+          denom.cast("double"), 6)) >= threshold).as("_v"),
+        coalesce(col("_is_truth"), lit(false)).as("_t")): _*)
+    val one = flagged.agg(
+      count(lit(1)).as("_all"),
+      cfgs.flatMap(b => Seq(
+        coalesce(sum(when(col(s"_m_$b"), 1L)), lit(0L)).as(s"_nc_$b"),
+        coalesce(sum(when(col(s"_m_$b") && col("_v"), 1L)), lit(0L))
+          .as(s"_nv_$b"),
+        coalesce(sum(when(col(s"_m_$b") && col("_t"), 1L)), lit(0L))
+          .as(s"_nf_$b"))): _*)
+    val entries = cfgs.map { b =>
+      struct(lit(b).as("bands"), lit(k / b).as("rows_per_band"),
+        col(s"_nc_$b").as("n_candidates"), col(s"_nv_$b").as("n_verified"),
+        col(s"_nf_$b").as("n_truth_found"))
+    }
+    one.crossJoin(nt)
+      .select(col("n_truth"), explode(array(entries: _*)).as("e"))
+      .select(col("e.bands").as("bands"),
+        col("e.rows_per_band").as("rows_per_band"),
+        col("e.n_candidates").as("n_candidates"),
+        col("e.n_verified").as("n_verified"),
+        col("n_truth"),
+        col("e.n_truth_found").as("n_truth_found"),
+        when(col("e.n_candidates") > 0,
+          round(col("e.n_verified").cast("double") /
+            col("e.n_candidates").cast("double"), 6)).as("pair_precision"),
         when(col("n_truth") > 0,
-          round(col("n_truth_found").cast("double") /
+          round(col("e.n_truth_found").cast("double") /
             col("n_truth").cast("double"), 6)).as("pair_recall"))
   }
 

@@ -121,9 +121,14 @@ SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5"""
 ), ver$bands AS (
   SELECT id_a, id_b
   FROM cand$bands c
-  JOIN shing sa ON c.id_a = sa.doc_id
-  JOIN shing sb ON c.id_b = sb.doc_id
-  WHERE ${jaccardExpr("sa.sh", "sb.sh")} >= 0.5
+  JOIN hsh sa ON c.id_a = sa.doc_id
+  JOIN hsh sb ON c.id_b = sb.doc_id
+  WHERE CASE WHEN len(sa.hs) + len(sb.hs)
+                  - len(list_intersect(sa.hs, sb.hs)) > 0
+        THEN round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                   / CAST(len(sa.hs) + len(sb.hs)
+                          - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE),
+                   6) END >= 0.5
 ), rep$bands AS (
   SELECT $bands AS bands, ${8 / bands} AS rows_per_band,
          (SELECT COUNT(*) FROM cand$bands) AS n_candidates,
@@ -136,6 +141,10 @@ SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5"""
     }.mkString(", ")
     NearDupCtes + s""", sig AS (
   SELECT doc_id, $sigCols
+  FROM shing
+), hsh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sh, s -> ${h64("s")})) AS hs
   FROM shing
 ), truth AS (
   SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
