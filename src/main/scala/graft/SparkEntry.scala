@@ -150,6 +150,7 @@ object SparkEntry {
     "t49_repeated_ngrams" -> ExtQueries.repeatedNgrams _,
     "t50_lsh_tuning" -> ExtQueries.lshTuning _,
     "t51_bpe_fertility" -> ExtQueries.bpeFertility _,
+    "t52_dsir_weights" -> ExtQueries.dsirWeights _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -343,6 +344,7 @@ object SparkEntry {
     "t49_repeated_ngrams" -> ExtOracleSql.t49RepeatedNgrams,
     "t50_lsh_tuning" -> ExtOracleSql.t50LshTuning,
     "t51_bpe_fertility" -> ExtOracleSql.t51BpeFertility,
+    "t52_dsir_weights" -> ExtOracleSql.t52DsirWeights,
     "x19_bloom_join" -> ExtOracleSql.x19BloomJoin,
     "x20_pagerank" -> ExtOracleSql.x20PageRank,
     "x30_hits" -> ExtOracleSql.x30Hits,

@@ -3099,4 +3099,51 @@ SELECT lang, n_docs, total_words, total_tokens, total_chars,
                        / CAST(total_tokens AS DOUBLE), 6) END
          AS chars_per_token
 FROM s"""
+
+  /** t52: DSIR importance weights — hashed unigram+bigram bag models
+    * (1024 buckets, add-1 smoothing) for the src0-src3 target slice vs
+    * the candidate pool; per-doc average log-likelihood ratio, 9 dp
+    * `ln` grain, DECIMAL term sums, top 100 by (weight DESC, doc_id).
+    */
+  val t52DsirWeights: String = s"""WITH t AS (
+  SELECT doc_id, source, string_split($Norm, ' ') AS toks FROM documents
+), ng AS (
+  SELECT doc_id, source,
+         unnest(list_concat(toks,
+           CASE WHEN len(toks) >= 2
+             THEN list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])
+             ELSE CAST([] AS VARCHAR[]) END)) AS ng
+  FROM t
+), feat AS (
+  SELECT doc_id, source, ${h64("ng")} % 1024 AS b, COUNT(*) AS cnt
+  FROM ng GROUP BY 1, 2, 3
+), tgt AS (
+  SELECT b, SUM(cnt) AS ct FROM feat
+  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1
+), tn AS (
+  SELECT COALESCE(SUM(ct), 0) AS nt FROM tgt
+), rawb AS (
+  SELECT b, SUM(cnt) AS cr FROM feat
+  WHERE source NOT IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1
+), rn AS (
+  SELECT SUM(cr) AS nr FROM rawb
+), lam AS (
+  SELECT b,
+         CAST(round(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(nt + 1024 AS DOUBLE)), 9)
+              AS DECIMAL(28,9))
+       - CAST(round(ln(CAST(cr + 1 AS DOUBLE)
+                       / CAST(nr + 1024 AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS lam
+  FROM rawb LEFT JOIN tgt USING (b) CROSS JOIN tn CROSS JOIN rn
+)
+SELECT doc_id, source, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+       round(CAST(SUM(lam * CAST(cnt AS DECIMAL(9,0))) AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE), 6) AS dsir_weight
+FROM feat JOIN lam USING (b)
+WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')
+GROUP BY 1, 2
+ORDER BY dsir_weight DESC, doc_id
+LIMIT 100"""
 }

@@ -1299,6 +1299,21 @@ object ExtQueries {
       spread(nearDupCorpus(Tables.documents(spark, sfDir))))
   }
 
+  /** DSIR importance weights (t52): candidate docs scored by the
+    * hashed-n-gram log-likelihood ratio of a 4-source "target" slice
+    * vs the remaining 16-source candidate pool; top 100 by weight.
+    * Production swaps the source predicate for a real curated target
+    * corpus — nothing else changes.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.dsirWeights(spread(Tables.documents(spark, sfDir)),
+      DsirTargetSources)
+  }
+
+  /** The t52 demo "target domain": a fixed 4-of-20 source slice. */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
   /** Robust (median/MAD) per-priority order-value outliers (x26). */
   def robustOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

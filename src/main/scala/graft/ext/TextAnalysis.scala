@@ -1414,4 +1414,76 @@ object TextAnalysis {
           round(coalesce(col("_rep"), lit(0L)).cast("double") /
             col("n_windows").cast("double"), 6)).as("repeated_frac"))
   }
+
+  /** DSIR-style importance weighting (t52): score every candidate
+    * document by how much more likely its hashed-n-gram profile is
+    * under a small TARGET corpus than under the candidate pool — the
+    * "Data Selection via Importance Resampling" recipe (Xie et al.,
+    * NeurIPS 2023): features are unigram+bigram counts hashed into `b`
+    * buckets, both corpora fit add-1-smoothed bag-of-buckets models,
+    * and a document's weight is the average per-n-gram log-likelihood
+    * ratio. High weight = looks like the target domain; the selection
+    * step is then "keep the top mass by weight" (the report returns
+    * the top 100 with a total deterministic order).
+    *
+    * 100 TB shape: the per-doc bucket-count frame is the single
+    * corpus-sized shuffle (map-side combined; ≤ `b` rows per doc);
+    * both corpus models roll up from it to ≤ `b` rows, the log-ratio
+    * table broadcasts, and scoring is one partial-aggregated rollup
+    * keyed by doc. Nothing corpus-sized crosses the wire twice and no
+    * text leaves the scan — n-grams travel as bucket ids.
+    *
+    * Determinism is t25's discipline: each `ln` rounds to 9 dp, the
+    * two model terms subtract as DECIMAL(28,9) (exact), per-doc sums
+    * run in DECIMAL, and the final average rounds to 6 dp. Ties in
+    * the top-100 cut break by `doc_id`.
+    */
+  def dsirWeights(docs: DataFrame, targetSources: Seq[String],
+                  buckets: Int = 1024, topK: Int = 100,
+                  textCol: String = "text"): DataFrame = {
+    val b = lit(buckets)
+    val base = TextOps.attrBarrier(
+      docs.select(col("doc_id"), col("source"), col(textCol)),
+      Seq("doc_id", "source"), "_toks", TextOps.tokens(col(textCol)))
+    val bigrams = when(size(col("_toks")) >= 2,
+      transform(sequence(lit(1), size(col("_toks")) - 1),
+        i => concat(element_at(col("_toks"), i), lit(" "),
+          element_at(col("_toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // the one corpus-sized frame: (doc, bucket) counts, ≤ `buckets`
+    // rows per doc; feeds both corpus models and the scoring rollup
+    val feat = graft.std.Materialize.once(base
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("_toks"), bigrams)).as("_ng"))
+      .select(col("doc_id"), col("source"),
+        (TextOps.hash64(col("_ng")) % b).as("_b"))
+      .groupBy(col("doc_id"), col("source"), col("_b"))
+      .agg(count(lit(1)).as("_cnt")))
+    val isTarget = col("source").isin(targetSources: _*)
+    val tgt = feat.filter(isTarget)
+      .groupBy(col("_b")).agg(sum(col("_cnt")).as("_ct"))
+    val nt = tgt.agg(coalesce(sum(col("_ct")), lit(0L)).as("_nt"))
+    val raw = feat.filter(!isTarget)
+      .groupBy(col("_b")).agg(sum(col("_cnt")).as("_cr"))
+    val nr = raw.agg(sum(col("_cr")).as("_nr"))
+    // ≤ `buckets` rows: candidate-pool buckets left-joined to the
+    // target model (absent target bucket → count 0, add-1 smoothed)
+    val lam = raw.join(tgt, Seq("_b"), "left_outer")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("_b"),
+        (round(log((coalesce(col("_ct"), lit(0L)) + 1).cast("double") /
+          (col("_nt") + b).cast("double")), 9).cast("decimal(28,9)") -
+          round(log((col("_cr") + 1).cast("double") /
+            (col("_nr") + b).cast("double")), 9).cast("decimal(28,9)"))
+          .as("_lam"))
+    feat.filter(!isTarget)
+      .join(broadcast(lam), Seq("_b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("_cnt")).as("n_ngrams"),
+        round(sum(col("_lam") * col("_cnt").cast("decimal(9,0)"))
+          .cast("double") / sum(col("_cnt")).cast("double"), 6)
+          .as("dsir_weight"))
+      .orderBy(col("dsir_weight").desc, col("doc_id"))
+      .limit(topK)
+  }
 }
