@@ -766,6 +766,53 @@ FROM nodes CROSS JOIN sums
 LEFT JOIN a2 ON nodes.node = a2.node
 LEFT JOIN h2 ON nodes.node = h2.node"""
 
+  /** x31: triangles + clustering coefficient. The oracle orients the
+    * undirected edge set by plain node id (u < v) and enumerates each
+    * triangle once as a < b < c — a DIFFERENT orientation than the
+    * Spark side's degree order, which is the point: any total order
+    * yields the same triangle set, so count equality cross-checks the
+    * algorithm, not the implementation. Counts are exact integers;
+    * lcc rides the x20 fixed-point discipline (truncating `//`,
+    * HUGEINT products CAST back to BIGINT).
+    */
+  val x31Triangles: String = """WITH seq AS (
+  SELECT l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e
+), deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY 1
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+), pern AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.node, deg.degree,
+       COALESCE(pern.t, 0) AS triangles,
+       CAST(CASE WHEN deg.degree >= 2
+            THEN CAST(COALESCE(pern.t, 0) AS HUGEINT) * 2000000000
+                 // (deg.degree * (deg.degree - 1))
+            ELSE 0 END AS BIGINT) AS lcc_e9,
+       CAST(CAST(CASE WHEN deg.degree >= 2
+            THEN CAST(COALESCE(pern.t, 0) AS HUGEINT) * 2000000000
+                 // (deg.degree * (deg.degree - 1))
+            ELSE 0 END AS BIGINT) AS DOUBLE) / 1000000000.0 AS lcc
+FROM deg LEFT JOIN pern ON deg.node = pern.node"""
+
   /** x21: incremental rollup — the oracle recomputes from scratch;
     * equality proves the state+delta merge timeline exact. DECIMAL
     * sums make both engines' totals order-free.

@@ -1147,6 +1147,25 @@ object ExtQueries {
     Graph.hits(edges, iterations = 2)
   }
 
+  /** Triangle counts + local clustering coefficients over the same
+    * co-purchase graph as x20/x30 (x31), direction dropped: a part's
+    * coefficient measures how often its "bought-adjacent" partners are
+    * also bought adjacent to EACH OTHER — community tightness, the
+    * local-density axis the global rankers don't see. Degree-ordered
+    * orientation keeps the wedge join O(m^1.5) (see
+    * [[Graph.triangleStats]]).
+    */
+  def triangleStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    Graph.triangleStats(edges)
+  }
+
   /** Incremental rollup maintenance (x21): the order-value summary by
     * (priority, status), maintained as history-state + 1998 delta
     * batch — the merge path whose cost is O(batch + keys). The oracle

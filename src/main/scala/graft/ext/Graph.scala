@@ -159,4 +159,93 @@ object Graph {
         (col("auth_e9").cast("double") / lit(1e9)).as("auth"),
         (col("hub_e9").cast("double") / lit(1e9)).as("hub"))
   }
+
+  /** Per-node triangle counts and local clustering coefficients over
+    * an UNDIRECTED view of the edge list (direction, duplicates, and
+    * self-loops are dropped) — the local-density companion to
+    * [[pageRank]]/[[hits]]'s global importance: a high-coefficient
+    * node sits in a tight community (parts always bought as a set, a
+    * link farm in a crawl graph); a high-degree low-coefficient node
+    * is a broker between communities.
+    *
+    * 100 TB shape — degree-ordered orientation, the standard
+    * O(m^1.5) bound: every undirected edge is oriented from its
+    * lower-(degree, id) endpoint to the higher, so each node's
+    * oriented OUT-degree is at most O(sqrt m) regardless of how
+    * skewed the raw degree distribution is (a 10^7-degree celebrity
+    * vertex contributes no wedges from its own row — its edges point
+    * INTO it). Wedges are the self-join of the oriented list on the
+    * low endpoint, closure is one hash join of the wedge frame back
+    * to the oriented list, and per-node counts are an explode +
+    * partial-agg sum. Three shuffles total, all on node keys; nothing
+    * driver-side, no iteration.
+    *
+    * Determinism: counts are exact integers (identical in any
+    * engine); the clustering coefficient lcc = 2·T(v) / (deg·(deg−1))
+    * runs in 1e-9 fixed point with the truncating `div` both engines
+    * share (the [[pageRank]] discipline), so the doubles derive from
+    * identical longs. Orientation order does not affect the result —
+    * any total order enumerates each triangle exactly once, so the
+    * oracle may orient by plain node id while this side orients by
+    * degree; only the COUNTS are compared.
+    *
+    * Returns (node, degree, triangles, lcc_e9, lcc); nodes with
+    * degree < 2 have lcc 0 by convention.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = graft.std.Materialize.once(
+      edges.select(
+          least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull &&
+          col("u") =!= col("v"))
+        .distinct())
+    val deg = graft.std.Materialize.once(
+      und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree")))
+    // orient u--v from lower (degree, id) to higher; carry the high
+    // endpoint's degree so the wedge join can order b vs c without
+    // another degree lookup
+    val oriented = graft.std.Materialize.once(
+      und
+        .join(deg.select(col("node").as("u"), col("degree").as("_du")),
+          Seq("u"))
+        .join(deg.select(col("node").as("v"), col("degree").as("_dv")),
+          Seq("v"))
+        .select(
+          when(col("_du") < col("_dv") ||
+            (col("_du") === col("_dv") && col("u") < col("v")),
+            col("u")).otherwise(col("v")).as("lo"),
+          when(col("_du") < col("_dv") ||
+            (col("_du") === col("_dv") && col("u") < col("v")),
+            col("v")).otherwise(col("u")).as("hi"),
+          greatest(col("_du"), col("_dv")).as("_dhi")))
+    // wedge (lo -> b, lo -> c) with b < c in the same (degree, id)
+    // order; the closing edge, if present, is then exactly b -> c in
+    // the oriented list
+    val e1 = oriented.select(col("lo"), col("hi").as("b"),
+      col("_dhi").as("_db"))
+    val e2 = oriented.select(col("lo"), col("hi").as("c"),
+      col("_dhi").as("_dc"))
+    val wedges = e1.join(e2, Seq("lo"))
+      .filter(col("_db") < col("_dc") ||
+        (col("_db") === col("_dc") && col("b") < col("c")))
+    val triangles = wedges.join(
+      oriented.select(col("lo").as("b"), col("hi").as("c")),
+      Seq("b", "c"))
+    val perNode = triangles
+      .select(explode(array(col("lo"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("_t"))
+    deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        expr("coalesce(_t, 0L)").as("triangles"),
+        expr("CAST(CASE WHEN degree >= 2 THEN " +
+          "CAST(coalesce(_t, 0L) AS DECIMAL(38,0)) * 2000000000 " +
+          "div (degree * (degree - 1)) ELSE 0 END AS BIGINT)")
+          .as("lcc_e9"))
+      .select(col("node"), col("degree"), col("triangles"),
+        col("lcc_e9"),
+        (col("lcc_e9").cast("double") / lit(1e9)).as("lcc"))
+  }
 }

@@ -93,4 +93,68 @@ class GraphSpec extends AnyFunSuite {
     graft.std.Materialize.releaseAll()
     assert(err.getMessage.contains("overflow"))
   }
+
+  test("triangles: K4 — every node in 3 triangles, lcc exactly 1") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    val r = Graph.triangleStats(edges).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3)))).toMap
+    graft.std.Materialize.releaseAll()
+    assert(r.size == 4)
+    r.values.foreach { case (deg, tri, lcc) =>
+      assert(deg == 3L && tri == 3L && lcc == 1000000000L)
+    }
+  }
+
+  test("triangles: a triangle with a pendant — broker vs community") {
+    // 1-2-3 closed, 4 hangs off 1: node 1 has degree 3 but only the
+    // one triangle -> lcc = 2*1/(3*2) = 1/3 (fixed-point truncated)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.triangleStats(edges).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3)))).toMap
+    graft.std.Materialize.releaseAll()
+    assert(r(1L) == ((3L, 1L, 333333333L)))
+    assert(r(2L) == ((2L, 1L, 1000000000L)))
+    assert(r(3L) == ((2L, 1L, 1000000000L)))
+    assert(r(4L) == ((1L, 0L, 0L))) // degree < 2: lcc 0 by convention
+  }
+
+  test("triangles: direction, duplicates, and self-loops are ignored") {
+    // same triangle written three ways + noise edges
+    val dirty = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (3L, 1L)).toDF("src", "dst")
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val a = Graph.triangleStats(dirty).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val b = Graph.triangleStats(clean).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    graft.std.Materialize.releaseAll()
+    assert(a == b)
+  }
+
+  test("triangles: triangle-free graphs count zero; empty stays empty") {
+    // a path and a star: plenty of wedges, no closures
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.triangleStats(path).collect()
+    assert(r.length == 4 && r.forall(x => x.getLong(2) == 0L))
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.triangleStats(empty).collect().isEmpty)
+    graft.std.Materialize.releaseAll()
+  }
+
+  test("triangles: skew — a celebrity hub plus one closed pair") {
+    // node 0 connects to 1..100; only (1,2) closes. Degree order
+    // orients every hub edge INTO node 0, so the hub contributes no
+    // wedges from its own adjacency — the O(m^1.5) guarantee the
+    // scaladoc claims. Counts: exactly one triangle {0,1,2}.
+    val hub = (1L to 100L).map(i => (0L, i)) :+ ((1L, 2L))
+    val r = Graph.triangleStats(hub.toDF("src", "dst")).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    graft.std.Materialize.releaseAll()
+    assert(r(0L) == 1L && r(1L) == 1L && r(2L) == 1L)
+    assert((3L to 100L).forall(r(_) == 0L))
+  }
 }
