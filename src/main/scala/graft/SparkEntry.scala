@@ -151,6 +151,7 @@ object SparkEntry {
     "t50_lsh_tuning" -> ExtQueries.lshTuning _,
     "t51_bpe_fertility" -> ExtQueries.bpeFertility _,
     "t52_dsir_weights" -> ExtQueries.dsirWeights _,
+    "t53_source_overlap" -> ExtQueries.sourceOverlap _,
     "s1_cosine_topk" -> ExtQueries.cosineTopK _,
     "s2_embedding_near_dups" -> ExtQueries.embeddingNearDups _,
     "s3_lang_centroids" -> ExtQueries.langCentroids _,
@@ -346,6 +347,7 @@ object SparkEntry {
     "t50_lsh_tuning" -> ExtOracleSql.t50LshTuning,
     "t51_bpe_fertility" -> ExtOracleSql.t51BpeFertility,
     "t52_dsir_weights" -> ExtOracleSql.t52DsirWeights,
+    "t53_source_overlap" -> ExtOracleSql.t53SourceOverlap,
     "x19_bloom_join" -> ExtOracleSql.x19BloomJoin,
     "x20_pagerank" -> ExtOracleSql.x20PageRank,
     "x30_hits" -> ExtOracleSql.x30Hits,

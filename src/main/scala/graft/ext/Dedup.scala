@@ -30,6 +30,61 @@ object Dedup {
     docs.groupBy(md5(TextOps.normText(col(textCol))).as("group_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
 
+  /** Cross-source duplicate-overlap matrix (t53): for every unordered
+    * source pair, how much exact-duplicate content the two sources
+    * share — the pre-mixing diagnostic that tells a curation pipeline
+    * which source pairs are redundant (a high-overlap pair double-
+    * counts its content in the mixture; dedup-then-mix vs mix-then-
+    * dedup changes their effective weights). Emits one row per pair
+    * `source_a < source_b` — ZERO-overlap pairs included, because "these
+    * two crawls are disjoint" is exactly what the report is for.
+    *
+    * 100-TB shape: each source collapses to its DISTINCT digest set
+    * first (one shuffle on the 128-bit digest, text never moves), so
+    * the overlap self-join carries (source, digest) pairs only and a
+    * digest's bucket holds at most one row PER SOURCE — per-key join
+    * fan-out is bounded by the source count, not by how many times a
+    * popular document repeats. The pair skeleton is the tiny
+    * per-source count frame crossed with itself (|sources|² rows,
+    * broadcast), so zero-overlap pairs cost nothing.
+    *
+    * Determinism: counts are exact integers; `jaccard` and
+    * `overlap_coeff` are single IEEE divisions of those integers —
+    * no rounding step exists to disagree about.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String = "text",
+                    sourceCol: String = "source"): DataFrame = {
+    val digests = graft.std.Materialize.once(
+      docs.filter(col(sourceCol).isNotNull)
+        .select(col(sourceCol).as("source"),
+          md5(TextOps.normText(coalesce(col(textCol), lit(""))))
+            .as("_digest"))
+        .distinct())
+    val counts = graft.std.Materialize.once(
+      digests.groupBy("source").agg(count(lit(1)).as("n_digests")))
+    val pairs = counts
+      .select(col("source").as("source_a"),
+        col("n_digests").as("n_digests_a"))
+      .join(counts.select(col("source").as("source_b"),
+        col("n_digests").as("n_digests_b")),
+        col("source_a") < col("source_b"))
+    val shared = digests
+      .select(col("source").as("source_a"), col("_digest"))
+      .join(digests.select(col("source").as("source_b"), col("_digest")),
+        Seq("_digest"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("_ns"))
+    pairs.join(shared, Seq("source_a", "source_b"), "left_outer")
+      .select(col("source_a"), col("source_b"),
+        col("n_digests_a"), col("n_digests_b"),
+        expr("coalesce(_ns, 0L)").as("n_shared"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_digests_a") + col("n_digests_b") - col("n_shared"))
+          .cast("double"))
+      .withColumn("overlap_coeff", col("n_shared").cast("double") /
+        least(col("n_digests_a"), col("n_digests_b")).cast("double"))
+  }
+
   /** Corpus SNAPSHOT DIFF (t37) — the dataset-versioning delta between
     * two corpus versions: per doc_id, `added` / `removed` / `changed` /
     * `unchanged`, with both content digests. The audit artifact a

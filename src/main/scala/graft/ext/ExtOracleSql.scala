@@ -35,6 +35,46 @@ SELECT md5($Norm) AS group_hash,
        COUNT(*) AS n_copies, MIN(doc_id) AS keeper
 FROM corpus GROUP BY 1"""
 
+  /** t53: cross-source overlap matrix over the source-rotated mirror
+    * corpus (every 5th doc re-attributed to the source +7 mod 20).
+    * Counts are exact set sizes; the ratio columns are single IEEE
+    * divisions of those exact integers — no rounding step, identical
+    * bits on both engines.
+    */
+  val t53SourceOverlap: String = s"""WITH corpus AS (
+  SELECT COALESCE(text, '') AS text, source FROM documents
+  UNION ALL
+  SELECT COALESCE(text, '') AS text,
+         'src' || CAST((CAST(substr(source, 4) AS INTEGER) + 7) % 20
+                       AS VARCHAR) AS source
+  FROM documents WHERE doc_id % 5 = 0
+), d AS (
+  SELECT DISTINCT source, md5($Norm) AS h
+  FROM corpus WHERE source IS NOT NULL
+), counts AS (
+  SELECT source, COUNT(*) AS n FROM d GROUP BY 1
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.n AS n_digests_a, b.n AS n_digests_b
+  FROM counts a JOIN counts b ON a.source < b.source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS ns
+  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT pairs.source_a, pairs.source_b,
+       pairs.n_digests_a, pairs.n_digests_b,
+       COALESCE(shared.ns, 0) AS n_shared,
+       CAST(COALESCE(shared.ns, 0) AS DOUBLE) /
+         CAST(pairs.n_digests_a + pairs.n_digests_b
+              - COALESCE(shared.ns, 0) AS DOUBLE) AS jaccard,
+       CAST(COALESCE(shared.ns, 0) AS DOUBLE) /
+         CAST(LEAST(pairs.n_digests_a, pairs.n_digests_b) AS DOUBLE)
+         AS overlap_coeff
+FROM pairs LEFT JOIN shared
+  ON pairs.source_a = shared.source_a
+ AND pairs.source_b = shared.source_b"""
+
   /** Shared near-dup corpus + shingles (mirrors ExtQueries.nearDupCorpus:
     * normalized text, every 13th token dropped in the +100000 copies).
     */

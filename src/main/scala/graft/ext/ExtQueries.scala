@@ -60,6 +60,24 @@ object ExtQueries {
     Dedup.exactGroups(exactDupCorpus(Tables.documents(spark, sfDir)))
   }
 
+  /** Cross-source overlap matrix (t53) over a corpus where every 5th
+    * doc is mirrored into the source SEVEN positions over (mod 20) —
+    * the synthetic corpus has no natural cross-source duplication, so
+    * the mirror manufactures it deterministically on both dialects
+    * (the d1 corpus trick, source-rotated). See [[Dedup.sourceOverlap]].
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val mirrored = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"),
+        concat(lit("src"),
+          ((substring(col("source"), 4, 10).cast("int") + 7) % 20)
+            .cast("string")).as("source"))
+    Dedup.sourceOverlap(docs.unionByName(mirrored))
+  }
+
   /** [[TextOps.spreadByKey]] — kept as a local alias for the hash-heavy
     * query bodies below. (For the MinHash path the exchange additionally
     * pre-partitions on the signature groupBy's key, so when it fires it

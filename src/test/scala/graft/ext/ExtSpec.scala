@@ -24,6 +24,26 @@ class ExtSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("sourceOverlap: shared digests, zero pairs, within-source dups") {
+    // s1: {a, b, c}; s2: {a, b} (plus "A  b" normalizing into b — the
+    // within-source dup must NOT inflate the distinct set); s3: {z}
+    val docs = Seq(
+      ("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s2", "a"), ("s2", "b"), ("s2", " A "), ("s3", "z"))
+      .toDF("source", "text")
+    val r = Dedup.sourceOverlap(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5),
+          x.getDouble(6)))).toMap
+    graft.std.Materialize.releaseAll()
+    assert(r.size == 3) // all pairs, including both zero-overlap ones
+    // " A " normalizes to "a": s2 still has 2 distinct digests, and
+    // shared(s1,s2) = {a, b} = 2; jaccard 2/(3+2-2), overlap 2/min(3,2)
+    assert(r(("s1", "s2")) == ((3L, 2L, 2L, 2.0 / 3.0, 1.0)))
+    assert(r(("s1", "s3")) == ((3L, 1L, 0L, 0.0, 0.0)))
+    assert(r(("s2", "s3")) == ((2L, 1L, 0L, 0.0, 0.0)))
+  }
+
   test("MinHash LSH recall on injected near-dup pairs (probabilistic, ≥90%)") {
     val pairs = ExtQueries.minHashLshPairs(spark, sfDir)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
