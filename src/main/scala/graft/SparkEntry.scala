@@ -203,6 +203,7 @@ object SparkEntry {
     "x20_pagerank" -> ExtQueries.pageRank _,
     "x30_hits" -> ExtQueries.hitsScores _,
     "x31_triangles" -> ExtQueries.triangleStats _,
+    "x32_concurrency" -> ExtQueries.concurrency _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -352,6 +353,7 @@ object SparkEntry {
     "x20_pagerank" -> ExtOracleSql.x20PageRank,
     "x30_hits" -> ExtOracleSql.x30Hits,
     "x31_triangles" -> ExtOracleSql.x31Triangles,
+    "x32_concurrency" -> ExtOracleSql.x32Concurrency,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

@@ -2733,6 +2733,42 @@ SELECT MIN(ts) AS session_start,
        user_id, COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value
 FROM s GROUP BY user_id, sess"""
 
+  /** x32: hourly concurrency curve over the w3 session intervals. The
+    * oracle runs the textbook FLAT global window (fine at oracle
+    * scale); the Spark side decomposes it into per-hour windows plus a
+    * bucket-offset frame — equality proves the decomposition exact.
+    * Ordering ties merge as RANGE-frame peers (both engines' default),
+    * so the curve is order-free; running sums ride HUGEINT in DuckDB
+    * and CAST back to BIGINT (the x20 discipline).
+    */
+  val x32Concurrency: String = """WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+), sess_iv AS (
+  SELECT MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL '5 minutes' AS session_end
+  FROM s GROUP BY user_id, sess
+), b AS (
+  SELECT session_start AS ts, CAST(1 AS BIGINT) AS delta FROM sess_iv
+  UNION ALL
+  SELECT session_end AS ts, CAST(-1 AS BIGINT) AS delta FROM sess_iv
+), r AS (
+  SELECT ts, SUM(delta) OVER (ORDER BY ts, delta) AS running FROM b
+)
+SELECT date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_boundaries,
+       CAST(MIN(running) AS BIGINT) AS min_concurrent,
+       CAST(MAX(running) AS BIGINT) AS max_concurrent
+FROM r GROUP BY 1"""
+
   /** t34: the t15 email/URL injection plus the extended shapes (IP,
     * phone, SSN-shaped id) on every 6th doc; counts on the raw text,
     * digest of the sequentially redacted text in the Spark side's

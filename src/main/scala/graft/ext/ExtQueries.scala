@@ -1687,6 +1687,31 @@ object ExtQueries {
     StreamingOps.userSessions(Tables.events(spark, sfDir))
   }
 
+  /** Hourly session-concurrency curve (x32): sweep-line over the w3
+    * session intervals — +1 at each session start, −1 at each end
+    * (end-exclusive: at an equal instant the −1 sorts first), global
+    * running sum via [[graft.std.PrefixSum.runningSum]] bucketed by
+    * hour, then per-hour min/max of the curve. The load-profile query
+    * every capacity planner runs, built WITHOUT the single-partition
+    * global window it naively requires: the only global sort touches
+    * one row per hour.
+    */
+  def concurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val s = StreamingOps.userSessions(Tables.events(spark, sfDir))
+    val bounds = s.select(col("session_start").as("ts"),
+        lit(1L).as("delta"))
+      .unionAll(s.select(col("session_end").as("ts"),
+        lit(-1L).as("delta")))
+    graft.std.PrefixSum.runningSum(bounds,
+        date_trunc("hour", col("ts")), Seq(col("ts"), col("delta")),
+        col("delta"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_boundaries"),
+        min(col("running")).as("min_concurrent"),
+        max(col("running")).as("max_concurrent"))
+  }
+
   /** Conversion funnel over the event stream (w4). */
   def clickFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
