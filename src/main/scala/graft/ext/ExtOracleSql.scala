@@ -806,6 +806,67 @@ FROM nodes CROSS JOIN sums
 LEFT JOIN a2 ON nodes.node = a2.node
 LEFT JOIN h2 ON nodes.node = h2.node"""
 
+  /** x33: personalized PageRank (TrustRank), 3 unrolled iterations in
+    * the x20 fixed-point discipline. The teleport term exists only on
+    * seed rows (`p_size = 1` parts present in the graph); seedBase =
+    * 150 · (1e9 // nSeed) // 1000 mirrors the Spark side's exact-long
+    * driver arithmetic, and every division is the truncating `//` on
+    * positive operands. Outputs CAST to BIGINT (HUGEINT discipline).
+    */
+  val x33TrustRank: String = """WITH seq AS (
+  SELECT l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), nodes0 AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nodes AS (
+  SELECT nodes0.node,
+         CASE WHEN p.p_partkey IS NULL THEN 0 ELSE 1 END AS seed
+  FROM nodes0 LEFT JOIN (
+    SELECT DISTINCT p_partkey FROM part WHERE p_size = 1
+  ) p ON nodes0.node = p.p_partkey
+), ns AS (SELECT SUM(seed) AS n FROM nodes),
+consts AS (
+  SELECT 1000000000 // n AS seed_rank,
+         150 * (1000000000 // n) // 1000 AS seed_base
+  FROM ns
+),
+outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
+r0 AS (
+  SELECT node, seed * seed_rank AS rank_e9 FROM nodes CROSS JOIN consts
+), c1 AS (
+  SELECT e.dst AS node, r0.rank_e9 // outdeg.odeg AS c
+  FROM e JOIN r0 ON e.src = r0.node JOIN outdeg ON e.src = outdeg.src
+), s1 AS (SELECT node, SUM(c) AS s FROM c1 GROUP BY 1),
+r1 AS (
+  SELECT nodes.node,
+         nodes.seed * seed_base + COALESCE(s1.s, 0) * 850 // 1000
+           AS rank_e9
+  FROM nodes CROSS JOIN consts LEFT JOIN s1 ON nodes.node = s1.node
+), c2 AS (
+  SELECT e.dst AS node, r1.rank_e9 // outdeg.odeg AS c
+  FROM e JOIN r1 ON e.src = r1.node JOIN outdeg ON e.src = outdeg.src
+), s2 AS (SELECT node, SUM(c) AS s FROM c2 GROUP BY 1),
+r2 AS (
+  SELECT nodes.node,
+         nodes.seed * seed_base + COALESCE(s2.s, 0) * 850 // 1000
+           AS rank_e9
+  FROM nodes CROSS JOIN consts LEFT JOIN s2 ON nodes.node = s2.node
+), c3 AS (
+  SELECT e.dst AS node, r2.rank_e9 // outdeg.odeg AS c
+  FROM e JOIN r2 ON e.src = r2.node JOIN outdeg ON e.src = outdeg.src
+), s3 AS (SELECT node, SUM(c) AS s FROM c3 GROUP BY 1)
+SELECT nodes.node,
+       CAST(nodes.seed * seed_base + COALESCE(s3.s, 0) * 850 // 1000
+            AS BIGINT) AS rank_e9,
+       CAST(nodes.seed * seed_base + COALESCE(s3.s, 0) * 850 // 1000
+            AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS rank
+FROM nodes CROSS JOIN consts LEFT JOIN s3 ON nodes.node = s3.node"""
+
   /** x31: triangles + clustering coefficient. The oracle orients the
     * undirected edge set by plain node id (u < v) and enumerates each
     * triangle once as a < b < c — a DIFFERENT orientation than the

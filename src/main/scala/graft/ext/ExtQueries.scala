@@ -1184,6 +1184,27 @@ object ExtQueries {
     Graph.triangleStats(edges)
   }
 
+  /** TrustRank over the co-purchase graph (x33): personalized PageRank
+    * with teleport restricted to the `p_size = 1` parts — rank = trust
+    * propagated outward from the seed slice through "bought next"
+    * edges; unreachable parts score exactly 0 (see
+    * [[Graph.personalizedPageRank]]).
+    */
+  def trustRank(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val seeds = Tables.part(spark, sfDir)
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey").as("node"))
+    Graph.personalizedPageRank(edges, seeds, iterations = 3,
+      dampingPerMille = 850)
+  }
+
   /** Incremental rollup maintenance (x21): the order-value summary by
     * (priority, status), maintained as history-state + 1998 delta
     * batch — the merge path whose cost is O(batch + keys). The oracle

@@ -87,6 +87,75 @@ object Graph {
       (col("rank_e9").cast("double") / lit(U.toDouble)).as("rank"))
   }
 
+  /** Personalized PageRank (TrustRank shape): teleport mass is
+    * restricted to a SEED set instead of spread uniformly — rank flows
+    * outward from the seeds, so a node scores high only if it is
+    * reachable from trusted sources in few hops. The crawl-curation
+    * scorer (seed trusted domains, rank the frontier by propagated
+    * trust) and the related-items scorer (seed one basket, rank the
+    * catalog by proximity).
+    *
+    * Same Pregel-as-joins / fixed-point discipline as [[pageRank]] —
+    * exact longs in 1e-9 units, truncating division everywhere — plus
+    * one twist: the per-node teleport term is `seedBase` for seed
+    * nodes and ZERO elsewhere, where seedBase =
+    * `(1000−d) · (U div nSeed) div 1000` is computed driver-side in
+    * exact long arithmetic (nSeed = seeds present in the graph; seeds
+    * pointing nowhere in the edge list are dropped with the rest of
+    * the isolated vertices). Iteration 0 starts AT the teleport
+    * distribution (U div nSeed on seeds), the standard PPR seed.
+    *
+    * Returns (node, rank_e9, rank); non-seed nodes unreachable from
+    * any seed rank exactly 0.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int = 3,
+                           dampingPerMille: Int = 850): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(dampingPerMille > 0 && dampingPerMille < 1000,
+      "damping must be in (0, 1000) per-mille")
+    val U = 1000000000L
+    val e = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    val s = seeds.select(col("node")).filter(col("node").isNotNull)
+      .distinct()
+    val nodes = graft.std.Materialize.once(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .join(s.select(col("node"), lit(1).as("_seed")), Seq("node"),
+          "left_outer")
+        .select(col("node"), coalesce(col("_seed"), lit(0)).as("_seed")))
+    val nSeed = nodes.filter(col("_seed") === 1).count()
+    if (nodes.isEmpty || nSeed == 0)
+      return nodes.select(col("node"), lit(0L).as("rank_e9"),
+        lit(0.0).as("rank"))
+    val seedRank = U / nSeed // exact long truncation, = DuckDB //
+    val seedBase = (1000L - dampingPerMille) * seedRank / 1000L
+    val outdeg = graft.std.Materialize.once(
+      e.groupBy("src").agg(count(lit(1)).as("_outdeg")))
+    var ranks = nodes.select(col("node"),
+      (col("_seed").cast("long") * lit(seedRank)).as("rank_e9"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_e9 div _outdeg").as("_c"))
+      val sums = contribs.groupBy("node").agg(sum(col("_c")).as("_s"))
+      ranks = graft.std.Materialize.once(
+        nodes.join(sums, Seq("node"), "left_outer")
+          .select(col("node"),
+            (col("_seed").cast("long") * lit(seedBase) +
+              expr(s"coalesce(_s, 0L) * $dampingPerMille div 1000"))
+              .as("rank_e9")))
+    }
+    ranks.select(col("node"), col("rank_e9"),
+      (col("rank_e9").cast("double") / lit(U.toDouble)).as("rank"))
+  }
+
   /** HITS hubs & authorities over a directed edge list — the second
     * classic link-analysis scorer: a node is a good AUTHORITY when
     * good hubs point at it, a good HUB when it points at good

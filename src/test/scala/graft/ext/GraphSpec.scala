@@ -94,6 +94,54 @@ class GraphSpec extends AnyFunSuite {
     assert(err.getMessage.contains("overflow"))
   }
 
+  test("PPR: rank flows outward from the seed; unreachable nodes get 0") {
+    // 1 -> 2 -> 3, seed {1}: trust decays along the chain; 4 -> 1 is
+    // upstream of the seed and unreachable FROM it -> exactly 0
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.personalizedPageRank(edges, seeds, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    graft.std.Materialize.releaseAll()
+    // seed 1: base 150000000 (teleport only; 4's rank is 0 after iter 1)
+    // 2: base 0 + 0.85 * rank(1); decays but nonzero; 3 downstream
+    assert(r(4L) == 0L)
+    assert(r(1L) == 150000000L)
+    assert(r(2L) > r(3L) && r(3L) > 0L)
+  }
+
+  test("PPR: hand-computed two-node exchange in exact fixed point") {
+    // 1 <-> 2, seed {1}. r0 = (1e9, 0).
+    // i1: c(2) = 1e9; r = (150e6 + 0, 0 + 850e6) = (150000000, 850000000)
+    // i2: r1 = 150e6 + 850e6*850//1000 = 150e6 + 722500000 = 872500000
+    //     r2 = 0 + 150e6*850//1000 = 127500000
+    // i3: r1 = 150e6 + 127500000*850//1000 = 150e6 + 108375000
+    //     r2 = 872500000*850//1000 = 741625000
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.personalizedPageRank(edges, seeds, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    graft.std.Materialize.releaseAll()
+    assert(r(1L) == 258375000L)
+    assert(r(2L) == 741625000L)
+  }
+
+  test("PPR: seeds outside the graph are dropped; none in-graph -> all zero") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    // seed 9 is isolated (not in any edge): nSeed-in-graph = 0
+    val r = Graph.personalizedPageRank(edges, Seq(9L).toDF("node"),
+      iterations = 2).collect().map(x => x.getLong(0) -> x.getLong(1))
+      .toMap
+    graft.std.Materialize.releaseAll()
+    assert(r == Map(1L -> 0L, 2L -> 0L))
+    // and a mixed seed set only counts the in-graph member
+    val r2 = Graph.personalizedPageRank(
+      Seq((1L, 2L)).toDF("src", "dst"),
+      Seq(9L, 1L).toDF("node"), iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    graft.std.Materialize.releaseAll()
+    assert(r2(1L) == 150000000L && r2(2L) == 850000000L)
+  }
+
   test("triangles: K4 — every node in 3 triangles, lcc exactly 1") {
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L)).toDF("src", "dst")
