@@ -2109,6 +2109,92 @@ SELECT query_id, doc_id, round(CAST(s AS DOUBLE), 6) AS score,
        CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= 10"""
 
+  /** t54: hybrid retrieval — the full t29 BM25 chain (top-10) full-outer
+    * joined with an s1-style dense cosine top-10 (query vectors =
+    * vec_id 1..4), fused by reciprocal rank: each 1/(60+rank) term
+    * rounded to 9 dp and summed in DECIMAL(28,9) (order-free), re-ranked
+    * by (score DESC, doc_id ASC). Ranks CAST to BIGINT (HUGEINT
+    * discipline); a doc absent from one ranker carries a NULL rank and
+    * a zero term.
+    */
+  val t54HybridRrf: String = s"""WITH q(query_id, qtext) AS (
+  VALUES (CAST(1 AS BIGINT), 'spark join merge'),
+         (2, 'window stream batch'),
+         (3, 'customer order line'),
+         (4, 'vector hash table scan')
+), t AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks FROM documents
+), ex AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), dtf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM dtf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+), qt AS (
+  SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS token
+  FROM q
+), dfq AS (
+  SELECT token, COUNT(*) AS df FROM dtf
+  WHERE token IN (SELECT token FROM qt) GROUP BY 1
+), scored AS (
+  SELECT qt.query_id, d.doc_id,
+         round(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(l.dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+               9) AS w
+  FROM dtf d
+  JOIN qt ON d.token = qt.token
+  JOIN dfq ON d.token = dfq.token
+  JOIN dl l ON d.doc_id = l.doc_id
+  CROSS JOIN stats
+), agg AS (
+  SELECT query_id, doc_id, SUM(CAST(w AS DECIMAL(28,9))) AS s
+  FROM scored GROUP BY 1, 2
+), lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rank
+  FROM agg QUALIFY rank <= 10
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM v
+), dscored AS (
+  SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+         round(CASE WHEN qv.nm * c.nm > 0
+               THEN ${dotExpr("qv.e", "c.e")} / (qv.nm * c.nm) END, 6)
+           AS cosine
+  FROM n qv CROSS JOIN n c
+  WHERE qv.vec_id BETWEEN 1 AND 4 AND qv.vec_id <> c.vec_id
+), dense AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC NULLS LAST, doc_id ASC) AS rank
+  FROM dscored QUALIFY rank <= 10
+), fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.rank AS lex_rank, d.rank AS dense_rank,
+         CAST(COALESCE(round(1.0 / (60.0 + CAST(l.rank AS DOUBLE)), 9), 0)
+              AS DECIMAL(28,9))
+         + CAST(COALESCE(round(1.0 / (60.0 + CAST(d.rank AS DOUBLE)), 9), 0)
+                AS DECIMAL(28,9)) AS s
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, round(CAST(s AS DOUBLE), 9) AS rrf_score,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(dense_rank AS BIGINT) AS dense_rank,
+       CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY s DESC, doc_id ASC) AS BIGINT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10"""
+
   /** d9: incremental dedup — existing corpus (doc_id % 3 = 0), batch =
     * the rest + injected exact copies (+300000, every 6th existing) and
     * near-dup mutations (+400000, every 9th existing, 11th tokens

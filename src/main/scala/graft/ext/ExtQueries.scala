@@ -1566,6 +1566,32 @@ object ExtQueries {
     Search.bm25TopK(spread(Tables.documents(spark, sfDir)), qs)
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (t54): the t29 BM25
+    * lexical top-10 fused with a dense cosine top-10 over the
+    * embeddings table ([[Search.rrfFuse]]). The four probe queries
+    * reuse t29's literal strings; their dense side uses `vec_id 1..4`
+    * as the query embeddings (the fixture's `vec_id = doc_id`
+    * alignment stands in for an encoder the container doesn't ship —
+    * the fusion kernel is agnostic to where the vectors came from).
+    */
+  def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    import spark.implicits._
+    val qs = Seq(
+      (1L, "spark join merge"),
+      (2L, "window stream batch"),
+      (3L, "customer order line"),
+      (4L, "vector hash table scan")).toDF("query_id", "qtext")
+    val lex = Search.bm25TopK(spread(Tables.documents(spark, sfDir)), qs)
+      .select("query_id", "doc_id", "rank")
+    val vecs = Tables.embeddings(spark, sfDir)
+    val dense = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id").between(1, 4)), vecs, 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    Search.rrfFuse(lex, dense)
+  }
+
   /** Temperature-based (α = 0.5) domain resampling plan (t26). */
   def temperatureResample(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -160,5 +160,54 @@ object Search {
       .select(col("doc_id"), col("_q.query_id"),
         round(col("_q.score"), 6).as("score"))
       .filter(col("score") >= threshold)
+  }
+
+  /** Reciprocal-rank fusion (t54): merge a LEXICAL ranking (BM25) and a
+    * DENSE ranking (embedding cosine) of the same corpus into one
+    * hybrid list per query — the standard two-tower + keyword hybrid
+    * retrieval every RAG / eval-mining stack runs, fused without score
+    * calibration: RRF needs only the RANKS, so the two rankers'
+    * incomparable score scales never meet.
+    *
+    * `lex` and `dense` are `(query_id, doc_id, rank)` top-k frames
+    * (ranks 1-based, as [[bm25TopK]] and
+    * [[Similarity.bruteForceTopK]] emit). Fused score =
+    * Σ_rankers 1/(k0 + rank) over the rankers that returned the doc
+    * (k0 = 60, the Cormack/Clarke/Buettcher constant); a doc absent
+    * from one list simply contributes nothing for it. Output keeps the
+    * per-ranker ranks (nullable) for provenance and re-ranks by
+    * (fused score DESC, doc_id ASC) — fully deterministic.
+    *
+    * 100 TB shape: both inputs are already per-query top-k, so fusion
+    * moves O(|queries| · k) rows REGARDLESS of corpus size — the heavy
+    * lifting stays in the rankers (which are the scale-audited t29/s1
+    * kernels); the fuse itself is one bounded full-outer join plus a
+    * bounded window. Determinism: each 1/(k0+rank) term is rounded to
+    * 9 dp and summed in DECIMAL(28,9) (order-free, the t25
+    * discipline), so the fused score is bit-identical cross-engine.
+    */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int = 10,
+              k0: Int = 60): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(k0 >= 1, "need k0 >= 1")
+    val l = lex.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("lex_rank"))
+    val d = dense.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("dense_rank"))
+    val term = (r: Column) => coalesce(
+      round(lit(1.0) / (lit(k0).cast("double") + r.cast("double")), 9),
+      lit(0.0)).cast("decimal(28,9)")
+    val fused = l.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        col("lex_rank"), col("dense_rank"),
+        (term(col("lex_rank")) + term(col("dense_rank"))).as("_s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_s").desc, col("doc_id").asc)
+    fused
+      .select(col("query_id"), col("doc_id"),
+        round(col("_s").cast("double"), 9).as("rrf_score"),
+        col("lex_rank"), col("dense_rank"),
+        row_number().over(w).cast("long").as("fused_rank"))
+      .filter(col("fused_rank") <= k)
   }
 }

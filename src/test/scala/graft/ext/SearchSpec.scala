@@ -99,4 +99,38 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(3) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("RRF: both-list docs beat single-list docs; ranks kept for provenance") {
+    // doc 10 is rank 1 in BOTH lists: 2/61 ≈ 0.0327868852
+    // doc 20 is lex-only rank 2:      1/62 ≈ 0.0161290323
+    // doc 30 is dense-only rank 2:    1/62 — ties doc 20, doc_id breaks
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 10L, 1L), (1L, 30L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Search.rrfFuse(lex, dense).collect()
+      .map(r => r.getLong(5) -> (r.getLong(1), r.getDouble(2),
+        Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(1L)._1 == 10L && got(1L)._3 == Some(1L) &&
+      got(1L)._4 == Some(1L))
+    assert(got(1L)._2 == 0.032786886) // round(1/61,9)*2
+    assert(got(2L)._1 == 20L && got(2L)._4 == None) // lex-only, id tiebreak
+    assert(got(3L)._1 == 30L && got(3L)._3 == None)
+    assert(got(2L)._2 == got(3L)._2)
+  }
+
+  test("RRF: k cut applies after fusion; queries fuse independently") {
+    val lex = (1L to 8L).map(d => (1L, d, d)) ++ Seq((2L, 100L, 1L))
+    val dense = (1L to 8L).map(d => (1L, d + 4L, d)) // 5..12 overlap 5..8
+    val got = Search.rrfFuse(lex.toDF("query_id", "doc_id", "rank"),
+      dense.toDF("query_id", "doc_id", "rank"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) -> r.getLong(1))
+      .toMap
+    // overlapping docs 5..8 get two terms; 5 has the best combined
+    // (lex 5 + dense 1), then 6, then 7
+    assert(got((1L, 1L)) == 5L && got((1L, 2L)) == 6L &&
+      got((1L, 3L)) == 7L)
+    assert(got((2L, 1L)) == 100L) // query 2 fuses on its own
+    assert(got.size == 4)
+  }
 }
