@@ -197,6 +197,7 @@ object SparkEntry {
     "x13_price_quantiles" -> ExtQueries.priceQuantiles _,
     "x14_props_rollup" -> ExtQueries.propsRollup _,
     "x15_scd2_intervals" -> ExtQueries.scd2Intervals _,
+    "x35_cdc_apply" -> ExtQueries.cdcApply _,
     "x16_drift_psi" -> ExtQueries.driftPsi _,
     "x17_key_skew" -> ExtQueries.keySkew _,
     "x18_fuzzy_linkage" -> ExtQueries.fuzzyLinkage _,
@@ -340,6 +341,7 @@ object SparkEntry {
     "x13_price_quantiles" -> ExtOracleSql.x13PriceQuantiles,
     "x14_props_rollup" -> ExtOracleSql.x14PropsRollup,
     "x15_scd2_intervals" -> ExtOracleSql.x15Scd2Intervals,
+    "x35_cdc_apply" -> ExtOracleSql.x35CdcApply,
     "x16_drift_psi" -> ExtOracleSql.x16DriftPsi,
     "x17_key_skew" -> ExtOracleSql.x17KeySkew,
     "x18_fuzzy_linkage" -> ExtOracleSql.x18FuzzyLinkage,

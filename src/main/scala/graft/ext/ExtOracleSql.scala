@@ -584,6 +584,40 @@ FROM v"""
     * double fractions, 9 dp `(p-q)·ln(p/q)` terms (libm agreement at
     * that grain, the t25 discipline), DECIMAL(28,9) order-free total.
     */
+  /** x35: CDC apply — same synthetic change batch, replayed
+    * relationally: winner per key via QUALIFY (seq DESC, op DESC),
+    * NOT EXISTS anti-join for survivors, non-delete winners upserted.
+    */
+  val x35CdcApply: String = """WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders
+), base AS (
+  SELECT * FROM o WHERE o_orderkey % 3 <> 1
+), changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 100.0 AS o_totalprice, o_orderdate,
+         CAST(2 AS BIGINT) AS seq, 'U' AS op
+  FROM o WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, NULL, NULL, 3, 'D'
+  FROM o WHERE o_orderkey % 7 = 3
+  UNION ALL
+  SELECT o_orderkey + 3000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, 1, 'I'
+  FROM o WHERE o_orderkey % 11 = 2
+), win AS (
+  SELECT * FROM changes
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                             ORDER BY seq DESC, op DESC) = 1
+)
+SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+       b.o_orderdate
+FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM win WHERE win.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM win WHERE op <> 'D'"""
+
   val x16DriftPsi: String = """WITH rb AS (
   SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT)
            AS bin, COUNT(*) AS c

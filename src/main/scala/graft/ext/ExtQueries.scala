@@ -1427,6 +1427,37 @@ object ExtQueries {
       tsCol = "ts", tiebreakCol = "event_id")
   }
 
+  /** CDC changelog apply (x35): [[Scd.cdcApply]] over an orders
+    * snapshot (keys with `o_orderkey % 3 <> 1`) and a deterministic
+    * synthetic change batch — price updates (seq 2, every 5th key),
+    * deletes (seq 3, keys ≡ 3 mod 7 — these outrank a colliding
+    * update), and inserts of new `+3000000` keys (seq 1, every 11th ≡
+    * 2). Updates targeting keys OUTSIDE the snapshot exercise the
+    * upsert path; the oracle replays the same merge relationally.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate")
+    val o = Tables.orders(spark, sfDir).select(cols.map(col): _*)
+    val base = o.filter(col("o_orderkey") % 3 =!= 1)
+    val updates = o.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+    val deletes = o.filter(col("o_orderkey") % 7 === 3)
+      .select(col("o_orderkey"),
+        lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(null).cast("timestamp").as("o_orderdate"),
+        lit(3L).as("seq"), lit("D").as("op"))
+    val inserts = o.filter(col("o_orderkey") % 11 === 2)
+      .withColumn("o_orderkey", col("o_orderkey") + 3000000L)
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+    Scd.cdcApply(base, updates.unionByName(deletes).unionByName(inserts),
+      "o_orderkey")
+  }
+
   /** Order-value drift (x16): PSI of the o_totalprice distribution,
     * pre-1998 reference vs 1998-onward current.
     */

@@ -118,4 +118,53 @@ object Scd {
       .unionByName(curOut)
       .unionByName(grown)
   }
+
+  /** CDC changelog apply (x35): merge a batch of insert/update/delete
+    * change rows into a base snapshot — the MERGE INTO / upsert
+    * operation every incrementally-maintained 100-TB table needs
+    * (ingest feeds, compaction of streaming appends, GDPR deletes).
+    *
+    * `changes` carries every `base` column plus `seqCol` (monotone
+    * change sequence) and `opCol` ('I' | 'U' | 'D'). Per key the
+    * HIGHEST sequence number wins (last-writer-wins); the winner then
+    * decides the key's fate: 'D' removes the row, 'I'/'U' both upsert
+    * the winner's payload (an update for an absent key inserts — the
+    * order-free MERGE semantics, so replaying a log suffix is
+    * idempotent). Keys never mentioned in the log pass through
+    * untouched. Contract: per-key sequence numbers are unique (a log
+    * that numbers two changes of one key identically is malformed);
+    * ties nevertheless resolve deterministically by (seq DESC, op
+    * DESC) so no input produces a nondeterministic table. A NULL op on
+    * a winning row suppresses the base row but upserts nothing —
+    * i.e. it degrades to a delete, never to an engine-dependent row.
+    *
+    * 100 TB shape: the expensive side is `base`; it is touched by ONE
+    * left-anti join against the winner KEY SET — a single slim column,
+    * broadcast by default (`hintBroadcastKeys`), so the base never
+    * shuffles and the plan is scan → broadcast-anti → union. The
+    * window that picks winners shuffles only the CHANGE BATCH by key —
+    * O(batch), never O(base). Set `hintBroadcastKeys = false` when one
+    * batch rewrites a large fraction of all keys; the planner then
+    * falls back to a shuffle join, which is the right plan exactly
+    * then.
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, keyCol: String,
+               seqCol: String = "seq", opCol: String = "op",
+               hintBroadcastKeys: Boolean = true): DataFrame = {
+    val payload = base.columns.toSeq
+    require(payload.contains(keyCol), s"base must carry $keyCol")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val winners = graft.std.Materialize.once(changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1))
+    val keys = winners.select(col(keyCol))
+    val kept = base.join(
+      if (hintBroadcastKeys) broadcast(keys) else keys,
+      Seq(keyCol), "left_anti")
+    val upserts = winners
+      .filter(coalesce(col(opCol) =!= lit("D"), lit(false)))
+      .select(payload.map(col): _*)
+    kept.unionByName(upserts)
+  }
 }

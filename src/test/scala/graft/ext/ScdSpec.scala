@@ -102,4 +102,47 @@ class ScdSpec extends AnyFunSuite {
     val rebuilt = Scd.scd2FromLog(events, "k", "v", "ts", "id")
     assert(canon(merged) == canon(rebuilt))
   }
+
+  test("cdcApply: last-writer-wins upsert/delete; untouched keys pass") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", 1L, "U"), (2L, "b3", 4L, "U"), // seq 4 wins
+      (3L, "x", 2L, "U"), (3L, "x", 5L, "D"),   // delete outranks
+      (4L, "d", 1L, "I"),                       // brand-new key
+      (5L, "e", 1L, "U"))                       // update-as-upsert
+      .toDF("k", "v", "seq", "op")
+    val out = Scd.cdcApply(base, changes, "k")
+    val got = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.std.Materialize.releaseAll()
+    assert(got == Map(1L -> "a", 2L -> "b3", 4L -> "d", 5L -> "e"))
+  }
+
+  test("cdcApply: replaying the same log is idempotent; null op deletes") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((1L, "a2", 1L, "U"), (2L, null, 2L, null))
+      .toDF("k", "v", "seq", "op")
+    val once = Scd.cdcApply(base, changes, "k")
+    val onceRows = once.collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap
+    graft.std.Materialize.releaseAll()
+    assert(onceRows == Map(1L -> "a2")) // null op degrades to delete
+    val twice = Scd.cdcApply(
+      Seq((1L, "a2")).toDF("k", "v"), changes, "k")
+    val twiceRows = twice.collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap
+    graft.std.Materialize.releaseAll()
+    assert(twiceRows == onceRows)
+  }
+
+  test("cdcApply: base side anti-joins a BROADCAST key set (no base shuffle)") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "a2", 1L, "U")).toDF("k", "v", "seq", "op")
+    val plan = Scd.cdcApply(base, changes, "k")
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"expected broadcast left-anti join, got:\n$plan")
+  }
 }
