@@ -207,6 +207,7 @@ object SparkEntry {
     "x31_triangles" -> ExtQueries.triangleStats _,
     "x32_concurrency" -> ExtQueries.concurrency _,
     "x33_trustrank" -> ExtQueries.trustRank _,
+    "x34_label_propagation" -> ExtQueries.labelPropagation _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -360,6 +361,7 @@ object SparkEntry {
     "x31_triangles" -> ExtOracleSql.x31Triangles,
     "x32_concurrency" -> ExtOracleSql.x32Concurrency,
     "x33_trustrank" -> ExtOracleSql.x33TrustRank,
+    "x34_label_propagation" -> ExtOracleSql.x34LabelPropagation,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

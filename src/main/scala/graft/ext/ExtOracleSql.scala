@@ -901,6 +901,47 @@ SELECT nodes.node,
             AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS rank
 FROM nodes CROSS JOIN consts LEFT JOIN s3 ON nodes.node = s3.node"""
 
+  /** x34: label propagation, 3 unrolled synchronous iterations over the
+    * undirected support of the x20 chain graph. Votes are exact COUNTs;
+    * winner per node via QUALIFY (votes DESC, label ASC) — pure integer
+    * arithmetic, nothing to round.
+    */
+  val x34LabelPropagation: String = """WITH seq AS (
+  SELECT l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem
+), e0 AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), und AS (
+  SELECT src AS u, dst AS v FROM e0
+  UNION
+  SELECT dst AS u, src AS v FROM e0
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM und
+), l1 AS (
+  SELECT e.u AS node, l.label, COUNT(*) AS votes
+  FROM und e JOIN l0 l ON e.v = l.node GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY e.u
+    ORDER BY COUNT(*) DESC, l.label ASC) = 1
+), l2 AS (
+  SELECT e.u AS node, l.label, COUNT(*) AS votes
+  FROM und e JOIN l1 l ON e.v = l.node GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY e.u
+    ORDER BY COUNT(*) DESC, l.label ASC) = 1
+), l3 AS (
+  SELECT e.u AS node, l.label, COUNT(*) AS votes
+  FROM und e JOIN l2 l ON e.v = l.node GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY e.u
+    ORDER BY COUNT(*) DESC, l.label ASC) = 1
+), sizes AS (
+  SELECT label AS community, COUNT(*) AS community_size FROM l3 GROUP BY 1
+)
+SELECT l3.node, l3.label AS community,
+       CAST(sizes.community_size AS BIGINT) AS community_size
+FROM l3 JOIN sizes ON l3.label = sizes.community"""
+
   /** x31: triangles + clustering coefficient. The oracle orients the
     * undirected edge set by plain node id (u < v) and enumerates each
     * triangle once as a < b < c — a DIFFERENT orientation than the

@@ -1205,6 +1205,21 @@ object ExtQueries {
       dampingPerMille = 850)
   }
 
+  /** Label-propagation communities (x34) over the undirected support
+    * of the x20 co-purchase chain graph: 3 synchronous majority-vote
+    * iterations, smallest-label tie-break ([[Graph.labelPropagation]]).
+    */
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    Graph.labelPropagation(edges, iterations = 3)
+  }
+
   /** Incremental rollup maintenance (x21): the order-value summary by
     * (priority, status), maintained as history-state + 1998 delta
     * batch — the merge path whose cost is O(batch + keys). The oracle

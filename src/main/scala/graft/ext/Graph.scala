@@ -317,4 +317,60 @@ object Graph {
         col("lcc_e9"),
         (col("lcc_e9").cast("double") / lit(1e9)).as("lcc"))
   }
+
+  /** Synchronous label propagation (x34): community detection by
+    * majority vote — every node starts as its own label; each
+    * iteration, every node simultaneously adopts the most frequent
+    * label among its NEIGHBORS (ties → smallest label). The cheap
+    * communities pass of the curation stack (domain families in a link
+    * graph, product families in a co-purchase graph) — where
+    * [[Dedup]]'s connected components find REACHABILITY clusters, LPA
+    * finds DENSITY clusters inside them.
+    *
+    * Direction is ignored (community is a symmetric notion): the edge
+    * list is canonicalized to its undirected support, self-loops and
+    * duplicates dropped. A fixed `iterations` count with SYNCHRONOUS
+    * updates keeps the operator deterministic and oracle-expressible —
+    * asynchronous LPA (the convergence-fast variant) is
+    * update-order-dependent, which no cross-engine gate could pin.
+    * Everything is integer arithmetic on (node, label, count) — no
+    * float exists anywhere.
+    *
+    * Returns (node, community, community_size).
+    *
+    * 100 TB shape: the [[pageRank]] Pregel-as-joins loop — per
+    * iteration, labels (|V| skinny rows) join the undirected edge list
+    * on one side, votes aggregate with map-side partial counts, and a
+    * per-node window picks the winner; the label frame is pinned per
+    * iteration to cut lineage. No driver-side state at all.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val dir = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val und = graft.std.Materialize.once(
+      dir.select(col("src").as("u"), col("dst").as("v"))
+        .union(dir.select(col("dst").as("u"), col("src").as("v")))
+        .distinct())
+    var labels = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node"))
+      .orderBy(col("_votes").desc, col("label").asc)
+    for (_ <- 1 to iterations) {
+      labels = graft.std.Materialize.once(und
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u").as("node"), col("label"))
+        .agg(count(lit(1)).as("_votes"))
+        .withColumn("_rn", row_number().over(byVotes))
+        .filter(col("_rn") === 1)
+        .select(col("node"), col("label")))
+    }
+    val sizes = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.select(col("node"), col("label").as("community"))
+      .join(sizes, Seq("community"))
+      .select(col("node"), col("community"), col("community_size"))
+  }
 }

@@ -205,4 +205,34 @@ class GraphSpec extends AnyFunSuite {
     assert(r(0L) == 1L && r(1L) == 1L && r(2L) == 1L)
     assert((3L to 100L).forall(r(_) == 0L))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int) = {
+    val r = Graph.labelPropagation(edges.toDF("src", "dst"), iters)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    graft.std.Materialize.releaseAll()
+    r
+  }
+
+  test("LPA: barbell — two triangles keep their own community") {
+    // hand-simulated 3 synchronous iterations (see scaladoc contract):
+    // {1,2,3} converge to label 1, {4,5,6} to label 3 via the bridge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val got = lpa(edges, 3)
+    assert(got == Map(1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      4L -> (3L, 3L), 5L -> (3L, 3L), 6L -> (3L, 3L)))
+  }
+
+  test("LPA: vote ties resolve to the smallest label (one iteration)") {
+    // path 1-2-3 after one sync round: 1 adopts 2, 2 ties {1,3} -> 1,
+    // 3 adopts 2
+    val got = lpa(Seq((1L, 2L), (2L, 3L)), 1)
+    assert(got == Map(1L -> (2L, 2L), 2L -> (1L, 1L), 3L -> (2L, 2L)))
+  }
+
+  test("LPA: direction, duplicate edges, and self-loops are ignored") {
+    val got = lpa(Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L)), 1)
+    assert(got == Map(1L -> (2L, 1L), 2L -> (1L, 1L)))
+  }
 }
