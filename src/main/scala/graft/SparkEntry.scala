@@ -130,6 +130,7 @@ object SparkEntry {
     "t28_segment_dedup" -> ExtQueries.segmentDedup _,
     "t29_bm25_topk" -> ExtQueries.bm25Search _,
     "t54_hybrid_rrf" -> ExtQueries.hybridSearch _,
+    "t55_duplicate_spans" -> ExtQueries.duplicateSpans _,
     "t30_bloom_decontamination" -> ExtQueries.bloomDecontamination _,
     "t31_bigram_logprob" -> ExtQueries.bigramLogprob _,
     "t32_hashed_classifier" -> ExtQueries.hashedClassifier _,
@@ -283,6 +284,7 @@ object SparkEntry {
     "t28_segment_dedup" -> ExtOracleSql.t28SegmentDedup,
     "t29_bm25_topk" -> ExtOracleSql.t29Bm25TopK,
     "t54_hybrid_rrf" -> ExtOracleSql.t54HybridRrf,
+    "t55_duplicate_spans" -> ExtOracleSql.t55DuplicateSpans,
     "t30_bloom_decontamination" -> ExtOracleSql.t30BloomDecontamination,
     "t31_bigram_logprob" -> ExtOracleSql.t31BigramLogprob,
     "t32_hashed_classifier" -> ExtOracleSql.t32HashedClassifier,

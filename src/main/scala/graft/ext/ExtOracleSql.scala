@@ -1069,6 +1069,58 @@ SELECT n_probe, n_build, d_probe_exact, d_build_exact,
        join_exact
 FROM est"""
 
+  /** t55: duplicated spans — same injected corpus, 8-token shingle
+    * hashes (the shared 56-bit md5 lane), COUNT > 1 duplicate set,
+    * window sweep-merge of overlapping/adjacent covers. Positions are
+    * 0-based (`i - 1` off the 1-based generate_series).
+    */
+  val t55DuplicateSpans: String = s"""WITH c1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text ||
+           ' all rights reserved contact us at example dot com for details'
+         ELSE text END AS t0
+  FROM documents
+), c2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN t0 || ' ' || array_to_string(
+           (string_split(lower(trim(regexp_replace(t0, '\\s+', ' ', 'g'))),
+                         ' '))[1:10], ' ')
+         ELSE t0 END AS text
+  FROM c1
+), t AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks FROM c2
+  WHERE text IS NOT NULL
+), pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - 7)) AS i
+  FROM t WHERE len(toks) >= 8
+), sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         ${h64("array_to_string(toks[i:i+7], ' ')")} AS h
+  FROM pos
+), dup AS (
+  SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1
+), cov AS (
+  SELECT sh.doc_id, CAST(sh.pos AS BIGINT) AS s,
+         CAST(sh.pos + 7 AS BIGINT) AS e
+  FROM sh JOIN dup ON sh.h = dup.h
+), m AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -2) + 1
+         THEN 1 ELSE 0 END AS brk
+  FROM cov
+), g AS (
+  SELECT doc_id, s, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+  FROM m
+)
+SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+FROM g GROUP BY doc_id, grp"""
+
   /** t46: weighted sample — identical deterministic draw: md5-lane
     * uniform, ln-key at 9 dp, (key DESC, id ASC) cut. The `+ 0.0` on
     * the key canonicalizes negative zero: a key in (-5e-10, 0) rounds

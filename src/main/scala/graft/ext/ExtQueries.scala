@@ -1638,6 +1638,27 @@ object ExtQueries {
     Search.rrfFuse(lex, dense)
   }
 
+  /** Corpus-level duplicated spans (t55): [[TextAnalysis.duplicateSpans]]
+    * over the corpus with two injections exercising both duplicate
+    * classes — a shared 12-token footer on every 3rd doc (cross-doc
+    * boilerplate) and each ≡2-mod-7 doc's own first 10 normalized
+    * tokens re-appended (within-doc repeat). Natural 8-gram collisions
+    * in the synthetic vocabulary are counted too, on both engines.
+    */
+  def duplicateSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val footer =
+      "all rights reserved contact us at example dot com for details"
+    val t0 = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" " + footer))).otherwise(col("text"))
+    val t1 = when(col("doc_id") % 7 === 2,
+      concat(t0, lit(" "),
+        concat_ws(" ", slice(TextOps.tokens(t0), 1, 10)))).otherwise(t0)
+    TextAnalysis.duplicateSpans(
+      spread(docs.select(col("doc_id"), t1.as("text"))))
+  }
+
   /** Temperature-based (α = 0.5) domain resampling plan (t26). */
   def temperatureResample(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

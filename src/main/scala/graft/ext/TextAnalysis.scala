@@ -1486,4 +1486,62 @@ object TextAnalysis {
       .orderBy(col("dsir_weight").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Corpus-level duplicated-span detection (t55) — the exact-substring
+    * dedup shape (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): find every maximal run of tokens that is
+    * covered by `n`-token shingles occurring MORE THAN ONCE in the
+    * whole corpus (cross-document boilerplate and within-document
+    * repeats alike), and emit one row per (doc, merged span). The
+    * suffix-array pass of the paper re-expressed relationally: a
+    * shingle occurring twice is exactly a duplicated n-token substring,
+    * and overlapping/adjacent duplicated shingles merge into the
+    * paper's maximal duplicated span.
+    *
+    * Span positions are 0-based token indices, both ends inclusive;
+    * `span_tokens` = covered run length. Downstream removal is a
+    * per-doc `slice`/`filter` on the token array — kept separate so
+    * the span report itself stays auditable.
+    *
+    * 100 TB shape: one tokenize pass behind an [[TextOps.attrBarrier]]
+    * (the documented t1 trap — the shingling lambda must capture an
+    * attribute); shingles travel as 64-bit hashes, never text; dup
+    * detection is one hash-shuffled count (map-side partials); the
+    * span merge windows partition by doc_id, bounded by document
+    * length. The shingle frame feeds the count AND the cover join, so
+    * it is pinned ([[graft.std.Materialize]]) — one shingling pass
+    * total. Nothing is quadratic; nothing collects.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 8,
+                     textCol: String = "text"): DataFrame = {
+    require(n >= 2, "need shingles of at least 2 tokens")
+    val b = TextOps.attrBarrier(docs.select(col("doc_id"), col(textCol)),
+      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
+    // entry i (0-based after posexplode) covers tokens [i, i+n)
+    val hashes = when(size(col("_toks")) >= n,
+      transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+        i => TextOps.hash64(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+    val sh = graft.std.Materialize.once(
+      b.filter(col("_toks").isNotNull)
+        .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h"))))
+    val dups = sh.groupBy(col("h")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select(col("h"))
+    val cov = sh.join(dups, Seq("h"))
+      .select(col("doc_id"), col("pos").cast("long").as("_s"),
+        (col("pos") + (n - 1)).cast("long").as("_e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_s"))
+    val prevMax = max(col("_e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = cov.withColumn("_brk",
+      when(col("_s") > coalesce(prevMax, lit(-2L)) + 1, 1L)
+        .otherwise(0L))
+    marked
+      .withColumn("_grp",
+        sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("_s")).as("span_start"), max(col("_e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
 }

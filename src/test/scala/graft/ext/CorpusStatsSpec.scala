@@ -360,4 +360,50 @@ class CorpusStatsSpec extends AnyFunSuite {
       .eval(null).asInstanceOf[Double]
     assert(interp == sqlVal)
   }
+
+  test("duplicate spans: cross-doc cover merges; unique docs emit nothing") {
+    val docs = Seq(
+      (1L, "a b c d e x y z"),
+      (2L, "a b c d e q r s"), // shares grams abc/bcd/cde with doc 1
+      (3L, "m n o p q r s t")) // qrs/rst NOT shared (doc2 ends at s)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateSpans(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    graft.std.Materialize.releaseAll()
+    // "q r s" occurs in docs 2 and 3 -> each also covers that run
+    assert(out.toMap == Map(
+      1L -> ((0L, 4L, 5L)), 2L -> ((0L, 7L, 8L)), 3L -> ((4L, 6L, 3L))))
+  }
+
+  test("duplicate spans: within-doc repeats split on gaps, merge when adjacent") {
+    val gap = Seq((10L, "p q r t1 t2 t3 p q r"))
+      .toDF("doc_id", "text")
+    val g = TextAnalysis.duplicateSpans(gap, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    graft.std.Materialize.releaseAll()
+    // "p q r" at positions 0 and 6; the middle is untouched
+    assert(g == Set((10L, 0L, 2L, 3L), (10L, 6L, 8L, 3L)))
+    val adj = Seq(
+      (11L, "a b c d e f"),    // abc shared with 12, def with 13
+      (12L, "z a b c x"),
+      (13L, "d e f h1 h2 h3")).toDF("doc_id", "text")
+    val a = TextAnalysis.duplicateSpans(adj, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    graft.std.Materialize.releaseAll()
+    // doc 11's covers [0,2] and [3,5] are adjacent -> ONE merged span
+    assert(a == Set((11L, 0L, 5L, 6L), (12L, 1L, 3L, 3L),
+      (13L, 0L, 2L, 3L)))
+  }
+
+  test("duplicate spans: null and short texts produce no rows") {
+    val docs = Seq((20L, "a b"), (21L, null.asInstanceOf[String]),
+      (22L, "a b")).toDF("doc_id", "text")
+    // both real docs are SHORTER than the shingle -> no windows at all,
+    // even though their texts are identical
+    val out = TextAnalysis.duplicateSpans(docs, n = 3).collect()
+    graft.std.Materialize.releaseAll()
+    assert(out.isEmpty)
+  }
 }
