@@ -17,20 +17,31 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read the nanos as long and convert via integer division
-    * (micros fit a long; double division would lose precision at 1e18).
-    * The corpus has no sub-microsecond components, so this matches
-    * DuckDB's TIMESTAMP_NS→TIMESTAMP coercion exactly. The enabling
-    * legacy flag is part of [[tune]] (applied here too so a bare loader
-    * call still works), so the session types nanos columns consistently
-    * from construction instead of flipping mid-session on first touch.
+  /** `events.parquet` has shipped in two physical encodings across
+    * testdata generations: TIMESTAMP(NANOS) — which Spark's reader
+    * rejects, so [[tune]]'s legacy flag reads the nanos as long and
+    * this loader converts via integer division (micros fit a long;
+    * double division would lose precision at 1e18) — and plain
+    * TIMESTAMP(MICROS), which surfaces as TIMESTAMP_NTZ and only needs
+    * the cast onto the session-UTC timestamp type every downstream
+    * operator and oracle was built against. Branching on the FOOTER
+    * type (not the generation) keeps one loader correct for both; the
+    * corpus has no sub-microsecond components, so either path matches
+    * DuckDB's TIMESTAMP_NS→TIMESTAMP coercion exactly.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     tune(spark)
-    apply(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = apply(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ =>
+        // µs parquet: NTZ wall-clock == UTC instant under the session's
+        // pinned UTC zone, so this cast is value-identity
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
