@@ -209,6 +209,9 @@ object SparkEntry {
     "x32_concurrency" -> ExtQueries.concurrency _,
     "x33_trustrank" -> ExtQueries.trustRank _,
     "x34_label_propagation" -> ExtQueries.labelPropagation _,
+    "x36_basket_rules" -> ExtQueries.basketRules _,
+    "x37_pareto_parts" -> ExtQueries.paretoParts _,
+    "x38_khop_reach" -> ExtQueries.kHopReach _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -364,6 +367,9 @@ object SparkEntry {
     "x32_concurrency" -> ExtOracleSql.x32Concurrency,
     "x33_trustrank" -> ExtOracleSql.x33TrustRank,
     "x34_label_propagation" -> ExtOracleSql.x34LabelPropagation,
+    "x36_basket_rules" -> ExtOracleSql.x36BasketRules,
+    "x37_pareto_parts" -> ExtOracleSql.x37ParetoParts,
+    "x38_khop_reach" -> ExtOracleSql.x38KhopReach,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

@@ -3543,4 +3543,105 @@ WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')
 GROUP BY 1, 2
 ORDER BY dsir_weight DESC, doc_id
 LIMIT 100"""
+
+  /** x36: market-basket association rules. The oracle runs the same
+    * Apriori-cut pair self-join; every ratio is a truncating HUGEINT
+    * division in 1e-9 fixed point (the x31 device) CAST back to
+    * BIGINT, so support/confidence/lift are exact integers in both
+    * engines and the double columns divide identical longs.
+    */
+  val x36BasketRules: String = """WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+), nb AS (
+  SELECT COUNT(DISTINCT b) AS n FROM items
+), ic AS (
+  SELECT i, COUNT(*) AS n_i FROM items GROUP BY 1 HAVING COUNT(*) >= 20
+), fi AS (
+  SELECT items.b, items.i FROM items JOIN ic USING (i)
+), pc AS (
+  SELECT lhs.i AS item_a, rhs.i AS item_b, COUNT(*) AS n_ab
+  FROM fi lhs JOIN fi rhs ON lhs.b = rhs.b AND lhs.i < rhs.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT pc.item_a, pc.item_b,
+       CAST(ia.n_i AS BIGINT) AS n_a,
+       CAST(ib.n_i AS BIGINT) AS n_b,
+       CAST(pc.n_ab AS BIGINT) AS n_ab,
+       CAST(CAST(pc.n_ab AS HUGEINT) * 1000000000 // nb.n AS BIGINT)
+         AS support_e9,
+       CAST(CAST(CAST(pc.n_ab AS HUGEINT) * 1000000000 // nb.n
+            AS BIGINT) AS DOUBLE) / 1000000000.0 AS support,
+       CAST(CAST(pc.n_ab AS HUGEINT) * 1000000000 // ia.n_i AS BIGINT)
+         AS conf_ab_e9,
+       CAST(CAST(CAST(pc.n_ab AS HUGEINT) * 1000000000 // ia.n_i
+            AS BIGINT) AS DOUBLE) / 1000000000.0 AS conf_ab,
+       CAST(CAST(pc.n_ab AS HUGEINT) * 1000000000 // ib.n_i AS BIGINT)
+         AS conf_ba_e9,
+       CAST(CAST(CAST(pc.n_ab AS HUGEINT) * 1000000000 // ib.n_i
+            AS BIGINT) AS DOUBLE) / 1000000000.0 AS conf_ba,
+       CAST(CAST(pc.n_ab AS HUGEINT) * nb.n * 1000000000
+            // (CAST(ia.n_i AS HUGEINT) * ib.n_i) AS BIGINT) AS lift_e9,
+       CAST(CAST(CAST(pc.n_ab AS HUGEINT) * nb.n * 1000000000
+            // (CAST(ia.n_i AS HUGEINT) * ib.n_i) AS BIGINT) AS DOUBLE)
+         / 1000000000.0 AS lift
+FROM pc
+JOIN ic ia ON pc.item_a = ia.i
+JOIN ic ib ON pc.item_b = ib.i
+CROSS JOIN nb"""
+
+  /** x37: Pareto frontier by textbook quadratic dominance — the
+    * deliberately different algorithm (NOT EXISTS self-probe) whose
+    * equality proves the Spark side's collapse + prefix-max scale path
+    * implements the same frontier. No arithmetic: raw stored values.
+    */
+  val x37ParetoParts: String = """SELECT p.p_partkey, p.p_retailprice,
+       p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"""
+
+  /** x38: bounded BFS — the oracle unrolls the frontier/visited loop
+    * (f_h = expand(f_{h-1}) EXCEPT v_{h-1}), so every anti-join and
+    * distinct in the Spark loop is cross-checked hop by hop. Exact
+    * integer counts; zero rows materialize via the seeds × hops
+    * scaffold on both sides.
+    */
+  val x38KhopReach: String = """WITH seq AS (
+  SELECT l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), seeds AS (
+  SELECT p_partkey AS seed FROM part WHERE p_partkey % 101 = 0
+), v0 AS (
+  SELECT seed, seed AS node FROM seeds
+), f1 AS (
+  SELECT DISTINCT v0.seed, e.dst AS node FROM v0 JOIN e ON v0.node = e.src
+  EXCEPT SELECT seed, node FROM v0
+), v1 AS (
+  SELECT seed, node FROM v0 UNION SELECT seed, node FROM f1
+), f2 AS (
+  SELECT DISTINCT f1.seed, e.dst AS node FROM f1 JOIN e ON f1.node = e.src
+  EXCEPT SELECT seed, node FROM v1
+), v2 AS (
+  SELECT seed, node FROM v1 UNION SELECT seed, node FROM f2
+), f3 AS (
+  SELECT DISTINCT f2.seed, e.dst AS node FROM f2 JOIN e ON f2.node = e.src
+  EXCEPT SELECT seed, node FROM v2
+), c AS (
+  SELECT seed, 1 AS hop, COUNT(*) AS n FROM f1 GROUP BY 1
+  UNION ALL SELECT seed, 2 AS hop, COUNT(*) AS n FROM f2 GROUP BY 1
+  UNION ALL SELECT seed, 3 AS hop, COUNT(*) AS n FROM f3 GROUP BY 1
+)
+SELECT s.seed, h.hop, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_reached
+FROM seeds s
+CROSS JOIN (VALUES (1), (2), (3)) AS h(hop)
+LEFT JOIN c ON c.seed = s.seed AND c.hop = h.hop"""
 }

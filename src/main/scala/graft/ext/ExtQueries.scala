@@ -1863,4 +1863,48 @@ object ExtQueries {
     Tables.tune(spark)
     StreamingOps.funnelTransitions(Tables.events(spark, sfDir)).toDF()
   }
+
+  /** Market-basket association rules (x36): [[Basket.associationRules]]
+    * over orders-as-baskets of parts. The oracle twin runs the same
+    * Apriori-cut pair join in SQL; the fixed-point ratio columns make
+    * the support/confidence/lift arithmetic bit-identical cross-engine.
+    */
+  def basketRules(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Basket.associationRules(Tables.lineitem(spark, sfDir),
+      "l_orderkey", "l_partkey", minItemCount = 20L, minPairCount = 2L)
+  }
+
+  /** Pareto frontier of parts (x37): cheapest-for-the-size shortlist —
+    * minimize `p_retailprice`, maximize `p_size`. The oracle twin runs
+    * the quadratic `NOT EXISTS` dominance probe; [[Skyline.paretoFront]]
+    * reproduces it with one groupBy and a two-level prefix max, which
+    * is the whole point of gating it.
+    */
+  def paretoParts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Skyline.paretoFront(
+      Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+      "p_retailprice", "p_size", m => floor(m / lit(100.0)))
+  }
+
+  /** Bounded BFS reach (x38): [[Graph.kHopReach]] over the x20
+    * co-purchase chain graph from every part key divisible by 101 —
+    * seeds outside the graph included, so the zero path is gated too.
+    * The oracle unrolls the same three frontier/visited rounds in SQL.
+    */
+  def kHopReach(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val seeds = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("seed"))
+      .filter(col("seed") % 101 === 0)
+    Graph.kHopReach(edges, seeds, hops = 3)
+  }
 }
