@@ -212,6 +212,7 @@ object SparkEntry {
     "x36_basket_rules" -> ExtQueries.basketRules _,
     "x37_pareto_parts" -> ExtQueries.paretoParts _,
     "x38_khop_reach" -> ExtQueries.kHopReach _,
+    "x39_rfm_segments" -> ExtQueries.rfmSegments _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -370,6 +371,7 @@ object SparkEntry {
     "x36_basket_rules" -> ExtOracleSql.x36BasketRules,
     "x37_pareto_parts" -> ExtOracleSql.x37ParetoParts,
     "x38_khop_reach" -> ExtOracleSql.x38KhopReach,
+    "x39_rfm_segments" -> ExtOracleSql.x39RfmSegments,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

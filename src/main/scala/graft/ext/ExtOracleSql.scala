@@ -3644,4 +3644,54 @@ SELECT s.seed, h.hop, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_reached
 FROM seeds s
 CROSS JOIN (VALUES (1), (2), (3)) AS h(hop)
 LEFT JOIN c ON c.seed = s.seed AND c.hop = h.hop"""
+
+  /** x39: RFM segmentation. Quintile boundaries ride the x23
+    * `quantile_cont` + round-6 kernel over identical customer-level
+    * inputs (monetary is the DECIMAL(38,6) order-free sum rounded
+    * BEFORE the percentile, both engines); scores count boundary
+    * crossings; the CASE ladder is verbatim the Spark ladder.
+    */
+  val x39RfmSegments: String = """WITH ref AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_d FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+), cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)), ref.ref_d)
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6)
+              AS DOUBLE) AS monetary
+  FROM orders CROSS JOIN ref
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY o_custkey, ref.ref_d
+), b AS (
+  SELECT
+    list_transform(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]),
+      x -> round(x, 6)) AS rb,
+    list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]),
+      x -> round(x, 6)) AS fb,
+    list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+      x -> round(x, 6)) AS mb
+  FROM cust
+), scored AS (
+  SELECT o_custkey, frequency, monetary,
+         CAST(recency_days AS INTEGER) AS recency_days,
+         6 - (1 + len(list_filter(b.rb, x -> recency_days >= x)))
+           AS r_score,
+         1 + len(list_filter(b.fb, x -> frequency >= x)) AS f_score,
+         1 + len(list_filter(b.mb, x -> monetary >= x)) AS m_score
+  FROM cust CROSS JOIN b
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+              THEN 'champion'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN m_score >= 4 THEN 'big_spender'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored"""
 }

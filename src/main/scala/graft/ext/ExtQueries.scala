@@ -1907,4 +1907,15 @@ object ExtQueries {
       .filter(col("seed") % 101 === 0)
     Graph.kHopReach(edges, seeds, hops = 3)
   }
+
+  /** RFM segmentation (x39): [[Features.rfmSegments]] over orders —
+    * per-customer recency/frequency/monetary, quintile scores, named
+    * segments. The oracle recomputes the quintile boundaries and the
+    * CASE ladder in SQL.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Features.rfmSegments(Tables.orders(spark, sfDir),
+      "o_custkey", "o_orderdate", "o_totalprice")
+  }
 }
