@@ -213,6 +213,7 @@ object SparkEntry {
     "x37_pareto_parts" -> ExtQueries.paretoParts _,
     "x38_khop_reach" -> ExtQueries.kHopReach _,
     "x39_rfm_segments" -> ExtQueries.rfmSegments _,
+    "t56_zipf_fit" -> ExtQueries.zipfFit _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -372,6 +373,7 @@ object SparkEntry {
     "x37_pareto_parts" -> ExtOracleSql.x37ParetoParts,
     "x38_khop_reach" -> ExtOracleSql.x38KhopReach,
     "x39_rfm_segments" -> ExtOracleSql.x39RfmSegments,
+    "t56_zipf_fit" -> ExtOracleSql.t56ZipfFit,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

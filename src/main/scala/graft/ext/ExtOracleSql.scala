@@ -3694,4 +3694,59 @@ SELECT o_custkey, recency_days, frequency, monetary,
             WHEN r_score <= 2 THEN 'hibernating'
             ELSE 'regular' END AS segment
 FROM scored"""
+
+  /** t56: per-language Zipf fit — the oracle recomputes the identical
+    * rank (freq DESC, token ASC pin), 9-dp ln terms, and the x28
+    * moment device (DECIMAL(28,9) linear sums, DECIMAL(38,12)
+    * double-product moments), so slope/intercept/R² divide identical
+    * doubles.
+    */
+  val t56ZipfFit: String = ToksCte + """, ex AS (
+  SELECT lang, unnest(toks) AS tok FROM t
+), counts AS (
+  SELECT lang, tok, COUNT(*) AS freq FROM ex GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, tok, freq,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY freq DESC, tok ASC) AS rnk
+  FROM counts
+), xy AS (
+  SELECT lang,
+         round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+         round(ln(CAST(freq AS DOUBLE)), 9) AS y
+  FROM ranked
+), m AS (
+  SELECT lang, COUNT(*) AS n_distinct_tokens,
+         SUM(CAST(x AS DECIMAL(28,9))) AS sx,
+         SUM(CAST(y AS DECIMAL(28,9))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
+         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+  FROM xy GROUP BY 1
+), tot AS (
+  SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_tokens FROM counts
+  GROUP BY 1
+), s AS (
+  SELECT m.lang, tot.n_tokens,
+         CAST(m.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+         CAST(m.n_distinct_tokens AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+         CAST(sxy AS DOUBLE) AS sxyd
+  FROM m JOIN tot ON m.lang = tot.lang
+), fit AS (
+  SELECT lang, n_tokens, n_distinct_tokens, nd, sxd, syd,
+         nd * sxyd - sxd * syd AS covn,
+         nd * sxxd - sxd * sxd AS varx,
+         nd * syyd - syd * syd AS vary
+  FROM s
+)
+SELECT lang, n_tokens, n_distinct_tokens,
+       CASE WHEN varx > 0 THEN round(covn / varx, 6) END AS zipf_slope,
+       CASE WHEN varx > 0
+            THEN round((syd - round(covn / varx, 6) * sxd) / nd, 6)
+       END AS zipf_intercept,
+       CASE WHEN varx > 0 AND vary > 0
+            THEN round(covn * covn / (varx * vary), 6) END AS r2
+FROM fit"""
 }

@@ -1918,4 +1918,13 @@ object ExtQueries {
     Features.rfmSegments(Tables.orders(spark, sfDir),
       "o_custkey", "o_orderdate", "o_totalprice")
   }
+
+  /** Per-language Zipf fit (t56): [[TextAnalysis.zipfFit]] over the
+    * documents corpus — slope/intercept/R² of the rank–frequency
+    * log-log regression, oracle-twinned moment for moment.
+    */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.zipfFit(Tables.documents(spark, sfDir))
+  }
 }

@@ -542,6 +542,64 @@ object TextAnalysis {
           .otherwise(0.0).as("norm_entropy"))
   }
 
+  /** Per-language Zipf fit (t56): least-squares slope of ln(freq) on
+    * ln(rank) over each language's token rank–frequency curve — the
+    * distribution-shape corpus-health metric next to [[sourceEntropy]]
+    * (entropy catches COLLAPSE; the Zipf slope catches a curve that is
+    * too flat — synthetic/templated text — or too steep — boilerplate
+    * dominance — even when entropy looks plausible; natural corpora
+    * sit near −1, Zipf's law).
+    *
+    * 100 TB shape: corpus → (lang, token) counts in one partial-agg
+    * shuffle (the t13/t47 shape); ranking and the moment sums run on
+    * the |langs| × |vocab| count frame — window state per task is one
+    * language's vocabulary, orders of magnitude below the corpus.
+    * Output is |langs| rows.
+    *
+    * Determinism: ranks are integers pinned by (freq DESC, token ASC);
+    * ln terms round to 9 dp (the t25 libm grain); moments ride the x28
+    * Pearson device — linear sums DECIMAL(28,9), cross/square moments
+    * as exact-rounded double products in DECIMAL(38,12) — so slope,
+    * intercept, and R² divide identical doubles in both engines.
+    */
+  def zipfFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val b = TextOps.attrBarrier(
+      docs.select(col("doc_id"), col("lang"), col(textCol)),
+      Seq("doc_id", "lang"), "_toks", TextOps.tokens(col(textCol)))
+    val counts = b.select(col("lang"), explode(col("_toks")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("freq"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("freq").desc, col("tok").asc)))
+    val x = round(log(col("rank").cast("double")), 9)
+    val y = round(log(col("freq").cast("double")), 9)
+    val dec = "decimal(38,12)"
+    val m = ranked
+      .select(col("lang"), x.as("_x"), y.as("_y"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(col("_x").cast("decimal(28,9)")).as("_sx"),
+        sum(col("_y").cast("decimal(28,9)")).as("_sy"),
+        sum((col("_x") * col("_x")).cast(dec)).as("_sxx"),
+        sum((col("_y") * col("_y")).cast(dec)).as("_syy"),
+        sum((col("_x") * col("_y")).cast(dec)).as("_sxy"))
+    val totals = counts.groupBy(col("lang"))
+      .agg(sum(col("freq")).as("n_tokens"))
+    val n = col("n_distinct_tokens").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN = n * d("_sxy") - d("_sx") * d("_sy")
+    val varX = n * d("_sxx") - d("_sx") * d("_sx")
+    val varY = n * d("_syy") - d("_sy") * d("_sy")
+    val slope = round(covN / varX, 6)
+    m.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("n_tokens"), col("n_distinct_tokens"),
+        when(varX > 0, slope).as("zipf_slope"),
+        when(varX > 0,
+          round((d("_sy") - slope * d("_sx")) / n, 6)).as("zipf_intercept"),
+        when(varX > 0 && varY > 0,
+          round(covN * covN / (varX * varY), 6)).as("r2"))
+  }
+
   /** Fractional QUALITY BUDGET per source (t43) — keep the top `frac`
     * of each source's documents by quality score: the rate-based
     * sibling of [[domainQuota]] (which caps absolute counts). A
