@@ -214,6 +214,7 @@ object SparkEntry {
     "x38_khop_reach" -> ExtQueries.kHopReach _,
     "x39_rfm_segments" -> ExtQueries.rfmSegments _,
     "t56_zipf_fit" -> ExtQueries.zipfFit _,
+    "s11_knn_classify" -> ExtQueries.knnClassify _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -374,6 +375,7 @@ object SparkEntry {
     "x38_khop_reach" -> ExtOracleSql.x38KhopReach,
     "x39_rfm_segments" -> ExtOracleSql.x39RfmSegments,
     "t56_zipf_fit" -> ExtOracleSql.t56ZipfFit,
+    "s11_knn_classify" -> ExtOracleSql.s11KnnClassify,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

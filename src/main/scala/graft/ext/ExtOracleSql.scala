@@ -3749,4 +3749,39 @@ SELECT lang, n_tokens, n_distinct_tokens,
        CASE WHEN varx > 0 AND vary > 0
             THEN round(covn * covn / (varx * vary), 6) END AS r2
 FROM fit"""
+
+  /** s11: k-NN majority-vote classification — the s1 ranking SQL plus
+    * a vote rollup; (votes DESC, label ASC) pins tied predictions in
+    * both engines.
+    */
+  val s11KnnClassify: String = s"""WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), n AS (
+  SELECT vec_id, label, e, sqrt(${dotExpr("e", "e")}) AS nm FROM v
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS nl,
+         round(CASE WHEN q.nm * c.nm > 0
+               THEN ${dotExpr("q.e", "c.e")} / (q.nm * c.nm) END, 6)
+           AS cosine
+  FROM n q CROSS JOIN n c
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, nl, COUNT(*) AS n_votes
+  FROM r WHERE rank <= 5 GROUP BY 1, 2
+), win AS (
+  SELECT query_id, nl, n_votes,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY n_votes DESC, nl ASC) AS vr
+  FROM votes
+)
+SELECT w.query_id, q.label AS true_label, w.nl AS predicted_label,
+       CAST(w.n_votes AS BIGINT) AS n_votes,
+       w.nl = q.label AS correct
+FROM win w JOIN v q ON w.query_id = q.vec_id
+WHERE w.vr = 1"""
 }

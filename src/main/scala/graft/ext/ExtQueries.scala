@@ -1927,4 +1927,15 @@ object ExtQueries {
     Tables.tune(spark)
     TextAnalysis.zipfFit(Tables.documents(spark, sfDir))
   }
+
+  /** k-NN label classification (s11): [[Similarity.knnClassify]] on
+    * the s1 probe set (vec_id < 20) against the full corpus, k = 5.
+    * The oracle reruns the s1 ranking SQL plus the vote window —
+    * votes DESC, label ASC pins the prediction.
+    */
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    Similarity.knnClassify(vecs.filter(col("vec_id") < 20), vecs, 5)
+  }
 }

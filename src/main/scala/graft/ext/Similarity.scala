@@ -583,4 +583,44 @@ object Similarity {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** k-NN label classification (s11): predict each query vector's
+    * label by majority vote among its k nearest cosine neighbors —
+    * the classic embedding-space sanity probe (a labeled corpus whose
+    * k-NN accuracy collapses has an embedding problem, not a data
+    * problem; run it after every re-embed alongside the s10 drift
+    * monitor).
+    *
+    * Neighbors come from [[bruteForceTopK]] — the exact verification
+    * kernel, at probe-set scale by construction; at 100 TB the
+    * candidate source swaps to the bucketed ANN path
+    * ([[signLshBuckets]] / [[mipsTopKAnn]]) and everything from the
+    * vote down is unchanged: an O(|queries| × k) aggregation. Ties are
+    * pinned (votes DESC, label ASC), so the prediction is
+    * deterministic in both engines.
+    *
+    * Returns (query_id, true_label, predicted_label, n_votes,
+    * correct).
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+    val votes = nn
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("_nl")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("_nl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("_nl").asc)
+    votes.withColumn("_rn", row_number().over(byVotes))
+      .filter(col("_rn") === 1)
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("_nl").as("predicted_label"), col("n_votes"),
+        (col("_nl") === col("true_label")).as("correct"))
+  }
 }
