@@ -215,6 +215,7 @@ object SparkEntry {
     "x39_rfm_segments" -> ExtQueries.rfmSegments _,
     "t56_zipf_fit" -> ExtQueries.zipfFit _,
     "s11_knn_classify" -> ExtQueries.knnClassify _,
+    "x40_ab_test" -> ExtQueries.abTest _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -376,6 +377,7 @@ object SparkEntry {
     "x39_rfm_segments" -> ExtOracleSql.x39RfmSegments,
     "t56_zipf_fit" -> ExtOracleSql.t56ZipfFit,
     "s11_knn_classify" -> ExtOracleSql.s11KnnClassify,
+    "x40_ab_test" -> ExtOracleSql.x40AbTest,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

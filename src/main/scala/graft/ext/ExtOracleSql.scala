@@ -3784,4 +3784,71 @@ SELECT w.query_id, q.label AS true_label, w.nl AS predicted_label,
        w.nl = q.label AS correct
 FROM win w JOIN v q ON w.query_id = q.vec_id
 WHERE w.vr = 1"""
+
+  /** x40: two-proportion z-test — per-user conversion flags, arm
+    * totals, and the identical IEEE double expression chain; counts
+    * CAST to BIGINT (DuckDB SUM widens to HUGEINT), rounds only at
+    * the end.
+    */
+  val x40AbTest: String = """WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c0,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), a AS (
+  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN c0 ELSE 0 END)
+              AS BIGINT) AS ca0,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN c0 ELSE 0 END)
+              AS BIGINT) AS cb0,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN c1 ELSE 0 END)
+              AS BIGINT) AS ca1,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN c1 ELSE 0 END)
+              AS BIGINT) AS cb1,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN c2 ELSE 0 END)
+              AS BIGINT) AS ca2,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN c2 ELSE 0 END)
+              AS BIGINT) AS cb2
+  FROM u
+), m AS (
+  SELECT 'purchase' AS metric, n_a, n_b, ca0 AS ca, cb0 AS cb FROM a
+  UNION ALL
+  SELECT 'click', n_a, n_b, ca1, cb1 FROM a
+  UNION ALL
+  SELECT 'view', n_a, n_b, ca2, cb2 FROM a
+)
+SELECT metric, n_a AS n_control, n_b AS n_treatment,
+       ca AS conv_control, cb AS conv_treatment,
+       CASE WHEN n_a > 0
+            THEN round(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+       END AS p_control,
+       CASE WHEN n_b > 0
+            THEN round(CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+       END AS p_treatment,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)
+                       - CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+       END AS lift,
+       CASE WHEN n_a > 0 AND n_b > 0
+             AND (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) > 0
+             AND (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) < 1
+            THEN round((CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)
+                        - CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+                       / sqrt((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+                              / (CAST(n_a AS DOUBLE)
+                                 + CAST(n_b AS DOUBLE))
+                              * (1.0 - (CAST(ca AS DOUBLE)
+                                        + CAST(cb AS DOUBLE))
+                                       / (CAST(n_a AS DOUBLE)
+                                          + CAST(n_b AS DOUBLE)))
+                              * (1.0 / CAST(n_a AS DOUBLE)
+                                 + 1.0 / CAST(n_b AS DOUBLE))), 6)
+       END AS z
+FROM m"""
 }

@@ -1938,4 +1938,15 @@ object ExtQueries {
     val vecs = Tables.embeddings(spark, sfDir)
     Similarity.knnClassify(vecs.filter(col("vec_id") < 20), vecs, 5)
   }
+
+  /** A/B readout (x40): [[Experiment.abTest]] over the event stream —
+    * arms by user-id parity, conversion on purchase/click/view. The
+    * oracle mirrors the z arithmetic expression for expression.
+    */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Experiment.abTest(Tables.events(spark, sfDir), "user_id",
+      "event_type", Seq("purchase", "click", "view"),
+      u => (u % 2).cast("int"))
+  }
 }
