@@ -216,6 +216,7 @@ object SparkEntry {
     "t56_zipf_fit" -> ExtQueries.zipfFit _,
     "s11_knn_classify" -> ExtQueries.knnClassify _,
     "x40_ab_test" -> ExtQueries.abTest _,
+    "s12_bucket_purity" -> ExtQueries.bucketPurity _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -378,6 +379,7 @@ object SparkEntry {
     "t56_zipf_fit" -> ExtOracleSql.t56ZipfFit,
     "s11_knn_classify" -> ExtOracleSql.s11KnnClassify,
     "x40_ab_test" -> ExtOracleSql.x40AbTest,
+    "s12_bucket_purity" -> ExtOracleSql.s12BucketPurity,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

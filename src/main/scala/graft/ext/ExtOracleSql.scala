@@ -3851,4 +3851,30 @@ SELECT metric, n_a AS n_control, n_b AS n_treatment,
                                  + 1.0 / CAST(n_b AS DOUBLE))), 6)
        END AS z
 FROM m"""
+
+  /** s12: sign-LSH bucket label purity — the s4 hyperplane family at 8
+    * planes over the raw labeled corpus; (count DESC, label ASC) pins
+    * the majority; purity is the x31 truncating HUGEINT division.
+    */
+  val s12BucketPurity: String = s"""WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), b AS (
+  SELECT label, ${bucketExpr("e", 8)} AS bucket FROM v
+), counts AS (
+  SELECT bucket, label, COUNT(*) AS c FROM b GROUP BY 1, 2
+), tot AS (
+  SELECT bucket, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1
+), win AS (
+  SELECT bucket, label, c,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY c DESC, label ASC) AS rn
+  FROM counts
+)
+SELECT t.bucket, t.n, w.label AS majority_label,
+       CAST(w.c AS BIGINT) AS n_majority,
+       CAST(CAST(w.c AS HUGEINT) * 1000000000 // t.n AS BIGINT)
+         AS purity_e9,
+       CAST(CAST(CAST(w.c AS HUGEINT) * 1000000000 // t.n AS BIGINT)
+            AS DOUBLE) / 1000000000.0 AS purity
+FROM tot t JOIN win w ON t.bucket = w.bucket AND w.rn = 1"""
 }

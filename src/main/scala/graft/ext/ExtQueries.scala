@@ -1949,4 +1949,14 @@ object ExtQueries {
       "event_type", Seq("purchase", "click", "view"),
       u => (u % 2).cast("int"))
   }
+
+  /** Sign-LSH bucket purity (s12): [[Similarity.bucketPurity]] over
+    * the labeled embedding corpus at 8 planes (the s4 hyperplane
+    * family, literal-array fast path at the schema dimensionality).
+    */
+  def bucketPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.bucketPurity(Tables.embeddings(spark, sfDir),
+      nPlanes = 8, dims = Some(64))
+  }
 }

@@ -584,6 +584,45 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Sign-LSH bucket purity (s12): per-bucket label homogeneity — the
+    * cluster-quality readout for the hashing tier ([[signLshBuckets]]
+    * feeds s4/s6/d11; this measures how well those buckets respect the
+    * labels). A labeled corpus whose buckets go impure at a given
+    * nPlanes tells you the hash family is too coarse for that data —
+    * the tuning signal next to t50's band sweep, in the embedding
+    * domain.
+    *
+    * 100 TB shape: vectors collapse to (bucket, label) pairs in one
+    * partial-agg shuffle; everything downstream runs on the
+    * |buckets| × |labels| count frame. Purity is an exact truncating
+    * fixed-point division (the x31 device); the majority label is
+    * pinned (count DESC, label ASC).
+    *
+    * Returns (bucket, n, majority_label, n_majority, purity_e9,
+    * purity).
+    */
+  def bucketPurity(vectors: DataFrame, nPlanes: Int,
+                   vecCol: String = "embedding",
+                   labelCol: String = "label",
+                   dims: Option[Int] = None): DataFrame = {
+    val counts = withLshBuckets(vectors, nPlanes, vecCol, dims)
+      .select(col("bucket"), col(labelCol).as("_l"))
+      .groupBy(col("bucket"), col("_l")).agg(count(lit(1)).as("_c"))
+    val tot = counts.groupBy(col("bucket")).agg(sum(col("_c")).as("n"))
+    val byCount = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("_c").desc, col("_l").asc)
+    counts.withColumn("_rn", row_number().over(byCount))
+      .filter(col("_rn") === 1)
+      .join(tot, Seq("bucket"))
+      .select(col("bucket"), col("n"),
+        col("_l").as("majority_label"), col("_c").as("n_majority"),
+        expr("CAST(CAST(_c AS DECIMAL(38,0)) * 1000000000 " +
+          "div n AS BIGINT)").as("purity_e9"))
+      .withColumn("purity",
+        col("purity_e9").cast("double") / lit(1e9))
+  }
+
   /** k-NN label classification (s11): predict each query vector's
     * label by majority vote among its k nearest cosine neighbors —
     * the classic embedding-space sanity probe (a labeled corpus whose
