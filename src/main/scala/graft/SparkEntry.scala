@@ -217,6 +217,7 @@ object SparkEntry {
     "s11_knn_classify" -> ExtQueries.knnClassify _,
     "x40_ab_test" -> ExtQueries.abTest _,
     "s12_bucket_purity" -> ExtQueries.bucketPurity _,
+    "x41_top_journeys" -> ExtQueries.topJourneys _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -380,6 +381,7 @@ object SparkEntry {
     "s11_knn_classify" -> ExtOracleSql.s11KnnClassify,
     "x40_ab_test" -> ExtOracleSql.x40AbTest,
     "s12_bucket_purity" -> ExtOracleSql.s12BucketPurity,
+    "x41_top_journeys" -> ExtOracleSql.x41TopJourneys,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

@@ -3877,4 +3877,34 @@ SELECT t.bucket, t.n, w.label AS majority_label,
        CAST(CAST(CAST(w.c AS HUGEINT) * 1000000000 // t.n AS BIGINT)
             AS DOUBLE) / 1000000000.0 AS purity
 FROM tot t JOIN win w ON t.bucket = w.bucket AND w.rn = 1"""
+
+  /** x41: top session journeys — the w3 lag/gap sessionization, events
+    * ordered by the same (ts, event_id) total order the Spark struct
+    * sort uses, first-3 path, (n_sessions DESC, journey ASC) cut.
+    */
+  val x41TopJourneys: String = """WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+), r AS (
+  SELECT user_id, sess, event_type,
+         row_number() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id) AS rn
+  FROM s
+), j AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY rn) AS journey
+  FROM r WHERE rn <= 3 GROUP BY 1, 2
+)
+SELECT journey, COUNT(*) AS n_sessions
+FROM j GROUP BY 1
+ORDER BY n_sessions DESC, journey ASC
+LIMIT 20"""
 }

@@ -1959,4 +1959,14 @@ object ExtQueries {
     Similarity.bucketPurity(Tables.embeddings(spark, sfDir),
       nPlanes = 8, dims = Some(64))
   }
+
+  /** Top session journeys (x41): [[StreamingOps.topJourneys]] over the
+    * event stream — w3's session semantics, first-3 paths, top 20. The
+    * oracle re-derives sessions with the lag/gap window and orders
+    * events by the same (ts, event_id) total order.
+    */
+  def topJourneys(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    StreamingOps.topJourneys(Tables.events(spark, sfDir))
+  }
 }

@@ -700,4 +700,38 @@ object StreamingOps {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Top user journeys (x41): the most common opening event-type path
+    * per session — every product-analytics tool's "user flows" panel.
+    * A journey is the first `depth` event types of a session joined
+    * with `>`; sessions use the same 5-minute-gap [[session_window]]
+    * semantics as w3 (on a stream the identical aggregation runs under
+    * a watermark).
+    *
+    * 100 TB shape: the session aggregation's state per group is ONE
+    * session's events (the standard session-window bound; `depth` caps
+    * what the journey keeps of it), then journeys collapse in a tiny
+    * counted rollup and `TakeOrderedAndProject` cuts the top `topK` —
+    * no global sort of the full journey set.
+    *
+    * Determinism: events inside a session order by the (ts, event_id)
+    * struct sort — a total order, so ties on ts cannot reshuffle the
+    * path; the final cut is pinned (n_sessions DESC, journey ASC).
+    */
+  def topJourneys(events: DataFrame, gap: String = "5 minutes",
+                  depth: Int = 3, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && topK >= 1, "depth and topK must be positive")
+    val sessions = events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type"))))
+        .as("_evts"))
+      .select(concat_ws(">",
+        transform(slice(col("_evts"), 1, depth), e => e("event_type")))
+        .as("journey"))
+    sessions.groupBy(col("journey"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("journey").asc)
+      .limit(topK)
+  }
 }
