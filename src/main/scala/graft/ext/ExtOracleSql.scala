@@ -3907,4 +3907,27 @@ SELECT journey, COUNT(*) AS n_sessions
 FROM j GROUP BY 1
 ORDER BY n_sessions DESC, journey ASC
 LIMIT 20"""
+
+  /** s13: IVF recall@5 — the s9 and s1 oracle queries composed as
+    * derived tables (DuckDB allows WITH inside a parenthesized
+    * subquery), joined on (query_id, neighbor_id); recall is the x31
+    * truncating fixed-point division.
+    */
+  val s13IvfRecall: String = s"""WITH ann AS (
+  SELECT query_id, neighbor_id FROM ($s9IvfTopK) s9ann
+), ex AS (
+  SELECT query_id, neighbor_id FROM ($s1CosineTopK) s1ex
+), hits AS (
+  SELECT ex.query_id,
+         CAST(COUNT(ann.neighbor_id) AS BIGINT) AS n_hits
+  FROM ex LEFT JOIN ann
+    ON ex.query_id = ann.query_id AND ex.neighbor_id = ann.neighbor_id
+  GROUP BY 1
+)
+SELECT query_id, n_hits, 5 AS k,
+       CAST(CAST(n_hits AS HUGEINT) * 1000000000 // 5 AS BIGINT)
+         AS recall_e9,
+       CAST(CAST(CAST(n_hits AS HUGEINT) * 1000000000 // 5 AS BIGINT)
+            AS DOUBLE) / 1000000000.0 AS recall
+FROM hits"""
 }

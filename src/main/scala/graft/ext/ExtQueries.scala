@@ -1969,4 +1969,15 @@ object ExtQueries {
     Tables.tune(spark)
     StreamingOps.topJourneys(Tables.events(spark, sfDir))
   }
+
+  /** IVF recall@5 (s13): [[Similarity.recallAtK]] of the s9 IVF
+    * retrieval against the s1 exact kernel on the shared probe set —
+    * the acceptance metric for the nprobe=2 trade, oracle-gated by
+    * composing both queries' SQL.
+    */
+  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.recallAtK(
+      ivfTopK(spark, sfDir), cosineTopK(spark, sfDir), 5)
+  }
 }

@@ -623,6 +623,33 @@ object Similarity {
         col("purity_e9").cast("double") / lit(1e9))
   }
 
+  /** Retrieval recall@k (s13): per-query overlap between a candidate
+    * retriever's top-k and the exact top-k — the acceptance metric for
+    * every ANN path in this library (s4/s9/ANN trade recall for the
+    * bucketed shuffle; this query prices that trade ON the corpus
+    * instead of trusting the probe README). Run it on a probe sample
+    * by construction: the exact side is the quadratic kernel, which is
+    * affordable precisely because |queries| is small — the corpus side
+    * of BOTH retrievers stays fully distributed.
+    *
+    * `ann` and `exact` are (query_id, neighbor_id, ...) frames; recall
+    * is an exact truncating fixed-point division (the x31 device).
+    *
+    * Returns (query_id, n_hits, k, recall_e9, recall).
+    */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = ann.select(col("query_id"), col("neighbor_id"))
+      .withColumn("_hit", lit(1L))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(col("_hit")), lit(0L)).as("n_hits"))
+      .select(col("query_id"), col("n_hits"), lit(k).as("k"),
+        expr(s"CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000000 " +
+          s"div $k AS BIGINT)").as("recall_e9"))
+      .withColumn("recall", col("recall_e9").cast("double") / lit(1e9))
+  }
+
   /** k-NN label classification (s11): predict each query vector's
     * label by majority vote among its k nearest cosine neighbors —
     * the classic embedding-space sanity probe (a labeled corpus whose
