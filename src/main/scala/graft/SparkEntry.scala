@@ -219,6 +219,7 @@ object SparkEntry {
     "s12_bucket_purity" -> ExtQueries.bucketPurity _,
     "x41_top_journeys" -> ExtQueries.topJourneys _,
     "s13_ivf_recall" -> ExtQueries.ivfRecall _,
+    "v6_benford" -> ExtQueries.benford _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -384,6 +385,7 @@ object SparkEntry {
     "s12_bucket_purity" -> ExtOracleSql.s12BucketPurity,
     "x41_top_journeys" -> ExtOracleSql.x41TopJourneys,
     "s13_ivf_recall" -> ExtOracleSql.s13IvfRecall,
+    "v6_benford" -> ExtOracleSql.v6Benford,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

@@ -3930,4 +3930,38 @@ SELECT query_id, n_hits, 5 AS k,
        CAST(CAST(CAST(n_hits AS HUGEINT) * 1000000000 // 5 AS BIGINT)
             AS DOUBLE) / 1000000000.0 AS recall
 FROM hits"""
+
+  /** v6: Benford first-digit audit — digits extracted in exact integer
+    * (cents) space, never from float formatting; chi-square terms as
+    * doubles over exact longs and the 9-dp expected share, one round
+    * at the end.
+    */
+  val v6Benford: String = """WITH c AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+), f AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM c WHERE cents >= 1
+), counts AS (
+  SELECT digit, COUNT(*) AS n_obs FROM f GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts
+), d AS (
+  SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) AS digit
+)
+SELECT d.digit,
+       CAST(COALESCE(counts.n_obs, 0) AS BIGINT) AS n_obs,
+       round(CAST(COALESCE(counts.n_obs, 0) AS DOUBLE)
+             / CAST(tot.n AS DOUBLE), 6) AS obs_share,
+       round(log10(1.0 + 1.0 / d.digit), 9) AS exp_share,
+       round((CAST(COALESCE(counts.n_obs, 0) AS DOUBLE)
+              - CAST(tot.n AS DOUBLE)
+                * round(log10(1.0 + 1.0 / d.digit), 9))
+             * (CAST(COALESCE(counts.n_obs, 0) AS DOUBLE)
+                - CAST(tot.n AS DOUBLE)
+                  * round(log10(1.0 + 1.0 / d.digit), 9))
+             / (CAST(tot.n AS DOUBLE)
+                * round(log10(1.0 + 1.0 / d.digit), 9)), 6)
+         AS chi2_term
+FROM d LEFT JOIN counts ON d.digit = counts.digit CROSS JOIN tot"""
 }

@@ -1980,4 +1980,12 @@ object ExtQueries {
     Similarity.recallAtK(
       ivfTopK(spark, sfDir), cosineTopK(spark, sfDir), 5)
   }
+
+  /** Benford audit (v6): [[Validation.benford]] over order totals —
+    * per-digit observed vs expected share and chi-square terms.
+    */
+  def benford(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Validation.benford(Tables.orders(spark, sfDir), "o_totalprice")
+  }
 }

@@ -458,4 +458,53 @@ object Validation {
           .as("violation_frac"),
         (col("e.n_violations") === 0).as("ok"))
   }
+
+  /** Benford first-digit audit (v6): the distribution of first
+    * significant digits of a positive amount column against Benford's
+    * law — the forensic-accounting screen for fabricated or
+    * systematically rounded figures (organic multiplicative amounts
+    * follow P(d) = log10(1 + 1/d); invented ones rarely do).
+    *
+    * First digits are extracted in exact INTEGER space: the amount is
+    * scaled to cents (`round(v·100)` — two-decimal money), cast to
+    * long, and the leading character taken — which preserves the first
+    * significant digit for every value ≥ 0.01 and sidesteps
+    * cross-engine float formatting entirely. Amounts below a cent are
+    * excluded with the non-positives (no significant digit to read).
+    *
+    * 100 TB shape: one conditional-aggregate collapse to 9 rows — the
+    * scan is the whole cost. A digit-scaffold left join surfaces
+    * zero-count digits. Chi-square terms are doubles over exact longs
+    * and the 9-dp expected share, rounded once (6 dp).
+    *
+    * Returns (digit, n_obs, obs_share, exp_share, chi2_term) — the
+    * statistic itself is `sum(chi2_term)`, left per-digit so the
+    * audit shows WHICH digits deviate.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = expr(s"CAST(round($valueCol * 100, 0) AS BIGINT)")
+    val digit =
+      substring(cents.cast("string"), 1, 1).cast("int").as("digit")
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(cents.as("_c"), digit)
+      .filter(col("_c") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val scaffold = (1 to 9).toDF("digit")
+    val withN = scaffold
+      .join(counts, Seq("digit"), "left_outer")
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .crossJoin(broadcast(
+        counts.agg(sum(col("n_obs")).as("_n"))))
+    val expShare = round(log10(lit(1.0) + lit(1.0) / col("digit")), 9)
+    val expN = col("_n").cast("double") * expShare
+    withN.select(col("digit"), col("n_obs"),
+      round(col("n_obs").cast("double") / col("_n"), 6).as("obs_share"),
+      expShare.as("exp_share"),
+      round((col("n_obs").cast("double") - expN) *
+        (col("n_obs").cast("double") - expN) / expN, 6).as("chi2_term"))
+  }
 }
