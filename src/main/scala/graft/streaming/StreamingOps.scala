@@ -719,9 +719,21 @@ object StreamingOps {
     * path; the final cut is pinned (n_sessions DESC, journey ASC).
     */
   def topJourneys(events: DataFrame, gap: String = "5 minutes",
-                  depth: Int = 3, topK: Int = 20): DataFrame = {
-    require(depth >= 1 && topK >= 1, "depth and topK must be positive")
-    val sessions = events
+                  depth: Int = 3, topK: Int = 20): DataFrame =
+    journeyRollup(sessionJourneys(events, gap, depth), topK)
+
+  /** Stage 1 of [[topJourneys]]: one journey string per session. This
+    * is the part that runs AS a streaming query — session_window +
+    * watermark in append mode (sessions emit when the watermark passes
+    * their end); the rollup is a separate aggregation, which Spark
+    * does not chain in one streaming query, so production lands this
+    * stage to a sink and runs [[journeyRollup]] downstream — the
+    * micro-batch ≡ batch spec drives exactly that split.
+    */
+  def sessionJourneys(events: DataFrame, gap: String = "5 minutes",
+                      depth: Int = 3): DataFrame = {
+    require(depth >= 1, "depth must be positive")
+    events
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("event_type"))))
@@ -729,7 +741,12 @@ object StreamingOps {
       .select(concat_ws(">",
         transform(slice(col("_evts"), 1, depth), e => e("event_type")))
         .as("journey"))
-    sessions.groupBy(col("journey"))
+  }
+
+  /** Stage 2 of [[topJourneys]]: the counted, pinned top-k cut. */
+  def journeyRollup(journeys: DataFrame, topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    journeys.groupBy(col("journey"))
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("journey").asc)
       .limit(topK)

@@ -34,6 +34,45 @@ class JourneySpec extends AnyFunSuite {
     assert(r.map(_._1).toSeq == Seq("a>b", "a>b>c", "e"))
   }
 
+  test("streamed session journeys + batch rollup equal the batch form") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = graft.sources.Tables.events(spark, sfDir)
+    val expected = StreamingOps.topJourneys(batchEvents)
+      .collect().map(_.toSeq).toSet
+
+    // sentinel event far in the future: in append mode a session only
+    // emits once the watermark passes its end, so without this the
+    // tail sessions never flush on a finite source
+    val maxTs = batchEvents
+      .agg(org.apache.spark.sql.functions.max("ts")).collect()(0)
+      .getTimestamp(0)
+    val sentinel = Seq((-1L, new Timestamp(maxTs.getTime + 86400000L),
+      -1L, "zzz_sentinel")).toDF("user_id", "ts", "event_id", "event_type")
+    val staged = batchEvents
+      .select("user_id", "ts", "event_id", "event_type")
+      .unionByName(sentinel)
+    val stage = java.nio.file.Files.createTempDirectory("journey_src")
+      .toString
+    staged.write.mode("overwrite").parquet(stage)
+
+    val streamIn = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = StreamingOps.sessionJourneys(
+        streamIn.withWatermark("ts", "1 minute"))
+      .writeStream.format("memory").queryName("journeys_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = StreamingOps.journeyRollup(
+          spark.table("journeys_stream")
+            .filter(!org.apache.spark.sql.functions.col("journey")
+              .startsWith("zzz_sentinel")))
+        .collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"stream/batch journey divergence: ${got.size} vs ${expected.size}")
+    } finally q.stop()
+  }
+
   test("topK truncates after the pinned sort") {
     val events = (1 to 6).flatMap { u =>
       Seq((u.toLong, ts(0), u * 10L, s"t$u"))
