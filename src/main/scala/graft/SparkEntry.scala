@@ -220,6 +220,7 @@ object SparkEntry {
     "x41_top_journeys" -> ExtQueries.topJourneys _,
     "s13_ivf_recall" -> ExtQueries.ivfRecall _,
     "v6_benford" -> ExtQueries.benford _,
+    "x42_cohort_ltv" -> ExtQueries.cohortLtv _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -386,6 +387,7 @@ object SparkEntry {
     "x41_top_journeys" -> ExtOracleSql.x41TopJourneys,
     "s13_ivf_recall" -> ExtOracleSql.s13IvfRecall,
     "v6_benford" -> ExtOracleSql.v6Benford,
+    "x42_cohort_ltv" -> ExtOracleSql.x42CohortLtv,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

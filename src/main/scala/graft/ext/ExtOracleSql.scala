@@ -3964,4 +3964,46 @@ SELECT d.digit,
                 * round(log10(1.0 + 1.0 / d.digit), 9)), 6)
          AS chi2_term
 FROM d LEFT JOIN counts ON d.digit = counts.digit CROSS JOIN tot"""
+
+  /** x42: cohort LTV — first-day cohorts, (cohort, offset) DECIMAL
+    * revenue cells, a full scaffold through the corpus horizon, and
+    * the per-cohort running sum over scaffold-distinct offsets.
+    */
+  val x42CohortLtv: String = """WITH fd AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), sz AS (
+  SELECT cohort_day, COUNT(*) AS cohort_size FROM fd GROUP BY 1
+), hz AS (
+  SELECT CAST(MAX(ts) AS DATE) AS maxd FROM events
+), rev AS (
+  SELECT fd.cohort_day,
+         CAST(date_diff('day', fd.cohort_day, CAST(e.ts AS DATE))
+              AS INTEGER) AS day_offset,
+         SUM(CAST(e.value AS DECIMAL(18,6))) AS rv
+  FROM events e JOIN fd USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+), scaf AS (
+  SELECT sz.cohort_day, sz.cohort_size,
+         CAST(unnest(generate_series(0,
+           date_diff('day', sz.cohort_day, hz.maxd))) AS INTEGER)
+           AS day_offset
+  FROM sz CROSS JOIN hz
+), j AS (
+  SELECT s.cohort_day, s.day_offset, s.cohort_size,
+         COALESCE(rev.rv, CAST(0 AS DECIMAL(18,6))) AS rv
+  FROM scaf s LEFT JOIN rev
+    ON s.cohort_day = rev.cohort_day AND s.day_offset = rev.day_offset
+), c AS (
+  SELECT *, SUM(rv) OVER (PARTITION BY cohort_day ORDER BY day_offset
+    ROWS UNBOUNDED PRECEDING) AS cum
+  FROM j
+)
+SELECT cohort_day, day_offset,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       round(CAST(rv AS DOUBLE), 6) AS revenue,
+       round(CAST(cum AS DOUBLE), 6) AS cum_revenue,
+       round(CAST(cum AS DOUBLE) / cohort_size, 6) AS ltv
+FROM c"""
 }

@@ -1988,4 +1988,13 @@ object ExtQueries {
     Tables.tune(spark)
     Validation.benford(Tables.orders(spark, sfDir), "o_totalprice")
   }
+
+  /** Cohort LTV curves (x42): [[Timeseries.cohortLtv]] over the event
+    * stream — cumulative purchase revenue per acquisition cohort, the
+    * monetary sibling of x12's retention matrix.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.cohortLtv(Tables.events(spark, sfDir))
+  }
 }

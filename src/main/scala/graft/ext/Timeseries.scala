@@ -64,6 +64,65 @@ object Timeseries {
           .as("retention"))
   }
 
+  /** Cohort LTV curves (x42): cumulative purchase revenue per user by
+    * acquisition cohort and day offset — the monetary sibling of
+    * [[retentionCohorts]] (retention says WHO came back; LTV says what
+    * they were worth), and the payback-period input every acquisition
+    * budget is set against.
+    *
+    * 100 TB shape: the corpus collapses to per-user first days and to
+    * (cohort, offset) revenue cells via partial aggregation; the
+    * scaffold (every cohort × every offset through the corpus horizon,
+    * so flat-revenue days appear as flat curve segments instead of
+    * holes) and the running sum live on the |days|²-bounded matrix —
+    * the cumulative window is per-cohort over that tiny frame, never
+    * over events.
+    *
+    * Determinism: revenue sums ride DECIMAL(18,6) (order-free); the
+    * cumulative window sums the same decimals over scaffold-distinct
+    * offsets; ltv divides two exact quantities and rounds once.
+    *
+    * Returns (cohort_day, day_offset, cohort_size, revenue,
+    * cum_revenue, ltv).
+    */
+  def cohortLtv(events: DataFrame, tsCol: String = "ts",
+                userCol: String = "user_id",
+                valueCol: String = "value",
+                purchaseType: String = "purchase",
+                typeCol: String = "event_type"): DataFrame = {
+    val firstDay = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(to_date(min(col(tsCol))).as("cohort_day"))
+    val sizes = firstDay.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val horizon = events.agg(to_date(max(col(tsCol))).as("_maxd"))
+    val rev = events
+      .filter(col(typeCol) === purchaseType && col(userCol).isNotNull)
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("_d"),
+        col(valueCol).cast("decimal(18,6)").as("_v"))
+      .join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("_d"), col("cohort_day")).as("day_offset"))
+      .agg(sum(col("_v")).as("_rev"))
+    val scaffold = sizes.crossJoin(broadcast(horizon))
+      .select(col("cohort_day"), col("cohort_size"),
+        explode(sequence(lit(0),
+          datediff(col("_maxd"), col("cohort_day")))).as("day_offset"))
+    val cum = Window.partitionBy(col("cohort_day"))
+      .orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scaffold.join(rev, Seq("cohort_day", "day_offset"), "left_outer")
+      .withColumn("_rv",
+        coalesce(col("_rev"), lit(0).cast("decimal(18,6)")))
+      .withColumn("_cum", sum(col("_rv")).over(cum))
+      .select(col("cohort_day"), col("day_offset"), col("cohort_size"),
+        round(col("_rv").cast("double"), 6).as("revenue"),
+        round(col("_cum").cast("double"), 6).as("cum_revenue"),
+        round(col("_cum").cast("double") / col("cohort_size"), 6)
+          .as("ltv"))
+  }
+
   def hourlyAnomalies(events: DataFrame, tsCol: String = "ts",
                       keyCol: String = "event_type", trailing: Int = 24,
                       zThreshold: Double = 3.0): DataFrame = {
