@@ -221,6 +221,8 @@ object SparkEntry {
     "s13_ivf_recall" -> ExtQueries.ivfRecall _,
     "v6_benford" -> ExtQueries.benford _,
     "x42_cohort_ltv" -> ExtQueries.cohortLtv _,
+    "t57_langid_confusion" -> ExtQueries.langIdConfusion _,
+    "x43_clamped_balance" -> ExtQueries.clampedBalance _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -388,6 +390,8 @@ object SparkEntry {
     "s13_ivf_recall" -> ExtOracleSql.s13IvfRecall,
     "v6_benford" -> ExtOracleSql.v6Benford,
     "x42_cohort_ltv" -> ExtOracleSql.x42CohortLtv,
+    "t57_langid_confusion" -> ExtOracleSql.t57LangIdConfusion,
+    "x43_clamped_balance" -> ExtOracleSql.x43ClampedBalance,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

@@ -4006,4 +4006,51 @@ SELECT cohort_day, day_offset,
        round(CAST(cum AS DOUBLE), 6) AS cum_revenue,
        round(CAST(cum AS DOUBLE) / cohort_size, 6) AS ltv
 FROM c"""
+
+  /** t57: language-ID confusion matrix — the t4 oracle as a derived
+    * table joined to the true lang; shares in the x31 truncating
+    * fixed point.
+    */
+  val t57LangIdConfusion: String = s"""WITH p AS (
+  SELECT doc_id, lang_pred FROM ($t4LangId) t4p
+), cells AS (
+  SELECT d.lang, p.lang_pred, COUNT(*) AS n_docs
+  FROM documents d JOIN p USING (doc_id)
+  GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS t FROM cells GROUP BY 1
+)
+SELECT c.lang, c.lang_pred, CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(CAST(c.n_docs AS HUGEINT) * 1000000000 // tot.t AS BIGINT)
+         AS share_e9,
+       c.lang = c.lang_pred AS is_correct,
+       CAST(CAST(CAST(c.n_docs AS HUGEINT) * 1000000000 // tot.t
+            AS BIGINT) AS DOUBLE) / 1000000000.0 AS share
+FROM cells c JOIN tot ON c.lang = tot.lang"""
+
+  /** x43: clamped balance — the oracle replays the LITERAL sequential
+    * `max(0, prev + delta)` recursion step by step (recursive CTE over
+    * per-key row numbers), so equality PROVES the Spark side's
+    * reflection closed form `S_t − min(0, min S_k)`, not just
+    * reproduces it.
+    */
+  val x43ClampedBalance: String = """WITH RECURSIVE d AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber % 2 = 0 THEN l_quantity
+              ELSE -l_quantity END AS delta,
+         row_number() OVER (PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+), walk AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, delta, rn,
+         greatest(0.0, delta) AS balance
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.l_partkey, d.l_orderkey, d.l_linenumber, d.delta, d.rn,
+         greatest(0.0, walk.balance + d.delta) AS balance
+  FROM walk JOIN d
+    ON d.l_partkey = walk.l_partkey AND d.rn = walk.rn + 1
+)
+SELECT l_partkey, l_orderkey, l_linenumber, delta, balance
+FROM walk"""
 }

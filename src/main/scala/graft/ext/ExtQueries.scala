@@ -1997,4 +1997,50 @@ object ExtQueries {
     Tables.tune(spark)
     Timeseries.cohortLtv(Tables.events(spark, sfDir))
   }
+
+  /** Clamped inventory balance (x43): [[Timeseries.clampedBalance]]
+    * over a per-part receipt/issue stream derived from lineitem (even
+    * line numbers receive, odd issue). The oracle replays the literal
+    * `max(0, prev + delta)` recursion in a recursive CTE — the gate
+    * proves the reflection closed form.
+    */
+  def clampedBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val deltas = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"),
+        when(col("l_linenumber") % 2 === 0, col("l_quantity"))
+          .otherwise(-col("l_quantity")).as("delta"))
+    Timeseries.clampedBalance(deltas, "l_partkey",
+        Seq("l_shipdate", "l_orderkey", "l_linenumber"), "delta")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("delta"), col("balance"))
+  }
+
+  /** Language-ID confusion matrix (t57): the t4 n-gram predictor
+    * evaluated against the corpus's true `lang` column — the
+    * eval-the-classifier query every lang-filter pipeline needs before
+    * trusting its router (s11's pattern, in the text domain). One
+    * (true, predicted) cell per pair with the within-language share in
+    * exact fixed point; diagonal cells carry `is_correct`.
+    *
+    * 100 TB shape: predictions are per-row expressions in the scan;
+    * the matrix is one partial-agg shuffle to |langs|² cells.
+    */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val pred = langId(spark, sfDir).select(col("doc_id"), col("lang_pred"))
+    val truth = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    val cells = truth.join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("_t"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("lang_pred"), col("n_docs"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000000 " +
+          "div _t AS BIGINT)").as("share_e9"),
+        (col("lang") === col("lang_pred")).as("is_correct"))
+      .withColumn("share", col("share_e9").cast("double") / lit(1e9))
+  }
 }

@@ -123,6 +123,41 @@ object Timeseries {
           .as("ltv"))
   }
 
+  /** Floor-clamped running balance (x43): per-key stock-on-hand where
+    * the balance can never go below zero — `b_t = max(0, b_{t-1} +
+    * d_t)`, the inventory/wallet semantics a plain running sum cannot
+    * express because the clamp makes the recurrence NON-associative.
+    *
+    * The trick that keeps it one window pass instead of a sequential
+    * scan: the reflection closed form `b_t = S_t − min(0, min_{k≤t}
+    * S_k)` (prefix sums reflected at the floor — the running minimum
+    * absorbs exactly the mass the clamp would have discarded). The
+    * oracle runs the LITERAL sequential recursion in a recursive CTE,
+    * so the gate proves the closed form, not just reproduces it.
+    *
+    * 100 TB shape: one shuffle on the key; both windows (running sum,
+    * then running min OF that sum) share the partitioning, so the
+    * second pass adds no exchange. A single key whose history exceeds
+    * a task decomposes by the [[graft.std.PrefixSum]] two-level
+    * device — sums and minima are both associative prefixes.
+    *
+    * Determinism: deltas are exact integer-valued doubles in this
+    * corpus; sums and minima of exact values are exact. Ordering is
+    * total by construction (`orderCols` must pin a total order).
+    */
+  def clampedBalance(df: DataFrame, keyCol: String,
+                     orderCols: Seq[String],
+                     deltaCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "need a total order")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("_s", sum(col(deltaCol)).over(w))
+      .withColumn("_m", min(col("_s")).over(w))
+      .withColumn("balance", col("_s") - least(col("_m"), lit(0.0)))
+      .drop("_s", "_m")
+  }
+
   def hourlyAnomalies(events: DataFrame, tsCol: String = "ts",
                       keyCol: String = "event_type", trailing: Int = 24,
                       zThreshold: Double = 3.0): DataFrame = {
