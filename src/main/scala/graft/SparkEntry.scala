@@ -223,6 +223,7 @@ object SparkEntry {
     "x42_cohort_ltv" -> ExtQueries.cohortLtv _,
     "t57_langid_confusion" -> ExtQueries.langIdConfusion _,
     "x43_clamped_balance" -> ExtQueries.clampedBalance _,
+    "x44_interval_coverage" -> ExtQueries.intervalCoverage _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -392,6 +393,7 @@ object SparkEntry {
     "x42_cohort_ltv" -> ExtOracleSql.x42CohortLtv,
     "t57_langid_confusion" -> ExtOracleSql.t57LangIdConfusion,
     "x43_clamped_balance" -> ExtOracleSql.x43ClampedBalance,
+    "x44_interval_coverage" -> ExtOracleSql.x44IntervalCoverage,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

@@ -4053,4 +4053,40 @@ FROM cells c JOIN tot ON c.lang = tot.lang"""
 )
 SELECT l_partkey, l_orderkey, l_linenumber, delta, balance
 FROM walk"""
+
+  /** x44: interval union — the same gaps-and-islands windows in SQL;
+    * epoch-second integers end to end (DuckDB's `epoch()` is a DOUBLE
+    * with fractional seconds — floor it to match Spark's
+    * `unix_timestamp` truncation), HUGEINT sums CAST back.
+    */
+  val x44IntervalCoverage: String = """WITH base AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts + INTERVAL '30 minutes')) AS BIGINT) AS e,
+         event_id AS tb
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), o AS (
+  SELECT *, max(e) OVER (PARTITION BY key ORDER BY s, e, tb
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM base
+), op AS (
+  SELECT *,
+         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS opn,
+         CASE WHEN (pm IS NULL OR s > pm) AND pm IS NOT NULL
+              THEN s - pm ELSE 0 END AS gap
+  FROM o
+), isl AS (
+  SELECT *, SUM(opn) OVER (PARTITION BY key ORDER BY s, e, tb
+    ROWS UNBOUNDED PRECEDING) AS island
+  FROM op
+), g AS (
+  SELECT key, island, COUNT(*) AS n, MIN(s) AS i_s, MAX(e) AS i_e,
+         MAX(gap) AS igap
+  FROM isl GROUP BY 1, 2
+)
+SELECT key, CAST(SUM(n) AS BIGINT) AS n_intervals,
+       COUNT(*) AS n_islands,
+       CAST(SUM(i_e - i_s) AS BIGINT) AS covered_seconds,
+       CAST(MAX(i_e) - MIN(i_s) AS BIGINT) AS span_seconds,
+       CAST(MAX(igap) AS BIGINT) AS longest_gap_seconds
+FROM g GROUP BY 1"""
 }

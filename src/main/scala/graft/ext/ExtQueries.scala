@@ -2017,6 +2017,19 @@ object ExtQueries {
         col("delta"), col("balance"))
   }
 
+  /** Interval coverage (x44): [[Timeseries.intervalCoverage]] over
+    * 30-minute activity windows around each event — per-user uptime
+    * islands, covered seconds, longest gap.
+    */
+  def intervalCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val iv = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("te"),
+        col("event_id"))
+    Timeseries.intervalCoverage(iv, "user_id", "ts", "te", "event_id")
+  }
+
   /** Language-ID confusion matrix (t57): the t4 n-gram predictor
     * evaluated against the corpus's true `lang` column — the
     * eval-the-classifier query every lang-filter pipeline needs before

@@ -158,6 +158,66 @@ object Timeseries {
       .drop("_s", "_m")
   }
 
+  /** Interval union — islands & gaps (x44): merge a key's overlapping
+    * [start, end) intervals into maximal covered islands and report
+    * per-key coverage — the SLA/uptime/utilization query (covered
+    * seconds, island count, longest gap) that naive `sum(end − start)`
+    * gets wrong the moment two intervals overlap.
+    *
+    * Island detection is the classic gaps-and-islands window: order a
+    * key's intervals by (start, end), take the running max of `end`
+    * over STRICTLY PRECEDING rows, and open a new island exactly when
+    * `start > that max` (end-exclusive: touching intervals merge). The
+    * island id is then a running count of opens, and islands collapse
+    * in one aggregation.
+    *
+    * 100 TB shape: one shuffle on the key; both windows and the
+    * island groupBy share that partitioning. Per-key state is the
+    * key's interval count — the usual per-key window bound.
+    *
+    * Determinism: epoch-second integer arithmetic end to end; the
+    * (start, end, tiebreak) order is total.
+    *
+    * Returns one row per key: (key, n_intervals, n_islands,
+    * covered_seconds, span_seconds, longest_gap_seconds) — gap 0 for
+    * single-island keys.
+    */
+  def intervalCoverage(df: DataFrame, keyCol: String, startCol: String,
+                       endCol: String, tiebreakCol: String): DataFrame = {
+    val s = unix_timestamp(col(startCol))
+    val e = unix_timestamp(col(endCol))
+    val byStart = Window.partitionBy(col("key"))
+      .orderBy(col("_s"), col("_e"), col("_tb"))
+    val prevMax = max(col("_e"))
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val base = df
+      .filter(col(keyCol).isNotNull && col(startCol).isNotNull &&
+        col(endCol).isNotNull && col(endCol) >= col(startCol))
+      .select(col(keyCol).as("key"), s.as("_s"), e.as("_e"),
+        col(tiebreakCol).as("_tb"))
+    val opened = base
+      .withColumn("_pm", prevMax)
+      .withColumn("_open",
+        when(col("_pm").isNull || col("_s") > col("_pm"), 1L)
+          .otherwise(0L))
+      .withColumn("_gap",
+        when(col("_open") === 1L && col("_pm").isNotNull,
+          col("_s") - col("_pm")).otherwise(lit(0L)))
+      .withColumn("_island",
+        sum(col("_open")).over(
+          byStart.rowsBetween(Window.unboundedPreceding, 0)))
+    val islands = opened.groupBy(col("key"), col("_island"))
+      .agg(count(lit(1)).as("_n"),
+        min(col("_s")).as("_is"), max(col("_e")).as("_ie"),
+        max(col("_gap")).as("_igap"))
+    islands.groupBy(col("key"))
+      .agg(sum(col("_n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("_ie") - col("_is")).as("covered_seconds"),
+        (max(col("_ie")) - min(col("_is"))).as("span_seconds"),
+        max(col("_igap")).as("longest_gap_seconds"))
+  }
+
   def hourlyAnomalies(events: DataFrame, tsCol: String = "ts",
                       keyCol: String = "event_type", trailing: Int = 24,
                       zThreshold: Double = 3.0): DataFrame = {
