@@ -224,6 +224,8 @@ object SparkEntry {
     "t57_langid_confusion" -> ExtQueries.langIdConfusion _,
     "x43_clamped_balance" -> ExtQueries.clampedBalance _,
     "x44_interval_coverage" -> ExtQueries.intervalCoverage _,
+    "v7_fd_audit" -> ExtQueries.fdAudit _,
+    "x45_conversion_latency" -> ExtQueries.conversionLatency _,
     "x21_incremental_rollup" -> ExtQueries.incrementalRollup _,
     "x22_join_estimate" -> ExtQueries.joinEstimate _,
     "x23_equal_freq_bins" -> ExtQueries.equalFreqBins _,
@@ -394,6 +396,8 @@ object SparkEntry {
     "t57_langid_confusion" -> ExtOracleSql.t57LangIdConfusion,
     "x43_clamped_balance" -> ExtOracleSql.x43ClampedBalance,
     "x44_interval_coverage" -> ExtOracleSql.x44IntervalCoverage,
+    "v7_fd_audit" -> ExtOracleSql.v7FdAudit,
+    "x45_conversion_latency" -> ExtOracleSql.x45ConversionLatency,
     "x21_incremental_rollup" -> ExtOracleSql.x21IncrementalRollup,
     "x22_join_estimate" -> ExtOracleSql.x22JoinEstimate,
     "x23_equal_freq_bins" -> ExtOracleSql.x23EqualFreqBins,

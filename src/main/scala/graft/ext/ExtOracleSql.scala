@@ -4089,4 +4089,56 @@ SELECT key, CAST(SUM(n) AS BIGINT) AS n_intervals,
        CAST(MAX(i_e) - MIN(i_s) AS BIGINT) AS span_seconds,
        CAST(MAX(igap) AS BIGINT) AS longest_gap_seconds
 FROM g GROUP BY 1"""
+
+  /** v7: FD audit — per claimed dependency, the per-key variant count
+    * (NULL dependents as their own class via an explicit flag) and the
+    * one-row summary; exact integers.
+    */
+  private def fdSql(name: String, table: String, det: String,
+                    dep: String): String = s"""SELECT '$name' AS fd,
+       COUNT(*) AS n_keys,
+       CAST(COALESCE(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_violating_keys,
+       CAST(COALESCE(MAX(v), 0) AS BIGINT) AS max_variants,
+       COALESCE(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END), 0) = 0 AS holds
+FROM (
+  SELECT $det, COUNT(DISTINCT $dep)
+         + MAX(CASE WHEN $dep IS NULL THEN 1 ELSE 0 END) AS v
+  FROM $table WHERE $det IS NOT NULL GROUP BY 1
+) pk"""
+
+  val v7FdAudit: String =
+    fdSql("nation_to_region", "nation", "n_nationkey", "n_regionkey") +
+      "\nUNION ALL\n" +
+      fdSql("brand_to_type", "part", "p_brand", "p_type") +
+      "\nUNION ALL\n" +
+      fdSql("part_to_supplier", "lineitem", "l_partkey", "l_suppkey") +
+      "\nUNION ALL\n" +
+      fdSql("customer_to_priority", "orders", "o_custkey",
+        "o_orderpriority")
+
+  /** x45: conversion latency — first view to first subsequent
+    * purchase per user, floored epoch seconds, x13 quantile kernel.
+    */
+  val x45ConversionLatency: String = """WITH fv AS (
+  SELECT user_id, MIN(ts) AS vt FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), fp AS (
+  SELECT e.user_id, fv.vt, MIN(e.ts) AS pt
+  FROM events e JOIN fv USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.vt
+  GROUP BY 1, 2
+), lat AS (
+  SELECT CAST(floor(epoch(pt)) AS BIGINT)
+         - CAST(floor(epoch(vt)) AS BIGINT) AS latency_s
+  FROM fp
+), q AS (
+  SELECT quantile_cont(latency_s, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qv
+  FROM lat
+)
+SELECT 'all' AS cohort,
+       unnest(CAST([0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[]))
+         AS quantile,
+       round(unnest(qv), 6) AS value
+FROM q"""
 }

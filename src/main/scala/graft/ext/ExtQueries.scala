@@ -2017,6 +2017,46 @@ object ExtQueries {
         col("delta"), col("balance"))
   }
 
+  /** FD audit (v7): [[Validation.fdAudit]] over four claimed
+    * dependencies — one that holds by schema (nation → region), three
+    * that plausibly-but-wrongly get assumed (brand → type, part →
+    * supplier, customer → priority).
+    */
+  def fdAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Validation.fdAudit(Seq(
+      Validation.FdCheck("nation_to_region",
+        Tables.nation(spark, sfDir), "n_nationkey", "n_regionkey"),
+      Validation.FdCheck("brand_to_type",
+        Tables.part(spark, sfDir), "p_brand", "p_type"),
+      Validation.FdCheck("part_to_supplier",
+        Tables.lineitem(spark, sfDir), "l_partkey", "l_suppkey"),
+      Validation.FdCheck("customer_to_priority",
+        Tables.orders(spark, sfDir), "o_custkey", "o_orderpriority")))
+  }
+
+  /** Conversion latency quantiles (x45): seconds from a user's first
+    * view to their first subsequent purchase — the funnel-speed
+    * readout next to w4's conversion counts; exact interpolated
+    * percentiles (the x13 kernel) on floored epoch seconds.
+    */
+  def conversionLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val e = Tables.events(spark, sfDir)
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("_vt"))
+    val lat = e.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") >= col("_vt"))
+      .groupBy(col("user_id"), col("_vt"))
+      .agg(min(col("ts")).as("_pt"))
+      .select(lit("all").as("cohort"),
+        (unix_timestamp(col("_pt")) - unix_timestamp(col("_vt")))
+          .as("latency_s"))
+    Validation.quantileReport(lat, "cohort", "latency_s",
+      Seq(0.25, 0.5, 0.75, 0.9, 0.99), exact = true)
+  }
+
   /** Interval coverage (x44): [[Timeseries.intervalCoverage]] over
     * 30-minute activity windows around each event — per-user uptime
     * islands, covered seconds, longest gap.

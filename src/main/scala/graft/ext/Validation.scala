@@ -459,6 +459,44 @@ object Validation {
         (col("e.n_violations") === 0).as("ok"))
   }
 
+  /** One claimed functional dependency `det → dep` over a frame. */
+  case class FdCheck(name: String, df: DataFrame, detCol: String,
+                     depCol: String)
+
+  /** Functional-dependency audit (v7): for each claimed `det → dep`,
+    * how many determinant keys map to MORE than one dependent value —
+    * the schema-assumption check behind every "this column is derivable
+    * from that one" denormalization, join collapse, or dimension
+    * extraction; a violated FD silently duplicates or drops rows when
+    * acted on.
+    *
+    * A NULL dependent counts as its own value class (a key mapping to
+    * both 'x' and NULL is NOT functional), counted via a separate
+    * null-presence flag so engines' differing COUNT(DISTINCT) null
+    * rules cannot diverge.
+    *
+    * 100 TB shape: per check, one partial-agg collapse to (det,
+    * variants) and a second to ONE summary row — output is |checks|
+    * rows. Exact integer counts throughout.
+    */
+  def fdAudit(checks: Seq[FdCheck]): DataFrame = {
+    require(checks.nonEmpty, "need at least one FD to audit")
+    checks.map { c =>
+      val perKey = c.df.filter(col(c.detCol).isNotNull)
+        .groupBy(col(c.detCol))
+        .agg((countDistinct(col(c.depCol)) +
+          max(when(col(c.depCol).isNull, 1L).otherwise(0L)))
+          .as("_v"))
+      perKey.agg(
+        lit(c.name).as("fd"),
+        count(lit(1)).as("n_keys"),
+        coalesce(sum(when(col("_v") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_violating_keys"),
+        coalesce(max(col("_v")), lit(0L)).as("max_variants"))
+        .withColumn("holds", col("n_violating_keys") === 0)
+    }.reduce(_ unionAll _)
+  }
+
   /** Benford first-digit audit (v6): the distribution of first
     * significant digits of a positive amount column against Benford's
     * law — the forensic-accounting screen for fabricated or
