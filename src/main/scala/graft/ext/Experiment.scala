@@ -41,14 +41,18 @@ object Experiment {
       .groupBy(col(userCol))
       .agg(flags.head, flags.tail: _*)
       .withColumn("_arm", armOf(col(userCol)))
+    // coalesce: an EMPTY experiment (or one-armed split) must report
+    // zero counts, not null — sum over no rows is null in SQL
     val armAggs =
-      Seq(sum(when(col("_arm") === 0, 1).otherwise(0)).as("n_a"),
-        sum(when(col("_arm") === 1, 1).otherwise(0)).as("n_b")) ++
+      Seq(coalesce(sum(when(col("_arm") === 0, 1).otherwise(0)), lit(0L))
+        .as("n_a"),
+        coalesce(sum(when(col("_arm") === 1, 1).otherwise(0)), lit(0L))
+          .as("n_b")) ++
         targets.indices.flatMap { i =>
-          Seq(sum(when(col("_arm") === 0, col(s"_c$i")).otherwise(0))
-            .as(s"ca$i"),
-            sum(when(col("_arm") === 1, col(s"_c$i")).otherwise(0))
-              .as(s"cb$i"))
+          Seq(coalesce(sum(when(col("_arm") === 0, col(s"_c$i"))
+            .otherwise(0)), lit(0L)).as(s"ca$i"),
+            coalesce(sum(when(col("_arm") === 1, col(s"_c$i"))
+              .otherwise(0)), lit(0L)).as(s"cb$i"))
         }
     val tot = users.agg(armAggs.head, armAggs.tail: _*)
     val perMetric = targets.zipWithIndex.map { case (t, i) =>

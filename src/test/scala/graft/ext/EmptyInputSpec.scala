@@ -74,4 +74,43 @@ class EmptyInputSpec extends AnyFunSuite {
       Rollup.report(state, Seq("k"), Seq("v")).collect()
         .map(_.toSeq).toSet)
   }
+
+  test("round-11 operators survive empty inputs") {
+    val pts = Seq.empty[(Long, Double, Int)].toDF("id", "price", "size")
+    assert(Skyline.paretoFront(pts, "price", "size", m => floor(m))
+      .collect().isEmpty)
+    // empty graph, live seeds: zeros at every hop, never a crash
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val reach = Graph.kHopReach(noEdges, Seq(1L).toDF("seed"), 2)
+      .collect()
+    assert(reach.length == 2 && reach.forall(_.getLong(2) == 0L))
+    val noOrders = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("c", "d", "amt")
+    assert(Features.rfmSegments(noOrders, "c", "d", "amt")
+      .collect().isEmpty)
+    val noEvents = Seq.empty[(Long, String)]
+      .toDF("user_id", "event_type")
+    val ab = Experiment.abTest(noEvents, "user_id", "event_type",
+      Seq("purchase"), u => (u % 2).cast("int")).collect()
+    assert(ab.length == 1 && ab(0).getLong(1) == 0L &&
+      ab(0).isNullAt(8), "empty experiment reports, z undefined")
+    val noVecs = Seq.empty[(Long, Array[Double], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.bucketPurity(noVecs, 4).collect().isEmpty)
+    val noVals = Seq.empty[Tuple1[java.lang.Double]].toDF("v")
+    val ben = Validation.benford(noVals, "v").collect()
+    assert(ben.length == 9 && ben.forall(_.getLong(1) == 0L),
+      "the digit scaffold reports zeros, shares go null")
+    val noDeltas = Seq.empty[(Long, Long, Double)]
+      .toDF("k", "seq", "delta")
+    assert(Timeseries.clampedBalance(noDeltas, "k", Seq("seq"), "delta")
+      .collect().isEmpty)
+    val noIv = Seq.empty[(Long, java.sql.Timestamp,
+      java.sql.Timestamp, Long)].toDF("k", "s", "e", "id")
+    assert(Timeseries.intervalCoverage(noIv, "k", "s", "e", "id")
+      .collect().isEmpty)
+    assert(TextAnalysis.zipfFit(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text"))
+      .collect().isEmpty)
+  }
 }
