@@ -4141,4 +4141,22 @@ SELECT 'all' AS cohort,
          AS quantile,
        round(unnest(qv), 6) AS value
 FROM q"""
+
+  /** m6: chunk-store savings — the m4 refcount query as a derived
+    * table, one exact-integer rollup, x31 fixed-point ratio.
+    */
+  val m6DedupSavings: String = s"""SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+  CAST(COALESCE(SUM(n_refs), 0) AS BIGINT) AS n_chunk_refs,
+  CAST(COALESCE(SUM(n_refs * chunk_bytes), 0) AS BIGINT)
+    AS logical_bytes,
+  CAST(COALESCE(SUM(chunk_bytes), 0) AS BIGINT) AS physical_bytes,
+  CAST(COALESCE(SUM(n_refs * chunk_bytes), 0)
+       - COALESCE(SUM(chunk_bytes), 0) AS BIGINT) AS saved_bytes,
+  CASE WHEN COALESCE(SUM(n_refs * chunk_bytes), 0) > 0
+       THEN CAST((CAST(COALESCE(SUM(n_refs * chunk_bytes), 0) AS HUGEINT)
+                  - COALESCE(SUM(chunk_bytes), 0)) * 1000000000
+                 // COALESCE(SUM(n_refs * chunk_bytes), 0) AS BIGINT)
+  END AS savings_e9
+FROM ($m4MediaChunkDedup) c"""
 }

@@ -1749,6 +1749,15 @@ object ExtQueries {
     Media.chunkDedup(spread(corpus), chunkBytes = 64)
   }
 
+  /** Chunk-store savings (m6): [[Media.dedupSavings]] over the m4
+    * refcount frame — the one-row capacity answer the m4 detail rows
+    * exist to support.
+    */
+  def mediaDedupSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Media.dedupSavings(mediaChunkDedup(spark, sfDir))
+  }
+
   /** Media near-dup pairs (m5) over the m4 reupload corpus: every
     * (original, +tail-reupload) pair shares all original chunks and
     * surfaces with high Jaccard; unrelated files share none.

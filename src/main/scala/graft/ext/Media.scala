@@ -127,6 +127,32 @@ object Media {
       .agg(count(lit(1)).as("n_refs"), max(col("_len")).as("chunk_bytes"))
   }
 
+  /** Chunk-store savings summary (m6): the capacity-planning readout
+    * over a [[chunkDedup]] refcount frame — logical bytes (what
+    * clients uploaded), physical bytes (what a content-addressed store
+    * keeps: each chunk once), and the savings ratio. The number a
+    * dedup tier is judged by, derived entirely from the |chunks| frame
+    * — no second pass over payloads.
+    *
+    * Determinism: exact integer byte arithmetic; the ratio is the x31
+    * truncating fixed point. Empty store → one row of zeros (ratio
+    * null — no logical bytes to save against).
+    */
+  def dedupSavings(chunks: DataFrame): DataFrame =
+    chunks.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_unique_chunks"),
+      coalesce(sum(col("n_refs")), lit(0L)).as("n_chunk_refs"),
+      coalesce(sum(col("n_refs") * col("chunk_bytes")), lit(0L))
+        .as("logical_bytes"),
+      coalesce(sum(col("chunk_bytes")), lit(0L)).as("physical_bytes"))
+      .select(col("n_unique_chunks"), col("n_chunk_refs"),
+        col("logical_bytes"), col("physical_bytes"),
+        (col("logical_bytes") - col("physical_bytes")).as("saved_bytes"),
+        when(col("logical_bytes") > 0,
+          expr("CAST(CAST(logical_bytes - physical_bytes AS " +
+            "DECIMAL(38,0)) * 1000000000 div logical_bytes AS BIGINT)"))
+          .as("savings_e9"))
+
   /** Media NEAR-dup pairs (m5): Jaccard over the DISTINCT chunk-digest
     * sets of two files — the d4 similarity kernel at the sub-file
     * grain, where m3's whole-file digest and even m4's per-chunk

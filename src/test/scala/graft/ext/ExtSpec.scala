@@ -352,6 +352,18 @@ class ExtSpec extends AnyFunSuite {
     // singletons
     assert(chunks.values.toSet == Set((4L, 64L), (1L, 5L), (1L, 28L)))
     assert(chunks.size == 3)
+    // m6 savings over the same store: logical 4*64+5+28 = 289,
+    // physical 64+5+28 = 97, saved 192, ratio 192e9 div 289
+    val s = Media.dedupSavings(Media.chunkDedup(media, 64)).collect()(0)
+    assert(s.getLong(0) == 3L && s.getLong(1) == 6L)
+    assert(s.getLong(2) == 289L && s.getLong(3) == 97L)
+    assert(s.getLong(4) == 192L)
+    assert(s.getLong(5) == 192L * 1000000000L / 289L)
+    // an empty store reports zeros with a null ratio
+    val empty = Media.dedupSavings(
+      Media.chunkDedup(media.filter(col("doc_id") < 0), 64)).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.getLong(2) == 0L &&
+      empty.isNullAt(5))
   }
 
   test("media: near-dup pairs score shared-chunk files, cap popular chunks") {
