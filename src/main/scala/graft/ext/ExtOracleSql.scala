@@ -4159,4 +4159,51 @@ FROM q"""
                  // COALESCE(SUM(n_refs * chunk_bytes), 0) AS BIGINT)
   END AS savings_e9
 FROM ($m4MediaChunkDedup) c"""
+
+  /** x46: weighted PageRank — x20's unrolled fixed-point rounds with
+    * the uniform out-degree split replaced by the weight-proportional
+    * `rank_e9 * w // SUM(w)`; multiplicity of the raw chain is the
+    * weight.
+    */
+  val x46WeightedPageRank: String = """WITH seq AS (
+  SELECT l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem
+), e AS (
+  SELECT l_partkey AS src, nxt AS dst, COUNT(*) AS w
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+  GROUP BY 1, 2
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (SELECT COUNT(*) AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
+r0 AS (
+  SELECT node, 1000000000 // n AS rank_e9 FROM nodes CROSS JOIN nn
+), c1 AS (
+  SELECT e.dst AS node, r0.rank_e9 * e.w // outw.ow AS c
+  FROM e JOIN r0 ON e.src = r0.node JOIN outw ON e.src = outw.src
+), s1 AS (SELECT node, SUM(c) AS s FROM c1 GROUP BY 1),
+r1 AS (
+  SELECT nodes.node,
+         150000000 // n + COALESCE(s1.s, 0) * 850 // 1000 AS rank_e9
+  FROM nodes CROSS JOIN nn LEFT JOIN s1 ON nodes.node = s1.node
+), c2 AS (
+  SELECT e.dst AS node, r1.rank_e9 * e.w // outw.ow AS c
+  FROM e JOIN r1 ON e.src = r1.node JOIN outw ON e.src = outw.src
+), s2 AS (SELECT node, SUM(c) AS s FROM c2 GROUP BY 1),
+r2 AS (
+  SELECT nodes.node,
+         150000000 // n + COALESCE(s2.s, 0) * 850 // 1000 AS rank_e9
+  FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.node = s2.node
+), c3 AS (
+  SELECT e.dst AS node, r2.rank_e9 * e.w // outw.ow AS c
+  FROM e JOIN r2 ON e.src = r2.node JOIN outw ON e.src = outw.src
+), s3 AS (SELECT node, SUM(c) AS s FROM c3 GROUP BY 1)
+SELECT nodes.node,
+       CAST(150000000 // n + COALESCE(s3.s, 0) * 850 // 1000 AS BIGINT)
+         AS rank_e9,
+       CAST(150000000 // n + COALESCE(s3.s, 0) * 850 // 1000 AS DOUBLE)
+         / CAST(1000000000 AS DOUBLE) AS rank
+FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node"""
 }

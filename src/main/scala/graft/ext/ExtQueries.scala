@@ -2026,6 +2026,22 @@ object ExtQueries {
         col("delta"), col("balance"))
   }
 
+  /** Weighted PageRank (x46): [[Graph.weightedPageRank]] over the RAW
+    * (non-distinct) co-purchase chain — traversal multiplicity is the
+    * edge weight; 3 iterations at damping 0.85, same fixed-point
+    * discipline as x20.
+    */
+  def weightedPageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    Graph.weightedPageRank(edges, iterations = 3, dampingPerMille = 850)
+  }
+
   /** FD audit (v7): [[Validation.fdAudit]] over four claimed
     * dependencies — one that holds by schema (nation → region), three
     * that plausibly-but-wrongly get assumed (brand → type, part →

@@ -36,6 +36,32 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.pageRank(loops, iterations = 3).collect().isEmpty)
   }
 
+  test("weighted PageRank: uniform weights reduce exactly to pageRank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val plain = Graph.pageRank(edges, iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weighted = Graph.weightedPageRank(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == weighted)
+  }
+
+  test("weighted PageRank: weight skew moves rank; parallel edges sum") {
+    // node 1 points at 2 (weight 9) and 3 (weight 1)
+    val skew = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L),
+      (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.weightedPageRank(skew, iterations = 3,
+        weightCol = Some("w")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(3L), "the heavy edge's target must outrank")
+    // nine parallel (1,2) edges == one edge of weight 9
+    val parallel = (Seq.fill(9)((1L, 2L)) ++
+      Seq((1L, 3L), (2L, 1L), (3L, 1L))).toDF("src", "dst")
+    val viaMulti = Graph.weightedPageRank(parallel, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(viaMulti == r)
+  }
+
   test("self-loops and duplicate edges are dropped before ranking") {
     val dirty = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L))
       .toDF("src", "dst")
