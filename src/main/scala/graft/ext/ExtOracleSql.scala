@@ -4206,4 +4206,27 @@ SELECT nodes.node,
        CAST(150000000 // n + COALESCE(s3.s, 0) * 850 // 1000 AS DOUBLE)
          / CAST(1000000000 AS DOUBLE) AS rank
 FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node"""
+
+  /** t58: contamination by source — the d8 profile as a derived table
+    * joined to provenance; t23's rounded 0.2 flag threshold, x31
+    * fixed-point source ratio.
+    */
+  val t58ContaminationBySource: String = s"""WITH prof AS (
+  SELECT * FROM ($d8Decontamination) d8p
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN p.contamination_ratio >= 0.2
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_flagged_docs,
+       CAST(SUM(p.n_shingles) AS BIGINT) AS n_shingles,
+       CAST(SUM(p.n_contaminated) AS BIGINT) AS n_contaminated,
+       CAST(CAST(SUM(p.n_contaminated) AS HUGEINT) * 1000000000
+            // SUM(p.n_shingles) AS BIGINT) AS source_ratio_e9,
+       MAX(p.contamination_ratio) AS worst_doc_ratio,
+       CAST(CAST(CAST(SUM(p.n_contaminated) AS HUGEINT) * 1000000000
+            // SUM(p.n_shingles) AS BIGINT) AS DOUBLE) / 1000000000.0
+         AS source_ratio
+FROM prof p JOIN documents d USING (doc_id)
+GROUP BY 1"""
 }

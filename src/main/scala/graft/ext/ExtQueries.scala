@@ -2026,6 +2026,35 @@ object ExtQueries {
         col("delta"), col("balance"))
   }
 
+  /** Contamination attribution by source (t58): the d8 per-doc
+    * benchmark-overlap profile rolled up to provenance — WHICH feeds
+    * leak benchmark content, the question that decides whether to
+    * drop a source or just its flagged docs. Rides the memoized d8
+    * profile (no shingle re-pass); flagging uses t23's ≥ 0.2 rounded
+    * threshold; the source-level ratio is exact fixed point.
+    */
+  def contaminationBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val prof = sharedContaminationProfile(spark, sfDir)
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    prof.join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("contamination_ratio") >= 0.2, 1L)
+          .otherwise(0L)), lit(0L)).as("n_flagged_docs"),
+        sum(col("n_shingles")).as("n_shingles"),
+        sum(col("n_contaminated")).as("n_contaminated"),
+        max(col("contamination_ratio")).as("worst_doc_ratio"))
+      .select(col("source"), col("n_docs"), col("n_flagged_docs"),
+        col("n_shingles"), col("n_contaminated"),
+        expr("CAST(CAST(n_contaminated AS DECIMAL(38,0)) * 1000000000 " +
+          "div n_shingles AS BIGINT)").as("source_ratio_e9"),
+        col("worst_doc_ratio"))
+      .withColumn("source_ratio",
+        col("source_ratio_e9").cast("double") / lit(1e9))
+  }
+
   /** Weighted PageRank (x46): [[Graph.weightedPageRank]] over the RAW
     * (non-distinct) co-purchase chain — traversal multiplicity is the
     * edge weight; 3 iterations at damping 0.85, same fixed-point
