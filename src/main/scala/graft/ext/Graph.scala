@@ -474,8 +474,11 @@ object Graph {
           .select(col("seed"), col("dst").as("node"))
           .distinct()
           .join(visited, Seq("seed", "node"), "left_anti"))
-      visited = graft.std.Materialize.once(
-        visited.unionAll(frontier))
+      // every constituent (seeds, prior frontiers) is already pinned,
+      // so the union is lineage-shallow — re-pinning it would only add
+      // a checkpoint job per hop over a frame that grows with the
+      // reach set
+      visited = visited.unionAll(frontier)
       perHop ::= frontier.groupBy(col("seed"))
         .agg(count(lit(1)).as("n_reached"))
         .withColumn("hop", lit(h))
