@@ -25,11 +25,11 @@ def time[T](label: String)(f: => T): (T, Double) = {
   (r, s)
 }
 
+// single-line defs: spark-shell -I terminates a statement at any
+// newline where the prefix parses, so a trailing `Window` would split
 val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-val w = org.apache.spark.sql.expressions.Window
-  .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-val baseEdges = li.select(col("l_partkey").as("src"),
-  lead("l_partkey", 1).over(w).as("dst")).filter(col("dst").isNotNull)
+val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+val baseEdges = li.select(col("l_partkey").as("src"), lead("l_partkey", 1).over(w).as("dst")).filter(col("dst").isNotNull)
 
 def replicate(times: Int): DataFrame =
   (0 until times).map { i =>
@@ -39,7 +39,8 @@ def replicate(times: Int): DataFrame =
 
 def seedsOf(times: Int): DataFrame =
   (0 until times).map { i =>
-    spark.range(1, 20001).select((col("id") + lit(i * 1000000L)).as("seed"))
+    spark.range(1, 20001)
+      .select((col("id") + lit(i * 1000000L)).as("seed"))
       .filter(col("seed") % 101 === 0)
   }.reduce(_ unionByName _)
 
