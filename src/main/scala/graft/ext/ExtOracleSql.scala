@@ -4229,4 +4229,43 @@ SELECT d.source,
          AS source_ratio
 FROM prof p JOIN documents d USING (doc_id)
 GROUP BY 1"""
+
+  /** t59: distinctive tokens — lift in 1e-9 fixed point via one
+    * truncating HUGEINT division of exact products; (lift DESC, token
+    * ASC) rank pin; min-count filter before ranking.
+    */
+  val t59DistinctiveTokens: String = s"""WITH t AS (
+  SELECT doc_id, source, string_split($Norm, ' ') AS toks FROM documents
+), ex AS (
+  SELECT source, unnest(toks) AS tok FROM t
+), counts AS (
+  SELECT source, tok, COUNT(*) AS c_st FROM ex GROUP BY 1, 2
+), ns AS (
+  SELECT source, SUM(c_st) AS n_s FROM counts GROUP BY 1
+), ct AS (
+  SELECT tok, SUM(c_st) AS c_t FROM counts GROUP BY 1
+), tot AS (
+  SELECT SUM(c_st) AS n_total FROM counts
+), lifted AS (
+  SELECT counts.source, counts.tok, counts.c_st, ct.c_t,
+         CAST(CAST(counts.c_st AS HUGEINT) * tot.n_total * 1000000000
+              // (CAST(ns.n_s AS HUGEINT) * ct.c_t) AS BIGINT)
+           AS lift_e9
+  FROM counts
+  JOIN ns ON counts.source = ns.source
+  JOIN ct ON counts.tok = ct.tok
+  CROSS JOIN tot
+  WHERE counts.c_st >= 10
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+    ORDER BY lift_e9 DESC, tok ASC) AS rank
+  FROM lifted
+)
+SELECT source, tok AS token,
+       CAST(c_st AS BIGINT) AS n_in_source,
+       CAST(c_t AS BIGINT) AS n_in_corpus,
+       lift_e9,
+       CAST(lift_e9 AS DOUBLE) / 1000000000.0 AS lift,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5"""
 }

@@ -2026,6 +2026,14 @@ object ExtQueries {
         col("delta"), col("balance"))
   }
 
+  /** Distinctive tokens (t59): [[TextAnalysis.distinctiveTokens]] —
+    * per-source top-5 by corpus lift, min count 10.
+    */
+  def distinctiveTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.distinctiveTokens(Tables.documents(spark, sfDir))
+  }
+
   /** Contamination attribution by source (t58): the d8 per-doc
     * benchmark-overlap profile rolled up to provenance — WHICH feeds
     * leak benchmark content, the question that decides whether to

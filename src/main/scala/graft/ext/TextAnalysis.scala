@@ -600,6 +600,57 @@ object TextAnalysis {
           round(covN * covN / (varX * varY), 6)).as("r2"))
   }
 
+  /** Distinctive tokens per source (t59): the top tokens by LIFT —
+    * a token's frequency share within the source over its share in the
+    * whole corpus — the "what makes this feed different" report that
+    * catches topic drift and injected boilerplate the way raw top
+    * tokens (t13) cannot: a globally common token never surfaces here,
+    * only the locally over-represented ones do.
+    *
+    * 100 TB shape: one partial-agg shuffle to (source, token) counts
+    * (the t13/t47/t56 shape); source and corpus totals are tiny
+    * aggregates broadcast back; the per-source rank window runs over
+    * that count frame. `minCount` suppresses small-sample noise.
+    *
+    * Determinism: lift in 1e-9 fixed point via one truncating division
+    * of exact DECIMAL(38) products; ranks pinned (lift DESC, token
+    * ASC).
+    *
+    * Returns (source, token, n_in_source, n_in_corpus, lift_e9, lift,
+    * rank) for the top `topK` per source.
+    */
+  def distinctiveTokens(docs: DataFrame, textCol: String = "text",
+                        topK: Int = 5, minCount: Long = 10L): DataFrame = {
+    val b = TextOps.attrBarrier(
+      docs.select(col("doc_id"), col("source"), col(textCol)),
+      Seq("doc_id", "source"), "_toks", TextOps.tokens(col(textCol)))
+    val counts = graft.std.Materialize.once(
+      b.select(col("source"), explode(col("_toks")).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c_st")))
+    val perSource = counts.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_s"))
+    val perToken = counts.groupBy(col("tok"))
+      .agg(sum(col("c_st")).as("c_t"))
+    val total = counts.agg(sum(col("c_st")).as("n_total"))
+    val lifted = counts.filter(col("c_st") >= minCount)
+      .join(broadcast(perSource), Seq("source"))
+      .join(perToken, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_e9",
+        expr("CAST(CAST(c_st AS DECIMAL(38,0)) * n_total * 1000000000 " +
+          "div (CAST(n_s AS DECIMAL(38,0)) * c_t) AS BIGINT)"))
+    val byLift = Window.partitionBy(col("source"))
+      .orderBy(col("lift_e9").desc, col("tok").asc)
+    lifted.withColumn("rank", row_number().over(byLift))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("tok").as("token"),
+        col("c_st").as("n_in_source"), col("c_t").as("n_in_corpus"),
+        col("lift_e9"),
+        (col("lift_e9").cast("double") / lit(1e9)).as("lift"),
+        col("rank"))
+  }
+
   /** Fractional QUALITY BUDGET per source (t43) — keep the top `frac`
     * of each source's documents by quality score: the rate-based
     * sibling of [[domainQuota]] (which caps absolute counts). A
