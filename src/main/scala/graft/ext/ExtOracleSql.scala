@@ -4268,4 +4268,31 @@ SELECT source, tok AS token,
        CAST(lift_e9 AS DOUBLE) / 1000000000.0 AS lift,
        CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 5"""
+
+  /** s14: quantization error — the s5 code arithmetic re-run inline
+    * (floor on identical doubles is bit-exact), squared errors in
+    * DECIMAL(38,12) for order-free sums, one round at the end.
+    */
+  val s14QuantizationError: String = """WITH v AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), b AS (
+  SELECT label, e,
+         list_max(list_transform(e, x -> abs(x))) AS m
+  FROM v
+), per AS (
+  SELECT label, unnest(e) AS x, m FROM b
+), coded AS (
+  SELECT label, x,
+         CASE WHEN m > 0 THEN floor(x * 127.0 / m + 0.5) ELSE 0 END AS q,
+         round(m / 127.0, 6) AS scale
+  FROM per
+), err AS (
+  SELECT label, x - q * scale AS e FROM coded
+)
+SELECT label,
+       COUNT(*) AS n_dims,
+       round(CAST(SUM(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 9) AS mse,
+       round(MAX(abs(e)), 9) AS max_abs_err
+FROM err GROUP BY 1"""
 }

@@ -2026,6 +2026,15 @@ object ExtQueries {
         col("delta"), col("balance"))
   }
 
+  /** Quantization error (s14): [[Similarity.quantizationError]] over
+    * the labeled corpus — the storage-trade acceptance metric next to
+    * s13's recall.
+    */
+  def quantizationError(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.quantizationError(Tables.embeddings(spark, sfDir))
+  }
+
   /** Distinctive tokens (t59): [[TextAnalysis.distinctiveTokens]] —
     * per-source top-5 by corpus lift, min count 10.
     */

@@ -509,6 +509,49 @@ object Similarity {
         round(col("_m") / 127.0, 6).as("scale"))
   }
 
+  /** Quantization error report (s14): per-label reconstruction error
+    * of the [[quantizeInt8]] codes — MSE and worst-dimension absolute
+    * error of `x − q·scale`. The acceptance metric for the 4×
+    * compression (the eval sibling of s13's recall: recall prices the
+    * ANN trade, this prices the storage trade); a label whose error is
+    * an outlier has a scale problem (one huge dimension starving the
+    * rest of the int8 range).
+    *
+    * 100 TB shape: one explode pass over the vectors, partial-agg
+    * collapse to |labels| rows — no joins at all (the dequantized
+    * value is recomputed in the same expression pipeline that
+    * quantized it).
+    *
+    * Determinism: q and x are exact; scale is the 6-dp-rounded double
+    * both engines share; squared errors ride DECIMAL(38,12) so the sum
+    * is order-free; mse and max error round once (9 dp).
+    */
+  def quantizationError(vecs: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val base = vecs.select(col(labelCol).as("_lbl"), v.as("_v"),
+      array_max(transform(v, x => abs(x))).as("_m"))
+    val per = base
+      .select(col("_lbl"), col("_m"),
+        posexplode(col("_v")).as(Seq("_pos", "_x")))
+      .select(col("_lbl"), col("_x"),
+        when(col("_m") > 0,
+          floor(col("_x") * 127.0 / col("_m") + 0.5))
+          .otherwise(lit(0L)).cast("long").as("_q"),
+        round(col("_m") / 127.0, 6).as("_scale"))
+      .withColumn("_err",
+        col("_x") - col("_q").cast("double") * col("_scale"))
+    per.groupBy(col("_lbl").as("label"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum((col("_err") * col("_err")).cast("decimal(38,12)"))
+          .as("_sse"),
+        max(abs(col("_err"))).as("_mx"))
+      .select(col("label"), col("n_dims"),
+        round(col("_sse").cast("double") / col("n_dims"), 9).as("mse"),
+        round(col("_mx"), 9).as("max_abs_err"))
+  }
+
   /** IVF-style ANN top-k: probe the `nprobe` nearest centroids per query
     * (tiny broadcast cross join), then exact-rank only within the probed
     * inverted lists — the corpus-side join is an equi-join on the label,
