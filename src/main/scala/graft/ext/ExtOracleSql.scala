@@ -4295,4 +4295,25 @@ SELECT label,
              / COUNT(*), 9) AS mse,
        round(MAX(abs(e)), 9) AS max_abs_err
 FROM err GROUP BY 1"""
+
+  /** t60: vocabulary growth — (token, min doc_id) in one aggregate,
+    * bucket rollup, running sum over the tiny bucket frame; exact
+    * integers, HUGEINT window sum CAST back.
+    */
+  val t60VocabGrowth: String = ToksCte + """, ex AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), fs AS (
+  SELECT tok, MIN(doc_id) AS first_doc FROM ex GROUP BY 1
+), pb AS (
+  SELECT CAST(floor(first_doc / 50.0) * 50 AS BIGINT)
+           AS bucket_start_doc,
+         COUNT(*) AS n_new_tokens
+  FROM fs GROUP BY 1
+)
+SELECT CAST(bucket_start_doc / 50 AS BIGINT) AS bucket,
+       bucket_start_doc,
+       CAST(n_new_tokens AS BIGINT) AS n_new_tokens,
+       CAST(SUM(n_new_tokens) OVER (ORDER BY bucket_start_doc
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_tokens
+FROM pb"""
 }

@@ -2026,6 +2026,14 @@ object ExtQueries {
         col("delta"), col("balance"))
   }
 
+  /** Vocabulary growth (t60): [[TextAnalysis.vocabGrowth]] in
+    * 50-doc buckets over ingestion order.
+    */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.vocabGrowth(Tables.documents(spark, sfDir))
+  }
+
   /** Quantization error (s14): [[Similarity.quantizationError]] over
     * the labeled corpus — the storage-trade acceptance metric next to
     * s13's recall.

@@ -651,6 +651,52 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** Vocabulary growth curve (t60): new-type counts per document
+    * bucket in ingestion order — the Heaps'-law readout next to
+    * [[zipfFit]] (Zipf describes the frequency SHAPE, Heaps how the
+    * VOCABULARY grows as the corpus does). A crawl whose curve goes
+    * flat is re-crawling what it already has; one that grows linearly
+    * is ingesting noise (OCR garbage, random ids) — both invisible to
+    * per-doc quality gates.
+    *
+    * "First occurrence" is by the (doc_id) ingestion order: a token
+    * belongs to the bucket of the minimum doc_id containing it. The
+    * cumulative curve is a running sum over the |buckets| frame — the
+    * [[graft.std.PrefixSum]] situation, with the frame tiny by
+    * construction here (one global window over |buckets| rows).
+    *
+    * 100 TB shape: corpus → (token, min doc_id) in one partial-agg
+    * shuffle (min is associative — map-side combine absorbs the
+    * explode volume); everything downstream runs on |buckets| rows.
+    * Exact integers throughout.
+    *
+    * Returns (bucket, bucket_start_doc, n_new_tokens,
+    * cum_distinct_tokens).
+    */
+  def vocabGrowth(docs: DataFrame, textCol: String = "text",
+                  bucketDocs: Int = 50): DataFrame = {
+    require(bucketDocs >= 1, "bucket size must be positive")
+    val b = TextOps.attrBarrier(
+      docs.select(col("doc_id"), col(textCol)),
+      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
+    val firstSeen = b.select(col("doc_id"), explode(col("_toks")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("_first"))
+    val perBucket = firstSeen
+      .groupBy((floor(col("_first") / bucketDocs) * bucketDocs)
+        .cast("long").as("bucket_start_doc"))
+      .agg(count(lit(1)).as("n_new_tokens"))
+    val byStart = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_start_doc"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .withColumn("bucket",
+        (col("bucket_start_doc") / bucketDocs).cast("long"))
+      .withColumn("cum_distinct_tokens",
+        sum(col("n_new_tokens")).over(byStart))
+      .select(col("bucket"), col("bucket_start_doc"),
+        col("n_new_tokens"), col("cum_distinct_tokens"))
+  }
+
   /** Fractional QUALITY BUDGET per source (t43) — keep the top `frac`
     * of each source's documents by quality score: the rate-based
     * sibling of [[domainQuota]] (which caps absolute counts). A
