@@ -344,7 +344,8 @@ object Dedup {
     */
   def lshTuningReport(docShingles: DataFrame, sigs: DataFrame, k: Int,
                       bandConfigs: Seq[Int], threshold: Double,
-                      truthPairs: DataFrame): DataFrame = {
+                      truthPairs: DataFrame,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     val cfgs = bandConfigs.distinct.sorted
     require(cfgs.nonEmpty, "need at least one band configuration")
     cfgs.foreach(b => require(k % b == 0, s"k=$k not divisible by $b"))
@@ -393,7 +394,13 @@ object Dedup {
       size(col("_hsh")).as("_nb"))
     val inter = size(array_intersect(col("_ha"), col("_hb")))
     val denom = col("_na") + col("_nb") - inter
-    val flagged = lshCandidatePairs(sigs, k, finest)
+    // the finest band's bucket self-join inherits lshCandidatePairs'
+    // quadratic-clique risk (one boilerplate template of 10⁴ docs emits
+    // 5·10⁷ pairs from a single band key), so the cap passes straight
+    // through — on a capped sweep every config's counts exclude the
+    // dropped cliques, consistently, because coarser membership is a
+    // predicate over the same (already capped) candidate set
+    val flagged = lshCandidatePairs(sigs, k, finest, maxBucketSize = maxBucketSize)
       .join(sigA, "id_a").join(sigB, "id_b")
       .join(hA, "id_a").join(hB, "id_b")
       .join(truth.withColumn("_is_truth", lit(true)),

@@ -116,6 +116,19 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.lshCandidatePairs(sigs, 8, 4).count() == 40L * 39 / 2)
     assert(Dedup.lshCandidatePairs(sigs, 8, 4,
       maxBucketSize = Some(10)).count() == 0L)
+    // the cap flows through the tuning sweep too: the clique corpus
+    // produces zero candidates at EVERY config once capped (coarse
+    // membership is a predicate over the capped finest candidate set)
+    val truth = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val capped = Dedup.lshTuningReport(withSh, sigs, 8, Seq(2, 4, 8), 0.3,
+        truth, maxBucketSize = Some(10)).collect()
+    graft.std.Materialize.releaseAll()
+    assert(capped.length == 3)
+    capped.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_candidates")) == 0L)
+      assert(r.getLong(r.fieldIndex("n_truth_found")) == 0L)
+      assert(r.getLong(r.fieldIndex("n_truth")) == 1L)
+    }
   }
 
   test("lshTuningReport: nested band configs trade precision for recall") {

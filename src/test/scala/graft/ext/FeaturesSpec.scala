@@ -127,5 +127,17 @@ class FeaturesSpec extends AnyFunSuite {
       case e: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => e
     }.length
     assert(bcasts >= 1, "per-group moments should broadcast")
+    // the moments pass is the ONLY shuffle: one partial-agg exchange
+    // down to |groups| rows, then the stats come back over the scan as
+    // a broadcast. A second ShuffleExchange would mean the fact side
+    // started moving — the regression this assert exists to catch
+    // (x24's r11 0.23->0.54s drift was host contention, not plan shape:
+    // re-measured r12 at 0.46s min with same-run samples 0.46-2.33s on
+    // byte-identical code).
+    val shuffles = graft.std.Plans.collect(frame) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.length
+    assert(shuffles == 1,
+      s"zscore should shuffle only the moments pass, saw $shuffles")
   }
 }
