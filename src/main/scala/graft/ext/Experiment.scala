@@ -27,9 +27,14 @@ object Experiment {
     * target type.
     *
     * Returns one row per target: (metric, n_control, n_treatment,
-    * conv_control, conv_treatment, p_control, p_treatment, lift, z) —
-    * z null when an arm is empty or the pooled rate is degenerate
-    * (0 or 1), where the statistic is undefined.
+    * n_unassigned, conv_control, conv_treatment, p_control,
+    * p_treatment, lift, z) — z null when an arm is empty or the pooled
+    * rate is degenerate (0 or 1), where the statistic is undefined.
+    * `n_unassigned` counts users whose `armOf` result is neither 0 nor
+    * 1 (including null): a correctly wired split reports 0, and a
+    * miswired arm function (1/2 arms, booleans, a raw bucket id) shows
+    * up as a visible population loss instead of silently shrinking
+    * both arms.
     */
   def abTest(events: DataFrame, userCol: String, typeCol: String,
              targets: Seq[String], armOf: Column => Column): DataFrame = {
@@ -47,7 +52,11 @@ object Experiment {
       Seq(coalesce(sum(when(col("_arm") === 0, 1).otherwise(0)), lit(0L))
         .as("n_a"),
         coalesce(sum(when(col("_arm") === 1, 1).otherwise(0)), lit(0L))
-          .as("n_b")) ++
+          .as("n_b"),
+        // `=== 0 / === 1` are null-safe here only because the otherwise
+        // branch counts them: null arms land in n_u, never in an arm
+        coalesce(sum(when(col("_arm") === 0 || col("_arm") === 1, 0)
+          .otherwise(1)), lit(0L)).as("n_u")) ++
         targets.indices.flatMap { i =>
           Seq(coalesce(sum(when(col("_arm") === 0, col(s"_c$i"))
             .otherwise(0)), lit(0L)).as(s"ca$i"),
@@ -67,6 +76,7 @@ object Experiment {
         (lit(1.0) / na + lit(1.0) / nb))
       tot.select(lit(t).as("metric"),
         col("n_a").as("n_control"), col("n_b").as("n_treatment"),
+        col("n_u").as("n_unassigned"),
         col(s"ca$i").as("conv_control"), col(s"cb$i").as("conv_treatment"),
         when(col("n_a") > 0, round(pa, 6)).as("p_control"),
         when(col("n_b") > 0, round(pb, 6)).as("p_treatment"),

@@ -3801,6 +3801,8 @@ WHERE w.vr = 1"""
               AS BIGINT) AS n_a,
          CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
               AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 OR user_id % 2 = 1
+                   THEN 0 ELSE 1 END) AS BIGINT) AS n_u,
          CAST(SUM(CASE WHEN user_id % 2 = 0 THEN c0 ELSE 0 END)
               AS BIGINT) AS ca0,
          CAST(SUM(CASE WHEN user_id % 2 = 1 THEN c0 ELSE 0 END)
@@ -3815,13 +3817,14 @@ WHERE w.vr = 1"""
               AS BIGINT) AS cb2
   FROM u
 ), m AS (
-  SELECT 'purchase' AS metric, n_a, n_b, ca0 AS ca, cb0 AS cb FROM a
+  SELECT 'purchase' AS metric, n_a, n_b, n_u, ca0 AS ca, cb0 AS cb FROM a
   UNION ALL
-  SELECT 'click', n_a, n_b, ca1, cb1 FROM a
+  SELECT 'click', n_a, n_b, n_u, ca1, cb1 FROM a
   UNION ALL
-  SELECT 'view', n_a, n_b, ca2, cb2 FROM a
+  SELECT 'view', n_a, n_b, n_u, ca2, cb2 FROM a
 )
 SELECT metric, n_a AS n_control, n_b AS n_treatment,
+       n_u AS n_unassigned,
        ca AS conv_control, cb AS conv_treatment,
        CASE WHEN n_a > 0
             THEN round(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
@@ -3931,17 +3934,19 @@ SELECT query_id, n_hits, 5 AS k,
             AS DOUBLE) / 1000000000.0 AS recall
 FROM hits"""
 
-  /** v6: Benford first-digit audit — digits extracted in exact integer
-    * (cents) space, never from float formatting; chi-square terms as
-    * doubles over exact longs and the 9-dp expected share, one round
-    * at the end.
+  /** v6: Benford first-digit audit — digits read off the exact
+    * DECIMAL(38,6) string form (identical half-up cast + exact decimal
+    * rendering in both engines), never from float formatting or a
+    * cents-scaling that could carry across a power of ten; chi-square
+    * terms as doubles over exact longs and the 9-dp expected share,
+    * one round at the end.
     */
   val v6Benford: String = """WITH c AS (
-  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  SELECT regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(38,6))
+           AS VARCHAR), '[1-9]', 0) AS d
   FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
 ), f AS (
-  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
-  FROM c WHERE cents >= 1
+  SELECT CAST(d AS INTEGER) AS digit FROM c WHERE d <> ''
 ), counts AS (
   SELECT digit, COUNT(*) AS n_obs FROM f GROUP BY 1
 ), tot AS (
@@ -4082,13 +4087,28 @@ FROM walk"""
   SELECT key, island, COUNT(*) AS n, MIN(s) AS i_s, MAX(e) AS i_e,
          MAX(gap) AS igap
   FROM isl GROUP BY 1, 2
+), cov AS (
+  SELECT key, CAST(SUM(n) AS BIGINT) AS n_intervals,
+         COUNT(*) AS n_islands,
+         CAST(SUM(i_e - i_s) AS BIGINT) AS covered_seconds,
+         CAST(MAX(i_e) - MIN(i_s) AS BIGINT) AS span_seconds,
+         CAST(MAX(igap) AS BIGINT) AS longest_gap_seconds
+  FROM g GROUP BY 1
+), mf AS (
+  -- the operator's malformed complement; on this derived input
+  -- (e = s + 30 min) an interval is malformed exactly when ts is null
+  SELECT user_id AS key, COUNT(*) AS n_malformed FROM events
+  WHERE user_id IS NOT NULL AND ts IS NULL GROUP BY 1
 )
-SELECT key, CAST(SUM(n) AS BIGINT) AS n_intervals,
-       COUNT(*) AS n_islands,
-       CAST(SUM(i_e - i_s) AS BIGINT) AS covered_seconds,
-       CAST(MAX(i_e) - MIN(i_s) AS BIGINT) AS span_seconds,
-       CAST(MAX(igap) AS BIGINT) AS longest_gap_seconds
-FROM g GROUP BY 1"""
+SELECT COALESCE(cov.key, mf.key) AS key,
+       CAST(COALESCE(n_intervals, 0) AS BIGINT) AS n_intervals,
+       CAST(COALESCE(n_islands, 0) AS BIGINT) AS n_islands,
+       CAST(COALESCE(covered_seconds, 0) AS BIGINT) AS covered_seconds,
+       CAST(COALESCE(span_seconds, 0) AS BIGINT) AS span_seconds,
+       CAST(COALESCE(longest_gap_seconds, 0) AS BIGINT)
+         AS longest_gap_seconds,
+       CAST(COALESCE(n_malformed, 0) AS BIGINT) AS n_malformed
+FROM cov FULL JOIN mf ON cov.key = mf.key"""
 
   /** v7: FD audit — per claimed dependency, the per-key variant count
     * (NULL dependents as their own class via an explicit flag) and the

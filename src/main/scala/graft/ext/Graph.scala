@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-analysis over edge lists — the graph tier of the curation
@@ -34,6 +34,54 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** 1e-9 fixed-point unit shared by every scorer in this tier. */
+  private val U = 1000000000L
+
+  /** The one Pregel-as-joins loop behind [[pageRank]],
+    * [[weightedPageRank]] and [[personalizedPageRank]] — the three are
+    * the SAME iteration differing only in (a) the per-source out-mass
+    * frame (`out`: degree or weight sum), (b) the contribution split
+    * (`contrib`: uniform `div` or weight-proportional), (c) the seed
+    * vector (`init` over the node frame) and (d) the per-node teleport
+    * term (`teleport`: uniform base or seed-restricted). Everything
+    * scale- and determinism-critical — per-iteration pinning, exact
+    * long sums, truncating `div`, the dangling left join — lives here
+    * exactly once.
+    *
+    * `nodes` may carry extra columns (e.g. the `_seed` flag) — the
+    * loop only ever selects `node` and the rank expression, so wrappers
+    * can fold per-node state into `init`/`teleport` columns.
+    */
+  private def pageRankLoop(e: DataFrame, nodes: DataFrame,
+                           out: DataFrame, contrib: Column,
+                           init: Column, teleport: Column,
+                           iterations: Int,
+                           dampingPerMille: Int): DataFrame = {
+    var ranks = nodes.select(col("node"), init.as("rank_e9"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(out, Seq("src"))
+        .select(col("dst").as("node"), contrib.as("_c"))
+      val sums = contribs.groupBy("node").agg(sum(col("_c")).as("_s"))
+      ranks = graft.std.Materialize.once(
+        nodes.join(sums, Seq("node"), "left_outer")
+          .select(col("node"),
+            (teleport +
+              expr(s"coalesce(_s, 0L) * $dampingPerMille div 1000"))
+              .as("rank_e9")))
+    }
+    ranks.select(col("node"), col("rank_e9"),
+      (col("rank_e9").cast("double") / lit(U.toDouble)).as("rank"))
+  }
+
+  private def requireRankParams(iterations: Int,
+                                dampingPerMille: Int): Unit = {
+    require(iterations >= 1, "need at least one iteration")
+    require(dampingPerMille > 0 && dampingPerMille < 1000,
+      "damping must be in (0, 1000) per-mille")
+  }
+
   /** PageRank over a directed edge list (`src`, `dst` columns;
     * duplicates and self-loops are dropped). Dangling mass (nodes with
     * no out-edges) is not redistributed — the standard simplification
@@ -48,10 +96,7 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iterations: Int = 3,
                dampingPerMille: Int = 850): DataFrame = {
-    require(iterations >= 1, "need at least one iteration")
-    require(dampingPerMille > 0 && dampingPerMille < 1000,
-      "damping must be in (0, 1000) per-mille")
-    val U = 1000000000L // 1e-9 fixed-point unit
+    requireRankParams(iterations, dampingPerMille)
     val e = graft.std.Materialize.once(
       edges.select(col("src"), col("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -68,23 +113,11 @@ object Graph {
         lit(0.0).as("rank"))
     val outdeg = graft.std.Materialize.once(
       e.groupBy("src").agg(count(lit(1)).as("_outdeg")))
-    val baseU = lit((1000L - dampingPerMille) * U / 1000L / n)
-    var ranks = nodes.select(col("node"), lit(U / n).as("rank_e9"))
-    for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst").as("node"),
-          expr("rank_e9 div _outdeg").as("_c"))
-      val sums = contribs.groupBy("node").agg(sum(col("_c")).as("_s"))
-      ranks = graft.std.Materialize.once(
-        nodes.join(sums, Seq("node"), "left_outer")
-          .select(col("node"),
-            (baseU + expr(s"coalesce(_s, 0L) * $dampingPerMille div 1000"))
-              .as("rank_e9")))
-    }
-    ranks.select(col("node"), col("rank_e9"),
-      (col("rank_e9").cast("double") / lit(U.toDouble)).as("rank"))
+    pageRankLoop(e, nodes, outdeg,
+      contrib = expr("rank_e9 div _outdeg"),
+      init = lit(U / n),
+      teleport = lit((1000L - dampingPerMille) * U / 1000L / n),
+      iterations, dampingPerMille)
   }
 
   /** Weighted PageRank (x46): [[pageRank]] where each edge carries a
@@ -108,10 +141,7 @@ object Graph {
   def weightedPageRank(edges: DataFrame, iterations: Int = 3,
                        dampingPerMille: Int = 850,
                        weightCol: Option[String] = None): DataFrame = {
-    require(iterations >= 1, "need at least one iteration")
-    require(dampingPerMille > 0 && dampingPerMille < 1000,
-      "damping must be in (0, 1000) per-mille")
-    val U = 1000000000L
+    requireRankParams(iterations, dampingPerMille)
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val e = graft.std.Materialize.once(
       edges
@@ -129,23 +159,13 @@ object Graph {
         lit(0.0).as("rank"))
     val outw = graft.std.Materialize.once(
       e.groupBy("src").agg(sum(col("w")).as("_outw")))
-    val baseU = lit((1000L - dampingPerMille) * U / 1000L / n)
-    var ranks = nodes.select(col("node"), lit(U / n).as("rank_e9"))
-    for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outw, Seq("src"))
-        .select(col("dst").as("node"),
-          expr("rank_e9 * w div _outw").as("_c"))
-      val sums = contribs.groupBy("node").agg(sum(col("_c")).as("_s"))
-      ranks = graft.std.Materialize.once(
-        nodes.join(sums, Seq("node"), "left_outer")
-          .select(col("node"),
-            (baseU + expr(s"coalesce(_s, 0L) * $dampingPerMille div 1000"))
-              .as("rank_e9")))
-    }
-    ranks.select(col("node"), col("rank_e9"),
-      (col("rank_e9").cast("double") / lit(U.toDouble)).as("rank"))
+    // the loop's edge join carries `w` alongside (src, dst), so the
+    // proportional split reads it straight off the joined row
+    pageRankLoop(e, nodes, outw,
+      contrib = expr("rank_e9 * w div _outw"),
+      init = lit(U / n),
+      teleport = lit((1000L - dampingPerMille) * U / 1000L / n),
+      iterations, dampingPerMille)
   }
 
   /** Personalized PageRank (TrustRank shape): teleport mass is
@@ -172,10 +192,7 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iterations: Int = 3,
                            dampingPerMille: Int = 850): DataFrame = {
-    require(iterations >= 1, "need at least one iteration")
-    require(dampingPerMille > 0 && dampingPerMille < 1000,
-      "damping must be in (0, 1000) per-mille")
-    val U = 1000000000L
+    requireRankParams(iterations, dampingPerMille)
     val e = graft.std.Materialize.once(
       edges.select(col("src"), col("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -197,24 +214,14 @@ object Graph {
     val seedBase = (1000L - dampingPerMille) * seedRank / 1000L
     val outdeg = graft.std.Materialize.once(
       e.groupBy("src").agg(count(lit(1)).as("_outdeg")))
-    var ranks = nodes.select(col("node"),
-      (col("_seed").cast("long") * lit(seedRank)).as("rank_e9"))
-    for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst").as("node"),
-          expr("rank_e9 div _outdeg").as("_c"))
-      val sums = contribs.groupBy("node").agg(sum(col("_c")).as("_s"))
-      ranks = graft.std.Materialize.once(
-        nodes.join(sums, Seq("node"), "left_outer")
-          .select(col("node"),
-            (col("_seed").cast("long") * lit(seedBase) +
-              expr(s"coalesce(_s, 0L) * $dampingPerMille div 1000"))
-              .as("rank_e9")))
-    }
-    ranks.select(col("node"), col("rank_e9"),
-      (col("rank_e9").cast("double") / lit(U.toDouble)).as("rank"))
+    // the node frame carries `_seed`, so seed-restricted init and
+    // teleport are per-node columns over it — the loop never knows
+    // personalization exists
+    pageRankLoop(e, nodes, outdeg,
+      contrib = expr("rank_e9 div _outdeg"),
+      init = col("_seed").cast("long") * lit(seedRank),
+      teleport = col("_seed").cast("long") * lit(seedBase),
+      iterations, dampingPerMille)
   }
 
   /** HITS hubs & authorities over a directed edge list — the second
@@ -455,8 +462,9 @@ object Graph {
     * zeros included (a dead-end seed reports 0 at every hop).
     */
   def kHopReach(edges: DataFrame, seeds: DataFrame,
-                hops: Int = 3): DataFrame = {
+                hops: Int = 3, repinEvery: Int = 4): DataFrame = {
     require(hops >= 1, "need at least one hop")
+    require(repinEvery >= 1, "repinEvery must be positive")
     val e = graft.std.Materialize.once(
       edges.select(col("src"), col("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -475,10 +483,18 @@ object Graph {
           .distinct()
           .join(visited, Seq("seed", "node"), "left_anti"))
       // every constituent (seeds, prior frontiers) is already pinned,
-      // so the union is lineage-shallow — re-pinning it would only add
-      // a checkpoint job per hop over a frame that grows with the
-      // reach set
-      visited = visited.unionAll(frontier)
+      // so the union is lineage-shallow — but it is a union of h
+      // frames, and each hop's anti-join re-scans ALL of them: O(hops²)
+      // scan volume as the traversal deepens. At the small fixed hop
+      // counts the batch queries use, re-pinning would cost more (a
+      // checkpoint job over the whole reach set per hop) than the
+      // re-scans save, so the collapse only kicks in every
+      // `repinEvery` hops — deep traversals get a bounded plan width
+      // without taxing the shallow ones.
+      visited =
+        if (h % repinEvery == 0)
+          graft.std.Materialize.once(visited.unionAll(frontier))
+        else visited.unionAll(frontier)
       perHop ::= frontier.groupBy(col("seed"))
         .agg(count(lit(1)).as("n_reached"))
         .withColumn("hop", lit(h))

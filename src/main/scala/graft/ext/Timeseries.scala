@@ -179,8 +179,13 @@ object Timeseries {
     * (start, end, tiebreak) order is total.
     *
     * Returns one row per key: (key, n_intervals, n_islands,
-    * covered_seconds, span_seconds, longest_gap_seconds) — gap 0 for
-    * single-island keys.
+    * covered_seconds, span_seconds, longest_gap_seconds, n_malformed)
+    * — gap 0 for single-island keys. `n_malformed` counts the key's
+    * rows with a null bound or `end < start`: malformed intervals are
+    * EXCLUDED from coverage (an inverted interval covers nothing) but
+    * never silently — a key whose every row is malformed still
+    * reports, with zero coverage and its malformed count. Rows with a
+    * null key have nothing to report under and stay out entirely.
     */
   def intervalCoverage(df: DataFrame, keyCol: String, startCol: String,
                        endCol: String, tiebreakCol: String): DataFrame = {
@@ -210,12 +215,30 @@ object Timeseries {
       .agg(count(lit(1)).as("_n"),
         min(col("_s")).as("_is"), max(col("_e")).as("_ie"),
         max(col("_gap")).as("_igap"))
-    islands.groupBy(col("key"))
+    val covered = islands.groupBy(col("key"))
       .agg(sum(col("_n")).as("n_intervals"),
         count(lit(1)).as("n_islands"),
         sum(col("_ie") - col("_is")).as("covered_seconds"),
         (max(col("_ie")) - min(col("_is"))).as("span_seconds"),
         max(col("_igap")).as("longest_gap_seconds"))
+    // the complement of base's validity filter, keyed — one more
+    // partial-agg shuffle on the same key, and the full-outer join
+    // keeps all-malformed keys visible instead of vanishing
+    val malformed = df
+      .filter(col(keyCol).isNotNull &&
+        (col(startCol).isNull || col(endCol).isNull ||
+          col(endCol) < col(startCol)))
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("_mf"))
+    covered.join(malformed, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("n_intervals"), lit(0L)).as("n_intervals"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("covered_seconds"), lit(0L)).as("covered_seconds"),
+        coalesce(col("span_seconds"), lit(0L)).as("span_seconds"),
+        coalesce(col("longest_gap_seconds"), lit(0L))
+          .as("longest_gap_seconds"),
+        coalesce(col("_mf"), lit(0L)).as("n_malformed"))
   }
 
   def hourlyAnomalies(events: DataFrame, tsCol: String = "ts",

@@ -503,11 +503,14 @@ object Validation {
     * systematically rounded figures (organic multiplicative amounts
     * follow P(d) = log10(1 + 1/d); invented ones rarely do).
     *
-    * First digits are extracted in exact INTEGER space: the amount is
-    * scaled to cents (`round(v·100)` — two-decimal money), cast to
-    * long, and the leading character taken — which preserves the first
-    * significant digit for every value ≥ 0.01 and sidesteps
-    * cross-engine float formatting entirely. Amounts below a cent are
+    * First digits are extracted from the EXACT DECIMAL(38,6) string
+    * form: cast to a fixed 6-dp decimal (identical half-up rounding in
+    * both engines), render (exact — decimal formatting has no float
+    * ambiguity), take the first `[1-9]` character. Correct for any
+    * amount ≥ 1e-6 regardless of decimal places — the earlier
+    * cents-scaling form misread >2-dp inputs and amounts whose
+    * cents-rounding carried across a power of ten (0.095 → cents 10 →
+    * digit 1 instead of 9). Amounts rounding to zero at 6 dp are
     * excluded with the non-positives (no significant digit to read).
     *
     * 100 TB shape: one conditional-aggregate collapse to 9 rows — the
@@ -522,13 +525,13 @@ object Validation {
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cents = expr(s"CAST(round($valueCol * 100, 0) AS BIGINT)")
-    val digit =
-      substring(cents.cast("string"), 1, 1).cast("int").as("digit")
+    val firstSig = regexp_extract(
+      col(valueCol).cast("decimal(38,6)").cast("string"), "[1-9]", 0)
     val counts = df
       .filter(col(valueCol).isNotNull && col(valueCol) > 0)
-      .select(cents.as("_c"), digit)
-      .filter(col("_c") >= 1)
+      .select(firstSig.as("_d"))
+      .filter(col("_d") =!= "")
+      .select(col("_d").cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
     val scaffold = (1 to 9).toDF("digit")
     val withN = scaffold

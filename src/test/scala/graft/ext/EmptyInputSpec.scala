@@ -93,7 +93,7 @@ class EmptyInputSpec extends AnyFunSuite {
     val ab = Experiment.abTest(noEvents, "user_id", "event_type",
       Seq("purchase"), u => (u % 2).cast("int")).collect()
     assert(ab.length == 1 && ab(0).getLong(1) == 0L &&
-      ab(0).isNullAt(8), "empty experiment reports, z undefined")
+      ab(0).isNullAt(9), "empty experiment reports, z undefined")
     val noVecs = Seq.empty[(Long, Array[Double], Int)]
       .toDF("vec_id", "embedding", "label")
     assert(Similarity.bucketPurity(noVecs, 4).collect().isEmpty)

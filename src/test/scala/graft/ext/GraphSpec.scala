@@ -120,6 +120,70 @@ class GraphSpec extends AnyFunSuite {
     assert(err.getMessage.contains("overflow"))
   }
 
+  test("HITS: guard boundary — last runnable iteration count runs, " +
+      "first un-runnable raises the NAMED error (never an overflow)") {
+    // degree-5000 star: 2·i·log2(5000) < 62 ⟺ i ≤ 2 — so i=2 is the
+    // last config inside the envelope and i=3 the first outside it
+    val big = (1L to 5000L).map(i => (0L, i)).toDF("src", "dst")
+    val ok = Graph.hits(big, iterations = 2).collect()
+    graft.std.Materialize.releaseAll()
+    // inside the envelope the run must be finite and well-normalized:
+    // every fixed-point score lands in [0, 1e9] (a silent long
+    // wraparound would go negative)
+    assert(ok.length == 5001)
+    assert(ok.forall { r =>
+      val a = r.getLong(r.fieldIndex("auth_e9"))
+      val h = r.getLong(r.fieldIndex("hub_e9"))
+      a >= 0L && a <= 1000000000L && h >= 0L && h <= 1000000000L
+    })
+    val err = intercept[IllegalArgumentException] {
+      Graph.hits(big, iterations = 3)
+    }
+    graft.std.Materialize.releaseAll()
+    assert(err.getMessage.contains("overflow") &&
+      err.getMessage.contains("5000"),
+      s"guard should name the degree and the word overflow: $err")
+  }
+
+  test("PPR: an EMPTY seed frame ranks every node exactly 0") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val noSeeds = Seq.empty[Long].toDF("node")
+    val r = Graph.personalizedPageRank(edges, noSeeds, iterations = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    graft.std.Materialize.releaseAll()
+    // the node universe is still reported (3 rows), all at rank 0 —
+    // not an empty frame and not a division-by-zero on nSeed
+    assert(r.length == 3 && r.forall(t => t._2 == 0L && t._3 == 0.0))
+  }
+
+  test("kHopReach: periodic visited re-pin changes no counts (deep walk)") {
+    // a 10-chain walked 8 hops crosses two re-pin points at
+    // repinEvery=2; results must be identical to a never-repinned run
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("seed")
+    def runWith(every: Int) =
+      Graph.kHopReach(chain, seeds, hops = 8, repinEvery = every)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val repinned = runWith(2)
+    graft.std.Materialize.releaseAll()
+    val plain = runWith(100)
+    graft.std.Materialize.releaseAll()
+    assert(repinned == plain)
+    // chain semantics: seed 1 reaches exactly one new node per hop;
+    // seed 5 runs off the end after hop 5
+    assert(repinned.contains((1L, 8, 1L)) && repinned.contains((5L, 5, 1L))
+      && repinned.contains((5L, 6, 0L)))
+  }
+
+  test("kHopReach: an empty seed frame reports no rows (not a crash)") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val reach = Graph.kHopReach(edges, Seq.empty[Long].toDF("seed"), 2)
+      .collect()
+    graft.std.Materialize.releaseAll()
+    assert(reach.isEmpty)
+  }
+
   test("PPR: rank flows outward from the seed; unreachable nodes get 0") {
     // 1 -> 2 -> 3, seed {1}: trust decays along the chain; 4 -> 1 is
     // upstream of the seed and unreachable FROM it -> exactly 0

@@ -42,7 +42,8 @@ class IntervalCoverageSpec extends AnyFunSuite {
     assert(r.getLong(5) == 0L)
   }
 
-  test("null keys/bounds and inverted intervals are excluded") {
+  test("null bounds and inverted intervals are excluded from coverage " +
+      "but COUNTED per key; null keys stay out entirely") {
     val iv = Seq(
       (Some(1L), Some(ts(0)), Some(ts(5)), 1L),
       (Option.empty[Long], Some(ts(0)), Some(ts(5)), 2L),
@@ -52,5 +53,22 @@ class IntervalCoverageSpec extends AnyFunSuite {
     val r = Timeseries.intervalCoverage(iv, "k", "s", "e", "id")
       .collect()
     assert(r.length == 1 && r(0).getLong(1) == 1L)
+    assert(r(0).getLong(r(0).fieldIndex("n_malformed")) == 2L,
+      "the null-end and inverted rows are visible, not silently dropped")
+  }
+
+  test("a key whose every interval is malformed still reports") {
+    val iv = Seq(
+      (1L, ts(5), ts(0), 1L),  // inverted
+      (2L, ts(0), ts(5), 2L))  // healthy
+      .toDF("k", "s", "e", "id")
+    val r = Timeseries.intervalCoverage(iv, "k", "s", "e", "id")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.contains(1L), "all-malformed key must not vanish")
+    assert(r(1L).getLong(1) == 0L && r(1L).getLong(2) == 0L &&
+      r(1L).getLong(3) == 0L &&
+      r(1L).getLong(r(1L).fieldIndex("n_malformed")) == 1L)
+    assert(r(2L).getLong(1) == 1L &&
+      r(2L).getLong(r(2L).fieldIndex("n_malformed")) == 0L)
   }
 }
