@@ -186,10 +186,24 @@ object Bpe {
       .orderBy(col("freq").desc, col("word").asc)
       .limit(maxVocab)
       .collect()
-    val syms = rows.map(r =>
+    mergeLoop(
+      rows.map(r => r.getString(0)),
+      rows.map(_.getLong(1)),
+      nMerges)
+  }
+
+  /** The incremental-pair-count merge loop shared by
+    * [[trainMergesLocal]] (fed by the one-job Spark word-frequency
+    * pass) and [[trainMergesInMemory]] (fed by a plain Scala count) —
+    * the algorithm itself is identical, which is what lets a
+    * query-time Spark training run be oracle-gated against a table the
+    * pure trainer froze at compile time (t61).
+    */
+  private def mergeLoop(words: Array[String], freq: Array[Long],
+                        nMerges: Int): Seq[(String, String)] = {
+    val syms = words.map(w =>
       scala.collection.mutable.ArrayBuffer.from(
-        r.getString(0).split("").filter(_.nonEmpty)))
-    val freq = rows.map(_.getLong(1))
+        w.split("").filter(_.nonEmpty)))
 
     // pair → (count, word indices containing it), plus a pick-ordered
     // view for O(log P) best-pair extraction
@@ -269,6 +283,56 @@ object Bpe {
     "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
     "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
     "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u")
+
+  /** Pure-Scala BPE training over an in-memory word list — no
+    * SparkSession anywhere, which is what lets [[TrainedMerges]] exist
+    * as a compile-time constant the t61 oracle SQL can unroll. The
+    * words must already be normalized ([[TextOps.normText]] is the
+    * identity on them); frequencies count duplicates, the vocabulary
+    * orders by (freq desc, word asc) exactly like
+    * [[trainMergesLocal]]'s Spark pass, and the merge loop is the SAME
+    * code ([[mergeLoop]]) — so on the same corpus the two trainers are
+    * equal BY CONSTRUCTION of everything except the counting pass,
+    * and that equality is what t61 gates.
+    */
+  def trainMergesInMemory(words: Seq[String],
+                          nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, "need at least one merge")
+    val wf = words.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (w, f) => (-f, w) }
+    mergeLoop(wf.map(_._1).toArray, wf.map(_._2).toArray, nMerges)
+  }
+
+  /** The t61 training corpus: a fixed, already-normalized word list
+    * with a deliberately Zipf-ish shape (high-frequency short
+    * function words, a mid tier sharing stems, a rare tail) so the
+    * learned table contains real multi-character progressions rather
+    * than degenerate single merges. Committed as a constant — both
+    * the query-time Spark training run and the oracle's frozen table
+    * derive from it.
+    */
+  val TrainWords: Seq[String] =
+    Seq.fill(24)("the") ++ Seq.fill(18)("then") ++
+      Seq.fill(15)("there") ++ Seq.fill(12)("that") ++
+      Seq.fill(10)("this") ++ Seq.fill(9)("than") ++
+      Seq.fill(8)("batch") ++ Seq.fill(8)("match") ++
+      Seq.fill(7)("catch") ++ Seq.fill(7)("patch") ++
+      Seq.fill(6)("row") ++ Seq.fill(6)("rows") ++
+      Seq.fill(5)("join") ++ Seq.fill(5)("joins") ++
+      Seq.fill(4)("joined") ++ Seq.fill(3)("hash") ++
+      Seq.fill(3)("hashes") ++ Seq.fill(2)("scan") ++
+      Seq.fill(2)("scans") ++ Seq("partition", "shuffle")
+
+  /** The trained-then-frozen merge table for t61:
+    * [[trainMergesInMemory]] over [[TrainWords]] — evaluated once at
+    * class init by plain Scala, no Spark. The t61 query re-trains the
+    * SAME corpus through [[trainMergesLocal]]'s Spark pass at query
+    * time and requires equality, so a drift between the distributed
+    * and pure trainers turns the oracle gate red instead of passing
+    * silently.
+    */
+  lazy val TrainedMerges: Seq[(String, String)] =
+    trainMergesInMemory(TrainWords, 16)
 
   /** Tokenizer fertility report (t51): per language, tokens-per-word
     * and chars-per-token under a merge table — the standard check that

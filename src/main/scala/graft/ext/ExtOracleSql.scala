@@ -3452,19 +3452,51 @@ SELECT doc_id, n_words,
 FROM e"""
   }
 
-  /** The t36 per-word encode fold (the DemoMerges table unrolled into
-    * nested list_reduce) — shared with t51.
+  /** A per-word encode fold: the given merge table unrolled into
+    * nested list_reduce (one greedy left-to-right pass per merge,
+    * mirroring `Bpe.mergePair`). Generated from the Scala constant so
+    * SQL and Spark cannot drift. Per-level lambda variable names are
+    * uniqued (s0/acc0/x0, …) — DuckDB nested lambdas shadow otherwise.
     */
-  private lazy val demoEncode: String = {
+  private def encodeUnroll(merges: Seq[(String, String)]): String = {
     val chars = "list_transform(generate_series(1, len(w)), " +
       "i -> substr(w, i, 1))"
-    Bpe.DemoMerges.zipWithIndex.foldLeft(chars) {
+    merges.zipWithIndex.foldLeft(chars) {
       case (inner, ((a, b), m)) =>
         s"""list_reduce(list_transform($inner, s$m -> [s$m]),
    (acc$m, x$m) -> CASE WHEN acc$m[-1] = '$a' AND x$m[1] = '$b'
      THEN list_concat(acc$m[1:len(acc$m)-1], ['${a + b}'])
      ELSE list_concat(acc$m, x$m) END)"""
     }
+  }
+
+  /** The t36 per-word encode fold (the DemoMerges table unrolled) —
+    * shared with t51.
+    */
+  private lazy val demoEncode: String = encodeUnroll(Bpe.DemoMerges)
+
+  /** t61: trained-then-frozen BPE encode — the t36 query shape with
+    * the table [[graft.ext.Bpe.TrainedMerges]] that the PURE-Scala
+    * trainer learns from the fixed [[graft.ext.Bpe.TrainWords]]
+    * corpus at class init. The Spark side re-trains the same corpus
+    * through the distributed word-frequency pass at query time, so a
+    * trainer drift breaks this gate.
+    */
+  lazy val t61BpeTrainedEncode: String = {
+    val enc = encodeUnroll(Bpe.TrainedMerges)
+    s"""WITH t AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks FROM documents
+), e AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         flatten(list_transform(toks, w ->
+           CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE $enc END)) AS pieces
+  FROM t
+)
+SELECT doc_id, n_words,
+       CAST(len(pieces) AS BIGINT) AS n_tokens,
+       md5(array_to_string(pieces, ' ')) AS tokens_md5
+FROM e"""
   }
 
   /** t51: per-language tokenizer fertility — the t36 encode fold with

@@ -900,6 +900,28 @@ object ExtQueries {
       Bpe.DemoMerges)
   }
 
+  /** Trained-then-frozen BPE encode (t61): TRAIN a merge table at
+    * query time — [[Bpe.trainMergesLocal]]'s one-job Spark
+    * word-frequency pass over the fixed [[Bpe.TrainWords]] corpus —
+    * then encode the documents corpus with it. The oracle unrolls
+    * [[Bpe.TrainedMerges]], the PURE-Scala trainer's table over the
+    * same corpus, so the whole train→freeze→encode path round-trips
+    * through one oracle query: if the Spark trainer ever disagrees
+    * with the pure trainer, the loud require fires (and the hash gate
+    * would catch it regardless).
+    */
+  def bpeTrainedEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    import spark.implicits._
+    val learned = Bpe.trainMergesLocal(
+      Bpe.TrainWords.toDF("text"), Bpe.TrainedMerges.size)
+    require(learned == Bpe.TrainedMerges,
+      s"Spark-trained table drifted from the frozen pure-Scala table:" +
+        s"\n  spark: $learned\n  frozen: ${Bpe.TrainedMerges}")
+    Bpe.encodeDocsPartitioned(spread(Tables.documents(spark, sfDir)),
+      learned)
+  }
+
   /** Per-language tokenizer fertility under the demo merge table
     * (t51): tokens/word and chars/token by language — the
     * cross-language tax report for a tokenizer (see

@@ -90,9 +90,84 @@ object Charts {
     require(ok, "writeBarChartPng: no PNG writer available")
   }
 
+  /** Render a line chart with circular markers to `path` (a `.png`
+    * FILE path) — the reference's revenue-trend mark type
+    * (`/root/reference/Project.py:232-233`: `plt.plot(..., marker='o',
+    * linewidth=2)`), distinct from [[writeBarChartPng]]'s bars. Same
+    * frame conventions: axes, zero line, min/0/max y ticks, rotated
+    * thinned x labels.
+    */
+  def writeLineChartPng(labels: Seq[String], values: Seq[Double],
+                        title: String, path: String,
+                        width: Int = 900, height: Int = 540,
+                        maxPoints: Int = 500): Unit = {
+    require(labels.nonEmpty && labels.size == values.size,
+      s"writeLineChartPng: ${labels.size} labels vs ${values.size} values")
+    require(labels.size <= maxPoints,
+      s"writeLineChartPng: ${labels.size} points — charts render REPORT " +
+        "aggregates; reduce before plotting")
+    System.setProperty("java.awt.headless", "true")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics().asInstanceOf[Graphics2D]
+    try {
+      g.setRenderingHint(RenderingHints.KEY_ANTIALIASING,
+        RenderingHints.VALUE_ANTIALIAS_ON)
+      g.setColor(Bg); g.fillRect(0, 0, width, height)
+      val (l, r, top, bot) = (70, 20, 50, 90)
+      val plotW = width - l - r
+      val plotH = height - top - bot
+      val maxV = math.max(values.max, 0.0)
+      val minV = math.min(values.min, 0.0)
+      val span = if (maxV - minV == 0) 1.0 else maxV - minV
+      def y(v: Double): Int = top + ((maxV - v) / span * plotH).toInt
+      g.setColor(AxisCol)
+      g.setStroke(new BasicStroke(1.5f))
+      g.drawLine(l, top, l, top + plotH)
+      g.drawLine(l, y(0), l + plotW, y(0))
+      g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 11))
+      Seq(minV, 0.0, maxV).distinct.foreach { v =>
+        g.drawString(f"$v%,.0f", 4, y(v) + 4)
+      }
+      // polyline through point centers, then markers on top — a
+      // single point degenerates to its marker (no segment to draw)
+      val n = values.size
+      val step = plotW.toDouble / n
+      def x(i: Int): Int = l + (i * step + step / 2).toInt
+      g.setColor(BarFill)
+      g.setStroke(new BasicStroke(2f, BasicStroke.CAP_ROUND,
+        BasicStroke.JOIN_ROUND))
+      values.indices.sliding(2).foreach {
+        case Seq(a, b) =>
+          g.drawLine(x(a), y(values(a)), x(b), y(values(b)))
+        case _ => ()
+      }
+      val mr = 4
+      values.zipWithIndex.foreach { case (v, i) =>
+        g.fillOval(x(i) - mr, y(v) - mr, 2 * mr, 2 * mr)
+      }
+      g.setColor(AxisCol)
+      val every = math.max(1, n / 24)
+      val oldTx = g.getTransform
+      labels.zipWithIndex.foreach { case (lab, i) =>
+        if (i % every == 0) {
+          val xc = x(i)
+          g.rotate(-Math.PI / 4, xc.toDouble, (top + plotH + 12).toDouble)
+          g.drawString(lab.take(16), xc - 30, top + plotH + 14)
+          g.setTransform(oldTx)
+        }
+      }
+      g.setFont(new Font(Font.SANS_SERIF, Font.BOLD, 16))
+      g.drawString(title, l, 30)
+    } finally g.dispose()
+    val ok = ImageIO.write(img, "png", new File(path))
+    require(ok, "writeLineChartPng: no PNG writer available")
+  }
+
   /** The reference's two report charts (`Project.py:226-267`) from their
-    * query frames: revenue per fiscal month and top-product revenue.
-    * Ordering matches [[Sinks.writeChartData]]'s chart-input contract.
+    * query frames: revenue per fiscal month as a LINE chart
+    * (`Project.py:232`) and top-product revenue as bars
+    * (`Project.py:255`). Ordering matches [[Sinks.writeChartData]]'s
+    * chart-input contract.
     */
   def writeCharts(revenueByMonth: DataFrame, topProducts: DataFrame,
                   dir: String, maxBars: Int = 500): Unit = {
@@ -111,11 +186,11 @@ object Charts {
     // decimals) must not hit a ClassCastException at getDouble
     val rev = capped(revenueByMonth.orderBy(col("fin_month_label"))
       .select(col("fin_month_label"), col("revenue").cast("double")))
-    writeBarChartPng(
+    writeLineChartPng(
       rev.map(_.getString(0)).toSeq,
       rev.map(r => r.getDouble(1)).toSeq,
       "Revenue by financial month", s"$dir/revenue_by_month.png",
-      maxBars = maxBars)
+      maxPoints = maxBars)
     val top = capped(topProducts
       .orderBy(col("revenue").desc, col("product_desc"))
       .select(col("product_desc"), col("revenue").cast("double")))

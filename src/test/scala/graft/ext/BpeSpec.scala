@@ -138,6 +138,29 @@ class BpeSpec extends AnyFunSuite {
       Bpe.trainMerges(twoWords, 3))
   }
 
+  test("pure in-memory trainer ≡ the Spark trainers (the t61 contract)") {
+    // the frozen constant is the pure trainer's output...
+    assert(Bpe.TrainedMerges ==
+      Bpe.trainMergesInMemory(Bpe.TrainWords, 16))
+    // ...and every Spark training path over the same corpus agrees
+    val docs = Bpe.TrainWords.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    assert(Bpe.trainMergesLocal(docs, 16) == Bpe.TrainedMerges)
+    assert(Bpe.trainMerges(docs, 16) == Bpe.TrainedMerges)
+    // the learned table is non-degenerate: 16 distinct merges with
+    // multi-character progressions (a trained table, not a char list)
+    assert(Bpe.TrainedMerges.size == 16 &&
+      Bpe.TrainedMerges.distinct.size == 16)
+    assert(Bpe.TrainedMerges.exists { case (a, b) =>
+      (a + b).length >= 3 })
+    // one corpus split across documents trains identically to
+    // one-word-per-row (word frequencies are all that matter)
+    val chunked = Bpe.TrainWords.grouped(7).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    assert(Bpe.trainMergesLocal(chunked, 16) == Bpe.TrainedMerges)
+  }
+
   test("corpus training is deterministic and pin-clean") {
     val docs = graft.sources.Tables
       .documents(spark, "/root/testdata/sf0.001")

@@ -314,21 +314,42 @@ class SinksSpec extends AnyFunSuite {
       .map(Xlsx.colRef) == Seq("A", "Z", "AA", "AB", "AZ", "BA", "ZZ", "AAA"))
   }
 
-  test("S5 PNG charts render headless with plotted pixels") {
+  test("S5 PNG charts render headless: revenue is a LINE, products are BARS") {
     import graft.queries.{BiQueries, Merged}
     val dir = tmp("charts")
     val cleaned = Merged.cleaned(spark, "/root/testdata/sf0.001")
     Charts.writeCharts(BiQueries.revenueByMonth(cleaned),
       BiQueries.topProducts(cleaned), dir)
-    Seq("revenue_by_month.png", "top_products.png").foreach { f =>
+    // per-column plotted-pixel profile (C0 blue, tolerant of the
+    // antialiased edge): a LINE has broad column coverage but a thin
+    // average vertical run; BARS fill tall contiguous runs
+    def profile(f: String): (Int, Seq[Int]) = {
       val img = javax.imageio.ImageIO.read(new java.io.File(s"$dir/$f"))
       assert(img.getWidth == 900 && img.getHeight == 540)
-      // bar fill (matplotlib C0 blue) must appear — i.e. bars were drawn
-      val blue = new java.awt.Color(31, 119, 180).getRGB
-      val found = (0 until img.getWidth by 7).exists(x =>
-        (0 until img.getHeight by 7).exists(y => img.getRGB(x, y) == blue))
-      assert(found, s"$f has no plotted bars")
+      def isBlue(rgb: Int): Boolean = {
+        val c = new java.awt.Color(rgb)
+        math.abs(c.getRed - 31) + math.abs(c.getGreen - 119) +
+          math.abs(c.getBlue - 180) < 90
+      }
+      val counts = (0 until img.getWidth).map(x =>
+        (0 until img.getHeight).count(y => isBlue(img.getRGB(x, y))))
+      (counts.count(_ > 0), counts)
     }
+    val (revCols, revCounts) = profile("revenue_by_month.png")
+    val (topCols, topCounts) = profile("top_products.png")
+    // both charts plotted something across most of the plot width
+    assert(revCols > 500, s"revenue line spans $revCols columns")
+    assert(topCols > 400, s"product bars span $topCols columns")
+    // the mark-type discriminator: the revenue polyline's MEDIAN
+    // occupied-column run is a few pixels (stroke + marker), while the
+    // product bars' median run is the bar height — far taller
+    def median(xs: Seq[Int]): Int = {
+      val s = xs.filter(_ > 0).sorted; s(s.length / 2)
+    }
+    val revMed = median(revCounts)
+    val topMed = median(topCounts)
+    assert(revMed < 30, s"revenue chart median run $revMed px — bars?")
+    assert(topMed > 60, s"products chart median run $topMed px — no bars?")
   }
 
   test("S6 end-to-end: three collection JSONL dirs with full row counts") {
