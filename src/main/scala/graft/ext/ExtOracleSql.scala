@@ -4348,6 +4348,99 @@ SELECT label,
        round(MAX(abs(e)), 9) AS max_abs_err
 FROM err GROUP BY 1"""
 
+  /** t62: CCNet perplexity tertile buckets — the t25 scoring chain as
+    * CTEs, exact interpolated tertile boundaries rounded to 6 dp
+    * (x23's quantile_cont parity), bucket by `>=` on pinned doubles,
+    * per-source rollup with a window share over the tiny bucket frame.
+    * The literal thirds round-trip to the same IEEE doubles Scala's
+    * `i.toDouble / bins` produces.
+    */
+  val t62PerplexityBuckets: String = ToksCte + """, ex AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), dtf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt_d FROM ex GROUP BY 1, 2
+), vocab AS (
+  SELECT token, SUM(cnt_d) AS cnt FROM dtf GROUP BY 1
+), tot AS (
+  SELECT SUM(cnt) AS n_total FROM vocab
+), lm AS (
+  SELECT token,
+         round(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 9) AS lp
+  FROM vocab CROSS JOIN tot
+), scored AS (
+  SELECT doc_id,
+         round(CAST(SUM(CAST(lp AS DECIMAL(28,9))
+                        * CAST(cnt_d AS DECIMAL(9,0))) AS DOUBLE)
+               / CAST(SUM(cnt_d) AS DOUBLE), 6) AS avg_logprob
+  FROM dtf JOIN lm USING (token)
+  GROUP BY 1
+), ws AS (
+  SELECT d.source, s.avg_logprob
+  FROM documents d JOIN scored s USING (doc_id)
+), b AS (
+  SELECT list_transform(
+           quantile_cont(avg_logprob,
+             [0.3333333333333333, 0.6666666666666666]),
+           x -> round(x, 6)) AS bounds
+  FROM ws
+), binned AS (
+  SELECT source,
+         CASE len(list_filter(b.bounds, x -> ws.avg_logprob >= x))
+           WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END
+           AS bucket,
+         avg_logprob
+  FROM ws CROSS JOIN b
+), g AS (
+  SELECT source, bucket, COUNT(*) AS n_docs,
+         round(CAST(SUM(CAST(avg_logprob AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_logprob
+  FROM binned GROUP BY 1, 2
+)
+SELECT source, bucket, CAST(n_docs AS BIGINT) AS n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6)
+         AS share,
+       avg_logprob
+FROM g"""
+
+  /** s15: product-quantization report — round-robin `dim % 8`
+    * subspaces, per-label 6-dp DECIMAL-mean codebooks (the s3
+    * centroid discipline), subvector SSEs as DECIMAL(38,12) sums so
+    * the argmin comparison is exact (ties on codeword id), mse/max
+    * rounded once at 9 dp.
+    */
+  val s15PqReport: String = """WITH ex AS (
+  SELECT e.vec_id AS vid, e.label AS cw0,
+         unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
+         unnest(e.embedding) AS x
+  FROM embeddings e
+), exs AS (
+  SELECT vid, cw0, dim, CAST(x AS DOUBLE) AS x, dim % 8 AS sub FROM ex
+), cb AS (
+  SELECT cw0 AS cw, dim,
+         round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM exs GROUP BY 1, 2
+), d AS (
+  SELECT vid, sub, cw,
+         SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS dist,
+         COUNT(*) AS nd
+  FROM exs JOIN cb USING (dim) GROUP BY 1, 2, 3
+), ch AS (
+  SELECT vid, sub, cw, dist, nd FROM (
+    SELECT vid, sub, cw, dist, nd,
+           row_number() OVER (PARTITION BY vid, sub
+                              ORDER BY dist, cw) AS rn
+    FROM d) r WHERE rn = 1
+)
+SELECT CAST(sub AS INTEGER) AS subspace,
+       COUNT(*) AS n_vecs,
+       CAST(COUNT(DISTINCT cw) AS BIGINT) AS n_codewords_used,
+       round(CAST(SUM(dist) AS DOUBLE) / CAST(SUM(nd) AS DOUBLE), 9)
+         AS mse,
+       round(CAST(MAX(dist) AS DOUBLE), 9) AS max_vec_sse
+FROM ch GROUP BY 1"""
+
   /** t60: vocabulary growth — (token, min doc_id) in one aggregate,
     * bucket rollup, running sum over the tiny bucket frame; exact
     * integers, HUGEINT window sum CAST back.

@@ -1566,6 +1566,21 @@ object ExtQueries {
       spread(Tables.documents(spark, sfDir)))
   }
 
+  /** CCNet-style perplexity tertile buckets per source (t62). */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.perplexityBuckets(
+      spread(Tables.documents(spark, sfDir)))
+  }
+
+  /** Product-quantization report (s15): 8 round-robin subspaces,
+    * per-label codebooks, over the labeled embedding corpus.
+    */
+  def pqReport(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.pqReport(Tables.embeddings(spark, sfDir))
+  }
+
   /** Hashed-feature classifier scoring (t32). */
   def hashedClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

@@ -693,6 +693,69 @@ object Similarity {
       .withColumn("recall", col("recall_e9").cast("double") / lit(1e9))
   }
 
+  /** Product-quantization report (s15): the subvector-codebook
+    * compression that completes the IVF-PQ stack — [[ivfTopK]] prunes
+    * WHICH vectors a query touches, [[quantizeInt8]]/s14 prices
+    * scalar compression, and PQ is the industry-standard step between
+    * them (each vector stored as `subspaces` small codeword ids,
+    * reconstruction = concatenated codewords). Dimensions assign to
+    * subspaces round-robin (`dim mod subspaces`) so the decomposition
+    * needs no knowledge of the vector width; the per-subspace codebook
+    * is the per-label centroid restricted to that subspace's
+    * dimensions (the deterministic s9 coarse-quantizer discipline —
+    * production swaps in k-means codebooks, everything downstream is
+    * unchanged), and each subvector is assigned its NEAREST codeword
+    * by L2, which need not be the vector's own label.
+    *
+    * Per subspace: vectors encoded, distinct codewords actually used
+    * (a collapsed subspace wastes its code budget), per-dimension MSE
+    * of the reconstruction, and the worst single subvector SSE.
+    *
+    * 100 TB shape: the codebook is |labels| × dims rows — broadcast;
+    * distances come from ONE equi-join of the exploded corpus with
+    * that broadcast on `dim`, partial-aggregated to (vec, subspace,
+    * codeword); the argmin window partitions by (vec, subspace) —
+    * bounded by the codebook size, never the corpus. No all-pairs
+    * term anywhere.
+    *
+    * Determinism: centroids are 6-dp DECIMAL-sum means (s3); squared
+    * errors ride DECIMAL(38,12) so subvector SSEs are exact and their
+    * comparison total (ties break on codeword id); mse/max round once
+    * at 9 dp.
+    */
+  def pqReport(vecs: DataFrame, subspaces: Int = 8,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               labelCol: String = "label"): DataFrame = {
+    require(subspaces >= 1, "need at least one subspace")
+    val v = col(vecCol).cast("array<double>")
+    val ex = graft.std.Materialize.once(
+      vecs.select(col(idCol).as("_vid"), col(labelCol).as("_cw0"),
+          posexplode(v).as(Seq("_dim", "_x")))
+        .select(col("_vid"), col("_cw0"),
+          col("_dim").cast("long").as("_dim"), col("_x"))
+        .withColumn("_sub", (col("_dim") % subspaces).cast("int")))
+    val cb = ex.groupBy(col("_cw0").as("_cw"), col("_dim"))
+      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)), 6).as("_c"))
+    val dists = ex.join(broadcast(cb), Seq("_dim"))
+      .select(col("_vid"), col("_sub"), col("_cw"),
+        ((col("_x") - col("_c")) * (col("_x") - col("_c")))
+          .cast("decimal(38,12)").as("_sq"))
+      .groupBy(col("_vid"), col("_sub"), col("_cw"))
+      .agg(sum(col("_sq")).as("_dist"), count(lit(1)).as("_nd"))
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_vid"), col("_sub"))
+      .orderBy(col("_dist").asc, col("_cw").asc)
+    val chosen = dists.withColumn("_rn", row_number().over(byDist))
+      .filter(col("_rn") === 1)
+    chosen.groupBy(col("_sub").as("subspace"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("_cw")).as("n_codewords_used"),
+        round(sum(col("_dist")).cast("double") /
+          sum(col("_nd")).cast("double"), 9).as("mse"),
+        round(max(col("_dist")).cast("double"), 9).as("max_vec_sse"))
+  }
+
   /** k-NN label classification (s11): predict each query vector's
     * label by majority vote among its k nearest cosine neighbors —
     * the classic embedding-space sanity probe (a labeled corpus whose

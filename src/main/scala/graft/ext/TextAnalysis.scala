@@ -1266,6 +1266,59 @@ object TextAnalysis {
         min(col("_lp")).as("min_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing (t62): score every document
+    * with the corpus' own unigram LM ([[unigramLogprob]]) and split
+    * the corpus into HEAD / MIDDLE / TAIL by exact avg-logprob
+    * tertiles — the Wenzek et al. (CCNet, 2020) curation readout,
+    * where head (lowest perplexity ≈ highest avg logprob) feeds
+    * training as-is, middle is kept under quota, and tail is dropped
+    * or re-filtered. Reported per source so a crawl whose documents
+    * sink disproportionately into the tail is visible as a source
+    * problem, not an average.
+    *
+    * Tertile boundaries use [[Features.equalFreqBins]]'s discipline:
+    * exact interpolated percentiles rounded to 6 dp, bucket = a pure
+    * (value, bounds) function — never a global-rank window. Empty
+    * documents ride t25's contract (the "" pseudo-token scores like
+    * any other vocabulary entry), so every document lands in exactly
+    * one bucket — filtering empties is t17's job, not this report's.
+    *
+    * 100 TB shape: scoring is t25's shuffle (per-doc term-frequency
+    * frame, vocabulary-sized LM); the boundary aggregate collapses to
+    * 2 doubles broadcast back; the rollup is one partial-agg shuffle
+    * to |sources| × 3 rows, and the share window runs over that tiny
+    * frame. Determinism: avg_logprob is t25's 6-dp pinned value;
+    * bucket edges compare 6-dp doubles with `>=`; shares and averages
+    * round once (6 dp), the per-bucket logprob average summing in
+    * DECIMAL first.
+    *
+    * Returns (source, bucket, n_docs, share, avg_logprob) — share of
+    * the SOURCE's scored documents in each bucket.
+    */
+  def perplexityBuckets(docs: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    val scored = unigramLogprob(docs, textCol)
+      .select(col("doc_id"), col("avg_logprob"))
+    val withSrc = docs.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+    val binned = Features.equalFreqBins(withSrc, "avg_logprob", 3)
+    // bin counts boundaries ≤ value: bin 2 = highest avg logprob =
+    // lowest perplexity = CCNet's head
+    val bucket = when(col("bin") === 2, "head")
+      .when(col("bin") === 1, "middle").otherwise("tail")
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    binned.groupBy(col("source"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("avg_logprob").cast("decimal(28,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_logprob"))
+      .withColumn("share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(bySource).cast("double"), 6))
+      .select(col("source"), col("bucket"), col("n_docs"), col("share"),
+        col("avg_logprob"))
+  }
+
   /** Bigram-LM document scoring (t31): every document scored by the
     * average log-probability of its token SEQUENCE under the corpus'
     * own bigram model — `ln P(w1) + Σ ln P(wi | wi-1)`, averaged over

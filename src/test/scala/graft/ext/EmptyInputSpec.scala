@@ -97,6 +97,10 @@ class EmptyInputSpec extends AnyFunSuite {
     val noVecs = Seq.empty[(Long, Array[Double], Int)]
       .toDF("vec_id", "embedding", "label")
     assert(Similarity.bucketPurity(noVecs, 4).collect().isEmpty)
+    assert(Similarity.pqReport(noVecs).collect().isEmpty)
+    assert(TextAnalysis.perplexityBuckets(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"))
+      .collect().isEmpty)
     val noVals = Seq.empty[Tuple1[java.lang.Double]].toDF("v")
     val ben = Validation.benford(noVals, "v").collect()
     assert(ben.length == 9 && ben.forall(_.getLong(1) == 0L),

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Product-quantization report (s15): hand-computed codebooks and
+  * errors, nearest-codeword reassignment, tie-breaks, subspace split.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Double], Int)*) =
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+
+  test("hand-computed codebook and per-subspace errors") {
+    // label 0 centroid (0, 1); label 1 centroid (10, 11)
+    val df = vecs(
+      (1L, Seq(0.0, 0.0), 0), (2L, Seq(0.0, 2.0), 0),
+      (3L, Seq(10.0, 10.0), 1), (4L, Seq(10.0, 12.0), 1))
+    // subspaces = 2 over 2 dims: sub 0 = dim 0 (errors all 0),
+    // sub 1 = dim 1 (every vector off its centroid by exactly 1)
+    val r = Similarity.pqReport(df, subspaces = 2).collect()
+      .map(x => x.getInt(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))
+      .toMap
+    graft.std.Materialize.releaseAll()
+    assert(r(0) == ((4L, 2L, 0.0, 0.0)))
+    assert(r(1) == ((4L, 2L, 1.0, 1.0)))
+    // subspaces = 1: one report row, per-dim mse averages both dims
+    val one = Similarity.pqReport(df, subspaces = 1).collect()
+    graft.std.Materialize.releaseAll()
+    assert(one.length == 1 && one(0).getDouble(3) == 0.5 &&
+      one(0).getDouble(4) == 1.0)
+  }
+
+  test("a mislabeled vector is assigned its NEAREST codeword, not its label") {
+    // vec 3 carries label 0 but sits on cluster 1; forced own-label
+    // assignment would cost ~8800 SSE against label 0's dragged
+    // centroid — nearest-codeword assignment keeps the worst SSE tiny
+    val df = vecs(
+      (1L, Seq(0.0, 0.0), 0), (2L, Seq(0.0, 2.0), 0),
+      (3L, Seq(100.0, 100.0), 0),
+      (4L, Seq(100.0, 100.0), 1), (5L, Seq(100.0, 102.0), 1))
+    val r = Similarity.pqReport(df, subspaces = 1).collect()(0)
+    graft.std.Materialize.releaseAll()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 2L)
+    // worst SSE is an HONEST label-0 member paying for the dragged
+    // centroid (33.333333, 34): (0,0) costs 33.333333² + 34² =
+    // 2267.111089. Had vec 3 been forced to its own label it would
+    // have paid 66.666667² + 66² ≈ 8800.9 — the assert pins the
+    // reassignment by excluding that cost from the report
+    assert(r.getDouble(4) == 2267.111088889,
+      s"max_vec_sse ${r.getDouble(4)}")
+    assert(r.getDouble(4) < 8800.0,
+      "mislabeled vector paid its own-label cost — no reassignment")
+  }
+
+  test("identical codebooks tie to the smallest codeword id") {
+    val df = vecs(
+      (1L, Seq(5.0, 5.0), 0), (2L, Seq(5.0, 5.0), 0),
+      (3L, Seq(5.0, 5.0), 1), (4L, Seq(5.0, 5.0), 1))
+    val r = Similarity.pqReport(df, subspaces = 2).collect()
+    graft.std.Materialize.releaseAll()
+    assert(r.forall(_.getLong(2) == 1L),
+      "tied codewords must collapse to the smallest id")
+    assert(r.forall(_.getDouble(3) == 0.0))
+  }
+
+  test("round-robin subspace split covers every dimension exactly once") {
+    // 5 dims over 2 subspaces: sub 0 gets dims {0,2,4}, sub 1 {1,3}
+    val df = vecs((1L, Seq(1.0, 2.0, 3.0, 4.0, 5.0), 0))
+    val r = Similarity.pqReport(df, subspaces = 2).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    graft.std.Materialize.releaseAll()
+    assert(r.keySet == Set(0, 1))
+    // single vector: its own centroid reconstructs it exactly
+    val full = Similarity.pqReport(df, subspaces = 2).collect()
+    graft.std.Materialize.releaseAll()
+    assert(full.forall(_.getDouble(3) == 0.0))
+  }
+}
