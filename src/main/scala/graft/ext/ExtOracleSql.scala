@@ -4091,6 +4091,27 @@ FROM cells c JOIN tot ON c.lang = tot.lang"""
 SELECT l_partkey, l_orderkey, l_linenumber, delta, balance
 FROM walk"""
 
+  /** x47: Markov transition matrix — the same (ts, event_id) total
+    * order, successor pairs via lead, exact counts, 6-dp row
+    * normalization over the tiny matrix frame.
+    */
+  val x47TransitionMatrix: String = """WITH p AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+), c AS (
+  SELECT prev_type, next_type, COUNT(*) AS n FROM p
+  WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+         AS p
+FROM c"""
+
   /** x44: interval union — the same gaps-and-islands windows in SQL;
     * epoch-second integers end to end (DuckDB's `epoch()` is a DOUBLE
     * with fractional seconds — floor it to match Spark's

@@ -2186,6 +2186,14 @@ object ExtQueries {
     Timeseries.intervalCoverage(iv, "user_id", "ts", "te", "event_id")
   }
 
+  /** Markov event-transition matrix (x47): per-user successor pairs
+    * over the event stream, row-normalized.
+    */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.transitionMatrix(Tables.events(spark, sfDir))
+  }
+
   /** Language-ID confusion matrix (t57): the t4 n-gram predictor
     * evaluated against the corpus's true `lang` column — the
     * eval-the-classifier query every lang-filter pipeline needs before

@@ -241,6 +241,48 @@ object Timeseries {
         coalesce(col("_mf"), lit(0L)).as("n_malformed"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences (x47): order each user's events by time, pair every
+    * event with its successor, and report `P(next | prev)` — the
+    * behavioral fingerprint behind next-action prediction, funnel
+    * design, and bot detection (a scripted client's transition rows
+    * are near-deterministic where organic ones are diffuse). The
+    * matrix view of what [[graft.ext.Rollup]]-tier journey queries
+    * (x41) read as whole paths.
+    *
+    * 100 TB shape: ONE shuffle on the user key feeds the successor
+    * window (per-partition state = that user's event count, the usual
+    * per-key window bound); pairs partial-aggregate to the
+    * |event types|² matrix, and the row normalizer is a window over
+    * that tiny frame. Nothing driver-side.
+    *
+    * Determinism: the per-user order is the total (ts, tiebreak)
+    * order; pair counts are exact integers; probabilities round once
+    * (6 dp).
+    *
+    * Returns (prev_type, next_type, n, p) — `p` normalized within
+    * `prev_type`, so each matrix row sums to ~1 at the rounding grain.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       tiebreakCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val pairs = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("prev_type"),
+        lead(col(typeCol), 1).over(byUser).as("next_type"))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    counts.select(col("prev_type"), col("next_type"), col("n"),
+      round(col("n").cast("double") /
+        sum(col("n")).over(byPrev).cast("double"), 6).as("p"))
+  }
+
   def hourlyAnomalies(events: DataFrame, tsCol: String = "ts",
                       keyCol: String = "event_type", trailing: Int = 24,
                       zThreshold: Double = 3.0): DataFrame = {

@@ -10,7 +10,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 /** PNG chart rendering (SURVEY §2.1 S5 — the reference renders
-  * matplotlib bar charts of Q1 revenue-by-month and Q2 top-products,
+  * matplotlib charts of Q1 revenue-by-month and Q2 top-products,
   * `/root/reference/Project.py:226-267`). Pure-JDK headless rendering
   * (`java.awt.image` + `javax.imageio`): no plotting dependency, works
   * in a server JRE.
@@ -25,15 +25,22 @@ object Charts {
   private val BarFill = new Color(31, 119, 180)  // matplotlib C0
   private val AxisCol = Color.DARK_GRAY
 
-  /** Render a vertical bar chart to `path` (a `.png` FILE path). */
-  def writeBarChartPng(labels: Seq[String], values: Seq[Double],
-                       title: String, path: String,
-                       width: Int = 900, height: Int = 540,
-                       maxBars: Int = 500): Unit = {
+  /** Shared chart scaffolding — background, axes + zero line, min/0/max
+    * y ticks, rotated thinned x labels, title; only the MARKS differ
+    * between the bar and line renderers, so they inject them.
+    * `drawMarks(g, yOf, left, step)` runs with the fill color set;
+    * mark i's horizontal slot is `[left + i·step, left + (i+1)·step)`.
+    */
+  private def renderChartPng(labels: Seq[String], values: Seq[Double],
+                             title: String, path: String,
+                             width: Int, height: Int,
+                             maxMarks: Int, kind: String)(
+      drawMarks: (Graphics2D, Double => Int, Int, Double) => Unit)
+      : Unit = {
     require(labels.nonEmpty && labels.size == values.size,
-      s"writeBarChartPng: ${labels.size} labels vs ${values.size} values")
-    require(labels.size <= maxBars,
-      s"writeBarChartPng: ${labels.size} bars — charts render REPORT " +
+      s"$kind: ${labels.size} labels vs ${values.size} values")
+    require(labels.size <= maxMarks,
+      s"$kind: ${labels.size} marks — charts render REPORT " +
         "aggregates; reduce before plotting")
     System.setProperty("java.awt.headless", "true")
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
@@ -59,17 +66,10 @@ object Charts {
       Seq(minV, 0.0, maxV).distinct.foreach { v =>
         g.drawString(f"$v%,.0f", 4, y(v) + 4)
       }
-      // bars
       val n = values.size
       val step = plotW.toDouble / n
-      val barW = math.max(1, (step * 0.8).toInt)
       g.setColor(BarFill)
-      values.zipWithIndex.foreach { case (v, i) =>
-        val x = l + (i * step + step * 0.1).toInt
-        val (yTop, h) =
-          if (v >= 0) (y(v), y(0) - y(v)) else (y(0), y(v) - y(0))
-        g.fillRect(x, yTop, barW, math.max(1, h))
-      }
+      drawMarks(g, y, l, step)
       // x labels: rotated when crowded, every k-th so they stay legible
       g.setColor(AxisCol)
       val every = math.max(1, n / 24)
@@ -87,53 +87,39 @@ object Charts {
       g.drawString(title, l, 30)
     } finally g.dispose()
     val ok = ImageIO.write(img, "png", new File(path))
-    require(ok, "writeBarChartPng: no PNG writer available")
+    require(ok, s"$kind: no PNG writer available")
   }
+
+  /** Render a vertical bar chart to `path` (a `.png` FILE path). */
+  def writeBarChartPng(labels: Seq[String], values: Seq[Double],
+                       title: String, path: String,
+                       width: Int = 900, height: Int = 540,
+                       maxBars: Int = 500): Unit =
+    renderChartPng(labels, values, title, path, width, height,
+      maxBars, "writeBarChartPng") { (g, y, l, step) =>
+      val barW = math.max(1, (step * 0.8).toInt)
+      values.zipWithIndex.foreach { case (v, i) =>
+        val x = l + (i * step + step * 0.1).toInt
+        val (yTop, h) =
+          if (v >= 0) (y(v), y(0) - y(v)) else (y(0), y(v) - y(0))
+        g.fillRect(x, yTop, barW, math.max(1, h))
+      }
+    }
 
   /** Render a line chart with circular markers to `path` (a `.png`
     * FILE path) — the reference's revenue-trend mark type
     * (`/root/reference/Project.py:232-233`: `plt.plot(..., marker='o',
-    * linewidth=2)`), distinct from [[writeBarChartPng]]'s bars. Same
-    * frame conventions: axes, zero line, min/0/max y ticks, rotated
-    * thinned x labels.
+    * linewidth=2)`), distinct from [[writeBarChartPng]]'s bars.
     */
   def writeLineChartPng(labels: Seq[String], values: Seq[Double],
                         title: String, path: String,
                         width: Int = 900, height: Int = 540,
-                        maxPoints: Int = 500): Unit = {
-    require(labels.nonEmpty && labels.size == values.size,
-      s"writeLineChartPng: ${labels.size} labels vs ${values.size} values")
-    require(labels.size <= maxPoints,
-      s"writeLineChartPng: ${labels.size} points — charts render REPORT " +
-        "aggregates; reduce before plotting")
-    System.setProperty("java.awt.headless", "true")
-    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-    val g = img.createGraphics().asInstanceOf[Graphics2D]
-    try {
-      g.setRenderingHint(RenderingHints.KEY_ANTIALIASING,
-        RenderingHints.VALUE_ANTIALIAS_ON)
-      g.setColor(Bg); g.fillRect(0, 0, width, height)
-      val (l, r, top, bot) = (70, 20, 50, 90)
-      val plotW = width - l - r
-      val plotH = height - top - bot
-      val maxV = math.max(values.max, 0.0)
-      val minV = math.min(values.min, 0.0)
-      val span = if (maxV - minV == 0) 1.0 else maxV - minV
-      def y(v: Double): Int = top + ((maxV - v) / span * plotH).toInt
-      g.setColor(AxisCol)
-      g.setStroke(new BasicStroke(1.5f))
-      g.drawLine(l, top, l, top + plotH)
-      g.drawLine(l, y(0), l + plotW, y(0))
-      g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 11))
-      Seq(minV, 0.0, maxV).distinct.foreach { v =>
-        g.drawString(f"$v%,.0f", 4, y(v) + 4)
-      }
+                        maxPoints: Int = 500): Unit =
+    renderChartPng(labels, values, title, path, width, height,
+      maxPoints, "writeLineChartPng") { (g, y, l, step) =>
       // polyline through point centers, then markers on top — a
       // single point degenerates to its marker (no segment to draw)
-      val n = values.size
-      val step = plotW.toDouble / n
       def x(i: Int): Int = l + (i * step + step / 2).toInt
-      g.setColor(BarFill)
       g.setStroke(new BasicStroke(2f, BasicStroke.CAP_ROUND,
         BasicStroke.JOIN_ROUND))
       values.indices.sliding(2).foreach {
@@ -145,23 +131,7 @@ object Charts {
       values.zipWithIndex.foreach { case (v, i) =>
         g.fillOval(x(i) - mr, y(v) - mr, 2 * mr, 2 * mr)
       }
-      g.setColor(AxisCol)
-      val every = math.max(1, n / 24)
-      val oldTx = g.getTransform
-      labels.zipWithIndex.foreach { case (lab, i) =>
-        if (i % every == 0) {
-          val xc = x(i)
-          g.rotate(-Math.PI / 4, xc.toDouble, (top + plotH + 12).toDouble)
-          g.drawString(lab.take(16), xc - 30, top + plotH + 14)
-          g.setTransform(oldTx)
-        }
-      }
-      g.setFont(new Font(Font.SANS_SERIF, Font.BOLD, 16))
-      g.drawString(title, l, 30)
-    } finally g.dispose()
-    val ok = ImageIO.write(img, "png", new File(path))
-    require(ok, "writeLineChartPng: no PNG writer available")
-  }
+    }
 
   /** The reference's two report charts (`Project.py:226-267`) from their
     * query frames: revenue per fiscal month as a LINE chart

@@ -45,6 +45,37 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(!out2(at(25, 0)).getBoolean(5))
   }
 
+  test("transition matrix: hand-built chains, row-normalized, ordered") {
+    def ts(s: Int) = Timestamp.from(Instant.parse(
+      f"2024-01-01T00:00:$s%02dZ"))
+    // user 1: a -> b -> a -> c; user 2: a -> b; user 3 lone event
+    // (no successor), plus a null user and a null ts to drop
+    val events = Seq(
+      (Some(1L), Some(ts(0)), "a", 1L), (Some(1L), Some(ts(1)), "b", 2L),
+      (Some(1L), Some(ts(2)), "a", 3L), (Some(1L), Some(ts(3)), "c", 4L),
+      (Some(2L), Some(ts(0)), "a", 5L), (Some(2L), Some(ts(1)), "b", 6L),
+      (Some(3L), Some(ts(0)), "z", 7L),
+      (Option.empty[Long], Some(ts(0)), "a", 8L),
+      (Some(4L), Option.empty[Timestamp], "a", 9L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val m = Timeseries.transitionMatrix(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // a -> b twice, a -> c once (row a sums to 1); b -> a once
+    assert(m(("a", "b")) == ((2L, 0.666667)))
+    assert(m(("a", "c")) == ((1L, 0.333333)))
+    assert(m(("b", "a")) == ((1L, 1.0)))
+    assert(!m.keySet.exists(_._1 == "z"), "lone events emit no row")
+    assert(m.size == 3)
+    // ties on ts break by event_id: two same-instant events order 10,11
+    val tied = Seq(
+      (1L, ts(0), "x", 10L), (1L, ts(0), "y", 11L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val tm = Timeseries.transitionMatrix(tied).collect()
+    assert(tm.length == 1 && tm(0).getString(0) == "x" &&
+      tm(0).getString(1) == "y")
+  }
+
   test("retention cohorts: hand-built matrix, same-day events collapse") {
     // u1: days 0,1,2; u2: days 0,2 (two events on day 0); u3: day 1 only
     val events = Seq(
