@@ -4369,6 +4369,91 @@ SELECT label,
        round(MAX(abs(e)), 9) AS max_abs_err
 FROM err GROUP BY 1"""
 
+  /** s16: IVF-PQ top-k — the s9 probe CTEs (lang cells, 6-dp cosine,
+    * lang-asc ties) composed with the s15 codebook/encode CTEs
+    * (int-label codewords, DECIMAL(38,12) subspace distances,
+    * codeword-id ties); candidates are the probed cells' members, ADC
+    * sums each candidate's 8 code lookups from the query's distance
+    * table, rank on (adc asc, neighbor asc). The query side reuses
+    * the corpus `cdist` rows (queries ARE corpus members vec_id < 20
+    * — the same expression on the same vectors).
+    */
+  val s16IvfPqTopK: String = s"""WITH v AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS e, d.lang, e.label
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+), exq AS (
+  SELECT vec_id AS vid, label AS cw0,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v
+), exs AS (
+  SELECT vid, cw0, dim, CAST(x AS DOUBLE) AS x, dim % 8 AS sub FROM exq
+), cb AS (
+  SELECT cw0 AS cw, dim,
+         round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM exs GROUP BY 1, 2
+), cdist AS (
+  SELECT vid, sub, cw,
+         SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS dist
+  FROM exs JOIN cb USING (dim) GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vid AS neighbor_id, sub, cw FROM (
+    SELECT vid, sub, cw,
+           row_number() OVER (PARTITION BY vid, sub
+                              ORDER BY dist, cw) AS rn
+    FROM cdist) t
+  WHERE rn = 1
+), cl AS (
+  SELECT lang, unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS val
+  FROM v
+), cg AS (
+  SELECT lang, dim,
+         round(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM cl GROUP BY 1, 2
+), cent AS (
+  SELECT lang, list(m ORDER BY dim) AS c FROM cg GROUP BY 1
+), cn AS (
+  SELECT lang, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
+), q AS (
+  SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
+  FROM v WHERE vec_id < 20
+), probe AS (
+  SELECT q.query_id, cn.lang,
+         round(CASE WHEN q.qn * cn.nm > 0
+               THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
+           AS csim
+  FROM q CROSS JOIN cn
+), probed AS (
+  SELECT query_id, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY csim DESC NULLS LAST, lang ASC) AS prn
+    FROM probe) p
+  WHERE prn <= 2
+), adc AS (
+  SELECT vid AS query_id, sub, cw, dist FROM cdist WHERE vid < 20
+), cand AS (
+  SELECT p.query_id, i.vec_id AS neighbor_id, codes.sub, codes.cw
+  FROM probed p
+  JOIN v i ON p.lang = i.lang
+  JOIN codes ON codes.neighbor_id = i.vec_id
+  WHERE p.query_id <> i.vec_id
+), adcsum AS (
+  SELECT cand.query_id, cand.neighbor_id, SUM(a.dist) AS adc
+  FROM cand JOIN adc a ON a.query_id = cand.query_id
+                      AND a.sub = cand.sub AND a.cw = cand.cw
+  GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY adc, neighbor_id) AS rank
+  FROM adcsum
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(CAST(adc AS DOUBLE), 9) AS adc_dist
+FROM r WHERE rank <= 5"""
+
   /** t62: CCNet perplexity tertile buckets — the t25 scoring chain as
     * CTEs, exact interpolated tertile boundaries rounded to 6 dp
     * (x23's quantile_cont parity), bucket by `>=` on pinned doubles,

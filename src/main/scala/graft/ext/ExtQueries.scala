@@ -2186,6 +2186,24 @@ object ExtQueries {
     Timeseries.intervalCoverage(iv, "user_id", "ts", "te", "event_id")
   }
 
+  /** IVF-PQ ANN top-k (s16): language cells as the coarse quantizer
+    * (s9), int-label PQ codebooks at 8 subspaces (s15), the first 20
+    * vectors as queries — the composed production ANN query.
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    val corpus = vecs.join(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+      col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"),
+        col("lang").as("cell"), col("label"))
+    Similarity.ivfPqTopK(vecs.filter(col("vec_id") < 20), corpus, 5,
+        nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adc_dist"))
+  }
+
   /** Markov event-transition matrix (x47): per-user successor pairs
     * over the event stream, row-normalized.
     */

@@ -723,31 +723,71 @@ object Similarity {
     * comparison total (ties break on codeword id); mse/max round once
     * at 9 dp.
     */
-  def pqReport(vecs: DataFrame, subspaces: Int = 8,
-               idCol: String = "vec_id", vecCol: String = "embedding",
-               labelCol: String = "label"): DataFrame = {
-    require(subspaces >= 1, "need at least one subspace")
-    val v = col(vecCol).cast("array<double>")
-    val ex = graft.std.Materialize.once(
-      vecs.select(col(idCol).as("_vid"), col(labelCol).as("_cw0"),
-          posexplode(v).as(Seq("_dim", "_x")))
-        .select(col("_vid"), col("_cw0"),
-          col("_dim").cast("long").as("_dim"), col("_x"))
-        .withColumn("_sub", (col("_dim") % subspaces).cast("int")))
-    val cb = ex.groupBy(col("_cw0").as("_cw"), col("_dim"))
-      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
-        count(lit(1)), 6).as("_c"))
-    val dists = ex.join(broadcast(cb), Seq("_dim"))
+  /** Per-(entity, subspace, codeword) squared L2 distance between an
+    * exploded vector frame (`_vid`, `_sub`, `_dim`, `_x`) and a
+    * dim-level codebook (`_cw`, `_dim`, `_c`): the PQ distance kernel
+    * shared by [[pqReport]] (corpus → codes) and [[ivfPqTopK]] (both
+    * the stored codes and the query-side ADC tables). One broadcast
+    * equi-join on `_dim`, partial-agg to (entity, subspace, codeword);
+    * squared errors ride DECIMAL(38,12) so every distance is exact and
+    * their comparison total.
+    */
+  private def pqSubspaceDists(ex: DataFrame, cb: DataFrame): DataFrame =
+    ex.join(broadcast(cb), Seq("_dim"))
       .select(col("_vid"), col("_sub"), col("_cw"),
         ((col("_x") - col("_c")) * (col("_x") - col("_c")))
           .cast("decimal(38,12)").as("_sq"))
       .groupBy(col("_vid"), col("_sub"), col("_cw"))
       .agg(sum(col("_sq")).as("_dist"), count(lit(1)).as("_nd"))
+
+  /** The PQ ENCODE step: each (entity, subspace)'s nearest codeword by
+    * exact DECIMAL L2, ties to the smallest codeword id. Keeps `_dist`
+    * and `_nd` so [[pqReport]] can price the reconstruction without a
+    * second pass.
+    */
+  private def pqNearestCodewords(ex: DataFrame, cb: DataFrame)
+      : DataFrame = {
     val byDist = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_vid"), col("_sub"))
       .orderBy(col("_dist").asc, col("_cw").asc)
-    val chosen = dists.withColumn("_rn", row_number().over(byDist))
+    pqSubspaceDists(ex, cb)
+      .withColumn("_rn", row_number().over(byDist))
       .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** The dim-level PQ codebook from an exploded frame carrying its
+    * codeword source as `_cw0`: per-(codeword, dim) 6-dp DECIMAL-mean
+    * centroid components (the s3 discipline). |codewords| × dims rows
+    * — broadcastable at any corpus size.
+    */
+  private def pqCodebookFrom(ex: DataFrame): DataFrame =
+    ex.groupBy(col("_cw0").as("_cw"), col("_dim"))
+      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)), 6).as("_c"))
+
+  /** The (`_vid`, `_sub`, `_dim`, `_x`) exploded frame the PQ kernels
+    * run on; `extra` carries side columns (e.g. the codebook label).
+    */
+  private def pqExplode(vecs: DataFrame, subspaces: Int, idCol: String,
+                        vecCol: String,
+                        extra: Seq[(String, String)] = Nil): DataFrame =
+    vecs.select(Seq(col(idCol).as("_vid")) ++
+        extra.map { case (c, a) => col(c).as(a) } :+
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("_dim", "_x")): _*)
+      .withColumn("_dim", col("_dim").cast("long"))
+      .withColumn("_sub", (col("_dim") % subspaces).cast("int"))
+
+  def pqReport(vecs: DataFrame, subspaces: Int = 8,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               labelCol: String = "label"): DataFrame = {
+    require(subspaces >= 1, "need at least one subspace")
+    val ex = graft.std.Materialize.once(
+      pqExplode(vecs, subspaces, idCol, vecCol,
+        extra = Seq(labelCol -> "_cw0")))
+    val cb = pqCodebookFrom(ex)
+    val chosen = pqNearestCodewords(ex, cb)
     chosen.groupBy(col("_sub").as("subspace"))
       .agg(count(lit(1)).as("n_vecs"),
         countDistinct(col("_cw")).as("n_codewords_used"),
@@ -794,5 +834,89 @@ object Similarity {
       .select(col("query_id"), col("true_label"),
         col("_nl").as("predicted_label"), col("n_votes"),
         (col("_nl") === col("true_label")).as("correct"))
+  }
+
+  /** IVF-PQ top-k (s16): the composed production ANN query — IVF
+    * pruning decides WHICH vectors a query touches ([[ivfTopK]]'s
+    * probe discipline over the `cellCol` coarse quantizer), and PQ
+    * asymmetric distance computation (ADC) decides how CHEAPLY each
+    * touched vector is scored: the corpus side is represented only by
+    * its per-subspace codeword ids ([[pqReport]]'s encode), so scoring
+    * reads `subspaces` small ids per candidate instead of the full
+    * vector, against a per-query distance table built once from the
+    * codebook. This is the FAISS `IVF_PQ` shape, the architecture
+    * every billion-vector deployment runs.
+    *
+    * 100 TB shape: the codebook (|codewords| × dims) and the per-query
+    * ADC tables (|queries| × subspaces × |codewords|) are broadcast-
+    * tiny; codes are a write-time artifact (at 8 subspaces, 8 ids per
+    * vector — the 32× storage cut is the point); the only corpus-sized
+    * work is the cell equi-join (touching nprobe/|cells| of the data)
+    * followed by one partial-agg sum of `subspaces` decimal lookups
+    * per candidate. No full-vector read anywhere on the query path.
+    *
+    * Determinism: cells probe on 6-dp cosines over DECIMAL-exact
+    * centroids (s9); codes and ADC entries are DECIMAL(38,12)-exact
+    * squared distances (s15), so the ADC total is exact and the final
+    * (adc asc, neighbor id asc) rank is a total order — the result
+    * set is bit-identical across runs, partitionings, and engines.
+    * Like every ANN path here, RECALL is the trade: scores are
+    * approximations priced by s13/s14-style reports, and the oracle
+    * twin recomputes this exact pipeline, not brute force.
+    *
+    * Returns (query_id, neighbor_id, rank, adc_dist), rank ≤ k per
+    * query, adc_dist the 9-dp reconstruction-space squared distance.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nprobe: Int = 2, subspaces: Int = 8,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                cellCol: String = "cell",
+                codebookCol: String = "label"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(nprobe >= 1, "need nprobe >= 1")
+    require(subspaces >= 1, "need at least one subspace")
+    // ---- write-time artifacts: codebook, codes, cell assignments ----
+    val ex = graft.std.Materialize.once(
+      pqExplode(corpus, subspaces, idCol, vecCol,
+        extra = Seq(codebookCol -> "_cw0")))
+    val cb = pqCodebookFrom(ex)
+    val codes = pqNearestCodewords(ex, cb)
+      .select(col("_vid").as("neighbor_id"), col("_sub"), col("_cw"))
+    val cells = corpus.select(col(idCol).as("neighbor_id"), col(cellCol))
+    // ---- query side: probe cells (s9), build ADC tables (s15) ----
+    val cents = broadcast(centroids(corpus, cellCol, vecCol)
+      .withColumn("cn", l2Norm(col("centroid"))))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_csim").desc, col(cellCol).asc)
+    val probed = q.crossJoin(cents)
+      .withColumn("_csim", round(when(col("qn") * col("cn") > 0,
+        dot(col("qv"), col("centroid")) / (col("qn") * col("cn"))), 6))
+      .withColumn("_pr", row_number().over(probeW))
+      .filter(col("_pr") <= nprobe)
+      .select(col("query_id"), col(cellCol))
+    val adcTable = pqSubspaceDists(
+        pqExplode(queries, subspaces, idCol, vecCol), cb)
+      .select(col("_vid").as("query_id"), col("_sub"), col("_cw"),
+        col("_dist"))
+    // ---- the query path: cells in, codes scored, top-k out ----
+    // probed (|queries| × nprobe) and the ADC tables broadcast — a
+    // query BATCH is broadcast-sized by construction; the one big-big
+    // join left is candidates ⋈ codes on the vector id, which is the
+    // inverted-list read IVF exists to bound
+    val adc = broadcast(probed).join(cells, Seq(cellCol))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(adcTable), Seq("query_id", "_sub", "_cw"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_dist")).as("_adc"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").asc, col("neighbor_id").asc)
+    adc.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("_adc").cast("double"), 9).as("adc_dist"))
   }
 }

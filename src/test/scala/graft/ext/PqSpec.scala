@@ -68,6 +68,41 @@ class PqSpec extends AnyFunSuite {
     assert(r.forall(_.getDouble(3) == 0.0))
   }
 
+  test("ivfPqTopK: nprobe=1 confines candidates to the probed cell") {
+    // two far-apart cells; the query's own cell wins the probe, so
+    // cell-b vectors never appear however close their codes might rank
+    val corpus = Seq(
+      (1L, Seq(0.0, 0.0), "a", 0), (2L, Seq(0.0, 2.0), "a", 0),
+      (3L, Seq(100.0, 100.0), "b", 1), (4L, Seq(100.0, 102.0), "b", 1))
+      .toDF("vec_id", "embedding", "cell", "label")
+    val queries = corpus.filter($"vec_id" === 2L)
+    val r = Similarity.ivfPqTopK(queries, corpus, k = 3, nprobe = 1,
+      subspaces = 1).collect()
+    graft.std.Materialize.releaseAll()
+    assert(r.length == 1, s"only the probed cell's OTHER member: ${r.toSeq}")
+    assert(r(0).getLong(0) == 2L && r(0).getLong(1) == 1L &&
+      r(0).getInt(2) == 1)
+    // adc(query (0,2) -> id1's codeword (0,1)) = 0 + 1 = 1 exactly
+    assert(r(0).getDouble(3) == 1.0)
+  }
+
+  test("ivfPqTopK: on perfectly clustered data ADC is the exact distance") {
+    // every vector IS its codeword, so the reconstruction-space
+    // distance equals the true squared L2 — adc(1->3) = 4^2 + 4^2 = 32
+    val corpus = Seq(
+      (1L, Seq(1.0, 2.0), "a", 0), (2L, Seq(1.0, 2.0), "a", 0),
+      (3L, Seq(5.0, 6.0), "a", 1), (4L, Seq(5.0, 6.0), "a", 1))
+      .toDF("vec_id", "embedding", "cell", "label")
+    val queries = corpus.filter($"vec_id" === 1L)
+    val r = Similarity.ivfPqTopK(queries, corpus, k = 3, nprobe = 1,
+      subspaces = 2).collect().sortBy(_.getInt(2))
+    graft.std.Materialize.releaseAll()
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L),
+      "rank by (adc, neighbor id): the twin first, then the far pair")
+    assert(r(0).getDouble(3) == 0.0)
+    assert(r(1).getDouble(3) == 32.0 && r(2).getDouble(3) == 32.0)
+  }
+
   test("round-robin subspace split covers every dimension exactly once") {
     // 5 dims over 2 subspaces: sub 0 gets dims {0,2,4}, sub 1 {1,3}
     val df = vecs((1L, Seq(1.0, 2.0, 3.0, 4.0, 5.0), 0))
