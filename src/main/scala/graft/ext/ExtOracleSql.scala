@@ -4547,6 +4547,42 @@ SELECT CAST(sub AS INTEGER) AS subspace,
        round(CAST(MAX(dist) AS DOUBLE), 9) AS max_vec_sse
 FROM ch GROUP BY 1"""
 
+  /** t63: token-budget epoch allocation — the t26 weight chain (9-dp
+    * sqrt over the token-mass share, DECIMAL(28,9) normalizer), a
+    * floor-exact allocation at the 200k-token budget, 6-dp epochs,
+    * and the flag comparing the ROUNDED value.
+    */
+  val t63EpochAllocation: String = s"""WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split($Norm, ' '))) AS BIGINT)
+           AS available_tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(available_tokens) AS BIGINT) AS t FROM s
+), w AS (
+  SELECT s.source, s.n_docs, s.available_tokens,
+         round(sqrt(CAST(s.available_tokens AS DOUBLE)
+                    / CAST(tot.t AS DOUBLE)), 9) AS rw
+  FROM s CROSS JOIN tot
+), nrm AS (
+  SELECT SUM(CAST(rw AS DECIMAL(28,9))) AS nm FROM w
+), a AS (
+  SELECT source, n_docs, available_tokens,
+         round(rw / CAST(nrm.nm AS DOUBLE), 9) AS weight
+  FROM w CROSS JOIN nrm
+), b AS (
+  SELECT *, CAST(floor(weight * 200000.0) AS BIGINT)
+              AS allocated_tokens
+  FROM a
+), c AS (
+  SELECT *, round(CAST(allocated_tokens AS DOUBLE)
+                  / CAST(available_tokens AS DOUBLE), 6) AS epochs
+  FROM b
+)
+SELECT source, n_docs, available_tokens, weight, allocated_tokens,
+       epochs, epochs > 4.0 AS over_repeated
+FROM c"""
+
   /** t60: vocabulary growth — (token, min doc_id) in one aggregate,
     * bucket rollup, running sum over the tiny bucket frame; exact
     * integers, HUGEINT window sum CAST back.

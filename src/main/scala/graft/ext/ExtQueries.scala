@@ -1566,6 +1566,14 @@ object ExtQueries {
       spread(Tables.documents(spark, sfDir)))
   }
 
+  /** Token-budget epoch allocation (t63): the 200k-token decision
+    * table over the documents corpus.
+    */
+  def epochAllocation(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.epochAllocation(Tables.documents(spark, sfDir), 200000L)
+  }
+
   /** CCNet-style perplexity tertile buckets per source (t62). */
   def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

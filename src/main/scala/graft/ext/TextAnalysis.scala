@@ -1129,6 +1129,57 @@ object TextAnalysis {
           .as("kept_tokens"))
   }
 
+  /** Token-budget epoch allocation (t63): given a training-token
+    * budget and the α=0.5 temperature mixture over sources ([[
+    * temperatureResample]]'s weight chain, reused verbatim), the
+    * per-source decision table a data-constrained training run needs:
+    * allocated tokens, implied EPOCHS (allocated / available — above
+    * 1 the source repeats), and the `over_repeated` flag at the ~4
+    * epoch knee where repeating stops paying (Muennighoff et al.
+    * 2023, "Scaling Data-Constrained Language Models"). t26 decides
+    * WHICH documents survive a downsample; this prices what the
+    * budget implies for each source BEFORE anyone trains.
+    *
+    * 100 TB shape: one partial-agg shuffle to |sources| rows; the
+    * total and the weight normalizer are 1-row broadcasts. Nothing
+    * else moves.
+    *
+    * Determinism: token counts are exact longs; the weight chain is
+    * t26's (9-dp sqrt, DECIMAL(28,9) normalizer); epochs divide a
+    * floor-exact long by an exact long and round once (6 dp); the
+    * flag compares the ROUNDED value so the boolean matches the
+    * printed number.
+    *
+    * Returns (source, n_docs, available_tokens, weight,
+    * allocated_tokens, epochs, over_repeated).
+    */
+  def epochAllocation(docs: DataFrame, budgetTokens: Long,
+                      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 1, "need a positive token budget")
+    val perSrc = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.tokens(col(textCol))).cast("long"))
+        .as("available_tokens"))
+    val tot = perSrc.agg(sum(col("available_tokens")).as("_tot"))
+    val withW = perSrc.crossJoin(broadcast(tot))
+      .withColumn("_w", round(sqrt(
+        col("available_tokens").cast("double") /
+          col("_tot").cast("double")), 9))
+    val norm = withW.agg(sum(col("_w").cast("decimal(28,9)")).as("_norm"))
+    withW.crossJoin(broadcast(norm))
+      .withColumn("weight",
+        round(col("_w") / col("_norm").cast("double"), 9))
+      .withColumn("allocated_tokens",
+        floor(col("weight") * lit(budgetTokens.toDouble)).cast("long"))
+      .withColumn("epochs",
+        round(col("allocated_tokens").cast("double") /
+          col("available_tokens").cast("double"), 6))
+      .withColumn("over_repeated", col("epochs") > 4.0)
+      .select(col("source"), col("n_docs"), col("available_tokens"),
+        col("weight"), col("allocated_tokens"), col("epochs"),
+        col("over_repeated"))
+  }
+
   /** Count-Min-sketch heavy hitters (t27): token frequencies estimated
     * from a fixed `depth × width` counter grid (Cormode & Muthukrishnan
     * 2005) — the frequency-sketch companion to t24's cardinality

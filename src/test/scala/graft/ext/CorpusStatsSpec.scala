@@ -406,4 +406,21 @@ class CorpusStatsSpec extends AnyFunSuite {
     graft.std.Materialize.releaseAll()
     assert(out.isEmpty)
   }
+
+  test("epoch allocation: hand-computed weights, floors, and the knee") {
+    // A: 9 tokens, B: 16 → shares 9/25, 16/25; sqrt weights 0.6, 0.8
+    // normalize to 0.428571429 / 0.571428571; at budget 100:
+    // A gets floor(42.857…) = 42 → 42/9 = 4.666667 epochs (> 4, flag)
+    // B gets floor(57.142…) = 57 → 57/16 = 3.5625 (under the knee)
+    val docs = Seq(
+      (1L, "A", (1 to 9).map(i => s"a$i").mkString(" ")),
+      (2L, "B", (1 to 16).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.epochAllocation(docs, 100L).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(2), x.getDouble(3), x.getLong(4), x.getDouble(5),
+          x.getBoolean(6))).toMap
+    assert(r("A") == ((9L, 0.428571429, 42L, 4.666667, true)))
+    assert(r("B") == ((16L, 0.571428571, 57L, 3.5625, false)))
+  }
 }
