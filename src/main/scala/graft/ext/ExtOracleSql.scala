@@ -4454,6 +4454,45 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        round(CAST(adc AS DOUBLE), 9) AS adc_dist
 FROM r WHERE rank <= 5"""
 
+  /** s17: IVF-PQ recall@5 — the s16 pipeline as a derived table
+    * against the exact squared-L2 top-5 (same metric as the index,
+    * 6-dp rounded distances, ascending rank with id ties), the s13
+    * recall arithmetic on top.
+    */
+  val s17IvfPqRecall: String = {
+    val l2 = "list_aggregate(list_transform(list_zip(q.e, c.e), " +
+      "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    s"""WITH ann AS (
+  SELECT query_id, neighbor_id FROM ($s16IvfPqTopK) s16ann
+), ve AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round($l2, 6) AS dist2
+  FROM ve q CROSS JOIN ve c
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+), ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist2 ASC, neighbor_id ASC) AS rn
+    FROM sc) r
+  WHERE rn <= 5
+), hits AS (
+  SELECT ex.query_id,
+         CAST(COUNT(ann.neighbor_id) AS BIGINT) AS n_hits
+  FROM ex LEFT JOIN ann
+    ON ex.query_id = ann.query_id AND ex.neighbor_id = ann.neighbor_id
+  GROUP BY 1
+)
+SELECT query_id, n_hits, 5 AS k,
+       CAST(CAST(n_hits AS HUGEINT) * 1000000000 // 5 AS BIGINT)
+         AS recall_e9,
+       CAST(CAST(CAST(n_hits AS HUGEINT) * 1000000000 // 5 AS BIGINT)
+            AS DOUBLE) / 1000000000.0 AS recall
+FROM hits"""
+  }
+
   /** t62: CCNet perplexity tertile buckets — the t25 scoring chain as
     * CTEs, exact interpolated tertile boundaries rounded to 6 dp
     * (x23's quantile_cont parity), bucket by `>=` on pinned doubles,

@@ -2212,6 +2212,19 @@ object ExtQueries {
         col("rank").cast("long").as("rank"), col("adc_dist"))
   }
 
+  /** IVF-PQ recall@5 (s17): [[Similarity.recallAtK]] of the s16
+    * result against the exact squared-L2 top-5 — prices cell pruning
+    * plus PQ approximation in the index's own metric (s13 prices
+    * IVF alone against the cosine baseline).
+    */
+  def ivfPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteForceTopKL2(
+      vecs.filter(col("vec_id") < 20), vecs, 5)
+    Similarity.recallAtK(ivfPqTopK(spark, sfDir), exact, 5)
+  }
+
   /** Markov event-transition matrix (x47): per-user successor pairs
     * over the event stream, row-normalized.
     */

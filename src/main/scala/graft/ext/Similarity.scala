@@ -723,6 +723,36 @@ object Similarity {
     * comparison total (ties break on codeword id); mse/max round once
     * at 9 dp.
     */
+  /** Exact squared-L2 top-k — [[bruteForceTopK]]'s sibling in
+    * DISTANCE space (rank ascending on the 6-dp-rounded distance, id
+    * ties), so [[ivfPqTopK]] has an exact baseline in its own metric:
+    * s17's recall prices cell pruning + PQ approximation against
+    * this, not against a cosine ranking that would confound the
+    * metric with the index. Same broadcast-queries / corpus-streams
+    * shape as the cosine kernel; a verification kernel by
+    * construction (the ANN paths are the scale route).
+    */
+  def bruteForceTopKL2(queries: DataFrame, corpus: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .repartition(col("neighbor_id"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(TextOps.foldSumDouble(zip_with(col("qv"), col("cv"),
+          (x, y) => (x - y) * (x - y))), 6).as("dist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("dist2"))
+  }
+
   /** Per-(entity, subspace, codeword) squared L2 distance between an
     * exploded vector frame (`_vid`, `_sub`, `_dim`, `_x`) and a
     * dim-level codebook (`_cw`, `_dim`, `_c`): the PQ distance kernel

@@ -103,6 +103,30 @@ class PqSpec extends AnyFunSuite {
     assert(r(1).getDouble(3) == 32.0 && r(2).getDouble(3) == 32.0)
   }
 
+  test("exact-L2 baseline + recall: clustered data scores recall 1.0") {
+    // two tight clusters: the query's true top-2 ARE its
+    // cluster-mates, the probe finds their cell, PQ codes separate
+    // the clusters — so IVF-PQ recovers the exact result entirely
+    val corpus = Seq(
+      (1L, Seq(0.0, 1.0), "a", 0), (2L, Seq(0.0, 1.1), "a", 0),
+      (3L, Seq(0.1, 1.0), "a", 0),
+      (4L, Seq(9.0, 9.0), "b", 1), (5L, Seq(9.0, 9.1), "b", 1))
+      .toDF("vec_id", "embedding", "cell", "label")
+    val queries = corpus.filter($"vec_id" === 1L)
+    val exact = Similarity.bruteForceTopKL2(queries, corpus, 2)
+      .collect().sortBy(_.getInt(2))
+    // both mates sit at rounded dist2 = 0.01 — the tie breaks id-asc
+    assert(exact.map(_.getLong(1)).toSeq == Seq(2L, 3L),
+      s"tied distances must rank by neighbor id: ${exact.toSeq}")
+    val rec = Similarity.recallAtK(
+      Similarity.ivfPqTopK(queries, corpus, k = 2, nprobe = 1,
+        subspaces = 2),
+      Similarity.bruteForceTopKL2(queries, corpus, 2), 2).collect()
+    graft.std.Materialize.releaseAll()
+    assert(rec.length == 1 && rec(0).getDouble(4) == 1.0,
+      s"clustered recall must be perfect: ${rec.toSeq}")
+  }
+
   test("round-robin subspace split covers every dimension exactly once") {
     // 5 dims over 2 subspaces: sub 0 gets dims {0,2,4}, sub 1 {1,3}
     val df = vecs((1L, Seq(1.0, 2.0, 3.0, 4.0, 5.0), 0))
