@@ -116,5 +116,14 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.zipfFit(
       Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text"))
       .collect().isEmpty)
+    val noCells = Seq.empty[(Long, Array[Double], String, Int)]
+      .toDF("vec_id", "embedding", "cell", "label")
+    assert(Similarity.ivfPqTopK(noCells, noCells, 3).collect().isEmpty)
+    assert(TextAnalysis.epochAllocation(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"),
+      1000L).collect().isEmpty)
+    val noEv = Seq.empty[(Long, java.sql.Timestamp, String, Long)]
+      .toDF("user_id", "ts", "event_type", "event_id")
+    assert(Timeseries.transitionMatrix(noEv).collect().isEmpty)
   }
 }
