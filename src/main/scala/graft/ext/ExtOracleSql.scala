@@ -4586,6 +4586,50 @@ SELECT CAST(sub AS INTEGER) AS subspace,
        round(CAST(MAX(dist) AS DOUBLE), 9) AS max_vec_sse
 FROM ch GROUP BY 1"""
 
+  /** t64: credit-card audit — the same injected corpus, candidates by
+    * the shared 13–16-digit shape, Luhn checksum as pure integer
+    * lambda arithmetic (odd-position digits as-is, even doubled and
+    * digit-summed, total % 10), valid numbers folded out of the text
+    * left-to-right via list_reduce seeded with the raw text.
+    */
+  val t64CcAudit: String = {
+    val digit = "CAST(substr(cc, length(cc) - i + 1, 1) AS INTEGER)"
+    s"""WITH p0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' card 4539578763621486'
+              ELSE text END AS text
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' acct 4111111111'
+                   || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+              ELSE text END AS text
+  FROM p0
+), c AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+         regexp_extract_all(COALESCE(text, ''),
+           '${TextAnalysis.CcCandidatePattern}', 0) AS cands
+  FROM p
+), v AS (
+  SELECT doc_id, t, cands,
+         list_filter(cands, cc -> list_aggregate(list_transform(
+             generate_series(1, length(cc)), i ->
+               CASE WHEN i % 2 = 1 THEN $digit
+                    ELSE CASE WHEN $digit < 5 THEN $digit * 2
+                         ELSE $digit * 2 - 9 END END), 'sum')
+           % 10 = 0) AS valids
+  FROM c
+)
+SELECT doc_id,
+       CAST(len(cands) AS BIGINT) AS n_cc_candidates,
+       CAST(len(valids) AS BIGINT) AS n_cc_valid,
+       md5(list_reduce(list_prepend(t, valids),
+         (acc, cc) -> replace(acc, cc, '<CC>'))) AS redacted_md5
+FROM v"""
+  }
+
   /** t63: token-budget epoch allocation — the t26 weight chain (9-dp
     * sqrt over the token-mass share, DECIMAL(28,9) normalizer), a
     * floor-exact allocation at the 200k-token budget, 6-dp epochs,

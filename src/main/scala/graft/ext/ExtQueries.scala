@@ -792,6 +792,28 @@ object ExtQueries {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
         .otherwise(col("text")))
 
+  /** documents with card-shaped digit runs injected: every 7th doc a
+    * fixed Luhn-VALID number, every 5th a doc-varying 16-digit run
+    * whose validity depends on the actual checksum (~10% pass) — so
+    * the t64 audit discriminates on real arithmetic, not a constant.
+    */
+  def ccCorpus(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" card 4539578763621486")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" acct 4111111111"),
+            lpad((col("doc_id") % 1000000).cast("string"), 6, "0")))
+          .otherwise(col("text")))
+
+  /** Credit-card audit over the injected corpus (t64). */
+  def ccAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.ccAudit(ccCorpus(Tables.documents(spark, sfDir)))
+  }
+
   /** Extended PII redaction over the injected corpus (t34). */
   def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

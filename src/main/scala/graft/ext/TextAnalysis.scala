@@ -386,6 +386,65 @@ object TextAnalysis {
       md5(redacted).as("redacted_md5"))
   }
 
+  /** Credit-card candidate shape (t64): a bare 13–16 digit run on
+    * ASCII word boundaries — the SHAPE gate; [[luhnValid]] is the
+    * checksum gate that separates card numbers from order ids and
+    * timestamps that happen to be long. Like the other PII patterns,
+    * compiles to the same automaton under Java regex and RE2 (a
+    * 17-digit run matches NOWHERE in either engine: `\b` cannot fall
+    * between digits).
+    */
+  val CcCandidatePattern = "\\b\\d{13,16}\\b"
+
+  /** Luhn checksum validity of a digit-run column — the actual
+    * card-number test (ISO/IEC 7812): walking right-to-left, odd
+    * positions count as-is, even positions double-and-digit-sum
+    * (2d, or 2d−9 past 9), valid iff the total divides by 10. Pure
+    * integer expressions over the split digit array, identical in
+    * both engines.
+    */
+  def luhnValid(c: Column): Column = {
+    val ds = filter(split(c, ""), s => s =!= "")
+    val n = size(ds)
+    val total = aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        val d = ascii(element_at(ds, n - i + 1)) - lit(48)
+        acc + when(i % 2 === 1, d)
+          .otherwise(when(d < 5, d * 2).otherwise(d * 2 - 9))
+      })
+    total % 10 === 0
+  }
+
+  /** Credit-card audit + redaction (t64): per document, the count of
+    * card-SHAPED digit runs ([[CcCandidatePattern]]), how many pass
+    * the [[luhnValid]] checksum, and the digest of the text with the
+    * VALID numbers replaced by `<CC>` — the two-stage discipline a
+    * real PII pipeline needs, because redacting every long digit run
+    * destroys order ids and timestamps (the t34 single-stage masks
+    * can't tell them apart; the checksum can).
+    *
+    * Redaction folds over the valid candidates in match order
+    * (`aggregate` seeded with the raw text) — a candidate appearing
+    * twice redacts at first encounter and the second pass no-ops, the
+    * same left-to-right fold both engines run. Pure per-row
+    * expressions: scan-once, no shuffle.
+    *
+    * Returns (doc_id, n_cc_candidates, n_cc_valid, redacted_md5).
+    */
+  def ccAudit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val cands = regexp_extract_all(t, lit(CcCandidatePattern), lit(0))
+    val valid = filter(cands, c => luhnValid(c))
+    docs.select(
+      col("doc_id"),
+      size(cands).cast("long").as("n_cc_candidates"),
+      size(valid).cast("long").as("n_cc_valid"),
+      md5(aggregate(valid, t, (acc, c) => replace(acc, c, lit("<CC>"))))
+        .as("redacted_md5"))
+  }
+
   /** Gopher-style document-quality rules (t35) — the composite
     * pre-training gate of Rae et al. 2021 (arXiv:2112.11446, table A1),
     * the rules a curation pipeline applies before any model-based

@@ -378,6 +378,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 0L, 0L, 0L, md5Hex(""))))
   }
 
+  test("credit-card audit: Luhn separates cards from long order ids") {
+    val docs = Seq(
+      // classic valid test numbers: 16-digit, 16-digit, 13-digit
+      (1L, "pay 4539578763621486 now"),
+      (2L, "visa 4111111111111111 or old 4222222222222"),
+      // off-by-one checksum: card-shaped but NOT a card
+      (3L, "order 4539578763621487 shipped"),
+      // 17 digits: no 13-16 run on word boundaries matches at all
+      (4L, "tracking 12345678901234567 ok"),
+      (5L, "plain text"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.ccAudit(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))
+    }.toMap
+    assert(out(1L) == ((1L, 1L, md5Hex("pay <CC> now"))))
+    assert(out(2L) == ((2L, 2L, md5Hex("visa <CC> or old <CC>"))))
+    // the shape gate fires, the checksum gate refuses — text untouched
+    assert(out(3L) ==
+      ((1L, 0L, md5Hex("order 4539578763621487 shipped"))))
+    assert(out(4L) == ((0L, 0L, md5Hex("tracking 12345678901234567 ok"))))
+    assert(out(5L) == ((0L, 0L, md5Hex("plain text"))))
+    assert(out(6L) == ((0L, 0L, md5Hex(""))))
+  }
+
   test("gopher rules fire independently and conjoin into passes") {
     val good = (Seq.fill(5)(
       "the quick brown fox jumps over a lazy dog and runs to it")
