@@ -2255,6 +2255,19 @@ object ExtQueries {
     Timeseries.transitionMatrix(Tables.events(spark, sfDir))
   }
 
+  /** Streaming-form transition matrix (w8): the stateful
+    * [[graft.streaming.StreamingOps.transitionPairs]] kernel run in
+    * batch mode + the downstream rollup — batch ≡ the x47 lead-window
+    * form, so they share one oracle; the stream side is pinned in
+    * `StreamingSpec`.
+    */
+  def transitionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    graft.streaming.StreamingOps.transitionRollup(
+      graft.streaming.StreamingOps.transitionPairs(
+        Tables.events(spark, sfDir)).toDF())
+  }
+
   /** Language-ID confusion matrix (t57): the t4 n-gram predictor
     * evaluated against the corpus's true `lang` column — the
     * eval-the-classifier query every lang-filter pipeline needs before

@@ -33,6 +33,12 @@ case class FunnelState(firstClick: Option[Long], converted: Boolean,
                        pendingPurchases: List[Long])
 case class FunnelTransition(user_id: Long, stage: String)
 
+/** Typed rows/state for the streaming transition feed. */
+case class TransEvent(user_id: Long, event_type: String,
+                      ts: java.sql.Timestamp, event_id: Long)
+case class TransState(lastTs: Long, lastId: Long, lastType: String)
+case class TransPair(prev_type: String, next_type: String)
+
 /** Typed rows/state for the streaming weighted sample. */
 case class WeightedRow(g: String, id: Long, w: Double, key: Double)
 case class SampleHeap(entries: List[(Double, Long, Double)], seen: Long)
@@ -345,6 +351,82 @@ object StreamingOps {
             out.iterator
           }
       }
+  }
+
+  /** Per-user successor pairs as a STREAMING feed (w8): the stateful
+    * form of [[graft.ext.Timeseries.transitionMatrix]]'s lead window —
+    * each user's state is its LAST event (O(1) per user, the smallest
+    * state any sequence operator can carry), and every arriving event
+    * emits one (prev_type, next_type) pair against it. The matrix
+    * itself is [[transitionRollup]] downstream — the same two-stage
+    * split as the journey pipeline (Spark does not chain a stateful
+    * operator and an aggregation with a window in one streaming
+    * query).
+    *
+    * Batch execution sorts each user's full partition by the
+    * (ts, event_id) total order, so batch output ≡ the x47 lead-window
+    * pairs exactly (spec-pinned). On a stream, rows WITHIN a
+    * micro-batch sort the same way; ACROSS batches the pair follows
+    * arrival order — a later-arriving event with an earlier event time
+    * pairs after the stored last event (the [[funnelTransitions]]
+    * approximation, documented not silent: exact reordering needs
+    * full-event buffering to the watermark, this state stays O(1)).
+    * Idle users evict once the watermark passes `evictAfterMs` past
+    * their last activity.
+    */
+  def transitionPairs(events: DataFrame,
+                      stateRetention: String = "24 hours",
+                      evictAfterMs: Long = 24L * 3600 * 1000)
+      : Dataset[TransPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", stateRetention)
+      else events
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransPair](
+        OutputMode.Append, timeoutConf) {
+        (_: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ListBuffer.empty[TransPair]
+            var st = state.getOption
+            sorted.foreach { e =>
+              st.foreach(s => out += TransPair(s.lastType, e.event_type))
+              st = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+            }
+            st.foreach(state.update)
+            if (streaming && sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(sorted.last.ts.getTime,
+                  state.getCurrentWatermarkMs() + 1) + evictAfterMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** The matrix rollup downstream of [[transitionPairs]] — identical
+    * arithmetic to the x47 batch tail: exact pair counts, 6-dp row
+    * normalization over the |types|² frame.
+    */
+  def transitionRollup(pairs: DataFrame): DataFrame = {
+    val byPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+    pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(byPrev).cast("double"), 6).as("p"))
   }
 
   /** The STREAMING form of [[graft.ext.Timeseries.hourlyAnomalies]]:

@@ -209,6 +209,59 @@ class StreamingSpec extends AnyFunSuite {
       summary.getLong(summary.fieldIndex("n_converted")))
   }
 
+  test("transition pairs: stateful batch form ≡ the x47 lead window") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sfDir)
+    val stateful = StreamingOps.transitionRollup(
+      StreamingOps.transitionPairs(ev).toDF()).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val window = graft.ext.Timeseries.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    graft.std.Materialize.releaseAll()
+    assert(stateful == window && stateful.nonEmpty)
+  }
+
+  test("streaming transition pairs: last-event state carries across batches") {
+    import spark.implicits._
+    def ev(uid: Long, typ: String, t: String, id: Long) =
+      (uid, typ, java.sql.Timestamp.valueOf(t), id)
+    val dir = Files.createTempDirectory("trans_src").toFile
+    def stamp(m: Long): Unit = dir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.lastModified() > m)
+      .foreach(f => assert(f.setLastModified(m)))
+    // micro-batch 1: user 1 emits a->b (in-batch), user 2 a lone view
+    Seq(ev(1L, "a", "2024-01-01 10:00:00", 1L),
+        ev(1L, "b", "2024-01-01 10:01:00", 2L),
+        ev(2L, "view", "2024-01-01 10:00:00", 3L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(1000000L)
+    // micro-batch 2: user 1's c pairs against the STORED b; user 2
+    // converts its lone view into view->click
+    Seq(ev(1L, "c", "2024-01-01 10:05:00", 4L),
+        ev(2L, "click", "2024-01-01 10:06:00", 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(2000000L)
+    val streamIn = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts TIMESTAMP, event_id LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = StreamingOps.transitionPairs(streamIn)
+      .writeStream.format("memory").queryName("trans_pairs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("trans_pairs").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(got.sorted.toSeq ==
+        Seq(("a", "b"), ("b", "c"), ("view", "click")),
+        s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming funnel converts when the purchase ARRIVES before the click") {
     import spark.implicits._
     def ev(uid: Long, typ: String, t: String) =
