@@ -275,12 +275,21 @@ object Timeseries {
       .select(col(userCol), col(typeCol).as("prev_type"),
         lead(col(typeCol), 1).over(byUser).as("next_type"))
       .filter(col("next_type").isNotNull)
-    val counts = pairs.groupBy(col("prev_type"), col("next_type"))
-      .agg(count(lit(1)).as("n"))
+    transitionRollup(pairs)
+  }
+
+  /** The matrix tail shared by [[transitionMatrix]] and the streaming
+    * pair feed ([[graft.streaming.StreamingOps.transitionPairs]]):
+    * exact pair counts, 6-dp row normalization over the |types|²
+    * frame.
+    */
+  def transitionRollup(pairs: DataFrame): DataFrame = {
     val byPrev = Window.partitionBy(col("prev_type"))
-    counts.select(col("prev_type"), col("next_type"), col("n"),
-      round(col("n").cast("double") /
-        sum(col("n")).over(byPrev).cast("double"), 6).as("p"))
+    pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(byPrev).cast("double"), 6).as("p"))
   }
 
   def hourlyAnomalies(events: DataFrame, tsCol: String = "ts",

@@ -415,19 +415,13 @@ object StreamingOps {
       }
   }
 
-  /** The matrix rollup downstream of [[transitionPairs]] — identical
-    * arithmetic to the x47 batch tail: exact pair counts, 6-dp row
-    * normalization over the |types|² frame.
+  /** The matrix rollup downstream of [[transitionPairs]] — the SAME
+    * code as the x47 batch tail ([[graft.ext.Timeseries
+    * .transitionRollup]]), re-exported here so the streaming pipeline
+    * reads whole at the call site.
     */
-  def transitionRollup(pairs: DataFrame): DataFrame = {
-    val byPrev = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("prev_type"))
-    pairs.groupBy(col("prev_type"), col("next_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("prev_type"), col("next_type"), col("n"),
-        round(col("n").cast("double") /
-          sum(col("n")).over(byPrev).cast("double"), 6).as("p"))
-  }
+  def transitionRollup(pairs: DataFrame): DataFrame =
+    graft.ext.Timeseries.transitionRollup(pairs)
 
   /** The STREAMING form of [[graft.ext.Timeseries.hourlyAnomalies]]:
     * per-key state holds the trailing `trailing` CLOSED hourly counts

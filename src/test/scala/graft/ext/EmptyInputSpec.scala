@@ -125,5 +125,10 @@ class EmptyInputSpec extends AnyFunSuite {
     val noEv = Seq.empty[(Long, java.sql.Timestamp, String, Long)]
       .toDF("user_id", "ts", "event_type", "event_id")
     assert(Timeseries.transitionMatrix(noEv).collect().isEmpty)
+    assert(graft.streaming.StreamingOps.transitionPairs(noEv)
+      .collect().isEmpty)
+    val noTexts = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val cc = TextAnalysis.ccAudit(noTexts).collect()
+    assert(cc.isEmpty)
   }
 }
