@@ -402,6 +402,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(6L) == ((0L, 0L, md5Hex(""))))
   }
 
+  test("luhnValid agrees with a reference implementation on 400 random runs") {
+    def luhnRef(s: String): Boolean = {
+      val terms = s.reverse.map(_ - '0').zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 0) d else { val t = d * 2; if (t > 9) t - 9 else t }
+      }
+      terms.sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(42) // deterministic corpus
+    val runs = (1 to 400).map { i =>
+      val len = 13 + rnd.nextInt(4)
+      (i.toLong, (1 to len).map(_ => rnd.nextInt(10)).mkString)
+    }
+    val got = runs.toDF("id", "cc")
+      .select(col("id"), TextAnalysis.luhnValid(col("cc")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    runs.foreach { case (id, cc) =>
+      assert(got(id) == luhnRef(cc), s"luhn mismatch on $cc")
+    }
+    // ~10% of random runs should pass — sanity that both sides are
+    // actually discriminating, not constant
+    val passes = got.values.count(identity)
+    assert(passes > 10 && passes < 100, s"$passes/400 passed")
+  }
+
   test("gopher rules fire independently and conjoin into passes") {
     val good = (Seq.fill(5)(
       "the quick brown fox jumps over a lazy dog and runs to it")

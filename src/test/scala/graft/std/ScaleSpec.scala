@@ -110,6 +110,33 @@ class ScaleSpec extends AnyFunSuite {
       s"filter not pushed to the scan:\n$scan")
   }
 
+  test("PQ report plans broadcast codebook joins — no SMJ, no cartesian") {
+    val plan = graft.ext.ExtQueries.pqReport(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"PQ encode degenerated to all-pairs:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the |codewords|×dims codebook should broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast join in the PQ plan:\n$plan")
+  }
+
+  test("IVF-PQ query path: at most ONE big-big join (candidates ⋈ codes)") {
+    // probe cross-join (BNLJ over the broadcast centroid table) is the
+    // intended s9 shape; probed cells and ADC tables broadcast; the
+    // single allowed shuffle join is the inverted-list read
+    val plan = graft.ext.ExtQueries.ivfPqTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF-PQ degenerated to a cartesian:\n$plan")
+    val smj = "SortMergeJoin".r.findAllIn(plan).length
+    assert(smj <= 1,
+      s"IVF-PQ grew $smj shuffle joins — broadcasts regressed:\n$plan")
+  }
+
   test("winnowing sketch plans with no exchange (pure per-row kernel)") {
     // t7's whole point post-rewrite: normalize → hash → sort-in-row;
     // the only allowed exchange is the small-scan spread repartition
