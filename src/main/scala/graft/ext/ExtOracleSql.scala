@@ -4630,6 +4630,43 @@ SELECT doc_id,
 FROM v"""
   }
 
+  /** t65: contrastive triplet mining — the t29 BM25 pipeline as a
+    * derived table; positives at rank 1, hard negatives ranks 2–4,
+    * the easy negative an anti-joined hash-argmin over corpus ids
+    * (the same md5 lane both engines share).
+    */
+  val t65HardNegatives: String = {
+    val h = h64("CAST(p.query_id AS VARCHAR) || '|' " +
+      "|| CAST(d.doc_id AS VARCHAR)")
+    s"""WITH ranked AS (
+  SELECT query_id, doc_id, rank FROM ($t29Bm25TopK) r29
+), pos AS (
+  SELECT query_id, doc_id AS positive_id FROM ranked WHERE rank = 1
+), hard AS (
+  SELECT query_id, doc_id AS negative_id, rank AS negative_rank
+  FROM ranked WHERE rank > 1 AND rank <= 4
+), easy0 AS (
+  SELECT p.query_id, p.positive_id, d.doc_id, $h AS h
+  FROM (SELECT doc_id FROM documents) d CROSS JOIN pos p
+  WHERE NOT EXISTS (SELECT 1 FROM ranked r
+                    WHERE r.query_id = p.query_id
+                      AND r.doc_id = d.doc_id)
+), easy AS (
+  SELECT query_id, positive_id, doc_id AS negative_id,
+         'easy' AS kind, CAST(NULL AS BIGINT) AS negative_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY h, doc_id) AS rn
+        FROM easy0) e
+  WHERE rn = 1
+)
+SELECT pos.query_id, pos.positive_id, hard.negative_id,
+       'hard' AS kind, hard.negative_rank
+FROM pos JOIN hard USING (query_id)
+UNION ALL
+SELECT query_id, positive_id, negative_id, kind, negative_rank
+FROM easy"""
+  }
+
   /** t63: token-budget epoch allocation — the t26 weight chain (9-dp
     * sqrt over the token-mass share, DECIMAL(28,9) normalizer), a
     * floor-exact allocation at the 200k-token budget, 6-dp epochs,

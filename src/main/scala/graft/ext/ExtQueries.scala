@@ -1679,6 +1679,22 @@ object ExtQueries {
     Search.bm25TopK(spread(Tables.documents(spark, sfDir)), qs)
   }
 
+  /** Contrastive triplet mining (t65): [[Search.hardNegatives]] over
+    * the t29 BM25 ranking — positive, 3 hard negatives from ranks
+    * 2–4, one deterministic easy negative outside the retrieved set.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    import spark.implicits._
+    val qs = Seq(
+      (1L, "spark join merge"),
+      (2L, "window stream batch"),
+      (3L, "customer order line"),
+      (4L, "vector hash table scan")).toDF("query_id", "qtext")
+    val docs = spread(Tables.documents(spark, sfDir))
+    Search.hardNegatives(Search.bm25TopK(docs, qs), docs)
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (t54): the t29 BM25
     * lexical top-10 fused with a dense cosine top-10 over the
     * embeddings table ([[Search.rrfFuse]]). The four probe queries

@@ -210,4 +210,53 @@ object Search {
         row_number().over(w).cast("long").as("fused_rank"))
       .filter(col("fused_rank") <= k)
   }
+
+  /** Contrastive hard-negative mining (t65): the triplet-building
+    * stage of retrieval training (the DPR / sentence-transformers
+    * recipe) over a ranked retrieval result — POSITIVE = each query's
+    * rank-1 hit, HARD negatives = the next `nHard` ranks (lexically
+    * close but wrong: the gradient-rich examples a bi-encoder learns
+    * most from), EASY negative = one deterministic corpus pick
+    * OUTSIDE the retrieved set (hash-argmin over (query, doc) stands
+    * in for the uniform draw — the repo's no-RNG rule, and exactly as
+    * reproducible across engines as everything else here).
+    *
+    * 100 TB shape: positives and hards are projections of the (tiny)
+    * ranked frame; the easy pick anti-joins corpus IDS (one skinny
+    * column) against the retrieved set and argmins a hash —
+    * |corpus| × |queries| skinny rows, the brute-force batch-bounded
+    * query shape (a production run with a huge query set pre-samples
+    * the corpus; the kernel is unchanged).
+    *
+    * Returns (query_id, positive_id, negative_id, kind,
+    * negative_rank) — kind ∈ {hard, easy}, negative_rank null on easy
+    * rows.
+    */
+  def hardNegatives(ranked: DataFrame, corpus: DataFrame,
+                    nHard: Int = 3): DataFrame = {
+    require(nHard >= 1, "need at least one hard negative")
+    val pos = ranked.filter(col("rank") === 1)
+      .select(col("query_id"), col("doc_id").as("positive_id"))
+    val hard = ranked.filter(col("rank") > 1 && col("rank") <= 1 + nHard)
+      .select(col("query_id"), col("doc_id").as("negative_id"),
+        col("rank").as("negative_rank"))
+    val hardRows = pos.join(hard, Seq("query_id"))
+      .select(col("query_id"), col("positive_id"), col("negative_id"),
+        lit("hard").as("kind"), col("negative_rank"))
+    val byHash = Window.partitionBy(col("query_id"))
+      .orderBy(col("_h").asc, col("doc_id").asc)
+    val easy = corpus.select(col("doc_id"))
+      .crossJoin(broadcast(pos))
+      .join(ranked.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("_h", TextOps.hash64(
+        concat(col("query_id").cast("string"), lit("|"),
+          col("doc_id").cast("string"))))
+      .withColumn("_rn", row_number().over(byHash))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col("positive_id"),
+        col("doc_id").as("negative_id"), lit("easy").as("kind"),
+        lit(null).cast("long").as("negative_rank"))
+    hardRows.unionByName(easy)
+  }
 }

@@ -133,4 +133,29 @@ class SearchSpec extends AnyFunSuite {
     assert(got((2L, 1L)) == 100L) // query 2 fuses on its own
     assert(got.size == 4)
   }
+
+  test("hard negatives: positive at rank 1, hards 2..1+n, easy outside") {
+    // a hand-built ranking: query 1 retrieved docs 10..14 at ranks
+    // 1..5; the corpus adds unretrieved docs 20, 21
+    val ranked = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      (1L, 14L, 5L))
+      .toDF("query_id", "doc_id", "rank")
+    val corpus = Seq(10L, 11L, 12L, 13L, 14L, 20L, 21L).toDF("doc_id")
+    val rows = Search.hardNegatives(ranked, corpus, nHard = 3).collect()
+    val hard = rows.filter(_.getString(3) == "hard")
+      .map(r => (r.getLong(2), r.getLong(4))).sorted
+    // hards are EXACTLY ranks 2..4; rank 5 is beyond nHard
+    assert(hard.toSeq == Seq((11L, 2L), (12L, 3L), (13L, 4L)))
+    assert(rows.forall(_.getLong(1) == 10L), "positive is the rank-1 hit")
+    val easy = rows.filter(_.getString(3) == "easy")
+    assert(easy.length == 1 && easy(0).isNullAt(4))
+    // the easy pick comes from OUTSIDE the retrieved set — doc 20 or
+    // 21, whichever the (query, doc) hash orders first, never 10..14
+    assert(Set(20L, 21L).contains(easy(0).getLong(2)))
+    // determinism: a second run picks the identical easy negative
+    val again = Search.hardNegatives(ranked, corpus, nHard = 3)
+      .collect().filter(_.getString(3) == "easy")(0).getLong(2)
+    assert(again == easy(0).getLong(2))
+  }
 }
