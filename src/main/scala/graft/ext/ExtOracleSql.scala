@@ -4378,68 +4378,122 @@ FROM err GROUP BY 1"""
     * the corpus `cdist` rows (queries ARE corpus members vec_id < 20
     * — the same expression on the same vectors).
     */
+  /** Unrolled Lloyd k-means as CTEs over an exploded `(vid, sub, dim,
+    * x)` CTE `src` — the twin of [[Similarity]]'s `kmeansLoop`, one
+    * CTE triple per iteration so the fixed-point arithmetic (6-dp
+    * DECIMAL-mean update, DECIMAL(38,12)-exact assign, ties to the
+    * smallest cluster id) is spelled out move for move, the x20 graph-
+    * unroll pattern. `${tag}_cb$iters` is the trained codebook,
+    * `${tag}_a$iters` the final assignment (dist kept).
+    */
+  private def kmeansCtes(tag: String, src: String, k: Int,
+                         iters: Int): String = {
+    val seed = s"'$tag' || '|' || CAST(sub AS VARCHAR) || '|' || " +
+      "CAST(vid AS VARCHAR)"
+    val init = s"""${tag}_a0 AS (
+  SELECT DISTINCT vid, sub,
+         CAST(${h64(seed)} % $k AS INTEGER) AS cw
+  FROM $src)"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""${tag}_cb$i AS (
+  SELECT a.cw, e.dim,
+         round(CAST(SUM(CAST(e.x AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM $src e JOIN ${tag}_a${i - 1} a
+    ON a.vid = e.vid AND a.sub = e.sub
+  GROUP BY 1, 2
+), ${tag}_d$i AS (
+  SELECT e.vid, e.sub, cb.cw,
+         SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(38,12))) AS dist
+  FROM $src e JOIN ${tag}_cb$i cb ON cb.dim = e.dim
+  GROUP BY 1, 2, 3
+), ${tag}_a$i AS (
+  SELECT vid, sub, cw, dist FROM (
+    SELECT vid, sub, cw, dist,
+           row_number() OVER (PARTITION BY vid, sub
+                              ORDER BY dist, cw) AS rn
+    FROM ${tag}_d$i) t
+  WHERE rn = 1)"""
+    }
+    (init +: iterCtes).mkString(", ")
+  }
+
+  /** s18: the k-means training report — 8 clusters × 4 unrolled Lloyd
+    * rounds over the embedding corpus, one row per (cluster, dim) with
+    * the final member count and exact within-cluster sum of squares.
+    */
+  val s18KmeansTrain: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), kx AS (
+  SELECT vec_id AS vid, 0 AS sub,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v
+), kme AS (
+  SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM kx
+), ${kmeansCtes("km", "kme", 8, 4)},
+stats AS (
+  SELECT cw, COUNT(*) AS n_members,
+         round(CAST(SUM(dist) AS DOUBLE), 9) AS wcss
+  FROM km_a4 GROUP BY 1
+)
+SELECT CAST(0 AS INTEGER) AS subspace,
+       CAST(cb.cw AS INTEGER) AS cluster_id,
+       CAST(cb.dim AS BIGINT) AS dim, cb.c AS centroid,
+       s.n_members, s.wcss
+FROM km_cb4 cb JOIN stats s ON s.cw = cb.cw"""
+
   val s16IvfPqTopK: String = s"""WITH v AS (
-  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS e, d.lang, e.label
-  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), exq AS (
-  SELECT vec_id AS vid, label AS cw0,
+  SELECT vec_id AS vid,
          unnest(generate_series(0, len(e) - 1)) AS dim,
          unnest(e) AS x
   FROM v
 ), exs AS (
-  SELECT vid, cw0, dim, CAST(x AS DOUBLE) AS x, dim % 8 AS sub FROM exq
-), cb AS (
-  SELECT cw0 AS cw, dim,
-         round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
-               / COUNT(*), 6) AS c
-  FROM exs GROUP BY 1, 2
-), cdist AS (
-  SELECT vid, sub, cw,
-         SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS dist
-  FROM exs JOIN cb USING (dim) GROUP BY 1, 2, 3
+  SELECT vid, dim, CAST(x AS DOUBLE) AS x,
+         CAST(dim % 16 AS INTEGER) AS sub
+  FROM exq
+), exc AS (
+  SELECT vid, 0 AS sub, dim, x FROM exs
+), ${kmeansCtes("km", "exc", 8, 4)},
+${kmeansCtes("pq", "exs", 32, 3)},
+cells AS (
+  SELECT vid AS neighbor_id, cw AS cell FROM km_a4
 ), codes AS (
-  SELECT vid AS neighbor_id, sub, cw FROM (
-    SELECT vid, sub, cw,
-           row_number() OVER (PARTITION BY vid, sub
-                              ORDER BY dist, cw) AS rn
-    FROM cdist) t
-  WHERE rn = 1
-), cl AS (
-  SELECT lang, unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS val
-  FROM v
-), cg AS (
-  SELECT lang, dim,
-         round(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE)
-               / COUNT(*), 6) AS m
-  FROM cl GROUP BY 1, 2
+  SELECT vid AS neighbor_id, sub, cw FROM pq_a3
 ), cent AS (
-  SELECT lang, list(m ORDER BY dim) AS c FROM cg GROUP BY 1
+  SELECT cw AS cell, list(c ORDER BY dim) AS c FROM km_cb4 GROUP BY 1
 ), cn AS (
-  SELECT lang, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
+  SELECT cell, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
 ), q AS (
   SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
   FROM v WHERE vec_id < 20
 ), probe AS (
-  SELECT q.query_id, cn.lang,
+  SELECT q.query_id, cn.cell,
          round(CASE WHEN q.qn * cn.nm > 0
                THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
            AS csim
   FROM q CROSS JOIN cn
 ), probed AS (
-  SELECT query_id, lang FROM (
+  SELECT query_id, cell FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
-      ORDER BY csim DESC NULLS LAST, lang ASC) AS prn
+      ORDER BY csim DESC NULLS LAST, cell ASC) AS prn
     FROM probe) p
   WHERE prn <= 2
+), qex AS (
+  SELECT vid, sub, dim, x FROM exs WHERE vid < 20
 ), adc AS (
-  SELECT vid AS query_id, sub, cw, dist FROM cdist WHERE vid < 20
+  SELECT e.vid AS query_id, e.sub, cb.cw,
+         SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(38,12))) AS dist
+  FROM qex e JOIN pq_cb3 cb ON cb.dim = e.dim
+  GROUP BY 1, 2, 3
 ), cand AS (
-  SELECT p.query_id, i.vec_id AS neighbor_id, codes.sub, codes.cw
+  SELECT p.query_id, cells.neighbor_id, codes.sub, codes.cw
   FROM probed p
-  JOIN v i ON p.lang = i.lang
-  JOIN codes ON codes.neighbor_id = i.vec_id
-  WHERE p.query_id <> i.vec_id
+  JOIN cells ON cells.cell = p.cell
+  JOIN codes ON codes.neighbor_id = cells.neighbor_id
+  WHERE p.query_id <> cells.neighbor_id
 ), adcsum AS (
   SELECT cand.query_id, cand.neighbor_id, SUM(a.dist) AS adc
   FROM cand JOIN adc a ON a.query_id = cand.query_id

