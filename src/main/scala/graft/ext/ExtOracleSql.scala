@@ -3974,7 +3974,12 @@ FROM hits"""
     * one round at the end.
     */
   val v6Benford: String = """WITH c AS (
-  SELECT regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(38,6))
+  -- TRY_CAST, not CAST: Spark's cast-to-DECIMAL(38,6) overflows to
+  -- NULL on magnitudes past ~1e32 (row silently excluded); DuckDB's
+  -- CAST would raise instead — TRY_CAST makes both engines exclude
+  -- overflow rows identically (harmless for o_totalprice, a
+  -- robustness contract for wider columns)
+  SELECT regexp_extract(CAST(TRY_CAST(o_totalprice AS DECIMAL(38,6))
            AS VARCHAR), '[1-9]', 0) AS d
   FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
 ), f AS (
@@ -4680,7 +4685,8 @@ SELECT doc_id,
        CAST(len(cands) AS BIGINT) AS n_cc_candidates,
        CAST(len(valids) AS BIGINT) AS n_cc_valid,
        md5(list_reduce(list_prepend(t, valids),
-         (acc, cc) -> replace(acc, cc, '<CC>'))) AS redacted_md5
+         (acc, cc) -> regexp_replace(acc, '\\b' || cc || '\\b',
+                                     '<CC>', 'g'))) AS redacted_md5
 FROM v"""
   }
 
@@ -4692,16 +4698,21 @@ FROM v"""
   val t65HardNegatives: String = {
     val h = h64("CAST(p.query_id AS VARCHAR) || '|' " +
       "|| CAST(d.doc_id AS VARCHAR)")
+    val hb = h64("'t65b|' || CAST(doc_id AS VARCHAR)")
+    val hq = h64("'t65q|' || CAST(query_id AS VARCHAR)")
     s"""WITH ranked AS (
   SELECT query_id, doc_id, rank FROM ($t29Bm25TopK) r29
 ), pos AS (
-  SELECT query_id, doc_id AS positive_id FROM ranked WHERE rank = 1
+  SELECT query_id, doc_id AS positive_id, $hq % 16 AS b
+  FROM ranked WHERE rank = 1
 ), hard AS (
   SELECT query_id, doc_id AS negative_id, rank AS negative_rank
   FROM ranked WHERE rank > 1 AND rank <= 4
+), cut AS (
+  SELECT doc_id, $hb % 16 AS b FROM documents
 ), easy0 AS (
   SELECT p.query_id, p.positive_id, d.doc_id, $h AS h
-  FROM (SELECT doc_id FROM documents) d CROSS JOIN pos p
+  FROM cut d JOIN pos p ON p.b = d.b
   WHERE NOT EXISTS (SELECT 1 FROM ranked r
                     WHERE r.query_id = p.query_id
                       AND r.doc_id = d.doc_id)

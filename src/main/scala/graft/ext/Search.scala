@@ -222,19 +222,28 @@ object Search {
     * reproducible across engines as everything else here).
     *
     * 100 TB shape: positives and hards are projections of the (tiny)
-    * ranked frame; the easy pick anti-joins corpus IDS (one skinny
-    * column) against the retrieved set and argmins a hash —
-    * |corpus| × |queries| skinny rows, the brute-force batch-bounded
-    * query shape (a production run with a huge query set pre-samples
-    * the corpus; the kernel is unchanged).
+    * ranked frame. The easy pick never touches the whole corpus per
+    * query: the corpus is PRE-CUT to one deterministic hash bucket
+    * per query — corpus ids bucket by `hash64(t65b|doc) mod B`, each
+    * query draws bucket `hash64(t65q|query) mod B`, and the two sides
+    * meet on an EQUI-join on the bucket id (no cross join in the
+    * plan), so the scan is |corpus|/B rows per query. The argmin
+    * inside the bucket is a partial-aggregable `min(struct(hash,
+    * doc))` — no per-query global sort (a row_number window over a
+    * whole per-query partition WAS the practical bottleneck, not the
+    * row count). Size `buckets` so |corpus|/B ≫ the retrieved set per
+    * query (the anti-join removes retrieved docs; an empty cut would
+    * drop that query's easy row — with the default 16 buckets and any
+    * real corpus the cut is thousands of times the retrieved set).
     *
     * Returns (query_id, positive_id, negative_id, kind,
     * negative_rank) — kind ∈ {hard, easy}, negative_rank null on easy
     * rows.
     */
   def hardNegatives(ranked: DataFrame, corpus: DataFrame,
-                    nHard: Int = 3): DataFrame = {
+                    nHard: Int = 3, buckets: Int = 16): DataFrame = {
     require(nHard >= 1, "need at least one hard negative")
+    require(buckets >= 1, "need at least one bucket")
     val pos = ranked.filter(col("rank") === 1)
       .select(col("query_id"), col("doc_id").as("positive_id"))
     val hard = ranked.filter(col("rank") > 1 && col("rank") <= 1 + nHard)
@@ -243,19 +252,22 @@ object Search {
     val hardRows = pos.join(hard, Seq("query_id"))
       .select(col("query_id"), col("positive_id"), col("negative_id"),
         lit("hard").as("kind"), col("negative_rank"))
-    val byHash = Window.partitionBy(col("query_id"))
-      .orderBy(col("_h").asc, col("doc_id").asc)
-    val easy = corpus.select(col("doc_id"))
-      .crossJoin(broadcast(pos))
+    val cut = corpus.select(col("doc_id"))
+      .withColumn("_b", TextOps.hash64(
+        concat(lit("t65b|"), col("doc_id").cast("string"))) % buckets)
+    val qb = broadcast(pos.withColumn("_b", TextOps.hash64(
+      concat(lit("t65q|"), col("query_id").cast("string"))) % buckets))
+    val easy = cut.join(qb, Seq("_b"))
       .join(ranked.select(col("query_id"), col("doc_id")),
         Seq("query_id", "doc_id"), "left_anti")
       .withColumn("_h", TextOps.hash64(
         concat(col("query_id").cast("string"), lit("|"),
           col("doc_id").cast("string"))))
-      .withColumn("_rn", row_number().over(byHash))
-      .filter(col("_rn") === 1)
-      .select(col("query_id"), col("positive_id"),
-        col("doc_id").as("negative_id"), lit("easy").as("kind"),
+      .groupBy(col("query_id"))
+      .agg(min(struct(col("_h"), col("doc_id"), col("positive_id")))
+        .as("_m"))
+      .select(col("query_id"), col("_m.positive_id").as("positive_id"),
+        col("_m.doc_id").as("negative_id"), lit("easy").as("kind"),
         lit(null).cast("long").as("negative_rank"))
     hardRows.unionByName(easy)
   }

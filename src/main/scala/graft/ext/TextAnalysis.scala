@@ -428,8 +428,13 @@ object TextAnalysis {
     * Redaction folds over the valid candidates in match order
     * (`aggregate` seeded with the raw text) — a candidate appearing
     * twice redacts at first encounter and the second pass no-ops, the
-    * same left-to-right fold both engines run. Pure per-row
-    * expressions: scan-once, no shuffle.
+    * same left-to-right fold both engines run. Each replacement is
+    * anchored on the SAME `\b` boundaries as [[CcCandidatePattern]]
+    * (candidates are digit-only, so splicing one into a pattern needs
+    * no escaping): a valid number that also occurs inside a longer
+    * 17+-digit run stays untouched there — only text that actually
+    * matched as a candidate redacts. Pure per-row expressions:
+    * scan-once, no shuffle.
     *
     * Returns (doc_id, n_cc_candidates, n_cc_valid, redacted_md5).
     */
@@ -441,7 +446,8 @@ object TextAnalysis {
       col("doc_id"),
       size(cands).cast("long").as("n_cc_candidates"),
       size(valid).cast("long").as("n_cc_valid"),
-      md5(aggregate(valid, t, (acc, c) => replace(acc, c, lit("<CC>"))))
+      md5(aggregate(valid, t, (acc, c) => regexp_replace(acc,
+          concat(lit("\\b"), c, lit("\\b")), lit("<CC>"))))
         .as("redacted_md5"))
   }
 

@@ -270,8 +270,11 @@ object Timeseries {
     val byUser = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tiebreakCol))
     val pairs = events
+      // tiebreak non-null too: the streaming twin encodes it into a
+      // non-nullable state field, so both forms must accept (and
+      // reject) exactly the same inputs
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
-        col(typeCol).isNotNull)
+        col(typeCol).isNotNull && col(tiebreakCol).isNotNull)
       .select(col(userCol), col(typeCol).as("prev_type"),
         lead(col(typeCol), 1).over(byUser).as("next_type"))
       .filter(col("next_type").isNotNull)

@@ -386,8 +386,11 @@ object StreamingOps {
     val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
     src
+      // event_id non-null too (it lands in a non-nullable state
+      // field); the batch lead-window twin filters identically, so
+      // the two forms accept the same inputs
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
-        col("event_type").isNotNull)
+        col("event_type").isNotNull && col("event_id").isNotNull)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .as[TransEvent]
       .groupByKey(_.user_id)

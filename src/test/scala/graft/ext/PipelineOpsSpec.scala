@@ -402,6 +402,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(6L) == ((0L, 0L, md5Hex(""))))
   }
 
+  test("redaction stays on candidate boundaries: no bleed into longer runs") {
+    // the valid card also occurs as a PREFIX of a 17-digit tracking
+    // run that never matched as a candidate — \b-anchored replacement
+    // redacts only the standalone match (a bare substring replace
+    // would also mangle the tracking number)
+    val docs = Seq(
+      (1L, "card 4539578763621486 ref 45395787636214869 end"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.ccAudit(docs).collect()(0)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getString(3) ==
+      md5Hex("card <CC> ref 45395787636214869 end"),
+      "redaction bled into the 17-digit run")
+  }
+
   test("luhnValid agrees with a reference implementation on 400 random runs") {
     def luhnRef(s: String): Boolean = {
       val terms = s.reverse.map(_ - '0').zipWithIndex.map { case (d, i) =>

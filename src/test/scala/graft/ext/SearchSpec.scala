@@ -142,7 +142,10 @@ class SearchSpec extends AnyFunSuite {
       (1L, 14L, 5L))
       .toDF("query_id", "doc_id", "rank")
     val corpus = Seq(10L, 11L, 12L, 13L, 14L, 20L, 21L).toDF("doc_id")
-    val rows = Search.hardNegatives(ranked, corpus, nHard = 3).collect()
+    // buckets = 1: the degenerate whole-corpus draw (this fixture's 2
+    // unretrieved docs are far fewer than the default 16 buckets)
+    val rows = Search.hardNegatives(ranked, corpus, nHard = 3,
+      buckets = 1).collect()
     val hard = rows.filter(_.getString(3) == "hard")
       .map(r => (r.getLong(2), r.getLong(4))).sorted
     // hards are EXACTLY ranks 2..4; rank 5 is beyond nHard
@@ -154,8 +157,40 @@ class SearchSpec extends AnyFunSuite {
     // 21, whichever the (query, doc) hash orders first, never 10..14
     assert(Set(20L, 21L).contains(easy(0).getLong(2)))
     // determinism: a second run picks the identical easy negative
-    val again = Search.hardNegatives(ranked, corpus, nHard = 3)
+    val again = Search.hardNegatives(ranked, corpus, nHard = 3,
+        buckets = 1)
       .collect().filter(_.getString(3) == "easy")(0).getLong(2)
     assert(again == easy(0).getLong(2))
+  }
+
+  test("easy negative draws from the query's hash bucket, not the corpus") {
+    // ranked: query 1 retrieved docs 10..14; unretrieved corpus
+    // 100..139 minus 118. Md5-lane arithmetic (hand-computed): query
+    // 1 lands in bucket 11 of 16; the unretrieved bucket-11 docs are
+    // {112, 116, 132} whose (query,doc)-hash argmin is 116 — while
+    // the WHOLE-corpus argmin is 135. The two picks differing is the
+    // point: the bucketed draw reads |corpus|/B rows per query and is
+    // exactly as deterministic, but it is a different (equally
+    // uniform) draw, so the spec pins both.
+    val ranked = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      (1L, 14L, 5L))
+      .toDF("query_id", "doc_id", "rank")
+    val corpus = ((10L to 14L) ++ (100L to 139L).filterNot(_ == 118L))
+      .toDF("doc_id")
+    val bucketed = Search.hardNegatives(ranked, corpus, nHard = 3)
+      .collect().filter(_.getString(3) == "easy")
+    assert(bucketed.length == 1 && bucketed(0).getLong(2) == 116L,
+      s"bucket-11 hash argmin must win: ${bucketed.toSeq}")
+    val global = Search.hardNegatives(ranked, corpus, nHard = 3,
+        buckets = 1)
+      .collect().filter(_.getString(3) == "easy")
+    assert(global.length == 1 && global(0).getLong(2) == 135L,
+      s"whole-corpus hash argmin: ${global.toSeq}")
+    // the plan has no cartesian: the bucket cut is an equi-join
+    val plan = Search.hardNegatives(ranked, corpus, nHard = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"easy pick must equi-join on the bucket id:\n$plan")
   }
 }
