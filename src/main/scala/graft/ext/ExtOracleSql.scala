@@ -901,6 +901,35 @@ SELECT nodes.node,
             AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS rank
 FROM nodes CROSS JOIN consts LEFT JOIN s3 ON nodes.node = s3.node"""
 
+  /** x48: connected components over the high-quantity co-purchase
+    * chain graph — transitive closure via a recursive reach CTE,
+    * component rep = min reachable node (the d5 cluster discipline on
+    * a graph-tier input), plus per-component sizes.
+    */
+  val x48Components: String = """WITH RECURSIVE chain AS (
+  SELECT l_partkey AS src,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS dst
+  FROM lineitem WHERE l_quantity >= 48
+), e0 AS (
+  SELECT src, dst FROM chain WHERE dst IS NOT NULL AND src <> dst
+), edges AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), nodes AS (
+  SELECT DISTINCT src AS node_id FROM edges
+), reach AS (
+  SELECT node_id AS src, node_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS node_id, MIN(dst) AS cluster_rep FROM reach GROUP BY 1
+), sizes AS (
+  SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS component_size
+  FROM comp GROUP BY 1
+)
+SELECT c.node_id, c.cluster_rep, s.component_size
+FROM comp c JOIN sizes s USING (cluster_rep)"""
+
   /** x34: label propagation, 3 unrolled synchronous iterations over the
     * undirected support of the x20 chain graph. Votes are exact COUNTs;
     * winner per node via QUALIFY (votes DESC, label ASC) — pure integer

@@ -1264,6 +1264,35 @@ object ExtQueries {
     Graph.labelPropagation(edges, iterations = 3)
   }
 
+  /** Connected components (x48): the dedup clustering kernel promoted
+    * to a first-class graph operator — [[Dedup.connectedComponentsStars]]
+    * (the Kiveris large-star/small-star contraction, O(log² n)
+    * supersteps on ANY component shape) over the undirected support of
+    * the high-quantity co-purchase chain graph (the x20 lead-window
+    * edges restricted to l_quantity ≥ 48, which leaves a real
+    * component structure instead of one giant blob), plus per-component
+    * sizes. d5/d11 consume the same kernel for dedup groups; this
+    * exposes it to graph users directly.
+    */
+  def components(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_partkey").as("id_a"),
+        lead("l_partkey", 1).over(w).as("id_b"))
+      .filter(col("id_b").isNotNull && col("id_a") =!= col("id_b"))
+    val nodes = edges.select(col("id_a").as("node_id"))
+      .unionByName(edges.select(col("id_b").as("node_id"))).distinct()
+    val labels = Dedup.connectedComponentsStars(nodes, edges,
+      idCol = "node_id")
+    val sizes = labels.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, Seq("cluster_rep"))
+      .select(col("node_id"), col("cluster_rep"), col("component_size"))
+  }
+
   /** Incremental rollup maintenance (x21): the order-value summary by
     * (priority, status), maintained as history-state + 1998 delta
     * batch — the merge path whose cost is O(batch + keys). The oracle

@@ -325,4 +325,24 @@ class GraphSpec extends AnyFunSuite {
     val got = lpa(Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L)), 1)
     assert(got == Map(1L -> (2L, 1L), 2L -> (1L, 1L)))
   }
+
+  test("components (x48 shape): reps are component minima, sizes exact") {
+    // the graph-tier composition over the dedup clustering kernel:
+    // chain {1,2,3} + pair {10,11}; reps are component minima
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val nodes = edges.select(col("id_a").as("node_id"))
+      .unionByName(edges.select(col("id_b").as("node_id"))).distinct()
+    val labels = Dedup.connectedComponentsStars(nodes, edges,
+      idCol = "node_id")
+    val sizes = labels.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("component_size"))
+    val got = labels.join(sizes, Seq("cluster_rep"))
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2)))).toMap
+    assert(got == Map(1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      10L -> (10L, 2L), 11L -> (10L, 2L)))
+  }
 }
