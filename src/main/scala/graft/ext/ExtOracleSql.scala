@@ -2951,6 +2951,70 @@ FROM ch GROUP BY 1"""
 )
 SELECT * FROM scored WHERE jaccard >= 0.5"""
 
+  /** m7: perceptual media near-dups — the byte-level average-hash
+    * spelled out relationally: per-doc body bytes via hex + unnest,
+    * per-cell and global sums, one bit per cell by exact integer
+    * cross-multiplication, string_agg in cell order as the signature,
+    * equal-signature self-join (bucket-capped) with the digest flag.
+    */
+  val m7PerceptualDups: String = """WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+), corpus0 AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 700000,
+         translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                   'bcdefghijklmnopqrstuvwxyza')
+  FROM base WHERE doc_id % 7 = 0
+), m AS (
+  SELECT doc_id,
+         lpad(hex(64 + doc_id % 192), 4, '0')
+           || lpad(hex(64 + doc_id % 128), 4, '0') || text AS payload_str
+  FROM corpus0
+), s AS (
+  SELECT doc_id, hex(substr(payload_str, 9)) AS hh,
+         md5(payload_str) AS pmd5,
+         CAST(length(hex(substr(payload_str, 9))) // 2 AS BIGINT) AS n,
+         CAST((length(hex(substr(payload_str, 9))) // 2 + 15) // 16
+              AS BIGINT) AS cw
+  FROM m
+), bv AS (
+  SELECT doc_id, n, cw, hh,
+         unnest(generate_series(0, CAST(n AS INTEGER) - 1)) AS j
+  FROM s
+), vals AS (
+  SELECT doc_id, n, CAST(j // cw AS INTEGER) AS c,
+         CAST(('0x' || substr(hh, CAST(j * 2 + 1 AS INTEGER), 2))
+              AS BIGINT) AS v
+  FROM bv
+), cellsums AS (
+  SELECT doc_id, c, SUM(v) AS cs, COUNT(*) AS cl FROM vals GROUP BY 1, 2
+), tots AS (
+  SELECT doc_id, SUM(v) AS tot, MAX(n) AS nn FROM vals GROUP BY 1
+), scaffold AS (
+  SELECT s.doc_id, g.c
+  FROM s, (SELECT unnest(generate_series(0, 15)) AS c) g
+), bits AS (
+  SELECT sc.doc_id, sc.c,
+         CASE WHEN COALESCE(cl, 0) > 0 AND cs * t.nn > t.tot * cl
+              THEN '1' ELSE '0' END AS bit
+  FROM scaffold sc
+  LEFT JOIN cellsums USING (doc_id, c)
+  LEFT JOIN tots t USING (doc_id)
+), sigs AS (
+  SELECT bits.doc_id, string_agg(bit, '' ORDER BY c) AS psig
+  FROM bits GROUP BY 1
+), sigd AS (
+  SELECT sigs.doc_id, psig, s.pmd5 FROM sigs JOIN s USING (doc_id)
+), ok AS (
+  SELECT psig FROM sigd GROUP BY 1 HAVING COUNT(*) <= 64
+), elig AS (
+  SELECT sigd.doc_id, sigd.psig, sigd.pmd5 FROM sigd JOIN ok USING (psig)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.psig,
+       a.pmd5 = b.pmd5 AS digest_match
+FROM elig a JOIN elig b ON a.psig = b.psig AND a.doc_id < b.doc_id"""
+
   /** w7: attribution interval join — the plain-SQL form of the
     * stream-stream join's condition.
     */

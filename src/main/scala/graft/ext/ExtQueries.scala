@@ -1891,6 +1891,28 @@ object ExtQueries {
       .withColumn("n_bytes", col("n_bytes").cast("long"))
   }
 
+  /** Perceptual media near-dups (m7): every 7th document re-encoded as
+    * its +700000 mirror with EVERY body byte shifted (the a→z…a
+    * rotation — the brightness-shift analogue: whole-file and chunk
+    * digests all change, cell-vs-global mean bits survive), then
+    * [[Media.perceptualDups]] over the combined corpus. Re-encoded
+    * pairs surface with `digest_match = false` — the rows the m3–m5
+    * digest tier is blind to by construction.
+    */
+  def mediaPerceptualDups(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val mirrors = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 700000).as("doc_id"),
+        translate(coalesce(col("text"), lit("")),
+          "abcdefghijklmnopqrstuvwxyz",
+          "bcdefghijklmnopqrstuvwxyza").as("text"))
+    Media.perceptualDups(
+      Media.synthCorpus(spread(docs.unionByName(mirrors))))
+  }
+
   /** Frame sampling rollup: per doc, how many 32-byte frames the payload
     * splits into and their reassembled size (proves the binary chunking
     * covers the payload exactly).

@@ -174,6 +174,93 @@ object Media {
     * counts — payload bytes never move; output is bounded by genuinely
     * similar pairs.
     */
+  /** Byte-level average-hash (m7): the perceptual signature that
+    * catches RE-ENCODED duplicates every digest in m3–m5 is blind to —
+    * the multimodal analogue of d2 (MinHash) vs d1 (exact hash). The
+    * algorithm is aHash's: split the payload BODY (container header
+    * excluded — perceptual hashes fingerprint pixels, not metadata)
+    * into `grid` contiguous cells, and emit one bit per cell: is the
+    * cell's mean byte value above the whole body's mean? A re-encode
+    * that shifts every byte by a small constant (brightness/gain
+    * noise) changes EVERY chunk digest but shifts cell and global
+    * means together, so every strict inequality — and the signature —
+    * survives. Comparisons are exact integer cross-multiplications
+    * (`sum_cell × n_total > sum_total × n_cell`), so there is no
+    * rounding to disagree on and the DuckDB twin is bit-identical.
+    *
+    * Pure per-row expressions over `hex(payload)` — no UDF, no
+    * shuffle; O(bytes) per row at the decode site, the same place a
+    * real pixel decode pays. (At pixel scale the sums ride the same
+    * arithmetic over the decoded luma plane — swap [[decodeFeatureStub]]
+    * for the codec and the signature algebra is unchanged.)
+    *
+    * Returns a `grid`-char '0'/'1' string — the LSH bucket key for
+    * [[perceptualDups]]. Cells that own no bytes (payload shorter than
+    * `grid`) emit '0', and an empty body is all-zeros in both engines.
+    */
+  def perceptualHash(payload: Column, grid: Int = 16,
+                     headerBytes: Int = 8): Column = {
+    val hh = substring(hex(payload), headerBytes * 2 + 1, Int.MaxValue)
+    // Column `/` is DOUBLE division — cast each quotient back to long
+    // (exact: byte counts sit far below 2^53)
+    val n = (length(hh) / 2).cast("long")
+    val cellW = ((n + (grid - 1)) / grid).cast("long")
+    def byteAt(j: Column): Column =
+      conv(hh.substr((j * 2 + 1).cast("int"), lit(2)), 16, 10)
+        .cast("long")
+    val cells = transform(sequence(lit(0), lit(grid - 1)), c => {
+      val start = c.cast("long") * cellW
+      val len = greatest(least(cellW, n - start), lit(0L))
+      struct(
+        when(len > 0,
+          aggregate(sequence(start, start + len - 1), lit(0L),
+            (acc, j) => acc + byteAt(j)))
+          .otherwise(lit(0L)).as("s"),
+        len.as("l"))
+    })
+    val tot = aggregate(cells, lit(0L), (acc, x) => acc + x.getField("s"))
+    concat_ws("", transform(cells, x =>
+      when(x.getField("l") > 0 &&
+        x.getField("s") * n > tot * x.getField("l"), lit("1"))
+        .otherwise(lit("0"))))
+  }
+
+  /** Perceptual near-dup pairs (m7): [[perceptualHash]] as the bucket
+    * key — candidate pairs form ONLY inside equal-signature buckets
+    * (an equi-self-join on the 16-bit key, never all-pairs), with
+    * buckets larger than `maxBucket` excluded from pair generation
+    * (the d2/m5 skew cap: a corpus of solid-color thumbnails would
+    * otherwise go quadratic; excluded buckets are a documented recall
+    * trade). `digest_match` reports whether the whole-file digest
+    * ALSO matches — false on exactly the re-encoded pairs the
+    * perceptual signature exists to catch.
+    *
+    * Scale shape: one scan computes (id, signature, digest); the
+    * shuffle moves those skinny triples keyed on the signature;
+    * output is bounded by genuinely matching pairs.
+    */
+  def perceptualDups(media: DataFrame, grid: Int = 16,
+                     headerBytes: Int = 8,
+                     maxBucket: Int = 64): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must allow at least a pair")
+    val sigs = graft.std.Materialize.once(
+      media.select(col("doc_id"),
+        perceptualHash(col("payload"), grid, headerBytes).as("psig"),
+        md5(col("payload")).as("_md5")))
+    val ok = sigs.groupBy(col("psig"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket)
+      .select(col("psig"))
+    val elig = sigs.join(ok, Seq("psig"))
+    elig.select(col("psig"), col("doc_id").as("id_a"),
+        col("_md5").as("_ma"))
+      .join(elig.select(col("psig"), col("doc_id").as("id_b"),
+        col("_md5").as("_mb")), Seq("psig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("psig"),
+        (col("_ma") === col("_mb")).as("digest_match"))
+  }
+
   def nearDupPairs(media: DataFrame, chunkBytes: Int = 64,
                    threshold: Double = 0.5,
                    maxRefs: Int = 64): DataFrame = {

@@ -399,6 +399,50 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs == Map((1L, 2L) -> ((2L, 0.666667))))
   }
 
+  test("media: perceptual hash — hand bits, shift invariance, header skip") {
+    // 8-byte header + body "aaaabbbb", grid 4: cells (194,194,196,196),
+    // total 780 over n=8 -> bits 0,0,1,1 (exact cross-multiplication:
+    // 194*8=1552 < 780*2=1560 < 196*8=1568)
+    val mk = (id: Long, s: String) => (id, s.getBytes("UTF-8"))
+    val media = Seq(
+      mk(1L, "00400040" + "aaaabbbb"),
+      // every body byte +1 (the brightness-shift re-encode): every
+      // chunk digest changes, the mean-threshold bits cannot
+      mk(2L, "00400040" + "bbbbcccc"),
+      // different header, same body: signature identical (header
+      // bytes are container metadata, not content)
+      mk(3L, "0080FF00" + "aaaabbbb"),
+      mk(4L, "00400040")) // empty body
+      .toDF("doc_id", "payload")
+    val got = media.select(col("doc_id"),
+        Media.perceptualHash(col("payload"), grid = 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "0011", s"hand-computed bits: $got")
+    assert(got(2L) == "0011", "byte-shift must not move the signature")
+    assert(got(3L) == "0011", "header bytes must not enter the signature")
+    assert(got(4L) == "0000", "empty body is all zeros")
+  }
+
+  test("media: perceptual dups pair equal signatures, cap heavy buckets") {
+    val mk = (id: Long, s: String) => (id, s.getBytes("UTF-8"))
+    val media = Seq(
+      mk(1L, "00400040" + "aaaabbbb"),
+      mk(2L, "00400040" + "bbbbcccc"), // re-encode of 1: sig match
+      mk(3L, "00400040" + "bbbbaaaa"), // different signature ("1100")
+      mk(5L, "00400040" + "aaaabbbb")) // exact copy of 1
+      .toDF("doc_id", "payload")
+    val pairs = Media.perceptualDups(media, grid = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    // bucket "0011" = {1,2,5}: re-encode pairs digest-mismatch, the
+    // exact copy digest-matches; doc 3 pairs with nobody
+    assert(pairs == Map((1L, 2L) -> false, (2L, 5L) -> false,
+      (1L, 5L) -> true), s"got $pairs")
+    // the cap drops the whole 3-member bucket from pair generation
+    val capped = Media.perceptualDups(media, grid = 4, maxBucket = 2)
+      .collect()
+    assert(capped.isEmpty, "over-cap bucket must not generate pairs")
+  }
+
   test("media: resizeStub scales metadata and truncates payload") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") === 10)
     val media = Media.synthCorpus(docs)
