@@ -525,6 +525,12 @@ object Validation {
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // first significant digit over the DECIMAL(38,6) string — plain
+    // positional notation (never E-notation), exact in both engines.
+    // A translate+substring variant was A/B'd at r13 and is NOT
+    // faster (Spark's per-row translate map ≈ the regex automaton);
+    // rows whose magnitude overflows the decimal cast go NULL and
+    // drop, matching the oracle's TRY_CAST.
     val firstSig = regexp_extract(
       col(valueCol).cast("decimal(38,6)").cast("string"), "[1-9]", 0)
     val counts = df
