@@ -757,44 +757,66 @@ WHERE c_nationkey = 1"""
     * fetch path renders HUGEINT as a float (`75000.0` vs Spark's
     * `75000`) — the r10 hash mismatch was the TYPE, not the values.
     */
-  val x20PageRank: String = """WITH seq AS (
+  /** The co-purchase chain graph every x-series graph twin walks:
+    * lead-window successor pairs per order. Shared VERBATIM by
+    * x20/x30/x33/x34/x38/x46 (and quantity-filtered variants inline
+    * their own `WHERE`) so the graph construction cannot drift
+    * between twins.
+    */
+  private val ChainSeq: String = """seq AS (
   SELECT l_partkey,
          lead(l_partkey) OVER (PARTITION BY l_orderkey
                                ORDER BY l_linenumber, l_partkey) AS nxt
   FROM lineitem
-), e AS (
+)"""
+
+  /** Distinct directed edges + node set over [[ChainSeq]]. */
+  private val ChainEdges: String = """e AS (
   SELECT DISTINCT l_partkey AS src, nxt AS dst
   FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
 ), nodes AS (
   SELECT src AS node FROM e UNION SELECT dst FROM e
-), nn AS (SELECT COUNT(*) AS n FROM nodes),
+)"""
+
+  /** The unrolled PageRank-family iteration chain (`c$i`/`s$i`/`r$i`
+    * CTEs): contribution join, partial sum, rank recombination — one
+    * generator for x20/x33/x46 so the fixed-point arithmetic is
+    * written once per VARIANT (contribution expression + teleport
+    * term), not once per iteration per query. The final round emits
+    * only `s$iters`; the caller's SELECT applies the rank term once
+    * more (exactly as the hand-unrolled originals did).
+    */
+  private def prChain(iters: Int, contrib: String => String,
+                      contribJoin: String, rankTerm: Int => String,
+                      rankFrom: String): String =
+    (1 to iters).map { i =>
+      val head = s"""c$i AS (
+  SELECT e.dst AS node, ${contrib(s"r${i - 1}")} AS c
+  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node $contribJoin
+), s$i AS (SELECT node, SUM(c) AS s FROM c$i GROUP BY 1)"""
+      if (i < iters) head + s""",
+r$i AS (
+  SELECT nodes.node,
+         ${rankTerm(i)} AS rank_e9
+  FROM nodes $rankFrom LEFT JOIN s$i ON nodes.node = s$i.node
+)"""
+      else head
+    }.mkString(", ")
+
+  private def x20Rank(i: Int): String =
+    s"150000000 // n + COALESCE(s$i.s, 0) * 850 // 1000"
+
+  val x20PageRank: String = s"""WITH $ChainSeq, $ChainEdges,
+nn AS (SELECT COUNT(*) AS n FROM nodes),
 outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
 r0 AS (
   SELECT node, 1000000000 // n AS rank_e9 FROM nodes CROSS JOIN nn
-), c1 AS (
-  SELECT e.dst AS node, r0.rank_e9 // outdeg.odeg AS c
-  FROM e JOIN r0 ON e.src = r0.node JOIN outdeg ON e.src = outdeg.src
-), s1 AS (SELECT node, SUM(c) AS s FROM c1 GROUP BY 1),
-r1 AS (
-  SELECT nodes.node,
-         150000000 // n + COALESCE(s1.s, 0) * 850 // 1000 AS rank_e9
-  FROM nodes CROSS JOIN nn LEFT JOIN s1 ON nodes.node = s1.node
-), c2 AS (
-  SELECT e.dst AS node, r1.rank_e9 // outdeg.odeg AS c
-  FROM e JOIN r1 ON e.src = r1.node JOIN outdeg ON e.src = outdeg.src
-), s2 AS (SELECT node, SUM(c) AS s FROM c2 GROUP BY 1),
-r2 AS (
-  SELECT nodes.node,
-         150000000 // n + COALESCE(s2.s, 0) * 850 // 1000 AS rank_e9
-  FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.node = s2.node
-), c3 AS (
-  SELECT e.dst AS node, r2.rank_e9 // outdeg.odeg AS c
-  FROM e JOIN r2 ON e.src = r2.node JOIN outdeg ON e.src = outdeg.src
-), s3 AS (SELECT node, SUM(c) AS s FROM c3 GROUP BY 1)
+), ${prChain(3, r => s"$r.rank_e9 // outdeg.odeg",
+      "JOIN outdeg ON e.src = outdeg.src", x20Rank, "CROSS JOIN nn")}
 SELECT nodes.node,
-       CAST(150000000 // n + COALESCE(s3.s, 0) * 850 // 1000 AS BIGINT)
+       CAST(${x20Rank(3)} AS BIGINT)
          AS rank_e9,
-       CAST(150000000 // n + COALESCE(s3.s, 0) * 850 // 1000 AS DOUBLE)
+       CAST(${x20Rank(3)} AS DOUBLE)
          / CAST(1000000000 AS DOUBLE) AS rank
 FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node"""
 
@@ -805,17 +827,7 @@ FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node"""
     * 1e-9 fixed point with the same truncating `//`. Outputs CAST to
     * BIGINT (HUGEINT discipline, see x20).
     */
-  val x30Hits: String = """WITH seq AS (
-  SELECT l_partkey,
-         lead(l_partkey) OVER (PARTITION BY l_orderkey
-                               ORDER BY l_linenumber, l_partkey) AS nxt
-  FROM lineitem
-), e AS (
-  SELECT DISTINCT l_partkey AS src, nxt AS dst
-  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
-), nodes AS (
-  SELECT src AS node FROM e UNION SELECT dst FROM e
-), a1 AS (
+  val x30Hits: String = s"""WITH $ChainSeq, $ChainEdges, a1 AS (
   SELECT dst AS node, COUNT(*) AS v FROM e GROUP BY 1
 ), h1 AS (
   SELECT e.src AS node, SUM(a1.v) AS v
@@ -847,12 +859,10 @@ LEFT JOIN h2 ON nodes.node = h2.node"""
     * driver arithmetic, and every division is the truncating `//` on
     * positive operands. Outputs CAST to BIGINT (HUGEINT discipline).
     */
-  val x33TrustRank: String = """WITH seq AS (
-  SELECT l_partkey,
-         lead(l_partkey) OVER (PARTITION BY l_orderkey
-                               ORDER BY l_linenumber, l_partkey) AS nxt
-  FROM lineitem
-), e AS (
+  private def x33Rank(i: Int): String =
+    s"nodes.seed * seed_base + COALESCE(s$i.s, 0) * 850 // 1000"
+
+  val x33TrustRank: String = s"""WITH $ChainSeq, e AS (
   SELECT DISTINCT l_partkey AS src, nxt AS dst
   FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
 ), nodes0 AS (
@@ -872,32 +882,13 @@ consts AS (
 outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
 r0 AS (
   SELECT node, seed * seed_rank AS rank_e9 FROM nodes CROSS JOIN consts
-), c1 AS (
-  SELECT e.dst AS node, r0.rank_e9 // outdeg.odeg AS c
-  FROM e JOIN r0 ON e.src = r0.node JOIN outdeg ON e.src = outdeg.src
-), s1 AS (SELECT node, SUM(c) AS s FROM c1 GROUP BY 1),
-r1 AS (
-  SELECT nodes.node,
-         nodes.seed * seed_base + COALESCE(s1.s, 0) * 850 // 1000
-           AS rank_e9
-  FROM nodes CROSS JOIN consts LEFT JOIN s1 ON nodes.node = s1.node
-), c2 AS (
-  SELECT e.dst AS node, r1.rank_e9 // outdeg.odeg AS c
-  FROM e JOIN r1 ON e.src = r1.node JOIN outdeg ON e.src = outdeg.src
-), s2 AS (SELECT node, SUM(c) AS s FROM c2 GROUP BY 1),
-r2 AS (
-  SELECT nodes.node,
-         nodes.seed * seed_base + COALESCE(s2.s, 0) * 850 // 1000
-           AS rank_e9
-  FROM nodes CROSS JOIN consts LEFT JOIN s2 ON nodes.node = s2.node
-), c3 AS (
-  SELECT e.dst AS node, r2.rank_e9 // outdeg.odeg AS c
-  FROM e JOIN r2 ON e.src = r2.node JOIN outdeg ON e.src = outdeg.src
-), s3 AS (SELECT node, SUM(c) AS s FROM c3 GROUP BY 1)
+), ${prChain(3, r => s"$r.rank_e9 // outdeg.odeg",
+      "JOIN outdeg ON e.src = outdeg.src", x33Rank,
+      "CROSS JOIN consts")}
 SELECT nodes.node,
-       CAST(nodes.seed * seed_base + COALESCE(s3.s, 0) * 850 // 1000
+       CAST(${x33Rank(3)}
             AS BIGINT) AS rank_e9,
-       CAST(nodes.seed * seed_base + COALESCE(s3.s, 0) * 850 // 1000
+       CAST(${x33Rank(3)}
             AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS rank
 FROM nodes CROSS JOIN consts LEFT JOIN s3 ON nodes.node = s3.node"""
 
@@ -935,12 +926,7 @@ FROM comp c JOIN sizes s USING (cluster_rep)"""
     * winner per node via QUALIFY (votes DESC, label ASC) — pure integer
     * arithmetic, nothing to round.
     */
-  val x34LabelPropagation: String = """WITH seq AS (
-  SELECT l_partkey,
-         lead(l_partkey) OVER (PARTITION BY l_orderkey
-                               ORDER BY l_linenumber, l_partkey) AS nxt
-  FROM lineitem
-), e0 AS (
+  val x34LabelPropagation: String = s"""WITH $ChainSeq, e0 AS (
   SELECT DISTINCT l_partkey AS src, nxt AS dst
   FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
 ), und AS (
@@ -980,12 +966,7 @@ FROM l3 JOIN sizes ON l3.label = sizes.community"""
     * lcc rides the x20 fixed-point discipline (truncating `//`,
     * HUGEINT products CAST back to BIGINT).
     */
-  val x31Triangles: String = """WITH seq AS (
-  SELECT l_partkey,
-         lead(l_partkey) OVER (PARTITION BY l_orderkey
-                               ORDER BY l_linenumber, l_partkey) AS nxt
-  FROM lineitem
-), e AS (
+  val x31Triangles: String = s"""WITH $ChainSeq, e AS (
   SELECT DISTINCT l_partkey AS src, nxt AS dst
   FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
 ), und AS (
@@ -3735,12 +3716,7 @@ WHERE NOT EXISTS (
     * integer counts; zero rows materialize via the seeds × hops
     * scaffold on both sides.
     */
-  val x38KhopReach: String = """WITH seq AS (
-  SELECT l_partkey,
-         lead(l_partkey) OVER (PARTITION BY l_orderkey
-                               ORDER BY l_linenumber, l_partkey) AS nxt
-  FROM lineitem
-), e AS (
+  val x38KhopReach: String = s"""WITH $ChainSeq, e AS (
   SELECT DISTINCT l_partkey AS src, nxt AS dst
   FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
 ), seeds AS (
@@ -4336,12 +4312,7 @@ FROM ($m4MediaChunkDedup) c"""
     * `rank_e9 * w // SUM(w)`; multiplicity of the raw chain is the
     * weight.
     */
-  val x46WeightedPageRank: String = """WITH seq AS (
-  SELECT l_partkey,
-         lead(l_partkey) OVER (PARTITION BY l_orderkey
-                               ORDER BY l_linenumber, l_partkey) AS nxt
-  FROM lineitem
-), e AS (
+  val x46WeightedPageRank: String = s"""WITH $ChainSeq, e AS (
   SELECT l_partkey AS src, nxt AS dst, COUNT(*) AS w
   FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
   GROUP BY 1, 2
@@ -4351,30 +4322,12 @@ FROM ($m4MediaChunkDedup) c"""
 outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
 r0 AS (
   SELECT node, 1000000000 // n AS rank_e9 FROM nodes CROSS JOIN nn
-), c1 AS (
-  SELECT e.dst AS node, r0.rank_e9 * e.w // outw.ow AS c
-  FROM e JOIN r0 ON e.src = r0.node JOIN outw ON e.src = outw.src
-), s1 AS (SELECT node, SUM(c) AS s FROM c1 GROUP BY 1),
-r1 AS (
-  SELECT nodes.node,
-         150000000 // n + COALESCE(s1.s, 0) * 850 // 1000 AS rank_e9
-  FROM nodes CROSS JOIN nn LEFT JOIN s1 ON nodes.node = s1.node
-), c2 AS (
-  SELECT e.dst AS node, r1.rank_e9 * e.w // outw.ow AS c
-  FROM e JOIN r1 ON e.src = r1.node JOIN outw ON e.src = outw.src
-), s2 AS (SELECT node, SUM(c) AS s FROM c2 GROUP BY 1),
-r2 AS (
-  SELECT nodes.node,
-         150000000 // n + COALESCE(s2.s, 0) * 850 // 1000 AS rank_e9
-  FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.node = s2.node
-), c3 AS (
-  SELECT e.dst AS node, r2.rank_e9 * e.w // outw.ow AS c
-  FROM e JOIN r2 ON e.src = r2.node JOIN outw ON e.src = outw.src
-), s3 AS (SELECT node, SUM(c) AS s FROM c3 GROUP BY 1)
+), ${prChain(3, r => s"$r.rank_e9 * e.w // outw.ow",
+      "JOIN outw ON e.src = outw.src", x20Rank, "CROSS JOIN nn")}
 SELECT nodes.node,
-       CAST(150000000 // n + COALESCE(s3.s, 0) * 850 // 1000 AS BIGINT)
+       CAST(${x20Rank(3)} AS BIGINT)
          AS rank_e9,
-       CAST(150000000 // n + COALESCE(s3.s, 0) * 850 // 1000 AS DOUBLE)
+       CAST(${x20Rank(3)} AS DOUBLE)
          / CAST(1000000000 AS DOUBLE) AS rank
 FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node"""
 
