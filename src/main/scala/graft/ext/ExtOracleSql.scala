@@ -439,46 +439,46 @@ FROM r WHERE rank <= 5"""
     * match the Spark plan bit-for-bit.
     */
   val s9IvfTopK: String = s"""WITH v AS (
-  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS e, d.lang
-  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
-), cl AS (
-  SELECT lang, unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS val
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), exq AS (
+  SELECT vec_id AS vid, 0 AS sub,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
   FROM v
-), cg AS (
-  SELECT lang, dim,
-         round(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
-           AS m
-  FROM cl GROUP BY 1, 2
+), exc AS (
+  SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM exq
+), ${kmeansCtes("km", "exc", 8, 4)},
+cellof AS (
+  SELECT vid AS neighbor_id, cw AS cell FROM km_a4
 ), cent AS (
-  SELECT lang, list(m ORDER BY dim) AS c FROM cg GROUP BY 1
+  SELECT cw AS cell, list(c ORDER BY dim) AS c FROM km_cb4 GROUP BY 1
 ), cn AS (
-  SELECT lang, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
+  SELECT cell, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
 ), q AS (
   SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
   FROM v WHERE vec_id < 20
 ), probe AS (
-  SELECT q.query_id, q.qv, q.qn, cn.lang,
+  SELECT q.query_id, q.qv, q.qn, cn.cell,
          round(CASE WHEN q.qn * cn.nm > 0
                THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
            AS csim
   FROM q CROSS JOIN cn
 ), pr AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
-    ORDER BY csim DESC NULLS LAST, lang ASC) AS prn
+    ORDER BY csim DESC NULLS LAST, cell ASC) AS prn
   FROM probe
 ), probed AS (
-  SELECT query_id, qv, qn, lang FROM pr WHERE prn <= 2
+  SELECT query_id, qv, qn, cell FROM pr WHERE prn <= 2
 ), inv AS (
-  SELECT vec_id AS neighbor_id, lang, e AS cv,
-         sqrt(${dotExpr("e", "e")}) AS cm
-  FROM v
+  SELECT co.neighbor_id, co.cell, v.e AS cv,
+         sqrt(${dotExpr("v.e", "v.e")}) AS cm
+  FROM cellof co JOIN v ON v.vec_id = co.neighbor_id
 ), scored AS (
   SELECT p.query_id, inv.neighbor_id,
          round(CASE WHEN p.qn * inv.cm > 0
                THEN ${dotExpr("p.qv", "inv.cv")} / (p.qn * inv.cm) END, 6)
            AS cosine
-  FROM probed p JOIN inv ON p.lang = inv.lang
+  FROM probed p JOIN inv ON p.cell = inv.cell
   WHERE p.query_id <> inv.neighbor_id
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY query_id

@@ -1565,20 +1565,20 @@ object ExtQueries {
     Validation.histogram(Tables.orders(spark, sfDir), "o_totalprice", 25000.0)
   }
 
-  /** IVF ANN top-k (s9): language labels as the coarse quantizer's
+  /** IVF ANN top-k (s9): TRAINED k-means cells (8 Voronoi cells, 4
+    * Lloyd rounds — the same quantizer s16 composes with PQ) as the
     * inverted lists, the s1 probe set as queries. Each query scores
-    * only the nprobe=2 nearest languages' vectors — at scale that is
+    * only the nprobe=2 nearest cells' vectors — at scale that is
     * nprobe/|cells| of the corpus instead of all of it, with the
-    * |cells|-row centroid table broadcast.
+    * |cells|-row trained-centroid table broadcast. (The column-
+    * quantizer form [[Similarity.ivfTopK]] remains for callers with a
+    * pre-existing partition column.)
     */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     val vecs = Tables.embeddings(spark, sfDir)
-    val corpus = vecs.join(
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
-      col("vec_id") === col("doc_id"))
-      .select(col("vec_id"), col("embedding"), col("lang").as("label"))
-    Similarity.ivfTopK(vecs.filter(col("vec_id") < 20), corpus, 5, nprobe = 2)
+    Similarity.ivfTopKTrained(vecs.filter(col("vec_id") < 20), vecs, 5,
+        nprobe = 2, cells = 8, cellIters = 4)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cosine"))
   }

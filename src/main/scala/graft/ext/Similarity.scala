@@ -594,6 +594,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** [[ivfTopK]] over a TRAINED coarse quantizer (s9's r13 form):
+    * cells come from the deterministic k-means loop instead of a
+    * label column, and the probe ranks against the TRAINED centroids
+    * (what FAISS's IVF does), not member means — so the inverted
+    * lists are Voronoi cells of the embedding geometry and a query's
+    * true neighbors concentrate in its probed lists. Scoring inside
+    * the probed cells is the exact 6-dp cosine with the same rank
+    * discipline as [[ivfTopK]]; schema is identical, so the recall
+    * pricer (s13) composes unchanged.
+    */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+                     nprobe: Int = 2, cells: Int = 8,
+                     cellIters: Int = 4, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val ex = graft.std.Materialize.once(
+      pqExplode(corpus, 1, idCol, vecCol))
+    val (cellCb, cellAssign) = kmeansLoop(ex, cells, cellIters, "km")
+    val cellOf = cellAssign.select(col("_vid").as("neighbor_id"),
+      col("_cw").as("_cell"))
+    val cents = broadcast(cellCb
+      .groupBy(col("_cw").as("_cell"))
+      .agg(array_sort(collect_list(struct(col("_dim"), col("_c"))))
+        .as("_pm"))
+      .select(col("_cell"),
+        transform(col("_pm"), p => p.getField("_c")).as("centroid"))
+      .withColumn("cn", l2Norm(col("centroid"))))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_csim").desc, col("_cell").asc)
+    val probed = q.crossJoin(cents)
+      .withColumn("_csim", round(when(col("qn") * col("cn") > 0,
+        dot(col("qv"), col("centroid")) / (col("qn") * col("cn"))), 6))
+      .withColumn("_pr", row_number().over(probeW))
+      .filter(col("_pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("_cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cm", l2Norm(col("cv")))
+      .join(cellOf, Seq("neighbor_id"))
+    val scored = probed.join(c, Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(when(col("qn") * col("cm") > 0,
+          dot(col("qv"), col("cv")) / (col("qn") * col("cm"))), 6)
+          .as("cosine"))
+    rankTopK(scored, "cosine", k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** ANN near-dup pairs: candidates share an LSH bucket (equi-join on
     * the bucket id — shuffle, not cross join), then exact-cosine verify.
     * This is the 100 TB embedding-dedup path: shuffle volume is one

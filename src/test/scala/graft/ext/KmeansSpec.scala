@@ -93,6 +93,21 @@ class KmeansSpec extends AnyFunSuite {
       s"trained index must recover clustered neighbors: ${rec.toSeq}")
   }
 
+  test("trained IVF: clustered data, label-free, exact-cosine recall 1.0") {
+    val corpus = Seq(
+      (1L, Seq(0.0, 1.0)), (2L, Seq(0.0, 1.1)), (3L, Seq(0.1, 1.0)),
+      (4L, Seq(9.0, 9.0)), (5L, Seq(9.0, 9.1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 1L)
+    val rec = Similarity.recallAtK(
+      Similarity.ivfTopKTrained(queries, corpus, k = 2, nprobe = 1,
+        cells = 2, cellIters = 2),
+      Similarity.bruteForceTopK(queries, corpus, 2), 2).collect()
+    graft.std.Materialize.releaseAll()
+    assert(rec.length == 1 && rec(0).getDouble(4) == 1.0,
+      s"trained IVF must recover clustered neighbors: ${rec.toSeq}")
+  }
+
   test("training is deterministic across runs") {
     val df = Seq(
       (1L, Seq(0.5, 2.5)), (2L, Seq(1.5, 0.5)), (3L, Seq(3.5, 2.0)),
