@@ -4494,6 +4494,48 @@ SELECT CAST(0 AS INTEGER) AS subspace,
        s.n_members, s.wcss
 FROM km_cb4 cb JOIN stats s ON s.cw = cb.cw"""
 
+  /** d13: SemDeDup — the s2 injected corpus clustered by the s18
+    * trainer (8 cells, 4 unrolled Lloyd rounds over the SAME seed
+    * chain), then within-cluster pairwise cosine; a vector whose max
+    * 6-dp cosine to a smaller-id cluster-mate reaches 0.95 is a
+    * `drop`, the cluster's smallest id carries a NULL prior sim.
+    */
+  val d13Semdedup: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), corpus AS (
+  SELECT vec_id, e FROM v
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(list_zip(e, list_reverse(e)),
+           p -> p[1] * 0.9 + p[2] * 0.1)
+  FROM v WHERE vec_id % 11 = 0
+), kx AS (
+  SELECT vec_id AS vid, 0 AS sub,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM corpus
+), kme AS (
+  SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM kx
+), ${kmeansCtes("km", "kme", 8, 4)},
+cl AS (
+  SELECT c.vec_id, a.cw AS cluster_id, c.e,
+         sqrt(${dotExpr("c.e", "c.e")}) AS nm
+  FROM corpus c JOIN km_a4 a ON a.vid = c.vec_id
+), prior AS (
+  SELECT b.vec_id,
+         MAX(round(CASE WHEN a.nm * b.nm > 0
+             THEN ${dotExpr("a.e", "b.e")} / (a.nm * b.nm) END, 6))
+           AS max_prior_sim
+  FROM cl a JOIN cl b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  GROUP BY 1
+)
+SELECT c.vec_id, CAST(c.cluster_id AS INTEGER) AS cluster_id,
+       CASE WHEN coalesce(p.max_prior_sim, -2.0) >= 0.95
+            THEN 'drop' ELSE 'keep' END AS action,
+       p.max_prior_sim
+FROM cl c LEFT JOIN prior p ON p.vec_id = c.vec_id"""
+
   val s16IvfPqTopK: String = s"""WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), exq AS (

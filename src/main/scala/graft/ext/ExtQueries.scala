@@ -2310,6 +2310,19 @@ object ExtQueries {
     Similarity.kmeansTrain(Tables.embeddings(spark, sfDir), 8, 4)
   }
 
+  /** Semantic dedup (d13): SemDeDup over the s2 injected corpus —
+    * the trained 8-cell quantizer buckets the vectors, within-cell
+    * cosine ≥ 0.95 marks the larger id a drop. The injected +100000
+    * perturbed copies are what the threshold is tuned to catch:
+    * they land in their source's Voronoi cell (cosine ≈ 0.98 to the
+    * original) and are the rows flagged `drop`.
+    */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.semDedup(
+      nearDupVectors(Tables.embeddings(spark, sfDir)), 8, 4, 0.95)
+  }
+
   /** IVF-PQ recall@5 (s17): [[Similarity.recallAtK]] of the s16
     * result against the exact squared-L2 top-5 — prices cell pruning
     * plus PQ approximation in the index's own metric (s13 prices

@@ -1178,4 +1178,62 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("_adc").cast("double"), 9).as("adc_dist"))
   }
+
+  /** Semantic deduplication (d13): the SemDeDup recipe (Abbas et al.
+    * 2023, arXiv:2303.09540) — cluster the embedding corpus with the
+    * trained k-means quantizer, then compare vectors ONLY within their
+    * cluster and drop any vector whose cosine to a smaller-id
+    * cluster-mate reaches `threshold` (id-order keeper: the smallest
+    * id in a mutual near-dup set always survives, deterministic on
+    * both engines; the paper's random/centroid-distance keeper is a
+    * policy choice this kernel leaves to the caller's sort order).
+    *
+    * Scale shape: this is d2's banded-LSH idea with k-means cells as
+    * the bands. The only corpus-sized shuffle is the equi-join on
+    * `cluster_id`; the quadratic is per-cluster and bounded by the
+    * largest cell, and at 100 TB `k` grows with the corpus (SemDeDup
+    * uses ~100k clusters for LAION-scale data) so cell size — and the
+    * per-task pair count — stays constant. Training cost rides the
+    * [[kmeansLoop]] contract (sample-bounded, broadcast codebook).
+    * Cell-size skew is visible up front in [[kmeansTrain]]'s
+    * `n_members` column, the same audit d2 exposes via
+    * `maxBucketSize`.
+    *
+    * One row per input vector: cluster, keep/drop verdict, and the
+    * max 6-dp cosine to any smaller-id cluster-mate (null for the
+    * cluster's smallest id — nothing prior to compare against).
+    */
+  def semDedup(vectors: DataFrame, k: Int, iters: Int,
+               threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               seedTag: String = "km"): DataFrame = {
+    require(threshold > 0, "need a positive cosine threshold")
+    val ex = graft.std.Materialize.once(
+      pqExplode(vectors, 1, idCol, vecCol))
+    val (_, assign) = kmeansLoop(ex, k, iters, seedTag)
+    val base = vectors
+      .select(col(idCol).as("_vid"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_nm", l2Norm(col("_v")))
+      .join(assign.select(col("_vid"), col("_cw").as("cluster_id")),
+        Seq("_vid"))
+    val a = base.select(col("cluster_id"), col("_vid").as("_ida"),
+      col("_v").as("_va"), col("_nm").as("_na"))
+    val b = base.select(col("cluster_id"), col("_vid").as("_idb"),
+      col("_v").as("_vb"), col("_nm").as("_nb"))
+    val priorSims = a.join(b, Seq("cluster_id"))
+      .filter(col("_ida") < col("_idb"))
+      .select(col("_idb").as("_vid"),
+        round(when(col("_na") * col("_nb") > 0,
+          dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))), 6)
+          .as("_sim"))
+      .groupBy(col("_vid"))
+      .agg(max(col("_sim")).as("max_prior_sim"))
+    base.select(col("_vid"), col("cluster_id"))
+      .join(priorSims, Seq("_vid"), "left")
+      .select(col("_vid").as(idCol), col("cluster_id"),
+        when(coalesce(col("max_prior_sim"), lit(-2.0)) >= threshold,
+          lit("drop")).otherwise(lit("keep")).as("action"),
+        col("max_prior_sim"))
+  }
 }

@@ -108,6 +108,35 @@ class KmeansSpec extends AnyFunSuite {
       s"trained IVF must recover clustered neighbors: ${rec.toSeq}")
   }
 
+  test("semDedup: keeps cluster minima, drops near-dups by angle") {
+    // trained cells land {1,2,3} / {4,5} (hand-traced Lloyd rounds
+    // from the md5-lane init {1,4}|{2,3,5}). Within-cluster cosine:
+    // 2 is an exact copy of 1 (sim 1.0 -> drop), 3 is orthogonal to
+    // both (sim 0.0 -> keep), 5's angle to 4 is ~0.996 (drop) — the
+    // SemDeDup policy catches re-scaled/near-angle copies that exact
+    // dedup (d1) is blind to. Cluster minima 1 and 4 carry NULL.
+    val df = Seq(
+      (1L, Seq(0.0, 1.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 0.0)),
+      (4L, Seq(10.0, 10.0)), (5L, Seq(10.0, 12.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(df, k = 2, iters = 2, threshold = 0.95)
+      .collect()
+    graft.std.Materialize.releaseAll()
+    val byId = r.map(x => x.getLong(0) ->
+      (x.getString(2), if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+      .toMap
+    assert(byId(1L) == (("keep", None)), "cluster-min id keeps, null sim")
+    assert(byId(4L) == (("keep", None)), "cluster-min id keeps, null sim")
+    assert(byId(2L) == (("drop", Some(1.0))), "exact copy drops at 1.0")
+    assert(byId(3L) == (("keep", Some(0.0))), "orthogonal mate keeps")
+    assert(byId(5L)._1 == "drop" && byId(5L)._2.get >= 0.95,
+      s"near-angle copy must drop: ${byId(5L)}")
+    val clusters = r.map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(clusters(1L) == clusters(2L) && clusters(2L) == clusters(3L)
+      && clusters(4L) == clusters(5L) && clusters(1L) != clusters(4L),
+      s"trained cells must separate the blobs: $clusters")
+  }
+
   test("training is deterministic across runs") {
     val df = Seq(
       (1L, Seq(0.5, 2.5)), (2L, Seq(1.5, 0.5)), (3L, Seq(3.5, 2.0)),
