@@ -4494,6 +4494,57 @@ SELECT CAST(0 AS INTEGER) AS subspace,
        s.n_members, s.wcss
 FROM km_cb4 cb JOIN stats s ON s.cw = cb.cw"""
 
+  /** One truncation width's CTE chain for s19: prefix-slice the
+    * corpus, rerun the s1 ranking shape on the slice, score hits
+    * against the full-width exact set `ex`, summarize with the s13
+    * integer-e9 recall arithmetic.
+    */
+  private def truncWidthCtes(d: Int): String = s"""tn$d AS (
+  SELECT vec_id, e[1:$d] AS e FROM v
+), tm$d AS (
+  SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM tn$d
+), ts$d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CASE WHEN q.nm * c.nm > 0
+               THEN ${dotExpr("q.e", "c.e")} / (q.nm * c.nm) END, 6)
+           AS cosine
+  FROM tm$d q CROSS JOIN tm$d c
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+), tr$d AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS rank
+    FROM ts$d) t
+  WHERE rank <= 5
+), th$d AS (
+  SELECT ex.query_id,
+         CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM ex LEFT JOIN tr$d a
+    ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+  GROUP BY 1
+), ta$d AS (
+  SELECT CAST($d AS INTEGER) AS trunc_dim,
+         CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(CAST(SUM(n_hits) AS HUGEINT) * 1000000000
+              // (COUNT(*) * 5) AS BIGINT) AS mean_recall_e9,
+         CAST(MIN(n_hits) AS BIGINT) AS min_hits
+  FROM th$d)"""
+
+  /** s19: truncated-dimension recall — each prefix width's cosine
+    * top-5 scored against the full-width exact top-5 (s1's probe
+    * set), one summary row per width, recall in exact e9 integers.
+    */
+  val s19TruncationRecall: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), ex AS (
+  SELECT query_id, neighbor_id FROM ($s1CosineTopK) s1ex
+), ${Seq(8, 16, 32, 64).map(truncWidthCtes).mkString(", ")}
+SELECT trunc_dim, n_queries, mean_recall_e9, min_hits,
+       CAST(mean_recall_e9 AS DOUBLE) / 1000000000.0 AS mean_recall
+FROM (${Seq(8, 16, 32, 64).map(d => s"SELECT * FROM ta$d")
+      .mkString(" UNION ALL ")}) u"""
+
   /** d13: SemDeDup — the s2 injected corpus clustered by the s18
     * trainer (8 cells, 4 unrolled Lloyd rounds over the SAME seed
     * chain), then within-cluster pairwise cosine; a vector whose max

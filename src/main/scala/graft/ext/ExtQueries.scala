@@ -2310,6 +2310,19 @@ object ExtQueries {
     Similarity.kmeansTrain(Tables.embeddings(spark, sfDir), 8, 4)
   }
 
+  /** Truncation-recall readout (s19): recall@5 of the cosine top-5
+    * computed on the first {8,16,32,64} dimensions against the
+    * full-width exact top-5 for the s1 probe set — what a Matryoshka
+    * prefix prefilter costs at each width (64 is the full width, a
+    * recall-1.0 sanity row).
+    */
+  def truncationRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    Similarity.truncationRecall(vecs.filter(col("vec_id") < 20), vecs,
+      5, Seq(8, 16, 32, 64))
+  }
+
   /** Semantic dedup (d13): SemDeDup over the s2 injected corpus —
     * the trained 8-cell quantizer buckets the vectors, within-cell
     * cosine ≥ 0.95 marks the larger id a drop. The injected +100000

@@ -1179,6 +1179,54 @@ object Similarity {
         round(col("_adc").cast("double"), 9).as("adc_dist"))
   }
 
+  /** Truncated-dimension recall readout (s19): prices Matryoshka-
+    * style dimension truncation (Kusupati et al. 2022,
+    * arXiv:2205.13147) — for each prefix width d' the cosine top-k
+    * computed on `embedding[0..d')` is scored against the full-width
+    * exact top-k, one summary row per width: how much recall the
+    * first d' dimensions alone buy. The production decision this
+    * feeds: a truncated-prefix prefilter scans d'/D of the bytes per
+    * candidate, and this readout says what that discount costs.
+    *
+    * Per width it is the audited s1 shape (queries broadcast, corpus
+    * streams, 6-dp rounded cosine, id ties); `dims` is a small
+    * constant, so the union is |dims| corpus passes, never a join
+    * blowup. The exact baseline is computed once and pinned. Recall
+    * arithmetic rides the s13 integer-e9 discipline (exact integer
+    * division, one float division by 1e9 at the end) so both engines
+    * land the identical double.
+    */
+  def truncationRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                       dims: Seq[Int],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(dims.nonEmpty, "need at least one truncation width")
+    val exact = graft.std.Materialize.once(
+      bruteForceTopK(queries, corpus, k, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id")))
+    dims.map { d =>
+      def trunc(df: DataFrame): DataFrame = df.withColumn(vecCol,
+        slice(col(vecCol).cast("array<double>"), 1, d))
+      val ann = bruteForceTopK(trunc(queries), trunc(corpus), k,
+          idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1L))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(coalesce(sum(col("_hit")), lit(0L)).as("n_hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("_sum_hits"),
+          min(col("n_hits")).as("min_hits"))
+        .select(lit(d).as("trunc_dim"), col("n_queries"),
+          expr(s"CAST(CAST(_sum_hits AS DECIMAL(38,0)) * 1000000000 " +
+            s"div (n_queries * $k) AS BIGINT)").as("mean_recall_e9"),
+          col("min_hits"))
+        .withColumn("mean_recall",
+          col("mean_recall_e9").cast("double") / lit(1e9))
+    }.reduce(_ unionByName _)
+  }
+
   /** Semantic deduplication (d13): the SemDeDup recipe (Abbas et al.
     * 2023, arXiv:2303.09540) — cluster the embedding corpus with the
     * trained k-means quantizer, then compare vectors ONLY within their

@@ -24,4 +24,24 @@ class RecallSpec extends AnyFunSuite {
       "a query the ANN missed entirely still reports")
     assert(r.values.forall(_.getInt(2) == 3))
   }
+
+  test("truncation recall: misleading prefix misses, full width hits") {
+    // corpus 3's 2-dim prefix is EXACTLY the query direction (cosine
+    // 1.0) while its full vector points the other way; corpus 2 is
+    // the true full-width neighbor. So the d'=2 top-1 picks 3 (a
+    // miss) and d'=4 recovers 2 (a hit) — recall 0 then 1.
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 10.0)),
+      (2L, Seq(0.5, 0.5, 0.0, 10.0)),
+      (3L, Seq(1.0, 0.0, 0.0, -10.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.truncationRecall(
+        vecs.filter($"vec_id" === 1L), vecs, 1, Seq(2, 4))
+      .collect().map(x => x.getInt(0) -> x).toMap
+    graft.std.Materialize.releaseAll()
+    assert(r(2).getLong(1) == 1L && r(2).getLong(2) == 0L &&
+      r(2).getLong(3) == 0L, s"prefix width 2 must miss: ${r(2)}")
+    assert(r(4).getLong(2) == 1000000000L && r(4).getLong(3) == 1L &&
+      r(4).getDouble(4) == 1.0, s"full width must hit: ${r(4)}")
+  }
 }
