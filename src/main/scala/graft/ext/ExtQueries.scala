@@ -2373,6 +2373,18 @@ object ExtQueries {
         Tables.events(spark, sfDir)).toDF())
   }
 
+  /** Streaming as-of enrichment (w9): [[graft.streaming.StreamingOps
+    * .asofPairs]] run in batch mode — each error event stamped with
+    * the latest preceding signup of its user from O(1)-per-user
+    * state. Shares x3's DuckDB oracle verbatim: the batch execution
+    * of the stateful form must reproduce the window form exactly.
+    */
+  def asofStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    graft.streaming.StreamingOps.asofPairs(Tables.events(spark, sfDir))
+      .toDF()
+  }
+
   /** Language-ID confusion matrix (t57): the t4 n-gram predictor
     * evaluated against the corpus's true `lang` column — the
     * eval-the-classifier query every lang-filter pipeline needs before

@@ -39,6 +39,14 @@ case class TransEvent(user_id: Long, event_type: String,
 case class TransState(lastTs: Long, lastId: Long, lastType: String)
 case class TransPair(prev_type: String, next_type: String)
 
+/** Typed rows/state for the streaming as-of enrichment. */
+case class AsofEvent(user_id: Long, event_type: String,
+                     ts: java.sql.Timestamp, event_id: Long)
+case class AsofState(lastRightUs: Long)
+case class AsofHit(event_id: Long, user_id: Long,
+                   event_ts: java.sql.Timestamp,
+                   asof_ts: Option[java.sql.Timestamp])
+
 /** Typed rows/state for the streaming weighted sample. */
 case class WeightedRow(g: String, id: Long, w: Double, key: Double)
 case class SampleHeap(entries: List[(Double, Long, Double)], seen: Long)
@@ -407,6 +415,85 @@ object StreamingOps {
             sorted.foreach { e =>
               st.foreach(s => out += TransPair(s.lastType, e.event_type))
               st = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+            }
+            st.foreach(state.update)
+            if (streaming && sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(sorted.last.ts.getTime,
+                  state.getCurrentWatermarkMs() + 1) + evictAfterMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** STREAMING as-of enrichment (w9): the stateful form of
+    * [[graft.ext.TemporalJoins.asOfLast]]'s running-`last` window —
+    * each `leftType` event is stamped with the latest PRECEDING
+    * `rightType` event time of the same user. Per-user state is ONE
+    * timestamp (the newest `rightType` seen), the smallest state an
+    * as-of join can carry; the window form needs the user's whole
+    * history co-located, this needs 8 bytes per live user.
+    *
+    * Batch execution sorts each user's partition by the (ts, event_id)
+    * total order, so batch output ≡ the x3 window form exactly
+    * (spec-pinned, and w9 shares x3's DuckDB oracle verbatim). On a
+    * stream the [[transitionPairs]] caveats apply move for move:
+    * within a micro-batch rows sort the same way, across batches the
+    * stamp follows arrival order (exact reordering would buffer to
+    * the watermark; this state stays O(1)), and idle users evict once
+    * the watermark passes `evictAfterMs` beyond their last activity.
+    * Null keys/timestamps are filtered up front on BOTH forms' input
+    * contract (the w8 lesson: the stateful encoder rejects what the
+    * window form would tolerate — make the filter explicit and
+    * shared).
+    */
+  def asofPairs(events: DataFrame, leftType: String = "error",
+                rightType: String = "signup",
+                stateRetention: String = "24 hours",
+                evictAfterMs: Long = 24L * 3600 * 1000)
+      : Dataset[AsofHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", stateRetention)
+      else events
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofHit](
+        OutputMode.Append, timeoutConf) {
+        (_: Long, rows: Iterator[AsofEvent], state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // event times carry MICROSECONDS: state and the sort key
+            // ride exact micros (Timestamp.getTime alone truncates to
+            // millis — enough to order w8's pairs, not to REPRODUCE a
+            // timestamp value the x3 oracle compares byte-for-byte)
+            def micros(t: java.sql.Timestamp): Long =
+              t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ListBuffer.empty[AsofHit]
+            var st = state.getOption
+            sorted.foreach { e =>
+              // a right-type row at the same instant sorts by event_id:
+              // the shared total order decides whether it precedes
+              if (e.event_type == rightType)
+                st = Some(AsofState(micros(e.ts)))
+              else
+                out += AsofHit(e.event_id, e.user_id, e.ts,
+                  st.map { s =>
+                    val t = new java.sql.Timestamp(s.lastRightUs / 1000)
+                    t.setNanos((s.lastRightUs % 1000000).toInt * 1000)
+                    t
+                  })
             }
             st.foreach(state.update)
             if (streaming && sorted.nonEmpty)

@@ -262,6 +262,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asof pairs: stateful batch form ≡ the x3 window form") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sfDir)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(r.fieldIndex("event_id")) ->
+        (r.getLong(r.fieldIndex("user_id")),
+          r.getTimestamp(r.fieldIndex("event_ts")),
+          Option(r.getTimestamp(r.fieldIndex("asof_ts"))))).toMap
+    val stateful = keyed(StreamingOps.asofPairs(ev).toDF())
+    val window = keyed(graft.ext.TemporalJoins.asOfLast(ev))
+    graft.std.Materialize.releaseAll()
+    assert(stateful == window && stateful.nonEmpty,
+      s"stateful=${stateful.size} window=${window.size}")
+  }
+
+  test("streaming asof: signup state carries across batches with micros") {
+    import spark.implicits._
+    def ev(uid: Long, typ: String, t: String, id: Long) =
+      (uid, typ, java.sql.Timestamp.valueOf(t), id)
+    val dir = Files.createTempDirectory("asof_src").toFile
+    def stamp(m: Long): Unit = dir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.lastModified() > m)
+      .foreach(f => assert(f.setLastModified(m)))
+    // micro-batch 1: user 1 signs up (microsecond timestamp) and errors
+    // in-batch; user 2 errors with NO signup anywhere
+    Seq(ev(1L, "signup", "2024-01-01 10:00:00.123456", 1L),
+        ev(1L, "error", "2024-01-01 10:01:00", 2L),
+        ev(2L, "error", "2024-01-01 10:00:00", 3L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(1000000L)
+    // micro-batch 2: user 1's second error stamps against the STORED
+    // signup — the micros must survive the O(1) state round-trip
+    Seq(ev(1L, "error", "2024-01-01 10:05:00", 4L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(2000000L)
+    val streamIn = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts TIMESTAMP, event_id LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = StreamingOps.asofPairs(streamIn)
+      .writeStream.format("memory").queryName("asof_pairs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("asof_pairs").collect()
+        .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+      val signup = java.sql.Timestamp.valueOf("2024-01-01 10:00:00.123456")
+      assert(got(2L).contains(signup), s"in-batch stamp: ${got.get(2L)}")
+      assert(got(4L).contains(signup), s"cross-batch stamp: ${got.get(4L)}")
+      assert(got(3L).isEmpty, "no signup -> null asof")
+    } finally q.stop()
+  }
+
   test("streaming funnel converts when the purchase ARRIVES before the click") {
     import spark.implicits._
     def ev(uid: Long, typ: String, t: String) =
