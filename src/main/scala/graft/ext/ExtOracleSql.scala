@@ -2072,6 +2072,39 @@ SELECT doc_id, n_tokens,
 FROM terms JOIN nt USING (doc_id)
 GROUP BY 1, 2"""
 
+  /** t66: PMI collocations — top-100 adjacent bigrams with count ≥ 5
+    * by `ln(p(w1w2)/(p(w1)p(w2)))`; the argument is pure IEEE
+    * division over exact longs, ONE `ln` rounded to 9 dp (t31's
+    * portability discipline), ties on (w1, w2).
+    */
+  val t66PmiCollocations: String = ToksCte + """, ex AS (
+  SELECT unnest(toks) AS w FROM t
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+), bg AS (
+  SELECT unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM t
+), bgc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+), nb AS (
+  SELECT CAST(SUM(c12) AS BIGINT) AS m FROM bgc
+)
+SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+       round(ln((CAST(c12 AS DOUBLE) / CAST(m AS DOUBLE))
+                / ((CAST(u1.c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(u2.c AS DOUBLE) / CAST(n AS DOUBLE)))), 9)
+         AS pmi
+FROM bgc
+JOIN uni u1 ON u1.w = bgc.w1
+JOIN uni u2 ON u2.w = bgc.w2
+CROSS JOIN tot CROSS JOIN nb
+WHERE c12 >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 100"""
+
   /** t32: hashed-feature linear classifier — unigram + 2-shingle
     * features hashed into 4096 buckets, md5-derived stub milli-weights
     * summed as exact BIGINTs (order-free), logit = sum/1000/n at 6 dp.

@@ -1666,6 +1666,14 @@ object ExtQueries {
       spread(Tables.documents(spark, sfDir)))
   }
 
+  /** PMI collocations (t66): top-100 count≥5 bigrams by pointwise
+    * mutual information — the phrase-mining readout.
+    */
+  def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.pmiCollocations(spread(Tables.documents(spark, sfDir)))
+  }
+
   /** Count-Min-sketch heavy hitters (t27). */
   def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

@@ -1868,4 +1868,55 @@ object TextAnalysis {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
+
+  /** PMI collocations (t66): the top-`k` adjacent bigrams by pointwise
+    * mutual information `ln(p(w1w2) / (p(w1)·p(w2)))` with corpus
+    * count ≥ `minCount` — the phrase-mining readout a tokenizer/vocab
+    * decision reads ("new york" scores high because its parts rarely
+    * occur apart; "of the" scores low despite its raw count). The
+    * count floor is the standard PMI guard: without it the metric's
+    * low-frequency bias ranks hapax pairs first.
+    *
+    * Plan shape: one exploded pass feeds the unigram table, one
+    * bigram pass partial-aggregates to the |corpus bigrams| frame
+    * (both ≪ data after map-side combine); scoring is two equi-joins
+    * on `w1`/`w2` against the unbounded vocabulary (NO broadcast
+    * hint — the t14 rule: AQE broadcasts from runtime stats when it
+    * fits) plus two 1-row broadcast totals; the top-k is
+    * `TakeOrderedAndProject` on the (pmi desc, w1, w2) total order.
+    * Determinism: the PMI argument is pure IEEE division over exact
+    * longs (bit-identical cross-engine), the single `ln` rounds to
+    * 9 dp (the t31 discipline — libm's last ulp is not portable).
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 100,
+                      textCol: String = "text"): DataFrame = {
+    val toks = graft.std.Materialize.once(TextOps.attrBarrier(
+      docs.select(col("doc_id"), col(textCol)),
+      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol))))
+    val uni = graft.std.Materialize.once(toks
+      .select(explode(col("_toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("_c")))
+    val tot = uni.agg(sum(col("_c")).as("_n"))
+    val bgc = graft.std.Materialize.once(toks
+      .select(explode(transform(
+        sequence(lit(1), size(col("_toks"))),
+        i => struct(element_at(col("_toks"), i).as("w1"),
+          element_at(col("_toks"), i + 1).as("w2")))).as("_bg"))
+      .filter(col("_bg.w2").isNotNull)
+      .groupBy(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12")))
+    val nb = bgc.agg(sum(col("c12")).as("_nb"))
+    bgc.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("_c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("_c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log(
+          (col("c12").cast("double") / col("_nb").cast("double")) /
+            ((col("c1").cast("double") / col("_n").cast("double")) *
+              (col("c2").cast("double") / col("_n").cast("double")))), 9)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
 }

@@ -539,4 +539,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }.length
     assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges")
   }
+
+  test("PMI collocations: hand-counted probabilities, count floor, ties") {
+    import spark.implicits._
+    // unigrams a=4 b=4 c=2 (n=10); bigrams (a,b)=3 (b,a)=(a,c)=(b,c)
+    // =(c,a)=1 (nb=7). Floor 2 keeps ONLY (a,b):
+    // pmi = ln((3/7) / ((4/10)*(4/10)))
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "b c a b"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.pmiCollocations(docs, minCount = 2, k = 10)
+      .collect()
+    graft.std.Materialize.releaseAll()
+    assert(r.length == 1, s"count floor must keep only (a,b): ${r.toSeq}")
+    val row = r(0)
+    assert((row.getString(0), row.getString(1)) == (("a", "b")))
+    assert((row.getLong(2), row.getLong(3), row.getLong(4)) ==
+      ((3L, 4L, 4L)))
+    val expected = BigDecimal(math.log((3.0 / 7) / ((4.0 / 10) * (4.0 / 10))))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(5) == expected,
+      s"pmi ${row.getDouble(5)} != $expected")
+    // floor 1 admits the four singleton bigrams; they share identical
+    // counts where symmetric, so the (pmi, w1, w2) total order decides
+    val all = TextAnalysis.pmiCollocations(docs, minCount = 1, k = 10)
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    graft.std.Materialize.releaseAll()
+    assert(all.length == 5 && all.distinct.length == 5)
+    // (a,b) still tops; (a,c)/(b,c)/(c,a) tie at ln((1/7)/0.08) and
+    // resolve on the (w1, w2) tiebreak; (b,a) is negative-PMI last
+    assert(all.head == (("a", "b")) && all.last == (("b", "a")) &&
+      all.slice(1, 4).toSeq == Seq(("a", "c"), ("b", "c"), ("c", "a")),
+      s"total order broke: ${all.toSeq}")
+  }
 }
