@@ -4527,6 +4527,105 @@ SELECT CAST(0 AS INTEGER) AS subspace,
        s.n_members, s.wcss
 FROM km_cb4 cb JOIN stats s ON s.cw = cb.cw"""
 
+  /** One probe width's CTE chain for s20: filter the shared scored
+    * candidate frame `sc` to probe rank ≤ np, rank top-5, score hits
+    * against the exact set `ex2`, sum hits and candidates.
+    */
+  private def nprobeCtes(np: Int): String = s"""ann$np AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS rank
+    FROM sc WHERE pr <= $np) t
+  WHERE rank <= 5
+), h$np AS (
+  SELECT ex2.query_id,
+         CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM ex2 LEFT JOIN ann$np a
+    ON a.query_id = ex2.query_id AND a.neighbor_id = ex2.neighbor_id
+  GROUP BY 1
+), cd$np AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS cand
+  FROM sc WHERE pr <= $np GROUP BY 1
+), ag$np AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(n_hits) AS BIGINT) AS sum_hits,
+         CAST(SUM(COALESCE(cand, 0)) AS BIGINT) AS n_candidates
+  FROM h$np LEFT JOIN cd$np USING (query_id))"""
+
+  /** s20: IVF tuning sweep — the trained 8-cell quantizer probed at
+    * widths {1,2,4,8}, each width's recall@5 vs the exact cosine
+    * top-5 and the corpus fraction its candidates touch, from ONE
+    * scored frame carrying probe ranks (nested probe sets).
+    */
+  val s20IvfTuning: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), exq AS (
+  SELECT vec_id AS vid, 0 AS sub,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v
+), kme AS (
+  SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM exq
+), ${kmeansCtes("km", "kme", 8, 4)},
+cells AS (
+  SELECT vid AS neighbor_id, cw AS cell FROM km_a4
+), cent AS (
+  SELECT cw AS cell, list(c ORDER BY dim) AS c FROM km_cb4 GROUP BY 1
+), cn AS (
+  SELECT cell, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
+), q AS (
+  SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
+  FROM v WHERE vec_id < 20
+), probe AS (
+  SELECT q.query_id, cn.cell,
+         round(CASE WHEN q.qn * cn.nm > 0
+               THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
+           AS csim
+  FROM q CROSS JOIN cn
+), probed AS (
+  SELECT query_id, cell, rn AS pr FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY csim DESC NULLS LAST, cell ASC) AS rn
+    FROM probe) t
+  WHERE rn <= 8
+), cv AS (
+  SELECT vec_id AS neighbor_id, e AS cvv,
+         sqrt(${dotExpr("e", "e")}) AS cm
+  FROM v
+), sc AS (
+  SELECT p.query_id, c2.neighbor_id, p.pr,
+         round(CASE WHEN q.qn * c2.cm > 0
+               THEN ${dotExpr("q.qv", "c2.cvv")} / (q.qn * c2.cm) END, 6)
+           AS cosine
+  FROM probed p
+  JOIN cells cl ON cl.cell = p.cell
+  JOIN cv c2 ON c2.neighbor_id = cl.neighbor_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE p.query_id <> c2.neighbor_id
+), ex2 AS (
+  SELECT query_id, neighbor_id FROM ($s1CosineTopK) s1x
+), nc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
+), ${Seq(1, 2, 4, 8).map(nprobeCtes).mkString(", ")}
+SELECT nprobe, n_queries,
+       CAST(CAST(sum_hits AS HUGEINT) * 1000000000
+            // (n_queries * 5) AS BIGINT) AS mean_recall_e9,
+       n_candidates,
+       CAST(CAST(n_candidates AS HUGEINT) * 1000000000
+            // (n_queries * (n - 1)) AS BIGINT) AS scanned_frac_e9,
+       CAST(CAST(CAST(sum_hits AS HUGEINT) * 1000000000
+            // (n_queries * 5) AS BIGINT) AS DOUBLE) / 1000000000.0
+         AS mean_recall,
+       CAST(CAST(CAST(n_candidates AS HUGEINT) * 1000000000
+            // (n_queries * (n - 1)) AS BIGINT) AS DOUBLE) / 1000000000.0
+         AS scanned_frac
+FROM (${Seq(1, 2, 4, 8).map(np =>
+        s"SELECT CAST($np AS INTEGER) AS nprobe, * FROM ag$np")
+      .mkString(" UNION ALL ")}) u
+CROSS JOIN nc"""
+
   /** One truncation width's CTE chain for s19: prefix-slice the
     * corpus, rerun the s1 ranking shape on the slice, score hits
     * against the full-width exact set `ex`, summarize with the s13

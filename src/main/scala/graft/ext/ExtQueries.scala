@@ -2318,6 +2318,17 @@ object ExtQueries {
     Similarity.kmeansTrain(Tables.embeddings(spark, sfDir), 8, 4)
   }
 
+  /** IVF tuning sweep (s20): the trained 8-cell index probed at
+    * widths {1,2,4,8} — recall@5 vs exact and corpus fraction
+    * touched per width, the frontier an nprobe choice reads.
+    */
+  def ivfTuning(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    Similarity.ivfTuningReport(vecs.filter(col("vec_id") < 20), vecs,
+      5, Seq(1, 2, 4, 8))
+  }
+
   /** Truncation-recall readout (s19): recall@5 of the cosine top-5
     * computed on the first {8,16,32,64} dimensions against the
     * full-width exact top-5 for the s1 probe set — what a Matryoshka

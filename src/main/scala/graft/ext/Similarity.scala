@@ -1179,6 +1179,101 @@ object Similarity {
         round(col("_adc").cast("double"), 9).as("adc_dist"))
   }
 
+  /** IVF tuning report (s20): the t50 idea for the ANN index — ONE
+    * trained coarse quantizer, swept across `nprobes` probe widths,
+    * each width priced on BOTH axes of the IVF trade: mean recall@k
+    * against the exact cosine top-k, and the fraction of the corpus
+    * actually touched (the candidate count the probe bound buys).
+    * This is the curve an index operator reads to pick nprobe: s13
+    * prices one point, this prices the frontier.
+    *
+    * Cost shape: training runs ONCE ([[kmeansLoop]] contract); the
+    * candidate frame is scored ONCE at the widest probe with each
+    * candidate's probe rank attached, and every narrower width is a
+    * FILTER on that pinned frame (probe sets are nested by
+    * construction: rank ≤ 2 ⊂ rank ≤ 4) — the sweep adds per-width
+    * windows over already-scored rows, never another corpus pass.
+    * Recall/fraction arithmetic rides the s13/s19 integer-e9
+    * discipline.
+    */
+  def ivfTuningReport(queries: DataFrame, corpus: DataFrame, k: Int,
+                      nprobes: Seq[Int], cells: Int = 8,
+                      cellIters: Int = 4, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty, "need at least one probe width")
+    require(nprobes.forall(_ >= 1), "probe widths start at 1")
+    val maxNp = nprobes.max
+    val ex = graft.std.Materialize.once(
+      pqExplode(corpus, 1, idCol, vecCol))
+    val (cellCb, cellAssign) = kmeansLoop(ex, cells, cellIters, "km")
+    val cellOf = cellAssign.select(col("_vid").as("neighbor_id"),
+      col("_cw").as("_cell"))
+    val cents = broadcast(cellCb
+      .groupBy(col("_cw").as("_cell"))
+      .agg(array_sort(collect_list(struct(col("_dim"), col("_c"))))
+        .as("_pm"))
+      .select(col("_cell"),
+        transform(col("_pm"), p => p.getField("_c")).as("centroid"))
+      .withColumn("cn", l2Norm(col("centroid"))))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_csim").desc, col("_cell").asc)
+    val probed = q.crossJoin(cents)
+      .withColumn("_csim", round(when(col("qn") * col("cn") > 0,
+        dot(col("qv"), col("centroid")) / (col("qn") * col("cn"))), 6))
+      .withColumn("_pr", row_number().over(probeW))
+      .filter(col("_pr") <= maxNp)
+      .select(col("query_id"), col("qv"), col("qn"), col("_cell"),
+        col("_pr"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cm", l2Norm(col("cv")))
+      .join(cellOf, Seq("neighbor_id"))
+    val scored = graft.std.Materialize.once(
+      probed.join(c, Seq("_cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("_pr"),
+          round(when(col("qn") * col("cm") > 0,
+            dot(col("qv"), col("cv")) / (col("qn") * col("cm"))), 6)
+            .as("cosine")))
+    val exact = graft.std.Materialize.once(
+      bruteForceTopK(queries, corpus, k, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id")))
+    val nCorpus = corpus.agg(count(lit(1)).as("_nc"))
+    nprobes.map { np =>
+      val sub = scored.filter(col("_pr") <= np)
+      val ann = rankTopK(sub, "cosine", k)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1L))
+      val hits = exact
+        .join(ann, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(coalesce(sum(col("_hit")), lit(0L)).as("n_hits"))
+      val touched = sub.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("_cand"))
+      // left join: a query whose probed cells hold only itself has no
+      // candidate row but must still count (recall 0, 0 touched)
+      hits.join(touched, Seq("query_id"), "left_outer")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("_sum_hits"),
+          sum(coalesce(col("_cand"), lit(0L))).as("n_candidates"))
+        .crossJoin(broadcast(nCorpus))
+        .select(lit(np).as("nprobe"), col("n_queries"),
+          expr(s"CAST(CAST(_sum_hits AS DECIMAL(38,0)) * 1000000000 " +
+            s"div (n_queries * $k) AS BIGINT)").as("mean_recall_e9"),
+          col("n_candidates"),
+          expr("CAST(CAST(n_candidates AS DECIMAL(38,0)) * 1000000000 " +
+            "div (n_queries * (_nc - 1)) AS BIGINT)")
+            .as("scanned_frac_e9"))
+        .withColumn("mean_recall",
+          col("mean_recall_e9").cast("double") / lit(1e9))
+        .withColumn("scanned_frac",
+          col("scanned_frac_e9").cast("double") / lit(1e9))
+    }.reduce(_ unionByName _)
+  }
+
   /** Truncated-dimension recall readout (s19): prices Matryoshka-
     * style dimension truncation (Kusupati et al. 2022,
     * arXiv:2205.13147) — for each prefix width d' the cosine top-k

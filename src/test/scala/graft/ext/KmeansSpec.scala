@@ -137,6 +137,25 @@ class KmeansSpec extends AnyFunSuite {
       s"trained cells must separate the blobs: $clusters")
   }
 
+  test("ivf tuning sweep: nested probes, hand-counted recall/candidates") {
+    // cells train to {1,2,3} / {4,5} (the semDedup fixture's Lloyd
+    // trace). Query 1's exact cosine top-2 is {2 (1.0), 5 (0.768)} —
+    // one neighbor in EACH cell. nprobe=1 probes its own cell only:
+    // candidates {2,3}, recall 1/2, scanned 2 of 4 foreign vectors;
+    // nprobe=2 probes both: candidates all 4, recall 1.
+    val df = Seq(
+      (1L, Seq(0.0, 1.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 0.0)),
+      (4L, Seq(10.0, 10.0)), (5L, Seq(10.0, 12.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.ivfTuningReport(df.filter($"vec_id" === 1L), df,
+        k = 2, nprobes = Seq(1, 2), cells = 2, cellIters = 2)
+      .collect().map(x => x.getInt(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    graft.std.Materialize.releaseAll()
+    assert(r(1) == ((1L, 500000000L, 2L, 500000000L)), s"np=1: ${r(1)}")
+    assert(r(2) == ((1L, 1000000000L, 4L, 1000000000L)), s"np=2: ${r(2)}")
+  }
+
   test("training is deterministic across runs") {
     val df = Seq(
       (1L, Seq(0.5, 2.5)), (2L, Seq(1.5, 0.5)), (3L, Seq(3.5, 2.0)),
