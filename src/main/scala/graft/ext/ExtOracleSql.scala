@@ -4527,6 +4527,76 @@ SELECT CAST(0 AS INTEGER) AS subspace,
        s.n_members, s.wcss
 FROM km_cb4 cb JOIN stats s ON s.cw = cb.cw"""
 
+  /** Unrolled power iteration for s21: one (score, weighted-sum,
+    * norm, normalize) CTE quadruple per round over the centered
+    * exploded frame `cent` — the kmeansCtes pattern for the
+    * eigenvector fixed point (DECIMAL(38,18) sums, 9-dp step
+    * doubles, 6-dp normalized components).
+    */
+  private def powerIterCtes(iters: Int): String = {
+    val init = """pv0 AS (
+  SELECT dim, CAST(1.0 AS DOUBLE) AS vv FROM mu)"""
+    val rounds = (1 to iters).map { i =>
+      s"""ps$i AS (
+  SELECT vid,
+         round(CAST(SUM(CAST(c * vv AS DECIMAL(38,18))) AS DOUBLE), 9)
+           AS s
+  FROM cent JOIN pv${i - 1} pv ON pv.dim = cent.dim
+  GROUP BY 1
+), pw$i AS (
+  SELECT cent.dim,
+         round(CAST(SUM(CAST(c * s AS DECIMAL(38,18))) AS DOUBLE), 9)
+           AS w
+  FROM cent JOIN ps$i USING (vid)
+  GROUP BY 1
+), pn$i AS (
+  SELECT round(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18)))
+                         AS DOUBLE)), 9) AS nrm
+  FROM pw$i
+), pv$i AS (
+  SELECT dim, round(CASE WHEN nrm > 0 THEN w / nrm
+                         ELSE 0.0 END, 6) AS vv
+  FROM pw$i CROSS JOIN pn$i)"""
+    }
+    (init +: rounds).mkString(", ")
+  }
+
+  /** s21: leading principal component by 6 unrolled power-iteration
+    * rounds over the centered embedding corpus — per-dim mean and
+    * unit PC1 component, Rayleigh eigenvalue and its variance share.
+    */
+  val s21TopPc: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), exq AS (
+  SELECT vec_id AS vid,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v
+), exd AS (
+  SELECT vid, dim, CAST(x AS DOUBLE) AS x FROM exq
+), n1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
+), mu AS (
+  SELECT dim,
+         round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*), 6) AS mu
+  FROM exd GROUP BY 1
+), cent AS (
+  SELECT vid, exd.dim, (x - mu.mu) AS c
+  FROM exd JOIN mu ON mu.dim = exd.dim
+), ${powerIterCtes(6)},
+tr AS (
+  SELECT CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS tss
+  FROM cent
+)
+SELECT pv.dim AS dim, mu.mu AS mean_d, pv.vv AS pc1,
+       round(nrm / n, 6) AS lambda1,
+       round(CASE WHEN tss > 0 THEN nrm / tss ELSE 0.0 END, 6)
+         AS var_share
+FROM pv6 pv
+JOIN mu ON mu.dim = pv.dim
+CROSS JOIN pn6 CROSS JOIN tr CROSS JOIN n1"""
+
   /** One probe width's CTE chain for s20: filter the shared scored
     * candidate frame `sc` to probe rank ≤ np, rank top-5, score hits
     * against the exact set `ex2`, sum hits and candidates.

@@ -2318,6 +2318,16 @@ object ExtQueries {
     Similarity.kmeansTrain(Tables.embeddings(spark, sfDir), 8, 4)
   }
 
+  /** Top principal component (s21): 6 power-iteration rounds over
+    * the centered embedding corpus — per-dim mean + unit PC1, the
+    * Rayleigh eigenvalue, and its share of total variance (the
+    * all-but-the-top anisotropy readout).
+    */
+  def topPc(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.topPrincipalComponent(Tables.embeddings(spark, sfDir))
+  }
+
   /** IVF tuning sweep (s20): the trained 8-cell index probed at
     * widths {1,2,4,8} — recall@5 vs exact and corpus fraction
     * touched per width, the frontier an nprobe choice reads.

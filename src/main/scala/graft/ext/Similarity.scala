@@ -1179,6 +1179,80 @@ object Similarity {
         round(col("_adc").cast("double"), 9).as("adc_dist"))
   }
 
+  /** Leading principal component of the embedding covariance (s21)
+    * by deterministic power iteration — the anisotropy diagnostic of
+    * "All-but-the-Top" (Mu & Viswanath 2018, arXiv:1702.01417): a
+    * large top-eigenvalue share means the corpus embeddings share a
+    * dominant common direction, and retrieval/centroid quality
+    * improves by removing the mean and the top PCs this query
+    * surfaces. One row per dimension: the dimension mean, the unit
+    * PC1 component, and (repeated scalars) the Rayleigh eigenvalue
+    * estimate and its share of total variance.
+    *
+    * The covariance matrix is never materialized: each iteration
+    * computes `Cov·v` as two aggregates over the centered exploded
+    * frame — per-vector scores `s_i = (x_i − μ)·v` (partial-agg on
+    * `_vid`), then the per-dim weighted sum `Σ s_i(x_i − μ)_d`
+    * (partial-agg on `_dim`) — so the shuffled rows are |corpus|
+    * scores and |dims| sums, never a dims×dims product. `v` and μ
+    * stay broadcast (|dims| rows). Fixed-point discipline is the
+    * [[kmeansLoop]] one: DECIMAL(38,18) sums, doubles rounded 9 dp
+    * per step, the normalized vector rounded 6 dp, `iters` rounds
+    * from the all-ones init — bit-identical on both engines.
+    * Convergence needs an eigengap (on an isotropic corpus the
+    * iterate is deterministic but the "top" direction is not
+    * meaningful — exactly what the var share column tells you).
+    */
+  def topPrincipalComponent(vecs: DataFrame, iters: Int = 6,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "need at least one power iteration")
+    val ex = graft.std.Materialize.once(
+      pqExplode(vecs, 1, idCol, vecCol))
+    val mu = ex.groupBy(col("_dim"))
+      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)), 6).as("_mu"))
+    val cent = graft.std.Materialize.once(
+      ex.join(broadcast(mu), Seq("_dim"))
+        .select(col("_vid"), col("_dim"),
+          (col("_x") - col("_mu")).as("_c")))
+    val n1 = vecs.agg(count(lit(1)).as("_n"))
+    var v: DataFrame = mu.select(col("_dim"), lit(1.0).as("_v"))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val s = cent.join(broadcast(v), Seq("_dim"))
+        .groupBy(col("_vid"))
+        .agg(round(sum((col("_c") * col("_v")).cast("decimal(38,18)"))
+          .cast("double"), 9).as("_s"))
+      val w = cent.join(s, Seq("_vid"))
+        .groupBy(col("_dim"))
+        .agg(round(sum((col("_c") * col("_s")).cast("decimal(38,18)"))
+          .cast("double"), 9).as("_w"))
+      lastNorm = w.agg(round(sqrt(
+        sum((col("_w") * col("_w")).cast("decimal(38,18)"))
+          .cast("double")), 9).as("_nrm"))
+      v = graft.std.Materialize.once(
+        w.crossJoin(broadcast(lastNorm))
+          .select(col("_dim"),
+            round(when(col("_nrm") > 0, col("_w") / col("_nrm"))
+              .otherwise(lit(0.0)), 6).as("_v")))
+    }
+    // Rayleigh estimate: with v unit, ‖Σ s_i(x_i−μ)‖ = n·λ; trace is
+    // the exact total centered sum of squares over n
+    val trace = cent.agg(
+      sum((col("_c") * col("_c")).cast("decimal(38,18)"))
+        .cast("double").as("_tss"))
+    v.join(broadcast(mu), Seq("_dim"))
+      .crossJoin(broadcast(lastNorm))
+      .crossJoin(broadcast(trace))
+      .crossJoin(broadcast(n1))
+      .select(col("_dim").as("dim"), col("_mu").as("mean_d"),
+        col("_v").as("pc1"),
+        round(col("_nrm") / col("_n"), 6).as("lambda1"),
+        round(when(col("_tss") > 0, col("_nrm") / col("_tss"))
+          .otherwise(lit(0.0)), 6).as("var_share"))
+  }
+
   /** IVF tuning report (s20): the t50 idea for the ANN index — ONE
     * trained coarse quantizer, swept across `nprobes` probe widths,
     * each width priced on BOTH axes of the IVF trade: mean recall@k

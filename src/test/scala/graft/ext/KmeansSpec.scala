@@ -156,6 +156,26 @@ class KmeansSpec extends AnyFunSuite {
     assert(r(2) == ((1L, 1000000000L, 4L, 1000000000L)), s"np=2: ${r(2)}")
   }
 
+  test("top PC: axis-aligned variance recovers exactly") {
+    // mean is exactly 0; Cov = diag(2.5, 0). From the all-ones init
+    // one round lands v = (1, 0) exactly: s_i = a_i, w = (Σa_i², 0)
+    // = (10, 0). λ = ‖w‖/n = 2.5, var share = 10/10 = 1 — all the
+    // arithmetic is exact, so the assertions are equalities.
+    val df = Seq(
+      (1L, Seq(2.0, 0.0)), (2L, Seq(-2.0, 0.0)),
+      (3L, Seq(1.0, 0.0)), (4L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.topPrincipalComponent(df, iters = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    graft.std.Materialize.releaseAll()
+    assert(r(0L).getDouble(1) == 0.0 && r(1L).getDouble(1) == 0.0,
+      "means are exactly zero")
+    assert(r(0L).getDouble(2) == 1.0 && r(1L).getDouble(2) == 0.0,
+      s"PC1 must align with the variance axis: ${r.values.toSeq}")
+    assert(r(0L).getDouble(3) == 2.5, "Rayleigh eigenvalue = Var(x)")
+    assert(r(0L).getDouble(4) == 1.0, "one axis carries ALL variance")
+  }
+
   test("training is deterministic across runs") {
     val df = Seq(
       (1L, Seq(0.5, 2.5)), (2L, Seq(1.5, 0.5)), (3L, Seq(3.5, 2.0)),
