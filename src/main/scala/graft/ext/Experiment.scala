@@ -88,4 +88,83 @@ object Experiment {
     }
     perMetric.reduce(_ unionAll _)
   }
+
+  /** Rank AUC (t67): the probability a random positive outranks a
+    * random negative, tie-corrected — `(wins + ties/2) / (P·N)`, the
+    * Mann-Whitney U readout every classifier eval needs before a
+    * score becomes a filter threshold. Computed WITHOUT the pairwise
+    * cross join: rows collapse to per-score (n_pos, n_neg) groups
+    * (a partial-agg shuffle to |distinct scores| rows), a window
+    * ordered by score accumulates the negatives strictly below each
+    * group, and `wins = Σ n_pos·neg_below`, `ties = Σ n_pos·n_neg` —
+    * every count an exact integer, so AUC lands in the e9 integer
+    * discipline: `auc_e9 = (2·wins + ties)·1e9 div (2·P·N)`.
+    *
+    * Null scores/labels are excluded (a score that didn't evaluate
+    * can't rank). One output row: populations, wins, ties, auc.
+    */
+  def rankAuc(scored: DataFrame, scoreCol: String,
+              labelCol: String): DataFrame = {
+    val grouped = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("_s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("_np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("_nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_s").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    grouped
+      .withColumn("_below", coalesce(sum(col("_nn")).over(w), lit(0L)))
+      .agg(sum(col("_np")).as("n_pos"), sum(col("_nn")).as("n_neg"),
+        sum(col("_np") * col("_below")).as("wins"),
+        sum(col("_np") * col("_nn")).as("ties"))
+      .select(col("n_pos"), col("n_neg"), col("wins"), col("ties"),
+        expr("CAST(CAST(2 * wins + ties AS DECIMAL(38,0)) * 1000000000 " +
+          "div (2 * n_pos * n_neg) AS BIGINT)").as("auc_e9"))
+      .withColumn("auc", col("auc_e9").cast("double") / lit(1e9))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic (v8): the max
+    * absolute gap between two empirical CDFs — the drift detector
+    * that needs no binning choice (v16's PSI prices drift through
+    * bins; KS is the bin-free complement). Exact integer form: at
+    * every observed value x, `|F1(x) − F2(x)| = |c1(x)·n2 − c2(x)·n1|
+    * / (n1·n2)` — the numerator is an exact BIGINT, so the max and
+    * its argmax (smallest value on ties) are deterministic, and the
+    * statistic lands in the e9 integer discipline.
+    *
+    * Plan shape: each side partial-aggregates to per-value counts,
+    * the merged value support gets both cumulative counts from one
+    * ordered window, one max picks the gap — no cross join, shuffle
+    * bounded by |distinct values|.
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val ca = a.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("_v")).agg(count(lit(1)).as("_c1"))
+    val cb = b.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("_v")).agg(count(lit(1)).as("_c2"))
+    val merged = ca.join(cb, Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("_c1"), lit(0L)).as("_c1"),
+        coalesce(col("_c2"), lit(0L)).as("_c2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val n1c = ca.agg(sum(col("_c1")).as("_n1"))
+    val n2c = cb.agg(sum(col("_c2")).as("_n2"))
+    merged
+      .withColumn("_f1", sum(col("_c1")).over(w))
+      .withColumn("_f2", sum(col("_c2")).over(w))
+      .crossJoin(broadcast(n1c)).crossJoin(broadcast(n2c))
+      .select(col("_v"),
+        abs(col("_f1") * col("_n2") - col("_f2") * col("_n1"))
+          .as("_gap"), col("_n1"), col("_n2"))
+      .orderBy(col("_gap").desc, col("_v").asc)
+      .limit(1)
+      .select(col("_n1").as("n_a"), col("_n2").as("n_b"),
+        col("_gap").as("ks_num"), col("_v").as("at_value"),
+        expr("CAST(CAST(_gap AS DECIMAL(38,0)) * 1000000000 " +
+          "div (_n1 * _n2) AS BIGINT)").as("ks_e9"))
+      .withColumn("ks", col("ks_e9").cast("double") / lit(1e9))
+  }
 }

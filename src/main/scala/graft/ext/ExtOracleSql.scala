@@ -376,6 +376,98 @@ SELECT doc_id,
        m AS n_marker_hits
 FROM mx"""
 
+  /** t67: tie-corrected rank AUC of the en marker score against the
+    * true `lang = 'en'` label — per-score groups, negatives-below
+    * window, exact-integer wins/ties, e9 integer AUC.
+    */
+  val t67ClassifierAuc: String = s"""WITH t AS (
+  SELECT doc_id, lang,
+         string_split(lower(trim(regexp_replace(
+           CASE WHEN lang = 'en' AND doc_id % 2 = 0
+                THEN text || ' the of and is to' ELSE text END,
+           '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT (lang = 'en') AS pos,
+         CAST(len(list_filter(toks,
+           tk -> tk IN ${LangLists.toMap.apply("en")})) AS BIGINT)
+           AS score
+  FROM t
+), f AS (
+  SELECT pos, score FROM s
+  WHERE pos IS NOT NULL AND score IS NOT NULL
+), g AS (
+  SELECT score AS sc,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM f GROUP BY 1
+), cw AS (
+  SELECT np, nn,
+         CAST(COALESCE(SUM(nn) OVER (ORDER BY sc ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS below
+  FROM g
+), agg AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(nn) AS BIGINT) AS n_neg,
+         CAST(SUM(np * below) AS BIGINT) AS wins,
+         CAST(SUM(np * nn) AS BIGINT) AS ties
+  FROM cw
+)
+SELECT n_pos, n_neg, wins, ties,
+       CAST(CAST(2 * wins + ties AS HUGEINT) * 1000000000
+            // (2 * n_pos * n_neg) AS BIGINT) AS auc_e9,
+       CAST(CAST(CAST(2 * wins + ties AS HUGEINT) * 1000000000
+            // (2 * n_pos * n_neg) AS BIGINT) AS DOUBLE) / 1000000000.0
+         AS auc
+FROM agg"""
+
+  /** v8: exact two-sample KS statistic between purchase and click
+    * value distributions — merged per-value counts, one ordered
+    * cumulative window, max integer gap `|F1·n2 − F2·n1|` with the
+    * smallest value on ties.
+    */
+  val v8KsDrift: String = s"""WITH a1 AS (
+  SELECT value AS v FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+), b1 AS (
+  SELECT value AS v FROM events
+  WHERE event_type = 'click' AND value IS NOT NULL
+), ca AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c1 FROM a1 GROUP BY 1
+), cb AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c2 FROM b1 GROUP BY 1
+), m AS (
+  SELECT COALESCE(ca.v, cb.v) AS v,
+         COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+), na AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1v FROM ca
+), nb AS (
+  SELECT CAST(SUM(c2) AS BIGINT) AS n2v FROM cb
+), cum AS (
+  SELECT v,
+         CAST(SUM(c1) OVER (ORDER BY v ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY v ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS f2
+  FROM m
+), g AS (
+  SELECT v, abs(f1 * n2v - f2 * n1v) AS gap, n1v, n2v
+  FROM cum CROSS JOIN na CROSS JOIN nb
+), top AS (
+  SELECT * FROM g ORDER BY gap DESC, v ASC LIMIT 1
+)
+SELECT n1v AS n_a, n2v AS n_b, CAST(gap AS BIGINT) AS ks_num,
+       v AS at_value,
+       CAST(CAST(gap AS HUGEINT) * 1000000000
+            // (n1v * n2v) AS BIGINT) AS ks_e9,
+       CAST(CAST(CAST(gap AS HUGEINT) * 1000000000
+            // (n1v * n2v) AS BIGINT) AS DOUBLE) / 1000000000.0 AS ks
+FROM top"""
+
   val t5Fingerprints: String = s"""WITH t AS (
   SELECT doc_id, $Norm AS ntext FROM documents
 ), tk AS (

@@ -1578,7 +1578,8 @@ object ExtQueries {
     Tables.tune(spark)
     val vecs = Tables.embeddings(spark, sfDir)
     Similarity.ivfTopKTrained(vecs.filter(col("vec_id") < 20), vecs, 5,
-        nprobe = 2, cells = 8, cellIters = 4)
+        nprobe = 2, cells = 8, cellIters = 4,
+        memoTag = Some(s"emb|$sfDir"))
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cosine"))
   }
@@ -1664,6 +1665,41 @@ object ExtQueries {
     Tables.tune(spark)
     TextAnalysis.bigramLogprob(
       spread(Tables.documents(spark, sfDir)))
+  }
+
+  /** Rank AUC (t67): the en-marker score as a classifier for the
+    * true `lang = 'en'` label — the Mann-Whitney readout that says
+    * how well the t4 heuristic RANKS before any threshold choice
+    * (t57's confusion matrix prices the argmax decision; this prices
+    * the score itself).
+    */
+  def classifierAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    // the synthetic corpus draws the same vocabulary for every lang
+    // label (a text score CANNOT rank it — measured AUC 0.507), so
+    // the fixture appends real English stopwords to half the English
+    // docs, deterministically — the s2/t53 injection pattern: give
+    // the synthetic corpus the structure the metric exists to detect,
+    // on both dialects identically. Half, not all: the un-injected
+    // positives keep wins/ties both populated.
+    val docs = Tables.documents(spark, sfDir).withColumn("text",
+      when(col("lang") === "en" && col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" the of and is to")))
+        .otherwise(col("text")))
+    val scored = docs.select((col("lang") === "en").as("is_en"),
+      TextAnalysis.langScores(TextOps.tokens(col("text")))
+        .toMap.apply("en").cast("long").as("en_score"))
+    Experiment.rankAuc(scored, "en_score", "is_en")
+  }
+
+  /** Exact KS drift statistic (v8): purchase vs click value
+    * distributions — the bin-free complement of x16's PSI.
+    */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val ev = Tables.events(spark, sfDir)
+    Experiment.ksDrift(ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"), "value")
   }
 
   /** PMI collocations (t66): top-100 count≥5 bigrams by pointwise
@@ -2304,7 +2340,7 @@ object ExtQueries {
     val vecs = Tables.embeddings(spark, sfDir)
     Similarity.ivfPqTopKTrained(vecs.filter(col("vec_id") < 20), vecs, 5,
         nprobe = 2, cells = 8, cellIters = 4, subspaces = 16,
-        codewords = 32, pqIters = 3)
+        codewords = 32, pqIters = 3, memoTag = Some(s"emb|$sfDir"))
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("adc_dist"))
   }
@@ -2315,7 +2351,8 @@ object ExtQueries {
     */
   def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    Similarity.kmeansTrain(Tables.embeddings(spark, sfDir), 8, 4)
+    Similarity.kmeansTrain(Tables.embeddings(spark, sfDir), 8, 4,
+      memoTag = Some(s"emb|$sfDir"))
   }
 
   /** Top principal component (s21): 6 power-iteration rounds over
@@ -2336,7 +2373,7 @@ object ExtQueries {
     Tables.tune(spark)
     val vecs = Tables.embeddings(spark, sfDir)
     Similarity.ivfTuningReport(vecs.filter(col("vec_id") < 20), vecs,
-      5, Seq(1, 2, 4, 8))
+      5, Seq(1, 2, 4, 8), memoTag = Some(s"emb|$sfDir"))
   }
 
   /** Truncation-recall readout (s19): recall@5 of the cosine top-5
@@ -2362,7 +2399,8 @@ object ExtQueries {
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     Similarity.semDedup(
-      nearDupVectors(Tables.embeddings(spark, sfDir)), 8, 4, 0.95)
+      nearDupVectors(Tables.embeddings(spark, sfDir)), 8, 4, 0.95,
+      memoTag = Some(s"embdup|$sfDir"))
   }
 
   /** IVF-PQ recall@5 (s17): [[Similarity.recallAtK]] of the s16

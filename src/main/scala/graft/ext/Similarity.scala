@@ -607,10 +607,12 @@ object Similarity {
   def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
                      nprobe: Int = 2, cells: Int = 8,
                      cellIters: Int = 4, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     memoTag: Option[String] = None): DataFrame = {
     val ex = graft.std.Materialize.once(
       pqExplode(corpus, 1, idCol, vecCol))
-    val (cellCb, cellAssign) = kmeansLoop(ex, cells, cellIters, "km")
+    val (cellCb, cellAssign) =
+      kmeansLoopShared(ex, cells, cellIters, "km", memoTag)
     val cellOf = cellAssign.select(col("_vid").as("neighbor_id"),
       col("_cw").as("_cell"))
     val cents = broadcast(cellCb
@@ -1045,6 +1047,43 @@ object Similarity {
     * _dist, _nd)` = each (entity, subspace)'s nearest trained
     * centroid with its exact squared distance.
     */
+  /** Session memo for trained quantizers — the d5–d7 lifecycle applied
+    * to the ANN index: in production the index is trained ONCE at
+    * write time and queried many times, so the drivers' per-query
+    * re-training was pure waste (at sf0.1 the coarse quantizer alone
+    * costs ~5 s and six queries trained it independently). Keyed by a
+    * caller tag naming the CORPUS (the kernel appends k/iters/seed);
+    * entries are pinned self-contained frames released by
+    * `SessionMemo.releaseSession` in driver/test teardown. Callers
+    * that need re-train-on-every-call semantics pass no tag — the
+    * kernels stay pure by default.
+    */
+  private val trainMemo = new graft.std.SessionMemo()
+
+  /** [[kmeansLoop]] behind the session memo. A lost build race pins
+    * and releases per [[graft.std.SessionMemo]]; a cb-present/assign-
+    * missing partial state re-trains, and determinism (same input →
+    * bit-identical codebook) keeps the pair consistent.
+    */
+  private def kmeansLoopShared(ex: DataFrame, k: Int, iters: Int,
+                               seedTag: String, memoTag: Option[String])
+      : (DataFrame, DataFrame) = memoTag match {
+    case None => kmeansLoop(ex, k, iters, seedTag)
+    case Some(tag) =>
+      val spark = ex.sparkSession
+      var built: Option[(DataFrame, DataFrame)] = None
+      def b: (DataFrame, DataFrame) = {
+        if (built.isEmpty) built = Some(kmeansLoop(ex, k, iters, seedTag))
+        built.get
+      }
+      val key = s"kmeans|$tag|k=$k|i=$iters|s=$seedTag"
+      val cb = trainMemo.getOrBuild(spark, key + "|cb")(
+        graft.std.Materialize.pinUnregistered(b._1))
+      val assign = trainMemo.getOrBuild(spark, key + "|assign")(
+        graft.std.Materialize.pinUnregistered(b._2))
+      (cb, assign)
+  }
+
   private def kmeansLoop(ex: DataFrame, k: Int, iters: Int,
                          seedTag: String): (DataFrame, DataFrame) = {
     require(k >= 1, "need k >= 1")
@@ -1087,11 +1126,12 @@ object Similarity {
   def kmeansTrain(vecs: DataFrame, k: Int, iters: Int,
                   subspaces: Int = 1,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  seedTag: String = "km"): DataFrame = {
+                  seedTag: String = "km",
+                  memoTag: Option[String] = None): DataFrame = {
     require(subspaces >= 1, "need at least one subspace")
     val ex = graft.std.Materialize.once(
       pqExplode(vecs, subspaces, idCol, vecCol))
-    val (cb, assign) = kmeansLoop(ex, k, iters, seedTag)
+    val (cb, assign) = kmeansLoopShared(ex, k, iters, seedTag, memoTag)
     val stats = assign.groupBy(col("_sub"), col("_cw"))
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("_dist")).cast("double"), 9).as("wcss"))
@@ -1127,16 +1167,21 @@ object Similarity {
                        cellIters: Int = 4, subspaces: Int = 16,
                        codewords: Int = 32, pqIters: Int = 3,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       memoTag: Option[String] = None): DataFrame = {
     require(k >= 1, "need k >= 1")
     require(nprobe >= 1, "need nprobe >= 1")
     // ---- train: one exploded pass feeds both quantizers ----
     val ex = graft.std.Materialize.once(
       pqExplode(corpus, subspaces, idCol, vecCol))
+    // the _sub=0 rows are exactly pqExplode(corpus, 1)'s, so the
+    // coarse memo key is SHARED with ivfTopKTrained/kmeansTrain on
+    // the same corpus tag — one coarse training serves the family
     val (cellCb, cellAssign) =
-      kmeansLoop(ex.withColumn("_sub", lit(0).cast("int")),
-        cells, cellIters, "km")
-    val (pqCb, pqAssign) = kmeansLoop(ex, codewords, pqIters, "pq")
+      kmeansLoopShared(ex.withColumn("_sub", lit(0).cast("int")),
+        cells, cellIters, "km", memoTag)
+    val (pqCb, pqAssign) =
+      kmeansLoopShared(ex, codewords, pqIters, "pq", memoTag)
     // ---- write-time artifacts: cells, codes, probe centroids ----
     val cellOf = cellAssign.select(col("_vid").as("neighbor_id"),
       col("_cw").as("_cell"))
@@ -1273,13 +1318,15 @@ object Similarity {
   def ivfTuningReport(queries: DataFrame, corpus: DataFrame, k: Int,
                       nprobes: Seq[Int], cells: Int = 8,
                       cellIters: Int = 4, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding",
+                      memoTag: Option[String] = None): DataFrame = {
     require(nprobes.nonEmpty, "need at least one probe width")
     require(nprobes.forall(_ >= 1), "probe widths start at 1")
     val maxNp = nprobes.max
     val ex = graft.std.Materialize.once(
       pqExplode(corpus, 1, idCol, vecCol))
-    val (cellCb, cellAssign) = kmeansLoop(ex, cells, cellIters, "km")
+    val (cellCb, cellAssign) =
+      kmeansLoopShared(ex, cells, cellIters, "km", memoTag)
     val cellOf = cellAssign.select(col("_vid").as("neighbor_id"),
       col("_cw").as("_cell"))
     val cents = broadcast(cellCb
@@ -1423,11 +1470,12 @@ object Similarity {
   def semDedup(vectors: DataFrame, k: Int, iters: Int,
                threshold: Double,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               seedTag: String = "km"): DataFrame = {
+               seedTag: String = "km",
+               memoTag: Option[String] = None): DataFrame = {
     require(threshold > 0, "need a positive cosine threshold")
     val ex = graft.std.Materialize.once(
       pqExplode(vectors, 1, idCol, vecCol))
-    val (_, assign) = kmeansLoop(ex, k, iters, seedTag)
+    val (_, assign) = kmeansLoopShared(ex, k, iters, seedTag, memoTag)
     val base = vectors
       .select(col(idCol).as("_vid"),
         col(vecCol).cast("array<double>").as("_v"))

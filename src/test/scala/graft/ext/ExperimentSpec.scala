@@ -68,4 +68,43 @@ class ExperimentSpec extends AnyFunSuite {
     assert(rNull.getLong(1) == 0L && rNull.getLong(2) == 0L &&
       rNull.getLong(3) == 3L)
   }
+
+  test("rank AUC: hand-counted wins/ties, perfect and inverted scores") {
+    // pos scores {3,2}, neg {1,2}: wins = 1·1 + 1·2 = 3, ties = 1,
+    // AUC = (3 + 0.5)/4 = 0.875
+    val mixed = Seq((3L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("score", "label")
+    val r = Experiment.rankAuc(mixed, "score", "label").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 3L, 1L)))
+    assert(r.getLong(4) == 875000000L && r.getDouble(5) == 0.875)
+    // perfect separation -> 1.0; inverted -> 0.0; null scores excluded
+    val perfect = Seq((5L, true), (6L, true), (1L, false), (2L, false))
+      .toDF("score", "label")
+    assert(Experiment.rankAuc(perfect, "score", "label")
+      .collect()(0).getDouble(5) == 1.0)
+    val inverted = Seq((Some(1L), true), (Some(2L), false),
+      (None, true), (None, false)).toDF("score", "label")
+    val ri = Experiment.rankAuc(inverted, "score", "label").collect()(0)
+    assert(ri.getLong(0) == 1L && ri.getLong(1) == 1L &&
+      ri.getDouble(5) == 0.0, "nulls drop, inversion scores 0")
+  }
+
+  test("KS drift: exact integer gap, argmax value, disjoint supports") {
+    // a={1,1,2}, b={2,3}: gaps at v=1/2/3 are 4/3/0 over denominator 6
+    val a = Seq(1.0, 1.0, 2.0).toDF("value")
+    val b = Seq(2.0, 3.0).toDF("value")
+    val r = Experiment.ksDrift(a, b, "value").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 4L)))
+    assert(r.getDouble(3) == 1.0, "argmax lands on the widest-gap value")
+    assert(r.getLong(4) == 666666666L, "4/6 truncates in e9")
+    // identical samples -> 0; fully separated supports -> 1
+    val same = Seq(1.0, 2.0).toDF("value")
+    assert(Experiment.ksDrift(same, same, "value")
+      .collect()(0).getLong(4) == 0L)
+    val lo = Seq(1.0, 2.0).toDF("value")
+    val hi = Seq(5.0, 6.0).toDF("value")
+    assert(Experiment.ksDrift(lo, hi, "value")
+      .collect()(0).getDouble(5) == 1.0)
+  }
 }

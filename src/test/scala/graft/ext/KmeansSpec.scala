@@ -176,6 +176,25 @@ class KmeansSpec extends AnyFunSuite {
     assert(r(0L).getDouble(4) == 1.0, "one axis carries ALL variance")
   }
 
+  test("memoized training: identical codebook, memo hit included") {
+    val df = Seq(
+      (1L, Seq(0.5, 2.5)), (2L, Seq(1.5, 0.5)), (3L, Seq(3.5, 2.0)),
+      (4L, Seq(8.0, 8.5)), (5L, Seq(7.5, 9.0)), (6L, Seq(9.0, 7.5)))
+      .toDF("vec_id", "embedding")
+    def run(tag: Option[String]) = {
+      val r = Similarity.kmeansTrain(df, 3, 3, memoTag = tag)
+        .collect().map(_.toString).sorted.toSeq
+      graft.std.Materialize.releaseAll()
+      r
+    }
+    val pure = run(None)
+    val first = run(Some("spec-memo"))   // builds + pins the memo
+    val hit = run(Some("spec-memo"))     // served from the memo
+    graft.std.SessionMemo.releaseSession(spark)
+    assert(pure == first && first == hit,
+      "memoized and pure training must be bit-identical")
+  }
+
   test("training is deterministic across runs") {
     val df = Seq(
       (1L, Seq(0.5, 2.5)), (2L, Seq(1.5, 0.5)), (3L, Seq(3.5, 2.0)),
