@@ -4311,6 +4311,44 @@ SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
          AS p
 FROM c"""
 
+  /** x49: per-user sequence likelihood under the corpus-fit Markov
+    * matrix — the x47 pair chain, probabilities as IEEE divisions of
+    * exact longs, 9-dp `ln` into DECIMAL (t31's discipline), bottom-20
+    * users by 6-dp average with id ties.
+    */
+  val x49SequenceLikelihood: String = """WITH pr AS (
+  SELECT user_id, event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL
+), pairs AS (
+  SELECT user_id, prev_type, next_type FROM pr
+  WHERE next_type IS NOT NULL
+), c AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n12
+  FROM pairs GROUP BY 1, 2
+), rt AS (
+  SELECT prev_type, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1
+), p AS (
+  SELECT c.prev_type, c.next_type, n12, n1
+  FROM c JOIN rt USING (prev_type)
+), sc AS (
+  SELECT user_id,
+         CAST(round(ln(CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS contrib
+  FROM pairs JOIN p USING (prev_type, next_type)
+), agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         round(CAST(SUM(contrib) AS DOUBLE) / COUNT(*), 6)
+           AS avg_logprob
+  FROM sc GROUP BY 1
+)
+SELECT user_id, n_pairs, avg_logprob FROM agg
+ORDER BY avg_logprob ASC, user_id ASC
+LIMIT 20"""
+
   /** x44: interval union — the same gaps-and-islands windows in SQL;
     * epoch-second integers end to end (DuckDB's `epoch()` is a DOUBLE
     * with fractional seconds — floor it to match Spark's

@@ -2427,6 +2427,15 @@ object ExtQueries {
     Timeseries.transitionMatrix(Tables.events(spark, sfDir))
   }
 
+  /** Sequence likelihood (x49): bottom-20 users by average
+    * `ln P(next | prev)` under the corpus-fit transition matrix —
+    * the order-anomaly readout downstream of x47.
+    */
+  def sequenceLikelihood(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.sequenceLikelihood(Tables.events(spark, sfDir))
+  }
+
   /** Streaming-form transition matrix (w8): the stateful
     * [[graft.streaming.StreamingOps.transitionPairs]] kernel run in
     * batch mode + the downstream rollup — batch ≡ the x47 lead-window

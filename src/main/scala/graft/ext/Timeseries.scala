@@ -295,6 +295,57 @@ object Timeseries {
           sum(col("n")).over(byPrev).cast("double"), 6).as("p"))
   }
 
+  /** Per-user sequence likelihood under the corpus transition matrix
+    * (x49): each user's event chain scored by the first-order Markov
+    * model the corpus itself fits — `avg ln P(next | prev)` over the
+    * user's successor pairs — and the bottom-`k` users reported. The
+    * downstream read of x47's matrix: a user whose transitions are
+    * RARE for this corpus (broken client, fraud path, scraper walking
+    * pages no organic user chains) surfaces at the bottom; a scripted
+    * bot hammering one common loop surfaces at the TOP of the same
+    * ranking. x10/x24 flag volume anomalies; this flags ORDER
+    * anomalies volume can't see.
+    *
+    * 100 TB shape: the pair frame is the audited x47 shuffle (one
+    * user-keyed window), the matrix collapses to |types|² rows and
+    * broadcasts back onto the pairs, per-user scores partial-agg, and
+    * the bottom-k is `TakeOrderedAndProject`. Determinism is the t31
+    * LM discipline: probabilities are IEEE divisions of exact longs,
+    * each `ln` rounds at 9 dp into DECIMAL (order-free sum), the
+    * average rounds once at 6 dp, ties on user id.
+    */
+  def sequenceLikelihood(events: DataFrame, k: Int = 20,
+                         userCol: String = "user_id",
+                         typeCol: String = "event_type",
+                         tsCol: String = "ts",
+                         tiebreakCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val pairs = graft.std.Materialize.once(events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull && col(tiebreakCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("prev_type"),
+        lead(col(typeCol), 1).over(byUser).as("next_type"))
+      .filter(col("next_type").isNotNull))
+    val counts = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("_n12"))
+    val rowTot = counts.groupBy(col("prev_type"))
+      .agg(sum(col("_n12")).as("_n1"))
+    val probs = counts.join(rowTot, Seq("prev_type"))
+    pairs.join(broadcast(probs), Seq("prev_type", "next_type"))
+      .select(col(userCol),
+        round(log(col("_n12").cast("double") / col("_n1").cast("double")),
+          9).cast("decimal(28,9)").as("_contrib"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_contrib")).as("_lsum"))
+      .select(col(userCol), col("n_pairs"),
+        round(col("_lsum").cast("double") / col("n_pairs"), 6)
+          .as("avg_logprob"))
+      .orderBy(col("avg_logprob").asc, col(userCol).asc)
+      .limit(k)
+  }
+
   def hourlyAnomalies(events: DataFrame, tsCol: String = "ts",
                       keyCol: String = "event_type", trailing: Int = 24,
                       zThreshold: Double = 3.0): DataFrame = {

@@ -76,6 +76,26 @@ class TimeseriesSpec extends AnyFunSuite {
       tm(0).getString(1) == "y")
   }
 
+  test("sequence likelihood: rare transitions sink, hand-traced avgs") {
+    def ts(s: Int) = Timestamp.from(Instant.parse(
+      f"2024-01-01T00:00:$s%02dZ"))
+    // pairs: u1 (a,b)(b,a)(a,b), u2 (a,b), u3 (a,c) → matrix
+    // P(b|a)=3/4, P(a|b)=1, P(c|a)=1/4. Averages (9-dp ln, 6-dp avg):
+    // u3 = ln(.25) = -1.386294, u2 = ln(.75) = -0.287682,
+    // u1 = 2·ln(.75)/3 = -0.191788 — ascending = rare-path user first.
+    val events = Seq(
+      (1L, ts(0), "a", 1L), (1L, ts(1), "b", 2L),
+      (1L, ts(2), "a", 3L), (1L, ts(3), "b", 4L),
+      (2L, ts(0), "a", 5L), (2L, ts(1), "b", 6L),
+      (3L, ts(0), "a", 7L), (3L, ts(1), "c", 8L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val r = Timeseries.sequenceLikelihood(events, k = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    graft.std.Materialize.releaseAll()
+    assert(r.toSeq == Seq((3L, 1L, -1.386294), (2L, 1L, -0.287682),
+      (1L, 3L, -0.191788)), s"got ${r.toSeq}")
+  }
+
   test("retention cohorts: hand-built matrix, same-day events collapse") {
     // u1: days 0,1,2; u2: days 0,2 (two events on day 0); u3: day 1 only
     val events = Seq(
