@@ -4316,7 +4316,7 @@ FROM c"""
     * exact longs, 9-dp `ln` into DECIMAL (t31's discipline), bottom-20
     * users by 6-dp average with id ties.
     */
-  val x49SequenceLikelihood: String = """WITH pr AS (
+  private val SeqLikelihoodAgg: String = """WITH pr AS (
   SELECT user_id, event_type AS prev_type,
          lead(event_type) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS next_type
@@ -4345,9 +4345,16 @@ FROM c"""
            AS avg_logprob
   FROM sc GROUP BY 1
 )
-SELECT user_id, n_pairs, avg_logprob FROM agg
+SELECT user_id, n_pairs, avg_logprob FROM agg"""
+
+  val x49SequenceLikelihood: String = SeqLikelihoodAgg + """
 ORDER BY avg_logprob ASC, user_id ASC
 LIMIT 20"""
+
+  /** w10: the streaming scorer's batch execution — x49's per-user
+    * aggregate BEFORE its bottom-k cut (every scored user, no order).
+    */
+  val w10SequenceScore: String = SeqLikelihoodAgg
 
   /** x44: interval union — the same gaps-and-islands windows in SQL;
     * epoch-second integers end to end (DuckDB's `epoch()` is a DOUBLE

@@ -2461,6 +2461,19 @@ object ExtQueries {
       .toDF()
   }
 
+  /** Streaming sequence scorer (w10): [[graft.streaming.StreamingOps
+    * .sequenceScoreStream]] in batch mode, scoring against the
+    * self-fit transition model published via
+    * [[Timeseries.transitionLogprobE9]] — batch output ≡ x49's
+    * per-user aggregate before the bottom-k cut.
+    */
+  def sequenceScore(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val ev = Tables.events(spark, sfDir)
+    graft.streaming.StreamingOps.sequenceScoreStream(ev,
+      Timeseries.transitionLogprobE9(ev)).toDF()
+  }
+
   /** Language-ID confusion matrix (t57): the t4 n-gram predictor
     * evaluated against the corpus's true `lang` column — the
     * eval-the-classifier query every lang-filter pipeline needs before

@@ -346,6 +346,45 @@ object Timeseries {
       .limit(k)
   }
 
+  /** The transition model as a DRIVER-SIDE artifact: `(prev, next) →
+    * round(ln P(next|prev), 9) × 1e9` as exact longs — what
+    * [[graft.streaming.StreamingOps.sequenceScoreStream]] broadcasts
+    * in its closure (t33's weight-table shape). |event types|² entries
+    * — collecting it is the model-publish step, not a data collect.
+    * The 9-dp HALF_UP round is [[sequenceLikelihood]]'s `round(log, 9)`
+    * computed identically (same libm `ln`, same shortest-repr
+    * BigDecimal rounding Catalyst's Round applies), so stream scores
+    * reproduce the batch query bit for bit.
+    */
+  def transitionLogprobE9(events: DataFrame,
+                          userCol: String = "user_id",
+                          typeCol: String = "event_type",
+                          tsCol: String = "ts",
+                          tiebreakCol: String = "event_id")
+      : Map[(String, String), Long] = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val counts = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull && col(tiebreakCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("prev_type"),
+        lead(col(typeCol), 1).over(byUser).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n12"))
+    val withTot = counts.join(
+      counts.groupBy(col("prev_type")).agg(sum(col("n12")).as("n1")),
+      Seq("prev_type"))
+    withTot.collect().map { r =>
+      val n12 = r.getAs[Long]("n12")
+      val n1 = r.getAs[Long]("n1")
+      (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
+        BigDecimal(math.log(n12.toDouble / n1))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.movePointRight(9).longValueExact()
+    }.toMap
+  }
+
   def hourlyAnomalies(events: DataFrame, tsCol: String = "ts",
                       keyCol: String = "event_type", trailing: Int = 24,
                       zThreshold: Double = 3.0): DataFrame = {

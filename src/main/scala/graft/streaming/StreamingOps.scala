@@ -47,6 +47,13 @@ case class AsofHit(event_id: Long, user_id: Long,
                    event_ts: java.sql.Timestamp,
                    asof_ts: Option[java.sql.Timestamp])
 
+/** Typed rows/state for the streaming sequence scorer. */
+case class SeqEvent(user_id: Long, event_type: String,
+                    ts: java.sql.Timestamp, event_id: Long)
+case class SeqScoreState(lastTs: Long, lastId: Long, lastType: String,
+                         n: Long, sumE9: Long)
+case class SeqScore(user_id: Long, n_pairs: Long, avg_logprob: Double)
+
 /** Typed rows/state for the streaming weighted sample. */
 case class WeightedRow(g: String, id: Long, w: Double, key: Double)
 case class SampleHeap(entries: List[(Double, Long, Double)], seen: Long)
@@ -422,6 +429,81 @@ object StreamingOps {
                 math.max(sorted.last.ts.getTime,
                   state.getCurrentWatermarkMs() + 1) + evictAfterMs)
             out.iterator
+          }
+      }
+  }
+
+  /** STREAMING sequence scorer (w10): the production deployment of
+    * [[graft.ext.Timeseries.sequenceLikelihood]] — the transition
+    * matrix is fit OFFLINE and shipped as a model artifact (a
+    * `(prev, next) → ln P` map, |event types|² entries, broadcast in
+    * the closure exactly like t33's weight table), and the stream
+    * keeps one O(1) state per user: last event + running
+    * (n_pairs, Σ contrib) with each contribution an EXACT e9-scaled
+    * long (9-dp ln × 1e9 — integer addition is order-free, so the
+    * running sum equals the batch DECIMAL sum bit for bit). Each
+    * micro-batch appends every touched user's updated running
+    * average — the live bot/order-anomaly score.
+    *
+    * Batch execution processes each user's whole (ts, event_id)-
+    * ordered history in one call and emits ONE row per user ≡ the
+    * x49 aggregate before its bottom-k cut (spec-pinned; the w10
+    * oracle is x49's SQL minus the LIMIT). Pairs absent from the
+    * matrix are skipped (the x49 inner join's semantics). The w8
+    * cross-batch arrival-order caveat and eviction contract apply.
+    */
+  def sequenceScoreStream(events: DataFrame,
+                          logprobE9: Map[(String, String), Long],
+                          stateRetention: String = "24 hours",
+                          evictAfterMs: Long = 24L * 3600 * 1000)
+      : Dataset[SeqScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", stateRetention)
+      else events
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[SeqEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqScoreState, SeqScore](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[SeqEvent],
+         state: GroupState[SeqScoreState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def micros(t: java.sql.Timestamp): Long =
+              t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption
+            sorted.foreach { e =>
+              val (n0, s0) = st.map(s => (s.n, s.sumE9)).getOrElse((0L, 0L))
+              val (n1, s1) = st.flatMap(s =>
+                logprobE9.get((s.lastType, e.event_type))) match {
+                case Some(c) => (n0 + 1, s0 + c)
+                case None => (n0, s0)
+              }
+              st = Some(SeqScoreState(micros(e.ts), e.event_id,
+                e.event_type, n1, s1))
+            }
+            st.foreach(state.update)
+            if (streaming && sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(sorted.last.ts.getTime,
+                  state.getCurrentWatermarkMs() + 1) + evictAfterMs)
+            st match {
+              case Some(s) if s.n > 0 && sorted.nonEmpty =>
+                val avg = BigDecimal(s.sumE9.toDouble / 1e9 / s.n)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                Iterator.single(SeqScore(uid, s.n, avg))
+              case _ => Iterator.empty
+            }
           }
       }
   }

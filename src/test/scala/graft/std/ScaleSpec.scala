@@ -157,6 +157,40 @@ class ScaleSpec extends AnyFunSuite {
     graft.std.Materialize.releaseAll()
   }
 
+  test("semDedup compares only within cells: no all-pairs join anywhere") {
+    val plan = graft.ext.ExtQueries.semDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    graft.std.SessionMemo.releaseSession(spark)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"d13 degenerated to all-pairs — the cluster_id equi-join is the " +
+        s"whole point:\n$plan")
+  }
+
+  test("PMI collocations: top-k is TakeOrderedAndProject, no cartesian") {
+    val plan = graft.ext.ExtQueries.pmiCollocations(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"t66 top-k should never global-sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"vocab joins degenerated:\n$plan")
+  }
+
+  test("sequence likelihood: matrix broadcasts onto pairs, bottom-k bounded") {
+    val plan = graft.ext.ExtQueries.sequenceLikelihood(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"x49 bottom-k should never global-sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |types|² matrix should broadcast back onto the pairs:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"x49 grew a corpus-sized join:\n$plan")
+  }
+
   test("stratified sample plans as a pure scan filter: zero exchanges") {
     val plan = graft.ext.ExtQueries.stratifiedSample(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -317,6 +317,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sequence scorer: stateful batch form ≡ x49's per-user aggregate") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sfDir)
+    val stateful = StreamingOps.sequenceScoreStream(ev,
+        graft.ext.Timeseries.transitionLogprobE9(ev)).collect()
+      .map(s => s.user_id -> (s.n_pairs, s.avg_logprob)).toMap
+    // k beyond the user population = the full pre-limit aggregate
+    val batch = graft.ext.Timeseries.sequenceLikelihood(ev, k = 1000000)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    graft.std.Materialize.releaseAll()
+    assert(stateful == batch && stateful.nonEmpty,
+      s"stateful=${stateful.size} batch=${batch.size}")
+  }
+
+  test("streaming sequence scorer: running average updates across batches") {
+    import spark.implicits._
+    def ev(uid: Long, typ: String, t: String, id: Long) =
+      (uid, typ, java.sql.Timestamp.valueOf(t), id)
+    val dir = Files.createTempDirectory("seqscore_src").toFile
+    def stamp(m: Long): Unit = dir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.lastModified() > m)
+      .foreach(f => assert(f.setLastModified(m)))
+    // model: ln P(b|a) = ln 0.75 (9 dp: -0.287682072), ln P(a|b) = 0
+    val model = Map(("a", "b") -> -287682072L, ("b", "a") -> 0L)
+    // batch 1: a -> b (one scored pair); batch 2: -> a (pair b->a,
+    // contrib 0) — the running average must carry the stored sum
+    Seq(ev(1L, "a", "2024-01-01 10:00:00", 1L),
+        ev(1L, "b", "2024-01-01 10:01:00", 2L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(1000000L)
+    Seq(ev(1L, "a", "2024-01-01 10:05:00", 3L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(2000000L)
+    val streamIn = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts TIMESTAMP, event_id LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = StreamingOps.sequenceScoreStream(streamIn, model)
+      .writeStream.format("memory").queryName("seq_scores")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("seq_scores").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(got.toSeq == Seq((1L, -0.287682), (2L, -0.143841)),
+        s"running feed: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming funnel converts when the purchase ARRIVES before the click") {
     import spark.implicits._
     def ev(uid: Long, typ: String, t: String) =
