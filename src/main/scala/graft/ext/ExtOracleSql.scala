@@ -1013,6 +1013,39 @@ FROM nodes CROSS JOIN consts LEFT JOIN s3 ON nodes.node = s3.node"""
 SELECT c.node_id, c.cluster_rep, s.component_size
 FROM comp c JOIN sizes s USING (cluster_rep)"""
 
+  /** x50: multi-source weighted shortest paths — 4 unrolled
+    * Bellman-Ford relaxations over the chain graph with edge cost =
+    * the source line's quantity (parallel edges MIN-collapsed), seeds
+    * = the `p_size = 1` parts at distance 0. Pure integer MIN/+ —
+    * nothing to round, so the twin matches integer-for-integer.
+    */
+  private def ssspRelax(i: Int): String =
+    s"""d$i AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d${i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d${i - 1} d JOIN ew e ON d.node = e.src
+  ) GROUP BY 1
+)"""
+
+  val x50ShortestPaths: String = s"""WITH wseq AS (
+  SELECT l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS nxt,
+         l_quantity
+  FROM lineitem
+), ew AS (
+  SELECT l_partkey AS src, nxt AS dst,
+         MIN(CAST(l_quantity AS BIGINT)) AS w
+  FROM wseq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+  GROUP BY 1, 2
+), d0 AS (
+  SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+  FROM part WHERE p_size = 1
+), ${(1 to 4).map(ssspRelax).mkString(", ")}
+SELECT node AS node_id, CAST(dist AS BIGINT) AS min_cost FROM d4"""
+
   /** x34: label propagation, 3 unrolled synchronous iterations over the
     * undirected support of the x20 chain graph. Votes are exact COUNTs;
     * winner per node via QUALIFY (votes DESC, label ASC) — pure integer
@@ -2163,6 +2196,45 @@ SELECT doc_id, n_tokens,
          AS avg_logprob
 FROM terms JOIN nt USING (doc_id)
 GROUP BY 1, 2"""
+
+  /** t68: duplication-density profile — per doc, distinct 3-shingles
+    * hashed to the shared 64-bit lane, corpus doc-frequency joined
+    * back, unique (df = 1) and common (df ≥ 5) shares in truncating
+    * 1e-9 fixed point with the banded verdict. NULL texts excluded on
+    * both sides.
+    */
+  val t68DupDensity: String = s"""WITH t AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id,
+         unnest(list_distinct(${sh3("toks", "array_to_string(toks, ' ')")}))
+           AS sh
+  FROM t
+), h AS (
+  SELECT doc_id, ${h64("sh")} AS hh FROM s
+), dfreq AS (
+  SELECT hh, COUNT(*) AS df FROM h GROUP BY 1
+), agg AS (
+  SELECT h.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique,
+         CAST(SUM(CASE WHEN dfreq.df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_common
+  FROM h JOIN dfreq USING (hh) GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_unique, n_common,
+       CAST(n_unique * 1000000000 // n_shingles AS BIGINT)
+         AS unique_share_e9,
+       CAST(n_common * 1000000000 // n_shingles AS BIGINT)
+         AS common_share_e9,
+       CASE WHEN n_unique * 1000000000 // n_shingles >= 800000000
+              THEN 'novel'
+            WHEN n_common * 1000000000 // n_shingles >= 500000000
+              THEN 'boilerplate_heavy'
+            ELSE 'mixed' END AS verdict
+FROM agg"""
 
   /** t66: PMI collocations — top-100 adjacent bigrams with count ≥ 5
     * by `ln(p(w1w2)/(p(w1)p(w2)))`; the argument is pure IEEE
@@ -4926,7 +4998,7 @@ SELECT c.vec_id, CAST(c.cluster_id AS INTEGER) AS cluster_id,
        p.max_prior_sim
 FROM cl c LEFT JOIN prior p ON p.vec_id = c.vec_id"""
 
-  val s16IvfPqTopK: String = s"""WITH v AS (
+  private def ivfPqAnnSql(k: Int): String = s"""WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), exq AS (
   SELECT vec_id AS vid,
@@ -4989,7 +5061,35 @@ cells AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        round(CAST(adc AS DOUBLE), 9) AS adc_dist
-FROM r WHERE rank <= 5"""
+FROM r WHERE rank <= $k"""
+
+  val s16IvfPqTopK: String = ivfPqAnnSql(5)
+
+  /** s22: two-stage retrieval — the s16 ADC pipeline at a 15-candidate
+    * budget as a derived table, re-ranked by the exact 6-dp squared-L2
+    * on the full-precision vectors (the s17 `sc` expression restricted
+    * to the candidate set), top-5 with smaller-id ties.
+    */
+  val s22IvfPqRerank: String = {
+    val l2 = "list_aggregate(list_transform(list_zip(q.e, c.e), " +
+      "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    s"""WITH cand AS (
+  SELECT query_id, neighbor_id FROM (${ivfPqAnnSql(15)}) s22cand
+), ve AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sc AS (
+  SELECT cand.query_id, cand.neighbor_id, round($l2, 6) AS dist2
+  FROM cand
+  JOIN ve q ON q.vec_id = cand.query_id
+  JOIN ve c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+  FROM sc) r
+WHERE rank <= 5"""
+  }
 
   /** s17: IVF-PQ recall@5 — the s16 pipeline as a derived table
     * against the exact squared-L2 top-5 (same metric as the index,

@@ -1293,6 +1293,30 @@ object ExtQueries {
       .select(col("node_id"), col("cluster_rep"), col("component_size"))
   }
 
+  /** Weighted shortest paths (x50): bounded Bellman-Ford over the
+    * co-purchase chain graph with per-edge cost = the source line's
+    * quantity (parallel edges collapse to the CHEAPEST traversal),
+    * seeded from the `p_size = 1` parts (the x33 trust-seed set) —
+    * "how cheaply does influence from the seed parts reach each
+    * co-purchased part within 4 hops". [[Graph.shortestPaths]]: one
+    * join + one partial-agg MIN shuffle per relaxation, exact long
+    * costs; the oracle unrolls the same 4 relaxations.
+    */
+  def shortestPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"),
+        col("l_quantity").cast("long").as("w"))
+      .filter(col("dst").isNotNull)
+    val seeds = Tables.part(spark, sfDir)
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey").as("seed"))
+    Graph.shortestPaths(edges, seeds, iterations = 4)
+  }
+
   /** Incremental rollup maintenance (x21): the order-value summary by
     * (priority, status), maintained as history-state + 1998 delta
     * batch — the merge path whose cost is O(batch + keys). The oracle
@@ -1708,6 +1732,14 @@ object ExtQueries {
   def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     TextAnalysis.pmiCollocations(spread(Tables.documents(spark, sfDir)))
+  }
+
+  /** Duplication-density profile (t68): per-doc unique vs common
+    * 3-shingle shares with the novel/boilerplate_heavy/mixed verdict.
+    */
+  def dupDensity(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.dupDensity(spread(Tables.documents(spark, sfDir)))
   }
 
   /** Count-Min-sketch heavy hitters (t27). */
@@ -2417,6 +2449,20 @@ object ExtQueries {
     val exact = Similarity.bruteForceTopKL2(
       vecs.filter(col("vec_id") < 20), vecs, 5)
     Similarity.recallAtK(ivfPqTopK(spark, sfDir), exact, 5)
+  }
+
+  /** Two-stage ANN retrieval (s22): the s16 trained IVF-PQ index at a
+    * 15-candidate ADC budget, re-ranked to top-5 by exact squared-L2
+    * on the full-precision vectors — the production FAISS pattern
+    * where PQ error inside the candidate set costs nothing.
+    */
+  def ivfPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    Similarity.ivfPqRerank(vecs.filter(col("vec_id") < 20), vecs,
+      k = 5, candK = 15, nprobe = 2, cells = 8, cellIters = 4,
+      subspaces = 16, codewords = 32, pqIters = 3,
+      memoTag = Some(s"emb|$sfDir"))
   }
 
   /** Markov event-transition matrix (x47): per-user successor pairs

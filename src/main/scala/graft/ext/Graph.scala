@@ -508,4 +508,48 @@ object Graph {
       .select(col("seed"), col("hop").cast("int").as("hop"),
         coalesce(col("n_reached"), lit(0L)).as("n_reached"))
   }
+
+  /** Multi-source weighted shortest paths — bounded Bellman-Ford, the
+    * DISTANCE complement of [[kHopReach]]'s boolean reach: cheapest
+    * total edge cost from each node back to its NEAREST seed, using at
+    * most `iterations` edges (the classic k-relaxation semantics; a
+    * cheaper path needing more hops than the bound is reported at the
+    * best ≤k-edge cost, exactly like every production Pregel SSSP that
+    * runs a fixed superstep budget).
+    *
+    * Input: `edges(src, dst, w)` with `w` an integral cost — parallel
+    * edges collapse to MIN(w) up front, so raw event/chain multiplicity
+    * is tolerated; `seeds(seed)` start at distance 0 (and appear in the
+    * output at 0 even when isolated — a seed IS reachable from itself).
+    *
+    * 100 TB shape: per relaxation ONE join (dist ⋈ edges on `src`,
+    * both shuffled on the join key) and ONE groupBy-MIN whose partial
+    * aggregation collapses candidate distances map-side before the
+    * shuffle — the [[pageRankLoop]] stage pair with MIN replacing SUM.
+    * The dist frame is |reached| rows of two longs; lineage is pinned
+    * per iteration (x20 discipline). Determinism is free: every
+    * distance is an exact long sum and MIN has no rounding mode, so
+    * the unrolled DuckDB twin matches integer-for-integer.
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+                    iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "need at least one relaxation round")
+    val e = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("w").isNotNull && col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+    var dist = graft.std.Materialize.once(
+      seeds.select(col("seed").as("node"))
+        .filter(col("node").isNotNull).distinct()
+        .withColumn("dist", lit(0L)))
+    for (_ <- 1 to iterations) {
+      val cand = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
+      dist = graft.std.Materialize.once(
+        dist.unionByName(cand)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+    }
+    dist.select(col("node").as("node_id"), col("dist").as("min_cost"))
+  }
 }

@@ -1443,6 +1443,61 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Two-stage ANN retrieval (s22): the production FAISS pattern the
+    * s16 index is built FOR — stage 1 generates `candK` candidates per
+    * query by ADC over the trained IVF-PQ index (cheap, approximate,
+    * touches nprobe/|cells| of the corpus and only 8-bit codes), stage
+    * 2 re-ranks ONLY those candidates with the exact squared-L2 on the
+    * full-precision vectors and keeps the top `k`. ADC errors inside
+    * the candidate set cost nothing (the exact score re-orders them);
+    * only a true neighbor missing from all probed cells stays lost —
+    * so recall@k here is bounded by s17's candidate recall@candK, not
+    * by PQ quantization error.
+    *
+    * Scale shape: stage 1 is the audited s16 plan. Stage 2 joins the
+    * skinny (query_id, neighbor_id) candidate frame — |queries|×candK
+    * rows — back to the corpus on `neighbor_id` (shuffle carries
+    * candidate ids, never scans the corpus against queries) and to the
+    * broadcast query vectors; the exact kernel runs on candK rows per
+    * query instead of |corpus|. Distances are 6-dp-rounded IEEE folds
+    * (the [[bruteForceTopKL2]] expression), ranks tie to the smaller
+    * id — fully deterministic, so the oracle composes the s16 twin
+    * with the same re-rank.
+    *
+    * With `cells = 1, nprobe = 1, candK >= |corpus|` the candidate set
+    * is the whole corpus and the result must EQUAL [[bruteForceTopKL2]]
+    * — the spec pins that reduction.
+    */
+  def ivfPqRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+                  candK: Int, nprobe: Int = 2, cells: Int = 8,
+                  cellIters: Int = 4, subspaces: Int = 16,
+                  codewords: Int = 32, pqIters: Int = 3,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  memoTag: Option[String] = None): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(candK >= k, "candidate budget must cover the final top-k")
+    val cand = ivfPqTopKTrained(queries, corpus, candK, nprobe, cells,
+        cellIters, subspaces, codewords, pqIters, idCol, vecCol,
+        memoTag)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val exact = cand.join(c, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(TextOps.foldSumDouble(zip_with(col("qv"), col("cv"),
+          (x, y) => (x - y) * (x - y))), 6).as("dist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("dist2"))
+  }
+
   /** Semantic deduplication (d13): the SemDeDup recipe (Abbas et al.
     * 2023, arXiv:2303.09540) — cluster the embedding corpus with the
     * trained k-means quantizer, then compare vectors ONLY within their

@@ -1919,4 +1919,57 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(k)
   }
+
+  /** Per-document duplication-density profile (t68): what fraction of
+    * a document's distinct 3-shingles is corpus-UNIQUE (df = 1 — text
+    * appearing nowhere else) vs corpus-COMMON (df ≥ `commonDf` — the
+    * shared boilerplate mass). The per-doc complement of
+    * [[boilerplateNgrams]] (which reports the offending n-grams
+    * corpus-wide) and the profile d2/t28 act on: a near-dup cluster
+    * member scores low unique share, a template page scores high
+    * common share, and fresh prose scores `novel` — the
+    * memorization-risk / content-freshness readout curation ranks on.
+    *
+    * Verdict bands on truncating 1e-9 fixed-point shares (both engines
+    * divide the same longs): `novel` at unique ≥ 0.8, else
+    * `boilerplate_heavy` at common ≥ 0.5, else `mixed`.
+    *
+    * 100 TB shape: shingle text collapses to 64-bit hashes BEFORE any
+    * shuffle (the d2 discipline) — the df aggregation and the join
+    * back both move (doc_id, hash) pairs only; `array_distinct` at the
+    * explode means df needs no Expand-based distinct. The hash frame
+    * is pinned once and feeds both sides of the self-join. NULL texts
+    * are excluded up front (no shingles to profile).
+    */
+  def dupDensity(docs: DataFrame, commonDf: Int = 5,
+                 textCol: String = "text"): DataFrame = {
+    require(commonDf >= 2, "commonDf below 2 would flag unique text")
+    val hashed = graft.std.Materialize.once(
+      TextOps.attrBarrier(
+          docs.filter(col(textCol).isNotNull)
+            .select(col("doc_id"), col(textCol)),
+          Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
+        .select(col("doc_id"), explode(array_distinct(
+          TextOps.shingles(col("_toks"), 3))).as("sh"))
+        .select(col("doc_id"), TextOps.hash64(col("sh")).as("h")))
+    val dfreq = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+    val agg = hashed.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("df") >= commonDf, 1L).otherwise(0L))
+          .as("n_common"))
+    agg.select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        col("n_common"),
+        expr("CAST(n_unique * 1000000000 div n_shingles AS BIGINT)")
+          .as("unique_share_e9"),
+        expr("CAST(n_common * 1000000000 div n_shingles AS BIGINT)")
+          .as("common_share_e9"))
+      .withColumn("verdict",
+        when(col("unique_share_e9") >= 800000000L, lit("novel"))
+          .when(col("common_share_e9") >= 500000000L,
+            lit("boilerplate_heavy"))
+          .otherwise(lit("mixed")))
+  }
 }

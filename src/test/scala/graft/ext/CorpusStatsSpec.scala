@@ -423,4 +423,28 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r("A") == ((9L, 0.428571429, 42L, 4.666667, true)))
     assert(r("B") == ((16L, 0.571428571, 57L, 3.5625, false)))
   }
+
+  test("t68 dup density: hand-counted shares and verdict bands") {
+    // A == B share both shingles; "a b c" also opens D (df 3).
+    // With commonDf = 3: A/B read common 1 of 2 (0.5 -> heavy), C is
+    // all-unique (novel), D is 3 unique / 1 common of 4 (mixed), the
+    // short doc contributes its whole text as ONE unique shingle, and
+    // the NULL text vanishes.
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w v"),
+      (4L, "a b c z1 z2 z3"), (5L, "hi"), (6L, null))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.dupDensity(docs, commonDf = 3)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getString(6))))
+      .toMap
+    graft.std.Materialize.releaseAll()
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(r(1L) == ((2L, 0L, 1L, 0L, 500000000L, "boilerplate_heavy")))
+    assert(r(1L) == r(2L))
+    assert(r(3L) == ((3L, 3L, 0L, 1000000000L, 0L, "novel")))
+    assert(r(4L) == ((4L, 3L, 1L, 750000000L, 250000000L, "mixed")))
+    assert(r(5L) == ((1L, 1L, 0L, 1000000000L, 0L, "novel")))
+  }
 }

@@ -345,4 +345,41 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
       10L -> (10L, 2L), 11L -> (10L, 2L)))
   }
+
+  test("shortest paths: cheaper long path beats expensive direct edge") {
+    // 1 -> 4 direct costs 10; 1 -> 2 -> 3 -> 4 costs 3. Within the
+    // 4-relaxation budget the long-but-cheap route must win, and the
+    // intermediate nodes carry their prefix costs.
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("seed")
+    val got = Graph.shortestPaths(edges, seeds, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("shortest paths: relaxation budget bounds path length") {
+    // chain 1->2->3->4 all cost 1: with only 2 relaxations node 4 is
+    // unreached (its cheapest route needs 3 edges) — the documented
+    // <=k-edge semantics, not an approximation bug.
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("seed")
+    val got = Graph.shortestPaths(edges, seeds, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("shortest paths: multi-seed min, parallel-edge collapse, " +
+    "isolated seed at zero") {
+    // two seeds compete for node 3 (via 1 costs 5, via 2 costs 2);
+    // parallel edges 1->3 collapse to the MIN weight; seed 9 touches
+    // no edge but still reports distance 0; self-loops drop.
+    val edges = Seq((1L, 3L, 7L), (1L, 3L, 5L), (2L, 3L, 2L),
+      (3L, 3L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L, 2L, 9L).toDF("seed")
+    val got = Graph.shortestPaths(edges, seeds, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 2L, 9L -> 0L))
+  }
 }

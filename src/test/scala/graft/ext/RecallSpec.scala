@@ -44,4 +44,54 @@ class RecallSpec extends AnyFunSuite {
     assert(r(4).getLong(2) == 1000000000L && r(4).getLong(3) == 1L &&
       r(4).getDouble(4) == 1.0, s"full width must hit: ${r(4)}")
   }
+
+  test("ivfPqRerank: full candidate budget reduces to brute-force L2") {
+    // cells=1, nprobe=1 puts the whole corpus in the probed cell and
+    // candK >= |corpus| keeps every candidate, so the exact re-rank
+    // must EQUAL bruteForceTopKL2 row for row — the documented
+    // reduction that proves stage 2's arithmetic is the exact kernel.
+    val vecs = (1L to 12L).map(i =>
+      (i, Seq(i.toDouble, (i * 7 % 5).toDouble, (i * 3 % 7).toDouble)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" <= 2L)
+    val got = Similarity.ivfPqRerank(qs, vecs, k = 3, candK = 12,
+        nprobe = 1, cells = 1, cellIters = 2, subspaces = 3,
+        codewords = 4, pqIters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = Similarity.bruteForceTopKL2(qs, vecs, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong,
+        r.getDouble(3))).toSet
+    graft.std.Materialize.releaseAll()
+    assert(got == want, s"rerank with full budget must equal exact:\n" +
+      s"got $got\nwant $want")
+  }
+
+  test("ivfPqRerank: exact re-rank corrects ADC order inside the set") {
+    // k < candK: the final top-k is drawn from the candidate set by
+    // EXACT distance, so every returned row must carry the true d2
+    // and ranks must be dense ascending per query.
+    val vecs = (1L to 20L).map(i =>
+      (i, Seq((i % 4).toDouble, (i % 3).toDouble,
+        (i % 5).toDouble, i.toDouble / 10)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" <= 2L)
+    val rows = Similarity.ivfPqRerank(qs, vecs, k = 4, candK = 10,
+        nprobe = 2, cells = 2, cellIters = 2, subspaces = 2,
+        codewords = 4, pqIters = 2)
+      .collect()
+    graft.std.Materialize.releaseAll()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(1L, 2L))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to 4L),
+        s"ranks not dense for query $q")
+      val d = sorted.map(_.getDouble(3))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b },
+        s"exact distances must ascend with rank for query $q")
+    }
+  }
 }
