@@ -4531,6 +4531,61 @@ SELECT 'all' AS cohort,
        round(unnest(qv), 6) AS value
 FROM q"""
 
+  /** x51: inter-arrival cadence — per-user gaps in floored epoch
+    * seconds (the x45 parity), exact mid-rank medians in milli-units
+    * (`sum · 1000 // count` over the 1-or-2 middle order statistics),
+    * the MAD's second median on already-milli deviations (the one
+    * possible .5 truncating identically), regularity at MAD ≤ 10% of
+    * median with ≥ 5 gaps.
+    */
+  val x51CadenceProfile: String = """WITH g0 AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL
+), g AS (
+  SELECT user_id, gap_s FROM g0 WHERE gap_s IS NOT NULL
+), gm AS (
+  SELECT user_id, gap_s,
+         row_number() OVER (PARTITION BY user_id ORDER BY gap_s) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM g
+), med AS (
+  SELECT user_id,
+         CAST(SUM(gap_s) * 1000 // COUNT(*) AS BIGINT)
+           AS median_gap_milli
+  FROM gm WHERE rn >= (n + 1) // 2 AND rn <= (n + 2) // 2
+  GROUP BY 1
+), d AS (
+  SELECT g.user_id,
+         abs(g.gap_s * 1000 - med.median_gap_milli) AS dev_milli
+  FROM g JOIN med USING (user_id)
+), dm AS (
+  SELECT user_id, dev_milli,
+         row_number() OVER (PARTITION BY user_id ORDER BY dev_milli)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM d
+), mad AS (
+  SELECT user_id,
+         CAST(SUM(dev_milli) // COUNT(*) AS BIGINT) AS mad_gap_milli
+  FROM dm WHERE rn >= (n + 1) // 2 AND rn <= (n + 2) // 2
+  GROUP BY 1
+), c AS (
+  SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps
+  FROM g GROUP BY 1
+)
+SELECT c.user_id, c.n_events, c.n_gaps,
+       med.median_gap_milli, mad.mad_gap_milli,
+       (c.n_gaps >= 5
+        AND mad.mad_gap_milli * 10 <= med.median_gap_milli)
+         AS is_regular
+FROM c JOIN med USING (user_id) JOIN mad USING (user_id)"""
+
   /** m6: chunk-store savings — the m4 refcount query as a derived
     * table, one exact-integer rollup, x31 fixed-point ratio.
     */

@@ -2346,6 +2346,15 @@ object ExtQueries {
       Seq(0.25, 0.5, 0.75, 0.9, 0.99), exact = true)
   }
 
+  /** Inter-arrival cadence profile (x51): per-user median/MAD of the
+    * gaps between consecutive events in exact milli-units — the
+    * timer-regularity bot fingerprint next to x47/x49.
+    */
+  def cadenceProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.cadenceProfile(Tables.events(spark, sfDir))
+  }
+
   /** Interval coverage (x44): [[Timeseries.intervalCoverage]] over
     * 30-minute activity windows around each event — per-user uptime
     * islands, covered seconds, longest gap.

@@ -137,4 +137,44 @@ class TimeseriesSpec extends AnyFunSuite {
       .anomalyStream(dirty.toDF("event_type", "ts")).collect()
     assert(streamed.forall(_.key == "a"))
   }
+
+  test("cadence profile: timer bot flags, human jitter doesn't, " +
+    "even-count medians are exact") {
+    def ev(id: Long, user: Long, sec: Long): (Long, Timestamp, Long) =
+      (id, Timestamp.from(t0.plusSeconds(sec)), user)
+    // user 1: perfect 10s timer, 6 events -> median 10000, MAD 0, bot.
+    // user 2: 5 wildly uneven gaps (1,2,100,3,200) -> median 3000,
+    //   MAD 2000 (sorted devs 0,1000,2000,97000,197000), not regular.
+    // user 3: gaps (5,7) -> EVEN medians: (5+7)*1000/2 = 6000, MAD
+    //   (1000+1000)/2 = 1000; only 2 gaps -> below minGaps, no flag.
+    // user 4: one event -> no gaps -> absent.
+    val rows =
+      (0 to 5).map(i => ev(10 + i, 1L, i * 10L)) ++
+        Seq(0L, 1L, 3L, 103L, 106L, 306L).zipWithIndex.map {
+          case (s, i) => ev(20 + i, 2L, s) } ++
+        Seq(ev(30, 3L, 0), ev(31, 3L, 5), ev(32, 3L, 12)) ++
+        Seq(ev(40, 4L, 77))
+    val events = rows.toDF("event_id", "ts", "user_id")
+    val r = Timeseries.cadenceProfile(events)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getBoolean(5)))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == ((6L, 5L, 10000L, 0L, true)))
+    assert(r(2L) == ((6L, 5L, 3000L, 2000L, false)))
+    assert(r(3L) == ((3L, 2L, 6000L, 1000L, false)))
+  }
+
+  test("cadence profile: zero-gap burst is maximally regular") {
+    // six events in the same second: every gap 0 -> median 0, MAD 0,
+    // 0 <= 0 flags — the burst bot the scaladoc promises to catch
+    val rows = (0 to 5).map(i =>
+      (i.toLong, Timestamp.from(t0), 9L))
+    val r = Timeseries.cadenceProfile(
+        rows.toDF("event_id", "ts", "user_id"))
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(3) == 0L && r.head.getLong(4) == 0L &&
+      r.head.getBoolean(5))
+  }
 }
