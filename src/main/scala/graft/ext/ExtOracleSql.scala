@@ -5120,6 +5120,90 @@ FROM r WHERE rank <= $k"""
 
   val s16IvfPqTopK: String = ivfPqAnnSql(5)
 
+  /** s23: residual IVF-PQ top-5 — the s16 prelude (shared coarse
+    * training), then the PQ loop re-trained on residuals
+    * `x − centroid(cell(x))` via the same [[kmeansCtes]] generator
+    * (tag `pqr` — the seed string must match the Spark loop's), query
+    * ADC per (query, probed cell) on the query's residual in that
+    * cell's frame, candidate lookup keyed by the neighbor's cell.
+    */
+  val s23IvfPqResidual: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), exq AS (
+  SELECT vec_id AS vid,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v
+), exs AS (
+  SELECT vid, dim, CAST(x AS DOUBLE) AS x,
+         CAST(dim % 16 AS INTEGER) AS sub
+  FROM exq
+), exc AS (
+  SELECT vid, 0 AS sub, dim, x FROM exs
+), ${kmeansCtes("km", "exc", 8, 4)},
+rescell AS (
+  SELECT vid, cw AS cell FROM km_a4
+), res AS (
+  SELECT e.vid, e.sub, e.dim, e.x - cb.c AS x
+  FROM exs e
+  JOIN rescell rc ON rc.vid = e.vid
+  JOIN km_cb4 cb ON cb.cw = rc.cell AND cb.dim = e.dim
+), ${kmeansCtes("pqr", "res", 32, 3)},
+cells AS (
+  SELECT vid AS neighbor_id, cell FROM rescell
+), codes AS (
+  SELECT vid AS neighbor_id, sub, cw FROM pqr_a3
+), cent AS (
+  SELECT cw AS cell, list(c ORDER BY dim) AS c FROM km_cb4 GROUP BY 1
+), cn AS (
+  SELECT cell, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
+), q AS (
+  SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
+  FROM v WHERE vec_id < 20
+), probe AS (
+  SELECT q.query_id, cn.cell,
+         round(CASE WHEN q.qn * cn.nm > 0
+               THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
+           AS csim
+  FROM q CROSS JOIN cn
+), probed AS (
+  SELECT query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY csim DESC NULLS LAST, cell ASC) AS prn
+    FROM probe) p
+  WHERE prn <= 2
+), qres AS (
+  SELECT p.query_id, p.cell, e.sub, e.dim, e.x - cb.c AS x
+  FROM probed p
+  JOIN exs e ON e.vid = p.query_id
+  JOIN km_cb4 cb ON cb.cw = p.cell AND cb.dim = e.dim
+), adc AS (
+  SELECT qr.query_id, qr.cell, qr.sub, pc.cw,
+         SUM(CAST((qr.x - pc.c) * (qr.x - pc.c) AS DECIMAL(38,12)))
+           AS dist
+  FROM qres qr JOIN pqr_cb3 pc ON pc.dim = qr.dim
+  GROUP BY 1, 2, 3, 4
+), cand AS (
+  SELECT p.query_id, cells.neighbor_id, cells.cell, codes.sub, codes.cw
+  FROM probed p
+  JOIN cells ON cells.cell = p.cell
+  JOIN codes ON codes.neighbor_id = cells.neighbor_id
+  WHERE p.query_id <> cells.neighbor_id
+), adcsum AS (
+  SELECT cand.query_id, cand.neighbor_id, SUM(a.dist) AS adc
+  FROM cand JOIN adc a ON a.query_id = cand.query_id
+                      AND a.cell = cand.cell
+                      AND a.sub = cand.sub AND a.cw = cand.cw
+  GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY adc, neighbor_id) AS rank
+  FROM adcsum
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(CAST(adc AS DOUBLE), 9) AS adc_dist
+FROM r WHERE rank <= 5"""
+
   /** s22: two-stage retrieval — the s16 ADC pipeline at a 15-candidate
     * budget as a derived table, re-ranked by the exact 6-dp squared-L2
     * on the full-precision vectors (the s17 `sc` expression restricted

@@ -2460,6 +2460,19 @@ object ExtQueries {
     Similarity.recallAtK(ivfPqTopK(spark, sfDir), exact, 5)
   }
 
+  /** Residual IVF-PQ top-k (s23): the FAISS IndexIVFPQ encoding — PQ
+    * codebooks trained on `x − centroid(cell(x))`, ADC per (query,
+    * probed cell) in the residual frame; same index parameters and
+    * storage cost as s16.
+    */
+  def ivfPqResidual(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    Similarity.ivfPqResidualTopK(vecs.filter(col("vec_id") < 20), vecs,
+      k = 5, nprobe = 2, cells = 8, cellIters = 4, subspaces = 16,
+      codewords = 32, pqIters = 3, memoTag = Some(s"emb|$sfDir"))
+  }
+
   /** Two-stage ANN retrieval (s22): the s16 trained IVF-PQ index at a
     * 15-candidate ADC budget, re-ranked to top-5 by exact squared-L2
     * on the full-precision vectors — the production FAISS pattern

@@ -1498,6 +1498,106 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("dist2"))
   }
 
+  /** Residual IVF-PQ top-k (s23): [[ivfPqTopKTrained]] with the PQ
+    * codebooks trained on RESIDUALS `x − centroid(cell(x))` instead of
+    * raw vectors — the actual FAISS `IndexIVFPQ` encoding (Jégou et
+    * al. 2011, §IV: quantize the coarse-quantization error, not the
+    * vector). Residuals concentrate near the origin with the
+    * between-cell variance already explained by the coarse step, so
+    * the same codeword budget spends entirely on WITHIN-cell detail —
+    * the fidelity step above s16 at identical storage cost.
+    *
+    * The query side mirrors the encoding: ADC tables are computed per
+    * (query, probed cell) on the query's residual against THAT cell's
+    * centroid, so a candidate's distance is evaluated in the same
+    * residual frame its code was written in. The ADC broadcast grows
+    * to |queries| × nprobe × subspaces × codewords — still dimension-
+    * free and tiny (nprobe bounds it exactly as it bounds the scan).
+    * Everything else keeps the audited s16 shape: ONE corpus-sized
+    * join (candidates ⋈ codes), probe sets + centroid dims + ADC
+    * tables broadcast, DECIMAL-exact ADC, (adc, neighbor_id) rank —
+    * bit-deterministic, so the oracle unrolls training AND residual
+    * encoding rather than brute force.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nprobe: Int = 2, cells: Int = 8,
+                        cellIters: Int = 4, subspaces: Int = 16,
+                        codewords: Int = 32, pqIters: Int = 3,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        memoTag: Option[String] = None): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(nprobe >= 1, "need nprobe >= 1")
+    // ---- coarse quantizer: shared with the s16/s18 family ----
+    val ex = graft.std.Materialize.once(
+      pqExplode(corpus, subspaces, idCol, vecCol))
+    val (cellCb, cellAssign) =
+      kmeansLoopShared(ex.withColumn("_sub", lit(0).cast("int")),
+        cells, cellIters, "km", memoTag)
+    val cellDims = cellCb.select(col("_cw").as("_cell"), col("_dim"),
+      col("_c"))
+    // ---- residual frame: x − centroid(cell(x)), dim for dim ----
+    val resEx = graft.std.Materialize.once(
+      ex.join(cellAssign.select(col("_vid"), col("_cw").as("_cell")),
+          Seq("_vid"))
+        .join(broadcast(cellDims), Seq("_cell", "_dim"))
+        .select(col("_vid"), col("_sub"), col("_dim"),
+          (col("_x") - col("_c")).as("_x")))
+    val (pqCb, pqAssign) =
+      kmeansLoopShared(resEx, codewords, pqIters, "pqr", memoTag)
+    val cellOf = cellAssign.select(col("_vid").as("neighbor_id"),
+      col("_cw").as("_cell"))
+    val codes = pqAssign.select(col("_vid").as("neighbor_id"),
+      col("_sub"), col("_cw"))
+    val cents = broadcast(cellCb
+      .groupBy(col("_cw").as("_cell"))
+      .agg(array_sort(collect_list(struct(col("_dim"), col("_c"))))
+        .as("_pm"))
+      .select(col("_cell"),
+        transform(col("_pm"), p => p.getField("_c")).as("centroid"))
+      .withColumn("cn", l2Norm(col("centroid"))))
+    // ---- probe: the s16 cosine ranking against trained centroids ----
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_csim").desc, col("_cell").asc)
+    val probed = q.crossJoin(cents)
+      .withColumn("_csim", round(when(col("qn") * col("cn") > 0,
+        dot(col("qv"), col("centroid")) / (col("qn") * col("cn"))), 6))
+      .withColumn("_pr", row_number().over(probeW))
+      .filter(col("_pr") <= nprobe)
+      .select(col("query_id"), col("_cell"))
+    // ---- per-(query, cell) residual ADC tables ----
+    val qex = pqExplode(queries, subspaces, idCol, vecCol)
+      .select(col("_vid").as("query_id"), col("_sub"), col("_dim"),
+        col("_x"))
+    val qres = broadcast(probed).join(qex, Seq("query_id"))
+      .join(broadcast(cellDims), Seq("_cell", "_dim"))
+      .select(col("query_id"), col("_cell"), col("_sub"), col("_dim"),
+        (col("_x") - col("_c")).as("_x"))
+    val adcTable = qres.join(broadcast(pqCb), Seq("_dim"))
+      .select(col("query_id"), col("_cell"), col("_sub"), col("_cw"),
+        ((col("_x") - col("_c")) * (col("_x") - col("_c")))
+          .cast("decimal(38,12)").as("_sq"))
+      .groupBy(col("query_id"), col("_cell"), col("_sub"), col("_cw"))
+      .agg(sum(col("_sq")).as("_dist"))
+    // ---- the one corpus-sized join: candidates ⋈ codes ----
+    val adc = broadcast(probed).join(cellOf, Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(adcTable), Seq("query_id", "_cell", "_sub", "_cw"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_dist")).as("_adc"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").asc, col("neighbor_id").asc)
+    adc.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("_adc").cast("double"), 9).as("adc_dist"))
+  }
+
   /** Semantic deduplication (d13): the SemDeDup recipe (Abbas et al.
     * 2023, arXiv:2303.09540) — cluster the embedding corpus with the
     * trained k-means quantizer, then compare vectors ONLY within their

@@ -208,4 +208,40 @@ class KmeansSpec extends AnyFunSuite {
     graft.std.Materialize.releaseAll()
     assert(a == b, "identical input must train to identical codebooks")
   }
+
+  test("residual IVF-PQ: clustered data scores recall 1.0; " +
+    "identical cell-mates read ADC 0") {
+    // same blob fixture as the raw-PQ recall spec: the residual
+    // encoding must ALSO recover the structure (the coarse step eats
+    // the blob offsets, PQ spends its codewords within-blob)...
+    val corpus = Seq(
+      (1L, Seq(0.0, 1.0)), (2L, Seq(0.0, 1.1)), (3L, Seq(0.1, 1.0)),
+      (4L, Seq(9.0, 9.0)), (5L, Seq(9.0, 9.1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 1L)
+    val ann = Similarity.ivfPqResidualTopK(queries, corpus, k = 2,
+      nprobe = 1, cells = 2, cellIters = 2, subspaces = 2,
+      codewords = 2, pqIters = 2)
+    val rec = Similarity.recallAtK(ann,
+      Similarity.bruteForceTopKL2(queries, corpus, 2), 2).collect()
+    graft.std.Materialize.releaseAll()
+    assert(rec.length == 1 && rec(0).getDouble(4) == 1.0,
+      s"residual index must recover clustered neighbors: ${rec.toSeq}")
+    // ...and when every member of a cell is IDENTICAL, residuals are
+    // exactly zero, so the query's ADC to its cell-mates is 0.0 —
+    // the encode/decode round-trip pinned at the arithmetic level
+    val flat = Seq(
+      (1L, Seq(2.0, 3.0)), (2L, Seq(2.0, 3.0)), (3L, Seq(2.0, 3.0)),
+      (4L, Seq(50.0, 50.0)), (5L, Seq(50.0, 50.0)))
+      .toDF("vec_id", "embedding")
+    val fq = flat.filter($"vec_id" === 1L)
+    val r2 = Similarity.ivfPqResidualTopK(fq, flat, k = 2,
+      nprobe = 1, cells = 2, cellIters = 2, subspaces = 2,
+      codewords = 2, pqIters = 2).collect()
+    graft.std.Materialize.releaseAll()
+    assert(r2.map(_.getLong(1)).toSet == Set(2L, 3L),
+      s"candidates must stay in the probed cell: ${r2.toSeq}")
+    assert(r2.forall(_.getDouble(3) == 0.0),
+      s"identical cell-mates must read ADC 0: ${r2.toSeq}")
+  }
 }
