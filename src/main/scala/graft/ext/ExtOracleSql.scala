@@ -4531,6 +4531,70 @@ SELECT 'all' AS cohort,
        round(unnest(qv), 6) AS value
 FROM q"""
 
+  /** x52: Kaplan–Meier conversion survival — subjects = first view →
+    * first subsequent purchase (x45's pairing), non-converters
+    * censored at the corpus max ts; per death time the at-risk
+    * cumulative window, truncating 1e-9 fixed-point factors, and the
+    * survival product REPLAYED as a left fold `acc · f // 1e9`
+    * (`list_reduce` seeds with the first factor; the Spark fold's
+    * 1e9 seed makes its first step the same value). A 9-dp double
+    * fold diverged at .5-ulp products — hence integers.
+    */
+  val x52SurvivalCurve: String = """WITH fv AS (
+  SELECT user_id, MIN(ts) AS vt FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), fp AS (
+  SELECT e.user_id, MIN(e.ts) AS pt
+  FROM events e JOIN fv USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.vt
+  GROUP BY 1
+), hz AS (
+  SELECT MAX(ts) AS h FROM events
+), subj AS (
+  SELECT CASE WHEN fp.pt IS NOT NULL
+              THEN CAST(floor(epoch(fp.pt)) AS BIGINT)
+                   - CAST(floor(epoch(fv.vt)) AS BIGINT)
+              ELSE CAST(floor(epoch(hz.h)) AS BIGINT)
+                   - CAST(floor(epoch(fv.vt)) AS BIGINT) END
+           AS duration_s,
+         CASE WHEN fp.pt IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN hz
+), bydur AS (
+  SELECT duration_s, COUNT(*) AS m, SUM(observed) AS d
+  FROM subj WHERE duration_s IS NOT NULL AND duration_s >= 0
+  GROUP BY 1
+), cum AS (
+  SELECT duration_s, m, d,
+         COALESCE(SUM(m) OVER (ORDER BY duration_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS bef,
+         SUM(m) OVER () AS total
+  FROM bydur
+), death AS (
+  SELECT duration_s,
+         CAST(total - bef AS BIGINT) AS n_risk,
+         CAST(d AS BIGINT) AS n_events,
+         CAST(m - d AS BIGINT) AS n_censored,
+         CAST((total - bef - d) * 1000000000 // (total - bef)
+              AS BIGINT) AS f
+  FROM cum WHERE d >= 1
+), surv AS (
+  SELECT duration_s, n_risk, n_events, n_censored,
+         list(f) OVER (ORDER BY duration_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+  FROM death
+), folded AS (
+  SELECT duration_s, n_risk, n_events, n_censored,
+         list_reduce(fs, (acc, x) -> acc * x // 1000000000)
+           AS survival_e9
+  FROM surv
+)
+SELECT duration_s, n_risk, n_events, n_censored,
+       CAST(survival_e9 AS BIGINT) AS survival_e9,
+       CAST(CAST(survival_e9 AS BIGINT) AS DOUBLE) / 1000000000.0
+         AS survival
+FROM folded"""
+
   /** x51: inter-arrival cadence — per-user gaps in floored epoch
     * seconds (the x45 parity), exact mid-rank medians in milli-units
     * (`sum · 1000 // count` over the 1-or-2 middle order statistics),

@@ -2346,6 +2346,35 @@ object ExtQueries {
       Seq(0.25, 0.5, 0.75, 0.9, 0.99), exact = true)
   }
 
+  /** Kaplan–Meier conversion survival (x52): time from first view to
+    * first subsequent purchase, users without a purchase
+    * right-censored at the corpus horizon (max event ts) — the
+    * censoring-correct complement of x45's converted-only latency
+    * quantiles.
+    */
+  def survivalCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val e = Tables.events(spark, sfDir)
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("_vt"))
+    val firstPurchase = e.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") >= col("_vt"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("_pt"))
+    val horizon = e.agg(max(col("ts")).as("_h"))
+    val subjects = firstView
+      .join(firstPurchase, Seq("user_id"), "left_outer")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("_pt").isNotNull,
+          unix_timestamp(col("_pt")) - unix_timestamp(col("_vt")))
+          .otherwise(
+            unix_timestamp(col("_h")) - unix_timestamp(col("_vt")))
+          .as("duration_s"),
+        when(col("_pt").isNotNull, 1).otherwise(0).as("observed"))
+    Timeseries.kmSurvival(subjects)
+  }
+
   /** Inter-arrival cadence profile (x51): per-user median/MAD of the
     * gaps between consecutive events in exact milli-units — the
     * timer-regularity bot fingerprint next to x47/x49.

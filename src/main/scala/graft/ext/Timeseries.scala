@@ -419,6 +419,81 @@ object Timeseries {
           .as("is_anomaly"))
   }
 
+  /** Kaplan–Meier survival curve (x52): the right-censoring-correct
+    * time-to-event readout x45's latency quantiles cannot be — x45
+    * conditions on users who DID convert, silently dropping everyone
+    * still pending, which biases every "how fast do users convert"
+    * answer optimistic. KM keeps the pending users at risk until their
+    * censoring time: at each death time t, `S(t) ⟵ S · (n−d)/n` over
+    * the subjects still at risk (deaths-before-censoring at equal
+    * times, the standard convention).
+    *
+    * Input: one row per subject with `duration_s` (time to event OR to
+    * censoring, whole seconds) and `observed` (1 = event, 0 =
+    * censored). Output: one row per death time — at-risk count, event
+    * count, same-time censored count, and the survival estimate.
+    *
+    * Determinism — the x43 problem (a NON-associative sequential
+    * recurrence) solved the x20 way: the product runs in 1e-9 FIXED
+    * POINT. A 9-dp-double fold was tried first and diverged in the
+    * last digit at sf0.01 (Spark's BigDecimal HALF_UP vs DuckDB's
+    * double round at .5-ulp products — the exact failure x20
+    * documents), so factors are truncating longs
+    * `(n−d)·1e9 div n` and the survival product is a LEFT FOLD
+    * `acc ⟵ acc·f div 1e9` over the duration-ordered factor list —
+    * Spark's `aggregate` (seed 1e9; the first step is exact identity)
+    * against DuckDB's `list_reduce` (seeds with the first factor
+    * directly — the same value). Every intermediate is the same
+    * integer in both engines; no transcendental anywhere (Π = exp(Σln)
+    * would introduce the one libm call the repo has no cross-engine
+    * contract for). The in-fold product `acc·f ≤ 1e18` stays inside
+    * long range while `n ≤ ~9.2e9` — the Spark-side multiply runs in
+    * DECIMAL(20,0) so even that bound only constrains the DuckDB
+    * twin. A zero factor (everyone at risk dies) propagates 0
+    * exactly.
+    *
+    * 100 TB shape: subjects collapse to |distinct durations| rows via
+    * partial aggregation BEFORE any window; the cumulative at-risk
+    * and fold windows run on that tiny frame single-partitioned —
+    * bounded by the time resolution, not the corpus (and collapsible
+    * further by flooring durations to coarser buckets upstream).
+    */
+  def kmSurvival(subjects: DataFrame): DataFrame = {
+    val byDur = subjects
+      .filter(col("duration_s").isNotNull && col("duration_s") >= 0)
+      .groupBy(col("duration_s"))
+      .agg(count(lit(1)).as("_m"),
+        sum(col("observed").cast("long")).as("_d"))
+    val ord = Window.orderBy(col("duration_s"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val full = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val death = byDur
+      .withColumn("_before",
+        coalesce(sum(col("_m")).over(before), lit(0L)))
+      .withColumn("_total", sum(col("_m")).over(full))
+      .filter(col("_d") >= 1)
+      .select(col("duration_s"),
+        (col("_total") - col("_before")).as("n_risk"),
+        col("_d").as("n_events"),
+        (col("_m") - col("_d")).as("n_censored"))
+      .withColumn("_f",
+        expr("CAST((n_risk - n_events) * 1000000000 div n_risk" +
+          " AS BIGINT)"))
+    val run = Window.orderBy(col("duration_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    death
+      .withColumn("_fs", collect_list(col("_f")).over(run))
+      .select(col("duration_s"), col("n_risk"), col("n_events"),
+        col("n_censored"),
+        aggregate(col("_fs"), lit(1000000000L), (acc, f) =>
+          ((acc.cast("decimal(10,0)") * f.cast("decimal(10,0)")) /
+            lit(1000000000L).cast("decimal(10,0)")).cast("long"))
+          .as("survival_e9"))
+      .withColumn("survival",
+        col("survival_e9").cast("double") / lit(1e9))
+  }
+
   /** Per-entity inter-arrival cadence profile (x51): median and MAD of
     * the gaps between an entity's consecutive events — the
     * bot/automation fingerprint next to [[transitionMatrix]]'s WHAT

@@ -165,6 +165,36 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(r(3L) == ((3L, 2L, 6000L, 1000L, false)))
   }
 
+  test("kaplan-meier: textbook curve with same-time censoring") {
+    // durations: death@1, death@2 + censor@2, censor@3, death@4 (N=5)
+    //   t=1: n=5, d=1 -> f=0.8,          S=0.8
+    //   t=2: n=4 (censor@2 still at risk), d=1 -> f=0.75, S=0.6
+    //   t=4: n=1, d=1 -> f=0.0,          S=0.0  (zero propagates)
+    // censor times never emit rows; same-time censors are counted.
+    val subjects = Seq((1L, 1), (2L, 1), (2L, 0), (3L, 0), (4L, 1))
+      .toDF("duration_s", "observed")
+    val r = Timeseries.kmSurvival(subjects).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    assert(r.keySet == Set(1L, 2L, 4L))
+    assert(r(1L) == ((5L, 1L, 0L, 800000000L, 0.8)))
+    assert(r(2L) == ((4L, 1L, 1L, 600000000L, 0.6)))
+    assert(r(4L) == ((1L, 1L, 0L, 0L, 0.0)))
+  }
+
+  test("kaplan-meier: no censoring tracks the empirical survivor " +
+    "to within fixed-point truncation") {
+    // deaths at 1,2,3,4, no censoring: S = 3/4, 1/2, 1/4, 0. The
+    // truncating fold only ever SHAVES: 2/3 -> 666666666, so S(2) is
+    // 0.499999999 — one unit under the rational value, never over.
+    val subjects = Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1))
+      .toDF("duration_s", "observed")
+    val r = Timeseries.kmSurvival(subjects).collect()
+      .map(x => x.getLong(0) -> x.getLong(4)).toMap
+    assert(r == Map(1L -> 750000000L, 2L -> 499999999L,
+      3L -> 249999999L, 4L -> 0L))
+  }
+
   test("cadence profile: zero-gap burst is maximally regular") {
     // six events in the same second: every gap 0 -> median 0, MAD 0,
     // 0 <= 0 flags — the burst bot the scaladoc promises to catch
