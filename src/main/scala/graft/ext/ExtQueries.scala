@@ -2558,6 +2558,19 @@ object ExtQueries {
       .toDF()
   }
 
+  /** Streaming cadence feed (w11): [[graft.streaming.StreamingOps
+    * .gapPairs]] run in batch mode + the shared
+    * [[Timeseries.cadenceRollup]] tail — batch ≡ the x51 lag-window
+    * form, so they share one oracle; the stream side is pinned in
+    * `StreamingSpec`.
+    */
+  def cadenceStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.cadenceRollup(
+      graft.streaming.StreamingOps.gapPairs(Tables.events(spark, sfDir))
+        .toDF())
+  }
+
   /** Streaming sequence scorer (w10): [[graft.streaming.StreamingOps
     * .sequenceScoreStream]] in batch mode, scoring against the
     * self-fit transition model published via

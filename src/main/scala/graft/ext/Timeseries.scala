@@ -524,7 +524,6 @@ object Timeseries {
   def cadenceProfile(events: DataFrame, minGaps: Int = 5,
                      userCol: String = "user_id", tsCol: String = "ts",
                      tiebreakCol: String = "event_id"): DataFrame = {
-    require(minGaps >= 1, "need at least one gap to call a cadence")
     val byUser = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tiebreakCol))
     val gaps = events
@@ -535,6 +534,17 @@ object Timeseries {
           lag(unix_timestamp(col(tsCol)), 1).over(byUser))
           .as("gap_s"))
       .filter(col("gap_s").isNotNull)
+    cadenceRollup(gaps, minGaps)
+  }
+
+  /** The cadence tail shared by [[cadenceProfile]] and the streaming
+    * gap feed ([[graft.streaming.StreamingOps.gapPairs]]): exact
+    * per-user medians/MAD over a `(user_id, gap_s)` frame — the
+    * two-stage split every sequence pipeline here uses (w8/w10), so
+    * the batch and stateful forms cannot drift.
+    */
+  def cadenceRollup(gaps: DataFrame, minGaps: Int = 5): DataFrame = {
+    require(minGaps >= 1, "need at least one gap to call a cadence")
     // exact per-group median in milli-units: the 1-or-2 middle order
     // statistics by mid-rank, summed, times 1000, divided by their
     // count — integral for both parities

@@ -40,6 +40,11 @@ case class TransState(lastTs: Long, lastId: Long, lastType: String)
 case class TransPair(prev_type: String, next_type: String)
 
 /** Typed rows/state for the streaming as-of enrichment. */
+case class GapEvent(user_id: Long, ts: java.sql.Timestamp,
+                    event_id: Long)
+case class GapState(lastTsMs: Long, lastId: Long)
+case class GapPair(user_id: Long, gap_s: Long)
+
 case class AsofEvent(user_id: Long, event_type: String,
                      ts: java.sql.Timestamp, event_id: Long)
 case class AsofState(lastRightUs: Long)
@@ -422,6 +427,69 @@ object StreamingOps {
             sorted.foreach { e =>
               st.foreach(s => out += TransPair(s.lastType, e.event_type))
               st = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+            }
+            st.foreach(state.update)
+            if (streaming && sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(sorted.last.ts.getTime,
+                  state.getCurrentWatermarkMs() + 1) + evictAfterMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Per-user inter-arrival gaps as a STREAMING feed (w11): the
+    * stateful form of [[graft.ext.Timeseries.cadenceProfile]]'s lag
+    * window — each user's state is ONE timestamp + tiebreak (the w9
+    * 8-byte-per-user discipline), every arriving event emits one
+    * whole-second gap against it. The cadence readout itself is
+    * [[graft.ext.Timeseries.cadenceRollup]] downstream — the
+    * two-stage split (w8/w10 pattern), because the median windows
+    * aren't streamable but the GAP EXTRACTION (the corpus-sized part)
+    * is. Gaps floor to epoch seconds exactly like the batch form's
+    * `unix_timestamp` difference (`floorDiv(ms, 1000)` — identical on
+    * every ms the encoder can carry).
+    *
+    * Batch execution sorts each user's partition by (ts, event_id),
+    * so batch output ≡ the x51 lag-window gaps exactly — the w11
+    * query shares x51's oracle verbatim; the equality IS the gate.
+    * The w8 cross-batch arrival-order caveat and eviction contract
+    * apply on real streams.
+    */
+  def gapPairs(events: DataFrame,
+               stateRetention: String = "24 hours",
+               evictAfterMs: Long = 24L * 3600 * 1000)
+      : Dataset[GapPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", stateRetention)
+      else events
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[GapEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapPair](
+        OutputMode.Append, timeoutConf) {
+        (user: Long, rows: Iterator[GapEvent], state: GroupState[GapState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ListBuffer.empty[GapPair]
+            var st = state.getOption
+            sorted.foreach { e =>
+              st.foreach { s =>
+                out += GapPair(user,
+                  Math.floorDiv(e.ts.getTime, 1000L) -
+                    Math.floorDiv(s.lastTsMs, 1000L))
+              }
+              st = Some(GapState(e.ts.getTime, e.event_id))
             }
             st.foreach(state.update)
             if (streaming && sorted.nonEmpty)

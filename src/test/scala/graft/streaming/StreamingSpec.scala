@@ -262,6 +262,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gap pairs: stateful batch form ≡ the x51 lag window") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sfDir)
+    val stateful = graft.ext.Timeseries.cadenceRollup(
+      StreamingOps.gapPairs(ev).toDF()).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val window = graft.ext.Timeseries.cadenceProfile(ev).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(stateful == window && stateful.nonEmpty)
+  }
+
+  test("streaming gap pairs: last-ts state carries across batches") {
+    import spark.implicits._
+    def ev(uid: Long, t: String, id: Long) =
+      (uid, java.sql.Timestamp.valueOf(t), id)
+    val dir = Files.createTempDirectory("gap_src").toFile
+    def stamp(m: Long): Unit = dir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.lastModified() > m)
+      .foreach(f => assert(f.setLastModified(m)))
+    // micro-batch 1: user 1 emits one 60s gap in-batch; user 2 lone
+    Seq(ev(1L, "2024-01-01 10:00:00", 1L),
+        ev(1L, "2024-01-01 10:01:00", 2L),
+        ev(2L, "2024-01-01 10:00:30", 3L))
+      .toDF("user_id", "ts", "event_id")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(1000000L)
+    // micro-batch 2: both users gap against their STORED timestamps
+    Seq(ev(1L, "2024-01-01 10:03:00", 4L),
+        ev(2L, "2024-01-01 10:00:45", 5L))
+      .toDF("user_id", "ts", "event_id")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(2000000L)
+    val streamIn = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, event_id LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = StreamingOps.gapPairs(streamIn)
+      .writeStream.format("memory").queryName("gap_pairs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gap_pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq((1L, 60L), (1L, 120L), (2L, 15L)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("asof pairs: stateful batch form ≡ the x3 window form") {
     val sfDir = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, sfDir)
