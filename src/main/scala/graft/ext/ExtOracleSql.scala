@@ -4531,6 +4531,44 @@ SELECT 'all' AS cohort,
        round(unnest(qv), 6) AS value
 FROM q"""
 
+  /** v9: drift timeline — per-month PSI of the status mix vs the
+    * global mix; the x16 arithmetic (Laplace smoothing over the
+    * global class set, 9-dp terms, DECIMAL(28,9) per-period sums) on
+    * a categorical domain with a periods × classes scaffold.
+    */
+  val v9DriftTimeline: String = """WITH cells AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+         CAST(o_orderstatus AS VARCHAR) AS cls,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+), classes AS (
+  SELECT cls, SUM(n) AS ng FROM cells GROUP BY 1
+), per_period AS (
+  SELECT period, SUM(n) AS n_rows FROM cells GROUP BY 1
+), tot AS (
+  SELECT SUM(ng) AS nt, COUNT(*) AS nc FROM classes
+), scaffold AS (
+  SELECT p.period, p.n_rows, c.cls, c.ng, COALESCE(cells.n, 0) AS n
+  FROM per_period p
+  CROSS JOIN classes c
+  LEFT JOIN cells ON cells.period = p.period
+                 AND cells.cls IS NOT DISTINCT FROM c.cls
+), terms AS (
+  SELECT period, n_rows, tot.nc,
+         round((CAST(ng + 1 AS DOUBLE) / CAST(nt + nc AS DOUBLE)
+                - CAST(n + 1 AS DOUBLE) / CAST(n_rows + nc AS DOUBLE))
+               * ln((CAST(ng + 1 AS DOUBLE) / CAST(nt + nc AS DOUBLE))
+                    / (CAST(n + 1 AS DOUBLE)
+                       / CAST(n_rows + nc AS DOUBLE))), 9) AS term
+  FROM scaffold CROSS JOIN tot
+)
+SELECT period,
+       CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+       CAST(MAX(nc) AS BIGINT) AS n_classes,
+       CAST(round(SUM(CAST(term AS DECIMAL(28,9))), 9) AS DOUBLE)
+         AS psi
+FROM terms GROUP BY 1"""
+
   /** x52: Kaplan–Meier conversion survival — subjects = first view →
     * first subsequent purchase (x45's pairing), non-converters
     * censored at the corpus max ts; per death time the at-risk

@@ -2306,6 +2306,19 @@ object ExtQueries {
     Graph.weightedPageRank(edges, iterations = 3, dampingPerMille = 850)
   }
 
+  /** Drift timeline (v9): per-month PSI of the order-status mix vs
+    * the global mix — TPC-H status correlates with date (F old, O
+    * recent), so the series shows real drift localized in time.
+    */
+  def driftTimeline(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Validation.psiTimeline(
+      Tables.orders(spark, sfDir)
+        .select(to_date(date_trunc("month", col("o_orderdate")))
+          .as("month"), col("o_orderstatus")),
+      "month", "o_orderstatus")
+  }
+
   /** FD audit (v7): [[Validation.fdAudit]] over four claimed
     * dependencies — one that holds by schema (nation → region), three
     * that plausibly-but-wrongly get assumed (brand → type, part →

@@ -242,6 +242,64 @@ object Validation {
         .cast("double"))
   }
 
+  /** Categorical drift timeline (v9): per-period PSI of a categorical
+    * column's mix against the WHOLE-corpus mix — x16 answers "did the
+    * distribution move between two snapshots"; this answers WHEN, on
+    * one table, per period: the scraper-regression / schema-rollout /
+    * seasonality localizer (a status mix that drifts month over month
+    * shows up as a rising psi series, and the month a feed broke is a
+    * step). Reference = the global mix, so every period is scored
+    * against the same yardstick and the series is comparable.
+    *
+    * Same arithmetic as [[driftPsi]], categorical domain instead of
+    * bins: Laplace-smoothed shares over the GLOBAL class set (every
+    * period scores every class — absent classes read the smoothed
+    * floor, so one-sided classes stay finite), 9-dp
+    * `(p_ref − p_cur)·ln(p_ref/p_cur)` terms summed per period in
+    * DECIMAL(28,9), order-free. NULL classes group as their own
+    * reportable class (the x29 rule).
+    *
+    * 100 TB shape: the corpus collapses to |periods|×|classes| cells
+    * in ONE partial-agg shuffle; the scaffold (distinct periods ×
+    * distinct classes), the global class frame, and the scalar total
+    * are all broadcast-sized; the per-period sum runs on the tiny
+    * cell frame.
+    */
+  def psiTimeline(df: DataFrame, periodCol: String,
+                  valueCol: String): DataFrame = {
+    val cells = df.select(col(periodCol).as("period"),
+        col(valueCol).cast("string").as("_cls"))
+      .groupBy(col("period"), col("_cls"))
+      .agg(count(lit(1)).as("_n"))
+    val classes = cells.groupBy(col("_cls"))
+      .agg(sum(col("_n")).as("_ng"))
+    val perPeriod = cells.groupBy(col("period"))
+      .agg(sum(col("_n")).as("n_rows"))
+    val tot = classes.agg(sum(col("_ng")).as("_nt"),
+      count(lit(1)).as("_nc"))
+    // null-safe class match: the NULL class must meet ITS scaffold row
+    val c2 = cells.select(col("period").as("_p2"),
+      col("_cls").as("_c2"), col("_n"))
+    val scaffold = perPeriod.crossJoin(broadcast(classes))
+      .join(c2, col("period") === col("_p2") &&
+        col("_cls") <=> col("_c2"), "left_outer")
+      .select(col("period"), col("n_rows"), col("_cls"), col("_ng"),
+        coalesce(col("_n"), lit(0L)).as("_n"))
+      .crossJoin(broadcast(tot))
+    val pRef = (col("_ng") + 1).cast("double") /
+      (col("_nt") + col("_nc")).cast("double")
+    val pCur = (col("_n") + 1).cast("double") /
+      (col("n_rows") + col("_nc")).cast("double")
+    scaffold
+      .select(col("period"), col("n_rows"), col("_nc"),
+        round((pRef - pCur) * log(pRef / pCur), 9).as("_term"))
+      .groupBy(col("period"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("_nc")).as("n_classes"),
+        round(sum(col("_term").cast("decimal(28,9)")), 9)
+          .cast("double").as("psi"))
+  }
+
   /** Key-skew diagnostic (x17): the report a pipeline runs BEFORE
     * shuffling on a key to decide whether the join/agg needs salting
     * ([[graft.std.Salt]], the x1 device) or AQE skew splitting. Top

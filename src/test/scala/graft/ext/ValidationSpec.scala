@@ -271,4 +271,29 @@ class ValidationSpec extends AnyFunSuite {
     // single-partition scalar aggregate: at most the final 1-row exchange
     assert(shuffles <= 1, s"expected one scalar-agg exchange, saw $shuffles")
   }
+
+  test("psi timeline: identical periods score equal psi, a flipped " +
+    "period scores higher, absent classes stay finite") {
+    import spark.implicits._
+    // periods 1 and 2 have the global mix (9a+1b); period 3 is all b
+    // plus the only null row — so 1 and 2 share one (small) psi from
+    // smoothing alone, 3 reads clearly higher, and classes 'a'
+    // (absent in 3) and NULL (absent in 1/2) stay finite via the
+    // Laplace floor over the GLOBAL class set.
+    val rows =
+      (1 to 9).map(_ => (1, "a")) ++ Seq((1, "b")) ++
+        (1 to 9).map(_ => (2, "a")) ++ Seq((2, "b")) ++
+        (1 to 9).map(_ => (3, "b")) ++ Seq((3, null: String))
+    val r = Validation.psiTimeline(rows.toDF("period", "cls"),
+        "period", "cls")
+      .collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3)))).toMap
+    assert(r.keySet == Set(1, 2, 3))
+    assert(r(1) == r(2), s"identical mixes must tie: $r")
+    assert(r(1)._1 == 10L && r(1)._2 == 3L)
+    assert(r(3)._3 > r(1)._3 + 0.5,
+      s"the flipped period must read clearly higher: $r")
+    assert(!r(3)._3.isInfinite && !r(3)._3.isNaN)
+  }
 }
