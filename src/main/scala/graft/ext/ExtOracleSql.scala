@@ -3193,6 +3193,95 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.psig,
        a.pmd5 = b.pmd5 AS digest_match
 FROM elig a JOIN elig b ON a.psig = b.psig AND a.doc_id < b.doc_id"""
 
+  /** m8: temporal media alignment — the m7 corpus with the mirrors
+    * additionally TRIMMED by one 32-char frame; per-frame 8-bit
+    * perceptual signatures via the m7 byte pipeline grouped at the
+    * (doc, frame) grain, 4-frame window keys through the shared
+    * 64-bit hash lane, capped equal-key pairs, modal frame offset
+    * with (count DESC, offset ASC) ties.
+    */
+  val m8TemporalAlignment: String = s"""WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+), corpus0 AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 700000,
+         translate(substr(text, 33),
+                   'abcdefghijklmnopqrstuvwxyz',
+                   'bcdefghijklmnopqrstuvwxyza')
+  FROM base WHERE doc_id % 7 = 0
+), m AS (
+  SELECT doc_id,
+         lpad(hex(64 + doc_id % 192), 4, '0')
+           || lpad(hex(64 + doc_id % 128), 4, '0') || text AS payload_str
+  FROM corpus0
+), s AS (
+  SELECT doc_id, hex(substr(payload_str, 9)) AS hh,
+         CAST(length(hex(substr(payload_str, 9))) // 2 AS BIGINT) AS n
+  FROM m
+), bv AS (
+  SELECT doc_id, n, hh,
+         unnest(generate_series(0, CAST(n AS INTEGER) - 1)) AS j
+  FROM s WHERE n > 0
+), vals AS (
+  SELECT doc_id,
+         CAST(j // 32 AS INTEGER) AS f,
+         CAST((j % 32)
+              // ((LEAST(32, n - (j // 32) * 32) + 7) // 8)
+              AS INTEGER) AS c,
+         CAST(('0x' || substr(hh, CAST(j * 2 + 1 AS INTEGER), 2))
+              AS BIGINT) AS v
+  FROM bv
+), cellsums AS (
+  SELECT doc_id, f, c, SUM(v) AS cs, COUNT(*) AS cl
+  FROM vals GROUP BY 1, 2, 3
+), tots AS (
+  SELECT doc_id, f, SUM(v) AS tot, COUNT(*) AS fl
+  FROM vals GROUP BY 1, 2
+), scaffold AS (
+  SELECT t.doc_id, t.f, g.c
+  FROM tots t, (SELECT unnest(generate_series(0, 7)) AS c) g
+), bits AS (
+  SELECT sc.doc_id, sc.f, sc.c,
+         CASE WHEN COALESCE(cl, 0) > 0 AND cs * t.fl > t.tot * cl
+              THEN '1' ELSE '0' END AS bit
+  FROM scaffold sc
+  LEFT JOIN cellsums USING (doc_id, f, c)
+  LEFT JOIN tots t USING (doc_id, f)
+), fsigs AS (
+  SELECT doc_id, f, string_agg(bit, '' ORDER BY c) AS fsig
+  FROM bits GROUP BY 1, 2
+), wk AS (
+  SELECT doc_id, f AS fstart,
+         fsig || '|' || lead(fsig, 1) OVER w
+              || '|' || lead(fsig, 2) OVER w
+              || '|' || lead(fsig, 3) OVER w AS wkstr,
+         lead(fsig, 3) OVER w AS tl
+  FROM fsigs
+  WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+), wkeys AS (
+  SELECT doc_id, fstart, ${h64("wkstr")} AS wkey
+  FROM wk WHERE tl IS NOT NULL
+), ok AS (
+  SELECT wkey FROM wkeys GROUP BY 1 HAVING COUNT(*) <= 64
+), elig AS (
+  SELECT wkeys.doc_id, wkeys.fstart, wkeys.wkey
+  FROM wkeys JOIN ok USING (wkey)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(b.fstart - a.fstart AS BIGINT) AS frame_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_aligned
+  FROM elig a JOIN elig b USING (wkey)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, frame_offset, n_aligned
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+    ORDER BY n_aligned DESC, frame_offset ASC) AS rn
+  FROM pairs) r
+WHERE rn = 1"""
+
   /** w7: attribution interval join — the plain-SQL form of the
     * stream-stream join's condition.
     */

@@ -1989,6 +1989,28 @@ object ExtQueries {
       Media.synthCorpus(spread(docs.unionByName(mirrors))))
   }
 
+  /** Temporal media alignment (m8): every 7th document re-uploaded as
+    * its +700000 mirror TRIMMED by one 32-byte frame AND re-encoded
+    * (the m7 byte rotation) — whole-file digests, chunk sets, and the
+    * whole-file perceptual signature all change, but the frame-local
+    * signatures still align at frame offset −1.
+    * [[Media.temporalAlignment]] over the combined corpus.
+    */
+  def mediaTemporalAlignment(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val mirrors = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 700000).as("doc_id"),
+        translate(
+          substring(coalesce(col("text"), lit("")), 33, Int.MaxValue),
+          "abcdefghijklmnopqrstuvwxyz",
+          "bcdefghijklmnopqrstuvwxyza").as("text"))
+    Media.temporalAlignment(
+      Media.synthCorpus(spread(docs.unionByName(mirrors))))
+  }
+
   /** Frame sampling rollup: per doc, how many 32-byte frames the payload
     * splits into and their reassembled size (proves the binary chunking
     * covers the payload exactly).

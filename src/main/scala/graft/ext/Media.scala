@@ -294,4 +294,72 @@ object Media {
           (col("_na") + col("_nb") - col("n_shared")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Temporal media alignment (m8): asset pairs sharing a RUN of
+    * `window` consecutive per-frame perceptual signatures — the
+    * sequence-level near-dup the per-file signature (m7) and the
+    * chunk-set Jaccard (m5) both miss when a duplicate is re-encoded
+    * AND trimmed/offset (a clipped re-upload, an ad bumper, a resumed
+    * recording): every m3–m5 digest changes, m7's whole-file
+    * signature shifts with the content grid, but the frame-local
+    * signatures still line up — just at a different frame offset.
+    *
+    * Pipeline: frames of `frameBytes` over the payload BODY →
+    * [[perceptualHash]] per frame (`grid` bits, re-encode-invariant by
+    * the m7 argument, applied frame-LOCALLY so trimming upstream
+    * can't move cell boundaries downstream) → sliding `window`-gram of
+    * consecutive signatures hashed to a 64-bit key (the winnowing/t7
+    * idea on media) → equal-key candidate pairs with the d2/m5
+    * `maxRefs` popular-window cap (an all-black bumper shared by the
+    * whole corpus must not go quadratic) → per pair, align on the
+    * MODAL frame offset: `n_aligned` = windows agreeing at that
+    * offset, ties to the smallest offset.
+    *
+    * Scale shape: one scan to signatures (per-row expressions, no
+    * UDF), one shuffle of (wkey, doc, start) triples, pair output
+    * bounded by genuine alignments + the capped collision budget.
+    */
+  def temporalAlignment(media: DataFrame, frameBytes: Int = 32,
+                        window: Int = 4, grid: Int = 8,
+                        headerBytes: Int = 8,
+                        maxRefs: Int = 64): DataFrame = {
+    require(window >= 1, "need at least a one-frame window")
+    require(maxRefs >= 2, "maxRefs must allow at least a pair")
+    val body = media.select(col("doc_id"),
+      substring(col("payload"), headerBytes + 1, Int.MaxValue)
+        .as("payload"))
+    val sigs = sampleFrames(body, frameBytes)
+      .select(col("doc_id"), col("frame_no"),
+        perceptualHash(col("frame"), grid, headerBytes = 0).as("fsig"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val wkeys = graft.std.Materialize.once(
+      sigs.select(col("doc_id"), col("frame_no").as("start"),
+          concat_ws("|", (0 until window).map(i =>
+            lead(col("fsig"), i).over(byDoc)): _*).as("_wk"),
+          lead(col("fsig"), window - 1).over(byDoc).as("_tail"))
+        .filter(col("_tail").isNotNull)
+        .select(col("doc_id"), col("start"),
+          TextOps.hash64(col("_wk")).as("wkey")))
+    val ok = wkeys.groupBy(col("wkey"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxRefs)
+      .select(col("wkey"))
+    val elig = wkeys.join(ok, Seq("wkey"))
+    val pairs = elig.select(col("wkey"), col("doc_id").as("id_a"),
+        col("start").as("_sa"))
+      .join(elig.select(col("wkey"), col("doc_id").as("id_b"),
+        col("start").as("_sb")), Seq("wkey"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("_sb").cast("long") - col("_sa")).as("frame_offset"))
+      .agg(count(lit(1)).as("n_aligned"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("n_aligned").desc, col("frame_offset").asc)
+    pairs.withColumn("_rn", row_number().over(best))
+      .filter(col("_rn") === 1)
+      .select(col("id_a"), col("id_b"), col("frame_offset"),
+        col("n_aligned"))
+  }
 }

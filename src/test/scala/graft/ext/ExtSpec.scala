@@ -443,6 +443,30 @@ class ExtSpec extends AnyFunSuite {
     assert(capped.isEmpty, "over-cap bucket must not generate pairs")
   }
 
+  test("media: temporal alignment finds trimmed+re-encoded duplicates " +
+    "at the modal offset") {
+    // doc 1: four 8-byte frames with distinct perceptual sigs.
+    // doc 2: doc 1 MINUS its first frame, every byte shifted +1 (the
+    // m7 re-encode) — every digest differs, yet frames align at
+    // offset -1 across 2 of 2 possible windows. doc 3 is unrelated.
+    val f1 = "aaaabbbb"; val f2 = "bbbbaaaa"
+    val f3 = "aabbaabb"; val f4 = "bbaabbaa"
+    def shift(s: String) = s.map(c => (c + 1).toChar)
+    val mk = (id: Long, s: String) => (id, s.getBytes("UTF-8"))
+    val media = Seq(
+      mk(1L, "00400040" + f1 + f2 + f3 + f4),
+      mk(2L, "00800080" + shift(f2 + f3 + f4)),
+      mk(3L, "00400040" + "abababab" * 4))
+      .toDF("doc_id", "payload")
+    val got = Media.temporalAlignment(media, frameBytes = 8,
+        window = 2, grid = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    graft.std.Materialize.releaseAll()
+    assert(got == Map((1L, 2L) -> ((-1L, 2L))),
+      s"trimmed re-encode must align at offset -1 with 2 windows: $got")
+  }
+
   test("media: resizeStub scales metadata and truncates payload") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") === 10)
     val media = Media.synthCorpus(docs)
