@@ -294,6 +294,63 @@ class ScaleSpec extends AnyFunSuite {
       s"part scan should read only its join key:\n${plan.take(4000)}")
   }
 
+  test("shortest paths: per-relaxation equi-joins, never nested-loop") {
+    val plan = graft.ext.ExtQueries.shortestPaths(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"x50's dist ⋈ edges must stay an equi-join:\n$plan")
+  }
+
+  test("ivfPq rerank: stage 2 broadcasts the query vectors, no " +
+    "corpus-vs-query cartesian") {
+    val plan = graft.ext.ExtQueries.ivfPqRerank(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    graft.std.SessionMemo.releaseSession(spark)
+    assert(!plan.contains("CartesianProduct"),
+      s"s22 degenerated to a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the query-vector side of the re-rank should broadcast:\n$plan")
+  }
+
+  test("dup density: shingle text never shuffles — hash-only exchanges") {
+    val plan = graft.ext.ExtQueries.dupDensity(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    assert(!plan.contains("CartesianProduct"),
+      s"t68 grew a cartesian:\n$plan")
+    // the df join keys on the 64-bit hash: no sort-merge on strings
+    assert(!"SortMergeJoin .*sh#".r.findFirstIn(plan).isDefined,
+      s"t68 must join on hashes, not shingle strings:\n$plan")
+  }
+
+  test("cadence profile: gap windows then partial-agg — no cartesian, " +
+    "and the KM survival frame collapses before its windows") {
+    val p1 = graft.ext.ExtQueries.cadenceProfile(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"),
+      s"x51 grew a non-equi join:\n$p1")
+    val p2 = graft.ext.ExtQueries.survivalCurve(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // x52's one intentional broadcast-nested-loop is the 1-row
+    // horizon crossJoin; anything beyond that is a regression
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p2).length
+    assert(bnlj <= 1 && !p2.contains("CartesianProduct"),
+      s"x52 grew $bnlj nested-loop joins (1 allowed: the horizon):\n$p2")
+  }
+
+  test("temporal alignment: window keys join equi, heavy keys capped") {
+    val plan = graft.ext.ExtQueries.mediaTemporalAlignment(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"m8's pair generation must stay an equi-self-join on wkey:\n$plan")
+  }
+
   test("GraftExtensions applies cleanly to a fresh extension set") {
     // the shared test session is already built, so spark.sql.extensions
     // can't be exercised end-to-end here; the SQL surface itself is
