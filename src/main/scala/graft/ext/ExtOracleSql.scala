@@ -4777,6 +4777,45 @@ SELECT c.user_id, c.n_events, c.n_gaps,
          AS is_regular
 FROM c JOIN med USING (user_id) JOIN mad USING (user_id)"""
 
+  /** x53: EWMA forecast baseline — daily sums ride DECIMAL(18,6) into
+    * exact micro-units; the non-associative EWMA recurrence replays as
+    * `list_reduce` over the day-ordered list (seeds with the first
+    * element, matching Spark's `element_at(_vs, 1)` seed), every step
+    * `(3x + 7·acc) // 10` in positive BIGINTs so truncating `div` and
+    * flooring `//` agree; residual/verdicts compare exact integers.
+    */
+  val x53EwmaBaseline: String = """WITH daily AS (
+  SELECT event_type AS series, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+           AS value_micro
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), runs AS (
+  SELECT series, day, n_events, value_micro,
+         list(value_micro) OVER (PARTITION BY series ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vs
+  FROM daily
+), folded AS (
+  SELECT series, day, n_events, value_micro,
+         list_reduce(vs, (acc, x) -> (3 * x + 7 * acc) // 10)
+           AS ewma_micro
+  FROM runs
+), lagged AS (
+  SELECT series, day, n_events, value_micro, ewma_micro,
+         lag(ewma_micro) OVER (PARTITION BY series ORDER BY day)
+           AS prev
+  FROM folded
+)
+SELECT series, day, n_events, value_micro,
+       CAST(ewma_micro AS BIGINT) AS ewma_micro,
+       CAST(CAST(ewma_micro AS BIGINT) AS DOUBLE) / 1000000.0 AS ewma,
+       CAST(value_micro - prev AS BIGINT) AS residual_micro,
+       (prev IS NOT NULL AND value_micro > prev * 2) AS is_spike,
+       (prev IS NOT NULL AND value_micro * 2 < prev) AS is_dip
+FROM lagged"""
+
   /** m6: chunk-store savings — the m4 refcount query as a derived
     * table, one exact-integer rollup, x31 fixed-point ratio.
     */

@@ -2419,6 +2419,16 @@ object ExtQueries {
     Timeseries.cadenceProfile(Tables.events(spark, sfDir))
   }
 
+  /** EWMA forecast baseline (x53): [[Timeseries.ewmaBaseline]] over
+    * the per-event_type daily value series — the recency-weighted
+    * forecast residual next to x10's trailing z-score, replayed as an
+    * exact fixed-point fold (the x52 discipline).
+    */
+  def ewmaBaseline(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.ewmaBaseline(Tables.events(spark, sfDir))
+  }
+
   /** Interval coverage (x44): [[Timeseries.intervalCoverage]] over
     * 30-minute activity windows around each event — per-user uptime
     * islands, covered seconds, longest gap.
@@ -2604,6 +2614,19 @@ object ExtQueries {
     Timeseries.cadenceRollup(
       graft.streaming.StreamingOps.gapPairs(Tables.events(spark, sfDir))
         .toDF())
+  }
+
+  /** Streaming EWMA feed (w12): [[graft.streaming.StreamingOps
+    * .ewmaPoints]] run in batch mode over the shared daily collapse,
+    * plus the shared [[Timeseries.ewmaVerdicts]] tail — batch ≡ the
+    * x53 collect_list fold, so they share one oracle; the stream side
+    * is pinned in `StreamingSpec`.
+    */
+  def ewmaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.ewmaVerdicts(
+      graft.streaming.StreamingOps.ewmaPoints(
+        Timeseries.dailySeries(Tables.events(spark, sfDir))).toDF())
   }
 
   /** Streaming sequence scorer (w10): [[graft.streaming.StreamingOps

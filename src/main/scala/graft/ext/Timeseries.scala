@@ -579,4 +579,99 @@ object Timeseries {
           col("mad_gap_milli") * 10 <= col("median_gap_milli"))
           .as("is_regular"))
   }
+
+  /** EWMA forecast baseline (x53): per-series exponentially weighted
+    * moving average of a daily metric, with the forecast residual
+    * (today vs yesterday's EWMA) and spike/dip verdicts — the
+    * smoothing complement of [[hourlyAnomalies]]'s trailing z-score:
+    * z asks "how far from the recent mean", EWMA asks "how far from
+    * the recency-weighted forecast", and the recursive form is what
+    * operational monitors actually run.
+    *
+    * Semantics: the series is the per-(event_type, day) SUM(value);
+    * EWMA seeds at the series' first day and then folds
+    * `acc ← (α·x + (1−α)·acc)` day by day with α = alphaNum/alphaDen.
+    * `residual_micro` is today's value minus YESTERDAY's EWMA (a true
+    * one-step-ahead forecast error, null on each series' first day);
+    * `is_spike` flags value > spikeFactor × forecast, `is_dip` the
+    * reciprocal — both non-null booleans.
+    *
+    * Determinism: daily sums ride DECIMAL(18,6) (order-free), land in
+    * exact micro-units, and the EWMA — a NON-associative recurrence,
+    * like x52's survival product — is replayed as an integer
+    * fixed-point left fold `(αN·x + (αD−αN)·acc) div αD` over the
+    * day-ordered value list, so both engines truncate identically at
+    * every step (DuckDB `list_reduce` seeds with the first element,
+    * matching the `element_at(_vs, 1)` seed here). All operands stay
+    * positive (guarded by the fold's inputs being sums of positive
+    * values), so Spark's truncating `div` and DuckDB's flooring `//`
+    * cannot disagree. Bound: `value_micro` must stay below
+    * ~9.2e18/alphaDen — at 1e12 micro-units/day/series (a $1M/day
+    * series) the headroom is six orders of magnitude.
+    *
+    * 100 TB shape: the event corpus collapses to |series| × |days|
+    * rows via ONE partial-agg shuffle before any window; the
+    * collect_list + fold runs per series over that bounded daily
+    * frame (a year is 365 elements), never over events. Skewed
+    * event_types skew the COUNTER frame, not the event shuffle.
+    */
+  def ewmaBaseline(events: DataFrame,
+                   alphaNum: Long = 3L, alphaDen: Long = 10L,
+                   spikeFactor: Long = 2L,
+                   keyCol: String = "event_type", tsCol: String = "ts",
+                   valueCol: String = "value"): DataFrame = {
+    require(alphaNum >= 1 && alphaNum <= alphaDen,
+      "alpha must lie in (0, 1]")
+    val run = Window.partitionBy(col("series")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = dailySeries(events, keyCol, tsCol, valueCol)
+      .withColumn("_vs", collect_list(col("value_micro")).over(run))
+      .withColumn("ewma_micro",
+        expr(s"aggregate(slice(_vs, 2, greatest(size(_vs) - 1, 0)), " +
+          "element_at(_vs, 1), (acc, x) -> " +
+          s"($alphaNum * x + ${alphaDen - alphaNum} * acc) " +
+          s"div $alphaDen)"))
+      .drop("_vs")
+    ewmaVerdicts(folded, spikeFactor)
+  }
+
+  /** The x53 daily collapse, shared with the streaming EWMA feed: per
+    * (series, day) event counts and exact micro-unit value sums — the
+    * ONE corpus-sized shuffle of the whole family.
+    */
+  def dailySeries(events: DataFrame, keyCol: String = "event_type",
+                  tsCol: String = "ts",
+                  valueCol: String = "value"): DataFrame =
+    events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("_v"))
+      .withColumn("value_micro", (col("_v") * 1000000L).cast("long"))
+      .drop("_v")
+
+  /** The x53 verdict tail shared with the streaming EWMA feed
+    * ([[graft.streaming.StreamingOps.ewmaPoints]]): from a
+    * `(series, day, n_events, value_micro, ewma_micro)` frame, the
+    * one-step-ahead residual vs the PREVIOUS day's EWMA and the
+    * spike/dip verdicts — the w11 two-stage split, so the batch fold
+    * and the stateful form cannot drift.
+    */
+  def ewmaVerdicts(folded: DataFrame,
+                   spikeFactor: Long = 2L): DataFrame = {
+    require(spikeFactor >= 1, "spikeFactor must be >= 1")
+    val ord = Window.partitionBy(col("series")).orderBy(col("day"))
+    folded
+      .withColumn("_prev", lag(col("ewma_micro"), 1).over(ord))
+      .select(col("series"), col("day"), col("n_events"),
+        col("value_micro"), col("ewma_micro"),
+        (col("ewma_micro").cast("double") / lit(1e6)).as("ewma"),
+        (col("value_micro") - col("_prev")).as("residual_micro"),
+        (col("_prev").isNotNull &&
+          col("value_micro") > col("_prev") * spikeFactor)
+          .as("is_spike"),
+        (col("_prev").isNotNull &&
+          col("value_micro") * spikeFactor < col("_prev"))
+          .as("is_dip"))
+  }
 }

@@ -59,6 +59,13 @@ case class SeqScoreState(lastTs: Long, lastId: Long, lastType: String,
                          n: Long, sumE9: Long)
 case class SeqScore(user_id: Long, n_pairs: Long, avg_logprob: Double)
 
+/** Typed rows/state for the streaming EWMA feed. */
+case class EwmaDaily(series: String, day: java.sql.Date, n_events: Long,
+                     value_micro: Long, day_ts: java.sql.Timestamp)
+case class EwmaState(lastDayMs: Long, ewmaMicro: Long)
+case class EwmaPoint(series: String, day: java.sql.Date, n_events: Long,
+                     value_micro: Long, ewma_micro: Long)
+
 /** Typed rows/state for the streaming weighted sample. */
 case class WeightedRow(g: String, id: Long, w: Double, key: Double)
 case class SampleHeap(entries: List[(Double, Long, Double)], seen: Long)
@@ -1066,5 +1073,88 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("journey").asc)
       .limit(topK)
+  }
+
+  /** Streaming EWMA feed (w12): the stateful form of x53's
+    * collect_list fold. Consumes the FINALIZED daily frame
+    * ([[graft.ext.Timeseries.dailySeries]] — in production that
+    * collapse is its own windowed streaming aggregation landed to a
+    * sink, the w8/w10/w11 two-stage split, because Spark will not
+    * chain an aggregation into a stateful op in one streaming query)
+    * and emits one EWMA point per (series, day): per-series state is
+    * ONE (lastDay, ewmaMicro) pair — 16 bytes per series vs the
+    * window form's co-located history.
+    *
+    * Batch execution sorts each series by day and replays the
+    * IDENTICAL recurrence — seed at the first day, then
+    * `(αN·x + (αD−αN)·acc) / αD` in truncating long division, which
+    * is exactly the `div` of the batch fold on the positive operands
+    * both forms guard — so
+    * `ewmaVerdicts(ewmaPoints(dailySeries(e)))` ≡ `ewmaBaseline(e)`
+    * row for row and w12 shares x53's oracle verbatim.
+    *
+    * Cross-batch caveat (same as w8): state carries across
+    * micro-batches in arrival order; a daily row arriving EARLIER
+    * than the state's lastDay folds in arrival order, not day order —
+    * the upstream daily aggregation's watermark is what makes that
+    * impossible in production (a day only finalizes once its window
+    * closes).
+    */
+  def ewmaPoints(daily: DataFrame,
+                 alphaNum: Long = 3L, alphaDen: Long = 10L,
+                 stateRetention: String = "60 days",
+                 evictAfterMs: Long = 60L * 86400 * 1000)
+      : Dataset[EwmaPoint] = {
+    require(alphaNum >= 1 && alphaNum <= alphaDen,
+      "alpha must lie in (0, 1]")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val streaming = daily.isStreaming
+    // the watermark column must survive into the stateful op, so it
+    // rides the typed row (the GapEvent.ts pattern)
+    val withTs = daily.withColumn("day_ts",
+      to_timestamp(col("day")))
+    val src = if (streaming) withTs.withWatermark("day_ts", stateRetention)
+      else withTs
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
+      .filter(col("series").isNotNull && col("day").isNotNull)
+      .select(col("series"), col("day"), col("n_events"),
+        col("value_micro"), col("day_ts"))
+      .as[EwmaDaily]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, timeoutConf) {
+        (series: String, rows: Iterator[EwmaDaily],
+         state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // java.sql.Date.getTime is monotone in the calendar day, so
+            // it orders without touching the JVM default zone
+            val sorted = rows.toSeq.sortBy(_.day.getTime)
+            val out = scala.collection.mutable.ListBuffer.empty[EwmaPoint]
+            var st = state.getOption
+            sorted.foreach { r =>
+              val e = st match {
+                case Some(s) =>
+                  (alphaNum * r.value_micro +
+                    (alphaDen - alphaNum) * s.ewmaMicro) / alphaDen
+                case None => r.value_micro
+              }
+              out += EwmaPoint(r.series, r.day, r.n_events,
+                r.value_micro, e)
+              st = Some(EwmaState(r.day.getTime, e))
+            }
+            st.foreach(state.update)
+            if (streaming && sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(sorted.last.day.getTime,
+                  state.getCurrentWatermarkMs() + 1) + evictAfterMs)
+            out.iterator
+          }
+      }
   }
 }

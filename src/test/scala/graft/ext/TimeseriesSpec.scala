@@ -207,4 +207,66 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(r.head.getLong(3) == 0L && r.head.getLong(4) == 0L &&
       r.head.getBoolean(5))
   }
+
+  private def ewmaOf(rows: Seq[(String, Timestamp, Double)]) =
+    Timeseries.ewmaBaseline(
+      rows.toDF("event_type", "ts", "value"))
+
+  test("ewma baseline: constant series tracks exactly, no verdicts") {
+    // 10/day for 5 days: EWMA stays 10_000_000 micro at every step
+    // ((3*x + 7*x) div 10 = x), residual 0 after day 1, no flags
+    val rows = (0 until 5).map(d =>
+      ("click", Timestamp.from(t0.plusSeconds(d * 86400L)), 10.0))
+    val out = ewmaOf(rows).orderBy("day").collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getLong(4) == 10000000L)) // ewma_micro
+    assert(out.head.isNullAt(6)) // first day: no forecast
+    assert(out.tail.forall(_.getLong(6) == 0L)) // residual_micro
+    assert(out.forall(r => !r.getBoolean(7) && !r.getBoolean(8)))
+  }
+
+  test("ewma baseline: hand-computed fold, spike and dip verdicts") {
+    // days: 10, 10, 100 (spike), 1 (dip), 1
+    //   ewma(micro): 10M; (3*10M+7*10M)/10=10M; (300M+70M)/10=37M;
+    //   (3M+259M)/10=26.2M; (3M+183.4M)/10=18.64M
+    val vals = Seq(10.0, 10.0, 100.0, 1.0, 1.0)
+    val rows = vals.zipWithIndex.map { case (v, d) =>
+      ("click", Timestamp.from(t0.plusSeconds(d * 86400L)), v) }
+    val out = ewmaOf(rows).orderBy("day").collect()
+    assert(out.map(_.getLong(4)).toSeq == Seq(10000000L, 10000000L,
+      37000000L, 26200000L, 18640000L))
+    // day 2: 100M > 2*10M -> spike; day 3: 1M*2 < 37M -> dip
+    assert(out.map(_.getBoolean(7)).toSeq ==
+      Seq(false, false, true, false, false))
+    assert(out.map(_.getBoolean(8)).toSeq ==
+      Seq(false, false, false, true, true))
+    // one-step-ahead residual on the spike day: 100M - 10M
+    assert(out(2).getLong(6) == 90000000L)
+  }
+
+  test("ewma baseline: series are independent; truncation shaves") {
+    // interleaved second series must not leak into the first; a
+    // 3-then-4 series folds (3*4M + 7*3M) div 10 = 3_300_000 exactly,
+    // and 1-then-2 folds (6M + 7M) div 10 = 1_300_000
+    val rows = Seq(
+      ("a", Timestamp.from(t0), 3.0),
+      ("b", Timestamp.from(t0), 1.0),
+      ("a", Timestamp.from(t0.plusSeconds(86400L)), 4.0),
+      ("b", Timestamp.from(t0.plusSeconds(86400L)), 2.0))
+    val out = ewmaOf(rows).orderBy("series", "day").collect()
+    assert(out.map(_.getLong(4)).toSeq ==
+      Seq(3000000L, 3300000L, 1000000L, 1300000L))
+  }
+
+  test("ewma baseline: within-day values sum before the fold") {
+    // two events on day 0 (2.5 + 7.5 = 10), one on day 1 (20):
+    // seed 10M, then (3*20M + 7*10M) div 10 = 13M; n_events 2 then 1
+    val rows = Seq(
+      ("a", Timestamp.from(t0), 2.5),
+      ("a", Timestamp.from(t0.plusSeconds(60L)), 7.5),
+      ("a", Timestamp.from(t0.plusSeconds(86400L)), 20.0))
+    val out = ewmaOf(rows).orderBy("day").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+    assert(out.map(_.getLong(4)).toSeq == Seq(10000000L, 13000000L))
+  }
 }

@@ -963,4 +963,57 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.doc_id -> r.probably_seen).toMap
     assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true))
   }
+
+  test("ewma points: stateful batch form ≡ the x53 collect_list fold") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sfDir)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDate(1)) -> r.toSeq.drop(2)).toMap
+    val stateful = keyed(graft.ext.Timeseries.ewmaVerdicts(
+      StreamingOps.ewmaPoints(
+        graft.ext.Timeseries.dailySeries(ev)).toDF()))
+    val window = keyed(graft.ext.Timeseries.ewmaBaseline(ev))
+    assert(stateful == window && stateful.nonEmpty)
+  }
+
+  test("streaming ewma: the fold state carries across micro-batches") {
+    import spark.implicits._
+    def d(s: String, day: String, n: Long, v: Long) =
+      (s, java.sql.Date.valueOf(day), n, v)
+    val dir = Files.createTempDirectory("ewma_src").toFile
+    def stamp(m: Long): Unit = dir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.lastModified() > m)
+      .foreach(f => assert(f.setLastModified(m)))
+    // micro-batch 1: series "a" seeds at 10M then folds 20M -> 13M
+    Seq(d("a", "2024-01-01", 2L, 10000000L),
+        d("a", "2024-01-02", 1L, 20000000L))
+      .toDF("series", "day", "n_events", "value_micro")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(1000000L)
+    // micro-batch 2: day 3 folds against the STORED 13M state:
+    // (3*33M + 7*13M) div 10 = 19M; series "b" seeds fresh
+    Seq(d("a", "2024-01-03", 1L, 33000000L),
+        d("b", "2024-01-03", 1L, 5000000L))
+      .toDF("series", "day", "n_events", "value_micro")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(2000000L)
+    val streamIn = spark.readStream
+      .schema("series STRING, day DATE, n_events LONG, value_micro LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = StreamingOps.ewmaPoints(streamIn)
+      .writeStream.format("memory").queryName("ewma_points")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ewma_points").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString,
+          r.getLong(4))).sorted.toSeq
+      assert(got == Seq(
+        ("a", "2024-01-01", 10000000L),
+        ("a", "2024-01-02", 13000000L),
+        ("a", "2024-01-03", 19000000L),
+        ("b", "2024-01-03", 5000000L)), s"got $got")
+    } finally q.stop()
+  }
 }
