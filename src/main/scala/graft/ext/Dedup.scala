@@ -642,6 +642,40 @@ object Dedup {
           count(lit(1)), 6).as("contamination_ratio"))
   }
 
+  /** Long-n-gram decontamination (t69): the published-recipe verdict
+    * form of [[contaminationProfile]] — a corpus doc is contaminated
+    * when it shares ANY verbatim n-gram (default n = 13, the
+    * GPT-3/PaLM appendix choice; long enough that a chance collision
+    * is effectively impossible, so one hit means a real quote) with
+    * the benchmark set, and the pipeline drops it. d8's 3-shingle
+    * ratio asks "how much does this doc smell like the benchmark";
+    * this asks the binary question an actual decontamination pass
+    * acts on, and catches the quoting doc whose EXACT hash changed
+    * (a prefix shifts boundary grams but interior 13-grams survive).
+    *
+    * Documents shorter than n tokens contribute their whole text as
+    * one gram ([[TextOps.shingles]]'s documented fallback) — the
+    * n-gram method is blind to quotes of sub-n benchmark snippets,
+    * which is true of the published recipe too.
+    *
+    * 100 TB shape: identical to [[contaminationProfile]] — the
+    * benchmark collapses to DISTINCT 64-bit gram hashes (fixed-size
+    * broadcast; benchmark suites are MBs, corpora are TBs), the
+    * corpus side is one narrow explode + broadcast lookup + one
+    * partial-agg groupBy. No text crosses the wire.
+    */
+  def ngramDecontamination(corpus: DataFrame, bench: DataFrame,
+                           n: Int = 13): DataFrame = {
+    require(n >= 2, "need a multi-token gram")
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), n).as("sh"))
+    contaminationProfile(sh(corpus), sh(bench))
+      .select(col("doc_id"), col("n_shingles").as("n_ngrams"),
+        col("n_contaminated").as("n_hit"),
+        col("contamination_ratio").as("hit_share"),
+        (col("n_contaminated") >= 1L).as("is_contaminated"))
+  }
+
   /** Bloom-filter decontamination profile (t30): [[contaminationProfile]]
     * with the benchmark side compressed into a fixed-size
     * [[graft.functions.BloomBits]] membership filter instead of an

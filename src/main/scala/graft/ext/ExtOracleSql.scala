@@ -17,12 +17,18 @@ object ExtOracleSql {
 
   private val Norm = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
 
+  /** n-shingle list from a toks list expression (TextOps.shingles'
+    * whole-text fallback for docs shorter than n).
+    */
+  private def shN(toks: String, whole: String, n: Int): String =
+    s"""CASE WHEN len($toks) >= $n
+       THEN list_transform(generate_series(1, len($toks) - ${n - 1}),
+              i -> array_to_string(($toks)[i:i+${n - 1}], ' '))
+       ELSE [$whole] END"""
+
   /** 3-shingle list from a toks list expression. */
   private def sh3(toks: String, whole: String): String =
-    s"""CASE WHEN len($toks) >= 3
-       THEN list_transform(generate_series(1, len($toks) - 2),
-              i -> array_to_string(($toks)[i:i+2], ' '))
-       ELSE [$whole] END"""
+    shN(toks, whole, 3)
 
   val d1ExactDedup: String = s"""WITH base AS (
   SELECT doc_id, text FROM documents
@@ -1937,6 +1943,44 @@ SELECT e.doc_id,
        round(CAST(COALESCE(SUM(CASE WHEN b.shash IS NOT NULL THEN 1 END), 0)
                   AS DOUBLE) / COUNT(*), 6) AS contamination_ratio
 FROM exh e LEFT JOIN bench b ON e.shash = b.shash
+GROUP BY 1"""
+
+  /** t69: long-n-gram decontamination — the GPT-3/PaLM 13-gram
+    * verdict over d8's benchmark split plus injected quoting docs
+    * (+500000, benchmark text behind a 3-token preamble). Same
+    * distinct-gram-hash join as d8; `is_contaminated` compares exact
+    * longs, `hit_share` is d8's proven round-6dp ratio.
+    */
+  val t69NgramDecontamination: String = s"""WITH base AS (
+  SELECT doc_id, text FROM documents
+), corpus AS (
+  SELECT doc_id, text FROM base WHERE doc_id % 31 <> 0
+  UNION ALL
+  SELECT doc_id + 500000, 'regarding the benchmark: ' || text
+  FROM base WHERE doc_id % 62 = 0
+), ct AS (
+  SELECT doc_id, ${shN(s"string_split($Norm, ' ')", Norm, 13)} AS sh
+  FROM corpus
+), ex AS (
+  SELECT doc_id, unnest(list_distinct(sh)) AS s FROM ct
+), exh AS (
+  SELECT doc_id, ${h64("s")} AS gh FROM ex
+), bt AS (
+  SELECT doc_id, ${shN(s"string_split($Norm, ' ')", Norm, 13)} AS sh
+  FROM base WHERE doc_id % 31 = 0
+), bench AS (
+  SELECT DISTINCT ${h64("s")} AS gh
+  FROM (SELECT unnest(list_distinct(sh)) AS s FROM bt)
+)
+SELECT e.doc_id,
+       COUNT(*) AS n_ngrams,
+       CAST(COALESCE(SUM(CASE WHEN b.gh IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_hit,
+       round(CAST(COALESCE(SUM(CASE WHEN b.gh IS NOT NULL THEN 1 END), 0)
+                  AS DOUBLE) / COUNT(*), 6) AS hit_share,
+       COALESCE(SUM(CASE WHEN b.gh IS NOT NULL THEN 1 END), 0) >= 1
+         AS is_contaminated
+FROM exh e LEFT JOIN bench b ON e.gh = b.gh
 GROUP BY 1"""
 
   /** t23: contamination-aware split — d8's per-doc benchmark-overlap

@@ -281,6 +281,28 @@ object ExtQueries {
       withSh.filter(col("doc_id") % 31 === 0))
   }
 
+  /** Long-n-gram decontamination (t69): d8's benchmark split
+    * (every 31st doc) run through [[Dedup.ngramDecontamination]]'s
+    * 13-gram verdict, with injected QUOTING docs — every other
+    * benchmark doc's text re-appears under doc_id+500000 behind a
+    * 3-token preamble, the doc-that-quotes-the-benchmark case whose
+    * exact hash d1 would miss but whose interior 13-grams survive.
+    */
+  def ngramDecontamination(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Tables.tune(spark)
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val bench = base.filter(col("doc_id") % 31 === 0)
+    val quoting = bench.filter(col("doc_id") % 62 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(lit("regarding the benchmark: "), col("text"))
+          .as("text"))
+    val corpus = base.filter(col("doc_id") % 31 =!= 0)
+      .unionByName(quoting)
+    Dedup.ngramDecontamination(corpus, bench)
+  }
+
   /** Incremental (cross-corpus) dedup (d9): today's batch against the
     * accumulated corpus. `doc_id % 3 == 0` plays the existing corpus;
     * the batch is the remaining docs plus injected cross-corpus dups —

@@ -210,6 +210,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       3L -> ((2L, 1L, 0.5))))
   }
 
+  test("13-gram decontamination: interior quote flags, 12-token " +
+       "overlap and short-quote blindness don't") {
+    // 13 tokens the quoting doc embeds behind a prefix (interior
+    // grams survive); doc 2 shares only the first 12 tokens (no
+    // 13-gram in common); doc 3 quotes a SHORT bench doc (< 13
+    // tokens -> whole-text gram, prefix changes it -> blind)
+    val quote = (1 to 13).map(i => s"w$i").mkString(" ")
+    val bench = Seq(
+      (90L, quote),
+      (91L, "short secret passage")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"a doc saying $quote and more"),
+      (2L, (1 to 12).map(i => s"w$i").mkString(" ") + " different"),
+      (3L, "quoting short secret passage here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramDecontamination(corpus, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L)._2 && out(1L)._1 >= 1L, s"quote missed: $out")
+    assert(!out(2L)._2 && !out(3L)._2, s"false positives: $out")
+  }
+
   test("domain mixture keeps within-rate shares and is deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val a = TextAnalysis.domainMixture(docs).collect()
