@@ -528,6 +528,37 @@ FROM r WHERE rank <= 5"""
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, inner_product
 FROM r WHERE rank <= 5"""
 
+  /** s24: binary Hamming top-k — sign bits packed into two 32-bit
+    * words (DuckDB's BIGINT `<<` rejects shift 63, so 32-bit words
+    * are the portable contract both engines implement), distance =
+    * popcount(XOR) summed over words. Integer-exact end to end: no
+    * rounding, (hamming, neighbor_id) total order.
+    */
+  val s24HammingTopK: String = """WITH u AS (
+  SELECT vec_id, unnest(embedding) AS e,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), codes AS (
+  SELECT vec_id,
+         bit_or(CASE WHEN e > 0 AND i <= 32
+                     THEN 1::BIGINT << (i - 1) ELSE 0 END) AS w0,
+         bit_or(CASE WHEN e > 0 AND i > 32
+                     THEN 1::BIGINT << (i - 33) ELSE 0 END) AS w1
+  FROM u GROUP BY 1
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.w0, c.w0))
+              + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+  FROM codes q CROSS JOIN codes c
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hamming
+FROM r WHERE rank <= 5"""
+
   /** s9: IVF ANN top-5 — language-label coarse quantizer. Centroid
     * components are DECIMAL-summed and rounded to 6 dp (the s3
     * discipline), the probe similarity ranks on the rounded 6 dp cosine

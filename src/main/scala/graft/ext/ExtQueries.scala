@@ -525,6 +525,16 @@ object ExtQueries {
     Similarity.mipsTopK(vecs.filter(col("vec_id") < 20), vecs, 5)
   }
 
+  /** Binary Hamming top-k (s24): s1's probe set retrieved over
+    * [[Similarity.binaryCodes]] sign bits — popcount(XOR) distance,
+    * 8 bytes/vector, integer-exact ranking.
+    */
+  def hammingTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    Similarity.hammingTopK(vecs.filter(col("vec_id") < 20), vecs, 5)
+  }
+
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     Similarity.nearDupPairs(
