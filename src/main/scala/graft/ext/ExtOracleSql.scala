@@ -1083,6 +1083,34 @@ FROM comp c JOIN sizes s USING (cluster_rep)"""
 ), ${(1 to 4).map(ssspRelax).mkString(", ")}
 SELECT node AS node_id, CAST(dist AS BIGINT) AS min_cost FROM d4"""
 
+  /** x54: sampled-source harmonic centrality — 4 unrolled BFS rounds
+    * at (seed, node) grain over the [[ChainSeq]] edges (reusing the
+    * shared chain + edge CTEs), seeds = every 500th part. Terms are
+    * `1e9 // d` on positive integers; the harmonic sum is an
+    * order-free BIGINT sum (HUGEINT cast back).
+    */
+  private def harmRelax(i: Int): String =
+    s"""h$i AS (
+  SELECT seed, node, MIN(dist) AS dist FROM (
+    SELECT seed, node, dist FROM h${i - 1}
+    UNION ALL
+    SELECT d.seed, e.dst AS node, d.dist + 1 AS dist
+    FROM h${i - 1} d JOIN e ON d.node = e.src
+  ) GROUP BY 1, 2
+)"""
+
+  val x54HarmonicCentrality: String = s"""WITH $ChainSeq, $ChainEdges,
+h0 AS (
+  SELECT DISTINCT p_partkey AS seed, p_partkey AS node,
+         CAST(0 AS BIGINT) AS dist
+  FROM part WHERE p_partkey % 500 = 0
+), ${(1 to 4).map(harmRelax).mkString(", ")}
+SELECT node AS node_id, CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(1000000000 // dist) AS BIGINT) AS harmonic_e9,
+       CAST(CAST(SUM(1000000000 // dist) AS BIGINT) AS DOUBLE)
+         / 1000000000.0 AS harmonic
+FROM h4 WHERE dist >= 1 GROUP BY 1"""
+
   /** x34: label propagation, 3 unrolled synchronous iterations over the
     * undirected support of the x20 chain graph. Votes are exact COUNTs;
     * winner per node via QUALIFY (votes DESC, label ASC) — pure integer

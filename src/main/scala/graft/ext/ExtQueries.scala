@@ -1349,6 +1349,29 @@ object ExtQueries {
     Graph.shortestPaths(edges, seeds, iterations = 4)
   }
 
+  /** Sampled-source harmonic centrality (x54):
+    * [[Graph.harmonicCentrality]] over the x50 chain graph
+    * (unweighted, directed), seeded from every 500th part — the
+    * Eppstein–Wang sampled estimator with a 4-hop horizon. "Which
+    * parts does influence from a fixed seed panel reach most
+    * cheaply" — the centrality readout next to x20's stationary mass
+    * and x38's boolean reach.
+    */
+  def harmonicCentrality(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val seeds = Tables.part(spark, sfDir)
+      .filter(col("p_partkey") % 500 === 0)
+      .select(col("p_partkey").as("seed"))
+    Graph.harmonicCentrality(edges, seeds, iterations = 4)
+  }
+
   /** Incremental rollup maintenance (x21): the order-value summary by
     * (priority, status), maintained as history-state + 1998 delta
     * batch — the merge path whose cost is O(batch + keys). The oracle

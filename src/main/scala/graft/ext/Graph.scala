@@ -552,4 +552,65 @@ object Graph {
     }
     dist.select(col("node").as("node_id"), col("dist").as("min_cost"))
   }
+
+  /** Sampled-source harmonic centrality (x54): for each node, the sum
+    * of 1/d(s, node) over a SEED SAMPLE s — the Eppstein–Wang
+    * estimator shape for closeness-family centrality, the only form
+    * that survives scale (exact closeness is all-pairs; a fixed seed
+    * sample keeps error bounded and cost linear in |V|·|S|). Harmonic
+    * (Σ 1/d) rather than classic closeness (1/Σ d) because it is
+    * defined on DISCONNECTED graphs — unreachable pairs contribute 0
+    * instead of poisoning the sum, no ∞ handling.
+    *
+    * Unlike [[shortestPaths]] (one merged frontier — distances to the
+    * NEAREST seed), the state here is per-(seed, node): hop distances
+    * from EVERY sampled seed, which is what the harmonic sum needs.
+    * `iterations` bounds hops, so terms are 1/d for d ≤ iterations —
+    * the truncated-horizon estimator (far pairs contribute ≤ 1/k
+    * each; the bound is part of the contract, like x38/x50).
+    *
+    * 100 TB shape: per hop ONE join (dist ⋈ edges on the node) + ONE
+    * groupBy-MIN with map-side partial collapse, on a frame of
+    * |S| × |reached| narrow rows — the sampled |S| is the knob that
+    * keeps that product bounded as |V| grows. The final rollup is one
+    * partial-agg shuffle to |V| rows.
+    *
+    * Determinism: hop distances are exact longs; each term is
+    * `1e9 div d` (truncating integer div on positive operands); the
+    * harmonic sum is an order-free integer sum. Nothing rounds until
+    * the final display double.
+    *
+    * Returns (node_id, n_sources, harmonic_e9, harmonic) — seeds'
+    * self-distance 0 is excluded (a node is not central for reaching
+    * itself).
+    */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+                         iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "need at least one hop")
+    val e = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    var dist = graft.std.Materialize.once(
+      seeds.select(col("seed")).filter(col("seed").isNotNull)
+        .distinct()
+        .select(col("seed"), col("seed").as("node"),
+          lit(0L).as("dist")))
+    for (_ <- 1 to iterations) {
+      val cand = dist.join(e, dist("node") === e("src"))
+        .select(dist("seed"), e("dst").as("node"),
+          (dist("dist") + 1L).as("dist"))
+      dist = graft.std.Materialize.once(
+        dist.unionByName(cand)
+          .groupBy(col("seed"), col("node"))
+          .agg(min(col("dist")).as("dist")))
+    }
+    dist.filter(col("dist") >= 1L)
+      .groupBy(col("node").as("node_id"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(expr("1000000000 div dist")).as("harmonic_e9"))
+      .select(col("node_id"), col("n_sources"), col("harmonic_e9"),
+        (col("harmonic_e9").cast("double") / lit(1e9)).as("harmonic"))
+  }
 }

@@ -382,4 +382,40 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 2L, 9L -> 0L))
   }
+
+  test("harmonic centrality: path graph terms are 1e9 div d") {
+    // 1->2->3->4 seeded at 1: terms 1e9, 5e8, 1e9 div 3; the seed
+    // itself never appears (self-distance 0 excluded)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.harmonicCentrality(edges, Seq(1L).toDF("seed"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(2L -> ((1L, 1000000000L)),
+      3L -> ((1L, 500000000L)), 4L -> ((1L, 333333333L))))
+  }
+
+  test("harmonic centrality: sources sum; cycles don't resurrect self") {
+    // 1->2 and 3->2: node 2 collects BOTH seeds (2e9, n_sources 2);
+    // the 2->1 back-edge gives seed 1 a d=2 route to ITSELF, which
+    // MIN-collapses to its own 0 and stays excluded — but seed 3
+    // reaches 1 at d=2 through it
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.harmonicCentrality(edges,
+        Seq(1L, 3L).toDF("seed"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(2L -> ((2L, 2000000000L)),
+      1L -> ((1L, 500000000L))))
+  }
+
+  test("harmonic centrality: the hop horizon truncates far terms") {
+    // 5-chain seeded at 1 with 3 iterations: node 5 (d=4) is beyond
+    // the horizon and absent — the documented truncated estimator
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.harmonicCentrality(edges, Seq(1L).toDF("seed"),
+        iterations = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L, 4L))
+  }
 }
