@@ -4406,10 +4406,17 @@ LIMIT 20"""
     * subquery), joined on (query_id, neighbor_id); recall is the x31
     * truncating fixed-point division.
     */
-  val s13IvfRecall: String = s"""WITH ann AS (
-  SELECT query_id, neighbor_id FROM ($s9IvfTopK) s9ann
+  /** The recall@k tail shared by s13/s25 (Similarity.recallAtK's
+    * twin): hits = |ann ∩ exact| per query, recall in the x31
+    * fixed-point discipline. One generator so every "price the
+    * approximate index" readout composes its two retrieval twins
+    * instead of restating the arithmetic.
+    */
+  private def recallSql(annSql: String, exactSql: String,
+                        k: Int): String = s"""WITH ann AS (
+  SELECT query_id, neighbor_id FROM ($annSql) annq
 ), ex AS (
-  SELECT query_id, neighbor_id FROM ($s1CosineTopK) s1ex
+  SELECT query_id, neighbor_id FROM ($exactSql) exq
 ), hits AS (
   SELECT ex.query_id,
          CAST(COUNT(ann.neighbor_id) AS BIGINT) AS n_hits
@@ -4417,12 +4424,20 @@ LIMIT 20"""
     ON ex.query_id = ann.query_id AND ex.neighbor_id = ann.neighbor_id
   GROUP BY 1
 )
-SELECT query_id, n_hits, 5 AS k,
-       CAST(CAST(n_hits AS HUGEINT) * 1000000000 // 5 AS BIGINT)
+SELECT query_id, n_hits, $k AS k,
+       CAST(CAST(n_hits AS HUGEINT) * 1000000000 // $k AS BIGINT)
          AS recall_e9,
-       CAST(CAST(CAST(n_hits AS HUGEINT) * 1000000000 // 5 AS BIGINT)
+       CAST(CAST(CAST(n_hits AS HUGEINT) * 1000000000 // $k AS BIGINT)
             AS DOUBLE) / 1000000000.0 AS recall
 FROM hits"""
+
+  val s13IvfRecall: String = recallSql(s9IvfTopK, s1CosineTopK, 5)
+
+  /** s25: binary-code recall@5 — s24's Hamming retrieval priced
+    * against the s1 exact kernel on the shared probe set.
+    */
+  val s25HammingRecall: String = recallSql(s24HammingTopK,
+    s1CosineTopK, 5)
 
   /** v6: Benford first-digit audit — digits read off the exact
     * DECIMAL(38,6) string form (identical half-up cast + exact decimal

@@ -2277,6 +2277,17 @@ object ExtQueries {
       ivfTopK(spark, sfDir), cosineTopK(spark, sfDir), 5)
   }
 
+  /** Binary-code recall@5 (s25): [[Similarity.recallAtK]] of s24's
+    * Hamming retrieval against the s1 exact kernel — what the 32×
+    * compression costs on the shared probe set, next to s13 (IVF),
+    * s17 (IVF-PQ) and s19 (truncation) on the pricing shelf.
+    */
+  def hammingRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.recallAtK(
+      hammingTopK(spark, sfDir), cosineTopK(spark, sfDir), 5)
+  }
+
   /** Benford audit (v6): [[Validation.benford]] over order totals —
     * per-digit observed vs expected share and chi-square terms.
     */

@@ -41,6 +41,19 @@ class HammingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 1L, 0L), (2L, 2L, 1L), (3L, 3L, 64L)))
   }
 
+  test("on pure sign vectors hamming order IS cosine order: recall 1") {
+    // ±1 vectors: dot = 64 - 2·hamming with equal norms, so the two
+    // rankings coincide and recall@k must be exactly 1e9
+    val rows = (0L to 6L).map(i =>
+      i -> vec((0 until i.toInt).toSet)).map { case (id, v) => (id, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 0L)
+    val r = Similarity.recallAtK(
+      Similarity.hammingTopK(q, df, 3),
+      Similarity.bruteForceTopK(q, df, 3), 3).collect()
+    assert(r.length == 1 && r.head.getLong(3) == 1000000000L)
+  }
+
   test("magnitude is invisible to the code: scaled vector is at 0") {
     val q = Set(2, 3)
     val rows = Seq(
