@@ -3303,21 +3303,16 @@ FROM elig a JOIN elig b ON a.psig = b.psig AND a.doc_id < b.doc_id"""
     * 64-bit hash lane, capped equal-key pairs, modal frame offset
     * with (count DESC, offset ASC) ties.
     */
-  val m8TemporalAlignment: String = s"""WITH base AS (
-  SELECT doc_id, COALESCE(text, '') AS text FROM documents
-), corpus0 AS (
-  SELECT doc_id, text FROM base
-  UNION ALL
-  SELECT doc_id + 700000,
-         translate(substr(text, 33),
-                   'abcdefghijklmnopqrstuvwxyz',
-                   'bcdefghijklmnopqrstuvwxyza')
-  FROM base WHERE doc_id % 7 = 0
-), m AS (
+  /** The m8/m9 shared frame-signature chain: from a `(doc_id, text)`
+    * CTE, the synthCorpus byte twin → per-frame (32-byte, 8-cell)
+    * perceptual signatures as `fsigs(doc_id, f, fsig)` — the m7 byte
+    * pipeline at (doc, frame) grain, written once.
+    */
+  private def frameSigCtes(corpus: String): String = s"""m AS (
   SELECT doc_id,
          lpad(hex(64 + doc_id % 192), 4, '0')
            || lpad(hex(64 + doc_id % 128), 4, '0') || text AS payload_str
-  FROM corpus0
+  FROM $corpus
 ), s AS (
   SELECT doc_id, hex(substr(payload_str, 9)) AS hh,
          CAST(length(hex(substr(payload_str, 9))) // 2 AS BIGINT) AS n
@@ -3354,7 +3349,19 @@ FROM elig a JOIN elig b ON a.psig = b.psig AND a.doc_id < b.doc_id"""
 ), fsigs AS (
   SELECT doc_id, f, string_agg(bit, '' ORDER BY c) AS fsig
   FROM bits GROUP BY 1, 2
-), wk AS (
+)"""
+
+  val m8TemporalAlignment: String = s"""WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+), corpus0 AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 700000,
+         translate(substr(text, 33),
+                   'abcdefghijklmnopqrstuvwxyz',
+                   'bcdefghijklmnopqrstuvwxyza')
+  FROM base WHERE doc_id % 7 = 0
+), ${frameSigCtes("corpus0")}, wk AS (
   SELECT doc_id, f AS fstart,
          fsig || '|' || lead(fsig, 1) OVER w
               || '|' || lead(fsig, 2) OVER w
@@ -3384,6 +3391,38 @@ FROM (
     ORDER BY n_aligned DESC, frame_offset ASC) AS rn
   FROM pairs) r
 WHERE rn = 1"""
+
+  /** m9: scene-cut detection — the shared frame-signature chain over
+    * the PLAIN corpus, then per-doc signature deltas (exact
+    * per-position compares over the 8-char bit strings), the ≥4-bit
+    * cut verdict (COALESCE false on each doc's first frame), and the
+    * running scene number.
+    */
+  val m9SceneCuts: String = s"""WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+), ${frameSigCtes("base")}, lagged AS (
+  SELECT doc_id, CAST(f AS BIGINT) AS frame_no, fsig,
+         lag(fsig) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+  FROM fsigs
+), scored AS (
+  SELECT doc_id, frame_no, fsig,
+         CASE WHEN prev IS NULL THEN NULL
+              ELSE CAST(list_sum(list_transform(generate_series(1, 8),
+                     i -> CASE WHEN substr(fsig, CAST(i AS INTEGER), 1)
+                                 <> substr(prev, CAST(i AS INTEGER), 1)
+                               THEN 1 ELSE 0 END)) AS BIGINT) END
+           AS sig_delta
+  FROM lagged
+), verdict AS (
+  SELECT doc_id, frame_no, fsig, sig_delta,
+         COALESCE(sig_delta >= 4, FALSE) AS is_cut
+  FROM scored
+)
+SELECT doc_id, frame_no, fsig, sig_delta, is_cut,
+       CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY frame_no
+                    ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS scene_no
+FROM verdict"""
 
   /** w7: attribution interval join — the plain-SQL form of the
     * stream-stream join's condition.

@@ -2066,6 +2066,16 @@ object ExtQueries {
       Media.synthCorpus(spread(docs.unionByName(mirrors))))
   }
 
+  /** Scene-cut detection (m9): [[Media.sceneCuts]] over the plain
+    * synthetic media corpus — per-asset signature-transition
+    * boundaries and scene numbering, the keyframe-sampling input.
+    */
+  def mediaSceneCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Media.sceneCuts(
+      Media.synthCorpus(Tables.documents(spark, sfDir)))
+  }
+
   /** Frame sampling rollup: per doc, how many 32-byte frames the payload
     * splits into and their reassembled size (proves the binary chunking
     * covers the payload exactly).

@@ -295,6 +295,60 @@ object Media {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Scene-cut detection (m9): per-asset boundaries in the frame-local
+    * perceptual signature stream — the segmentation step a video
+    * pipeline runs BEFORE sampling frames for training (one keyframe
+    * per scene beats N near-identical frames of the same shot; m2
+    * samples uniformly, this says WHERE the content actually changes).
+    * A cut is a frame whose signature disagrees with its predecessor
+    * in ≥ `cutBits` of the `grid` bits; `scene_no` is the running cut
+    * count + 1, so downstream "one frame per (doc, scene)" sampling is
+    * a groupBy away.
+    *
+    * Shares m8's frame pipeline verbatim (body → `frameBytes` frames →
+    * frame-local [[perceptualHash]]): signatures are re-encode
+    * invariant by the m7 argument, so the SAME cut boundaries survive
+    * a brightness-shifted re-upload — scene structure is a content
+    * property, not a byte property.
+    *
+    * 100 TB shape: per-row expressions to signatures (no UDF), ONE
+    * shuffle on doc_id for the lag/cumulative windows over per-doc
+    * frame counters — windows run over |frames-per-doc| rows, and a
+    * single asset's frame list is bounded by payload size, the same
+    * bound m8 already carries. Determinism: signatures are exact bit
+    * strings, the delta an exact per-position count, the verdict an
+    * integer compare — nothing rounds.
+    */
+  def sceneCuts(media: DataFrame, frameBytes: Int = 32, grid: Int = 8,
+                headerBytes: Int = 8, cutBits: Int = 4): DataFrame = {
+    require(cutBits >= 1 && cutBits <= grid,
+      "cut threshold must lie within the signature width")
+    val body = media.select(col("doc_id"),
+      substring(col("payload"), headerBytes + 1, Int.MaxValue)
+        .as("payload"))
+    val sigs = sampleFrames(body, frameBytes)
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        perceptualHash(col("frame"), grid, headerBytes = 0).as("fsig"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val run = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val delta = (1 to grid).map(i =>
+      when(substring(col("fsig"), i, 1) =!=
+        substring(col("_prev"), i, 1), 1L).otherwise(0L))
+      .reduce(_ + _)
+    sigs
+      .withColumn("_prev", lag(col("fsig"), 1).over(byDoc))
+      .withColumn("sig_delta",
+        when(col("_prev").isNotNull, delta))
+      .withColumn("is_cut",
+        coalesce(col("sig_delta") >= cutBits, lit(false)))
+      .withColumn("scene_no",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(run) + 1L)
+      .select(col("doc_id"), col("frame_no"), col("fsig"),
+        col("sig_delta"), col("is_cut"), col("scene_no"))
+  }
+
   /** Temporal media alignment (m8): asset pairs sharing a RUN of
     * `window` consecutive per-frame perceptual signatures — the
     * sequence-level near-dup the per-file signature (m7) and the

@@ -467,6 +467,31 @@ class ExtSpec extends AnyFunSuite {
       s"trimmed re-encode must align at offset -1 with 2 windows: $got")
   }
 
+  test("media: scene cuts fire on signature flips and number scenes; " +
+    "re-encode keeps the same boundaries") {
+    // frames (8 bytes, grid 4): "aaaabbbb" -> 0011, "bbbbaaaa" -> 1100
+    // sequence 0011, 0011, 1100, 1100: deltas null,0,4,0 -> one cut at
+    // frame 2, scenes 1,1,2,2
+    val f1 = "aaaabbbb"; val f2 = "bbbbaaaa"
+    def shift(s: String) = s.map(c => (c + 1).toChar)
+    val mk = (id: Long, s: String) => (id, s.getBytes("UTF-8"))
+    val media = Seq(
+      mk(1L, "00400040" + f1 + f1 + f2 + f2),
+      mk(2L, "00800080" + shift(f1 + f1 + f2 + f2))) // m7 re-encode
+      .toDF("doc_id", "payload")
+    val got = Media.sceneCuts(media, frameBytes = 8, grid = 4,
+        cutBits = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getBoolean(4), r.getLong(5)))).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(got((id, 0L)) == ((None, false, 1L)))
+      assert(got((id, 1L)) == ((Some(0L), false, 1L)))
+      assert(got((id, 2L)) == ((Some(4L), true, 2L)))
+      assert(got((id, 3L)) == ((Some(0L), false, 2L)))
+    }
+  }
+
   test("media: resizeStub scales metadata and truncates payload") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") === 10)
     val media = Media.synthCorpus(docs)
