@@ -1111,6 +1111,60 @@ SELECT node AS node_id, CAST(COUNT(*) AS BIGINT) AS n_sources,
          / 1000000000.0 AS harmonic
 FROM h4 WHERE dist >= 1 GROUP BY 1"""
 
+  /** x55: degree power-law readout — degree histogram of the chain
+    * graph's undirected support (via the shared CTEs) + the t56
+    * regression arithmetic over (ln degree, ln n_nodes): 9-dp logs,
+    * DECIMAL moment sums, 6-dp slope/intercept/r², fit columns
+    * repeated per histogram row.
+    */
+  val x55DegreeDistribution: String = s"""WITH $ChainSeq, e0 AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), und AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), degs AS (
+  SELECT src AS node, COUNT(*) AS degree FROM und GROUP BY 1
+), hist AS (
+  SELECT CAST(degree AS BIGINT) AS degree,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM degs GROUP BY 1
+), xy AS (
+  SELECT round(ln(CAST(degree AS DOUBLE)), 9) AS x,
+         round(ln(CAST(n_nodes AS DOUBLE)), 9) AS y
+  FROM hist
+), m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(28,9))) AS sx,
+         SUM(CAST(y AS DECIMAL(28,9))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
+         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+  FROM xy
+), s AS (
+  SELECT CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+         CAST(sxy AS DOUBLE) AS sxyd
+  FROM m
+), fit AS (
+  SELECT CASE WHEN nd * sxxd - sxd * sxd > 0
+              THEN round((nd * sxyd - sxd * syd)
+                         / (nd * sxxd - sxd * sxd), 6) END AS pl_slope,
+         CASE WHEN nd * sxxd - sxd * sxd > 0
+              THEN round((syd - round((nd * sxyd - sxd * syd)
+                                      / (nd * sxxd - sxd * sxd), 6)
+                                * sxd) / nd, 6) END AS pl_intercept,
+         CASE WHEN nd * sxxd - sxd * sxd > 0
+                   AND nd * syyd - syd * syd > 0
+              THEN round((nd * sxyd - sxd * syd)
+                         * (nd * sxyd - sxd * syd)
+                         / ((nd * sxxd - sxd * sxd)
+                            * (nd * syyd - syd * syd)), 6) END AS r2
+  FROM s
+)
+SELECT h.degree, h.n_nodes, f.pl_slope, f.pl_intercept, f.r2
+FROM hist h CROSS JOIN fit f"""
+
   /** x34: label propagation, 3 unrolled synchronous iterations over the
     * undirected support of the x20 chain graph. Votes are exact COUNTs;
     * winner per node via QUALIFY (votes DESC, label ASC) — pure integer

@@ -1372,6 +1372,22 @@ object ExtQueries {
     Graph.harmonicCentrality(edges, seeds, iterations = 4)
   }
 
+  /** Degree power-law readout (x55): [[Graph.degreeDistribution]]
+    * over the chain graph's undirected support — the histogram + the
+    * log-log fit that predicts hub skew before any expensive pass.
+    */
+  def degreeDistribution(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    Graph.degreeDistribution(edges)
+  }
+
   /** Incremental rollup maintenance (x21): the order-value summary by
     * (priority, status), maintained as history-state + 1998 delta
     * batch — the merge path whose cost is O(batch + keys). The oracle

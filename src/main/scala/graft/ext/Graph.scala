@@ -584,6 +584,65 @@ object Graph {
     * self-distance 0 is excluded (a node is not central for reaching
     * itself).
     */
+  /** Degree power-law readout (x55): the degree histogram of the
+    * undirected support plus a log-log least-squares fit of
+    * `ln(n_nodes)` on `ln(degree)` — the graph-tier sibling of t56's
+    * Zipf fit (same regression discipline, token ranks swapped for
+    * degree buckets). The slope is the planning number for every
+    * other graph operator here: a steep power law predicts the
+    * hub-key skew that x17/x1-style salting and the d2/m5 bucket caps
+    * exist for, BEFORE running the expensive pass.
+    *
+    * 100 TB shape: edges collapse to per-node degrees (one distinct +
+    * one partial-agg shuffle), degrees collapse to |distinct degrees|
+    * histogram rows, and the regression runs over THAT tiny frame —
+    * the fit row is a broadcast back onto the histogram.
+    *
+    * Determinism: degrees and bucket counts are exact longs; the
+    * t56 discipline for the float part (9-dp rounded logs, DECIMAL
+    * moment sums, one 6-dp round on slope/intercept/r²).
+    *
+    * Returns one row per degree bucket, fit columns repeated (the t57
+    * within-share style): (degree, n_nodes, pl_slope, pl_intercept,
+    * r2).
+    */
+  def degreeDistribution(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val und = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val hist = graft.std.Materialize.once(
+      und.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes")))
+    val x = round(log(col("degree").cast("double")), 9)
+    val y = round(log(col("n_nodes").cast("double")), 9)
+    val dec = "decimal(38,12)"
+    val m = hist
+      .select(x.as("_x"), y.as("_y"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x").cast("decimal(28,9)")).as("_sx"),
+        sum(col("_y").cast("decimal(28,9)")).as("_sy"),
+        sum((col("_x") * col("_x")).cast(dec)).as("_sxx"),
+        sum((col("_y") * col("_y")).cast(dec)).as("_syy"),
+        sum((col("_x") * col("_y")).cast(dec)).as("_sxy"))
+    val n = col("_n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN = n * d("_sxy") - d("_sx") * d("_sy")
+    val varX = n * d("_sxx") - d("_sx") * d("_sx")
+    val varY = n * d("_syy") - d("_sy") * d("_sy")
+    val slope = round(covN / varX, 6)
+    val fit = m.select(
+      when(varX > 0, slope).as("pl_slope"),
+      when(varX > 0, round((d("_sy") - slope * d("_sx")) / n, 6))
+        .as("pl_intercept"),
+      when(varX > 0 && varY > 0, round(covN * covN / (varX * varY), 6))
+        .as("r2"))
+    hist.crossJoin(broadcast(fit))
+      .select(col("degree"), col("n_nodes"),
+        col("pl_slope"), col("pl_intercept"), col("r2"))
+  }
+
   def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
                          iterations: Int = 4): DataFrame = {
     require(iterations >= 1, "need at least one hop")

@@ -383,6 +383,44 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 2L, 9L -> 0L))
   }
 
+  test("degree distribution: star graph fits slope -1 exactly") {
+    // hub 0 with 4 leaves: degrees {0:4, leaves:1} -> histogram
+    // (1,4),(4,1); in log space the two points are reflections, so
+    // the fit is slope -1, intercept ln(4), r² 1
+    val edges = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
+    val out = Graph.degreeDistribution(edges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    assert(out.keySet == Set(1L, 4L))
+    assert(out(1L)._1 == 4L && out(4L)._1 == 1L)
+    out.values.foreach { case (_, slope, intercept, r2) =>
+      assert(slope == -1.0 && r2 == 1.0 &&
+        math.abs(intercept - 1.386294) < 1e-9)
+    }
+  }
+
+  test("degree distribution: uniform degrees have no fit (varX = 0)") {
+    // a 4-cycle: every node degree 2 -> one histogram bucket, the
+    // regression is undefined and the fit columns are null
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.degreeDistribution(edges).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 2L && out.head.getLong(1) == 4L)
+    assert(out.head.isNullAt(2) && out.head.isNullAt(3) &&
+      out.head.isNullAt(4))
+  }
+
+  test("degree distribution: parallel and reverse edges collapse") {
+    // 1->2 stated three ways is ONE undirected edge: both nodes
+    // degree 1
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.degreeDistribution(edges).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L &&
+      out.head.getLong(1) == 2L)
+  }
+
   test("harmonic centrality: path graph terms are 1e9 div d") {
     // 1->2->3->4 seeded at 1: terms 1e9, 5e8, 1e9 div 3; the seed
     // itself never appears (self-distance 0 excluded)
