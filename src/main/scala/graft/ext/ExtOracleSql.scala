@@ -5232,6 +5232,40 @@ SELECT CAST(0 AS INTEGER) AS subspace,
        s.n_members, s.wcss
 FROM km_cb4 cb JOIN stats s ON s.cw = cb.cw"""
 
+  /** s26: k-means elbow sweep — one kmeansCtes chain per k (tags
+    * `el2..el16` matching the Spark seedTags), per-k aggregates over
+    * the final assignment: live clusters, exact-DECIMAL re-sum of the
+    * 9-dp per-cluster WCSS (order-free), size extremes.
+    */
+  val s26KmeansElbow: String = {
+    val ks = Seq(2, 4, 8, 16)
+    val chains = ks.map(k => kmeansCtes(s"el$k", "kme", k, 4))
+      .mkString(", ")
+    val rows = ks.map { k =>
+      s"""SELECT $k AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_live_clusters,
+       CAST(SUM(n_members) AS BIGINT) AS n_vectors,
+       round(CAST(SUM(CAST(wcss AS DECIMAL(28,9))) AS DOUBLE), 9)
+         AS total_wcss,
+       CAST(MAX(n_members) AS BIGINT) AS largest_cluster,
+       CAST(MIN(n_members) AS BIGINT) AS smallest_cluster
+FROM (SELECT cw, COUNT(*) AS n_members,
+             round(CAST(SUM(dist) AS DOUBLE), 9) AS wcss
+      FROM el${k}_a4 GROUP BY 1) st$k"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), kx AS (
+  SELECT vec_id AS vid, 0 AS sub,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v
+), kme AS (
+  SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM kx
+), $chains
+$rows"""
+  }
+
   /** Unrolled power iteration for s21: one (score, weighted-sum,
     * norm, normalize) CTE quadruple per round over the centered
     * exploded frame `cent` — the kmeansCtes pattern for the

@@ -2314,6 +2314,15 @@ object ExtQueries {
       hammingTopK(spark, sfDir), cosineTopK(spark, sfDir), 5)
   }
 
+  /** k-means elbow sweep (s26): [[Similarity.kmeansElbow]] over the
+    * embedding corpus at k ∈ {2,4,8,16} — the |cells| tuning readout
+    * the s9/s16 IVF indexes are sized by.
+    */
+  def kmeansElbow(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.kmeansElbow(Tables.embeddings(spark, sfDir))
+  }
+
   /** Benford audit (v6): [[Validation.benford]] over order totals —
     * per-digit observed vs expected share and chi-square terms.
     */

@@ -1198,6 +1198,47 @@ object Similarity {
         col("n_members"), col("wcss"))
   }
 
+  /** k-means elbow sweep (s26): [[kmeansTrain]] at each k with one
+    * row per k — live-cluster count, total within-cluster sum of
+    * squares, and the size extremes. The "how many cells" tuning
+    * readout the IVF family depends on, next to s20's nprobe sweep:
+    * s20 prices probe width on a FIXED quantizer, this prices the
+    * quantizer's k itself (total WCSS falls monotonically with k; the
+    * elbow is where the marginal drop flattens — and collapsed or
+    * runt cells show up in the size extremes before an index ships).
+    *
+    * Determinism: per-cluster WCSS is the kmeansLoop fixed-point
+    * value (exact DECIMAL distance totals, one 9-dp round); the
+    * cross-cluster total re-sums those 9-dp values as DECIMAL(28,9) —
+    * order-free — and rounds once for display. Each k trains from its
+    * own hash seed (`el$k`), so runs are independent and the DuckDB
+    * twin unrolls each chain by tag.
+    *
+    * 100 TB shape: Σ over ks of the kmeansLoop contract (sample-
+    * bounded training in production, broadcast codebooks); the elbow
+    * frame itself is |ks| rows.
+    */
+  def kmeansElbow(vecs: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16),
+                  iters: Int = 4, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(ks.nonEmpty, "need at least one k")
+    ks.map { k =>
+      kmeansTrain(vecs, k, iters, subspaces = 1, idCol = idCol,
+          vecCol = vecCol, seedTag = s"el$k")
+        .select(col("cluster_id"), col("n_members"), col("wcss"))
+        .distinct()
+        .agg(count(lit(1)).as("n_live_clusters"),
+          sum(col("n_members")).as("n_vectors"),
+          round(sum(col("wcss").cast("decimal(28,9)")).cast("double"),
+            9).as("total_wcss"),
+          max(col("n_members")).as("largest_cluster"),
+          min(col("n_members")).as("smallest_cluster"))
+        .select(lit(k).as("k"), col("n_live_clusters"),
+          col("n_vectors"), col("total_wcss"),
+          col("largest_cluster"), col("smallest_cluster"))
+    }.reduce(_ unionByName _)
+  }
+
   /** IVF-PQ top-k over a TRAINED index (s16): [[ivfPqTopK]]'s query
     * path with both quantizers learned by [[kmeansLoop]] instead of
     * read from label columns — the actual FAISS `IVF_PQ` recipe.

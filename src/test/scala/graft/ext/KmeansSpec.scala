@@ -244,4 +244,24 @@ class KmeansSpec extends AnyFunSuite {
     assert(r2.forall(_.getDouble(3) == 0.0),
       s"identical cell-mates must read ADC 0: ${r2.toSeq}")
   }
+
+  test("elbow sweep: separated blobs collapse WCSS once k covers them") {
+    // two tight blobs: k=1 pays the full between-blob spread, k=2
+    // lands on the blob means (tiny within-blob WCSS), and every row
+    // accounts for all 6 vectors with live clusters <= k
+    val df = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 2.0)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(10.0, 10.0)), (5L, Seq(10.0, 12.0)),
+      (6L, Seq(10.0, 11.0)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.kmeansElbow(df, ks = Seq(1, 2), iters = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    graft.std.Materialize.releaseAll()
+    assert(rows.keySet == Set(1, 2))
+    assert(rows(1)._1 == 1L && rows(2)._1 <= 2L)
+    assert(rows(1)._2 == 6L && rows(2)._2 == 6L)
+    assert(rows(2)._3 < rows(1)._3 / 10,
+      s"covering k must collapse WCSS: $rows")
+  }
 }
