@@ -167,4 +167,44 @@ object Experiment {
           "div (_n1 * _n2) AS BIGINT)").as("ks_e9"))
       .withColumn("ks", col("ks_e9").cast("double") / lit(1e9))
   }
+
+  /** Calibration curve (t70): the reliability diagram next to
+    * [[rankAuc]] — t67 prices how well a score RANKS, this prices
+    * whether its MAGNITUDE means anything: docs bucketed into
+    * equal-WIDTH score bins, per bin the positive share. A calibrated
+    * score's share climbs with the bin; a ranking-only score can ace
+    * AUC while the curve is flat in the middle.
+    *
+    * Bins are equal-width over the observed [min, max] — NOT ntile:
+    * equal-frequency deciles need a global sort into one task (the
+    * anti-pattern), where `(score − min) · bins div (max − min + 1)`
+    * is a per-row expression after one broadcast min/max pass, so the
+    * corpus never globally sorts and the only shuffle is the |bins|
+    * partial agg. Integer scores in, exact integer bin arithmetic,
+    * fixed-point shares — nothing rounds until display.
+    *
+    * Returns one row per non-empty bin: (bin, lo_score, hi_score,
+    * n_docs, n_pos, pos_share_e9, pos_share).
+    */
+  def calibrationCurve(scored: DataFrame, scoreCol: String,
+                       labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, "need at least one bin")
+    val bounds = scored.agg(min(col(scoreCol)).as("_lo"),
+      max(col(scoreCol)).as("_hi"))
+    scored.crossJoin(broadcast(bounds))
+      .select(
+        expr(s"CAST(($scoreCol - _lo) * $bins " +
+          "div (_hi - _lo + 1) AS INT)").as("bin"),
+        col(scoreCol).as("_s"),
+        col(labelCol).cast("long").as("_y"))
+      .groupBy(col("bin"))
+      .agg(min(col("_s")).as("lo_score"), max(col("_s")).as("hi_score"),
+        count(lit(1)).as("n_docs"), sum(col("_y")).as("n_pos"))
+      .select(col("bin"), col("lo_score"), col("hi_score"),
+        col("n_docs"), col("n_pos"),
+        expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000000 " +
+          "div n_docs AS BIGINT)").as("pos_share_e9"))
+      .withColumn("pos_share",
+        col("pos_share_e9").cast("double") / lit(1e9))
+  }
 }

@@ -428,6 +428,75 @@ SELECT n_pos, n_neg, wins, ties,
          AS auc
 FROM agg"""
 
+  /** t71: dedup token savings — the d1 mirror corpus rolled up per
+    * source in token units: keeper = MIN(doc_id) per content md5,
+    * kept/total docs and tokens, saved share in e9 fixed point.
+    */
+  val t71DedupTokenSavings: String = s"""WITH base AS (
+  SELECT doc_id, source, text FROM documents
+), corpus AS (
+  SELECT doc_id, source, text FROM base
+  UNION ALL
+  SELECT doc_id + 200000, source, text FROM base WHERE doc_id % 5 = 0
+), tk AS (
+  SELECT doc_id, source, md5($Norm) AS gh,
+         CAST(len(string_split($Norm, ' ')) AS BIGINT) AS nt
+  FROM corpus
+), kp AS (
+  SELECT gh, MIN(doc_id) AS keeper FROM tk GROUP BY 1
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_kept,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN doc_id = keeper THEN nt ELSE 0 END)
+            AS BIGINT) AS n_tokens_kept,
+       CAST(CAST(SUM(nt) - SUM(CASE WHEN doc_id = keeper
+                                    THEN nt ELSE 0 END) AS HUGEINT)
+            * 1000000000 // SUM(nt) AS BIGINT) AS saved_share_e9,
+       CAST(CAST(CAST(SUM(nt) - SUM(CASE WHEN doc_id = keeper
+                                         THEN nt ELSE 0 END) AS HUGEINT)
+                 * 1000000000 // SUM(nt) AS BIGINT) AS DOUBLE)
+         / 1000000000.0 AS saved_share
+FROM tk JOIN kp USING (gh)
+GROUP BY 1"""
+
+  /** t70: calibration curve — t67's scored fixture (same injected
+    * stopword text, same en-marker score) read as equal-width score
+    * bins with fixed-point positive shares. Bin arithmetic is exact
+    * integers (`(score − lo) · 10 // (hi − lo + 1)`), shares ride the
+    * x31 fixed-point lane.
+    */
+  val t70CalibrationCurve: String = s"""WITH t AS (
+  SELECT doc_id, lang,
+         string_split(lower(trim(regexp_replace(
+           CASE WHEN lang = 'en' AND doc_id % 2 = 0
+                THEN text || ' the of and is to' ELSE text END,
+           '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT (lang = 'en') AS pos,
+         CAST(len(list_filter(toks,
+           tk -> tk IN ${LangLists.toMap.apply("en")})) AS BIGINT)
+           AS score
+  FROM t
+), b AS (
+  SELECT MIN(score) AS lo, MAX(score) AS hi FROM s
+), binned AS (
+  SELECT CAST((score - lo) * 10 // (hi - lo + 1) AS INTEGER) AS bin,
+         score, CASE WHEN pos THEN 1 ELSE 0 END AS y
+  FROM s CROSS JOIN b
+)
+SELECT bin, MIN(score) AS lo_score, MAX(score) AS hi_score,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(CAST(SUM(y) AS HUGEINT) * 1000000000 // COUNT(*)
+            AS BIGINT) AS pos_share_e9,
+       CAST(CAST(CAST(SUM(y) AS HUGEINT) * 1000000000 // COUNT(*)
+                 AS BIGINT) AS DOUBLE) / 1000000000.0 AS pos_share
+FROM binned GROUP BY 1"""
+
   /** v8: exact two-sample KS statistic between purchase and click
     * value distributions — merged per-value counts, one ordered
     * cumulative window, max integer gap `|F1·n2 − F2·n1|` with the
@@ -5255,6 +5324,7 @@ FROM (SELECT cw, COUNT(*) AS n_members,
     }.mkString("\nUNION ALL\n")
     s"""WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % 4 = 0
 ), kx AS (
   SELECT vec_id AS vid, 0 AS sub,
          unnest(generate_series(0, len(e) - 1)) AS dim,

@@ -1787,6 +1787,68 @@ object ExtQueries {
     Experiment.rankAuc(scored, "en_score", "is_en")
   }
 
+  /** Dedup token savings (t71): the report a data team actually
+    * publishes after a dedup pass — per SOURCE, documents and TOKENS
+    * before/after exact dedup over the d1 mirror corpus (every 5th
+    * doc re-uploaded at +200000), with the saved-token share in fixed
+    * point. d1/d6 say WHICH rows survive; this prices the pass in the
+    * unit training budgets are written in. Keeper = min doc_id per
+    * content hash (the d1 rule), so a duplicated doc's tokens bill to
+    * the source that uploaded the copy, not the keeper's source.
+    *
+    * 100 TB shape: text collapses to (digest, token count) in the
+    * scan; one groupBy on the digest, one broadcast-joinable keeper
+    * frame, one partial-agg rollup to |sources| rows. Exact longs end
+    * to end.
+    */
+  def dedupTokenSavings(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Tables.tune(spark)
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus = base.unionByName(base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("source"),
+        col("text")))
+    val tk = corpus.select(col("doc_id"), col("source"),
+      md5(TextOps.normText(col("text"))).as("_gh"),
+      size(TextOps.tokens(col("text"))).cast("long").as("_nt"))
+    val keepers = tk.groupBy(col("_gh"))
+      .agg(min(col("doc_id")).as("_keeper"))
+    tk.join(keepers, Seq("_gh"))
+      .select(col("source"), col("_nt"),
+        (col("doc_id") === col("_keeper")).as("_kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_kept"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(col("_nt")).as("n_tokens"),
+        sum(when(col("_kept"), col("_nt")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_docs_kept"),
+        col("n_tokens"), col("n_tokens_kept"),
+        expr("CAST(CAST(n_tokens - n_tokens_kept AS DECIMAL(38,0)) " +
+          "* 1000000000 div n_tokens AS BIGINT)").as("saved_share_e9"))
+      .withColumn("saved_share",
+        col("saved_share_e9").cast("double") / lit(1e9))
+  }
+
+  /** Calibration curve (t70): the t67 fixture (en-marker score vs
+    * the true `lang = 'en'` label, stopwords injected into half the
+    * English docs) read as a reliability diagram — equal-width score
+    * bins, per-bin positive share. AUC says the score ranks; this
+    * says whether its magnitude is trustworthy as a threshold.
+    */
+  def calibrationCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir).withColumn("text",
+      when(col("lang") === "en" && col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" the of and is to")))
+        .otherwise(col("text")))
+    val scored = docs.select((col("lang") === "en").as("is_en"),
+      TextAnalysis.langScores(TextOps.tokens(col("text")))
+        .toMap.apply("en").cast("long").as("en_score"))
+    Experiment.calibrationCurve(scored, "en_score", "is_en")
+  }
+
   /** Exact KS drift statistic (v8): purchase vs click value
     * distributions — the bin-free complement of x16's PSI.
     */
@@ -2088,8 +2150,11 @@ object ExtQueries {
     */
   def mediaSceneCuts(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
+    // spread: the sf parquet is one row group and the per-frame hash
+    // kernel is the expensive part — without it the whole corpus
+    // hashes in ONE task (measured 29 s vs 2.5 s at sf0.1)
     Media.sceneCuts(
-      Media.synthCorpus(Tables.documents(spark, sfDir)))
+      Media.synthCorpus(spread(Tables.documents(spark, sfDir))))
   }
 
   /** Frame sampling rollup: per doc, how many 32-byte frames the payload
@@ -2320,7 +2385,12 @@ object ExtQueries {
     */
   def kmeansElbow(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    Similarity.kmeansElbow(Tables.embeddings(spark, sfDir))
+    // elbow sizing trains on a deterministic quarter sample — the
+    // FAISS training contract (codebooks train on samples, never the
+    // corpus): the k decision needs the SHAPE of WCSS-vs-k, and the
+    // sweep is 4 full trainings, the one place sampling pays 4×
+    Similarity.kmeansElbow(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") % 4 === 0))
   }
 
   /** Benford audit (v6): [[Validation.benford]] over order totals —
@@ -2518,6 +2588,15 @@ object ExtQueries {
   def cadenceProfile(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     Timeseries.cadenceProfile(Tables.events(spark, sfDir))
+  }
+
+  /** Stationary event mix (x56): [[Timeseries.stationaryMix]] — the
+    * long-run per-type event shares x47's transition matrix implies,
+    * 8 fixed-point power-iteration rounds.
+    */
+  def stationaryMix(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.stationaryMix(Tables.events(spark, sfDir))
   }
 
   /** EWMA forecast baseline (x53): [[Timeseries.ewmaBaseline]] over

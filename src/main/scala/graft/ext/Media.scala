@@ -326,9 +326,16 @@ object Media {
     val body = media.select(col("doc_id"),
       substring(col("payload"), headerBytes + 1, Int.MaxValue)
         .as("payload"))
-    val sigs = sampleFrames(body, frameBytes)
-      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
-        perceptualHash(col("frame"), grid, headerBytes = 0).as("fsig"))
+    // attrBarrier: the delta below reads fsig through 8 substring
+    // references plus the lag — without the barrier Catalyst's
+    // project collapse inlines the whole perceptualHash expression
+    // into EACH reference (measured 30.6 s vs 3.5 s at sf0.1)
+    val sigs = TextOps.attrBarrier(
+      sampleFrames(body, frameBytes)
+        .select(col("doc_id"),
+          col("frame_no").cast("long").as("frame_no"), col("frame")),
+      Seq("doc_id", "frame_no"), "fsig",
+      perceptualHash(col("frame"), grid, headerBytes = 0))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_no"))
     val run = byDoc.rowsBetween(

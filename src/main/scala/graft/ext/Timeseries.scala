@@ -580,6 +580,73 @@ object Timeseries {
           .as("is_regular"))
   }
 
+  /** Stationary event mix (x56): the long-run state distribution of
+    * x47's Markov chain — where the transition matrix says "what
+    * follows what", the stationary vector says what share of events
+    * the system settles into PER TYPE if today's dynamics persist,
+    * the steady-state capacity readout (x47 is the model, this is its
+    * fixed point). Power iteration `π' = π·P` in e9 fixed point:
+    * per-term `π_i · n_ij div n_i` on exact longs (counts, never
+    * pre-rounded probabilities — one truncation per term, order-free
+    * integer sums), seeded uniform at `1e9 div |states|`, `iters`
+    * rounds pinned per iteration (the x20 lineage discipline).
+    * Truncation only SHAVES, so Σπ drifts a few e-9 below 1e9 —
+    * reported, not hidden, via `mass_e9` on every row.
+    *
+    * 100 TB shape: the ONLY corpus-sized work is x47's pair count
+    * (one lead window + one partial-agg shuffle); the iteration runs
+    * on the |types|² count frame — driver-tiny, exact.
+    *
+    * States are the types with outgoing transitions; a type with
+    * inflow but no outflow would absorb mass (not present in this
+    * corpus, and a real chain would add a self-loop).
+    */
+  def stationaryMix(events: DataFrame, iters: Int = 8,
+                    userCol: String = "user_id",
+                    typeCol: String = "event_type",
+                    tsCol: String = "ts",
+                    tiebreakCol: String = "event_id"): DataFrame = {
+    require(iters >= 1, "need at least one power-iteration round")
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val pairs = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull && col(tiebreakCol).isNotNull)
+      .select(col(typeCol).as("prev_type"),
+        lead(col(typeCol), 1).over(byUser).as("next_type"))
+      .filter(col("next_type").isNotNull)
+    val counts = graft.std.Materialize.once(
+      pairs.groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n12")))
+    val rowTot = counts.groupBy(col("prev_type"))
+      .agg(sum(col("n12")).as("n1"))
+    val edges = graft.std.Materialize.once(
+      counts.join(rowTot, Seq("prev_type")))
+    val states = graft.std.Materialize.once(
+      edges.select(col("prev_type").as("state")).distinct())
+    val nStates = states.agg(count(lit(1)).as("_n"))
+    var pi = graft.std.Materialize.once(
+      states.crossJoin(broadcast(nStates))
+        .select(col("state"),
+          expr("CAST(1000000000 div _n AS BIGINT)").as("pi_e9")))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pi, edges("prev_type") === pi("state"))
+        .select(col("next_type").as("state"),
+          expr("CAST(pi_e9 * n12 div n1 AS BIGINT)").as("_t"))
+        .groupBy(col("state")).agg(sum(col("_t")).as("_acc"))
+      pi = graft.std.Materialize.once(
+        states.join(contrib, Seq("state"), "left_outer")
+          .select(col("state"),
+            coalesce(col("_acc"), lit(0L)).as("pi_e9")))
+    }
+    val mass = pi.agg(sum(col("pi_e9")).as("mass_e9"))
+    pi.crossJoin(broadcast(mass))
+      .select(col("state").as("event_type"), col("pi_e9"),
+        (col("pi_e9").cast("double") / lit(1e9)).as("pi"),
+        col("mass_e9"))
+  }
+
   /** EWMA forecast baseline (x53): per-series exponentially weighted
     * moving average of a daily metric, with the forecast residual
     * (today vs yesterday's EWMA) and spike/dip verdicts — the

@@ -107,4 +107,30 @@ class ExperimentSpec extends AnyFunSuite {
     assert(Experiment.ksDrift(lo, hi, "value")
       .collect()(0).getDouble(5) == 1.0)
   }
+
+  test("calibration curve: perfectly calibrated step, exact bins") {
+    // scores 0..9 twice, label = score >= 5: lo 0, hi 9, bin =
+    // s*10 div 10 = s; shares are exactly 0 below the step, 1e9 above
+    val rows = for (s <- 0L to 9L; _ <- 1 to 2)
+      yield (s, s >= 5L)
+    val out = Experiment.calibrationCurve(
+        rows.toDF("score", "label"), "score", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
+    assert(out.size == 10)
+    (0 to 9).foreach { b =>
+      val (loS, n, share) = out(b)
+      assert(loS == b.toLong && n == 2L)
+      assert(share == (if (b >= 5) 1000000000L else 0L))
+    }
+  }
+
+  test("calibration curve: constant score collapses to one full bin") {
+    val rows = Seq((7L, true), (7L, false), (7L, true))
+    val out = Experiment.calibrationCurve(
+        rows.toDF("score", "label"), "score", "label").collect()
+    assert(out.length == 1 && out.head.getInt(0) == 0 &&
+      out.head.getLong(3) == 3L && out.head.getLong(4) == 2L &&
+      out.head.getLong(5) == 666666666L)
+  }
 }

@@ -231,6 +231,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out(2L)._2 && !out(3L)._2, s"false positives: $out")
   }
 
+  test("dedup token savings: copies bill to the uploading source") {
+    // source A uploads a 4-token doc; source B uploads an exact copy
+    // (different whitespace — normText collapses it) plus a unique
+    // 2-token doc. Keeper is the smallest doc_id (A's), so B's copy
+    // tokens are the saved ones.
+    val tk = Seq(
+      (1L, "A", "a b c d"),
+      (2L, "B", "a  b   c d"),
+      (3L, "B", "x y")).toDF("doc_id", "source", "text")
+    // exercise the exact aggregation via a tiny corpus: reuse the
+    // operator body through a local temp parquet + the sfDir contract
+    val dir = java.nio.file.Files.createTempDirectory("t71").toString
+    tk.withColumn("lang", lit("en")).withColumn("n_chars", lit(7L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ExtQueries.dedupTokenSavings(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // doc 1 mirrors to +200000 (doc_id % 5 == 0? 1%5!=0; none of 1,2,3
+    // mirror except doc_id 0 — so corpus == base here)
+    assert(out("A") == ((1L, 1L, 4L, 4L, 0L)))
+    // B: copy dropped (4 tokens saved of 6): 666666666 in e9
+    assert(out("B") == ((2L, 1L, 6L, 2L, 666666666L)))
+  }
+
   test("domain mixture keeps within-rate shares and is deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val a = TextAnalysis.domainMixture(docs).collect()
