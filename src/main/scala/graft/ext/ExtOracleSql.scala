@@ -601,7 +601,10 @@ FROM r WHERE rank <= 5"""
     * words (DuckDB's BIGINT `<<` rejects shift 63, so 32-bit words
     * are the portable contract both engines implement), distance =
     * popcount(XOR) summed over words. Integer-exact end to end: no
-    * rounding, (hamming, neighbor_id) total order.
+    * rounding, (hamming, neighbor_id) total order. Dimensions ≤ 64
+    * enforced loudly (the Spark twin's `assert_true` ≡ the `i > 64 →
+    * error(...)` arm here): a 65th sign bit has no word to land in,
+    * and silent truncation would fake Hamming distances.
     */
   val s24HammingTopK: String = """WITH u AS (
   SELECT vec_id, unnest(embedding) AS e,
@@ -609,9 +612,12 @@ FROM r WHERE rank <= 5"""
   FROM embeddings
 ), codes AS (
   SELECT vec_id,
-         bit_or(CASE WHEN e > 0 AND i <= 32
+         bit_or(CASE WHEN i > 64 THEN CAST(error('binaryCodes: vector '
+                       || 'dimension exceeds the 64-dim sign-code '
+                       || 'word contract') AS BIGINT)
+                     WHEN e > 0 AND i <= 32
                      THEN 1::BIGINT << (i - 1) ELSE 0 END) AS w0,
-         bit_or(CASE WHEN e > 0 AND i > 32
+         bit_or(CASE WHEN e > 0 AND i > 32 AND i <= 64
                      THEN 1::BIGINT << (i - 33) ELSE 0 END) AS w1
   FROM u GROUP BY 1
 ), scored AS (
@@ -5067,7 +5073,13 @@ FROM c JOIN med USING (user_id) JOIN mad USING (user_id)"""
   val x53EwmaBaseline: String = """WITH daily AS (
   SELECT event_type AS series, CAST(ts AS DATE) AS day,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         CASE WHEN COALESCE(SUM(CAST(value AS DECIMAL(18,6))) >= 0,
+                            TRUE)
+              THEN CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000
+                        AS BIGINT)
+              ELSE CAST(error('dailySeries: negative daily sum '
+                     || 'violates the EWMA positivity contract')
+                        AS BIGINT) END
            AS value_micro
   FROM events
   WHERE ts IS NOT NULL AND event_type IS NOT NULL
@@ -5095,6 +5107,58 @@ SELECT series, day, n_events, value_micro,
        (prev IS NOT NULL AND value_micro > prev * 2) AS is_spike,
        (prev IS NOT NULL AND value_micro * 2 < prev) AS is_dip
 FROM lagged"""
+
+  /** x56 power-iteration chain: iteration i builds `p$i` from
+    * `p${i - 1}` — per-edge `pi_e9 * n12 // n1` contributions summed
+    * per destination state, then re-anchored on the full state list
+    * (states with no inflow this round hold 0). Mass arriving at a
+    * destination with no outgoing edges is DROPPED (it is not a
+    * state), so — like the per-term truncation — absorption only
+    * shaves Σπ, which the final `mass_e9` column reports.
+    */
+  private def x56Chain(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""c$i AS (
+  SELECT ed.next_type AS state, SUM(pi_e9 * n12 // n1) AS acc
+  FROM ed JOIN p${i - 1} ON ed.prev_type = p${i - 1}.state
+  GROUP BY 1
+), p$i AS (
+  SELECT st.state, COALESCE(c$i.acc, 0) AS pi_e9
+  FROM st LEFT JOIN c$i ON st.state = c$i.state
+)"""
+    }.mkString(", ")
+
+  /** x56: stationary event mix — x49's exact pair-count chain (the
+    * x47 matrix as `n12`/`n1` longs, never pre-rounded
+    * probabilities), then 8 power-iteration rounds in the x20 e9
+    * fixed-point discipline: uniform seed `1e9 // |states|`, per-term
+    * truncating `//` on positive operands (≡ Spark's `div`),
+    * order-free integer sums per round. `mass_e9` reports the shave.
+    */
+  val x56StationaryMix: String = s"""WITH pr AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL
+), c AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n12
+  FROM pr WHERE next_type IS NOT NULL GROUP BY 1, 2
+), rt AS (
+  SELECT prev_type, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1
+), ed AS (
+  SELECT c.prev_type, c.next_type, n12, n1
+  FROM c JOIN rt USING (prev_type)
+), st AS (SELECT DISTINCT prev_type AS state FROM ed),
+ns AS (SELECT COUNT(*) AS n FROM st),
+p0 AS (SELECT state, 1000000000 // n AS pi_e9 FROM st CROSS JOIN ns),
+${x56Chain(8)},
+m AS (SELECT SUM(pi_e9) AS mass_e9 FROM p8)
+SELECT p8.state AS event_type, CAST(p8.pi_e9 AS BIGINT) AS pi_e9,
+       CAST(p8.pi_e9 AS DOUBLE) / 1000000000.0 AS pi,
+       CAST(m.mass_e9 AS BIGINT) AS mass_e9
+FROM p8 CROSS JOIN m"""
 
   /** m6: chunk-store savings — the m4 refcount query as a derived
     * table, one exact-integer rollup, x31 fixed-point ratio.
@@ -5780,11 +5844,16 @@ WHERE rank <= 5"""
     * 6-dp rounded distances, ascending rank with id ties), the s13
     * recall arithmetic on top.
     */
-  val s17IvfPqRecall: String = {
+  /** Recall@5 of an ANN SQL against the exact squared-L2 top-5 over
+    * the `vec_id < 20` probe set — the s17 harness, generalized so
+    * every L2-metric index variant (s16 → s17, s27 → s28) prices its
+    * approximation through the same twin.
+    */
+  private def l2RecallSql(annSql: String): String = {
     val l2 = "list_aggregate(list_transform(list_zip(q.e, c.e), " +
       "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
     s"""WITH ann AS (
-  SELECT query_id, neighbor_id FROM ($s16IvfPqTopK) s16ann
+  SELECT query_id, neighbor_id FROM ($annSql) annq
 ), ve AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), sc AS (
@@ -5813,6 +5882,118 @@ SELECT query_id, n_hits, 5 AS k,
             AS DOUBLE) / 1000000000.0 AS recall
 FROM hits"""
   }
+
+  val s17IvfPqRecall: String = l2RecallSql(s16IvfPqTopK)
+
+  /** One frozen-codebook ENCODE pass (the kmeansCtes d/a iteration
+    * pair without the loop): every (vid, sub) in `src` to its nearest
+    * codeword of a FINISHED codebook `cb` — exact DECIMAL(38,12) L2,
+    * ties to the smallest codeword id, ≡ the Spark twin's
+    * `pqNearestCodewords`.
+    */
+  private def assignCte(tag: String, src: String, cb: String): String =
+    s"""${tag}_d AS (
+  SELECT e.vid, e.sub, cb.cw,
+         SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(38,12))) AS dist
+  FROM $src e JOIN $cb cb ON cb.dim = e.dim
+  GROUP BY 1, 2, 3
+), ${tag}_a AS (
+  SELECT vid, sub, cw FROM (
+    SELECT vid, sub, cw,
+           row_number() OVER (PARTITION BY vid, sub
+                              ORDER BY dist, cw) AS rn
+    FROM ${tag}_d) t
+  WHERE rn = 1)"""
+
+  /** s27: IVF-PQ with the FAISS train-on-sample / encode-full
+    * lifecycle — both [[kmeansCtes]] chains run ONLY on the
+    * `hash64('s27|' || vid) % 4 = 0` hash-sample (the t9 split
+    * discipline), the full corpus is encoded against the frozen
+    * `km_cb4`/`pq_cb3` codebooks via [[assignCte]], and the query
+    * tail is the audited s16 shape verbatim.
+    */
+  private def ivfPqSampledAnnSql(k: Int): String = {
+    val samp = s"${h64("'s27|' || CAST(vid AS VARCHAR)")} % 4 = 0"
+    s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), exq AS (
+  SELECT vec_id AS vid,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v
+), exs AS (
+  SELECT vid, dim, CAST(x AS DOUBLE) AS x,
+         CAST(dim % 16 AS INTEGER) AS sub
+  FROM exq
+), exc AS (
+  SELECT vid, 0 AS sub, dim, x FROM exs
+), exs_t AS (
+  SELECT vid, dim, x, sub FROM exs WHERE $samp
+), exc_t AS (
+  SELECT vid, sub, dim, x FROM exc WHERE $samp
+), ${kmeansCtes("km", "exc_t", 8, 4)},
+${kmeansCtes("pq", "exs_t", 32, 3)},
+${assignCte("encc", "exc", "km_cb4")},
+${assignCte("encp", "exs", "pq_cb3")},
+cells AS (
+  SELECT vid AS neighbor_id, cw AS cell FROM encc_a
+), codes AS (
+  SELECT vid AS neighbor_id, sub, cw FROM encp_a
+), cent AS (
+  SELECT cw AS cell, list(c ORDER BY dim) AS c FROM km_cb4 GROUP BY 1
+), cn AS (
+  SELECT cell, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
+), q AS (
+  SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
+  FROM v WHERE vec_id < 20
+), probe AS (
+  SELECT q.query_id, cn.cell,
+         round(CASE WHEN q.qn * cn.nm > 0
+               THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
+           AS csim
+  FROM q CROSS JOIN cn
+), probed AS (
+  SELECT query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY csim DESC NULLS LAST, cell ASC) AS prn
+    FROM probe) p
+  WHERE prn <= 2
+), qex AS (
+  SELECT vid, sub, dim, x FROM exs WHERE vid < 20
+), adc AS (
+  SELECT e.vid AS query_id, e.sub, cb.cw,
+         SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(38,12))) AS dist
+  FROM qex e JOIN pq_cb3 cb ON cb.dim = e.dim
+  GROUP BY 1, 2, 3
+), cand AS (
+  SELECT p.query_id, cells.neighbor_id, codes.sub, codes.cw
+  FROM probed p
+  JOIN cells ON cells.cell = p.cell
+  JOIN codes ON codes.neighbor_id = cells.neighbor_id
+  WHERE p.query_id <> cells.neighbor_id
+), adcsum AS (
+  SELECT cand.query_id, cand.neighbor_id, SUM(a.dist) AS adc
+  FROM cand JOIN adc a ON a.query_id = cand.query_id
+                      AND a.sub = cand.sub AND a.cw = cand.cw
+  GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY adc, neighbor_id) AS rank
+  FROM adcsum
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(CAST(adc AS DOUBLE), 9) AS adc_dist
+FROM r WHERE rank <= $k"""
+  }
+
+  val s27IvfPqSampled: String = ivfPqSampledAnnSql(5)
+
+  /** s28: recall@5 of the sampled-training index — prices what the
+    * FAISS train-on-sample contract costs against exact squared-L2
+    * (spoiler: nothing the full-corpus training wasn't already
+    * losing; that is WHY the contract works).
+    */
+  val s28SampledRecall: String = l2RecallSql(s27IvfPqSampled)
 
   /** t62: CCNet perplexity tertile buckets — the t25 scoring chain as
     * CTEs, exact interpolated tertile boundaries rounded to 6 dp

@@ -2741,6 +2741,39 @@ object ExtQueries {
       memoTag = Some(s"emb|$sfDir"))
   }
 
+  /** Sampled-training IVF-PQ top-k (s27):
+    * [[Similarity.ivfPqTopKSampled]] — the FAISS train-on-sample /
+    * encode-full lifecycle: quantizers trained on the
+    * `hash64("s27|" ++ id) % 4 = 0` quarter of the corpus, every
+    * vector encoded against the frozen codebooks, queried through
+    * the audited s16 path. Training cost is bounded by the sample;
+    * encode is the one linear pass (the s27 scale probe pins flat
+    * train / linear encode as the corpus grows).
+    */
+  def ivfPqSampled(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    Similarity.ivfPqTopKSampled(vecs.filter(col("vec_id") < 20), vecs,
+        5, sampleMod = 4, nprobe = 2, cells = 8, cellIters = 4,
+        subspaces = 16, codewords = 32, pqIters = 3,
+        memoTag = Some(s"emb|$sfDir"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adc_dist"))
+  }
+
+  /** Sampled-training recall@5 (s28): the s27 index priced against
+    * exact squared-L2 — what the quarter-corpus training costs vs
+    * s17's full-corpus number.
+    */
+  def ivfPqSampledRecall(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteForceTopKL2(
+      vecs.filter(col("vec_id") < 20), vecs, 5)
+    Similarity.recallAtK(ivfPqSampled(spark, sfDir), exact, 5)
+  }
+
   /** Markov event-transition matrix (x47): per-user successor pairs
     * over the event stream, row-normalized.
     */

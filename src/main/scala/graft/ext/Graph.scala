@@ -553,37 +553,6 @@ object Graph {
     dist.select(col("node").as("node_id"), col("dist").as("min_cost"))
   }
 
-  /** Sampled-source harmonic centrality (x54): for each node, the sum
-    * of 1/d(s, node) over a SEED SAMPLE s — the Eppstein–Wang
-    * estimator shape for closeness-family centrality, the only form
-    * that survives scale (exact closeness is all-pairs; a fixed seed
-    * sample keeps error bounded and cost linear in |V|·|S|). Harmonic
-    * (Σ 1/d) rather than classic closeness (1/Σ d) because it is
-    * defined on DISCONNECTED graphs — unreachable pairs contribute 0
-    * instead of poisoning the sum, no ∞ handling.
-    *
-    * Unlike [[shortestPaths]] (one merged frontier — distances to the
-    * NEAREST seed), the state here is per-(seed, node): hop distances
-    * from EVERY sampled seed, which is what the harmonic sum needs.
-    * `iterations` bounds hops, so terms are 1/d for d ≤ iterations —
-    * the truncated-horizon estimator (far pairs contribute ≤ 1/k
-    * each; the bound is part of the contract, like x38/x50).
-    *
-    * 100 TB shape: per hop ONE join (dist ⋈ edges on the node) + ONE
-    * groupBy-MIN with map-side partial collapse, on a frame of
-    * |S| × |reached| narrow rows — the sampled |S| is the knob that
-    * keeps that product bounded as |V| grows. The final rollup is one
-    * partial-agg shuffle to |V| rows.
-    *
-    * Determinism: hop distances are exact longs; each term is
-    * `1e9 div d` (truncating integer div on positive operands); the
-    * harmonic sum is an order-free integer sum. Nothing rounds until
-    * the final display double.
-    *
-    * Returns (node_id, n_sources, harmonic_e9, harmonic) — seeds'
-    * self-distance 0 is excluded (a node is not central for reaching
-    * itself).
-    */
   /** Degree power-law readout (x55): the degree histogram of the
     * undirected support plus a log-log least-squares fit of
     * `ln(n_nodes)` on `ln(degree)` — the graph-tier sibling of t56's
@@ -643,6 +612,37 @@ object Graph {
         col("pl_slope"), col("pl_intercept"), col("r2"))
   }
 
+  /** Sampled-source harmonic centrality (x54): for each node, the sum
+    * of 1/d(s, node) over a SEED SAMPLE s — the Eppstein–Wang
+    * estimator shape for closeness-family centrality, the only form
+    * that survives scale (exact closeness is all-pairs; a fixed seed
+    * sample keeps error bounded and cost linear in |V|·|S|). Harmonic
+    * (Σ 1/d) rather than classic closeness (1/Σ d) because it is
+    * defined on DISCONNECTED graphs — unreachable pairs contribute 0
+    * instead of poisoning the sum, no ∞ handling.
+    *
+    * Unlike [[shortestPaths]] (one merged frontier — distances to the
+    * NEAREST seed), the state here is per-(seed, node): hop distances
+    * from EVERY sampled seed, which is what the harmonic sum needs.
+    * `iterations` bounds hops, so terms are 1/d for d ≤ iterations —
+    * the truncated-horizon estimator (far pairs contribute ≤ 1/k
+    * each; the bound is part of the contract, like x38/x50).
+    *
+    * 100 TB shape: per hop ONE join (dist ⋈ edges on the node) + ONE
+    * groupBy-MIN with map-side partial collapse, on a frame of
+    * |S| × |reached| narrow rows — the sampled |S| is the knob that
+    * keeps that product bounded as |V| grows. The final rollup is one
+    * partial-agg shuffle to |V| rows.
+    *
+    * Determinism: hop distances are exact longs; each term is
+    * `1e9 div d` (truncating integer div on positive operands); the
+    * harmonic sum is an order-free integer sum. Nothing rounds until
+    * the final display double.
+    *
+    * Returns (node_id, n_sources, harmonic_e9, harmonic) — seeds'
+    * self-distance 0 is excluded (a node is not central for reaching
+    * itself).
+    */
   def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
                          iterations: Int = 4): DataFrame = {
     require(iterations >= 1, "need at least one hop")

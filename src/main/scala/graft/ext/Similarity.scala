@@ -62,6 +62,12 @@ object Similarity {
     * overflow); the JVM would wrap silently, so 32-bit words are also
     * the portable contract. One narrow projection inside codegen —
     * `zip_with` + a bit-OR fold, no UDF, no shuffle.
+    *
+    * Contract: dimensions ≤ 64 ONLY, enforced loudly — a 65th sign
+    * bit has no word to land in, and silent truncation would return
+    * plausible-but-wrong Hamming distances. Both twins guard (the
+    * DuckDB side errors on any subscript past 64), so an oversized
+    * corpus fails the job instead of the recall.
     */
   def binaryCodes(vecs: DataFrame, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
@@ -71,8 +77,12 @@ object Similarity {
         s"(v, i) -> IF(v > 0 AND i >= $lo AND i < $hi, " +
         s"shiftleft(1L, i - $shiftBase), 0L)), " +
         "0L, (acc, b) -> acc | b)"
+    val guard = s"assert_true(size($vecCol) <= 64, " +
+      s"concat('binaryCodes: ', size($vecCol), '-dim vector exceeds " +
+      "the 64-dim sign-code word contract'))"
     vecs.select(col(idCol).as("vec_id"),
-      expr(word(0, 32, 0)).as("w0"),
+      expr(s"IF($guard IS NULL, ${word(0, 32, 0)}, " +
+        "CAST(NULL AS BIGINT))").as("w0"),
       expr(word(32, 64, 32)).as("w1"))
   }
 
@@ -1279,11 +1289,30 @@ object Similarity {
         cells, cellIters, "km", memoTag)
     val (pqCb, pqAssign) =
       kmeansLoopShared(ex, codewords, pqIters, "pq", memoTag)
-    // ---- write-time artifacts: cells, codes, probe centroids ----
+    // ---- write-time artifacts: cells, codes (free from the loop's
+    // final assignment when training saw the whole corpus) ----
     val cellOf = cellAssign.select(col("_vid").as("neighbor_id"),
       col("_cw").as("_cell"))
     val codes = pqAssign.select(col("_vid").as("neighbor_id"),
       col("_sub"), col("_cw"))
+    ivfPqQueryPath(queries, cellCb, pqCb, cellOf, codes, k, nprobe,
+      subspaces, idCol, vecCol)
+  }
+
+  /** The audited s16 query shape, shared by every trained IVF-PQ
+    * variant (s16/s27): probe centroids, probe sets, and per-query
+    * ADC tables broadcast; ONE corpus-sized equi-join (candidates ⋈
+    * codes); (adc asc, neighbor_id asc) total order. Inputs are the
+    * index's write-time artifacts — the coarse codebook, the PQ
+    * codebooks, and the per-vector cell/code assignments — however
+    * they were produced (full-corpus training or sampled training +
+    * explicit encode).
+    */
+  private def ivfPqQueryPath(queries: DataFrame, cellCb: DataFrame,
+                             pqCb: DataFrame, cellOf: DataFrame,
+                             codes: DataFrame, k: Int, nprobe: Int,
+                             subspaces: Int, idCol: String,
+                             vecCol: String): DataFrame = {
     val cents = broadcast(cellCb
       .groupBy(col("_cw").as("_cell"))
       .agg(array_sort(collect_list(struct(col("_dim"), col("_c"))))
@@ -1291,7 +1320,6 @@ object Similarity {
       .select(col("_cell"),
         transform(col("_pm"), p => p.getField("_c")).as("centroid"))
       .withColumn("cn", l2Norm(col("centroid"))))
-    // ---- query path: identical to ivfPqTopK's audited shape ----
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
@@ -1319,6 +1347,66 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("_adc").cast("double"), 9).as("adc_dist"))
+  }
+
+  /** IVF-PQ with the FAISS train-on-sample / encode-full lifecycle
+    * (s27): both quantizers are trained ONLY on a deterministic
+    * hash-sample of the corpus (`hash64("s27|" ++ id) mod sampleMod
+    * = 0` — the t9 split discipline, so both engines sample the
+    * identical rows), then the FULL corpus is encoded once against
+    * the frozen codebooks and queried through the audited s16 path.
+    *
+    * This is the actual 100-TB index contract — the piece
+    * [[ivfPqTopKTrained]]'s doc promises but its code doesn't
+    * reify: FAISS trains IVF cells and PQ codebooks on ~1M vectors
+    * REGARDLESS of corpus size, because k-means over 10¹¹ vectors
+    * buys no centroid quality the sample doesn't already have.
+    * Training cost is now bounded by the sample (flat as the corpus
+    * grows — the s27 scale probe pins this), while encode stays the
+    * one linear pass it has to be: per quantizer, ONE broadcast
+    * equi-join of the exploded corpus with a |codebook| × dims frame
+    * + the nearest-codeword window on (vid, sub) grain.
+    *
+    * The s28 recall readout prices what sampling costs: on the
+    * isotropic test corpus mean recall@5 is 0.28 vs full training's
+    * 0.33 — still above the nprobe/|cells| = 0.25 scan floor, the
+    * small haircut a 4× training-cost cut buys on structureless
+    * data, which is WHY the FAISS contract works (real corpora have
+    * the cluster structure a sample captures; an isotropic corpus
+    * has nothing for ANY training size to find).
+    */
+  def ivfPqTopKSampled(queries: DataFrame, corpus: DataFrame, k: Int,
+                       sampleMod: Int = 4, nprobe: Int = 2,
+                       cells: Int = 8, cellIters: Int = 4,
+                       subspaces: Int = 16, codewords: Int = 32,
+                       pqIters: Int = 3, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       memoTag: Option[String] = None): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(nprobe >= 1, "need nprobe >= 1")
+    require(sampleMod >= 1, "need sampleMod >= 1")
+    // ---- train on the hash-sample only ----
+    val sampled = corpus.filter(
+      TextOps.hash64(concat(lit("s27|"), col(idCol).cast("string")))
+        % sampleMod === 0)
+    val exT = graft.std.Materialize.once(
+      pqExplode(sampled, subspaces, idCol, vecCol))
+    val sTag = memoTag.map(t => s"$t|s27m$sampleMod")
+    val (cellCb, _) = kmeansLoopShared(
+      exT.withColumn("_sub", lit(0).cast("int")),
+      cells, cellIters, "km", sTag)
+    val (pqCb, _) = kmeansLoopShared(exT, codewords, pqIters, "pq",
+      sTag)
+    // ---- encode the FULL corpus against the frozen codebooks ----
+    val exF = graft.std.Materialize.once(
+      pqExplode(corpus, subspaces, idCol, vecCol))
+    val cellOf = pqNearestCodewords(
+      exF.withColumn("_sub", lit(0).cast("int")), cellCb)
+      .select(col("_vid").as("neighbor_id"), col("_cw").as("_cell"))
+    val codes = pqNearestCodewords(exF, pqCb)
+      .select(col("_vid").as("neighbor_id"), col("_sub"), col("_cw"))
+    ivfPqQueryPath(queries, cellCb, pqCb, cellOf, codes, k, nprobe,
+      subspaces, idCol, vecCol)
   }
 
   /** Leading principal component of the embedding covariance (s21)

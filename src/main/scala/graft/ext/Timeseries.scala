@@ -705,6 +705,14 @@ object Timeseries {
   /** The x53 daily collapse, shared with the streaming EWMA feed: per
     * (series, day) event counts and exact micro-unit value sums — the
     * ONE corpus-sized shuffle of the whole family.
+    *
+    * Contract: daily sums must be NON-NEGATIVE, enforced loudly — the
+    * EWMA fold's truncating `div` (Spark) and flooring `//` (DuckDB)
+    * agree only on non-negative operands, and value_micro ≥ 0 on
+    * every day keeps the folded acc ≥ 0 inductively. A negative daily
+    * sum would silently split the batch twin, the oracle, and the
+    * streaming fold three ways; instead the job fails (both twins
+    * guard — the oracle's `error(...)` arm is the same contract).
     */
   def dailySeries(events: DataFrame, keyCol: String = "event_type",
                   tsCol: String = "ts",
@@ -714,7 +722,11 @@ object Timeseries {
       .groupBy(col(keyCol).as("series"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol).cast("decimal(18,6)")).as("_v"))
-      .withColumn("value_micro", (col("_v") * 1000000L).cast("long"))
+      .withColumn("value_micro", expr(
+        "IF(assert_true(coalesce(_v >= 0, true), concat('dailySeries: " +
+          "negative daily sum ', _v, ' for series ', series, " +
+          "' violates the EWMA positivity contract')) IS NULL, " +
+          "CAST(_v * 1000000 AS BIGINT), CAST(NULL AS BIGINT))"))
       .drop("_v")
 
   /** The x53 verdict tail shared with the streaming EWMA feed

@@ -64,4 +64,24 @@ class HammingSpec extends AnyFunSuite {
       .collect()
     assert(out.length == 1 && out.head.getLong(3) == 0L)
   }
+
+  test("a vector past 64 dims fails loudly instead of silently " +
+    "truncating its sign bits") {
+    // dim 65: the 65th sign bit has no word to land in; the contract
+    // is an error, never a plausible-but-wrong Hamming distance
+    val rows = Seq((1L, (0 until 65).map(_ => 1.0f)))
+    val e = intercept[Exception] {
+      Similarity.binaryCodes(rows.toDF("vec_id", "embedding")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++
+        msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("64-dim sign-code")))
+    // exactly 64 dims is INSIDE the contract
+    val ok = Seq((1L, (0 until 64).map(_ => 1.0f)))
+    val out = Similarity.binaryCodes(ok.toDF("vec_id", "embedding"))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(1) == 0xFFFFFFFFL &&
+      out.head.getLong(2) == 0xFFFFFFFFL)
+  }
 }

@@ -264,4 +264,61 @@ class KmeansSpec extends AnyFunSuite {
     assert(rows(2)._3 < rows(1)._3 / 10,
       s"covering k must collapse WCSS: $rows")
   }
+
+  test("sampled training at sampleMod=1 IS the full-corpus trained " +
+    "index: identical result frames") {
+    // with every vector sampled, the codebooks are bit-identical to
+    // ivfPqTopKTrained's (same seedTags, same loop), and the explicit
+    // encode pass reproduces the loop's final assignment — so the two
+    // lifecycles must return THE SAME rows, proving the encode step
+    // is exact, not an approximation of training-side assignment
+    val corpus = Seq(
+      (1L, Seq(0.0, 1.0)), (2L, Seq(0.0, 1.1)), (3L, Seq(0.1, 1.0)),
+      (4L, Seq(9.0, 9.0)), (5L, Seq(9.0, 9.1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getDouble(3))).toSeq.sorted
+    val sampled = rows(Similarity.ivfPqTopKSampled(queries, corpus,
+      k = 2, sampleMod = 1, nprobe = 1, cells = 2, cellIters = 2,
+      subspaces = 2, codewords = 2, pqIters = 2))
+    val trained = rows(Similarity.ivfPqTopKTrained(queries, corpus,
+      k = 2, nprobe = 1, cells = 2, cellIters = 2, subspaces = 2,
+      codewords = 2, pqIters = 2))
+    graft.std.Materialize.releaseAll()
+    assert(sampled == trained,
+      s"sampleMod=1 must equal full training: $sampled vs $trained")
+  }
+
+  test("sampled training still encodes and returns UNSAMPLED vectors") {
+    // the whole point of the split: vectors the trainer never saw are
+    // encoded against the frozen codebooks and are retrievable. Pick
+    // sampleMod=2; whichever blob-mates fall outside the hash-sample
+    // must still appear as neighbors of their blob's query.
+    val corpus = Seq(
+      (1L, Seq(0.0, 1.0)), (2L, Seq(0.0, 1.1)), (3L, Seq(0.1, 1.0)),
+      (4L, Seq(9.0, 9.0)), (5L, Seq(9.0, 9.1)), (6L, Seq(9.1, 9.0)))
+      .toDF("vec_id", "embedding")
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val inSample = corpus.select(col("vec_id"))
+      .filter(TextOps.hash64(concat(lit("s27|"),
+        col("vec_id").cast("string"))) % 2 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(inSample.nonEmpty && inSample.size < 6,
+      s"fixture must split: $inSample")
+    val queries = corpus.filter($"vec_id" === 1L)
+    val out = Similarity.ivfPqTopKSampled(queries, corpus, k = 5,
+      sampleMod = 2, nprobe = 2, cells = 2, cellIters = 2,
+      subspaces = 2, codewords = 2, pqIters = 2).collect()
+    graft.std.Materialize.releaseAll()
+    val neighbors = out.map(_.getLong(1)).toSet
+    // both cells probed -> EVERY other vector is retrievable,
+    // including id 2 (unsampled: {1,2} hash odd, {3,4,5,6} even)
+    assert(neighbors == Set(2L, 3L, 4L, 5L, 6L),
+      s"full probe must retrieve the whole encoded corpus: $neighbors")
+    assert((neighbors -- inSample).nonEmpty,
+      s"unsampled vectors must be encoded and retrievable: " +
+        s"$neighbors vs sample $inSample")
+  }
 }

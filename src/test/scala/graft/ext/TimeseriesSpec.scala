@@ -3,6 +3,7 @@ package graft.ext
 import java.sql.Timestamp
 import java.time.Instant
 
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -268,5 +269,92 @@ class TimeseriesSpec extends AnyFunSuite {
     val out = ewmaOf(rows).orderBy("day").collect()
     assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L))
     assert(out.map(_.getLong(4)).toSeq == Seq(10000000L, 13000000L))
+  }
+
+  test("ewma baseline: negative daily sum fails loudly; a negative " +
+    "value inside a non-negative day does not") {
+    // day 0 sums to -2.0: the truncating-vs-flooring split the
+    // positivity contract exists for -> the job must FAIL, not fold
+    val bad = Seq(
+      ("a", Timestamp.from(t0), 3.0),
+      ("a", Timestamp.from(t0.plusSeconds(60L)), -5.0))
+    val e = intercept[Exception] { ewmaOf(bad).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++
+        msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("positivity")))
+    // but negatives that SUM non-negative per day are fine (the
+    // contract is on the fold's operands, not the raw events)
+    val ok = Seq(
+      ("a", Timestamp.from(t0), 3.0),
+      ("a", Timestamp.from(t0.plusSeconds(60L)), -3.0),
+      ("a", Timestamp.from(t0.plusSeconds(86400L)), 10.0))
+    val out = ewmaOf(ok).orderBy("day").collect()
+    // day 0 sums to 0, day 1 folds (3*10M + 7*0) div 10 = 3M
+    assert(out.map(_.getLong(4)).toSeq == Seq(0L, 3000000L))
+  }
+
+  private def mixEvents(rows: Seq[(String, String, Int, String)]) = {
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    rows.map { case (u, t, s, id) =>
+      (u, t, Timestamp.from(base.plusSeconds(s.toLong)), id)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+  }
+
+  test("stationary mix: deterministic 2-cycle holds the uniform seed; " +
+    "null hygiene") {
+    // a <-> b forever: P = [[0,1],[1,0]]; the uniform (5e8, 5e8) seed
+    // is the fixed point, every division exact, so 8 rounds change
+    // nothing and mass stays a full 1e9
+    val events = mixEvents(Seq(
+      ("u1", "a", 0, "e0"), ("u1", "b", 1, "e1"), ("u1", "a", 2, "e2"),
+      ("u1", "b", 3, "e3"), ("u1", "a", 4, "e4"),
+      // poison rows: null event_id / null ts must drop BEFORE the
+      // lead window (else "c" would enter the chain as a state)
+      ("u1", "c", 5, null), ("u2", "c", 0, "e9")))
+      .withColumn("ts", when(col("event_id") === "e9",
+        lit(null).cast("timestamp")).otherwise(col("ts")))
+    val out = Timeseries.stationaryMix(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b"))
+    assert(out("a").getLong(1) == 500000000L)
+    assert(out("b").getLong(1) == 500000000L)
+    assert(out("a").getLong(3) == 1000000000L)
+    assert(out("a").getDouble(2) == 0.5)
+  }
+
+  test("stationary mix: absorbing destination drops mass, " +
+    "reported via mass_e9") {
+    // transitions a->a, a->b, a->c: b and c have NO outgoing edges,
+    // so the state set is {a} alone and 2/3 of a's mass leaks out
+    // each round: pi = 1e9 with 8 rounds of `* 1 div 3` truncation
+    val events = mixEvents(Seq(
+      ("u1", "a", 0, "e0"), ("u1", "a", 1, "e1"), ("u1", "b", 2, "e2"),
+      ("u2", "a", 0, "e3"), ("u2", "c", 1, "e4")))
+    val out = Timeseries.stationaryMix(events).collect()
+    assert(out.length == 1 && out(0).getString(0) == "a")
+    // 1e9 div 3, eight times: the exact truncating cascade
+    val expected = (1 to 8).foldLeft(1000000000L)((m, _) => m / 3)
+    assert(out(0).getLong(1) == expected)
+    assert(out(0).getLong(3) == expected)
+    assert(expected < 1000000000L)
+  }
+
+  test("stationary mix: asymmetric chain converges toward 1/3-2/3, " +
+    "hand-traced fixed point") {
+    // P(a->b)=1, P(b->a)=P(b->b)=1/2 -> stationary (1/3, 2/3); all
+    // eight rounds divide exactly so mass stays 1e9, and the 8th
+    // iterate is the hand-traced (333_984_375, 666_015_625)
+    val events = mixEvents(Seq(
+      ("u1", "a", 0, "e0"), ("u1", "b", 1, "e1"), ("u1", "b", 2, "e2"),
+      ("u1", "a", 3, "e3"), ("u1", "b", 4, "e4"), ("u1", "b", 5, "e5"),
+      ("u1", "a", 6, "e6")))
+    val out = Timeseries.stationaryMix(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 333984375L)
+    assert(out("b").getLong(1) == 666015625L)
+    assert(out("a").getLong(3) == 1000000000L)
+    assert(math.abs(out("a").getDouble(2) - 1.0 / 3) < 1e-2)
+    assert(math.abs(out("b").getDouble(2) - 2.0 / 3) < 1e-2)
   }
 }
