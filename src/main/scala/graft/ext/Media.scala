@@ -198,11 +198,84 @@ object Media {
     * [[perceptualDups]]. Cells that own no bytes (payload shorter than
     * `grid`) emit '0', and an empty body is all-zeros in both engines.
     */
+  /** Expression-level let-binding: `transform` over a one-element
+    * array binds the evaluated value to a lambda VARIABLE, so every
+    * reference inside `body` reads the bound value instead of
+    * re-evaluating the expression tree. Higher-order-function
+    * lambdas get NO common-subexpression elimination — without this,
+    * each chunk reference in [[perceptualHash]] re-hexes the whole
+    * payload and the signature goes quadratic in payload size (the
+    * per-byte reference form has exactly that shape, which is why
+    * it is the reference, not the product).
+    */
+  private def let(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
+
   def perceptualHash(payload: Column, grid: Int = 16,
                      headerBytes: Int = 8): Column = {
-    val hh = substring(hex(payload), headerBytes * 2 + 1, Int.MaxValue)
+    // ONE hex of the payload and ONE `conv` per 6-byte chunk (12 hex
+    // chars) instead of per byte — the string work was the hot
+    // allocation site of the whole media tier (m7/m8/m9 all inline
+    // this expression). The cell sum doesn't need byte POSITIONS,
+    // only the byte total, and Σ bytes of a value v telescopes to
+    //   v − 255 · Σ_{p≥1} floor(v / 256^p)
+    // (each division peels the low byte off the running remainder),
+    // with terms past the chunk's real length vanishing on their own
+    // (v < 256^m ⇒ floor(v/256^p) = 0 for p ≥ m) — so a chunk costs
+    // one conv + five divisions, no inner loop; the chunk value is a
+    // lambda VARIABLE of the aggregate, bound once per element.
+    // Chunks stay ≤ 2^48, so the long→double cast is exact and
+    // dividing by a power of two only shifts the exponent: the byte
+    // sums — and the signature — are bit-identical to the per-byte
+    // form, which [[perceptualHashRef]] + its equality spec pin.
+    let(substring(hex(payload), headerBytes * 2 + 1, Int.MaxValue)) {
+      hh =>
     // Column `/` is DOUBLE division — cast each quotient back to long
     // (exact: byte counts sit far below 2^53)
+    let((length(hh) / 2).cast("long")) { n =>
+      val cellW = ((n + (grid - 1)) / grid).cast("long")
+      def cellSum(start: Column, len: Column): Column = {
+        val nChunks = floor((len + lit(5L)) / 6).cast("long")
+        val chunks = transform(sequence(lit(0L), nChunks - 1), c => {
+          val chunkLen = least(lit(6L), len - c * 6L)
+          conv(hh.substr(((start + c * 6L) * 2L + 1L).cast("int"),
+            (chunkLen * 2L).cast("int")), 16, 10).cast("long")
+        })
+        aggregate(chunks, lit(0L), (acc, v) =>
+          acc + v - lit(255L) * (floor(v / 256L).cast("long") +
+            floor(v / 65536L).cast("long") +
+            floor(v / 16777216L).cast("long") +
+            floor(v / 4294967296L).cast("long") +
+            floor(v / 1099511627776L).cast("long")))
+      }
+      val cellsExpr = transform(sequence(lit(0), lit(grid - 1)), c => {
+        val start = c.cast("long") * cellW
+        val len = greatest(least(cellW, n - start), lit(0L))
+        struct(
+          when(len > 0, cellSum(start, len)).otherwise(lit(0L)).as("s"),
+          len.as("l"))
+      })
+      let(cellsExpr) { cells =>
+        val tot = aggregate(cells, lit(0L),
+          (acc, x) => acc + x.getField("s"))
+        concat_ws("", transform(cells, x =>
+          when(x.getField("l") > 0 &&
+            x.getField("s") * n > tot * x.getField("l"), lit("1"))
+            .otherwise(lit("0"))))
+      }
+    }
+    }
+  }
+
+  /** The per-byte reference form of [[perceptualHash]] — one
+    * `conv(hex-pair)` per byte, the shape the fast word-peeled
+    * version must equal bit-for-bit (spec-pinned on random payloads,
+    * all tail lengths). Kept as the readable spec of the signature
+    * algebra; never on a hot path.
+    */
+  def perceptualHashRef(payload: Column, grid: Int = 16,
+                        headerBytes: Int = 8): Column = {
+    val hh = substring(hex(payload), headerBytes * 2 + 1, Int.MaxValue)
     val n = (length(hh) / 2).cast("long")
     val cellW = ((n + (grid - 1)) / grid).cast("long")
     def byteAt(j: Column): Column =

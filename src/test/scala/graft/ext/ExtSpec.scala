@@ -423,6 +423,29 @@ class ExtSpec extends AnyFunSuite {
     assert(got(4L) == "0000", "empty body is all zeros")
   }
 
+  test("media: word-peeled perceptual hash equals the per-byte " +
+    "reference on random payloads, every tail length") {
+    // the fast form parses 6-byte words with ONE conv and peels bytes
+    // arithmetically; it must be bit-identical to the per-byte
+    // reference — exercised across n mod 6 = 0..5 tails, high bytes
+    // (0x80+: hex is unsigned), and all three production grids
+    val rnd = new scala.util.Random(20260814L)
+    val rows = (0 until 48).map { i =>
+      val bodyLen = i // 0..47 covers every word-tail residue
+      val bytes = new Array[Byte](8 + bodyLen)
+      rnd.nextBytes(bytes)
+      (i.toLong, bytes)
+    }
+    val media = rows.toDF("doc_id", "payload")
+    for (grid <- Seq(4, 8, 16)) {
+      val diff = media.select(
+          Media.perceptualHash(col("payload"), grid).as("fast"),
+          Media.perceptualHashRef(col("payload"), grid).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(diff == 0L, s"grid=$grid: fast and reference disagree")
+    }
+  }
+
   test("media: perceptual dups pair equal signatures, cap heavy buckets") {
     val mk = (id: Long, s: String) => (id, s.getBytes("UTF-8"))
     val media = Seq(
