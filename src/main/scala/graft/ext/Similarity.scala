@@ -1195,8 +1195,20 @@ object Similarity {
                   seedTag: String = "km",
                   memoTag: Option[String] = None): DataFrame = {
     require(subspaces >= 1, "need at least one subspace")
-    val ex = graft.std.Materialize.once(
-      pqExplode(vecs, subspaces, idCol, vecCol))
+    kmeansTrainEx(graft.std.Materialize.once(
+      pqExplode(vecs, subspaces, idCol, vecCol)),
+      subspaces, k, iters, seedTag, memoTag)
+  }
+
+  /** [[kmeansTrain]] over an ALREADY-exploded (and pinned) frame —
+    * the entry point for callers that train several codebooks from
+    * one corpus scan ([[kmeansElbow]] pins one exploded frame and
+    * sweeps k over it; re-exploding per k was the sweep's dominant
+    * repeated cost).
+    */
+  private def kmeansTrainEx(ex: DataFrame, subspaces: Int, k: Int,
+                            iters: Int, seedTag: String,
+                            memoTag: Option[String]): DataFrame = {
     val (cb, assign) = kmeansLoopShared(ex, k, iters, seedTag, memoTag)
     val stats = assign.groupBy(col("_sub"), col("_cw"))
       .agg(count(lit(1)).as("n_members"),
@@ -1232,21 +1244,41 @@ object Similarity {
                   iters: Int = 4, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     require(ks.nonEmpty, "need at least one k")
-    ks.map { k =>
-      kmeansTrain(vecs, k, iters, subspaces = 1, idCol = idCol,
-          vecCol = vecCol, seedTag = s"el$k")
-        .select(col("cluster_id"), col("n_members"), col("wcss"))
-        .distinct()
-        .agg(count(lit(1)).as("n_live_clusters"),
-          sum(col("n_members")).as("n_vectors"),
-          round(sum(col("wcss").cast("decimal(28,9)")).cast("double"),
-            9).as("total_wcss"),
-          max(col("n_members")).as("largest_cluster"),
-          min(col("n_members")).as("smallest_cluster"))
-        .select(lit(k).as("k"), col("n_live_clusters"),
-          col("n_vectors"), col("total_wcss"),
-          col("largest_cluster"), col("smallest_cluster"))
-    }.reduce(_ unionByName _)
+    // ONE pinned exploded frame feeds every k: the per-k trainings
+    // differ only in their hash seed, so re-running pqExplode per k
+    // (the pre-r14 shape) repeated the sweep's one corpus-sized scan
+    // |ks| times for nothing
+    val ex = graft.std.Materialize.once(
+      pqExplode(vecs, 1, idCol, vecCol))
+    // the per-k trainings are independent job chains whose cost is
+    // dominated by per-iteration scheduling, not data (the loop pins
+    // a tiny codebook each round) — run them CONCURRENTLY and let the
+    // scheduler interleave; results are deterministic frames and the
+    // reduce keeps ks order, so the sweep output is unchanged
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perK = ks.map { k =>
+      Future {
+        val agg = kmeansTrainEx(ex, 1, k, iters, s"el$k", None)
+          .select(col("cluster_id"), col("n_members"), col("wcss"))
+          .distinct()
+          .agg(count(lit(1)).as("n_live_clusters"),
+            sum(col("n_members")).as("n_vectors"),
+            round(sum(col("wcss").cast("decimal(28,9)")).cast("double"),
+              9).as("total_wcss"),
+            max(col("n_members")).as("largest_cluster"),
+            min(col("n_members")).as("smallest_cluster"))
+          .select(lit(k).as("k"), col("n_live_clusters"),
+            col("n_vectors"), col("total_wcss"),
+            col("largest_cluster"), col("smallest_cluster"))
+        // pin the one-row readout so the sweep's training jobs run
+        // inside the Future, not lazily at the caller's action
+        graft.std.Materialize.once(agg)
+      }
+    }
+    Await.result(Future.sequence(perK), Duration.Inf)
+      .reduce(_ unionByName _)
   }
 
   /** IVF-PQ top-k over a TRAINED index (s16): [[ivfPqTopK]]'s query
