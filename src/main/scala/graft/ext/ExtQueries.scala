@@ -2191,11 +2191,15 @@ object ExtQueries {
   /** Hourly session-concurrency curve (x32): sweep-line over the w3
     * session intervals — +1 at each session start, −1 at each end
     * (end-exclusive: at an equal instant the −1 sorts first), global
-    * running sum via [[graft.std.PrefixSum.runningSum]] bucketed by
-    * hour, then per-hour min/max of the curve. The load-profile query
-    * every capacity planner runs, built WITHOUT the single-partition
-    * global window it naively requires: the only global sort touches
-    * one row per hour.
+    * running sum via [[graft.std.PrefixSum.runningSumRange]], then
+    * per-hour min/max of the curve. The load-profile query every
+    * capacity planner runs, built WITHOUT the single-partition global
+    * window it naively requires: the only global sort touches one row
+    * per range bucket. Range buckets (not the earlier hour buckets)
+    * are the skew guard — boundaries come from sampling the actual
+    * boundary distribution, so a corpus whose sessions concentrate
+    * into a few hours still splits into ~4×parallelism even slices
+    * instead of degrading toward the one-partition window.
     */
   def concurrency(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
@@ -2204,9 +2208,9 @@ object ExtQueries {
         lit(1L).as("delta"))
       .unionAll(s.select(col("session_end").as("ts"),
         lit(-1L).as("delta")))
-    graft.std.PrefixSum.runningSum(bounds,
-        date_trunc("hour", col("ts")), Seq(col("ts"), col("delta")),
-        col("delta"))
+    graft.std.PrefixSum.runningSumRange(bounds,
+        Seq(col("ts"), col("delta")), col("delta"),
+        spark.sparkContext.defaultParallelism * 4)
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_boundaries"),
         min(col("running")).as("min_concurrent"),

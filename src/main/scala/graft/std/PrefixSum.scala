@@ -62,4 +62,30 @@ object PrefixSum {
       .withColumn("running", col("_offset") + col("_run_local"))
       .drop("_bucket", "_v", "_run_local", "_offset")
   }
+
+  /** [[runningSum]] with SKEW-ADAPTIVE buckets: instead of a
+    * caller-supplied expression over the order column (whose grain is
+    * a bet on the data's spread — an hour bucket degrades toward the
+    * one-partition window exactly when the corpus concentrates into
+    * few hours), rows are `repartitionByRange`d on the order key and
+    * the PARTITION ID becomes the bucket. The range partitioner
+    * samples the actual distribution, so boundaries adapt: a corpus
+    * packed into one hour still splits into ~`buckets` even slices.
+    *
+    * Why this preserves the contract: range partitions are contiguous
+    * in the order key, so partition id is MONOTONE in it, and rows
+    * equal on the full order key land in one partition — the two
+    * properties [[runningSum]] needs. The RUNNING VALUES are
+    * bucket-split-invariant (any monotone tie-respecting split gives
+    * the same prefix sums), so the output — and the oracle — are
+    * unchanged even though the sampled boundaries themselves are not
+    * deterministic. AQE may coalesce adjacent range partitions;
+    * adjacency keeps both properties.
+    */
+  def runningSumRange(df: DataFrame, order: Seq[Column], value: Column,
+                      buckets: Int): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val parted = df.repartitionByRange(buckets, order: _*)
+    runningSum(parted, spark_partition_id(), order, value)
+  }
 }

@@ -57,6 +57,31 @@ class PrefixSumSpec extends AnyFunSuite {
       s"expected one bucketed + one global-offset window, got partition-spec sizes $specs")
   }
 
+  test("range-bucketed form equals the flat window on data the hour " +
+    "bucket would collapse; split adapts to the skew") {
+    // 2000 keys packed into ONE coarse-bucket's worth of key space:
+    // a time-grain bucket expression puts everything in one bucket
+    // (the one-partition window the primitive exists to avoid); the
+    // range partitioner samples the real distribution and splits
+    // anyway
+    val rows = (0 until 2000).map(k => (k % 50, if (k % 2 == 0) 1L
+      else -1L))
+    val df = rows.toDF("k", "delta")
+    val a = flat(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    val b = PrefixSum.runningSumRange(df,
+        Seq(col("k"), col("delta")), col("delta"), 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq)
+    // the skew guard itself: the range split actually spreads the
+    // packed keys across partitions (>1), where a single coarse
+    // bucket could not
+    val parts = df.repartitionByRange(8, col("k"), col("delta"))
+      .rdd.getNumPartitions
+    assert(parts > 1, s"range split must spread skewed keys: $parts")
+  }
+
   test("single bucket degenerates gracefully; empty input stays empty") {
     val one = Seq((1, 5L), (2, -3L)).toDF("k", "delta")
     val r = PrefixSum.runningSum(one, lit(0L), Seq(col("k")), col("delta"))
