@@ -5988,6 +5988,43 @@ FROM r WHERE rank <= $k"""
 
   val s27IvfPqSampled: String = ivfPqSampledAnnSql(5)
 
+  /** s29: frozen-index increment assignment — both [[kmeansCtes]]
+    * chains train on the `vid % 5 ≠ 4` corpus, the held-out fifth is
+    * encoded against the frozen `km_cb4`/`pq_cb3` codebooks via
+    * [[assignCte]] (≡ the Spark side's array-expression argmin: same
+    * DECIMAL(38,12) distances, same (dist, cw) tie order), one row
+    * per (vector, subspace) with the coarse cell repeated.
+    */
+  val s29IndexAssign: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), exq AS (
+  SELECT vec_id AS vid,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v
+), exs AS (
+  SELECT vid, dim, CAST(x AS DOUBLE) AS x,
+         CAST(dim % 16 AS INTEGER) AS sub
+  FROM exq
+), exc AS (
+  SELECT vid, 0 AS sub, dim, x FROM exs
+), exs_t AS (
+  SELECT vid, dim, x, sub FROM exs WHERE vid % 5 <> 4
+), exc_t AS (
+  SELECT vid, sub, dim, x FROM exc WHERE vid % 5 <> 4
+), ${kmeansCtes("km", "exc_t", 8, 4)},
+${kmeansCtes("pq", "exs_t", 32, 3)},
+exs_b AS (
+  SELECT vid, dim, x, sub FROM exs WHERE vid % 5 = 4
+), exc_b AS (
+  SELECT vid, sub, dim, x FROM exc WHERE vid % 5 = 4
+), ${assignCte("bc", "exc_b", "km_cb4")},
+${assignCte("bp", "exs_b", "pq_cb3")}
+SELECT bp_a.vid AS vec_id, CAST(bc_a.cw AS BIGINT) AS cell,
+       CAST(bp_a.sub AS BIGINT) AS subspace,
+       CAST(bp_a.cw AS BIGINT) AS codeword
+FROM bp_a JOIN bc_a ON bc_a.vid = bp_a.vid"""
+
   /** s28: recall@5 of the sampled-training index — prices what the
     * FAISS train-on-sample contract costs against exact squared-L2
     * (spoiler: nothing the full-corpus training wasn't already

@@ -2778,6 +2778,31 @@ object ExtQueries {
     Similarity.recallAtK(ivfPqSampled(spark, sfDir), exact, 5)
   }
 
+  /** Frozen-index increment assignment (s29):
+    * [[Similarity.indexAssign]] — the serving-time lifecycle half:
+    * quantizers train on the `vec_id % 5 ≠ 4` corpus (memoized — in
+    * production they are write-time artifacts), and the HELD-OUT
+    * fifth arrives as the increment, map-assigned to cells and PQ
+    * codewords against the frozen codebooks with no retraining and
+    * no corpus-side shuffle. The streaming spec pins the identical
+    * code running as micro-batches ≡ this batch form.
+    */
+  def indexAssignIncrement(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    val trainSet = vecs.filter(col("vec_id") % 5 =!= 4)
+    val memo = Some(s"embtrain|$sfDir")
+    def cbOf(df: DataFrame) = df.select(col("cluster_id").as("_cw"),
+      col("dim").as("_dim"), col("centroid").as("_c"))
+    val cellCb = cbOf(Similarity.kmeansTrain(trainSet, 8, 4,
+      subspaces = 1, seedTag = "km", memoTag = memo))
+    val pqCb = cbOf(Similarity.kmeansTrain(trainSet, 32, 3,
+      subspaces = 16, seedTag = "pq", memoTag = memo))
+    Similarity.indexAssign(vecs.filter(col("vec_id") % 5 === 4),
+      cellCb, pqCb, 16)
+  }
+
   /** Markov event-transition matrix (x47): per-user successor pairs
     * over the event stream, row-normalized.
     */

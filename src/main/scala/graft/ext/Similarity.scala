@@ -1441,6 +1441,80 @@ object Similarity {
       subspaces, idCol, vecCol)
   }
 
+  /** Frozen-index assignment (s29) — the SERVING-TIME half of the
+    * index lifecycle the session memo implies: vectors arriving after
+    * training assign to their coarse cell and per-subspace PQ
+    * codewords against the FROZEN codebooks, never retraining (the
+    * d9/s6 increment discipline applied to the ANN index).
+    *
+    * Both codebooks pack into ONE broadcastable row each
+    * (|codewords| × dims structs — index artifacts, driver-tiny by
+    * contract), and the argmin is a pure array expression:
+    * `array_sort` over `struct(dist, cw)` picks (dist asc, cw asc),
+    * exactly [[pqNearestCodewords]]'s window order. Distances fold
+    * per-dim squares through DECIMAL(38,12) — exact and associative,
+    * so the fold equals the batch kernel's SUM bit-for-bit and the
+    * DuckDB twin (the s27 `assignCte`) cannot diverge.
+    *
+    * Because every step is a stateless projection over a broadcast
+    * row, the SAME code runs unchanged as a streaming micro-batch
+    * assign (stream-static broadcast join + map — zero stream-side
+    * shuffle, zero state), which the streaming spec pins ≡ this
+    * batch form. That IS the production serving shape: broadcast the
+    * trained artifacts, map-assign every arriving vector.
+    *
+    * Returns one row per (vector, subspace): (vec_id, cell,
+    * subspace, codeword).
+    */
+  def indexAssign(batch: DataFrame, cellCb: DataFrame, pqCb: DataFrame,
+                  subspaces: Int, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(subspaces >= 1, "need at least one subspace")
+    // codeword IDS are shared across subspaces (the loop assigns
+    // each (vid, sub) pair an id 0..k-1 independently; the (_cw,
+    // _dim) codebook disambiguates by dim % subspaces) — so packing
+    // must key on (subspace, cw), not cw alone, or one id's per-sub
+    // codewords would fuse into a 64-dim chimera
+    def packed(cb: DataFrame, m: Int, out: String) = cb
+      .withColumn("_sub", (col("_dim") % m).cast("int"))
+      .groupBy(col("_sub"), col("_cw"))
+      .agg(array_sort(collect_list(struct(col("_dim"), col("_c"))))
+        .as("_dims"))
+      .agg(array_sort(collect_list(
+        struct(col("_sub"), col("_cw"), col("_dims")))).as(out))
+    // fold in LONG e12 fixed point, not decimal: Spark's decimal ADD
+    // inside a fold widens past precision 38 and silently drops
+    // scale (allowPrecisionLoss), which would fork the fold from the
+    // batch kernel's exact DECIMAL(38,12) SUM — the e12 longs are
+    // the same per-dim values shifted 12 places (squares of centered
+    // embedding components: far below long range even ×dims), and
+    // long addition is exact, so dist_e12 ≡ SUM × 1e12 bit-for-bit
+    def d2(vcol: Column, dims: Column): Column =
+      aggregate(dims, lit(0L), (acc, p) => {
+        val x = element_at(vcol, p.getField("_dim").cast("int") + 1)
+        acc + (((x - p.getField("_c")) * (x - p.getField("_c")))
+          .cast("decimal(38,12)") * lit(1000000000000L)).cast("long")
+      })
+    def argmin(vcol: Column, cbs: Column): Column =
+      element_at(array_sort(transform(cbs, cb =>
+        struct(d2(vcol, cb.getField("_dims")).as("d"),
+          cb.getField("_cw").as("cw")))), 1).getField("cw")
+    val v = batch.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(broadcast(packed(cellCb, 1, "_cellcb")))
+      .crossJoin(broadcast(packed(pqCb, subspaces, "_pqcb")))
+    val subCodes = transform(sequence(lit(0), lit(subspaces - 1)), s =>
+      struct(s.cast("int").as("sub"),
+        argmin(col("_v"), filter(col("_pqcb"),
+          cb => cb.getField("_sub") === s)).as("cw")))
+    v.select(col("vec_id"),
+        argmin(col("_v"), col("_cellcb")).as("_cell"),
+        explode(subCodes).as("_sc"))
+      .select(col("vec_id"), col("_cell").cast("long").as("cell"),
+        col("_sc").getField("sub").cast("long").as("subspace"),
+        col("_sc").getField("cw").cast("long").as("codeword"))
+  }
+
   /** Leading principal component of the embedding covariance (s21)
     * by deterministic power iteration — the anisotropy diagnostic of
     * "All-but-the-Top" (Mu & Viswanath 2018, arXiv:1702.01417): a

@@ -291,6 +291,30 @@ class KmeansSpec extends AnyFunSuite {
       s"sampleMod=1 must equal full training: $sampled vs $trained")
   }
 
+  test("indexAssign: hand-built codebooks — nearest cell, per-sub " +
+    "codewords, equidistant ties to the smaller id") {
+    val cellCb = Seq((0, 0L, 0.0), (0, 1L, 0.0),
+        (1, 0L, 10.0), (1, 1L, 10.0))
+      .toDF("_cw", "_dim", "_c")
+    // subspaces=2: codeword ids repeat per subspace, disambiguated
+    // by dim % 2 (sub 0 owns dim 0, sub 1 owns dim 1)
+    val pqCb = Seq((0, 0L, 0.0), (1, 0L, 2.0),
+        (0, 1L, 0.0), (1, 1L, 2.0))
+      .toDF("_cw", "_dim", "_c")
+    val batch = Seq(
+      (1L, Seq(1.0f, 1.0f)),   // both subs equidistant 0 vs 2 -> cw 0
+      (2L, Seq(1.5f, 0.0f)))   // sub0 nearer 2 -> cw 1; sub1 -> cw 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.indexAssign(batch, cellCb, pqCb, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out((1L, 0L)) == ((0L, 0L)) && out((1L, 1L)) == ((0L, 0L)),
+      s"ties must pick the smaller codeword id: $out")
+    assert(out((2L, 0L)) == ((0L, 1L)) && out((2L, 1L)) == ((0L, 0L)),
+      s"per-subspace argmin: $out")
+  }
+
   test("sampled training still encodes and returns UNSAMPLED vectors") {
     // the whole point of the split: vectors the trainer never saw are
     // encoded against the frozen codebooks and are retrievable. Pick

@@ -1016,4 +1016,49 @@ class StreamingSpec extends AnyFunSuite {
         ("b", "2024-01-03", 5000000L)), s"got $got")
     } finally q.stop()
   }
+
+  test("frozen-index assignment: micro-batched stream equals the " +
+    "batch form — stateless serving, no stream-side shuffle") {
+    // the s29 serving path: train once (write time), then the SAME
+    // indexAssign code runs over arriving vector micro-batches
+    // against the frozen broadcast codebooks — append mode, no
+    // state, no watermark, each batch independent
+    val sfDir = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, sfDir)
+    val trainSet = vecs.filter(col("vec_id") % 5 =!= 4)
+    def cbOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cluster_id").as("_cw"), col("dim").as("_dim"),
+        col("centroid").as("_c"))
+    val cellCb = graft.std.Materialize.once(cbOf(
+      graft.ext.Similarity.kmeansTrain(trainSet, 4, 2, subspaces = 1,
+        seedTag = "km")))
+    val pqCb = graft.std.Materialize.once(cbOf(
+      graft.ext.Similarity.kmeansTrain(trainSet, 8, 2, subspaces = 4,
+        seedTag = "pq")))
+    val arriving = vecs.filter(col("vec_id") % 5 === 4)
+    val expected = graft.ext.Similarity
+      .indexAssign(arriving, cellCb, pqCb, 4)
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+    val stage = Files.createTempDirectory("assign_src").toString
+    arriving.repartition(3).write.mode("overwrite").parquet(stage)
+    val streamIn = spark.readStream
+      .schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = graft.ext.Similarity
+      .indexAssign(streamIn, cellCb, pqCb, 4)
+      .writeStream.format("memory").queryName("assign_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("assign_stream").collect()
+        .map(_.toSeq).toSet
+      assert(got == expected,
+        s"stream/batch divergence: ${got.size} vs ${expected.size}")
+    } finally {
+      q.stop()
+      graft.std.Materialize.releaseAll()
+    }
+  }
 }
