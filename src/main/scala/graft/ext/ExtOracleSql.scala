@@ -15,6 +15,41 @@ object ExtOracleSql {
   private def h64(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 14)) AS BIGINT)"
 
+  /** The DECIMAL moment device shared by every regression /
+    * correlation twin (x28, t56, x55): from an `(x, y)` frame, exact
+    * order-free sums — COUNT, linear sums in a caller-chosen DECIMAL
+    * (28,9 for pre-rounded 9-dp logs, 18,6 for raw business values),
+    * product moments in DECIMAL(38,12). Keyed or global.
+    */
+  private def momentsCte(src: String, keyCols: Seq[String],
+                         nAlias: String,
+                         linDec: String = "DECIMAL(28,9)"): String = {
+    val ks = keyCols.map(_ + ", ").mkString
+    val grp = if (keyCols.isEmpty) ""
+      else s" GROUP BY ${keyCols.indices.map(_ + 1).mkString(", ")}"
+    s"""SELECT ${ks}COUNT(*) AS $nAlias,
+         SUM(CAST(x AS $linDec)) AS sx,
+         SUM(CAST(y AS $linDec)) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
+         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+  FROM $src$grp"""
+  }
+
+  /** The least-squares fit tail shared by the t56/x55 twins: over a
+    * frame carrying `nd, sxd, syd, covn, varx, vary` doubles, the
+    * 6-dp slope / intercept / r² with the varx>0 guards. The
+    * intercept re-rounds the slope first — the published-slope
+    * discipline both engines share.
+    */
+  private def fitExprs(slope: String, intercept: String): String =
+    s"""CASE WHEN varx > 0 THEN round(covn / varx, 6) END AS $slope,
+       CASE WHEN varx > 0
+            THEN round((syd - round(covn / varx, 6) * sxd) / nd, 6)
+       END AS $intercept,
+       CASE WHEN varx > 0 AND vary > 0
+            THEN round(covn * covn / (varx * vary), 6) END AS r2"""
+
   private val Norm = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
 
   /** n-shingle list from a toks list expression (TextOps.shingles'
@@ -1125,22 +1160,33 @@ FROM nodes CROSS JOIN consts LEFT JOIN s3 ON nodes.node = s3.node"""
 SELECT c.node_id, c.cluster_rep, s.component_size
 FROM comp c JOIN sizes s USING (cluster_rep)"""
 
+  /** One unrolled frontier-relax round — the Bellman-Ford family's
+    * shared CTE shape: dist' = MIN(keep, step across an edge) at
+    * `carry :+ node` grain. x50 instantiates it at node grain over
+    * weighted edges (`e.w` step); x54 at (seed, node) grain over the
+    * hop graph (`1` step). Pure integer MIN/+, nothing to round.
+    */
+  private def relaxChain(tag: String, iters: Int, edgeTable: String,
+                         stepCost: String,
+                         carry: Seq[String] = Nil): String =
+    (1 to iters).map { i =>
+      val cs = (carry :+ "node").mkString(", ")
+      val carrySel = carry.map(c => s"d.$c, ").mkString
+      s"""$tag$i AS (
+  SELECT $cs, MIN(dist) AS dist FROM (
+    SELECT $cs, dist FROM $tag${i - 1}
+    UNION ALL
+    SELECT ${carrySel}e.dst AS node, d.dist + $stepCost AS dist
+    FROM $tag${i - 1} d JOIN $edgeTable e ON d.node = e.src
+  ) GROUP BY ${(1 to carry.size + 1).mkString(", ")}
+)"""
+    }.mkString(", ")
+
   /** x50: multi-source weighted shortest paths — 4 unrolled
     * Bellman-Ford relaxations over the chain graph with edge cost =
     * the source line's quantity (parallel edges MIN-collapsed), seeds
-    * = the `p_size = 1` parts at distance 0. Pure integer MIN/+ —
-    * nothing to round, so the twin matches integer-for-integer.
+    * = the `p_size = 1` parts at distance 0.
     */
-  private def ssspRelax(i: Int): String =
-    s"""d$i AS (
-  SELECT node, MIN(dist) AS dist FROM (
-    SELECT node, dist FROM d${i - 1}
-    UNION ALL
-    SELECT e.dst AS node, d.dist + e.w AS dist
-    FROM d${i - 1} d JOIN ew e ON d.node = e.src
-  ) GROUP BY 1
-)"""
-
   val x50ShortestPaths: String = s"""WITH wseq AS (
   SELECT l_partkey,
          lead(l_partkey) OVER (PARTITION BY l_orderkey
@@ -1155,31 +1201,21 @@ FROM comp c JOIN sizes s USING (cluster_rep)"""
 ), d0 AS (
   SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
   FROM part WHERE p_size = 1
-), ${(1 to 4).map(ssspRelax).mkString(", ")}
+), ${relaxChain("d", 4, "ew", "e.w")}
 SELECT node AS node_id, CAST(dist AS BIGINT) AS min_cost FROM d4"""
 
-  /** x54: sampled-source harmonic centrality — 4 unrolled BFS rounds
-    * at (seed, node) grain over the [[ChainSeq]] edges (reusing the
-    * shared chain + edge CTEs), seeds = every 500th part. Terms are
-    * `1e9 // d` on positive integers; the harmonic sum is an
-    * order-free BIGINT sum (HUGEINT cast back).
+  /** x54: sampled-source harmonic centrality — 4 [[relaxChain]] BFS
+    * rounds at (seed, node) grain over the [[ChainSeq]] edges
+    * (reusing the shared chain + edge CTEs), seeds = every 500th
+    * part. Terms are `1e9 // d` on positive integers; the harmonic
+    * sum is an order-free BIGINT sum (HUGEINT cast back).
     */
-  private def harmRelax(i: Int): String =
-    s"""h$i AS (
-  SELECT seed, node, MIN(dist) AS dist FROM (
-    SELECT seed, node, dist FROM h${i - 1}
-    UNION ALL
-    SELECT d.seed, e.dst AS node, d.dist + 1 AS dist
-    FROM h${i - 1} d JOIN e ON d.node = e.src
-  ) GROUP BY 1, 2
-)"""
-
   val x54HarmonicCentrality: String = s"""WITH $ChainSeq, $ChainEdges,
 h0 AS (
   SELECT DISTINCT p_partkey AS seed, p_partkey AS node,
          CAST(0 AS BIGINT) AS dist
   FROM part WHERE p_partkey % 500 = 0
-), ${(1 to 4).map(harmRelax).mkString(", ")}
+), ${relaxChain("h", 4, "e", "1", Seq("seed"))}
 SELECT node AS node_id, CAST(COUNT(*) AS BIGINT) AS n_sources,
        CAST(SUM(1000000000 // dist) AS BIGINT) AS harmonic_e9,
        CAST(CAST(SUM(1000000000 // dist) AS BIGINT) AS DOUBLE)
@@ -1208,34 +1244,21 @@ FROM h4 WHERE dist >= 1 GROUP BY 1"""
          round(ln(CAST(n_nodes AS DOUBLE)), 9) AS y
   FROM hist
 ), m AS (
-  SELECT COUNT(*) AS n,
-         SUM(CAST(x AS DECIMAL(28,9))) AS sx,
-         SUM(CAST(y AS DECIMAL(28,9))) AS sy,
-         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
-         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
-         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
-  FROM xy
+  ${momentsCte("xy", Nil, "n")}
 ), s AS (
   SELECT CAST(n AS DOUBLE) AS nd,
          CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
          CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
          CAST(sxy AS DOUBLE) AS sxyd
   FROM m
-), fit AS (
-  SELECT CASE WHEN nd * sxxd - sxd * sxd > 0
-              THEN round((nd * sxyd - sxd * syd)
-                         / (nd * sxxd - sxd * sxd), 6) END AS pl_slope,
-         CASE WHEN nd * sxxd - sxd * sxd > 0
-              THEN round((syd - round((nd * sxyd - sxd * syd)
-                                      / (nd * sxxd - sxd * sxd), 6)
-                                * sxd) / nd, 6) END AS pl_intercept,
-         CASE WHEN nd * sxxd - sxd * sxd > 0
-                   AND nd * syyd - syd * syd > 0
-              THEN round((nd * sxyd - sxd * syd)
-                         * (nd * sxyd - sxd * syd)
-                         / ((nd * sxxd - sxd * sxd)
-                            * (nd * syyd - syd * syd)), 6) END AS r2
+), fit0 AS (
+  SELECT nd, sxd, syd,
+         nd * sxyd - sxd * syd AS covn,
+         nd * sxxd - sxd * sxd AS varx,
+         nd * syyd - syd * syd AS vary
   FROM s
+), fit AS (
+  SELECT ${fitExprs("pl_slope", "pl_intercept")} FROM fit0
 )
 SELECT h.degree, h.n_nodes, f.pl_slope, f.pl_intercept, f.r2
 FROM hist h CROSS JOIN fit f"""
@@ -1641,23 +1664,17 @@ FROM dev JOIN mad ON dev.o_orderpriority = mad.o_orderpriority"""
     * engines' running-double `corr` aggregates, which are shuffle-
     * order-dependent and disagree in the last digits.
     */
-  val x28PriceDelayCorr: String = """WITH fs AS (
+  val x28PriceDelayCorr: String = s"""WITH fs AS (
   SELECT l_orderkey, MIN(l_shipdate) AS ship FROM lineitem GROUP BY 1
 ), j AS (
   SELECT o_orderpriority,
-         o_totalprice,
+         o_totalprice AS x,
          CAST(date_diff('day', CAST(o_orderdate AS DATE),
-                        CAST(ship AS DATE)) AS DOUBLE) AS delay_days
+                        CAST(ship AS DATE)) AS DOUBLE) AS y
   FROM orders JOIN fs ON o_orderkey = l_orderkey
   WHERE o_totalprice IS NOT NULL
 ), m AS (
-  SELECT o_orderpriority, COUNT(*) AS n,
-         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sx,
-         SUM(CAST(delay_days AS DECIMAL(18,6))) AS sy,
-         SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,12))) AS sxx,
-         SUM(CAST(delay_days * delay_days AS DECIMAL(38,12))) AS syy,
-         SUM(CAST(o_totalprice * delay_days AS DECIMAL(38,12))) AS sxy
-  FROM j GROUP BY 1
+  ${momentsCte("j", Seq("o_orderpriority"), "n", "DECIMAL(18,6)")}
 )
 SELECT o_orderpriority, n,
        CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
@@ -4359,7 +4376,7 @@ FROM scored"""
     * double-product moments), so slope/intercept/R² divide identical
     * doubles.
     */
-  val t56ZipfFit: String = ToksCte + """, ex AS (
+  val t56ZipfFit: String = ToksCte + s""", ex AS (
   SELECT lang, unnest(toks) AS tok FROM t
 ), counts AS (
   SELECT lang, tok, COUNT(*) AS freq FROM ex GROUP BY 1, 2
@@ -4374,13 +4391,7 @@ FROM scored"""
          round(ln(CAST(freq AS DOUBLE)), 9) AS y
   FROM ranked
 ), m AS (
-  SELECT lang, COUNT(*) AS n_distinct_tokens,
-         SUM(CAST(x AS DECIMAL(28,9))) AS sx,
-         SUM(CAST(y AS DECIMAL(28,9))) AS sy,
-         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
-         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
-         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
-  FROM xy GROUP BY 1
+  ${momentsCte("xy", Seq("lang"), "n_distinct_tokens")}
 ), tot AS (
   SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_tokens FROM counts
   GROUP BY 1
@@ -4400,12 +4411,7 @@ FROM scored"""
   FROM s
 )
 SELECT lang, n_tokens, n_distinct_tokens,
-       CASE WHEN varx > 0 THEN round(covn / varx, 6) END AS zipf_slope,
-       CASE WHEN varx > 0
-            THEN round((syd - round(covn / varx, 6) * sxd) / nd, 6)
-       END AS zipf_intercept,
-       CASE WHEN varx > 0 AND vary > 0
-            THEN round(covn * covn / (varx * vary), 6) END AS r2
+       ${fitExprs("zipf_slope", "zipf_intercept")}
 FROM fit"""
 
   /** s11: k-NN majority-vote classification — the s1 ranking SQL plus
