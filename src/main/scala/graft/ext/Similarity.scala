@@ -1430,13 +1430,35 @@ object Similarity {
     val (pqCb, _) = kmeansLoopShared(exT, codewords, pqIters, "pq",
       sTag)
     // ---- encode the FULL corpus against the frozen codebooks ----
-    val exF = graft.std.Materialize.once(
-      pqExplode(corpus, subspaces, idCol, vecCol))
-    val cellOf = pqNearestCodewords(
-      exF.withColumn("_sub", lit(0).cast("int")), cellCb)
-      .select(col("_vid").as("neighbor_id"), col("_cw").as("_cell"))
-    val codes = pqNearestCodewords(exF, pqCb)
-      .select(col("_vid").as("neighbor_id"), col("_sub"), col("_cw"))
+    // cells and codes are WRITE-TIME artifacts exactly like the
+    // codebooks (in production they are stored with the index), so
+    // they ride the same session memo: encode once, query many
+    def buildArtifacts(): (DataFrame, DataFrame) = {
+      val exF = graft.std.Materialize.once(
+        pqExplode(corpus, subspaces, idCol, vecCol))
+      (pqNearestCodewords(
+          exF.withColumn("_sub", lit(0).cast("int")), cellCb)
+          .select(col("_vid").as("neighbor_id"), col("_cw").as("_cell")),
+        pqNearestCodewords(exF, pqCb)
+          .select(col("_vid").as("neighbor_id"), col("_sub"),
+            col("_cw")))
+    }
+    val (cellOf, codes) = sTag match {
+      case None => buildArtifacts()
+      case Some(tag) =>
+        val spark = corpus.sparkSession
+        var built: Option[(DataFrame, DataFrame)] = None
+        def b: (DataFrame, DataFrame) = {
+          if (built.isEmpty) built = Some(buildArtifacts())
+          built.get
+        }
+        val key = s"encode|$tag|c=$cells|ci=$cellIters|" +
+          s"m=$subspaces|cw=$codewords|pi=$pqIters"
+        (trainMemo.getOrBuild(spark, key + "|cells")(
+          graft.std.Materialize.pinUnregistered(b._1)),
+          trainMemo.getOrBuild(spark, key + "|codes")(
+            graft.std.Materialize.pinUnregistered(b._2)))
+    }
     ivfPqQueryPath(queries, cellCb, pqCb, cellOf, codes, k, nprobe,
       subspaces, idCol, vecCol)
   }
