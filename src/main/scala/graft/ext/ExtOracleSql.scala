@@ -3384,7 +3384,11 @@ SELECT * FROM scored WHERE jaccard >= 0.5"""
     * cross-multiplication, string_agg in cell order as the signature,
     * equal-signature self-join (bucket-capped) with the digest flag.
     */
-  val m7PerceptualDups: String = """WITH base AS (
+  /** The shared m7/m10 prelude: the rotated-mirror corpus, per-byte
+    * values bucketed into 16 cells with exact sums/lengths, global
+    * totals, and the full (doc, cell) scaffold.
+    */
+  private val MediaCellsCte: String = """base AS (
   SELECT doc_id, COALESCE(text, '') AS text FROM documents
 ), corpus0 AS (
   SELECT doc_id, text FROM base
@@ -3421,7 +3425,23 @@ SELECT * FROM scored WHERE jaccard >= 0.5"""
 ), scaffold AS (
   SELECT s.doc_id, g.c
   FROM s, (SELECT unnest(generate_series(0, 15)) AS c) g
-), bits AS (
+)"""
+
+  /** The equal-signature bucket pair tail shared by m7/m10. */
+  private def sigPairsTail(sigCol: String): String = s""", sigd AS (
+  SELECT sigs.doc_id, $sigCol, s.pmd5 FROM sigs JOIN s USING (doc_id)
+), ok AS (
+  SELECT $sigCol FROM sigd GROUP BY 1 HAVING COUNT(*) <= 64
+), elig AS (
+  SELECT sigd.doc_id, sigd.$sigCol, sigd.pmd5
+  FROM sigd JOIN ok USING ($sigCol)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.$sigCol,
+       a.pmd5 = b.pmd5 AS digest_match
+FROM elig a JOIN elig b ON a.$sigCol = b.$sigCol
+                       AND a.doc_id < b.doc_id"""
+
+  val m7PerceptualDups: String = s"""WITH $MediaCellsCte, bits AS (
   SELECT sc.doc_id, sc.c,
          CASE WHEN COALESCE(cl, 0) > 0 AND cs * t.nn > t.tot * cl
               THEN '1' ELSE '0' END AS bit
@@ -3431,16 +3451,25 @@ SELECT * FROM scored WHERE jaccard >= 0.5"""
 ), sigs AS (
   SELECT bits.doc_id, string_agg(bit, '' ORDER BY c) AS psig
   FROM bits GROUP BY 1
-), sigd AS (
-  SELECT sigs.doc_id, psig, s.pmd5 FROM sigs JOIN s USING (doc_id)
-), ok AS (
-  SELECT psig FROM sigd GROUP BY 1 HAVING COUNT(*) <= 64
-), elig AS (
-  SELECT sigd.doc_id, sigd.psig, sigd.pmd5 FROM sigd JOIN ok USING (psig)
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.psig,
-       a.pmd5 = b.pmd5 AS digest_match
-FROM elig a JOIN elig b ON a.psig = b.psig AND a.doc_id < b.doc_id"""
+)${sigPairsTail("psig")}"""
+
+  /** m10: gradient-hash (dHash) near-dups — the m7 bucket pair join
+    * with the ADJACENT-cell signature: bit i = `mean_i > mean_{i+1}`
+    * by exact cross-multiplication over the shared cell frame, 15
+    * bits from 16 cells (empty cells emit '0').
+    */
+  val m10GradientDups: String = s"""WITH $MediaCellsCte, cellsf AS (
+  SELECT sc.doc_id, sc.c, COALESCE(cs, 0) AS cs, COALESCE(cl, 0) AS cl
+  FROM scaffold sc LEFT JOIN cellsums USING (doc_id, c)
+), bits AS (
+  SELECT a.doc_id, a.c,
+         CASE WHEN a.cl > 0 AND b.cl > 0 AND a.cs * b.cl > b.cs * a.cl
+              THEN '1' ELSE '0' END AS bit
+  FROM cellsf a JOIN cellsf b ON a.doc_id = b.doc_id AND b.c = a.c + 1
+), sigs AS (
+  SELECT bits.doc_id, string_agg(bit, '' ORDER BY c) AS gsig
+  FROM bits GROUP BY 1
+)${sigPairsTail("gsig")}"""
 
   /** m8: temporal media alignment — the m7 corpus with the mirrors
     * additionally TRIMMED by one 32-char frame; per-frame 8-bit

@@ -2111,6 +2111,26 @@ object ExtQueries {
   def mediaPerceptualDups(spark: SparkSession, sfDir: String)
       : DataFrame = {
     Tables.tune(spark)
+    Media.perceptualDups(rotatedMirrorCorpus(spark, sfDir))
+  }
+
+  /** Gradient-hash near-dups (m10): [[Media.gradientDups]] over the
+    * m7 rotated-mirror corpus — the dHash bucket key next to m7's
+    * aHash (run both, union the pairs: the keys collide differently).
+    */
+  def mediaGradientDups(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Tables.tune(spark)
+    Media.gradientDups(rotatedMirrorCorpus(spark, sfDir))
+  }
+
+  /** The m7/m10 fixture: every 7th document re-uploaded under a
+    * +700000 id with its letters rotated one place (the
+    * brightness-shift re-encode stand-in — every digest changes, no
+    * mean-order bit does).
+    */
+  private def rotatedMirrorCorpus(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val mirrors = docs.filter(col("doc_id") % 7 === 0)
@@ -2118,8 +2138,7 @@ object ExtQueries {
         translate(coalesce(col("text"), lit("")),
           "abcdefghijklmnopqrstuvwxyz",
           "bcdefghijklmnopqrstuvwxyza").as("text"))
-    Media.perceptualDups(
-      Media.synthCorpus(spread(docs.unionByName(mirrors))))
+    Media.synthCorpus(spread(docs.unionByName(mirrors)))
   }
 
   /** Temporal media alignment (m8): every 7th document re-uploaded as

@@ -211,23 +211,32 @@ object Media {
   private def let(c: Column)(body: Column => Column): Column =
     element_at(transform(array(c), body), 1)
 
-  def perceptualHash(payload: Column, grid: Int = 16,
-                     headerBytes: Int = 8): Column = {
-    // ONE hex of the payload and ONE `conv` per 6-byte chunk (12 hex
-    // chars) instead of per byte — the string work was the hot
-    // allocation site of the whole media tier (m7/m8/m9 all inline
-    // this expression). The cell sum doesn't need byte POSITIONS,
-    // only the byte total, and Σ bytes of a value v telescopes to
-    //   v − 255 · Σ_{p≥1} floor(v / 256^p)
-    // (each division peels the low byte off the running remainder),
-    // with terms past the chunk's real length vanishing on their own
-    // (v < 256^m ⇒ floor(v/256^p) = 0 for p ≥ m) — so a chunk costs
-    // one conv + five divisions, no inner loop; the chunk value is a
-    // lambda VARIABLE of the aggregate, bound once per element.
-    // Chunks stay ≤ 2^48, so the long→double cast is exact and
-    // dividing by a power of two only shifts the exponent: the byte
-    // sums — and the signature — are bit-identical to the per-byte
-    // form, which [[perceptualHashRef]] + its equality spec pin.
+  /** The shared cell pipeline of [[perceptualHash]] (aHash) and
+    * [[gradientHash]] (dHash): hex the payload ONCE (let-bound — HOF
+    * lambdas get no CSE; a bare reference re-hexes per chunk and the
+    * signature goes quadratic in payload size), split the body into
+    * `grid` contiguous cells, and hand `body` the let-bound
+    * `(sum, len)` cell array plus the byte count.
+    *
+    * Cell byte sums cost ONE `conv` per 6-byte chunk (12 hex chars)
+    * instead of per byte — the per-byte string parse was the hot
+    * allocation site of the whole media tier (m7–m10 all inline this
+    * expression). The sum doesn't need byte POSITIONS, only the byte
+    * total, and Σ bytes of a value v telescopes to
+    *   v − 255 · Σ_{p≥1} floor(v / 256^p)
+    * (each division peels the low byte off the running remainder),
+    * with terms past the chunk's real length vanishing on their own
+    * (v < 256^m ⇒ floor(v/256^p) = 0 for p ≥ m) — so a chunk costs
+    * one conv + five divisions, no inner loop; the chunk value is a
+    * lambda VARIABLE of the aggregate, bound once per element.
+    * Chunks stay ≤ 2^48, so the long→double cast is exact and
+    * dividing by a power of two only shifts the exponent: the byte
+    * sums — and every derived signature — are bit-identical to the
+    * per-byte form, which [[perceptualHashRef]] + its equality spec
+    * pin.
+    */
+  private def withCells(payload: Column, grid: Int, headerBytes: Int)(
+      body: (Column, Column) => Column): Column = {
     let(substring(hex(payload), headerBytes * 2 + 1, Int.MaxValue)) {
       hh =>
     // Column `/` is DOUBLE division — cast each quotient back to long
@@ -255,17 +264,45 @@ object Media {
           when(len > 0, cellSum(start, len)).otherwise(lit(0L)).as("s"),
           len.as("l"))
       })
-      let(cellsExpr) { cells =>
-        val tot = aggregate(cells, lit(0L),
-          (acc, x) => acc + x.getField("s"))
-        concat_ws("", transform(cells, x =>
-          when(x.getField("l") > 0 &&
-            x.getField("s") * n > tot * x.getField("l"), lit("1"))
-            .otherwise(lit("0"))))
-      }
+      let(cellsExpr) { cells => body(cells, n) }
     }
     }
   }
+
+  def perceptualHash(payload: Column, grid: Int = 16,
+                     headerBytes: Int = 8): Column =
+    withCells(payload, grid, headerBytes) { (cells, n) =>
+      val tot = aggregate(cells, lit(0L),
+        (acc, x) => acc + x.getField("s"))
+      concat_ws("", transform(cells, x =>
+        when(x.getField("l") > 0 &&
+          x.getField("s") * n > tot * x.getField("l"), lit("1"))
+          .otherwise(lit("0"))))
+    }
+
+  /** Gradient signature (m10): dHash next to [[perceptualHash]]'s
+    * aHash — one bit per ADJACENT cell pair (`mean_i > mean_{i+1}`
+    * by exact integer cross-multiplication `s_i·l_{i+1} >
+    * s_{i+1}·l_i`), `grid − 1` bits. Where aHash thresholds each
+    * cell against the GLOBAL mean, dHash captures the local gradient
+    * structure — the two keys collide differently, which is why
+    * image-dedup pipelines run both and union the candidate pairs.
+    * Same invariance argument as m7 (a brightness/gain re-encode
+    * shifts both sides of every strict inequality together), same
+    * cell pipeline, same O(bytes) per-row cost.
+    */
+  def gradientHash(payload: Column, grid: Int = 16,
+                   headerBytes: Int = 8): Column =
+    withCells(payload, grid, headerBytes) { (cells, _) =>
+      concat_ws("", transform(sequence(lit(0), lit(grid - 2)), i => {
+        val a = element_at(cells, i + 1)
+        val b = element_at(cells, i + 2)
+        when(a.getField("l") > 0 && b.getField("l") > 0 &&
+          a.getField("s") * b.getField("l") >
+            b.getField("s") * a.getField("l"), lit("1"))
+          .otherwise(lit("0"))
+      }))
+    }
 
   /** The per-byte reference form of [[perceptualHash]] — one
     * `conv(hex-pair)` per byte, the shape the fast word-peeled
@@ -314,23 +351,47 @@ object Media {
     */
   def perceptualDups(media: DataFrame, grid: Int = 16,
                      headerBytes: Int = 8,
-                     maxBucket: Int = 64): DataFrame = {
+                     maxBucket: Int = 64): DataFrame =
+    sigDups(media, perceptualHash(col("payload"), grid, headerBytes),
+      "psig", maxBucket)
+
+  /** Gradient-hash near-dup pairs (m10): [[perceptualDups]]'s bucket
+    * self-join with [[gradientHash]] as the key — the second entry of
+    * the two-key image-dedup discipline (run both, union the pairs;
+    * the keys collide differently, so each catches pairs the other's
+    * buckets split). Same skew cap, same scale shape.
+    */
+  def gradientDups(media: DataFrame, grid: Int = 16,
+                   headerBytes: Int = 8,
+                   maxBucket: Int = 64): DataFrame =
+    sigDups(media, gradientHash(col("payload"), grid, headerBytes),
+      "gsig", maxBucket)
+
+  /** The equal-signature bucket self-join shared by m7/m10: one scan
+    * computes (id, signature, digest); the shuffle moves those skinny
+    * triples keyed on the signature; buckets past `maxBucket` are
+    * excluded from pair generation (the d2/m5 skew cap — a corpus of
+    * solid-color thumbnails would otherwise go quadratic; excluded
+    * buckets are a documented recall trade); output is bounded by
+    * genuinely matching pairs.
+    */
+  private def sigDups(media: DataFrame, sig: Column, sigName: String,
+                      maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, "maxBucket must allow at least a pair")
     val sigs = graft.std.Materialize.once(
-      media.select(col("doc_id"),
-        perceptualHash(col("payload"), grid, headerBytes).as("psig"),
+      media.select(col("doc_id"), sig.as(sigName),
         md5(col("payload")).as("_md5")))
-    val ok = sigs.groupBy(col("psig"))
+    val ok = sigs.groupBy(col(sigName))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket)
-      .select(col("psig"))
-    val elig = sigs.join(ok, Seq("psig"))
-    elig.select(col("psig"), col("doc_id").as("id_a"),
+      .select(col(sigName))
+    val elig = sigs.join(ok, Seq(sigName))
+    elig.select(col(sigName), col("doc_id").as("id_a"),
         col("_md5").as("_ma"))
-      .join(elig.select(col("psig"), col("doc_id").as("id_b"),
-        col("_md5").as("_mb")), Seq("psig"))
+      .join(elig.select(col(sigName), col("doc_id").as("id_b"),
+        col("_md5").as("_mb")), Seq(sigName))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("psig"),
+      .select(col("id_a"), col("id_b"), col(sigName),
         (col("_ma") === col("_mb")).as("digest_match"))
   }
 

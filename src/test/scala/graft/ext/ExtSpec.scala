@@ -423,6 +423,26 @@ class ExtSpec extends AnyFunSuite {
     assert(got(4L) == "0000", "empty body is all zeros")
   }
 
+  test("media: gradient hash — descending cells read 111, ascending " +
+    "000, shift/header invariant, empty body zeros") {
+    val mk = (id: Long, s: String) => (id, s.getBytes("UTF-8"))
+    val media = Seq(
+      mk(1L, "00400040" + "ddccbbaa"), // strictly falling cell means
+      mk(2L, "00400040" + "eeddccbb"), // +1 re-encode: same gradient
+      mk(3L, "0080FF00" + "ddccbbaa"), // header differs: same bits
+      mk(4L, "00400040" + "aabbccdd"), // rising means: no bit fires
+      mk(5L, "00400040"))              // empty body
+      .toDF("doc_id", "payload")
+    val got = media.select(col("doc_id"),
+        Media.gradientHash(col("payload"), grid = 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "111", s"falling means -> all gradient bits: $got")
+    assert(got(2L) == "111", "byte-shift must not move the gradient")
+    assert(got(3L) == "111", "header bytes must not enter the bits")
+    assert(got(4L) == "000", "rising means -> strict > never fires")
+    assert(got(5L) == "000", "empty body is all zeros, grid-1 bits")
+  }
+
   test("media: word-peeled perceptual hash equals the per-byte " +
     "reference on random payloads, every tail length") {
     // the fast form parses 6-byte words with ONE conv and peels bytes
