@@ -1664,6 +1664,30 @@ FROM dev JOIN mad ON dev.o_orderpriority = mad.o_orderpriority"""
     * engines' running-double `corr` aggregates, which are shuffle-
     * order-dependent and disagree in the last digits.
     */
+  /** The moment→double staging shared by the Pearson twins (x28,
+    * x57): cast the exact DECIMAL moments of a keyed [[momentsCte]]
+    * frame to the doubles the correlation divides.
+    */
+  private def momentDoubles(src: String, carry: String): String =
+    s"""SELECT $carry,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+         CAST(sxy AS DOUBLE) AS sxyd
+  FROM $src"""
+
+  /** Pearson r over a [[momentDoubles]] frame — guards both
+    * variances, divides by the sqrt product (≡ the Spark side's
+    * `Features.pearson`), one 6-dp round.
+    */
+  private val PearsonExpr: String =
+    """CASE WHEN nd * sxxd - sxd * sxd > 0
+            AND nd * syyd - syd * syd > 0
+       THEN round((nd * sxyd - sxd * syd)
+                  / (sqrt(nd * sxxd - sxd * sxd)
+                     * sqrt(nd * syyd - syd * syd)), 6)
+       END"""
+
   val x28PriceDelayCorr: String = s"""WITH fs AS (
   SELECT l_orderkey, MIN(l_shipdate) AS ship FROM lineitem GROUP BY 1
 ), j AS (
@@ -1675,21 +1699,43 @@ FROM dev JOIN mad ON dev.o_orderpriority = mad.o_orderpriority"""
   WHERE o_totalprice IS NOT NULL
 ), m AS (
   ${momentsCte("j", Seq("o_orderpriority"), "n", "DECIMAL(18,6)")}
+), s AS (
+  ${momentDoubles("m", "o_orderpriority, n")}
 )
-SELECT o_orderpriority, n,
-       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
-             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
-            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                                 - CAST(sy AS DOUBLE)
-                                   * CAST(sy AS DOUBLE))), 6)
-       END AS pearson_r
-FROM m"""
+SELECT o_orderpriority, n, $PearsonExpr AS pearson_r
+FROM s"""
+
+  /** x57: seasonality autocorrelation — the shared x53 daily collapse
+    * (value_micro exact longs, then ONE deterministic /1e6 double),
+    * per-series calendar-lag self-joins at lags 1 and 7, Pearson via
+    * the shared moment device. Missing days drop the pair (calendar
+    * lag, not row lag).
+    */
+  private def lagCorrCtes(lag: Int): String = s"""pl$lag AS (
+  SELECT a.series, a.v AS x, b.v AS y
+  FROM daily a JOIN daily b
+    ON a.series = b.series AND b.day + $lag = a.day
+), m$lag AS (
+  ${momentsCte(s"pl$lag", Seq("series"), "n", "DECIMAL(18,6)")}
+), s$lag AS (
+  ${momentDoubles(s"m$lag", "series, CAST(n AS BIGINT) AS n_pairs")}
+)"""
+
+  val x57Autocorrelation: String = s"""WITH daily AS (
+  SELECT event_type AS series, CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000
+                   AS BIGINT) AS DOUBLE) / 1000000.0 AS v
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), ${lagCorrCtes(1)}, ${lagCorrCtes(7)}
+SELECT series, CAST(1 AS BIGINT) AS lag, n_pairs,
+       $PearsonExpr AS autocorr
+FROM s1
+UNION ALL
+SELECT series, CAST(7 AS BIGINT) AS lag, n_pairs,
+       $PearsonExpr AS autocorr
+FROM s7"""
 
   /** x29: per-group mode — (count DESC, value ASC NULLS LAST) rank
     * pins the tie deterministically in both engines.

@@ -2622,6 +2622,16 @@ object ExtQueries {
     Timeseries.stationaryMix(Tables.events(spark, sfDir))
   }
 
+  /** Seasonality autocorrelation (x57): [[Timeseries.autocorrelation]]
+    * of the per-event_type daily value series at lags 1 and 7 —
+    * momentum and weekly periodicity, the readout that says whether
+    * x10's day-over-day comparisons can be trusted.
+    */
+  def autocorrelation(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.autocorrelation(Tables.events(spark, sfDir))
+  }
+
   /** EWMA forecast baseline (x53): [[Timeseries.ewmaBaseline]] over
     * the per-event_type daily value series — the recency-weighted
     * forecast residual next to x10's trailing z-score, replayed as an

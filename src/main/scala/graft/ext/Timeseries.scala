@@ -702,6 +702,51 @@ object Timeseries {
     ewmaVerdicts(folded, spikeFactor)
   }
 
+  /** Seasonality autocorrelation (x57): per-series Pearson r between
+    * the daily value series and its own calendar-lagged self, at
+    * fixed lags — lag 1 reads momentum (does a big day predict
+    * another?), lag 7 reads WEEKLY seasonality, the number a capacity
+    * planner checks before trusting any day-over-day comparison.
+    * Sits next to x53 (EWMA prices the trend, this prices the
+    * periodicity) and x10 (whose trailing z-scores false-positive
+    * every Monday when lag-7 autocorrelation is high).
+    *
+    * Semantics: the series is the shared [[dailySeries]] collapse
+    * (same contract, including positivity); pairs join day d to day
+    * d − lag WITHIN each series (calendar lag, not row lag — missing
+    * days drop the pair rather than silently comparing non-adjacent
+    * rows), and r is [[Features.pearson]]'s exact-moment form —
+    * DECIMAL linear sums, DECIMAL(38,12) product moments of
+    * deterministic doubles, NULL on zero variance, never the
+    * shuffle-order-dependent `corr` aggregate.
+    *
+    * 100 TB shape: the event corpus collapses once (ONE partial-agg
+    * shuffle); each lag is a self-equi-join + five-moment partial agg
+    * on the |series| × |days| daily frame. Lags are a tiny fixed
+    * list.
+    */
+  def autocorrelation(events: DataFrame, lags: Seq[Int] = Seq(1, 7),
+                      keyCol: String = "event_type",
+                      tsCol: String = "ts",
+                      valueCol: String = "value"): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      "lags must be positive")
+    val daily = graft.std.Materialize.once(
+      dailySeries(events, keyCol, tsCol, valueCol)
+        .select(col("series"), col("day"),
+          (col("value_micro").cast("double") / 1000000.0).as("_v")))
+    lags.map { lag =>
+      val cur = daily.select(col("series"), col("day"),
+        col("_v").as("_x"))
+      val prev = daily.select(col("series"),
+        date_add(col("day"), lag).as("day"), col("_v").as("_y"))
+      Features.pearson(cur.join(prev, Seq("series", "day")),
+          "series", "_x", "_y")
+        .select(col("series"), lit(lag).cast("long").as("lag"),
+          col("n").as("n_pairs"), col("pearson_r").as("autocorr"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The x53 daily collapse, shared with the streaming EWMA feed: per
     * (series, day) event counts and exact micro-unit value sums — the
     * ONE corpus-sized shuffle of the whole family.

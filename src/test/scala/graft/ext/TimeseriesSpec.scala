@@ -294,6 +294,34 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out.map(_.getLong(4)).toSeq == Seq(0L, 3000000L))
   }
 
+  test("autocorrelation: exact weekly pattern reads lag-7 r = 1; " +
+    "calendar gaps drop pairs; constants read NULL") {
+    val week = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0)
+    val rows = (0 until 14).map(d =>
+      ("a", Timestamp.from(t0.plusSeconds(d * 86400L)),
+        week(d % 7))) ++
+      // series b: days 0, 1, 3 — day 3 has no day-2 predecessor, so
+      // lag 1 keeps exactly ONE pair (and one pair has zero variance)
+      Seq(0, 1, 3).map(d =>
+        ("b", Timestamp.from(t0.plusSeconds(d * 86400L)), d * 1.0)) ++
+      // series c: constant -> zero variance at every lag
+      (0 until 9).map(d =>
+        ("c", Timestamp.from(t0.plusSeconds(d * 86400L)), 2.0))
+    val out = Timeseries.autocorrelation(
+        rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val a7 = out(("a", 7L))
+    assert(a7.getLong(2) == 7L && a7.getDouble(3) == 1.0,
+      "a 7-periodic series must read lag-7 autocorrelation exactly 1")
+    val a1 = out(("a", 1L))
+    assert(a1.getLong(2) == 13L && a1.getDouble(3) < 1.0)
+    val b1 = out(("b", 1L))
+    assert(b1.getLong(2) == 1L && b1.isNullAt(3),
+      "calendar lag keeps only true adjacent-day pairs")
+    assert(out(("c", 1L)).isNullAt(3) && out(("c", 7L)).isNullAt(3),
+      "zero variance must read NULL, never NaN or +-inf")
+  }
+
   private def mixEvents(rows: Seq[(String, String, Int, String)]) = {
     val base = Instant.parse("2024-01-01T00:00:00Z")
     rows.map { case (u, t, s, id) =>
