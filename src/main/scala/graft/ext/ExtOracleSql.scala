@@ -1168,11 +1168,16 @@ FROM comp c JOIN sizes s USING (cluster_rep)"""
     */
   private def relaxChain(tag: String, iters: Int, edgeTable: String,
                          stepCost: String,
-                         carry: Seq[String] = Nil): String =
+                         carry: Seq[String] = Nil,
+                         materialized: Boolean = false): String = {
+    // DuckDB inlines CTEs per reference; a consumer that reads the
+    // final level from several places (x58's σ/δ passes) would
+    // otherwise re-expand the whole chain per reference
+    val mat = if (materialized) "MATERIALIZED " else ""
     (1 to iters).map { i =>
       val cs = (carry :+ "node").mkString(", ")
       val carrySel = carry.map(c => s"d.$c, ").mkString
-      s"""$tag$i AS (
+      s"""$tag$i AS $mat(
   SELECT $cs, MIN(dist) AS dist FROM (
     SELECT $cs, dist FROM $tag${i - 1}
     UNION ALL
@@ -1181,6 +1186,7 @@ FROM comp c JOIN sizes s USING (cluster_rep)"""
   ) GROUP BY ${(1 to carry.size + 1).mkString(", ")}
 )"""
     }.mkString(", ")
+  }
 
   /** x50: multi-source weighted shortest paths — 4 unrolled
     * Bellman-Ford relaxations over the chain graph with edge cost =
@@ -1221,6 +1227,72 @@ SELECT node AS node_id, CAST(COUNT(*) AS BIGINT) AS n_sources,
        CAST(CAST(SUM(1000000000 // dist) AS BIGINT) AS DOUBLE)
          / 1000000000.0 AS harmonic
 FROM h4 WHERE dist >= 1 GROUP BY 1"""
+
+  /** x58 pass 2: level-synchronous shortest-path counts — level l's
+    * σ sums the level-(l−1) predecessors' σ across edges, membership
+    * gated by the finalized distance frame. Exact BIGINTs.
+    */
+  private def sigmaCtes(iters: Int): String =
+    (1 to iters).map { l =>
+      s"""sg$l AS MATERIALIZED (
+  SELECT p.seed, e.dst AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+  FROM sg${l - 1} p
+  JOIN e ON p.node = e.src
+  JOIN h$iters d ON d.seed = p.seed AND d.node = e.dst
+                AND d.dist = $l
+  GROUP BY 1, 2
+)"""
+    }.mkString(", ")
+
+  /** x58 pass 3: Brandes' backward dependency accumulation by
+    * decreasing level — δ(v) = Σ σ_v·(1e9 + δ_w) // σ_w over
+    * successors one level deeper (the LEFT joins leave non-(l+1)
+    * successors NULL, which SUM skips; childless nodes COALESCE to
+    * 0). Per-term truncation on positive operands ≡ Spark's `div`.
+    */
+  private def deltaCtes(iters: Int): String =
+    ((iters - 1) to 0 by -1).map { l =>
+      s"""dl$l AS MATERIALIZED (
+  SELECT sv.seed, sv.node,
+         CAST(COALESCE(SUM(sv.sigma * (1000000000 + dw.delta)
+                           // sw.sigma), 0) AS BIGINT) AS delta
+  FROM sg$l sv
+  LEFT JOIN e ON sv.node = e.src
+  LEFT JOIN sg${l + 1} sw ON sw.seed = sv.seed AND sw.node = e.dst
+  LEFT JOIN dl${l + 1} dw ON dw.seed = sv.seed AND dw.node = e.dst
+  GROUP BY 1, 2
+)"""
+    }.mkString(", ")
+
+  /** x58: sampled-source betweenness — the x54 forward [[relaxChain]]
+    * distances, [[sigmaCtes]] path counts, [[deltaCtes]] backward
+    * dependencies, sources excluded from their own rollup. The
+    * σ·(1e9+δ) products run in overflow-CHECKED BIGINT here vs
+    * Spark's longs (the x30 twin discipline — identical values
+    * inside the range the sparse graph keeps them in).
+    */
+  val x58Betweenness: String = s"""WITH $ChainSeq, $ChainEdges,
+h0 AS (
+  SELECT DISTINCT p_partkey AS seed, p_partkey AS node,
+         CAST(0 AS BIGINT) AS dist
+  FROM part WHERE p_partkey % 500 = 0
+), ${relaxChain("h", 4, "e", "1", Seq("seed"), materialized = true)},
+sg0 AS MATERIALIZED (
+  SELECT seed, node, CAST(1 AS BIGINT) AS sigma FROM h4 WHERE dist = 0
+), ${sigmaCtes(4)},
+dl4 AS MATERIALIZED (
+  SELECT seed, node, CAST(0 AS BIGINT) AS delta FROM sg4
+), ${deltaCtes(4)},
+alld AS (
+  SELECT * FROM dl0 UNION ALL SELECT * FROM dl1 UNION ALL
+  SELECT * FROM dl2 UNION ALL SELECT * FROM dl3 UNION ALL
+  SELECT * FROM dl4
+)
+SELECT node AS node_id, CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(delta) AS BIGINT) AS betweenness_e9,
+       CAST(CAST(SUM(delta) AS BIGINT) AS DOUBLE) / 1000000000.0
+         AS betweenness
+FROM alld WHERE node <> seed GROUP BY 1"""
 
   /** x55: degree power-law readout — degree histogram of the chain
     * graph's undirected support (via the shared CTEs) + the t56

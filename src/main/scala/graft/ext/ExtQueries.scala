@@ -1372,6 +1372,26 @@ object ExtQueries {
     Graph.harmonicCentrality(edges, seeds, iterations = 4)
   }
 
+  /** Sampled betweenness centrality (x58):
+    * [[Graph.betweennessCentrality]] over the chain graph with the
+    * x54 seed panel — Brandes' three passes as joins, the brokerage
+    * readout completing the centrality shelf.
+    */
+  def betweennessCentrality(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val seeds = Tables.part(spark, sfDir)
+      .filter(col("p_partkey") % 500 === 0)
+      .select(col("p_partkey").as("seed"))
+    Graph.betweennessCentrality(edges, seeds, iterations = 4)
+  }
+
   /** Degree power-law readout (x55): [[Graph.degreeDistribution]]
     * over the chain graph's undirected support — the histogram + the
     * log-log fit that predicts hub skew before any expensive pass.

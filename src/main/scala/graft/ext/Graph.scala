@@ -672,4 +672,111 @@ object Graph {
       .select(col("node_id"), col("n_sources"), col("harmonic_e9"),
         (col("harmonic_e9").cast("double") / lit(1e9)).as("harmonic"))
   }
+
+  /** Sampled-source betweenness centrality (x58): Brandes'
+    * accumulation over a SEED SAMPLE with a hop horizon — the
+    * who-sits-on-the-paths readout completing the centrality shelf
+    * (x20 prices endorsement flow, x54 prices reach, this prices
+    * BROKERAGE: the nodes whose removal disconnects shortest routes).
+    * Exact betweenness is all-pairs; the sampled-source form (the
+    * standard estimator, same contract as x54's Eppstein–Wang shape)
+    * keeps cost linear in |S|·|reached| with |S| the error/cost knob,
+    * and the hop horizon truncates like x38/x50 — both bounds are
+    * part of the contract.
+    *
+    * Three passes, all Pregel-as-joins at (seed, node) grain:
+    * 1. FORWARD hop distances (the x54 loop verbatim);
+    * 2. level-synchronous shortest-path COUNTS σ — level l's σ is
+    *    the sum of level l−1 predecessors' σ across edges (exact
+    *    longs: every count is a sum of 1s);
+    * 3. BACKWARD dependency δ by decreasing level:
+    *    δ(v) = Σ_{(v,w), d(w)=d(v)+1} σ_v·(1e9 + δ_w) div σ_w —
+    *    Brandes' recurrence in the x20 e9 fixed-point discipline
+    *    (one truncation per term, order-free integer sums; the
+    *    σ·(1e9+δ) product stays inside long range on the sparse
+    *    chain graph — DuckDB runs the same values in overflow-checked
+    *    BIGINT, the x30 twin discipline).
+    * Betweenness(v) = Σ over seeds of δ(v), sources excluded from
+    * their own rollup (a node brokers paths BETWEEN others).
+    *
+    * 100 TB shape: per pass-iteration ONE join + one partial-agg
+    * shuffle on |S| × |reached| narrow rows; σ and δ frames are
+    * level-sliced so each level's work touches only its own frontier.
+    *
+    * Returns (node_id, n_sources, betweenness_e9, betweenness).
+    */
+  def betweennessCentrality(edges: DataFrame, seeds: DataFrame,
+                            iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "need at least one hop")
+    val e = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    // ---- pass 1: forward hop distances (the x54 loop) ----
+    var dist = graft.std.Materialize.once(
+      seeds.select(col("seed")).filter(col("seed").isNotNull)
+        .distinct()
+        .select(col("seed"), col("seed").as("node"),
+          lit(0L).as("dist")))
+    for (_ <- 1 to iterations) {
+      val cand = dist.join(e, dist("node") === e("src"))
+        .select(dist("seed"), e("dst").as("node"),
+          (dist("dist") + 1L).as("dist"))
+      dist = graft.std.Materialize.once(
+        dist.unionByName(cand)
+          .groupBy(col("seed"), col("node"))
+          .agg(min(col("dist")).as("dist")))
+    }
+    // ---- pass 2: level-synchronous path counts ----
+    var sigLevels = Vector(graft.std.Materialize.once(
+      dist.filter(col("dist") === 0L)
+        .select(col("seed"), col("node"), lit(1L).as("sigma"))))
+    for (l <- 1 to iterations) {
+      val prev = sigLevels.last
+      val next = prev.join(e, prev("node") === e("src"))
+        .select(prev("seed"), e("dst").as("node"), col("sigma"))
+        .join(dist.filter(col("dist") === l.toLong)
+          .select(col("seed"), col("node")), Seq("seed", "node"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+      sigLevels :+= graft.std.Materialize.once(next)
+    }
+    // ---- pass 3: backward dependency accumulation ----
+    var delta = graft.std.Materialize.once(
+      sigLevels(iterations)
+        .select(col("seed"), col("node"), lit(0L).as("delta_e9")))
+    var deltas = Vector(delta)
+    for (l <- (iterations - 1) to 0 by -1) {
+      val sv = sigLevels(l).select(col("seed"), col("node"),
+        col("sigma").as("_sv"))
+      val sw = sigLevels(l + 1).select(col("seed").as("_ws"),
+        col("node").as("_wn"), col("sigma").as("_sw"))
+      val dw = delta.select(col("seed").as("_ds"),
+        col("node").as("_dn"), col("delta_e9").as("_dw"))
+      // successors one level deeper, with their σ and δ attached
+      val succ = e.join(sw, e("dst") === col("_wn"))
+        .join(dw, col("_ds") === col("_ws") && col("_dn") === col("_wn"))
+        .select(col("_ws").as("_ss"), e("src").as("_sn"),
+          col("_sw"), col("_dw"))
+      val next = sv.join(succ,
+          sv("seed") === col("_ss") && sv("node") === col("_sn"),
+          "left_outer")
+        .groupBy(sv("seed"), sv("node"))
+        .agg(coalesce(sum(
+          expr("CAST(_sv * (1000000000 + _dw) div _sw AS BIGINT)")),
+          lit(0L)).as("delta_e9"))
+      delta = graft.std.Materialize.once(next)
+      deltas :+= delta
+    }
+    // ---- rollup: sources excluded from their own accumulation ----
+    deltas.reduce(_ unionByName _)
+      .filter(col("node") =!= col("seed"))
+      .groupBy(col("node").as("node_id"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("delta_e9")).as("betweenness_e9"))
+      .select(col("node_id"), col("n_sources"), col("betweenness_e9"),
+        (col("betweenness_e9").cast("double") / lit(1e9))
+          .as("betweenness"))
+  }
 }

@@ -456,4 +456,51 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(2L, 3L, 4L))
   }
+
+  private def betweennessOf(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                            iterations: Int = 4) =
+    Graph.betweennessCentrality(edges.toDF("src", "dst"),
+        seeds.toDF("seed"), iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  test("betweenness: path graph — the middle brokers, endpoints don't") {
+    // 1->2->3 seeded at 1: delta(3)=0, delta(2)=sigma2*(1e9+0)//sigma3
+    // = 1e9 (node 2 sits on the one 1->3 shortest path); the source's
+    // own delta (2e9) is excluded from the rollup
+    val got = betweennessOf(Seq((1L, 2L), (2L, 3L)), Seq(1L))
+    assert(got == Map(2L -> 1000000000L, 3L -> 0L), s"got $got")
+  }
+
+  test("betweenness: diamond splits dependency by path counts") {
+    // 1->2, 1->3, 2->4, 3->4 seeded at 1: sigma(4)=2, so each middle
+    // node carries HALF the dependency: 1*(1e9+0)//2 = 5e8
+    val got = betweennessOf(
+      Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)), Seq(1L))
+    assert(got == Map(2L -> 500000000L, 3L -> 500000000L, 4L -> 0L),
+      s"got $got")
+  }
+
+  test("betweenness: dependencies cascade and seeds sum") {
+    // 1->2->3->4 seeded at 1: delta(3) = 1e9 (one path through it to
+    // 4), delta(2) = sigma2*(1e9 + delta(3))//sigma3 = 2e9 — Brandes'
+    // cascade, NOT pair counting. Adding seed 2 contributes a further
+    // 1e9 to node 3 (path 2->4) and 0 to node 4
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val one = betweennessOf(chain, Seq(1L))
+    assert(one == Map(2L -> 2000000000L, 3L -> 1000000000L, 4L -> 0L),
+      s"got $one")
+    val two = betweennessOf(chain, Seq(1L, 2L))
+    assert(two(3L) == 2000000000L && two(4L) == 0L &&
+      two(2L) == 2000000000L, s"got $two")
+  }
+
+  test("betweenness: the hop horizon truncates deep dependencies") {
+    // 5-chain at iterations=2: only nodes within 2 hops exist, and
+    // node 2's delta sees only the truncated subtree (1e9 + delta(3)
+    // with delta(3) = 0 at the horizon)
+    val got = betweennessOf(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), Seq(1L),
+      iterations = 2)
+    assert(got == Map(2L -> 1000000000L, 3L -> 0L), s"got $got")
+  }
 }
