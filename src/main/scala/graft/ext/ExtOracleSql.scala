@@ -1294,6 +1294,68 @@ SELECT node AS node_id, CAST(COUNT(*) AS BIGINT) AS n_sources,
          AS betweenness
 FROM alld WHERE node <> seed GROUP BY 1"""
 
+  /** x59: degree assortativity — Pearson of the two endpoint degrees
+    * across every undirected-support edge, through the shared
+    * [[momentsCte]]/[[momentDoubles]]/[[PearsonExpr]] device (exact
+    * for integer degrees).
+    */
+  val x59Assortativity: String = s"""WITH $ChainSeq, e0 AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), und AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), degs AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM und GROUP BY 1
+), pr AS (
+  SELECT CAST(da.degree AS DOUBLE) AS x, CAST(db.degree AS DOUBLE) AS y
+  FROM und
+  JOIN degs da ON und.src = da.node
+  JOIN degs db ON und.dst = db.node
+), m AS (
+  ${momentsCte("pr", Nil, "n", "DECIMAL(18,6)")}
+), s AS (
+  ${momentDoubles("m", "CAST(n AS BIGINT) AS n_pairs")}
+)
+SELECT n_pairs, $PearsonExpr AS assortativity FROM s"""
+
+  /** x60 peel rounds: each round recounts degrees over the
+    * alive-induced edge set (two semi-joins referenced TWICE per
+    * round — MATERIALIZED, or DuckDB's per-reference CTE inlining
+    * re-expands the peel ladder exponentially) and keeps nodes at
+    * degree ≥ k.
+    */
+  private def kcorePeel(rounds: Int, k: Int): String =
+    (1 to rounds).map { r =>
+      s"""kd$r AS MATERIALIZED (
+  SELECT und.src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM und
+  JOIN ka${r - 1} a ON und.src = a.node
+  JOIN ka${r - 1} b ON und.dst = b.node
+  GROUP BY 1
+), ka$r AS MATERIALIZED (
+  SELECT node FROM kd$r WHERE degree >= $k
+)"""
+    }.mkString(", ")
+
+  /** x60: k-core peel — 4 unrolled [[kcorePeel]] rounds at k = 3,
+    * survivors with their final induced-subgraph degree. Exact
+    * integers end to end.
+    */
+  val x60KCore: String = s"""WITH $ChainSeq, e0 AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), und AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), ka0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM und
+), ${kcorePeel(4, 3)}
+SELECT und.src AS node_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM und
+JOIN ka4 a ON und.src = a.node
+JOIN ka4 b ON und.dst = b.node
+GROUP BY 1"""
+
   /** x55: degree power-law readout — degree histogram of the chain
     * graph's undirected support (via the shared CTEs) + the t56
     * regression arithmetic over (ln degree, ln n_nodes): 9-dp logs,
@@ -1750,9 +1812,11 @@ FROM dev JOIN mad ON dev.o_orderpriority = mad.o_orderpriority"""
 
   /** Pearson r over a [[momentDoubles]] frame — guards both
     * variances, divides by the sqrt product (≡ the Spark side's
-    * `Features.pearson`), one 6-dp round.
+    * `Features.pearson`), one 6-dp round. A `def`, not a `val`:
+    * oracle vals earlier in the file interpolate it during object
+    * init, and a val would still be null there (x59 caught this).
     */
-  private val PearsonExpr: String =
+  private def PearsonExpr: String =
     """CASE WHEN nd * sxxd - sxd * sxd > 0
             AND nd * syyd - syd * syd > 0
        THEN round((nd * sxyd - sxd * syd)

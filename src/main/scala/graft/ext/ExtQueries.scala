@@ -1372,6 +1372,20 @@ object ExtQueries {
     Graph.harmonicCentrality(edges, seeds, iterations = 4)
   }
 
+  /** The co-purchase chain graph every x-tier graph operator runs on:
+    * consecutive parts within an order under the (linenumber,
+    * partkey) total order.
+    */
+  private def chainGraphEdges(spark: SparkSession,
+                              sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+  }
+
   /** Sampled betweenness centrality (x58):
     * [[Graph.betweennessCentrality]] over the chain graph with the
     * x54 seed panel — Brandes' three passes as joins, the brokerage
@@ -1380,16 +1394,29 @@ object ExtQueries {
   def betweennessCentrality(spark: SparkSession, sfDir: String)
       : DataFrame = {
     Tables.tune(spark)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    val edges = Tables.lineitem(spark, sfDir)
-      .select(col("l_partkey").as("src"),
-        lead("l_partkey", 1).over(w).as("dst"))
-      .filter(col("dst").isNotNull)
     val seeds = Tables.part(spark, sfDir)
       .filter(col("p_partkey") % 500 === 0)
       .select(col("p_partkey").as("seed"))
-    Graph.betweennessCentrality(edges, seeds, iterations = 4)
+    Graph.betweennessCentrality(chainGraphEdges(spark, sfDir), seeds,
+      iterations = 4)
+  }
+
+  /** Degree assortativity (x59): [[Graph.assortativity]] of the chain
+    * graph — do hubs attach to hubs or to leaves? The sign picks the
+    * skew guard (salting vs bucket caps) before any expensive pass.
+    */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Graph.assortativity(chainGraphEdges(spark, sfDir))
+  }
+
+  /** k-core peel (x60): [[Graph.kCore]] at k = 3, 4 peel rounds —
+    * the dense-subgraph extractor next to x34's communities and
+    * x48's components.
+    */
+  def kCore(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Graph.kCore(chainGraphEdges(spark, sfDir), k = 3, rounds = 4)
   }
 
   /** Degree power-law readout (x55): [[Graph.degreeDistribution]]

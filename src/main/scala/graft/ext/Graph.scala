@@ -673,6 +673,95 @@ object Graph {
         (col("harmonic_e9").cast("double") / lit(1e9)).as("harmonic"))
   }
 
+  /** Degree assortativity (x59): Pearson correlation of the degrees
+    * at the two ends of every edge of the undirected support — the
+    * mixing diagnostic next to x55's power-law fit: x55 says whether
+    * hubs EXIST, this says whether they attach to each other
+    * (assortative, r > 0 — social graphs) or to leaves
+    * (disassortative, r < 0 — the hub-and-spoke shape most
+    * co-occurrence graphs have). The sign decides which skew guard a
+    * pipeline needs: disassortative hubs concentrate one key per
+    * partition (salting); assortative cores concentrate whole
+    * NEIGHBORHOODS (bucket caps).
+    *
+    * Both edge directions enter the pair set (the undirected
+    * convention), so r is symmetric by construction. Exact-moment
+    * Pearson ([[Features.pearson]] — DECIMAL sums, NULL on zero
+    * variance); degrees collapse from edges in one partial agg and
+    * attach back by node-keyed equi-joins (a |V|-row frame — AQE may
+    * broadcast it when small, at scale it shuffles like every other
+    * per-node attach).
+    *
+    * Returns one row: (n_pairs, assortativity).
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val und = graft.std.Materialize.once(
+      e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    // the degree frame is |V| rows — an equi-join, NOT a broadcast
+    // (AQE may still choose one when |V| is small; at scale it
+    // shuffles on the node key like every other per-node attach)
+    val pairs = und
+      .join(deg.select(col("node").as("src"),
+        col("degree").as("_x")), Seq("src"))
+      .join(deg.select(col("node").as("dst"),
+        col("degree").as("_y")), Seq("dst"))
+      .withColumn("_g", lit(1))
+    Features.pearson(pairs, "_g", "_x", "_y")
+      .select(col("n").as("n_pairs"),
+        col("pearson_r").as("assortativity"))
+  }
+
+  /** k-core peel (x60): iteratively remove nodes whose degree in the
+    * SURVIVING subgraph falls below k — the dense-subgraph extractor
+    * (the standard spam/bot-ring and community-core primitive: a
+    * k-core survives only on mutual support, which no star or chain
+    * can fake). `rounds` bounds the peel like x20 bounds iterations —
+    * peeling is monotone (the alive set only shrinks), so R rounds
+    * give the exact k-core whenever the peel converges within R, and
+    * a documented over-approximation otherwise (the x38/x50/x54
+    * horizon contract).
+    *
+    * Per round: ONE degree count over the alive-induced edge set (two
+    * semi-joins + a partial agg) and a threshold filter — all exact
+    * integers, nothing to round, both engines peel identically.
+    *
+    * Returns the survivors with their degree in the final induced
+    * subgraph: (node_id, core_degree).
+    */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(rounds >= 1, "need at least one peel round")
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val und = graft.std.Materialize.once(
+      e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    def degrees(alive: DataFrame): DataFrame =
+      und.join(alive.select(col("node").as("src")), Seq("src"))
+        .join(alive.select(col("node").as("dst")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+    var alive = graft.std.Materialize.once(
+      und.select(col("src").as("node")).distinct())
+    for (_ <- 1 to rounds) {
+      alive = graft.std.Materialize.once(
+        degrees(alive).filter(col("degree") >= k)
+          .select(col("node")))
+    }
+    degrees(alive)
+      .select(col("node").as("node_id"),
+        col("degree").as("core_degree"))
+  }
+
   /** Sampled-source betweenness centrality (x58): Brandes'
     * accumulation over a SEED SAMPLE with a hop horizon — the
     * who-sits-on-the-paths readout completing the centrality shelf

@@ -494,6 +494,50 @@ class GraphSpec extends AnyFunSuite {
       two(2L) == 2000000000L, s"got $two")
   }
 
+  test("assortativity: a star is perfectly disassortative, " +
+    "uniform degrees read NULL") {
+    // K1,4: every edge connects the max degree to the min degree, so
+    // endpoint degrees are perfectly anti-correlated -> r = -1 exact
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("src", "dst")
+    val s = Graph.assortativity(star).collect()
+    assert(s.length == 1 && s(0).getLong(0) == 8L &&
+      s(0).getDouble(1) == -1.0, s"star: ${s.toSeq}")
+    // 4-cycle: all degrees 2 -> zero variance -> NULL, never NaN
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val c = Graph.assortativity(cycle).collect()
+    assert(c.length == 1 && c(0).isNullAt(1), s"cycle: ${c.toSeq}")
+  }
+
+  test("k-core: tail peels off, the triangle core survives with " +
+    "its induced degrees") {
+    // triangle {1,2,3} + tail 3-4: at k=2 the tail node (degree 1)
+    // peels in round 1, node 3's degree drops 3 -> 2, and the
+    // triangle stands as the 2-core with degrees (2,2,2)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.kCore(g, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+    // at k=3 nothing survives
+    assert(Graph.kCore(g, k = 3, rounds = 4).collect().isEmpty)
+  }
+
+  test("k-core: peeling cascades; the round bound truncates it") {
+    // path 1-2-3-4-5 at k=2: endpoints peel, then THEIR neighbors
+    // lose support, then the middle — full convergence needs 3
+    // rounds and leaves nothing
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    assert(Graph.kCore(path, k = 2, rounds = 4).collect().isEmpty)
+    // rounds=1 stops after the first peel: {2,3,4} remain with their
+    // induced path degrees — the documented bounded-peel contract
+    val one = Graph.kCore(path, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(2L -> 1L, 3L -> 2L, 4L -> 1L), s"got $one")
+  }
+
   test("betweenness: the hop horizon truncates deep dependencies") {
     // 5-chain at iterations=2: only nodes within 2 hops exist, and
     // node 2's delta sees only the truncated subtree (1e9 + delta(3)
