@@ -1294,6 +1294,54 @@ SELECT node AS node_id, CAST(COUNT(*) AS BIGINT) AS n_sources,
          AS betweenness
 FROM alld WHERE node <> seed GROUP BY 1"""
 
+  /** x61: PageRank convergence report — the x20 [[prChain]] rounds
+    * with each iteration priced: L1/max rank movement (exact e9
+    * longs, order-free sums) and total mass. r3 is the chain's final
+    * rank term materialized as a frame; every delta joins adjacent
+    * complete |V|-row frames.
+    */
+  val x61PageRankConvergence: String = s"""WITH $ChainSeq, $ChainEdges,
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
+r0 AS (
+  SELECT node, 1000000000 // n AS rank_e9 FROM nodes CROSS JOIN nn
+), ${prChain(3, r => s"$r.rank_e9 // outdeg.odeg",
+      "JOIN outdeg ON e.src = outdeg.src", x20Rank, "CROSS JOIN nn")},
+r3 AS (
+  SELECT nodes.node, ${x20Rank(3)} AS rank_e9
+  FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node
+), dd AS (
+  SELECT 1 AS iteration,
+         SUM(ABS(CAST(a.rank_e9 AS BIGINT)
+                 - CAST(b.rank_e9 AS BIGINT))) AS l1,
+         MAX(ABS(CAST(a.rank_e9 AS BIGINT)
+                 - CAST(b.rank_e9 AS BIGINT))) AS mx,
+         SUM(CAST(a.rank_e9 AS BIGINT)) AS mass
+  FROM r1 a JOIN r0 b USING (node)
+  UNION ALL
+  SELECT 2,
+         SUM(ABS(CAST(a.rank_e9 AS BIGINT)
+                 - CAST(b.rank_e9 AS BIGINT))),
+         MAX(ABS(CAST(a.rank_e9 AS BIGINT)
+                 - CAST(b.rank_e9 AS BIGINT))),
+         SUM(CAST(a.rank_e9 AS BIGINT))
+  FROM r2 a JOIN r1 b USING (node)
+  UNION ALL
+  SELECT 3,
+         SUM(ABS(CAST(a.rank_e9 AS BIGINT)
+                 - CAST(b.rank_e9 AS BIGINT))),
+         MAX(ABS(CAST(a.rank_e9 AS BIGINT)
+                 - CAST(b.rank_e9 AS BIGINT))),
+         SUM(CAST(a.rank_e9 AS BIGINT))
+  FROM r3 a JOIN r2 b USING (node)
+)
+SELECT CAST(iteration AS BIGINT) AS iteration,
+       CAST(l1 AS BIGINT) AS l1_delta_e9,
+       CAST(mx AS BIGINT) AS max_delta_e9,
+       CAST(mass AS BIGINT) AS mass_e9,
+       CAST(CAST(l1 AS BIGINT) AS DOUBLE) / 1000000000.0 AS l1_delta
+FROM dd"""
+
   /** x59: degree assortativity — Pearson of the two endpoint degrees
     * across every undirected-support edge, through the shared
     * [[momentsCte]]/[[momentDoubles]]/[[PearsonExpr]] device (exact

@@ -1410,6 +1410,17 @@ object ExtQueries {
     Graph.assortativity(chainGraphEdges(spark, sfDir))
   }
 
+  /** PageRank convergence report (x61):
+    * [[Graph.pageRankConvergence]] over the chain graph — per-round
+    * L1/max rank movement and mass, the evidence that the x20
+    * family's fixed iteration count is enough.
+    */
+  def pageRankConvergence(spark: SparkSession,
+                          sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Graph.pageRankConvergence(chainGraphEdges(spark, sfDir))
+  }
+
   /** k-core peel (x60): [[Graph.kCore]] at k = 3, 4 peel rounds —
     * the dense-subgraph extractor next to x34's communities and
     * x48's components.

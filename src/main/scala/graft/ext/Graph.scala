@@ -673,6 +673,74 @@ object Graph {
         (col("harmonic_e9").cast("double") / lit(1e9)).as("harmonic"))
   }
 
+  /** PageRank convergence report (x61): the x20 loop replayed with
+    * each iteration priced — per round, the L1 and max rank movement
+    * (|r_i − r_{i−1}| in exact e9 units) and the total mass. This is
+    * the iteration-count sizing readout for the whole x20 family
+    * (x20/x33/x46 all fix small iteration counts; this is the
+    * evidence that the count is ENOUGH — the same role s20/s26 play
+    * for the ANN index): a flattening L1 delta says further rounds
+    * buy re-ranking nobody reads, and the mass column watches the
+    * dangling-node shave the x20 doc documents.
+    *
+    * Arithmetic is bit-identical to [[pageRank]]'s (same seed,
+    * teleport, truncating contrib split); the deltas are order-free
+    * integer sums of exact longs. Per iteration: the x20 join/agg
+    * pair plus ONE |V|-row join for the delta — the readout adds no
+    * corpus-sized work.
+    *
+    * Returns one row per iteration: (iteration, l1_delta_e9,
+    * max_delta_e9, mass_e9, l1_delta).
+    */
+  def pageRankConvergence(edges: DataFrame, iterations: Int = 3,
+                          dampingPerMille: Int = 850): DataFrame = {
+    requireRankParams(iterations, dampingPerMille)
+    val e = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    val nodes = graft.std.Materialize.once(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    val empty = nodes.select(lit(0L).as("iteration"),
+      lit(0L).as("l1_delta_e9"), lit(0L).as("max_delta_e9"),
+      lit(0L).as("mass_e9"), lit(0.0).as("l1_delta")).limit(0)
+    if (n == 0) return empty
+    val outdeg = graft.std.Materialize.once(
+      e.groupBy("src").agg(count(lit(1)).as("_outdeg")))
+    val teleport = (1000L - dampingPerMille) * U / 1000L / n
+    var ranks = graft.std.Materialize.once(
+      nodes.select(col("node"), lit(U / n).as("rank_e9")))
+    val rows = (1 to iterations).map { i =>
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_e9 div _outdeg").as("_c"))
+      val sums = contribs.groupBy("node").agg(sum(col("_c")).as("_s"))
+      val next = graft.std.Materialize.once(
+        nodes.join(sums, Seq("node"), "left_outer")
+          .select(col("node"),
+            (lit(teleport) +
+              expr(s"coalesce(_s, 0L) * $dampingPerMille div 1000"))
+              .as("rank_e9")))
+      val prev = ranks.select(col("node"), col("rank_e9").as("_p"))
+      val row = next.join(prev, Seq("node"))
+        .agg(sum(abs(col("rank_e9") - col("_p"))).as("l1_delta_e9"),
+          max(abs(col("rank_e9") - col("_p"))).as("max_delta_e9"),
+          sum(col("rank_e9")).as("mass_e9"))
+        .select(lit(i.toLong).as("iteration"), col("l1_delta_e9"),
+          col("max_delta_e9"), col("mass_e9"),
+          (col("l1_delta_e9").cast("double") / lit(U.toDouble))
+            .as("l1_delta"))
+      ranks = next
+      row
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Degree assortativity (x59): Pearson correlation of the degrees
     * at the two ends of every edge of the undirected support — the
     * mixing diagnostic next to x55's power-law fit: x55 says whether

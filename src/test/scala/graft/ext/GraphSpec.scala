@@ -494,6 +494,32 @@ class GraphSpec extends AnyFunSuite {
       two(2L) == 2000000000L, s"got $two")
   }
 
+  test("pagerank convergence: a symmetric cycle is the fixed point " +
+    "at round 1; a dangling star converges by round 3") {
+    // 2-cycle: the uniform seed IS the stationary vector, so every
+    // round moves nothing and mass stays a full 1e9
+    val cyc = Graph.pageRankConvergence(
+        Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(cyc == Map(1L -> ((0L, 0L, 1000000000L)),
+      2L -> ((0L, 0L, 1000000000L)), 3L -> ((0L, 0L, 1000000000L))),
+      s"cycle: $cyc")
+    // 1->{2,3}: hand-traced — round 1 moves 0.5666…, round 2 the
+    // echo of node 1's collapse, round 3 NOTHING (converged); mass
+    // shrinks to 192.5e6 (the documented dangling shave: 2 and 3
+    // have no out-edges)
+    val star = Graph.pageRankConvergence(
+        Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(star(1L) == ((566666667L, 283333333L, 433333332L)),
+      s"star r1: $star")
+    assert(star(2L) == ((240833332L, 120416666L, 192500000L)),
+      s"star r2: $star")
+    assert(star(3L) == ((0L, 0L, 192500000L)), s"star r3: $star")
+  }
+
   test("assortativity: a star is perfectly disassortative, " +
     "uniform degrees read NULL") {
     // K1,4: every edge connects the max degree to the min degree, so
