@@ -76,6 +76,42 @@ SELECT md5($Norm) AS group_hash,
        COUNT(*) AS n_copies, MIN(doc_id) AS keeper
 FROM corpus GROUP BY 1"""
 
+  /** t72: source shingle-diversity — distinct/total 3-shingle hashes
+    * per source over the template-farm-injected corpus; shingles
+    * hash through the shared md5 lane so the exact distinct counts
+    * agree; one truncating e9 division.
+    */
+  val t72SourceShingleDiversity: String = s"""WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 900000, 'tmplfarm',
+         'contact us terms privacy about shipping returns faq page '
+           || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 6 = 0
+), t AS (
+  SELECT source, string_split($Norm, ' ') AS toks
+  FROM corpus WHERE text IS NOT NULL AND source IS NOT NULL
+), shs AS (
+  SELECT source,
+         unnest(${sh3("toks", "array_to_string(toks, ' ')")}) AS sh
+  FROM t
+), agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(COUNT(DISTINCT ${h64("sh")}) AS BIGINT)
+           AS n_distinct_shingles
+  FROM shs GROUP BY 1
+), nd AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM corpus WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1
+)
+SELECT agg.source, n_docs, n_shingles, n_distinct_shingles,
+       CAST(n_distinct_shingles * 1000000000 // n_shingles AS BIGINT)
+         AS diversity_e9,
+       CAST(CAST(n_distinct_shingles * 1000000000 // n_shingles
+                 AS BIGINT) AS DOUBLE) / 1000000000.0 AS diversity
+FROM agg JOIN nd USING (source)"""
+
   /** t53: cross-source overlap matrix over the source-rotated mirror
     * corpus (every 5th doc re-attributed to the source +7 mod 20).
     * Counts are exact set sizes; the ratio columns are single IEEE

@@ -1560,6 +1560,27 @@ object ExtQueries {
         col("zscore"))
   }
 
+  /** Source shingle-diversity ratio (t72):
+    * [[TextAnalysis.sourceShingleDiversity]] with an injected
+    * template farm — every 6th doc re-emitted under source
+    * `tmplfarm` as the SAME boilerplate page with only its id slug
+    * changed: per-doc gates can't see it, the source-level shingle
+    * pool can (7 shared 3-grams + 1 id-bearing one per page).
+    */
+  def sourceShingleDiversity(spark: SparkSession,
+                             sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val tmpl = docs.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"),
+        lit("tmplfarm").as("source"),
+        concat(lit("contact us terms privacy about shipping returns " +
+          "faq page "), col("doc_id").cast("string")).as("text"))
+    TextAnalysis.sourceShingleDiversity(
+      spread(docs.unionByName(tmpl)))
+  }
+
   /** Per-source token-entropy diversity report (t47). */
   def sourceEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

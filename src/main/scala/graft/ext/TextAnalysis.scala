@@ -607,6 +607,44 @@ object TextAnalysis {
           .otherwise(0.0).as("norm_entropy"))
   }
 
+  /** Source shingle-diversity ratio (t72): per source, distinct
+    * 3-shingles over total 3-shingle occurrences — the TEMPLATE-SPAM
+    * detector at source grain. t16 scores repetition WITHIN a doc;
+    * a source serving thousands of near-identical boilerplate pages
+    * passes every per-doc gate while its corpus-level shingle pool
+    * barely grows — this ratio is where that shows (mirror-site
+    * detection, SEO-farm triage, the "same page, new slug" pattern),
+    * next to [[sourceEntropy]]'s token-level diversity (tokens can
+    * stay diverse while 3-grams collapse — templates reuse PHRASES).
+    *
+    * Shingles travel as their 64-bit content hashes (the d2
+    * discipline — digests shuffle, never text; both engines hash the
+    * identical md5 lane so the exact distinct counts agree). One
+    * corpus pass; the shuffle moves (source, hash) pairs with
+    * map-side collapse. The e9 ratio is one truncating division of
+    * exact longs.
+    */
+  def sourceShingleDiversity(docs: DataFrame, n: Int = 3): DataFrame = {
+    val b = TextOps.attrBarrier(
+      docs.filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("doc_id"), col("source"), col("text")),
+      Seq("doc_id", "source"), "_shs",
+      TextOps.shingles(TextOps.tokens(col("text")), n))
+    val agg = b.select(col("source"), explode(col("_shs")).as("_sh"))
+      .select(col("source"), TextOps.hash64(col("_sh")).as("_h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("_h")).as("n_distinct_shingles"))
+    val nd = b.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    agg.join(nd, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_shingles"),
+        col("n_distinct_shingles"),
+        expr("CAST(n_distinct_shingles * 1000000000 div n_shingles " +
+          "AS BIGINT)").as("diversity_e9"),
+        (expr("CAST(n_distinct_shingles * 1000000000 div n_shingles " +
+          "AS BIGINT)").cast("double") / lit(1e9)).as("diversity"))
+  }
+
   /** Per-language Zipf fit (t56): least-squares slope of ln(freq) on
     * ln(rank) over each language's token rank–frequency curve — the
     * distribution-shape corpus-health metric next to [[sourceEntropy]]

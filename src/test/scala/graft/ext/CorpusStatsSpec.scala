@@ -447,4 +447,32 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r(4L) == ((4L, 3L, 1L, 750000000L, 250000000L, "mixed")))
     assert(r(5L) == ((1L, 1L, 0L, 1000000000L, 0L, "novel")))
   }
+
+  test("source shingle diversity: a template farm collapses, a " +
+    "diverse source reads 1.0, short docs fall back whole") {
+    val docs = Seq(
+      // template farm: same page, only the slug differs — 6 tokens
+      // give 4 shingles each: [a b c][b c d][c d page] shared,
+      // [d page N] slug-bearing
+      (1L, "farm", "a b c d page one"),
+      (2L, "farm", "a b c d page two"),
+      (3L, "farm", "a b c d page three"),
+      // diverse source: no shingle repeats anywhere
+      (4L, "org", "alpha beta gamma delta"),
+      (5L, "org", "epsilon zeta eta theta"),
+      // short doc: fewer than 3 tokens contributes its whole text
+      (6L, "tiny", "hi there"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceShingleDiversity(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // farm: 3 docs x 4 shingles = 12 total; distinct = 3 shared
+    // ([a b c][b c d][c d page]) + 3 slug-bearing ([d page N]) = 6
+    assert(out("farm") == ((3L, 12L, 6L, 500000000L)), s"got $out")
+    // org: 2 docs x 2 shingles, all distinct -> exactly 1.0
+    assert(out("org") == ((2L, 4L, 4L, 1000000000L)), s"got $out")
+    // tiny: one whole-text fallback shingle
+    assert(out("tiny") == ((1L, 1L, 1L, 1000000000L)), s"got $out")
+  }
 }
