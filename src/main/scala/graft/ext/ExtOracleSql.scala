@@ -573,6 +573,59 @@ FROM binned GROUP BY 1"""
     * cumulative window, max integer gap `|F1·n2 − F2·n1|` with the
     * smallest value on ties.
     */
+  /** One v10 output row: the pair's exact counters read off the
+    * single aggregate row `m`, rates as truncating e9 divisions,
+    * lift in per-mille, NULL where undefined.
+    */
+  private def v10PairRow(a: String, b: String): String = {
+    val nb = s"nb_${a}_$b"
+    val cond = s"CASE WHEN n_$a > 0 THEN " +
+      s"CAST($nb * 1000000000 // n_$a AS BIGINT) END"
+    val marg = s"CASE WHEN n > 0 THEN " +
+      s"CAST(n_$b * 1000000000 // n AS BIGINT) END"
+    s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n_rows,
+       CAST(n_$a AS BIGINT) AS n_a_null,
+       CAST(n_$b AS BIGINT) AS n_b_null,
+       CAST($nb AS BIGINT) AS n_both_null,
+       $cond AS cond_null_e9, $marg AS marginal_null_e9,
+       CASE WHEN ($cond) IS NOT NULL AND ($marg) > 0
+            THEN CAST(($cond) * 1000 // ($marg) AS BIGINT)
+       END AS lift_permille
+  FROM m"""
+  }
+
+  /** v10: missingness co-occurrence — the broken-client corruption
+    * (user_id ≡ 0 mod 13 drops user_id AND value; event_id ≡ 0 mod
+    * 17 drops value alone; ts never), one aggregate row of exact
+    * counters, one [[v10PairRow]] per audited pair.
+    */
+  val v10Missingness: String = s"""WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 13 = 0 THEN NULL ELSE user_id END
+           AS user_id,
+         CASE WHEN user_id % 13 = 0 OR event_id % 17 = 0 THEN NULL
+              ELSE value END AS value,
+         ts
+  FROM events
+), m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_user_id,
+         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_value,
+         SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n_ts,
+         SUM(CASE WHEN user_id IS NULL AND value IS NULL
+                  THEN 1 ELSE 0 END) AS nb_user_id_value,
+         SUM(CASE WHEN value IS NULL AND user_id IS NULL
+                  THEN 1 ELSE 0 END) AS nb_value_user_id,
+         SUM(CASE WHEN user_id IS NULL AND ts IS NULL
+                  THEN 1 ELSE 0 END) AS nb_user_id_ts
+  FROM ev
+)
+${v10PairRow("user_id", "value")}
+UNION ALL
+${v10PairRow("value", "user_id")}
+UNION ALL
+${v10PairRow("user_id", "ts")}"""
+
   val v8KsDrift: String = s"""WITH a1 AS (
   SELECT value AS v FROM events
   WHERE event_type = 'purchase' AND value IS NOT NULL

@@ -1931,6 +1931,27 @@ object ExtQueries {
   /** Exact KS drift statistic (v8): purchase vs click value
     * distributions — the bin-free complement of x16's PSI.
     */
+  /** Missingness co-occurrence audit (v10):
+    * [[Validation.missingnessAudit]] over the events stream with an
+    * injected broken-client pattern — rows whose user_id ≡ 0 (mod 13)
+    * lose user_id AND value together (correlated), rows whose
+    * event_id ≡ 0 (mod 17) lose value alone (background rate), ts
+    * never nulls (the undefined-verdict path). The audit reads the
+    * correlation: P(value null | user null) = 1e9 vs a small
+    * marginal.
+    */
+  def missingnessAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val ev = Tables.events(spark, sfDir).select(col("event_id"),
+      when(col("user_id") % 13 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")).as("user_id"),
+      when(col("user_id") % 13 === 0 || col("event_id") % 17 === 0,
+        lit(null).cast("double")).otherwise(col("value")).as("value"),
+      col("ts"))
+    Validation.missingnessAudit(ev, Seq(
+      ("user_id", "value"), ("value", "user_id"), ("user_id", "ts")))
+  }
+
   def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     val ev = Tables.events(spark, sfDir)

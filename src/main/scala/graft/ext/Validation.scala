@@ -612,4 +612,51 @@ object Validation {
       round((col("n_obs").cast("double") - expN) *
         (col("n_obs").cast("double") - expN) / expN, 6).as("chi2_term"))
   }
+
+  /** Missingness co-occurrence audit (v10): for chosen column pairs,
+    * does column b go null WITH column a — `P(b null | a null)`
+    * against b's marginal null rate, their ratio in per-mille. v1
+    * profiles each column's null rate alone; correlated missingness
+    * is a different defect class (one broken client omitting two
+    * fields TOGETHER, a join spraying aligned nulls, an ETL step
+    * dropping a struct) and it's what makes "impute from the other
+    * column" silently wrong. Lift ≫ 1000 says the nulls travel
+    * together; ≈ 1000 says independent.
+    *
+    * ONE corpus pass: every marginal and pair counter is a
+    * conditional sum in a single aggregate row (a 1-row broadcast
+    * frame the per-pair projection reads), so auditing more pairs
+    * adds counters, not scans. Exact longs; each rate is ONE
+    * truncating e9 division; the per-mille lift divides the two e9s
+    * (bounded ≤ 1e12 — no overflow at any corpus size). NULL verdicts
+    * where undefined (no a-nulls, or b never null), never NaN.
+    */
+  def missingnessAudit(df: DataFrame,
+                       pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one column pair")
+    val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val aggs = cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_n_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(when(col(a).isNull && col(b).isNull, 1L).otherwise(0L))
+          .as(s"_nb_${a}_$b")
+      }
+    val m = graft.std.Materialize.once(
+      df.agg(count(lit(1)).as("_n"), aggs: _*))
+    pairs.map { case (a, b) =>
+      val cond = s"CASE WHEN _n_$a > 0 THEN " +
+        s"CAST(_nb_${a}_$b * 1000000000 div _n_$a AS BIGINT) END"
+      val marg = s"CASE WHEN _n > 0 THEN " +
+        s"CAST(_n_$b * 1000000000 div _n AS BIGINT) END"
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("_n").as("n_rows"), col(s"_n_$a").as("n_a_null"),
+        col(s"_n_$b").as("n_b_null"),
+        col(s"_nb_${a}_$b").as("n_both_null"),
+        expr(cond).as("cond_null_e9"),
+        expr(marg).as("marginal_null_e9"),
+        expr(s"CASE WHEN ($cond) IS NOT NULL AND ($marg) > 0 THEN " +
+          s"CAST(($cond) * 1000 div ($marg) AS BIGINT) END")
+          .as("lift_permille"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -296,4 +296,32 @@ class ValidationSpec extends AnyFunSuite {
       s"the flipped period must read clearly higher: $r")
     assert(!r(3)._3.isInfinite && !r(3)._3.isNaN)
   }
+
+  test("missingness audit: correlated nulls lift above the marginal; " +
+    "undefined verdicts are NULL, never NaN") {
+    // 10 rows: a null on {1,2} always WITH b; b additionally null
+    // alone on {3}; c never null
+    val rows = (1 to 10).map { i =>
+      (if (i <= 2) None else Some(i.toLong),
+        if (i <= 3) None else Some(i * 1.0),
+        i.toLong)
+    }
+    val df = rows.toDF("a", "b", "c")
+    val out = Validation.missingnessAudit(df,
+        Seq(("a", "b"), ("b", "a"), ("c", "b")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    // P(b null | a null) = 2/2 = 1e9; marginal 3/10; lift 3333
+    assert(ab.getLong(3) == 2L && ab.getLong(4) == 3L &&
+      ab.getLong(5) == 2L)
+    assert(ab.getLong(6) == 1000000000L &&
+      ab.getLong(7) == 300000000L && ab.getLong(8) == 3333L)
+    // reverse direction: P(a null | b null) = 2/3, lift vs 2/10
+    val ba = out(("b", "a"))
+    assert(ba.getLong(6) == 666666666L &&
+      ba.getLong(7) == 200000000L && ba.getLong(8) == 3333L)
+    // c never null: conditional undefined -> NULLs end to end
+    val cb = out(("c", "b"))
+    assert(cb.getLong(3) == 0L && cb.isNullAt(6) && cb.isNullAt(8))
+  }
 }
