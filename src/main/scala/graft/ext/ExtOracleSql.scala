@@ -1383,6 +1383,43 @@ SELECT node AS node_id, CAST(COUNT(*) AS BIGINT) AS n_sources,
          AS betweenness
 FROM alld WHERE node <> seed GROUP BY 1"""
 
+  /** x62 rounds: earliest-arrival relax — keep the current arrival
+    * or step across an edge whose activation time is not before it,
+    * MIN per node. Exact date MINs.
+    */
+  private def temporalRelax(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""tr$i AS (
+  SELECT node, MIN(fr) AS fr FROM (
+    SELECT node, fr FROM tr${i - 1}
+    UNION ALL
+    SELECT e.dst AS node, e.etime AS fr
+    FROM tr${i - 1} d JOIN te e ON d.node = e.src AND e.etime >= d.fr
+  ) GROUP BY 1
+)"""
+    }.mkString(", ")
+
+  /** x62: temporal reachability — earliest time-respecting arrival
+    * from the x54 seed panel, edges active at their source line's
+    * ship date, 4 [[temporalRelax]] rounds (the x50 shape with a
+    * DATE in place of a cost).
+    */
+  val x62TemporalReach: String = s"""WITH wseq AS (
+  SELECT l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS nxt,
+         l_shipdate
+  FROM lineitem
+), te AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst,
+         CAST(l_shipdate AS DATE) AS etime
+  FROM wseq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), tr0 AS (
+  SELECT DISTINCT p_partkey AS node, DATE '1992-01-01' AS fr
+  FROM part WHERE p_partkey % 500 = 0
+), ${temporalRelax(4)}
+SELECT node AS node_id, fr AS first_reach FROM tr4"""
+
   /** x61: PageRank convergence report — the x20 [[prChain]] rounds
     * with each iteration priced: L1/max rank movement (exact e9
     * longs, order-free sums) and total mass. r3 is the chain's final

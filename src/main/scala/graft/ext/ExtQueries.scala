@@ -1410,6 +1410,27 @@ object ExtQueries {
     Graph.assortativity(chainGraphEdges(spark, sfDir))
   }
 
+  /** Temporal reachability (x62): [[Graph.temporalReach]] over the
+    * chain graph with each edge active at its source line's ship
+    * date — earliest possible arrival from the x54 seed panel along
+    * time-respecting paths (what could actually have FLOWED, not
+    * just what is connected).
+    */
+  def temporalReach(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("src"),
+        lead("l_partkey", 1).over(w).as("dst"),
+        col("l_shipdate").cast("date").as("etime"))
+      .filter(col("dst").isNotNull)
+    val seeds = Tables.part(spark, sfDir)
+      .filter(col("p_partkey") % 500 === 0)
+      .select(col("p_partkey").as("seed"))
+    Graph.temporalReach(edges, seeds, iterations = 4)
+  }
+
   /** PageRank convergence report (x61):
     * [[Graph.pageRankConvergence]] over the chain graph — per-round
     * L1/max rank movement and mass, the evidence that the x20

@@ -673,6 +673,54 @@ object Graph {
         (col("harmonic_e9").cast("double") / lit(1e9)).as("harmonic"))
   }
 
+  /** Temporal reachability (x62): earliest-arrival BFS on a graph
+    * whose edges carry ACTIVATION TIMES — a path is valid only if its
+    * edge times never decrease, which is how influence, contagion,
+    * and supply actually propagate (x38 answers "is there a route";
+    * this answers "could anything have FLOWED along it": a Tuesday
+    * edge cannot carry what arrives Wednesday). The standard
+    * earliest-arrival recurrence: arrive(w) = MIN over edges
+    * (v, w, t) with t ≥ arrive(v) of t, seeds reached at the epoch.
+    *
+    * Relaxation is monotone (arrival estimates only decrease, and a
+    * decrease can only unlock EARLIER onward edges), so `iterations`
+    * rounds give the exact earliest arrival for paths of ≤ that many
+    * hops — the x38/x50 bounded-frontier contract.
+    *
+    * 100 TB shape: per round ONE join of the |reached| frontier with
+    * the timed edge list (the time predicate rides the join) + one
+    * partial-agg MIN — the x50 shape with a DATE in place of a cost.
+    * Exact date MINs, nothing rounds.
+    *
+    * Returns (node_id, first_reach) — seeds at the epoch date.
+    */
+  def temporalReach(edges: DataFrame, seeds: DataFrame,
+                    iterations: Int = 4,
+                    epoch: String = "1992-01-01"): DataFrame = {
+    require(iterations >= 1, "need at least one hop")
+    val e = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"), col("etime"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("etime").isNotNull && col("src") =!= col("dst"))
+        .distinct())
+    var reach = graft.std.Materialize.once(
+      seeds.select(col("seed")).filter(col("seed").isNotNull)
+        .distinct()
+        .select(col("seed").as("node"),
+          to_date(lit(epoch)).as("first_reach")))
+    for (_ <- 1 to iterations) {
+      val cand = reach.join(e,
+          reach("node") === e("src") &&
+            e("etime") >= reach("first_reach"))
+        .select(e("dst").as("node"), e("etime").as("first_reach"))
+      reach = graft.std.Materialize.once(
+        reach.unionByName(cand)
+          .groupBy(col("node"))
+          .agg(min(col("first_reach")).as("first_reach")))
+    }
+    reach.select(col("node").as("node_id"), col("first_reach"))
+  }
+
   /** PageRank convergence report (x61): the x20 loop replayed with
     * each iteration priced — per round, the L1 and max rank movement
     * (|r_i − r_{i−1}| in exact e9 units) and the total mass. This is

@@ -494,6 +494,40 @@ class GraphSpec extends AnyFunSuite {
       two(2L) == 2000000000L, s"got $two")
   }
 
+  private def reachOf(edges: Seq[(Long, Long, String)],
+                      seeds: Seq[Long], iterations: Int = 4) = {
+    import org.apache.spark.sql.functions.col
+    val e = edges.toDF("src", "dst", "_d")
+      .select(col("src"), col("dst"), col("_d").cast("date").as("etime"))
+    Graph.temporalReach(e, seeds.toDF("seed"), iterations)
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toString).toMap
+  }
+
+  test("temporal reach: a path backwards in time does not flow; " +
+    "forward and equal-time paths do") {
+    // 1->2 ships day 5, 2->3 ships day 3: the route EXISTS but
+    // nothing could have flowed along it — node 3 must be absent
+    val back = reachOf(Seq(
+      (1L, 2L, "1995-01-05"), (2L, 3L, "1995-01-03")), Seq(1L))
+    assert(back == Map(1L -> "1992-01-01", 2L -> "1995-01-05"),
+      s"got $back")
+    // forward ordering flows; equal times qualify (t >= arrive)
+    val fwd = reachOf(Seq(
+      (1L, 2L, "1995-01-03"), (2L, 3L, "1995-01-03")), Seq(1L))
+    assert(fwd(3L) == "1995-01-03", s"got $fwd")
+  }
+
+  test("temporal reach: a later two-hop route can beat an early " +
+    "direct edge; relaxation converges downward") {
+    // direct 1->2 at day 10 vs 1->3 at day 2 then 3->2 at day 4:
+    // the two-hop TEMPORAL route arrives day 4
+    val got = reachOf(Seq(
+      (1L, 2L, "1995-01-10"), (1L, 3L, "1995-01-02"),
+      (3L, 2L, "1995-01-04")), Seq(1L))
+    assert(got(2L) == "1995-01-04" && got(3L) == "1995-01-02",
+      s"got $got")
+  }
+
   test("pagerank convergence: a symmetric cycle is the fixed point " +
     "at round 1; a dangling star converges by round 3") {
     // 2-cycle: the uniform seed IS the stationary vector, so every
