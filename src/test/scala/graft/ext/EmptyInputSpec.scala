@@ -54,6 +54,38 @@ class EmptyInputSpec extends AnyFunSuite {
       emptyDocs.select(col("doc_id"), col("text"))).collect().isEmpty)
   }
 
+  test("round-14 operators survive empty inputs") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val seeds = Seq.empty[Tuple1[Long]].toDF("seed")
+    assert(Graph.betweennessCentrality(edges, seeds).collect().isEmpty)
+    assert(Graph.assortativity(edges).collect()
+      .forall(_.isNullAt(1)), "no edges -> NULL r, not a crash")
+    assert(Graph.kCore(edges).collect().isEmpty)
+    assert(Graph.pageRankConvergence(edges).collect().isEmpty)
+    val tEdges = Seq.empty[(Long, Long, java.sql.Date)]
+      .toDF("src", "dst", "etime")
+    assert(Graph.temporalReach(tEdges, seeds).collect().isEmpty)
+    val events = Seq.empty[(String, java.sql.Timestamp, Double,
+        Long, String)]
+      .toDF("event_type", "ts", "value", "user_id", "event_id")
+    assert(Timeseries.autocorrelation(events).collect().isEmpty)
+    assert(Timeseries.stationaryMix(
+      events.withColumn("event_id", col("event_id").cast("string")))
+      .collect().isEmpty)
+    assert(TextAnalysis.sourceShingleDiversity(emptyDocs)
+      .collect().isEmpty)
+    val media = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
+    assert(Media.gradientDups(media).collect().isEmpty)
+    val ab = Seq.empty[(java.lang.Long, java.lang.Double)]
+      .toDF("a", "b")
+    val v10 = Validation.missingnessAudit(ab, Seq(("a", "b"))).head()
+    assert(v10.getLong(2) == 0L && v10.isNullAt(8),
+      "zero rows -> defined counters, NULL verdicts")
+    val vecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val cb = Seq((0, 0L, 0.0)).toDF("_cw", "_dim", "_c")
+    assert(Similarity.indexAssign(vecs, cb, cb, 1).collect().isEmpty)
+  }
+
   test("media near-dups, bloom join, rollup with an empty delta") {
     val media = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
     assert(Media.nearDupPairs(media).collect().isEmpty)
