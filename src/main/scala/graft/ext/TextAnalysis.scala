@@ -630,11 +630,18 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"), col("text")),
       Seq("doc_id", "source"), "_shs",
       TextOps.shingles(TextOps.tokens(col("text")), n))
+    // two-level collapse instead of count+countDistinct in one agg:
+    // the combined form plans an Expand (2× the exploded rows through
+    // the shuffle); collapsing to (source, hash) counts first moves
+    // each distinct shingle once and the second agg runs on the
+    // distinct frame
     val agg = b.select(col("source"), explode(col("_shs")).as("_sh"))
       .select(col("source"), TextOps.hash64(col("_sh")).as("_h"))
+      .groupBy(col("source"), col("_h"))
+      .agg(count(lit(1)).as("_c"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_shingles"),
-        countDistinct(col("_h")).as("n_distinct_shingles"))
+      .agg(sum(col("_c")).as("n_shingles"),
+        count(lit(1)).as("n_distinct_shingles"))
     val nd = b.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     agg.join(nd, Seq("source"))
       .select(col("source"), col("n_docs"), col("n_shingles"),
