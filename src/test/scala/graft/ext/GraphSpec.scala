@@ -517,6 +517,35 @@ class GraphSpec extends AnyFunSuite {
     assert(fwd(3L) == "1995-01-03", s"got $fwd")
   }
 
+  test("temporal reach: differential vs a driver-side relaxation " +
+    "replay on seeded random timed edges") {
+    // the frame recurrence replayed in plain Scala: per round, every
+    // qualifying edge proposes its activation date, MIN per node —
+    // ISO strings compare in date order, so the replay needs no
+    // calendar arithmetic
+    val rnd = new scala.util.Random(7L)
+    val nodes = (1L to 20L).toVector
+    val edges = (1 to 50).map { _ =>
+      (nodes(rnd.nextInt(20)), nodes(rnd.nextInt(20)),
+        f"1995-01-${rnd.nextInt(28) + 1}%02d")
+    }.filter(e => e._1 != e._2).distinct
+    val seeds = Seq(1L, 2L)
+    val iters = 4
+    var reach = seeds.map(_ -> "1992-01-01").toMap
+    for (_ <- 1 to iters) {
+      val cands = for {
+        (v, w, t) <- edges
+        av <- reach.get(v)
+        if t >= av
+      } yield (w, t)
+      reach = (reach.toSeq ++ cands).groupBy(_._1)
+        .map { case (n, ts) => n -> ts.map(_._2).min }
+    }
+    val got = reachOf(edges, seeds, iters)
+    assert(got == reach,
+      s"differential mismatch:\n got      $got\n expected $reach")
+  }
+
   test("temporal reach: a later two-hop route can beat an early " +
     "direct edge; relaxation converges downward") {
     // direct 1->2 at day 10 vs 1->3 at day 2 then 3->2 at day 4:
@@ -596,6 +625,66 @@ class GraphSpec extends AnyFunSuite {
     val one = Graph.kCore(path, k = 2, rounds = 1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one == Map(2L -> 1L, 3L -> 2L, 4L -> 1L), s"got $one")
+  }
+
+  test("betweenness: differential vs a driver-side Brandes replay " +
+    "on a seeded random digraph") {
+    // the joins-and-windows implementation must equal a plain-Scala
+    // replay of the exact recurrence — BFS levels, level-synchronous
+    // sigma sums, backward delta with the same truncating division —
+    // on a graph with diamonds, cycles, and unreachable pockets
+    val rnd = new scala.util.Random(20260814L)
+    val nodes = (1L to 25L).toVector
+    val edges = (1 to 70).map { _ =>
+      (nodes(rnd.nextInt(25)), nodes(rnd.nextInt(25)))
+    }.filter(e => e._1 != e._2).distinct
+    val seeds = Set(1L, 2L, 3L)
+    val iters = 4
+    // ---- reference replay ----
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).toSet }
+    val acc = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    val srcs = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for (s <- seeds) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      var frontier = Set(s)
+      for (d <- 1 to iters) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        next.foreach(w => dist(w) = d)
+        frontier = next
+      }
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      for (l <- 1 to iters; w <- dist.collect {
+          case (n, `l`) => n }) {
+        sigma(w) = edges.collect {
+          case (u, v) if v == w && dist.get(u).contains(l - 1) =>
+            sigma(u)
+        }.sum
+      }
+      val delta = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for (l <- (iters - 1) to 0 by -1; v <- dist.collect {
+          case (n, `l`) => n }) {
+        delta(v) = edges.collect {
+          case (u, w) if u == v && dist.get(w).contains(l + 1) =>
+            sigma(v) * (1000000000L + delta(w)) / sigma(w)
+        }.sum
+      }
+      for ((v, _) <- dist if v != s) {
+        acc(v) += delta(v); srcs(v) += 1L
+      }
+    }
+    val expected = srcs.keys.map(v => v -> ((srcs(v), acc(v)))).toMap
+    // ---- the operator ----
+    val got = Graph.betweennessCentrality(edges.toDF("src", "dst"),
+        seeds.toSeq.toDF("seed"), iters)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected,
+      s"differential mismatch:\n got      $got\n expected $expected")
   }
 
   test("betweenness: the hop horizon truncates deep dependencies") {

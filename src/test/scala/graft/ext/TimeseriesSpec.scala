@@ -368,6 +368,43 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(expected < 1000000000L)
   }
 
+  test("stationary mix: differential vs a driver-side power-iteration " +
+    "replay on seeded random chains") {
+    // random per-user event chains (with ts ties broken by event_id),
+    // replayed in plain Scala: pair counts under the same total
+    // order, 8 rounds of per-term truncating-div updates, dropped
+    // mass and all
+    val rnd = new scala.util.Random(1234L)
+    val types = Vector("a", "b", "c", "d", "e")
+    val rows = (0 until 300).map { i =>
+      (s"u${rnd.nextInt(12)}", types(rnd.nextInt(5)),
+        rnd.nextInt(40), f"e$i%03d")
+    }
+    // ---- reference replay ----
+    val pairs = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3, e._4)).map(_._2)
+      ordered.zip(ordered.drop(1))
+    }
+    val n12 = pairs.groupBy(identity).map { case (p, l) =>
+      p -> l.size.toLong }
+    val n1 = pairs.groupBy(_._1).map { case (t, l) => t -> l.size.toLong }
+    val states = n1.keySet
+    var pi = states.map(_ -> 1000000000L / states.size).toMap
+    for (_ <- 1 to 8) {
+      val contrib = n12.toSeq.collect {
+        case ((p, nx), c) if states.contains(nx) =>
+          nx -> (pi(p) * c / n1(p))
+      }
+      pi = states.map(s => s ->
+        contrib.filter(_._1 == s).map(_._2).sum).toMap
+    }
+    // ---- the operator ----
+    val got = Timeseries.stationaryMix(mixEvents(rows)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == pi,
+      s"differential mismatch:\n got      $got\n expected $pi")
+  }
+
   test("stationary mix: asymmetric chain converges toward 1/3-2/3, " +
     "hand-traced fixed point") {
     // P(a->b)=1, P(b->a)=P(b->b)=1/2 -> stationary (1/3, 2/3); all
