@@ -889,12 +889,15 @@ object Graph {
     * and the hop horizon truncates like x38/x50 — both bounds are
     * part of the contract.
     *
-    * Three passes, all Pregel-as-joins at (seed, node) grain:
-    * 1. FORWARD hop distances (the x54 loop verbatim);
-    * 2. level-synchronous shortest-path COUNTS σ — level l's σ is
-    *    the sum of level l−1 predecessors' σ across edges (exact
-    *    longs: every count is a sum of 1s);
-    * 3. BACKWARD dependency δ by decreasing level:
+    * Two passes, all Pregel-as-joins at (seed, node) grain:
+    * 1. FORWARD level-synchronous BFS whose frontier CARRIES the
+    *    shortest-path counts σ — level l's σ is the sum of level
+    *    l−1 predecessors' σ across edges (exact longs), and a
+    *    candidate already reached at an earlier level anti-joins
+    *    away, so the frontier slices ARE the level frames and no
+    *    separate distance pass exists (fusing σ into the BFS cut
+    *    the operator from three corpus-scale passes to two);
+    * 2. BACKWARD dependency δ by decreasing level:
     *    δ(v) = Σ_{(v,w), d(w)=d(v)+1} σ_v·(1e9 + δ_w) div σ_w —
     *    Brandes' recurrence in the x20 e9 fixed-point discipline
     *    (one truncation per term, order-free integer sums; the
@@ -918,61 +921,58 @@ object Graph {
         .filter(col("src").isNotNull && col("dst").isNotNull &&
           col("src") =!= col("dst"))
         .distinct())
-    // ---- pass 1: forward hop distances (the x54 loop) ----
-    var dist = graft.std.Materialize.once(
+    // ---- pass 1: BFS frontier carrying σ (levels = frontiers) ----
+    var frontier = graft.std.Materialize.once(
       seeds.select(col("seed")).filter(col("seed").isNotNull)
         .distinct()
         .select(col("seed"), col("seed").as("node"),
-          lit(0L).as("dist")))
+          lit(1L).as("sigma")))
+    var reached = graft.std.Materialize.once(
+      frontier.select(col("seed"), col("node")))
+    var sigLevels = Vector(frontier)
     for (_ <- 1 to iterations) {
-      val cand = dist.join(e, dist("node") === e("src"))
-        .select(dist("seed"), e("dst").as("node"),
-          (dist("dist") + 1L).as("dist"))
-      dist = graft.std.Materialize.once(
-        dist.unionByName(cand)
-          .groupBy(col("seed"), col("node"))
-          .agg(min(col("dist")).as("dist")))
-    }
-    // ---- pass 2: level-synchronous path counts ----
-    var sigLevels = Vector(graft.std.Materialize.once(
-      dist.filter(col("dist") === 0L)
-        .select(col("seed"), col("node"), lit(1L).as("sigma"))))
-    for (l <- 1 to iterations) {
-      val prev = sigLevels.last
-      val next = prev.join(e, prev("node") === e("src"))
-        .select(prev("seed"), e("dst").as("node"), col("sigma"))
-        .join(dist.filter(col("dist") === l.toLong)
-          .select(col("seed"), col("node")), Seq("seed", "node"))
+      // σ sums over ALL edges out of the previous frontier; arrivals
+      // at already-reached (earlier-level) nodes anti-join away, so
+      // what survives is exactly the next level with its exact σ
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(frontier("seed"), e("dst").as("node"), col("sigma"))
         .groupBy(col("seed"), col("node"))
         .agg(sum(col("sigma")).as("sigma"))
-      sigLevels :+= graft.std.Materialize.once(next)
+      frontier = graft.std.Materialize.once(
+        cand.join(reached, Seq("seed", "node"), "left_anti"))
+      reached = graft.std.Materialize.once(
+        reached.unionByName(frontier.select(col("seed"), col("node"))))
+      sigLevels :+= frontier
     }
-    // ---- pass 3: backward dependency accumulation ----
+    // ---- pass 2: backward dependency accumulation (each level's
+    // frame carries ITS σ, so the successor attach is one join) ----
     var delta = graft.std.Materialize.once(
       sigLevels(iterations)
-        .select(col("seed"), col("node"), lit(0L).as("delta_e9")))
-    var deltas = Vector(delta)
+        .select(col("seed"), col("node"), col("sigma"),
+          lit(0L).as("delta_e9")))
+    var deltas = Vector(
+      delta.select(col("seed"), col("node"), col("delta_e9")))
     for (l <- (iterations - 1) to 0 by -1) {
-      val sv = sigLevels(l).select(col("seed"), col("node"),
-        col("sigma").as("_sv"))
-      val sw = sigLevels(l + 1).select(col("seed").as("_ws"),
-        col("node").as("_wn"), col("sigma").as("_sw"))
-      val dw = delta.select(col("seed").as("_ds"),
-        col("node").as("_dn"), col("delta_e9").as("_dw"))
+      val dw = delta.select(col("seed").as("_ws"),
+        col("node").as("_wn"), col("sigma").as("_sw"),
+        col("delta_e9").as("_dw"))
       // successors one level deeper, with their σ and δ attached
-      val succ = e.join(sw, e("dst") === col("_wn"))
-        .join(dw, col("_ds") === col("_ws") && col("_dn") === col("_wn"))
+      val succ = e.join(dw, e("dst") === col("_wn"))
         .select(col("_ws").as("_ss"), e("src").as("_sn"),
           col("_sw"), col("_dw"))
+      val sv = sigLevels(l)
       val next = sv.join(succ,
           sv("seed") === col("_ss") && sv("node") === col("_sn"),
           "left_outer")
-        .groupBy(sv("seed"), sv("node"))
+        .groupBy(sv("seed"), sv("node"), sv("sigma"))
         .agg(coalesce(sum(
-          expr("CAST(_sv * (1000000000 + _dw) div _sw AS BIGINT)")),
+          expr("CAST(sigma * (1000000000 + _dw) div _sw AS BIGINT)")),
           lit(0L)).as("delta_e9"))
+        .select(col("seed"), col("node"), col("sigma"),
+          col("delta_e9"))
       delta = graft.std.Materialize.once(next)
-      deltas :+= delta
+      deltas :+= delta.select(col("seed"), col("node"),
+        col("delta_e9"))
     }
     // ---- rollup: sources excluded from their own accumulation ----
     deltas.reduce(_ unionByName _)
