@@ -408,9 +408,11 @@ object Graph {
     *
     * 100 TB shape: the [[pageRank]] Pregel-as-joins loop — per
     * iteration, labels (|V| skinny rows) join the undirected edge list
-    * on one side, votes aggregate with map-side partial counts, and a
-    * per-node window picks the winner; the label frame is pinned per
-    * iteration to cut lineage. No driver-side state at all.
+    * on one side, votes aggregate with map-side partial counts, and
+    * the winner is a partial-aggregable `min(struct(-votes, label))`
+    * argmin (the t65 discipline) — no per-node window sort anywhere;
+    * the label frame is pinned per iteration to cut lineage. No
+    * driver-side state at all.
     */
   def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
@@ -423,17 +425,18 @@ object Graph {
         .distinct())
     var labels = und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val byVotes = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node"))
-      .orderBy(col("_votes").desc, col("label").asc)
     for (_ <- 1 to iterations) {
+      // winner = most votes, ties to the smallest label — the
+      // lexicographic MIN of (-votes, label), which partial-aggregates
+      // map-side (a window would sort every node's vote list)
       labels = graft.std.Materialize.once(und
         .join(labels.withColumnRenamed("node", "v"), Seq("v"))
         .groupBy(col("u").as("node"), col("label"))
         .agg(count(lit(1)).as("_votes"))
-        .withColumn("_rn", row_number().over(byVotes))
-        .filter(col("_rn") === 1)
-        .select(col("node"), col("label")))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("_votes")).as("_nv"),
+          col("label").as("_l"))).as("_w"))
+        .select(col("node"), col("_w._l").as("label")))
     }
     val sizes = labels.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("community_size"))
@@ -628,10 +631,14 @@ object Graph {
     * the truncated-horizon estimator (far pairs contribute ≤ 1/k
     * each; the bound is part of the contract, like x38/x50).
     *
-    * 100 TB shape: per hop ONE join (dist ⋈ edges on the node) + ONE
-    * groupBy-MIN with map-side partial collapse, on a frame of
-    * |S| × |reached| narrow rows — the sampled |S| is the knob that
-    * keeps that product bounded as |V| grows. The final rollup is one
+    * 100 TB shape: the x38/x58 frontier discipline — per hop ONE join
+    * (frontier ⋈ edges) + a distinct + an anti-join against the
+    * reached set, so hop h's work is sized by the FRONTIER (new
+    * arrivals), never by the accumulated |S| × |reached| state (first
+    * arrival IS the shortest distance on unweighted edges, so the
+    * frontier slices are exact level frames and no groupBy-MIN over
+    * the full state exists). The sampled |S| is the knob that keeps
+    * the state bounded as |V| grows. The final rollup is one
     * partial-agg shuffle to |V| rows.
     *
     * Determinism: hop distances are exact longs; each term is
@@ -651,21 +658,25 @@ object Graph {
         .filter(col("src").isNotNull && col("dst").isNotNull &&
           col("src") =!= col("dst"))
         .distinct())
-    var dist = graft.std.Materialize.once(
+    var frontier = graft.std.Materialize.once(
       seeds.select(col("seed")).filter(col("seed").isNotNull)
         .distinct()
-        .select(col("seed"), col("seed").as("node"),
-          lit(0L).as("dist")))
-    for (_ <- 1 to iterations) {
-      val cand = dist.join(e, dist("node") === e("src"))
-        .select(dist("seed"), e("dst").as("node"),
-          (dist("dist") + 1L).as("dist"))
-      dist = graft.std.Materialize.once(
-        dist.unionByName(cand)
-          .groupBy(col("seed"), col("node"))
-          .agg(min(col("dist")).as("dist")))
+        .select(col("seed"), col("seed").as("node")))
+    var reached = frontier
+    var levels = List.empty[DataFrame]
+    for (h <- 1 to iterations) {
+      frontier = graft.std.Materialize.once(
+        frontier.join(e, frontier("node") === e("src"))
+          .select(frontier("seed"), e("dst").as("node"))
+          .distinct()
+          .join(reached, Seq("seed", "node"), "left_anti"))
+      // constituents are pinned, so the union is lineage-shallow (the
+      // x38 pattern; at the fixed shallow hop counts used here the
+      // O(hops²) anti-join re-scan is cheaper than re-pinning)
+      reached = reached.unionAll(frontier)
+      levels ::= frontier.withColumn("dist", lit(h.toLong))
     }
-    dist.filter(col("dist") >= 1L)
+    levels.reverse.reduce(_ unionAll _)
       .groupBy(col("node").as("node_id"))
       .agg(count(lit(1)).as("n_sources"),
         sum(expr("1000000000 div dist")).as("harmonic_e9"))
