@@ -1607,6 +1607,79 @@ SELECT l3.node, l3.label AS community,
        CAST(sizes.community_size AS BIGINT) AS community_size
 FROM l3 JOIN sizes ON l3.label = sizes.community"""
 
+  /** x63: Newman modularity of the x34 LPA partition. The label chain
+    * is x34's verbatim (3 unrolled QUALIFY votes); the modularity tail
+    * is per-community exact counters with the x31 HUGEINT fixed-point
+    * discipline — `e_c·1e9 // m` and `d_c²·1e9 // 4m²`, one floor per
+    * subterm on non-negative operands, matching Spark's truncating
+    * `div` exactly. `lab` is MATERIALIZED: it is referenced three
+    * times and DuckDB would otherwise re-expand the whole vote chain
+    * per reference.
+    */
+  val x63Modularity: String = s"""WITH $ChainSeq, e0 AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), und AS (
+  SELECT src AS u, dst AS v FROM e0
+  UNION
+  SELECT dst AS u, src AS v FROM e0
+), eu AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e0
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM und
+), l1 AS (
+  SELECT e.u AS node, l.label, COUNT(*) AS votes
+  FROM und e JOIN l0 l ON e.v = l.node GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY e.u
+    ORDER BY COUNT(*) DESC, l.label ASC) = 1
+), l2 AS (
+  SELECT e.u AS node, l.label, COUNT(*) AS votes
+  FROM und e JOIN l1 l ON e.v = l.node GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY e.u
+    ORDER BY COUNT(*) DESC, l.label ASC) = 1
+), l3 AS (
+  SELECT e.u AS node, l.label, COUNT(*) AS votes
+  FROM und e JOIN l2 l ON e.v = l.node GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY e.u
+    ORDER BY COUNT(*) DESC, l.label ASC) = 1
+), lab AS MATERIALIZED (
+  SELECT node, label AS community FROM l3
+), deg AS (
+  SELECT u AS node, COUNT(*) AS degree FROM und GROUP BY 1
+), mm AS (
+  SELECT COUNT(*) AS m FROM eu
+), ein AS (
+  SELECT lu.community, COUNT(*) AS internal_edges
+  FROM eu
+  JOIN lab lu ON eu.u = lu.node
+  JOIN lab lv ON eu.v = lv.node
+  WHERE lu.community = lv.community
+  GROUP BY 1
+), dsum AS (
+  SELECT lab.community, COUNT(*) AS n_nodes,
+         CAST(SUM(deg.degree) AS BIGINT) AS degree_sum
+  FROM deg JOIN lab ON deg.node = lab.node GROUP BY 1
+), terms AS (
+  SELECT d.community, d.n_nodes,
+         COALESCE(e.internal_edges, 0) AS internal_edges,
+         d.degree_sum,
+         CAST(CAST(COALESCE(e.internal_edges, 0) AS HUGEINT)
+                * 1000000000 // mm.m
+              - CAST(d.degree_sum AS HUGEINT) * d.degree_sum
+                * 1000000000
+                // (CAST(4 AS HUGEINT) * mm.m * mm.m)
+              AS BIGINT) AS q_term_e9
+  FROM dsum d LEFT JOIN ein e ON d.community = e.community
+  CROSS JOIN mm
+)
+SELECT t.community, CAST(t.n_nodes AS BIGINT) AS n_nodes,
+       CAST(t.internal_edges AS BIGINT) AS internal_edges,
+       t.degree_sum, t.q_term_e9, tot.modularity_e9,
+       CAST(tot.modularity_e9 AS DOUBLE) / 1000000000 AS modularity
+FROM terms t CROSS JOIN (
+  SELECT CAST(SUM(q_term_e9) AS BIGINT) AS modularity_e9 FROM terms
+) tot"""
+
   /** x31: triangles + clustering coefficient. The oracle orients the
     * undirected edge set by plain node id (u < v) and enumerates each
     * triangle once as a < b < c — a DIFFERENT orientation than the

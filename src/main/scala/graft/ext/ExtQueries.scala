@@ -1401,6 +1401,20 @@ object ExtQueries {
       iterations = 4)
   }
 
+  /** Community modularity (x63): [[Graph.modularity]] scoring the x34
+    * label-propagation partition of the chain graph — did 3 LPA
+    * rounds find structure that beats a degree-preserving random
+    * rewiring? One scorer for any partitioner; here it gates the
+    * repo's own community operator.
+    */
+  def modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val edges = chainGraphEdges(spark, sfDir)
+    val labels = Graph.labelPropagation(edges, iterations = 3)
+      .select(col("node"), col("community"))
+    Graph.modularity(edges, labels)
+  }
+
   /** Degree assortativity (x59): [[Graph.assortativity]] of the chain
     * graph — do hubs attach to hubs or to leaves? The sign picks the
     * skew guard (salting vs bucket caps) before any expensive pass.

@@ -995,4 +995,87 @@ object Graph {
         (col("betweenness_e9").cast("double") / lit(1e9))
           .as("betweenness"))
   }
+
+  /** Newman modularity (x63): scores HOW GOOD a community assignment
+    * is — the fraction of edges falling inside communities minus the
+    * fraction expected under a degree-preserving random rewiring:
+    * Q = Σ_c [ e_c/m − (d_c/(2m))² ] over communities c, with m the
+    * undirected edge count, e_c the edges internal to c, d_c the
+    * total degree of c's nodes. The acceptance gate for [[
+    * labelPropagation]] (x34) / [[Dedup.connectedComponentsStars]]
+    * (x48) output: Q ≈ 0 means the partition is no better than
+    * random (the whole graph as ONE community scores exactly 0), and
+    * curation pipelines use precisely this readout to decide whether
+    * community structure is real before acting on it.
+    *
+    * Takes the assignment as DATA (`labels(node, community)`) rather
+    * than computing it, so one scorer serves every partitioner —
+    * the s13/s17 recall-readout discipline applied to communities.
+    * Nodes present in `labels` but isolated in `edges` contribute no
+    * degree and no edges (they cannot change Q); nodes in `edges`
+    * but missing from `labels` are dropped by the inner join — the
+    * label frame is the contract, like x34's output.
+    *
+    * 100 TB shape: the edge list joins the skinny label frame twice
+    * (both shuffled on the node key) and collapses straight to
+    * per-community counters; degrees are one partial-agg pass. The
+    * per-community frame and the two scalars (m, ΣQ) broadcast back —
+    * nothing corpus-sized survives the aggregation.
+    *
+    * Determinism: counts and degree sums are exact longs; each Q
+    * term is two fixed-point subterms in the x31 lcc discipline —
+    * DECIMAL(38,0) products, ONE truncating `div` per subterm
+    * (`e_c·1e9 div m` and `d_c²·1e9 div 4m²`), order-free long sums.
+    * Nothing rounds until the display double.
+    *
+    * Returns one row per community:
+    * (community, n_nodes, internal_edges, degree_sum, q_term_e9,
+    * modularity_e9, modularity) — the global Q repeated per row (the
+    * x55 fit-column style).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    // oriented undirected support: each edge once as (u < v)
+    val eu = graft.std.Materialize.once(
+      e0.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct())
+    val und = eu.unionAll(eu.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val lab = labels.select(col("node"), col("community"))
+      .filter(col("node").isNotNull && col("community").isNotNull)
+    val mRow = eu.agg(count(lit(1)).as("m"))
+    val ein = eu
+      .join(lab.select(col("node").as("u"), col("community").as("_cu")),
+        Seq("u"))
+      .join(lab.select(col("node").as("v"), col("community").as("_cv")),
+        Seq("v"))
+      .filter(col("_cu") === col("_cv"))
+      .groupBy(col("_cu").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val dsum = deg.join(lab, Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("degree")).as("degree_sum"))
+    val terms = dsum
+      .join(ein, Seq("community"), "left_outer")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"))
+      .crossJoin(broadcast(mRow))
+      .withColumn("q_term_e9",
+        expr("CAST(internal_edges AS DECIMAL(38,0)) * 1000000000 div m") -
+          expr("CAST(CAST(degree_sum AS DECIMAL(38,0)) * degree_sum " +
+            "* 1000000000 div (CAST(4 AS DECIMAL(38,0)) * m * m) " +
+            "AS BIGINT)"))
+    val tot = terms.agg(sum(col("q_term_e9")).as("modularity_e9"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"), col("internal_edges"),
+        col("degree_sum"), col("q_term_e9"), col("modularity_e9"),
+        (col("modularity_e9").cast("double") / lit(1e9))
+          .as("modularity"))
+  }
 }

@@ -58,6 +58,9 @@ class EmptyInputSpec extends AnyFunSuite {
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
     val seeds = Seq.empty[Tuple1[Long]].toDF("seed")
     assert(Graph.betweennessCentrality(edges, seeds).collect().isEmpty)
+    assert(Graph.modularity(edges,
+      Seq.empty[(Long, Long)].toDF("node", "community"))
+      .collect().isEmpty)
     assert(Graph.assortativity(edges).collect()
       .forall(_.isNullAt(1)), "no edges -> NULL r, not a crash")
     assert(Graph.kCore(edges).collect().isEmpty)

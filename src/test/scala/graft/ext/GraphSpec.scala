@@ -696,4 +696,57 @@ class GraphSpec extends AnyFunSuite {
       iterations = 2)
     assert(got == Map(2L -> 1000000000L, 3L -> 0L), s"got $got")
   }
+
+  private def modularityOf(edges: Seq[(Long, Long)],
+                           labels: Seq[(Long, Long)]) =
+    Graph.modularity(edges.toDF("src", "dst"),
+        labels.toDF("node", "community"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+
+  test("modularity: two triangles with a bridge, perfect split") {
+    // m=7; each triangle: e_c=3, d_c=7 (bridge endpoint has degree 3)
+    // q_in  = 3e9 div 7   = 428571428
+    // q_deg = 49e9 div 196 = 250000000  -> term 178571428, Q sums both
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val lab = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L)
+    val got = modularityOf(tri, lab)
+    val term = (3L, 3L, 7L, 178571428L, 357142856L)
+    assert(got == Map(1L -> term, 4L -> term), s"got $got")
+  }
+
+  test("modularity: the whole graph as one community scores exactly 0") {
+    // e_c=m and d_c=2m: 1e9 - (4m^2*1e9 div 4m^2) = 0 — the classic
+    // null-partition property, exact in fixed point
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val lab = Seq(1L -> 9L, 2L -> 9L, 3L -> 9L, 4L -> 9L)
+    val got = modularityOf(tri, lab)
+    assert(got == Map(9L -> ((4L, 4L, 8L, 0L, 0L))), s"got $got")
+  }
+
+  test("modularity: singleton communities pay the pure degree penalty") {
+    // path 1-2-3, m=2, 4m^2=16: e_c=0 everywhere, terms are
+    // -(d^2*1e9 div 16): -62500000 for the endpoints, -250000000 for
+    // the middle; Q = -375000000
+    val got = modularityOf(Seq((1L, 2L), (2L, 3L)),
+      Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(got == Map(
+      1L -> ((1L, 0L, 1L, -62500000L, -375000000L)),
+      2L -> ((1L, 0L, 2L, -250000000L, -375000000L)),
+      3L -> ((1L, 0L, 1L, -62500000L, -375000000L))), s"got $got")
+  }
+
+  test("modularity: parallel and reversed edges collapse to one " +
+    "undirected edge") {
+    // (1,2), (2,1), (1,2) is ONE edge: m=1, degrees 1 — labels split
+    // -> e_c=0, terms -(1e9 div 4) = -250000000
+    val got = modularityOf(Seq((1L, 2L), (2L, 1L), (1L, 2L)),
+      Seq(1L -> 1L, 2L -> 2L))
+    assert(got == Map(
+      1L -> ((1L, 0L, 1L, -250000000L, -500000000L)),
+      2L -> ((1L, 0L, 1L, -250000000L, -500000000L))), s"got $got")
+  }
 }
