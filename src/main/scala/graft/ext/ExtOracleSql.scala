@@ -1680,6 +1680,90 @@ FROM terms t CROSS JOIN (
   SELECT CAST(SUM(q_term_e9) AS BIGINT) AS modularity_e9 FROM terms
 ) tot"""
 
+  /** x64: one synchronous Louvain sweep over the x34 LPA partition.
+    * The comparator is EXACT integer arithmetic (no truncation):
+    * maximizing ΔQ(v→c) over c is maximizing
+    * score(c) = 2m·k_{v,c} − k_v·d'_c (ΔQ scaled by 2m²; d'_c drops
+    * v's own degree when c is v's current community). Winner per node
+    * via QUALIFY (score DESC, community ASC); a node moves only if
+    * the winner STRICTLY beats staying. `lab` MATERIALIZED — it is
+    * referenced four times and DuckDB would otherwise re-expand the
+    * whole vote chain per reference.
+    */
+  val x64ModularityRefine: String = s"""WITH $ChainSeq, e0 AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), und AS (
+  SELECT src AS u, dst AS v FROM e0
+  UNION
+  SELECT dst AS u, src AS v FROM e0
+), eu AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e0
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM und
+), l1 AS (
+  SELECT e.u AS node, l.label, COUNT(*) AS votes
+  FROM und e JOIN l0 l ON e.v = l.node GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY e.u
+    ORDER BY COUNT(*) DESC, l.label ASC) = 1
+), l2 AS (
+  SELECT e.u AS node, l.label, COUNT(*) AS votes
+  FROM und e JOIN l1 l ON e.v = l.node GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY e.u
+    ORDER BY COUNT(*) DESC, l.label ASC) = 1
+), l3 AS (
+  SELECT e.u AS node, l.label, COUNT(*) AS votes
+  FROM und e JOIN l2 l ON e.v = l.node GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY e.u
+    ORDER BY COUNT(*) DESC, l.label ASC) = 1
+), lab AS MATERIALIZED (
+  SELECT node, label AS community FROM l3
+), deg AS MATERIALIZED (
+  SELECT u AS node, COUNT(*) AS degree FROM und GROUP BY 1
+), mm AS (
+  SELECT COUNT(*) AS m FROM eu
+), kvc AS (
+  SELECT e.u AS node, l.community AS cand, COUNT(*) AS k_c
+  FROM und e JOIN lab l ON e.v = l.node GROUP BY 1, 2
+), allc AS (
+  SELECT node, cand, MAX(k_c) AS k_c FROM (
+    SELECT node, cand, k_c FROM kvc
+    UNION ALL
+    SELECT node, community AS cand, 0 AS k_c FROM lab
+  ) GROUP BY 1, 2
+), dsum AS (
+  SELECT lab.community AS cand,
+         CAST(SUM(deg.degree) AS BIGINT) AS d_c
+  FROM deg JOIN lab ON deg.node = lab.node GROUP BY 1
+), scored AS MATERIALIZED (
+  SELECT a.node, a.cand, lb.community AS own,
+         CAST(2 AS HUGEINT) * mm.m * a.k_c
+           - CAST(dg.degree AS HUGEINT)
+             * (dsum.d_c - CASE WHEN a.cand = lb.community
+                                THEN dg.degree ELSE 0 END) AS score
+  FROM allc a
+  JOIN lab lb ON lb.node = a.node
+  JOIN deg dg ON dg.node = a.node
+  JOIN dsum ON dsum.cand = a.cand
+  CROSS JOIN mm
+), best AS (
+  SELECT node, cand, score FROM scored
+  QUALIFY row_number() OVER (PARTITION BY node
+    ORDER BY score DESC, cand ASC) = 1
+), stay AS (
+  SELECT node, own, score AS stay_sc FROM scored WHERE cand = own
+), newlab AS (
+  SELECT b.node,
+         CASE WHEN b.score > s.stay_sc THEN b.cand ELSE s.own END
+           AS community
+  FROM best b JOIN stay s ON s.node = b.node
+), sizes AS (
+  SELECT community, COUNT(*) AS community_size FROM newlab GROUP BY 1
+)
+SELECT n.node, n.community,
+       CAST(s.community_size AS BIGINT) AS community_size
+FROM newlab n JOIN sizes s ON n.community = s.community"""
+
   /** x31: triangles + clustering coefficient. The oracle orients the
     * undirected edge set by plain node id (u < v) and enumerates each
     * triangle once as a < b < c — a DIFFERENT orientation than the

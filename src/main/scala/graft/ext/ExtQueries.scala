@@ -1415,6 +1415,19 @@ object ExtQueries {
     Graph.modularity(edges, labels)
   }
 
+  /** Louvain refinement sweep (x64): one synchronous greedy-move pass
+    * ([[Graph.modularityRefine]]) over the x34 LPA partition of the
+    * chain graph — the propose → score → refine community pipeline's
+    * third stage, on the same assignment x63 scores.
+    */
+  def modularityRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val edges = chainGraphEdges(spark, sfDir)
+    val labels = Graph.labelPropagation(edges, iterations = 3)
+      .select(col("node"), col("community"))
+    Graph.modularityRefine(edges, labels)
+  }
+
   /** Degree assortativity (x59): [[Graph.assortativity]] of the chain
     * graph — do hubs attach to hubs or to leaves? The sign picks the
     * skew guard (salting vs bucket caps) before any expensive pass.

@@ -1078,4 +1078,100 @@ object Graph {
         (col("modularity_e9").cast("double") / lit(1e9))
           .as("modularity"))
   }
+
+  /** One synchronous Louvain-style refinement sweep (x64): every node
+    * greedily considers moving to the community of one of its
+    * neighbors, picking the target that maximizes the [[modularity]]
+    * gain, and ALL winning moves apply simultaneously — the
+    * partition-improvement half of the community shelf ([[
+    * labelPropagation]] proposes, [[modularity]] scores, this
+    * refines). One sweep, not a loop: the caller chains sweeps and
+    * re-scores between them, exactly how Louvain's level-1 phase is
+    * driven in production.
+    *
+    * Synchronous-and-simultaneous is the deterministic contract (the
+    * x34 argument verbatim): async Louvain is update-order-dependent,
+    * which no cross-engine gate could pin. Each node's decision is
+    * individually optimal against the FROZEN input assignment;
+    * simultaneous application of independent decisions is the
+    * oracle-expressible variant, and adjacent nodes may swap — the
+    * spec pins that behavior rather than hiding it.
+    *
+    * The comparator is EXACT — no fixed point at all: maximizing
+    * ΔQ(v→c) = k_{v,c}/m − k_v·d'_c/(2m²) over c is equivalent to
+    * maximizing score(c) = 2m·k_{v,c} − k_v·d'_c (multiply through by
+    * 2m², all non-negative integers; d'_c excludes v's own degree
+    * when c is v's current community). Ties break to the smallest
+    * community id; a node moves only if the best score STRICTLY beats
+    * staying. DECIMAL(38,0) products keep the comparison exact at any
+    * m.
+    *
+    * 100 TB shape: neighbor-community counts are one edge⋈label join
+    * + a partial agg at (node, community) grain (≤ degree rows per
+    * node); per-community degree sums and m broadcast back; the
+    * winner is the t65 `min(struct)` argmin — no window sort. Nothing
+    * iterates: one sweep is a fixed five-join dataflow.
+    *
+    * Same input/output contract as [[labelPropagation]]:
+    * `labels(node, community)` in, (node, community, community_size)
+    * out — so sweeps compose with x34/x48 output and feed x63.
+    */
+  def modularityRefine(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val eu = graft.std.Materialize.once(
+      e0.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct())
+    val und = eu.unionAll(eu.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val lab = graft.std.Materialize.once(
+      labels.select(col("node"), col("community"))
+        .filter(col("node").isNotNull && col("community").isNotNull))
+    val mRow = eu.agg(count(lit(1)).as("m"))
+    // k_{v,c}: edges from each node into each neighboring community
+    val kvc = und
+      .join(lab.select(col("node").as("v"), col("community").as("cand")),
+        Seq("v"))
+      .groupBy(col("u").as("node"), col("cand"))
+      .agg(count(lit(1)).as("k_c"))
+    // the node's own community is always a candidate, even with no
+    // internal neighbor (k=0); MAX collapses the duplicate onto the
+    // true count
+    val allCand = kvc.unionByName(
+        lab.select(col("node"), col("community").as("cand"),
+          lit(0L).as("k_c")))
+      .groupBy(col("node"), col("cand"))
+      .agg(max(col("k_c")).as("k_c"))
+    val dsum = deg.join(lab, Seq("node"))
+      .groupBy(col("community").as("cand"))
+      .agg(sum(col("degree")).as("d_c"))
+    val scored = graft.std.Materialize.once(allCand
+      .join(lab, Seq("node"))
+      .join(deg, Seq("node"))
+      .join(dsum, Seq("cand"))
+      .crossJoin(broadcast(mRow))
+      .select(col("node"), col("cand"), col("community").as("own"),
+        expr("CAST(2 AS DECIMAL(38,0)) * m * k_c " +
+          "- CAST(degree AS DECIMAL(38,0)) " +
+          "* (d_c - CASE WHEN cand = community THEN degree ELSE 0 END)")
+          .as("score")))
+    val best = scored.groupBy(col("node"))
+      .agg(min(struct((-col("score")).as("_ns"), col("cand").as("_c")))
+        .as("_w"))
+      .select(col("node"), (-col("_w._ns")).as("best_sc"),
+        col("_w._c").as("best_c"))
+    val stay = scored.filter(col("cand") === col("own"))
+      .select(col("node"), col("own"), col("score").as("stay_sc"))
+    val newLab = best.join(stay, Seq("node"))
+      .select(col("node"),
+        when(col("best_sc") > col("stay_sc"), col("best_c"))
+          .otherwise(col("own")).as("community"))
+    val sizes = newLab.groupBy(col("community"))
+      .agg(count(lit(1)).as("community_size"))
+    newLab.join(sizes, Seq("community"))
+      .select(col("node"), col("community"), col("community_size"))
+  }
 }

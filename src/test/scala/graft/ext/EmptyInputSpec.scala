@@ -61,6 +61,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Graph.modularity(edges,
       Seq.empty[(Long, Long)].toDF("node", "community"))
       .collect().isEmpty)
+    assert(Graph.modularityRefine(edges,
+      Seq.empty[(Long, Long)].toDF("node", "community"))
+      .collect().isEmpty)
     assert(Graph.assortativity(edges).collect()
       .forall(_.isNullAt(1)), "no edges -> NULL r, not a crash")
     assert(Graph.kCore(edges).collect().isEmpty)

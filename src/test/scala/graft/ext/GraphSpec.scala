@@ -749,4 +749,49 @@ class GraphSpec extends AnyFunSuite {
       1L -> ((1L, 0L, 1L, -250000000L, -500000000L)),
       2L -> ((1L, 0L, 1L, -250000000L, -500000000L))), s"got $got")
   }
+
+  private def refineOf(edges: Seq[(Long, Long)],
+                       labels: Seq[(Long, Long)]) =
+    Graph.modularityRefine(edges.toDF("src", "dst"),
+        labels.toDF("node", "community"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("refine: a misassigned node rejoins its triangle, and Q rises") {
+    // two triangles + bridge, node 3 mislabeled into B: score(3->A) =
+    // 2*7*2 - 3*4 = 16 beats stay = 2*7*1 - 3*(10-3) = -7; every
+    // other node's best is its own community. One sweep restores the
+    // perfect split
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val bad = Seq(1L -> 1L, 2L -> 1L, 3L -> 4L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L)
+    val got = refineOf(tri, bad)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L), s"got $got")
+    def q(lab: Seq[(Long, Long)]) =
+      Graph.modularity(tri.toDF("src", "dst"),
+          lab.toDF("node", "community"))
+        .select("modularity_e9").head().getLong(0)
+    assert(q(bad) == 122448979L && q(got.toSeq) == 357142856L,
+      "the sweep must raise Q: 122448979 -> 357142856")
+  }
+
+  test("refine: an optimal partition is a fixed point") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val good = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L)
+    assert(refineOf(tri, good) == good.toMap)
+  }
+
+  test("refine: simultaneous moves are the documented contract — " +
+    "adjacent singletons can swap") {
+    // path 1-2-3 with singleton labels: node 2 moves to community 1
+    // (tie with 3, smallest wins) while 1 and 3 simultaneously move
+    // to community 2 — each decision optimal against the FROZEN
+    // input, applied synchronously
+    val got = refineOf(Seq((1L, 2L), (2L, 3L)),
+      Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L), s"got $got")
+  }
 }
