@@ -1571,12 +1571,24 @@ GROUP BY 1"""
 SELECT h.degree, h.n_nodes, f.pl_slope, f.pl_intercept, f.r2
 FROM hist h CROSS JOIN fit f"""
 
-  /** x34: label propagation, 3 unrolled synchronous iterations over the
-    * undirected support of the x20 chain graph. Votes are exact COUNTs;
-    * winner per node via QUALIFY (votes DESC, label ASC) — pure integer
-    * arithmetic, nothing to round.
+  /** Shared x34 LPA chain over the x20 chain graph's undirected
+    * support: `e0`/`und` + `iters` unrolled synchronous QUALIFY vote
+    * rounds (votes are exact COUNTs; winner per node via votes DESC,
+    * label ASC — pure integer arithmetic), ending in
+    * `lab(node, community)`. `lab` is MATERIALIZED: x63/x64 reference
+    * it repeatedly and DuckDB would otherwise re-expand the whole
+    * vote chain per reference. Used by x34/x63/x64.
     */
-  val x34LabelPropagation: String = s"""WITH $ChainSeq, e0 AS (
+  private def lpaCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (
+  SELECT e.u AS node, l.label, COUNT(*) AS votes
+  FROM und e JOIN l${i - 1} l ON e.v = l.node GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY e.u
+    ORDER BY COUNT(*) DESC, l.label ASC) = 1
+)"""
+    }.mkString(", ")
+    s"""e0 AS (
   SELECT DISTINCT l_partkey AS src, nxt AS dst
   FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
 ), und AS (
@@ -1585,65 +1597,31 @@ FROM hist h CROSS JOIN fit f"""
   SELECT dst AS u, src AS v FROM e0
 ), l0 AS (
   SELECT DISTINCT u AS node, u AS label FROM und
-), l1 AS (
-  SELECT e.u AS node, l.label, COUNT(*) AS votes
-  FROM und e JOIN l0 l ON e.v = l.node GROUP BY 1, 2
-  QUALIFY row_number() OVER (PARTITION BY e.u
-    ORDER BY COUNT(*) DESC, l.label ASC) = 1
-), l2 AS (
-  SELECT e.u AS node, l.label, COUNT(*) AS votes
-  FROM und e JOIN l1 l ON e.v = l.node GROUP BY 1, 2
-  QUALIFY row_number() OVER (PARTITION BY e.u
-    ORDER BY COUNT(*) DESC, l.label ASC) = 1
-), l3 AS (
-  SELECT e.u AS node, l.label, COUNT(*) AS votes
-  FROM und e JOIN l2 l ON e.v = l.node GROUP BY 1, 2
-  QUALIFY row_number() OVER (PARTITION BY e.u
-    ORDER BY COUNT(*) DESC, l.label ASC) = 1
-), sizes AS (
-  SELECT label AS community, COUNT(*) AS community_size FROM l3 GROUP BY 1
-)
-SELECT l3.node, l3.label AS community,
-       CAST(sizes.community_size AS BIGINT) AS community_size
-FROM l3 JOIN sizes ON l3.label = sizes.community"""
+), $rounds, lab AS MATERIALIZED (
+  SELECT node, label AS community FROM l$iters
+)"""
+  }
 
-  /** x63: Newman modularity of the x34 LPA partition. The label chain
-    * is x34's verbatim (3 unrolled QUALIFY votes); the modularity tail
-    * is per-community exact counters with the x31 HUGEINT fixed-point
-    * discipline — `e_c·1e9 // m` and `d_c²·1e9 // 4m²`, one floor per
-    * subterm on non-negative operands, matching Spark's truncating
-    * `div` exactly. `lab` is MATERIALIZED: it is referenced three
-    * times and DuckDB would otherwise re-expand the whole vote chain
-    * per reference.
+  /** x34: label propagation — the shared [[lpaCtes]] chain plus
+    * community sizes.
     */
-  val x63Modularity: String = s"""WITH $ChainSeq, e0 AS (
-  SELECT DISTINCT l_partkey AS src, nxt AS dst
-  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
-), und AS (
-  SELECT src AS u, dst AS v FROM e0
-  UNION
-  SELECT dst AS u, src AS v FROM e0
-), eu AS MATERIALIZED (
+  val x34LabelPropagation: String = s"""WITH $ChainSeq, ${lpaCtes(3)},
+sizes AS (
+  SELECT community, COUNT(*) AS community_size FROM lab GROUP BY 1
+)
+SELECT lab.node, lab.community,
+       CAST(sizes.community_size AS BIGINT) AS community_size
+FROM lab JOIN sizes ON lab.community = sizes.community"""
+
+  /** x63: Newman modularity of the x34 LPA partition — the shared
+    * [[lpaCtes]] chain plus a modularity tail of per-community exact
+    * counters in the x31 HUGEINT fixed-point discipline:
+    * `e_c·1e9 // m` and `d_c²·1e9 // 4m²`, one floor per subterm on
+    * non-negative operands, matching Spark's truncating `div` exactly.
+    */
+  val x63Modularity: String = s"""WITH $ChainSeq, ${lpaCtes(3)},
+eu AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e0
-), l0 AS (
-  SELECT DISTINCT u AS node, u AS label FROM und
-), l1 AS (
-  SELECT e.u AS node, l.label, COUNT(*) AS votes
-  FROM und e JOIN l0 l ON e.v = l.node GROUP BY 1, 2
-  QUALIFY row_number() OVER (PARTITION BY e.u
-    ORDER BY COUNT(*) DESC, l.label ASC) = 1
-), l2 AS (
-  SELECT e.u AS node, l.label, COUNT(*) AS votes
-  FROM und e JOIN l1 l ON e.v = l.node GROUP BY 1, 2
-  QUALIFY row_number() OVER (PARTITION BY e.u
-    ORDER BY COUNT(*) DESC, l.label ASC) = 1
-), l3 AS (
-  SELECT e.u AS node, l.label, COUNT(*) AS votes
-  FROM und e JOIN l2 l ON e.v = l.node GROUP BY 1, 2
-  QUALIFY row_number() OVER (PARTITION BY e.u
-    ORDER BY COUNT(*) DESC, l.label ASC) = 1
-), lab AS MATERIALIZED (
-  SELECT node, label AS community FROM l3
 ), deg AS (
   SELECT u AS node, COUNT(*) AS degree FROM und GROUP BY 1
 ), mm AS (
@@ -1686,38 +1664,12 @@ FROM terms t CROSS JOIN (
     * score(c) = 2m·k_{v,c} − k_v·d'_c (ΔQ scaled by 2m²; d'_c drops
     * v's own degree when c is v's current community). Winner per node
     * via QUALIFY (score DESC, community ASC); a node moves only if
-    * the winner STRICTLY beats staying. `lab` MATERIALIZED — it is
-    * referenced four times and DuckDB would otherwise re-expand the
-    * whole vote chain per reference.
+    * the winner STRICTLY beats staying. Labels come from the shared
+    * [[lpaCtes]] chain.
     */
-  val x64ModularityRefine: String = s"""WITH $ChainSeq, e0 AS (
-  SELECT DISTINCT l_partkey AS src, nxt AS dst
-  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
-), und AS (
-  SELECT src AS u, dst AS v FROM e0
-  UNION
-  SELECT dst AS u, src AS v FROM e0
-), eu AS MATERIALIZED (
+  val x64ModularityRefine: String = s"""WITH $ChainSeq, ${lpaCtes(3)},
+eu AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e0
-), l0 AS (
-  SELECT DISTINCT u AS node, u AS label FROM und
-), l1 AS (
-  SELECT e.u AS node, l.label, COUNT(*) AS votes
-  FROM und e JOIN l0 l ON e.v = l.node GROUP BY 1, 2
-  QUALIFY row_number() OVER (PARTITION BY e.u
-    ORDER BY COUNT(*) DESC, l.label ASC) = 1
-), l2 AS (
-  SELECT e.u AS node, l.label, COUNT(*) AS votes
-  FROM und e JOIN l1 l ON e.v = l.node GROUP BY 1, 2
-  QUALIFY row_number() OVER (PARTITION BY e.u
-    ORDER BY COUNT(*) DESC, l.label ASC) = 1
-), l3 AS (
-  SELECT e.u AS node, l.label, COUNT(*) AS votes
-  FROM und e JOIN l2 l ON e.v = l.node GROUP BY 1, 2
-  QUALIFY row_number() OVER (PARTITION BY e.u
-    ORDER BY COUNT(*) DESC, l.label ASC) = 1
-), lab AS MATERIALIZED (
-  SELECT node, label AS community FROM l3
 ), deg AS MATERIALIZED (
   SELECT u AS node, COUNT(*) AS degree FROM und GROUP BY 1
 ), mm AS (
