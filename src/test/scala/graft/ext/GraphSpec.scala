@@ -784,6 +784,66 @@ class GraphSpec extends AnyFunSuite {
     assert(refineOf(tri, good) == good.toMap)
   }
 
+  test("modularity + refine: differential vs a driver-side replay " +
+    "on a seeded random graph with a random partition") {
+    // both operators must equal a plain-Scala replay of the exact
+    // arithmetic — BigInt truncating division for the Q terms, the
+    // exact 2m·k − k_v·d' comparator for the sweep — on a messy
+    // graph (parallel/reversed edges, skewed random communities)
+    val rnd = new scala.util.Random(20260815L)
+    val nodes = (1L to 20L).toVector
+    val edges = (1 to 60).map { _ =>
+      (nodes(rnd.nextInt(20)), nodes(rnd.nextInt(20)))
+    }.filter(e => e._1 != e._2)
+    val labels = nodes.map(n => n -> (100L + (rnd.nextInt(4): Long)))
+    val comm = labels.toMap
+    // ---- reference replay ----
+    val und = edges.map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val m = und.size.toLong
+    val deg = (und.map(_._1) ++ und.map(_._2))
+      .groupBy(identity).map { case (n, l) => n -> l.size.toLong }
+    val cs = deg.keys.toSeq.groupBy(comm)
+    val eC = und.groupBy(p => comm(p._1))
+      .map { case (c, ps) => c -> ps.count(p => comm(p._2) == c).toLong }
+      .withDefaultValue(0L)
+    val dC = cs.map { case (c, ns) => c -> ns.map(deg).sum }
+    def trunc(num: BigInt, den: BigInt): Long = (num / den).toLong
+    val qTerm = cs.keys.map { c =>
+      c -> (trunc(BigInt(eC(c)) * 1000000000L, m) -
+        trunc(BigInt(dC(c)) * dC(c) * 1000000000L, BigInt(4) * m * m))
+    }.toMap
+    val qTot = qTerm.values.sum
+    val expMod = cs.map { case (c, ns) =>
+      c -> ((ns.size.toLong, eC(c), dC(c), qTerm(c), qTot)) }
+    val gotMod = modularityOf(edges, labels)
+    assert(gotMod == expMod,
+      s"modularity mismatch:\n got      $gotMod\n expected $expMod")
+    // ---- refine replay ----
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, ps) => n -> ps.map(_._2) }
+    val newLab = deg.keys.map { v =>
+      val own = comm(v)
+      val kv = adj(v).groupBy(comm)
+        .map { case (c, ns) => c -> ns.size.toLong }
+        .withDefaultValue(0L)
+      def score(c: Long): Long =
+        2L * m * kv(c) - deg(v) *
+          (dC(c) - (if (c == own) deg(v) else 0L))
+      val cands = (kv.keys.toSet + own).toSeq
+      val best = cands.minBy(c => (-score(c), c))
+      v -> (if (score(best) > score(own)) best else own)
+    }.toMap
+    val sizes = newLab.values.groupBy(identity)
+      .map { case (c, l) => c -> l.size.toLong }
+    val expRef = newLab.map { case (v, c) => v -> ((c, sizes(c))) }
+    val gotRef = Graph.modularityRefine(edges.toDF("src", "dst"),
+        labels.toDF("node", "community"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotRef == expRef,
+      s"refine mismatch:\n got      $gotRef\n expected $expRef")
+  }
+
   test("refine: simultaneous moves are the documented contract — " +
     "adjacent singletons can swap") {
     // path 1-2-3 with singleton labels: node 2 moves to community 1
