@@ -1496,29 +1496,40 @@ object Similarity {
     // each (vid, sub) pair an id 0..k-1 independently; the (_cw,
     // _dim) codebook disambiguates by dim % subspaces) — so packing
     // must key on (subspace, cw), not cw alone, or one id's per-sub
-    // codewords would fuse into a 64-dim chimera
+    // codewords would fuse into a 64-dim chimera. The outer level is
+    // INDEXED BY SUBSPACE (array position s+1 = subspace s, every
+    // trained subspace has ≥1 codeword): each row's per-subspace
+    // argmin reads its 32 candidates positionally instead of
+    // re-filtering the full |m|×|cw| codebook per subspace — HOFs run
+    // interpreted, and the filter scan was ~80% of the per-row evals
     def packed(cb: DataFrame, m: Int, out: String) = cb
       .withColumn("_sub", (col("_dim") % m).cast("int"))
       .groupBy(col("_sub"), col("_cw"))
       .agg(array_sort(collect_list(struct(col("_dim"), col("_c"))))
         .as("_dims"))
-      .agg(array_sort(collect_list(
-        struct(col("_sub"), col("_cw"), col("_dims")))).as(out))
+      .groupBy(col("_sub"))
+      .agg(array_sort(collect_list(struct(col("_cw"), col("_dims"))))
+        .as("_cands"))
+      .agg(array_sort(collect_list(struct(col("_sub"), col("_cands"))))
+        .as(out))
     // fold in LONG e12 fixed point, not decimal: Spark's decimal ADD
     // inside a fold widens past precision 38 and silently drops
     // scale (allowPrecisionLoss), which would fork the fold from the
     // batch kernel's exact DECIMAL(38,12) SUM — the e12 longs are
     // the same per-dim values shifted 12 places (squares of centered
     // embedding components: far below long range even ×dims), and
-    // long addition is exact, so dist_e12 ≡ SUM × 1e12 bit-for-bit
+    // long addition is exact, so dist_e12 ≡ SUM × 1e12 bit-for-bit.
+    // (The Media.let binding does NOT pay here: the re-evaluated
+    // subexpression is one double subtraction, cheaper than the
+    // one-element array the binding allocates per dimension.)
     def d2(vcol: Column, dims: Column): Column =
       aggregate(dims, lit(0L), (acc, p) => {
         val x = element_at(vcol, p.getField("_dim").cast("int") + 1)
         acc + (((x - p.getField("_c")) * (x - p.getField("_c")))
           .cast("decimal(38,12)") * lit(1000000000000L)).cast("long")
       })
-    def argmin(vcol: Column, cbs: Column): Column =
-      element_at(array_sort(transform(cbs, cb =>
+    def argmin(vcol: Column, cands: Column): Column =
+      element_at(array_sort(transform(cands, cb =>
         struct(d2(vcol, cb.getField("_dims")).as("d"),
           cb.getField("_cw").as("cw")))), 1).getField("cw")
     val v = batch.select(col(idCol).as("vec_id"),
@@ -1527,10 +1538,12 @@ object Similarity {
       .crossJoin(broadcast(packed(pqCb, subspaces, "_pqcb")))
     val subCodes = transform(sequence(lit(0), lit(subspaces - 1)), s =>
       struct(s.cast("int").as("sub"),
-        argmin(col("_v"), filter(col("_pqcb"),
-          cb => cb.getField("_sub") === s)).as("cw")))
+        argmin(col("_v"),
+          element_at(col("_pqcb"), s + 1).getField("_cands"))
+          .as("cw")))
     v.select(col("vec_id"),
-        argmin(col("_v"), col("_cellcb")).as("_cell"),
+        argmin(col("_v"),
+          element_at(col("_cellcb"), 1).getField("_cands")).as("_cell"),
         explode(subCodes).as("_sc"))
       .select(col("vec_id"), col("_cell").cast("long").as("cell"),
         col("_sc").getField("sub").cast("long").as("subspace"),
