@@ -1716,6 +1716,56 @@ SELECT n.node, n.community,
        CAST(s.community_size AS BIGINT) AS community_size
 FROM newlab n JOIN sizes s ON n.community = s.community"""
 
+  /** Shared x65 truss-round fragments. `trussTriSup(i)` enumerates
+    * te$i's triangles once in plain id order (a < b < c — any total
+    * order yields the same set, so the Spark side's degree order and
+    * this differ only in enumeration) and counts per-edge support;
+    * `trussPrune(i, k)` drops edges below support k−2 into te${i+1}
+    * (MATERIALIZED — each round's edge set is referenced four times
+    * and DuckDB re-expands per reference otherwise).
+    */
+  private def trussTriSup(i: Int): String = s"""tri$i AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM te$i e1
+  JOIN te$i e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN te$i e3 ON e3.u = e1.v AND e3.v = e2.v
+), sup$i AS (
+  SELECT u, v, COUNT(*) AS support FROM (
+    SELECT a AS u, b AS v FROM tri$i
+    UNION ALL SELECT a, c FROM tri$i
+    UNION ALL SELECT b, c FROM tri$i
+  ) GROUP BY 1, 2
+)"""
+
+  private def trussPrune(i: Int, k: Int): String =
+    s"""te${i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM te$i e
+  LEFT JOIN sup$i s ON e.u = s.u AND e.v = s.v
+  WHERE COALESCE(s.support, 0) >= ${k - 2}
+)"""
+
+  /** x65: bounded k-truss peel on the chain graph — k=3, 2 unrolled
+    * rounds, final support reported against the FINAL edge set (may
+    * sit below k−2 when the round budget truncates the fixpoint —
+    * the bounded contract the spec pins).
+    */
+  val x65KTruss: String = {
+    val k = 3; val rounds = 2
+    val peel = (0 until rounds)
+      .map(i => s"${trussTriSup(i)}, ${trussPrune(i, k)}").mkString(", ")
+    s"""WITH $ChainSeq, e0x AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+), te0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e0x
+), $peel, ${trussTriSup(rounds)}
+SELECT e.u AS src, e.v AS dst,
+       CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+FROM te$rounds e
+LEFT JOIN sup$rounds s ON e.u = s.u AND e.v = s.v"""
+  }
+
   /** x31: triangles + clustering coefficient. The oracle orients the
     * undirected edge set by plain node id (u < v) and enumerates each
     * triangle once as a < b < c — a DIFFERENT orientation than the

@@ -1443,6 +1443,16 @@ object ExtQueries {
       chainLpaLabels(spark, sfDir))
   }
 
+  /** Bounded k-truss peel (x65): [[Graph.kTruss]] at k=3 (every
+    * surviving edge sits in ≥1 triangle of the surviving subgraph),
+    * 2 peel rounds, over the chain graph — the triangle-backed "strong
+    * tie" skeleton under x31's counts and x60's node-level core.
+    */
+  def kTruss(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Graph.kTruss(chainGraphEdges(spark, sfDir), k = 3, rounds = 2)
+  }
+
   /** Degree assortativity (x59): [[Graph.assortativity]] of the chain
     * graph — do hubs attach to hubs or to leaves? The sign picks the
     * skew guard (salting vs bucket caps) before any expensive pass.

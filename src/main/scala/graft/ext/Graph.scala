@@ -1174,4 +1174,88 @@ object Graph {
     newLab.join(sizes, Seq("community"))
       .select(col("node"), col("community"), col("community_size"))
   }
+
+  /** Bounded k-truss peel (x65): the EDGE-level cohesion complement
+    * of [[kCore]]'s node peel — each round drops every edge whose
+    * triangle SUPPORT (count of triangles through it) in the current
+    * graph is below k−2, which is how "strong ties live inside
+    * triangles" is operationalized: a k-truss edge has at least k−2
+    * common-neighbor witnesses, so truss subgraphs are the
+    * community-core skeletons LPA/modularity coarsen over. A fixed
+    * `rounds` budget truncates the fixpoint exactly like x60's peel
+    * (an edge surviving the last round may report support < k−2
+    * against the final graph — the bounded contract, spec-pinned).
+    *
+    * Per round the support pass is [[triangleStats]]'s skew-proof
+    * kernel re-run on the CURRENT edge set: re-orient by (degree, id)
+    * — degrees change as edges drop — so oriented out-degree stays
+    * O(√m) under any hub skew, wedge self-join on the low endpoint,
+    * one closure join, then each triangle explodes to its three
+    * undirected edges for a partial-agg support count. Three shuffles
+    * per round plus the prune join; frames pinned per round (x20
+    * lineage discipline). All exact integer counts — orientation
+    * order never changes the triangle set, so the oracle may orient
+    * by plain id while this side orients by degree.
+    *
+    * Returns the surviving edges with their support in the FINAL
+    * graph: (src, dst, support), id-ordered src < dst.
+    */
+  def kTruss(edges: DataFrame, k: Int = 3, rounds: Int = 2): DataFrame = {
+    require(k >= 3, "a truss needs k >= 3 (support threshold k-2 >= 1)")
+    require(rounds >= 1, "need at least one peel round")
+    def support(cur: DataFrame): DataFrame = {
+      val deg = cur.select(col("u").as("node"))
+        .unionAll(cur.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val oriented = cur
+        .join(deg.select(col("node").as("u"), col("degree").as("_du")),
+          Seq("u"))
+        .join(deg.select(col("node").as("v"), col("degree").as("_dv")),
+          Seq("v"))
+        .select(
+          when(col("_du") < col("_dv") ||
+            (col("_du") === col("_dv") && col("u") < col("v")),
+            col("u")).otherwise(col("v")).as("lo"),
+          when(col("_du") < col("_dv") ||
+            (col("_du") === col("_dv") && col("u") < col("v")),
+            col("v")).otherwise(col("u")).as("hi"),
+          greatest(col("_du"), col("_dv")).as("_dhi"))
+      val e1 = oriented.select(col("lo"), col("hi").as("b"),
+        col("_dhi").as("_db"))
+      val e2 = oriented.select(col("lo"), col("hi").as("c"),
+        col("_dhi").as("_dc"))
+      val tris = e1.join(e2, Seq("lo"))
+        .filter(col("_db") < col("_dc") ||
+          (col("_db") === col("_dc") && col("b") < col("c")))
+        .join(oriented.select(col("lo").as("b"), col("hi").as("c")),
+          Seq("b", "c"))
+      tris.select(explode(array(
+          struct(least(col("lo"), col("b")).as("u"),
+            greatest(col("lo"), col("b")).as("v")),
+          struct(least(col("lo"), col("c")).as("u"),
+            greatest(col("lo"), col("c")).as("v")),
+          struct(least(col("b"), col("c")).as("u"),
+            greatest(col("b"), col("c")).as("v")))).as("_e"))
+        .select(col("_e.u").as("u"), col("_e.v").as("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+    }
+    var e = graft.std.Materialize.once(
+      edges.select(
+          least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull &&
+          col("u") =!= col("v"))
+        .distinct())
+    for (_ <- 1 to rounds) {
+      val sup = support(e)
+      e = graft.std.Materialize.once(
+        e.join(sup, Seq("u", "v"), "left_outer")
+          .filter(coalesce(col("support"), lit(0L)) >= lit((k - 2).toLong))
+          .select(col("u"), col("v")))
+    }
+    e.join(support(e), Seq("u", "v"), "left_outer")
+      .select(col("u").as("src"), col("v").as("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
 }

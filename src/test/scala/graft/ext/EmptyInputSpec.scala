@@ -64,6 +64,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Graph.modularityRefine(edges,
       Seq.empty[(Long, Long)].toDF("node", "community"))
       .collect().isEmpty)
+    assert(Graph.kTruss(edges).collect().isEmpty)
     assert(Graph.assortativity(edges).collect()
       .forall(_.isNullAt(1)), "no edges -> NULL r, not a crash")
     assert(Graph.kCore(edges).collect().isEmpty)

@@ -844,6 +844,45 @@ class GraphSpec extends AnyFunSuite {
       s"refine mismatch:\n got      $gotRef\n expected $expRef")
   }
 
+  private def trussOf(edges: Seq[(Long, Long)], k: Int,
+                      rounds: Int = 2) =
+    Graph.kTruss(edges.toDF("src", "dst"), k, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+  test("ktruss: a pendant edge is peeled, the triangle survives") {
+    // triangle 1-2-3 plus pendant 3-4 at k=3: the pendant has support
+    // 0 and drops round 1; every triangle edge keeps support 1
+    val got = trussOf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)), 3)
+    assert(got == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L),
+      s"got $got")
+  }
+
+  test("ktruss: K4 is a 4-truss — every edge keeps support 2") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val got = trussOf(k4, 4)
+    assert(got == k4.map(e => e -> 2L).toMap, s"got $got")
+  }
+
+  test("ktruss: cascade — two triangles sharing an edge dissolve " +
+    "at k=4") {
+    // outer edges have support 1 < 2 and drop round 1; the shared
+    // edge (2,3) survives round 1 (support 2) but is alone in round
+    // 2 (support 0) and drops — the peel CASCADES
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(trussOf(bowtie, 4).isEmpty)
+  }
+
+  test("ktruss: the round budget truncates the fixpoint honestly") {
+    // same bowtie at rounds=1: the shared edge survives the single
+    // round and reports its FINAL-graph support 0 — below k-2, the
+    // documented bounded contract
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = trussOf(bowtie, 4, rounds = 1)
+    assert(got == Map((2L, 3L) -> 0L), s"got $got")
+  }
+
   test("refine: simultaneous moves are the documented contract — " +
     "adjacent singletons can swap") {
     // path 1-2-3 with singleton labels: node 2 moves to community 1
