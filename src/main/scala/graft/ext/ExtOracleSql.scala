@@ -2190,13 +2190,12 @@ FROM s"""
   ${momentDoubles(s"m$lag", "series, CAST(n AS BIGINT) AS n_pairs")}
 )"""
 
-  val x57Autocorrelation: String = s"""WITH daily AS (
-  SELECT event_type AS series, CAST(ts AS DATE) AS day,
-         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000
-                   AS BIGINT) AS DOUBLE) / 1000000.0 AS v
-  FROM events
-  WHERE ts IS NOT NULL AND event_type IS NOT NULL
-  GROUP BY 1, 2
+  val x57Autocorrelation: String = s"""WITH daily0 AS (
+  $guardedDailySql
+), daily AS (
+  SELECT series, day,
+         CAST(value_micro AS DOUBLE) / 1000000.0 AS v
+  FROM daily0
 ), ${lagCorrCtes(1)}, ${lagCorrCtes(7)}
 SELECT series, CAST(1 AS BIGINT) AS lag, n_pairs,
        $PearsonExpr AS autocorr
@@ -5613,15 +5612,16 @@ SELECT c.user_id, c.n_events, c.n_gaps,
          AS is_regular
 FROM c JOIN med USING (user_id) JOIN mad USING (user_id)"""
 
-  /** x53: EWMA forecast baseline — daily sums ride DECIMAL(18,6) into
-    * exact micro-units; the non-associative EWMA recurrence replays as
-    * `list_reduce` over the day-ordered list (seeds with the first
-    * element, matching Spark's `element_at(_vs, 1)` seed), every step
-    * `(3x + 7·acc) // 10` in positive BIGINTs so truncating `div` and
-    * flooring `//` agree; residual/verdicts compare exact integers.
+  /** The guarded daily collapse SHARED by the x53 and x57 oracles —
+    * the DuckDB twin of [[graft.ext.Timeseries.dailySeries]]: per
+    * (series, day) exact micro-unit value sums with the positivity
+    * contract enforced by an `error()` arm, so a negative daily sum
+    * fails BOTH twins of BOTH operators loudly (before r15, x57's
+    * inlined daily CTE omitted the guard and the twins' failure
+    * behavior diverged). A `def` so object-init order cannot null it.
     */
-  val x53EwmaBaseline: String = """WITH daily AS (
-  SELECT event_type AS series, CAST(ts AS DATE) AS day,
+  private def guardedDailySql: String =
+    """SELECT event_type AS series, CAST(ts AS DATE) AS day,
          CAST(COUNT(*) AS BIGINT) AS n_events,
          CASE WHEN COALESCE(SUM(CAST(value AS DECIMAL(18,6))) >= 0,
                             TRUE)
@@ -5633,7 +5633,17 @@ FROM c JOIN med USING (user_id) JOIN mad USING (user_id)"""
            AS value_micro
   FROM events
   WHERE ts IS NOT NULL AND event_type IS NOT NULL
-  GROUP BY 1, 2
+  GROUP BY 1, 2"""
+
+  /** x53: EWMA forecast baseline — daily sums ride DECIMAL(18,6) into
+    * exact micro-units; the non-associative EWMA recurrence replays as
+    * `list_reduce` over the day-ordered list (seeds with the first
+    * element, matching Spark's `element_at(_vs, 1)` seed), every step
+    * `(3x + 7·acc) // 10` in positive BIGINTs so truncating `div` and
+    * flooring `//` agree; residual/verdicts compare exact integers.
+    */
+  val x53EwmaBaseline: String = s"""WITH daily AS (
+  $guardedDailySql
 ), runs AS (
   SELECT series, day, n_events, value_micro,
          list(value_micro) OVER (PARTITION BY series ORDER BY day

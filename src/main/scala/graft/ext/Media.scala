@@ -292,7 +292,10 @@ object Media {
     * cell pipeline, same O(bytes) per-row cost.
     */
   def gradientHash(payload: Column, grid: Int = 16,
-                   headerBytes: Int = 8): Column =
+                   headerBytes: Int = 8): Column = {
+    require(grid >= 2, s"gradientHash needs at least 2 cells to " +
+      s"form an adjacent pair, got grid=$grid (grid=1 would build " +
+      s"sequence(0,-1) = [0,-1] and element_at would throw at index 0)")
     withCells(payload, grid, headerBytes) { (cells, _) =>
       concat_ws("", transform(sequence(lit(0), lit(grid - 2)), i => {
         val a = element_at(cells, i + 1)
@@ -303,6 +306,7 @@ object Media {
           .otherwise(lit("0"))
       }))
     }
+  }
 
   /** The per-byte reference form of [[perceptualHash]] — one
     * `conv(hex-pair)` per byte, the shape the fast word-peeled

@@ -1254,31 +1254,47 @@ object Similarity {
     // dominated by per-iteration scheduling, not data (the loop pins
     // a tiny codebook each round) — run them CONCURRENTLY and let the
     // scheduler interleave; results are deterministic frames and the
-    // reduce keeps ks order, so the sweep output is unchanged
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val perK = ks.map { k =>
-      Future {
-        val agg = kmeansTrainEx(ex, 1, k, iters, s"el$k", None)
-          .select(col("cluster_id"), col("n_members"), col("wcss"))
-          .distinct()
-          .agg(count(lit(1)).as("n_live_clusters"),
-            sum(col("n_members")).as("n_vectors"),
-            round(sum(col("wcss").cast("decimal(28,9)")).cast("double"),
-              9).as("total_wcss"),
-            max(col("n_members")).as("largest_cluster"),
-            min(col("n_members")).as("smallest_cluster"))
-          .select(lit(k).as("k"), col("n_live_clusters"),
-            col("n_vectors"), col("total_wcss"),
-            col("largest_cluster"), col("smallest_cluster"))
-        // pin the one-row readout so the sweep's training jobs run
-        // inside the Future, not lazily at the caller's action
-        graft.std.Materialize.once(agg)
+    // reduce keeps ks order, so the sweep output is unchanged.
+    // Concurrency discipline: a DEDICATED bounded pool (never the
+    // shared global EC — blocking trainings there can starve other
+    // users of it), a FINITE Await (a wedged job fails loudly instead
+    // of hanging the query forever), and each worker adopts the
+    // caller's Materialize scope token so the one-row pins it
+    // registers release with the enclosing `scoped` block rather
+    // than escaping it.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val scope = graft.std.Materialize.capturedScope()
+    val pool = Executors.newFixedThreadPool(math.min(ks.size, 4))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val perK = ks.map { k =>
+        Future {
+          graft.std.Materialize.withScope(scope) {
+            val agg = kmeansTrainEx(ex, 1, k, iters, s"el$k", None)
+              .select(col("cluster_id"), col("n_members"), col("wcss"))
+              .distinct()
+              .agg(count(lit(1)).as("n_live_clusters"),
+                sum(col("n_members")).as("n_vectors"),
+                round(sum(col("wcss").cast("decimal(28,9)"))
+                  .cast("double"), 9).as("total_wcss"),
+                max(col("n_members")).as("largest_cluster"),
+                min(col("n_members")).as("smallest_cluster"))
+              .select(lit(k).as("k"), col("n_live_clusters"),
+                col("n_vectors"), col("total_wcss"),
+                col("largest_cluster"), col("smallest_cluster"))
+            // pin the one-row readout so the sweep's training jobs
+            // run inside the Future, not lazily at the caller's
+            // action
+            graft.std.Materialize.once(agg)
+          }
+        }
       }
-    }
-    Await.result(Future.sequence(perK), Duration.Inf)
-      .reduce(_ unionByName _)
+      Await.result(Future.sequence(perK), 2.hours)
+        .reduce(_ unionByName _)
+    } finally pool.shutdown()
   }
 
   /** IVF-PQ top-k over a TRAINED index (s16): [[ivfPqTopK]]'s query

@@ -626,32 +626,42 @@ object Validation {
     * ONE corpus pass: every marginal and pair counter is a
     * conditional sum in a single aggregate row (a 1-row broadcast
     * frame the per-pair projection reads), so auditing more pairs
-    * adds counters, not scans. Exact longs; each rate is ONE
-    * truncating e9 division; the per-mille lift divides the two e9s
-    * (bounded ≤ 1e12 — no overflow at any corpus size). NULL verdicts
-    * where undefined (no a-nulls, or b never null), never NaN.
+    * adds counters, not scans. Internal counter aliases are keyed by
+    * POSITION (`_na_<colIdx>`, `_nb_<pairIdx>`), never by the raw
+    * column names — names containing underscores would otherwise
+    * collide across pairs (("a_b","c") vs ("a","b_c")). Exact longs;
+    * each rate is ONE truncating e9 division with the count widened
+    * to DECIMAL(38,0) BEFORE the e9 multiply (a raw BIGINT product
+    * wraps silently past ~9.2e9 matching rows); the per-mille lift
+    * divides the two e9s (bounded ≤ 1e12 — safe in BIGINT). NULL
+    * verdicts where undefined (no a-nulls, or b never null), never
+    * NaN.
     */
   def missingnessAudit(df: DataFrame,
                        pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "need at least one column pair")
     val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    val aggs = cols.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_n_$c")) ++
-      pairs.map { case (a, b) =>
+    val colIdx = cols.zipWithIndex.toMap
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_na_$i") } ++
+      pairs.zipWithIndex.map { case ((a, b), i) =>
         sum(when(col(a).isNull && col(b).isNull, 1L).otherwise(0L))
-          .as(s"_nb_${a}_$b")
+          .as(s"_nb_$i")
       }
     val m = graft.std.Materialize.once(
       df.agg(count(lit(1)).as("_n"), aggs: _*))
-    pairs.map { case (a, b) =>
-      val cond = s"CASE WHEN _n_$a > 0 THEN " +
-        s"CAST(_nb_${a}_$b * 1000000000 div _n_$a AS BIGINT) END"
+    pairs.zipWithIndex.map { case ((a, b), i) =>
+      val (ia, ib) = (colIdx(a), colIdx(b))
+      val cond = s"CASE WHEN _na_$ia > 0 THEN " +
+        s"CAST(CAST(_nb_$i AS DECIMAL(38,0)) * 1000000000 " +
+        s"div _na_$ia AS BIGINT) END"
       val marg = s"CASE WHEN _n > 0 THEN " +
-        s"CAST(_n_$b * 1000000000 div _n AS BIGINT) END"
+        s"CAST(CAST(_na_$ib AS DECIMAL(38,0)) * 1000000000 " +
+        s"div _n AS BIGINT) END"
       m.select(lit(a).as("col_a"), lit(b).as("col_b"),
-        col("_n").as("n_rows"), col(s"_n_$a").as("n_a_null"),
-        col(s"_n_$b").as("n_b_null"),
-        col(s"_nb_${a}_$b").as("n_both_null"),
+        col("_n").as("n_rows"), col(s"_na_$ia").as("n_a_null"),
+        col(s"_na_$ib").as("n_b_null"),
+        col(s"_nb_$i").as("n_both_null"),
         expr(cond).as("cond_null_e9"),
         expr(marg).as("marginal_null_e9"),
         expr(s"CASE WHEN ($cond) IS NOT NULL AND ($marg) > 0 THEN " +

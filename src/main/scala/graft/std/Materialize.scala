@@ -161,6 +161,26 @@ object Materialize {
     }
   }
 
+  /** Capture the calling thread's [[scoped]] token (null when
+    * unscoped) so work dispatched to ANOTHER thread can register its
+    * pins under the same enclosing scope via [[withScope]] — without
+    * this, `once` calls on worker threads register unscoped and
+    * escape the enclosing `scoped` block's release (the hazard the
+    * [[scoped]] doc warns about).
+    */
+  def capturedScope(): AnyRef = owner.get()
+
+  /** Run `f` on the current thread with pins registering under
+    * `token` (from [[capturedScope]]), restoring the thread's prior
+    * owner afterwards. The worker-thread half of the capture/adopt
+    * pair.
+    */
+  def withScope[T](token: AnyRef)(f: => T): T = {
+    val prev = owner.get()
+    owner.set(token)
+    try f finally owner.set(prev)
+  }
+
   /** Currently-held pin count (test hook). */
   private[graft] def pinCount: Int = synchronized { pins.length }
 }

@@ -443,6 +443,14 @@ class ExtSpec extends AnyFunSuite {
     assert(got(5L) == "000", "empty body is all zeros, grid-1 bits")
   }
 
+  test("media: gradient hash rejects grid < 2 loudly (r14 ADVICE — " +
+    "grid=1 would build sequence(0,-1) and throw at element_at time)") {
+    val e = intercept[IllegalArgumentException] {
+      Media.gradientHash(col("payload"), grid = 1)
+    }
+    assert(e.getMessage.contains("at least 2 cells"))
+  }
+
   test("media: word-peeled perceptual hash equals the per-byte " +
     "reference on random payloads, every tail length") {
     // the fast form parses 6-byte words with ONE conv and peels bytes

@@ -324,4 +324,30 @@ class ValidationSpec extends AnyFunSuite {
     val cb = out(("c", "b"))
     assert(cb.getLong(3) == 0L && cb.isNullAt(6) && cb.isNullAt(8))
   }
+
+  test("missingness audit: underscored column names cannot collide " +
+    "across pairs (r14 ADVICE — aliases are keyed by position)") {
+    // the adversarial shape from the advice: pairs ("a_b","c") and
+    // ("a","b_c") would both have aliased `_nb_a_b_c` under
+    // name-concatenation keying
+    val rows = Seq(
+      (Some(1L), None: Option[Long], Some(1L), Some(1L)),
+      (None, Some(2L), None, Some(2L)),
+      (None, None, Some(3L), None),
+      (Some(4L), Some(4L), Some(4L), Some(4L)))
+    val df = rows.toDF("a_b", "c", "a", "b_c")
+    val out = Validation.missingnessAudit(df,
+        Seq(("a_b", "c"), ("a", "b_c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // a_b null on rows {2,3}; c null on {1,3}; both null on {3} only
+    val p1 = out(("a_b", "c"))
+    assert(p1.getLong(3) == 2L && p1.getLong(4) == 2L &&
+      p1.getLong(5) == 1L, s"pair (a_b, c) counters wrong: $p1")
+    assert(p1.getLong(6) == 500000000L && p1.getLong(7) == 500000000L)
+    // a null on {2}; b_c null on {3}; never both null
+    val p2 = out(("a", "b_c"))
+    assert(p2.getLong(3) == 1L && p2.getLong(4) == 1L &&
+      p2.getLong(5) == 0L, s"pair (a, b_c) counters wrong: $p2")
+    assert(p2.getLong(6) == 0L && p2.getLong(8) == 0L)
+  }
 }

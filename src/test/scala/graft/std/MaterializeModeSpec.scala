@@ -43,4 +43,43 @@ class MaterializeModeSpec extends AnyFunSuite {
     Materialize.releaseAll()
     assert(!spark.sparkContext.getPersistentRDDs.contains(rddId))
   }
+
+  /** The r14 ADVICE hazard: a `once` inside `scoped` but dispatched to
+    * a worker thread registered UNSCOPED, so the scope's release left
+    * it pinned (and a later global releaseAll could drop it under a
+    * concurrent query). capturedScope/withScope closes the gap —
+    * worker-thread pins adopt the caller's token and release with the
+    * scoped block, exactly like same-thread pins.
+    */
+  test("withScope(capturedScope()) makes worker-thread pins release " +
+    "with the enclosing scoped block") {
+    import spark.implicits._
+    def rddIdOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+        case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+      }
+    var adoptedId = -1
+    var strayId = -1
+    Materialize.scoped {
+      val token = Materialize.capturedScope()
+      val t = new Thread(() => {
+        // adopted: releases when the scope exits
+        adoptedId = rddIdOf(Materialize.withScope(token) {
+          Materialize.once(Seq(1, 2).toDF("v"))
+        })
+        // unadopted control: stays pinned past the scope exit
+        strayId = rddIdOf(Materialize.once(Seq(3, 4).toDF("v")))
+      })
+      t.start(); t.join()
+      assert(spark.sparkContext.getPersistentRDDs.contains(adoptedId))
+    }
+    val live = spark.sparkContext.getPersistentRDDs
+    assert(!live.contains(adoptedId),
+      "adopted pin must release with its scope")
+    assert(live.contains(strayId),
+      "the unadopted control registers outside the scope")
+    Materialize.releaseAll()
+    assert(!spark.sparkContext.getPersistentRDDs.contains(strayId))
+  }
 }
