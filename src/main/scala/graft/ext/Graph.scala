@@ -938,8 +938,11 @@ object Graph {
         .distinct()
         .select(col("seed"), col("seed").as("node"),
           lit(1L).as("sigma")))
-    var reached = graft.std.Materialize.once(
-      frontier.select(col("seed"), col("node")))
+    // the visited set is a LAZY union over the already-pinned level
+    // slices — re-pinning the growing union each hop (the pre-r15
+    // shape) copied up to |S|·|reached| rows per iteration just to
+    // feed one anti-join that can read the pinned parts directly
+    var reachedParts = Vector(frontier.select(col("seed"), col("node")))
     var sigLevels = Vector(frontier)
     for (_ <- 1 to iterations) {
       // σ sums over ALL edges out of the previous frontier; arrivals
@@ -950,9 +953,9 @@ object Graph {
         .groupBy(col("seed"), col("node"))
         .agg(sum(col("sigma")).as("sigma"))
       frontier = graft.std.Materialize.once(
-        cand.join(reached, Seq("seed", "node"), "left_anti"))
-      reached = graft.std.Materialize.once(
-        reached.unionByName(frontier.select(col("seed"), col("node"))))
+        cand.join(reachedParts.reduce(_ unionByName _),
+          Seq("seed", "node"), "left_anti"))
+      reachedParts :+= frontier.select(col("seed"), col("node"))
       sigLevels :+= frontier
     }
     // ---- pass 2: backward dependency accumulation (each level's
