@@ -1766,6 +1766,91 @@ FROM te$rounds e
 LEFT JOIN sup$rounds s ON e.u = s.u AND e.v = s.v"""
   }
 
+  /** One unrolled x66 walk step: walk w at node v takes capped-
+    * adjacency rank `hash64("w|s|v") % outdeg + 1` — the shared md5
+    * lane replayed move-for-move. MATERIALIZED: each step is
+    * referenced by the next step AND the final union, and DuckDB
+    * inlines per reference.
+    */
+  private def walkStepCtes(steps: Int): String =
+    (1 to steps).map { s =>
+      val h = h64(s"CAST(w.walk_id AS VARCHAR) || '|$s|' || " +
+        "CAST(w.node AS VARCHAR)")
+      s"""w$s AS MATERIALIZED (
+  SELECT w.walk_id, a.dst AS node
+  FROM w${s - 1} w JOIN adjc a ON w.node = a.src
+   AND a.r = ($h % a.outdeg) + 1
+)"""
+    }.mkString(", ")
+
+  /** x66: deterministic random walks — rank-capped adjacency (cap 64,
+    * neighbors ordered by node id), 4 unrolled [[walkStepCtes]] hops
+    * from the every-100th-part seed panel, dead ends terminating.
+    */
+  val x66RandomWalks: String = {
+    val steps = 4
+    val levels = (0 to steps).map(s =>
+      s"""SELECT walk_id, CAST($s AS BIGINT) AS step, node AS node_id
+  FROM w$s""").mkString("\nUNION ALL\n")
+    s"""WITH $ChainSeq, $ChainEdges, adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS r
+  FROM e
+), adjc AS MATERIALIZED (
+  SELECT src, dst, r,
+         CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg
+  FROM adj WHERE r <= 64
+), w0 AS (
+  SELECT DISTINCT p_partkey AS walk_id, p_partkey AS node
+  FROM part WHERE p_partkey % 100 = 0
+), ${walkStepCtes(steps)}
+$levels"""
+  }
+
+  /** x67: link prediction — symmetric support, exact degrees, pair
+    * witnesses through the rank-capped adjacency (cap 32) only,
+    * AA terms as `round(1/round(ln(deg),9),9)` DECIMAL(28,9) sums
+    * (the t56 rounded-log discipline), linked pairs excluded, top
+    * 100 by (aa DESC, u, v).
+    */
+  val x67LinkPrediction: String = s"""WITH $ChainSeq, $ChainEdges,
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL
+    SELECT dst AS a, src AS b FROM e
+  ) WHERE a <> b
+), deg AS (
+  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM und GROUP BY 1
+), adjc AS MATERIALIZED (
+  SELECT w, n FROM (
+    SELECT a AS w, b AS n,
+           row_number() OVER (PARTITION BY a ORDER BY b) AS r
+    FROM und
+  ) WHERE r <= 32
+), cand AS (
+  SELECT x.n AS u, y.n AS v, x.w
+  FROM adjc x JOIN adjc y ON x.w = y.w AND x.n < y.n
+), term AS (
+  SELECT u, v,
+         CAST(round(1.0 / round(ln(CAST(degree AS DOUBLE)), 9), 9)
+              AS DECIMAL(28,9)) AS t
+  FROM cand JOIN deg ON cand.w = deg.node
+), scored AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         SUM(t) AS aa
+  FROM term GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT u AS node_u, v AS node_v, common_neighbors,
+       CAST(aa AS DOUBLE) AS aa_score
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM und
+                  WHERE und.a = s.u AND und.b = s.v)
+ORDER BY aa_score DESC, node_u, node_v
+LIMIT 100"""
+
   /** x31: triangles + clustering coefficient. The oracle orients the
     * undirected edge set by plain node id (u < v) and enumerates each
     * triangle once as a < b < c — a DIFFERENT orientation than the

@@ -1401,6 +1401,31 @@ object ExtQueries {
       iterations = 4)
   }
 
+  /** Random-walk corpus (x66): [[Graph.randomWalks]] over the chain
+    * graph — one 4-step hash-seeded walk per every-100th part, the
+    * DeepWalk/node2vec training-data generator with the t9
+    * reproducibility discipline.
+    */
+  def randomWalks(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val seeds = Tables.part(spark, sfDir)
+      .filter(col("p_partkey") % 100 === 0)
+      .select(col("p_partkey").as("seed"))
+    Graph.randomWalks(chainGraphEdges(spark, sfDir), seeds,
+      steps = 4, maxDegree = 64)
+  }
+
+  /** Link prediction (x67): [[Graph.linkPrediction]] over the chain
+    * graph — top-100 unlinked pairs by Adamic–Adar score witnessed
+    * through the rank-capped (32) adjacency, at least 2 shared
+    * neighbors.
+    */
+  def linkPrediction(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Graph.linkPrediction(chainGraphEdges(spark, sfDir),
+      minCommon = 2, maxDegree = 32, topN = 100)
+  }
+
   /** Session-memoized x34 LPA partition of the chain graph — the
     * trained-quantizer lifecycle applied to communities: in
     * production the assignment is computed ONCE at write time and

@@ -1261,4 +1261,148 @@ object Graph {
       .select(col("u").as("src"), col("v").as("dst"),
         coalesce(col("support"), lit(0L)).as("support"))
   }
+
+  /** Deterministic random-walk corpus (x66): one walk per seed, the
+    * DeepWalk/node2vec data-generation step — graph-embedding
+    * trainers consume walk SEQUENCES the way language models consume
+    * token streams, and at corpus scale the walk generator IS the
+    * pipeline (the reference for the sampling strategy is the
+    * node2vec paper's neighbor-sampled walks; this is the p=q=1
+    * uniform case). "Random" is hash-seeded and REPRODUCIBLE: at
+    * step s from node v, walk w takes out-neighbor index
+    * `hash64("w|s|v") mod outdeg(v)` among the first `maxDegree`
+    * neighbors ordered by node id — rerunning the generator yields
+    * byte-identical training data (the t9 split discipline applied
+    * to walks), and the DuckDB twin replays the same md5 lane.
+    *
+    * Dead ends TERMINATE the walk (no self-loop padding — a padded
+    * node would teach the embedding a spurious co-occurrence);
+    * `maxDegree` caps the adjacency ranks so a hub node costs the
+    * step join at most `maxDegree` candidate rows per visit — the
+    * GraphSAGE neighbor-cap discipline, and the same skew bound the
+    * d2/m5 bucket caps apply. The cap changes which neighbor a hash
+    * picks on >cap hubs; it is part of the operator contract, not an
+    * approximation knob hidden from the twin.
+    *
+    * 100 TB shape: the adjacency builds once (one shuffle for the
+    * per-src rank window); each step is ONE equi-join of the
+    * |walks| frontier against the capped adjacency on `src` with the
+    * pick predicate riding the join — no per-step window, no
+    * driver-side state. Walk state is (walk_id, node) longs.
+    *
+    * Returns (walk_id, step, node_id) — step 0 is the seed itself.
+    */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int = 4,
+                  maxDegree: Int = 64): DataFrame = {
+    require(steps >= 1, "need at least one step")
+    require(maxDegree >= 1, "need a positive neighbor cap")
+    val byDst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val adj = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct()
+        .withColumn("r", row_number().over(byDst))
+        .filter(col("r") <= maxDegree)
+        .withColumn("outdeg", count(lit(1)).over(bySrc)))
+    var frontier = graft.std.Materialize.once(
+      seeds.select(col("seed")).filter(col("seed").isNotNull)
+        .distinct()
+        .select(col("seed").as("walk_id"), col("seed").as("node")))
+    var levels = Vector(frontier.select(col("walk_id"),
+      lit(0L).as("step"), col("node")))
+    for (s <- 1 to steps) {
+      val pick = TextOps.hash64(concat_ws("|",
+        frontier("walk_id"), lit(s.toLong), frontier("node"))) %
+        col("outdeg") + 1
+      frontier = graft.std.Materialize.once(
+        frontier.join(adj, frontier("node") === adj("src"))
+          .filter(adj("r") === pick)
+          .select(frontier("walk_id"), adj("dst").as("node")))
+      levels :+= frontier.select(col("walk_id"),
+        lit(s.toLong).as("step"), col("node"))
+    }
+    levels.reduce(_ unionByName _)
+      .select(col("walk_id"), col("step"), col("node").as("node_id"))
+  }
+
+  /** Link prediction by common neighborhood (x67): for UNLINKED node
+    * pairs sharing at least `minCommon` neighbors, the
+    * common-neighbor count and the Adamic–Adar score
+    * `Σ_w 1/ln(deg(w))` — the classic who-should-connect readout
+    * (recommendation candidates, knowledge-graph completion, missing-
+    * edge audit before a graph ships as training data). A common
+    * neighbor of degree 2 is strong evidence (it connects almost
+    * nobody else); a million-degree hub is almost none — the log
+    * damping is the whole point over raw counts.
+    *
+    * Candidate pairs form ONLY through shared neighbors (one
+    * self-join of the rank-capped adjacency on the common node),
+    * never all-pairs; `maxDegree` bounds a hub's pair fan-out at
+    * `maxDegree²` — the d2/m5 skew-cap discipline, documented as part
+    * of the contract (neighbors beyond the cap, ordered by node id,
+    * do not witness pairs). Already-linked pairs anti-join away.
+    * Top-`topN` by (aa_score DESC, u, v) keeps the output a report.
+    *
+    * Determinism: degrees are exact longs over the UNCAPPED
+    * undirected support; each AA term is `round(1/round(ln(deg),9),9)`
+    * (the t56/x55 rounded-log discipline) summed order-free as
+    * DECIMAL(28,9); ties in the top-N break on the pair ids.
+    *
+    * 100 TB shape: degree pass (one partial-agg shuffle), capped
+    * adjacency (one rank window), pair generation (ONE equi-self-join
+    * on the common node, map-side-combinable groupBy), one broadcast
+    * of the tiny degree frame onto the common-node column, and a
+    * TakeOrderedAndProject for the top-N — no global sort.
+    *
+    * Returns (node_u, node_v, common_neighbors, aa_score).
+    */
+  def linkPrediction(edges: DataFrame, minCommon: Int = 2,
+                     maxDegree: Int = 64, topN: Int = 100): DataFrame = {
+    require(minCommon >= 1, "need at least one shared neighbor")
+    require(maxDegree >= 2, "a common neighbor needs degree >= 2")
+    require(topN >= 1, "need a positive report size")
+    val und = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(edges.select(col("dst").as("a"),
+          col("src").as("b"))
+          .filter(col("a").isNotNull && col("b").isNotNull &&
+            col("a") =!= col("b")))
+        .distinct())
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val byB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("b"))
+    val adj = und.withColumn("r", row_number().over(byB))
+      .filter(col("r") <= maxDegree)
+      .select(col("a").as("w"), col("b").as("n"))
+    val cand = adj.select(col("w"), col("n").as("u"))
+      .join(adj.select(col("w"), col("n").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    // the AA term rides the common-NODE column, so the degree frame
+    // broadcasts onto it before the pair groupBy collapses
+    val term = cand.join(broadcast(deg.withColumnRenamed("node", "w")),
+        Seq("w"))
+      .select(col("u"), col("v"),
+        round(lit(1.0) /
+          round(log(col("degree").cast("double")), 9), 9)
+          .cast("decimal(28,9)").as("_t"))
+    val scored = term.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("_t")).as("_aa"))
+      .filter(col("common_neighbors") >= minCommon.toLong)
+      .join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u").as("node_u"), col("v").as("node_v"),
+        col("common_neighbors"),
+        col("_aa").cast("double").as("aa_score"))
+    scored.orderBy(col("aa_score").desc, col("node_u"), col("node_v"))
+      .limit(topN)
+  }
 }

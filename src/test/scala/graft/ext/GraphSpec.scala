@@ -893,4 +893,135 @@ class GraphSpec extends AnyFunSuite {
       Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L), s"got $got")
   }
+
+  // ---- x66: deterministic random walks ----
+
+  private def walksOf(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                      steps: Int, cap: Int = 64)
+      : Map[(Long, Long), Long] =
+    Graph.randomWalks(edges.toDF("src", "dst"),
+        seeds.toDF("seed"), steps, cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("walks: cap=1 forces the smallest-id neighbor — a fully " +
+    "hand-traceable path") {
+    // pick = hash % 1 + 1 = 1 at every step, so the walk greedily
+    // follows the smallest out-neighbor: 1 -> 2 -> 4 -> 8
+    val edges = Seq((1L, 3L), (1L, 2L), (2L, 5L), (2L, 4L), (4L, 8L))
+    val got = walksOf(edges, Seq(1L), steps = 3, cap = 1)
+    assert(got == Map((1L, 0L) -> 1L, (1L, 1L) -> 2L,
+      (1L, 2L) -> 4L, (1L, 3L) -> 8L), s"got $got")
+  }
+
+  test("walks: dead ends terminate, never pad or self-loop") {
+    // 1 -> 2 and nothing out of 2: the walk has steps 0 and 1 only
+    val got = walksOf(Seq((1L, 2L)), Seq(1L), steps = 4, cap = 1)
+    assert(got == Map((1L, 0L) -> 1L, (1L, 1L) -> 2L), s"got $got")
+  }
+
+  test("walks: reproducible, and every step follows a real edge") {
+    val rnd = new scala.util.Random(20260815L)
+    val edges = Seq.fill(300)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val seeds = Seq(0L, 7L, 13L, 21L, 33L)
+    val a = walksOf(edges, seeds, steps = 4)
+    val b = walksOf(edges, seeds, steps = 4)
+    assert(a == b, "hash-seeded walks must be byte-reproducible")
+    val edgeSet = edges.toSet
+    for (w <- seeds) {
+      assert(a((w, 0L)) == w, "step 0 is the seed")
+      var s = 1L
+      while (a.contains((w, s))) {
+        assert(edgeSet.contains((a((w, s - 1)), a((w, s)))),
+          s"walk $w step $s does not follow an edge")
+        s += 1
+      }
+    }
+  }
+
+  test("walks: distinct seeds diverge (the hash keys on walk id)") {
+    // a 4-regular-ish graph where every node has several choices: two
+    // walks from different seeds on the same node set should not be
+    // shifted copies of each other
+    val edges = (0L until 20L).flatMap(i =>
+      Seq(1L, 3L, 7L, 11L).map(d => (i, (i + d) % 20L)))
+    val got = walksOf(edges, Seq(0L, 10L), steps = 4)
+    val path0 = (0L to 4L).map(s => got((0L, s)))
+    val path10 = (0L to 4L).map(s => got((10L, s)))
+    assert(path0.head == 0L && path10.head == 10L)
+    assert(path0.map(n => (n + 10L) % 20L) != path10,
+      "walks from different seeds must use independent hash draws")
+  }
+
+  // ---- x67: link prediction ----
+
+  private def lpOf(edges: Seq[(Long, Long)], minCommon: Int = 2,
+                   cap: Int = 64, topN: Int = 100)
+      : Map[(Long, Long), (Long, Double)] =
+    Graph.linkPrediction(edges.toDF("src", "dst"), minCommon, cap,
+        topN)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+
+  private def aaTerm(deg: Long): BigDecimal = {
+    val l = BigDecimal(math.log(deg.toDouble))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    BigDecimal(1.0 / l.toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+  }
+
+  test("link prediction: K(2,2) — both diagonals score 2/ln(2), " +
+    "linked pairs are excluded") {
+    // 1,2 each connected to 3,4: the unlinked pairs are (1,2) with
+    // witnesses {3,4} and (3,4) with witnesses {1,2}; every witness
+    // has degree 2
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    val got = lpOf(edges)
+    val expected = (aaTerm(2L) * 2).toDouble
+    assert(got.keySet == Set((1L, 2L), (3L, 4L)), s"got $got")
+    assert(got((1L, 2L)) == ((2L, expected)), s"got $got")
+    assert(got((3L, 4L)) == ((2L, expected)), s"got $got")
+  }
+
+  test("link prediction: minCommon filters single-witness pairs; " +
+    "hub witnesses are damped below low-degree ones") {
+    // path 1-2-3: (1,3) has ONE witness -> filtered at minCommon=2,
+    // reported at minCommon=1 with the witness's true degree 2
+    val path = Seq((1L, 2L), (2L, 3L))
+    assert(lpOf(path).isEmpty)
+    val one = lpOf(path, minCommon = 1)
+    assert(one.keySet == Set((1L, 3L)))
+    assert(one((1L, 3L)) == ((1L, aaTerm(2L).toDouble)))
+    // two witness paths, one through a degree-2 node and one through
+    // a degree-4 hub: the hub's term is strictly smaller
+    val hubEdges = Seq((1L, 2L), (2L, 3L), // witness 2: degree 2
+      (1L, 9L), (9L, 3L), (9L, 5L), (9L, 6L)) // witness 9: degree 4
+    val two = lpOf(hubEdges, minCommon = 1)
+    assert(two((1L, 3L))._1 == 2L)
+    val exp = (aaTerm(2L) + aaTerm(4L)).toDouble
+    assert(math.abs(two((1L, 3L))._2 - exp) < 1e-12, s"got $two")
+    assert(aaTerm(4L) < aaTerm(2L))
+  }
+
+  test("link prediction: the degree cap bounds pair fan-out — " +
+    "neighbors beyond the cap witness nothing") {
+    // star: 9 connected to 1,2,3; cap=2 keeps witnesses {1,2} only,
+    // so (1,3)/(2,3) are never candidates but (1,2) still is
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L))
+    val got = lpOf(star, minCommon = 1, cap = 2)
+    assert(got.keySet == Set((1L, 2L)), s"got $got")
+    // degrees stay UNCAPPED: the witness's damping uses deg(9) = 3
+    assert(got((1L, 2L)) == ((1L, aaTerm(3L).toDouble)), s"got $got")
+  }
+
+  test("link prediction: topN truncates on (score DESC, u, v)") {
+    // two equal-score pairs (the K(2,2) diagonals): topN=1 keeps the
+    // id-smaller pair
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    val got = lpOf(edges, topN = 1)
+    assert(got.keySet == Set((1L, 2L)), s"got $got")
+  }
 }
