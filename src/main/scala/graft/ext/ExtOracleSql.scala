@@ -6010,6 +6010,56 @@ SELECT CAST(0 AS INTEGER) AS subspace,
        s.n_members, s.wcss
 FROM km_cb4 cb JOIN stats s ON s.cw = cb.cw"""
 
+  /** s30: simplified-silhouette report over the SAME trained chain as
+    * s18 — all-centroid exact distances are exactly the km_d4 frame,
+    * rank 1 reproduces the stored assignment (same (dist, cw) tie),
+    * rank 2 is the nearest-other term; a/b are 9-dp sqrts, s one 6-dp
+    * round into DECIMAL(18,6), b COALESCEd to a when only one live
+    * cluster exists so s degrades to 0, never NULL. The boundary
+    * count compares the exact 6-dp decimal against 0.25.
+    */
+  val s30Silhouette: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), kx AS (
+  SELECT vec_id AS vid, 0 AS sub,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v
+), kme AS (
+  SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM kx
+), ${kmeansCtes("km", "kme", 8, 4)},
+ranked AS (
+  SELECT vid, cw, dist,
+         row_number() OVER (PARTITION BY vid ORDER BY dist, cw) AS rn
+  FROM km_d4
+), pair AS (
+  SELECT vid,
+         MAX(CASE WHEN rn = 1 THEN cw END) AS cluster_id,
+         MAX(CASE WHEN rn = 1 THEN dist END) AS a2,
+         MAX(CASE WHEN rn = 2 THEN dist END) AS b2
+  FROM ranked WHERE rn <= 2 GROUP BY 1
+), rt AS (
+  SELECT vid, cluster_id,
+         round(sqrt(CAST(a2 AS DOUBLE)), 9) AS ra,
+         round(sqrt(CAST(COALESCE(b2, a2) AS DOUBLE)), 9) AS rb
+  FROM pair
+), pt AS (
+  SELECT cluster_id,
+         CASE WHEN greatest(ra, rb) > 0
+              THEN CAST(round((rb - ra) / greatest(ra, rb), 6)
+                        AS DECIMAL(18,6))
+              ELSE CAST(0 AS DECIMAL(18,6)) END AS s
+  FROM rt
+)
+SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette,
+       CAST(MIN(s) AS DOUBLE) AS min_silhouette,
+       CAST(SUM(CASE WHEN s < CAST(0.25 AS DECIMAL(18,6))
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundary
+FROM pt GROUP BY 1"""
+
   /** s26: k-means elbow sweep — one kmeansCtes chain per k (tags
     * `el2..el16` matching the Spark seedTags), per-k aggregates over
     * the final assignment: live clusters, exact-DECIMAL re-sum of the

@@ -2881,6 +2881,17 @@ object ExtQueries {
       memoTag = Some(s"emb|$sfDir"))
   }
 
+  /** Silhouette report (s30): [[Similarity.silhouette]] over the
+    * embedding corpus against the SAME memoized trained quantizer as
+    * s18 (train once, gate many) — per-cluster separation quality,
+    * the deploy gate between the s26 elbow and the s16 index.
+    */
+  def silhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.silhouette(Tables.embeddings(spark, sfDir), 8, 4,
+      memoTag = Some(s"emb|$sfDir"))
+  }
+
   /** Top principal component (s21): 6 power-iteration rounds over
     * the centered embedding corpus — per-dim mean + unit PC1, the
     * Rayleigh eigenvalue, and its share of total variance (the

@@ -1297,6 +1297,77 @@ object Similarity {
     } finally pool.shutdown()
   }
 
+  /** Simplified-silhouette report (s30): per trained cluster, how
+    * WELL-SEPARATED its members are — for each vector, a = distance
+    * to its own centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a) / max(a, b) ∈ [−1, 1] (the centroid form of
+    * Rousseeuw's silhouette — the all-pairs form is quadratic and was
+    * correctly not built; against k centroids the whole readout is
+    * one |corpus| × k pass, the s14 shape). This is the quality gate
+    * BETWEEN s26 and deployment: the elbow says how many cells, the
+    * silhouette says whether the cells mean anything (mean s near 0 =
+    * overlapping cells → IVF probes leak). Because the assignment IS
+    * the centroid argmin, a ≤ b holds for every member and the
+    * centroid-form s is NON-NEGATIVE by construction (spec-pinned —
+    * the all-pairs form can go negative, this form cannot); the
+    * actionable tail is therefore the BOUNDARY count: members with
+    * s < `boundary` sit nearly equidistant between their cell and a
+    * rival, and they are exactly the vectors an nprobe=1 probe
+    * misses first.
+    *
+    * Determinism: distances are the trainer's own DECIMAL(38,12)-
+    * exact squared L2 against the memoized 6-dp codebook; the rank-1
+    * row reproduces the stored assignment bit-for-bit (same
+    * (dist, cw) tie rule as [[pqNearestCodewords]]); a and b are 9-dp
+    * rounded sqrts, per-point s one 6-dp round into DECIMAL(18,6)
+    * (order-free sums; the boundary compare runs on the 6-dp decimal,
+    * exact in both engines). A vector with a = b = 0 (or a single
+    * live cluster — b COALESCEs to a) scores s = 0, never NULL/NaN.
+    *
+    * 100 TB shape: ONE broadcast equi-join of the exploded corpus
+    * with the |k| × dims codebook, one partial agg to (vid, cw), one
+    * k-rows-per-key window, one per-cluster rollup. Training rides
+    * the kmeansLoop memo (shared with s18 on the same corpus tag —
+    * train once, gate many).
+    *
+    * Returns (cluster_id, n_members, mean_silhouette,
+    * min_silhouette, n_boundary).
+    */
+  def silhouette(vecs: DataFrame, k: Int = 8, iters: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 seedTag: String = "km",
+                 memoTag: Option[String] = None,
+                 boundary: Double = 0.25): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(boundary > 0, "need a positive boundary margin")
+    val ex = graft.std.Materialize.once(
+      pqExplode(vecs, 1, idCol, vecCol))
+    val (cb, _) = kmeansLoopShared(ex, k, iters, seedTag, memoTag)
+    val byDist = Window.partitionBy(col("_vid"))
+      .orderBy(col("_dist").asc, col("_cw").asc)
+    val pair = pqSubspaceDists(ex, cb)
+      .withColumn("_rn", row_number().over(byDist))
+      .filter(col("_rn") <= 2)
+      .groupBy(col("_vid"))
+      .agg(max(when(col("_rn") === 1, col("_cw"))).as("cluster_id"),
+        max(when(col("_rn") === 1, col("_dist"))).as("_a2"),
+        max(when(col("_rn") === 2, col("_dist"))).as("_b2"))
+    val ra = round(sqrt(col("_a2").cast("double")), 9)
+    val rb = round(sqrt(coalesce(col("_b2"), col("_a2"))
+      .cast("double")), 9)
+    val pt = pair.select(col("cluster_id"),
+      when(greatest(ra, rb) > 0,
+        round((rb - ra) / greatest(ra, rb), 6))
+        .otherwise(lit(0.0)).cast("decimal(18,6)").as("_s"))
+    pt.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("_s")).cast("double") /
+          count(lit(1)), 6).as("mean_silhouette"),
+        min(col("_s")).cast("double").as("min_silhouette"),
+        sum(when(col("_s") < lit(boundary).cast("decimal(18,6)"), 1L)
+          .otherwise(0L)).as("n_boundary"))
+  }
+
   /** IVF-PQ top-k over a TRAINED index (s16): [[ivfPqTopK]]'s query
     * path with both quantizers learned by [[kmeansLoop]] instead of
     * read from label columns — the actual FAISS `IVF_PQ` recipe.

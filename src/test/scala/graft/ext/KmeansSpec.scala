@@ -345,4 +345,94 @@ class KmeansSpec extends AnyFunSuite {
       s"unsampled vectors must be encoded and retrievable: " +
         s"$neighbors vs sample $inSample")
   }
+
+  // ---- s30: simplified silhouette ----
+
+  private def r9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def silPoint(a2: Double, b2: Double): Double = {
+    val a = r9(math.sqrt(a2)); val b = r9(math.sqrt(b2))
+    if (math.max(a, b) > 0) r6((b - a) / math.max(a, b)) else 0.0
+  }
+
+  test("silhouette: the converged two-blob fixture scores a replayed " +
+    "hand-computation exactly") {
+    // same fixture as the trainer spec: after 2 rounds cluster 0 IS
+    // blob B's exact mean (10,11), cluster 1 blob A's (0,1) — so
+    // every a2/b2 below is an exact integer and the replay shares
+    // the operator's full rounding path (9-dp sqrt, 6-dp s)
+    val df = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 2.0)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(10.0, 10.0)), (5L, Seq(10.0, 12.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.silhouette(df, k = 2, iters = 2).collect()
+    graft.std.Materialize.releaseAll()
+    val byC = r.map(x => x.getInt(0).toLong ->
+      ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4))))
+      .toMap
+    // blob A members vs centroids (0,1) own / (10,11) other
+    val sA = Seq(silPoint(1, 221), silPoint(1, 181), silPoint(0, 200))
+    // blob B members vs (10,11) own / (0,1) other
+    val sB = Seq(silPoint(1, 181), silPoint(1, 221))
+    val expA = r6(sA.sum / 3)
+    val expB = r6(sB.sum / 2)
+    assert(byC(1L) == ((3L, expA, sA.min, 0L)), s"got $byC")
+    assert(byC(0L) == ((2L, expB, sB.min, 0L)), s"got $byC")
+    assert(expA > 0.9 && expB > 0.9,
+      s"tight separated blobs must score near 1: $expA / $expB")
+  }
+
+  test("silhouette: a single live cluster degrades to s = 0, " +
+    "never NULL") {
+    // k = 1: there is no other centroid; b COALESCEs to a
+    val df = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(4.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.silhouette(df, k = 1, iters = 1).collect()
+    graft.std.Materialize.releaseAll()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 2L)
+    assert(r(0).getDouble(2) == 0.0 && r(0).getDouble(3) == 0.0)
+    // s = 0 sits below the 0.25 margin: with no rival centroid EVERY
+    // member is a boundary member, which is the honest readout
+    assert(r(0).getLong(4) == 2L)
+  }
+
+  test("silhouette: differential vs a driver-side replay from the " +
+    "trained centroids — boundary members counted, s never negative") {
+    // an overlapping grid corpus (0.25 steps, exactly representable):
+    // wherever training lands, the replay recomputes own/other from
+    // kmeansTrain's OWN centroid output, so the expectation holds for
+    // any converged or truncated state
+    val pts = (0 until 40).map { i =>
+      (i.toLong, Seq((i % 8) * 0.25, (i / 8) * 0.25 + (i % 3) * 0.5))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrain(df, k = 3, iters = 2)
+      .collect()
+      .groupBy(_.getInt(1))
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq }
+    val expected = pts.map { case (_, p) =>
+      val ds = cents.toSeq.map { case (c, ct) =>
+        (p.zip(ct).map { case (x, cx) => (x - cx) * (x - cx) }.sum, c)
+      }.sorted
+      (ds.head._2, silPoint(ds.head._1, ds(1)._1))
+    }
+    assert(expected.forall(_._2 >= 0),
+      "centroid-form silhouette is non-negative by construction")
+    val expByC = expected.groupBy(_._1).map { case (c, xs) =>
+      c.toLong -> ((xs.size.toLong, r6(xs.map(_._2).sum / xs.size),
+        xs.map(_._2).min, xs.count(_._2 < 0.25).toLong))
+    }
+    assert(expByC.values.map(_._4).sum > 0,
+      s"the overlapping grid must produce boundary members: $expByC")
+    val r = Similarity.silhouette(df, k = 3, iters = 2).collect()
+    graft.std.Materialize.releaseAll()
+    val got = r.map(x => x.getInt(0).toLong ->
+      ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4))))
+      .toMap
+    assert(got == expByC, s"got $got expected $expByC")
+  }
 }
