@@ -703,6 +703,89 @@ FROM hs"""
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
 FROM r WHERE rank <= 5"""
 
+  /** s31: MMR diversified re-rank — the s1 top-20 candidates per
+    * probe query, then k = 5 unrolled greedy rounds: each `sel$r` CTE
+    * (MATERIALIZED — every round is referenced by all later rounds
+    * and the final union) picks argmax of
+    * `round((7·rel − 3·maxsim)/10, 6)` with ties to the smallest
+    * candidate id, maxsim read from the candidate-pair cosine frame
+    * against the union of earlier picks (COALESCE 0 when nothing is
+    * comparable). Identical doubles, identical rounding, identical
+    * tie order to the Spark twin.
+    */
+  val s31MmrRerank: String = {
+    val k = 5
+    val rounds = (2 to k).map { r =>
+      val selAll = (1 until r).map(i => s"SELECT query_id, cand_id FROM sel$i")
+        .mkString("\n    UNION ALL ")
+      s"""sel$r AS MATERIALIZED (
+  SELECT query_id, cand_id, rel, ms,
+         round((7.0 * rel - 3.0 * ms) / 10.0, 6) AS mmr
+  FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY query_id
+      ORDER BY round((7.0 * rel - 3.0 * ms) / 10.0, 6) DESC,
+               cand_id ASC) AS rn
+    FROM (
+      SELECT c.query_id, c.cand_id, c.rel,
+             COALESCE(MAX(p.sim), 0.0) AS ms
+      FROM cand c
+      LEFT JOIN (SELECT ps.query_id, ps.aid, ps.sim
+                 FROM ps JOIN ($selAll) s
+                   ON ps.query_id = s.query_id
+                  AND ps.bid = s.cand_id) p
+        ON p.query_id = c.query_id AND p.aid = c.cand_id
+      WHERE NOT EXISTS (SELECT 1 FROM ($selAll) s2
+                        WHERE s2.query_id = c.query_id
+                          AND s2.cand_id = c.cand_id)
+      GROUP BY 1, 2, 3
+    ) m
+  ) WHERE rn = 1
+)"""
+    }.mkString(", ")
+    val out = (1 to k).map(r =>
+      s"""SELECT query_id, CAST($r AS BIGINT) AS rank,
+       cand_id AS neighbor_id, rel AS relevance,
+       ms AS max_prior_sim, mmr AS mmr_score
+  FROM sel$r""").mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM v
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(CASE WHEN q.nm * c.nm > 0
+               THEN ${dotExpr("q.e", "c.e")} / (q.nm * c.nm) END, 6)
+           AS rel
+  FROM n q CROSS JOIN n c
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+), cand AS MATERIALIZED (
+  SELECT query_id, cand_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY rel DESC NULLS LAST, cand_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 20 AND rel IS NOT NULL
+), ps AS MATERIALIZED (
+  SELECT a.query_id, a.cand_id AS aid, b.cand_id AS bid,
+         round(CASE WHEN na.nm * nb.nm > 0
+               THEN ${dotExpr("na.e", "nb.e")} / (na.nm * nb.nm) END, 6)
+           AS sim
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+  JOIN n na ON na.vec_id = a.cand_id
+  JOIN n nb ON nb.vec_id = b.cand_id
+), sel1 AS MATERIALIZED (
+  SELECT query_id, cand_id, rel, CAST(0.0 AS DOUBLE) AS ms,
+         round((7.0 * rel - 3.0 * 0.0) / 10.0, 6) AS mmr
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY round((7.0 * rel - 3.0 * 0.0) / 10.0, 6) DESC,
+               cand_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), $rounds
+$out"""
+  }
+
   /** s8: MIPS top-5 for the s1 probe set — raw dot product, no
     * normalization; rank by exact 6 dp score, neighbor_id tiebreak.
     */

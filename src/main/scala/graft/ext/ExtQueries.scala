@@ -516,6 +516,17 @@ object ExtQueries {
         col("rank").cast("long").as("rank"), col("cosine"))
   }
 
+  /** MMR diversified re-rank (s31): [[Similarity.mmrRerank]] over the
+    * s1 probe panel — top-20 exact-cosine candidates per query, 5
+    * greedy λ = 0.7 rounds trading relevance against redundancy.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    Similarity.mmrRerank(vecs.filter(col("vec_id") < 20), vecs,
+      k = 5, n = 20)
+  }
+
   /** MIPS top-k (s8): same probe set as s1, ranked by raw inner
     * product — magnitude-sensitive retrieval.
     */

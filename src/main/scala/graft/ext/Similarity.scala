@@ -1368,6 +1368,108 @@ object Similarity {
           .otherwise(0L)).as("n_boundary"))
   }
 
+  /** MMR diversified re-rank (s31): greedy Maximal Marginal Relevance
+    * (Carbonell & Goldstein) over each query's exact-cosine top-`n`
+    * candidates — pick `k` results maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`, the
+    * relevance-vs-redundancy trade every retrieval-augmented pipeline
+    * makes: the plain top-k hands the context window five paraphrases
+    * of one document; MMR hands it five documents. Rank 1 is the pure
+    * relevance winner (the selected set is empty, so the penalty term
+    * is 0 by the same formula).
+    *
+    * Determinism: rel and every candidate-candidate sim are the s1
+    * 6-dp cosines; the MMR score is ONE double expression
+    * `round((λn·rel − λd−n·maxsim)/λd, 6)` over identical doubles in
+    * both engines; argmax ties break on the candidate id (the s1
+    * rank discipline). Zero-norm candidates carry NULL rel and are
+    * dropped at candidate time; NULL pair sims contribute nothing to
+    * the max (COALESCE to 0 when nothing is comparable).
+    *
+    * 100 TB shape: the corpus-sized work is EXACTLY the top-`n`
+    * retrieval (s1's kernel here; any ANN path upstream at scale) —
+    * everything after runs on the |queries| × n candidate frame:
+    * pair sims are n² per query (n a small constant), each greedy
+    * round is one anti-join + one bounded join + one partial-agg
+    * argmax `min(struct)` (the t65 discipline, no per-round window),
+    * k rounds. Candidates and pair sims pin once.
+    *
+    * Returns (query_id, rank, neighbor_id, relevance, max_prior_sim,
+    * mmr_score), rank 1..k per query.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                n: Int = 20, lambdaNum: Long = 7L, lambdaDen: Long = 10L,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && n >= k, "need n >= k >= 1")
+    require(lambdaNum >= 0 && lambdaNum <= lambdaDen && lambdaDen > 0,
+      "lambda must lie in [0, 1]")
+    val cand = graft.std.Materialize.once(
+      bruteForceTopK(queries, corpus, n, idCol, vecCol)
+        .filter(col("cosine").isNotNull)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("cosine").as("rel")))
+    val vn = corpus.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nm", l2Norm(col("v")))
+    val cv = cand.select(col("query_id"), col("cand_id"))
+      .join(vn, col("cand_id") === col("vid"))
+      .select(col("query_id"), col("cand_id"), col("v"), col("nm"))
+    val a = cv.select(col("query_id"), col("cand_id").as("_aid"),
+      col("v").as("_av"), col("nm").as("_an"))
+    val b = cv.select(col("query_id"), col("cand_id").as("_bid"),
+      col("v").as("_bv"), col("nm").as("_bn"))
+    val pairSims = graft.std.Materialize.once(
+      a.join(b, Seq("query_id"))
+        .filter(col("_aid") =!= col("_bid"))
+        .select(col("query_id"), col("_aid"), col("_bid"),
+          round(when(col("_an") * col("_bn") > 0,
+            dot(col("_av"), col("_bv")) / (col("_an") * col("_bn"))),
+            6).as("_sim")))
+    def score(rel: Column, ms: Column): Column =
+      round((lit(lambdaNum.toDouble) * rel -
+        lit((lambdaDen - lambdaNum).toDouble) * ms) /
+        lit(lambdaDen.toDouble), 6)
+    // argmax by (score DESC, cand_id ASC) via one partial-aggregable
+    // min(struct) — negated score first, no per-round window
+    def pick(scored: DataFrame, rank: Int): DataFrame =
+      scored
+        .select(col("query_id"), struct(
+          (-score(col("rel"), col("_ms"))).as("_ns"),
+          col("cand_id"), col("rel"), col("_ms")).as("_row"))
+        .groupBy(col("query_id"))
+        .agg(min(col("_row")).as("_w"))
+        .select(col("query_id"), lit(rank.toLong).as("rank"),
+          col("_w.cand_id").as("cand_id"), col("_w.rel").as("rel"),
+          col("_w._ms").as("max_prior_sim"),
+          // recomputed (not negated back) so a 0.0 score can never
+          // surface as -0.0 in the output
+          score(col("_w.rel"), col("_w._ms")).as("mmr_score"))
+    var selected = graft.std.Materialize.once(
+      pick(cand.withColumn("_ms", lit(0.0)), 1))
+    var rounds = Vector(selected)
+    for (r <- 2 to k) {
+      val selAll = rounds.map(_.select(col("query_id"),
+        col("cand_id"))).reduce(_ unionByName _)
+      val remaining = cand.join(selAll, Seq("query_id", "cand_id"),
+        "left_anti")
+      val simToSel = pairSims
+        .join(selAll.withColumnRenamed("cand_id", "_bid"),
+          Seq("query_id", "_bid"))
+        .groupBy(col("query_id"), col("_aid").as("cand_id"))
+        .agg(max(col("_sim")).as("_msRaw"))
+      val scored = remaining
+        .join(simToSel, Seq("query_id", "cand_id"), "left_outer")
+        .withColumn("_ms", coalesce(col("_msRaw"), lit(0.0)))
+      selected = graft.std.Materialize.once(pick(scored, r))
+      rounds :+= selected
+    }
+    rounds.reduce(_ unionByName _)
+      .select(col("query_id"), col("rank"),
+        col("cand_id").as("neighbor_id"), col("rel").as("relevance"),
+        col("max_prior_sim"), col("mmr_score"))
+  }
+
   /** IVF-PQ top-k over a TRAINED index (s16): [[ivfPqTopK]]'s query
     * path with both quantizers learned by [[kmeansLoop]] instead of
     * read from label columns — the actual FAISS `IVF_PQ` recipe.
