@@ -5836,6 +5836,65 @@ SELECT series, day, n_events, value_micro,
        (prev IS NOT NULL AND value_micro * 2 < prev) AS is_dip
 FROM lagged"""
 
+  /** x68: Holt linear-trend forecast — the [[guardedDailySql]]
+    * collapse plus the x68 magnitude guard (same error-arm parity as
+    * the positivity contract), then the (level, trend) recurrence as
+    * a per-row `list_reduce` over the day-ordered prefix with a
+    * struct accumulator seeded (x₁, 0). Every step is the shared
+    * offset floor division `(n + C·d) // d − C` (C = 4e17) so
+    * truncating `//` and Spark's `div` agree on NEGATIVE trend
+    * numerators too. The l′ term is LET-BOUND through a one-element
+    * `list_transform` — writing it twice inside the struct literal
+    * trips a DuckDB 1.0 lambda-CSE bug that silently reads a stale
+    * accumulator (verified: fold of [100,130,160,200] returns
+    * (149,5) duplicated vs the correct (150,8) let-bound).
+    */
+  val x68HoltTrend: String = {
+    val C = "400000000000000000"
+    val lStep = s"((3 * struct_extract(e, 'l') + " +
+      s"7 * (struct_extract(acc, 'l') + struct_extract(acc, 'b'))) + " +
+      s"$C * 10) // 10 - $C"
+    val bStep = s"((2 * (lp - struct_extract(acc, 'l')) + " +
+      s"8 * struct_extract(acc, 'b')) + $C * 10) // 10 - $C"
+    s"""WITH daily0 AS (
+  $guardedDailySql
+), daily AS (
+  SELECT series, day, n_events,
+         CASE WHEN value_micro < 40000000000000000 THEN value_micro
+              ELSE CAST(error('holtTrend: daily sum exceeds the '
+                     || '4e16 fixed-point bound') AS BIGINT) END
+           AS value_micro
+  FROM daily0
+), runs AS (
+  SELECT series, day, n_events, value_micro,
+         list(value_micro) OVER (PARTITION BY series ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vs
+  FROM daily
+), folded AS (
+  SELECT series, day, n_events, value_micro,
+         list_reduce(
+           list_transform(vs, v -> {'l': v, 'b': CAST(0 AS BIGINT)}),
+           (acc, e) -> list_transform([$lStep],
+             lp -> {'l': lp, 'b': $bStep})[1]) AS st
+  FROM runs
+), lagged AS (
+  SELECT series, day, n_events, value_micro,
+         struct_extract(st, 'l') AS level_micro,
+         struct_extract(st, 'b') AS trend_micro,
+         lag(struct_extract(st, 'l')) OVER w AS pl,
+         lag(struct_extract(st, 'b')) OVER w AS pb
+  FROM folded WINDOW w AS (PARTITION BY series ORDER BY day)
+)
+SELECT series, day, n_events, value_micro,
+       CAST(level_micro AS BIGINT) AS level_micro,
+       CAST(trend_micro AS BIGINT) AS trend_micro,
+       CAST(pl + pb AS BIGINT) AS forecast_micro,
+       CAST(value_micro - (pl + pb) AS BIGINT) AS residual_micro,
+       CAST(level_micro AS DOUBLE) / 1000000.0 AS level,
+       CAST(trend_micro AS DOUBLE) / 1000000.0 AS trend
+FROM lagged"""
+  }
+
   /** x56 power-iteration chain: iteration i builds `p$i` from
     * `p${i - 1}` — per-edge `pi_e9 * n12 // n1` contributions summed
     * per destination state, then re-anchored on the full state list

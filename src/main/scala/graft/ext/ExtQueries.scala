@@ -3128,6 +3128,15 @@ object ExtQueries {
         Timeseries.dailySeries(Tables.events(spark, sfDir))).toDF())
   }
 
+  /** Holt linear-trend forecast (x68): [[Timeseries.holtTrend]] over
+    * the events stream — the x53 EWMA with a trend state, α = 0.3,
+    * β = 0.2, shared guarded daily collapse.
+    */
+  def holtTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.holtTrend(Tables.events(spark, sfDir))
+  }
+
   /** Streaming sequence scorer (w10): [[graft.streaming.StreamingOps
     * .sequenceScoreStream]] in batch mode, scoring against the
     * self-fit transition model published via

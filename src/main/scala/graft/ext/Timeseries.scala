@@ -702,6 +702,87 @@ object Timeseries {
     ewmaVerdicts(folded, spikeFactor)
   }
 
+  /** Holt linear-trend forecast (x68): the x53 EWMA extended with a
+    * TREND state — level `l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})`,
+    * trend `b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}`, one-step-ahead
+    * forecast `l_{t−1} + b_{t−1}`. EWMA (x53) lags any ramp by
+    * construction — on steadily growing traffic every day reads as a
+    * spike; Holt's trend term absorbs the ramp so the residual reads
+    * genuine surprise. The capacity-planning pair: x53 prices the
+    * baseline, x57 the seasonality, this the TREND.
+    *
+    * Fixed-point discipline: states ride exact micro-unit longs; the
+    * non-associative recurrence replays per row over its day-ordered
+    * prefix list (the x53 collect_list shape) with a named_struct
+    * (l, b) accumulator seeded (x_1, 0). The trend can go NEGATIVE,
+    * where Spark's truncating `div` and DuckDB's truncating `//`
+    * still agree — but both are made true FLOOR divisions via the
+    * shared offset identity `(n + C·d) div d − C` (exact for
+    * |n| < C·d, C = 4e17 — daily sums beyond ~4e17 micro-units are
+    * out of contract, enforced loudly), so every step is one floor
+    * division per state in both engines. The DuckDB twin folds the
+    * same steps with the l′ term let-bound through a one-element
+    * `list_transform` — duplicating it inside the struct literal
+    * trips a DuckDB 1.0 lambda-CSE bug (stale accumulator reads,
+    * found while validating this operator; the let-bind sidesteps
+    * it and is pinned by the differential spec).
+    *
+    * 100 TB shape: identical to x53 — the corpus collapses once
+    * through the shared guarded [[dailySeries]]; the fold runs per
+    * series over the bounded daily frame, never over events.
+    *
+    * Returns (series, day, n_events, value_micro, level_micro,
+    * trend_micro, forecast_micro, residual_micro, level, trend).
+    */
+  def holtTrend(events: DataFrame,
+                alphaNum: Long = 3L, alphaDen: Long = 10L,
+                betaNum: Long = 2L, betaDen: Long = 10L,
+                keyCol: String = "event_type", tsCol: String = "ts",
+                valueCol: String = "value"): DataFrame = {
+    require(alphaNum >= 1 && alphaNum <= alphaDen,
+      "alpha must lie in (0, 1]")
+    require(betaNum >= 1 && betaNum <= betaDen,
+      "beta must lie in (0, 1]")
+    val C = 400000000000000000L
+    def fdiv(n: String, d: Long): String = s"(($n) + ${C}L * $d) div $d - ${C}L"
+    val lStep = fdiv(s"$alphaNum * x + ${alphaDen - alphaNum} * " +
+      "(acc.l + acc.b)", alphaDen)
+    val bStep = fdiv(s"$betaNum * (($lStep) - acc.l) + " +
+      s"${betaDen - betaNum} * acc.b", betaDen)
+    val run = Window.partitionBy(col("series")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Window.partitionBy(col("series")).orderBy(col("day"))
+    val folded = dailySeries(events, keyCol, tsCol, valueCol)
+      // the fixed-point bound, enforced as loudly as the positivity
+      // contract: states stay O(max daily sum), so inputs below 4e16
+      // keep every fold numerator under C·d = 4e18 with two orders
+      // of margin
+      .withColumn("value_micro", expr(
+        "IF(assert_true(value_micro < 40000000000000000, " +
+          "concat('holtTrend: daily sum ', value_micro, " +
+          "' exceeds the 4e16 fixed-point bound')) IS NULL, " +
+          "value_micro, CAST(NULL AS BIGINT))"))
+      .withColumn("_vs", collect_list(col("value_micro")).over(run))
+      .withColumn("_st",
+        expr(s"aggregate(slice(_vs, 2, greatest(size(_vs) - 1, 0)), " +
+          "named_struct('l', element_at(_vs, 1), 'b', 0L), " +
+          s"(acc, x) -> named_struct('l', $lStep, 'b', $bStep))"))
+      .drop("_vs")
+      .select(col("series"), col("day"), col("n_events"),
+        col("value_micro"), col("_st.l").as("level_micro"),
+        col("_st.b").as("trend_micro"))
+    folded
+      .withColumn("_pl", lag(col("level_micro"), 1).over(ord))
+      .withColumn("_pb", lag(col("trend_micro"), 1).over(ord))
+      .select(col("series"), col("day"), col("n_events"),
+        col("value_micro"), col("level_micro"), col("trend_micro"),
+        (col("_pl") + col("_pb")).as("forecast_micro"),
+        (col("value_micro") - (col("_pl") + col("_pb")))
+          .as("residual_micro"),
+        (col("level_micro").cast("double") / lit(1e6)).as("level"),
+        (col("trend_micro").cast("double") / lit(1e6)).as("trend"))
+  }
+
   /** Seasonality autocorrelation (x57): per-series Pearson r between
     * the daily value series and its own calendar-lagged self, at
     * fixed lags — lag 1 reads momentum (does a big day predict

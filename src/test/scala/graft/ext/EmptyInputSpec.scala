@@ -93,6 +93,26 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.indexAssign(vecs, cb, cb, 1).collect().isEmpty)
   }
 
+  test("round-15 operators survive empty inputs") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val seeds = Seq.empty[Tuple1[Long]].toDF("seed")
+    assert(Graph.randomWalks(edges, seeds).collect().isEmpty)
+    assert(Graph.linkPrediction(edges).collect().isEmpty)
+    // walks from seeds with NO edges: step 0 only (the seed itself)
+    val oneSeed = Seq(Tuple1(7L)).toDF("seed")
+    val w = Graph.randomWalks(edges, oneSeed).collect()
+    assert(w.length == 1 && w.head.getLong(1) == 0L)
+    val events = Seq.empty[(String, java.sql.Timestamp, Double)]
+      .toDF("event_type", "ts", "value")
+    assert(Timeseries.holtTrend(events).collect().isEmpty)
+    val vecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.silhouette(vecs, k = 2, iters = 1)
+      .collect().isEmpty)
+    assert(Similarity.mmrRerank(vecs, vecs, k = 1, n = 1)
+      .collect().isEmpty)
+    graft.std.Materialize.releaseAll()
+  }
+
   test("media near-dups, bloom join, rollup with an empty delta") {
     val media = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
     assert(Media.nearDupPairs(media).collect().isEmpty)

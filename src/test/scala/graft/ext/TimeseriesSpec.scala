@@ -294,6 +294,79 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out.map(_.getLong(4)).toSeq == Seq(0L, 3000000L))
   }
 
+  private def holtOf(rows: Seq[(String, Timestamp, Double)]) =
+    Timeseries.holtTrend(rows.toDF("event_type", "ts", "value"))
+
+  test("holt trend: a perfect ramp is absorbed into the trend state " +
+    "where EWMA lags it forever") {
+    // 10, 20, 30, ... : hand fold (micro units, floor div)
+    //   d0: l=10M b=0
+    //   d1: l=(60M+70M)/10=13M   b=(2*3M+0)/10=600k
+    //   d2: l=(90M+7*13.6M)/10=18.52M b=(2*5.52M+4.8M)/10=1.584M
+    //   d3: l=(120M+7*20.104M)/10=26.0728M
+    //       b=(2*7.5528M+8*1.584M)/10=2.77776M
+    val rows = (0 until 4).map(d =>
+      ("click", Timestamp.from(t0.plusSeconds(d * 86400L)),
+        (d + 1) * 10.0))
+    val out = holtOf(rows).orderBy("day").collect()
+    assert(out.map(_.getLong(4)).toSeq ==
+      Seq(10000000L, 13000000L, 18520000L, 26072800L), "levels")
+    assert(out.map(_.getLong(5)).toSeq ==
+      Seq(0L, 600000L, 1584000L, 2777760L), "trends")
+    // forecast = prior level + prior trend; first day has none
+    assert(out.head.isNullAt(6))
+    assert(out(2).getLong(6) == 13600000L)
+    assert(out(2).getLong(7) == 30000000L - 13600000L)
+    // the trend state grows toward the true slope (10/day) while the
+    // x53 EWMA of the same ramp under-forecasts every single day
+    val ewma = ewmaOf(rows).orderBy("day").collect()
+    assert(ewma.tail.forall(_.getLong(6) > 0L),
+      "EWMA lags a ramp: every residual positive")
+  }
+
+  test("holt trend: constant series pins trend 0, forecast exact") {
+    val rows = (0 until 5).map(d =>
+      ("click", Timestamp.from(t0.plusSeconds(d * 86400L)), 10.0))
+    val out = holtOf(rows).orderBy("day").collect()
+    assert(out.forall(_.getLong(4) == 10000000L))
+    assert(out.forall(_.getLong(5) == 0L))
+    assert(out.tail.forall(_.getLong(7) == 0L), "residual 0")
+  }
+
+  test("holt trend: a falling series drives the trend NEGATIVE and " +
+    "the floor division still matches a driver-side replay") {
+    val vals = Seq(300.0, 250.0, 200.0, 150.0, 100.0, 50.0, 130.0, 5.0)
+    val rows = vals.zipWithIndex.map { case (v, d) =>
+      ("a", Timestamp.from(t0.plusSeconds(d * 86400L)), v) }
+    val out = holtOf(rows).orderBy("day").collect()
+    def replay(xs: Seq[Long]): Seq[(Long, Long)] = {
+      var l = xs.head; var b = 0L
+      (l, b) +: xs.tail.map { x =>
+        val lp = Math.floorDiv(3 * x + 7 * (l + b), 10L)
+        b = Math.floorDiv(2 * (lp - l) + 8 * b, 10L)
+        l = lp
+        (l, b)
+      }
+    }
+    val exp = replay(vals.map(v => (v * 1e6).toLong))
+    assert(out.map(x => (x.getLong(4), x.getLong(5))).toSeq == exp,
+      s"got ${out.map(x => (x.getLong(4), x.getLong(5))).toSeq} " +
+        s"expected $exp")
+    assert(exp.exists(_._2 < 0L),
+      "fixture must exercise a negative trend state")
+  }
+
+  test("holt trend: the 4e16 magnitude bound fails loudly") {
+    val rows = Seq(
+      ("a", Timestamp.from(t0), 5.0e10),
+      ("a", Timestamp.from(t0.plusSeconds(86400L)), 1.0))
+    val e = intercept[Exception] { holtOf(rows).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++
+        msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("fixed-point bound")))
+  }
+
   test("autocorrelation: exact weekly pattern reads lag-7 r = 1; " +
     "calendar gaps drop pairs; constants read NULL") {
     val week = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0)
