@@ -3137,6 +3137,19 @@ object ExtQueries {
     Timeseries.holtTrend(Tables.events(spark, sfDir))
   }
 
+  /** Streaming Holt feed (w13): [[graft.streaming.StreamingOps
+    * .holtPoints]] run in batch mode over the shared guarded daily
+    * collapse, plus the shared [[Timeseries.holtDisplay]] tail —
+    * batch ≡ the x68 prefix fold, so they share one oracle; the
+    * stream side is pinned in `StreamingSpec`.
+    */
+  def holtStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Timeseries.holtDisplay(
+      graft.streaming.StreamingOps.holtPoints(
+        Timeseries.holtDaily(Tables.events(spark, sfDir))).toDF())
+  }
+
   /** Streaming sequence scorer (w10): [[graft.streaming.StreamingOps
     * .sequenceScoreStream]] in batch mode, scoring against the
     * self-fit transition model published via

@@ -752,16 +752,7 @@ object Timeseries {
     val run = Window.partitionBy(col("series")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ord = Window.partitionBy(col("series")).orderBy(col("day"))
-    val folded = dailySeries(events, keyCol, tsCol, valueCol)
-      // the fixed-point bound, enforced as loudly as the positivity
-      // contract: states stay O(max daily sum), so inputs below 4e16
-      // keep every fold numerator under C·d = 4e18 with two orders
-      // of margin
-      .withColumn("value_micro", expr(
-        "IF(assert_true(value_micro < 40000000000000000, " +
-          "concat('holtTrend: daily sum ', value_micro, " +
-          "' exceeds the 4e16 fixed-point bound')) IS NULL, " +
-          "value_micro, CAST(NULL AS BIGINT))"))
+    val folded = holtDaily(events, keyCol, tsCol, valueCol)
       .withColumn("_vs", collect_list(col("value_micro")).over(run))
       .withColumn("_st",
         expr(s"aggregate(slice(_vs, 2, greatest(size(_vs) - 1, 0)), " +
@@ -771,17 +762,42 @@ object Timeseries {
       .select(col("series"), col("day"), col("n_events"),
         col("value_micro"), col("_st.l").as("level_micro"),
         col("_st.b").as("trend_micro"))
-    folded
+    holtDisplay(folded
       .withColumn("_pl", lag(col("level_micro"), 1).over(ord))
       .withColumn("_pb", lag(col("trend_micro"), 1).over(ord))
-      .select(col("series"), col("day"), col("n_events"),
-        col("value_micro"), col("level_micro"), col("trend_micro"),
-        (col("_pl") + col("_pb")).as("forecast_micro"),
-        (col("value_micro") - (col("_pl") + col("_pb")))
-          .as("residual_micro"),
-        (col("level_micro").cast("double") / lit(1e6)).as("level"),
-        (col("trend_micro").cast("double") / lit(1e6)).as("trend"))
+      .withColumn("forecast_micro", col("_pl") + col("_pb"))
+      .withColumn("residual_micro",
+        col("value_micro") - col("forecast_micro")))
   }
+
+  /** The x68 input contract in one place — [[dailySeries]]'s guarded
+    * collapse plus the Holt fixed-point magnitude bound, enforced as
+    * loudly as the positivity contract: states stay O(max daily sum),
+    * so inputs below 4e16 keep every fold numerator under C·d = 4e18
+    * with two orders of margin. SHARED by the batch fold and the w13
+    * streaming feed so the twins cannot diverge on failure behavior.
+    */
+  def holtDaily(events: DataFrame, keyCol: String = "event_type",
+                tsCol: String = "ts",
+                valueCol: String = "value"): DataFrame =
+    dailySeries(events, keyCol, tsCol, valueCol)
+      .withColumn("value_micro", expr(
+        "IF(assert_true(value_micro < 40000000000000000, " +
+          "concat('holtTrend: daily sum ', value_micro, " +
+          "' exceeds the 4e16 fixed-point bound')) IS NULL, " +
+          "value_micro, CAST(NULL AS BIGINT))"))
+
+  /** The x68 display tail shared with the streaming feed
+    * ([[graft.streaming.StreamingOps.holtPoints]]): column order and
+    * the micro→unit doubles, so the batch fold and the stateful form
+    * emit byte-identical frames and w13 shares x68's oracle verbatim.
+    */
+  def holtDisplay(points: DataFrame): DataFrame =
+    points.select(col("series"), col("day"), col("n_events"),
+      col("value_micro"), col("level_micro"), col("trend_micro"),
+      col("forecast_micro"), col("residual_micro"),
+      (col("level_micro").cast("double") / lit(1e6)).as("level"),
+      (col("trend_micro").cast("double") / lit(1e6)).as("trend"))
 
   /** Seasonality autocorrelation (x57): per-series Pearson r between
     * the daily value series and its own calendar-lagged self, at

@@ -66,6 +66,17 @@ case class EwmaState(lastDayMs: Long, ewmaMicro: Long)
 case class EwmaPoint(series: String, day: java.sql.Date, n_events: Long,
                      value_micro: Long, ewma_micro: Long)
 
+/** Typed rows/state for the streaming Holt trend feed (input rows
+  * reuse [[EwmaDaily]] — the two feeds consume the same daily
+  * collapse).
+  */
+case class HoltState(lastDayMs: Long, levelMicro: Long,
+                     trendMicro: Long)
+case class HoltPoint(series: String, day: java.sql.Date, n_events: Long,
+                     value_micro: Long, level_micro: Long,
+                     trend_micro: Long, forecast_micro: Option[Long],
+                     residual_micro: Option[Long])
+
 /** Typed rows/state for the streaming weighted sample. */
 case class WeightedRow(g: String, id: Long, w: Double, key: Double)
 case class SampleHeap(entries: List[(Double, Long, Double)], seen: Long)
@@ -1147,6 +1158,94 @@ object StreamingOps {
               out += EwmaPoint(r.series, r.day, r.n_events,
                 r.value_micro, e)
               st = Some(EwmaState(r.day.getTime, e))
+            }
+            st.foreach(state.update)
+            if (streaming && sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(sorted.last.day.getTime,
+                  state.getCurrentWatermarkMs() + 1) + evictAfterMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming Holt trend feed (w13): the stateful form of x68's
+    * prefix fold — [[ewmaPoints]]'s lifecycle (same daily input
+    * contract, same watermark/timeout discipline) with the state
+    * widened to (level, trend) and the one-step-ahead forecast read
+    * from the PRIOR state before it updates, exactly what the batch
+    * lag window reads. Per-series state is one (lastDay, level,
+    * trend) triple — 24 bytes vs the window form's co-located daily
+    * history.
+    *
+    * Every step is `Math.floorDiv` — the same TRUE floor the batch
+    * fold's offset identity `(n + C·d) div d − C` computes (they
+    * agree exactly for |n| < C·d, which the shared
+    * [[graft.ext.Timeseries.holtDaily]] magnitude guard enforces),
+    * so `holtDisplay(holtPoints(holtDaily(e)))` ≡ `holtTrend(e)` row
+    * for row and w13 shares x68's oracle verbatim. Trend state goes
+    * NEGATIVE on declines; floorDiv, not `/`, is load-bearing there
+    * (truncating `/` would split the twins on the first falling day).
+    *
+    * Cross-batch caveat: identical to w12 — state folds in arrival
+    * order; the upstream daily aggregation's watermark is what makes
+    * out-of-order days impossible in production.
+    */
+  def holtPoints(daily: DataFrame,
+                 alphaNum: Long = 3L, alphaDen: Long = 10L,
+                 betaNum: Long = 2L, betaDen: Long = 10L,
+                 stateRetention: String = "60 days",
+                 evictAfterMs: Long = 60L * 86400 * 1000)
+      : Dataset[HoltPoint] = {
+    require(alphaNum >= 1 && alphaNum <= alphaDen,
+      "alpha must lie in (0, 1]")
+    require(betaNum >= 1 && betaNum <= betaDen,
+      "beta must lie in (0, 1]")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val streaming = daily.isStreaming
+    val withTs = daily.withColumn("day_ts",
+      to_timestamp(col("day")))
+    val src = if (streaming) withTs.withWatermark("day_ts", stateRetention)
+      else withTs
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
+      .filter(col("series").isNotNull && col("day").isNotNull)
+      .select(col("series"), col("day"), col("n_events"),
+        col("value_micro"), col("day_ts"))
+      .as[EwmaDaily]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append, timeoutConf) {
+        (series: String, rows: Iterator[EwmaDaily],
+         state: GroupState[HoltState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.day.getTime)
+            val out = scala.collection.mutable.ListBuffer.empty[HoltPoint]
+            var st = state.getOption
+            sorted.foreach { r =>
+              st match {
+                case Some(s) =>
+                  val lp = Math.floorDiv(alphaNum * r.value_micro +
+                    (alphaDen - alphaNum) *
+                      (s.levelMicro + s.trendMicro), alphaDen)
+                  val bp = Math.floorDiv(
+                    betaNum * (lp - s.levelMicro) +
+                      (betaDen - betaNum) * s.trendMicro, betaDen)
+                  val f = s.levelMicro + s.trendMicro
+                  out += HoltPoint(r.series, r.day, r.n_events,
+                    r.value_micro, lp, bp, Some(f),
+                    Some(r.value_micro - f))
+                  st = Some(HoltState(r.day.getTime, lp, bp))
+                case None =>
+                  out += HoltPoint(r.series, r.day, r.n_events,
+                    r.value_micro, r.value_micro, 0L, None, None)
+                  st = Some(HoltState(r.day.getTime, r.value_micro, 0L))
+              }
             }
             st.foreach(state.update)
             if (streaming && sorted.nonEmpty)

@@ -1017,6 +1017,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("holt points: stateful batch form ≡ the x68 prefix fold") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sfDir)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDate(1)) -> r.toSeq.drop(2)).toMap
+    val stateful = keyed(graft.ext.Timeseries.holtDisplay(
+      StreamingOps.holtPoints(
+        graft.ext.Timeseries.holtDaily(ev)).toDF()))
+    val window = keyed(graft.ext.Timeseries.holtTrend(ev))
+    assert(stateful == window && stateful.nonEmpty)
+  }
+
+  test("streaming holt: state carries across micro-batches and the " +
+    "trend survives negative on a decline") {
+    import spark.implicits._
+    def d(s: String, day: String, n: Long, v: Long) =
+      (s, java.sql.Date.valueOf(day), n, v)
+    val dir = Files.createTempDirectory("holt_src").toFile
+    def stamp(m: Long): Unit = dir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.lastModified() > m)
+      .foreach(f => assert(f.setLastModified(m)))
+    // micro-batch 1: "a" seeds (300M, 0) then folds the 250M decline:
+    // l = (750M + 7*300M) div 10 = 285M, b = floor(2*(-15M)/10) = -3M
+    Seq(d("a", "2024-01-01", 1L, 300000000L),
+        d("a", "2024-01-02", 1L, 250000000L))
+      .toDF("series", "day", "n_events", "value_micro")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(1000000L)
+    // micro-batch 2: day 3 folds against the STORED (285M, -3M):
+    // l = (3*200M + 7*282M) div 10 = 257.4M,
+    // b = floor((2*(257.4M-285M) + 8*(-3M))/10) = floor(-79.2M/10)
+    //   = -7.92M; forecast = 285M - 3M = 282M
+    Seq(d("a", "2024-01-03", 1L, 200000000L))
+      .toDF("series", "day", "n_events", "value_micro")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    stamp(2000000L)
+    val streamIn = spark.readStream
+      .schema("series STRING, day DATE, n_events LONG, value_micro LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = StreamingOps.holtPoints(streamIn)
+      .writeStream.format("memory").queryName("holt_points")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("holt_points").collect()
+        .map(r => (r.getDate(1).toString, r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6))).sorted.toSeq
+      assert(got == Seq(
+        ("2024-01-01", 300000000L, 0L, -1L),
+        ("2024-01-02", 285000000L, -3000000L, 300000000L),
+        ("2024-01-03", 257400000L, -7920000L, 282000000L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("frozen-index assignment: micro-batched stream equals the " +
     "batch form — stateless serving, no stream-side shuffle") {
     // the s29 serving path: train once (write time), then the SAME
