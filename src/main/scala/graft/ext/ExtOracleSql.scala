@@ -1849,6 +1849,63 @@ FROM te$rounds e
 LEFT JOIN sup$rounds s ON e.u = s.u AND e.v = s.v"""
   }
 
+  /** x69 forward chain: `lb$i` = per node the MIN label seen within
+    * i hops (x48's min-propagation along edge DIRECTION). The final
+    * level is MATERIALIZED — the backward chain reads it once per
+    * round and DuckDB inlines per reference.
+    */
+  private def sccLabCtes(hops: Int): String =
+    (1 to hops).map { i =>
+      val mat = if (i == hops) "MATERIALIZED " else ""
+      s"""lb$i AS $mat(
+  SELECT node, MIN(lab) AS lab FROM (
+    SELECT node, lab FROM lb${i - 1}
+    UNION ALL
+    SELECT e.dst AS node, l.lab FROM lb${i - 1} l
+    JOIN e ON l.node = e.src
+  ) GROUP BY 1
+)"""
+    }.mkString(", ")
+
+  /** x69 backward chain: flags walk edges BACKWARD from each color
+    * root, gated to the root's own color — every level MATERIALIZED
+    * (each is referenced by the next level and the final rollup).
+    */
+  private def sccFlagCtes(hops: Int): String =
+    (1 to hops).map { i =>
+      s"""fg$i AS MATERIALIZED (
+  SELECT DISTINCT node, lab FROM (
+    SELECT node, lab FROM fg${i - 1}
+    UNION ALL
+    SELECT e.src AS node, f.lab
+    FROM fg${i - 1} f
+    JOIN e ON e.dst = f.node
+    JOIN lb$SccHops lv ON lv.node = e.src AND lv.lab = f.lab
+  )
+)"""
+    }.mkString(", ")
+
+  private val SccHops = 4
+
+  /** x69: bounded strongly connected components — 4 unrolled
+    * [[sccLabCtes]] min-label hops, roots seed the flag frame, 4
+    * [[sccFlagCtes]] backward-confirmation hops, confirmed members
+    * roll up to per-SCC sizes.
+    */
+  val x69Scc: String = s"""WITH $ChainSeq, $ChainEdges,
+lb0 AS (
+  SELECT node, node AS lab FROM nodes
+), ${sccLabCtes(SccHops)},
+fg0 AS MATERIALIZED (
+  SELECT node, lab FROM lb$SccHops WHERE node = lab
+), ${sccFlagCtes(SccHops)},
+sizes AS (
+  SELECT lab, CAST(COUNT(*) AS BIGINT) AS scc_size
+  FROM fg$SccHops GROUP BY 1
+)
+SELECT f.node AS node_id, f.lab AS scc_id, s.scc_size
+FROM fg$SccHops f JOIN sizes s ON f.lab = s.lab"""
+
   /** One unrolled x66 walk step: walk w at node v takes capped-
     * adjacency rank `hash64("w|s|v") % outdeg + 1` — the shared md5
     * lane replayed move-for-move. MATERIALIZED: each step is

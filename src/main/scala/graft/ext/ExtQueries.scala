@@ -1437,6 +1437,15 @@ object ExtQueries {
       minCommon = 2, maxDegree = 32, topN = 100)
   }
 
+  /** Bounded strongly connected components (x69):
+    * [[Graph.stronglyConnected]] over the chain graph — one coloring
+    * round with a 4-hop horizon, confirmed feedback rings only.
+    */
+  def stronglyConnected(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Graph.stronglyConnected(chainGraphEdges(spark, sfDir), hops = 4)
+  }
+
   /** Session-memoized x34 LPA partition of the chain graph — the
     * trained-quantizer lifecycle applied to communities: in
     * production the assignment is computed ONCE at write time and

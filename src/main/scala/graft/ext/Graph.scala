@@ -1262,6 +1262,80 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** Bounded strongly connected components (x69): the DIRECTED
+    * complement of x48's undirected components — a directed cycle is
+    * mutual reachability, which no undirected component can certify
+    * (x48 merges a retweet chain and its audience into one blob; the
+    * SCC is the actual feedback ring). One round of the distributed
+    * coloring algorithm with a hop horizon, the standard scalable
+    * shape (Hong et al.'s coloring / FW-BW without recursion):
+    *
+    * 1. FORWARD min-label: `lab(u)` = the smallest node id that
+    *    reaches u within `hops` (including u itself) — x48's
+    *    min-propagation run along edge direction;
+    * 2. BACKWARD confirmation: each color ROOT m (`lab(m) = m`)
+    *    flags itself, and the flag walks edges BACKWARD for `hops`
+    *    rounds, but only across nodes of the SAME color — a flagged
+    *    node both reaches m (it holds m's label... no: m reaches it,
+    *    by the label) and reaches back to m (the backward walk), so
+    *    flagged nodes of color m are exactly members of m's SCC
+    *    within the horizon.
+    *
+    * Bounded contract (the x38/x50/x60 horizon discipline, honest
+    * and spec-pinned): members whose mutual paths exceed `hops` are
+    * missed, and a node whose color root lies OUTSIDE its own SCC
+    * resolves only in later peel rounds of the full algorithm —
+    * this operator reports the FIRST round's confirmed members
+    * (every reported (node, scc) pair is correct; completeness is
+    * what the horizon trades).
+    *
+    * 100 TB shape: label state is |V| rows of two longs; per round
+    * ONE equi-join + one groupBy-MIN (forward) or one equi-join +
+    * distinct (backward), all map-side-collapsible. No per-node
+    * reach sets, no all-pairs state — the coloring trick exists
+    * precisely to avoid x54-style (seed, node) grain on all nodes.
+    *
+    * Returns (node_id, scc_id, scc_size) for confirmed members,
+    * scc_size ≥ 2 filterable by the caller (roots always confirm
+    * themselves, so singleton rows are the no-cycle-found verdict).
+    */
+  def stronglyConnected(edges: DataFrame, hops: Int = 4): DataFrame = {
+    require(hops >= 1, "need at least one hop")
+    val e = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    var lab = graft.std.Materialize.once(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+        .withColumn("lab", col("node")))
+    for (_ <- 1 to hops) {
+      val stepped = lab.join(e, lab("node") === e("src"))
+        .select(e("dst").as("node"), col("lab"))
+      lab = graft.std.Materialize.once(
+        lab.unionByName(stepped)
+          .groupBy(col("node")).agg(min(col("lab")).as("lab")))
+    }
+    var flagged = graft.std.Materialize.once(
+      lab.filter(col("node") === col("lab")))
+    for (_ <- 1 to hops) {
+      val back = flagged.join(e, flagged("node") === e("dst"))
+        .select(e("src").as("node"), flagged("lab"))
+        .join(lab.withColumnRenamed("lab", "_vl"), Seq("node"))
+        .filter(col("lab") === col("_vl"))
+        .select(col("node"), col("lab"))
+      flagged = graft.std.Materialize.once(
+        flagged.unionByName(back).distinct())
+    }
+    val sizes = flagged.groupBy(col("lab"))
+      .agg(count(lit(1)).as("scc_size"))
+    flagged.join(sizes, Seq("lab"))
+      .select(col("node").as("node_id"), col("lab").as("scc_id"),
+        col("scc_size"))
+  }
+
   /** Deterministic random-walk corpus (x66): one walk per seed, the
     * DeepWalk/node2vec data-generation step — graph-embedding
     * trainers consume walk SEQUENCES the way language models consume

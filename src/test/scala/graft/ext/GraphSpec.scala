@@ -894,6 +894,50 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L), s"got $got")
   }
 
+  // ---- x69: bounded strongly connected components ----
+
+  private def sccOf(edges: Seq[(Long, Long)], hops: Int = 4)
+      : Map[Long, (Long, Long)] =
+    Graph.stronglyConnected(edges.toDF("src", "dst"), hops)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("scc: a cycle with a tail — the ring confirms, the tail is " +
+    "reachable but not mutual and stays silent") {
+    val got = sccOf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    assert(got == Map(1L -> ((1L, 3L)), 2L -> ((1L, 3L)),
+      3L -> ((1L, 3L))), s"got $got")
+  }
+
+  test("scc: disjoint rings get their own ids; a pure DAG reports " +
+    "only singleton roots") {
+    val rings = sccOf(Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 5L)))
+    assert(rings == Map(1L -> ((1L, 2L)), 2L -> ((1L, 2L)),
+      5L -> ((5L, 2L)), 6L -> ((5L, 2L))), s"got $rings")
+    val dag = sccOf(Seq((1L, 2L), (2L, 3L)))
+    assert(dag == Map(1L -> ((1L, 1L))),
+      s"non-root DAG nodes are unresolved, not claimed: $dag")
+  }
+
+  test("scc: the hop horizon truncates honestly — a 6-ring confirms " +
+    "only its root at hops=2 and the whole ring at hops=6") {
+    val ring6 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 1L))
+    val short = sccOf(ring6, hops = 2)
+    assert(short == Map(1L -> ((1L, 1L))), s"got $short")
+    val full = sccOf(ring6, hops = 6)
+    assert(full.keySet == (1L to 6L).toSet &&
+      full.values.forall(_ == ((1L, 6L))), s"got $full")
+  }
+
+  test("scc: a color root OUTSIDE the ring suppresses it — the " +
+    "documented first-round contract") {
+    // 0 -> 1 <-> 2: both ring members take color 0, whose root is
+    // not in their SCC; round one reports only the singleton root
+    val got = sccOf(Seq((0L, 1L), (1L, 2L), (2L, 1L)))
+    assert(got == Map(0L -> ((0L, 1L))), s"got $got")
+  }
+
   // ---- x66: deterministic random walks ----
 
   private def walksOf(edges: Seq[(Long, Long)], seeds: Seq[Long],
