@@ -1948,7 +1948,7 @@ $levels"""
   }
 
   /** x67: link prediction — symmetric support, exact degrees, pair
-    * witnesses through the rank-capped adjacency (cap 32) only,
+    * witnesses through the rank-capped adjacency (cap 16) only,
     * AA terms as `round(1/round(ln(deg),9),9)` DECIMAL(28,9) sums
     * (the t56 rounded-log discipline), linked pairs excluded, top
     * 100 by (aa DESC, u, v).
@@ -1968,7 +1968,7 @@ und AS MATERIALIZED (
     SELECT a AS w, b AS n,
            row_number() OVER (PARTITION BY a ORDER BY b) AS r
     FROM und
-  ) WHERE r <= 32
+  ) WHERE r <= 16
 ), cand AS (
   SELECT x.n AS u, y.n AS v, x.w
   FROM adjc x JOIN adjc y ON x.w = y.w AND x.n < y.n

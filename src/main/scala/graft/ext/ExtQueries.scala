@@ -1428,13 +1428,16 @@ object ExtQueries {
 
   /** Link prediction (x67): [[Graph.linkPrediction]] over the chain
     * graph — top-100 unlinked pairs by Adamic–Adar score witnessed
-    * through the rank-capped (32) adjacency, at least 2 shared
-    * neighbors.
+    * through the rank-capped adjacency, at least 2 shared neighbors.
+    * Cap 16: the chain graph's hubs SATURATE the cap, so pair volume
+    * is ≈ \|V\|·cap² — 16 prices the query at ~5M pair rows where 32
+    * paid ~20M for the same top-100 (the probe's measured cap² knob,
+    * turned).
     */
   def linkPrediction(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     Graph.linkPrediction(chainGraphEdges(spark, sfDir),
-      minCommon = 2, maxDegree = 32, topN = 100)
+      minCommon = 2, maxDegree = 16, topN = 100)
   }
 
   /** Bounded strongly connected components (x69):
