@@ -1849,6 +1849,46 @@ FROM te$rounds e
 LEFT JOIN sup$rounds s ON e.u = s.u AND e.v = s.v"""
   }
 
+  /** x70: directed triad census — one two-hop path CTE closed by one
+    * arc join per motif; cycles canonicalize on the minimum node,
+    * FFL roles roll up via a three-way union, full-outer stitch with
+    * zero fills.
+    */
+  val x70TriadCensus: String = s"""WITH $ChainSeq, $ChainEdges,
+paths AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  WHERE e1.src <> e2.dst
+), ffl AS MATERIALIZED (
+  SELECT p.a, p.b, p.c
+  FROM paths p JOIN e ON e.src = p.a AND e.dst = p.c
+), cyc AS MATERIALIZED (
+  SELECT p.a, p.b, p.c
+  FROM paths p JOIN e ON e.src = p.c AND e.dst = p.a
+  WHERE p.a <= LEAST(p.b, p.c)
+), cycCounts AS (
+  SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_cycles FROM (
+    SELECT a AS node_id FROM cyc
+    UNION ALL SELECT b FROM cyc
+    UNION ALL SELECT c FROM cyc
+  ) GROUP BY 1
+), fflCounts AS (
+  SELECT node_id, CAST(SUM(s) AS BIGINT) AS n_ffl_source,
+         CAST(SUM(m) AS BIGINT) AS n_ffl_middle,
+         CAST(SUM(k) AS BIGINT) AS n_ffl_sink FROM (
+    SELECT a AS node_id, 1 AS s, 0 AS m, 0 AS k FROM ffl
+    UNION ALL SELECT b, 0, 1, 0 FROM ffl
+    UNION ALL SELECT c, 0, 0, 1 FROM ffl
+  ) GROUP BY 1
+)
+SELECT COALESCE(cy.node_id, ff.node_id) AS node_id,
+       COALESCE(cy.n_cycles, 0) AS n_cycles,
+       COALESCE(ff.n_ffl_source, 0) AS n_ffl_source,
+       COALESCE(ff.n_ffl_middle, 0) AS n_ffl_middle,
+       COALESCE(ff.n_ffl_sink, 0) AS n_ffl_sink
+FROM cycCounts cy FULL OUTER JOIN fflCounts ff
+  ON cy.node_id = ff.node_id"""
+
   /** x69 forward chain: `lb$i` = per node the MIN label seen within
     * i hops (x48's min-propagation along edge DIRECTION). The final
     * level is MATERIALIZED — the backward chain reads it once per

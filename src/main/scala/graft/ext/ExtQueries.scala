@@ -1449,6 +1449,15 @@ object ExtQueries {
     Graph.stronglyConnected(chainGraphEdges(spark, sfDir), hops = 4)
   }
 
+  /** Directed triad census (x70): [[Graph.triadCensus]] over the
+    * chain graph — per-node cycle memberships and feed-forward
+    * source/middle/sink roles.
+    */
+  def triadCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Graph.triadCensus(chainGraphEdges(spark, sfDir))
+  }
+
   /** Session-memoized x34 LPA partition of the chain graph — the
     * trained-quantizer lifecycle applied to communities: in
     * production the assignment is computed ONCE at write time and

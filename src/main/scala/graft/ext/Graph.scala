@@ -1262,6 +1262,72 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** Directed triad census (x70): per node, how often it sits in a
+    * feedback CYCLE (a→b→c→a) vs each role of a FEED-FORWARD
+    * triangle (a→b→c with the a→c shortcut) — the two directed
+    * motifs x31's undirected counts cannot tell apart, and the
+    * distinction is the point: the feed-forward loop is the
+    * overwhelmingly over-represented motif in real information
+    * networks (Milo et al.'s motif census) while cycles mark
+    * feedback/collusion (x69's rings, at triangle grain). A node's
+    * FFL role matters separately — sources originate, middles relay,
+    * sinks aggregate — so the census reports all three.
+    *
+    * Instances are arc-set occurrences, counted independently (the
+    * standard subgraph census): a cycle whose chord also closes a
+    * feed-forward triangle contributes to BOTH counts, and
+    * reciprocal edges yield both rotations as distinct cycles.
+    * Cycles canonicalize on their minimum node so each instance
+    * counts once.
+    *
+    * 100 TB shape: ONE two-hop path join (Σ_b in(b)·out(b) rows —
+    * the same wedge volume x47's transition census pays; a motif
+    * census at planetary scale samples wedges, which composes here
+    * by pre-sampling the edge frame) closed by ONE arc equi-join per
+    * motif, then per-node partial-agg rollups. No state beyond the
+    * pinned edge list.
+    *
+    * Returns (node_id, n_cycles, n_ffl_source, n_ffl_middle,
+    * n_ffl_sink) for nodes appearing in at least one motif.
+    */
+  def triadCensus(edges: DataFrame): DataFrame = {
+    val e = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    val paths = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+      .filter(col("a") =!= col("c"))
+    val ffl = graft.std.Materialize.once(
+      paths.join(e.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c")))
+    val cyc = graft.std.Materialize.once(
+      paths.join(e.select(col("src").as("c"), col("dst").as("a")),
+          Seq("c", "a"))
+        .filter(col("a") <= least(col("b"), col("c"))))
+    val cycCounts = cyc
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_cycles"))
+    val fflCounts = ffl.select(col("a").as("node_id"),
+        lit(1L).as("_s"), lit(0L).as("_m"), lit(0L).as("_k"))
+      .unionByName(ffl.select(col("b").as("node_id"),
+        lit(0L).as("_s"), lit(1L).as("_m"), lit(0L).as("_k")))
+      .unionByName(ffl.select(col("c").as("node_id"),
+        lit(0L).as("_s"), lit(0L).as("_m"), lit(1L).as("_k")))
+      .groupBy(col("node_id"))
+      .agg(sum(col("_s")).as("n_ffl_source"),
+        sum(col("_m")).as("n_ffl_middle"),
+        sum(col("_k")).as("n_ffl_sink"))
+    cycCounts.join(fflCounts, Seq("node_id"), "full_outer")
+      .select(col("node_id"),
+        coalesce(col("n_cycles"), lit(0L)).as("n_cycles"),
+        coalesce(col("n_ffl_source"), lit(0L)).as("n_ffl_source"),
+        coalesce(col("n_ffl_middle"), lit(0L)).as("n_ffl_middle"),
+        coalesce(col("n_ffl_sink"), lit(0L)).as("n_ffl_sink"))
+  }
+
   /** Bounded strongly connected components (x69): the DIRECTED
     * complement of x48's undirected components — a directed cycle is
     * mutual reachability, which no undirected component can certify

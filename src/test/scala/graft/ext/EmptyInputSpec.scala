@@ -99,6 +99,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Graph.randomWalks(edges, seeds).collect().isEmpty)
     assert(Graph.linkPrediction(edges).collect().isEmpty)
     assert(Graph.stronglyConnected(edges).collect().isEmpty)
+    assert(Graph.triadCensus(edges).collect().isEmpty)
     // walks from seeds with NO edges: step 0 only (the seed itself)
     val oneSeed = Seq(Tuple1(7L)).toDF("seed")
     val w = Graph.randomWalks(edges, oneSeed).collect()

@@ -938,6 +938,50 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(0L -> ((0L, 1L))), s"got $got")
   }
 
+  // ---- x70: directed triad census ----
+
+  private def censusOf(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, Long, Long)] =
+    Graph.triadCensus(edges.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+
+  test("triads: a pure cycle counts once per node and is no FFL; a " +
+    "pure FFL assigns the three roles and is no cycle") {
+    val cyc = censusOf(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(cyc == Map(1L -> ((1L, 0L, 0L, 0L)), 2L -> ((1L, 0L, 0L, 0L)),
+      3L -> ((1L, 0L, 0L, 0L))), s"got $cyc")
+    val ffl = censusOf(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(ffl == Map(1L -> ((0L, 1L, 0L, 0L)), 2L -> ((0L, 0L, 1L, 0L)),
+      3L -> ((0L, 0L, 0L, 1L))), s"got $ffl")
+  }
+
+  test("triads: a chorded cycle is BOTH motifs — instances count " +
+    "independently") {
+    val got = censusOf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)))
+    assert(got == Map(1L -> ((1L, 1L, 0L, 0L)), 2L -> ((1L, 0L, 1L, 0L)),
+      3L -> ((1L, 0L, 0L, 1L))), s"got $got")
+  }
+
+  test("triads: full reciprocal triangle — both cycle rotations and " +
+    "every ordered FFL") {
+    val arcs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 1L), (1L, 3L))
+    val got = censusOf(arcs)
+    // two distinct cycles (1→2→3→1 and 1→3→2→1); all 6 ordered
+    // triples are FFLs, so each node plays each role twice
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall(_ == ((2L, 2L, 2L, 2L))), s"got $got")
+  }
+
+  test("triads: the middle role counts only closed wedges") {
+    // b relays a1→b→c and a2→b→c, but only a1→c closes
+    val got = censusOf(Seq((10L, 5L), (11L, 5L), (5L, 7L), (10L, 7L)))
+    assert(got == Map(10L -> ((0L, 1L, 0L, 0L)),
+      5L -> ((0L, 0L, 1L, 0L)), 7L -> ((0L, 0L, 0L, 1L))), s"got $got")
+  }
+
   // ---- x66: deterministic random walks ----
 
   private def walksOf(edges: Seq[(Long, Long)], seeds: Seq[Long],
