@@ -1029,6 +1029,39 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("walks: differential vs a driver-side replay with the real " +
+    "md5 lane — every pick, every dead end, both caps") {
+    def h64(s: String): Long =
+      graft.functions.Md5Lane.lane(s.getBytes("UTF-8"), 0, 7)
+    val rnd = new scala.util.Random(20260815L)
+    val edges = Seq.fill(400)(
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val seeds = Seq(0L, 3L, 9L, 17L, 29L)
+    for (cap <- Seq(3, 64)) {
+      val adj = edges.groupBy(_._1)
+        .map { case (s, es) => s -> es.map(_._2).sorted.take(cap) }
+      val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      for (w <- seeds) {
+        var node = w
+        expected((w, 0L)) = w
+        var s = 1
+        var alive = true
+        while (s <= 4 && alive) {
+          adj.get(node).filter(_.nonEmpty) match {
+            case Some(nbrs) =>
+              node = nbrs((h64(s"$w|$s|$node") % nbrs.size).toInt)
+              expected((w, s.toLong)) = node
+            case None => alive = false
+          }
+          s += 1
+        }
+      }
+      val got = walksOf(edges, seeds, steps = 4, cap = cap)
+      assert(got == expected.toMap, s"cap=$cap: got $got\nexp $expected")
+    }
+  }
+
   test("walks: distinct seeds diverge (the hash keys on walk id)") {
     // a 4-regular-ish graph where every node has several choices: two
     // walks from different seeds on the same node set should not be
