@@ -1,6 +1,48 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query minimums of a prior bench record, parsed from the
+    * BENCH_FULL.json layout this file writes (`"queries":{"k":v,…}`).
+    * Tolerant by design: a missing file, missing `queries` object, or
+    * unparseable value yields an empty/partial map and the guard just
+    * doesn't fire — a corrupt baseline must never fail the bench.
+    */
+  private[graft] def parseBaseline(json: String): Map[String, Double] = {
+    val marker = "\"queries\":{"
+    val at = json.indexOf(marker)
+    if (at < 0) Map.empty
+    else {
+      val start = at + marker.length
+      val end = json.indexOf("}", start)
+      if (end < 0) Map.empty
+      else json.substring(start, end).split(",").iterator.flatMap { kv =>
+        val c = kv.lastIndexOf(':')
+        if (c < 0) None
+        else {
+          val k = kv.substring(0, c).trim
+            .stripPrefix("\"").stripSuffix("\"")
+          try Some(k -> kv.substring(c + 1).trim.toDouble)
+          catch { case _: NumberFormatException => None }
+        }
+      }.toMap
+    }
+  }
+
+  /** Host-noise guard: is this query's min-of-reps anomalous against
+    * the prior committed record? Three rounds running, same-code
+    * records disagreed per-query by up to 55x (x35 0.42 vs 23.04 s)
+    * from host contention alone — min-of-3 is not enough when all
+    * three reps land in a contended window. Anomalous = BOTH >3x the
+    * baseline min AND >1 s absolute over it (the absolute floor keeps
+    * sub-second jitter — 0.1 -> 0.4 s — from triggering retries).
+    * Failed queries (min < 0) are never retried here; -1 must stay
+    * visible as a failure, not be retried into a fluke success.
+    */
+  private[graft] def isAnomalous(minSec: Double,
+                                 baseline: Option[Double]): Boolean =
+    minSec >= 0 && baseline.exists(b =>
+      b >= 0 && minSec > 3 * b && minSec > b + 1.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,13 +79,26 @@ object Bench {
       sys.env.get("SPARK_GRAFT_ONLY").map(SparkEntry.keyMatcher)
         .getOrElse(_ => true)
     val selected = SparkEntry.queries.filter(e => selectedKey(e._1))
+    // prior record for the outlier guard: the working-tree
+    // BENCH_FULL.json read BEFORE this run overwrites it (normally the
+    // committed min-of-3 record; override with SPARK_GRAFT_BENCH_BASELINE,
+    // set it to an absent path to disable the guard)
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/BENCH_FULL.json"))
+    val baseline: Map[String, Double] =
+      try parseBaseline(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(baselinePath)))
+      catch { case _: Throwable => Map.empty }
+    val maxRetries = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt)
     def storageUsedMb: Long = {
       val s = spark.sparkContext.getExecutorMemoryStatus.values
         .map { case (max, rem) => max - rem }.sum
       s / (1024 * 1024)
     }
     val samples = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
+      def oneRun(): Double = {
         val t0 = System.nanoTime()
         // noop-format write forces full evaluation of every column; a bare
         // count() would let Catalyst prune projection-shaped queries down
@@ -65,6 +120,23 @@ object Bench {
         graft.std.Materialize.releaseAll()
         t
       }
+      var runs = (1 to reps).map(_ => oneRun())
+      // outlier guard: a min-of-reps far above the prior committed
+      // record means ALL reps landed in a contended window — re-run
+      // (bounded) rather than commit a 55x host artifact as if it were
+      // a code regression. Queries still anomalous after the retries
+      // are flagged in the JSON so the record grades itself.
+      def minOk: Double = {
+        val ok = runs.filter(_ >= 0); if (ok.isEmpty) -1.0 else ok.min
+      }
+      var retries = 0
+      while (retries < maxRetries &&
+          isAnomalous(minOk, baseline.get(name))) {
+        retries += 1
+        System.err.println(f"[bench] $name retry $retries: min=$minOk%.3f" +
+          f" vs baseline=${baseline(name)}%.3f")
+        runs :+= oneRun()
+      }
       // leak telemetry between queries (stderr — the driver's stdout
       // tail budget is ~2.9 KB): registered pins must be 0 here, and
       // storage should hold only the session memos, flat across queries
@@ -72,6 +144,12 @@ object Bench {
         runs.map(r => f"$r%.3f").mkString(",")} pins=${
         graft.std.Materialize.pinCount} storageMB=$storageUsedMb")
       name -> runs
+    }
+    val anomalous = samples.collect {
+      case (name, runs) if isAnomalous(
+          { val ok = runs.filter(_ >= 0)
+            if (ok.isEmpty) -1.0 else ok.min },
+          baseline.get(name)) => name
     }
     val results = samples.map { case (name, runs) =>
       val ok = runs.filter(_ >= 0)
@@ -100,7 +178,12 @@ object Bench {
         case (k, runs) if runs.contains(-1.0) && runs.exists(_ >= 0) =>
           "\"" + k + "\""
       }.mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"flaky":$flaky,"full":"$outPath","sf":"$sfDir"}"""
+      // queries whose min stayed >3x (+1 s) over the prior committed
+      // record even after the bounded retries — either a real
+      // regression or a persistently contended host; both deserve a
+      // flag the reader can't miss
+      val anom = anomalous.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"flaky":$flaky,"anomalous":$anom,"full":"$outPath","sf":"$sfDir"}"""
     }
     def fileJson: String = {
       val all = samples.map { case (k, runs) =>

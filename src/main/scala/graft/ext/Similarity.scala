@@ -1294,6 +1294,13 @@ object Similarity {
       }
       Await.result(Future.sequence(perK), 2.hours)
         .reduce(_ unionByName _)
+    } catch { case e: Throwable =>
+      // a timed-out Await or one failed training must not leave the
+      // OTHER trainings running Spark jobs against a scope that is
+      // about to exit: interrupt them now. Any pin a straggler still
+      // registers lands unscoped (the token dies with the enclosing
+      // `scoped` block) and the next releaseAll reclaims it.
+      pool.shutdownNow(); throw e
     } finally pool.shutdown()
   }
 

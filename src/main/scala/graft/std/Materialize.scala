@@ -52,8 +52,24 @@ object Materialize {
 
   private val owner = new ThreadLocal[AnyRef]
 
+  /** Tokens of currently-live [[scoped]] blocks. Registration checks
+    * membership so a worker thread that adopted a token via
+    * [[withScope]] but registers AFTER the owning block exited falls
+    * back to an UNSCOPED pin (reclaimed by the next [[releaseAll]])
+    * instead of tagging the pin with a dead token nothing will ever
+    * release — the permanent-leak hazard on e.g. an elbow-sweep
+    * training Future that outlives its Await timeout.
+    */
+  private val liveTokens =
+    scala.collection.mutable.Set.empty[AnyRef]
+
   private def register(release: () => Unit): Unit =
-    synchronized { pins += ((owner.get(), release)) }
+    synchronized {
+      val tok = owner.get()
+      val effective =
+        if (tok != null && !liveTokens.contains(tok)) null else tok
+      pins += ((effective, release))
+    }
 
   /** Compute `df` once and return a frame whose reads never re-execute
     * the upstream plan. The pin is held until [[releaseAll]].
@@ -149,10 +165,12 @@ object Materialize {
     val token = new Object
     val prev = owner.get()
     owner.set(token)
+    synchronized { liveTokens += token }
     try f
     finally {
       owner.set(prev)
       val mine = synchronized {
+        liveTokens -= token
         val (s, rest) = pins.partition(_._1 eq token)
         pins.clear(); pins ++= rest
         s.toList
@@ -174,6 +192,13 @@ object Materialize {
     * `token` (from [[capturedScope]]), restoring the thread's prior
     * owner afterwards. The worker-thread half of the capture/adopt
     * pair.
+    *
+    * The caller should still join/await its workers INSIDE the
+    * enclosing [[scoped]] block (so their pins release with it), but
+    * a straggler that registers after the block exits is safe: the
+    * token is no longer live, so registration falls back to an
+    * unscoped pin and the next [[releaseAll]] reclaims it — late
+    * release, never a leak.
     */
   def withScope[T](token: AnyRef)(f: => T): T = {
     val prev = owner.get()

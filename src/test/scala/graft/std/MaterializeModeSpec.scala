@@ -82,4 +82,31 @@ class MaterializeModeSpec extends AnyFunSuite {
     Materialize.releaseAll()
     assert(!spark.sparkContext.getPersistentRDDs.contains(strayId))
   }
+
+  /** The r15 ADVICE hazard: a worker that adopts a scope token but
+    * registers AFTER the scoped block exited (an elbow-sweep training
+    * Future surviving its Await timeout) used to tag the pin with a
+    * dead token that neither the scope (already released) nor
+    * releaseAll (skips owner != null) would ever free. Registration
+    * now checks token LIVENESS and falls back to an unscoped pin, so
+    * the next releaseAll reclaims the straggler.
+    */
+  test("pins registered under a dead scope token fall back to " +
+    "unscoped and releaseAll reclaims them") {
+    import spark.implicits._
+    var token: AnyRef = null
+    Materialize.scoped { token = Materialize.capturedScope() }
+    // scope has exited: the token is dead
+    val late = Materialize.withScope(token) {
+      Materialize.once(Seq(5, 6).toDF("v"))
+    }
+    val lateId = late.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.contains(lateId))
+    Materialize.releaseAll()
+    assert(!spark.sparkContext.getPersistentRDDs.contains(lateId),
+      "a dead-token pin must be reclaimable by releaseAll")
+  }
 }
