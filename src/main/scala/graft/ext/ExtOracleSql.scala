@@ -1889,41 +1889,60 @@ SELECT COALESCE(cy.node_id, ff.node_id) AS node_id,
 FROM cycCounts cy FULL OUTER JOIN fflCounts ff
   ON cy.node_id = ff.node_id"""
 
-  /** x69 forward chain: `lb$i` = per node the MIN label seen within
-    * i hops (x48's min-propagation along edge DIRECTION). The final
-    * level is MATERIALIZED — the backward chain reads it once per
-    * round and DuckDB inlines per reference.
+  /** x69/x71 forward chain: `lb$i$sfx` = per node the MIN label seen
+    * within i hops (x48's min-propagation along edge DIRECTION) over
+    * edge relation `er`. The final level is MATERIALIZED — the
+    * backward chain reads it once per hop and DuckDB inlines per
+    * reference.
     */
-  private def sccLabCtes(hops: Int): String =
+  private def sccLabCtes(hops: Int, sfx: String = "",
+                         er: String = "e"): String =
     (1 to hops).map { i =>
       val mat = if (i == hops) "MATERIALIZED " else ""
-      s"""lb$i AS $mat(
+      s"""lb$i$sfx AS $mat(
   SELECT node, MIN(lab) AS lab FROM (
-    SELECT node, lab FROM lb${i - 1}
+    SELECT node, lab FROM lb${i - 1}$sfx
     UNION ALL
-    SELECT e.dst AS node, l.lab FROM lb${i - 1} l
-    JOIN e ON l.node = e.src
+    SELECT e.dst AS node, l.lab FROM lb${i - 1}$sfx l
+    JOIN $er e ON l.node = e.src
   ) GROUP BY 1
 )"""
     }.mkString(", ")
 
-  /** x69 backward chain: flags walk edges BACKWARD from each color
-    * root, gated to the root's own color — every level MATERIALIZED
-    * (each is referenced by the next level and the final rollup).
+  /** x69/x71 backward chain: flags walk edges BACKWARD from each
+    * color root, gated to the root's own color — every level
+    * MATERIALIZED (each is referenced by the next level and the
+    * final rollup).
     */
-  private def sccFlagCtes(hops: Int): String =
+  private def sccFlagCtes(hops: Int, sfx: String = "",
+                          er: String = "e"): String =
     (1 to hops).map { i =>
-      s"""fg$i AS MATERIALIZED (
+      s"""fg$i$sfx AS MATERIALIZED (
   SELECT DISTINCT node, lab FROM (
-    SELECT node, lab FROM fg${i - 1}
+    SELECT node, lab FROM fg${i - 1}$sfx
     UNION ALL
     SELECT e.src AS node, f.lab
-    FROM fg${i - 1} f
-    JOIN e ON e.dst = f.node
-    JOIN lb$SccHops lv ON lv.node = e.src AND lv.lab = f.lab
+    FROM fg${i - 1}$sfx f
+    JOIN $er e ON e.dst = f.node
+    JOIN lb$hops$sfx lv ON lv.node = e.src AND lv.lab = f.lab
   )
 )"""
     }.mkString(", ")
+
+  /** One full coloring round (the [[sccLabCtes]] forward chain seeded
+    * from `nr`, roots, the [[sccFlagCtes]] backward chain) — the CTE
+    * twin of `Graph.colorConfirmRound`, shared by x69 (one round over
+    * the whole graph) and x71 (one per peel round over the shrinking
+    * remainder). Confirmed members land in `fg$hops$sfx`.
+    */
+  private def sccRoundCtes(hops: Int, sfx: String, nr: String,
+                           er: String): String =
+    s"""lb0$sfx AS (
+  SELECT node, node AS lab FROM $nr
+), ${sccLabCtes(hops, sfx, er)},
+fg0$sfx AS MATERIALIZED (
+  SELECT node, lab FROM lb$hops$sfx WHERE node = lab
+), ${sccFlagCtes(hops, sfx, er)}"""
 
   private val SccHops = 4
 
@@ -1933,18 +1952,61 @@ FROM cycCounts cy FULL OUTER JOIN fflCounts ff
     * roll up to per-SCC sizes.
     */
   val x69Scc: String = s"""WITH $ChainSeq, $ChainEdges,
-lb0 AS (
-  SELECT node, node AS lab FROM nodes
-), ${sccLabCtes(SccHops)},
-fg0 AS MATERIALIZED (
-  SELECT node, lab FROM lb$SccHops WHERE node = lab
-), ${sccFlagCtes(SccHops)},
+${sccRoundCtes(SccHops, "", "nodes", "e")},
 sizes AS (
   SELECT lab, CAST(COUNT(*) AS BIGINT) AS scc_size
   FROM fg$SccHops GROUP BY 1
 )
 SELECT f.node AS node_id, f.lab AS scc_id, s.scc_size
 FROM fg$SccHops f JOIN sizes s ON f.lab = s.lab"""
+
+  private val SccPeelRounds = 3
+
+  /** x71: iterative-peel SCC — [[sccRoundCtes]] unrolled once per
+    * peel round; between rounds the node frame anti-joins away the
+    * round's confirmed members and the edge frame semi-joins to the
+    * remainder (both MATERIALIZED — each is referenced 2+ times and
+    * DuckDB inlines per reference). Labs are disjoint across rounds
+    * (every root confirms itself and is peeled), so sizes group by
+    * lab alone, exactly as the Spark side argues.
+    */
+  val x71SccPeel: String = {
+    val rounds = (1 to SccPeelRounds).map { r =>
+      val sfx = s"_$r"
+      val prelude =
+        if (r == 1) s"""n$sfx AS MATERIALIZED (
+  SELECT node FROM nodes
+), e$sfx AS MATERIALIZED (
+  SELECT src, dst FROM e
+)"""
+        else {
+          val p = s"_${r - 1}"
+          s"""n$sfx AS MATERIALIZED (
+  SELECT n.node FROM n$p n
+  LEFT JOIN fg$SccHops$p f ON n.node = f.node
+  WHERE f.node IS NULL
+), e$sfx AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e$p e
+  JOIN n$sfx a ON e.src = a.node
+  JOIN n$sfx b ON e.dst = b.node
+)"""
+        }
+      s"$prelude,\n${sccRoundCtes(SccHops, sfx, s"n$sfx", s"e$sfx")}"
+    }.mkString(",\n")
+    val unioned = (1 to SccPeelRounds).map(r =>
+      s"SELECT node, lab, CAST($r AS INTEGER) AS peel_round" +
+        s" FROM fg${SccHops}_$r").mkString("\n  UNION ALL ")
+    s"""WITH $ChainSeq, $ChainEdges,
+$rounds,
+allf AS MATERIALIZED (
+  $unioned
+), sizes AS (
+  SELECT lab, CAST(COUNT(*) AS BIGINT) AS scc_size
+  FROM allf GROUP BY 1
+)
+SELECT f.node AS node_id, f.lab AS scc_id, s.scc_size, f.peel_round
+FROM allf f JOIN sizes s ON f.lab = s.lab"""
+  }
 
   /** One unrolled x66 walk step: walk w at node v takes capped-
     * adjacency rank `hash64("w|s|v") % outdeg + 1` — the shared md5
@@ -1963,16 +2025,19 @@ FROM fg$SccHops f JOIN sizes s ON f.lab = s.lab"""
 )"""
     }.mkString(", ")
 
-  /** x66: deterministic random walks — rank-capped adjacency (cap 64,
-    * neighbors ordered by node id), 4 unrolled [[walkStepCtes]] hops
-    * from the every-100th-part seed panel, dead ends terminating.
+  private val WalkSteps = 4
+
+  /** The x66 walk corpus as a reusable CTE fragment (rank-capped
+    * adjacency, every-100th-part seed panel, [[walkStepCtes]] chain,
+    * level union as `walks`) — written once, read by x66 (the corpus
+    * itself) and x72 (the skip-gram consumer). `walks` MATERIALIZED:
+    * x72 self-joins it and DuckDB inlines per reference.
     */
-  val x66RandomWalks: String = {
-    val steps = 4
+  private def walkCorpusCtes(steps: Int): String = {
     val levels = (0 to steps).map(s =>
-      s"""SELECT walk_id, CAST($s AS BIGINT) AS step, node AS node_id
-  FROM w$s""").mkString("\nUNION ALL\n")
-    s"""WITH $ChainSeq, $ChainEdges, adj AS (
+      s"""  SELECT walk_id, CAST($s AS BIGINT) AS step, node AS node_id
+  FROM w$s""").mkString("\n  UNION ALL\n")
+    s"""adj AS (
   SELECT src, dst,
          row_number() OVER (PARTITION BY src ORDER BY dst) AS r
   FROM e
@@ -1983,9 +2048,33 @@ FROM fg$SccHops f JOIN sizes s ON f.lab = s.lab"""
 ), w0 AS (
   SELECT DISTINCT p_partkey AS walk_id, p_partkey AS node
   FROM part WHERE p_partkey % 100 = 0
-), ${walkStepCtes(steps)}
-$levels"""
+), ${walkStepCtes(steps)},
+walks AS MATERIALIZED (
+$levels
+)"""
   }
+
+  /** x66: deterministic random walks — rank-capped adjacency (cap 64,
+    * neighbors ordered by node id), 4 unrolled [[walkStepCtes]] hops
+    * from the every-100th-part seed panel, dead ends terminating.
+    */
+  val x66RandomWalks: String =
+    s"""WITH $ChainSeq, $ChainEdges, ${walkCorpusCtes(WalkSteps)}
+SELECT walk_id, step, node_id FROM walks"""
+
+  /** x72: skip-gram pair counts over the x66 walk corpus — one
+    * self-join of `walks` on walk_id with |step delta| in [1, 2],
+    * exact counts per (center, context). The word2vec data step;
+    * deterministic because the walks are.
+    */
+  val x72SkipGramPairs: String =
+    s"""WITH $ChainSeq, $ChainEdges, ${walkCorpusCtes(WalkSteps)}
+SELECT c.node_id AS center, o.node_id AS context,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM walks c JOIN walks o
+  ON c.walk_id = o.walk_id AND o.step <> c.step
+ AND abs(o.step - c.step) <= 2
+GROUP BY 1, 2"""
 
   /** x67: link prediction — symmetric support, exact degrees, pair
     * witnesses through the rank-capped adjacency (cap 16) only,

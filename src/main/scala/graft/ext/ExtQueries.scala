@@ -1426,6 +1426,16 @@ object ExtQueries {
       steps = 4, maxDegree = 64)
   }
 
+  /** Skip-gram pairs (x72): [[Graph.skipGramPairs]] over the x66
+    * walk corpus (same seeds, steps, cap — the oracle shares the walk
+    * CTE fragment verbatim so corpus and consumer cannot drift),
+    * window 2 — the word2vec training-pair table for the chain graph.
+    */
+  def skipGramPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Graph.skipGramPairs(randomWalks(spark, sfDir), window = 2)
+  }
+
   /** Link prediction (x67): [[Graph.linkPrediction]] over the chain
     * graph — top-100 unlinked pairs by Adamic–Adar score witnessed
     * through the rank-capped adjacency, at least 2 shared neighbors.
@@ -1447,6 +1457,18 @@ object ExtQueries {
   def stronglyConnected(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     Graph.stronglyConnected(chainGraphEdges(spark, sfDir), hops = 4)
+  }
+
+  /** Iterative-peel SCC (x71): [[Graph.stronglyConnectedPeel]] over
+    * the chain graph — 3 peel rounds of the 4-hop coloring kernel, so
+    * rings whose color root is an external feeder (silent in x69's
+    * single round) surface with the peel round that found them.
+    */
+  def stronglyConnectedPeel(spark: SparkSession,
+                            sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Graph.stronglyConnectedPeel(chainGraphEdges(spark, sfDir),
+      hops = 4, peelRounds = 3)
   }
 
   /** Directed triad census (x70): [[Graph.triadCensus]] over the

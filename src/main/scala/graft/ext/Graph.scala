@@ -1353,7 +1353,8 @@ object Graph {
     * resolves only in later peel rounds of the full algorithm —
     * this operator reports the FIRST round's confirmed members
     * (every reported (node, scc) pair is correct; completeness is
-    * what the horizon trades).
+    * what the horizon trades). [[stronglyConnectedPeel]] (x71) is
+    * the iterative completion when those shadowed rings matter.
     *
     * 100 TB shape: label state is |V| rows of two longs; per round
     * ONE equi-join + one groupBy-MIN (forward) or one equi-join +
@@ -1372,11 +1373,26 @@ object Graph {
         .filter(col("src").isNotNull && col("dst").isNotNull &&
           col("src") =!= col("dst"))
         .distinct())
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    val flagged = colorConfirmRound(e, nodes, hops)
+    val sizes = flagged.groupBy(col("lab"))
+      .agg(count(lit(1)).as("scc_size"))
+    flagged.join(sizes, Seq("lab"))
+      .select(col("node").as("node_id"), col("lab").as("scc_id"),
+        col("scc_size"))
+  }
+
+  /** One coloring round of the SCC algorithm (the x69 kernel, shared
+    * with [[stronglyConnectedPeel]]): forward min-label for `hops`
+    * rounds, then backward same-color confirmation from each root.
+    * Returns the confirmed (node, lab) frame, materialized.
+    */
+  private def colorConfirmRound(e: DataFrame, nodes: DataFrame,
+                                hops: Int): DataFrame = {
     var lab = graft.std.Materialize.once(
-      e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node")))
-        .distinct()
-        .withColumn("lab", col("node")))
+      nodes.withColumn("lab", col("node")))
     for (_ <- 1 to hops) {
       val stepped = lab.join(e, lab("node") === e("src"))
         .select(e("dst").as("node"), col("lab"))
@@ -1395,11 +1411,80 @@ object Graph {
       flagged = graft.std.Materialize.once(
         flagged.unionByName(back).distinct())
     }
-    val sizes = flagged.groupBy(col("lab"))
+    flagged
+  }
+
+  /** Iterative-peel strongly connected components (x71): the FW-BW/
+    * coloring completion of [[stronglyConnected]]. One coloring round
+    * confirms exactly the SCCs whose color root lies INSIDE them; a
+    * ring whose min-label arrives from an external feeder node (the
+    * high-in-degree-hub case — precisely the fraud/feedback rings the
+    * operator exists for) stays silent. The standard completion PEELS:
+    * remove every confirmed node (roots always confirm themselves, so
+    * each round removes at least the minimum remaining node — progress
+    * is guaranteed), restrict edges to the remainder, recolor, confirm
+    * again, for a bounded number of rounds.
+    *
+    * Bounded contract (two knobs, both honest): `hops` truncates
+    * long mutual paths exactly as x69 documents; `peelRounds` bounds
+    * how many layers of external-root shadowing resolve. Every
+    * reported (node, scc) pair is correct; completeness is what the
+    * two horizons trade. `peel_round` in the output says which round
+    * confirmed each member — a direct observability readout of how
+    * deep the shadowing ran.
+    *
+    * 100 TB shape: each peel round is the x69 kernel unchanged (per
+    * hop ONE equi-join + groupBy-MIN forward, one equi-join + distinct
+    * backward; label state two longs per node) plus TWO anti/semi
+    * joins to shrink the node and edge frames — and the frames only
+    * ever SHRINK, so round r+1 is strictly cheaper than round r. The
+    * early exit on an empty remainder costs one count on a pinned
+    * frame.
+    *
+    * Returns (node_id, scc_id, scc_size, peel_round).
+    */
+  def stronglyConnectedPeel(edges: DataFrame, hops: Int = 4,
+                            peelRounds: Int = 3): DataFrame = {
+    require(hops >= 1, "need at least one hop")
+    require(peelRounds >= 1, "need at least one peel round")
+    var e = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    var nodes = graft.std.Materialize.once(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct())
+    val perRound = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= peelRounds && !exhausted) {
+      val flagged = colorConfirmRound(e, nodes, hops)
+      perRound += flagged.select(col("node"), col("lab"),
+        lit(r).as("peel_round"))
+      if (r < peelRounds) {
+        nodes = graft.std.Materialize.once(
+          nodes.join(flagged.select(col("node")), Seq("node"),
+            "left_anti"))
+        if (nodes.isEmpty) exhausted = true
+        else e = graft.std.Materialize.once(
+          e.join(nodes.select(col("node").as("src")), Seq("src"))
+            .join(nodes.select(col("node").as("dst")), Seq("dst"))
+            .select(col("src"), col("dst")))
+      }
+      r += 1
+    }
+    // labs are disjoint across rounds (a round's roots are remaining
+    // nodes, and every root was itself confirmed and peeled), so the
+    // per-SCC size groups by lab alone
+    val allf = graft.std.Materialize.once(
+      perRound.reduce(_ unionByName _))
+    val sizes = allf.groupBy(col("lab"))
       .agg(count(lit(1)).as("scc_size"))
-    flagged.join(sizes, Seq("lab"))
+    allf.join(sizes, Seq("lab"))
       .select(col("node").as("node_id"), col("lab").as("scc_id"),
-        col("scc_size"))
+        col("scc_size"), col("peel_round"))
   }
 
   /** Deterministic random-walk corpus (x66): one walk per seed, the
@@ -1467,6 +1552,43 @@ object Graph {
     }
     levels.reduce(_ unionByName _)
       .select(col("walk_id"), col("step"), col("node").as("node_id"))
+  }
+
+  /** Skip-gram pair counts (x72): the word2vec data step over a walk
+    * corpus — for every walk position, each neighbor within `window`
+    * steps (either direction, never itself) is a (center, context)
+    * co-occurrence, and the corpus-wide counts are exactly the
+    * training pairs a DeepWalk/node2vec embedding trains on (and the
+    * co-occurrence table a t66-style PMI readout consumes). This is
+    * the consumer that closes the x66 story: walks are the sentences,
+    * this is the sentence→pair explode.
+    *
+    * Deterministic by construction: the input walks are hash-seeded
+    * and reproducible ([[randomWalks]]), pair extraction is pure
+    * position arithmetic, counts are exact longs.
+    *
+    * 100 TB shape: ONE equi-self-join of the pinned walk corpus on
+    * `walk_id` — per-walk fan-out is bounded by (steps+1)², a small
+    * constant set by the walk length, never by graph size or degree —
+    * then one map-side-combinable groupBy on (center, context). No
+    * per-offset join loop, no window function, no skew beyond the
+    * walk-length constant.
+    *
+    * Returns (center, context, n_pairs).
+    */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, "need a positive context window")
+    val w = graft.std.Materialize.once(
+      walks.select(col("walk_id"), col("step"), col("node_id")))
+    val c = w.select(col("walk_id"), col("step").as("_cs"),
+      col("node_id").as("center"))
+    val o = w.select(col("walk_id"), col("step").as("_os"),
+      col("node_id").as("context"))
+    c.join(o, Seq("walk_id"))
+      .filter(col("_os") =!= col("_cs") &&
+        abs(col("_os") - col("_cs")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
   }
 
   /** Link prediction by common neighborhood (x67): for UNLINKED node

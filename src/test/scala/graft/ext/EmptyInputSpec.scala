@@ -99,7 +99,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Graph.randomWalks(edges, seeds).collect().isEmpty)
     assert(Graph.linkPrediction(edges).collect().isEmpty)
     assert(Graph.stronglyConnected(edges).collect().isEmpty)
+    assert(Graph.stronglyConnectedPeel(edges).collect().isEmpty)
     assert(Graph.triadCensus(edges).collect().isEmpty)
+    val noWalks = Seq.empty[(Long, Long, Long)]
+      .toDF("walk_id", "step", "node_id")
+    assert(Graph.skipGramPairs(noWalks).collect().isEmpty)
     // walks from seeds with NO edges: step 0 only (the seed itself)
     val oneSeed = Seq(Tuple1(7L)).toDF("seed")
     val w = Graph.randomWalks(edges, oneSeed).collect()

@@ -938,6 +938,56 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(0L -> ((0L, 1L))), s"got $got")
   }
 
+  // ---- x71: iterative-peel SCC ----
+
+  private def sccPeelOf(edges: Seq[(Long, Long)], hops: Int = 4,
+                        peelRounds: Int = 3)
+      : Map[Long, (Long, Long, Int)] =
+    Graph.stronglyConnectedPeel(edges.toDF("src", "dst"), hops,
+        peelRounds)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getInt(3)))).toMap
+
+  test("scc peel: the ring the single round misses — external color " +
+    "root peels away and the ring confirms in round 2") {
+    // exactly the x69 suppression case above: round 1 confirms only
+    // root 0, the peel removes it, round 2 recolors the ring to its
+    // own min member and confirms it
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 1L))
+    val got = sccPeelOf(edges)
+    assert(got == Map(0L -> ((0L, 1L, 1)),
+      1L -> ((1L, 2L, 2)), 2L -> ((1L, 2L, 2))), s"got $got")
+  }
+
+  test("scc peel: layered shadowing resolves one ring per round") {
+    // 0 -> {1<->2} -> {5<->6}: round 1 confirms 0, round 2 ring A
+    // (still shadowing ring B through 2 -> 5), round 3 ring B
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 1L),
+      (2L, 5L), (5L, 6L), (6L, 5L))
+    val got = sccPeelOf(edges)
+    assert(got == Map(0L -> ((0L, 1L, 1)),
+      1L -> ((1L, 2L, 2)), 2L -> ((1L, 2L, 2)),
+      5L -> ((5L, 2L, 3)), 6L -> ((5L, 2L, 3))), s"got $got")
+  }
+
+  test("scc peel: first round matches x69 exactly, and an exhausted " +
+    "remainder exits early instead of running empty rounds") {
+    // the x69 tail case fully confirms in round 1; rounds 2-3 would
+    // run on an emptied graph and must not throw (the reduce over
+    // per-round frames still has its round-1 entry)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val got = sccPeelOf(edges)
+    val base = sccOf(edges)
+    val round1 = got.collect {
+      case (n, (id, sz, _)) if base.contains(n) => n -> ((id, sz))
+    }
+    assert(round1 == base, s"got $got vs $base")
+    // the tail node 4 is no root's member in round 1 but becomes its
+    // own singleton root once the ring peels
+    assert(got(4L) == ((4L, 1L, 2)), s"got $got")
+  }
+
   // ---- x70: directed triad census ----
 
   private def censusOf(edges: Seq[(Long, Long)])
@@ -1076,6 +1126,47 @@ class GraphSpec extends AnyFunSuite {
       "walks from different seeds must use independent hash draws")
   }
 
+  // ---- x72: skip-gram pairs over a walk corpus ----
+
+  private def sgOf(walks: Seq[(Long, Long, Long)], window: Int = 2)
+      : Map[(Long, Long), Long] =
+    Graph.skipGramPairs(walks.toDF("walk_id", "step", "node_id"),
+        window)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("skip-gram: window-2 pairs of a 3-node walk, both directions, " +
+    "never a same-position self-pair") {
+    val walk = Seq((0L, 0L, 10L), (0L, 1L, 11L), (0L, 2L, 12L))
+    val got = sgOf(walk)
+    assert(got == Map((10L, 11L) -> 1L, (10L, 12L) -> 1L,
+      (11L, 10L) -> 1L, (11L, 12L) -> 1L,
+      (12L, 10L) -> 1L, (12L, 11L) -> 1L), s"got $got")
+    // window 1 drops the distance-2 pairs
+    val w1 = sgOf(walk, window = 1)
+    assert(w1 == Map((10L, 11L) -> 1L, (11L, 10L) -> 1L,
+      (11L, 12L) -> 1L, (12L, 11L) -> 1L), s"got $w1")
+  }
+
+  test("skip-gram: a revisited node co-occurs with itself across " +
+    "positions, and counts aggregate across walks") {
+    // walk A = [5,6,5]: (5,6)x2, (6,5)x2, (5,5)x2 (positions 0<->2);
+    // walk B = [5,6]: one more (5,6) and (6,5)
+    val got = sgOf(Seq((0L, 0L, 5L), (0L, 1L, 6L), (0L, 2L, 5L),
+      (1L, 0L, 5L), (1L, 1L, 6L)))
+    assert(got == Map((5L, 6L) -> 3L, (6L, 5L) -> 3L,
+      (5L, 5L) -> 2L), s"got $got")
+  }
+
+  test("skip-gram: pairs never cross walk boundaries") {
+    val got = sgOf(Seq((0L, 0L, 1L), (0L, 1L, 2L),
+      (7L, 0L, 3L), (7L, 1L, 4L)))
+    assert(!got.contains((2L, 3L)) && !got.contains((1L, 3L)),
+      s"walk 0 and walk 7 must not co-occur: $got")
+    assert(got == Map((1L, 2L) -> 1L, (2L, 1L) -> 1L,
+      (3L, 4L) -> 1L, (4L, 3L) -> 1L), s"got $got")
+  }
+
   // ---- x67: link prediction ----
 
   private def lpOf(edges: Seq[(Long, Long)], minCommon: Int = 2,
@@ -1136,6 +1227,35 @@ class GraphSpec extends AnyFunSuite {
     assert(got.keySet == Set((1L, 2L)), s"got $got")
     // degrees stay UNCAPPED: the witness's damping uses deg(9) = 3
     assert(got((1L, 2L)) == ((1L, aaTerm(3L).toDouble)), s"got $got")
+  }
+
+  test("link prediction: the cap-contract boundary — a hub at " +
+    "exactly cap witnesses every pair, at cap+1 the id-highest " +
+    "neighbor drops out") {
+    // the r15 cap turn (32 -> 16) changed which pairs >cap hubs
+    // witness; this pins the boundary so future tuning stays honest.
+    // Expected sets come from replaying the contract: witnesses are
+    // the cap id-LOWEST neighbors, degrees stay uncapped.
+    val cap = 4
+    def star(n: Int) = (1 to n).map(i => (9L, i.toLong))
+    def expectedPairs(n: Int): Set[(Long, Long)] = {
+      val witnessed = (1 to n).map(_.toLong).sorted.take(cap)
+      (for { u <- witnessed; v <- witnessed if u < v } yield (u, v)).toSet
+    }
+    // exactly AT the cap: all C(4,2)=6 pairs, each damped by the
+    // hub's true degree 4
+    val at = lpOf(star(cap), minCommon = 1, cap = cap)
+    assert(at.keySet == expectedPairs(cap), s"got $at")
+    assert(at.values.forall(_ == ((1L, aaTerm(cap.toLong).toDouble))),
+      s"got $at")
+    // ONE past the cap: same 6 pairs (neighbor 5 witnesses nothing),
+    // but the damping uses the UNCAPPED degree 5
+    val past = lpOf(star(cap + 1), minCommon = 1, cap = cap)
+    assert(past.keySet == expectedPairs(cap + 1), s"got $past")
+    assert(past.keySet == expectedPairs(cap),
+      "the witnessed-pair set must not grow past the cap")
+    assert(past.values.forall(
+      _ == ((1L, aaTerm((cap + 1).toLong).toDouble))), s"got $past")
   }
 
   test("link prediction: topN truncates on (score DESC, u, v)") {

@@ -47,7 +47,20 @@ for (times <- Seq(1, 4, 10)) {
     graft.std.Materialize.releaseAll()
   }
 }
+// the x71 peel-rounds knob at 1x: rounds 2 and 3 run on the REMAINDER
+// (everything the earlier rounds didn't confirm), so each extra round
+// should cost strictly less than the last — the frames only shrink.
+// Confirmed members should grow monotonically with rounds.
+for (rounds <- Seq(1, 2, 3)) {
+  val (n, t) = time(f"1x peelRounds=$rounds") {
+    graft.ext.Graph.stronglyConnectedPeel(replicate(1), hops = 4,
+      peelRounds = rounds).count()
+  }
+  println(f"[probe]   confirmed members = $n%d")
+  graft.std.Materialize.releaseAll()
+}
 println("[probe] done — expect near-linear growth in `times`, the")
-println("[probe] hops=4 minus hops=2 marginal linear in |E|, and")
-println("[probe] member counts replicating exactly")
+println("[probe] hops=4 minus hops=2 marginal linear in |E|, peel")
+println("[probe] round marginals shrinking, members monotone in")
+println("[probe] rounds, and member counts replicating exactly")
 sys.exit(0)

@@ -58,7 +58,23 @@ for (times <- Seq(1, 4, 10)) {
   println(f"[probe]   walk rows = $rowsCap%d")
   graft.std.Materialize.releaseAll()
 }
+// x72 rider: skip-gram pair extraction over the generated corpus —
+// one equi-self-join on walk_id with a (steps+1)^2 = 25-row bound per
+// walk, so cost must track |walks| (i.e. `times`) linearly and the
+// marginal over the bare walk run should be small and flat.
+for (times <- Seq(1, 4, 10)) {
+  val edges = replicate(baseEdges, "src", Some("dst"), times)
+  val seeds = replicate(baseSeeds, "seed", None, times)
+  val (pairs, t) = time(f"${times}x skipgram w=2") {
+    graft.ext.Graph.skipGramPairs(
+      graft.ext.Graph.randomWalks(edges, seeds, steps = 4),
+      window = 2).count()
+  }
+  println(f"[probe]   pair groups = $pairs%d")
+  graft.std.Materialize.releaseAll()
+}
 println("[probe] done — expect near-linear growth in `times`, the")
-println("[probe] steps=4 minus steps=1 marginal linear in |walks|, and")
-println("[probe] the cap=8 run at-or-under the cap=64 one")
+println("[probe] steps=4 minus steps=1 marginal linear in |walks|,")
+println("[probe] the cap=8 run at-or-under the cap=64 one, and the")
+println("[probe] skip-gram marginal over the walk run small and flat")
 sys.exit(0)
