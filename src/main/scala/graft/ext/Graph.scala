@@ -922,6 +922,19 @@ object Graph {
     * shuffle on |S| × |reached| narrow rows; σ and δ frames are
     * level-sliced so each level's work touches only its own frontier.
     *
+    * Round-16 audit of the backward sweep (the can-two-joins-fold-
+    * into-one question): NO, at fixed oracle arithmetic. The per-term
+    * integer div binds σ_v INSIDE `σ_v·(1e9+δ_w) div σ_w`, so σ_v
+    * cannot factor out of the Σ_w and must attach per (v, w) pair —
+    * and attaching it IS the second join (σ_v lives at (seed, v)
+    * grain on the level slice). Moving the pair filter into the
+    * forward pass (pinning predecessor-pair frames) trades the
+    * backward 2M-row exchange for an identical forward one plus an
+    * extra pin per level — measured a wash. Pinned frames lose their
+    * partitioning (localCheckpoint → LogicalRDD drops it, measured),
+    * so pre-partitioned edge copies elide nothing. Remaining cost is
+    * the estimator's honest price; |S| stays the knob.
+    *
     * Returns (node_id, n_sources, betweenness_e9, betweenness).
     */
   def betweennessCentrality(edges: DataFrame, seeds: DataFrame,
