@@ -2076,18 +2076,18 @@ FROM walks c JOIN walks o
  AND abs(o.step - c.step) <= 2
 GROUP BY 1, 2"""
 
-  /** x67: link prediction — symmetric support, exact degrees, pair
-    * witnesses through the rank-capped adjacency (cap 16) only,
-    * AA terms as `round(1/round(ln(deg),9),9)` DECIMAL(28,9) sums
-    * (the t56 rounded-log discipline), linked pairs excluded, top
-    * 100 by (aa DESC, u, v).
+  /** The x67 Adamic–Adar chain as a reusable CTE fragment (symmetric
+    * support from `srcRel`, exact uncapped degrees, rank-capped pair
+    * witnesses, rounded-log DECIMAL(28,9) terms, minCommon gate) —
+    * written once, read by x67 (over the full edge set) and x73 (over
+    * the holdout-trained remainder).
     */
-  val x67LinkPrediction: String = s"""WITH $ChainSeq, $ChainEdges,
-und AS MATERIALIZED (
+  private def aaChainCtes(srcRel: String, cap: Int,
+                          minCommon: Int): String = s"""und AS MATERIALIZED (
   SELECT DISTINCT a, b FROM (
-    SELECT src AS a, dst AS b FROM e
+    SELECT src AS a, dst AS b FROM $srcRel
     UNION ALL
-    SELECT dst AS a, src AS b FROM e
+    SELECT dst AS a, src AS b FROM $srcRel
   ) WHERE a <> b
 ), deg AS (
   SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
@@ -2097,7 +2097,7 @@ und AS MATERIALIZED (
     SELECT a AS w, b AS n,
            row_number() OVER (PARTITION BY a ORDER BY b) AS r
     FROM und
-  ) WHERE r <= 16
+  ) WHERE r <= $cap
 ), cand AS (
   SELECT x.n AS u, y.n AS v, x.w
   FROM adjc x JOIN adjc y ON x.w = y.w AND x.n < y.n
@@ -2110,8 +2110,17 @@ und AS MATERIALIZED (
   SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
          SUM(t) AS aa
   FROM term GROUP BY 1, 2
-  HAVING COUNT(*) >= 2
-)
+  HAVING COUNT(*) >= $minCommon
+)"""
+
+  /** x67: link prediction — symmetric support, exact degrees, pair
+    * witnesses through the rank-capped adjacency (cap 16) only,
+    * AA terms as `round(1/round(ln(deg),9),9)` DECIMAL(28,9) sums
+    * (the t56 rounded-log discipline), linked pairs excluded, top
+    * 100 by (aa DESC, u, v).
+    */
+  val x67LinkPrediction: String = s"""WITH $ChainSeq, $ChainEdges,
+${aaChainCtes("e", 16, 2)}
 SELECT u AS node_u, v AS node_v, common_neighbors,
        CAST(aa AS DOUBLE) AS aa_score
 FROM scored s
@@ -2119,6 +2128,53 @@ WHERE NOT EXISTS (SELECT 1 FROM und
                   WHERE und.a = s.u AND und.b = s.v)
 ORDER BY aa_score DESC, node_u, node_v
 LIMIT 100"""
+
+  /** x73: link-prediction holdout evaluation — the `lph` md5-lane
+    * holdout (mod 10) over canonical pairs, the shared [[aaChainCtes]]
+    * over the trained remainder (minCommon 1), rank over the top-100
+    * report, hit counts against the holdout at k ∈ {10, 50, 100},
+    * precision/recall in exact fixed point.
+    */
+  val x73LinkPredEval: String = {
+    val lane = h64("'lph|' || CAST(u AS VARCHAR) || '|' || " +
+      "CAST(v AS VARCHAR)")
+    s"""WITH $ChainSeq, $ChainEdges,
+canon AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e
+), held AS MATERIALIZED (
+  SELECT u, v FROM canon WHERE $lane % 10 = 0
+), train AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM canon WHERE $lane % 10 <> 0
+),
+${aaChainCtes("train", 16, 1)},
+preds AS MATERIALIZED (
+  SELECT u, v,
+         row_number() OVER (ORDER BY CAST(aa AS DOUBLE) DESC, u, v)
+           AS rank
+  FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM und
+                    WHERE und.a = s.u AND und.b = s.v)
+  ORDER BY CAST(aa AS DOUBLE) DESC, u, v
+  LIMIT 100
+), hits AS (
+  SELECT p.rank,
+         CASE WHEN h.u IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM preds p LEFT JOIN held h ON p.u = h.u AND p.v = h.v
+), hc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_held FROM held
+)
+SELECT k, n_hits, n_held,
+       n_hits * 1000000 // k AS precision_e6,
+       CASE WHEN n_held = 0 THEN NULL
+            ELSE n_hits * 1000000 // n_held END AS recall_e6
+FROM (
+  SELECT ks.k,
+         CAST(SUM(CASE WHEN hits.rank <= ks.k THEN hits.hit
+                       ELSE 0 END) AS BIGINT) AS n_hits
+  FROM hits CROSS JOIN (VALUES (10), (50), (100)) ks(k)
+  GROUP BY 1
+) CROSS JOIN hc"""
+  }
 
   /** x31: triangles + clustering coefficient. The oracle orients the
     * undirected edge set by plain node id (u < v) and enumerates each

@@ -1450,6 +1450,20 @@ object ExtQueries {
       minCommon = 2, maxDegree = 16, topN = 100)
   }
 
+  /** Link-prediction holdout evaluation (x73):
+    * [[Graph.linkPredictionEval]] over the chain graph — a 10%
+    * hash-held-out edge set, Adamic–Adar (minCommon 1, cap 16) on the
+    * remainder, precision/recall@{10,50,100} against the holdout. The
+    * recall-shelf readout that prices x67 the way s13/s19/s25 price
+    * the ANN paths.
+    */
+  def linkPredictionEval(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Graph.linkPredictionEval(chainGraphEdges(spark, sfDir),
+      holdoutMod = 10, minCommon = 1, maxDegree = 16,
+      ks = Seq(10, 50, 100))
+  }
+
   /** Bounded strongly connected components (x69):
     * [[Graph.stronglyConnected]] over the chain graph — one coloring
     * round with a 4-hop horizon, confirmed feedback rings only.

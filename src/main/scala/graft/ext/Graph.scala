@@ -1680,4 +1680,74 @@ object Graph {
     scored.orderBy(col("aa_score").desc, col("node_u"), col("node_v"))
       .limit(topN)
   }
+
+  /** Link-prediction holdout evaluation (x73): does the x67 predictor
+    * actually recover missing edges? The s13/s17/s19/s25 recall-shelf
+    * discipline applied to the graph tier — every scorer on this
+    * shelf ships with the readout that prices it. A deterministic
+    * hash holdout (the t9 split discipline: `hash64("lph|u|v") mod
+    * holdoutMod = 0`, reproducible and oracle-replayable) removes
+    * ~1/holdoutMod of the canonical undirected edges; Adamic–Adar
+    * runs on the REMAINDER; the report says how many held-out edges
+    * surface in the top-k predictions — precision@k and recall@k in
+    * exact fixed point, for each k in `ks`.
+    *
+    * Precision@k divides by k even when fewer candidates exist (the
+    * standard definition — a thin candidate list IS a miss). A graph
+    * whose holdout is empty reports recall NULL, never a division
+    * error.
+    *
+    * 100 TB shape: the holdout split is one hash predicate riding the
+    * canonical-pair scan (no extra shuffle); the predictor is
+    * [[linkPrediction]] unchanged (its contract bounds the work); the
+    * eval runs entirely on the ≤ max(ks)-row prediction report — the
+    * rank window is single-partition but BOUNDED by topN, a report
+    * constant, and the per-k rollup is a conditional agg over
+    * |report| × |ks| rows.
+    *
+    * Returns (k, n_hits, n_held, precision_e6, recall_e6).
+    */
+  def linkPredictionEval(edges: DataFrame, holdoutMod: Int = 10,
+                         minCommon: Int = 1, maxDegree: Int = 16,
+                         ks: Seq[Int] = Seq(10, 50, 100)): DataFrame = {
+    require(holdoutMod >= 2, "need a holdout fraction below 1")
+    require(ks.nonEmpty && ks.forall(_ >= 1), "need positive report ks")
+    val spark = edges.sparkSession
+    val canon = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct())
+    val lane = TextOps.hash64(
+      concat_ws("|", lit("lph"), col("u"), col("v"))) % holdoutMod
+    val held = graft.std.Materialize.once(canon.filter(lane === 0))
+    val train = canon.filter(lane =!= 0)
+    val topN = ks.max
+    val preds = linkPrediction(
+      train.select(col("u").as("src"), col("v").as("dst")),
+      minCommon, maxDegree, topN)
+    // rank over the bounded report: single-partition window on
+    // <= topN rows, a contract constant — never corpus-sized
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("aa_score").desc, col("node_u"), col("node_v"))
+    val hits = preds.withColumn("rank", row_number().over(wRank))
+      .join(held.select(col("u").as("node_u"), col("v").as("node_v"),
+        lit(1L).as("_hit")), Seq("node_u", "node_v"), "left_outer")
+      .select(col("rank"), coalesce(col("_hit"), lit(0L)).as("_hit"))
+    import spark.implicits._
+    val ksDf = ks.toDF("k")
+    val heldCount = held.agg(count(lit(1)).as("n_held"))
+    hits.crossJoin(broadcast(ksDf))
+      .groupBy(col("k"))
+      .agg(sum(when(col("rank") <= col("k"), col("_hit"))
+        .otherwise(lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(heldCount))
+      .select(col("k"), col("n_hits"), col("n_held"),
+        expr("n_hits * 1000000 div k").as("precision_e6"),
+        when(col("n_held") === 0, lit(null))
+          .otherwise(expr("n_hits * 1000000 div n_held"))
+          .cast("long").as("recall_e6"))
+  }
 }

@@ -104,6 +104,7 @@ class EmptyInputSpec extends AnyFunSuite {
     val noWalks = Seq.empty[(Long, Long, Long)]
       .toDF("walk_id", "step", "node_id")
     assert(Graph.skipGramPairs(noWalks).collect().isEmpty)
+    assert(Graph.linkPredictionEval(edges).collect().isEmpty)
     // walks from seeds with NO edges: step 0 only (the seed itself)
     val oneSeed = Seq(Tuple1(7L)).toDF("seed")
     val w = Graph.randomWalks(edges, oneSeed).collect()

@@ -1265,4 +1265,62 @@ class GraphSpec extends AnyFunSuite {
     val got = lpOf(edges, topN = 1)
     assert(got.keySet == Set((1L, 2L)), s"got $got")
   }
+
+  // ---- x73: link-prediction holdout evaluation ----
+
+  private def lphLane(u: Long, v: Long): Long =
+    graft.functions.Md5Lane.lane(s"lph|$u|$v".getBytes("UTF-8"), 0, 7) % 10
+
+  private def lpEvalOf(edges: Seq[(Long, Long)], holdoutMod: Int = 10)
+      : Map[Int, (Long, Long, Long, Any)] =
+    Graph.linkPredictionEval(edges.toDF("src", "dst"), holdoutMod)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) null else r.getLong(4))))
+      .toMap
+
+  test("linkpred eval: a held-out diagonal is recovered — hand-built " +
+    "square whose one lane-0 edge is exactly the diagonal") {
+    // search the md5 lane at spec time for ids that put ONLY the
+    // diagonal (a, b) in the holdout; the remaining square trains the
+    // predictor, which recovers (a, b) through its two witnesses
+    val a = 1L
+    val b = (2L to 500L).find(x => lphLane(a, x) == 0)
+      .getOrElse(fail("no lane-0 partner found"))
+    val ws = (2L to 500L).filter(w => w != b &&
+      lphLane(math.min(a, w), math.max(a, w)) != 0 &&
+      lphLane(math.min(w, b), math.max(w, b)) != 0)
+    val (w1, w2) = (ws.head, ws(1))
+    val edges = Seq((a, w1), (w1, b), (a, w2), (w2, b), (a, b))
+    val got = lpEvalOf(edges)
+    // one held edge, recovered at rank <= 2 (it ties with (w1, w2),
+    // the other 2-witness unlinked pair): 1 hit at every k
+    assert(got == Map(
+      10 -> ((1L, 1L, 100000L, 1000000L)),
+      50 -> ((1L, 1L, 20000L, 1000000L)),
+      100 -> ((1L, 1L, 10000L, 1000000L))), s"got $got")
+  }
+
+  test("linkpred eval: the holdout is the md5 lane — n_held replays " +
+    "exactly, hits are bounded and monotone in k") {
+    val rnd = new scala.util.Random(20260815L)
+    val edges = Seq.fill(300)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val canon = edges.map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val expHeld = canon.count(p => lphLane(p._1, p._2) == 0).toLong
+    val got = lpEvalOf(edges)
+    assert(got.keySet == Set(10, 50, 100), s"got $got")
+    assert(got.values.forall(_._2 == expHeld),
+      s"n_held must replay the lane: got $got exp $expHeld")
+    val hitsByK = Seq(10, 50, 100).map(k => got(k)._1)
+    assert(hitsByK.zip(hitsByK.tail).forall { case (x, y) => x <= y },
+      s"hits must be monotone in k: $got")
+    Seq(10, 50, 100).foreach { k =>
+      val (h, held, p, r) = got(k)
+      assert(h <= math.min(k.toLong, held), s"k=$k: $got")
+      assert(p == h * 1000000L / k, s"precision arithmetic: $got")
+      assert(r == h * 1000000L / held, s"recall arithmetic: $got")
+    }
+  }
 }
