@@ -703,6 +703,38 @@ FROM hs"""
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
 FROM r WHERE rank <= 5"""
 
+  /** s32: hubness — the s1 scoring chain over a 100-query panel,
+    * k-occurrence counts per neighbor, histogram plus the antihub
+    * zero row (corpus count minus retrieved count).
+    */
+  val s32Hubness: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM v
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CASE WHEN q.nm * c.nm > 0
+               THEN ${dotExpr("q.e", "c.e")} / (q.nm * c.nm) END, 6) AS cosine
+  FROM n q CROSS JOIN n c
+  WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS rank
+  FROM scored
+), occ AS (
+  SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+  FROM r WHERE rank <= 5 GROUP BY 1
+), hist AS MATERIALIZED (
+  SELECT k_occ AS k_occurrences, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM occ GROUP BY 1
+)
+SELECT k_occurrences, n_vectors FROM hist
+UNION ALL
+SELECT CAST(0 AS BIGINT) AS k_occurrences,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM v) -
+       (SELECT COALESCE(CAST(SUM(n_vectors) AS BIGINT), 0) FROM hist)
+         AS n_vectors"""
+
   /** s31: MMR diversified re-rank — the s1 top-20 candidates per
     * probe query, then k = 5 unrolled greedy rounds: each `sel$r` CTE
     * (MATERIALIZED — every round is referenced by all later rounds

@@ -516,6 +516,17 @@ object ExtQueries {
         col("rank").cast("long").as("rank"), col("cosine"))
   }
 
+  /** Hubness report (s32): [[Similarity.hubness]] over the embeddings
+    * corpus with a 100-query probe panel at k = 5 — the k-occurrence
+    * histogram (antihub zero row included), the embedding-space
+    * health gate next to s21's anisotropy.
+    */
+  def hubness(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+    Similarity.hubness(vecs.filter(col("vec_id") < 100), vecs, 5)
+  }
+
   /** MMR diversified re-rank (s31): [[Similarity.mmrRerank]] over the
     * s1 probe panel — top-20 exact-cosine candidates per query, 5
     * greedy λ = 0.7 rounds trading relevance against redundancy.

@@ -812,6 +812,46 @@ object Similarity {
       .withColumn("recall", col("recall_e9").cast("double") / lit(1e9))
   }
 
+  /** Hubness report (s32): the k-occurrence distribution N_k over the
+    * corpus — for a probe query panel, how many queries' top-k lists
+    * each corpus vector appears in, rolled up as a histogram
+    * (k_occurrences, n_vectors) INCLUDING the zero row (antihubs:
+    * vectors no query ever retrieves). The classic high-dimensional
+    * pathology readout (Radovanović et al., JMLR 2010): as intrinsic
+    * dimension grows, a few hub vectors crowd into everyone's top-k
+    * while antihubs become unreachable — skewed N_k silently degrades
+    * ANN recall, kNN classification (t-ish hubs dominate votes), and
+    * retrieval diversity (the s31 problem at corpus grain). Next to
+    * s21's anisotropy this is the second embedding-space health gate
+    * a corpus passes BEFORE an index ships: a long-tailed histogram
+    * says fix the space (center/whiten — s21's readout says how),
+    * not the index.
+    *
+    * The top-k lists here come from the exact s1 kernel (the
+    * verification oracle); at scale they come from the SERVED index
+    * path (s29's assignments / s13's probes) — the readout is
+    * list-source-agnostic, everything after the lists is two partial
+    * aggs on |panel|·k rows plus one corpus count for the zero row.
+    *
+    * Returns (k_occurrences, n_vectors), zero row included.
+    */
+  def hubness(queries: DataFrame, corpus: DataFrame, k: Int,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val top = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+    val occ = top.groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("k_occ"))
+    val hist = graft.std.Materialize.once(
+      occ.groupBy(col("k_occ").as("k_occurrences"))
+        .agg(count(lit(1)).as("n_vectors")))
+    val zeroRow = corpus.agg(count(lit(1)).as("_n"))
+      .crossJoin(broadcast(
+        hist.agg(coalesce(sum(col("n_vectors")), lit(0L)).as("_r"))))
+      .select(lit(0L).as("k_occurrences"),
+        (col("_n") - col("_r")).as("n_vectors"))
+    hist.unionByName(zeroRow)
+  }
+
   /** Product-quantization report (s15): the subvector-codebook
     * compression that completes the IVF-PQ stack — [[ivfTopK]] prunes
     * WHICH vectors a query touches, [[quantizeInt8]]/s14 prices

@@ -310,6 +310,40 @@ class ExtSpec extends AnyFunSuite {
     })
   }
 
+  test("hubness: a designed hub collects every query's top-1; " +
+    "antihubs land in the zero row") {
+    // hub [1,0] beats the other query for both probes (1-eps^2/2 vs
+    // 1-2eps^2 at eps=0.3); the orthogonal-ish vector is never
+    // retrieved at k=1
+    val corpus = Seq(
+      (100L, Seq(1.0f, 0.0f)),   // the hub
+      (1L, Seq(1.0f, 0.3f)),     // probe 1
+      (2L, Seq(1.0f, -0.3f)),    // probe 2
+      (50L, Seq(0.0f, 1.0f))     // the antihub
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hubness(
+      corpus.filter(col("vec_id") <= 2), corpus, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // N_1(hub) = 2; probes and antihub never retrieved -> zero row 3
+    assert(got == Map(2L -> 1L, 0L -> 3L), s"got $got")
+  }
+
+  test("hubness: mass conservation on the real corpus — occurrences " +
+    "sum to k*|panel|, vectors sum to |corpus|") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val panel = vecs.filter(col("vec_id") < 20)
+    val got = Similarity.hubness(panel, vecs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.std.Materialize.releaseAll()
+    val nPanel = panel.count()
+    val nCorpus = vecs.count()
+    assert(got.map { case (k, n) => k * n }.sum == 3L * nPanel,
+      s"every query list holds exactly k entries: $got")
+    assert(got.map(_._2).sum == nCorpus,
+      s"every corpus vector lands in exactly one bucket: $got")
+    assert(got.count(_._1 == 0L) == 1, s"one zero row: $got")
+  }
+
   test("brute-force top-k is deterministic and self-free") {
     val vecs = Tables.embeddings(spark, sfDir)
     val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 5), vecs, 3)
