@@ -3446,6 +3446,32 @@ FROM agg"""
     * division over exact longs, ONE `ln` rounded to 9 dp (t31's
     * portability discipline), ties on (w1, w2).
     */
+  /** t73: TF-IDF top terms — the shared [[ToksCte]] tokenization, one
+    * (doc, term) tf collapse, one df collapse, `round(tf ·
+    * round(ln(N/df), 9), 9)` (the t56 rounded-log discipline), rank
+    * ties on the term ascending, top 5 per doc.
+    */
+  val t73TfidfTopTerms: String = ToksCte + """, ex AS (
+  SELECT doc_id, unnest(toks) AS term FROM t
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * round(ln(n / CAST(df AS DOUBLE)), 9), 9) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tf, tfidf
+FROM ranked WHERE rank <= 5"""
+
   val t66PmiCollocations: String = ToksCte + """, ex AS (
   SELECT unnest(toks) AS w FROM t
 ), uni AS (

@@ -2144,6 +2144,16 @@ object ExtQueries {
     TextAnalysis.pmiCollocations(spread(Tables.documents(spark, sfDir)))
   }
 
+  /** TF-IDF top terms (t73): [[TextAnalysis.tfidfTopTerms]] — per-doc
+    * top-5 keywords by tf·ln(N/df), the write-time keyword artifact
+    * (t29's BM25 statistics pointed the other way).
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.tfidfTopTerms(spread(Tables.documents(spark, sfDir)),
+      topK = 5)
+  }
+
   /** Duplication-density profile (t68): per-doc unique vs common
     * 3-shingle shares with the novel/boilerplate_heavy/mixed verdict.
     */

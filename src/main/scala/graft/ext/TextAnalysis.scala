@@ -2017,4 +2017,50 @@ object TextAnalysis {
             lit("boilerplate_heavy"))
           .otherwise(lit("mixed")))
   }
+
+  /** TF-IDF top terms per document (t73): classic keyword extraction
+    * — per doc, the `topK` terms by `tf · ln(N/df)`, the written
+    * artifact a corpus ships next to its documents (faceted search
+    * keys, topic drill-downs, weak labels for the t32/t67 classifier
+    * tier, dedup explanations). t29's BM25 scores documents against a
+    * QUERY at read time; this scores terms against the CORPUS at
+    * write time — same statistics, opposite direction.
+    *
+    * Determinism: tf is an exact long; idf is `round(ln(N/df), 9)`
+    * (the t56 rounded-log discipline — a term in every doc scores
+    * exactly 0); the product rounds once more at 9 dp; rank breaks
+    * ties on the term string, ascending.
+    *
+    * 100 TB shape: one (doc, term) partial-agg shuffle (the tf
+    * collapse — tokens never leave their scan partition unaggregated),
+    * one |vocab| partial agg for df, one equi-join on term (broadcast
+    * when the vocabulary is small, shuffle otherwise — Catalyst's
+    * call), one per-doc window bounded by the doc's distinct terms.
+    * No corpus-sized sort, no driver state.
+    *
+    * Returns (doc_id, term, rank, tf, tfidf) — topK rows per doc.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
+    require(topK >= 1, "need a positive report size")
+    val ex = docs.select(col("doc_id"),
+      explode(graft.ext.TextOps.tokens(col("text"))).as("term"))
+    val tf = graft.std.Materialize.once(
+      ex.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") *
+          round(log(col("_n").cast("double") / col("df").cast("double")),
+            9), 9).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("rank"), col("tf"),
+        col("tfidf"))
+  }
 }

@@ -105,6 +105,14 @@ class EmptyInputSpec extends AnyFunSuite {
       .toDF("walk_id", "step", "node_id")
     assert(Graph.skipGramPairs(noWalks).collect().isEmpty)
     assert(Graph.linkPredictionEval(edges).collect().isEmpty)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.tfidfTopTerms(noDocs).collect().isEmpty)
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    // an empty corpus still emits the (0, 0) antihub row — by the
+    // zero-row contract, never a crash
+    val hub = Similarity.hubness(noVecs, noVecs, 3).collect()
+    assert(hub.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L)))
     // walks from seeds with NO edges: step 0 only (the seed itself)
     val oneSeed = Seq(Tuple1(7L)).toDF("seed")
     val w = Graph.randomWalks(edges, oneSeed).collect()
