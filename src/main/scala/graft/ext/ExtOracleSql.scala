@@ -3446,6 +3446,65 @@ FROM agg"""
     * division over exact longs, ONE `ln` rounded to 9 dp (t31's
     * portability discipline), ties on (w1, w2).
     */
+  /** t74: cross-source shingle-overlap matrix — the mirrorsrc fixture
+    * (every 7th doc re-emitted verbatim), per-source distinct shingle
+    * hashes through the shared md5 lane, the maxSources=64 background
+    * cap applied BEFORE pairing, one hash self-join, Jaccard + both
+    * containments in fixed point, verdict on the greatest share.
+    */
+  val t74SourceOverlap: String = s"""WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 900000, 'mirrorsrc', text
+  FROM documents WHERE doc_id % 7 = 0
+), t AS (
+  SELECT source, string_split($Norm, ' ') AS toks
+  FROM corpus WHERE text IS NOT NULL AND source IS NOT NULL
+), sh AS MATERIALIZED (
+  SELECT DISTINCT source, ${h64("sh")} AS h FROM (
+    SELECT source,
+           unnest(${sh3("toks", "array_to_string(toks, ' ')")}) AS sh
+    FROM t
+  )
+), keeph AS MATERIALIZED (
+  SELECT h FROM (SELECT h, COUNT(*) AS ds FROM sh GROUP BY 1)
+  WHERE ds <= 64
+), shf AS MATERIALIZED (
+  SELECT sh.source, sh.h FROM sh JOIN keeph ON sh.h = keeph.h
+), sizes AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM shf GROUP BY 1
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM shf a JOIN shf b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.source_a, p.source_b,
+         COALESCE(s.n_shared, 0) AS n_shared, p.n_a, p.n_b,
+         COALESCE(s.n_shared, 0) * 1000000000
+           // (p.n_a + p.n_b - COALESCE(s.n_shared, 0)) AS jaccard_e9,
+         COALESCE(s.n_shared, 0) * 1000000000 // p.n_a
+           AS containment_a_e9,
+         COALESCE(s.n_shared, 0) * 1000000000 // p.n_b
+           AS containment_b_e9
+  FROM (
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           sa.n_distinct AS n_a, sb.n_distinct AS n_b
+    FROM sizes sa CROSS JOIN sizes sb WHERE sa.source < sb.source
+  ) p LEFT JOIN shared s
+    ON p.source_a = s.source_a AND p.source_b = s.source_b
+)
+SELECT source_a, source_b, n_shared, n_a, n_b,
+       jaccard_e9, containment_a_e9, containment_b_e9,
+       CASE WHEN GREATEST(jaccard_e9, containment_a_e9,
+                          containment_b_e9) >= 500000000 THEN 'mirror'
+            WHEN GREATEST(jaccard_e9, containment_a_e9,
+                          containment_b_e9) >= 100000000
+              THEN 'overlapping'
+            ELSE 'distinct' END AS verdict
+FROM scored"""
+
   /** t73: TF-IDF top terms — the shared [[ToksCte]] tokenization, one
     * (doc, term) tf collapse, one df collapse, `round(tf ·
     * round(ln(N/df), 9), 9)` (the t56 rounded-log discipline), rank

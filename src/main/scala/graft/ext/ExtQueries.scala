@@ -1758,6 +1758,27 @@ object ExtQueries {
       spread(docs.unionByName(tmpl)))
   }
 
+  /** Cross-source shingle-overlap matrix (t74):
+    * [[TextAnalysis.sourceOverlapMatrix]] with an injected MIRROR —
+    * every 7th doc re-emitted verbatim under source `mirrorsrc`: its
+    * Jaccard against any one original source is small (it holds only
+    * a slice of each), but its CONTAINMENT inside the originals'
+    * vocabularies is what the verdict catches — the
+    * small-feed-mirrored-from-big-feed case t72's within-source ratio
+    * cannot see.
+    */
+  def sourceOverlapMatrix(spark: SparkSession,
+                          sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val mirror = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"),
+        lit("mirrorsrc").as("source"), col("text"))
+    TextAnalysis.sourceOverlapMatrix(
+      spread(docs.unionByName(mirror)))
+  }
+
   /** Per-source token-entropy diversity report (t47). */
   def sourceEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

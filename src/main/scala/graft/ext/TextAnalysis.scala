@@ -2018,6 +2018,84 @@ object TextAnalysis {
           .otherwise(lit("mixed")))
   }
 
+  /** Cross-source shingle-overlap matrix (t74): for every SOURCE
+    * pair, how much of their 3-shingle vocabularies they share —
+    * Jaccard plus BOTH containments (a small source mirrored inside a
+    * big one has tiny Jaccard but containment ≈ 1, which is exactly
+    * the mirror case) and a verdict. The provenance diagnostic at
+    * pair grain: t72 says a source repeats ITSELF, this says two
+    * sources repeat EACH OTHER (mirrors, syndication, scraped
+    * re-uploads) — the corpus-level question a dedup pass answers
+    * per-document and this answers per-feed, before deciding which
+    * feed to drop wholesale.
+    *
+    * Shingles travel as md5-lane hashes (digests shuffle, never text
+    * — the d2/t72 discipline). `maxSources` drops shingles present in
+    * more than that many sources BEFORE pairing: they are boilerplate
+    * background carrying no mirror signal, and they are also exactly
+    * the keys whose pair fan-out (≤ |sources|² rows per hash) would
+    * otherwise skew the self-join — one cap, both jobs (the t68
+    * commonDf discipline). Sizes and shares are all computed over the
+    * same filtered universe so the ratios stay coherent.
+    *
+    * 100 TB shape: one (source, hash) distinct collapse, one |vocab|
+    * df filter, ONE hash equi-self-join whose per-key fan-out is
+    * capped at maxSources², one pair partial agg; the report frame is
+    * |sources|² rows (zero-overlap pairs included via the tiny size
+    * cross join).
+    *
+    * Returns (source_a, source_b, n_shared, n_a, n_b, jaccard_e9,
+    * containment_a_e9, containment_b_e9, verdict).
+    */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 3,
+                          maxSources: Int = 64): DataFrame = {
+    require(n >= 1, "need a positive shingle width")
+    require(maxSources >= 2, "a shared shingle spans at least 2 sources")
+    val b = TextOps.attrBarrier(
+      docs.filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("doc_id"), col("source"), col("text")),
+      Seq("doc_id", "source"), "_shs",
+      TextOps.shingles(TextOps.tokens(col("text")), n))
+    val sh = graft.std.Materialize.once(
+      b.select(col("source"), explode(col("_shs")).as("_sh"))
+        .select(col("source"), TextOps.hash64(col("_sh")).as("_h"))
+        .distinct())
+    val keep = sh.groupBy(col("_h")).agg(count(lit(1)).as("_ds"))
+      .filter(col("_ds") <= maxSources)
+      .select(col("_h"))
+    val shf = graft.std.Materialize.once(sh.join(keep, Seq("_h")))
+    val sizes = graft.std.Materialize.once(
+      shf.groupBy(col("source")).agg(count(lit(1)).as("n_distinct")))
+    val shared = shf.select(col("source").as("source_a"), col("_h"))
+      .join(shf.select(col("source").as("source_b"), col("_h")),
+        Seq("_h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val pairs = sizes.select(col("source").as("source_a"),
+        col("n_distinct").as("n_a"))
+      .crossJoin(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_distinct").as("n_b"))))
+      .filter(col("source_a") < col("source_b"))
+    val scored = pairs
+      .join(shared, Seq("source_a", "source_b"), "left_outer")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_a"), col("n_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("n_shared * 1000000000 div (n_a + n_b - n_shared)")
+          .as("jaccard_e9"),
+        expr("n_shared * 1000000000 div n_a").as("containment_a_e9"),
+        expr("n_shared * 1000000000 div n_b").as("containment_b_e9"))
+    val top = greatest(col("jaccard_e9"), col("containment_a_e9"),
+      col("containment_b_e9"))
+    scored.withColumn("verdict",
+      when(top >= 500000000L, lit("mirror"))
+        .when(top >= 100000000L, lit("overlapping"))
+        .otherwise(lit("distinct")))
+  }
+
   /** TF-IDF top terms per document (t73): classic keyword extraction
     * — per doc, the `topK` terms by `tf · ln(N/df)`, the written
     * artifact a corpus ships next to its documents (faceted search

@@ -107,6 +107,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Graph.linkPredictionEval(edges).collect().isEmpty)
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.tfidfTopTerms(noDocs).collect().isEmpty)
+    val noSrcDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    assert(TextAnalysis.sourceOverlapMatrix(noSrcDocs).collect().isEmpty)
     val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     // an empty corpus still emits the (0, 0) antihub row — by the
     // zero-row contract, never a crash
