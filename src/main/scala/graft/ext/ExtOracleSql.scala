@@ -3446,6 +3446,48 @@ FROM agg"""
     * division over exact longs, ONE `ln` rounded to 9 dp (t31's
     * portability discipline), ties on (w1, w2).
     */
+  /** t75: readability — sentence/word/vowel-group counts as exact
+    * integers (min-1 conventions matching the Spark side), the two
+    * scores as single double expressions rounded once at 6 dp, the
+    * curriculum band on the rounded Flesch value.
+    */
+  val t75Readability: String = """WITH base AS (
+  SELECT doc_id,
+         GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+           AS n_words,
+         CAST(COALESCE(list_sum(list_transform(
+           regexp_extract_all(lower(text), '[a-z]+'),
+           w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+           0) AS BIGINT) AS n_syllables
+  FROM documents
+), scored AS (
+  SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+         n_words, n_syllables,
+         CASE WHEN n_words > 0 THEN
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)), 6)
+         END AS flesch,
+         CASE WHEN n_words > 0 THEN
+           round(0.39 * (CAST(n_words AS DOUBLE)
+                         / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)) - 15.59, 6)
+         END AS fk_grade
+  FROM base
+)
+SELECT doc_id, n_sentences, n_words, n_syllables, flesch, fk_grade,
+       CASE WHEN flesch IS NULL THEN 'unscored'
+            WHEN flesch >= 70.0 THEN 'easy'
+            WHEN flesch >= 50.0 THEN 'standard'
+            WHEN flesch >= 30.0 THEN 'difficult'
+            ELSE 'very_difficult' END AS band
+FROM scored"""
+
   /** t74: cross-source shingle-overlap matrix — the mirrorsrc fixture
     * (every 7th doc re-emitted verbatim), per-source distinct shingle
     * hashes through the shared md5 lane, the maxSources=64 background

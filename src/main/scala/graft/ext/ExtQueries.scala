@@ -1779,6 +1779,15 @@ object ExtQueries {
       spread(docs.unionByName(mirror)))
   }
 
+  /** Readability scores (t75): [[TextAnalysis.readability]] — Flesch
+    * reading ease + Flesch–Kincaid grade per doc with curriculum
+    * bands, the complexity axis of the quality shelf.
+    */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    TextAnalysis.readability(spread(Tables.documents(spark, sfDir)))
+  }
+
   /** Per-source token-entropy diversity report (t47). */
   def sourceEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)

@@ -110,6 +110,7 @@ class EmptyInputSpec extends AnyFunSuite {
     val noSrcDocs = Seq.empty[(Long, String, String)]
       .toDF("doc_id", "source", "text")
     assert(TextAnalysis.sourceOverlapMatrix(noSrcDocs).collect().isEmpty)
+    assert(TextAnalysis.readability(noDocs).collect().isEmpty)
     val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     // an empty corpus still emits the (0, 0) antihub row — by the
     // zero-row contract, never a crash
