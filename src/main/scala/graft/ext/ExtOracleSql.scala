@@ -2161,6 +2161,47 @@ WHERE NOT EXISTS (SELECT 1 FROM und
 ORDER BY aa_score DESC, node_u, node_v
 LIMIT 100"""
 
+  private val DiamHops = 6
+
+  /** x74: double-sweep diameter estimate — two [[relaxChain]] BFS
+    * chains at node grain over the undirected support (every level
+    * MATERIALIZED: the final levels feed the argmax, the eccentricity
+    * scalar, and the reached count, and DuckDB inlines per
+    * reference); the sweep-2 seed is the sweep-1 argmax
+    * (dist DESC, node ASC — the Spark min(struct) tie rule).
+    */
+  val x74Diameter: String = s"""WITH $ChainSeq, $ChainEdges,
+und AS MATERIALIZED (
+  SELECT src, dst FROM e
+  UNION
+  SELECT dst AS src, src AS dst FROM e
+),
+a0 AS (
+  SELECT MIN(node) AS node, CAST(0 AS BIGINT) AS dist FROM nodes
+), ${relaxChain("a", DiamHops, "und", "1", materialized = true)},
+u AS (
+  SELECT node, dist FROM a$DiamHops
+  ORDER BY dist DESC, node ASC LIMIT 1
+),
+b0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM u
+), ${relaxChain("b", DiamHops, "und", "1", materialized = true)},
+v AS (
+  SELECT node, dist FROM b$DiamHops
+  ORDER BY dist DESC, node ASC LIMIT 1
+)
+SELECT (SELECT MIN(node) FROM nodes) AS start_node,
+       (SELECT node FROM u) AS sweep1_far_node,
+       (SELECT dist FROM u) AS sweep1_ecc,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM a$DiamHops)
+         AS sweep1_reached,
+       (SELECT node FROM v) AS sweep2_far_node,
+       (SELECT dist FROM v) AS sweep2_ecc,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b$DiamHops)
+         AS sweep2_reached,
+       GREATEST((SELECT dist FROM u), (SELECT dist FROM v))
+         AS diameter_lb"""
+
   /** x73: link-prediction holdout evaluation — the `lph` md5-lane
     * holdout (mod 10) over canonical pairs, the shared [[aaChainCtes]]
     * over the trained remainder (minCommon 1), rank over the top-100

@@ -1496,6 +1496,16 @@ object ExtQueries {
       hops = 4, peelRounds = 3)
   }
 
+  /** Double-sweep diameter estimate (x74):
+    * [[Graph.diameterEstimate]] over the chain graph — two 6-hop BFS
+    * sweeps, the planning number every horizon knob in the graph tier
+    * is sized from.
+    */
+  def diameterEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Graph.diameterEstimate(chainGraphEdges(spark, sfDir), hops = 6)
+  }
+
   /** Directed triad census (x70): [[Graph.triadCensus]] over the
     * chain graph — per-node cycle memberships and feed-forward
     * source/middle/sink roles.

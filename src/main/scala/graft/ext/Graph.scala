@@ -1681,6 +1681,86 @@ object Graph {
       .limit(topN)
   }
 
+  /** Double-sweep diameter estimate (x74): the classic two-BFS lower
+    * bound (the Magnien/Latapy/Habib double sweep) — BFS from a
+    * deterministic start (the minimum node id), take the FARTHEST
+    * reached node (tie to the smaller id), BFS again from there; the
+    * second eccentricity is a diameter lower bound that is exact on
+    * trees and empirically tight on real graphs, at the cost of TWO
+    * BFS passes instead of all-pairs. The "how wide is this graph"
+    * planning number: it sizes every horizon knob in the tier (x38's
+    * k, x54/x58's iterations, x69/x71's hops) — run this first, set
+    * the horizons from it.
+    *
+    * Undirected support (diameter is a connectivity notion); the hop
+    * horizon bounds both sweeps honestly: a sweep whose eccentricity
+    * SATURATES the horizon (ecc = hops) says the bound is
+    * horizon-limited, not converged — the x38/x50 bounded contract,
+    * readable right off the output row. `sweep*_reached` counts say
+    * how much of the graph each sweep saw (a small count = the start
+    * component is small, not the graph).
+    *
+    * 100 TB shape: per hop ONE frontier⋈edges join + one groupBy-MIN
+    * at node grain (the x48/x50 relax loop, |V| rows of two longs);
+    * the argmax handoff between sweeps is an in-plan one-row
+    * `min(struct)` aggregate (the t65 discipline) — no driver
+    * collect, the whole operator is one lazy plan of 2·hops rounds.
+    *
+    * Returns ONE row: (start_node, sweep1_far_node, sweep1_ecc,
+    * sweep1_reached, sweep2_far_node, sweep2_ecc, sweep2_reached,
+    * diameter_lb); empty for an empty graph.
+    */
+  def diameterEstimate(edges: DataFrame, hops: Int = 6): DataFrame = {
+    require(hops >= 1, "need at least one hop")
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val und = graft.std.Materialize.once(
+      e0.unionByName(e0.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct())
+    val nodes = und.select(col("src").as("node")).distinct()
+    def sweep(seed: DataFrame): DataFrame = {
+      var dist = graft.std.Materialize.once(seed)
+      for (_ <- 1 to hops) {
+        val stepped = dist.join(und, dist("node") === und("src"))
+          .select(und("dst").as("node"), (col("dist") + 1L).as("dist"))
+        dist = graft.std.Materialize.once(
+          dist.unionByName(stepped)
+            .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      }
+      dist
+    }
+    // farthest reached, ties to the smaller id: max dist == min of
+    // (-dist, node) structs
+    def farthest(dist: DataFrame): DataFrame =
+      graft.std.Materialize.once(
+        dist.agg(min(struct((col("dist") * -1L).as("nd"),
+          col("node").as("node"))).as("s"))
+          .select(col("s.node").as("node"),
+            (col("s.nd") * -1L).as("ecc"))
+          .filter(col("node").isNotNull))
+    val seed1 = nodes.agg(min(col("node")).as("node"))
+      .filter(col("node").isNotNull)
+      .select(col("node"), lit(0L).as("dist"))
+    val a = sweep(seed1)
+    val u = farthest(a)
+    val b = sweep(u.select(col("node"), lit(0L).as("dist")))
+    val v = farthest(b)
+    u.select(col("node").as("sweep1_far_node"),
+        col("ecc").as("sweep1_ecc"))
+      .crossJoin(broadcast(seed1.select(col("node").as("start_node"))))
+      .crossJoin(broadcast(a.agg(count(lit(1)).as("sweep1_reached"))))
+      .crossJoin(broadcast(v.select(col("node").as("sweep2_far_node"),
+        col("ecc").as("sweep2_ecc"))))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("sweep2_reached"))))
+      .select(col("start_node"), col("sweep1_far_node"),
+        col("sweep1_ecc"), col("sweep1_reached"),
+        col("sweep2_far_node"), col("sweep2_ecc"),
+        col("sweep2_reached"),
+        greatest(col("sweep1_ecc"), col("sweep2_ecc"))
+          .as("diameter_lb"))
+  }
+
   /** Link-prediction holdout evaluation (x73): does the x67 predictor
     * actually recover missing edges? The s13/s17/s19/s25 recall-shelf
     * discipline applied to the graph tier — every scorer on this

@@ -1266,6 +1266,41 @@ class GraphSpec extends AnyFunSuite {
     assert(got.keySet == Set((1L, 2L)), s"got $got")
   }
 
+  // ---- x74: double-sweep diameter estimate ----
+
+  private def diamOf(edges: Seq[(Long, Long)], hops: Int = 6)
+      : Seq[(Long, Long, Long, Long, Long, Long, Long, Long)] =
+    Graph.diameterEstimate(edges.toDF("src", "dst"), hops)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+
+  test("diameter: exact on a path — both sweeps find the true " +
+    "endpoints") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // start 1, farthest 5 at 4 hops; back-sweep from 5 reaches 1 at 4
+    assert(diamOf(path) == Seq((1L, 5L, 4L, 5L, 1L, 4L, 5L, 4L)))
+  }
+
+  test("diameter: the horizon truncates honestly — a saturated ecc " +
+    "(= hops) flags the bound as horizon-limited") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // hops=2: sweep 1 stops at node 3 (ecc 2 = hops, saturated);
+    // sweep 2 from 3 sees the whole path but ties at dist 2 -> node 1
+    assert(diamOf(path, hops = 2) ==
+      Seq((1L, 3L, 2L, 3L, 1L, 2L, 5L, 2L)))
+  }
+
+  test("diameter: star ties break to the smaller id; empty graph " +
+    "reports no row") {
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L))
+    // from 1: {9:1, 2:2, 3:2} -> far node 2 (tie with 3), ecc 2;
+    // back from 2: far node 1 (tie with 3), ecc 2
+    assert(diamOf(star) == Seq((1L, 2L, 2L, 4L, 1L, 2L, 4L, 2L)))
+    assert(diamOf(Seq.empty).isEmpty)
+  }
+
   // ---- x73: link-prediction holdout evaluation ----
 
   private def lphLane(u: Long, v: Long): Long =
