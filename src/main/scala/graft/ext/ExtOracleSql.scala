@@ -6685,33 +6685,95 @@ $rows"""
     * eigenvector fixed point (DECIMAL(38,18) sums, 9-dp step
     * doubles, 6-dp normalized components).
     */
-  private def powerIterCtes(iters: Int): String = {
-    val init = """pv0 AS (
+  /** The s21 power-iteration chain, parameterized so s33 can run it
+    * once per side of the deflation (`tag` prefixes every CTE name,
+    * `centRel` is the centered frame it iterates over). Defaults
+    * reproduce s21's original SQL byte-for-byte.
+    */
+  private def powerIterCtes(iters: Int, tag: String = "p",
+                            centRel: String = "cent"): String = {
+    val init = s"""${tag}v0 AS (
   SELECT dim, CAST(1.0 AS DOUBLE) AS vv FROM mu)"""
     val rounds = (1 to iters).map { i =>
-      s"""ps$i AS (
+      s"""${tag}s$i AS (
   SELECT vid,
          round(CAST(SUM(CAST(c * vv AS DECIMAL(38,18))) AS DOUBLE), 9)
            AS s
-  FROM cent JOIN pv${i - 1} pv ON pv.dim = cent.dim
+  FROM $centRel JOIN ${tag}v${i - 1} pv ON pv.dim = $centRel.dim
   GROUP BY 1
-), pw$i AS (
-  SELECT cent.dim,
+), ${tag}w$i AS (
+  SELECT $centRel.dim,
          round(CAST(SUM(CAST(c * s AS DECIMAL(38,18))) AS DOUBLE), 9)
            AS w
-  FROM cent JOIN ps$i USING (vid)
+  FROM $centRel JOIN ${tag}s$i USING (vid)
   GROUP BY 1
-), pn$i AS (
+), ${tag}n$i AS (
   SELECT round(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18)))
                          AS DOUBLE)), 9) AS nrm
-  FROM pw$i
-), pv$i AS (
+  FROM ${tag}w$i
+), ${tag}v$i AS (
   SELECT dim, round(CASE WHEN nrm > 0 THEN w / nrm
                          ELSE 0.0 END, 6) AS vv
-  FROM pw$i CROSS JOIN pn$i)"""
+  FROM ${tag}w$i CROSS JOIN ${tag}n$i)"""
     }
     (init +: rounds).mkString(", ")
   }
+
+  /** s33: All-but-the-Top removal report — the s21 chain (shared
+    * [[powerIterCtes]] generator, tag `p`), the 9-dp projection
+    * bridge deflating the corpus off PC1 (`cent2` MATERIALIZED — it
+    * embeds the whole first chain and is read by the second), then
+    * the same chain again (tag `q`) over the deflated frame, with
+    * before/after eigen shares and the removed-variance fraction.
+    */
+  val s33AnisotropyRemoval: String = s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), exq AS (
+  SELECT vec_id AS vid,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v
+), exd AS (
+  SELECT vid, dim, CAST(x AS DOUBLE) AS x FROM exq
+), n1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
+), mu AS (
+  SELECT dim,
+         round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*), 6) AS mu
+  FROM exd GROUP BY 1
+), cent AS MATERIALIZED (
+  SELECT vid, exd.dim, (x - mu.mu) AS c
+  FROM exd JOIN mu ON mu.dim = exd.dim
+), ${powerIterCtes(6)},
+ds AS (
+  SELECT vid,
+         round(CAST(SUM(CAST(c * vv AS DECIMAL(38,18))) AS DOUBLE), 9)
+           AS s
+  FROM cent JOIN pv6 pv ON pv.dim = cent.dim
+  GROUP BY 1
+), cent2 AS MATERIALIZED (
+  SELECT cent.vid, cent.dim, round(c - s * vv, 9) AS c
+  FROM cent JOIN ds USING (vid) JOIN pv6 pv ON pv.dim = cent.dim
+), ${powerIterCtes(6, "q", "cent2")},
+tr1 AS (
+  SELECT CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS tss1
+  FROM cent
+), tr2 AS (
+  SELECT CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS tss2
+  FROM cent2
+)
+SELECT n AS n_vectors,
+       round(p.nrm / n, 6) AS lambda1,
+       round(CASE WHEN tss1 > 0 THEN p.nrm / tss1 ELSE 0.0 END, 6)
+         AS var_share_before,
+       round(q.nrm / n, 6) AS lambda2,
+       round(CASE WHEN tss2 > 0 THEN q.nrm / tss2 ELSE 0.0 END, 6)
+         AS var_share_after,
+       round(CASE WHEN tss1 > 0 THEN (tss1 - tss2) / tss1
+             ELSE 0.0 END, 6) AS removed_var_share
+FROM n1 CROSS JOIN pn6 p CROSS JOIN qn6 q
+CROSS JOIN tr1 CROSS JOIN tr2"""
 
   /** s21: leading principal component by 6 unrolled power-iteration
     * rounds over the centered embedding corpus — per-dim mean and

@@ -516,6 +516,17 @@ object ExtQueries {
         col("rank").cast("long").as("rank"), col("cosine"))
   }
 
+  /** All-but-the-Top removal report (s33):
+    * [[Similarity.anisotropyRemovalReport]] over the embeddings
+    * corpus — the fix s21 diagnoses and s32 motivates, priced
+    * before/after.
+    */
+  def anisotropyRemoval(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.anisotropyRemovalReport(Tables.embeddings(spark, sfDir),
+      iters = 6)
+  }
+
   /** Hubness report (s32): [[Similarity.hubness]] over the embeddings
     * corpus with a 100-query probe panel at k = 5 — the k-occurrence
     * histogram (antihub zero row included), the embedding-space

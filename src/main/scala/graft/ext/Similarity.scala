@@ -1810,21 +1810,16 @@ object Similarity {
     * iterate is deterministic but the "top" direction is not
     * meaningful — exactly what the var share column tells you).
     */
-  def topPrincipalComponent(vecs: DataFrame, iters: Int = 6,
-                            idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
-    require(iters >= 1, "need at least one power iteration")
-    val ex = graft.std.Materialize.once(
-      pqExplode(vecs, 1, idCol, vecCol))
-    val mu = ex.groupBy(col("_dim"))
-      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
-        count(lit(1)), 6).as("_mu"))
-    val cent = graft.std.Materialize.once(
-      ex.join(broadcast(mu), Seq("_dim"))
-        .select(col("_vid"), col("_dim"),
-          (col("_x") - col("_mu")).as("_c")))
-    val n1 = vecs.agg(count(lit(1)).as("_n"))
-    var v: DataFrame = mu.select(col("_dim"), lit(1.0).as("_v"))
+  /** The s21 power-iteration loop over a pinned centered exploded
+    * frame (`_vid`, `_dim`, `_c`): `iters` rounds of the two-aggregate
+    * `Cov·v` with the kmeansLoop fixed-point discipline. Returns the
+    * unit vector frame and the last pre-normalization norm (= n·λ for
+    * a converged v). Shared by s21 (one pass) and s33 (one pass per
+    * side of the deflation).
+    */
+  private def powerIterate(cent: DataFrame, dims: DataFrame,
+                           iters: Int): (DataFrame, DataFrame) = {
+    var v: DataFrame = dims.select(col("_dim"), lit(1.0).as("_v"))
     var lastNorm: DataFrame = null
     for (_ <- 1 to iters) {
       val s = cent.join(broadcast(v), Seq("_dim"))
@@ -1844,6 +1839,24 @@ object Similarity {
             round(when(col("_nrm") > 0, col("_w") / col("_nrm"))
               .otherwise(lit(0.0)), 6).as("_v")))
     }
+    (v, lastNorm)
+  }
+
+  def topPrincipalComponent(vecs: DataFrame, iters: Int = 6,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "need at least one power iteration")
+    val ex = graft.std.Materialize.once(
+      pqExplode(vecs, 1, idCol, vecCol))
+    val mu = ex.groupBy(col("_dim"))
+      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)), 6).as("_mu"))
+    val cent = graft.std.Materialize.once(
+      ex.join(broadcast(mu), Seq("_dim"))
+        .select(col("_vid"), col("_dim"),
+          (col("_x") - col("_mu")).as("_c")))
+    val n1 = vecs.agg(count(lit(1)).as("_n"))
+    val (v, lastNorm) = powerIterate(cent, mu, iters)
     // Rayleigh estimate: with v unit, ‖Σ s_i(x_i−μ)‖ = n·λ; trace is
     // the exact total centered sum of squares over n
     val trace = cent.agg(
@@ -1858,6 +1871,77 @@ object Similarity {
         round(col("_nrm") / col("_n"), 6).as("lambda1"),
         round(when(col("_tss") > 0, col("_nrm") / col("_tss"))
           .otherwise(lit(0.0)), 6).as("var_share"))
+  }
+
+  /** All-but-the-Top removal report (s33): the FIX s21 diagnoses and
+    * s32 motivates, priced — project the corpus off its top principal
+    * component (x′ = c − (c·v₁)v₁, the Mu & Viswanath post-processing
+    * step minus the mean term the centering already removed) and
+    * re-measure the anisotropy. `var_share_before` is s21's readout;
+    * `var_share_after` is the top-PC share of the DEFLATED corpus
+    * (high again = a second dominant direction survives, remove
+    * another PC; low = the space is isotropic now);
+    * `removed_var_share` is the fraction of total centered variance
+    * the single removal deleted — the honest price/benefit line a
+    * team reads before rewriting its embeddings.
+    *
+    * Determinism: both passes are the shared [[powerIterate]] loop
+    * (kmeansLoop fixed-point discipline); the projection scores are
+    * the loop's own 9-dp s_i form and the deflated coordinates round
+    * once at 9 dp, so the DuckDB twin replays both chains and the
+    * bridge exactly.
+    *
+    * 100 TB shape: twice the s21 contract (per iteration two
+    * partial-agg passes over the exploded frame; v and μ broadcast,
+    * |dims| rows) plus ONE deflation join producing the second pinned
+    * centered frame — the dims×dims covariance never materializes on
+    * either side.
+    *
+    * Returns ONE row: (n_vectors, lambda1, var_share_before, lambda2,
+    * var_share_after, removed_var_share); empty for an empty corpus.
+    */
+  def anisotropyRemovalReport(vecs: DataFrame, iters: Int = 6,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "need at least one power iteration")
+    val ex = graft.std.Materialize.once(
+      pqExplode(vecs, 1, idCol, vecCol))
+    val mu = ex.groupBy(col("_dim"))
+      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)), 6).as("_mu"))
+    val cent = graft.std.Materialize.once(
+      ex.join(broadcast(mu), Seq("_dim"))
+        .select(col("_vid"), col("_dim"),
+          (col("_x") - col("_mu")).as("_c")))
+    val (v1, nrm1) = powerIterate(cent, mu, iters)
+    val s1 = cent.join(broadcast(v1), Seq("_dim"))
+      .groupBy(col("_vid"))
+      .agg(round(sum((col("_c") * col("_v")).cast("decimal(38,18)"))
+        .cast("double"), 9).as("_s"))
+    val cent2 = graft.std.Materialize.once(
+      cent.join(broadcast(v1), Seq("_dim")).join(s1, Seq("_vid"))
+        .select(col("_vid"), col("_dim"),
+          round(col("_c") - col("_s") * col("_v"), 9).as("_c")))
+    val (_, nrm2) = powerIterate(cent2, mu, iters)
+    def tss(c: DataFrame, as: String): DataFrame = c.agg(
+      sum((col("_c") * col("_c")).cast("decimal(38,18)"))
+        .cast("double").as(as))
+    vecs.agg(count(lit(1)).as("n_vectors"))
+      .filter(col("n_vectors") > 0)
+      .crossJoin(broadcast(nrm1.select(col("_nrm").as("_n1"))))
+      .crossJoin(broadcast(nrm2.select(col("_nrm").as("_n2"))))
+      .crossJoin(broadcast(tss(cent, "_tss1")))
+      .crossJoin(broadcast(tss(cent2, "_tss2")))
+      .select(col("n_vectors"),
+        round(col("_n1") / col("n_vectors"), 6).as("lambda1"),
+        round(when(col("_tss1") > 0, col("_n1") / col("_tss1"))
+          .otherwise(lit(0.0)), 6).as("var_share_before"),
+        round(col("_n2") / col("n_vectors"), 6).as("lambda2"),
+        round(when(col("_tss2") > 0, col("_n2") / col("_tss2"))
+          .otherwise(lit(0.0)), 6).as("var_share_after"),
+        round(when(col("_tss1") > 0,
+          (col("_tss1") - col("_tss2")) / col("_tss1"))
+          .otherwise(lit(0.0)), 6).as("removed_var_share"))
   }
 
   /** IVF tuning report (s20): the t50 idea for the ANN index — ONE

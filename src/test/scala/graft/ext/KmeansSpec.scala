@@ -176,6 +176,33 @@ class KmeansSpec extends AnyFunSuite {
     assert(r(0L).getDouble(4) == 1.0, "one axis carries ALL variance")
   }
 
+  test("anisotropy removal: deflating PC1 leaves the minor axis as " +
+    "ALL remaining variance — exact before/after arithmetic") {
+    // x-variance 100, y-variance 1, mean exactly 0: PC1 converges to
+    // (1, 0), nrm1 = n·λ1 = 400, trace = 404; the deflation zeroes the
+    // x column exactly (s_i = ±10, c − s·v), so the second chain sees
+    // only the y axis: nrm2 = 4, trace2 = 4. Every output cell is an
+    // exact equality.
+    val df = Seq(
+      (1L, Seq(10.0, 1.0)), (2L, Seq(-10.0, 1.0)),
+      (3L, Seq(10.0, -1.0)), (4L, Seq(-10.0, -1.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.anisotropyRemovalReport(df, iters = 6).collect()
+    graft.std.Materialize.releaseAll()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 4L)
+    assert(row.getDouble(1) == 100.0, s"lambda1: $row")
+    assert(row.getDouble(2) == 0.990099, s"var_share_before: $row")
+    assert(row.getDouble(3) == 1.0, s"lambda2: $row")
+    assert(row.getDouble(4) == 1.0, s"var_share_after: $row")
+    assert(row.getDouble(5) == 0.990099, s"removed_var_share: $row")
+    // and the empty corpus reports no row, never a division error
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.anisotropyRemovalReport(empty).collect().isEmpty)
+    graft.std.Materialize.releaseAll()
+  }
+
   test("memoized training: identical codebook, memo hit included") {
     val df = Seq(
       (1L, Seq(0.5, 2.5)), (2L, Seq(1.5, 0.5)), (3L, Seq(3.5, 2.0)),
