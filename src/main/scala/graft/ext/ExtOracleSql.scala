@@ -3487,6 +3487,40 @@ FROM agg"""
     * division over exact longs, ONE `ln` rounded to 9 dp (t31's
     * portability discipline), ties on (w1, w2).
     */
+  /** t76: per-doc novelty vs reference — the id-lane 80/20 split,
+    * per-side distinct shingle hashes through the shared md5 lane,
+    * one hash-keyed membership join, exact fixed-point shares with
+    * the novel/mixed/redundant verdict.
+    */
+  val t76NoveltyScore: String = s"""WITH t AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+), dsh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ${h64("sh")} AS h FROM (
+    SELECT doc_id,
+           unnest(${sh3("toks", "array_to_string(toks, ' ')")}) AS sh
+    FROM t
+  )
+), refsh AS MATERIALIZED (
+  SELECT DISTINCT h FROM dsh WHERE doc_id % 5 <> 4
+), scored AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM dsh b LEFT JOIN refsh r ON b.h = r.h
+  WHERE b.doc_id % 5 = 4
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_novel,
+       n_novel * 1000000000 // n_shingles AS novelty_e9,
+       CASE WHEN n_novel * 1000000000 // n_shingles >= 800000000
+              THEN 'novel'
+            WHEN n_novel * 1000000000 // n_shingles <= 200000000
+              THEN 'redundant'
+            ELSE 'mixed' END AS verdict
+FROM scored"""
+
   /** t75: readability — sentence/word/vowel-group counts as exact
     * integers (min-1 conventions matching the Spark side), the two
     * scores as single double expressions rounded once at 6 dp, the

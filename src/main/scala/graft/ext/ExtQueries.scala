@@ -1800,6 +1800,20 @@ object ExtQueries {
       spread(docs.unionByName(mirror)))
   }
 
+  /** Per-doc novelty vs reference (t76): [[TextAnalysis.noveltyScore]]
+    * with the id-lane incremental split — every doc with
+    * `doc_id % 5 = 4` is the incoming BATCH, the other 80% the
+    * already-ingested REFERENCE; the "what does this crawl add"
+    * score at doc grain.
+    */
+  def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = spread(Tables.documents(spark, sfDir))
+    TextAnalysis.noveltyScore(
+      docs.filter(col("doc_id") % 5 === 4),
+      docs.filter(col("doc_id") % 5 =!= 4))
+  }
+
   /** Readability scores (t75): [[TextAnalysis.readability]] — Flesch
     * reading ease + Flesch–Kincaid grade per doc with curriculum
     * bands, the complexity axis of the quality shelf.

@@ -2018,6 +2018,56 @@ object TextAnalysis {
           .otherwise(lit("mixed")))
   }
 
+  /** Per-doc novelty vs a reference corpus (t76): for every BATCH
+    * document, the share of its distinct 3-shingles absent from the
+    * REFERENCE corpus — the "what does this crawl actually add"
+    * readout. d6/d7 make the keep/drop decision against the corpus
+    * state; this is the same question at SCORE grain, before the
+    * drop: a batch averaging near-zero novelty is a re-crawl to skip
+    * wholesale (the t74 verdict at doc grain), a high-novelty slice
+    * is where the new data lives, and the score is the natural
+    * curriculum/priority key for ingestion order.
+    *
+    * Shingles travel as md5-lane hashes (the d2/t72 digests-shuffle
+    * discipline); per doc the DISTINCT shingle set is scored (a doc
+    * repeating one novel phrase 100× is not 100× novel). The
+    * batch⋈reference membership join is hash-keyed — at 100 TB the
+    * d9 bloom prefilter composes in front of it unchanged (digests
+    * are already the join key), cutting the probe to the
+    * probably-present minority.
+    *
+    * Returns (doc_id, n_shingles, n_novel, novelty_e9, verdict) —
+    * verdict `novel` ≥ 0.8, `redundant` ≤ 0.2, else `mixed`.
+    */
+  def noveltyScore(batch: DataFrame, reference: DataFrame,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, "need a positive shingle width")
+    def docShingles(docs: DataFrame): DataFrame = {
+      val b = TextOps.attrBarrier(
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")),
+        Seq("doc_id"), "_shs",
+        TextOps.shingles(TextOps.tokens(col("text")), n))
+      b.select(col("doc_id"), explode(col("_shs")).as("_sh"))
+        .select(col("doc_id"), TextOps.hash64(col("_sh")).as("_h"))
+        .distinct()
+    }
+    val refSh = graft.std.Materialize.once(
+      docShingles(reference).select(col("_h")).distinct()
+        .withColumn("_seen", lit(1L)))
+    val scored = docShingles(batch)
+      .join(refSh, Seq("_h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000000 div n_shingles").as("novelty_e9"))
+    scored.withColumn("verdict",
+      when(col("novelty_e9") >= 800000000L, lit("novel"))
+        .when(col("novelty_e9") <= 200000000L, lit("redundant"))
+        .otherwise(lit("mixed")))
+  }
+
   /** Readability scores (t75): Flesch reading ease and Flesch–Kincaid
     * grade per document — the classic complexity axis of the quality
     * shelf (t4 measures junk, t35 measures Gopher-rule hygiene, t25
