@@ -2161,6 +2161,22 @@ WHERE NOT EXISTS (SELECT 1 FROM und
 ORDER BY aa_score DESC, node_u, node_v
 LIMIT 100"""
 
+  /** x75: edge reciprocity — distinct edges, one reversed self-join,
+    * per-src exact counts and the fixed-point share.
+    */
+  val x75Reciprocity: String = s"""WITH $ChainSeq, $ChainEdges,
+rec AS (
+  SELECT a.src, a.dst,
+         CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END AS r
+  FROM e a LEFT JOIN e b ON b.src = a.dst AND b.dst = a.src
+)
+SELECT src AS node_id,
+       CAST(COUNT(*) AS BIGINT) AS n_out,
+       CAST(SUM(r) AS BIGINT) AS n_reciprocated,
+       CAST(SUM(r) AS BIGINT) * 1000000000 // CAST(COUNT(*) AS BIGINT)
+         AS reciprocity_e9
+FROM rec GROUP BY 1"""
+
   private val DiamHops = 6
 
   /** x74: double-sweep diameter estimate — two [[relaxChain]] BFS

@@ -1507,6 +1507,15 @@ object ExtQueries {
       hops = 4, peelRounds = 3)
   }
 
+  /** Edge reciprocity (x75): [[Graph.reciprocity]] over the chain
+    * graph — per-node mutual-edge shares, the one-pass regime readout
+    * (mutual world vs broadcast feed) for the whole x-tier.
+    */
+  def reciprocity(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Graph.reciprocity(chainGraphEdges(spark, sfDir))
+  }
+
   /** Double-sweep diameter estimate (x74):
     * [[Graph.diameterEstimate]] over the chain graph — two 6-hop BFS
     * sweeps, the planning number every horizon knob in the graph tier

@@ -1681,6 +1681,40 @@ object Graph {
       .limit(topN)
   }
 
+  /** Edge reciprocity (x75): per node, how many of its out-edges are
+    * returned (u→v with v→u present) — the classic directed-mixing
+    * diagnostic (Newman's reciprocity) completing the degree shelf:
+    * x55 says whether hubs exist, x59 says who they attach to, this
+    * says whether relations are MUTUAL or broadcast. The split is
+    * operationally load-bearing for the x-tier itself: a
+    * high-reciprocity graph behaves like x48's undirected world (SCCs
+    * everywhere, x69 cheap), a near-zero one is a DAG-like feed where
+    * x70's feed-forward census carries the signal — reciprocity is
+    * the one-pass readout that says which regime you are in.
+    *
+    * 100 TB shape: ONE self-equi-join of the distinct edge frame on
+    * the reversed key pair + one per-src partial agg — no windows, no
+    * iteration; exact longs and one fixed-point division.
+    *
+    * Returns (node_id, n_out, n_reciprocated, reciprocity_e9).
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = graft.std.Materialize.once(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    val back = e.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1L).as("_rec"))
+    e.join(back, Seq("src", "dst"), "left_outer")
+      .groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("n_out"),
+        coalesce(sum(col("_rec")), lit(0L)).as("n_reciprocated"))
+      .select(col("node_id"), col("n_out"), col("n_reciprocated"),
+        expr("n_reciprocated * 1000000000 div n_out")
+          .as("reciprocity_e9"))
+  }
+
   /** Double-sweep diameter estimate (x74): the classic two-BFS lower
     * bound (the Magnien/Latapy/Habib double sweep) — BFS from a
     * deterministic start (the minimum node id), take the FARTHEST

@@ -1266,6 +1266,31 @@ class GraphSpec extends AnyFunSuite {
     assert(got.keySet == Set((1L, 2L)), s"got $got")
   }
 
+  // ---- x75: edge reciprocity ----
+
+  private def recipOf(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, Long)] =
+    Graph.reciprocity(edges.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+
+  test("reciprocity: mutual pairs score 1e9, broadcast edges 0, a " +
+    "mixed node the exact share") {
+    // 1<->2 mutual; 1->3 and 1->4 broadcast; parallel duplicate of
+    // 1->2 collapses before counting
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (1L, 2L))
+    val got = recipOf(edges)
+    assert(got == Map(
+      1L -> ((3L, 1L, 333333333L)),
+      2L -> ((1L, 1L, 1000000000L))), s"got $got")
+    // a pure DAG is all-zero shares; a 2-ring is all-1e9
+    assert(recipOf(Seq((1L, 2L), (2L, 3L))).values
+      .forall(_._3 == 0L))
+    assert(recipOf(Seq((5L, 6L), (6L, 5L))).values
+      .forall(_._3 == 1000000000L))
+  }
+
   // ---- x74: double-sweep diameter estimate ----
 
   private def diamOf(edges: Seq[(Long, Long)], hops: Int = 6)
