@@ -971,6 +971,49 @@ class GraphSpec extends AnyFunSuite {
       5L -> ((5L, 2L, 3)), 6L -> ((5L, 2L, 3))), s"got $got")
   }
 
+  test("scc + peel soundness: on random digraphs every reported " +
+    "membership is a TRUE SCC membership — the bounded contract's " +
+    "no-false-positives half, replayed") {
+    // the horizon trades completeness, never correctness: verify
+    // against an exact plain-Scala transitive closure that every
+    // reported (node, scc) group is mutually reachable in the TRUE
+    // graph, and that groups sharing an id are exactly co-SCC
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 4
+      val edges = Seq.fill(n * 3)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // exact reachability closure
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var reach = edges.toSet
+      var grew = true
+      while (grew) {
+        val next = reach ++ (for {
+          (a, b) <- reach; (c, d) <- reach if b == c
+        } yield (a, d))
+        grew = next.size > reach.size
+        reach = next
+      }
+      def coScc(u: Long, v: Long): Boolean =
+        u == v || (reach((u, v)) && reach((v, u)))
+      for (result <- Seq(
+          sccOf(edges).map { case (k, (id, _)) => k -> id },
+          sccPeelOf(edges).map { case (k, (id, _, _)) => k -> id })) {
+        result.foreach { case (node, id) =>
+          assert(coScc(node, id),
+            s"trial $trial: reported ($node, $id) is not co-SCC")
+        }
+        // members reported under the same id must be pairwise co-SCC
+        result.groupBy(_._2).values.foreach { grp =>
+          val ms = grp.keys.toSeq
+          for (a <- ms; b <- ms)
+            assert(coScc(a, b), s"trial $trial: $a,$b share an id")
+        }
+      }
+    }
+  }
+
   test("scc peel: first round matches x69 exactly, and an exhausted " +
     "remainder exits early instead of running empty rounds") {
     // the x69 tail case fully confirms in round 1; rounds 2-3 would
@@ -1324,6 +1367,44 @@ class GraphSpec extends AnyFunSuite {
     // back from 2: far node 1 (tie with 3), ecc 2
     assert(diamOf(star) == Seq((1L, 2L, 2L, 4L, 1L, 2L, 4L, 2L)))
     assert(diamOf(Seq.empty).isEmpty)
+  }
+
+  test("diameter: differential vs an exact BFS replay on random " +
+    "digraphs — both sweeps' eccentricities and endpoints match") {
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val n = 10 + trial * 5
+      val edges = Seq.fill(n * 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val und = (edges ++ edges.map(_.swap)).distinct
+      val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      def bfs(s: Long, hops: Int): Map[Long, Long] = {
+        var dist = Map(s -> 0L)
+        var frontier = Seq(s)
+        for (d <- 1 to hops) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+            .distinct.filterNot(dist.contains)
+          dist ++= frontier.map(_ -> d.toLong)
+        }
+        dist
+      }
+      def far(dist: Map[Long, Long]): (Long, Long) = {
+        val m = dist.values.max
+        (dist.filter(_._2 == m).keys.min, m)
+      }
+      val hops = 4
+      val start = und.map(_._1).min
+      val d1 = bfs(start, hops)
+      val (u, ecc1) = far(d1)
+      val d2 = bfs(u, hops)
+      val (v, ecc2) = far(d2)
+      val got = diamOf(edges, hops)
+      assert(got == Seq((start, u, ecc1, d1.size.toLong, v, ecc2,
+        d2.size.toLong, math.max(ecc1, ecc2))),
+        s"trial $trial: got $got expected " +
+          s"($start,$u,$ecc1,${d1.size},$v,$ecc2,${d2.size})")
+    }
   }
 
   // ---- x73: link-prediction holdout evaluation ----
