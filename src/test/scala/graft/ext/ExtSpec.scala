@@ -328,6 +328,43 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Map(2L -> 1L, 0L -> 3L), s"got $got")
   }
 
+  test("hubness: differential vs a plain-Scala cosine top-k replay " +
+    "on random integer vectors") {
+    // integer components keep every dot product exact in double, so
+    // the 6-dp cosine rounding and the (cosine DESC, id ASC) tie rule
+    // replay bit-for-bit
+    val rnd = new scala.util.Random(20260815L)
+    val vecs = (0L until 20L).map { i =>
+      val v = Seq.fill(8)(rnd.nextInt(10).toDouble)
+      (i, if (v.forall(_ == 0.0)) v.updated(0, 1.0) else v)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      r6(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+    }
+    val panel = vecs.filter(_._1 < 6)
+    val k = 3
+    val occ = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((q, qv) <- panel) {
+      val top = vecs.filter(_._1 != q)
+        .map { case (i, v) => (i, cos(qv, v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(k)
+      top.foreach { case (i, _) => occ(i) += 1L }
+    }
+    val hist = occ.values.groupBy(identity)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    val expected = hist + (0L -> (vecs.size - occ.size).toLong)
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.hubness(df.filter(col("vec_id") < 6), df, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got $got\nexp $expected")
+  }
+
   test("hubness: mass conservation on the real corpus — occurrences " +
     "sum to k*|panel|, vectors sum to |corpus|") {
     val vecs = Tables.embeddings(spark, sfDir)

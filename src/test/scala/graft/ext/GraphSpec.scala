@@ -1201,6 +1201,50 @@ class GraphSpec extends AnyFunSuite {
       (5L, 5L) -> 2L), s"got $got")
   }
 
+  test("skip-gram: end-to-end differential over REAL hash-seeded " +
+    "walks — corpus generation and pair extraction replayed together") {
+    def h64(s: String): Long =
+      graft.functions.Md5Lane.lane(s.getBytes("UTF-8"), 0, 7)
+    val rnd = new scala.util.Random(20260815L)
+    val edges = Seq.fill(300)(
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val seeds = Seq(0L, 5L, 11L, 19L)
+    val cap = 64
+    // replay the walk generator (the x66 contract) ...
+    val adj = edges.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).sorted.take(cap) }
+    val walks = seeds.map { w =>
+      var node = w
+      val path = scala.collection.mutable.ArrayBuffer(w)
+      var s = 1
+      var alive = true
+      while (s <= 4 && alive) {
+        adj.get(node).filter(_.nonEmpty) match {
+          case Some(nbrs) =>
+            node = nbrs((h64(s"$w|$s|$node") % nbrs.size).toInt)
+            path += node
+          case None => alive = false
+        }
+        s += 1
+      }
+      path.toSeq
+    }
+    // ... then the window-2 pair extraction over the replayed corpus
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    for (p <- walks; i <- p.indices; j <- p.indices
+         if i != j && math.abs(i - j) <= 2)
+      expected((p(i), p(j))) += 1L
+    val seedsDf = seeds.toDF("seed")
+    val got = Graph.skipGramPairs(
+        Graph.randomWalks(edges.toDF("src", "dst"), seedsDf, steps = 4,
+          maxDegree = cap), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == expected.toMap, s"got $got\nexp $expected")
+  }
+
   test("skip-gram: pairs never cross walk boundaries") {
     val got = sgOf(Seq((0L, 0L, 1L), (0L, 1L, 2L),
       (7L, 0L, 3L), (7L, 1L, 4L)))
