@@ -72,6 +72,31 @@ class ScaleSpec extends AnyFunSuite {
       s"top-k fell back to sort+limit:\n$plan")
   }
 
+  test("link prediction's top-N plans as TakeOrderedAndProject and " +
+    "its pairs form only through the capped equi-self-join") {
+    val plan = graft.ext.ExtQueries.linkPrediction(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"x67 top-N fell back to a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"x67 pair generation must never be all-pairs:\n$plan")
+  }
+
+  test("skip-gram pairs plan with no window and no cartesian — one " +
+    "equi-join plus a partial-agg groupBy") {
+    val walks = graft.ext.ExtQueries.randomWalks(spark, sfDir)
+    val plan = graft.ext.Graph.skipGramPairs(walks, 2)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    assert(!plan.contains("CartesianProduct"),
+      s"x72 must join on walk_id, not cross:\n$plan")
+    assert(!plan.contains("Window"),
+      s"x72 must not use a window function:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"x72 pair counts must partial-aggregate:\n$plan")
+  }
+
   test("documents scan prunes to the referenced columns") {
     val plan = graft.ext.ExtQueries.tokenStats(spark, sfDir)
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
