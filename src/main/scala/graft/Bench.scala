@@ -6,6 +6,9 @@ object Bench {
     * Tolerant by design: a missing file, missing `queries` object, or
     * unparseable value yields an empty/partial map and the guard just
     * doesn't fire — a corrupt baseline must never fail the bench.
+    * BenchGuardSpec round-trips this parser against the REAL
+    * `fileJson` writer below, so a format change breaks a test instead
+    * of silently disarming the guard.
     */
   private[graft] def parseBaseline(json: String): Map[String, Double] = {
     val marker = "\"queries\":{"
@@ -28,20 +31,87 @@ object Bench {
     }
   }
 
+  /** Merge baseline maps per-query by MIN (ignoring failure marks).
+    * The r16 lesson: anchoring the guard to only the immediately-prior
+    * record lets compounding drift ratchet past the 3x trigger —
+    * t24–t27 reached 3–5x over r15 in two under-threshold steps and the
+    * record self-certified clean. The anchor is therefore the per-query
+    * minimum across ALL committed records (BENCH_BASELINE.json, built
+    * by tools/build_bench_baseline.py from git history) merged with the
+    * prior record on disk (which alone guards queries newer than the
+    * baseline build).
+    */
+  private[graft] def mergeBaselines(
+      ms: Seq[Map[String, Double]]): Map[String, Double] =
+    ms.flatMap(_.iterator).filter(_._2 >= 0)
+      .groupMapReduce(_._1)(_._2)(math.min)
+
   /** Host-noise guard: is this query's min-of-reps anomalous against
-    * the prior committed record? Three rounds running, same-code
-    * records disagreed per-query by up to 55x (x35 0.42 vs 23.04 s)
-    * from host contention alone — min-of-3 is not enough when all
-    * three reps land in a contended window. Anomalous = BOTH >3x the
-    * baseline min AND >1 s absolute over it (the absolute floor keeps
-    * sub-second jitter — 0.1 -> 0.4 s — from triggering retries).
-    * Failed queries (min < 0) are never retried here; -1 must stay
-    * visible as a failure, not be retried into a fluke success.
+    * the historical baseline? Three rounds running, same-code records
+    * disagreed per-query by up to 55x (x35 0.42 vs 23.04 s) from host
+    * contention alone — min-of-3 is not enough when all three reps land
+    * in a contended window. Anomalous = BOTH >3x the baseline min AND
+    * >1 s absolute over it (the absolute floor keeps sub-second jitter
+    * — 0.1 -> 0.4 s — from triggering retries). Failed queries
+    * (min < 0) are never retried here; -1 must stay visible as a
+    * failure, not be retried into a fluke success.
     */
   private[graft] def isAnomalous(minSec: Double,
                                  baseline: Option[Double]): Boolean =
     minSec >= 0 && baseline.exists(b =>
       b >= 0 && minSec > 3 * b && minSec > b + 1.0)
+
+  /** Fixed canary set, measured FIRST in every bench session (fresh
+    * JVM, post-warmup, pre-suite): shape-diverse — a broadcast star
+    * join + agg, a per-row text-expression scan, an iterative
+    * join-loop. Round-over-round grading divides per-query ratios by
+    * the canary ratio to tell host-speed steps (canary moves with the
+    * suite — the r15→r16 x48/x46/x20 1.6–1.8x step) from code-speed
+    * changes (canary flat, query moved).
+    */
+  private[graft] val canaryKeys: Seq[String] =
+    Seq("q1_revenue_by_month", "t4_lang_id", "x20_pagerank")
+
+  /** The one-line record head shared by stdout and the file copy. */
+  private[graft] def headJson(results: Seq[(String, Double)],
+                              canary: Seq[(String, Double)],
+                              flaky: Seq[String],
+                              anomalous: Seq[String],
+                              outPath: String, sfDir: String,
+                              fmt: Double => String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val fl = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val anom = anomalous.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val can = canary.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"flaky":$fl,"anomalous":$anom,"canary":$can,"full":"$outPath","sf":"$sfDir"}"""
+  }
+
+  /** Full-precision file record: head + reps + every sample. Retry
+    * runs live in their own `retries` map (r16 advice: appending them
+    * to `samples` broke the `reps`-describes-array-length contract and
+    * let a failed RETRY rep mark an otherwise-clean query flaky).
+    */
+  private[graft] def fileJson(results: Seq[(String, Double)],
+                              canary: Seq[(String, Double)],
+                              flaky: Seq[String],
+                              anomalous: Seq[String],
+                              outPath: String, sfDir: String,
+                              reps: Int,
+                              samples: Seq[(String, Seq[Double])],
+                              retries: Seq[(String, Seq[Double])])
+      : String = {
+    def runsMap(xs: Seq[(String, Seq[Double])]): String =
+      xs.map { case (k, runs) =>
+        "\"" + k + "\":[" + runs.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    headJson(results, canary, flaky, anomalous, outPath, sfDir,
+      _.toString).dropRight(1) +
+      s""","reps":$reps,"samples":${runsMap(samples)},"retries":${
+        runsMap(retries)}}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,17 +149,22 @@ object Bench {
       sys.env.get("SPARK_GRAFT_ONLY").map(SparkEntry.keyMatcher)
         .getOrElse(_ => true)
     val selected = SparkEntry.queries.filter(e => selectedKey(e._1))
-    // prior record for the outlier guard: the working-tree
-    // BENCH_FULL.json read BEFORE this run overwrites it (normally the
-    // committed min-of-3 record; override with SPARK_GRAFT_BENCH_BASELINE,
-    // set it to an absent path to disable the guard)
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/root/repo/BENCH_FULL.json"))
-    val baseline: Map[String, Double] =
+    // Guard anchor: per-query MIN across the committed historical
+    // baseline (BENCH_BASELINE.json) AND the working-tree
+    // BENCH_FULL.json read BEFORE this run overwrites it (the prior
+    // record alone covers queries added after the baseline build).
+    // SPARK_GRAFT_BENCH_BASELINE overrides with a single file; point it
+    // at an absent path to disable the guard.
+    def readBaseline(p: String): Map[String, Double] =
       try parseBaseline(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(baselinePath)))
+        java.nio.file.Paths.get(p)))
       catch { case _: Throwable => Map.empty }
+    val baselinePaths = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+      .map(Seq(_)).getOrElse(Seq(
+        "/root/repo/BENCH_BASELINE.json",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          "/root/repo/BENCH_FULL.json")))
+    val baseline = mergeBaselines(baselinePaths.map(readBaseline))
     val maxRetries = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt)
     def storageUsedMb: Long = {
@@ -97,63 +172,96 @@ object Bench {
         .map { case (max, rem) => max - rem }.sum
       s / (1024 * 1024)
     }
-    val samples = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def oneRun(): Double = {
-        val t0 = System.nanoTime()
-        // noop-format write forces full evaluation of every column; a bare
-        // count() would let Catalyst prune projection-shaped queries down
-        // to the scan (benching the reader, not the operator).
-        val t = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          // -1 marks a failed query in the JSON; a thrown query must not
-          // masquerade as a fast success
-          -1.0
+    def oneRun(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      // noop-format write forces full evaluation of every column; a bare
+      // count() would let Catalyst prune projection-shaped queries down
+      // to the scan (benching the reader, not the operator).
+      val t = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // -1 marks a failed query in the JSON; a thrown query must not
+        // masquerade as a fast success
+        -1.0
+      }
+      // drop the query's materialize-once pins before the next run —
+      // accumulated checkpoint blocks squeeze execution memory and
+      // made round-3's late dedup queries nondeterministically 10x
+      // slow. Session memos (shared clusters / profile / cleaned
+      // frame) are unregistered pins and deliberately survive.
+      graft.std.Materialize.releaseAll()
+      t
+    }
+    // Canary first: clean-session numbers for the fixed set, before any
+    // suite aging. Skipped under SPARK_GRAFT_ONLY (local iteration) or
+    // SPARK_GRAFT_BENCH_CANARY=0.
+    val canary: Seq[(String, Double)] =
+      if (sys.env.contains("SPARK_GRAFT_ONLY") ||
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY", "1") == "0") Nil
+      else canaryKeys.flatMap { k =>
+        SparkEntry.queries.get(k).map { fn =>
+          val runs = (1 to reps).map(_ => oneRun(k, fn))
+          val ok = runs.filter(_ >= 0)
+          val m = if (ok.isEmpty) -1.0 else ok.min
+          System.err.println(f"[bench] canary $k%-17s min=$m%.3f samples=${
+            runs.map(r => f"$r%.3f").mkString(",")}")
+          k -> m
         }
-        // drop the query's materialize-once pins before the next run —
-        // accumulated checkpoint blocks squeeze execution memory and
-        // made round-3's late dedup queries nondeterministically 10x
-        // slow. Session memos (shared clusters / profile / cleaned
-        // frame) are unregistered pins and deliberately survive.
-        graft.std.Materialize.releaseAll()
-        t
       }
-      var runs = (1 to reps).map(_ => oneRun())
-      // outlier guard: a min-of-reps far above the prior committed
-      // record means ALL reps landed in a contended window — re-run
-      // (bounded) rather than commit a 55x host artifact as if it were
-      // a code regression. Queries still anomalous after the retries
-      // are flagged in the JSON so the record grades itself.
-      def minOk: Double = {
-        val ok = runs.filter(_ >= 0); if (ok.isEmpty) -1.0 else ok.min
+    val measured = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to reps).map(_ => oneRun(name, fn))
+      // outlier guard: a min-of-reps far above the historical baseline
+      // means ALL reps landed in a contended window — re-run (bounded)
+      // rather than commit a 55x host artifact as if it were a code
+      // regression. Queries still anomalous after the retries are
+      // flagged in the JSON so the record grades itself.
+      def minOk(rs: Seq[Double]): Double = {
+        val ok = rs.filter(_ >= 0); if (ok.isEmpty) -1.0 else ok.min
       }
-      var retries = 0
-      while (retries < maxRetries &&
-          isAnomalous(minOk, baseline.get(name))) {
-        retries += 1
-        System.err.println(f"[bench] $name retry $retries: min=$minOk%.3f" +
+      var retryRuns = Vector.empty[Double]
+      while (retryRuns.length < maxRetries &&
+          isAnomalous(minOk(runs ++ retryRuns), baseline.get(name))) {
+        System.err.println(f"[bench] $name retry ${retryRuns.length + 1}:" +
+          f" min=${minOk(runs ++ retryRuns)}%.3f" +
           f" vs baseline=${baseline(name)}%.3f")
-        runs :+= oneRun()
+        retryRuns :+= oneRun(name, fn)
       }
       // leak telemetry between queries (stderr — the driver's stdout
       // tail budget is ~2.9 KB): registered pins must be 0 here, and
       // storage should hold only the session memos, flat across queries
       System.err.println(f"[bench] $name%-24s samples=${
-        runs.map(r => f"$r%.3f").mkString(",")} pins=${
+        runs.map(r => f"$r%.3f").mkString(",")}${
+        if (retryRuns.nonEmpty)
+          " retries=" + retryRuns.map(r => f"$r%.3f").mkString(",")
+        else ""} pins=${
         graft.std.Materialize.pinCount} storageMB=$storageUsedMb")
-      name -> runs
+      (name, runs, retryRuns)
     }
-    val anomalous = samples.collect {
-      case (name, runs) if isAnomalous(
-          { val ok = runs.filter(_ >= 0)
-            if (ok.isEmpty) -1.0 else ok.min },
-          baseline.get(name)) => name
+    def allMin(runs: Seq[Double], retries: Seq[Double]): Double = {
+      val ok = (runs ++ retries).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
     }
-    val results = samples.map { case (name, runs) =>
-      val ok = runs.filter(_ >= 0)
-      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    val anomalous = measured.collect {
+      case (name, runs, rts)
+        if isAnomalous(allMin(runs, rts), baseline.get(name)) => name
+    }
+    val results = measured.map { case (name, runs, rts) =>
+      name -> allMin(runs, rts)
+    }
+    // min-of-reps must not mask intermittent failures: a query that
+    // threw in some ORIGINAL reps but succeeded once is flaky. Retry
+    // runs don't count here (r16 advice) — a retry failure stays
+    // visible in the `retries` map without tainting a clean rep set.
+    val flaky = measured.collect {
+      case (name, runs, _)
+        if runs.contains(-1.0) && runs.exists(_ >= 0) => name
+    }
+    val retries = measured.collect {
+      case (name, _, rts) if rts.nonEmpty => (name, rts.toSeq)
     }
     // stdout gets 3-dp min values: the driver captures only the last
     // ~2.9 KB of output, and round 4's 76-query full-precision line
@@ -167,35 +275,14 @@ object Bench {
     // complete per-query record is always recoverable.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_FULL.json")
-    def jsonLine(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      // min-of-reps must not mask intermittent failures: a query that
-      // threw in some reps but succeeded once would otherwise report its
-      // min as a clean success. Empty list = every rep of every query ran.
-      val flaky = samples.collect {
-        case (k, runs) if runs.contains(-1.0) && runs.exists(_ >= 0) =>
-          "\"" + k + "\""
-      }.mkString("[", ",", "]")
-      // queries whose min stayed >3x (+1 s) over the prior committed
-      // record even after the bounded retries — either a real
-      // regression or a persistently contended host; both deserve a
-      // flag the reader can't miss
-      val anom = anomalous.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"flaky":$flaky,"anomalous":$anom,"full":"$outPath","sf":"$sfDir"}"""
-    }
-    def fileJson: String = {
-      val all = samples.map { case (k, runs) =>
-        "\"" + k + "\":[" + runs.mkString(",") + "]" }.mkString("{", ",", "}")
-      jsonLine(_.toString).dropRight(1) +
-        s""","reps":$reps,"samples":$all}"""
-    }
+    val samples = measured.map { case (name, runs, _) => (name, runs) }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), fileJson)
+      java.nio.file.Paths.get(outPath),
+      fileJson(results, canary, flaky, anomalous, outPath, sfDir,
+        reps, samples, retries))
     catch { case _: Throwable => () }
-    println(jsonLine(v =>
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))))
+    println(headJson(results, canary, flaky, anomalous, outPath, sfDir,
+      v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))))
     // free the session memos (cleaned star join, clusters, profile)
     // before stop — keeps the pin lifecycle honest end-to-end
     graft.std.SessionMemo.releaseSession(spark)

@@ -3412,6 +3412,72 @@ SELECT s.doc_id,
 FROM hashed s JOIN counts c USING (h)
 GROUP BY 1"""
 
+  /** t77: sliding-span exact-substring dedup — the 12-token promo
+    * appended to every third doc (mirrors ExtQueries.spanDedup) recurs
+    * corpus-wide at a DIFFERENT token offset per doc; every token
+    * offset opens an 8-token window, duplicated windows (occ > 1 over
+    * positions, within-doc repeats included) island-merge by offset
+    * arithmetic (break iff off > prev + 8), and the rebuild keeps the
+    * positions no island covers. `hashed` is MATERIALIZED: it feeds
+    * both the occurrence count and the dup join, and DuckDB re-expands
+    * per-reference CTEs (the Brandes/k-core OOM lesson).
+    */
+  val t77SpanDedup: String = s"""WITH corpus AS (
+  SELECT doc_id,
+         COALESCE(CASE WHEN doc_id % 3 = 0
+              THEN concat_ws(' ', text,
+                   'subscribe to our newsletter today for weekly ' ||
+                   'updates and exclusive member offers')
+              ELSE text END, '') AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks FROM corpus
+), wins AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks) - 7)) AS off,
+         unnest(list_transform(generate_series(1, len(toks) - 7),
+           i -> array_to_string(toks[i:i+7], ' '))) AS win
+  FROM t WHERE len(toks) >= 8
+), hashed AS MATERIALIZED (
+  SELECT doc_id, off, ${h64("win")} AS h FROM wins
+), counts AS (
+  SELECT h, COUNT(*) AS occ FROM hashed GROUP BY 1
+), dups AS (
+  SELECT doc_id, off FROM hashed JOIN counts USING (h) WHERE occ > 1
+), flagged AS (
+  SELECT doc_id, off,
+         CASE WHEN off > COALESCE(lag(off) OVER
+                (PARTITION BY doc_id ORDER BY off), -9) + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM dups
+), numbered AS (
+  SELECT doc_id, off,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY off
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+), islands AS (
+  SELECT doc_id, MIN(off) AS s, MAX(off) + 7 AS e
+  FROM numbered GROUP BY doc_id, isl
+), perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS n_removed,
+         list({'s': s, 'e': e}) AS iv
+  FROM islands GROUP BY 1
+)
+SELECT t.doc_id,
+       -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+       -- concat_ws over an empty array is '' (the t28 string_agg rule)
+       CASE WHEN p.iv IS NULL THEN array_to_string(toks, ' ')
+            ELSE COALESCE(array_to_string(list_transform(list_filter(
+                   generate_series(1, len(toks)),
+                   q -> len(list_filter(p.iv,
+                          x -> q >= x.s AND q <= x.e)) = 0),
+                   q -> toks[q]), ' '), '') END AS clean_text,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_removed, 0) AS n_removed_tokens
+FROM t LEFT JOIN perdoc p USING (doc_id)"""
+
   /** t31: bigram-LM document scoring — `ln P(w1) + Σ ln P(wi|wi-1)`
     * averaged over n_tokens, t25's rounding discipline (9 dp ln,
     * DECIMAL term sums, 6 dp average). The two same-level `unnest`s
@@ -3553,6 +3619,7 @@ FROM scored"""
            w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
            0) AS BIGINT) AS n_syllables
   FROM documents
+  WHERE text IS NOT NULL
 ), scored AS (
   SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
          n_words, n_syllables,
@@ -6824,6 +6891,87 @@ SELECT n AS n_vectors,
              ELSE 0.0 END, 6) AS removed_var_share
 FROM n1 CROSS JOIN pn6 p CROSS JOIN qn6 q
 CROSS JOIN tr1 CROSS JOIN tr2"""
+
+  /** s34: rank-k All-but-the-Top — k+1 statically-unrolled
+    * [[powerIterCtes]] chains (tags `k1..k{k+1}`), a 9-dp deflation
+    * bridge between consecutive chains (the s33 projection), per-rank
+    * trace and 6-dp top-PC-share CTEs, and one UNION ALL branch per
+    * rank whose WHERE prefix re-encodes the Spark loop's stop policy
+    * (rank r emits iff every earlier deflation left a next-PC share
+    * ≥ `stop` — rank 1 is unconditional) over the SAME rounded shares
+    * the Spark side collects, so the data-dependent row count cannot
+    * diverge. Every centered frame is MATERIALIZED: each feeds a whole
+    * iteration chain plus the traces, and DuckDB re-expands
+    * per-reference CTEs (the Brandes/k-core OOM lesson).
+    */
+  private def allButTopKSql(k: Int, iters: Int, stop: String): String = {
+    val chains = (1 to k + 1).map { r =>
+      val defl = if (r == 1) "" else s"""k${r - 1}ds AS (
+  SELECT vid,
+         round(CAST(SUM(CAST(c * vv AS DECIMAL(38,18))) AS DOUBLE), 9)
+           AS s
+  FROM centK${r - 1} JOIN k${r - 1}v$iters pv
+    ON pv.dim = centK${r - 1}.dim
+  GROUP BY 1
+), centK$r AS MATERIALIZED (
+  SELECT centK${r - 1}.vid, centK${r - 1}.dim, round(c - s * vv, 9) AS c
+  FROM centK${r - 1} JOIN k${r - 1}ds USING (vid)
+  JOIN k${r - 1}v$iters pv ON pv.dim = centK${r - 1}.dim
+), """
+      defl + powerIterCtes(iters, s"k$r", s"centK$r")
+    }.mkString(",\n")
+    val scalars = (1 to k + 1).map { r =>
+      s"""trK$r AS (
+  SELECT CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS tss
+  FROM centK$r
+), shK$r AS (
+  SELECT round(CASE WHEN tss > 0 THEN nrm / tss ELSE 0.0 END, 6) AS sh
+  FROM k${r}n$iters CROSS JOIN trK$r)"""
+    }.mkString(",\n")
+    val rows = (1 to k).map { r =>
+      val policy = (2 to r).map(j => s" AND shK$j.sh >= $stop").mkString
+      val policyJoins = (2 until r).map(j => s" CROSS JOIN shK$j").mkString
+      s"""SELECT $r AS rank, n AS n_vectors,
+       round(p.nrm / n, 6) AS lambda,
+       shK$r.sh AS var_share,
+       round(CASE WHEN t1.tss > 0 THEN (tr.tss - tn.tss) / t1.tss
+             ELSE 0.0 END, 6) AS removed_var_share,
+       shK${r + 1}.sh AS var_share_after
+FROM n1 CROSS JOIN k${r}n$iters p CROSS JOIN shK$r
+CROSS JOIN shK${r + 1}$policyJoins
+CROSS JOIN trK$r tr CROSS JOIN trK${r + 1} tn CROSS JOIN trK1 t1
+WHERE n > 0$policy"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), exq AS (
+  SELECT vec_id AS vid,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v
+), exd AS (
+  SELECT vid, dim, CAST(x AS DOUBLE) AS x FROM exq
+), n1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
+), mu AS (
+  SELECT dim,
+         round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*), 6) AS mu
+  FROM exd GROUP BY 1
+), centK1 AS MATERIALIZED (
+  SELECT vid, exd.dim, (x - mu.mu) AS c
+  FROM exd JOIN mu ON mu.dim = exd.dim
+),
+$chains,
+$scalars
+$rows"""
+  }
+
+  /** s34: the query-layer instantiation — k=3, stop 0.15, 4
+    * iterations per chain (determinism holds at any iteration count;
+    * the chain count is the cost knob).
+    */
+  val s34AllButTopK: String = allButTopKSql(3, 4, "0.15")
 
   /** s21: leading principal component by 6 unrolled power-iteration
     * rounds over the centered embedding corpus — per-dim mean and

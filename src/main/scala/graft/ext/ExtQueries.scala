@@ -527,6 +527,18 @@ object ExtQueries {
       iters = 6)
   }
 
+  /** Rank-k All-but-the-Top (s34): [[Similarity.allButTopK]] over the
+    * embeddings corpus — s33's "high again = remove another PC"
+    * readout wired into the loop. k=3 / stop 0.15 / 4 iterations per
+    * chain (the chain count, not the iteration count, is the cost
+    * knob; determinism holds at any depth).
+    */
+  def allButTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Similarity.allButTopK(Tables.embeddings(spark, sfDir),
+      k = 3, varShareStop = 0.15, iters = 4)
+  }
+
   /** Hubness report (s32): [[Similarity.hubness]] over the embeddings
     * corpus with a 100-query probe panel at k = 5 — the k-occurrence
     * histogram (antihub zero row included), the embedding-space
@@ -2260,6 +2272,26 @@ object ExtQueries {
           col("text")))
         .otherwise(col("text")).as("text")))
     TextAnalysis.segmentDedup(withHdr)
+  }
+
+  /** Sliding-span exact-substring dedup (t77) over a corpus with an
+    * injected tail promo: every third doc gets the same 12-token promo
+    * sentence APPENDED, so it lands at a different token offset in
+    * every doc (doc lengths differ) — exactly the unaligned recurrence
+    * t28's fixed segment grid cannot catch. The 12-token run opens 5
+    * overlapping 8-token windows per doc, which the island merge
+    * collapses to one removed span; organic unique text survives.
+    */
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val promo = "subscribe to our newsletter today for weekly updates " +
+      "and exclusive member offers"
+    val docs = Tables.documents(spark, sfDir)
+    val withPromo = spread(docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat_ws(" ", col("text"), lit(promo)))
+        .otherwise(col("text")).as("text")))
+    TextAnalysis.spanDedup(withPromo)
   }
 
   /** BM25 top-10 retrieval (t29) over four fixed probe queries drawn

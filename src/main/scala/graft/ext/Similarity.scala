@@ -1944,6 +1944,111 @@ object Similarity {
           .otherwise(lit(0.0)), 6).as("removed_var_share"))
   }
 
+  /** Rank-k All-but-the-Top removal (s34): s33's own
+    * `var_share_after` readout says "high again = remove another PC"
+    * — this wires that loop. Starting from the centered corpus,
+    * repeatedly find the top PC ([[powerIterate]]), deflate the
+    * corpus off it (the s33 projection bridge), and continue while
+    * the NEXT top PC still explains at least `varShareStop` of the
+    * remaining variance, up to `k` ranks — exactly the D ≈ d/100
+    * multi-component regime of Mu & Viswanath 2018. One row per
+    * REMOVED rank: its eigenvalue, its share of the then-current
+    * variance, the slice of ORIGINAL variance its removal deleted,
+    * and the next PC's share (the stop signal a reader audits).
+    *
+    * Control flow is driver-side by necessity — whether rank r+1 gets
+    * removed depends on data — but the decision consumes ONE collected
+    * 6-dp scalar per rank (≤ k values total, the BPE-vocab-collect
+    * precedent); every reported VALUE still comes from the distributed
+    * frames. The DuckDB twin unrolls all k+1 chains statically and
+    * re-encodes the stop policy as per-rank WHERE prefixes over the
+    * same rounded shares, so both engines emit identical rows.
+    *
+    * 100 TB shape: (removed + 1) powerIterate passes, each the audited
+    * s21 contract (two partial-agg passes per iteration, v/μ
+    * broadcast), plus one deflation join per removed rank producing
+    * the next pinned centered frame; the dims×dims covariance never
+    * materializes and early stop skips the chains the threshold says
+    * are noise.
+    *
+    * Returns (rank, n_vectors, lambda, var_share, removed_var_share,
+    * var_share_after); empty for an empty corpus.
+    */
+  def allButTopK(vecs: DataFrame, k: Int = 3, varShareStop: Double = 0.15,
+                 iters: Int = 6, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "remove at least one rank")
+    require(iters >= 1, "need at least one power iteration")
+    require(varShareStop > 0 && varShareStop < 1,
+      "stop threshold is a variance fraction")
+    val ex = graft.std.Materialize.once(
+      pqExplode(vecs, 1, idCol, vecCol))
+    val mu = ex.groupBy(col("_dim"))
+      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)), 6).as("_mu"))
+    def tss(c: DataFrame): DataFrame = c.agg(
+      sum((col("_c") * col("_c")).cast("decimal(38,18)"))
+        .cast("double").as("_tss"))
+    // the 6-dp share of the current corpus' variance its top PC holds
+    // — the ONE scalar per rank the loop reads, rounded identically to
+    // the emitted column so the threshold compare can't diverge
+    def shareFrame(nrm: DataFrame, t: DataFrame): DataFrame =
+      nrm.crossJoin(broadcast(t))
+        .select(round(when(col("_tss") > 0, col("_nrm") / col("_tss"))
+          .otherwise(lit(0.0)), 6).as("_sh"))
+    def shareOf(f: DataFrame): Double = {
+      val rows = f.collect()
+      if (rows.isEmpty || rows(0).isNullAt(0)) 0.0 else rows(0).getDouble(0)
+    }
+    val n1 = vecs.agg(count(lit(1)).as("n_vectors"))
+    var cent = graft.std.Materialize.once(
+      ex.join(broadcast(mu), Seq("_dim"))
+        .select(col("_vid"), col("_dim"),
+          (col("_x") - col("_mu")).as("_c")))
+    val tss1 = tss(cent).select(col("_tss").as("_tssOrig"))
+    var (v, nrm) = powerIterate(cent, mu, iters)
+    var curTss = tss(cent)
+    var out: Option[DataFrame] = None
+    var rank = 1
+    var continue = true
+    while (continue && rank <= k) {
+      // deflate: c' = c − (c·v)v, 9-dp bridge (the s33 projection)
+      val s = cent.join(broadcast(v), Seq("_dim"))
+        .groupBy(col("_vid"))
+        .agg(round(sum((col("_c") * col("_v")).cast("decimal(38,18)"))
+          .cast("double"), 9).as("_s"))
+      val centNext = graft.std.Materialize.once(
+        cent.join(broadcast(v), Seq("_dim")).join(s, Seq("_vid"))
+          .select(col("_vid"), col("_dim"),
+            round(col("_c") - col("_s") * col("_v"), 9).as("_c")))
+      val (vNext, nrmNext) = powerIterate(centNext, mu, iters)
+      val nextTss = tss(centNext)
+      val row = n1.filter(col("n_vectors") > 0)
+        .crossJoin(broadcast(nrm.select(col("_nrm").as("_nr"))))
+        .crossJoin(broadcast(curTss.select(col("_tss").as("_tr"))))
+        .crossJoin(broadcast(nextTss.select(col("_tss").as("_tn"))))
+        .crossJoin(broadcast(tss1))
+        .crossJoin(broadcast(
+          shareFrame(nrmNext, nextTss).select(col("_sh").as("_shAfter"))))
+        .select(lit(rank).as("rank"), col("n_vectors"),
+          round(col("_nr") / col("n_vectors"), 6).as("lambda"),
+          round(when(col("_tr") > 0, col("_nr") / col("_tr"))
+            .otherwise(lit(0.0)), 6).as("var_share"),
+          round(when(col("_tssOrig") > 0,
+            (col("_tr") - col("_tn")) / col("_tssOrig"))
+            .otherwise(lit(0.0)), 6).as("removed_var_share"),
+          col("_shAfter").as("var_share_after"))
+      out = Some(out.map(_.unionAll(row)).getOrElse(row))
+      if (shareOf(shareFrame(nrmNext, nextTss)) < varShareStop)
+        continue = false
+      else {
+        cent = centNext; v = vNext; nrm = nrmNext; curTss = nextTss
+        rank += 1
+      }
+    }
+    out.get
+  }
+
   /** IVF tuning report (s20): the t50 idea for the ANN index — ONE
     * trained coarse quantizer, swept across `nprobes` probe widths,
     * each width priced on BOTH axes of the IVF trade: mean recall@k

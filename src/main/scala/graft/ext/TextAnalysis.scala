@@ -1733,6 +1733,105 @@ object TextAnalysis {
         col("n_removed"))
   }
 
+  /** Sliding-span exact-substring dedup (t77): remove from every
+    * document ANY duplicated token span of at least `minTokens` tokens,
+    * wherever it starts — the ExactSubstr shape of Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better") that
+    * [[segmentDedup]] (t28) cannot express: t28's fixed segment grid
+    * only catches spans that happen to be segment-aligned, while a
+    * quote shifted by one token slips through. Here EVERY token offset
+    * opens a window, so a recurring span is caught at any alignment,
+    * and overlapping duplicated windows merge into one maximal removed
+    * span by offset arithmetic (a 12-token recurring run is 5
+    * overlapping 8-token windows → ONE island covering all 12 tokens).
+    *
+    * Divergence from the paper, on purpose: Lee et al. keep one copy of
+    * each duplicated span; keeping "the first" requires a global total
+    * order over occurrences (a corpus-wide sort on a 100 TB run for a
+    * tie-break no downstream consumer observes). This removes ALL
+    * copies of any span occurring more than `maxOcc` times corpus-wide
+    * (within-doc repeats count — self-plagiarized chrome is chrome) —
+    * the same all-copies boilerplate-removal semantics t28 already
+    * established, fully parallel and deterministic.
+    *
+    * 100 TB shape, linear in tokens: windows shuffle as 56-bit md5-lane
+    * hashes, never text (one (hash → occurrences) partial agg, one
+    * hash join back). Island merge is a per-document sort of DUPLICATED
+    * window offsets only (two ints per row, empty for clean docs —
+    * the window function's partition is doc-sized, not corpus-sized).
+    * The rebuild touches each doc once; the per-position coverage probe
+    * scans the doc's own island list (bounded by doc length / L).
+    * Every doc survives with accounting — an all-duplicate doc comes
+    * back as an empty string, not a dropped row (the t28 contract).
+    *
+    * Returns (doc_id, clean_text, n_tokens, n_spans, n_removed_tokens).
+    */
+  def spanDedup(docs: DataFrame, minTokens: Int = 8, maxOcc: Int = 1,
+                textCol: String = "text"): DataFrame = {
+    require(minTokens >= 2, "a span is at least 2 tokens")
+    require(maxOcc >= 1, "a span always occurs at least once")
+    val L = minTokens
+    // NULL text → '' (one empty token), not a vanished doc_id — the
+    // every-doc-survives contract (t28 rule)
+    val base = TextOps.attrBarrier(
+      docs.select(col("doc_id"), coalesce(col(textCol), lit("")).as(textCol)),
+      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
+      .select(col("doc_id"), col("_toks"),
+        size(col("_toks")).as("_n"))
+    // (doc_id, off, hash): one window per token offset, 1-based; docs
+    // shorter than L open no windows (nothing that short can span-dup).
+    // Hash AFTER the explode so the md5 runs once per window attribute,
+    // not inside the transform lambda (the HOF no-CSE trap).
+    val wins = graft.std.Materialize.once(base
+      .select(col("doc_id"),
+        posexplode(when(col("_n") >= L,
+          transform(sequence(lit(1), col("_n") - (L - 1)),
+            i => concat_ws(" ", slice(col("_toks"), i, lit(L)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("off"),
+        TextOps.hash64(col("col")).as("_h")))
+    // corpus-wide occurrence count per window hash — positions count,
+    // not distinct docs: a span repeated twice inside ONE doc is dup
+    val counts = wins.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_occ"))
+    val dups = wins.join(counts.filter(col("_occ") > maxOcc), Seq("_h"))
+      .select(col("doc_id"), col("off"))
+    // island merge: windows at o1 < o2 cover contiguously iff
+    // o2 <= o1 + L (coverage [o, o+L-1]); a running break-flag sum
+    // numbers the maximal islands (offsets are per-doc sorted here,
+    // so the previous offset's coverage end is the running max)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    val prev = lag(col("off"), 1).over(w)
+    val islands = dups
+      .withColumn("_brk",
+        when(prev.isNull || col("off") > prev + L, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("off")).as("_s"),
+        (max(col("off")) + (L - 1)).as("_e"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("_e") - col("_s") + 1).as("n_removed_tokens"),
+        collect_list(struct(col("_s"), col("_e"))).as("_iv"))
+    // rebuild: keep positions covered by no island. The isNull branch
+    // is load-bearing twice over — it skips the probe entirely for
+    // clean docs (the common case), and `exists` over a NULL island
+    // list would yield NULL, which `filter` reads as drop-everything.
+    val kept = filter(sequence(lit(1), col("_n")),
+      p => !exists(col("_iv"),
+        iv => p >= iv.getField("_s") && p <= iv.getField("_e")))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_iv").isNull, concat_ws(" ", col("_toks")))
+          .otherwise(concat_ws(" ",
+            transform(kept, p => element_at(col("_toks"), p))))
+          .as("clean_text"),
+        col("_n").cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed_tokens"), lit(0L)).cast("long")
+          .as("n_removed_tokens"))
+  }
+
   /** Repeated n-gram span fraction (t49): for every document, the
     * share of its `n`-token windows whose content also occurs in at
     * least one OTHER document — the corpus-level exact-substring
@@ -2084,7 +2183,8 @@ object TextAnalysis {
     * double expression each over exact-long ratios, rounded once at
     * 6 dp — identical IEEE ops in both engines (the s1 cosine
     * argument). A wordless doc scores NULL (band `unscored`), never a
-    * division error.
+    * division error; a null-text doc is dropped outright (unscorable,
+    * not zero-length — the sibling-scorer convention).
     *
     * 100 TB shape: pure per-row expressions — embarrassingly
     * parallel, no shuffle at all; the per-word syllable fold is a
@@ -2095,6 +2195,11 @@ object TextAnalysis {
     * fk_grade, band).
     */
   def readability(docs: DataFrame): DataFrame = {
+    // null text is unscorable, not zero-length: without the filter the
+    // legacy size(NULL) = -1 convention yields n_words = -1 here while
+    // the DuckDB twin COALESCEs to 0 — a latent engine divergence every
+    // sibling scorer already guards against the same way (r16 advice).
+    val scorable = docs.filter(col("text").isNotNull)
     val words = regexp_extract_all(lower(col("text")),
       lit("[a-z]+"), lit(0))
     val nS = greatest(lit(1L),
@@ -2105,7 +2210,7 @@ object TextAnalysis {
       acc + greatest(lit(1L),
         size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
           .cast("long")))
-    val base = docs.select(col("doc_id"),
+    val base = scorable.select(col("doc_id"),
       nS.as("n_sentences"), nW.as("n_words"), nSyl.as("n_syllables"))
     val wps = col("n_words").cast("double") /
       col("n_sentences").cast("double")

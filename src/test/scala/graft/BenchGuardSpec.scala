@@ -51,4 +51,48 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.isAnomalous(23.04, None))
     assert(!Bench.isAnomalous(23.04, Some(-1.0)))
   }
+
+  test("parseBaseline round-trips the REAL fileJson writer output") {
+    // r16 advice: the parser is coupled to the writer's layout; pinning
+    // it against a hand-built string let format drift silently disarm
+    // the guard. This builds a record through the actual writer.
+    val results = Seq("q1_revenue_by_month" -> 0.412,
+      "x35_cdc_apply" -> 0.42, "x58_betweenness" -> 14.22)
+    val json = Bench.fileJson(results,
+      canary = Seq("q1_revenue_by_month" -> 0.41),
+      flaky = Seq("x35_cdc_apply"), anomalous = Seq("x58_betweenness"),
+      outPath = "/x.json", sfDir = "/root/testdata/sf0.1", reps = 3,
+      samples = results.map { case (k, v) => (k, Seq(v + 0.1, v, -1.0)) },
+      retries = Seq("x58_betweenness" -> Seq(15.0, -1.0)))
+    assert(Bench.parseBaseline(json) === results.toMap)
+    // retries live in their own map: `reps` still describes the samples
+    // arrays, and a failed retry rep must not contaminate them
+    assert(json.contains(""""reps":3"""))
+    assert(json.contains(""""retries":{"x58_betweenness":[15.0,-1.0]}"""))
+    assert(json.contains(
+      """"samples":{"q1_revenue_by_month":[0.512,0.412,-1.0]"""))
+    assert(json.contains(""""canary":{"q1_revenue_by_month":0.41}"""))
+  }
+
+  test("parseBaseline reads the baseline-builder layout too") {
+    // tools/build_bench_baseline.py writes {"built_from":..,"queries":{..}}
+    val b = Bench.parseBaseline(
+      """{"built_from":"git log -- BENCH_FULL.json (16 records)",""" +
+        """"queries":{"a":0.7,"b":1.1}}""")
+    assert(b === Map("a" -> 0.7, "b" -> 1.1))
+  }
+
+  test("mergeBaselines anchors to the per-query historical MIN") {
+    // the r16 failure mode: two consecutive ~1.7x drifts compound to
+    // ~3x invisibly when the anchor ratchets off only the prior record.
+    // Anchored to the min across records, the compounded value trips.
+    val hist = Map("t24" -> 0.32, "t19" -> 0.34, "new_q" -> -1.0)
+    val prior = Map("t24" -> 0.87, "added_q" -> 2.0)
+    val m = Bench.mergeBaselines(Seq(hist, prior))
+    assert(m === Map("t24" -> 0.32, "t19" -> 0.34, "added_q" -> 2.0))
+    // 1.66 s committed at r16 vs 0.32 historical min: flagged now
+    assert(Bench.isAnomalous(1.66, m.get("t24")))
+    // against only the prior record it slid under the 3x trigger
+    assert(!Bench.isAnomalous(1.66, prior.get("t24")))
+  }
 }

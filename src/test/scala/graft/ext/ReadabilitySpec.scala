@@ -58,4 +58,12 @@ class ReadabilitySpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 0L, 0L, null, null, "unscored")),
       s"got $got")
   }
+
+  test("null text is dropped, not scored as size(NULL) = -1") {
+    // with ANSI off, size(NULL) = -1: an unfiltered null-text row would
+    // score n_words = -1 while the DuckDB twin COALESCEs to 0 — the
+    // operator must drop the row entirely (unscorable, not zero-length)
+    val got = scoresOf(Seq((1L, "The cat sat."), (2L, null)))
+    assert(got.keySet == Set(1L), s"got $got")
+  }
 }
