@@ -909,4 +909,49 @@ object Dedup {
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash32"))
   }
+
+  /** Leakage-aware train/val/test split (d14): assign every document
+    * to a split by hashing its near-dup CLUSTER representative, not
+    * the document itself — so a whole duplicate cluster always lands
+    * in ONE split. Doc-keyed splitting leaks: two near-identical
+    * copies of a page straddling train and test inflate eval exactly
+    * where the model memorized, the classic contamination bug a dedup
+    * pass exists to prevent and a naive splitter silently reintroduces.
+    * The audit column prices the guard: `cluster_leaks` is true where
+    * doc-keyed hashing WOULD have split this doc's cluster across
+    * splits (on the sf0.01 fixture that is every multi-member cluster
+    * straddling a bucket boundary — the rows a reviewer samples).
+    *
+    * Determinism: the split is the shared md5 lane over
+    * `"split|" + key` mod 100 (< pctTrain → train, < pctTrain+pctVal
+    * → val, else test) — reproducible across engines, runs, and
+    * corpus growth (a new doc joining an existing cluster inherits
+    * the cluster's split; it cannot flip anyone else's).
+    *
+    * 100 TB shape: two per-row hash expressions, ONE cluster-grain
+    * partial agg (count-distinct over a 3-value column), one join
+    * back co-partitioned on `cluster_rep` — a single shuffle key end
+    * to end; cluster sizes are near-dup groups, so no hot partition.
+    *
+    * Returns (doc_id, cluster_rep, split, naive_split, cluster_leaks).
+    */
+  def leakageSafeSplit(clusters: DataFrame, pctTrain: Int = 90,
+                       pctVal: Int = 5): DataFrame = {
+    require(pctTrain >= 1 && pctVal >= 1 && pctTrain + pctVal < 100,
+      "need three non-empty buckets out of 100")
+    def splitOf(key: Column): Column = {
+      val h = TextOps.hash64(concat(lit("split|"), key.cast("string"))) % 100
+      when(h < pctTrain, lit("train"))
+        .when(h < pctTrain + pctVal, lit("val"))
+        .otherwise(lit("test"))
+    }
+    val assigned = clusters.select(col("doc_id"), col("cluster_rep"),
+      splitOf(col("cluster_rep")).as("split"),
+      splitOf(col("doc_id")).as("naive_split"))
+    val leaks = assigned.groupBy(col("cluster_rep"))
+      .agg((countDistinct(col("naive_split")) > 1).as("cluster_leaks"))
+    assigned.join(leaks, Seq("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"), col("split"),
+        col("naive_split"), col("cluster_leaks"))
+  }
 }

@@ -317,6 +317,33 @@ FROM (SELECT * FROM rep2 UNION ALL SELECT * FROM rep4
   val d5DedupClusters: String = ClusterCtes + """
 SELECT doc_id, cluster_rep, is_keeper FROM clusters"""
 
+  /** d14: leakage-aware split — the shared cluster chain, the split
+    * lane `h64('split|' || key) % 100` on the cluster rep (guarded)
+    * and on the doc id (naive counterfactual), and the per-cluster
+    * would-have-leaked flag.
+    */
+  val d14LeakageSplit: String = ClusterCtes + s""",
+assigned AS (
+  SELECT doc_id, cluster_rep,
+         CASE WHEN ${h64("'split|' || CAST(cluster_rep AS VARCHAR)")}
+                   % 100 < 90 THEN 'train'
+              WHEN ${h64("'split|' || CAST(cluster_rep AS VARCHAR)")}
+                   % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN ${h64("'split|' || CAST(doc_id AS VARCHAR)")}
+                   % 100 < 90 THEN 'train'
+              WHEN ${h64("'split|' || CAST(doc_id AS VARCHAR)")}
+                   % 100 < 95 THEN 'val'
+              ELSE 'test' END AS naive_split
+  FROM clusters
+), leaks AS (
+  SELECT cluster_rep,
+         COUNT(DISTINCT naive_split) > 1 AS cluster_leaks
+  FROM assigned GROUP BY 1
+)
+SELECT a.doc_id, a.cluster_rep, a.split, a.naive_split, l.cluster_leaks
+FROM assigned a JOIN leaks l USING (cluster_rep)"""
+
   val d6DedupSurvivors: String = ClusterCtes + """
 SELECT c.doc_id, md5(c.text) AS text_md5
 FROM corpus c
@@ -6836,14 +6863,17 @@ $rows"""
     (init +: rounds).mkString(", ")
   }
 
-  /** s33: All-but-the-Top removal report — the s21 chain (shared
-    * [[powerIterCtes]] generator, tag `p`), the 9-dp projection
-    * bridge deflating the corpus off PC1 (`cent2` MATERIALIZED — it
-    * embeds the whole first chain and is read by the second), then
-    * the same chain again (tag `q`) over the deflated frame, with
-    * before/after eigen shares and the removed-variance fraction.
+  /** The centered-embedding-corpus prelude shared by the s21/s33/s34
+    * eigen family: corpus explode, n, per-dim 6-dp mean, and the
+    * centered frame under a caller-chosen name and materialization
+    * (s21's single chain reads it twice — inline; s33/s34 iterate
+    * whole chains over it — MATERIALIZED). One lane, three twins: a
+    * prelude drift would silently split the family's arithmetic.
     */
-  val s33AnisotropyRemoval: String = s"""WITH v AS (
+  private def centPrelude(centName: String,
+                          materialized: Boolean): String = {
+    val mat = if (materialized) "MATERIALIZED " else ""
+    s"""v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), exq AS (
   SELECT vec_id AS vid,
@@ -6859,10 +6889,21 @@ $rows"""
          round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
                / COUNT(*), 6) AS mu
   FROM exd GROUP BY 1
-), cent AS MATERIALIZED (
+), $centName AS $mat(
   SELECT vid, exd.dim, (x - mu.mu) AS c
   FROM exd JOIN mu ON mu.dim = exd.dim
-), ${powerIterCtes(6)},
+)"""
+  }
+
+  /** s33: All-but-the-Top removal report — the s21 chain (shared
+    * [[powerIterCtes]] generator, tag `p`), the 9-dp projection
+    * bridge deflating the corpus off PC1 (`cent2` MATERIALIZED — it
+    * embeds the whole first chain and is read by the second), then
+    * the same chain again (tag `q`) over the deflated frame, with
+    * before/after eigen shares and the removed-variance fraction.
+    */
+  val s33AnisotropyRemoval: String = s"""WITH ${
+    centPrelude("cent", materialized = true)}, ${powerIterCtes(6)},
 ds AS (
   SELECT vid,
          round(CAST(SUM(CAST(c * vv AS DECIMAL(38,18))) AS DOUBLE), 9)
@@ -6942,26 +6983,7 @@ CROSS JOIN shK${r + 1}$policyJoins
 CROSS JOIN trK$r tr CROSS JOIN trK${r + 1} tn CROSS JOIN trK1 t1
 WHERE n > 0$policy"""
     }.mkString("\nUNION ALL\n")
-    s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), exq AS (
-  SELECT vec_id AS vid,
-         unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS x
-  FROM v
-), exd AS (
-  SELECT vid, dim, CAST(x AS DOUBLE) AS x FROM exq
-), n1 AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
-), mu AS (
-  SELECT dim,
-         round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
-               / COUNT(*), 6) AS mu
-  FROM exd GROUP BY 1
-), centK1 AS MATERIALIZED (
-  SELECT vid, exd.dim, (x - mu.mu) AS c
-  FROM exd JOIN mu ON mu.dim = exd.dim
-),
+    s"""WITH ${centPrelude("centK1", materialized = true)},
 $chains,
 $scalars
 $rows"""
@@ -6977,26 +6999,8 @@ $rows"""
     * rounds over the centered embedding corpus — per-dim mean and
     * unit PC1 component, Rayleigh eigenvalue and its variance share.
     */
-  val s21TopPc: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), exq AS (
-  SELECT vec_id AS vid,
-         unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS x
-  FROM v
-), exd AS (
-  SELECT vid, dim, CAST(x AS DOUBLE) AS x FROM exq
-), n1 AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
-), mu AS (
-  SELECT dim,
-         round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
-               / COUNT(*), 6) AS mu
-  FROM exd GROUP BY 1
-), cent AS (
-  SELECT vid, exd.dim, (x - mu.mu) AS c
-  FROM exd JOIN mu ON mu.dim = exd.dim
-), ${powerIterCtes(6)},
+  val s21TopPc: String = s"""WITH ${
+    centPrelude("cent", materialized = false)}, ${powerIterCtes(6)},
 tr AS (
   SELECT CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS tss
   FROM cent

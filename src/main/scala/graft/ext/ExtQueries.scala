@@ -157,6 +157,21 @@ object ExtQueries {
     sharedClusters(spark, sfDir)
   }
 
+  /** Leakage-aware train/val/test split (d14):
+    * [[Dedup.leakageSafeSplit]] over the session's one cluster
+    * resolution — split keyed on the cluster representative so
+    * near-dup copies can never straddle train and test, with the
+    * doc-keyed counterfactual as the audit column.
+    *
+    * SNAPSHOT SEMANTICS: reads the session's memoized cluster
+    * resolution ([[clusterMemo]]) — data as of its first build per
+    * (session, sfDir); release via [[releaseMemos]].
+    */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    Dedup.leakageSafeSplit(sharedClusters(spark, sfDir))
+  }
+
   /** The cleaned corpus (d6): LEFT SEMI join of the corpus to its
     * cluster keepers — the semi-join form every dedup pipeline ends
     * with (emit surviving rows, never materialize the join's right
