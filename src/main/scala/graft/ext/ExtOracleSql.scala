@@ -3449,15 +3449,13 @@ GROUP BY 1"""
     * both the occurrence count and the dup join, and DuckDB re-expands
     * per-reference CTEs (the Brandes/k-core OOM lesson).
     */
-  val t77SpanDedup: String = s"""WITH corpus AS (
-  SELECT doc_id,
-         COALESCE(CASE WHEN doc_id % 3 = 0
-              THEN concat_ws(' ', text,
-                   'subscribe to our newsletter today for weekly ' ||
-                   'updates and exclusive member offers')
-              ELSE text END, '') AS text
-  FROM documents
-), t AS (
+  /** The t77/t78 span-dedup chain over a caller-provided `corpus` CTE
+    * (doc_id, text[, …]): 8-token windows at every offset, md5-lane
+    * hashes, corpus-wide occurrence counts, offset-arithmetic island
+    * merge, and the per-doc rebuild — ending in `spanout` (doc_id,
+    * clean_text, n_tokens, n_spans, n_removed_tokens).
+    */
+  private def spanChainCtes: String = s"""t AS (
   SELECT doc_id, string_split($Norm, ' ') AS toks FROM corpus
 ), wins AS (
   SELECT doc_id,
@@ -3490,20 +3488,64 @@ GROUP BY 1"""
          CAST(SUM(e - s + 1) AS BIGINT) AS n_removed,
          list({'s': s, 'e': e}) AS iv
   FROM islands GROUP BY 1
+), spanout AS (
+  SELECT t.doc_id,
+         -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+         -- concat_ws over an empty array is '' (the t28 string_agg rule)
+         CASE WHEN p.iv IS NULL THEN array_to_string(toks, ' ')
+              ELSE COALESCE(array_to_string(list_transform(list_filter(
+                     generate_series(1, len(toks)),
+                     q -> len(list_filter(p.iv,
+                            x -> q >= x.s AND q <= x.e)) = 0),
+                     q -> toks[q]), ' '), '') END AS clean_text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         COALESCE(p.n_spans, 0) AS n_spans,
+         COALESCE(p.n_removed, 0) AS n_removed_tokens
+  FROM t LEFT JOIN perdoc p USING (doc_id)
+)"""
+
+  private val SpanPromo: String =
+    "'subscribe to our newsletter today for weekly ' ||\n" +
+    "                   'updates and exclusive member offers'"
+
+  val t77SpanDedup: String = s"""WITH corpus AS (
+  SELECT doc_id,
+         COALESCE(CASE WHEN doc_id % 3 = 0
+              THEN concat_ws(' ', text, $SpanPromo)
+              ELSE text END, '') AS text
+  FROM documents
+), $spanChainCtes
+SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
+FROM spanout"""
+
+  /** t78: per-source span-duplication pressure — the shared
+    * [[spanChainCtes]] over a source-hash-gated promo injection
+    * (sources whose md5 leads below '8' get the chrome), rolled up to
+    * source grain with exact fixed-point shares and verdicts.
+    */
+  val t78SourceSpanPressure: String = s"""WITH corpus AS (
+  SELECT doc_id, source,
+         COALESCE(CASE WHEN substr(md5(source), 1, 1) < '8'
+              THEN concat_ws(' ', text, $SpanPromo)
+              ELSE text END, '') AS text
+  FROM documents
+), $spanChainCtes,
+rolled AS (
+  SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(s.n_spans) AS BIGINT) AS n_spans,
+         CAST(SUM(s.n_removed_tokens) AS BIGINT) AS n_removed_tokens
+  FROM spanout s JOIN corpus c USING (doc_id)
+  GROUP BY 1
 )
-SELECT t.doc_id,
-       -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
-       -- concat_ws over an empty array is '' (the t28 string_agg rule)
-       CASE WHEN p.iv IS NULL THEN array_to_string(toks, ' ')
-            ELSE COALESCE(array_to_string(list_transform(list_filter(
-                   generate_series(1, len(toks)),
-                   q -> len(list_filter(p.iv,
-                          x -> q >= x.s AND q <= x.e)) = 0),
-                   q -> toks[q]), ' '), '') END AS clean_text,
-       CAST(len(toks) AS BIGINT) AS n_tokens,
-       COALESCE(p.n_spans, 0) AS n_spans,
-       COALESCE(p.n_removed, 0) AS n_removed_tokens
-FROM t LEFT JOIN perdoc p USING (doc_id)"""
+SELECT source, n_docs, n_tokens, n_spans, n_removed_tokens,
+       n_removed_tokens * 1000000000 // n_tokens AS removed_share_e9,
+       CASE WHEN n_removed_tokens * 1000000000 // n_tokens >= 300000000
+              THEN 'chrome_heavy'
+            WHEN n_removed_tokens * 1000000000 // n_tokens <= 50000000
+              THEN 'clean'
+            ELSE 'mixed' END AS verdict
+FROM rolled"""
 
   /** t31: bigram-LM document scoring — `ln P(w1) + Σ ln P(wi|wi-1)`
     * averaged over n_tokens, t25's rounding discipline (9 dp ln,

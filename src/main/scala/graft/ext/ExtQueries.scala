@@ -2309,6 +2309,25 @@ object ExtQueries {
     TextAnalysis.spanDedup(withPromo)
   }
 
+  /** Per-source span-duplication pressure (t78):
+    * [[TextAnalysis.sourceSpanPressure]] over a SOURCE-gated promo
+    * injection — sources whose md5 leads below '8' get the 12-token
+    * chrome appended (≈ half the feeds, deterministically in both
+    * engines), so the rollup separates chrome-heavy feeds from clean
+    * ones instead of smearing t77's doc_id-gated injection evenly.
+    */
+  def sourceSpanPressure(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val promo = "subscribe to our newsletter today for weekly updates " +
+      "and exclusive member offers"
+    val docs = Tables.documents(spark, sfDir)
+    val injected = spread(docs.select(col("doc_id"), col("source"),
+      when(substring(md5(col("source")), 1, 1) < "8",
+        concat_ws(" ", col("text"), lit(promo)))
+        .otherwise(col("text")).as("text")))
+    TextAnalysis.sourceSpanPressure(injected)
+  }
+
   /** BM25 top-10 retrieval (t29) over four fixed probe queries drawn
     * from the corpus vocabulary — the dataset-search / eval-mining
     * surface. Query strings are literals so both dialects rank the

@@ -1832,6 +1832,43 @@ object TextAnalysis {
           .as("n_removed_tokens"))
   }
 
+  /** Per-source span-duplication pressure (t78): [[spanDedup]] rolled
+    * up to SOURCE grain — what share of each feed's tokens sit inside
+    * corpus-duplicated spans. The decision readout over t77's
+    * mechanism: t77 says WHICH tokens to cut, this says WHICH FEEDS
+    * are chrome (a source whose removed share is high is syndication/
+    * boilerplate to de-prioritize at ingestion — the t74 drop-the-feed
+    * question answered by span evidence instead of shingle overlap).
+    * Verdicts: `chrome_heavy` ≥ 30% of tokens removed, `clean` ≤ 5%,
+    * else `mixed` — exact fixed-point shares, never float drift.
+    *
+    * 100 TB shape: the t77 chain unchanged (hash-only shuffles) plus
+    * one doc_id equi-join to recover the source column and ONE
+    * |sources|-row partial agg — nothing new materializes at corpus
+    * grain.
+    *
+    * Returns (source, n_docs, n_tokens, n_spans, n_removed_tokens,
+    * removed_share_e9, verdict).
+    */
+  def sourceSpanPressure(docs: DataFrame, minTokens: Int = 8,
+                         maxOcc: Int = 1): DataFrame = {
+    val cleaned = spanDedup(docs, minTokens, maxOcc)
+    cleaned.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_spans")).as("n_spans"),
+        sum(col("n_removed_tokens")).as("n_removed_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_spans"), col("n_removed_tokens"),
+        expr("n_removed_tokens * 1000000000 div n_tokens")
+          .as("removed_share_e9"))
+      .withColumn("verdict",
+        when(col("removed_share_e9") >= 300000000L, lit("chrome_heavy"))
+          .when(col("removed_share_e9") <= 50000000L, lit("clean"))
+          .otherwise(lit("mixed")))
+  }
+
   /** Repeated n-gram span fraction (t49): for every document, the
     * share of its `n`-token windows whose content also occurs in at
     * least one OTHER document — the corpus-level exact-substring

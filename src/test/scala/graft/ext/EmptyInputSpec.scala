@@ -111,6 +111,9 @@ class EmptyInputSpec extends AnyFunSuite {
       .toDF("doc_id", "source", "text")
     assert(TextAnalysis.sourceOverlapMatrix(noSrcDocs).collect().isEmpty)
     assert(TextAnalysis.readability(noDocs).collect().isEmpty)
+    assert(TextAnalysis.spanDedup(noDocs).collect().isEmpty)
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_rep")
+    assert(Dedup.leakageSafeSplit(noClusters).collect().isEmpty)
     val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     // an empty corpus still emits the (0, 0) antihub row — by the
     // zero-row contract, never a crash

@@ -72,4 +72,23 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got(1L) == (("", 1L, 0L, 0L)), s"got $got")
     assert(got.keySet == Set(1L, 2L))
   }
+
+  test("t78 rollup: chrome feed reads chrome_heavy, clean feed clean, " +
+    "shares are exact fixed point") {
+    // feed A: two docs sharing a 10-token run (10 of 15 tokens dup per
+    // doc → share 666666666, chrome_heavy); feed B: unique docs
+    val shared = toks("s", 10)
+    val docs = Seq(
+      (1L, "a", s"p1 p2 p3 $shared a1 a2"),
+      (2L, "a", s"q1 q2 q3 q4 q5 $shared"),
+      (3L, "b", toks("u", 12)),
+      (4L, "b", toks("w", 9))).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceSpanPressure(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))))
+      .toMap
+    assert(got("a") == ((2L, 30L, 2L, 20L, 666666666L, "chrome_heavy")),
+      s"got $got")
+    assert(got("b") == ((2L, 21L, 0L, 0L, 0L, "clean")), s"got $got")
+  }
 }

@@ -97,6 +97,29 @@ class ScaleSpec extends AnyFunSuite {
       s"x72 pair counts must partial-aggregate:\n$plan")
   }
 
+  test("span dedup: candidates form only through the window-hash " +
+    "equi-join; the island merge windows per doc, never globally") {
+    val plan = graft.ext.ExtQueries.spanDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    assert(!plan.contains("CartesianProduct"),
+      s"t77 duplicate windows must pair through the hash join:\n$plan")
+    // the island-numbering window must be partitioned by doc_id — an
+    // unpartitioned window would drag the whole corpus to one task
+    assert("\\], \\[doc_id#\\d+".r.findFirstIn(plan).isDefined,
+      s"t77 island merge must window per doc:\n$plan")
+  }
+
+  test("leakage split: one shuffle key (cluster_rep), no cartesian") {
+    val plan = graft.ext.ExtQueries.leakageSafeSplit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.std.Materialize.releaseAll()
+    assert(!plan.contains("CartesianProduct"),
+      s"d14 must join assignments to leak flags on cluster_rep:\n$plan")
+    assert(plan.contains("cluster_rep"),
+      s"d14 leak join keys on the cluster representative:\n$plan")
+  }
+
   test("documents scan prunes to the referenced columns") {
     val plan = graft.ext.ExtQueries.tokenStats(spark, sfDir)
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
