@@ -73,6 +73,26 @@ class AllButTopKSpec extends AnyFunSuite {
     assert(r.length == 2 && r.map(_.getInt(0)).toSeq == Seq(1, 2))
   }
 
+  test("rank-1 row IS s33's report: the family shares its kernels") {
+    // allButTopK at k = 1 and anisotropyRemovalReport run the same
+    // powerIterate chains and deflation bridge, so every overlapping
+    // cell must agree EXACTLY — a divergence means the loop rewired
+    // the arithmetic instead of reusing it
+    val s33 = Similarity.anisotropyRemovalReport(corpus, iters = 8)
+      .collect().head
+    val s34 = Similarity.allButTopK(corpus, k = 1, varShareStop = 0.4,
+      iters = 8).collect().head
+    graft.std.Materialize.releaseAll()
+    assert(s34.getLong(1) == s33.getLong(0), "n_vectors")
+    assert(s34.getDouble(2) == s33.getDouble(1), "lambda == lambda1")
+    assert(s34.getDouble(3) == s33.getDouble(2),
+      "var_share == var_share_before")
+    assert(s34.getDouble(4) == s33.getDouble(5),
+      "removed_var_share (rank 1 deflates off tss1)")
+    assert(s34.getDouble(5) == s33.getDouble(4),
+      "var_share_after == var_share_after")
+  }
+
   test("empty corpus reports no rows, never a division error") {
     val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
     assert(Similarity.allButTopK(empty, k = 2, varShareStop = 0.4,
