@@ -29,8 +29,15 @@ commits = subprocess.run(
     ["git", "-C", str(repo), "log", "--format=%H", "--", "BENCH_FULL.json"],
     capture_output=True, text=True, check=True).stdout.split()
 
+SF = "sf0.1"  # the committed-record scale; sf0.01 smoke runs that were
+# committed under the same filename would otherwise poison the minima
+# with ~10x-smaller-corpus numbers (found the hard way: s2's "0.227 s
+# historical min" was an sf0.01 record, flagging every honest sf0.1
+# reading as anomalous)
+
 mins: dict[str, float] = {}
 used = 0
+skipped_sf = 0
 for h in commits:
     show = subprocess.run(
         ["git", "-C", str(repo), "show", f"{h}:BENCH_FULL.json"],
@@ -44,6 +51,9 @@ for h in commits:
     qs = rec.get("queries")
     if not isinstance(qs, dict):
         continue
+    if str(rec.get("sf", "")).rstrip("/").split("/")[-1] != SF:
+        skipped_sf += 1
+        continue
     used += 1
     for k, v in qs.items():
         if isinstance(v, (int, float)) and v >= 0:
@@ -51,10 +61,11 @@ for h in commits:
                 mins[k] = float(v)
 
 out = {
-    "built_from": f"git log -- BENCH_FULL.json ({used} records)",
+    "built_from": f"git log -- BENCH_FULL.json ({used} {SF} records, "
+                  f"{skipped_sf} other-sf skipped)",
     "queries": {k: mins[k] for k in sorted(mins)},
 }
 (repo / "BENCH_BASELINE.json").write_text(
     json.dumps(out, separators=(",", ":")) + "\n")
-print(f"BENCH_BASELINE.json: {len(mins)} queries, min over {used} records",
-      file=sys.stderr)
+print(f"BENCH_BASELINE.json: {len(mins)} queries, min over {used} "
+      f"{SF} records ({skipped_sf} other-sf skipped)", file=sys.stderr)
