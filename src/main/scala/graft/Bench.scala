@@ -72,6 +72,20 @@ object Bench {
   private[graft] val canaryKeys: Seq[String] =
     Seq("q1_revenue_by_month", "t4_lang_id", "x20_pagerank")
 
+  /** Default record path: sf0.1 runs (the committed-record scale)
+    * write into the repo; any other scale writes to /tmp under an
+    * sf-tagged name. Committed BENCH_FULL.json is the historical
+    * anchor corpus for the outlier guard, and sf0.01 smoke records
+    * committed under the same filename poisoned the minima with
+    * ~10x-smaller-corpus numbers (the r17 s2 forensics).
+    * SPARK_GRAFT_BENCH_OUT still overrides explicitly.
+    */
+  private[graft] def defaultOut(sfDir: String): String = {
+    val sf = sfDir.stripSuffix("/").split('/').last
+    if (sf == "sf0.1") "/root/repo/BENCH_FULL.json"
+    else s"/tmp/BENCH_FULL_$sf.json"
+  }
+
   /** The one-line record head shared by stdout and the file copy. */
   private[graft] def headJson(results: Seq[(String, Double)],
                               canary: Seq[(String, Double)],
@@ -162,8 +176,7 @@ object Bench {
     val baselinePaths = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
       .map(Seq(_)).getOrElse(Seq(
         "/root/repo/BENCH_BASELINE.json",
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-          "/root/repo/BENCH_FULL.json")))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut(sfDir))))
     val baseline = mergeBaselines(baselinePaths.map(readBaseline))
     val maxRetries = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt)
@@ -274,7 +287,7 @@ object Bench {
     // tail — the stdout line names this path under "full" so the
     // complete per-query record is always recoverable.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_FULL.json")
+      defaultOut(sfDir))
     val samples = measured.map { case (name, runs, _) => (name, runs) }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),

@@ -82,6 +82,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(b === Map("a" -> 0.7, "b" -> 1.1))
   }
 
+  test("only sf0.1 runs default their record into the repo") {
+    // committed BENCH_FULL.json is the guard's anchor corpus; sf0.01
+    // smoke records committed under the same name poisoned the minima
+    // with ~10x-smaller-corpus numbers (the r17 s2 forensics)
+    assert(Bench.defaultOut("/root/testdata/sf0.1") ==
+      "/root/repo/BENCH_FULL.json")
+    assert(Bench.defaultOut("/root/testdata/sf0.1/") ==
+      "/root/repo/BENCH_FULL.json")
+    assert(Bench.defaultOut("/root/testdata/sf0.01") ==
+      "/tmp/BENCH_FULL_sf0.01.json")
+    assert(Bench.defaultOut("/root/testdata/sf0.001") ==
+      "/tmp/BENCH_FULL_sf0.001.json")
+  }
+
   test("mergeBaselines anchors to the per-query historical MIN") {
     // the r16 failure mode: two consecutive ~1.7x drifts compound to
     // ~3x invisibly when the anchor ratchets off only the prior record.
