@@ -164,19 +164,27 @@ object Bench {
         .getOrElse(_ => true)
     val selected = SparkEntry.queries.filter(e => selectedKey(e._1))
     // Guard anchor: per-query MIN across the committed historical
-    // baseline (BENCH_BASELINE.json) AND the working-tree
-    // BENCH_FULL.json read BEFORE this run overwrites it (the prior
-    // record alone covers queries added after the baseline build).
+    // baseline (BENCH_BASELINE.json) AND the prior record at this
+    // run's own output path, read BEFORE this run overwrites it (the
+    // prior record alone covers queries added after the baseline
+    // build). The committed baseline holds sf0.1 minima, so it joins
+    // the merge ONLY for sf0.1 runs — grading a larger-sf run against
+    // 10x-smaller-corpus minima would flag every honest reading and
+    // burn the retry budget suite-wide (the same cross-sf poisoning
+    // class defaultOut guards the record against).
     // SPARK_GRAFT_BENCH_BASELINE overrides with a single file; point it
     // at an absent path to disable the guard.
     def readBaseline(p: String): Map[String, Double] =
       try parseBaseline(java.nio.file.Files.readString(
         java.nio.file.Paths.get(p)))
       catch { case _: Throwable => Map.empty }
+    val priorRecord =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut(sfDir))
     val baselinePaths = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
-      .map(Seq(_)).getOrElse(Seq(
-        "/root/repo/BENCH_BASELINE.json",
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut(sfDir))))
+      .map(Seq(_)).getOrElse(
+        if (defaultOut(sfDir) == "/root/repo/BENCH_FULL.json")
+          Seq("/root/repo/BENCH_BASELINE.json", priorRecord)
+        else Seq(priorRecord))
     val baseline = mergeBaselines(baselinePaths.map(readBaseline))
     val maxRetries = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt)
@@ -216,8 +224,14 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_ONLY") ||
           sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY", "1") == "0") Nil
       else canaryKeys.flatMap { k =>
-        SparkEntry.queries.get(k).map { fn =>
-          val runs = (1 to reps).map(_ => oneRun(k, fn))
+        val fn = SparkEntry.queries.get(k)
+        // a renamed/removed canary key must fail LOUDLY: silently
+        // shrinking the host-speed witness set defeats its purpose
+        if (fn.isEmpty) System.err.println(
+          s"[bench] ERROR canary key $k not in SparkEntry.queries " +
+            "— host-speed witness set is incomplete")
+        fn.map { f =>
+          val runs = (1 to reps).map(_ => oneRun(k, f))
           val ok = runs.filter(_ >= 0)
           val m = if (ok.isEmpty) -1.0 else ok.min
           System.err.println(f"[bench] canary $k%-17s min=$m%.3f samples=${

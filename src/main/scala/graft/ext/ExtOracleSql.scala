@@ -3539,13 +3539,17 @@ rolled AS (
   GROUP BY 1
 )
 SELECT source, n_docs, n_tokens, n_spans, n_removed_tokens,
-       n_removed_tokens * 1000000000 // n_tokens AS removed_share_e9,
-       CASE WHEN n_removed_tokens * 1000000000 // n_tokens >= 300000000
-              THEN 'chrome_heavy'
-            WHEN n_removed_tokens * 1000000000 // n_tokens <= 50000000
-              THEN 'clean'
+       removed_share_e9,
+       CASE WHEN removed_share_e9 >= 300000000 THEN 'chrome_heavy'
+            WHEN removed_share_e9 <= 50000000 THEN 'clean'
             ELSE 'mixed' END AS verdict
-FROM rolled"""
+FROM (
+  SELECT *,
+         -- HUGEINT widen before the 1e9 multiply (the t71 guard)
+         CAST(CAST(n_removed_tokens AS HUGEINT) * 1000000000
+              // n_tokens AS BIGINT) AS removed_share_e9
+  FROM rolled
+)"""
 
   /** t31: bigram-LM document scoring — `ln P(w1) + Σ ln P(wi|wi-1)`
     * averaged over n_tokens, t25's rounding discipline (9 dp ln,

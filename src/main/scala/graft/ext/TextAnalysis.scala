@@ -1861,7 +1861,11 @@ object TextAnalysis {
         sum(col("n_removed_tokens")).as("n_removed_tokens"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("n_spans"), col("n_removed_tokens"),
-        expr("n_removed_tokens * 1000000000 div n_tokens")
+        // the t71 overflow guard: a 100 TB feed holds tens of billions
+        // of tokens, and a bare BIGINT multiply by 1e9 wraps negative
+        // (ANSI off) where DuckDB errors — widen before the multiply
+        expr("CAST(CAST(n_removed_tokens AS DECIMAL(38,0)) " +
+          "* 1000000000 div n_tokens AS BIGINT)")
           .as("removed_share_e9"))
       .withColumn("verdict",
         when(col("removed_share_e9") >= 300000000L, lit("chrome_heavy"))

@@ -96,6 +96,14 @@ class BenchGuardSpec extends AnyFunSuite {
       "/tmp/BENCH_FULL_sf0.001.json")
   }
 
+  test("every canary key resolves in SparkEntry.queries") {
+    // the host-speed witness set must not silently shrink when a
+    // query is renamed — Bench logs an ERROR at runtime, and this
+    // pins the keys at test time
+    val missing = Bench.canaryKeys.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"canary keys missing from queries: $missing")
+  }
+
   test("mergeBaselines anchors to the per-query historical MIN") {
     // the r16 failure mode: two consecutive ~1.7x drifts compound to
     // ~3x invisibly when the anchor ratchets off only the prior record.
