@@ -49,15 +49,25 @@ final class SessionMemo(
 
   SessionMemo.register(this)
 
-  /** Memoized build — see class doc for the race + sweep contract. */
+  /** Memoized build — see class doc for the race + sweep contract.
+    * Every call lands in the process-wide hit/build counters
+    * ([[SessionMemo.counters]]): the r17 driver bench read the
+    * memo-consuming query families at 5–31× their committed values and
+    * the record could not say whether the memos were rebuilt or the
+    * host was slow — the counters make that machine-readable (a build
+    * count above the expected one-per-tag means eviction/rebuild
+    * happened mid-suite). A losing racer's build still counts: its
+    * cost was paid even though its frame was released.
+    */
   def getOrBuild(spark: SparkSession, tag: String)
                 (build: => DataFrame): DataFrame = {
     sweep()
     val k = (spark, tag)
     map.get(k) match {
-      case Some(v) => v
+      case Some(v) => SessionMemo.recordHit(tag); v
       case None =>
         val v = build
+        SessionMemo.recordBuild(tag)
         map.putIfAbsent(k, v) match {
           case Some(winner) =>
             try Materialize.releasePin(v) catch { case _: Throwable => () }
@@ -95,6 +105,35 @@ object SessionMemo {
 
   private def register(m: SessionMemo): Unit =
     synchronized { registry += m }
+
+  // process-wide per-tag (hits, builds) — tags are unique per memo
+  // site, so one flat map covers every registered memo instance
+  private val stats =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  private def recordHit(tag: String): Unit = {
+    val _ = stats.updateWith(tag) {
+      case Some((h, b)) => Some((h + 1, b))
+      case None         => Some((1L, 0L))
+    }
+  }
+
+  private def recordBuild(tag: String): Unit = {
+    val _ = stats.updateWith(tag) {
+      case Some((h, b)) => Some((h, b + 1))
+      case None         => Some((0L, 1L))
+    }
+  }
+
+  /** Per-tag (hits, builds) since JVM start (or [[resetCounters]]).
+    * [[graft.Bench]] emits this into BENCH_FULL.json so a slow
+    * memo-consuming query is attributable from the record alone:
+    * builds == 1 per tag → the memo held and the drift is host-side;
+    * builds > 1 → the frame was rebuilt mid-suite.
+    */
+  def counters: Map[String, (Long, Long)] = stats.toMap
+
+  private[graft] def resetCounters(): Unit = stats.clear()
 
   /** Release every registered memo's entries for `spark` — the one call
     * driver ([[graft.Bench]]/[[graft.Verify]]) and test teardown make
