@@ -61,16 +61,58 @@ object Bench {
     minSec >= 0 && baseline.exists(b =>
       b >= 0 && minSec > 3 * b && minSec > b + 1.0)
 
-  /** Fixed canary set, measured FIRST in every bench session (fresh
-    * JVM, post-warmup, pre-suite): shape-diverse — a broadcast star
-    * join + agg, a per-row text-expression scan, an iterative
-    * join-loop. Round-over-round grading divides per-query ratios by
-    * the canary ratio to tell host-speed steps (canary moves with the
-    * suite — the r15→r16 x48/x46/x20 1.6–1.8x step) from code-speed
-    * changes (canary flat, query moved).
+  /** Fixed canary set, measured at suite START (fresh JVM,
+    * post-warmup, pre-suite) AND re-measured at suite END: shape-
+    * diverse — a broadcast star join + agg, a per-row text-expression
+    * scan, an iterative join-loop, and one memo/IO-bound member
+    * (p14_sales_lines reads the cleaned-star-join checkpoint blocks
+    * from storage, so disk/storage pressure has a witness). The r17
+    * driver run exposed why one start-only CPU-shaped canary is not
+    * enough: it read 1.41x the committed total with a HEALTHY start
+    * canary while 44 memo-consuming queries read 2–31x committed —
+    * a mid-run host step or memo eviction was invisible to a canary
+    * that runs once, first, and never touches storage. With bookends,
+    * end/start >> 1 on any member = the host degraded mid-suite;
+    * p14 inflated while CPU members stay flat = storage-side pressure;
+    * both flat while memo builds > 1 per tag (see the `memo` map in
+    * the record) = eviction/rebuild.
     */
   private[graft] val canaryKeys: Seq[String] =
-    Seq("q1_revenue_by_month", "t4_lang_id", "x20_pagerank")
+    Seq("q1_revenue_by_month", "t4_lang_id", "x20_pagerank",
+      "p14_sales_lines")
+
+  /** JSON string literal with escaping: a quote or backslash in
+    * SPARK_GRAFT_BENCH_OUT/SF_DIR used to produce invalid JSON, and
+    * because parseBaseline is tolerant-by-design the NEXT run's
+    * outlier guard silently disarmed (r17 advice). Control characters
+    * are \u-escaped so an embedded newline can't split the one-line
+    * stdout record either.
+    */
+  private[graft] def jstr(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }.mkString("\"", "", "\"")
+
+  /** Repo root for the record/guard paths, derived from the working
+    * directory (sbt runs from the checkout root) instead of a
+    * hardcoded absolute location (r17 advice: the literal
+    * `/root/repo` broke the plumbing silently in any other clone).
+    * `graft.repo.root` overrides for tests/tools that run elsewhere.
+    */
+  private[graft] def repoRoot: String =
+    sys.props.getOrElse("graft.repo.root", System.getProperty("user.dir"))
+
+  private[graft] def sfTag(sfDir: String): String =
+    sfDir.stripSuffix("/").split('/').last
+
+  /** Is this the committed-record scale? The sf0.1 gate is a boolean
+    * on the sf tag, not a string compare against a literal path.
+    */
+  private[graft] def isRecordScale(sfDir: String): Boolean =
+    sfTag(sfDir) == "sf0.1"
 
   /** Default record path: sf0.1 runs (the committed-record scale)
     * write into the repo; any other scale writes to /tmp under an
@@ -80,51 +122,65 @@ object Bench {
     * ~10x-smaller-corpus numbers (the r17 s2 forensics).
     * SPARK_GRAFT_BENCH_OUT still overrides explicitly.
     */
-  private[graft] def defaultOut(sfDir: String): String = {
-    val sf = sfDir.stripSuffix("/").split('/').last
-    if (sf == "sf0.1") "/root/repo/BENCH_FULL.json"
-    else s"/tmp/BENCH_FULL_$sf.json"
-  }
+  private[graft] def defaultOut(sfDir: String): String =
+    if (isRecordScale(sfDir)) s"$repoRoot/BENCH_FULL.json"
+    else s"/tmp/BENCH_FULL_${sfTag(sfDir)}.json"
 
-  /** The one-line record head shared by stdout and the file copy. */
+  /** The one-line record head shared by stdout and the file copy.
+    * `canaryStart`/`canaryEnd` are the suite bookends (same keys, same
+    * min-of-reps statistic); end/start per key is the mid-run
+    * host-drift witness the r17 driver run lacked.
+    */
   private[graft] def headJson(results: Seq[(String, Double)],
-                              canary: Seq[(String, Double)],
+                              canaryStart: Seq[(String, Double)],
+                              canaryEnd: Seq[(String, Double)],
                               flaky: Seq[String],
                               anomalous: Seq[String],
                               outPath: String, sfDir: String,
                               fmt: Double => String): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def numMap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => jstr(k) + ":" + fmt(v) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val fl = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val anom = anomalous.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val can = canary.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"flaky":$fl,"anomalous":$anom,"canary":$can,"full":"$outPath","sf":"$sfDir"}"""
+    val fl = flaky.map(jstr).mkString("[", ",", "]")
+    val anom = anomalous.map(jstr).mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
+      numMap(results)},"flaky":$fl,"anomalous":$anom,"canary_start":${
+      numMap(canaryStart)},"canary_end":${numMap(canaryEnd)},"full":${
+      jstr(outPath)},"sf":${jstr(sfDir)}}"""
   }
 
   /** Full-precision file record: head + reps + every sample. Retry
     * runs live in their own `retries` map (r16 advice: appending them
     * to `samples` broke the `reps`-describes-array-length contract and
     * let a failed RETRY rep mark an otherwise-clean query flaky).
+    * `memo` holds per-tag [hits, builds] from SessionMemo at suite end
+    * — builds > 1 for a tag means the memoized frame was evicted and
+    * rebuilt mid-suite, the one mechanism the r17 record could not
+    * distinguish from host slowness.
     */
   private[graft] def fileJson(results: Seq[(String, Double)],
-                              canary: Seq[(String, Double)],
+                              canaryStart: Seq[(String, Double)],
+                              canaryEnd: Seq[(String, Double)],
                               flaky: Seq[String],
                               anomalous: Seq[String],
                               outPath: String, sfDir: String,
                               reps: Int,
                               samples: Seq[(String, Seq[Double])],
-                              retries: Seq[(String, Seq[Double])])
+                              retries: Seq[(String, Seq[Double])],
+                              memo: Seq[(String, (Long, Long))] = Nil)
       : String = {
     def runsMap(xs: Seq[(String, Seq[Double])]): String =
       xs.map { case (k, runs) =>
-        "\"" + k + "\":[" + runs.mkString(",") + "]"
+        jstr(k) + ":[" + runs.mkString(",") + "]"
       }.mkString("{", ",", "}")
-    headJson(results, canary, flaky, anomalous, outPath, sfDir,
-      _.toString).dropRight(1) +
+    val memoMap = memo.map { case (tag, (h, b)) =>
+      jstr(tag) + s""":{"hits":$h,"builds":$b}"""
+    }.mkString("{", ",", "}")
+    headJson(results, canaryStart, canaryEnd, flaky, anomalous, outPath,
+      sfDir, _.toString).dropRight(1) +
       s""","reps":$reps,"samples":${runsMap(samples)},"retries":${
-        runsMap(retries)}}"""
+        runsMap(retries)},"memo":$memoMap}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -182,8 +238,8 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut(sfDir))
     val baselinePaths = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
       .map(Seq(_)).getOrElse(
-        if (defaultOut(sfDir) == "/root/repo/BENCH_FULL.json")
-          Seq("/root/repo/BENCH_BASELINE.json", priorRecord)
+        if (isRecordScale(sfDir))
+          Seq(s"$repoRoot/BENCH_BASELINE.json", priorRecord)
         else Seq(priorRecord))
     val baseline = mergeBaselines(baselinePaths.map(readBaseline))
     val maxRetries = math.max(0,
@@ -217,12 +273,18 @@ object Bench {
       graft.std.Materialize.releaseAll()
       t
     }
-    // Canary first: clean-session numbers for the fixed set, before any
-    // suite aging. Skipped under SPARK_GRAFT_ONLY (local iteration) or
+    // Canary bookends: the fixed set runs FIRST (clean-session numbers,
+    // before any suite aging) and again LAST (same keys, same
+    // statistic) — a mid-run host step shows as end/start >> 1, which
+    // a start-only canary structurally cannot see (the r17 driver run:
+    // healthy start canary, 44 queries at 2–31x committed). Skipped
+    // under SPARK_GRAFT_ONLY (local iteration) or
     // SPARK_GRAFT_BENCH_CANARY=0.
-    val canary: Seq[(String, Double)] =
-      if (sys.env.contains("SPARK_GRAFT_ONLY") ||
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY", "1") == "0") Nil
+    val canaryEnabled =
+      !sys.env.contains("SPARK_GRAFT_ONLY") &&
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY", "1") != "0"
+    def runCanary(label: String): Seq[(String, Double)] =
+      if (!canaryEnabled) Nil
       else canaryKeys.flatMap { k =>
         val fn = SparkEntry.queries.get(k)
         // a renamed/removed canary key must fail LOUDLY: silently
@@ -234,11 +296,13 @@ object Bench {
           val runs = (1 to reps).map(_ => oneRun(k, f))
           val ok = runs.filter(_ >= 0)
           val m = if (ok.isEmpty) -1.0 else ok.min
-          System.err.println(f"[bench] canary $k%-17s min=$m%.3f samples=${
-            runs.map(r => f"$r%.3f").mkString(",")}")
+          System.err.println(
+            f"[bench] canary($label) $k%-17s min=$m%.3f samples=${
+              runs.map(r => f"$r%.3f").mkString(",")}")
           k -> m
         }
       }
+    val canaryStart = runCanary("start")
     val measured = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map(_ => oneRun(name, fn))
       // outlier guard: a min-of-reps far above the historical baseline
@@ -290,6 +354,20 @@ object Bench {
     val retries = measured.collect {
       case (name, _, rts) if rts.nonEmpty => (name, rts.toSeq)
     }
+    // End bookend AFTER the suite, BEFORE the record is written: its
+    // divergence from canaryStart is the record's own evidence of
+    // mid-run host drift.
+    val canaryEnd = runCanary("end")
+    // Memo telemetry: per-tag hits/builds since JVM start. One build
+    // per tag is the expected steady state; builds > 1 means the
+    // memoized frame (cleaned star join, cluster resolution,
+    // contamination profile, IVF corpora) was evicted and rebuilt
+    // mid-suite — if q1b ever reads 5 s again, the record itself says
+    // whether the star join was rebuilt.
+    val memoStats = graft.std.SessionMemo.counters.toSeq.sortBy(_._1)
+    memoStats.foreach { case (tag, (h, b)) =>
+      System.err.println(s"[bench] memo $tag hits=$h builds=$b")
+    }
     // stdout gets 3-dp min values: the driver captures only the last
     // ~2.9 KB of output, and round 4's 76-query full-precision line
     // (~3.3 KB) overflowed that window — its head was cut and the JSON
@@ -305,10 +383,11 @@ object Bench {
     val samples = measured.map { case (name, runs, _) => (name, runs) }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
-      fileJson(results, canary, flaky, anomalous, outPath, sfDir,
-        reps, samples, retries))
+      fileJson(results, canaryStart, canaryEnd, flaky, anomalous,
+        outPath, sfDir, reps, samples, retries, memoStats))
     catch { case _: Throwable => () }
-    println(headJson(results, canary, flaky, anomalous, outPath, sfDir,
+    println(headJson(results, canaryStart, canaryEnd, flaky, anomalous,
+      outPath, sfDir,
       v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))))
     // free the session memos (cleaned star join, clusters, profile)
     // before stop — keeps the pin lifecycle honest end-to-end

@@ -933,6 +933,13 @@ object Dedup {
     * back co-partitioned on `cluster_rep` — a single shuffle key end
     * to end; cluster sizes are near-dup groups, so no hot partition.
     *
+    * A NULL `cluster_rep` coalesces to the doc's own id (a singleton
+    * cluster): the join back is an equi-join on `cluster_rep`, and
+    * NULL keys never match, so a malformed upstream cluster frame
+    * would otherwise silently DROP documents from the split — in a
+    * splitter, a lost document is a corpus bug, not a safe default
+    * (r17 advice; [[sharedClusters]] itself never emits NULL reps).
+    *
     * Returns (doc_id, cluster_rep, split, naive_split, cluster_leaks).
     */
   def leakageSafeSplit(clusters: DataFrame, pctTrain: Int = 90,
@@ -945,7 +952,9 @@ object Dedup {
         .when(h < pctTrain + pctVal, lit("val"))
         .otherwise(lit("test"))
     }
-    val assigned = clusters.select(col("doc_id"), col("cluster_rep"),
+    val keyed = clusters.withColumn("cluster_rep",
+      coalesce(col("cluster_rep"), col("doc_id")))
+    val assigned = keyed.select(col("doc_id"), col("cluster_rep"),
       splitOf(col("cluster_rep")).as("split"),
       splitOf(col("doc_id")).as("naive_split"))
     val leaks = assigned.groupBy(col("cluster_rep"))

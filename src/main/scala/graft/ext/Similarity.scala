@@ -2023,13 +2023,19 @@ object Similarity {
             round(col("_c") - col("_s") * col("_v"), 9).as("_c")))
       val (vNext, nrmNext) = powerIterate(centNext, mu, iters)
       val nextTss = tss(centNext)
+      // one-row share frame pinned ONCE per rank: the stop decision
+      // (collected below) and the emitted row's var_share_after share
+      // the same computation — unpinned, consuming the returned frame
+      // re-ran the whole next-rank power-iteration chain a second time
+      // (r17 advice)
+      val shAfter = graft.std.Materialize.once(
+        shareFrame(nrmNext, nextTss))
       val row = n1.filter(col("n_vectors") > 0)
         .crossJoin(broadcast(nrm.select(col("_nrm").as("_nr"))))
         .crossJoin(broadcast(curTss.select(col("_tss").as("_tr"))))
         .crossJoin(broadcast(nextTss.select(col("_tss").as("_tn"))))
         .crossJoin(broadcast(tss1))
-        .crossJoin(broadcast(
-          shareFrame(nrmNext, nextTss).select(col("_sh").as("_shAfter"))))
+        .crossJoin(broadcast(shAfter.select(col("_sh").as("_shAfter"))))
         .select(lit(rank).as("rank"), col("n_vectors"),
           round(col("_nr") / col("n_vectors"), 6).as("lambda"),
           round(when(col("_tr") > 0, col("_nr") / col("_tr"))
@@ -2039,7 +2045,7 @@ object Similarity {
             .otherwise(lit(0.0)), 6).as("removed_var_share"),
           col("_shAfter").as("var_share_after"))
       out = Some(out.map(_.unionAll(row)).getOrElse(row))
-      if (shareOf(shareFrame(nrmNext, nextTss)) < varShareStop)
+      if (shareOf(shAfter) < varShareStop)
         continue = false
       else {
         cent = centNext; v = vNext; nrm = nrmNext; curTss = nextTss

@@ -105,7 +105,7 @@ object Merged {
     * [[cleaned]].
     */
   def cleanedShared(spark: SparkSession, sfDir: String): DataFrame =
-    cleanedMemo.getOrBuild(spark, sfDir)(
+    cleanedMemo.getOrBuild(spark, s"cleaned|$sfDir")(
       graft.std.Materialize.pinUnregistered(cleaned(spark, sfDir)))
 
   /** Drop a session's memoized cleaned frames (test/benchmark hygiene;

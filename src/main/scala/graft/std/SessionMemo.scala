@@ -106,8 +106,13 @@ object SessionMemo {
   private def register(m: SessionMemo): Unit =
     synchronized { registry += m }
 
-  // process-wide per-tag (hits, builds) — tags are unique per memo
-  // site, so one flat map covers every registered memo instance
+  // Process-wide per-tag (hits, builds): one flat map covers every
+  // registered memo instance, so call sites MUST make tags globally
+  // self-describing (a "site|" prefix). The first telemetry run caught
+  // four sites keying on the bare sfDir — their four legitimate
+  // one-time builds merged into a single counter row reading
+  // "builds: 4", indistinguishable from the mid-suite rebuild signal
+  // the counters exist to expose.
   private val stats =
     scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
 

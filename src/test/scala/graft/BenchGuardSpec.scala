@@ -59,11 +59,14 @@ class BenchGuardSpec extends AnyFunSuite {
     val results = Seq("q1_revenue_by_month" -> 0.412,
       "x35_cdc_apply" -> 0.42, "x58_betweenness" -> 14.22)
     val json = Bench.fileJson(results,
-      canary = Seq("q1_revenue_by_month" -> 0.41),
+      canaryStart = Seq("q1_revenue_by_month" -> 0.41),
+      canaryEnd = Seq("q1_revenue_by_month" -> 0.83),
       flaky = Seq("x35_cdc_apply"), anomalous = Seq("x58_betweenness"),
       outPath = "/x.json", sfDir = "/root/testdata/sf0.1", reps = 3,
       samples = results.map { case (k, v) => (k, Seq(v + 0.1, v, -1.0)) },
-      retries = Seq("x58_betweenness" -> Seq(15.0, -1.0)))
+      retries = Seq("x58_betweenness" -> Seq(15.0, -1.0)),
+      memo = Seq("cleaned:/root/testdata/sf0.1" -> ((11L, 1L)),
+        "contamination" -> ((4L, 2L))))
     assert(Bench.parseBaseline(json) === results.toMap)
     // retries live in their own map: `reps` still describes the samples
     // arrays, and a failed retry rep must not contaminate them
@@ -71,7 +74,41 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(json.contains(""""retries":{"x58_betweenness":[15.0,-1.0]}"""))
     assert(json.contains(
       """"samples":{"q1_revenue_by_month":[0.512,0.412,-1.0]"""))
-    assert(json.contains(""""canary":{"q1_revenue_by_month":0.41}"""))
+    // r17 verdict #1: the record must carry BOTH canary bookends (a
+    // mid-run host step shows as end >> start) and the memo hit/build
+    // counters (builds > 1 = eviction/rebuild mid-suite)
+    assert(json.contains(""""canary_start":{"q1_revenue_by_month":0.41}"""))
+    assert(json.contains(""""canary_end":{"q1_revenue_by_month":0.83}"""))
+    assert(json.contains(
+      """"memo":{"cleaned:/root/testdata/sf0.1":{"hits":11,"builds":1},""" +
+        """"contamination":{"hits":4,"builds":2}}"""))
+  }
+
+  test("jstr escapes quotes, backslashes, and control characters") {
+    // r17 advice: a quote/backslash in SPARK_GRAFT_BENCH_OUT produced
+    // invalid JSON, and the tolerant parser silently disarmed the next
+    // run's guard; now such a path round-trips as a valid literal
+    assert(Bench.jstr("plain") === "\"plain\"")
+    assert(Bench.jstr("a\"b") === "\"a\\\"b\"")
+    assert(Bench.jstr("a\\b") === "\"a\\\\b\"")
+    assert(Bench.jstr("a\nb") === "\"a\\u000ab\"")
+    // a record head built with a hostile path still parses: the
+    // queries object is intact and the guard stays armed
+    val json = Bench.headJson(Seq("q1" -> 1.0), Nil, Nil, Nil, Nil,
+      outPath = "/tmp/we\"ird\\path.json", sfDir = "/root/testdata/sf0.1",
+      _.toString)
+    assert(Bench.parseBaseline(json) === Map("q1" -> 1.0))
+  }
+
+  test("record paths derive from the repo root, not a literal") {
+    // r17 advice: /root/repo was hardcoded; now both the record and
+    // the baseline anchor build from repoRoot (working directory or
+    // the graft.repo.root override), and the sf0.1 gate is a boolean
+    assert(Bench.isRecordScale("/root/testdata/sf0.1"))
+    assert(Bench.isRecordScale("/any/where/sf0.1/"))
+    assert(!Bench.isRecordScale("/root/testdata/sf0.01"))
+    assert(Bench.defaultOut("/root/testdata/sf0.1") ==
+      s"${Bench.repoRoot}/BENCH_FULL.json")
   }
 
   test("parseBaseline reads the baseline-builder layout too") {
@@ -87,9 +124,9 @@ class BenchGuardSpec extends AnyFunSuite {
     // smoke records committed under the same name poisoned the minima
     // with ~10x-smaller-corpus numbers (the r17 s2 forensics)
     assert(Bench.defaultOut("/root/testdata/sf0.1") ==
-      "/root/repo/BENCH_FULL.json")
+      s"${Bench.repoRoot}/BENCH_FULL.json")
     assert(Bench.defaultOut("/root/testdata/sf0.1/") ==
-      "/root/repo/BENCH_FULL.json")
+      s"${Bench.repoRoot}/BENCH_FULL.json")
     assert(Bench.defaultOut("/root/testdata/sf0.01") ==
       "/tmp/BENCH_FULL_sf0.01.json")
     assert(Bench.defaultOut("/root/testdata/sf0.001") ==

@@ -55,6 +55,22 @@ class LeakageSplitSpec extends AnyFunSuite {
     assert(!got(499L)._4, "a singleton can never leak")
   }
 
+  test("a NULL cluster_rep becomes a singleton, never a dropped doc") {
+    // r17 advice: the join back is an equi-join on cluster_rep, and
+    // NULL keys never match — a malformed upstream frame used to lose
+    // the document from the split silently. Now it coalesces to the
+    // doc's own id (a singleton cluster).
+    val clusters = Seq((1L, Some(2L)), (2L, Some(2L)), (7L, None))
+      .toDF("doc_id", "cluster_rep")
+    val got = Dedup.leakageSafeSplit(clusters).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getBoolean(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 7L), s"no doc dropped: $got")
+    assert(got(7L)._1 == 7L, "null rep coalesces to the doc's own id")
+    assert(got(7L)._2 == splitOf(7L), "singleton splits on its own lane")
+    assert(!got(7L)._3, "a singleton can never leak")
+  }
+
   test("proportions over singletons match the replayed lane exactly") {
     val n = 1000L
     val clusters = (1L to n).map(i => (i, i)).toDF("doc_id", "cluster_rep")
