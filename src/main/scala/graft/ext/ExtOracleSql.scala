@@ -3450,29 +3450,80 @@ GROUP BY 1"""
     * per-reference CTEs (the Brandes/k-core OOM lesson).
     */
   /** The t77/t78 span-dedup chain over a caller-provided `corpus` CTE
-    * (doc_id, text[, …]): 8-token windows at every offset, md5-lane
+    * (doc_id, text[, …]): L-token windows at every offset, md5-lane
     * hashes, corpus-wide occurrence counts, offset-arithmetic island
     * merge, and the per-doc rebuild — ending in `spanout` (doc_id,
-    * clean_text, n_tokens, n_spans, n_removed_tokens).
+    * clean_text, n_tokens, n_spans, n_removed_tokens). The window
+    * length and occurrence cap are GENERATED from the same constants
+    * the Spark operator defaults to ([[TextAnalysis.SpanMinTokens]] /
+    * [[TextAnalysis.SpanMaxOcc]]) — r17 advice: hardcoded 8/7 and
+    * `occ > 1` meant a Spark-default change silently diverged the twin.
     */
-  private def spanChainCtes: String = s"""t AS (
+  /** Shared window prelude: tokenize `corpus`, open one L-token window
+    * per offset — CTEs `t` (doc_id, toks) and `wins` (doc_id, off, win).
+    */
+  private def spanPreludeCtes: String = {
+    val L = TextAnalysis.SpanMinTokens
+    s"""t AS (
   SELECT doc_id, string_split($Norm, ' ') AS toks FROM corpus
 ), wins AS (
   SELECT doc_id,
-         unnest(generate_series(1, len(toks) - 7)) AS off,
-         unnest(list_transform(generate_series(1, len(toks) - 7),
-           i -> array_to_string(toks[i:i+7], ' '))) AS win
-  FROM t WHERE len(toks) >= 8
-), hashed AS MATERIALIZED (
+         unnest(generate_series(1, len(toks) - ${L - 1})) AS off,
+         unnest(list_transform(generate_series(1, len(toks) - ${L - 1}),
+           i -> array_to_string(toks[i:i+${L - 1}], ' '))) AS win
+  FROM t WHERE len(toks) >= $L
+)"""
+  }
+
+  private def spanChainCtes: String = {
+    val maxOcc = TextAnalysis.SpanMaxOcc
+    s"""$spanPreludeCtes, hashed AS MATERIALIZED (
   SELECT doc_id, off, ${h64("win")} AS h FROM wins
 ), counts AS (
   SELECT h, COUNT(*) AS occ FROM hashed GROUP BY 1
 ), dups AS (
-  SELECT doc_id, off FROM hashed JOIN counts USING (h) WHERE occ > 1
-), flagged AS (
+  SELECT doc_id, off FROM hashed JOIN counts USING (h) WHERE occ > $maxOcc
+), $spanTailCtes"""
+  }
+
+  /** t79's detection stage: L leave-one-out fingerprints per window
+    * (slot i + the window minus token i+1), colliding slot-for-slot
+    * across copies that differ by ONE substituted token; exact copies
+    * collide on all L fingerprints, so the flagged set ⊇ t77's.
+    */
+  private def nearDupChainCtes: String = {
+    val L = TextAnalysis.SpanMinTokens
+    val maxOcc = TextAnalysis.SpanMaxOcc
+    s"""$spanPreludeCtes, wtoks AS (
+  SELECT doc_id, off, string_split(win, ' ') AS wt FROM wins
+), loo AS (
+  SELECT doc_id, off,
+         unnest(generate_series(0, ${L - 1})) AS slot,
+         unnest(list_transform(generate_series(0, ${L - 1}),
+           i -> array_to_string(wt[1:i] || wt[i+2:$L], ' '))) AS var
+  FROM wtoks
+), hashed AS MATERIALIZED (
+  SELECT doc_id, off,
+         ${h64("CAST(slot AS VARCHAR) || '|' || var")} AS h
+  FROM loo
+), counts AS (
+  SELECT h, COUNT(*) AS occ FROM hashed GROUP BY 1
+), dups AS (
+  SELECT DISTINCT doc_id, off
+  FROM hashed JOIN counts USING (h) WHERE occ > $maxOcc
+), $spanTailCtes"""
+  }
+
+  /** Shared island merge + per-doc rebuild over a `dups` (doc_id, off)
+    * CTE — ends in `spanout` (doc_id, clean_text, n_tokens, n_spans,
+    * n_removed_tokens).
+    */
+  private def spanTailCtes: String = {
+    val L = TextAnalysis.SpanMinTokens
+    s"""flagged AS (
   SELECT doc_id, off,
          CASE WHEN off > COALESCE(lag(off) OVER
-                (PARTITION BY doc_id ORDER BY off), -9) + 8
+                (PARTITION BY doc_id ORDER BY off), ${-(L + 1)}) + $L
               THEN 1 ELSE 0 END AS brk
   FROM dups
 ), numbered AS (
@@ -3481,7 +3532,7 @@ GROUP BY 1"""
                         ROWS UNBOUNDED PRECEDING) AS isl
   FROM flagged
 ), islands AS (
-  SELECT doc_id, MIN(off) AS s, MAX(off) + 7 AS e
+  SELECT doc_id, MIN(off) AS s, MAX(off) + ${L - 1} AS e
   FROM numbered GROUP BY doc_id, isl
 ), perdoc AS (
   SELECT doc_id, COUNT(*) AS n_spans,
@@ -3503,10 +3554,17 @@ GROUP BY 1"""
          COALESCE(p.n_removed, 0) AS n_removed_tokens
   FROM t LEFT JOIN perdoc p USING (doc_id)
 )"""
+  }
 
-  private val SpanPromo: String =
-    "'subscribe to our newsletter today for weekly ' ||\n" +
-    "                   'updates and exclusive member offers'"
+  /** SQL literal of the shared promo sentence — same source constant
+    * as the Spark-side injection ([[TextAnalysis.SpanPromoText]]), so
+    * the fixtures cannot drift apart (r17 advice).
+    */
+  private val SpanPromo: String = {
+    require(!TextAnalysis.SpanPromoText.contains("'"),
+      "promo must stay embeddable as a single-quoted SQL literal")
+    "'" + TextAnalysis.SpanPromoText + "'"
+  }
 
   val t77SpanDedup: String = s"""WITH corpus AS (
   SELECT doc_id,
@@ -3517,6 +3575,29 @@ GROUP BY 1"""
 ), $spanChainCtes
 SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
 FROM spanout"""
+
+  /** t79: near-duplicate span dedup — the t77 corpus shape, but the
+    * injected promo carries a PER-DOC tracking token at position 6
+    * ('trk' || doc_id), so no two copies are verbatim-equal and the
+    * exact chain removes nothing of them; the leave-one-out chain
+    * collides the copies slot-for-slot. Promo fragments derive from
+    * the same shared constant as the Spark fixture.
+    */
+  val t79NearDupSpans: String = {
+    val toks = TextAnalysis.SpanPromoText.split(" ")
+    val head = toks.take(5).mkString(" ")
+    val tail = toks.drop(6).mkString(" ")
+    s"""WITH corpus AS (
+  SELECT doc_id,
+         COALESCE(CASE WHEN doc_id % 3 = 0
+              THEN concat_ws(' ', text, '$head',
+                             'trk' || doc_id, '$tail')
+              ELSE text END, '') AS text
+  FROM documents
+), $nearDupChainCtes
+SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
+FROM spanout"""
+  }
 
   /** t78: per-source span-duplication pressure — the shared
     * [[spanChainCtes]] over a source-hash-gated promo injection

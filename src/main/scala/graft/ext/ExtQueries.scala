@@ -141,7 +141,7 @@ object ExtQueries {
   private val clusterMemo = new graft.std.SessionMemo()
 
   private def sharedClusters(spark: SparkSession, sfDir: String): DataFrame =
-    clusterMemo.getOrBuild(spark, sfDir)(
+    clusterMemo.getOrBuild(spark, s"clusters|$sfDir")(
       clustersOf(nearDupCorpus(Tables.documents(spark, sfDir))))
 
   /** Full dedup resolution (d5): MinHash→LSH→verify pairs, then
@@ -260,7 +260,7 @@ object ExtQueries {
 
   private def sharedContaminationProfile(
       spark: SparkSession, sfDir: String): DataFrame =
-    profileMemo.getOrBuild(spark, sfDir) {
+    profileMemo.getOrBuild(spark, s"profile|$sfDir") {
       val withSh = shingled(Tables.documents(spark, sfDir),
         TextOps.tokens(col("text")))
       graft.std.Materialize.pinUnregistered(
@@ -617,7 +617,7 @@ object ExtQueries {
   private val pairsMemo = new graft.std.SessionMemo()
 
   private def sharedLshPairs(spark: SparkSession, sfDir: String): DataFrame =
-    pairsMemo.getOrBuild(spark, sfDir)(
+    pairsMemo.getOrBuild(spark, s"lshpairs|$sfDir")(
       graft.std.Materialize.pinUnregistered(
         // dims=64 (the corpus' schema-level embedding width) switches
         // the bucket projections to literal planes + the native dot
@@ -2299,14 +2299,38 @@ object ExtQueries {
     */
   def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    val promo = "subscribe to our newsletter today for weekly updates " +
-      "and exclusive member offers"
+    val promo = TextAnalysis.SpanPromoText
     val docs = Tables.documents(spark, sfDir)
     val withPromo = spread(docs.select(col("doc_id"),
       when(col("doc_id") % 3 === 0,
         concat_ws(" ", col("text"), lit(promo)))
         .otherwise(col("text")).as("text")))
     TextAnalysis.spanDedup(withPromo)
+  }
+
+  /** Near-duplicate span dedup (t79) over a corpus with a PER-DOC
+    * TWEAKED tail promo: every third doc gets the shared 12-token
+    * promo appended with token 6 replaced by a doc-unique tracking
+    * token (`trk<doc_id>`) — the syndicated-with-per-feed-tweaks shape.
+    * No two injected copies are verbatim-equal, so t77's exact-window
+    * kernel removes NOTHING of the promo; t79's leave-one-out
+    * fingerprints collide slot-for-slot across copies and remove the
+    * full 12-token run (tracking token included) from every injected
+    * doc. The head/tail fragments are derived from the SAME shared
+    * promo constant as t77's fixture, so the fixtures cannot drift.
+    */
+  def nearDupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val toks = TextAnalysis.SpanPromoText.split(" ")
+    val head = toks.take(5).mkString(" ")
+    val tail = toks.drop(6).mkString(" ")
+    val docs = Tables.documents(spark, sfDir)
+    val withPromo = spread(docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat_ws(" ", col("text"), lit(head),
+          concat(lit("trk"), col("doc_id").cast("string")), lit(tail)))
+        .otherwise(col("text")).as("text")))
+    TextAnalysis.nearDupSpanDedup(withPromo)
   }
 
   /** Per-source span-duplication pressure (t78):
@@ -2318,8 +2342,7 @@ object ExtQueries {
     */
   def sourceSpanPressure(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    val promo = "subscribe to our newsletter today for weekly updates " +
-      "and exclusive member offers"
+    val promo = TextAnalysis.SpanPromoText
     val docs = Tables.documents(spark, sfDir)
     val injected = spread(docs.select(col("doc_id"), col("source"),
       when(substring(md5(col("source")), 1, 1) < "8",

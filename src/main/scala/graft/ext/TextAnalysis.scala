@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** t77/t78 span-dedup defaults, shared by the Spark operators
+    * ([[spanDedup]]/[[sourceSpanPressure]] default params), the query
+    * fixtures ([[ExtQueries]]' promo injection), and the DuckDB twin
+    * generator ([[ExtOracleSql]]'s span CTE chain) — r17 advice: the
+    * SQL used to hardcode 8/7/`occ > 1` and duplicate the promo
+    * sentence as separate literals, so a change to the Spark-side
+    * defaults or promo text silently diverged the twins.
+    */
+  val SpanMinTokens: Int = 8
+  val SpanMaxOcc: Int = 1
+  val SpanPromoText: String =
+    "subscribe to our newsletter today for weekly updates " +
+      "and exclusive member offers"
+
   /** Marker stopwords per language for the n-gram-heuristic language ID.
     * Deterministic and tiny by design — a real deployment swaps in
     * fastText-style profiles; the *operator shape* (per-row argmax over
@@ -1766,18 +1780,13 @@ object TextAnalysis {
     *
     * Returns (doc_id, clean_text, n_tokens, n_spans, n_removed_tokens).
     */
-  def spanDedup(docs: DataFrame, minTokens: Int = 8, maxOcc: Int = 1,
+  def spanDedup(docs: DataFrame, minTokens: Int = SpanMinTokens,
+                maxOcc: Int = SpanMaxOcc,
                 textCol: String = "text"): DataFrame = {
     require(minTokens >= 2, "a span is at least 2 tokens")
     require(maxOcc >= 1, "a span always occurs at least once")
     val L = minTokens
-    // NULL text → '' (one empty token), not a vanished doc_id — the
-    // every-doc-survives contract (t28 rule)
-    val base = TextOps.attrBarrier(
-      docs.select(col("doc_id"), coalesce(col(textCol), lit("")).as(textCol)),
-      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
-      .select(col("doc_id"), col("_toks"),
-        size(col("_toks")).as("_n"))
+    val base = spanBase(docs, textCol)
     // (doc_id, off, hash): one window per token offset, 1-based; docs
     // shorter than L open no windows (nothing that short can span-dup).
     // Hash AFTER the explode so the md5 runs once per window attribute,
@@ -1795,6 +1804,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("_occ"))
     val dups = wins.join(counts.filter(col("_occ") > maxOcc), Seq("_h"))
       .select(col("doc_id"), col("off"))
+    spanRebuild(base, dups, L)
+  }
+
+  /** Tokenized per-doc frame shared by the span-dedup family:
+    * (doc_id, _toks, _n). NULL text → '' (one empty token), not a
+    * vanished doc_id — the every-doc-survives contract (t28 rule).
+    */
+  private def spanBase(docs: DataFrame, textCol: String): DataFrame =
+    TextOps.attrBarrier(
+      docs.select(col("doc_id"), coalesce(col(textCol), lit("")).as(textCol)),
+      Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
+      .select(col("doc_id"), col("_toks"),
+        size(col("_toks")).as("_n"))
+
+  /** The span-dedup island merge + rebuild shared by [[spanDedup]]
+    * (exact windows) and [[nearDupSpanDedup]] (1-mismatch windows):
+    * merge flagged window offsets into maximal islands per doc, then
+    * rebuild each doc keeping only uncovered positions.
+    */
+  private def spanRebuild(base: DataFrame, dups: DataFrame,
+                          L: Int): DataFrame = {
     // island merge: windows at o1 < o2 cover contiguously iff
     // o2 <= o1 + L (coverage [o, o+L-1]); a running break-flag sum
     // numbers the maximal islands (offsets are per-doc sorted here,
@@ -1832,6 +1862,88 @@ object TextAnalysis {
           .as("n_removed_tokens"))
   }
 
+  /** Near-duplicate span dedup (t79): the NearDup half of Lee et al.
+    * at SPAN grain — [[spanDedup]] (t77) removes token spans recurring
+    * VERBATIM at any alignment, but syndicated text with per-feed
+    * tweaks (one substituted token per copy: a tracking token, a feed
+    * name, an `_$i` suffix) never repeats verbatim and slips through.
+    * Here a window is duplicated if it recurs up to ONE substituted
+    * token: every L-token window emits L "leave-one-out" fingerprints
+    * (slot i + the window with token i removed, hashed on the shared
+    * 56-bit md5 lane), and two windows differing only at position p
+    * collide exactly on the slot-p fingerprint — detection is
+    * DETERMINISTIC (no banding recall curve), and exact duplicates
+    * collide on all L fingerprints, so t79's flagged set is a strict
+    * superset of t77's at the same L/maxOcc. Flagged offsets then run
+    * the same island merge + rebuild as t77.
+    *
+    * Why not per-window SimHash + banded Hamming (the d3/s4 kernels):
+    * a SimHash bit is a ±1 vote margin over the window's L features,
+    * and with L = 8 a one-token substitution flips each bit with
+    * probability ≈ P(|vote| ≤ 2)/4 ≈ 0.25 — expected Hamming ≈ 14 of
+    * 56, so banded Hamming at any usable threshold is either wildly
+    * lossy (4×14 bands: P(one band clean) ≈ 2%) or quadratic (wide
+    * thresholds force pair verification). Vote margins concentrate
+    * only when windows are long; at short-window grain the exact
+    * leave-one-out kernel is both cheaper and replayable move-for-move
+    * in the DuckDB twin. The trade is scope: ONE substitution per
+    * window, by construction. An insertion/deletion shifts alignment
+    * mid-window and is out of scope (its flanks, if ≥ L tokens, are
+    * exact spans t77 already removes). Boundary behavior, by the same
+    * definition: a window holding L−1 shared tokens plus ONE
+    * doc-unique neighbor IS a 1-mismatch dup across copies, so removal
+    * bleeds exactly one token of unique text into each flank of a
+    * shared run (asserted in the adversarial spec) — acceptable for
+    * boilerplate removal, where the boundary token is chrome-adjacent
+    * by definition.
+    *
+    * 100 TB shape, linear in tokens × L: fingerprints shuffle as
+    * 56-bit hashes, never text (one (hash → occurrences) partial agg,
+    * one hash join back, one distinct at (doc, off) grain — L× t77's
+    * shuffle rows, same discipline); the island merge and rebuild are
+    * t77's own per-doc kernels, unchanged.
+    *
+    * Returns (doc_id, clean_text, n_tokens, n_spans, n_removed_tokens).
+    */
+  def nearDupSpanDedup(docs: DataFrame, minTokens: Int = SpanMinTokens,
+                       maxOcc: Int = SpanMaxOcc,
+                       textCol: String = "text"): DataFrame = {
+    require(minTokens >= 2, "a span is at least 2 tokens")
+    require(maxOcc >= 1, "a span always occurs at least once")
+    val L = minTokens
+    val base = spanBase(docs, textCol)
+    // (doc_id, off, window token array) — the t77 window explode,
+    // kept as an array so the leave-one-out slices don't re-split
+    val wins = base
+      .select(col("doc_id"),
+        posexplode(when(col("_n") >= L,
+          transform(sequence(lit(1), col("_n") - (L - 1)),
+            i => slice(col("_toks"), i, lit(L))))))
+      .select(col("doc_id"), (col("pos") + 1).as("off"),
+        col("col").as("_w"))
+    // L leave-one-out fingerprints per window: slot i (0-based) plus
+    // the window minus token i+1. The slot is hashed IN so windows
+    // can only collide slot-for-slot (same substituted position).
+    // Hash after the explode — one md5 per fingerprint attribute,
+    // never inside the transform lambda (the HOF no-CSE trap).
+    val loo = graft.std.Materialize.once(wins
+      .select(col("doc_id"), col("off"),
+        posexplode(transform(sequence(lit(0), lit(L - 1)), i =>
+          concat_ws(" ",
+            concat(slice(col("_w"), lit(1), i),
+              slice(col("_w"), i + lit(2), lit(L - 1) - i))))))
+      .select(col("doc_id"), col("off"),
+        TextOps.hash64(concat(col("pos").cast("string"), lit("|"),
+          col("col"))).as("_h")))
+    val counts = loo.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_occ"))
+    // a window is near-dup if ANY of its fingerprints recurs; the
+    // distinct collapses multi-slot matches to one (doc, off) row
+    val dups = loo.join(counts.filter(col("_occ") > maxOcc), Seq("_h"))
+      .select(col("doc_id"), col("off")).distinct()
+    spanRebuild(base, dups, L)
+  }
+
   /** Per-source span-duplication pressure (t78): [[spanDedup]] rolled
     * up to SOURCE grain — what share of each feed's tokens sit inside
     * corpus-duplicated spans. The decision readout over t77's
@@ -1850,8 +1962,8 @@ object TextAnalysis {
     * Returns (source, n_docs, n_tokens, n_spans, n_removed_tokens,
     * removed_share_e9, verdict).
     */
-  def sourceSpanPressure(docs: DataFrame, minTokens: Int = 8,
-                         maxOcc: Int = 1): DataFrame = {
+  def sourceSpanPressure(docs: DataFrame, minTokens: Int = SpanMinTokens,
+                         maxOcc: Int = SpanMaxOcc): DataFrame = {
     val cleaned = spanDedup(docs, minTokens, maxOcc)
     cleaned.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
