@@ -281,66 +281,83 @@ FROM (SELECT * FROM rep2 UNION ALL SELECT * FROM rep4
       UNION ALL SELECT * FROM rep8)"""
   }
 
-  /** The d2 pair pipeline + transitive closure via a recursive CTE
-    * (reach set per node, component rep = min reachable) — shared by
-    * d5/d6/d7.
+  /** The d2 pair pipeline + transitive closure (reach set per node,
+    * component rep = min reachable) over a caller-named corpus/shingle
+    * relation pair, CTE names suffixed with `sfx` so two chains can
+    * coexist in one statement — d5/d6/d7/d12/d13/d14 run it over the
+    * injected near-dup corpus under the default names; the curation
+    * composite runs a second chain over the span-cleaned corpus.
     */
-  private val ClusterCtes: String =
-    NearDupCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""", sig AS (
+  private def clusterChain(corpusRel: String, shingRel: String,
+                           sfx: String = ""): String = s"""sig$sfx AS (
   SELECT doc_id, $sigCols
-  FROM shing
-), bands AS (
-  $bandSelects
-), cand AS (
+  FROM $shingRel
+), bands$sfx AS (
+  ${bandSelectsFrom(s"sig$sfx")}
+), cand$sfx AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM bands$sfx a JOIN bands$sfx b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-), ver AS (
+), ver$sfx AS (
   SELECT id_a, id_b, ${jaccardExpr("sa.sh", "sb.sh")} AS jaccard
-  FROM cand
-  JOIN shing sa ON cand.id_a = sa.doc_id
-  JOIN shing sb ON cand.id_b = sb.doc_id
-), edges AS (
-  SELECT id_a AS src, id_b AS dst FROM ver WHERE jaccard >= 0.5
+  FROM cand$sfx
+  JOIN $shingRel sa ON cand$sfx.id_a = sa.doc_id
+  JOIN $shingRel sb ON cand$sfx.id_b = sb.doc_id
+), edges$sfx AS (
+  SELECT id_a AS src, id_b AS dst FROM ver$sfx WHERE jaccard >= 0.5
   UNION ALL
-  SELECT id_b, id_a FROM ver WHERE jaccard >= 0.5
-), reach AS (
-  SELECT doc_id AS src, doc_id AS dst FROM corpus
+  SELECT id_b, id_a FROM ver$sfx WHERE jaccard >= 0.5
+), reach$sfx AS (
+  SELECT doc_id AS src, doc_id AS dst FROM $corpusRel
   UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-), clusters AS (
+  SELECT r.src, e.dst FROM reach$sfx r JOIN edges$sfx e ON r.dst = e.src
+), clusters$sfx AS (
   SELECT src AS doc_id, MIN(dst) AS cluster_rep,
          src = MIN(dst) AS is_keeper
-  FROM reach GROUP BY src
+  FROM reach$sfx GROUP BY src
 )"""
+
+  /** The default-named chain over the injected near-dup corpus —
+    * shared by d5/d6/d7 (and d12/d13/d14 below).
+    */
+  private val ClusterCtes: String =
+    NearDupCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+      clusterChain("corpus", "shing")
 
   val d5DedupClusters: String = ClusterCtes + """
 SELECT doc_id, cluster_rep, is_keeper FROM clusters"""
 
-  /** d14: leakage-aware split — the shared cluster chain, the split
-    * lane `h64('split|' || key) % 100` on the cluster rep (guarded)
-    * and on the doc id (naive counterfactual), and the per-cluster
-    * would-have-leaked flag.
+  /** d14's split stage over a caller-named clusters relation: the
+    * split lane `h64('split|' || key) % 100` on the cluster rep
+    * (guarded) and on the doc id (naive counterfactual), and the
+    * per-cluster would-have-leaked flag — CTEs `assigned$sfx` /
+    * `leaks$sfx`. Shared by d14 and the curation composite.
     */
-  val d14LeakageSplit: String = ClusterCtes + s""",
-assigned AS (
+  private def splitChain(clustersRel: String, sfx: String = "")
+      : String = {
+    def lane(key: String): String =
+      s"""CASE WHEN ${h64(s"'split|' || CAST($key AS VARCHAR)")}
+                   % 100 < 90 THEN 'train'
+              WHEN ${h64(s"'split|' || CAST($key AS VARCHAR)")}
+                   % 100 < 95 THEN 'val'
+              ELSE 'test' END"""
+    s"""assigned$sfx AS (
   SELECT doc_id, cluster_rep,
-         CASE WHEN ${h64("'split|' || CAST(cluster_rep AS VARCHAR)")}
-                   % 100 < 90 THEN 'train'
-              WHEN ${h64("'split|' || CAST(cluster_rep AS VARCHAR)")}
-                   % 100 < 95 THEN 'val'
-              ELSE 'test' END AS split,
-         CASE WHEN ${h64("'split|' || CAST(doc_id AS VARCHAR)")}
-                   % 100 < 90 THEN 'train'
-              WHEN ${h64("'split|' || CAST(doc_id AS VARCHAR)")}
-                   % 100 < 95 THEN 'val'
-              ELSE 'test' END AS naive_split
-  FROM clusters
-), leaks AS (
+         ${lane("cluster_rep")} AS split,
+         ${lane("doc_id")} AS naive_split
+  FROM $clustersRel
+), leaks$sfx AS (
   SELECT cluster_rep,
          COUNT(DISTINCT naive_split) > 1 AS cluster_leaks
-  FROM assigned GROUP BY 1
-)
+  FROM assigned$sfx GROUP BY 1
+)"""
+  }
+
+  /** d14: leakage-aware split — the shared cluster chain + the shared
+    * split stage.
+    */
+  val d14LeakageSplit: String = ClusterCtes + ",\n" +
+    splitChain("clusters") + """
 SELECT a.doc_id, a.cluster_rep, a.split, a.naive_split, l.cluster_leaks
 FROM assigned a JOIN leaks l USING (cluster_rep)"""
 
@@ -3599,6 +3616,50 @@ SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
 FROM spanout"""
   }
 
+  /** The curation pipeline composite (pipeline_curation): the full
+    * t77 → d5 → d14 → t22 chain in ONE statement, each tier the SAME
+    * generator its standalone oracle uses — the near-dup corpus
+    * (NearDupCtes' injected-mutation shape) gets the t77 promo chrome,
+    * the span chain strips it, the cluster chain resolves near-dups
+    * over the CLEANED text (suffix-2 names), the split stage keys on
+    * the cluster rep, and the train order runs over the train-split
+    * keepers. One row per (epoch, surviving train doc).
+    */
+  val pipelineCuration: String = s"""WITH RECURSIVE base AS (
+  SELECT doc_id, $Norm AS text FROM documents
+), rawc AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_filter(string_split(text, ' '),
+           (t, i) -> i % 13 <> 0), ' ')
+  FROM base WHERE doc_id % 7 = 0
+), corpus AS (
+  SELECT doc_id,
+         COALESCE(CASE WHEN doc_id % 3 = 0
+              THEN concat_ws(' ', text, $SpanPromo)
+              ELSE text END, '') AS text
+  FROM rawc
+), $spanChainCtes,
+corpus2 AS (
+  SELECT doc_id, clean_text AS text FROM spanout
+), shing2 AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         ${sh3("string_split(text, ' ')", "text")} AS sh
+  FROM corpus2
+), ${clusterChain("corpus2", "shing2", "2")},
+${splitChain("clusters2", "2")},
+traindocs AS (
+  SELECT a.doc_id, a.cluster_rep
+  FROM assigned2 a JOIN clusters2 c USING (doc_id)
+  WHERE a.split = 'train' AND c.is_keeper
+), ${trainOrderChain("traindocs")}
+SELECT e.epoch, e.doc_id, e.h % 8 AS shard,
+       CAST(row_number() OVER (PARTITION BY e.epoch, e.h % 8
+         ORDER BY e.h ASC, e.doc_id ASC) AS BIGINT) AS shard_pos,
+       t.cluster_rep
+FROM e JOIN traindocs t USING (doc_id)"""
+
   /** t78: per-source span-duplication pressure — the shared
     * [[spanChainCtes]] over a source-hash-gated promo injection
     * (sources whose md5 leads below '8' get the chrome), rolled up to
@@ -4355,15 +4416,21 @@ SELECT source, doc_id, quality_score, rank FROM r WHERE rank <= 10"""
   /** t22: deterministic sharded training order — 2 epochs × 8 shards,
     * epoch-salted id hash, dense row_number per (epoch, shard).
     */
-  val t22TrainOrder: String = s"""WITH e AS (
+  /** t22's epoch fan-out over a caller-named docs relation — the
+    * seeded order hash per (epoch, doc). Shared by t22 and the
+    * curation composite.
+    */
+  private def trainOrderChain(docsRel: String): String = s"""e AS (
   SELECT 0 AS epoch, doc_id,
          ${h64("'ord0|' || CAST(doc_id AS VARCHAR)")} AS h
-  FROM documents
+  FROM $docsRel
   UNION ALL
   SELECT 1 AS epoch, doc_id,
          ${h64("'ord1|' || CAST(doc_id AS VARCHAR)")} AS h
-  FROM documents
-)
+  FROM $docsRel
+)"""
+
+  val t22TrainOrder: String = s"""WITH ${trainOrderChain("documents")}
 SELECT epoch, doc_id, h % 8 AS shard,
        CAST(row_number() OVER (PARTITION BY epoch, h % 8
          ORDER BY h ASC, doc_id ASC) AS BIGINT) AS shard_pos

@@ -2333,6 +2333,48 @@ object ExtQueries {
     TextAnalysis.nearDupSpanDedup(withPromo)
   }
 
+  /** End-to-end curation composite (pipeline_curation): the chain a
+    * real training-data pipeline runs, wired tier-to-tier instead of
+    * oracle-gated in isolation — corpus with near-dup copies
+    * ([[nearDupCorpus]]) and syndicated chrome (the t77 promo on every
+    * third doc) → t77 span dedup strips the chrome →
+    * d5 MinHash→LSH→verify→CC resolves near-dup clusters over the
+    * CLEANED text → d14 splits keyed on the cluster representative →
+    * t22 orders the train-split keepers into epoch shards. One row per
+    * (epoch, surviving train doc) with its shard, position, and
+    * cluster provenance.
+    *
+    * Memo discipline under composition: the span-cleaned corpus is
+    * pinned ONCE ([[graft.std.Materialize.once]]) before fan-out —
+    * the cluster chain consumes it twice (shingles + the component
+    * seed) and the split/order tail reads the cluster frame (itself
+    * backed by connectedComponents' final checkpoint), so the final
+    * plan contains NO second span-window explode and NO second
+    * MinHash chain (asserted in `CurationPipelineSpec`).
+    */
+  def curationTrainPipeline(spark: SparkSession,
+                           sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val raw = nearDupCorpus(Tables.documents(spark, sfDir))
+    val injected = spread(raw.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat_ws(" ", col("text"), lit(TextAnalysis.SpanPromoText)))
+        .otherwise(col("text")).as("text")))
+    val cleaned = graft.std.Materialize.once(
+      TextAnalysis.spanDedup(injected)
+        .select(col("doc_id"), col("clean_text").as("text")))
+    val clusters = clustersOf(cleaned)
+    val split = Dedup.leakageSafeSplit(clusters)
+    val trainDocs = split.filter(col("split") === "train")
+      .join(clusters.filter(col("is_keeper")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("cluster_rep"))
+    TextAnalysis.trainOrder(trainDocs)
+      .join(trainDocs, Seq("doc_id"))
+      .select(col("epoch"), col("doc_id"), col("shard"),
+        col("shard_pos"), col("cluster_rep"))
+  }
+
   /** Per-source span-duplication pressure (t78):
     * [[TextAnalysis.sourceSpanPressure]] over a SOURCE-gated promo
     * injection — sources whose md5 leads below '8' get the 12-token
