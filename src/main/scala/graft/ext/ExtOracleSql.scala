@@ -3378,7 +3378,11 @@ SELECT r.source,
        CAST(SUM(CASE WHEN d.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
          AS n_kept,
        CAST(SUM(CASE WHEN d.u < r.rate THEN d.m ELSE 0 END) AS BIGINT)
-         AS kept_tokens
+         AS kept_tokens,
+       CAST(SUM(CASE WHEN d.u < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS naive_n_kept,
+       CAST(SUM(CASE WHEN d.u < 0.5 THEN d.m ELSE 0 END) AS BIGINT)
+         AS naive_kept_tokens
 FROM perdoc d JOIN rates r USING (source)
 GROUP BY 1, 2, 3, 4, 5, 6"""
 
@@ -4410,8 +4414,15 @@ WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END"""
          CAST(row_number() OVER (PARTITION BY source
            ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS rank
   FROM q
+), mdq AS (
+  -- the best quality the quota DROPPED: within a source the dropped
+  -- maximum sits at rank quota+1, so the boundary rows carry it
+  SELECT MAX(quality_score) AS m FROM r WHERE rank = 11
 )
-SELECT source, doc_id, quality_score, rank FROM r WHERE rank <= 10"""
+SELECT source, doc_id, quality_score, rank,
+       COALESCE(quality_score < (SELECT m FROM mdq), FALSE)
+         AS displaces_better
+FROM r WHERE rank <= 10"""
 
   /** t22: deterministic sharded training order — 2 epochs × 8 shards,
     * epoch-salted id hash, dense row_number per (epoch, shard).

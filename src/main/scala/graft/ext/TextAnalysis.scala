@@ -1109,15 +1109,40 @@ object TextAnalysis {
     * the window state is bounded by the source's documents, and skewed
     * mega-sources are exactly what [[boilerplateNgrams]]' fraction rule
     * and this cap exist to bound.
+    *
+    * Audit column (the d14 `cluster_leaks` discipline — every sampler
+    * prices what a naive implementation would have done wrong):
+    * `displaces_better` is true where this kept row's quality is BELOW
+    * the best document the quota dropped from some other source — the
+    * inversion a naive global top-K selector would never make, i.e.
+    * exactly the diversity the per-source cap buys. Computed without
+    * materializing the dropped set: within a source the highest-quality
+    * dropped doc sits at rank quota+1, so ranking to quota+1 (the
+    * `rank <= quota+1` filter still plans as WindowGroupLimit — one
+    * extra row per source through the shuffle, asserted in ScaleSpec)
+    * and MAXing the boundary row's quality gives the global dropped
+    * maximum as a 1-row broadcast.
     */
   def domainQuota(docs: DataFrame, quota: Int,
                   textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)
-    docs.select(col("source"), col("doc_id"),
+    // both consumers below share this exact subtree, so its exchange
+    // is planned once (ReusedExchange) — deliberately NOT pinned: a
+    // checkpoint would hide the WindowGroupLimit pushdown the quota
+    // rides at 100 TB (ScaleSpec asserts it stays in the plan)
+    val ranked = docs.select(col("source"), col("doc_id"),
         qualityScoreExpr(col(textCol)).as("quality_score"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= quota)
+      .filter(col("rank") <= quota + 1)
+    val maxDropped = ranked.filter(col("rank") === quota + 1)
+      .agg(max(col("quality_score")).as("_mdq"))
+    ranked.filter(col("rank") <= quota)
+      .crossJoin(broadcast(maxDropped))
+      .select(col("source"), col("doc_id"), col("quality_score"),
+        col("rank"),
+        coalesce(col("quality_score") < col("_mdq"), lit(false))
+          .as("displaces_better"))
   }
 
   /** Deterministic sharded training order: each epoch re-orders the
@@ -1250,7 +1275,16 @@ object TextAnalysis {
         max(col("_rate")).as("rate"),
         sum(when(col("_u") < col("_rate"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("_u") < col("_rate"), col("_m")).otherwise(0L))
-          .as("kept_tokens"))
+          .as("kept_tokens"),
+        // audit (the d14 cluster_leaks discipline): what NAIVE uniform
+        // downsampling at the same targetFrac would have kept — same
+        // uniform lane, flat rate — so the readout prices the
+        // temperature: head sources keep less than naive, tail more
+        // (rate > targetFrac ⟹ n_kept ≥ naive_n_kept, monotone in u)
+        sum(when(col("_u") < lit(targetFrac), 1L).otherwise(0L))
+          .as("naive_n_kept"),
+        sum(when(col("_u") < lit(targetFrac), col("_m")).otherwise(0L))
+          .as("naive_kept_tokens"))
   }
 
   /** Token-budget epoch allocation (t63): given a training-token

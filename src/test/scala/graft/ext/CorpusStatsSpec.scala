@@ -117,6 +117,15 @@ class CorpusStatsSpec extends AnyFunSuite {
       assert(math.abs(expected - 0.5 * 1700) < 1.0,
         s"rate calibration off: expected kept mass $expected vs 850")
     }
+    // audit columns: naive uniform keep at the same targetFrac shares
+    // the uniform lane, so the comparison is monotone and exact —
+    // the upweighted rare domain keeps AT LEAST what naive would
+    // (rate 1.0 > 0.5 ⟹ {u<0.5} ⊆ {u<rate}), the downweighted common
+    // domain keeps AT MOST (rate 0.425 < 0.5)
+    assert(small.getAs[Long]("n_kept") >= small.getAs[Long]("naive_n_kept"))
+    assert(big.getAs[Long]("n_kept") <= big.getAs[Long]("naive_n_kept"))
+    assert(small.getAs[Long]("naive_kept_tokens") <=
+      small.getAs[Long]("mass_tokens"))
   }
 
   test("CMS estimates are one-sided and exact without collisions") {

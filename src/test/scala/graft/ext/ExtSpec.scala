@@ -885,6 +885,27 @@ class ExtSpec extends AnyFunSuite {
       val qs = sorted.map(_.getDouble(2)).toSeq
       assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
     }
+    // audit column: displaces_better marks kept rows whose quality is
+    // below the best doc the quota dropped ANYWHERE — replay it from
+    // the full corpus: per source the best dropped doc is the 11th by
+    // (quality desc, id asc)
+    val all = TextAnalysis.domainQuota(
+      Tables.documents(spark, sfDir), quota = 10).collect()
+    val full = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.qualityScoreExpr(col("text")).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val maxDropped = full.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (-r._3, r._2)).drop(10).take(1).map(_._3)
+    }.maxOption
+    all.foreach { r =>
+      val expect = maxDropped.exists(m => r.getDouble(2) < m)
+      assert(r.getBoolean(4) == expect,
+        s"displaces_better replay mismatch: $r vs maxDropped=$maxDropped")
+    }
+    // and at quota 10 on this corpus the audit actually fires somewhere
+    assert(all.exists(_.getBoolean(4)),
+      "fixture should contain at least one quota-protected inversion")
   }
 
   test("train order is a dense per-shard permutation that varies by epoch") {
