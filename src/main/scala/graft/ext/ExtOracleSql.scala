@@ -185,6 +185,206 @@ FROM pairs LEFT JOIN shared
 
   private val bandSelects: String = bandSelectsFrom("sig")
 
+  /** The t32/t33 feature prelude: tokenize COALESCE(text,'') (own
+    * toks CTE, not the shared one — the Spark side coalesces NULL text
+    * to '' per the t28 survive rule) and build unigram + 2-shingle
+    * features — CTEs `t` and `f`.
+    */
+  private def HashedFeatsCtes: String = s"""t AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(COALESCE(text, ''),
+           '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         list_concat(toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+1], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS feats
+  FROM t
+)"""
+
+  /** The structured-PII tail (deterministic IP / phone / SSN carrying
+    * the doc id) on every 6th doc — shared by the t34/t64 twins.
+    */
+  private def PiiStructuredInjectExpr: String =
+    """CASE WHEN doc_id % 6 = 0
+              THEN text || ' ip 192.168.' || CAST(doc_id % 250 AS VARCHAR)
+                   || '.17 call 555-010-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' ssn 987-65-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text"""
+
+  /** The BM25 per-(doc, query-term) weight (k1=1.2, b=0.75, the
+    * +0.5 Robertson idf rounded at 9 dp) with its join tail — shared
+    * verbatim by the t29/t54 twins.
+    */
+  private def Bm25TermSel: String = """round(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(l.dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+               9) AS w
+  FROM dtf d
+  JOIN qt ON d.token = qt.token
+  JOIN dfq ON d.token = dfq.token
+  JOIN dl l ON d.doc_id = l.doc_id
+  CROSS JOIN stats"""
+
+  /** The injected PII tail (email + URL carrying the doc id) on every
+    * 9th doc — mirrors ExtQueries' PII corpus; shared by the t15/t34/
+    * t64 twins.
+    */
+  private def PiiInjectExpr: String = """CASE WHEN doc_id % 9 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com at http://site' || doc_id
+                   || '.example/path'
+              ELSE text END"""
+
+  /** embeddings ∪ perturbed copies (vec_id + 100000) of every 11th
+    * vector — the injected near-dup vector corpus (mirrors
+    * ExtQueries.nearDupVectors), shared by s2/d13 and the dup-kmeans
+    * twins.
+    */
+  private def NearDupVecCorpusCte: String = """corpus AS (
+  SELECT vec_id, e FROM v
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(list_zip(e, list_reverse(e)),
+           p -> p[1] * 0.9 + p[2] * 0.1)
+  FROM v WHERE vec_id % 11 = 0
+)"""
+
+  /** Single-subspace (vid, dim, x) explode select over `v` — the
+    * coarse-quantizer input shape, shared by 5 kmeans-family twins.
+    */
+  private def CoarseExplodeSel: String =
+    """SELECT vec_id AS vid, 0 AS sub,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v"""
+
+  /** The t3 composite quality score, rounded — shared verbatim by
+    * t3-shaped consumers (d12, t21, t51) over (n_tok, n_char, punct,
+    * stop_n) columns.
+    */
+  private def QScoreRound: String =
+    """round(least(n_tok / 100.0, 1.0) * 0.5
+               + (1.0 - CASE WHEN n_char > 0 THEN punct / n_char
+                             ELSE 0.0 END) * 0.3
+               + least(CASE WHEN n_tok > 0 THEN stop_n / n_tok
+                            ELSE 0.0 END * 5.0, 1.0) * 0.2, 6)"""
+
+  /** The w-family lag/gap sessionization (5-minute gap), shared by
+    * w3/x32/x41 — `cols` carries the extra projected columns each
+    * consumer needs through the chain. CTEs `o` (new-session flags)
+    * and `s` (running session number).
+    */
+  private def sessionCtes(cols: String): String = s"""o AS (
+  SELECT user_id, ts$cols,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)"""
+
+  /** The IVF-PQ shared blocks: the nprobe=2 probed-cell cut, the
+    * 20-query ADC distance table against pq_cb3, and the
+    * candidate→ADC-sum→rank tail (s16 + s27 run it verbatim; s23's
+    * residual variant keys the ADC on the cell and stays inline).
+    */
+  private def ProbedCte: String = """probed AS (
+  SELECT query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY csim DESC NULLS LAST, cell ASC) AS prn
+    FROM probe) p
+  WHERE prn <= 2
+)"""
+
+  private def QexAdcCtes: String = """qex AS (
+  SELECT vid, sub, dim, x FROM exs WHERE vid < 20
+), adc AS (
+  SELECT e.vid AS query_id, e.sub, cb.cw,
+         SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(38,12))) AS dist
+  FROM qex e JOIN pq_cb3 cb ON cb.dim = e.dim
+  GROUP BY 1, 2, 3
+)"""
+
+  private def adcTailSql(k: Int): String = s"""cand AS (
+  SELECT p.query_id, cells.neighbor_id, codes.sub, codes.cw
+  FROM probed p
+  JOIN cells ON cells.cell = p.cell
+  JOIN codes ON codes.neighbor_id = cells.neighbor_id
+  WHERE p.query_id <> cells.neighbor_id
+), adcsum AS (
+  SELECT cand.query_id, cand.neighbor_id, SUM(a.dist) AS adc
+  FROM cand JOIN adc a ON a.query_id = cand.query_id
+                      AND a.sub = cand.sub AND a.cw = cand.cw
+  GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY adc, neighbor_id) AS rank
+  FROM adcsum
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(CAST(adc AS DOUBLE), 9) AS adc_dist
+FROM r WHERE rank <= $k"""
+
+  /** Shared ANN-family prelude blocks, factored (r17 verdict #3) —
+    * each appeared verbatim in 4–18 oracle twins: the embeddings load
+    * (`v`), the (vid, dim, x) explode (`exq`), the 16-wide subspace
+    * split (`exs`), its single-subspace coarse copy (`exc`), the
+    * centroid/query norm block (`cent`/`cn`/`q`, fixed 20-query
+    * panel), and the query×centroid cosine probe (`probe`). A fix to
+    * any of them now lands once.
+    */
+  private def VCte: String =
+    """v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)"""
+
+  private def ExqCte: String = """exq AS (
+  SELECT vec_id AS vid,
+         unnest(generate_series(0, len(e) - 1)) AS dim,
+         unnest(e) AS x
+  FROM v
+)"""
+
+  private def ExsCte: String = """exs AS (
+  SELECT vid, dim, CAST(x AS DOUBLE) AS x,
+         CAST(dim % 16 AS INTEGER) AS sub
+  FROM exq
+)"""
+
+  private def ExcCte: String = """exc AS (
+  SELECT vid, 0 AS sub, dim, x FROM exs
+)"""
+
+  private def CentCnQCtes: String = s"""cent AS (
+  SELECT cw AS cell, list(c ORDER BY dim) AS c FROM km_cb4 GROUP BY 1
+), cn AS (
+  SELECT cell, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
+), q AS (
+  SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
+  FROM v WHERE vec_id < 20
+)"""
+
+  private def ProbeCte: String = s"""probe AS (
+  SELECT q.query_id, cn.cell,
+         round(CASE WHEN q.qn * cn.nm > 0
+               THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
+           AS csim
+  FROM q CROSS JOIN cn
+)"""
+
   private def jaccardExpr(a: String, b: String): String =
     s"""round(CASE WHEN len(list_distinct(list_concat($a, $b))) > 0
        THEN CAST(len(list_intersect($a, $b)) AS DOUBLE)
@@ -375,22 +575,18 @@ WHERE c.doc_id NOT IN (SELECT doc_id FROM clusters WHERE is_keeper)"""
     * (over the normalized corpus text; the expressions are the t3 twins
     * verbatim) ranked within each cluster, doc_id tiebreak.
     */
-  val d12BestKeeper: String = ClusterCtes + """, qc AS (
+  val d12BestKeeper: String = ClusterCtes + s""", qc AS (
   SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
          CAST(length(text) AS DOUBLE) AS n_char,
-         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
               AS DOUBLE) AS punct,
          CAST(len(list_filter(string_split(text, ' '),
            tk -> tk IN ('the','a','of','and','is','to'))) AS DOUBLE) AS stop_n
   FROM corpus
 ), q AS (
   SELECT doc_id,
-         round(least(n_tok / 100.0, 1.0) * 0.5
-               + (1.0 - CASE WHEN n_char > 0 THEN punct / n_char
-                             ELSE 0.0 END) * 0.3
-               + least(CASE WHEN n_tok > 0 THEN stop_n / n_tok
-                            ELSE 0.0 END * 5.0, 1.0) * 0.2, 6)
+         ${QScoreRound}
            AS quality_score
   FROM qc
 ), ranked AS (
@@ -729,9 +925,7 @@ FROM hs"""
   private def dotExpr(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), p -> p[1] * p[2]), 'sum')"
 
-  val s1CosineTopK: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), n AS (
+  val s1CosineTopK: String = s"""WITH ${VCte}, n AS (
   SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM v
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -751,9 +945,7 @@ FROM r WHERE rank <= 5"""
     * k-occurrence counts per neighbor, histogram plus the antihub
     * zero row (corpus count minus retrieved count).
     */
-  val s32Hubness: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), n AS (
+  val s32Hubness: String = s"""WITH ${VCte}, n AS (
   SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM v
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -823,9 +1015,7 @@ SELECT CAST(0 AS BIGINT) AS k_occurrences,
        cand_id AS neighbor_id, rel AS relevance,
        ms AS max_prior_sim, mmr AS mmr_score
   FROM sel$r""").mkString("\nUNION ALL\n")
-    s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), n AS (
+    s"""WITH ${VCte}, n AS (
   SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM v
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -865,9 +1055,7 @@ $out"""
   /** s8: MIPS top-5 for the s1 probe set — raw dot product, no
     * normalization; rank by exact 6 dp score, neighbor_id tiebreak.
     */
-  val s8MipsTopK: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), scored AS (
+  val s8MipsTopK: String = s"""WITH ${VCte}, scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(${dotExpr("q.e", "c.e")}, 6) AS inner_product
   FROM v q CROSS JOIN v c
@@ -925,26 +1113,14 @@ FROM r WHERE rank <= 5"""
     * identical doubles, so the probed lists — and the result set —
     * match the Spark plan bit-for-bit.
     */
-  val s9IvfTopK: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), exq AS (
-  SELECT vec_id AS vid, 0 AS sub,
-         unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS x
-  FROM v
+  val s9IvfTopK: String = s"""WITH ${VCte}, exq AS (
+  ${CoarseExplodeSel}
 ), exc AS (
   SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM exq
 ), ${kmeansCtes("km", "exc", 8, 4)},
 cellof AS (
   SELECT vid AS neighbor_id, cw AS cell FROM km_a4
-), cent AS (
-  SELECT cw AS cell, list(c ORDER BY dim) AS c FROM km_cb4 GROUP BY 1
-), cn AS (
-  SELECT cell, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
-), q AS (
-  SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
-  FROM v WHERE vec_id < 20
-), probe AS (
+), ${CentCnQCtes}, probe AS (
   SELECT q.query_id, q.qv, q.qn, cn.cell,
          round(CASE WHEN q.qn * cn.nm > 0
                THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
@@ -2907,16 +3083,7 @@ FROM b"""
 $rows"""
   }
 
-  val s2EmbeddingNearDups: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), corpus AS (
-  SELECT vec_id, e FROM v
-  UNION ALL
-  SELECT vec_id + 100000,
-         list_transform(list_zip(e, list_reverse(e)),
-           p -> p[1] * 0.9 + p[2] * 0.1)
-  FROM v WHERE vec_id % 11 = 0
-), n AS (
+  val s2EmbeddingNearDups: String = s"""WITH ${VCte}, ${NearDupVecCorpusCte}, n AS (
   SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM corpus
 ), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2949,16 +3116,7 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.97"""
   /** The s4 CTE chain (injected near-dup corpus → sign-LSH buckets →
     * in-bucket cosine pairs) — shared by s4 and the d11 closure.
     */
-  private val s4Ctes: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), corpus AS (
-  SELECT vec_id, e FROM v
-  UNION ALL
-  SELECT vec_id + 100000,
-         list_transform(list_zip(e, list_reverse(e)),
-           p -> p[1] * 0.9 + p[2] * 0.1)
-  FROM v WHERE vec_id % 11 = 0
-), n AS (
+  private val s4Ctes: String = s"""WITH ${VCte}, ${NearDupVecCorpusCte}, n AS (
   SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm,
          ${bucketExpr("e", 16)} AS bucket
   FROM corpus
@@ -3988,20 +4146,7 @@ LIMIT 100"""
     // own toks CTE, NOT the shared one: the Spark side coalesces NULL
     // text to '' (the t28 survive-with-accounting rule), so the twin
     // must tokenize COALESCE(text, '') too
-    s"""WITH t AS (
-  SELECT doc_id,
-         string_split(lower(trim(regexp_replace(COALESCE(text, ''),
-           '\\s+', ' ', 'g'))), ' ') AS toks
-  FROM documents
-), f AS (
-  SELECT doc_id,
-         list_concat(toks,
-           CASE WHEN len(toks) >= 2
-                THEN list_transform(generate_series(1, len(toks) - 1),
-                       i -> array_to_string(toks[i:i+1], ' '))
-                ELSE [array_to_string(toks, ' ')] END) AS feats
-  FROM t
-), m AS (
+    s"""WITH ${HashedFeatsCtes}, m AS (
   SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
          list_aggregate(list_transform(feats, x -> $wMilli), 'sum') AS milli
   FROM f
@@ -4027,20 +4172,7 @@ SELECT doc_id, n_features, logit, logit > 0 AS keep FROM s"""
   FROM generate_series(0, 4095) g(b)
 ), wl AS (
   SELECT list(wm ORDER BY bucket) AS w FROM wt
-), t AS (
-  SELECT doc_id,
-         string_split(lower(trim(regexp_replace(COALESCE(text, ''),
-           '\\s+', ' ', 'g'))), ' ') AS toks
-  FROM documents
-), f AS (
-  SELECT doc_id,
-         list_concat(toks,
-           CASE WHEN len(toks) >= 2
-                THEN list_transform(generate_series(1, len(toks) - 1),
-                       i -> array_to_string(toks[i:i+1], ' '))
-                ELSE [array_to_string(toks, ' ')] END) AS feats
-  FROM t
-), m AS (
+), ${HashedFeatsCtes}, m AS (
   SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
          list_aggregate(list_transform(feats,
            x -> w[(${h64("x")} % 4096) + 1]), 'sum') AS milli
@@ -4127,18 +4259,7 @@ FROM hit GROUP BY 1"""
   WHERE token IN (SELECT token FROM qt) GROUP BY 1
 ), scored AS (
   SELECT qt.query_id, d.doc_id,
-         round(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
-               * (CAST(tf AS DOUBLE) * 2.2)
-               / (CAST(tf AS DOUBLE)
-                  + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(l.dl AS DOUBLE)
-                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
-               9) AS w
-  FROM dtf d
-  JOIN qt ON d.token = qt.token
-  JOIN dfq ON d.token = dfq.token
-  JOIN dl l ON d.doc_id = l.doc_id
-  CROSS JOIN stats
+         ${Bm25TermSel}
 ), agg AS (
   SELECT query_id, doc_id, SUM(CAST(w AS DECIMAL(28,9))) AS s
   FROM scored GROUP BY 1, 2
@@ -4183,18 +4304,7 @@ FROM rk WHERE rank <= 10"""
   WHERE token IN (SELECT token FROM qt) GROUP BY 1
 ), scored AS (
   SELECT qt.query_id, d.doc_id,
-         round(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
-               * (CAST(tf AS DOUBLE) * 2.2)
-               / (CAST(tf AS DOUBLE)
-                  + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(l.dl AS DOUBLE)
-                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
-               9) AS w
-  FROM dtf d
-  JOIN qt ON d.token = qt.token
-  JOIN dfq ON d.token = dfq.token
-  JOIN dl l ON d.doc_id = l.doc_id
-  CROSS JOIN stats
+         ${Bm25TermSel}
 ), agg AS (
   SELECT query_id, doc_id, SUM(CAST(w AS DECIMAL(28,9))) AS s
   FROM scored GROUP BY 1, 2
@@ -4203,9 +4313,7 @@ FROM rk WHERE rank <= 10"""
          row_number() OVER (PARTITION BY query_id
                             ORDER BY s DESC, doc_id ASC) AS rank
   FROM agg QUALIFY rank <= 10
-), v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), n AS (
+), ${VCte}, n AS (
   SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM v
 ), dscored AS (
   SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
@@ -4402,11 +4510,7 @@ WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END"""
   FROM t
 ), q AS (
   SELECT source, doc_id,
-         round(least(n_tok / 100.0, 1.0) * 0.5
-               + (1.0 - CASE WHEN n_char > 0 THEN punct / n_char
-                             ELSE 0.0 END) * 0.3
-               + least(CASE WHEN n_tok > 0 THEN stop_n / n_tok
-                            ELSE 0.0 END * 5.0, 1.0) * 0.2, 6)
+         ${QScoreRound}
            AS quality_score
   FROM c
 ), r AS (
@@ -4533,11 +4637,7 @@ FROM ranked WHERE rnk <= 5"""
     val url = TextAnalysis.UrlPattern
     s"""WITH p AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 9 = 0
-              THEN text || ' contact user' || doc_id
-                   || '@example.com at http://site' || doc_id
-                   || '.example/path'
-              ELSE text END AS text
+         ${PiiInjectExpr} AS text
   FROM documents
 )
 SELECT doc_id,
@@ -5140,18 +5240,7 @@ FROM s GROUP BY 1, 2"""
   /** Spark session semantics: window = [first, last + gap); a new session
     * starts when the gap to the previous event is >= the gap duration.
     */
-  val w3UserSessions: String = """WITH o AS (
-  SELECT user_id, ts, value,
-         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL '5 minutes'
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-), s AS (
-  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-    ROWS UNBOUNDED PRECEDING) AS sess
-  FROM o
-)
+  val w3UserSessions: String = s"""WITH ${sessionCtes(", value")}
 SELECT MIN(ts) AS session_start,
        MAX(ts) + INTERVAL '5 minutes' AS session_end,
        user_id, COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value
@@ -5165,18 +5254,7 @@ FROM s GROUP BY user_id, sess"""
     * so the curve is order-free; running sums ride HUGEINT in DuckDB
     * and CAST back to BIGINT (the x20 discipline).
     */
-  val x32Concurrency: String = """WITH o AS (
-  SELECT user_id, ts,
-         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL '5 minutes'
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-), s AS (
-  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-    ROWS UNBOUNDED PRECEDING) AS sess
-  FROM o
-), sess_iv AS (
+  val x32Concurrency: String = s"""WITH ${sessionCtes("")}, sess_iv AS (
   SELECT MIN(ts) AS session_start,
          MAX(ts) + INTERVAL '5 minutes' AS session_end
   FROM s GROUP BY user_id, sess
@@ -5206,21 +5284,11 @@ FROM r GROUP BY 1"""
     val phone = TextAnalysis.PhonePattern
     s"""WITH p0 AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 9 = 0
-              THEN text || ' contact user' || doc_id
-                   || '@example.com at http://site' || doc_id
-                   || '.example/path'
-              ELSE text END AS text
+         ${PiiInjectExpr} AS text
   FROM documents
 ), p AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 6 = 0
-              THEN text || ' ip 192.168.' || CAST(doc_id % 250 AS VARCHAR)
-                   || '.17 call 555-010-'
-                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                   || ' ssn 987-65-'
-                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-              ELSE text END AS text
+         ${PiiStructuredInjectExpr}
   FROM p0
 )
 SELECT doc_id,
@@ -5359,21 +5427,11 @@ FROM sc"""
       .map(s => s"'$s'").mkString(", ")
     s"""WITH p0 AS (
   SELECT doc_id, source,
-         CASE WHEN doc_id % 9 = 0
-              THEN text || ' contact user' || doc_id
-                   || '@example.com at http://site' || doc_id
-                   || '.example/path'
-              ELSE text END AS text
+         ${PiiInjectExpr} AS text
   FROM documents
 ), p AS (
   SELECT doc_id, source,
-         CASE WHEN doc_id % 6 = 0
-              THEN text || ' ip 192.168.' || CAST(doc_id % 250 AS VARCHAR)
-                   || '.17 call 555-010-'
-                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                   || ' ssn 987-65-'
-                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-              ELSE text END AS text
+         ${PiiStructuredInjectExpr}
   FROM p0
 ), t AS (
   SELECT source, text, string_split($Norm, ' ') AS toks FROM p
@@ -5499,11 +5557,7 @@ FROM m GROUP BY doc_id"""
   FROM t
 ), q AS (
   SELECT doc_id, source,
-         round(least(n_tok / 100.0, 1.0) * 0.5
-               + (1.0 - CASE WHEN n_char > 0 THEN punct / n_char
-                             ELSE 0.0 END) * 0.3
-               + least(CASE WHEN n_tok > 0 THEN stop_n / n_tok
-                            ELSE 0.0 END * 5.0, 1.0) * 0.2, 6) AS q
+         ${QScoreRound} AS q
   FROM c
 ), r AS (
   SELECT doc_id, source, q,
@@ -6051,18 +6105,7 @@ FROM tot t JOIN win w ON t.bucket = w.bucket AND w.rn = 1"""
     * ordered by the same (ts, event_id) total order the Spark struct
     * sort uses, first-3 path, (n_sessions DESC, journey ASC) cut.
     */
-  val x41TopJourneys: String = """WITH o AS (
-  SELECT user_id, ts, event_id, event_type,
-         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL '5 minutes'
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-), s AS (
-  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-    ROWS UNBOUNDED PRECEDING) AS sess
-  FROM o
-), r AS (
+  val x41TopJourneys: String = s"""WITH ${sessionCtes(", event_id, event_type")}, r AS (
   SELECT user_id, sess, event_type,
          row_number() OVER (PARTITION BY user_id, sess
                             ORDER BY ts, event_id) AS rn
@@ -6922,13 +6965,8 @@ FROM err GROUP BY 1"""
     * rounds over the embedding corpus, one row per (cluster, dim) with
     * the final member count and exact within-cluster sum of squares.
     */
-  val s18KmeansTrain: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), kx AS (
-  SELECT vec_id AS vid, 0 AS sub,
-         unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS x
-  FROM v
+  val s18KmeansTrain: String = s"""WITH ${VCte}, kx AS (
+  ${CoarseExplodeSel}
 ), kme AS (
   SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM kx
 ), ${kmeansCtes("km", "kme", 8, 4)},
@@ -6951,13 +6989,8 @@ FROM km_cb4 cb JOIN stats s ON s.cw = cb.cw"""
     * cluster exists so s degrades to 0, never NULL. The boundary
     * count compares the exact 6-dp decimal against 0.25.
     */
-  val s30Silhouette: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), kx AS (
-  SELECT vec_id AS vid, 0 AS sub,
-         unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS x
-  FROM v
+  val s30Silhouette: String = s"""WITH ${VCte}, kx AS (
+  ${CoarseExplodeSel}
 ), kme AS (
   SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM kx
 ), ${kmeansCtes("km", "kme", 8, 4)},
@@ -7018,10 +7051,7 @@ FROM (SELECT cw, COUNT(*) AS n_members,
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
   WHERE vec_id % 4 = 0
 ), kx AS (
-  SELECT vec_id AS vid, 0 AS sub,
-         unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS x
-  FROM v
+  ${CoarseExplodeSel}
 ), kme AS (
   SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM kx
 ), $chains
@@ -7078,14 +7108,7 @@ $rows"""
   private def centPrelude(centName: String,
                           materialized: Boolean): String = {
     val mat = if (materialized) "MATERIALIZED " else ""
-    s"""v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), exq AS (
-  SELECT vec_id AS vid,
-         unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS x
-  FROM v
-), exd AS (
+    s"""${VCte}, ${ExqCte}, exd AS (
   SELECT vid, dim, CAST(x AS DOUBLE) AS x FROM exq
 ), n1 AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
@@ -7249,32 +7272,14 @@ CROSS JOIN pn6 CROSS JOIN tr CROSS JOIN n1"""
     * top-5 and the corpus fraction its candidates touch, from ONE
     * scored frame carrying probe ranks (nested probe sets).
     */
-  val s20IvfTuning: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), exq AS (
-  SELECT vec_id AS vid, 0 AS sub,
-         unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS x
-  FROM v
+  val s20IvfTuning: String = s"""WITH ${VCte}, exq AS (
+  ${CoarseExplodeSel}
 ), kme AS (
   SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM exq
 ), ${kmeansCtes("km", "kme", 8, 4)},
 cells AS (
   SELECT vid AS neighbor_id, cw AS cell FROM km_a4
-), cent AS (
-  SELECT cw AS cell, list(c ORDER BY dim) AS c FROM km_cb4 GROUP BY 1
-), cn AS (
-  SELECT cell, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
-), q AS (
-  SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
-  FROM v WHERE vec_id < 20
-), probe AS (
-  SELECT q.query_id, cn.cell,
-         round(CASE WHEN q.qn * cn.nm > 0
-               THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
-           AS csim
-  FROM q CROSS JOIN cn
-), probed AS (
+), ${CentCnQCtes}, ${ProbeCte}, probed AS (
   SELECT query_id, cell, rn AS pr FROM (
     SELECT query_id, cell,
            row_number() OVER (PARTITION BY query_id
@@ -7358,9 +7363,7 @@ CROSS JOIN nc"""
     * top-5 scored against the full-width exact top-5 (s1's probe
     * set), one summary row per width, recall in exact e9 integers.
     */
-  val s19TruncationRecall: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), ex AS (
+  val s19TruncationRecall: String = s"""WITH ${VCte}, ex AS (
   SELECT query_id, neighbor_id FROM ($s1CosineTopK) s1ex
 ), ${Seq(8, 16, 32, 64).map(truncWidthCtes).mkString(", ")}
 SELECT trunc_dim, n_queries, mean_recall_e9, min_hits,
@@ -7374,16 +7377,7 @@ FROM (${Seq(8, 16, 32, 64).map(d => s"SELECT * FROM ta$d")
     * 6-dp cosine to a smaller-id cluster-mate reaches 0.95 is a
     * `drop`, the cluster's smallest id carries a NULL prior sim.
     */
-  val d13Semdedup: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), corpus AS (
-  SELECT vec_id, e FROM v
-  UNION ALL
-  SELECT vec_id + 100000,
-         list_transform(list_zip(e, list_reverse(e)),
-           p -> p[1] * 0.9 + p[2] * 0.1)
-  FROM v WHERE vec_id % 11 = 0
-), kx AS (
+  val d13Semdedup: String = s"""WITH ${VCte}, ${NearDupVecCorpusCte}, kx AS (
   SELECT vec_id AS vid, 0 AS sub,
          unnest(generate_series(0, len(e) - 1)) AS dim,
          unnest(e) AS x
@@ -7410,70 +7404,13 @@ SELECT c.vec_id, CAST(c.cluster_id AS INTEGER) AS cluster_id,
        p.max_prior_sim
 FROM cl c LEFT JOIN prior p ON p.vec_id = c.vec_id"""
 
-  private def ivfPqAnnSql(k: Int): String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), exq AS (
-  SELECT vec_id AS vid,
-         unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS x
-  FROM v
-), exs AS (
-  SELECT vid, dim, CAST(x AS DOUBLE) AS x,
-         CAST(dim % 16 AS INTEGER) AS sub
-  FROM exq
-), exc AS (
-  SELECT vid, 0 AS sub, dim, x FROM exs
-), ${kmeansCtes("km", "exc", 8, 4)},
+  private def ivfPqAnnSql(k: Int): String = s"""WITH ${VCte}, ${ExqCte}, ${ExsCte}, ${ExcCte}, ${kmeansCtes("km", "exc", 8, 4)},
 ${kmeansCtes("pq", "exs", 32, 3)},
 cells AS (
   SELECT vid AS neighbor_id, cw AS cell FROM km_a4
 ), codes AS (
   SELECT vid AS neighbor_id, sub, cw FROM pq_a3
-), cent AS (
-  SELECT cw AS cell, list(c ORDER BY dim) AS c FROM km_cb4 GROUP BY 1
-), cn AS (
-  SELECT cell, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
-), q AS (
-  SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
-  FROM v WHERE vec_id < 20
-), probe AS (
-  SELECT q.query_id, cn.cell,
-         round(CASE WHEN q.qn * cn.nm > 0
-               THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
-           AS csim
-  FROM q CROSS JOIN cn
-), probed AS (
-  SELECT query_id, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-      ORDER BY csim DESC NULLS LAST, cell ASC) AS prn
-    FROM probe) p
-  WHERE prn <= 2
-), qex AS (
-  SELECT vid, sub, dim, x FROM exs WHERE vid < 20
-), adc AS (
-  SELECT e.vid AS query_id, e.sub, cb.cw,
-         SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(38,12))) AS dist
-  FROM qex e JOIN pq_cb3 cb ON cb.dim = e.dim
-  GROUP BY 1, 2, 3
-), cand AS (
-  SELECT p.query_id, cells.neighbor_id, codes.sub, codes.cw
-  FROM probed p
-  JOIN cells ON cells.cell = p.cell
-  JOIN codes ON codes.neighbor_id = cells.neighbor_id
-  WHERE p.query_id <> cells.neighbor_id
-), adcsum AS (
-  SELECT cand.query_id, cand.neighbor_id, SUM(a.dist) AS adc
-  FROM cand JOIN adc a ON a.query_id = cand.query_id
-                      AND a.sub = cand.sub AND a.cw = cand.cw
-  GROUP BY 1, 2
-), r AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-    ORDER BY adc, neighbor_id) AS rank
-  FROM adcsum
-)
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-       round(CAST(adc AS DOUBLE), 9) AS adc_dist
-FROM r WHERE rank <= $k"""
+), ${CentCnQCtes}, ${ProbeCte}, ${ProbedCte}, ${QexAdcCtes}, ${adcTailSql(k)}"""
 
   val s16IvfPqTopK: String = ivfPqAnnSql(5)
 
@@ -7484,20 +7421,7 @@ FROM r WHERE rank <= $k"""
     * ADC per (query, probed cell) on the query's residual in that
     * cell's frame, candidate lookup keyed by the neighbor's cell.
     */
-  val s23IvfPqResidual: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), exq AS (
-  SELECT vec_id AS vid,
-         unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS x
-  FROM v
-), exs AS (
-  SELECT vid, dim, CAST(x AS DOUBLE) AS x,
-         CAST(dim % 16 AS INTEGER) AS sub
-  FROM exq
-), exc AS (
-  SELECT vid, 0 AS sub, dim, x FROM exs
-), ${kmeansCtes("km", "exc", 8, 4)},
+  val s23IvfPqResidual: String = s"""WITH ${VCte}, ${ExqCte}, ${ExsCte}, ${ExcCte}, ${kmeansCtes("km", "exc", 8, 4)},
 rescell AS (
   SELECT vid, cw AS cell FROM km_a4
 ), res AS (
@@ -7510,26 +7434,7 @@ cells AS (
   SELECT vid AS neighbor_id, cell FROM rescell
 ), codes AS (
   SELECT vid AS neighbor_id, sub, cw FROM pqr_a3
-), cent AS (
-  SELECT cw AS cell, list(c ORDER BY dim) AS c FROM km_cb4 GROUP BY 1
-), cn AS (
-  SELECT cell, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
-), q AS (
-  SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
-  FROM v WHERE vec_id < 20
-), probe AS (
-  SELECT q.query_id, cn.cell,
-         round(CASE WHEN q.qn * cn.nm > 0
-               THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
-           AS csim
-  FROM q CROSS JOIN cn
-), probed AS (
-  SELECT query_id, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-      ORDER BY csim DESC NULLS LAST, cell ASC) AS prn
-    FROM probe) p
-  WHERE prn <= 2
-), qres AS (
+), ${CentCnQCtes}, ${ProbeCte}, ${ProbedCte}, qres AS (
   SELECT p.query_id, p.cell, e.sub, e.dim, e.x - cb.c AS x
   FROM probed p
   JOIN exs e ON e.vid = p.query_id
@@ -7662,20 +7567,7 @@ FROM hits"""
     */
   private def ivfPqSampledAnnSql(k: Int): String = {
     val samp = s"${h64("'s27|' || CAST(vid AS VARCHAR)")} % 4 = 0"
-    s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), exq AS (
-  SELECT vec_id AS vid,
-         unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS x
-  FROM v
-), exs AS (
-  SELECT vid, dim, CAST(x AS DOUBLE) AS x,
-         CAST(dim % 16 AS INTEGER) AS sub
-  FROM exq
-), exc AS (
-  SELECT vid, 0 AS sub, dim, x FROM exs
-), exs_t AS (
+    s"""WITH ${VCte}, ${ExqCte}, ${ExsCte}, ${ExcCte}, exs_t AS (
   SELECT vid, dim, x, sub FROM exs WHERE $samp
 ), exc_t AS (
   SELECT vid, sub, dim, x FROM exc WHERE $samp
@@ -7687,51 +7579,7 @@ cells AS (
   SELECT vid AS neighbor_id, cw AS cell FROM encc_a
 ), codes AS (
   SELECT vid AS neighbor_id, sub, cw FROM encp_a
-), cent AS (
-  SELECT cw AS cell, list(c ORDER BY dim) AS c FROM km_cb4 GROUP BY 1
-), cn AS (
-  SELECT cell, c, sqrt(${dotExpr("c", "c")}) AS nm FROM cent
-), q AS (
-  SELECT vec_id AS query_id, e AS qv, sqrt(${dotExpr("e", "e")}) AS qn
-  FROM v WHERE vec_id < 20
-), probe AS (
-  SELECT q.query_id, cn.cell,
-         round(CASE WHEN q.qn * cn.nm > 0
-               THEN ${dotExpr("q.qv", "cn.c")} / (q.qn * cn.nm) END, 6)
-           AS csim
-  FROM q CROSS JOIN cn
-), probed AS (
-  SELECT query_id, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-      ORDER BY csim DESC NULLS LAST, cell ASC) AS prn
-    FROM probe) p
-  WHERE prn <= 2
-), qex AS (
-  SELECT vid, sub, dim, x FROM exs WHERE vid < 20
-), adc AS (
-  SELECT e.vid AS query_id, e.sub, cb.cw,
-         SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(38,12))) AS dist
-  FROM qex e JOIN pq_cb3 cb ON cb.dim = e.dim
-  GROUP BY 1, 2, 3
-), cand AS (
-  SELECT p.query_id, cells.neighbor_id, codes.sub, codes.cw
-  FROM probed p
-  JOIN cells ON cells.cell = p.cell
-  JOIN codes ON codes.neighbor_id = cells.neighbor_id
-  WHERE p.query_id <> cells.neighbor_id
-), adcsum AS (
-  SELECT cand.query_id, cand.neighbor_id, SUM(a.dist) AS adc
-  FROM cand JOIN adc a ON a.query_id = cand.query_id
-                      AND a.sub = cand.sub AND a.cw = cand.cw
-  GROUP BY 1, 2
-), r AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-    ORDER BY adc, neighbor_id) AS rank
-  FROM adcsum
-)
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-       round(CAST(adc AS DOUBLE), 9) AS adc_dist
-FROM r WHERE rank <= $k"""
+), ${CentCnQCtes}, ${ProbeCte}, ${ProbedCte}, ${QexAdcCtes}, ${adcTailSql(k)}"""
   }
 
   val s27IvfPqSampled: String = ivfPqSampledAnnSql(5)
@@ -7743,20 +7591,7 @@ FROM r WHERE rank <= $k"""
     * DECIMAL(38,12) distances, same (dist, cw) tie order), one row
     * per (vector, subspace) with the coarse cell repeated.
     */
-  val s29IndexAssign: String = s"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), exq AS (
-  SELECT vec_id AS vid,
-         unnest(generate_series(0, len(e) - 1)) AS dim,
-         unnest(e) AS x
-  FROM v
-), exs AS (
-  SELECT vid, dim, CAST(x AS DOUBLE) AS x,
-         CAST(dim % 16 AS INTEGER) AS sub
-  FROM exq
-), exc AS (
-  SELECT vid, 0 AS sub, dim, x FROM exs
-), exs_t AS (
+  val s29IndexAssign: String = s"""WITH ${VCte}, ${ExqCte}, ${ExsCte}, ${ExcCte}, exs_t AS (
   SELECT vid, dim, x, sub FROM exs WHERE vid % 5 <> 4
 ), exc_t AS (
   SELECT vid, sub, dim, x FROM exc WHERE vid % 5 <> 4
