@@ -3662,7 +3662,7 @@ GROUP BY 1"""
   SELECT h, COUNT(*) AS occ FROM hashed GROUP BY 1
 ), dups AS (
   SELECT doc_id, off FROM hashed JOIN counts USING (h) WHERE occ > $maxOcc
-), $spanTailCtes"""
+), ${spanTailCtes()}"""
   }
 
   /** t79's detection stage: L leave-one-out fingerprints per window
@@ -3690,15 +3690,15 @@ GROUP BY 1"""
 ), dups AS (
   SELECT DISTINCT doc_id, off
   FROM hashed JOIN counts USING (h) WHERE occ > $maxOcc
-), $spanTailCtes"""
+), ${spanTailCtes()}"""
   }
 
   /** Shared island merge + per-doc rebuild over a `dups` (doc_id, off)
     * CTE — ends in `spanout` (doc_id, clean_text, n_tokens, n_spans,
     * n_removed_tokens).
     */
-  private def spanTailCtes: String = {
-    val L = TextAnalysis.SpanMinTokens
+  private def spanTailCtes(L: Int = TextAnalysis.SpanMinTokens)
+      : String = {
     s"""flagged AS (
   SELECT doc_id, off,
          CASE WHEN off > COALESCE(lag(off) OVER
@@ -3821,6 +3821,61 @@ SELECT e.epoch, e.doc_id, e.h % 8 AS shard,
          ORDER BY e.h ASC, e.doc_id ASC) AS BIGINT) AS shard_pos,
        t.cluster_rep
 FROM e JOIN traindocs t USING (doc_id)"""
+
+  /** t80: content-defined chunk dedup — anchor tokens on the seeded
+    * `cdc|` lane open segments, segment fingerprints are the md5 lane
+    * over the ORDERED token-hash CSV (never text), segments under
+    * minTokens never participate, dup segments explode to positions
+    * and run the shared tail at L = 1 (pure interval union). Fixture:
+    * the shared promo appended TWICE (24-token chrome) to every third
+    * doc.
+    */
+  val t80CdcDedup: String = {
+    val L = TextAnalysis.SpanMinTokens
+    val maxOcc = TextAnalysis.SpanMaxOcc
+    val k = TextAnalysis.CdcAvgSegTokens
+    val segHash = h64("array_to_string(list_transform(toks[b.s:b.e], " +
+      s"tok -> CAST(${h64("tok")} AS VARCHAR)), ',')")
+    s"""WITH corpus AS (
+  SELECT doc_id,
+         COALESCE(CASE WHEN doc_id % 3 = 0
+              THEN concat_ws(' ', text, $SpanPromo, $SpanPromo)
+              ELSE text END, '') AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks FROM corpus
+), tk AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS p,
+         unnest(toks) AS tok
+  FROM t
+), af AS (
+  SELECT doc_id, p,
+         CASE WHEN ${h64("'cdc|' || tok")} % $k = 0
+              THEN 1 ELSE 0 END AS a
+  FROM tk
+), sg AS (
+  SELECT doc_id, p,
+         SUM(a) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS seg
+  FROM af
+), bounds AS (
+  SELECT doc_id, seg, MIN(p) AS s, MAX(p) AS e
+  FROM sg GROUP BY 1, 2
+), hashed AS MATERIALIZED (
+  SELECT b.doc_id, b.s, b.e, $segHash AS h
+  FROM bounds b JOIN t USING (doc_id)
+  WHERE b.e - b.s + 1 >= $L
+), counts AS (
+  SELECT h, COUNT(*) AS occ FROM hashed GROUP BY 1
+), dupseg AS (
+  SELECT doc_id, s, e FROM hashed JOIN counts USING (h)
+  WHERE occ > $maxOcc
+), dups AS (
+  SELECT doc_id, unnest(generate_series(s, e)) AS off FROM dupseg
+), ${spanTailCtes(1)}
+SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
+FROM spanout"""
+  }
 
   /** t78: per-source span-duplication pressure — the shared
     * [[spanChainCtes]] over a source-hash-gated promo injection

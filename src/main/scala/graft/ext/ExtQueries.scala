@@ -2375,6 +2375,24 @@ object ExtQueries {
         col("shard_pos"), col("cluster_rep"))
   }
 
+  /** Content-defined chunk dedup (t80) over a corpus with a 24-token
+    * chrome (the shared promo appended TWICE) on every third doc —
+    * long enough that whole content-defined segments land fully
+    * inside the chrome and match across docs; the partial chunks at
+    * the chrome's boundaries stay (the documented CDC granularity
+    * trade vs t77's every-offset windows).
+    */
+  def cdcSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val promo = TextAnalysis.SpanPromoText
+    val docs = Tables.documents(spark, sfDir)
+    val withChrome = spread(docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat_ws(" ", col("text"), lit(promo), lit(promo)))
+        .otherwise(col("text")).as("text")))
+    TextAnalysis.cdcSegmentDedup(withChrome)
+  }
+
   /** Per-source span-duplication pressure (t78):
     * [[TextAnalysis.sourceSpanPressure]] over a SOURCE-gated promo
     * injection — sources whose md5 leads below '8' get the 12-token

@@ -22,6 +22,10 @@ object TextAnalysis {
     */
   val SpanMinTokens: Int = 8
   val SpanMaxOcc: Int = 1
+  /** t80 anchor rate: a token opens a new segment when its seeded
+    * content hash lands in 1/CdcAvgSegTokens of the lane.
+    */
+  val CdcAvgSegTokens: Int = 8
   val SpanPromoText: String =
     "subscribe to our newsletter today for weekly updates " +
       "and exclusive member offers"
@@ -1976,6 +1980,75 @@ object TextAnalysis {
     val dups = loo.join(counts.filter(col("_occ") > maxOcc), Seq("_h"))
       .select(col("doc_id"), col("off")).distinct()
     spanRebuild(base, dups, L)
+  }
+
+  /** Content-defined chunk dedup (t80): the storage-dedup / CDC kernel
+    * at token grain — segment boundaries are ANCHOR TOKENS (content
+    * hash lands in 1/`avgSegTokens` of the seeded lane), segments are
+    * the runs between anchors, and a segment recurring more than
+    * `maxOcc` times corpus-wide is removed wherever it appears.
+    * Because boundaries derive from CONTENT, not position, an
+    * insertion in one copy re-segments only the chunk containing it;
+    * every other chunk of a shared run still matches — alignment-free
+    * like t77, but at ~1/avgSegTokens the fingerprint count.
+    *
+    * Where it sits in the dedup matrix: t28 = fixed grid (cheapest,
+    * alignment-fragile), t80 = content-defined chunks (cheap,
+    * alignment-free, chunk-granular), t77 = every-offset windows
+    * (exact to the token, avgSegTokens× the hashes), t79 = 1-mismatch
+    * windows (near-dup). t80's flagged positions are a PROVABLE
+    * subset of t77's at the same minTokens (a duplicated ≥ L-token
+    * segment contains duplicated L-windows — asserted on random
+    * corpora in the spec): it is the under-approximation a 100 TB run
+    * chooses when t77's per-offset fingerprint volume exceeds budget.
+    * The granularity trade, documented: spans shorter than a segment,
+    * and the partial chunks at a shared run's boundaries (up to one
+    * segment each side), are missed.
+    *
+    * 100 TB shape: one token explode, one per-(doc, segment) partial
+    * agg whose shuffle carries (pos, 56-bit token hash) pairs — never
+    * text (the segment fingerprint is the md5 lane over the ORDERED
+    * token-hash CSV, replayed identically in DuckDB), one
+    * (fingerprint → occurrences) agg over ~tokens/avgSegTokens rows,
+    * and the t77 island merge/rebuild over dup positions only.
+    * Segments shorter than `minTokens` never participate (the CDC
+    * min-chunk rule — a 2-token segment between close anchors would
+    * collide on common phrases).
+    *
+    * Returns (doc_id, clean_text, n_tokens, n_spans, n_removed_tokens).
+    */
+  def cdcSegmentDedup(docs: DataFrame, minTokens: Int = SpanMinTokens,
+                      maxOcc: Int = SpanMaxOcc,
+                      avgSegTokens: Int = CdcAvgSegTokens,
+                      textCol: String = "text"): DataFrame = {
+    require(minTokens >= 2, "a removable segment is at least 2 tokens")
+    require(maxOcc >= 1, "a segment always occurs at least once")
+    require(avgSegTokens >= 2, "anchor rate must leave room for chunks")
+    val base = spanBase(docs, textCol)
+    val toks = base
+      .select(col("doc_id"), posexplode(col("_toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("_p"),
+        TextOps.hash64(col("col")).as("_th"),
+        when(TextOps.hash64(concat(lit("cdc|"), col("col")))
+          % avgSegTokens === 0, 1).otherwise(0).as("_a"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+    val seg = toks.withColumn("_seg", sum(col("_a")).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-segment rollup: bounds + the ordered token-hash CSV
+    // fingerprint (struct sort by position — the x41 total-order rule)
+    val segs = seg.groupBy(col("doc_id"), col("_seg"))
+      .agg(min(col("_p")).as("_s"), max(col("_p")).as("_e"),
+        TextOps.hash64(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("_p"), col("_th")))),
+            x => x.getField("_th")))).as("_h"))
+      .filter(col("_e") - col("_s") + 1 >= minTokens)
+    val counts = segs.groupBy(col("_h")).agg(count(lit(1)).as("_occ"))
+    val dups = segs.join(counts.filter(col("_occ") > maxOcc), Seq("_h"))
+      .select(col("doc_id"),
+        explode(sequence(col("_s"), col("_e"))).as("off"))
+    // L = 1: dup positions are explicit intervals already — the island
+    // merge degenerates to contiguous-position interval union
+    spanRebuild(base, dups, 1)
   }
 
   /** Per-source span-duplication pressure (t78): [[spanDedup]] rolled
