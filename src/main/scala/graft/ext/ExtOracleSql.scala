@@ -185,10 +185,65 @@ FROM pairs LEFT JOIN shared
 
   private val bandSelects: String = bandSelectsFrom("sig")
 
-  /** The t32/t33 feature prelude: tokenize COALESCE(text,'') (own
-    * toks CTE, not the shared one — the Spark side coalesces NULL text
-    * to '' per the t28 survive rule) and build unigram + 2-shingle
-    * features — CTEs `t` and `f`.
+  /** Second factoring sweep: the m-family payload, the t67/t70
+    * en-marker prelude, the s1/s32 cosine panel, the promo corpus,
+    * and the s3/s10 lang×embedding explode.
+    */
+  private def MediaPayloadCte: String = """m AS (
+  SELECT doc_id,
+         lpad(hex(64 + doc_id % 192), 4, '0')
+           || lpad(hex(64 + doc_id % 128), 4, '0') || text AS payload_str
+  FROM documents
+)"""
+
+  private def EnMarkerScoreCtes: String = s"""t AS (
+  SELECT doc_id, lang,
+         string_split(lower(trim(regexp_replace(
+           CASE WHEN lang = 'en' AND doc_id % 2 = 0
+                THEN text || ' the of and is to' ELSE text END,
+           '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT (lang = 'en') AS pos,
+         CAST(len(list_filter(toks,
+           tk -> tk IN ${LangLists.toMap.apply("en")})) AS BIGINT)
+           AS score
+  FROM t
+)"""
+
+  private def cosinePanelCtes(panel: Int): String = s"""n AS (
+  SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM v
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CASE WHEN q.nm * c.nm > 0
+               THEN ${dotExpr("q.e", "c.e")} / (q.nm * c.nm) END, 6) AS cosine
+  FROM n q CROSS JOIN n c
+  WHERE q.vec_id < $panel AND q.vec_id <> c.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS rank
+  FROM scored
+)"""
+
+  private def promoCorpusCte(srcRel: String, reps: Int): String = {
+    val tail = Seq.fill(reps)(SpanPromo).mkString(", ")
+    s"""corpus AS (
+  SELECT doc_id,
+         COALESCE(CASE WHEN doc_id % 3 = 0
+              THEN concat_ws(' ', text, $tail)
+              ELSE text END, '') AS text
+  FROM $srcRel
+)"""
+  }
+
+  private def LangEmbJoinSel: String =
+    """SELECT d.lang,
+         unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
+         unnest(e.embedding) AS val
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"""
+
+  /** The t32/t33 unigram+2-shingle feature prelude over
+    * COALESCE(text,'') (the t28 survive rule) — CTEs `t`, `f`.
     */
   private def HashedFeatsCtes: String = s"""t AS (
   SELECT doc_id,
@@ -205,9 +260,7 @@ FROM pairs LEFT JOIN shared
   FROM t
 )"""
 
-  /** The structured-PII tail (deterministic IP / phone / SSN carrying
-    * the doc id) on every 6th doc — shared by the t34/t64 twins.
-    */
+  /** The IP/phone/SSN PII tail on every 6th doc (t34/t64). */
   private def PiiStructuredInjectExpr: String =
     """CASE WHEN doc_id % 6 = 0
               THEN text || ' ip 192.168.' || CAST(doc_id % 250 AS VARCHAR)
@@ -217,9 +270,8 @@ FROM pairs LEFT JOIN shared
                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
               ELSE text END AS text"""
 
-  /** The BM25 per-(doc, query-term) weight (k1=1.2, b=0.75, the
-    * +0.5 Robertson idf rounded at 9 dp) with its join tail — shared
-    * verbatim by the t29/t54 twins.
+  /** BM25 per-(doc, term) weight (k1=1.2, b=0.75) + join tail
+    * (t29/t54).
     */
   private def Bm25TermSel: String = """round(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
                         / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
@@ -234,20 +286,15 @@ FROM pairs LEFT JOIN shared
   JOIN dl l ON d.doc_id = l.doc_id
   CROSS JOIN stats"""
 
-  /** The injected PII tail (email + URL carrying the doc id) on every
-    * 9th doc — mirrors ExtQueries' PII corpus; shared by the t15/t34/
-    * t64 twins.
-    */
+  /** The email+URL PII tail on every 9th doc (t15/t34/t64). */
   private def PiiInjectExpr: String = """CASE WHEN doc_id % 9 = 0
               THEN text || ' contact user' || doc_id
                    || '@example.com at http://site' || doc_id
                    || '.example/path'
               ELSE text END"""
 
-  /** embeddings ∪ perturbed copies (vec_id + 100000) of every 11th
-    * vector — the injected near-dup vector corpus (mirrors
-    * ExtQueries.nearDupVectors), shared by s2/d13 and the dup-kmeans
-    * twins.
+  /** The injected near-dup vector corpus (s2/d13; mirrors
+    * ExtQueries.nearDupVectors).
     */
   private def NearDupVecCorpusCte: String = """corpus AS (
   SELECT vec_id, e FROM v
@@ -258,19 +305,14 @@ FROM pairs LEFT JOIN shared
   FROM v WHERE vec_id % 11 = 0
 )"""
 
-  /** Single-subspace (vid, dim, x) explode select over `v` — the
-    * coarse-quantizer input shape, shared by 5 kmeans-family twins.
-    */
+  /** Coarse-quantizer (vid, dim, x) explode over `v` (5 twins). */
   private def CoarseExplodeSel: String =
     """SELECT vec_id AS vid, 0 AS sub,
          unnest(generate_series(0, len(e) - 1)) AS dim,
          unnest(e) AS x
   FROM v"""
 
-  /** The t3 composite quality score, rounded — shared verbatim by
-    * t3-shaped consumers (d12, t21, t51) over (n_tok, n_char, punct,
-    * stop_n) columns.
-    */
+  /** The rounded t3 composite quality score (d12/t21/t51). */
   private def QScoreRound: String =
     """round(least(n_tok / 100.0, 1.0) * 0.5
                + (1.0 - CASE WHEN n_char > 0 THEN punct / n_char
@@ -278,10 +320,8 @@ FROM pairs LEFT JOIN shared
                + least(CASE WHEN n_tok > 0 THEN stop_n / n_tok
                             ELSE 0.0 END * 5.0, 1.0) * 0.2, 6)"""
 
-  /** The w-family lag/gap sessionization (5-minute gap), shared by
-    * w3/x32/x41 — `cols` carries the extra projected columns each
-    * consumer needs through the chain. CTEs `o` (new-session flags)
-    * and `s` (running session number).
+  /** The w-family 5-minute lag/gap sessionization (w3/x32/x41);
+    * `cols` = extra projected columns. CTEs `o` and `s`.
     */
   private def sessionCtes(cols: String): String = s"""o AS (
   SELECT user_id, ts$cols,
@@ -296,10 +336,8 @@ FROM pairs LEFT JOIN shared
   FROM o
 )"""
 
-  /** The IVF-PQ shared blocks: the nprobe=2 probed-cell cut, the
-    * 20-query ADC distance table against pq_cb3, and the
-    * candidate→ADC-sum→rank tail (s16 + s27 run it verbatim; s23's
-    * residual variant keys the ADC on the cell and stays inline).
+  /** IVF-PQ shared blocks: nprobe=2 cut, 20-query ADC table, and
+    * the candidate→ADC-sum→rank tail (s16 + s27; s23 stays inline).
     */
   private def ProbedCte: String = """probed AS (
   SELECT query_id, cell FROM (
@@ -338,13 +376,9 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        round(CAST(adc AS DOUBLE), 9) AS adc_dist
 FROM r WHERE rank <= $k"""
 
-  /** Shared ANN-family prelude blocks, factored (r17 verdict #3) —
-    * each appeared verbatim in 4–18 oracle twins: the embeddings load
-    * (`v`), the (vid, dim, x) explode (`exq`), the 16-wide subspace
-    * split (`exs`), its single-subspace coarse copy (`exc`), the
-    * centroid/query norm block (`cent`/`cn`/`q`, fixed 20-query
-    * panel), and the query×centroid cosine probe (`probe`). A fix to
-    * any of them now lands once.
+  /** Shared ANN-family prelude blocks (each appeared verbatim in
+    * 4–18 twins): embeddings load `v`, explode `exq`, subspace split
+    * `exs`, coarse copy `exc`, norm block `cent`/`cn`/`q`, probe.
     */
   private def VCte: String =
     """v AS (
@@ -697,20 +731,7 @@ FROM mx"""
     * true `lang = 'en'` label — per-score groups, negatives-below
     * window, exact-integer wins/ties, e9 integer AUC.
     */
-  val t67ClassifierAuc: String = s"""WITH t AS (
-  SELECT doc_id, lang,
-         string_split(lower(trim(regexp_replace(
-           CASE WHEN lang = 'en' AND doc_id % 2 = 0
-                THEN text || ' the of and is to' ELSE text END,
-           '\\s+', ' ', 'g'))), ' ') AS toks
-  FROM documents
-), s AS (
-  SELECT (lang = 'en') AS pos,
-         CAST(len(list_filter(toks,
-           tk -> tk IN ${LangLists.toMap.apply("en")})) AS BIGINT)
-           AS score
-  FROM t
-), f AS (
+  val t67ClassifierAuc: String = s"""WITH ${EnMarkerScoreCtes}, f AS (
   SELECT pos, score FROM s
   WHERE pos IS NOT NULL AND score IS NOT NULL
 ), g AS (
@@ -779,20 +800,7 @@ GROUP BY 1"""
     * integers (`(score − lo) · 10 // (hi − lo + 1)`), shares ride the
     * x31 fixed-point lane.
     */
-  val t70CalibrationCurve: String = s"""WITH t AS (
-  SELECT doc_id, lang,
-         string_split(lower(trim(regexp_replace(
-           CASE WHEN lang = 'en' AND doc_id % 2 = 0
-                THEN text || ' the of and is to' ELSE text END,
-           '\\s+', ' ', 'g'))), ' ') AS toks
-  FROM documents
-), s AS (
-  SELECT (lang = 'en') AS pos,
-         CAST(len(list_filter(toks,
-           tk -> tk IN ${LangLists.toMap.apply("en")})) AS BIGINT)
-           AS score
-  FROM t
-), b AS (
+  val t70CalibrationCurve: String = s"""WITH ${EnMarkerScoreCtes}, b AS (
   SELECT MIN(score) AS lo, MAX(score) AS hi FROM s
 ), binned AS (
   SELECT CAST((score - lo) * 10 // (hi - lo + 1) AS INTEGER) AS bin,
@@ -925,19 +933,7 @@ FROM hs"""
   private def dotExpr(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), p -> p[1] * p[2]), 'sum')"
 
-  val s1CosineTopK: String = s"""WITH ${VCte}, n AS (
-  SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM v
-), scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(CASE WHEN q.nm * c.nm > 0
-               THEN ${dotExpr("q.e", "c.e")} / (q.nm * c.nm) END, 6) AS cosine
-  FROM n q CROSS JOIN n c
-  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
-), r AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-    ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS rank
-  FROM scored
-)
+  val s1CosineTopK: String = s"""WITH ${VCte}, ${cosinePanelCtes(20)}
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
 FROM r WHERE rank <= 5"""
 
@@ -945,19 +941,7 @@ FROM r WHERE rank <= 5"""
     * k-occurrence counts per neighbor, histogram plus the antihub
     * zero row (corpus count minus retrieved count).
     */
-  val s32Hubness: String = s"""WITH ${VCte}, n AS (
-  SELECT vec_id, e, sqrt(${dotExpr("e", "e")}) AS nm FROM v
-), scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(CASE WHEN q.nm * c.nm > 0
-               THEN ${dotExpr("q.e", "c.e")} / (q.nm * c.nm) END, 6) AS cosine
-  FROM n q CROSS JOIN n c
-  WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id
-), r AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-    ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS rank
-  FROM scored
-), occ AS (
+  val s32Hubness: String = s"""WITH ${VCte}, ${cosinePanelCtes(100)}, occ AS (
   SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS k_occ
   FROM r WHERE rank <= 5 GROUP BY 1
 ), hist AS MATERIALIZED (
@@ -3745,13 +3729,7 @@ GROUP BY 1"""
     "'" + TextAnalysis.SpanPromoText + "'"
   }
 
-  val t77SpanDedup: String = s"""WITH corpus AS (
-  SELECT doc_id,
-         COALESCE(CASE WHEN doc_id % 3 = 0
-              THEN concat_ws(' ', text, $SpanPromo)
-              ELSE text END, '') AS text
-  FROM documents
-), $spanChainCtes
+  val t77SpanDedup: String = s"""WITH ${promoCorpusCte("documents", 1)}, $spanChainCtes
 SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
 FROM spanout"""
 
@@ -3796,13 +3774,7 @@ FROM spanout"""
          array_to_string(list_filter(string_split(text, ' '),
            (t, i) -> i % 13 <> 0), ' ')
   FROM base WHERE doc_id % 7 = 0
-), corpus AS (
-  SELECT doc_id,
-         COALESCE(CASE WHEN doc_id % 3 = 0
-              THEN concat_ws(' ', text, $SpanPromo)
-              ELSE text END, '') AS text
-  FROM rawc
-), $spanChainCtes,
+), ${promoCorpusCte("rawc", 1)}, $spanChainCtes,
 corpus2 AS (
   SELECT doc_id, clean_text AS text FROM spanout
 ), shing2 AS (
@@ -3836,13 +3808,7 @@ FROM e JOIN traindocs t USING (doc_id)"""
     val k = TextAnalysis.CdcAvgSegTokens
     val segHash = h64("array_to_string(list_transform(toks[b.s:b.e], " +
       s"tok -> CAST(${h64("tok")} AS VARCHAR)), ',')")
-    s"""WITH corpus AS (
-  SELECT doc_id,
-         COALESCE(CASE WHEN doc_id % 3 = 0
-              THEN concat_ws(' ', text, $SpanPromo, $SpanPromo)
-              ELSE text END, '') AS text
-  FROM documents
-), t AS (
+    s"""WITH ${promoCorpusCte("documents", 2)}, t AS (
   SELECT doc_id, string_split($Norm, ' ') AS toks FROM corpus
 ), tk AS (
   SELECT doc_id, unnest(generate_series(1, len(toks))) AS p,
@@ -4721,11 +4687,8 @@ FROM c GROUP BY 1"""
 
   // DECIMAL elementwise sums: exact/associative, so the mean is immune
   // to partial-aggregation order (same rationale as x1).
-  val s3LangCentroids: String = """WITH j AS (
-  SELECT d.lang,
-         unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
-         unnest(e.embedding) AS val
-  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  val s3LangCentroids: String = s"""WITH j AS (
+  ${LangEmbJoinSel}
 )
 SELECT lang, CAST(dim AS BIGINT) AS dim,
        round(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
@@ -4736,11 +4699,8 @@ FROM j GROUP BY 1, 2"""
   /** s10: centroid drift — two s3 centroid CTEs, DECIMAL(38,18) sums
     * of exact double products, pinned cosine/l2 chain.
     */
-  val s10CentroidDrift: String = """WITH jr AS (
-  SELECT d.lang,
-         unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
-         unnest(e.embedding) AS val
-  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  val s10CentroidDrift: String = s"""WITH jr AS (
+  ${LangEmbJoinSel}
   WHERE d.doc_id % 2 = 0
 ), rc AS (
   SELECT lang, dim,
@@ -4748,10 +4708,7 @@ FROM j GROUP BY 1, 2"""
                / COUNT(*), 6) AS c
   FROM jr GROUP BY 1, 2
 ), jc AS (
-  SELECT d.lang,
-         unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
-         unnest(e.embedding) AS val
-  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  ${LangEmbJoinSel}
   WHERE d.doc_id % 2 = 1
 ), cc AS (
   SELECT lang, dim,
@@ -4898,12 +4855,7 @@ SELECT doc_id,
        CAST(n_bytes AS BIGINT) AS total_bytes
 FROM m"""
 
-  val m1MediaMetadata: String = """WITH m AS (
-  SELECT doc_id,
-         lpad(hex(64 + doc_id % 192), 4, '0')
-           || lpad(hex(64 + doc_id % 128), 4, '0') || text AS payload_str
-  FROM documents
-)
+  val m1MediaMetadata: String = s"""WITH ${MediaPayloadCte}
 SELECT doc_id,
        CAST(('0x' || substr(payload_str, 1, 4)) AS INTEGER) AS width,
        CAST(('0x' || substr(payload_str, 5, 4)) AS INTEGER) AS height,
@@ -4914,12 +4866,7 @@ FROM m"""
   /** m3: binary media dedup over the m1 synthetic corpus + re-uploads
     * (+700000, identical payload) — digest groups, keeper, bytes.
     */
-  val m3MediaDedup: String = """WITH m AS (
-  SELECT doc_id,
-         lpad(hex(64 + doc_id % 192), 4, '0')
-           || lpad(hex(64 + doc_id % 128), 4, '0') || text AS payload_str
-  FROM documents
-), corpus AS (
+  val m3MediaDedup: String = s"""WITH ${MediaPayloadCte}, corpus AS (
   SELECT doc_id, payload_str FROM m
   UNION ALL
   SELECT doc_id + 700000, payload_str FROM m WHERE doc_id % 4 = 0
@@ -4937,12 +4884,7 @@ FROM corpus GROUP BY 1"""
     * unnests mirror `posexplode`; `ceil(len/64)` chunks with the last
     * one short, exactly like `Media.sampleFrames`.
     */
-  val m4MediaChunkDedup: String = """WITH m AS (
-  SELECT doc_id,
-         lpad(hex(64 + doc_id % 192), 4, '0')
-           || lpad(hex(64 + doc_id % 128), 4, '0') || text AS payload_str
-  FROM documents
-), corpus AS (
+  val m4MediaChunkDedup: String = s"""WITH ${MediaPayloadCte}, corpus AS (
   SELECT doc_id, payload_str FROM m
   UNION ALL
   SELECT doc_id + 700000, payload_str || ' v2 reupload tail'
@@ -4964,12 +4906,7 @@ FROM ch GROUP BY 1"""
   /** m5: media near-dup pairs — the m4 chunk CTE, distinct per-doc
     * digests, shared-chunk candidates (refs ≤ 64), Jaccard ≥ 0.5.
     */
-  val m5MediaNearDups: String = """WITH m AS (
-  SELECT doc_id,
-         lpad(hex(64 + doc_id % 192), 4, '0')
-           || lpad(hex(64 + doc_id % 128), 4, '0') || text AS payload_str
-  FROM documents
-), corpus AS (
+  val m5MediaNearDups: String = s"""WITH ${MediaPayloadCte}, corpus AS (
   SELECT doc_id, payload_str FROM m
   UNION ALL
   SELECT doc_id + 700000, payload_str || ' v2 reupload tail'
