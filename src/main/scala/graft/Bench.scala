@@ -242,6 +242,16 @@ object Bench {
           Seq(s"$repoRoot/BENCH_BASELINE.json", priorRecord)
         else Seq(priorRecord))
     val baseline = mergeBaselines(baselinePaths.map(readBaseline))
+    // a record-scale run with NO baseline means the outlier guard is
+    // disarmed — loud, because every path here is silent by design
+    // (tolerant parser, repoRoot from the working directory): a bench
+    // launched from the wrong cwd would otherwise write its record
+    // outside the repo and self-certify clean (review finding)
+    if (isRecordScale(sfDir) && baseline.isEmpty)
+      System.err.println(
+        s"[bench] ERROR no baseline found at ${baselinePaths.mkString(", ")}"
+          + " — outlier guard DISARMED; is the working directory the"
+          + " repo root?")
     val maxRetries = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt)
     def storageUsedMb: Long = {

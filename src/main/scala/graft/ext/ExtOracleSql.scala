@@ -3741,9 +3741,8 @@ FROM spanout"""
     * the same shared constant as the Spark fixture.
     */
   val t79NearDupSpans: String = {
-    val toks = TextAnalysis.SpanPromoText.split(" ")
-    val head = toks.take(5).mkString(" ")
-    val tail = toks.drop(6).mkString(" ")
+    val head = TextAnalysis.SpanPromoHead
+    val tail = TextAnalysis.SpanPromoTail
     s"""WITH corpus AS (
   SELECT doc_id,
          COALESCE(CASE WHEN doc_id % 3 = 0

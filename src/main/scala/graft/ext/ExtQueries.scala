@@ -2321,9 +2321,8 @@ object ExtQueries {
     */
   def nearDupSpans(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    val toks = TextAnalysis.SpanPromoText.split(" ")
-    val head = toks.take(5).mkString(" ")
-    val tail = toks.drop(6).mkString(" ")
+    val head = TextAnalysis.SpanPromoHead
+    val tail = TextAnalysis.SpanPromoTail
     val docs = Tables.documents(spark, sfDir)
     val withPromo = spread(docs.select(col("doc_id"),
       when(col("doc_id") % 3 === 0,

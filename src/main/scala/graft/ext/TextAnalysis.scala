@@ -30,6 +30,19 @@ object TextAnalysis {
     "subscribe to our newsletter today for weekly updates " +
       "and exclusive member offers"
 
+  /** t79's tweaked-promo fixture fragments, derived ONCE from the
+    * shared promo (review finding: ExtQueries, the SQL twin, and the
+    * scale probe each re-derived take(5)/drop(6) independently — the
+    * same twin-drift class the shared constant exists to close). The
+    * substituted slot is promo position [[SpanPromoTweakPos]]
+    * (1-based); a per-copy tracking token goes between head and tail.
+    */
+  val SpanPromoTweakPos: Int = 6
+  val SpanPromoHead: String =
+    SpanPromoText.split(" ").take(SpanPromoTweakPos - 1).mkString(" ")
+  val SpanPromoTail: String =
+    SpanPromoText.split(" ").drop(SpanPromoTweakPos).mkString(" ")
+
   /** Marker stopwords per language for the n-gram-heuristic language ID.
     * Deterministic and tiny by design — a real deployment swaps in
     * fastText-style profiles; the *operator shape* (per-row argmax over

@@ -28,9 +28,8 @@ def time[T](label: String)(f: => T): T = {
   r
 }
 
-val ptoks = TextAnalysis.SpanPromoText.split(" ")
-val head = ptoks.take(5).mkString(" ")
-val tail = ptoks.drop(6).mkString(" ")
+val head = TextAnalysis.SpanPromoHead
+val tail = TextAnalysis.SpanPromoTail
 def withPromo(docs: DataFrame): DataFrame = docs.select(col("doc_id"),
   when(col("doc_id") % 3 === 0,
     concat_ws(" ", col("text"), lit(head),
