@@ -3775,7 +3775,9 @@ FROM spanout"""
   FROM base WHERE doc_id % 7 = 0
 ), ${promoCorpusCte("rawc", 1)}, $spanChainCtes,
 corpus2 AS (
-  SELECT doc_id, clean_text AS text FROM spanout
+  -- span-emptied docs drop here: zero training signal, and at scale
+  -- they form one degenerate LSH bucket (n(n-1)/2 candidates)
+  SELECT doc_id, clean_text AS text FROM spanout WHERE clean_text <> ''
 ), shing2 AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks,
          ${sh3("string_split(text, ' ')", "text")} AS sh

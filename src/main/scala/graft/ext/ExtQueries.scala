@@ -2354,7 +2354,14 @@ object ExtQueries {
   def curationTrainPipeline(spark: SparkSession,
                            sfDir: String): DataFrame = {
     Tables.tune(spark)
-    val raw = nearDupCorpus(Tables.documents(spark, sfDir))
+    curationTrainPipelineFrom(nearDupCorpus(Tables.documents(spark, sfDir)))
+  }
+
+  /** The composite over a caller-provided (doc_id, text) corpus — the
+    * query fixture above feeds the injected near-dup corpus; the scale
+    * probe feeds replicated copies.
+    */
+  def curationTrainPipelineFrom(raw: DataFrame): DataFrame = {
     val injected = spread(raw.select(col("doc_id"),
       when(col("doc_id") % 3 === 0,
         concat_ws(" ", col("text"), lit(TextAnalysis.SpanPromoText)))
@@ -2362,7 +2369,15 @@ object ExtQueries {
     val cleaned = graft.std.Materialize.once(
       TextAnalysis.spanDedup(injected)
         .select(col("doc_id"), col("clean_text").as("text")))
-    val clusters = clustersOf(cleaned)
+    // drop docs the span pass emptied BEFORE clustering: t77 keeps
+    // them for accounting (the every-doc-survives contract), but a
+    // cleaned-empty doc carries zero training signal — and at scale
+    // the empties are a DEGENERATE LSH BUCKET: they all share the
+    // empty whole-text shingle, so n empties emit n(n-1)/2 candidate
+    // pairs from one band key (the 10x composite probe measured 26.6M
+    // candidates from ~3.6k empties before this filter — quadratic in
+    // corpus size; linear after)
+    val clusters = clustersOf(cleaned.filter(col("text") =!= ""))
     val split = Dedup.leakageSafeSplit(clusters)
     val trainDocs = split.filter(col("split") === "train")
       .join(clusters.filter(col("is_keeper")).select("doc_id"),

@@ -54,6 +54,24 @@ class CurationPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("span-emptied docs are dropped before clustering, not shipped") {
+    // two identical >= 8-token docs clean to '' under t77 (all-copies
+    // removal) — they carry zero training signal AND, at scale, all
+    // empties share the '' whole-text shingle and form ONE degenerate
+    // LSH bucket emitting n(n-1)/2 candidates (the 10x probe read
+    // 26.6M candidates before the filter, 14.8s vs 107.9s after/before
+    // at 10x). The composite must exclude them from every tier.
+    import spark.implicits._
+    val dup = (1 to 9).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(1L -> dup, 2L -> dup,
+      3L -> "completely unique organic content here that stays")
+      .toDF("doc_id", "text")
+    val out = ExtQueries.curationTrainPipelineFrom(docs).collect()
+      .map(_.getLong(1)).toSet
+    assert(!out.contains(1L) && !out.contains(2L),
+      s"span-emptied docs must not reach the train order: $out")
+  }
+
   test("the split is leakage-safe: no surviving doc's cluster leaked") {
     // every output doc is a keeper (== rep) assigned by rep-keyed
     // hashing to 'train'; replay the lane independently (the
