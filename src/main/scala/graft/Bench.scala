@@ -129,7 +129,11 @@ object Bench {
   /** The one-line record head shared by stdout and the file copy.
     * `canaryStart`/`canaryEnd` are the suite bookends (same keys, same
     * min-of-reps statistic); end/start per key is the mid-run
-    * host-drift witness the r17 driver run lacked.
+    * host-drift witness the r17 driver run lacked. `guardDisarmed`
+    * marks a record-scale run that found NO baseline (review finding:
+    * the guard silently disarmed and the record still self-certified
+    * "zero anomalous" — the flag makes a disarmed record
+    * machine-distinguishable from a clean one).
     */
   private[graft] def headJson(results: Seq[(String, Double)],
                               canaryStart: Seq[(String, Double)],
@@ -137,15 +141,17 @@ object Bench {
                               flaky: Seq[String],
                               anomalous: Seq[String],
                               outPath: String, sfDir: String,
-                              fmt: Double => String): String = {
+                              fmt: Double => String,
+                              guardDisarmed: Boolean = false): String = {
     def numMap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => jstr(k) + ":" + fmt(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val fl = flaky.map(jstr).mkString("[", ",", "]")
     val anom = anomalous.map(jstr).mkString("[", ",", "]")
+    val disarmed = if (guardDisarmed) ""","guard_disarmed":true""" else ""
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
-      numMap(results)},"flaky":$fl,"anomalous":$anom,"canary_start":${
+      numMap(results)},"flaky":$fl,"anomalous":$anom$disarmed,"canary_start":${
       numMap(canaryStart)},"canary_end":${numMap(canaryEnd)},"full":${
       jstr(outPath)},"sf":${jstr(sfDir)}}"""
   }
@@ -158,6 +164,26 @@ object Bench {
     * — builds > 1 for a tag means the memoized frame was evicted and
     * rebuilt mid-suite, the one mechanism the r17 record could not
     * distinguish from host slowness.
+    *
+    * `started` maps each query to the epoch-millis its FIRST rep began
+    * (r18 verdict #1: the driver run showed 19 queries >1.5x committed
+    * clustered in three contiguous execution-order windows with healthy
+    * memo/canary telemetry — transient host slowdown was the obvious
+    * read but unprovable without time coordinates; with start
+    * timestamps plus the durations already in `samples`, every
+    * anomalous flag is plottable against wall time, and
+    * `canary_start_ms`/`canary_end_ms` make the bookends the timeline's
+    * endpoints).
+    *
+    * `drift` maps each baselined query to min-of-reps / historical-min
+    * (2 dp). The guard policy for the small-query regime (r18
+    * observation: t24/t27/x68/m4/t66 drifted ~2x vs r17 without
+    * tripping): drifts under the retry trigger (3x AND +1 s) are
+    * RECORDED here, not retried — min-of-3 on sub-second queries
+    * jitters up to ~2x under host contention, so retrying them would
+    * burn the bounded retry budget on noise, while the historical-min
+    * anchor never ratchets and successive records' drift maps make a
+    * compounding drift monotone and visible instead of silent.
     */
   private[graft] def fileJson(results: Seq[(String, Double)],
                               canaryStart: Seq[(String, Double)],
@@ -168,7 +194,12 @@ object Bench {
                               reps: Int,
                               samples: Seq[(String, Seq[Double])],
                               retries: Seq[(String, Seq[Double])],
-                              memo: Seq[(String, (Long, Long))] = Nil)
+                              memo: Seq[(String, (Long, Long))] = Nil,
+                              started: Seq[(String, Long)] = Nil,
+                              drift: Seq[(String, Double)] = Nil,
+                              canaryStartMs: Long = 0L,
+                              canaryEndMs: Long = 0L,
+                              guardDisarmed: Boolean = false)
       : String = {
     def runsMap(xs: Seq[(String, Seq[Double])]): String =
       xs.map { case (k, runs) =>
@@ -177,10 +208,18 @@ object Bench {
     val memoMap = memo.map { case (tag, (h, b)) =>
       jstr(tag) + s""":{"hits":$h,"builds":$b}"""
     }.mkString("{", ",", "}")
+    val startedMap = started.map { case (k, ms) => jstr(k) + ":" + ms }
+      .mkString("{", ",", "}")
+    val driftMap = drift.map { case (k, r) =>
+      jstr(k) + ":" + String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(r))
+    }.mkString("{", ",", "}")
     headJson(results, canaryStart, canaryEnd, flaky, anomalous, outPath,
-      sfDir, _.toString).dropRight(1) +
+      sfDir, _.toString, guardDisarmed).dropRight(1) +
       s""","reps":$reps,"samples":${runsMap(samples)},"retries":${
-        runsMap(retries)},"memo":$memoMap}"""
+        runsMap(retries)},"memo":$memoMap,"started":$startedMap,"drift":${
+        driftMap},"canary_start_ms":$canaryStartMs,"canary_end_ms":${
+        canaryEndMs}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -247,11 +286,12 @@ object Bench {
     // (tolerant parser, repoRoot from the working directory): a bench
     // launched from the wrong cwd would otherwise write its record
     // outside the repo and self-certify clean (review finding)
-    if (isRecordScale(sfDir) && baseline.isEmpty)
+    val guardDisarmed = isRecordScale(sfDir) && baseline.isEmpty
+    if (guardDisarmed)
       System.err.println(
         s"[bench] ERROR no baseline found at ${baselinePaths.mkString(", ")}"
           + " — outlier guard DISARMED; is the working directory the"
-          + " repo root?")
+          + " repo root? (record carries guard_disarmed:true)")
     val maxRetries = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt)
     def storageUsedMb: Long = {
@@ -312,8 +352,10 @@ object Bench {
           k -> m
         }
       }
+    val canaryStartMs = System.currentTimeMillis()
     val canaryStart = runCanary("start")
     val measured = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val startedMs = System.currentTimeMillis()
       val runs = (1 to reps).map(_ => oneRun(name, fn))
       // outlier guard: a min-of-reps far above the historical baseline
       // means ALL reps landed in a contended window — re-run (bounded)
@@ -340,17 +382,17 @@ object Bench {
           " retries=" + retryRuns.map(r => f"$r%.3f").mkString(",")
         else ""} pins=${
         graft.std.Materialize.pinCount} storageMB=$storageUsedMb")
-      (name, runs, retryRuns)
+      (name, runs, retryRuns, startedMs)
     }
     def allMin(runs: Seq[Double], retries: Seq[Double]): Double = {
       val ok = (runs ++ retries).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
     val anomalous = measured.collect {
-      case (name, runs, rts)
+      case (name, runs, rts, _)
         if isAnomalous(allMin(runs, rts), baseline.get(name)) => name
     }
-    val results = measured.map { case (name, runs, rts) =>
+    val results = measured.map { case (name, runs, rts, _) =>
       name -> allMin(runs, rts)
     }
     // min-of-reps must not mask intermittent failures: a query that
@@ -358,15 +400,23 @@ object Bench {
     // runs don't count here (r16 advice) — a retry failure stays
     // visible in the `retries` map without tainting a clean rep set.
     val flaky = measured.collect {
-      case (name, runs, _)
+      case (name, runs, _, _)
         if runs.contains(-1.0) && runs.exists(_ >= 0) => name
     }
     val retries = measured.collect {
-      case (name, _, rts) if rts.nonEmpty => (name, rts.toSeq)
+      case (name, _, rts, _) if rts.nonEmpty => (name, rts.toSeq)
+    }
+    // drift-vs-historical-min per baselined query (see fileJson doc):
+    // the record's own readout of the sub-threshold regime the retry
+    // guard deliberately leaves alone
+    val drift = results.collect {
+      case (name, m) if m >= 0 && baseline.get(name).exists(_ > 0) =>
+        name -> m / baseline(name)
     }
     // End bookend AFTER the suite, BEFORE the record is written: its
     // divergence from canaryStart is the record's own evidence of
     // mid-run host drift.
+    val canaryEndMs = System.currentTimeMillis()
     val canaryEnd = runCanary("end")
     // Memo telemetry: per-tag hits/builds since JVM start. One build
     // per tag is the expected steady state; builds > 1 means the
@@ -390,15 +440,18 @@ object Bench {
     // complete per-query record is always recoverable.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       defaultOut(sfDir))
-    val samples = measured.map { case (name, runs, _) => (name, runs) }
+    val samples = measured.map { case (name, runs, _, _) => (name, runs) }
+    val started = measured.map { case (name, _, _, ms) => (name, ms) }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
       fileJson(results, canaryStart, canaryEnd, flaky, anomalous,
-        outPath, sfDir, reps, samples, retries, memoStats))
+        outPath, sfDir, reps, samples, retries, memoStats, started,
+        drift, canaryStartMs, canaryEndMs, guardDisarmed))
     catch { case _: Throwable => () }
     println(headJson(results, canaryStart, canaryEnd, flaky, anomalous,
       outPath, sfDir,
-      v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))))
+      v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)),
+      guardDisarmed))
     // free the session memos (cleaned star join, clusters, profile)
     // before stop — keeps the pin lifecycle honest end-to-end
     graft.std.SessionMemo.releaseSession(spark)

@@ -3506,7 +3506,8 @@ GROUP BY 1"""
   SELECT SUM(CAST(w AS DECIMAL(28,9))) AS nw FROM withw
 ), rates AS (
   SELECT source, n_total, mass_tokens, p, w,
-         round(least(1.0, (0.5 * CAST(tot AS DOUBLE))
+         round(least(1.0, (${TextAnalysis.TempTargetFrac}
+                          * CAST(tot AS DOUBLE))
                     * (w / CAST(nw AS DOUBLE))
                     / CAST(mass_tokens AS DOUBLE)), 6) AS rate
   FROM withw CROSS JOIN nrm
@@ -3521,10 +3522,10 @@ SELECT r.source,
          AS n_kept,
        CAST(SUM(CASE WHEN d.u < r.rate THEN d.m ELSE 0 END) AS BIGINT)
          AS kept_tokens,
-       CAST(SUM(CASE WHEN d.u < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-         AS naive_n_kept,
-       CAST(SUM(CASE WHEN d.u < 0.5 THEN d.m ELSE 0 END) AS BIGINT)
-         AS naive_kept_tokens
+       CAST(SUM(CASE WHEN d.u < ${TextAnalysis.TempTargetFrac}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS naive_n_kept,
+       CAST(SUM(CASE WHEN d.u < ${TextAnalysis.TempTargetFrac}
+                 THEN d.m ELSE 0 END) AS BIGINT) AS naive_kept_tokens
 FROM perdoc d JOIN rates r USING (source)
 GROUP BY 1, 2, 3, 4, 5, 6"""
 
@@ -4543,12 +4544,13 @@ WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END"""
 ), mdq AS (
   -- the best quality the quota DROPPED: within a source the dropped
   -- maximum sits at rank quota+1, so the boundary rows carry it
-  SELECT MAX(quality_score) AS m FROM r WHERE rank = 11
+  SELECT MAX(quality_score) AS m FROM r
+  WHERE rank = ${TextAnalysis.DomainQuotaN + 1}
 )
 SELECT source, doc_id, quality_score, rank,
        COALESCE(quality_score < (SELECT m FROM mdq), FALSE)
          AS displaces_better
-FROM r WHERE rank <= 10"""
+FROM r WHERE rank <= ${TextAnalysis.DomainQuotaN}"""
 
   /** t22: deterministic sharded training order — 2 epochs × 8 shards,
     * epoch-salted id hash, dense row_number per (epoch, shard).

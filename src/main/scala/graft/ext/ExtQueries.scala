@@ -395,10 +395,13 @@ object ExtQueries {
       Map("en" -> 20), defaultPct = 60)
   }
 
-  /** Per-domain quality quota (t21): top-10 docs per source. */
+  /** Per-domain quality quota (t21): top-N docs per source, N the
+    * twin-shared [[TextAnalysis.DomainQuotaN]].
+    */
   def domainQuota(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
-    TextAnalysis.domainQuota(Tables.documents(spark, sfDir), 10)
+    TextAnalysis.domainQuota(Tables.documents(spark, sfDir),
+      TextAnalysis.DomainQuotaN)
   }
 
   /** Deterministic sharded training order (t22): 2 epochs × 8 shards. */
@@ -2504,11 +2507,14 @@ object ExtQueries {
       spread(docs.select(col("doc_id"), t1.as("text"))))
   }
 
-  /** Temperature-based (α = 0.5) domain resampling plan (t26). */
+  /** Temperature-based (α = 0.5) domain resampling plan (t26), the
+    * target fraction the twin-shared [[TextAnalysis.TempTargetFrac]].
+    */
   def temperatureResample(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.tune(spark)
     TextAnalysis.temperatureResample(
-      spread(Tables.documents(spark, sfDir)))
+      spread(Tables.documents(spark, sfDir)),
+      TextAnalysis.TempTargetFrac)
   }
 
   /** Full cube (x8): revenue over every subset of {region, brand} —

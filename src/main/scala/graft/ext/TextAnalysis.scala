@@ -38,6 +38,15 @@ object TextAnalysis {
     * (1-based); a per-copy tracking token goes between head and tail.
     */
   val SpanPromoTweakPos: Int = 6
+
+  /** t21's per-source quota and t26's target corpus fraction, shared
+    * with the DuckDB twins (review finding: the twins hardcoded
+    * `rank = 11` and `u < 0.5` — the same twin-drift class the span
+    * constants close: a Spark-side parameter change would silently
+    * diverge the oracle instead of failing the gate).
+    */
+  val DomainQuotaN: Int = 10
+  val TempTargetFrac: Double = 0.5
   val SpanPromoHead: String =
     SpanPromoText.split(" ").take(SpanPromoTweakPos - 1).mkString(" ")
   val SpanPromoTail: String =

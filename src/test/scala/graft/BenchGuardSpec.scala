@@ -84,6 +84,55 @@ class BenchGuardSpec extends AnyFunSuite {
         """"contamination":{"hits":4,"builds":2}}"""))
   }
 
+  test("record carries per-query wall-clock timestamps and drift") {
+    // r18 verdict #1: the driver bench showed 19 queries >1.5x
+    // committed in three CONTIGUOUS execution-order windows with
+    // healthy memo/canary telemetry — transient host slowdown was the
+    // obvious read but unprovable without time coordinates. The record
+    // now carries epoch-millis start per query plus the canary bookend
+    // timestamps, so every anomalous flag is plottable against wall
+    // time; and the drift map prices the sub-retry-threshold regime
+    // (the r18 t24/t27/x68 2x small-query drifts) against the
+    // historical min, so compounding drift is visible record-to-record
+    // without burning retries on sub-second jitter.
+    val json = Bench.fileJson(
+      Seq("q1" -> 0.5, "t24" -> 0.63),
+      canaryStart = Nil, canaryEnd = Nil, flaky = Nil, anomalous = Nil,
+      outPath = "/x.json", sfDir = "/root/testdata/sf0.1", reps = 3,
+      samples = Seq("q1" -> Seq(0.5), "t24" -> Seq(0.63)),
+      retries = Nil, memo = Nil,
+      started = Seq("q1" -> 1755300000123L, "t24" -> 1755300012456L),
+      drift = Seq("q1" -> 1.0, "t24" -> 2.03),
+      canaryStartMs = 1755299990000L, canaryEndMs = 1755300100000L)
+    assert(json.contains(
+      """"started":{"q1":1755300000123,"t24":1755300012456}"""))
+    assert(json.contains(""""drift":{"q1":1.00,"t24":2.03}"""))
+    assert(json.contains(""""canary_start_ms":1755299990000"""))
+    assert(json.contains(""""canary_end_ms":1755300100000"""))
+    // the extra maps must not confuse the baseline parser
+    assert(Bench.parseBaseline(json) === Map("q1" -> 0.5, "t24" -> 0.63))
+  }
+
+  test("a disarmed guard marks the record, armed runs stay clean") {
+    // review finding: a record-scale run with no baseline printed an
+    // ERROR but still wrote a record self-certifying "zero anomalous";
+    // guard_disarmed:true makes that state machine-readable
+    val disarmed = Bench.headJson(Seq("q1" -> 1.0), Nil, Nil, Nil, Nil,
+      outPath = "/x.json", sfDir = "/root/testdata/sf0.1", _.toString,
+      guardDisarmed = true)
+    assert(disarmed.contains(""""guard_disarmed":true"""))
+    assert(Bench.parseBaseline(disarmed) === Map("q1" -> 1.0))
+    val armed = Bench.headJson(Seq("q1" -> 1.0), Nil, Nil, Nil, Nil,
+      outPath = "/x.json", sfDir = "/root/testdata/sf0.1", _.toString)
+    assert(!armed.contains("guard_disarmed"))
+    // the file copy inherits the flag through the shared head
+    val file = Bench.fileJson(Seq("q1" -> 1.0), Nil, Nil, Nil, Nil,
+      outPath = "/x.json", sfDir = "/root/testdata/sf0.1", reps = 1,
+      samples = Seq("q1" -> Seq(1.0)), retries = Nil,
+      guardDisarmed = true)
+    assert(file.contains(""""guard_disarmed":true"""))
+  }
+
   test("jstr escapes quotes, backslashes, and control characters") {
     // r17 advice: a quote/backslash in SPARK_GRAFT_BENCH_OUT produced
     // invalid JSON, and the tolerant parser silently disarmed the next
