@@ -155,16 +155,23 @@ FROM pairs LEFT JOIN shared
   /** Shared near-dup corpus + shingles (mirrors ExtQueries.nearDupCorpus:
     * normalized text, every 13th token dropped in the +100000 copies).
     */
-  private val NearDupCtes: String = s"""WITH base AS (
+  /** `base` (normalized documents) + the injected near-dup corpus
+    * (mirrors ExtQueries.nearDupCorpus: +100000 copies of every 7th
+    * doc with every 13th token dropped); output CTE name a parameter
+    * — four twins build on this corpus shape.
+    */
+  private def nearDupCorpusCtes(name: String = "corpus"): String = s"""base AS (
   SELECT doc_id, $Norm AS text FROM documents
-), corpus AS (
+), $name AS (
   SELECT doc_id, text FROM base
   UNION ALL
   SELECT doc_id + 100000,
          array_to_string(list_filter(string_split(text, ' '),
            (t, i) -> i % 13 <> 0), ' ')
   FROM base WHERE doc_id % 7 = 0
-), shing AS (
+)"""
+
+  private val NearDupCtes: String = s"""WITH ${nearDupCorpusCtes()}, shing AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks,
          ${sh3("string_split(text, ' ')", "text")} AS sh
   FROM corpus
@@ -225,9 +232,10 @@ FROM pairs LEFT JOIN shared
   FROM scored
 )"""
 
-  private def promoCorpusCte(srcRel: String, reps: Int): String = {
+  private def promoCorpusCte(srcRel: String, reps: Int,
+                             name: String = "corpus"): String = {
     val tail = Seq.fill(reps)(SpanPromo).mkString(", ")
-    s"""corpus AS (
+    s"""$name AS (
   SELECT doc_id,
          COALESCE(CASE WHEN doc_id % 3 = 0
               THEN concat_ws(' ', text, $tail)
@@ -2766,16 +2774,7 @@ FROM hs JOIN totals ON hs.source = totals.source"""
     * per-doc occurrence counts joined to corpus document frequency.
     * Aggregate outputs CAST to BIGINT (HUGEINT discipline, see x20).
     */
-  val t49RepeatedNgrams: String = s"""WITH base AS (
-  SELECT doc_id, $Norm AS text FROM documents
-), corpus AS (
-  SELECT doc_id, text FROM base
-  UNION ALL
-  SELECT doc_id + 100000,
-         array_to_string(list_filter(string_split(text, ' '),
-           (t, i) -> i % 13 <> 0), ' ')
-  FROM base WHERE doc_id % 7 = 0
-), t AS (
+  val t49RepeatedNgrams: String = s"""WITH ${nearDupCorpusCtes()}, t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
 ), w AS (
   SELECT doc_id,
@@ -3391,23 +3390,12 @@ GROUP BY 1"""
     * profile composed with t9's content-hash buckets; ≥ 20% overlap
     * (on the ROUNDED ratio both dialects emit) quarantines the doc.
     */
+  // the contamination profile is d8's chain verbatim, embedded as a
+  // derived table (the t58 pattern) — ONE definition of "contaminated"
   val t23ContaminationSplit: String = s"""WITH t AS (
-  SELECT doc_id, ${h64(Norm)} % 100 AS bucket,
-         ${sh3(s"string_split($Norm, ' ')", Norm)} AS sh
-  FROM documents
-), ex AS (
-  SELECT doc_id, unnest(list_distinct(sh)) AS s FROM t WHERE doc_id % 31 <> 0
-), exh AS (
-  SELECT doc_id, ${h64("s")} AS shash FROM ex
-), bench AS (
-  SELECT DISTINCT ${h64("s")} AS shash
-  FROM (SELECT unnest(list_distinct(sh)) AS s FROM t WHERE doc_id % 31 = 0)
+  SELECT doc_id, ${h64(Norm)} % 100 AS bucket FROM documents
 ), prof AS (
-  SELECT e.doc_id,
-         round(CAST(COALESCE(SUM(CASE WHEN b.shash IS NOT NULL THEN 1 END), 0)
-                    AS DOUBLE) / COUNT(*), 6) AS cr
-  FROM exh e LEFT JOIN bench b ON e.shash = b.shash
-  GROUP BY 1
+  SELECT doc_id, contamination_ratio AS cr FROM ($d8Decontamination) d8p
 )
 SELECT t.doc_id,
        CASE WHEN p.cr >= 0.2 THEN 'quarantine'
@@ -3458,7 +3446,11 @@ FROM est"""
     * exact 9 dp value, and decimal × small-int count and decimal
     * addition are exact in both engines.
     */
-  val t25UnigramLogprob: String = ToksCte + """, ex AS (
+  /** The t25 unigram-LM chain: token counts → vocabulary → 9-dp ln
+    * probabilities (CTEs `ex`..`lm`). Shared verbatim by t25's per-doc
+    * readout and t62's bucket rollup.
+    */
+  private val UnigramLmCtes: String = ToksCte + """, ex AS (
   SELECT doc_id, unnest(toks) AS token FROM t
 ), dtf AS (
   SELECT doc_id, token, COUNT(*) AS cnt_d FROM ex GROUP BY 1, 2
@@ -3470,7 +3462,9 @@ FROM est"""
   SELECT token,
          round(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 9) AS lp
   FROM vocab CROSS JOIN tot
-)
+)"""
+
+  val t25UnigramLogprob: String = UnigramLmCtes + """
 SELECT doc_id,
        CAST(SUM(cnt_d) AS BIGINT) AS n_tokens,
        round(CAST(SUM(CAST(lp AS DECIMAL(28,9))
@@ -3626,28 +3620,31 @@ GROUP BY 1"""
   /** Shared window prelude: tokenize `corpus`, open one L-token window
     * per offset — CTEs `t` (doc_id, toks) and `wins` (doc_id, off, win).
     */
-  private def spanPreludeCtes: String = {
+  private def spanPreludeCtes(sfx: String = "",
+                              srcRel: String = "corpus"): String = {
     val L = TextAnalysis.SpanMinTokens
-    s"""t AS (
-  SELECT doc_id, string_split($Norm, ' ') AS toks FROM corpus
-), wins AS (
+    s"""t$sfx AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks FROM $srcRel
+), wins$sfx AS (
   SELECT doc_id,
          unnest(generate_series(1, len(toks) - ${L - 1})) AS off,
          unnest(list_transform(generate_series(1, len(toks) - ${L - 1}),
            i -> array_to_string(toks[i:i+${L - 1}], ' '))) AS win
-  FROM t WHERE len(toks) >= $L
+  FROM t$sfx WHERE len(toks) >= $L
 )"""
   }
 
-  private def spanChainCtes: String = {
+  private def spanChainCtes(sfx: String = "",
+                            srcRel: String = "corpus"): String = {
     val maxOcc = TextAnalysis.SpanMaxOcc
-    s"""$spanPreludeCtes, hashed AS MATERIALIZED (
-  SELECT doc_id, off, ${h64("win")} AS h FROM wins
-), counts AS (
-  SELECT h, COUNT(*) AS occ FROM hashed GROUP BY 1
-), dups AS (
-  SELECT doc_id, off FROM hashed JOIN counts USING (h) WHERE occ > $maxOcc
-), ${spanTailCtes()}"""
+    s"""${spanPreludeCtes(sfx, srcRel)}, hashed$sfx AS MATERIALIZED (
+  SELECT doc_id, off, ${h64("win")} AS h FROM wins$sfx
+), counts$sfx AS (
+  SELECT h, COUNT(*) AS occ FROM hashed$sfx GROUP BY 1
+), dups$sfx AS (
+  SELECT doc_id, off FROM hashed$sfx JOIN counts$sfx USING (h)
+  WHERE occ > $maxOcc
+), ${spanTailCtes(sfx = sfx)}"""
   }
 
   /** t79's detection stage: L leave-one-out fingerprints per window
@@ -3658,7 +3655,7 @@ GROUP BY 1"""
   private def nearDupChainCtes: String = {
     val L = TextAnalysis.SpanMinTokens
     val maxOcc = TextAnalysis.SpanMaxOcc
-    s"""$spanPreludeCtes, wtoks AS (
+    s"""${spanPreludeCtes()}, wtoks AS (
   SELECT doc_id, off, string_split(win, ' ') AS wt FROM wins
 ), loo AS (
   SELECT doc_id, off,
@@ -3682,29 +3679,29 @@ GROUP BY 1"""
     * CTE — ends in `spanout` (doc_id, clean_text, n_tokens, n_spans,
     * n_removed_tokens).
     */
-  private def spanTailCtes(L: Int = TextAnalysis.SpanMinTokens)
-      : String = {
-    s"""flagged AS (
+  private def spanTailCtes(L: Int = TextAnalysis.SpanMinTokens,
+                           sfx: String = ""): String = {
+    s"""flagged$sfx AS (
   SELECT doc_id, off,
          CASE WHEN off > COALESCE(lag(off) OVER
                 (PARTITION BY doc_id ORDER BY off), ${-(L + 1)}) + $L
               THEN 1 ELSE 0 END AS brk
-  FROM dups
-), numbered AS (
+  FROM dups$sfx
+), numbered$sfx AS (
   SELECT doc_id, off,
          SUM(brk) OVER (PARTITION BY doc_id ORDER BY off
                         ROWS UNBOUNDED PRECEDING) AS isl
-  FROM flagged
-), islands AS (
+  FROM flagged$sfx
+), islands$sfx AS (
   SELECT doc_id, MIN(off) AS s, MAX(off) + ${L - 1} AS e
-  FROM numbered GROUP BY doc_id, isl
-), perdoc AS (
+  FROM numbered$sfx GROUP BY doc_id, isl
+), perdoc$sfx AS (
   SELECT doc_id, COUNT(*) AS n_spans,
          CAST(SUM(e - s + 1) AS BIGINT) AS n_removed,
          list({'s': s, 'e': e}) AS iv
-  FROM islands GROUP BY 1
-), spanout AS (
-  SELECT t.doc_id,
+  FROM islands$sfx GROUP BY 1
+), spanout$sfx AS (
+  SELECT t$sfx.doc_id,
          -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
          -- concat_ws over an empty array is '' (the t28 string_agg rule)
          CASE WHEN p.iv IS NULL THEN array_to_string(toks, ' ')
@@ -3716,7 +3713,7 @@ GROUP BY 1"""
          CAST(len(toks) AS BIGINT) AS n_tokens,
          COALESCE(p.n_spans, 0) AS n_spans,
          COALESCE(p.n_removed, 0) AS n_removed_tokens
-  FROM t LEFT JOIN perdoc p USING (doc_id)
+  FROM t$sfx LEFT JOIN perdoc$sfx p USING (doc_id)
 )"""
   }
 
@@ -3730,7 +3727,7 @@ GROUP BY 1"""
     "'" + TextAnalysis.SpanPromoText + "'"
   }
 
-  val t77SpanDedup: String = s"""WITH ${promoCorpusCte("documents", 1)}, $spanChainCtes
+  val t77SpanDedup: String = s"""WITH ${promoCorpusCte("documents", 1)}, ${spanChainCtes()}
 SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
 FROM spanout"""
 
@@ -3741,19 +3738,27 @@ FROM spanout"""
     * collides the copies slot-for-slot. Promo fragments derive from
     * the same shared constant as the Spark fixture.
     */
-  val t79NearDupSpans: String = {
+  val t79NearDupSpans: String =
+    s"""WITH ${tweakedPromoCorpusCte("documents")}, $nearDupChainCtes
+SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
+FROM spanout"""
+
+  /** t79's corpus shape as a generator: every third doc gets the
+    * shared promo with the per-doc tracking token substituted at
+    * [[TextAnalysis.SpanPromoTweakPos]] — shared by t79 and the
+    * near-dup curation composite so the fixtures cannot drift.
+    */
+  private def tweakedPromoCorpusCte(srcRel: String): String = {
     val head = TextAnalysis.SpanPromoHead
     val tail = TextAnalysis.SpanPromoTail
-    s"""WITH corpus AS (
+    s"""corpus AS (
   SELECT doc_id,
          COALESCE(CASE WHEN doc_id % 3 = 0
               THEN concat_ws(' ', text, '$head',
                              'trk' || doc_id, '$tail')
               ELSE text END, '') AS text
-  FROM documents
-), $nearDupChainCtes
-SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
-FROM spanout"""
+  FROM $srcRel
+)"""
   }
 
   /** The curation pipeline composite (pipeline_curation): the full
@@ -3765,16 +3770,24 @@ FROM spanout"""
     * the cluster rep, and the train order runs over the train-split
     * keepers. One row per (epoch, surviving train doc).
     */
-  val pipelineCuration: String = s"""WITH RECURSIVE base AS (
-  SELECT doc_id, $Norm AS text FROM documents
-), rawc AS (
-  SELECT doc_id, text FROM base
-  UNION ALL
-  SELECT doc_id + 100000,
-         array_to_string(list_filter(string_split(text, ' '),
-           (t, i) -> i % 13 <> 0), ' ')
-  FROM base WHERE doc_id % 7 = 0
-), ${promoCorpusCte("rawc", 1)}, $spanChainCtes,
+  val pipelineCuration: String =
+    pipelineCurationSql(promoCorpusCte("rawc", 1), spanChainCtes())
+
+  /** The composite under the NEAR-DUP span policy (pipeline_curation_
+    * neardup): t79's tweaked-chrome corpus shape and leave-one-out
+    * detection chain, then the identical cluster/split/order tail —
+    * one generator, two policies, zero drift surface.
+    */
+  val pipelineCurationNearDup: String =
+    pipelineCurationSql(tweakedPromoCorpusCte("rawc"), nearDupChainCtes)
+
+  /** The standing corpus's full curation chain — injected corpus →
+    * span chain → cluster/split/order CTEs ending at `traindocs` +
+    * `e`. Shared by both one-shot composite policies and (with the
+    * exact policy) the increment twin's standing side.
+    */
+  private def pipelineCurationCtes(corpusCte: String,
+                                   spanChain: String): String = s"""WITH RECURSIVE ${nearDupCorpusCtes("rawc")}, $corpusCte, $spanChain,
 corpus2 AS (
   -- span-emptied docs drop here: zero training signal, and at scale
   -- they form one degenerate LSH bucket (n(n-1)/2 candidates)
@@ -3789,12 +3802,130 @@ traindocs AS (
   SELECT a.doc_id, a.cluster_rep
   FROM assigned2 a JOIN clusters2 c USING (doc_id)
   WHERE a.split = 'train' AND c.is_keeper
-), ${trainOrderChain("traindocs")}
+), ${trainOrderChain("traindocs")}"""
+
+  private def pipelineCurationSql(corpusCte: String,
+                                  spanChain: String): String =
+    pipelineCurationCtes(corpusCte, spanChain) + """
 SELECT e.epoch, e.doc_id, e.h % 8 AS shard,
        CAST(row_number() OVER (PARTITION BY e.epoch, e.h % 8
          ORDER BY e.h ASC, e.doc_id ASC) AS BIGINT) AS shard_pos,
        t.cluster_rep
 FROM e JOIN traindocs t USING (doc_id)"""
+
+  /** The incremental composite (pipeline_curation_increment): the v2
+    * crawl increment replayed through the INCREMENTAL algorithm — the
+    * standing chain above plays the materialized state (its `counts`
+    * CTE is the span index, `shing2`/`sig2`-family the d9 "existing
+    * side's keys", `clusters2` the standing resolution, `e` the
+    * shipped train order), and the increment flows: span-clean against
+    * standing + own window counts → cross-LSH attach to standing reps
+    * plus self-LSH for inc-internal pairs → components over {inc docs}
+    * ∪ {touched reps} → rep-lane split → train order APPENDED after
+    * the standing per-(epoch, shard) fill. Mirrors
+    * [[graft.ext.ExtQueries.curationTrainPipelineIncrement]] CTE for
+    * stage; the full-rebuild equivalence itself is spec-proven Spark-
+    * side (`CurationIncrementSpec`).
+    */
+  val pipelineCurationIncrement: String = {
+    val maxOcc = TextAnalysis.SpanMaxOcc
+    pipelineCurationCtes(promoCorpusCte("rawc", 1), spanChainCtes()) + s""",
+stdmax AS (
+  SELECT epoch, h % 8 AS shard, COUNT(*) AS npos FROM e GROUP BY 1, 2
+), rawinc AS (
+  SELECT doc_id + 600002 AS doc_id,
+         array_to_string(list_filter(string_split(text, ' '),
+           (t, i) -> i % 7 <> 0), ' ') AS text
+  FROM base WHERE doc_id % 6 = 1
+  UNION ALL
+  SELECT doc_id + 800000,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM base WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 850000,
+         array_to_string(list_transform(string_split(text, ' '),
+           tk -> 'v2' || tk), ' ')
+  FROM base WHERE doc_id % 19 = 0
+  UNION ALL
+  SELECT doc_id + 860000,
+         array_to_string(list_filter(list_transform(string_split(text, ' '),
+           tk -> 'v2' || tk), (t, i) -> i % 13 <> 0), ' ')
+  FROM base WHERE doc_id % 19 = 0
+), ${promoCorpusCte("rawinc", 1, "corpusi")},
+${spanPreludeCtes("i", "corpusi")}, hashedi AS MATERIALIZED (
+  SELECT doc_id, off, ${h64("win")} AS h FROM winsi
+), countsi AS (
+  SELECT h, COUNT(*) AS occ FROM hashedi GROUP BY 1
+), dupsi AS (
+  -- the incremental rule: total occurrences = standing index + own
+  SELECT doc_id, off FROM hashedi JOIN (
+    SELECT ci.h, ci.occ + COALESCE(c.occ, 0) AS occ
+    FROM countsi ci LEFT JOIN counts c USING (h)
+  ) tot USING (h) WHERE tot.occ > $maxOcc
+), ${spanTailCtes(sfx = "i")},
+corpus3 AS (
+  SELECT doc_id, clean_text AS text FROM spanouti WHERE clean_text <> ''
+), shing3 AS (
+  SELECT doc_id, ${sh3("string_split(text, ' ')", "text")} AS sh
+  FROM corpus3
+), sig3 AS (
+  SELECT doc_id, $sigCols
+  FROM shing3
+), bands3 AS (
+  ${bandSelectsFrom("sig3")}
+), candx AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands3 a JOIN bands2 b ON a.band = b.band AND a.key = b.key
+), verx AS (
+  SELECT id_a, id_b, ${jaccardExpr("sa.sh", "sb.sh")} AS jaccard
+  FROM candx
+  JOIN shing3 sa ON candx.id_a = sa.doc_id
+  JOIN shing2 sb ON candx.id_b = sb.doc_id
+), edgesx AS (
+  -- a verified cross edge rewires to the standing cluster's REP node
+  SELECT DISTINCT v.id_a AS src, c.cluster_rep AS dst
+  FROM verx v JOIN clusters2 c ON v.id_b = c.doc_id
+  WHERE v.jaccard >= 0.5
+), candi AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands3 a JOIN bands3 b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), veri AS (
+  SELECT id_a, id_b, ${jaccardExpr("sa.sh", "sb.sh")} AS jaccard
+  FROM candi
+  JOIN shing3 sa ON candi.id_a = sa.doc_id
+  JOIN shing3 sb ON candi.id_b = sb.doc_id
+), edgesall AS (
+  SELECT id_a AS src, id_b AS dst FROM veri WHERE jaccard >= 0.5
+  UNION ALL SELECT id_b, id_a FROM veri WHERE jaccard >= 0.5
+  UNION ALL SELECT src, dst FROM edgesx
+  UNION ALL SELECT dst, src FROM edgesx
+), nodesi AS (
+  SELECT doc_id FROM corpus3
+  UNION SELECT dst FROM edgesx
+), reachi AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodesi
+  UNION
+  SELECT r.src, e2.dst FROM reachi r JOIN edgesall e2 ON r.dst = e2.src
+), clustersi AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_rep,
+         src = MIN(dst) AS is_keeper
+  FROM reachi WHERE src IN (SELECT doc_id FROM corpus3)
+  GROUP BY src
+), ${splitChain("clustersi", "i")},
+traindocsi AS (
+  SELECT a.doc_id, a.cluster_rep
+  FROM assignedi a JOIN clustersi c USING (doc_id)
+  WHERE a.split = 'train' AND c.is_keeper
+), ${trainOrderChain("traindocsi", "i")}
+SELECT ei.epoch, ei.doc_id, ei.h % 8 AS shard,
+       CAST(COALESCE(s.npos, 0) + row_number() OVER (
+         PARTITION BY ei.epoch, ei.h % 8
+         ORDER BY ei.h ASC, ei.doc_id ASC) AS BIGINT) AS shard_pos,
+       t.cluster_rep
+FROM ei JOIN traindocsi t USING (doc_id)
+LEFT JOIN stdmax s ON s.epoch = ei.epoch AND s.shard = ei.h % 8"""
+  }
 
   /** t80: content-defined chunk dedup — anchor tokens on the seeded
     * `cdc|` lane open segments, segment fingerprints are the md5 lane
@@ -3856,7 +3987,7 @@ FROM spanout"""
               THEN concat_ws(' ', text, $SpanPromo)
               ELSE text END, '') AS text
   FROM documents
-), $spanChainCtes,
+), ${spanChainCtes()},
 rolled AS (
   SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
@@ -4259,7 +4390,11 @@ FROM hit GROUP BY 1"""
     * cut of the posting lists (identical values; the Spark side never
     * builds a full-vocabulary rollup).
     */
-  val t29Bm25TopK: String = s"""WITH q(query_id, qtext) AS (
+  /** The t29 BM25 chain over the four fixed probe queries — CTEs `q`
+    * through `agg` (query_id, doc_id, raw DECIMAL score `s`). Shared
+    * verbatim by t29's ranking tail and t54's lexical fusion side.
+    */
+  private def Bm25AggCtes: String = s"""q(query_id, qtext) AS (
   VALUES (CAST(1 AS BIGINT), 'spark join merge'),
          (2, 'window stream batch'),
          (3, 'customer order line'),
@@ -4286,7 +4421,9 @@ FROM hit GROUP BY 1"""
 ), agg AS (
   SELECT query_id, doc_id, SUM(CAST(w AS DECIMAL(28,9))) AS s
   FROM scored GROUP BY 1, 2
-), rk AS (
+)"""
+
+  val t29Bm25TopK: String = s"""WITH $Bm25AggCtes, rk AS (
   SELECT query_id, doc_id, s,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY s DESC, doc_id ASC) AS rank
@@ -4304,34 +4441,7 @@ FROM rk WHERE rank <= 10"""
     * discipline); a doc absent from one ranker carries a NULL rank and
     * a zero term.
     */
-  val t54HybridRrf: String = s"""WITH q(query_id, qtext) AS (
-  VALUES (CAST(1 AS BIGINT), 'spark join merge'),
-         (2, 'window stream batch'),
-         (3, 'customer order line'),
-         (4, 'vector hash table scan')
-), t AS (
-  SELECT doc_id, string_split($Norm, ' ') AS toks FROM documents
-), ex AS (
-  SELECT doc_id, unnest(toks) AS token FROM t
-), dtf AS (
-  SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2
-), dl AS (
-  SELECT doc_id, SUM(tf) AS dl FROM dtf GROUP BY 1
-), stats AS (
-  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
-), qt AS (
-  SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS token
-  FROM q
-), dfq AS (
-  SELECT token, COUNT(*) AS df FROM dtf
-  WHERE token IN (SELECT token FROM qt) GROUP BY 1
-), scored AS (
-  SELECT qt.query_id, d.doc_id,
-         ${Bm25TermSel}
-), agg AS (
-  SELECT query_id, doc_id, SUM(CAST(w AS DECIMAL(28,9))) AS s
-  FROM scored GROUP BY 1, 2
-), lex AS (
+  val t54HybridRrf: String = s"""WITH $Bm25AggCtes, lex AS (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY s DESC, doc_id ASC) AS rank
@@ -4433,16 +4543,7 @@ SELECT doc_id, 'new' AS status FROM newids"""
   /** d10: containment pairs over the near-dup corpus + snippet docs
     * (+500000: first max(3, 40%) tokens of every 17th doc).
     */
-  val d10Containment: String = s"""WITH base AS (
-  SELECT doc_id, $Norm AS text FROM documents
-), corpus0 AS (
-  SELECT doc_id, text FROM base
-  UNION ALL
-  SELECT doc_id + 100000,
-         array_to_string(list_filter(string_split(text, ' '),
-           (t, i) -> i % 13 <> 0), ' ')
-  FROM base WHERE doc_id % 7 = 0
-), corpus AS (
+  val d10Containment: String = s"""WITH ${nearDupCorpusCtes("corpus0")}, corpus AS (
   SELECT doc_id, text FROM corpus0
   UNION ALL
   SELECT doc_id + 500000,
@@ -4559,7 +4660,8 @@ FROM r WHERE rank <= ${TextAnalysis.DomainQuotaN}"""
     * seeded order hash per (epoch, doc). Shared by t22 and the
     * curation composite.
     */
-  private def trainOrderChain(docsRel: String): String = s"""e AS (
+  private def trainOrderChain(docsRel: String,
+                              sfx: String = ""): String = s"""e$sfx AS (
   SELECT 0 AS epoch, doc_id,
          ${h64("'ord0|' || CAST(doc_id AS VARCHAR)")} AS h
   FROM $docsRel
@@ -7617,19 +7719,7 @@ FROM bp_a JOIN bc_a ON bc_a.vid = bp_a.vid"""
     * The literal thirds round-trip to the same IEEE doubles Scala's
     * `i.toDouble / bins` produces.
     */
-  val t62PerplexityBuckets: String = ToksCte + """, ex AS (
-  SELECT doc_id, unnest(toks) AS token FROM t
-), dtf AS (
-  SELECT doc_id, token, COUNT(*) AS cnt_d FROM ex GROUP BY 1, 2
-), vocab AS (
-  SELECT token, SUM(cnt_d) AS cnt FROM dtf GROUP BY 1
-), tot AS (
-  SELECT SUM(cnt) AS n_total FROM vocab
-), lm AS (
-  SELECT token,
-         round(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 9) AS lp
-  FROM vocab CROSS JOIN tot
-), scored AS (
+  val t62PerplexityBuckets: String = UnigramLmCtes + """, scored AS (
   SELECT doc_id,
          round(CAST(SUM(CAST(lp AS DECIMAL(28,9))
                         * CAST(cnt_d AS DECIMAL(9,0))) AS DOUBLE)

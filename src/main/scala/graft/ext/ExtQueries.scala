@@ -2360,18 +2360,46 @@ object ExtQueries {
     curationTrainPipelineFrom(nearDupCorpus(Tables.documents(spark, sfDir)))
   }
 
-  /** The composite over a caller-provided (doc_id, text) corpus — the
-    * query fixture above feeds the injected near-dup corpus; the scale
-    * probe feeds replicated copies.
+  /** The composite with the NEAR-DUP span policy (pipeline_curation_
+    * neardup): same chain, but the chrome fixture is t79's — every
+    * third doc gets the shared promo with a per-doc tracking token
+    * substituted at position [[TextAnalysis.SpanPromoTweakPos]], so no
+    * two injected copies are verbatim-equal — and the span pass is
+    * [[TextAnalysis.nearDupSpanDedup]]. This closes the r18 gap the
+    * t79 operator itself exposed: the flagship pipeline ran the EXACT
+    * span pass only, so per-copy tweaked chrome (syndication with
+    * per-feed tracking tokens) sailed through t77's verbatim matching
+    * and reached clustering/training; under the near-dup policy the
+    * full tweaked run — tracking token included — is stripped before
+    * any downstream tier sees it (end-to-end fixture asserted in
+    * `CurationPipelineSpec`: exact mode keeps the chrome, near-dup
+    * mode removes it). t80's CDC pass is the documented budget
+    * fallback when t79's L× fingerprint volume exceeds budget — the
+    * tier choice is a one-argument policy here, priced in the README
+    * dedup-tier table.
     */
-  def curationTrainPipelineFrom(raw: DataFrame): DataFrame = {
-    val injected = spread(raw.select(col("doc_id"),
-      when(col("doc_id") % 3 === 0,
-        concat_ws(" ", col("text"), lit(TextAnalysis.SpanPromoText)))
-        .otherwise(col("text")).as("text")))
+  def curationTrainPipelineNearDup(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    curationTrainPipelineFrom(
+      nearDupCorpus(Tables.documents(spark, sfDir)),
+      tweakedChrome = true, nearDupPass = true)
+  }
+
+  /** The composite over a caller-provided (doc_id, text) corpus — the
+    * query fixtures above feed the injected near-dup corpus; the scale
+    * probe feeds replicated copies. `tweakedChrome` switches the
+    * injected chrome from the exact shared promo to t79's per-doc
+    * tweaked form; `nearDupPass` switches the span tier from t77
+    * (exact windows) to t79 (1-mismatch leave-one-out windows). The
+    * two knobs are independent so the spec can run the tweaked fixture
+    * under BOTH passes and pin the policy difference end-to-end.
+    */
+  def curationTrainPipelineFrom(raw: DataFrame,
+                                tweakedChrome: Boolean = false,
+                                nearDupPass: Boolean = false): DataFrame = {
     val cleaned = graft.std.Materialize.once(
-      TextAnalysis.spanDedup(injected)
-        .select(col("doc_id"), col("clean_text").as("text")))
+      curationCleanedCorpus(raw, tweakedChrome, nearDupPass))
     // drop docs the span pass emptied BEFORE clustering: t77 keeps
     // them for accounting (the every-doc-survives contract), but a
     // cleaned-empty doc carries zero training signal — and at scale
@@ -2390,6 +2418,228 @@ object ExtQueries {
       .join(trainDocs, Seq("doc_id"))
       .select(col("epoch"), col("doc_id"), col("shard"),
         col("shard_pos"), col("cluster_rep"))
+  }
+
+  /** The composite's span tier in isolation: chrome injection + span
+    * pass over a (doc_id, text) corpus, returning the cleaned
+    * (doc_id, text) frame the cluster tier consumes. Public so the
+    * policy spec can assert chrome survival per mode at the tier
+    * where chrome lives (the pipeline's output carries no text).
+    */
+  def curationCleanedCorpus(raw: DataFrame, tweakedChrome: Boolean,
+                            nearDupPass: Boolean): DataFrame = {
+    val injected = curationChromeInjected(raw, tweakedChrome)
+    val spanPass =
+      if (nearDupPass) TextAnalysis.nearDupSpanDedup(injected)
+      else TextAnalysis.spanDedup(injected)
+    spanPass.select(col("doc_id"), col("clean_text").as("text"))
+  }
+
+  /** The composite's chrome-injection stage: every third doc gets the
+    * promo appended — the exact shared sentence, or t79's per-doc
+    * tweaked form. Factored so the increment path injects the SAME
+    * chrome rule over its own corpus (a full rebuild applies one rule
+    * to the union; the incremental path must match it doc-for-doc).
+    */
+  private def curationChromeInjected(raw: DataFrame,
+                                     tweakedChrome: Boolean): DataFrame = {
+    val chrome =
+      if (tweakedChrome)
+        concat_ws(" ", col("text"), lit(TextAnalysis.SpanPromoHead),
+          concat(lit("trk"), col("doc_id").cast("string")),
+          lit(TextAnalysis.SpanPromoTail))
+      else concat_ws(" ", col("text"), lit(TextAnalysis.SpanPromoText))
+    spread(raw.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, chrome)
+        .otherwise(col("text")).as("text")))
+  }
+
+  /** The v2 crawl increment (pipeline_curation_increment's fixture):
+    * three deterministic families over the base documents, ids all
+    * ≥ 600000 (above every standing id, so component minima — cluster
+    * reps — are never displaced by increment membership, the property
+    * the full-rebuild equivalence proof leans on):
+    *
+    *  - CHANGED pages (`+600002`, every `d % 6 == 1`): every 7th token
+    *    dropped — surviving runs cap at 6 < 8 tokens, so a changed
+    *    page STRUCTURALLY cannot put a new ≥8-token verbatim run into
+    *    the standing span counts, and the standing corpus's frozen
+    *    cleaning is exact, not approximate. (The denser every-8th
+    *    lattice was measured and REJECTED: its 7-token runs plus this
+    *    corpus's small vocabulary produced accidental shared windows —
+    *    4 standing rows changed under the full rebuild — exactly the
+    *    freeze violation the fixture must exclude.) Distinct-3-shingle
+    *    Jaccard vs the source lands just around the 0.5 verify bar —
+    *    a handful of changed pages attach (and are dropped as dups in
+    *    BOTH paths, the dedup outcome), the rest become fresh
+    *    singletons; the attach lane's firing is pinned separately in
+    *    the spec. Source docs are chrome-FREE in standing (d ≡ 1 mod
+    *    3) while the increment ids are chrome-ELIGIBLE (+600002 ≡ 2
+    *    mod 3 makes id ≡ 0 mod 3), so every changed page exercises
+    *    the cross-corpus span path: its chrome is removed purely by
+    *    the STANDING index counts.
+    *  - FRESH-looking pages (`+800000`, every `d % 13 == 0`): token
+    *    order reversed — shares no forward 3-shingle or 8-window with
+    *    anything, so these form new clusters (except degenerate ≤
+    *    2-token docs whose whole-text shingle survives reversal and
+    *    attaches — kept deliberately: it exercises the short-doc
+    *    attach lane).
+    *  - INC-INTERNAL near-dups (`+850000`/`+860000`, every
+    *    `d % 19 == 0`): a `v2`-token-prefixed copy of the doc and its
+    *    every-13th-token-dropped mutation — similar to each OTHER but
+    *    (prefixed) alien to standing, so the increment's own span
+    *    counts and self-LSH lanes fire without touching standing text.
+    */
+  def curationIncrementCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextOps.normText(col("text")).as("text"))
+    val toks = split(col("text"), " ")
+    val pref = transform(toks, t => concat(lit("v2"), t))
+    base.filter(col("doc_id") % 6 === 1).select(
+      (col("doc_id") + 600002).as("doc_id"),
+      concat_ws(" ", filter(toks, (t, i) => (i + 1) % 7 =!= 0)).as("text"))
+    .unionByName(base.filter(col("doc_id") % 13 === 0).select(
+      (col("doc_id") + 800000).as("doc_id"),
+      concat_ws(" ", reverse(toks)).as("text")))
+    .unionByName(base.filter(col("doc_id") % 19 === 0).select(
+      (col("doc_id") + 850000).as("doc_id"),
+      concat_ws(" ", pref).as("text")))
+    .unionByName(base.filter(col("doc_id") % 19 === 0).select(
+      (col("doc_id") + 860000).as("doc_id"),
+      concat_ws(" ", filter(pref, (t, i) => (i + 1) % 13 =!= 0)).as("text")))
+  }
+
+  /** Session memo of the standing curation artifacts — what the daily
+    * production pipeline keeps MATERIALIZED between crawls: the
+    * span-window index, the cleaned corpus, its shingles + MinHash
+    * signatures (the d9 "existing side's keys" discipline), and the
+    * cluster resolution. Built once per (session, sfDir) from the
+    * exact-policy composite's own tiers; every increment run consumes
+    * the checkpoints (memo counters make a rebuild machine-visible in
+    * the bench record).
+    */
+  private val curationMemo = new graft.std.SessionMemo()
+
+  private def curationStanding(spark: SparkSession, memoTag: String,
+                               tag: String)(build: => DataFrame): DataFrame =
+    curationMemo.getOrBuild(spark, s"curation_$tag|$memoTag")(
+      graft.std.Materialize.pinUnregistered(build))
+
+  /** Incremental curation (pipeline_curation_increment): the v2 crawl
+    * increment flows through the SAME four tiers as pipeline_curation
+    * — span dedup → cluster resolution → leakage-safe split → train
+    * order — but each tier consumes the standing corpus's materialized
+    * state instead of recomputing it:
+    *
+    *  1. Span pass: [[TextAnalysis.spanDedupIncrement]] against the
+    *     standing [[TextAnalysis.spanIndex]] — total window counts
+    *     equal the full rebuild's, so increment cleaning is EXACT.
+    *  2. Cluster attach: increment shingles/signatures self-join for
+    *     inc-internal pairs plus the d9 cross-LSH against the standing
+    *     band keys; a verified cross edge rewires to the standing
+    *     cluster's REP node, and connected components over {inc docs}
+    *     ∪ {touched reps} reproduces the full rebuild's reps for
+    *     increment rows (standing ids < all increment ids, so minima
+    *     never move; an inc doc bridging two standing clusters takes
+    *     min(rep1, rep2) — exactly the merged component's rep).
+    *  3. Split: the same rep-hash lane — a doc joining an existing
+    *     cluster INHERITS the cluster's split by construction (d14's
+    *     growth contract), new clusters draw their own lane.
+    *  4. Train order: the t22 hash order over increment train keepers,
+    *     APPENDED after the standing corpus's per-(epoch, shard)
+    *     positions — standing shard files already shipped to training
+    *     and are immutable, so the increment extends them (full
+    *     rebuild would renumber everything it already trained on; the
+    *     spec pins that the inc docs' (epoch, shard) and relative
+    *     order still equal the full rebuild's).
+    *
+    * Equivalence to the full rebuild on the fixture (spec-proven at
+    * sf0.001): increment rows match the rebuild in cleaned text,
+    * cluster_rep, split, epoch, shard, and within-shard order;
+    * standing rows are bit-identical frozen (the fixture introduces no
+    * new verbatim ≥8-run into standing text). Cost shape: O(increment)
+    * explodes/aggregations plus index lookups; zero standing-tier
+    * rebuilds (memo-counter-asserted).
+    */
+  def curationTrainPipelineIncrement(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    curationTrainPipelineIncrementFrom(spark, sfDir,
+      nearDupCorpus(Tables.documents(spark, sfDir)),
+      curationIncrementCorpus(Tables.documents(spark, sfDir)))
+  }
+
+  /** The incremental composite over caller-provided standing/increment
+    * corpora, standing memos keyed by `memoTag` — the query fixture
+    * above binds the sfDir corpora; the increment probe binds
+    * replicated standing corpora against a FIXED increment to measure
+    * the O(increment) claim directly.
+    */
+  def curationTrainPipelineIncrementFrom(spark: SparkSession,
+                                         memoTag: String,
+                                         standingRaw: DataFrame,
+                                         incRaw: DataFrame): DataFrame = {
+    val standingInjected =
+      curationChromeInjected(standingRaw, tweakedChrome = false)
+    val standingClean = curationStanding(spark, memoTag, "clean")(
+      TextAnalysis.spanDedup(standingInjected)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .filter(col("text") =!= ""))
+    val standingSpanIdx = curationStanding(spark, memoTag, "spanidx")(
+      TextAnalysis.spanIndex(standingInjected))
+    val standingShingles = curationStanding(spark, memoTag, "shingles")(
+      Dedup.shingleFrame(standingClean))
+    val standingSigs = curationStanding(spark, memoTag, "sigs")(
+      Dedup.minHashSignatures(standingShingles, 8))
+    val clusters =
+      curationMemo.getOrBuild(spark, s"curation_clusters|$memoTag")(
+        clustersOf(standingClean))
+    val incInjected =
+      curationChromeInjected(incRaw, tweakedChrome = false)
+    val cleanedInc = graft.std.Materialize.once(
+      TextAnalysis.spanDedupIncrement(incInjected, standingSpanIdx)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .filter(col("text") =!= ""))
+    val shB = graft.std.Materialize.once(Dedup.shingleFrame(cleanedInc))
+    val sigB = graft.std.Materialize.once(Dedup.minHashSignatures(shB, 8))
+    val crossEdges = Dedup.verifiedCrossNearDups(
+        Dedup.lshCrossCandidates(sigB, standingSigs, 8, 4),
+        shB, standingShingles, 0.5)
+      .join(clusters.select(col("doc_id").as("id_b"),
+        col("cluster_rep")), Seq("id_b"))
+      .select(col("id_a"), col("cluster_rep").as("id_b")).distinct()
+    val selfEdges = Dedup.verifiedNearDups(
+        Dedup.lshCandidatePairs(sigB, 8, 4), shB, 0.5)
+      .select("id_a", "id_b")
+    val nodes = cleanedInc.select("doc_id")
+      .unionByName(crossEdges.select(col("id_b").as("doc_id"))).distinct()
+    val cc = Dedup.connectedComponents(nodes,
+      selfEdges.unionByName(crossEdges))
+    val clustersI = cc
+      .join(cleanedInc.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("cluster_rep"),
+        (col("doc_id") === col("cluster_rep")).as("is_keeper"))
+    def trainKeepers(cl: DataFrame): DataFrame =
+      Dedup.leakageSafeSplit(cl).filter(col("split") === "train")
+        .join(cl.filter(col("is_keeper")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("cluster_rep"))
+    // standing per-(epoch, shard) fill — 16 rows, itself part of the
+    // materialized standing state (recomputing it would re-window the
+    // whole standing train order per crawl: an O(standing) cost the
+    // probe caught riding every warm run), broadcast into the append
+    val stdMax = curationStanding(spark, memoTag, "stdfill")(
+      TextAnalysis.trainOrder(trainKeepers(clusters))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("_npos")))
+    val trainDocsI = trainKeepers(clustersI)
+    TextAnalysis.trainOrder(trainDocsI)
+      .join(trainDocsI, Seq("doc_id"))
+      .join(broadcast(stdMax), Seq("epoch", "shard"), "left")
+      .select(col("epoch"), col("doc_id"), col("shard"),
+        (coalesce(col("_npos"), lit(0L)) + col("shard_pos"))
+          .as("shard_pos"),
+        col("cluster_rep"))
   }
 
   /** Content-defined chunk dedup (t80) over a corpus with a 24-token

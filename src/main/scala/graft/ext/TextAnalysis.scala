@@ -1847,22 +1847,87 @@ object TextAnalysis {
     require(maxOcc >= 1, "a span always occurs at least once")
     val L = minTokens
     val base = spanBase(docs, textCol)
-    // (doc_id, off, hash): one window per token offset, 1-based; docs
-    // shorter than L open no windows (nothing that short can span-dup).
-    // Hash AFTER the explode so the md5 runs once per window attribute,
-    // not inside the transform lambda (the HOF no-CSE trap).
-    val wins = graft.std.Materialize.once(base
-      .select(col("doc_id"),
-        posexplode(when(col("_n") >= L,
-          transform(sequence(lit(1), col("_n") - (L - 1)),
-            i => concat_ws(" ", slice(col("_toks"), i, lit(L)))))))
-      .select(col("doc_id"), (col("pos") + 1).as("off"),
-        TextOps.hash64(col("col")).as("_h")))
+    val wins = graft.std.Materialize.once(spanWindowHashes(base, L))
     // corpus-wide occurrence count per window hash — positions count,
     // not distinct docs: a span repeated twice inside ONE doc is dup
     val counts = wins.groupBy(col("_h"))
       .agg(count(lit(1)).as("_occ"))
     val dups = wins.join(counts.filter(col("_occ") > maxOcc), Seq("_h"))
+      .select(col("doc_id"), col("off"))
+    spanRebuild(base, dups, L)
+  }
+
+  /** (doc_id, off, _h) window-hash frame over a [[spanBase]] frame:
+    * one window per token offset, 1-based; docs shorter than L open no
+    * windows (nothing that short can span-dup). Hash AFTER the explode
+    * so the md5 runs once per window attribute, not inside the
+    * transform lambda (the HOF no-CSE trap). Shared by [[spanDedup]],
+    * [[spanIndex]], and [[spanDedupIncrement]] so the three sides of
+    * the incremental contract hash the identical window expression.
+    */
+  private def spanWindowHashes(base: DataFrame, L: Int): DataFrame =
+    base.select(col("doc_id"),
+      posexplode(when(col("_n") >= L,
+        transform(sequence(lit(1), col("_n") - (L - 1)),
+          i => concat_ws(" ", slice(col("_toks"), i, lit(L)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("off"),
+        TextOps.hash64(col("col")).as("_h"))
+
+  /** The span INDEX a production t77 pipeline persists between crawls:
+    * corpus-wide occurrence counts per L-token window hash —
+    * [[spanDedup]]'s `counts` stage materialized as standing state, so
+    * an increment can be span-cleaned against the standing corpus
+    * without re-scanning it ([[spanDedupIncrement]]). 100 TB shape:
+    * the index is |corpus windows| rows of (56-bit hash, count) — at
+    * scale it lives as a hash-bucketed table so the increment-side
+    * lookup prunes buckets instead of scanning; here it rides a
+    * session-memoized checkpoint.
+    *
+    * Returns (span_h, occ).
+    */
+  def spanIndex(docs: DataFrame, minTokens: Int = SpanMinTokens,
+                textCol: String = "text"): DataFrame =
+    spanWindowHashes(spanBase(docs, textCol), minTokens)
+      .groupBy(col("_h")).agg(count(lit(1)).as("occ"))
+      .select(col("_h").as("span_h"), col("occ"))
+
+  /** Incremental t77: span-dedup an INCREMENT against a standing
+    * corpus's [[spanIndex]]. A window is duplicated when its total
+    * occurrences across standing + increment exceed `maxOcc` — which
+    * is EXACTLY the count a full rebuild over standing ∪ increment
+    * computes for any window occurring in the increment, so the
+    * increment's cleaned text equals the full rebuild's for the same
+    * doc ids (spec-proven on the v2 crawl fixture). The standing
+    * corpus's own cleaning is FROZEN by contract: its artifacts
+    * shipped with the previous crawl, and a fixture whose increment
+    * introduces no new ≥L-token verbatim run into standing text (the
+    * realistic shape — new crawls mutate, they don't replay old text
+    * verbatim off-chrome) leaves the full rebuild's standing rows
+    * unchanged too, making the freeze exact rather than approximate
+    * (also spec-asserted).
+    *
+    * 100 TB shape: O(increment) window explode + one partial agg over
+    * increment hashes, then one lookup join against the standing index
+    * (bucket-pruned at scale, see [[spanIndex]]); island merge and
+    * rebuild are t77's per-doc kernels over increment docs only.
+    *
+    * Returns (doc_id, clean_text, n_tokens, n_spans, n_removed_tokens).
+    */
+  def spanDedupIncrement(docs: DataFrame, standingIndex: DataFrame,
+                         minTokens: Int = SpanMinTokens,
+                         maxOcc: Int = SpanMaxOcc,
+                         textCol: String = "text"): DataFrame = {
+    require(minTokens >= 2, "a span is at least 2 tokens")
+    require(maxOcc >= 1, "a span always occurs at least once")
+    val L = minTokens
+    val base = spanBase(docs, textCol)
+    val wins = graft.std.Materialize.once(spanWindowHashes(base, L))
+    val own = wins.groupBy(col("_h")).agg(count(lit(1)).as("_inc_occ"))
+    val tot = own.join(standingIndex,
+        own("_h") === standingIndex("span_h"), "left")
+      .select(own("_h"),
+        (col("_inc_occ") + coalesce(col("occ"), lit(0L))).as("_occ"))
+    val dups = wins.join(tot.filter(col("_occ") > maxOcc), Seq("_h"))
       .select(col("doc_id"), col("off"))
     spanRebuild(base, dups, L)
   }

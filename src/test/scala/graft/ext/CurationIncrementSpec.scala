@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** pipeline_curation_increment: the incremental composite PROVEN
+  * equivalent to a full rebuild on the v2 crawl fixture (r18 verdict
+  * #3). The oracle gates the incremental algorithm's VALUES; this spec
+  * gates the claim that matters — that consuming the standing corpus's
+  * materialized state (span index, shingle/signature keys, clusters,
+  * shipped train order) reproduces what re-running the whole pipeline
+  * over standing ∪ increment would produce, at O(increment) cost:
+  *
+  *  - increment rows match the full rebuild in (epoch, doc_id, shard,
+  *    cluster_rep) and in within-(epoch, shard) relative order;
+  *  - standing rows are FROZEN: the full rebuild's standing output is
+  *    identical to the standing-only pipeline's (the fixture's
+  *    increment introduces no new ≥8-token verbatim run into standing
+  *    text, so even a rebuild would not touch it);
+  *  - shard_pos follows the append contract: standing per-shard fill +
+  *    dense hash-ordered rank among appended docs (a rebuild would
+  *    renumber rows a trainer already consumed — the one deliberate
+  *    divergence, pinned as the exact formula);
+  *  - the attach lane actually fires on the fixture (cross-verified
+  *    pairs exist; attached docs are dups and reach NEITHER output);
+  *  - re-running the increment rebuilds NO standing tier (memo
+  *    counters) and its final plan reads checkpoints, not explodes.
+  */
+class CurationIncrementSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val docs =
+    graft.sources.Tables.documents(spark, sfDir)
+  private lazy val standingRaw = ExtQueries.nearDupCorpus(docs)
+  private lazy val incRaw = ExtQueries.curationIncrementCorpus(docs)
+  private lazy val full = ExtQueries
+    .curationTrainPipelineFrom(standingRaw.unionByName(incRaw))
+    .localCheckpoint(true)
+  private lazy val standingOnly = ExtQueries
+    .curationTrainPipelineFrom(standingRaw).localCheckpoint(true)
+  private lazy val incr = ExtQueries
+    .curationTrainPipelineIncrement(spark, sfDir).localCheckpoint(true)
+  private lazy val fullInc = full.filter(col("doc_id") >= 600000)
+
+  test("increment rows ≡ full rebuild: ids, shard, cluster_rep") {
+    assert(incr.count() > 0, "fixture must produce appended train rows")
+    val a = fullInc.select("epoch", "doc_id", "shard", "cluster_rep")
+    val b = incr.select("epoch", "doc_id", "shard", "cluster_rep")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "incremental (epoch, doc_id, shard, cluster_rep) must equal the " +
+        "full rebuild's for increment ids")
+  }
+
+  test("standing rows are frozen: full rebuild ≡ standing-only") {
+    val fs = full.filter(col("doc_id") < 600000)
+      .select("epoch", "doc_id", "shard", "cluster_rep")
+    val ss = standingOnly.select("epoch", "doc_id", "shard", "cluster_rep")
+    assert(fs.except(ss).isEmpty && ss.except(fs).isEmpty,
+      "the increment must not change any standing row (sans the " +
+        "renumbered shard_pos): the fixture's mutations cap shared " +
+        "runs at 6 < 8 tokens, so standing span counts are untouched")
+  }
+
+  test("within-shard relative order matches the full rebuild") {
+    val w = Window.partitionBy("epoch", "shard").orderBy("shard_pos")
+    val rF = fullInc.withColumn("r", row_number().over(w))
+      .select("epoch", "doc_id", "shard", "r")
+    val rI = incr.withColumn("r", row_number().over(w))
+      .select("epoch", "doc_id", "shard", "r")
+    assert(rF.except(rI).isEmpty && rI.except(rF).isEmpty,
+      "appended docs must keep the rebuild's hash order within shards")
+  }
+
+  test("shard_pos appends after the standing per-shard fill, densely") {
+    val sc = standingOnly.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("epoch", "shard").orderBy("shard_pos")
+    val viol = incr.join(sc, Seq("epoch", "shard"), "left")
+      .withColumn("r", row_number().over(w))
+      .filter(col("shard_pos") =!= coalesce(col("n"), lit(0L)) + col("r"))
+    assert(viol.isEmpty,
+      "shard_pos must be standing fill + dense appended rank")
+  }
+
+  test("the attach lane fires: cross dups verified and dropped by both") {
+    // replay the attach stage through the public kernels: standing
+    // cleaned corpus vs increment cleaned corpus, cross-LSH + verify
+    val promo = TextAnalysis.SpanPromoText
+    def inject(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat_ws(" ", col("text"), lit(promo)))
+          .otherwise(col("text")).as("text"))
+    val stdClean = TextAnalysis.spanDedup(inject(standingRaw))
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .filter(col("text") =!= "").localCheckpoint(true)
+    val incClean = TextAnalysis.spanDedupIncrement(inject(incRaw),
+        TextAnalysis.spanIndex(inject(standingRaw)))
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .filter(col("text") =!= "").localCheckpoint(true)
+    val shE = Dedup.shingleFrame(stdClean).localCheckpoint(true)
+    val shB = Dedup.shingleFrame(incClean).localCheckpoint(true)
+    val attached = Dedup.verifiedCrossNearDups(
+        Dedup.lshCrossCandidates(Dedup.minHashSignatures(shB, 8),
+          Dedup.minHashSignatures(shE, 8), 8, 4), shB, shE, 0.5)
+      .select("id_a").distinct().collect().map(_.getLong(0)).toSet
+    assert(attached.nonEmpty,
+      "fixture must produce verified increment→standing attachments")
+    // an attached doc is a near-dup of standing content: it must be
+    // dropped (non-keeper) by BOTH the incremental path and the rebuild
+    val inIncr = incr.select("doc_id").collect().map(_.getLong(0)).toSet
+    val inFull = fullInc.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(attached.intersect(inIncr).isEmpty,
+      s"attached dups leaked into the incremental train order")
+    assert(attached.intersect(inFull).isEmpty,
+      s"attached dups leaked into the full rebuild's train order")
+  }
+
+  test("O(increment): re-run rebuilds no standing tier; plan is pinned") {
+    incr.count() // ensure the memos exist
+    val before = graft.std.SessionMemo.counters
+      .filter(_._1.startsWith("curation_"))
+    val again = ExtQueries.curationTrainPipelineIncrement(spark, sfDir)
+    again.count()
+    val after = graft.std.SessionMemo.counters
+      .filter(_._1.startsWith("curation_"))
+    assert(before.nonEmpty, "standing memo tags must exist")
+    after.foreach { case (tag, (_, builds)) =>
+      assert(builds == before(tag)._2,
+        s"standing tier $tag was rebuilt on an increment re-run")
+      assert(builds == 1L, s"standing tier $tag built ${builds}x")
+    }
+    // the re-run's physical plan: increment explodes ran at pin time,
+    // standing tiers arrive as checkpoints — no Generate in the tail
+    val phys = again.queryExecution.executedPlan.toString
+    assert(!phys.contains("Generate"),
+      s"an explode leaked into the increment tail:\n$phys")
+    assert("Scan ExistingRDD".r.findAllIn(phys).nonEmpty,
+      "the increment tail must consume pinned/memoized checkpoints")
+  }
+}

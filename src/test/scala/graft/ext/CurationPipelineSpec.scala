@@ -72,6 +72,51 @@ class CurationPipelineSpec extends AnyFunSuite {
       s"span-emptied docs must not reach the train order: $out")
   }
 
+  test("span policy: exact mode passes tweaked chrome, near-dup strips it") {
+    // the r18 gap: the flagship pipeline ran the EXACT span pass only,
+    // so syndicated chrome carrying a per-copy tracking token (no two
+    // copies verbatim-equal) sailed through t77's matching and reached
+    // clustering/training. The tweaked-chrome fixture run under BOTH
+    // policies pins the difference end-to-end at the tier where chrome
+    // lives: exact mode keeps the full tweaked run (tracking token
+    // included); near-dup mode removes it from every injected doc.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ids all % 3 == 0, so every doc gets the chrome; organic bodies
+    // are mutually unique >= 8-token runs that no policy may touch
+    val docs = Seq(3L, 6L, 9L, 12L).map(i =>
+      i -> (1 to 9).map(k => s"body${i}tok$k").mkString(" "))
+      .toDF("doc_id", "text")
+    def cleanedTexts(nearDup: Boolean): Map[Long, String] =
+      ExtQueries.curationCleanedCorpus(docs, tweakedChrome = true,
+          nearDupPass = nearDup)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exact = cleanedTexts(nearDup = false)
+    val near = cleanedTexts(nearDup = true)
+    val promoToks = graft.ext.TextAnalysis.SpanPromoText.split(" ").toSet
+    exact.foreach { case (id, t) =>
+      val toks = t.split(" ").toSet
+      assert(toks.contains(s"trk$id") &&
+        (promoToks - graft.ext.TextAnalysis.SpanPromoText.split(" ")(
+          graft.ext.TextAnalysis.SpanPromoTweakPos - 1)).subsetOf(toks),
+        s"exact mode should KEEP the tweaked chrome on doc $id: $t")
+    }
+    near.foreach { case (id, t) =>
+      val toks = t.split(" ").toSet
+      assert(!toks.contains(s"trk$id") && toks.intersect(promoToks).isEmpty,
+        s"near-dup mode should STRIP the tweaked chrome on doc $id: $t")
+      assert(toks.exists(_.startsWith(s"body$id")),
+        s"near-dup mode must not gut the unique organic body of $id: $t")
+    }
+    // and end-to-end: both policies keep all four docs (unique bodies,
+    // no clusters), so the pipelines emit the same doc set — the
+    // difference is WHAT text survives, pinned above
+    val outNear = ExtQueries.curationTrainPipelineFrom(docs,
+      tweakedChrome = true, nearDupPass = true)
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(outNear.nonEmpty && outNear.subsetOf(Set(3L, 6L, 9L, 12L)))
+  }
+
   test("the split is leakage-safe: no surviving doc's cluster leaked") {
     // every output doc is a keeper (== rep) assigned by rep-keyed
     // hashing to 'train'; replay the lane independently (the

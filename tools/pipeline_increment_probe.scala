@@ -1,0 +1,65 @@
+// pipeline_curation_increment O(increment) probe: a FIXED daily
+// increment against a GROWING standing corpus (1x/4x/10x replicas of
+// the sf0.1 injected near-dup corpus, token-suffix distinct like the
+// composite scale probe). Per standing scale:
+//   build — one-time standing materialization (span index, cleaned
+//           corpus, shingle/signature keys, clusters): the standing
+//           pipeline's own cost, paid once per corpus, not per crawl.
+//   warm  — the increment re-run against the memoized state: the
+//           per-crawl cost. The O(increment) claim = warm grows far
+//           slower than the standing corpus (residual growth is the
+//           index/keys lookup scan, linear but cheap, bucket-pruned
+//           at real scale), while...
+//   full  — the full rebuild over standing ∪ increment: grows with
+//           the CORPUS, which is exactly why a daily pipeline cannot
+//           run it.
+//
+// Run: /opt/spark/bin/spark-shell --master "local[32]" --driver-memory 24g \
+//        --driver-class-path target/scala-2.13/classes \
+//        --conf spark.ui.enabled=false -I tools/pipeline_increment_probe.scala
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+spark.conf.set("spark.sql.shuffle.partitions", "32")
+spark.conf.set("spark.sql.session.timeZone", "UTC")
+spark.sparkContext.setLogLevel("ERROR")
+
+def time[T](label: String)(f: => T): T = {
+  val t0 = System.nanoTime()
+  val r = f
+  println(f"[probe] $label%-10s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+  r
+}
+
+val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+  .select("doc_id", "text").repartition(32, col("doc_id"))
+def nearDup(d: DataFrame): DataFrame = graft.ext.ExtQueries.nearDupCorpus(d)
+def rep(n: Int): DataFrame = (0 until n).map(i =>
+  docs1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+    concat_ws(" ", transform(split(col("text"), " "),
+      t => concat(t, lit(s"_$i")))).as("text"))).reduce(_ unionByName _)
+
+// the fixed increment: the v2 fixture over the UNSCALED base docs
+val incRaw = graft.ext.ExtQueries.curationIncrementCorpus(docs1)
+  .localCheckpoint(true)
+
+def agg(df: DataFrame): Unit = {
+  val r = df.agg(count(lit(1)), sum(col("shard_pos"))).collect()(0)
+  println(s"[probe]   rows=${r.getLong(0)}")
+  graft.std.Materialize.releaseAll()
+}
+
+for ((n, tag) <- Seq(1 -> "1x", 4 -> "4x", 10 -> "10x")) {
+  val standing = if (n == 1) nearDup(docs1)
+    else nearDup(rep(n)).repartition(32 * (n min 4)).localCheckpoint(true)
+  time(s"build-$tag")(agg(
+    graft.ext.ExtQueries.curationTrainPipelineIncrementFrom(
+      spark, s"probe$tag", standing, incRaw)))
+  time(s"warm-$tag")(agg(
+    graft.ext.ExtQueries.curationTrainPipelineIncrementFrom(
+      spark, s"probe$tag", standing, incRaw)))
+  time(s"full-$tag")(agg(
+    graft.ext.ExtQueries.curationTrainPipelineFrom(
+      standing.unionByName(incRaw))))
+}
+sys.exit(0)

@@ -38,9 +38,10 @@ def nearDup(docs: DataFrame): DataFrame = {
       (t, i) => (i + 1) % 13 =!= 0)).as("text")))
 }
 
-def run(raw: DataFrame, label: String): Unit = {
+def run(raw: DataFrame, label: String, nearDup: Boolean = false): Unit = {
   val r = time(label)(
-    graft.ext.ExtQueries.curationTrainPipelineFrom(raw)
+    graft.ext.ExtQueries.curationTrainPipelineFrom(raw,
+        tweakedChrome = nearDup, nearDupPass = nearDup)
       .agg(count(lit(1)), countDistinct(col("doc_id")),
         sum(col("shard_pos"))).collect()(0))
   println(s"[probe] $label rows=${r.getLong(0)} docs=${r.getLong(1)}")
@@ -58,4 +59,12 @@ run(nearDup(docs1), "warmup")
 run(nearDup(docs1), "1x")
 run(nearDup(rep(4)).repartition(32).localCheckpoint(true), "4x")
 run(nearDup(rep(10)).repartition(64).localCheckpoint(true), "10x")
+// near-dup span policy (pipeline_curation_neardup): t79's L x
+// fingerprint volume through the same composition — expectation is
+// the same near-linear shape at ~L x the span tier's cost
+run(nearDup(docs1), "nd-1x", nearDup = true)
+run(nearDup(rep(4)).repartition(32).localCheckpoint(true), "nd-4x",
+  nearDup = true)
+run(nearDup(rep(10)).repartition(64).localCheckpoint(true), "nd-10x",
+  nearDup = true)
 sys.exit(0)
