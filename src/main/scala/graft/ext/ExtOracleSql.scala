@@ -433,21 +433,7 @@ FROM r WHERE rank <= $k"""
             / CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE)
        END, 6)"""
 
-  val d2MinHashLshPairs: String = NearDupCtes + s""", sig AS (
-  SELECT doc_id, $sigCols
-  FROM shing
-), bands AS (
-  $bandSelects
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-), ver AS (
-  SELECT id_a, id_b, ${jaccardExpr("sa.sh", "sb.sh")} AS jaccard
-  FROM cand
-  JOIN shing sa ON cand.id_a = sa.doc_id
-  JOIN shing sb ON cand.id_b = sb.doc_id
-)
+  val d2MinHashLshPairs: String = NearDupCtes + s""", ${lshVerifyCtes("shing")}
 SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5"""
 
   /** Band selects for an arbitrary band count over the 8 minima —
@@ -530,8 +516,11 @@ FROM (SELECT * FROM rep2 UNION ALL SELECT * FROM rep4
     * injected near-dup corpus under the default names; the curation
     * composite runs a second chain over the span-cleaned corpus.
     */
-  private def clusterChain(corpusRel: String, shingRel: String,
-                           sfx: String = ""): String = s"""sig$sfx AS (
+  /** sig/bands/cand over a caller-named shingle relation — the LSH
+    * candidate stage shared by the cluster chain, d2, d10, and the
+    * increment twin's self-join side.
+    */
+  private def lshCandCtes(shingRel: String, sfx: String = ""): String = s"""sig$sfx AS (
   SELECT doc_id, $sigCols
   FROM $shingRel
 ), bands$sfx AS (
@@ -540,12 +529,19 @@ FROM (SELECT * FROM rep2 UNION ALL SELECT * FROM rep4
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands$sfx a JOIN bands$sfx b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-), ver$sfx AS (
+)"""
+
+  /** [[lshCandCtes]] + the Jaccard verify stage. */
+  private def lshVerifyCtes(shingRel: String, sfx: String = ""): String =
+    s"""${lshCandCtes(shingRel, sfx)}, ver$sfx AS (
   SELECT id_a, id_b, ${jaccardExpr("sa.sh", "sb.sh")} AS jaccard
   FROM cand$sfx
   JOIN $shingRel sa ON cand$sfx.id_a = sa.doc_id
   JOIN $shingRel sb ON cand$sfx.id_b = sb.doc_id
-), edges$sfx AS (
+)"""
+
+  private def clusterChain(corpusRel: String, shingRel: String,
+                           sfx: String = ""): String = s"""${lshVerifyCtes(shingRel, sfx)}, edges$sfx AS (
   SELECT id_a AS src, id_b AS dst FROM ver$sfx WHERE jaccard >= 0.5
   UNION ALL
   SELECT id_b, id_a FROM ver$sfx WHERE jaccard >= 0.5
@@ -689,22 +685,31 @@ SELECT lang, COUNT(*) AS n_docs,
        round(AVG(length(text)), 2) AS avg_chars
 FROM t GROUP BY 1"""
 
-  val t3QualityScores: String = ToksCte + """, c AS (
-  SELECT doc_id, len(toks) AS n_tokens_i,
+  /** The t3 quality-feature prelude over the ToksCte frame: raw
+    * counts (`c`) and the punct/stopword ratio stage (`r`), with an
+    * optional carried column — t3 runs it bare, t17 carries `lang`.
+    */
+  private def qualityRatioCtes(carry: String = ""): String = {
+    val sel = if (carry.isEmpty) "" else s"$carry, "
+    s""", c AS (
+  SELECT doc_id, ${sel}len(toks) AS n_tokens_i,
          CAST(len(toks) AS DOUBLE) AS n_tok,
          CAST(length(text) AS DOUBLE) AS n_char,
-         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
               AS DOUBLE) AS punct,
          CAST(len(list_filter(toks,
            tk -> tk IN ('the','a','of','and','is','to'))) AS DOUBLE) AS stop_n
   FROM t
 ), r AS (
-  SELECT doc_id, n_tokens_i,
+  SELECT doc_id, ${sel}n_tokens_i,
          CASE WHEN n_char > 0 THEN punct / n_char ELSE 0.0 END AS pr,
          CASE WHEN n_tok > 0 THEN stop_n / n_tok ELSE 0.0 END AS sr,
          n_tok
   FROM c
-)
+)"""
+  }
+
+  val t3QualityScores: String = ToksCte + qualityRatioCtes() + """
 SELECT doc_id, CAST(n_tokens_i AS BIGINT) AS n_tokens,
        round(pr, 6) AS punct_ratio,
        round(sr, 6) AS stopword_ratio,
@@ -1425,10 +1430,16 @@ WHERE c_nationkey = 1"""
   FROM lineitem
 )"""
 
+  /** The distinct co-purchase chain arc select over [[ChainSeq]] —
+    * nine graph twins open their edge CTE with it.
+    */
+  private val ChainArcSel: String =
+    """SELECT DISTINCT l_partkey AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt"""
+
   /** Distinct directed edges + node set over [[ChainSeq]]. */
-  private val ChainEdges: String = """e AS (
-  SELECT DISTINCT l_partkey AS src, nxt AS dst
-  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+  private val ChainEdges: String = s"""e AS (
+  $ChainArcSel
 ), nodes AS (
   SELECT src AS node FROM e UNION SELECT dst FROM e
 )"""
@@ -1461,6 +1472,17 @@ r$i AS (
   private def x20Rank(i: Int): String =
     s"150000000 // n + COALESCE(s$i.s, 0) * 850 // 1000"
 
+  /** The PageRank-family final readout: fixed-point rank_e9 + double
+    * rank over the last unrolled sum CTE — shared by x20/x33/x46.
+    */
+  private def prReadout(rank: String, joins: String): String =
+    s"""SELECT nodes.node,
+       CAST($rank AS BIGINT)
+         AS rank_e9,
+       CAST($rank AS DOUBLE)
+         / CAST(1000000000 AS DOUBLE) AS rank
+FROM nodes $joins LEFT JOIN s3 ON nodes.node = s3.node"""
+
   val x20PageRank: String = s"""WITH $ChainSeq, $ChainEdges,
 nn AS (SELECT COUNT(*) AS n FROM nodes),
 outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
@@ -1468,12 +1490,7 @@ r0 AS (
   SELECT node, 1000000000 // n AS rank_e9 FROM nodes CROSS JOIN nn
 ), ${prChain(3, r => s"$r.rank_e9 // outdeg.odeg",
       "JOIN outdeg ON e.src = outdeg.src", x20Rank, "CROSS JOIN nn")}
-SELECT nodes.node,
-       CAST(${x20Rank(3)} AS BIGINT)
-         AS rank_e9,
-       CAST(${x20Rank(3)} AS DOUBLE)
-         / CAST(1000000000 AS DOUBLE) AS rank
-FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node"""
+${prReadout(x20Rank(3), "CROSS JOIN nn")}"""
 
   /** x30: HITS, 2 unrolled iterations in exact integer arithmetic —
     * unnormalized longs (seeds 1, integer sums; DuckDB's run in
@@ -1518,8 +1535,7 @@ LEFT JOIN h2 ON nodes.node = h2.node"""
     s"nodes.seed * seed_base + COALESCE(s$i.s, 0) * 850 // 1000"
 
   val x33TrustRank: String = s"""WITH $ChainSeq, e AS (
-  SELECT DISTINCT l_partkey AS src, nxt AS dst
-  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+  $ChainArcSel
 ), nodes0 AS (
   SELECT src AS node FROM e UNION SELECT dst FROM e
 ), nodes AS (
@@ -1540,12 +1556,7 @@ r0 AS (
 ), ${prChain(3, r => s"$r.rank_e9 // outdeg.odeg",
       "JOIN outdeg ON e.src = outdeg.src", x33Rank,
       "CROSS JOIN consts")}
-SELECT nodes.node,
-       CAST(${x33Rank(3)}
-            AS BIGINT) AS rank_e9,
-       CAST(${x33Rank(3)}
-            AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS rank
-FROM nodes CROSS JOIN consts LEFT JOIN s3 ON nodes.node = s3.node"""
+${prReadout(x33Rank(3), "CROSS JOIN consts")}"""
 
   /** x48: connected components over the high-quantity co-purchase
     * chain graph — transitive closure via a recursive reach CTE,
@@ -1801,8 +1812,7 @@ FROM dd"""
     * for integer degrees).
     */
   val x59Assortativity: String = s"""WITH $ChainSeq, e0 AS (
-  SELECT DISTINCT l_partkey AS src, nxt AS dst
-  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+  $ChainArcSel
 ), und AS (
   SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
 ), degs AS (
@@ -1844,8 +1854,7 @@ SELECT n_pairs, $PearsonExpr AS assortativity FROM s"""
     * integers end to end.
     */
   val x60KCore: String = s"""WITH $ChainSeq, e0 AS (
-  SELECT DISTINCT l_partkey AS src, nxt AS dst
-  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+  $ChainArcSel
 ), und AS MATERIALIZED (
   SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
 ), ka0 AS MATERIALIZED (
@@ -1864,8 +1873,7 @@ GROUP BY 1"""
     * repeated per histogram row.
     */
   val x55DegreeDistribution: String = s"""WITH $ChainSeq, e0 AS (
-  SELECT DISTINCT l_partkey AS src, nxt AS dst
-  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+  $ChainArcSel
 ), und AS (
   SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
 ), degs AS (
@@ -1916,8 +1924,7 @@ FROM hist h CROSS JOIN fit f"""
 )"""
     }.mkString(", ")
     s"""e0 AS (
-  SELECT DISTINCT l_partkey AS src, nxt AS dst
-  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+  $ChainArcSel
 ), und AS (
   SELECT src AS u, dst AS v FROM e0
   UNION
@@ -2081,8 +2088,7 @@ FROM newlab n JOIN sizes s ON n.community = s.community"""
     val peel = (0 until rounds)
       .map(i => s"${trussTriSup(i)}, ${trussPrune(i, k)}").mkString(", ")
     s"""WITH $ChainSeq, e0x AS (
-  SELECT DISTINCT l_partkey AS src, nxt AS dst
-  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+  $ChainArcSel
 ), te0 AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
   FROM e0x
@@ -2487,8 +2493,7 @@ FROM (
     * HUGEINT products CAST back to BIGINT).
     */
   val x31Triangles: String = s"""WITH $ChainSeq, e AS (
-  SELECT DISTINCT l_partkey AS src, nxt AS dst
-  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+  $ChainArcSel
 ), und AS (
   SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e
 ), deg AS (
@@ -3868,12 +3873,7 @@ corpus3 AS (
 ), shing3 AS (
   SELECT doc_id, ${sh3("string_split(text, ' ')", "text")} AS sh
   FROM corpus3
-), sig3 AS (
-  SELECT doc_id, $sigCols
-  FROM shing3
-), bands3 AS (
-  ${bandSelectsFrom("sig3")}
-), candx AS (
+), ${lshVerifyCtes("shing3", "3")}, candx AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands3 a JOIN bands2 b ON a.band = b.band AND a.key = b.key
 ), verx AS (
@@ -3886,18 +3886,9 @@ corpus3 AS (
   SELECT DISTINCT v.id_a AS src, c.cluster_rep AS dst
   FROM verx v JOIN clusters2 c ON v.id_b = c.doc_id
   WHERE v.jaccard >= 0.5
-), candi AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands3 a JOIN bands3 b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-), veri AS (
-  SELECT id_a, id_b, ${jaccardExpr("sa.sh", "sb.sh")} AS jaccard
-  FROM candi
-  JOIN shing3 sa ON candi.id_a = sa.doc_id
-  JOIN shing3 sb ON candi.id_b = sb.doc_id
 ), edgesall AS (
-  SELECT id_a AS src, id_b AS dst FROM veri WHERE jaccard >= 0.5
-  UNION ALL SELECT id_b, id_a FROM veri WHERE jaccard >= 0.5
+  SELECT id_a AS src, id_b AS dst FROM ver3 WHERE jaccard >= 0.5
+  UNION ALL SELECT id_b, id_a FROM ver3 WHERE jaccard >= 0.5
   UNION ALL SELECT src, dst FROM edgesx
   UNION ALL SELECT dst, src FROM edgesx
 ), nodesi AS (
@@ -4553,16 +4544,7 @@ SELECT doc_id, 'new' AS status FROM newids"""
 ), shing AS (
   SELECT doc_id, ${sh3("string_split(text, ' ')", "text")} AS sh
   FROM corpus
-), sig AS (
-  SELECT doc_id, $sigCols
-  FROM shing
-), bands AS (
-  $bandSelects
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-), scored AS (
+), ${lshCandCtes("shing")}, scored AS (
   SELECT id_a, id_b,
          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS ia,
          CAST(len(list_distinct(sa.sh)) AS DOUBLE) AS na,
@@ -4679,22 +4661,7 @@ FROM e"""
 
   // mirrors t3's scoring CTEs with lang carried through, then gates on
   // the same ROUNDED score both dialects compare in t3
-  val t17QualityGate: String = ToksCte + """, c AS (
-  SELECT doc_id, lang, len(toks) AS n_tokens_i,
-         CAST(len(toks) AS DOUBLE) AS n_tok,
-         CAST(length(text) AS DOUBLE) AS n_char,
-         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
-              AS DOUBLE) AS punct,
-         CAST(len(list_filter(toks,
-           tk -> tk IN ('the','a','of','and','is','to'))) AS DOUBLE) AS stop_n
-  FROM t
-), r AS (
-  SELECT doc_id, lang, n_tokens_i,
-         CASE WHEN n_char > 0 THEN punct / n_char ELSE 0.0 END AS pr,
-         CASE WHEN n_tok > 0 THEN stop_n / n_tok ELSE 0.0 END AS sr,
-         n_tok
-  FROM c
-), s AS (
+  val t17QualityGate: String = ToksCte + qualityRatioCtes("lang") + """, s AS (
   SELECT lang, n_tokens_i,
          round(least(n_tok / 100.0, 1.0) * 0.5 + (1.0 - pr) * 0.3
                + least(sr * 5.0, 1.0) * 0.2, 6) AS q
@@ -4989,12 +4956,15 @@ FROM corpus GROUP BY 1"""
     * unnests mirror `posexplode`; `ceil(len/64)` chunks with the last
     * one short, exactly like `Media.sampleFrames`.
     */
-  val m4MediaChunkDedup: String = s"""WITH ${MediaPayloadCte}, corpus AS (
+  /** The m4/m5 re-upload corpus (+700000 copies with an appended v2
+    * tail) and the 64-byte chunk explode over it — shared verbatim.
+    */
+  private val MediaChunkCtes: String = s"""${MediaPayloadCte}, corpus AS (
   SELECT doc_id, payload_str FROM m
   UNION ALL
   SELECT doc_id + 700000, payload_str || ' v2 reupload tail'
   FROM m WHERE doc_id % 4 = 0
-), ch AS (
+), chx AS (
   SELECT doc_id,
          unnest(list_transform(
            generate_series(0, CAST(ceil(length(payload_str) / 64.0)
@@ -5002,31 +4972,19 @@ FROM corpus GROUP BY 1"""
            i -> substr(payload_str, CAST(i * 64 + 1 AS INTEGER), 64)))
            AS chunk
   FROM corpus
-)
+)"""
+
+  val m4MediaChunkDedup: String = s"""WITH $MediaChunkCtes
 SELECT md5(chunk) AS chunk_md5,
        COUNT(*) AS n_refs,
        CAST(MAX(length(chunk)) AS BIGINT) AS chunk_bytes
-FROM ch GROUP BY 1"""
+FROM chx GROUP BY 1"""
 
   /** m5: media near-dup pairs — the m4 chunk CTE, distinct per-doc
     * digests, shared-chunk candidates (refs ≤ 64), Jaccard ≥ 0.5.
     */
-  val m5MediaNearDups: String = s"""WITH ${MediaPayloadCte}, corpus AS (
-  SELECT doc_id, payload_str FROM m
-  UNION ALL
-  SELECT doc_id + 700000, payload_str || ' v2 reupload tail'
-  FROM m WHERE doc_id % 4 = 0
-), ch AS (
-  SELECT DISTINCT doc_id, md5(chunk) AS chunk_md5
-  FROM (
-    SELECT doc_id,
-           unnest(list_transform(
-             generate_series(0, CAST(ceil(length(payload_str) / 64.0)
-                                     AS INTEGER) - 1),
-             i -> substr(payload_str, CAST(i * 64 + 1 AS INTEGER), 64)))
-             AS chunk
-    FROM corpus
-  )
+  val m5MediaNearDups: String = s"""WITH $MediaChunkCtes, ch AS (
+  SELECT DISTINCT doc_id, md5(chunk) AS chunk_md5 FROM chx
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY 1
 ), ok AS (
@@ -5944,8 +5902,7 @@ WHERE NOT EXISTS (
     * scaffold on both sides.
     */
   val x38KhopReach: String = s"""WITH $ChainSeq, e AS (
-  SELECT DISTINCT l_partkey AS src, nxt AS dst
-  FROM seq WHERE nxt IS NOT NULL AND l_partkey <> nxt
+  $ChainArcSel
 ), seeds AS (
   SELECT p_partkey AS seed FROM part WHERE p_partkey % 101 = 0
 ), v0 AS (
@@ -6913,12 +6870,7 @@ r0 AS (
   SELECT node, 1000000000 // n AS rank_e9 FROM nodes CROSS JOIN nn
 ), ${prChain(3, r => s"$r.rank_e9 * e.w // outw.ow",
       "JOIN outw ON e.src = outw.src", x20Rank, "CROSS JOIN nn")}
-SELECT nodes.node,
-       CAST(${x20Rank(3)} AS BIGINT)
-         AS rank_e9,
-       CAST(${x20Rank(3)} AS DOUBLE)
-         / CAST(1000000000 AS DOUBLE) AS rank
-FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node"""
+${prReadout(x20Rank(3), "CROSS JOIN nn")}"""
 
   /** t58: contamination by source — the d8 profile as a derived table
     * joined to provenance; t23's rounded 0.2 flag threshold, x31
@@ -7062,11 +7014,17 @@ FROM err GROUP BY 1"""
     * rounds over the embedding corpus, one row per (cluster, dim) with
     * the final member count and exact within-cluster sum of squares.
     */
-  val s18KmeansTrain: String = s"""WITH ${VCte}, kx AS (
+  /** The coarse-quantizer k-means prelude: embedding explode (`kx`),
+    * double-cast frame (`kme`), and the trained 8-cell chain — shared
+    * by s18/s30 and the s20 sweep head.
+    */
+  private val KmTrainCtes: String = s"""kx AS (
   ${CoarseExplodeSel}
 ), kme AS (
   SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM kx
-), ${kmeansCtes("km", "kme", 8, 4)},
+), ${kmeansCtes("km", "kme", 8, 4)}"""
+
+  val s18KmeansTrain: String = s"""WITH ${VCte}, ${KmTrainCtes},
 stats AS (
   SELECT cw, COUNT(*) AS n_members,
          round(CAST(SUM(dist) AS DOUBLE), 9) AS wcss
@@ -7086,11 +7044,7 @@ FROM km_cb4 cb JOIN stats s ON s.cw = cb.cw"""
     * cluster exists so s degrades to 0, never NULL. The boundary
     * count compares the exact 6-dp decimal against 0.25.
     */
-  val s30Silhouette: String = s"""WITH ${VCte}, kx AS (
-  ${CoarseExplodeSel}
-), kme AS (
-  SELECT vid, sub, dim, CAST(x AS DOUBLE) AS x FROM kx
-), ${kmeansCtes("km", "kme", 8, 4)},
+  val s30Silhouette: String = s"""WITH ${VCte}, ${KmTrainCtes},
 ranked AS (
   SELECT vid, cw, dist,
          row_number() OVER (PARTITION BY vid ORDER BY dist, cw) AS rn
