@@ -3809,6 +3809,15 @@ traindocs AS (
   WHERE a.split = 'train' AND c.is_keeper
 ), ${trainOrderChain("traindocs")}"""
 
+  /** The composite under the CDC/budget span policy (pipeline_
+    * curation_cdc): t80's doubled-promo corpus shape and content-
+    * defined segment chain, then the identical cluster/split/order
+    * tail — the tier the dedup selection table prescribes when t77's
+    * per-offset fingerprint volume exceeds budget.
+    */
+  val pipelineCurationCdc: String =
+    pipelineCurationSql(promoCorpusCte("rawc", 2), cdcChainCtes)
+
   private def pipelineCurationSql(corpusCte: String,
                                   spanChain: String): String =
     pipelineCurationCtes(corpusCte, spanChain) + """
@@ -3926,13 +3935,23 @@ LEFT JOIN stdmax s ON s.epoch = ei.epoch AND s.shard = ei.h % 8"""
     * the shared promo appended TWICE (24-token chrome) to every third
     * doc.
     */
-  val t80CdcDedup: String = {
+  val t80CdcDedup: String =
+    s"""WITH ${promoCorpusCte("documents", 2)}, $cdcChainCtes
+SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
+FROM spanout"""
+
+  /** t80's detection chain reading `corpus` and ending `spanout` —
+    * anchor tokens, segment fingerprints over ordered token hashes,
+    * dup segments exploded to positions, the shared tail at L = 1.
+    * Shared by t80 and the CDC/budget curation composite.
+    */
+  private def cdcChainCtes: String = {
     val L = TextAnalysis.SpanMinTokens
     val maxOcc = TextAnalysis.SpanMaxOcc
     val k = TextAnalysis.CdcAvgSegTokens
     val segHash = h64("array_to_string(list_transform(toks[b.s:b.e], " +
       s"tok -> CAST(${h64("tok")} AS VARCHAR)), ',')")
-    s"""WITH ${promoCorpusCte("documents", 2)}, t AS (
+    s"""t AS (
   SELECT doc_id, string_split($Norm, ' ') AS toks FROM corpus
 ), tk AS (
   SELECT doc_id, unnest(generate_series(1, len(toks))) AS p,
@@ -3962,9 +3981,7 @@ LEFT JOIN stdmax s ON s.epoch = ei.epoch AND s.shard = ei.h % 8"""
   WHERE occ > $maxOcc
 ), dups AS (
   SELECT doc_id, unnest(generate_series(s, e)) AS off FROM dupseg
-), ${spanTailCtes(1)}
-SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
-FROM spanout"""
+), ${spanTailCtes(1)}"""
   }
 
   /** t78: per-source span-duplication pressure — the shared

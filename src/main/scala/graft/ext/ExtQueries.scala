@@ -2383,23 +2383,42 @@ object ExtQueries {
     Tables.tune(spark)
     curationTrainPipelineFrom(
       nearDupCorpus(Tables.documents(spark, sfDir)),
-      tweakedChrome = true, nearDupPass = true)
+      chrome = "tweaked", span = "neardup")
+  }
+
+  /** The composite with the CDC/budget span policy (pipeline_curation_
+    * cdc): t80's content-defined segment pass over the doubled-promo
+    * chrome (whole segments land inside the 24-token run and recur
+    * corpus-wide; the partial chunks at its boundaries stay — the
+    * documented CDC granularity trade). This is the tier the README's
+    * selection table prescribes when t77's per-offset fingerprint
+    * volume exceeds budget: ~1/avgSegTokens the hashes, alignment-free,
+    * flagged positions provably ⊆ t77's.
+    */
+  def curationTrainPipelineCdc(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    curationTrainPipelineFrom(
+      nearDupCorpus(Tables.documents(spark, sfDir)),
+      chrome = "promo2", span = "cdc")
   }
 
   /** The composite over a caller-provided (doc_id, text) corpus — the
     * query fixtures above feed the injected near-dup corpus; the scale
-    * probe feeds replicated copies. `tweakedChrome` switches the
-    * injected chrome from the exact shared promo to t79's per-doc
-    * tweaked form; `nearDupPass` switches the span tier from t77
-    * (exact windows) to t79 (1-mismatch leave-one-out windows). The
-    * two knobs are independent so the spec can run the tweaked fixture
-    * under BOTH passes and pin the policy difference end-to-end.
+    * probe feeds replicated copies. `chrome` picks the injected
+    * fixture (exact promo / doubled promo / t79's per-doc tweaked
+    * form); `span` picks the dedup tier — "exact" (t77), "neardup"
+    * (t79's 1-mismatch leave-one-out windows), or "cdc" (t80's
+    * content-defined segments, the budget tier of the README's
+    * selection table). The knobs are independent so the spec can run
+    * one fixture under several passes and pin the policy differences
+    * end-to-end.
     */
   def curationTrainPipelineFrom(raw: DataFrame,
-                                tweakedChrome: Boolean = false,
-                                nearDupPass: Boolean = false): DataFrame = {
+                                chrome: String = "promo",
+                                span: String = "exact"): DataFrame = {
     val cleaned = graft.std.Materialize.once(
-      curationCleanedCorpus(raw, tweakedChrome, nearDupPass))
+      curationCleanedCorpus(raw, chrome, span))
     // drop docs the span pass emptied BEFORE clustering: t77 keeps
     // them for accounting (the every-doc-survives contract), but a
     // cleaned-empty doc carries zero training signal — and at scale
@@ -2426,31 +2445,44 @@ object ExtQueries {
     * policy spec can assert chrome survival per mode at the tier
     * where chrome lives (the pipeline's output carries no text).
     */
-  def curationCleanedCorpus(raw: DataFrame, tweakedChrome: Boolean,
-                            nearDupPass: Boolean): DataFrame = {
-    val injected = curationChromeInjected(raw, tweakedChrome)
-    val spanPass =
-      if (nearDupPass) TextAnalysis.nearDupSpanDedup(injected)
-      else TextAnalysis.spanDedup(injected)
+  def curationCleanedCorpus(raw: DataFrame, chrome: String,
+                            span: String): DataFrame = {
+    val injected = curationChromeInjected(raw, chrome)
+    val spanPass = span match {
+      case "exact"   => TextAnalysis.spanDedup(injected)
+      case "neardup" => TextAnalysis.nearDupSpanDedup(injected)
+      case "cdc"     => TextAnalysis.cdcSegmentDedup(injected)
+      case other => throw new IllegalArgumentException(
+        s"unknown span policy: $other")
+    }
     spanPass.select(col("doc_id"), col("clean_text").as("text"))
   }
 
   /** The composite's chrome-injection stage: every third doc gets the
-    * promo appended — the exact shared sentence, or t79's per-doc
-    * tweaked form. Factored so the increment path injects the SAME
-    * chrome rule over its own corpus (a full rebuild applies one rule
-    * to the union; the incremental path must match it doc-for-doc).
+    * promo appended — `"promo"` = the exact shared sentence, `"promo2"`
+    * = the sentence twice (t80's 24-token form, long enough for whole
+    * content-defined segments to land inside), `"tweaked"` = t79's
+    * per-doc tracking-token form. Factored so the increment path
+    * injects the SAME chrome rule over its own corpus (a full rebuild
+    * applies one rule to the union; the incremental path must match it
+    * doc-for-doc).
     */
   private def curationChromeInjected(raw: DataFrame,
-                                     tweakedChrome: Boolean): DataFrame = {
-    val chrome =
-      if (tweakedChrome)
-        concat_ws(" ", col("text"), lit(TextAnalysis.SpanPromoHead),
-          concat(lit("trk"), col("doc_id").cast("string")),
-          lit(TextAnalysis.SpanPromoTail))
-      else concat_ws(" ", col("text"), lit(TextAnalysis.SpanPromoText))
+                                     chrome: String): DataFrame = {
+    val tail = chrome match {
+      case "promo" => concat_ws(" ", col("text"),
+        lit(TextAnalysis.SpanPromoText))
+      case "promo2" => concat_ws(" ", col("text"),
+        lit(TextAnalysis.SpanPromoText), lit(TextAnalysis.SpanPromoText))
+      case "tweaked" => concat_ws(" ", col("text"),
+        lit(TextAnalysis.SpanPromoHead),
+        concat(lit("trk"), col("doc_id").cast("string")),
+        lit(TextAnalysis.SpanPromoTail))
+      case other => throw new IllegalArgumentException(
+        s"unknown chrome form: $other")
+    }
     spread(raw.select(col("doc_id"),
-      when(col("doc_id") % 3 === 0, chrome)
+      when(col("doc_id") % 3 === 0, tail)
         .otherwise(col("text")).as("text")))
   }
 
@@ -2580,7 +2612,7 @@ object ExtQueries {
                                          standingRaw: DataFrame,
                                          incRaw: DataFrame): DataFrame = {
     val standingInjected =
-      curationChromeInjected(standingRaw, tweakedChrome = false)
+      curationChromeInjected(standingRaw, chrome = "promo")
     val standingClean = curationStanding(spark, memoTag, "clean")(
       TextAnalysis.spanDedup(standingInjected)
         .select(col("doc_id"), col("clean_text").as("text"))
@@ -2595,7 +2627,7 @@ object ExtQueries {
       curationMemo.getOrBuild(spark, s"curation_clusters|$memoTag")(
         clustersOf(standingClean))
     val incInjected =
-      curationChromeInjected(incRaw, tweakedChrome = false)
+      curationChromeInjected(incRaw, chrome = "promo")
     val cleanedInc = graft.std.Materialize.once(
       TextAnalysis.spanDedupIncrement(incInjected, standingSpanIdx)
         .select(col("doc_id"), col("clean_text").as("text"))

@@ -88,8 +88,8 @@ class CurationPipelineSpec extends AnyFunSuite {
       i -> (1 to 9).map(k => s"body${i}tok$k").mkString(" "))
       .toDF("doc_id", "text")
     def cleanedTexts(nearDup: Boolean): Map[Long, String] =
-      ExtQueries.curationCleanedCorpus(docs, tweakedChrome = true,
-          nearDupPass = nearDup)
+      ExtQueries.curationCleanedCorpus(docs, chrome = "tweaked",
+          span = if (nearDup) "neardup" else "exact")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val exact = cleanedTexts(nearDup = false)
     val near = cleanedTexts(nearDup = true)
@@ -112,9 +112,50 @@ class CurationPipelineSpec extends AnyFunSuite {
     // no clusters), so the pipelines emit the same doc set — the
     // difference is WHAT text survives, pinned above
     val outNear = ExtQueries.curationTrainPipelineFrom(docs,
-      tweakedChrome = true, nearDupPass = true)
+      chrome = "tweaked", span = "neardup")
       .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
     assert(outNear.nonEmpty && outNear.subsetOf(Set(3L, 6L, 9L, 12L)))
+  }
+
+  test("cdc policy is the documented under-approximation of exact") {
+    // the budget tier: t80's flagged positions are provably a subset
+    // of t77's at equal minTokens/maxOcc (CdcSegmentDedupSpec pins the
+    // kernel); through the composite's cleaning stage that means every
+    // doc's cdc-cleaned text RETAINS every token the exact pass
+    // retains — the composite may only under-remove, never over-remove
+    import spark.implicits._
+    val docs = ExtQueries.nearDupCorpus(
+      graft.sources.Tables.documents(spark, sfDir))
+    def kept(span: String): Map[Long, Set[String]] =
+      ExtQueries.curationCleanedCorpus(docs, chrome = "promo2", span = span)
+        .collect()
+        .map(r => r.getLong(0) -> r.getString(1).split(" ")
+          .filter(_.nonEmpty).toSet).toMap
+    val exact = kept("exact")
+    val cdc = kept("cdc")
+    assert(exact.keySet == cdc.keySet)
+    exact.foreach { case (id, exToks) =>
+      assert(exToks.subsetOf(cdc(id)),
+        s"cdc removed tokens exact kept on doc $id: ${exToks -- cdc(id)}")
+    }
+    // the passes genuinely differ on the fixture: t77 removes strictly
+    // more somewhere (the boundary partial chunks cdc must keep)
+    assert(exact.exists { case (id, ex) => ex != cdc(id) },
+      "exact and cdc cleaned identically — fixture exercises nothing")
+    // and cdc itself removes something: an injected doc's cleaned text
+    // is shorter than its chrome-bearing input (interior promo
+    // segments recur corpus-wide and fall to the segment counts)
+    val promo2len = 2 * TextAnalysis.SpanPromoText.split(" ").length
+    val rawLen = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .filter(_.nonEmpty).length).toMap
+    val cdcLen = ExtQueries.curationCleanedCorpus(docs,
+        chrome = "promo2", span = "cdc")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .filter(_.nonEmpty).length).toMap
+    assert(cdcLen.exists { case (id, n) =>
+      id % 3 == 0 && n < rawLen(id) + promo2len },
+      "cdc mode removed nothing from any chrome-injected doc")
   }
 
   test("the split is leakage-safe: no surviving doc's cluster leaked") {

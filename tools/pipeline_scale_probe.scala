@@ -41,7 +41,8 @@ def nearDup(docs: DataFrame): DataFrame = {
 def run(raw: DataFrame, label: String, nearDup: Boolean = false): Unit = {
   val r = time(label)(
     graft.ext.ExtQueries.curationTrainPipelineFrom(raw,
-        tweakedChrome = nearDup, nearDupPass = nearDup)
+        chrome = if (nearDup) "tweaked" else "promo",
+        span = if (nearDup) "neardup" else "exact")
       .agg(count(lit(1)), countDistinct(col("doc_id")),
         sum(col("shard_pos"))).collect()(0))
   println(s"[probe] $label rows=${r.getLong(0)} docs=${r.getLong(1)}")
