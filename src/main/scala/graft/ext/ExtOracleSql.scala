@@ -2665,15 +2665,21 @@ FROM g GROUP BY doc_id, grp"""
     * (the r10 t46 mismatch was exactly one such row). `x + 0.0` is
     * exact for every double and maps -0.0 to +0.0.
     */
-  val t46WeightedSample: String = """WITH keyed AS (
-  SELECT o_orderkey, o_totalprice,
+  /** The t46/t48 weighted-sampling `keyed` CTE over a caller-chosen
+    * projection: the Efraimidis–Spirakis key ln(u)/w, 9 dp, on the
+    * md5 uniform lane (+0.0 normalizes -0.0).
+    */
+  private def wsKeyedCte(cols: String): String = s"""keyed AS (
+  SELECT $cols,
          round(ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
                                         1, 14)) AS BIGINT) + 1)
                   / 72057594037927936.0)
                / CAST(o_totalprice AS DOUBLE), 9) + 0.0 AS sample_key
   FROM orders
   WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
-)
+)"""
+
+  val t46WeightedSample: String = s"""WITH ${wsKeyedCte("o_orderkey, o_totalprice")}
 SELECT o_orderkey, o_totalprice, sample_key
 FROM keyed
 ORDER BY sample_key DESC, o_orderkey ASC
@@ -2684,15 +2690,8 @@ LIMIT 100"""
     * the Spark side must not — see Sampling.stratifiedWeightedSample).
     * Same `+ 0.0` signed-zero canonicalization as t46.
     */
-  val t48StratifiedSample: String = """WITH keyed AS (
-  SELECT o_orderpriority, o_orderkey, o_totalprice,
-         round(ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
-                                        1, 14)) AS BIGINT) + 1)
-                  / 72057594037927936.0)
-               / CAST(o_totalprice AS DOUBLE), 9) + 0.0 AS sample_key
-  FROM orders
-  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
-), ranked AS (
+  val t48StratifiedSample: String = s"""WITH ${wsKeyedCte(
+    "o_orderpriority, o_orderkey, o_totalprice")}, ranked AS (
   SELECT *, row_number() OVER (PARTITION BY o_orderpriority
                                ORDER BY sample_key DESC, o_orderkey ASC)
               AS rn
