@@ -3846,24 +3846,25 @@ FROM e JOIN traindocs t USING (doc_id)"""
 stdmax AS (
   SELECT epoch, h % 8 AS shard, COUNT(*) AS npos FROM e GROUP BY 1, 2
 ), rawinc AS (
-  SELECT doc_id + 600002 AS doc_id,
+  SELECT doc_id + ${ExtQueries.IncChangedOffset} AS doc_id,
          array_to_string(list_filter(string_split(text, ' '),
-           (t, i) -> i % 7 <> 0), ' ') AS text
-  FROM base WHERE doc_id % 6 = 1
+           (t, i) -> i % ${ExtQueries.IncChangedDrop} <> 0), ' ') AS text
+  FROM base WHERE doc_id % ${ExtQueries.IncChangedMod} = 1
   UNION ALL
-  SELECT doc_id + 800000,
+  SELECT doc_id + ${ExtQueries.IncFreshOffset},
          array_to_string(list_reverse(string_split(text, ' ')), ' ')
-  FROM base WHERE doc_id % 13 = 0
+  FROM base WHERE doc_id % ${ExtQueries.IncFreshMod} = 0
   UNION ALL
-  SELECT doc_id + 850000,
+  SELECT doc_id + ${ExtQueries.IncPairAOffset},
          array_to_string(list_transform(string_split(text, ' '),
-           tk -> 'v2' || tk), ' ')
-  FROM base WHERE doc_id % 19 = 0
+           tk -> '${ExtQueries.IncPairPrefix}' || tk), ' ')
+  FROM base WHERE doc_id % ${ExtQueries.IncPairMod} = 0
   UNION ALL
-  SELECT doc_id + 860000,
+  SELECT doc_id + ${ExtQueries.IncPairBOffset},
          array_to_string(list_filter(list_transform(string_split(text, ' '),
-           tk -> 'v2' || tk), (t, i) -> i % 13 <> 0), ' ')
-  FROM base WHERE doc_id % 19 = 0
+           tk -> '${ExtQueries.IncPairPrefix}' || tk),
+           (t, i) -> i % ${ExtQueries.IncPairDrop} <> 0), ' ')
+  FROM base WHERE doc_id % ${ExtQueries.IncPairMod} = 0
 ), ${promoCorpusCte("rawinc", 1, "corpusi")},
 ${spanPreludeCtes("i", "corpusi")}, hashedi AS MATERIALIZED (
   SELECT doc_id, off, ${h64("win")} AS h FROM winsi

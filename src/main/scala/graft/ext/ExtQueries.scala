@@ -2522,23 +2522,43 @@ object ExtQueries {
     *    (prefixed) alien to standing, so the increment's own span
     *    counts and self-LSH lanes fire without touching standing text.
     */
+  /** The v2 fixture's construction constants, shared with the DuckDB
+    * twin so the two sides cannot drift (the t21/t26 twin-drift class;
+    * offsets keep every increment id above [[IncIdFloor]] > any
+    * standing id — the rep-minimum property the equivalence proof
+    * leans on).
+    */
+  val IncIdFloor: Long = 600000L
+  val IncChangedOffset: Long = 600002L
+  val IncChangedMod: Int = 6
+  val IncChangedDrop: Int = 7
+  val IncFreshOffset: Long = 800000L
+  val IncFreshMod: Int = 13
+  val IncPairAOffset: Long = 850000L
+  val IncPairBOffset: Long = 860000L
+  val IncPairMod: Int = 19
+  val IncPairDrop: Int = 13
+  val IncPairPrefix: String = "v2"
+
   def curationIncrementCorpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
       TextOps.normText(col("text")).as("text"))
     val toks = split(col("text"), " ")
-    val pref = transform(toks, t => concat(lit("v2"), t))
-    base.filter(col("doc_id") % 6 === 1).select(
-      (col("doc_id") + 600002).as("doc_id"),
-      concat_ws(" ", filter(toks, (t, i) => (i + 1) % 7 =!= 0)).as("text"))
-    .unionByName(base.filter(col("doc_id") % 13 === 0).select(
-      (col("doc_id") + 800000).as("doc_id"),
+    val pref = transform(toks, t => concat(lit(IncPairPrefix), t))
+    base.filter(col("doc_id") % IncChangedMod === 1).select(
+      (col("doc_id") + IncChangedOffset).as("doc_id"),
+      concat_ws(" ", filter(toks,
+        (t, i) => (i + 1) % IncChangedDrop =!= 0)).as("text"))
+    .unionByName(base.filter(col("doc_id") % IncFreshMod === 0).select(
+      (col("doc_id") + IncFreshOffset).as("doc_id"),
       concat_ws(" ", reverse(toks)).as("text")))
-    .unionByName(base.filter(col("doc_id") % 19 === 0).select(
-      (col("doc_id") + 850000).as("doc_id"),
+    .unionByName(base.filter(col("doc_id") % IncPairMod === 0).select(
+      (col("doc_id") + IncPairAOffset).as("doc_id"),
       concat_ws(" ", pref).as("text")))
-    .unionByName(base.filter(col("doc_id") % 19 === 0).select(
-      (col("doc_id") + 860000).as("doc_id"),
-      concat_ws(" ", filter(pref, (t, i) => (i + 1) % 13 =!= 0)).as("text")))
+    .unionByName(base.filter(col("doc_id") % IncPairMod === 0).select(
+      (col("doc_id") + IncPairBOffset).as("doc_id"),
+      concat_ws(" ", filter(pref,
+        (t, i) => (i + 1) % IncPairDrop =!= 0)).as("text")))
   }
 
   /** Session memo of the standing curation artifacts — what the daily

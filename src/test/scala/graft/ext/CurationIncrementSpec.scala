@@ -45,7 +45,7 @@ class CurationIncrementSpec extends AnyFunSuite {
     .curationTrainPipelineFrom(standingRaw).localCheckpoint(true)
   private lazy val incr = ExtQueries
     .curationTrainPipelineIncrement(spark, sfDir).localCheckpoint(true)
-  private lazy val fullInc = full.filter(col("doc_id") >= 600000)
+  private lazy val fullInc = full.filter(col("doc_id") >= ExtQueries.IncIdFloor)
 
   test("increment rows ≡ full rebuild: ids, shard, cluster_rep") {
     assert(incr.count() > 0, "fixture must produce appended train rows")
@@ -57,7 +57,7 @@ class CurationIncrementSpec extends AnyFunSuite {
   }
 
   test("standing rows are frozen: full rebuild ≡ standing-only") {
-    val fs = full.filter(col("doc_id") < 600000)
+    val fs = full.filter(col("doc_id") < ExtQueries.IncIdFloor)
       .select("epoch", "doc_id", "shard", "cluster_rep")
     val ss = standingOnly.select("epoch", "doc_id", "shard", "cluster_rep")
     assert(fs.except(ss).isEmpty && ss.except(fs).isEmpty,
