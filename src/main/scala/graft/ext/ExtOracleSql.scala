@@ -364,15 +364,23 @@ FROM pairs LEFT JOIN shared
   GROUP BY 1, 2, 3
 )"""
 
-  private def adcTailSql(k: Int): String = s"""cand AS (
-  SELECT p.query_id, cells.neighbor_id, codes.sub, codes.cw
+  /** The ADC candidate/sum/rank tail. `perCell = true` keys the ADC
+    * lookup by probed cell too — the residual variant (s23), whose
+    * distance tables are cell-dependent.
+    */
+  private def adcTailSql(k: Int, perCell: Boolean = false): String = {
+    val cellSel = if (perCell) ", cells.cell" else ""
+    val cellJoin =
+      if (perCell) "\n                      AND a.cell = cand.cell" else ""
+    s"""cand AS (
+  SELECT p.query_id, cells.neighbor_id$cellSel, codes.sub, codes.cw
   FROM probed p
   JOIN cells ON cells.cell = p.cell
   JOIN codes ON codes.neighbor_id = cells.neighbor_id
   WHERE p.query_id <> cells.neighbor_id
 ), adcsum AS (
   SELECT cand.query_id, cand.neighbor_id, SUM(a.dist) AS adc
-  FROM cand JOIN adc a ON a.query_id = cand.query_id
+  FROM cand JOIN adc a ON a.query_id = cand.query_id$cellJoin
                       AND a.sub = cand.sub AND a.cw = cand.cw
   GROUP BY 1, 2
 ), r AS (
@@ -383,6 +391,7 @@ FROM pairs LEFT JOIN shared
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        round(CAST(adc AS DOUBLE), 9) AS adc_dist
 FROM r WHERE rank <= $k"""
+  }
 
   /** Shared ANN-family prelude blocks (each appeared verbatim in
     * 4–18 twins): embeddings load `v`, explode `exq`, subspace split
@@ -4298,6 +4307,15 @@ WHERE c12 >= 5
 ORDER BY pmi DESC, w1, w2
 LIMIT 100"""
 
+  /** The t32/t33 logit readout over the milli-weight sum CTE `m`. */
+  private val LogitTail: String = """, s AS (
+  SELECT doc_id, n_features,
+         round((CAST(milli AS DOUBLE) / 1000.0)
+               / CAST(n_features AS DOUBLE), 6) AS logit
+  FROM m
+)
+SELECT doc_id, n_features, logit, logit > 0 AS keep FROM s"""
+
   /** t32: hashed-feature linear classifier — unigram + 2-shingle
     * features hashed into 4096 buckets, md5-derived stub milli-weights
     * summed as exact BIGINTs (order-free), logit = sum/1000/n at 6 dp.
@@ -4312,13 +4330,7 @@ LIMIT 100"""
   SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
          list_aggregate(list_transform(feats, x -> $wMilli), 'sum') AS milli
   FROM f
-), s AS (
-  SELECT doc_id, n_features,
-         round((CAST(milli AS DOUBLE) / 1000.0)
-               / CAST(n_features AS DOUBLE), 6) AS logit
-  FROM m
-)
-SELECT doc_id, n_features, logit, logit > 0 AS keep FROM s"""
+)""" + LogitTail
   }
 
   /** t33: the t32 classifier scored against a weight TABLE — the twin
@@ -4339,13 +4351,7 @@ SELECT doc_id, n_features, logit, logit > 0 AS keep FROM s"""
          list_aggregate(list_transform(feats,
            x -> w[(${h64("x")} % 4096) + 1]), 'sum') AS milli
   FROM f CROSS JOIN wl
-), s AS (
-  SELECT doc_id, n_features,
-         round((CAST(milli AS DOUBLE) / 1000.0)
-               / CAST(n_features AS DOUBLE), 6) AS logit
-  FROM m
-)
-SELECT doc_id, n_features, logit, logit > 0 AS keep FROM s"""
+)""" + LogitTail
   }
 
   /** t30: bloom-filter decontamination — replays the
@@ -7513,26 +7519,7 @@ cells AS (
            AS dist
   FROM qres qr JOIN pqr_cb3 pc ON pc.dim = qr.dim
   GROUP BY 1, 2, 3, 4
-), cand AS (
-  SELECT p.query_id, cells.neighbor_id, cells.cell, codes.sub, codes.cw
-  FROM probed p
-  JOIN cells ON cells.cell = p.cell
-  JOIN codes ON codes.neighbor_id = cells.neighbor_id
-  WHERE p.query_id <> cells.neighbor_id
-), adcsum AS (
-  SELECT cand.query_id, cand.neighbor_id, SUM(a.dist) AS adc
-  FROM cand JOIN adc a ON a.query_id = cand.query_id
-                      AND a.cell = cand.cell
-                      AND a.sub = cand.sub AND a.cw = cand.cw
-  GROUP BY 1, 2
-), r AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-    ORDER BY adc, neighbor_id) AS rank
-  FROM adcsum
-)
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-       round(CAST(adc AS DOUBLE), 9) AS adc_dist
-FROM r WHERE rank <= 5"""
+), ${adcTailSql(5, perCell = true)}"""
 
   /** s22: two-stage retrieval — the s16 ADC pipeline at a 15-candidate
     * budget as a derived table, re-ranked by the exact 6-dp squared-L2
