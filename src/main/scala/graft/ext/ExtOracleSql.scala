@@ -3647,12 +3647,19 @@ GROUP BY 1"""
 )"""
   }
 
+  /** The exact tier's fingerprint prelude: tokenize + window explode +
+    * the 56-bit window hash, ending at `hashed$sfx` (doc_id, off, h).
+    */
+  private def exactHashedCtes(sfx: String = "",
+                              srcRel: String = "corpus"): String =
+    s"""${spanPreludeCtes(sfx, srcRel)}, hashed$sfx AS MATERIALIZED (
+  SELECT doc_id, off, ${h64("win")} AS h FROM wins$sfx
+)"""
+
   private def spanChainCtes(sfx: String = "",
                             srcRel: String = "corpus"): String = {
     val maxOcc = TextAnalysis.SpanMaxOcc
-    s"""${spanPreludeCtes(sfx, srcRel)}, hashed$sfx AS MATERIALIZED (
-  SELECT doc_id, off, ${h64("win")} AS h FROM wins$sfx
-), counts$sfx AS (
+    s"""${exactHashedCtes(sfx, srcRel)}, counts$sfx AS (
   SELECT h, COUNT(*) AS occ FROM hashed$sfx GROUP BY 1
 ), dups$sfx AS (
   SELECT doc_id, off FROM hashed$sfx JOIN counts$sfx USING (h)
@@ -3665,27 +3672,37 @@ GROUP BY 1"""
     * across copies that differ by ONE substituted token; exact copies
     * collide on all L fingerprints, so the flagged set ⊇ t77's.
     */
-  private def nearDupChainCtes: String = {
+  /** t79's fingerprint prelude: window explode kept as token lists,
+    * then L slot-keyed leave-one-out variants per window, hashed on
+    * the shared lane — ends at `hashed$sfx` (doc_id, off, h).
+    */
+  private def nearDupHashedCtes(sfx: String = "",
+                                srcRel: String = "corpus"): String = {
     val L = TextAnalysis.SpanMinTokens
-    val maxOcc = TextAnalysis.SpanMaxOcc
-    s"""${spanPreludeCtes()}, wtoks AS (
-  SELECT doc_id, off, string_split(win, ' ') AS wt FROM wins
-), loo AS (
+    s"""${spanPreludeCtes(sfx, srcRel)}, wtoks$sfx AS (
+  SELECT doc_id, off, string_split(win, ' ') AS wt FROM wins$sfx
+), loo$sfx AS (
   SELECT doc_id, off,
          unnest(generate_series(0, ${L - 1})) AS slot,
          unnest(list_transform(generate_series(0, ${L - 1}),
            i -> array_to_string(wt[1:i] || wt[i+2:$L], ' '))) AS var
-  FROM wtoks
-), hashed AS MATERIALIZED (
+  FROM wtoks$sfx
+), hashed$sfx AS MATERIALIZED (
   SELECT doc_id, off,
          ${h64("CAST(slot AS VARCHAR) || '|' || var")} AS h
-  FROM loo
-), counts AS (
-  SELECT h, COUNT(*) AS occ FROM hashed GROUP BY 1
-), dups AS (
+  FROM loo$sfx
+)"""
+  }
+
+  private def nearDupChainCtes(sfx: String = "",
+                               srcRel: String = "corpus"): String = {
+    val maxOcc = TextAnalysis.SpanMaxOcc
+    s"""${nearDupHashedCtes(sfx, srcRel)}, counts$sfx AS (
+  SELECT h, COUNT(*) AS occ FROM hashed$sfx GROUP BY 1
+), dups$sfx AS (
   SELECT DISTINCT doc_id, off
-  FROM hashed JOIN counts USING (h) WHERE occ > $maxOcc
-), ${spanTailCtes()}"""
+  FROM hashed$sfx JOIN counts$sfx USING (h) WHERE occ > $maxOcc
+), ${spanTailCtes(sfx = sfx)}"""
   }
 
   /** Shared island merge + per-doc rebuild over a `dups` (doc_id, off)
@@ -3752,7 +3769,7 @@ FROM spanout"""
     * the same shared constant as the Spark fixture.
     */
   val t79NearDupSpans: String =
-    s"""WITH ${tweakedPromoCorpusCte("documents")}, $nearDupChainCtes
+    s"""WITH ${tweakedPromoCorpusCte("documents")}, ${nearDupChainCtes()}
 SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
 FROM spanout"""
 
@@ -3761,10 +3778,11 @@ FROM spanout"""
     * [[TextAnalysis.SpanPromoTweakPos]] — shared by t79 and the
     * near-dup curation composite so the fixtures cannot drift.
     */
-  private def tweakedPromoCorpusCte(srcRel: String): String = {
+  private def tweakedPromoCorpusCte(srcRel: String,
+                                    name: String = "corpus"): String = {
     val head = TextAnalysis.SpanPromoHead
     val tail = TextAnalysis.SpanPromoTail
-    s"""corpus AS (
+    s"""$name AS (
   SELECT doc_id,
          COALESCE(CASE WHEN doc_id % 3 = 0
               THEN concat_ws(' ', text, '$head',
@@ -3792,7 +3810,7 @@ FROM spanout"""
     * one generator, two policies, zero drift surface.
     */
   val pipelineCurationNearDup: String =
-    pipelineCurationSql(tweakedPromoCorpusCte("rawc"), nearDupChainCtes)
+    pipelineCurationSql(tweakedPromoCorpusCte("rawc"), nearDupChainCtes())
 
   /** The standing corpus's full curation chain — injected corpus →
     * span chain → cluster/split/order CTEs ending at `traindocs` +
@@ -3824,7 +3842,7 @@ traindocs AS (
     * per-offset fingerprint volume exceeds budget.
     */
   val pipelineCurationCdc: String =
-    pipelineCurationSql(promoCorpusCte("rawc", 2), cdcChainCtes)
+    pipelineCurationSql(promoCorpusCte("rawc", 2), cdcChainCtes())
 
   private def pipelineCurationSql(corpusCte: String,
                                   spanChain: String): String =
@@ -3849,9 +3867,75 @@ FROM e JOIN traindocs t USING (doc_id)"""
     * stage; the full-rebuild equivalence itself is spec-proven Spark-
     * side (`CurationIncrementSpec`).
     */
-  val pipelineCurationIncrement: String = {
+  val pipelineCurationIncrement: String =
+    pipelineCurationIncrementSql("exact")
+
+  /** The incremental composite under the near-dup span policy
+    * (pipeline_curation_increment_neardup): t79's tweaked chrome and
+    * leave-one-out tier — the standing chain's loo-fingerprint
+    * `counts` plays the index, and the increment's per-copy tweaked
+    * chrome is stripped purely by standing counts.
+    */
+  val pipelineCurationIncrementNearDup: String =
+    pipelineCurationIncrementSql("neardup")
+
+  /** The incremental composite under the CDC/budget span policy
+    * (pipeline_curation_increment_cdc): t80's doubled-promo chrome
+    * and content-defined segment tier against the standing segment-
+    * fingerprint counts.
+    */
+  val pipelineCurationIncrementCdc: String =
+    pipelineCurationIncrementSql("cdc")
+
+  /** The increment side's detection chain per span policy: the
+    * policy's fingerprint prelude over `corpusi`, the shared
+    * incremental total rule (own counts + the standing chain's
+    * `counts` index), and the policy's dup flag + the shared tail —
+    * CTEs suffixed `i`, ending at `spanouti`. Mirrors
+    * [[graft.ext.TextAnalysis]]'s `incrementDupHashes` contract:
+    * total = increment + standing, exactly the full rebuild's count
+    * for any fingerprint occurring in the increment.
+    */
+  private def incDetectCtes(span: String): String = {
     val maxOcc = TextAnalysis.SpanMaxOcc
-    pipelineCurationCtes(promoCorpusCte("rawc", 1), spanChainCtes()) + s""",
+    val tot = s"""countsi AS (
+  SELECT h, COUNT(*) AS occ FROM hashedi GROUP BY 1
+), toti AS (
+  -- the incremental rule: total occurrences = standing index + own
+  SELECT ci.h, ci.occ + COALESCE(c.occ, 0) AS occ
+  FROM countsi ci LEFT JOIN counts c USING (h)
+)"""
+    span match {
+      case "exact" =>
+        s"""${exactHashedCtes("i", "corpusi")}, $tot, dupsi AS (
+  SELECT doc_id, off FROM hashedi JOIN toti USING (h)
+  WHERE occ > $maxOcc
+), ${spanTailCtes(sfx = "i")}"""
+      case "neardup" =>
+        s"""${nearDupHashedCtes("i", "corpusi")}, $tot, dupsi AS (
+  SELECT DISTINCT doc_id, off FROM hashedi JOIN toti USING (h)
+  WHERE occ > $maxOcc
+), ${spanTailCtes(sfx = "i")}"""
+      case "cdc" =>
+        s"""${cdcHashedCtes("i", "corpusi")}, $tot, dupsegi AS (
+  SELECT doc_id, s, e FROM hashedi JOIN toti USING (h)
+  WHERE occ > $maxOcc
+), dupsi AS (
+  SELECT doc_id, unnest(generate_series(s, e)) AS off FROM dupsegi
+), ${spanTailCtes(1, "i")}"""
+    }
+  }
+
+  private def pipelineCurationIncrementSql(span: String): String = {
+    val (corpusStd, corpusInc, stdChain) = span match {
+      case "exact" => (promoCorpusCte("rawc", 1),
+        promoCorpusCte("rawinc", 1, "corpusi"), spanChainCtes())
+      case "neardup" => (tweakedPromoCorpusCte("rawc"),
+        tweakedPromoCorpusCte("rawinc", "corpusi"), nearDupChainCtes())
+      case "cdc" => (promoCorpusCte("rawc", 2),
+        promoCorpusCte("rawinc", 2, "corpusi"), cdcChainCtes())
+    }
+    pipelineCurationCtes(corpusStd, stdChain) + s""",
 stdmax AS (
   SELECT epoch, h % 8 AS shard, COUNT(*) AS npos FROM e GROUP BY 1, 2
 ), rawinc AS (
@@ -3874,18 +3958,8 @@ stdmax AS (
            tk -> '${ExtQueries.IncPairPrefix}' || tk),
            (t, i) -> i % ${ExtQueries.IncPairDrop} <> 0), ' ')
   FROM base WHERE doc_id % ${ExtQueries.IncPairMod} = 0
-), ${promoCorpusCte("rawinc", 1, "corpusi")},
-${spanPreludeCtes("i", "corpusi")}, hashedi AS MATERIALIZED (
-  SELECT doc_id, off, ${h64("win")} AS h FROM winsi
-), countsi AS (
-  SELECT h, COUNT(*) AS occ FROM hashedi GROUP BY 1
-), dupsi AS (
-  -- the incremental rule: total occurrences = standing index + own
-  SELECT doc_id, off FROM hashedi JOIN (
-    SELECT ci.h, ci.occ + COALESCE(c.occ, 0) AS occ
-    FROM countsi ci LEFT JOIN counts c USING (h)
-  ) tot USING (h) WHERE tot.occ > $maxOcc
-), ${spanTailCtes(sfx = "i")},
+), $corpusInc,
+${incDetectCtes(span)},
 corpus3 AS (
   SELECT doc_id, clean_text AS text FROM spanouti WHERE clean_text <> ''
 ), shing3 AS (
@@ -3945,7 +4019,7 @@ LEFT JOIN stdmax s ON s.epoch = ei.epoch AND s.shard = ei.h % 8"""
     * doc.
     */
   val t80CdcDedup: String =
-    s"""WITH ${promoCorpusCte("documents", 2)}, $cdcChainCtes
+    s"""WITH ${promoCorpusCte("documents", 2)}, ${cdcChainCtes()}
 SELECT doc_id, clean_text, n_tokens, n_spans, n_removed_tokens
 FROM spanout"""
 
@@ -3954,43 +4028,54 @@ FROM spanout"""
     * dup segments exploded to positions, the shared tail at L = 1.
     * Shared by t80 and the CDC/budget curation composite.
     */
-  private def cdcChainCtes: String = {
+  /** t80's fingerprint prelude: anchor tokens on the seeded `cdc|`
+    * lane open segments, fingerprints are the md5 lane over the
+    * ORDERED token-hash CSV, segments under minTokens never
+    * participate — ends at `hashed$sfx` (doc_id, s, e, h).
+    */
+  private def cdcHashedCtes(sfx: String = "",
+                            srcRel: String = "corpus"): String = {
     val L = TextAnalysis.SpanMinTokens
-    val maxOcc = TextAnalysis.SpanMaxOcc
     val k = TextAnalysis.CdcAvgSegTokens
     val segHash = h64("array_to_string(list_transform(toks[b.s:b.e], " +
       s"tok -> CAST(${h64("tok")} AS VARCHAR)), ',')")
-    s"""t AS (
-  SELECT doc_id, string_split($Norm, ' ') AS toks FROM corpus
-), tk AS (
+    s"""t$sfx AS (
+  SELECT doc_id, string_split($Norm, ' ') AS toks FROM $srcRel
+), tk$sfx AS (
   SELECT doc_id, unnest(generate_series(1, len(toks))) AS p,
          unnest(toks) AS tok
-  FROM t
-), af AS (
+  FROM t$sfx
+), af$sfx AS (
   SELECT doc_id, p,
          CASE WHEN ${h64("'cdc|' || tok")} % $k = 0
               THEN 1 ELSE 0 END AS a
-  FROM tk
-), sg AS (
+  FROM tk$sfx
+), sg$sfx AS (
   SELECT doc_id, p,
          SUM(a) OVER (PARTITION BY doc_id ORDER BY p
                       ROWS UNBOUNDED PRECEDING) AS seg
-  FROM af
-), bounds AS (
+  FROM af$sfx
+), bounds$sfx AS (
   SELECT doc_id, seg, MIN(p) AS s, MAX(p) AS e
-  FROM sg GROUP BY 1, 2
-), hashed AS MATERIALIZED (
+  FROM sg$sfx GROUP BY 1, 2
+), hashed$sfx AS MATERIALIZED (
   SELECT b.doc_id, b.s, b.e, $segHash AS h
-  FROM bounds b JOIN t USING (doc_id)
+  FROM bounds$sfx b JOIN t$sfx USING (doc_id)
   WHERE b.e - b.s + 1 >= $L
-), counts AS (
-  SELECT h, COUNT(*) AS occ FROM hashed GROUP BY 1
-), dupseg AS (
-  SELECT doc_id, s, e FROM hashed JOIN counts USING (h)
+)"""
+  }
+
+  private def cdcChainCtes(sfx: String = "",
+                           srcRel: String = "corpus"): String = {
+    val maxOcc = TextAnalysis.SpanMaxOcc
+    s"""${cdcHashedCtes(sfx, srcRel)}, counts$sfx AS (
+  SELECT h, COUNT(*) AS occ FROM hashed$sfx GROUP BY 1
+), dupseg$sfx AS (
+  SELECT doc_id, s, e FROM hashed$sfx JOIN counts$sfx USING (h)
   WHERE occ > $maxOcc
-), dups AS (
-  SELECT doc_id, unnest(generate_series(s, e)) AS off FROM dupseg
-), ${spanTailCtes(1)}"""
+), dups$sfx AS (
+  SELECT doc_id, unnest(generate_series(s, e)) AS off FROM dupseg$sfx
+), ${spanTailCtes(1, sfx)}"""
   }
 
   /** t78: per-source span-duplication pressure — the shared

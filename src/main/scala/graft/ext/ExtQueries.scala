@@ -119,6 +119,18 @@ object ExtQueries {
     val withSh = graft.std.Materialize.once(
       shingled(corpus, split(col("text"), " ")))
     val sigs = graft.std.Materialize.once(Dedup.minHashSignatures(withSh, 8))
+    clustersOf(corpus, withSh, sigs)
+  }
+
+  /** [[clustersOf]] over PRECOMPUTED shingle/signature frames — the
+    * incremental composite feeds its memoized standing tiers here so
+    * the cold standing build runs the dominant shingle/MinHash explode
+    * once instead of twice (r19 advice: the memoized curation_shingles/
+    * curation_sigs tiers and clustersOf each built their own, roughly
+    * doubling the ~20 s cold build).
+    */
+  private def clustersOf(corpus: DataFrame, withSh: DataFrame,
+                         sigs: DataFrame): DataFrame = {
     val cands = Dedup.lshCandidatePairs(sigs, 8, 4)
     val pairs = Dedup.verifiedNearDups(cands, withSh, 0.5)
       .select("id_a", "id_b")
@@ -2621,35 +2633,103 @@ object ExtQueries {
       curationIncrementCorpus(Tables.documents(spark, sfDir)))
   }
 
+  /** The incremental composite under the NEAR-DUP span policy
+    * (pipeline_curation_increment_neardup): t79's tweaked chrome (a
+    * per-doc tracking token inside every injected promo) and the
+    * leave-one-out span tier, incrementally — the standing state is
+    * [[TextAnalysis.nearDupSpanIndex]] plus the neardup-cleaned
+    * corpus's shingle/signature/cluster tiers, and the v2 increment's
+    * chrome is stripped purely by the standing index's counts (no two
+    * copies are verbatim-equal, so the exact tier's increment — r19
+    * verdict gap #1 — could not run this user's chosen policy at all).
+    */
+  def curationTrainPipelineIncrementNearDup(spark: SparkSession,
+                                            sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    curationTrainPipelineIncrementFrom(spark, sfDir,
+      nearDupCorpus(Tables.documents(spark, sfDir)),
+      curationIncrementCorpus(Tables.documents(spark, sfDir)),
+      chrome = "tweaked", span = "neardup")
+  }
+
+  /** The incremental composite under the CDC/budget span policy
+    * (pipeline_curation_increment_cdc): t80's doubled-promo chrome and
+    * content-defined segment tier against a standing
+    * [[TextAnalysis.cdcSegmentIndex]] — the daily-crawl form of the
+    * tier a 100 TB run picks when t77's per-offset fingerprint volume
+    * exceeds budget (~1/avgSegTokens the standing index rows).
+    */
+  def curationTrainPipelineIncrementCdc(spark: SparkSession,
+                                        sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    curationTrainPipelineIncrementFrom(spark, sfDir,
+      nearDupCorpus(Tables.documents(spark, sfDir)),
+      curationIncrementCorpus(Tables.documents(spark, sfDir)),
+      chrome = "promo2", span = "cdc")
+  }
+
   /** The incremental composite over caller-provided standing/increment
-    * corpora, standing memos keyed by `memoTag` — the query fixture
-    * above binds the sfDir corpora; the increment probe binds
+    * corpora, standing memos keyed by (`memoTag`, span policy) — the
+    * query fixtures bind the sfDir corpora; the increment probe binds
     * replicated standing corpora against a FIXED increment to measure
-    * the O(increment) claim directly.
+    * the O(increment) claim directly. `chrome`/`span` are the SAME
+    * policy knobs as [[curationTrainPipelineFrom]] (r19 verdict #1:
+    * the increment path hard-wired the exact tier, so the user whose
+    * chrome only t79 strips could not run their policy incrementally);
+    * the standing index per tier is [[TextAnalysis.spanIndex]] /
+    * [[TextAnalysis.nearDupSpanIndex]] / [[TextAnalysis.cdcSegmentIndex]]
+    * and the increment span pass the matching `*Increment` kernel.
+    * Freeze semantics per tier: exact and cdc standing corpora are
+    * STRUCTURALLY frozen under the v2 fixture (its deletion lattices
+    * cannot add a verbatim ≥L-run or a whole ≥L-token content-defined
+    * segment to standing counts); the 1-mismatch tier's freeze is
+    * CONTRACTUAL — any increment window one substitution from a
+    * standing window is new near-miss evidence by the tier's own
+    * definition, so a neardup REBUILD legitimately re-cleans standing
+    * docs while production ships the memoized standing artifacts
+    * unchanged (divergence quantified, and increment-row equivalence
+    * to the rebuild asserted anyway, in `CurationIncrementSpec`).
     */
   def curationTrainPipelineIncrementFrom(spark: SparkSession,
                                          memoTag: String,
                                          standingRaw: DataFrame,
-                                         incRaw: DataFrame): DataFrame = {
-    val standingInjected =
-      curationChromeInjected(standingRaw, chrome = "promo")
-    val standingClean = curationStanding(spark, memoTag, "clean")(
-      TextAnalysis.spanDedup(standingInjected)
-        .select(col("doc_id"), col("clean_text").as("text"))
+                                         incRaw: DataFrame,
+                                         chrome: String = "promo",
+                                         span: String = "exact"): DataFrame = {
+    // per-policy memo tags: each span tier cleans the standing corpus
+    // differently, so its materialized state is a distinct artifact
+    // (exact keeps the unsuffixed r18 tags for bench-record continuity)
+    def tag(t: String) = if (span == "exact") t else s"${span}_$t"
+    val standingInjected = curationChromeInjected(standingRaw, chrome)
+    val standingClean = curationStanding(spark, memoTag, tag("clean"))(
+      curationCleanedCorpus(standingRaw, chrome, span)
         .filter(col("text") =!= ""))
-    val standingSpanIdx = curationStanding(spark, memoTag, "spanidx")(
-      TextAnalysis.spanIndex(standingInjected))
-    val standingShingles = curationStanding(spark, memoTag, "shingles")(
+    val standingSpanIdx = curationStanding(spark, memoTag, tag("spanidx"))(
+      span match {
+        case "exact"   => TextAnalysis.spanIndex(standingInjected)
+        case "neardup" => TextAnalysis.nearDupSpanIndex(standingInjected)
+        case "cdc"     => TextAnalysis.cdcSegmentIndex(standingInjected)
+        case other => throw new IllegalArgumentException(
+          s"unknown span policy: $other")
+      })
+    val standingShingles = curationStanding(spark, memoTag, tag("shingles"))(
       Dedup.shingleFrame(standingClean))
-    val standingSigs = curationStanding(spark, memoTag, "sigs")(
+    val standingSigs = curationStanding(spark, memoTag, tag("sigs"))(
       Dedup.minHashSignatures(standingShingles, 8))
     val clusters =
-      curationMemo.getOrBuild(spark, s"curation_clusters|$memoTag")(
-        clustersOf(standingClean))
-    val incInjected =
-      curationChromeInjected(incRaw, chrome = "promo")
+      curationMemo.getOrBuild(spark, s"curation_${tag("clusters")}|$memoTag")(
+        clustersOf(standingClean, standingShingles, standingSigs))
+    val incInjected = curationChromeInjected(incRaw, chrome)
+    val incSpanPass = span match {
+      case "exact" =>
+        TextAnalysis.spanDedupIncrement(incInjected, standingSpanIdx)
+      case "neardup" =>
+        TextAnalysis.nearDupSpanDedupIncrement(incInjected, standingSpanIdx)
+      case "cdc" =>
+        TextAnalysis.cdcSegmentDedupIncrement(incInjected, standingSpanIdx)
+    }
     val cleanedInc = graft.std.Materialize.once(
-      TextAnalysis.spanDedupIncrement(incInjected, standingSpanIdx)
+      incSpanPass
         .select(col("doc_id"), col("clean_text").as("text"))
         .filter(col("text") =!= ""))
     val shB = graft.std.Materialize.once(Dedup.shingleFrame(cleanedInc))
@@ -2680,7 +2760,7 @@ object ExtQueries {
     // materialized standing state (recomputing it would re-window the
     // whole standing train order per crawl: an O(standing) cost the
     // probe caught riding every warm run), broadcast into the append
-    val stdMax = curationStanding(spark, memoTag, "stdfill")(
+    val stdMax = curationStanding(spark, memoTag, tag("stdfill"))(
       TextAnalysis.trainOrder(trainKeepers(clusters))
         .groupBy(col("epoch"), col("shard"))
         .agg(count(lit(1)).as("_npos")))

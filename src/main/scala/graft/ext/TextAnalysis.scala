@@ -1922,12 +1922,8 @@ object TextAnalysis {
     val L = minTokens
     val base = spanBase(docs, textCol)
     val wins = graft.std.Materialize.once(spanWindowHashes(base, L))
-    val own = wins.groupBy(col("_h")).agg(count(lit(1)).as("_inc_occ"))
-    val tot = own.join(standingIndex,
-        own("_h") === standingIndex("span_h"), "left")
-      .select(own("_h"),
-        (col("_inc_occ") + coalesce(col("occ"), lit(0L))).as("_occ"))
-    val dups = wins.join(tot.filter(col("_occ") > maxOcc), Seq("_h"))
+    val dups = wins.join(incrementDupHashes(wins, standingIndex, maxOcc),
+        Seq("_h"))
       .select(col("doc_id"), col("off"))
     spanRebuild(base, dups, L)
   }
@@ -2037,29 +2033,7 @@ object TextAnalysis {
     require(maxOcc >= 1, "a span always occurs at least once")
     val L = minTokens
     val base = spanBase(docs, textCol)
-    // (doc_id, off, window token array) — the t77 window explode,
-    // kept as an array so the leave-one-out slices don't re-split
-    val wins = base
-      .select(col("doc_id"),
-        posexplode(when(col("_n") >= L,
-          transform(sequence(lit(1), col("_n") - (L - 1)),
-            i => slice(col("_toks"), i, lit(L))))))
-      .select(col("doc_id"), (col("pos") + 1).as("off"),
-        col("col").as("_w"))
-    // L leave-one-out fingerprints per window: slot i (0-based) plus
-    // the window minus token i+1. The slot is hashed IN so windows
-    // can only collide slot-for-slot (same substituted position).
-    // Hash after the explode — one md5 per fingerprint attribute,
-    // never inside the transform lambda (the HOF no-CSE trap).
-    val loo = graft.std.Materialize.once(wins
-      .select(col("doc_id"), col("off"),
-        posexplode(transform(sequence(lit(0), lit(L - 1)), i =>
-          concat_ws(" ",
-            concat(slice(col("_w"), lit(1), i),
-              slice(col("_w"), i + lit(2), lit(L - 1) - i))))))
-      .select(col("doc_id"), col("off"),
-        TextOps.hash64(concat(col("pos").cast("string"), lit("|"),
-          col("col"))).as("_h")))
+    val loo = graft.std.Materialize.once(looFingerprints(base, L))
     val counts = loo.groupBy(col("_h"))
       .agg(count(lit(1)).as("_occ"))
     // a window is near-dup if ANY of its fingerprints recurs; the
@@ -2067,6 +2041,94 @@ object TextAnalysis {
     val dups = loo.join(counts.filter(col("_occ") > maxOcc), Seq("_h"))
       .select(col("doc_id"), col("off")).distinct()
     spanRebuild(base, dups, L)
+  }
+
+  /** (doc_id, off, _h) leave-one-out fingerprint frame over a
+    * [[spanBase]] frame: the t77 window explode kept as token arrays,
+    * then L slot-keyed fingerprints per window (slot i + the window
+    * minus token i+1). The slot is hashed IN so windows can only
+    * collide slot-for-slot (same substituted position). Hash after the
+    * explode — one md5 per fingerprint attribute, never inside the
+    * transform lambda (the HOF no-CSE trap). Shared by
+    * [[nearDupSpanDedup]], [[nearDupSpanIndex]], and
+    * [[nearDupSpanDedupIncrement]] so the three sides of the
+    * incremental contract hash the identical fingerprint expression.
+    */
+  private def looFingerprints(base: DataFrame, L: Int): DataFrame = {
+    val wins = base
+      .select(col("doc_id"),
+        posexplode(when(col("_n") >= L,
+          transform(sequence(lit(1), col("_n") - (L - 1)),
+            i => slice(col("_toks"), i, lit(L))))))
+      .select(col("doc_id"), (col("pos") + 1).as("off"),
+        col("col").as("_w"))
+    wins
+      .select(col("doc_id"), col("off"),
+        posexplode(transform(sequence(lit(0), lit(L - 1)), i =>
+          concat_ws(" ",
+            concat(slice(col("_w"), lit(1), i),
+              slice(col("_w"), i + lit(2), lit(L - 1) - i))))))
+      .select(col("doc_id"), col("off"),
+        TextOps.hash64(concat(col("pos").cast("string"), lit("|"),
+          col("col"))).as("_h"))
+  }
+
+  /** The standing index a production t79 pipeline persists between
+    * crawls: corpus-wide occurrence counts per leave-one-out
+    * fingerprint — [[nearDupSpanDedup]]'s `counts` stage materialized
+    * as standing state (the t79 analogue of [[spanIndex]], same
+    * (span_h, occ) shape, L× the rows). At scale it lives as a
+    * hash-bucketed table so the increment-side lookup prunes buckets.
+    */
+  def nearDupSpanIndex(docs: DataFrame, minTokens: Int = SpanMinTokens,
+                       textCol: String = "text"): DataFrame =
+    looFingerprints(spanBase(docs, textCol), minTokens)
+      .groupBy(col("_h")).agg(count(lit(1)).as("occ"))
+      .select(col("_h").as("span_h"), col("occ"))
+
+  /** Incremental t79: near-dup span-dedup an INCREMENT against a
+    * standing corpus's [[nearDupSpanIndex]]. A window is flagged when
+    * ANY of its leave-one-out fingerprints totals more than `maxOcc`
+    * occurrences across standing + increment — exactly the count a
+    * full rebuild over standing ∪ increment computes for any
+    * fingerprint occurring in the increment, so increment cleaning is
+    * EXACT (the same argument as [[spanDedupIncrement]], fingerprint
+    * lane swapped). 100 TB shape: O(increment · L) explode + one
+    * partial agg over increment fingerprints + one lookup join against
+    * the standing index; island merge and rebuild are per-doc kernels
+    * over increment docs only.
+    */
+  def nearDupSpanDedupIncrement(docs: DataFrame, standingIndex: DataFrame,
+                                minTokens: Int = SpanMinTokens,
+                                maxOcc: Int = SpanMaxOcc,
+                                textCol: String = "text"): DataFrame = {
+    require(minTokens >= 2, "a span is at least 2 tokens")
+    require(maxOcc >= 1, "a span always occurs at least once")
+    val L = minTokens
+    val base = spanBase(docs, textCol)
+    val loo = graft.std.Materialize.once(looFingerprints(base, L))
+    val dups = loo.join(incrementDupHashes(loo, standingIndex, maxOcc),
+        Seq("_h"))
+      .select(col("doc_id"), col("off")).distinct()
+    spanRebuild(base, dups, L)
+  }
+
+  /** The incremental duplication rule shared by the three *Increment
+    * kernels: total occurrences per fingerprint = the increment's own
+    * count + the standing index's count (absent → 0), flagged when the
+    * total exceeds `maxOcc` — which is exactly what a full rebuild over
+    * standing ∪ increment counts for any fingerprint occurring in the
+    * increment. Returns the flagged `_h` set (one partial agg over
+    * increment fingerprints + one lookup join against the index).
+    */
+  private def incrementDupHashes(fps: DataFrame, standingIndex: DataFrame,
+                                 maxOcc: Int): DataFrame = {
+    val own = fps.groupBy(col("_h")).agg(count(lit(1)).as("_inc_occ"))
+    own.join(standingIndex, own("_h") === standingIndex("span_h"), "left")
+      .select(own("_h"),
+        (col("_inc_occ") + coalesce(col("occ"), lit(0L))).as("_occ"))
+      .filter(col("_occ") > maxOcc)
+      .select(col("_h"))
   }
 
   /** Content-defined chunk dedup (t80): the storage-dedup / CDC kernel
@@ -2112,6 +2174,30 @@ object TextAnalysis {
     require(maxOcc >= 1, "a segment always occurs at least once")
     require(avgSegTokens >= 2, "anchor rate must leave room for chunks")
     val base = spanBase(docs, textCol)
+    val segs = cdcSegFrame(base, minTokens, avgSegTokens)
+    val counts = segs.groupBy(col("_h")).agg(count(lit(1)).as("_occ"))
+    val dups = segs.join(counts.filter(col("_occ") > maxOcc), Seq("_h"))
+      .select(col("doc_id"),
+        explode(sequence(col("_s"), col("_e"))).as("off"))
+    // L = 1: dup positions are explicit intervals already — the island
+    // merge degenerates to contiguous-position interval union
+    spanRebuild(base, dups, 1)
+  }
+
+  /** (doc_id, _s, _e, _h) content-defined segment frame over a
+    * [[spanBase]] frame: anchor tokens on the seeded `cdc|` lane open
+    * segments, the fingerprint is the md5 lane over the ORDERED
+    * token-hash CSV (struct sort by position — the x41 total-order
+    * rule), segments under `minTokens` never participate (the CDC
+    * min-chunk rule). Shared by [[cdcSegmentDedup]],
+    * [[cdcSegmentIndex]], and [[cdcSegmentDedupIncrement]] so the
+    * three sides of the incremental contract segment and hash
+    * identically — and because boundaries derive from each doc's OWN
+    * content, an increment doc's segments are the same frame a full
+    * rebuild would compute for it.
+    */
+  private def cdcSegFrame(base: DataFrame, minTokens: Int,
+                          avgSegTokens: Int): DataFrame = {
     val toks = base
       .select(col("doc_id"), posexplode(col("_toks")))
       .select(col("doc_id"), (col("pos") + 1).as("_p"),
@@ -2121,20 +2207,53 @@ object TextAnalysis {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
     val seg = toks.withColumn("_seg", sum(col("_a")).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // per-segment rollup: bounds + the ordered token-hash CSV
-    // fingerprint (struct sort by position — the x41 total-order rule)
-    val segs = seg.groupBy(col("doc_id"), col("_seg"))
+    seg.groupBy(col("doc_id"), col("_seg"))
       .agg(min(col("_p")).as("_s"), max(col("_p")).as("_e"),
         TextOps.hash64(concat_ws(",",
           transform(array_sort(collect_list(struct(col("_p"), col("_th")))),
             x => x.getField("_th")))).as("_h"))
       .filter(col("_e") - col("_s") + 1 >= minTokens)
-    val counts = segs.groupBy(col("_h")).agg(count(lit(1)).as("_occ"))
-    val dups = segs.join(counts.filter(col("_occ") > maxOcc), Seq("_h"))
+  }
+
+  /** The standing index a production t80 pipeline persists between
+    * crawls: corpus-wide occurrence counts per content-defined segment
+    * fingerprint — [[cdcSegmentDedup]]'s `counts` stage materialized as
+    * standing state (the t80 analogue of [[spanIndex]], same
+    * (span_h, occ) shape at ~1/avgSegTokens the rows).
+    */
+  def cdcSegmentIndex(docs: DataFrame, minTokens: Int = SpanMinTokens,
+                      avgSegTokens: Int = CdcAvgSegTokens,
+                      textCol: String = "text"): DataFrame =
+    cdcSegFrame(spanBase(docs, textCol), minTokens, avgSegTokens)
+      .groupBy(col("_h")).agg(count(lit(1)).as("occ"))
+      .select(col("_h").as("span_h"), col("occ"))
+
+  /** Incremental t80: CDC segment-dedup an INCREMENT against a
+    * standing corpus's [[cdcSegmentIndex]]. Segment boundaries derive
+    * from each doc's own content ([[cdcSegFrame]]), so an increment
+    * doc's segments ARE the full rebuild's; a segment is removed when
+    * its fingerprint totals more than `maxOcc` occurrences across
+    * standing + increment — the full rebuild's count for any segment
+    * occurring in the increment, making increment cleaning EXACT (the
+    * [[spanDedupIncrement]] argument at segment grain). 100 TB shape:
+    * one O(increment) token explode + per-(doc, segment) partial agg +
+    * one lookup join against the standing index.
+    */
+  def cdcSegmentDedupIncrement(docs: DataFrame, standingIndex: DataFrame,
+                               minTokens: Int = SpanMinTokens,
+                               maxOcc: Int = SpanMaxOcc,
+                               avgSegTokens: Int = CdcAvgSegTokens,
+                               textCol: String = "text"): DataFrame = {
+    require(minTokens >= 2, "a removable segment is at least 2 tokens")
+    require(maxOcc >= 1, "a segment always occurs at least once")
+    require(avgSegTokens >= 2, "anchor rate must leave room for chunks")
+    val base = spanBase(docs, textCol)
+    val segs = graft.std.Materialize.once(
+      cdcSegFrame(base, minTokens, avgSegTokens))
+    val dups = segs.join(incrementDupHashes(segs, standingIndex, maxOcc),
+        Seq("_h"))
       .select(col("doc_id"),
         explode(sequence(col("_s"), col("_e"))).as("off"))
-    // L = 1: dup positions are explicit intervals already — the island
-    // merge degenerates to contiguous-position interval union
     spanRebuild(base, dups, 1)
   }
 

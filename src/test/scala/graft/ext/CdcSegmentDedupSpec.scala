@@ -143,6 +143,36 @@ class CdcSegmentDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental ≡ full rebuild restricted to increment docs") {
+    // segment boundaries are per-doc content-defined, so an increment
+    // doc's segments ARE the rebuild's; totals = inc + standing index.
+    // Differential on seeded random colliding corpora, plus a verbatim
+    // standing copy whose shared segments only the INDEX can flag
+    // (each side sees them once).
+    for (seed <- Seq(5L, 71L)) {
+      val standing = corpus(seed, 24)
+      val fresh = corpus(seed + 500, 8)
+        .map { case (id, t) => (id + 100L, t) }
+      val donor = standing.filter(_._2.split(" ").length >= 12).head
+      val inc = fresh :+ (150L -> donor._2)
+      val idx = TextAnalysis.cdcSegmentIndex(
+        standing.toDF("doc_id", "text"), minTokens = L, avgSegTokens = K)
+      val got = TextAnalysis.cdcSegmentDedupIncrement(
+        inc.toDF("doc_id", "text"), idx,
+        minTokens = L, avgSegTokens = K).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      val full = TextAnalysis.cdcSegmentDedup(
+        (standing ++ inc).toDF("doc_id", "text"),
+        minTokens = L, avgSegTokens = K)
+        .filter(org.apache.spark.sql.functions.col("doc_id") > 100L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      assert(got == full, s"seed $seed: incremental diverged from rebuild")
+    }
+  }
+
   test("economy: participating fingerprints ≈ tokens/K, and nulls survive") {
     val docs = corpus(99L, 40) :+ (999L -> (null: String))
     val rows = TextAnalysis.cdcSegmentDedup(docs.toDF("doc_id", "text"),

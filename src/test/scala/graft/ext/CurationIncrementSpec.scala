@@ -121,6 +121,118 @@ class CurationIncrementSpec extends AnyFunSuite {
       s"attached dups leaked into the full rebuild's train order")
   }
 
+  // ── the NEAR-DUP and CDC policies (r19 verdict gap #1: the user whose
+  // chrome carries per-copy tracking tokens — which only t79 strips —
+  // could not run their chosen policy incrementally; same for t80's
+  // budget tier). Each policy's incremental run must equal the full
+  // rebuild under THAT policy's chrome + span pass, with the standing
+  // corpus frozen and the shard append contract intact.
+  private val policies = Seq(
+    ("neardup", "tweaked",
+      () => ExtQueries.curationTrainPipelineIncrementNearDup(spark, sfDir)),
+    ("cdc", "promo2",
+      () => ExtQueries.curationTrainPipelineIncrementCdc(spark, sfDir)))
+
+  private val polFrames = scala.collection.mutable.Map
+    .empty[String, (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  private def framesFor(span: String, chrome: String,
+                        incrFn: () => org.apache.spark.sql.DataFrame) =
+    polFrames.getOrElseUpdate(span, {
+      val f = ExtQueries.curationTrainPipelineFrom(
+        standingRaw.unionByName(incRaw), chrome, span).localCheckpoint(true)
+      val s = ExtQueries.curationTrainPipelineFrom(
+        standingRaw, chrome, span).localCheckpoint(true)
+      val i = incrFn().localCheckpoint(true)
+      (f, s, i)
+    })
+
+  for ((span, chrome, incrFn) <- policies) {
+    test(s"[$span] increment rows ≡ full rebuild: ids, shard, rep") {
+      val (f, _, i) = framesFor(span, chrome, incrFn)
+      assert(i.count() > 0, "fixture must produce appended train rows")
+      val a = f.filter(col("doc_id") >= ExtQueries.IncIdFloor)
+        .select("epoch", "doc_id", "shard", "cluster_rep")
+      val b = i.select("epoch", "doc_id", "shard", "cluster_rep")
+      assert(a.except(b).isEmpty && b.except(a).isEmpty,
+        s"[$span] incremental (epoch, doc_id, shard, cluster_rep) must " +
+          "equal the full rebuild's for increment ids")
+    }
+
+    if (span != "neardup")
+      test(s"[$span] standing rows are frozen: full rebuild ≡ standing-only") {
+        val (f, s, _) = framesFor(span, chrome, incrFn)
+        val fs = f.filter(col("doc_id") < ExtQueries.IncIdFloor)
+          .select("epoch", "doc_id", "shard", "cluster_rep")
+        val ss = s.select("epoch", "doc_id", "shard", "cluster_rep")
+        assert(fs.except(ss).isEmpty && ss.except(fs).isEmpty,
+          s"[$span] the increment must not change any standing row: the " +
+            "fixture's mutations cannot add a verbatim ≥8-token run " +
+            "(deletion lattice caps runs at 6) or a whole ≥8-token " +
+            "content-defined segment to standing counts")
+      }
+    else
+      test("[neardup] standing freeze is CONTRACTUAL: rebuild divergence " +
+        "is real, quantified, and confined to span-cleaning") {
+        // The 1-mismatch tier has no structural freeze argument: ANY
+        // increment window within one substitution of a standing window
+        // adds near-miss evidence against standing text, by the tier's
+        // very definition — and at this corpus's ~40-word vocabulary the
+        // v2 deletion lattice produces such windows in quantity. So the
+        // production contract is freeze-BY-CONSTRUCTION (shipped standing
+        // artifacts are memoized state, never recomputed — the memo-
+        // counter test pins it), and this test pins the divergence
+        // instead of denying it: the rebuild re-cleans a NONEMPTY set of
+        // standing docs (if it were empty, the exact-style freeze
+        // assertion above would be the honest one), yet the increment
+        // rows' equivalence (previous test) survives it.
+        val standingInjected = ExtQueries.curationCleanedCorpus(
+          standingRaw, chrome, span)
+        val unionStanding = ExtQueries.curationCleanedCorpus(
+          standingRaw.unionByName(incRaw), chrome, span)
+          .filter(col("doc_id") < ExtQueries.IncIdFloor)
+        val recleaned = standingInjected.as("a")
+          .join(unionStanding.as("b"), Seq("doc_id"))
+          .filter(col("a.text") =!= col("b.text"))
+        val n = recleaned.count()
+        assert(n > 0,
+          "the fixture must exhibit the tier's corpus-sensitivity — a " +
+            "zero here means the structural freeze holds and the exact-" +
+            "style assertion should replace this one")
+        // shipped-artifact immutability: the incremental path's standing
+        // train order is the standing-only pipeline's, by construction
+        val (_, s, i) = framesFor(span, chrome, incrFn)
+        val overlap = i.select("epoch", "doc_id")
+          .join(s.select("epoch", "doc_id"), Seq("epoch", "doc_id"))
+        assert(overlap.isEmpty,
+          "appended rows must never collide with shipped standing rows")
+      }
+
+    test(s"[$span] shard_pos appends after the standing fill, densely") {
+      val (_, s, i) = framesFor(span, chrome, incrFn)
+      val sc = s.groupBy("epoch", "shard").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("epoch", "shard").orderBy("shard_pos")
+      val viol = i.join(sc, Seq("epoch", "shard"), "left")
+        .withColumn("r", row_number().over(w))
+        .filter(col("shard_pos") =!= coalesce(col("n"), lit(0L)) + col("r"))
+      assert(viol.isEmpty,
+        s"[$span] shard_pos must be standing fill + dense appended rank")
+    }
+
+    test(s"[$span] within-shard relative order matches the full rebuild") {
+      val (f, _, i) = framesFor(span, chrome, incrFn)
+      val w = Window.partitionBy("epoch", "shard").orderBy("shard_pos")
+      val rF = f.filter(col("doc_id") >= ExtQueries.IncIdFloor)
+        .withColumn("r", row_number().over(w))
+        .select("epoch", "doc_id", "shard", "r")
+      val rI = i.withColumn("r", row_number().over(w))
+        .select("epoch", "doc_id", "shard", "r")
+      assert(rF.except(rI).isEmpty && rI.except(rF).isEmpty,
+        s"[$span] appended docs must keep the rebuild's hash order")
+    }
+  }
+
   test("O(increment): re-run rebuilds no standing tier; plan is pinned") {
     incr.count() // ensure the memos exist
     val before = graft.std.SessionMemo.counters

@@ -133,6 +133,43 @@ class NearDupSpanSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental ≡ full rebuild restricted to increment docs") {
+    // the spanDedupIncrement equivalence argument at loo grain: any
+    // fingerprint occurring in the increment totals inc + standing —
+    // exactly the rebuild's count. Differentially asserted on seeded
+    // random colliding corpora (collisions land at arbitrary slots),
+    // plus an explicit cross-corpus 1-mismatch copy that only the
+    // STANDING index can strip (occurs once on each side).
+    for (seed <- Seq(5L, 23L)) {
+      val standing = corpus(seed, 24)
+      val fresh = corpus(seed + 1000, 8)
+        .map { case (id, t) => (id + 100L, t) }
+      // a one-substitution copy of a standing doc long enough to open
+      // windows: tweak one middle token
+      val donor = standing.filter(_._2.split(" ").length >= L + 2).head
+      val dt = donor._2.split(" ").toVector
+      val tweaked = dt.updated(dt.length / 2, "zz").mkString(" ")
+      val inc = fresh :+ (150L -> tweaked)
+      val idx = TextAnalysis.nearDupSpanIndex(
+        standing.toDF("doc_id", "text"), minTokens = L)
+      val got = TextAnalysis.nearDupSpanDedupIncrement(
+        inc.toDF("doc_id", "text"), idx, minTokens = L).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      val full = TextAnalysis.nearDupSpanDedup(
+        (standing ++ inc).toDF("doc_id", "text"), minTokens = L)
+        .filter(org.apache.spark.sql.functions.col("doc_id") > 100L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      assert(got == full, s"seed $seed: incremental diverged from rebuild")
+      // the cross-corpus lane actually fired: the tweaked copy lost
+      // tokens despite occurring ONCE in the increment
+      assert(got(150L)._4 > 0L,
+        "the 1-mismatch standing copy must be stripped by the index")
+    }
+  }
+
   test("accounting invariants + every-doc-survives (null text included)") {
     val docs = corpus(17L, 40) :+ (999L -> (null: String))
     val rows = TextAnalysis.nearDupSpanDedup(docs.toDF("doc_id", "text"),
