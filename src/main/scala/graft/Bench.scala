@@ -126,6 +126,43 @@ object Bench {
     if (isRecordScale(sfDir)) s"$repoRoot/BENCH_FULL.json"
     else s"/tmp/BENCH_FULL_${sfTag(sfDir)}.json"
 
+  /** Record-time adjudication context per anomalous query (r19 verdict
+    * #3: the record carried per-query time coordinates but only the
+    * post-hoc `tools/bench_timeline.py` consumed them — at record time
+    * an `anomalous` flag could not say "inside a shared slow window"
+    * vs "alone among fast neighbors", which is the analyzer's entire
+    * verdict logic). For each anomalous query, look at every OTHER
+    * query whose wall-clock span overlaps its own (padded `padMs`): a
+    * true host window inflates its cohabitants too, a code regression
+    * sits alone among healthy neighbors. Returns
+    * name -> (neighbors, inflatedNeighbors, verdict) with verdict one
+    * of `shared_slow_window` (half or more neighbors inflated, or 3+),
+    * `isolated` (neighbors exist, mostly healthy — treat as a real
+    * regression candidate), `no_neighbors` (nothing overlapped —
+    * undecidable at record time).
+    */
+  private[graft] def anomalyContext(
+      spans: Seq[(String, Long, Long)],
+      ratios: Map[String, Double],
+      anomalous: Seq[String],
+      padMs: Long = 30000L,
+      inflRatio: Double = 1.5): Seq[(String, (Int, Int, String))] =
+    anomalous.flatMap { a =>
+      spans.find(_._1 == a).map { case (_, s, e) =>
+        val others = spans.filter { case (n, s2, e2) =>
+          n != a && s2 <= e + padMs && e2 >= s - padMs
+        }
+        val infl = others.count { case (n, _, _) =>
+          ratios.get(n).exists(_ > inflRatio)
+        }
+        val verdict =
+          if (others.isEmpty) "no_neighbors"
+          else if (infl * 2 >= others.size || infl >= 3) "shared_slow_window"
+          else "isolated"
+        a -> ((others.size, infl, verdict))
+      }
+    }
+
   /** The one-line record head shared by stdout and the file copy.
     * `canaryStart`/`canaryEnd` are the suite bookends (same keys, same
     * min-of-reps statistic); end/start per key is the mid-run
@@ -199,7 +236,9 @@ object Bench {
                               drift: Seq[(String, Double)] = Nil,
                               canaryStartMs: Long = 0L,
                               canaryEndMs: Long = 0L,
-                              guardDisarmed: Boolean = false)
+                              guardDisarmed: Boolean = false,
+                              anomalyCtx: Seq[(String, (Int, Int, String))]
+                                = Nil)
       : String = {
     def runsMap(xs: Seq[(String, Seq[Double])]): String =
       xs.map { case (k, runs) =>
@@ -214,12 +253,15 @@ object Bench {
       jstr(k) + ":" + String.format(java.util.Locale.ROOT, "%.2f",
         Double.box(r))
     }.mkString("{", ",", "}")
+    val ctxMap = anomalyCtx.map { case (k, (nb, infl, v)) =>
+      jstr(k) + s""":{"neighbors":$nb,"inflated":$infl,"verdict":${jstr(v)}}"""
+    }.mkString("{", ",", "}")
     headJson(results, canaryStart, canaryEnd, flaky, anomalous, outPath,
       sfDir, _.toString, guardDisarmed).dropRight(1) +
       s""","reps":$reps,"samples":${runsMap(samples)},"retries":${
         runsMap(retries)},"memo":$memoMap,"started":$startedMap,"drift":${
         driftMap},"canary_start_ms":$canaryStartMs,"canary_end_ms":${
-        canaryEndMs}}"""
+        canaryEndMs},"anomaly_context":$ctxMap}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -442,11 +484,25 @@ object Bench {
       defaultOut(sfDir))
     val samples = measured.map { case (name, runs, _, _) => (name, runs) }
     val started = measured.map { case (name, _, _, ms) => (name, ms) }
+    // record-time adjudication of each anomalous flag (see
+    // anomalyContext): span = first-rep start + every rep AND retry
+    // duration (retries occupy the wall clock too — the r19
+    // bench_timeline advice applied at the source)
+    val spans = measured.map { case (name, runs, rts, ms) =>
+      val dur = (runs ++ rts).filter(_ >= 0).sum
+      (name, ms, ms + (dur * 1000).toLong)
+    }
+    val anomCtx = anomalyContext(spans, drift.toMap, anomalous)
+    anomCtx.foreach { case (name, (nb, infl, v)) =>
+      System.err.println(
+        s"[bench] anomaly $name: $infl/$nb overlapping queries inflated" +
+          s" — $v")
+    }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
       fileJson(results, canaryStart, canaryEnd, flaky, anomalous,
         outPath, sfDir, reps, samples, retries, memoStats, started,
-        drift, canaryStartMs, canaryEndMs, guardDisarmed))
+        drift, canaryStartMs, canaryEndMs, guardDisarmed, anomCtx))
     catch { case _: Throwable => () }
     println(headJson(results, canaryStart, canaryEnd, flaky, anomalous,
       outPath, sfDir,

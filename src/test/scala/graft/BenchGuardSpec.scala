@@ -190,6 +190,30 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"canary keys missing from queries: $missing")
   }
 
+  test("anomalyContext adjudicates shared-window vs isolated at record " +
+    "time") {
+    // four queries share a wall-clock window [0s, 100s]; a fifth runs
+    // alone much later. Ratios: the window's cohabitants are all
+    // inflated; the late one's neighbors (none) leave it undecidable;
+    // a sixth sits among HEALTHY neighbors — the regression shape.
+    val spans = Seq(
+      ("a", 0L, 40_000L), ("b", 10_000L, 60_000L),
+      ("c", 20_000L, 90_000L), ("d", 50_000L, 100_000L),
+      ("late", 500_000L, 520_000L),
+      ("lone", 1_000_000L, 1_020_000L),
+      ("h1", 990_000L, 1_005_000L), ("h2", 1_010_000L, 1_030_000L))
+    val ratios = Map("a" -> 3.2, "b" -> 2.1, "c" -> 4.0, "d" -> 1.9,
+      "late" -> 3.5, "lone" -> 5.0, "h1" -> 1.0, "h2" -> 1.1)
+    val ctx = Bench.anomalyContext(spans, ratios,
+      Seq("a", "late", "lone")).toMap
+    assert(ctx("a") === ((3, 3, "shared_slow_window")),
+      "every overlapping neighbor inflated -> host window")
+    assert(ctx("late") === ((0, 0, "no_neighbors")),
+      "nothing overlapped -> undecidable at record time")
+    assert(ctx("lone") === ((2, 0, "isolated")),
+      "healthy neighbors -> regression candidate")
+  }
+
   test("mergeBaselines anchors to the per-query historical MIN") {
     // the r16 failure mode: two consecutive ~1.7x drifts compound to
     // ~3x invisibly when the anchor ratchets off only the prior record.

@@ -42,11 +42,17 @@ def main() -> None:
 
     qs = cur["queries"]
     samples = cur.get("samples", {})
+    retries = cur.get("retries", {})
 
     def span(name):
-        """(start_ms, end_ms): first rep start + all reps' duration."""
+        """(start_ms, end_ms): first rep start + all reps' duration,
+        retry runs included -- a retried query occupies the wall clock
+        for its retries too (and its committed min may come from one),
+        so excluding them undercounts the span and can split one host
+        window into two or miss healthy-inside queries (r19 advice)."""
         s = started[name]
         dur = sum(x for x in samples.get(name, [qs[name]]) if x >= 0)
+        dur += sum(x for x in retries.get(name, []) if x >= 0)
         return s, s + int(dur * 1000)
 
     inflated = sorted(

@@ -64,8 +64,10 @@ def pipeline(docs: DataFrame, label: String): Unit = {
   graft.std.Materialize.releaseCheckpoint(pairs)
 }
 
-val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-  .select("doc_id", "text")
+// parens: ONE statement under spark-shell -I line-at-a-time evaluation
+// (a bare leading-dot continuation leaves docs1 un-pruned)
+val docs1 = (spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+  .select("doc_id", "text"))
 def rep(n: Int): DataFrame = (0 until n).map(i =>
   docs1.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
     concat_ws(" ", transform(split(col("text"), " "),

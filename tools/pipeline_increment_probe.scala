@@ -31,8 +31,12 @@ def time[T](label: String)(f: => T): T = {
   r
 }
 
-val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-  .select("doc_id", "text").repartition(32, col("doc_id"))
+// parens keep each continued chain ONE statement under spark-shell -I's
+// line-at-a-time evaluation (the documented gotcha: a bare leading-dot
+// continuation would leave docs1 bound to the un-pruned raw read and
+// re-run the select per consumer — which skewed the r19 numbers)
+val docs1 = (spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+  .select("doc_id", "text").repartition(32, col("doc_id")))
 def nearDup(d: DataFrame): DataFrame = graft.ext.ExtQueries.nearDupCorpus(d)
 def rep(n: Int): DataFrame = (0 until n).map(i =>
   docs1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
@@ -40,8 +44,8 @@ def rep(n: Int): DataFrame = (0 until n).map(i =>
       t => concat(t, lit(s"_$i")))).as("text"))).reduce(_ unionByName _)
 
 // the fixed increment: the v2 fixture over the UNSCALED base docs
-val incRaw = graft.ext.ExtQueries.curationIncrementCorpus(docs1)
-  .localCheckpoint(true)
+val incRaw = (graft.ext.ExtQueries.curationIncrementCorpus(docs1)
+  .localCheckpoint(true))
 
 def agg(df: DataFrame): Unit = {
   val r = df.agg(count(lit(1)), sum(col("shard_pos"))).collect()(0)
@@ -49,17 +53,22 @@ def agg(df: DataFrame): Unit = {
   graft.std.Materialize.releaseAll()
 }
 
+// policies: exact (the r19 baseline numbers) and neardup (the r20
+// tier — L× the standing index rows, same O(increment) shape; its
+// full rebuild is the composite probe's measured L×-volume cost)
 for ((n, tag) <- Seq(1 -> "1x", 4 -> "4x", 10 -> "10x")) {
   val standing = if (n == 1) nearDup(docs1)
     else nearDup(rep(n)).repartition(32 * (n min 4)).localCheckpoint(true)
-  time(s"build-$tag")(agg(
-    graft.ext.ExtQueries.curationTrainPipelineIncrementFrom(
-      spark, s"probe$tag", standing, incRaw)))
-  time(s"warm-$tag")(agg(
-    graft.ext.ExtQueries.curationTrainPipelineIncrementFrom(
-      spark, s"probe$tag", standing, incRaw)))
-  time(s"full-$tag")(agg(
-    graft.ext.ExtQueries.curationTrainPipelineFrom(
-      standing.unionByName(incRaw))))
+  for ((chrome, span) <- Seq("promo" -> "exact", "tweaked" -> "neardup")) {
+    time(s"build-$span-$tag")(agg(
+      graft.ext.ExtQueries.curationTrainPipelineIncrementFrom(
+        spark, s"probe$tag", standing, incRaw, chrome, span)))
+    time(s"warm-$span-$tag")(agg(
+      graft.ext.ExtQueries.curationTrainPipelineIncrementFrom(
+        spark, s"probe$tag", standing, incRaw, chrome, span)))
+    time(s"full-$span-$tag")(agg(
+      graft.ext.ExtQueries.curationTrainPipelineFrom(
+        standing.unionByName(incRaw), chrome, span)))
+  }
 }
 sys.exit(0)
