@@ -1817,6 +1817,20 @@ object Similarity {
     * a converged v). Shared by s21 (one pass) and s33 (one pass per
     * side of the deflation).
     */
+  /** Pre-partition a centered exploded frame by `_vid` BEFORE pinning
+    * (r19 verdict refinement): [[powerIterate]]'s two per-iteration
+    * aggregates otherwise exchange the full |corpus·dims| frame twice
+    * per round — `groupBy(_vid)` re-shuffles it, and the score join
+    * re-shuffles it again to meet `s` (itself hash-partitioned by
+    * `_vid` as a groupBy output). With the pin already hash-partitioned
+    * by `_vid`, both reuse the checkpoint's partitioning and only the
+    * small frames move (per-vector scores, |dims| partial sums).
+    * Values are partitioning-invariant: every sum accumulates in exact
+    * DECIMAL(38,18) before the one deterministic round.
+    */
+  private def centByVid(c: DataFrame): DataFrame =
+    c.repartition(col("_vid"))
+
   private def powerIterate(cent: DataFrame, dims: DataFrame,
                            iters: Int): (DataFrame, DataFrame) = {
     var v: DataFrame = dims.select(col("_dim"), lit(1.0).as("_v"))
@@ -1852,9 +1866,9 @@ object Similarity {
       .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
         count(lit(1)), 6).as("_mu"))
     val cent = graft.std.Materialize.once(
-      ex.join(broadcast(mu), Seq("_dim"))
+      centByVid(ex.join(broadcast(mu), Seq("_dim"))
         .select(col("_vid"), col("_dim"),
-          (col("_x") - col("_mu")).as("_c")))
+          (col("_x") - col("_mu")).as("_c"))))
     val n1 = vecs.agg(count(lit(1)).as("_n"))
     val (v, lastNorm) = powerIterate(cent, mu, iters)
     // Rayleigh estimate: with v unit, ‖Σ s_i(x_i−μ)‖ = n·λ; trace is
@@ -1910,18 +1924,18 @@ object Similarity {
       .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
         count(lit(1)), 6).as("_mu"))
     val cent = graft.std.Materialize.once(
-      ex.join(broadcast(mu), Seq("_dim"))
+      centByVid(ex.join(broadcast(mu), Seq("_dim"))
         .select(col("_vid"), col("_dim"),
-          (col("_x") - col("_mu")).as("_c")))
+          (col("_x") - col("_mu")).as("_c"))))
     val (v1, nrm1) = powerIterate(cent, mu, iters)
     val s1 = cent.join(broadcast(v1), Seq("_dim"))
       .groupBy(col("_vid"))
       .agg(round(sum((col("_c") * col("_v")).cast("decimal(38,18)"))
         .cast("double"), 9).as("_s"))
     val cent2 = graft.std.Materialize.once(
-      cent.join(broadcast(v1), Seq("_dim")).join(s1, Seq("_vid"))
+      centByVid(cent.join(broadcast(v1), Seq("_dim")).join(s1, Seq("_vid"))
         .select(col("_vid"), col("_dim"),
-          round(col("_c") - col("_s") * col("_v"), 9).as("_c")))
+          round(col("_c") - col("_s") * col("_v"), 9).as("_c"))))
     val (_, nrm2) = powerIterate(cent2, mu, iters)
     def tss(c: DataFrame, as: String): DataFrame = c.agg(
       sum((col("_c") * col("_c")).cast("decimal(38,18)"))
@@ -2002,9 +2016,9 @@ object Similarity {
     }
     val n1 = vecs.agg(count(lit(1)).as("n_vectors"))
     var cent = graft.std.Materialize.once(
-      ex.join(broadcast(mu), Seq("_dim"))
+      centByVid(ex.join(broadcast(mu), Seq("_dim"))
         .select(col("_vid"), col("_dim"),
-          (col("_x") - col("_mu")).as("_c")))
+          (col("_x") - col("_mu")).as("_c"))))
     val tss1 = tss(cent).select(col("_tss").as("_tssOrig"))
     var (v, nrm) = powerIterate(cent, mu, iters)
     var curTss = tss(cent)
@@ -2018,9 +2032,9 @@ object Similarity {
         .agg(round(sum((col("_c") * col("_v")).cast("decimal(38,18)"))
           .cast("double"), 9).as("_s"))
       val centNext = graft.std.Materialize.once(
-        cent.join(broadcast(v), Seq("_dim")).join(s, Seq("_vid"))
+        centByVid(cent.join(broadcast(v), Seq("_dim")).join(s, Seq("_vid"))
           .select(col("_vid"), col("_dim"),
-            round(col("_c") - col("_s") * col("_v"), 9).as("_c")))
+            round(col("_c") - col("_s") * col("_v"), 9).as("_c"))))
       val (vNext, nrmNext) = powerIterate(centNext, mu, iters)
       val nextTss = tss(centNext)
       // one-row share frame pinned ONCE per rank: the stop decision
