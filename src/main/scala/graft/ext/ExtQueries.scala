@@ -2577,10 +2577,12 @@ object ExtQueries {
     * production pipeline keeps MATERIALIZED between crawls: the
     * span-window index, the cleaned corpus, its shingles + MinHash
     * signatures (the d9 "existing side's keys" discipline), and the
-    * cluster resolution. Built once per (session, sfDir) from the
-    * exact-policy composite's own tiers; every increment run consumes
-    * the checkpoints (memo counters make a rebuild machine-visible in
-    * the bench record).
+    * cluster resolution. Built once per (session, sfDir, span policy)
+    * from the policy's own composite tiers — each span tier cleans the
+    * standing corpus differently, so its standing state is a distinct
+    * artifact under a policy-suffixed tag (exact keeps the unsuffixed
+    * r18 tags); every increment run consumes the checkpoints (memo
+    * counters make a rebuild machine-visible in the bench record).
     */
   private val curationMemo = new graft.std.SessionMemo()
 
