@@ -3887,6 +3887,20 @@ FROM e JOIN traindocs t USING (doc_id)"""
   val pipelineCurationIncrementCdc: String =
     pipelineCurationIncrementSql("cdc")
 
+  /** Day-2 incremental composite (pipeline_curation_increment2): the
+    * v3 crawl counted/attached against standing ∪ v2 — the twin's
+    * standing side is the rebuilt union chain, standing in for the
+    * Spark side's ADVANCED state (valid because the day-1 spec proves
+    * freeze + increment-row equivalence on this fixture; the day-2
+    * spec then proves the advanced state reproduces this rebuild).
+    */
+  val pipelineCurationIncrement2: String =
+    pipelineCurationIncrementSql("exact", day2 = true)
+
+  /** Day-2 under the CDC/budget policy. */
+  val pipelineCurationIncrement2Cdc: String =
+    pipelineCurationIncrementSql("cdc", day2 = true)
+
   /** The increment side's detection chain per span policy: the
     * policy's fingerprint prelude over `corpusi`, the shared
     * incremental total rule (own counts + the standing chain's
@@ -3896,49 +3910,51 @@ FROM e JOIN traindocs t USING (doc_id)"""
     * total = increment + standing, exactly the full rebuild's count
     * for any fingerprint occurring in the increment.
     */
-  private def incDetectCtes(span: String): String = {
+  private def incDetectCtes(span: String, sfx: String = "i",
+                            standingCounts: Seq[String] = Seq("counts"))
+      : String = {
     val maxOcc = TextAnalysis.SpanMaxOcc
-    val tot = s"""countsi AS (
-  SELECT h, COUNT(*) AS occ FROM hashedi GROUP BY 1
-), toti AS (
-  -- the incremental rule: total occurrences = standing index + own
-  SELECT ci.h, ci.occ + COALESCE(c.occ, 0) AS occ
-  FROM countsi ci LEFT JOIN counts c USING (h)
+    val joins = standingCounts.zipWithIndex.map { case (rel, k) =>
+      s"LEFT JOIN $rel c$k USING (h)"
+    }.mkString("\n  ")
+    val add = standingCounts.indices
+      .map(k => s"COALESCE(c$k.occ, 0)").mkString(" + ")
+    val tot = s"""counts$sfx AS (
+  SELECT h, COUNT(*) AS occ FROM hashed$sfx GROUP BY 1
+), tot$sfx AS (
+  -- the incremental rule: total occurrences = standing index(es) + own
+  SELECT cx.h, cx.occ + $add AS occ
+  FROM counts$sfx cx
+  $joins
 )"""
     span match {
       case "exact" =>
-        s"""${exactHashedCtes("i", "corpusi")}, $tot, dupsi AS (
-  SELECT doc_id, off FROM hashedi JOIN toti USING (h)
+        s"""${exactHashedCtes(sfx, s"corpus$sfx")}, $tot, dups$sfx AS (
+  SELECT doc_id, off FROM hashed$sfx JOIN tot$sfx USING (h)
   WHERE occ > $maxOcc
-), ${spanTailCtes(sfx = "i")}"""
+), ${spanTailCtes(sfx = sfx)}"""
       case "neardup" =>
-        s"""${nearDupHashedCtes("i", "corpusi")}, $tot, dupsi AS (
-  SELECT DISTINCT doc_id, off FROM hashedi JOIN toti USING (h)
+        s"""${nearDupHashedCtes(sfx, s"corpus$sfx")}, $tot, dups$sfx AS (
+  SELECT DISTINCT doc_id, off FROM hashed$sfx JOIN tot$sfx USING (h)
   WHERE occ > $maxOcc
-), ${spanTailCtes(sfx = "i")}"""
+), ${spanTailCtes(sfx = sfx)}"""
       case "cdc" =>
-        s"""${cdcHashedCtes("i", "corpusi")}, $tot, dupsegi AS (
-  SELECT doc_id, s, e FROM hashedi JOIN toti USING (h)
+        s"""${cdcHashedCtes(sfx, s"corpus$sfx")}, $tot, dupseg$sfx AS (
+  SELECT doc_id, s, e FROM hashed$sfx JOIN tot$sfx USING (h)
   WHERE occ > $maxOcc
-), dupsi AS (
-  SELECT doc_id, unnest(generate_series(s, e)) AS off FROM dupsegi
-), ${spanTailCtes(1, "i")}"""
+), dups$sfx AS (
+  SELECT doc_id, unnest(generate_series(s, e)) AS off FROM dupseg$sfx
+), ${spanTailCtes(1, sfx)}"""
     }
   }
 
-  private def pipelineCurationIncrementSql(span: String): String = {
-    val (corpusStd, corpusInc, stdChain) = span match {
-      case "exact" => (promoCorpusCte("rawc", 1),
-        promoCorpusCte("rawinc", 1, "corpusi"), spanChainCtes())
-      case "neardup" => (tweakedPromoCorpusCte("rawc"),
-        tweakedPromoCorpusCte("rawinc", "corpusi"), nearDupChainCtes())
-      case "cdc" => (promoCorpusCte("rawc", 2),
-        promoCorpusCte("rawinc", 2, "corpusi"), cdcChainCtes())
-    }
-    pipelineCurationCtes(corpusStd, stdChain) + s""",
-stdmax AS (
-  SELECT epoch, h % 8 AS shard, COUNT(*) AS npos FROM e GROUP BY 1, 2
-), rawinc AS (
+  /** The v2 crawl fixture as a named CTE over `base` — shared by the
+    * day-1 twins (the increment side) and the day-2 twins (where it
+    * joins the standing side: the rebuilt standing ∪ v2 chain plays
+    * the ADVANCED state, valid exactly because the day-1 spec proves
+    * freeze + increment-equivalence on this fixture).
+    */
+  private def rawIncCte(name: String): String = s"""$name AS (
   SELECT doc_id + ${ExtQueries.IncChangedOffset} AS doc_id,
          array_to_string(list_filter(string_split(text, ' '),
            (t, i) -> i % ${ExtQueries.IncChangedDrop} <> 0), ' ') AS text
@@ -3958,57 +3974,173 @@ stdmax AS (
            tk -> '${ExtQueries.IncPairPrefix}' || tk),
            (t, i) -> i % ${ExtQueries.IncPairDrop} <> 0), ' ')
   FROM base WHERE doc_id % ${ExtQueries.IncPairMod} = 0
-), $corpusInc,
-${incDetectCtes(span)},
-corpus3 AS (
-  SELECT doc_id, clean_text AS text FROM spanouti WHERE clean_text <> ''
-), shing3 AS (
+)"""
+
+  /** The v3 (day-2) crawl fixture — substitution markers and the pair
+    * echo mirror [[graft.ext.ExtQueries.curationIncrementCorpusV3]]
+    * from the same shared constants (DuckDB's list lambda index is
+    * 1-based = Spark's `i + 1`).
+    */
+  private def rawInc2Cte(name: String): String = {
+    // markers embed the v3 doc's OWN (post-offset) id, spelled
+    // explicitly on both sides — see curationIncrementCorpusV3
+    val sub = (src: String, off: Long, mark: String) =>
+      s"""array_to_string(list_transform($src,
+           (t, i) -> CASE WHEN i % ${ExtQueries.IncChangedDrop} = 0
+               OR i = len(string_split(text, ' '))
+             THEN '$mark' || (doc_id + $off) || 'x' || i
+             ELSE t END), ' ')"""
+    s"""$name AS (
+  SELECT doc_id + ${ExtQueries.Inc2ChangedOffset} AS doc_id,
+         ${sub("string_split(text, ' ')", ExtQueries.Inc2ChangedOffset,
+      ExtQueries.Inc2SubMark)} AS text
+  FROM base WHERE doc_id % ${ExtQueries.IncChangedMod} = ${
+      ExtQueries.Inc2ChangedRem}
+  UNION ALL
+  SELECT doc_id + ${ExtQueries.Inc2AttachOffset},
+         ${sub("list_reverse(string_split(text, ' '))",
+      ExtQueries.Inc2AttachOffset, ExtQueries.Inc2AttachMark)}
+  FROM base WHERE doc_id % ${ExtQueries.IncFreshMod} = 0
+  UNION ALL
+  SELECT doc_id + ${ExtQueries.Inc2EchoOffset},
+         array_to_string(list_append(list_transform(
+           string_split(text, ' ')[1:${ExtQueries.Inc2EchoLen}],
+           tk -> '${ExtQueries.IncPairPrefix}' || tk),
+           '${ExtQueries.Inc2EchoMark}' ||
+             (doc_id + ${ExtQueries.Inc2EchoOffset})), ' ')
+  FROM base WHERE doc_id % ${ExtQueries.IncPairMod} = 0
+  UNION ALL
+  SELECT doc_id + ${ExtQueries.Inc2FreshOffset},
+         array_to_string(list_transform(string_split(text, ' '),
+           tk -> '${ExtQueries.Inc2Prefix}' || tk), ' ')
+  FROM base WHERE doc_id % ${ExtQueries.Inc2FreshMod} = 0
+  UNION ALL
+  SELECT doc_id + ${ExtQueries.Inc2PairAOffset},
+         array_to_string(list_transform(string_split(text, ' '),
+           tk -> '${ExtQueries.Inc2Prefix}' || tk), ' ')
+  FROM base WHERE doc_id % ${ExtQueries.Inc2PairMod} = 0
+  UNION ALL
+  SELECT doc_id + ${ExtQueries.Inc2PairBOffset},
+         array_to_string(list_filter(list_transform(string_split(text, ' '),
+           tk -> '${ExtQueries.Inc2Prefix}' || tk),
+           (t, i) -> i % ${ExtQueries.IncPairDrop} <> 0), ' ')
+  FROM base WHERE doc_id % ${ExtQueries.Inc2PairMod} = 0
+)"""
+  }
+
+  private def pipelineCurationIncrementSql(span: String,
+                                           day2: Boolean = false): String = {
+    def corpusOf(src: String, name: String) = span match {
+      case "exact"   => promoCorpusCte(src, 1, name)
+      case "neardup" => tweakedPromoCorpusCte(src, name)
+      case "cdc"     => promoCorpusCte(src, 2, name)
+    }
+    val stdChain = span match {
+      case "exact"   => spanChainCtes()
+      case "neardup" => nearDupChainCtes()
+      case "cdc"     => cdcChainCtes()
+    }
+    val day1 = s"""${pipelineCurationCtes(corpusOf("rawc", "corpus"),
+      stdChain)},
+stdmax AS (
+  SELECT epoch, h % 8 AS shard, COUNT(*) AS npos FROM e GROUP BY 1, 2
+), ${rawIncCte("rawinc")}, ${corpusOf("rawinc", "corpusi")},
+${incLayerCtes(span, "i", "3", Seq("counts"),
+      "shing2", "bands2", "clusters2")}"""
+    if (!day2)
+      day1 + incrementSelect("i", "stdmax")
+    else
+      // day 2 replays the TRUE advanced state — standing chain ∪ the
+      // day-1 incremental layer's outputs (cleaned docs, shingles,
+      // bands, clusters, fingerprint counts, appended fill) — NOT a
+      // rebuilt standing ∪ v2 union: the two coincide only where the
+      // day-1 freeze holds, which is fixture-empirical per scale
+      // (measured: at sf0.01 a rebuilt-union twin drifts the shard
+      // fill by the handful of v2 rows the rebuild renumbers)
+      day1 + s""",
+stdmax2 AS MATERIALIZED (
+  SELECT epoch, shard, SUM(npos) AS npos FROM (
+    SELECT epoch, shard, npos FROM stdmax
+    UNION ALL
+    SELECT epoch, h % 8 AS shard, COUNT(*) AS npos FROM ei GROUP BY 1, 2
+  ) GROUP BY 1, 2
+), shingU AS MATERIALIZED (
+  SELECT doc_id, sh FROM shing2 UNION ALL SELECT doc_id, sh FROM shing3
+), bandsU AS MATERIALIZED (
+  SELECT * FROM bands2 UNION ALL SELECT * FROM bands3
+), clustersU AS MATERIALIZED (
+  SELECT doc_id, cluster_rep FROM clusters2
+  UNION ALL SELECT doc_id, cluster_rep FROM clustersi
+), ${rawInc2Cte("rawinc3")}, ${corpusOf("rawinc3", "corpusj")},
+${incLayerCtes(span, "j", "4", Seq("counts", "countsi"),
+        "shingU", "bandsU", "clustersU")}""" +
+        incrementSelect("j", "stdmax2")
+  }
+
+  /** One incremental crawl layer over `corpus$sfx`: the policy's
+    * detection chain under the incremental total rule against the
+    * given standing count rels, then cluster attach against the given
+    * standing shingle/band/cluster rels, the rep-lane split, and the
+    * train order — ends at `traindocs$sfx` and `e$sfx`. Instantiated
+    * once for day 1 (against the standing chain) and twice for day 2
+    * (day 1's layer, then v3 against the unioned state).
+    */
+  private def incLayerCtes(span: String, sfx: String, num: String,
+                           standingCounts: Seq[String], stdShing: String,
+                           stdBands: String, stdClusters: String): String =
+    s"""${incDetectCtes(span, sfx, standingCounts)},
+corpus$num AS MATERIALIZED (
+  SELECT doc_id, clean_text AS text FROM spanout$sfx WHERE clean_text <> ''
+), shing$num AS MATERIALIZED (
   SELECT doc_id, ${sh3("string_split(text, ' ')", "text")} AS sh
-  FROM corpus3
-), ${lshVerifyCtes("shing3", "3")}, candx AS (
+  FROM corpus$num
+), ${lshVerifyCtes(s"shing$num", num)}, candx$sfx AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands3 a JOIN bands2 b ON a.band = b.band AND a.key = b.key
-), verx AS (
+  FROM bands$num a JOIN $stdBands b ON a.band = b.band AND a.key = b.key
+), verx$sfx AS (
   SELECT id_a, id_b, ${jaccardExpr("sa.sh", "sb.sh")} AS jaccard
-  FROM candx
-  JOIN shing3 sa ON candx.id_a = sa.doc_id
-  JOIN shing2 sb ON candx.id_b = sb.doc_id
-), edgesx AS (
+  FROM candx$sfx
+  JOIN shing$num sa ON candx$sfx.id_a = sa.doc_id
+  JOIN $stdShing sb ON candx$sfx.id_b = sb.doc_id
+), edgesx$sfx AS (
   -- a verified cross edge rewires to the standing cluster's REP node
   SELECT DISTINCT v.id_a AS src, c.cluster_rep AS dst
-  FROM verx v JOIN clusters2 c ON v.id_b = c.doc_id
+  FROM verx$sfx v JOIN $stdClusters c ON v.id_b = c.doc_id
   WHERE v.jaccard >= 0.5
-), edgesall AS (
-  SELECT id_a AS src, id_b AS dst FROM ver3 WHERE jaccard >= 0.5
-  UNION ALL SELECT id_b, id_a FROM ver3 WHERE jaccard >= 0.5
-  UNION ALL SELECT src, dst FROM edgesx
-  UNION ALL SELECT dst, src FROM edgesx
-), nodesi AS (
-  SELECT doc_id FROM corpus3
-  UNION SELECT dst FROM edgesx
-), reachi AS (
-  SELECT doc_id AS src, doc_id AS dst FROM nodesi
+), edgesall$sfx AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM ver$num WHERE jaccard >= 0.5
+  UNION ALL SELECT id_b, id_a FROM ver$num WHERE jaccard >= 0.5
+  UNION ALL SELECT src, dst FROM edgesx$sfx
+  UNION ALL SELECT dst, src FROM edgesx$sfx
+), nodes$sfx AS MATERIALIZED (
+  SELECT doc_id FROM corpus$num
+  UNION SELECT dst FROM edgesx$sfx
+), reach$sfx AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes$sfx
   UNION
-  SELECT r.src, e2.dst FROM reachi r JOIN edgesall e2 ON r.dst = e2.src
-), clustersi AS (
+  SELECT r.src, e2.dst
+  FROM reach$sfx r JOIN edgesall$sfx e2 ON r.dst = e2.src
+), clusters$sfx AS MATERIALIZED (
   SELECT src AS doc_id, MIN(dst) AS cluster_rep,
          src = MIN(dst) AS is_keeper
-  FROM reachi WHERE src IN (SELECT doc_id FROM corpus3)
+  FROM reach$sfx WHERE src IN (SELECT doc_id FROM corpus$num)
   GROUP BY src
-), ${splitChain("clustersi", "i")},
-traindocsi AS (
+), ${splitChain(s"clusters$sfx", sfx)},
+traindocs$sfx AS (
   SELECT a.doc_id, a.cluster_rep
-  FROM assignedi a JOIN clustersi c USING (doc_id)
+  FROM assigned$sfx a JOIN clusters$sfx c USING (doc_id)
   WHERE a.split = 'train' AND c.is_keeper
-), ${trainOrderChain("traindocsi", "i")}
-SELECT ei.epoch, ei.doc_id, ei.h % 8 AS shard,
+), ${trainOrderChain(s"traindocs$sfx", sfx)}"""
+
+  /** The append-after-fill final select shared by the increment twins. */
+  private def incrementSelect(sfx: String, fill: String): String = s"""
+SELECT e$sfx.epoch, e$sfx.doc_id, e$sfx.h % 8 AS shard,
        CAST(COALESCE(s.npos, 0) + row_number() OVER (
-         PARTITION BY ei.epoch, ei.h % 8
-         ORDER BY ei.h ASC, ei.doc_id ASC) AS BIGINT) AS shard_pos,
+         PARTITION BY e$sfx.epoch, e$sfx.h % 8
+         ORDER BY e$sfx.h ASC, e$sfx.doc_id ASC) AS BIGINT) AS shard_pos,
        t.cluster_rep
-FROM ei JOIN traindocsi t USING (doc_id)
-LEFT JOIN stdmax s ON s.epoch = ei.epoch AND s.shard = ei.h % 8"""
-  }
+FROM e$sfx JOIN traindocs$sfx t USING (doc_id)
+LEFT JOIN $fill s ON s.epoch = e$sfx.epoch AND s.shard = e$sfx.h % 8"""
 
   /** t80: content-defined chunk dedup — anchor tokens on the seeded
     * `cdc|` lane open segments, segment fingerprints are the md5 lane

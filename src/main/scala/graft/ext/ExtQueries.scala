@@ -2697,23 +2697,51 @@ object ExtQueries {
                                          standingRaw: DataFrame,
                                          incRaw: DataFrame,
                                          chrome: String = "promo",
-                                         span: String = "exact"): DataFrame = {
-    // per-policy memo tags: each span tier cleans the standing corpus
-    // differently, so its materialized state is a distinct artifact
-    // (exact keeps the unsuffixed r18 tags for bench-record continuity)
-    def tag(t: String) = if (span == "exact") t else s"${span}_$t"
+                                         span: String = "exact"): DataFrame =
+    curationIncrementRun(
+      curationStandingState(spark, memoTag, standingRaw, chrome, span),
+      incRaw, chrome, span)
+
+  /** The materialized standing state a daily curation pipeline keeps
+    * between crawls — every frame a session-memoized checkpoint:
+    * cleaned corpus, span-fingerprint index, shingles, MinHash
+    * signatures, cluster resolution, per-(epoch, shard) train fill.
+    */
+  private case class CurationState(clean: DataFrame, spanIdx: DataFrame,
+                                   shingles: DataFrame, sigs: DataFrame,
+                                   clusters: DataFrame, fill: DataFrame)
+
+  /** Per-policy memo tag: each span tier cleans the standing corpus
+    * differently, so its materialized state is a distinct artifact
+    * (exact keeps the unsuffixed r18 tags for bench-record continuity).
+    */
+  private def polTag(span: String, t: String): String =
+    if (span == "exact") t else s"${span}_$t"
+
+  /** The policy's standing fingerprint index over an injected corpus. */
+  private def curationIndexOf(injected: DataFrame, span: String): DataFrame =
+    span match {
+      case "exact"   => TextAnalysis.spanIndex(injected)
+      case "neardup" => TextAnalysis.nearDupSpanIndex(injected)
+      case "cdc"     => TextAnalysis.cdcSegmentIndex(injected)
+      case other => throw new IllegalArgumentException(
+        s"unknown span policy: $other")
+    }
+
+  /** Build (or fetch memoized) standing state from a raw corpus —
+    * the day-0 cold build, O(corpus), paid once per
+    * (session, memoTag, policy).
+    */
+  private def curationStandingState(spark: SparkSession, memoTag: String,
+                                    standingRaw: DataFrame, chrome: String,
+                                    span: String): CurationState = {
+    def tag(t: String) = polTag(span, t)
     val standingInjected = curationChromeInjected(standingRaw, chrome)
     val standingClean = curationStanding(spark, memoTag, tag("clean"))(
       curationCleanedCorpus(standingRaw, chrome, span)
         .filter(col("text") =!= ""))
     val standingSpanIdx = curationStanding(spark, memoTag, tag("spanidx"))(
-      span match {
-        case "exact"   => TextAnalysis.spanIndex(standingInjected)
-        case "neardup" => TextAnalysis.nearDupSpanIndex(standingInjected)
-        case "cdc"     => TextAnalysis.cdcSegmentIndex(standingInjected)
-        case other => throw new IllegalArgumentException(
-          s"unknown span policy: $other")
-      })
+      curationIndexOf(standingInjected, span))
     val standingShingles = curationStanding(spark, memoTag, tag("shingles"))(
       Dedup.shingleFrame(standingClean))
     val standingSigs = curationStanding(spark, memoTag, tag("sigs"))(
@@ -2721,14 +2749,41 @@ object ExtQueries {
     val clusters =
       curationMemo.getOrBuild(spark, s"curation_${tag("clusters")}|$memoTag")(
         clustersOf(standingClean, standingShingles, standingSigs))
+    // standing per-(epoch, shard) fill — 16 rows, itself part of the
+    // materialized standing state (recomputing it would re-window the
+    // whole standing train order per crawl: an O(standing) cost the
+    // probe caught riding every warm run), broadcast into the append
+    val stdMax = curationStanding(spark, memoTag, tag("stdfill"))(
+      TextAnalysis.trainOrder(curationTrainKeepers(clusters))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("_npos")))
+    CurationState(standingClean, standingSpanIdx, standingShingles,
+      standingSigs, clusters, stdMax)
+  }
+
+  private def curationTrainKeepers(cl: DataFrame): DataFrame =
+    Dedup.leakageSafeSplit(cl).filter(col("split") === "train")
+      .join(cl.filter(col("is_keeper")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("cluster_rep"))
+
+  /** The increment's span-clean + cluster-attach stages against a
+    * standing state: (cleaned increment pin, increment cluster frame).
+    * Factored from the one-day run so the state ADVANCE can replay
+    * day 1's tiers at O(increment) when building day 2's state.
+    */
+  private def curationIncrementClusters(state: CurationState,
+                                        incRaw: DataFrame, chrome: String,
+                                        span: String)
+      : (DataFrame, DataFrame) = {
     val incInjected = curationChromeInjected(incRaw, chrome)
     val incSpanPass = span match {
       case "exact" =>
-        TextAnalysis.spanDedupIncrement(incInjected, standingSpanIdx)
+        TextAnalysis.spanDedupIncrement(incInjected, state.spanIdx)
       case "neardup" =>
-        TextAnalysis.nearDupSpanDedupIncrement(incInjected, standingSpanIdx)
+        TextAnalysis.nearDupSpanDedupIncrement(incInjected, state.spanIdx)
       case "cdc" =>
-        TextAnalysis.cdcSegmentDedupIncrement(incInjected, standingSpanIdx)
+        TextAnalysis.cdcSegmentDedupIncrement(incInjected, state.spanIdx)
     }
     val cleanedInc = graft.std.Materialize.once(
       incSpanPass
@@ -2737,9 +2792,9 @@ object ExtQueries {
     val shB = graft.std.Materialize.once(Dedup.shingleFrame(cleanedInc))
     val sigB = graft.std.Materialize.once(Dedup.minHashSignatures(shB, 8))
     val crossEdges = Dedup.verifiedCrossNearDups(
-        Dedup.lshCrossCandidates(sigB, standingSigs, 8, 4),
-        shB, standingShingles, 0.5)
-      .join(clusters.select(col("doc_id").as("id_b"),
+        Dedup.lshCrossCandidates(sigB, state.sigs, 8, 4),
+        shB, state.shingles, 0.5)
+      .join(state.clusters.select(col("doc_id").as("id_b"),
         col("cluster_rep")), Seq("id_b"))
       .select(col("id_a"), col("cluster_rep").as("id_b")).distinct()
     val selfEdges = Dedup.verifiedNearDups(
@@ -2753,27 +2808,231 @@ object ExtQueries {
       .join(cleanedInc.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("cluster_rep"),
         (col("doc_id") === col("cluster_rep")).as("is_keeper"))
-    def trainKeepers(cl: DataFrame): DataFrame =
-      Dedup.leakageSafeSplit(cl).filter(col("split") === "train")
-        .join(cl.filter(col("is_keeper")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("cluster_rep"))
-    // standing per-(epoch, shard) fill — 16 rows, itself part of the
-    // materialized standing state (recomputing it would re-window the
-    // whole standing train order per crawl: an O(standing) cost the
-    // probe caught riding every warm run), broadcast into the append
-    val stdMax = curationStanding(spark, memoTag, tag("stdfill"))(
-      TextAnalysis.trainOrder(trainKeepers(clusters))
-        .groupBy(col("epoch"), col("shard"))
-        .agg(count(lit(1)).as("_npos")))
-    val trainDocsI = trainKeepers(clustersI)
+    (cleanedInc, clustersI)
+  }
+
+  /** One crawl day against a standing state: span-clean the increment
+    * via the standing index, attach/resolve clusters, split on the rep
+    * lane, append the train order after the standing fill.
+    */
+  private def curationIncrementRun(state: CurationState, incRaw: DataFrame,
+                                   chrome: String, span: String): DataFrame = {
+    val (_, clustersI) =
+      curationIncrementClusters(state, incRaw, chrome, span)
+    val trainDocsI = curationTrainKeepers(clustersI)
     TextAnalysis.trainOrder(trainDocsI)
       .join(trainDocsI, Seq("doc_id"))
-      .join(broadcast(stdMax), Seq("epoch", "shard"), "left")
+      .join(broadcast(state.fill), Seq("epoch", "shard"), "left")
       .select(col("epoch"), col("doc_id"), col("shard"),
         (coalesce(col("_npos"), lit(0L)) + col("shard_pos"))
           .as("shard_pos"),
         col("cluster_rep"))
+  }
+
+  /** Advance the standing state by one SHIPPED crawl, every tier at
+    * O(increment [+ index rows]) — never a rescan of standing text:
+    *
+    *  - cleaned corpus / shingles / signatures / clusters: the day's
+    *    increment tiers ([[curationIncrementClusters]], O(increment)
+    *    against the standing index/keys) UNIONED onto the standing
+    *    checkpoints — per-doc frames over disjoint doc sets, so the
+    *    union IS the incremental upsert;
+    *  - fingerprint index: [[TextAnalysis.indexMerge]] — counts are
+    *    additive over disjoint doc sets, one co-partitioned sum over
+    *    index rows (bucket-local upsert at 100 TB);
+    *  - train fill: standing fill + the day's appended per-(epoch,
+    *    shard) counts (16-row arithmetic).
+    *
+    * The advanced clusters are the FROZEN standing resolution plus the
+    * day's attach results — identical to a rebuild over standing ∪
+    * increment exactly when the day's run changed no standing row
+    * (the day-1 spec's freeze assertion, structural for the exact and
+    * cdc tiers; the neardup tier's freeze is contractual, so its
+    * advanced state is the thing production ships, not the thing a
+    * rebuild would compute).
+    */
+  private def curationAdvancedState(spark: SparkSession, memoTag: String,
+                                    st: CurationState, inc1Raw: DataFrame,
+                                    chrome: String,
+                                    span: String): CurationState = {
+    def adv(t: String)(b: => DataFrame) =
+      curationStanding(spark, memoTag, polTag(span, s"adv_$t"))(b)
+    // day 1's increment tiers, shared lazily across the six builders —
+    // on a memo hit no builder runs and none of this is computed
+    lazy val (clean1, clusters1) =
+      curationIncrementClusters(st, inc1Raw, chrome, span)
+    lazy val sh1 = graft.std.Materialize.once(Dedup.shingleFrame(clean1))
+    val cleanA = adv("clean")(st.clean.unionByName(clean1))
+    val idxA = adv("spanidx")(TextAnalysis.indexMerge(st.spanIdx,
+      curationIndexOf(curationChromeInjected(inc1Raw, chrome), span)))
+    val shinglesA = adv("shingles")(st.shingles.unionByName(sh1))
+    val sigsA = adv("sigs")(
+      st.sigs.unionByName(Dedup.minHashSignatures(sh1, 8)))
+    val clustersA = adv("clusters")(st.clusters.unionByName(clusters1))
+    val fillA = adv("stdfill")(
+      st.fill.join(
+        TextAnalysis.trainOrder(curationTrainKeepers(clusters1))
+          .groupBy(col("epoch"), col("shard"))
+          .agg(count(lit(1)).as("_n1")),
+        Seq("epoch", "shard"), "full")
+        .select(col("epoch"), col("shard"),
+          (coalesce(col("_npos"), lit(0L)) + coalesce(col("_n1"), lit(0L)))
+            .as("_npos")))
+    CurationState(cleanA, idxA, shinglesA, sigsA, clustersA, fillA)
+  }
+
+  /** Day-2 incremental curation (pipeline_curation_increment2): the v3
+    * crawl against the standing state ADVANCED by the shipped v2 crawl
+    * — the composability question a daily pipeline actually poses
+    * (does the materialized state survive REPEATED application, or
+    * does day 2 silently need the rebuild?), answered by running the
+    * SAME one-day kernel ([[curationIncrementRun]]) against
+    * [[curationAdvancedState]] and spec-proving day-2 rows ≡ a full
+    * rebuild over standing ∪ v2 ∪ v3 (`CurationIncrementSpec`).
+    */
+  def curationTrainPipelineIncrement2(spark: SparkSession,
+                                      sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+    curationTrainPipelineIncrement2From(spark, sfDir, nearDupCorpus(docs),
+      curationIncrementCorpus(docs), curationIncrementCorpusV3(docs))
+  }
+
+  /** Day-2 under the CDC/budget policy — the advance is policy-generic
+    * (every tier above is per-policy state), and cdc's structural
+    * freeze makes its day-2 rebuild equivalence as provable as exact's.
+    */
+  def curationTrainPipelineIncrement2Cdc(spark: SparkSession,
+                                         sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+    curationTrainPipelineIncrement2From(spark, sfDir, nearDupCorpus(docs),
+      curationIncrementCorpus(docs), curationIncrementCorpusV3(docs),
+      chrome = "promo2", span = "cdc")
+  }
+
+  def curationTrainPipelineIncrement2From(spark: SparkSession,
+                                          memoTag: String,
+                                          standingRaw: DataFrame,
+                                          inc1Raw: DataFrame,
+                                          inc2Raw: DataFrame,
+                                          chrome: String = "promo",
+                                          span: String = "exact")
+      : DataFrame = {
+    val st0 = curationStandingState(spark, memoTag, standingRaw,
+      chrome, span)
+    val st1 = curationAdvancedState(spark, memoTag, st0, inc1Raw,
+      chrome, span)
+    curationIncrementRun(st1, inc2Raw, chrome, span)
+  }
+
+  /** The v3 (day-2) crawl fixture: the same three family shapes as the
+    * v2 generator over DIFFERENT standing slices, ids all ≥
+    * [[Inc2IdFloor]] > every v2 id (the rep-minimum property again),
+    * plus the genuinely new day-2 shape — near-dups of DAY-1 content:
+    *
+    *  - CHANGED pages (every `d % 6 == 5` — a standing slice v2 never
+    *    touched): every 7th token AND the last token substituted with
+    *    a doc-unique marker (`c3<d>x<pos>`). SUBSTITUTION, not v2's
+    *    deletion lattice, because day 2's freeze must be structural
+    *    against TWO measured failure modes: (a) a deletion inside a
+    *    repeated-token run is locally invisible ("stream stream
+    *    stream" minus one still holds the source's verbatim windows —
+    *    the rejected lattice form re-cleaned 20 day-0+1 docs), and
+    *    (b) chrome-junction tails ([tail tokens + promo head]) collide
+    *    with any chromed standing doc sharing the tail — v2's
+    *    chrome-parity trick does not transfer, since d ≡ 2 mod 3
+    *    makes the INJECTED near-copy 100000+d chrome-bearing (the
+    *    rejected `d % 6 == 3` slice hit the same wall from the source
+    *    side, 57 docs). Under position-keyed substitution both holes
+    *    close by construction: any 8 consecutive positions span a
+    *    multiple of 7, and the forced last-position substitution puts
+    *    a unique token into every junction window, so NO v3 window is
+    *    verbatim-equal to anything outside its own doc. 3-shingle
+    *    Jaccard vs the source stays near the 0.5 bar (shingles inside
+    *    the 6-token runs survive), keeping the attach lane alive.
+    *  - V2-SHAPED pages (every `d % 13 == 0`): the v2 FRESH page's
+    *    reversed text under the same substitution rule (marker
+    *    `a3<d>x<pos>`) — ~4/7 shingle overlap with the DAY-1 APPENDED
+    *    doc, enough to fire the cross-LSH bands against keys that
+    *    exist only because the advance unioned day 1's in. Note the
+    *    structural ceiling, measured then accepted: with shared runs
+    *    capped at 7 tokens (the freeze constraint), distinct-3-shingle
+    *    Jaccard tops out ≈ (5/8)/(11/8) ≈ 0.45 < the 0.5 verify bar —
+    *    under the exact tier, VERIFIED near-dup attach to unique day-1
+    *    text and a structural freeze are mutually exclusive, so this
+    *    family proves candidate generation, not verification.
+    *  - PAIR-ECHO pages (every `d % 19 == 0`, the v2 pair slice): the
+    *    v2 pair-A text's first 12 tokens verbatim plus one doc-unique
+    *    tail token (`e3<d>`). The prefix windows already occur TWICE
+    *    within day 1 (pair A and pair B agree on their first 12
+    *    tokens), so the echo's third occurrence changes no day-0+1
+    *    flag (freeze-safe) — while for the ECHO those windows flag
+    *    only because the MERGED index carries day-1 counts: a
+    *    standing-only index reads occ 1 and keeps them. The family
+    *    makes day 2's span tier provably DECISIVE on day-1 state
+    *    (asserted in the spec by cleaning the v3 corpus against both
+    *    indexes and pinning the difference to the echo docs).
+    *  - FRESH + PAIR families (`% 17`, `% 23`): `v3`-token-prefixed —
+    *    alien to standing AND to v2's `v2`-prefixed pairs.
+    */
+  val Inc2IdFloor: Long = 1600000L
+  val Inc2ChangedOffset: Long = 1600000L
+  val Inc2ChangedRem: Int = 5
+  val Inc2AttachOffset: Long = 1800000L
+  val Inc2FreshOffset: Long = 1900000L
+  val Inc2FreshMod: Int = 17
+  val Inc2PairAOffset: Long = 1950000L
+  val Inc2PairBOffset: Long = 1970000L
+  val Inc2PairMod: Int = 23
+  val Inc2Prefix: String = "v3"
+  val Inc2SubMark: String = "c3"
+  val Inc2AttachMark: String = "a3"
+  val Inc2EchoOffset: Long = 1850000L
+  val Inc2EchoMark: String = "e3"
+  val Inc2EchoLen: Int = 12
+
+  def curationIncrementCorpusV3(docs: DataFrame): DataFrame = {
+    // the base id rides a DISTINCT name: the marker expressions below
+    // reference it next to a select-list alias also called doc_id, and
+    // an unqualified col("doc_id") there resolves to the ALIAS in
+    // Spark but to the base column in SQL — a measured twin drift
+    // (sf0.01: markers read c3320xxxx vs c3160xxxx)
+    val base = docs.select(col("doc_id").as("_sid"),
+      TextOps.normText(col("text")).as("text"))
+    val toks = split(col("text"), " ")
+    // the marker embeds the v3 doc's OWN (post-offset) id, explicitly
+    def sub7(c: Column, id: Column, mark: String): Column = concat_ws(" ",
+      transform(c, (t, i) => when(
+        (i + 1) % IncChangedDrop === 0 || i + 1 === size(c),
+        concat(lit(mark), id.cast("string"), lit("x"),
+          (i + 1).cast("string"))).otherwise(t)))
+    val pref = transform(toks, t => concat(lit(Inc2Prefix), t))
+    base.filter(col("_sid") % IncChangedMod === Inc2ChangedRem).select(
+      (col("_sid") + Inc2ChangedOffset).as("doc_id"),
+      sub7(toks, col("_sid") + Inc2ChangedOffset, Inc2SubMark).as("text"))
+    .unionByName(base.filter(col("_sid") % IncFreshMod === 0).select(
+      (col("_sid") + Inc2AttachOffset).as("doc_id"),
+      sub7(reverse(toks), col("_sid") + Inc2AttachOffset,
+        Inc2AttachMark).as("text")))
+    .unionByName(base.filter(col("_sid") % IncPairMod === 0).select(
+      (col("_sid") + Inc2EchoOffset).as("doc_id"),
+      concat_ws(" ",
+        concat(slice(transform(toks,
+          t => concat(lit(IncPairPrefix), t)), 1, Inc2EchoLen),
+          array(concat(lit(Inc2EchoMark),
+            (col("_sid") + Inc2EchoOffset).cast("string")))))
+        .as("text")))
+    .unionByName(base.filter(col("_sid") % Inc2FreshMod === 0).select(
+      (col("_sid") + Inc2FreshOffset).as("doc_id"),
+      concat_ws(" ", pref).as("text")))
+    .unionByName(base.filter(col("_sid") % Inc2PairMod === 0).select(
+      (col("_sid") + Inc2PairAOffset).as("doc_id"),
+      concat_ws(" ", pref).as("text")))
+    .unionByName(base.filter(col("_sid") % Inc2PairMod === 0).select(
+      (col("_sid") + Inc2PairBOffset).as("doc_id"),
+      concat_ws(" ", filter(pref,
+        (t, i) => (i + 1) % IncPairDrop =!= 0)).as("text")))
   }
 
   /** Content-defined chunk dedup (t80) over a corpus with a 24-token

@@ -2113,6 +2113,22 @@ object TextAnalysis {
     spanRebuild(base, dups, L)
   }
 
+  /** Advance a standing fingerprint index by one shipped crawl:
+    * occurrence counts are ADDITIVE over disjoint doc sets, so
+    * merge(index(A), index(B)) == index(A ∪ B) exactly — for all three
+    * index kinds ([[spanIndex]], [[nearDupSpanIndex]],
+    * [[cdcSegmentIndex]]: same (span_h, occ) shape; CDC segment
+    * boundaries are per-doc, so B's segments are the union's). This is
+    * the index-update half of the incremental contract: after a crawl
+    * ships, the NEXT crawl must count against standing ∪ increment,
+    * and the merge costs one co-partitioned sum over index rows — text
+    * is never re-scanned (at 100 TB both sides live hash-bucketed on
+    * span_h, making this a bucket-local upsert).
+    */
+  def indexMerge(standing: DataFrame, incIndex: DataFrame): DataFrame =
+    standing.unionByName(incIndex)
+      .groupBy(col("span_h")).agg(sum(col("occ")).as("occ"))
+
   /** The incremental duplication rule shared by the three *Increment
     * kernels: total occurrences per fingerprint = the increment's own
     * count + the standing index's count (absent → 0), flagged when the
