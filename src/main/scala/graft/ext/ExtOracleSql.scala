@@ -3901,6 +3901,14 @@ FROM e JOIN traindocs t USING (doc_id)"""
   val pipelineCurationIncrement2Cdc: String =
     pipelineCurationIncrementSql("cdc", day2 = true)
 
+  /** Day-2 under the near-dup policy — the same two-layer incremental
+    * replay (it models the ALGORITHM, so it needs no freeze argument;
+    * the rebuild-equivalence claim is the thing this tier doesn't
+    * have, not the oracle).
+    */
+  val pipelineCurationIncrement2NearDup: String =
+    pipelineCurationIncrementSql("neardup", day2 = true)
+
   /** The increment side's detection chain per span policy: the
     * policy's fingerprint prelude over `corpusi`, the shared
     * incremental total rule (own counts + the standing chain's

@@ -2911,6 +2911,26 @@ object ExtQueries {
       chrome = "promo2", span = "cdc")
   }
 
+  /** Day-2 under the NEAR-DUP policy. The mechanics are identical (the
+    * advance and the one-day kernel are policy-generic) and the oracle
+    * gates the VALUES exactly — the two-layer twin replays the
+    * incremental ALGORITHM, not a rebuild — but the rebuild-equivalence
+    * CLAIM the exact/cdc day-2 specs prove does not exist for this
+    * tier: its day-1 freeze is already contractual (near-miss evidence
+    * re-cleans standing text under a rebuild by the tier's own
+    * definition), so day 2 inherits the same contract. The spec pins
+    * the tier-independent invariants instead: the advanced-fill append
+    * formula and day-0/1 row immutability.
+    */
+  def curationTrainPipelineIncrement2NearDup(spark: SparkSession,
+                                             sfDir: String): DataFrame = {
+    Tables.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+    curationTrainPipelineIncrement2From(spark, sfDir, nearDupCorpus(docs),
+      curationIncrementCorpus(docs), curationIncrementCorpusV3(docs),
+      chrome = "tweaked", span = "neardup")
+  }
+
   def curationTrainPipelineIncrement2From(spark: SparkSession,
                                           memoTag: String,
                                           standingRaw: DataFrame,

@@ -298,6 +298,37 @@ class CurationIncrementSpec extends AnyFunSuite {
     }
   }
 
+  test("[day2 neardup] tier-independent invariants: advanced-fill " +
+    "append + no collision with shipped rows") {
+    // the neardup tier's freeze is contractual already at day 1, so
+    // the rebuild-equivalence claim the exact/cdc day-2 tests prove
+    // does not exist here — but the lifecycle invariants hold for ANY
+    // tier: day-2 shard_pos appends densely after the (standing +
+    // day-1) fill, and appended rows never collide with shipped ones.
+    val s = ExtQueries.curationTrainPipelineFrom(
+      standingRaw, "tweaked", "neardup").localCheckpoint(true)
+    val d1 = ExtQueries.curationTrainPipelineIncrementNearDup(spark, sfDir)
+      .localCheckpoint(true)
+    val i2 = ExtQueries.curationTrainPipelineIncrement2NearDup(spark, sfDir)
+      .localCheckpoint(true)
+    assert(i2.count() > 0, "day-2 neardup must produce appended rows")
+    val fill = s.select("epoch", "doc_id", "shard")
+      .unionByName(d1.select("epoch", "doc_id", "shard"))
+      .groupBy("epoch", "shard").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("epoch", "shard").orderBy("shard_pos")
+    val viol = i2.join(fill, Seq("epoch", "shard"), "left")
+      .withColumn("r", row_number().over(w))
+      .filter(col("shard_pos") =!= coalesce(col("n"), lit(0L)) + col("r"))
+    assert(viol.isEmpty,
+      "[day2 neardup] shard_pos must be (standing + day-1) fill + " +
+        "dense appended rank")
+    val shipped = s.select("epoch", "doc_id")
+      .unionByName(d1.select("epoch", "doc_id"))
+    assert(i2.select("epoch", "doc_id").join(shipped,
+        Seq("epoch", "doc_id")).isEmpty,
+      "appended v3 rows must never collide with shipped rows")
+  }
+
   test("[day2] the MERGED index is decisive: echo docs clean differently " +
     "against standing-only counts") {
     // the day-2-only span claim: the pair-ECHO pages duplicate v2

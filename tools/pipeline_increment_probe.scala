@@ -53,9 +53,17 @@ def agg(df: DataFrame): Unit = {
   graft.std.Materialize.releaseAll()
 }
 
+// the fixed day-2 (v3) crawl over the UNSCALED base docs
+val incRaw2 = (graft.ext.ExtQueries.curationIncrementCorpusV3(docs1)
+  .localCheckpoint(true))
+
 // policies: exact (the r19 baseline numbers) and neardup (the r20
 // tier — L× the standing index rows, same O(increment) shape; its
-// full rebuild is the composite probe's measured L×-volume cost)
+// full rebuild is the composite probe's measured L×-volume cost).
+// day2-* phases (exact): the state ADVANCE + the v3 crawl against it —
+// `day2-build` pays the one-time advance (O(day-1 increment) unions +
+// the O(index-rows) additive merge), `day2-warm` is the per-crawl
+// cost, `day2-full` the 3-corpus rebuild a daily pipeline avoids.
 for ((n, tag) <- Seq(1 -> "1x", 4 -> "4x", 10 -> "10x")) {
   val standing = if (n == 1) nearDup(docs1)
     else nearDup(rep(n)).repartition(32 * (n min 4)).localCheckpoint(true)
@@ -70,5 +78,14 @@ for ((n, tag) <- Seq(1 -> "1x", 4 -> "4x", 10 -> "10x")) {
       graft.ext.ExtQueries.curationTrainPipelineFrom(
         standing.unionByName(incRaw), chrome, span)))
   }
+  time(s"day2-build-$tag")(agg(
+    graft.ext.ExtQueries.curationTrainPipelineIncrement2From(
+      spark, s"probe$tag", standing, incRaw, incRaw2)))
+  time(s"day2-warm-$tag")(agg(
+    graft.ext.ExtQueries.curationTrainPipelineIncrement2From(
+      spark, s"probe$tag", standing, incRaw, incRaw2)))
+  time(s"day2-full-$tag")(agg(
+    graft.ext.ExtQueries.curationTrainPipelineFrom(
+      standing.unionByName(incRaw).unionByName(incRaw2))))
 }
 sys.exit(0)
