@@ -149,8 +149,13 @@ object Bench {
       inflRatio: Double = 1.5): Seq[(String, (Int, Int, String))] =
     anomalous.flatMap { a =>
       spans.find(_._1 == a).map { case (_, s, e) =>
+        // only neighbors WITH a baseline ratio can witness host state
+        // either way — a query new this round has no drift ratio, and
+        // counting it as "healthy" biased verdicts toward `isolated`
+        // in rounds that add queries (r20 advice)
         val others = spans.filter { case (n, s2, e2) =>
-          n != a && s2 <= e + padMs && e2 >= s - padMs
+          n != a && s2 <= e + padMs && e2 >= s - padMs &&
+            ratios.contains(n)
         }
         val infl = others.count { case (n, _, _) =>
           ratios.get(n).exists(_ > inflRatio)
@@ -282,6 +287,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.sources.Tables.tune(spark) // join-strategy confs, see scaladoc
     spark.sparkContext.setLogLevel("WARN")
     // releasing a localCheckpoint pin intentionally discards truncated
     // lineage; the per-RDD WARN would spam the driver-captured tail

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.sources.Tables.tune(spark) // join-strategy confs, see scaladoc
     spark.sparkContext.setLogLevel("WARN")
     // see Bench: pin release intentionally discards truncated lineage
     org.apache.logging.log4j.core.config.Configurator.setLevel(

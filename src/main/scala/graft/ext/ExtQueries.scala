@@ -2714,9 +2714,24 @@ object ExtQueries {
   /** Per-policy memo tag: each span tier cleans the standing corpus
     * differently, so its materialized state is a distinct artifact
     * (exact keeps the unsuffixed r18 tags for bench-record continuity).
+    *
+    * The CHROME knob is part of the key too (r20 advice): chrome and
+    * span are independent public parameters of
+    * [[curationTrainPipelineIncrementFrom]], and two calls sharing a
+    * memoTag+span but differing in chrome would otherwise silently
+    * reuse the first call's standing corpus/index. The three canonical
+    * pairings the bench queries use keep their historical tags (memo
+    * telemetry continuity); any other combination gets a
+    * chrome-suffixed tag of its own.
     */
-  private def polTag(span: String, t: String): String =
-    if (span == "exact") t else s"${span}_$t"
+  private val canonicalChrome =
+    Map("exact" -> "promo", "neardup" -> "tweaked", "cdc" -> "promo2")
+
+  private def polTag(span: String, chrome: String, t: String): String = {
+    val base = if (span == "exact") t else s"${span}_$t"
+    if (canonicalChrome.get(span).contains(chrome)) base
+    else s"${base}_c_$chrome"
+  }
 
   /** The policy's standing fingerprint index over an injected corpus. */
   private def curationIndexOf(injected: DataFrame, span: String): DataFrame =
@@ -2735,7 +2750,7 @@ object ExtQueries {
   private def curationStandingState(spark: SparkSession, memoTag: String,
                                     standingRaw: DataFrame, chrome: String,
                                     span: String): CurationState = {
-    def tag(t: String) = polTag(span, t)
+    def tag(t: String) = polTag(span, chrome, t)
     val standingInjected = curationChromeInjected(standingRaw, chrome)
     val standingClean = curationStanding(spark, memoTag, tag("clean"))(
       curationCleanedCorpus(standingRaw, chrome, span)
@@ -2784,6 +2799,13 @@ object ExtQueries {
         TextAnalysis.nearDupSpanDedupIncrement(incInjected, state.spanIdx)
       case "cdc" =>
         TextAnalysis.cdcSegmentDedupIncrement(incInjected, state.spanIdx)
+      // the sibling matches (curationIndexOf, curationCleanedCorpus)
+      // throw IllegalArgumentException on an unknown policy; this one
+      // must too — the standing builders are by-name, so a memo hit
+      // would otherwise skip their validation and surface a bare
+      // MatchError here (r20 advice)
+      case other => throw new IllegalArgumentException(
+        s"unknown span policy: $other")
     }
     val cleanedInc = graft.std.Materialize.once(
       incSpanPass
@@ -2856,7 +2878,7 @@ object ExtQueries {
                                     chrome: String,
                                     span: String): CurationState = {
     def adv(t: String)(b: => DataFrame) =
-      curationStanding(spark, memoTag, polTag(span, s"adv_$t"))(b)
+      curationStanding(spark, memoTag, polTag(span, chrome, s"adv_$t"))(b)
     // day 1's increment tiers, shared lazily across the six builders —
     // on a memo hit no builder runs and none of this is computed
     lazy val (clean1, clusters1) =
@@ -3021,6 +3043,16 @@ object ExtQueries {
     val base = docs.select(col("doc_id").as("_sid"),
       TextOps.normText(col("text")).as("text"))
     val toks = split(col("text"), " ")
+    // family offsets are at least 20 000 apart (PairA vs PairB); a base
+    // corpus with doc_id >= that gap would collide ids ACROSS families
+    // and silently misattribute docs in the spec's range-classified
+    // assertions (r20 advice) — raise per-row instead of paying a
+    // separate validation pass (rows already stream through here)
+    val minGap = Inc2PairBOffset - Inc2PairAOffset
+    val idGuard = coalesce(
+      assert_true(col("_sid") < minGap,
+        lit(s"v3 fixture: base doc_id >= $minGap collides across " +
+          "family offsets")).cast("long"), lit(0L))
     // the marker embeds the v3 doc's OWN (post-offset) id, explicitly
     def sub7(c: Column, id: Column, mark: String): Column = concat_ws(" ",
       transform(c, (t, i) => when(
@@ -3029,14 +3061,14 @@ object ExtQueries {
           (i + 1).cast("string"))).otherwise(t)))
     val pref = transform(toks, t => concat(lit(Inc2Prefix), t))
     base.filter(col("_sid") % IncChangedMod === Inc2ChangedRem).select(
-      (col("_sid") + Inc2ChangedOffset).as("doc_id"),
+      (col("_sid") + Inc2ChangedOffset + idGuard).as("doc_id"),
       sub7(toks, col("_sid") + Inc2ChangedOffset, Inc2SubMark).as("text"))
     .unionByName(base.filter(col("_sid") % IncFreshMod === 0).select(
-      (col("_sid") + Inc2AttachOffset).as("doc_id"),
+      (col("_sid") + Inc2AttachOffset + idGuard).as("doc_id"),
       sub7(reverse(toks), col("_sid") + Inc2AttachOffset,
         Inc2AttachMark).as("text")))
     .unionByName(base.filter(col("_sid") % IncPairMod === 0).select(
-      (col("_sid") + Inc2EchoOffset).as("doc_id"),
+      (col("_sid") + Inc2EchoOffset + idGuard).as("doc_id"),
       concat_ws(" ",
         concat(slice(transform(toks,
           t => concat(lit(IncPairPrefix), t)), 1, Inc2EchoLen),
@@ -3044,13 +3076,13 @@ object ExtQueries {
             (col("_sid") + Inc2EchoOffset).cast("string")))))
         .as("text")))
     .unionByName(base.filter(col("_sid") % Inc2FreshMod === 0).select(
-      (col("_sid") + Inc2FreshOffset).as("doc_id"),
+      (col("_sid") + Inc2FreshOffset + idGuard).as("doc_id"),
       concat_ws(" ", pref).as("text")))
     .unionByName(base.filter(col("_sid") % Inc2PairMod === 0).select(
-      (col("_sid") + Inc2PairAOffset).as("doc_id"),
+      (col("_sid") + Inc2PairAOffset + idGuard).as("doc_id"),
       concat_ws(" ", pref).as("text")))
     .unionByName(base.filter(col("_sid") % Inc2PairMod === 0).select(
-      (col("_sid") + Inc2PairBOffset).as("doc_id"),
+      (col("_sid") + Inc2PairBOffset + idGuard).as("doc_id"),
       concat_ws(" ", filter(pref,
         (t, i) => (i + 1) % IncPairDrop =!= 0)).as("text")))
   }
