@@ -1817,66 +1817,141 @@ object Similarity {
     * a converged v). Shared by s21 (one pass) and s33 (one pass per
     * side of the deflation).
     */
-  /** Pre-partition a centered exploded frame by `_vid` BEFORE pinning
-    * (r19 verdict refinement): [[powerIterate]]'s two per-iteration
-    * aggregates otherwise exchange the full |corpus·dims| frame twice
-    * per round — `groupBy(_vid)` re-shuffles it, and the score join
-    * re-shuffles it again to meet `s` (itself hash-partitioned by
-    * `_vid` as a groupBy output). With the pin already hash-partitioned
-    * by `_vid`, both reuse the checkpoint's partitioning and only the
-    * small frames move (per-vector scores, |dims| partial sums).
-    * Values are partitioning-invariant: every sum accumulates in exact
-    * DECIMAL(38,18) before the one deterministic round.
+  /** The power-iteration family runs on a CENTERED ARRAY frame
+    * (`_vid`, `_c: array<double>`), not the exploded (vid, dim, x)
+    * grain (r21 optimization, guide §2.3/§2.4): per iteration the
+    * per-vector score `s_i = (x_i − μ)·v` is a PROJECTION (an exact
+    * decimal fold over the row's own array — no `groupBy(_vid)`
+    * exchange, no `cent ⋈ s` join), and only the per-dim partial sums
+    * `w_d = Σ s_i·c_id` shuffle: one explode + partial-agg pass, |dims|
+    * rows per task on the wire. That is ONE corpus pass and one tiny
+    * exchange per iteration where the exploded form paid two passes,
+    * two exchanges and a join. The repartition keeps an under-split
+    * local scan parallel (the [[graft.ext.TextOps.spreadByKey]]
+    * rationale); on a production corpus it is a no-op cost-wise
+    * relative to the scan.
     */
   private def centByVid(c: DataFrame): DataFrame =
     c.repartition(col("_vid"))
 
-  private def powerIterate(cent: DataFrame, dims: DataFrame,
-                           iters: Int): (DataFrame, DataFrame) = {
-    var v: DataFrame = dims.select(col("_dim"), lit(1.0).as("_v"))
+  /** Exact 18-dp dot product over two array<double> columns:
+    * per-term HALF_UP quantization at scale 18, exact decimal
+    * accumulation — value-identical to
+    * `SUM(CAST(a_d * b_d AS DECIMAL(38,18)))` over the exploded rows,
+    * which is what the DuckDB twins compute. Native codegen expression
+    * ([[graft.functions.DecDot18]]): the HOF-fold form ran interpreted
+    * with a boxed Decimal per element (measured 6 s on one 2000×64
+    * deflation pass) and the naive decimal fold additionally trips the
+    * precision-39 scale-loss trap documented on the IVF kernel above.
+    */
+  private def dotDec18(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumns.decDot18(a, b)
+
+  /** `iters` rounds of Cov·v over the centered array frame. Returns
+    * (vArr: one-row array form of the unit vector, vDim: per-dim
+    * (_dim, _v) frame, lastNorm: one-row pre-normalization norm).
+    * Fixed-point discipline unchanged from the exploded form: s_i and
+    * w_d round at 9 dp from exact DECIMAL(38,18)-equivalent sums, the
+    * unit vector at 6 dp — bit-identical values, different plan shape.
+    */
+  private def powerIterate(cent: DataFrame, dimsArr: DataFrame,
+                           iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    var vArr: DataFrame =
+      dimsArr.select(transform(col("_muArr"), _ => lit(1.0)).as("_v"))
+    var vDim: DataFrame = null
     var lastNorm: DataFrame = null
     for (_ <- 1 to iters) {
-      val s = cent.join(broadcast(v), Seq("_dim"))
-        .groupBy(col("_vid"))
-        .agg(round(sum((col("_c") * col("_v")).cast("decimal(38,18)"))
-          .cast("double"), 9).as("_s"))
-      val w = cent.join(s, Seq("_vid"))
-        .groupBy(col("_dim"))
-        .agg(round(sum((col("_c") * col("_s")).cast("decimal(38,18)"))
-          .cast("double"), 9).as("_w"))
+      val scored = cent.crossJoin(broadcast(vArr))
+        .select(col("_c"),
+          round(dotDec18(col("_c"), col("_v")).cast("double"), 9).as("_s"))
+      val w = graft.std.Materialize.once(
+        scored.select(col("_s"), posexplode(col("_c")))
+          .groupBy(col("pos").cast("long").as("_dim"))
+          .agg(round(sum((col("col") * col("_s")).cast("decimal(38,18)"))
+            .cast("double"), 9).as("_w")))
       lastNorm = w.agg(round(sqrt(
         sum((col("_w") * col("_w")).cast("decimal(38,18)"))
           .cast("double")), 9).as("_nrm"))
-      v = graft.std.Materialize.once(
-        w.crossJoin(broadcast(lastNorm))
-          .select(col("_dim"),
-            round(when(col("_nrm") > 0, col("_w") / col("_nrm"))
-              .otherwise(lit(0.0)), 6).as("_v")))
+      vDim = w.crossJoin(broadcast(lastNorm))
+        .select(col("_dim"),
+          round(when(col("_nrm") > 0, col("_w") / col("_nrm"))
+            .otherwise(lit(0.0)), 6).as("_v"))
+      vArr = vDim
+        .agg(array_sort(collect_list(struct(col("_dim"), col("_v"))))
+          .as("_p"))
+        .select(transform(col("_p"), p => p.getField("_v")).as("_v"))
     }
-    (v, lastNorm)
+    (vArr, vDim, lastNorm)
   }
+
+  /** One-row array of per-dim means ordered by dim, from the pinned
+    * per-dim mean frame — the broadcastable form the centering zip
+    * consumes.
+    */
+  private def muArrayOf(mu: DataFrame): DataFrame =
+    mu.agg(array_sort(collect_list(struct(col("_dim"), col("_mu"))))
+        .as("_p"))
+      .select(transform(col("_p"), p => p.getField("_mu")).as("_muArr"))
+
+  /** Pinned (μ per-dim frame, pinned centered array frame) pair shared
+    * by s21/s33/s34: one corpus pass for μ, one for the centered
+    * arrays — the exploded form additionally pinned the full
+    * |corpus·dims| exploded frame.
+    */
+  private def centeredArrays(vecs: DataFrame, idCol: String,
+                             vecCol: String): (DataFrame, DataFrame) = {
+    val mu = graft.std.Materialize.once(
+      pqExplode(vecs, 1, idCol, vecCol)
+        .groupBy(col("_dim"))
+        .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 6).as("_mu")))
+    val cent = graft.std.Materialize.once(
+      centByVid(vecs
+        .select(col(idCol).as("_vid"),
+          col(vecCol).cast("array<double>").as("_x"))
+        .crossJoin(broadcast(muArrayOf(mu)))
+        .select(col("_vid"),
+          zip_with(col("_x"), col("_muArr"), (x, m) => x - m).as("_c"))))
+    (mu, cent)
+  }
+
+  /** Total centered sum of squares of an array-form centered frame —
+    * per-vector exact partial folds summed exactly; value-identical to
+    * the exploded `SUM(CAST(_c*_c AS DECIMAL(38,18)))`.
+    */
+  private def tssArr(c: DataFrame, as: String): DataFrame =
+    c.select(dotDec18(col("_c"), col("_c")).as("_t"))
+      .agg(sum(col("_t")).cast("double").as(as))
+
+  /** Per-vector 9-dp projection score s_i = c_i·v — the loop's own
+    * score form, shared by the deflation bridge.
+    */
+  private def scoreCol: Column =
+    round(dotDec18(col("_c"), col("_v")).cast("double"), 9)
+
+  /** Deflate a centered array frame off a unit vector: c′ = c − (c·v)v
+    * with the 9-dp bridge rounding (the s33 projection), pinned.
+    * One codegen'd pass ([[graft.functions.DeflateRound9]]).
+    */
+  private def deflate(cent: DataFrame, vArr: DataFrame): DataFrame =
+    graft.std.Materialize.once(
+      centByVid(cent.crossJoin(broadcast(vArr))
+        .select(col("_vid"), col("_c"), col("_v"), scoreCol.as("_s"))
+        .select(col("_vid"),
+          org.apache.spark.sql.GraftColumns.deflateRound9(
+            col("_c"), col("_v"), col("_s")).as("_c"))))
 
   def topPrincipalComponent(vecs: DataFrame, iters: Int = 6,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, "need at least one power iteration")
-    val ex = graft.std.Materialize.once(
-      pqExplode(vecs, 1, idCol, vecCol))
-    val mu = ex.groupBy(col("_dim"))
-      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
-        count(lit(1)), 6).as("_mu"))
-    val cent = graft.std.Materialize.once(
-      centByVid(ex.join(broadcast(mu), Seq("_dim"))
-        .select(col("_vid"), col("_dim"),
-          (col("_x") - col("_mu")).as("_c"))))
+    val (mu, cent) = centeredArrays(vecs, idCol, vecCol)
     val n1 = vecs.agg(count(lit(1)).as("_n"))
-    val (v, lastNorm) = powerIterate(cent, mu, iters)
+    val (_, vDim, lastNorm) = powerIterate(cent, muArrayOf(mu), iters)
     // Rayleigh estimate: with v unit, ‖Σ s_i(x_i−μ)‖ = n·λ; trace is
     // the exact total centered sum of squares over n
-    val trace = cent.agg(
-      sum((col("_c") * col("_c")).cast("decimal(38,18)"))
-        .cast("double").as("_tss"))
-    v.join(broadcast(mu), Seq("_dim"))
+    val trace = tssArr(cent, "_tss")
+    vDim.join(broadcast(mu), Seq("_dim"))
       .crossJoin(broadcast(lastNorm))
       .crossJoin(broadcast(trace))
       .crossJoin(broadcast(n1))
@@ -1918,28 +1993,12 @@ object Similarity {
                               idCol: String = "vec_id",
                               vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, "need at least one power iteration")
-    val ex = graft.std.Materialize.once(
-      pqExplode(vecs, 1, idCol, vecCol))
-    val mu = ex.groupBy(col("_dim"))
-      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
-        count(lit(1)), 6).as("_mu"))
-    val cent = graft.std.Materialize.once(
-      centByVid(ex.join(broadcast(mu), Seq("_dim"))
-        .select(col("_vid"), col("_dim"),
-          (col("_x") - col("_mu")).as("_c"))))
-    val (v1, nrm1) = powerIterate(cent, mu, iters)
-    val s1 = cent.join(broadcast(v1), Seq("_dim"))
-      .groupBy(col("_vid"))
-      .agg(round(sum((col("_c") * col("_v")).cast("decimal(38,18)"))
-        .cast("double"), 9).as("_s"))
-    val cent2 = graft.std.Materialize.once(
-      centByVid(cent.join(broadcast(v1), Seq("_dim")).join(s1, Seq("_vid"))
-        .select(col("_vid"), col("_dim"),
-          round(col("_c") - col("_s") * col("_v"), 9).as("_c"))))
-    val (_, nrm2) = powerIterate(cent2, mu, iters)
-    def tss(c: DataFrame, as: String): DataFrame = c.agg(
-      sum((col("_c") * col("_c")).cast("decimal(38,18)"))
-        .cast("double").as(as))
+    val (mu, cent) = centeredArrays(vecs, idCol, vecCol)
+    val muArr = muArrayOf(mu)
+    val (v1, _, nrm1) = powerIterate(cent, muArr, iters)
+    val cent2 = deflate(cent, v1)
+    val (_, _, nrm2) = powerIterate(cent2, muArr, iters)
+    def tss(c: DataFrame, as: String): DataFrame = tssArr(c, as)
     vecs.agg(count(lit(1)).as("n_vectors"))
       .filter(col("n_vectors") > 0)
       .crossJoin(broadcast(nrm1.select(col("_nrm").as("_n1"))))
@@ -1995,14 +2054,9 @@ object Similarity {
     require(iters >= 1, "need at least one power iteration")
     require(varShareStop > 0 && varShareStop < 1,
       "stop threshold is a variance fraction")
-    val ex = graft.std.Materialize.once(
-      pqExplode(vecs, 1, idCol, vecCol))
-    val mu = ex.groupBy(col("_dim"))
-      .agg(round(sum(col("_x").cast("decimal(38,18)")).cast("double") /
-        count(lit(1)), 6).as("_mu"))
-    def tss(c: DataFrame): DataFrame = c.agg(
-      sum((col("_c") * col("_c")).cast("decimal(38,18)"))
-        .cast("double").as("_tss"))
+    val (mu, cent0) = centeredArrays(vecs, idCol, vecCol)
+    val muArr = muArrayOf(mu)
+    def tss(c: DataFrame): DataFrame = tssArr(c, "_tss")
     // the 6-dp share of the current corpus' variance its top PC holds
     // — the ONE scalar per rank the loop reads, rounded identically to
     // the emitted column so the threshold compare can't diverge
@@ -2015,27 +2069,17 @@ object Similarity {
       if (rows.isEmpty || rows(0).isNullAt(0)) 0.0 else rows(0).getDouble(0)
     }
     val n1 = vecs.agg(count(lit(1)).as("n_vectors"))
-    var cent = graft.std.Materialize.once(
-      centByVid(ex.join(broadcast(mu), Seq("_dim"))
-        .select(col("_vid"), col("_dim"),
-          (col("_x") - col("_mu")).as("_c"))))
+    var cent = cent0
     val tss1 = tss(cent).select(col("_tss").as("_tssOrig"))
-    var (v, nrm) = powerIterate(cent, mu, iters)
+    var (v, _, nrm) = powerIterate(cent, muArr, iters)
     var curTss = tss(cent)
     var out: Option[DataFrame] = None
     var rank = 1
     var continue = true
     while (continue && rank <= k) {
       // deflate: c' = c − (c·v)v, 9-dp bridge (the s33 projection)
-      val s = cent.join(broadcast(v), Seq("_dim"))
-        .groupBy(col("_vid"))
-        .agg(round(sum((col("_c") * col("_v")).cast("decimal(38,18)"))
-          .cast("double"), 9).as("_s"))
-      val centNext = graft.std.Materialize.once(
-        centByVid(cent.join(broadcast(v), Seq("_dim")).join(s, Seq("_vid"))
-          .select(col("_vid"), col("_dim"),
-            round(col("_c") - col("_s") * col("_v"), 9).as("_c"))))
-      val (vNext, nrmNext) = powerIterate(centNext, mu, iters)
+      val centNext = deflate(cent, v)
+      val (vNext, _, nrmNext) = powerIterate(centNext, muArr, iters)
       val nextTss = tss(centNext)
       // one-row share frame pinned ONCE per rank: the stop decision
       // (collected below) and the emitted row's var_share_after share

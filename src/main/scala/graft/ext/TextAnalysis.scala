@@ -1859,19 +1859,22 @@ object TextAnalysis {
 
   /** (doc_id, off, _h) window-hash frame over a [[spanBase]] frame:
     * one window per token offset, 1-based; docs shorter than L open no
-    * windows (nothing that short can span-dup). Hash AFTER the explode
-    * so the md5 runs once per window attribute, not inside the
-    * transform lambda (the HOF no-CSE trap). Shared by [[spanDedup]],
-    * [[spanIndex]], and [[spanDedupIncrement]] so the three sides of
-    * the incremental contract hash the identical window expression.
+    * windows (nothing that short can span-dup). Fingerprints come from
+    * the native prefix-polynomial kernel
+    * ([[graft.functions.SpanWindowHashes]], r21): the expression-tree
+    * form built one L-token string + md5 per window — O(L) string work
+    * each — where the kernel emits every window in O(1) from one
+    * prefix pass. Internal equality keys only (see the kernel's
+    * contract note); shared by [[spanDedup]], [[spanIndex]], and
+    * [[spanDedupIncrement]] so the three sides of the incremental
+    * contract hash the identical window expression.
     */
   private def spanWindowHashes(base: DataFrame, L: Int): DataFrame =
     base.select(col("doc_id"),
-      posexplode(when(col("_n") >= L,
-        transform(sequence(lit(1), col("_n") - (L - 1)),
-          i => concat_ws(" ", slice(col("_toks"), i, lit(L)))))))
+      posexplode(org.apache.spark.sql.GraftColumns
+        .spanWindowHashes(col("_toks"), L)))
       .select(col("doc_id"), (col("pos") + 1).as("off"),
-        TextOps.hash64(col("col")).as("_h"))
+        col("col").as("_h"))
 
   /** The span INDEX a production t77 pipeline persists between crawls:
     * corpus-wide occurrence counts per L-token window hash —
@@ -2044,34 +2047,29 @@ object TextAnalysis {
   }
 
   /** (doc_id, off, _h) leave-one-out fingerprint frame over a
-    * [[spanBase]] frame: the t77 window explode kept as token arrays,
-    * then L slot-keyed fingerprints per window (slot i + the window
-    * minus token i+1). The slot is hashed IN so windows can only
-    * collide slot-for-slot (same substituted position). Hash after the
-    * explode — one md5 per fingerprint attribute, never inside the
-    * transform lambda (the HOF no-CSE trap). Shared by
+    * [[spanBase]] frame: L slot-keyed fingerprints per window (slot i
+    * + the window minus token i+1). The slot is keyed IN so windows
+    * can only collide slot-for-slot (same substituted position).
+    * Fingerprints come from the native prefix-polynomial kernel
+    * ([[graft.functions.LooSpanHashes]], r21): the expression-tree
+    * form built L leave-one-out strings + md5s per window — this was
+    * the single hottest kernel in the suite (60 s of task time on one
+    * warm sf0.1 curation pipeline) — where the kernel emits each
+    * fingerprint in O(1) from one prefix pass. Internal equality keys
+    * only (see the kernel's contract note); shared by
     * [[nearDupSpanDedup]], [[nearDupSpanIndex]], and
     * [[nearDupSpanDedupIncrement]] so the three sides of the
     * incremental contract hash the identical fingerprint expression.
+    * The kernel's array is window-major (entry w·L + s), so `off` is
+    * the window index `pos div L`, 1-based.
     */
-  private def looFingerprints(base: DataFrame, L: Int): DataFrame = {
-    val wins = base
+  private def looFingerprints(base: DataFrame, L: Int): DataFrame =
+    base.select(col("doc_id"),
+        posexplode(org.apache.spark.sql.GraftColumns
+          .looSpanHashes(col("_toks"), L)))
       .select(col("doc_id"),
-        posexplode(when(col("_n") >= L,
-          transform(sequence(lit(1), col("_n") - (L - 1)),
-            i => slice(col("_toks"), i, lit(L))))))
-      .select(col("doc_id"), (col("pos") + 1).as("off"),
-        col("col").as("_w"))
-    wins
-      .select(col("doc_id"), col("off"),
-        posexplode(transform(sequence(lit(0), lit(L - 1)), i =>
-          concat_ws(" ",
-            concat(slice(col("_w"), lit(1), i),
-              slice(col("_w"), i + lit(2), lit(L - 1) - i))))))
-      .select(col("doc_id"), col("off"),
-        TextOps.hash64(concat(col("pos").cast("string"), lit("|"),
-          col("col"))).as("_h"))
-  }
+        (expr(s"pos div $L") + 1).cast("int").as("off"),
+        col("col").as("_h"))
 
   /** The standing index a production t79 pipeline persists between
     * crawls: corpus-wide occurrence counts per leave-one-out
@@ -2345,11 +2343,12 @@ object TextAnalysis {
     val base = b.select(col("doc_id"),
       greatest(coalesce(size(col("_toks")) - (n - 1), lit(0)), lit(0))
         .cast("long").as("n_windows"))
+    // native prefix-poly window fingerprints (internal equality keys —
+    // see SpanHash's contract note); the transform form additionally
+    // ran its md5 INSIDE the lambda, i.e. interpreted per window
     val grams = b.select(col("doc_id"),
-      explode(when(size(col("_toks")) >= n,
-        transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
-          i => TextOps.hash64(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
-        .otherwise(array().cast("array<bigint>"))).as("g"))
+      explode(org.apache.spark.sql.GraftColumns
+        .spanWindowHashes(col("_toks"), n)).as("g"))
     // diamond: the pair frame feeds both the gram-DF aggregate and the
     // DF join — pinned so the token explode runs once (Materialize doc)
     val pairs = graft.std.Materialize.once(
@@ -2467,11 +2466,11 @@ object TextAnalysis {
     require(n >= 2, "need shingles of at least 2 tokens")
     val b = TextOps.attrBarrier(docs.select(col("doc_id"), col(textCol)),
       Seq("doc_id"), "_toks", TextOps.tokens(col(textCol)))
-    // entry i (0-based after posexplode) covers tokens [i, i+n)
-    val hashes = when(size(col("_toks")) >= n,
-      transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
-        i => TextOps.hash64(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
-      .otherwise(array().cast("array<bigint>"))
+    // entry i (0-based after posexplode) covers tokens [i, i+n); the
+    // native prefix-poly kernel replaces the per-window string+md5
+    // build (internal equality keys — see SpanHash's contract note)
+    val hashes =
+      org.apache.spark.sql.GraftColumns.spanWindowHashes(col("_toks"), n)
     val sh = graft.std.Materialize.once(
       b.filter(col("_toks").isNotNull)
         .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h"))))

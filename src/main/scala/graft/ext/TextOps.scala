@@ -42,12 +42,17 @@ object TextOps {
 
   /** Word n-shingles (1-based slices of the token array); a document
     * shorter than `n` tokens contributes its whole text as one shingle.
+    * Built by the native codegen kernel
+    * ([[graft.functions.WordShingles]], r21 — the transform/concat_ws
+    * HOF form ran interpreted per window); output strings are
+    * byte-identical, so every downstream md5 signature is unchanged.
+    * The isNull branch preserves the builtin chain's null behavior
+    * (null token array → one empty shingle, the old otherwise-branch
+    * outcome).
     */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
+    when(toks.isNull, array(lit("")))
+      .otherwise(org.apache.spark.sql.GraftColumns.wordShingles(toks, n))
 
   /** Sum of an array<long> via a sequential left fold (deterministic
     * summation order, unlike a shuffle aggregate).

@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.functions.{BloomBits, BloomContains, DeflateRatio, DotProductD, KmvMins, Md5Lane, NfcNormalize, TopSample}
+import graft.functions.{BloomBits, BloomContains, DecDot18, DeflateRatio, DeflateRound9, DotProductD, KmvMins, LooSpanHashes, Md5Lane, NfcNormalize, SpanWindowHashes, TopSample, WordShingles}
 
 /** Typed analysis errors for graft's SQL function builders (the
   * message-only `AnalysisException` constructor is `private[sql]`,
@@ -29,6 +29,40 @@ object GraftColumns {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductD(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd exact-decimal dot product (Σ quantize18(a·b) as
+    * DECIMAL(38,18)) — see [[DecDot18]].
+    */
+  def decDot18(a: Column, b: Column): Column =
+    ExpressionUtils.column(DecDot18(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd deflation bridge round(c − s·v, 9) per element — see
+    * [[DeflateRound9]].
+    */
+  def deflateRound9(c: Column, v: Column, s: Column): Column =
+    ExpressionUtils.column(DeflateRound9(
+      ExpressionUtils.expression(c), ExpressionUtils.expression(v),
+      ExpressionUtils.expression(s)))
+
+  /** Codegen'd per-offset window fingerprints — see
+    * [[SpanWindowHashes]].
+    */
+  def spanWindowHashes(toks: Column, l: Int): Column =
+    ExpressionUtils.column(
+      SpanWindowHashes(ExpressionUtils.expression(toks), l))
+
+  /** Codegen'd leave-one-out window fingerprints — see
+    * [[LooSpanHashes]].
+    */
+  def looSpanHashes(toks: Column, l: Int): Column =
+    ExpressionUtils.column(
+      LooSpanHashes(ExpressionUtils.expression(toks), l))
+
+  /** Codegen'd word n-shingles — see [[WordShingles]]. */
+  def wordShingles(toks: Column, n: Int): Column =
+    ExpressionUtils.column(
+      WordShingles(ExpressionUtils.expression(toks), n))
 
   /** Codegen'd Unicode NFC normalization — see [[NfcNormalize]]. */
   def nfc(c: Column): Column =
